@@ -1,0 +1,141 @@
+package graft
+
+/** DuckDB oracle SQL for each query in [[Queries]]. Arithmetic is written to
+  * be bit-identical with the Spark side: integer-cents sums, identical IEEE
+  * expression shapes, and explicit rounding on anything produced by a
+  * streaming aggregate (corr/avg) whose merge order may differ between
+  * engines. Queries without an entry get the driver's rows-only check
+  * (AMI / sampled medcouple / frequency voting are not ANSI-expressible).
+  */
+object Oracles {
+
+  private val depCols =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_shipdate")
+
+  private def depExpr(c: String): String =
+    if (c == "l_shipdate") s"CAST(epoch_us($c) AS DOUBLE)" else c
+
+  private val describeCols = Seq(
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  private def pairs[A](xs: Seq[A]): Seq[(A, A)] =
+    xs.combinations(2).map(s => (s(0), s(1))).toSeq
+
+  val q01: String =
+    """SELECT l_returnflag, l_linestatus,
+      | sum(CAST(round(l_quantity*100) AS BIGINT))/100.0 AS sum_qty,
+      | sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS sum_base_price,
+      | count(*) AS count_order,
+      | round((sum(CAST(round(l_discount*100) AS BIGINT))/100.0)/count(*), 6) AS avg_disc
+      |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+
+  val q02: String = describeCols.map { c =>
+    s"""SELECT '$c' AS column_name, count($c) AS cnt,
+       | count(DISTINCT $c) AS nunique,
+       | count(*) - count($c) AS nan_count,
+       | CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v
+       |FROM lineitem""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+
+  val q03: String =
+    """WITH m AS (
+      | SELECT 'o_orderstatus' AS column_name,
+      |        coalesce(CAST(o_orderstatus AS VARCHAR), 'null') AS value FROM orders
+      | UNION ALL
+      | SELECT 'o_orderpriority', coalesce(CAST(o_orderpriority AS VARCHAR), 'null') FROM orders
+      |), c AS (
+      | SELECT column_name, value, count(*) AS "count" FROM m GROUP BY 1, 2
+      |), r AS (
+      | SELECT column_name, value, "count",
+      |        row_number() OVER (PARTITION BY column_name
+      |                           ORDER BY "count" DESC, value ASC) AS rn
+      | FROM c)
+      |SELECT column_name, value, "count", CAST(rn AS BIGINT) AS rn
+      |FROM r WHERE rn <= 5 ORDER BY column_name, rn""".stripMargin
+
+  val q04: String =
+    """WITH b AS (SELECT CAST(min(l_extendedprice) AS DOUBLE) AS lo,
+      |                  CAST(max(l_extendedprice) AS DOUBLE) AS hi FROM lineitem)
+      |SELECT least(greatest(CAST(floor((l_extendedprice - lo)/(hi - lo)*10) AS BIGINT)+1, 1), 10) AS bin,
+      |       count(*) AS frequency
+      |FROM lineitem, b GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val q05: String = pairs(depCols).map { case (a, b) =>
+    s"""SELECT '$a' AS column_1, '$b' AS column_2,
+       | round(corr(${depExpr(a)}, ${depExpr(b)}), 4) AS pearson FROM lineitem""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY column_1, column_2")
+
+  val q06: String = {
+    val rankCols = depCols.zipWithIndex.map { case (c, i) =>
+      s"rank() OVER (ORDER BY ${depExpr(c)}) + (count(*) OVER (PARTITION BY ${depExpr(c)}) - 1)/2.0 AS r_$i"
+    }.mkString(",\n ")
+    val selects = pairs(depCols.zipWithIndex).map { case ((a, i), (b, j)) =>
+      s"""SELECT '$a' AS column_1, '$b' AS column_2,
+         | round(corr(r_$i, r_$j), 4) AS spearman FROM rk""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY column_1, column_2")
+    s"WITH rk AS (SELECT\n $rankCols\nFROM lineitem)\n$selects"
+  }
+
+  val q08: String = Seq("l_quantity", "l_extendedprice", "l_discount").map { c =>
+    s"""SELECT '$c' AS column_name,
+       | round(q1, 4) AS q1, round(med, 4) AS median, round(q3, 4) AS q3,
+       | round(low, 4) AS low, round(high, 4) AS high,
+       | (SELECT count(*) FROM lineitem WHERE $c < t.low) AS num_low,
+       | (SELECT count(*) FROM lineitem WHERE $c > t.high) AS num_high
+       |FROM (SELECT q1, med, q3,
+       |       greatest(q1 - 1.5*(q3 - q1), mn) AS low,
+       |       least(q3 + 1.5*(q3 - q1), mx) AS high
+       |      FROM (SELECT CAST(quantile_cont($c, 0.25) AS DOUBLE) AS q1,
+       |                   CAST(quantile_cont($c, 0.50) AS DOUBLE) AS med,
+       |                   CAST(quantile_cont($c, 0.75) AS DOUBLE) AS q3,
+       |                   CAST(min($c) AS DOUBLE) AS mn,
+       |                   CAST(max($c) AS DOUBLE) AS mx FROM lineitem)) t""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+
+  // q09 oracle is pinned literal expected values — generated from a verified
+  // run (see Queries.q09InferTypes); regenerate with `graft.OracleGen`.
+  def q09(literal: String): String = literal
+
+  val q10: String =
+    """SELECT a.c_custkey, c_name, c_acctbal, c_mktsegment
+      |FROM (SELECT c_custkey, c_name FROM customer) a
+      |FULL OUTER JOIN (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer) b
+      |ON a.c_custkey = b.c_custkey
+      |ORDER BY a.c_custkey""".stripMargin
+
+  val q11: String =
+    """SELECT o_orderkey AS order_id, o_custkey, o_totalprice AS total_price
+      |FROM orders ORDER BY order_id""".stripMargin
+
+  val q12: String =
+    """SELECT CASE WHEN l_returnflag = 'R' THEN true ELSE false END AS returned,
+      | count(*) AS cnt
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val q13: String =
+    """SELECT CASE WHEN doc_id % 7 = 0 THEN NULL ELSE source END AS source_dirty,
+      | count(*) AS cnt
+      |FROM documents GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin
+
+  val q14: String =
+    """SELECT CAST(ts AS DATE) AS day, count(*) AS cnt
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  def all(q09Literal: Option[String]): Map[String, String] = {
+    val base = Map(
+      "q01_pricing_summary" -> q01,
+      "q02_describe_lineitem" -> q02,
+      "q03_value_counts_orders" -> q03,
+      "q04_histogram_price" -> q04,
+      "q05_pearson_lineitem" -> q05,
+      "q06_spearman_lineitem" -> q06,
+      "q08_boxplot_lineitem" -> q08,
+      "q10_concat_columns" -> q10,
+      "q11_select_rename" -> q11,
+      "q12_boolean_transform" -> q12,
+      "q13_sentinel_replace" -> q13,
+      "q14_datetime_coerce" -> q14)
+    base ++ q09Literal.map("q09_infer_types" -> _)
+  }
+}

@@ -1,0 +1,275 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.frame.WoodworkFrame
+import graft.stats.{Dependence, Describe, FrequencyInference, Outliers, ValueCounts}
+import graft.types.LogicalType
+
+/** Driver-facing query registry: each entry exercises one operator from
+  * SURVEY.md §2 end-to-end on the test tables, paired (where SQL-expressible)
+  * with an ANSI oracle in [[Oracles]]. Numeric outputs use integer-exact or
+  * explicitly-rounded arithmetic written identically on both sides so the
+  * hash compare is deterministic across engines.
+  */
+object Queries {
+
+  def table(s: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
+    // read nanos as long and truncate to microseconds (what DuckDB's reader
+    // does natively), keeping both engines aligned.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(floor(col("ts") / 1000).cast(LongType)))
+    else df
+  }
+
+  /** Typed-frame cache: schema inference runs once per table per process —
+    * the real-world usage pattern (infer once, reuse the typed schema), and
+    * what keeps per-query bench times honest about query cost rather than
+    * re-paying inference.
+    */
+  private val frameCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), WoodworkFrame]
+
+  def typedTable(s: SparkSession, dir: String, name: String): WoodworkFrame =
+    frameCache.getOrElseUpdate((dir, name),
+      WoodworkFrame.init(table(s, dir, name)))
+
+  def lineitemFrame(s: SparkSession, dir: String): WoodworkFrame =
+    typedTable(s, dir, "lineitem")
+
+  /** Exact money arithmetic: cents as bigint. */
+  private def cents(c: Column): Column = round(c * 100).cast(LongType)
+
+  // ---------------------------------------------------------------- queries
+
+  /** Aggregation core (describe-style sums/avgs) — TPC-H Q1 flavored. */
+  def q01PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitemFrame(s, dir).df
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (sum(cents(col("l_quantity"))) / 100.0).as("sum_qty"),
+        (sum(cents(col("l_extendedprice"))) / 100.0).as("sum_base_price"),
+        count(lit(1)).as("count_order"),
+        round((sum(cents(col("l_discount"))) / 100.0) / count(lit(1)), 6)
+          .as("avg_disc"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** describe() on the numeric columns of lineitem — deterministic stat subset. */
+  def q02DescribeLineitem(s: SparkSession, dir: String): DataFrame = {
+    val f = lineitemFrame(s, dir)
+    Describe.describe(f, include = Seq("numeric"))
+      .select(
+        col("column_name"), col("count").as("cnt"), col("nunique"),
+        col("nan_count"), col("min").as("min_v"), col("max").as("max_v"))
+      .orderBy("column_name")
+  }
+
+  /** value_counts over every categorical column of orders. */
+  def q03ValueCountsOrders(s: SparkSession, dir: String): DataFrame = {
+    val f = typedTable(s, dir, "orders")
+    ValueCounts.valueCounts(f, topN = 5)
+      .withColumn("rn", col("rn").cast(LongType))
+      .orderBy("column_name", "rn")
+  }
+
+  /** Equal-width histogram of l_extendedprice (describe extra_stats). */
+  def q04HistogramPrice(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem")
+    Describe.histogram(li, "l_extendedprice", bins = 10)
+  }
+
+  private val depCols =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_shipdate")
+
+  /** Pairwise Pearson correlation (dependence measure). */
+  def q05PearsonLineitem(s: SparkSession, dir: String): DataFrame = {
+    val f = lineitemFrame(s, dir).apply(depCols)
+    Dependence.dependence(f, Seq("pearson"))
+      .select(col("column_1"), col("column_2"), round(col("pearson"), 4).as("pearson"))
+      .orderBy("column_1", "column_2")
+  }
+
+  /** Pairwise Spearman correlation (average ranks). */
+  def q06SpearmanLineitem(s: SparkSession, dir: String): DataFrame = {
+    val f = lineitemFrame(s, dir).apply(depCols)
+    Dependence.dependence(f, Seq("spearman"))
+      .select(col("column_1"), col("column_2"), round(col("spearman"), 4).as("spearman"))
+      .orderBy("column_1", "column_2")
+  }
+
+  /** Adjusted mutual information on orders categoricals (no SQL oracle — AMI
+    * correction is not ANSI-expressible; rows-only check).
+    */
+  def q07MutualInfoOrders(s: SparkSession, dir: String): DataFrame = {
+    val f = typedTable(s, dir, "orders")
+      .apply(Seq("o_orderstatus", "o_orderpriority", "o_totalprice"))
+    Dependence.dependence(f, Seq("mutual_info"))
+      .select(col("column_1"), col("column_2"),
+        round(col("mutual_info"), 4).as("mutual_info"))
+      .orderBy("column_1", "column_2")
+  }
+
+  /** IQR box-plot bounds + outlier counts per numeric column. */
+  def q08BoxplotLineitem(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val rows = cols.map { c =>
+      val b = Outliers.boxPlot(li, c)
+      (c, round4(b.q1), round4(b.median), round4(b.q3),
+        round4(b.low), round4(b.high), b.numLow, b.numHigh)
+    }
+    import s.implicits._
+    rows.toDF("column_name", "q1", "median", "q3", "low", "high",
+      "num_low", "num_high").orderBy("column_name")
+  }
+
+  private def round4(d: Double): Double =
+    BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Type inference over five tables (oracle = pinned expected values). */
+  def q09InferTypes(s: SparkSession, dir: String): DataFrame = {
+    val tables = Seq("lineitem", "orders", "customer", "events", "documents")
+    tables.map { t =>
+      typedTable(s, dir, t).typesTable
+        .withColumn("table_name", lit(t))
+        .select("table_name", "column_name", "logical_type", "semantic_tags")
+    }.reduce(_ unionAll _).orderBy("table_name", "column_name")
+  }
+
+  /** concat_columns = typed outer join on the shared index. */
+  def q10ConcatColumns(s: SparkSession, dir: String): DataFrame = {
+    val cust = table(s, dir, "customer")
+    val f1 = WoodworkFrame.init(cust.select("c_custkey", "c_name"), index = Some("c_custkey"))
+    val f2 = WoodworkFrame.init(cust.select("c_custkey", "c_acctbal", "c_mktsegment"),
+      index = Some("c_custkey"))
+    WoodworkFrame.concatColumns(Seq(f1, f2)).df.orderBy("c_custkey")
+  }
+
+  /** select-by-tag + rename with typing preserved. */
+  def q11SelectRename(s: SparkSession, dir: String): DataFrame = {
+    val f = typedTable(s, dir, "orders")
+    f.select(include = Seq("numeric"))
+      .rename(Map("o_orderkey" -> "order_id", "o_totalprice" -> "total_price"))
+      .df.orderBy("order_id")
+  }
+
+  /** Boolean logical-type coercion from yes/no strings. */
+  def q12BooleanTransform(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        when(col("l_returnflag") === "R", "yes").otherwise("no").as("returned_str"))
+    val f = WoodworkFrame.init(li)
+    require(f.schema("returned_str").logicalType.name == "Boolean",
+      s"expected Boolean, got ${f.schema("returned_str").logicalType.name}")
+    f.df.groupBy(col("returned_str").as("returned"))
+      .agg(count(lit(1)).as("cnt")).orderBy("returned")
+  }
+
+  /** Null-sentinel replacement during init. */
+  def q13SentinelReplace(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, "N/A").otherwise(col("source")).as("source_dirty"))
+    val f = WoodworkFrame.init(docs, logicalTypes =
+      Map("source_dirty" -> LogicalType.Categorical))
+    f.df.groupBy(col("source_dirty"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("source_dirty").asc_nulls_first)
+  }
+
+  /** Datetime string coercion round-trip. */
+  def q14DatetimeCoerce(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+      .select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"))
+    val f = WoodworkFrame.init(ev)
+    require(f.schema("ts_str").logicalType.name == "Datetime",
+      s"expected Datetime, got ${f.schema("ts_str").logicalType.name}")
+    f.df.groupBy(to_date(col("ts_str")).as("day"))
+      .agg(count(lit(1)).as("cnt")).orderBy("day")
+  }
+
+  /** Temporal frequency inference on events.ts (rows-only check). */
+  def q15FreqInference(s: SparkSession, dir: String): DataFrame = {
+    val f = typedTable(s, dir, "events")
+    val results = FrequencyInference.inferFrequencies(f)
+    import s.implicits._
+    results.map(r => (r.column, r.alias.getOrElse("none"),
+      round4(r.dominantShare), r.nObserved))
+      .toDF("column_name", "alias", "dominant_share", "n_observed")
+  }
+
+  /** Medcouple-based outlier dispatch (sampled; rows-only check). */
+  def q16MedcoupleOutliers(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem")
+    val b = Outliers.bestOutliers(li, "l_extendedprice")
+    import s.implicits._
+    Seq(("l_extendedprice", b.method, round4(b.low), round4(b.high),
+      b.numLow, b.numHigh))
+      .toDF("column_name", "method", "low", "high", "num_low", "num_high")
+  }
+
+  /** Pinned expected q09 inference output as literal oracle SQL; regenerated
+    * from a verified run whenever inference behavior changes.
+    */
+  val q09Literal: Option[String] = Some(
+    """SELECT * FROM (VALUES
+      |('customer','c_acctbal','Double','numeric'),
+      |('customer','c_custkey','Integer','numeric'),
+      |('customer','c_mktsegment','Categorical','category'),
+      |('customer','c_name','Unknown',''),
+      |('customer','c_nationkey','Integer','numeric'),
+      |('documents','doc_id','Integer','numeric'),
+      |('documents','lang','Categorical','category'),
+      |('documents','n_chars','Integer','numeric'),
+      |('documents','source','Categorical','category'),
+      |('documents','text','NaturalLanguage',''),
+      |('events','event_id','Integer','numeric'),
+      |('events','event_type','Categorical','category'),
+      |('events','props','Categorical','category'),
+      |('events','ts','Datetime',''),
+      |('events','user_id','Integer','numeric'),
+      |('events','value','Double','numeric'),
+      |('lineitem','l_discount','Double','numeric'),
+      |('lineitem','l_extendedprice','Double','numeric'),
+      |('lineitem','l_linenumber','Integer','numeric'),
+      |('lineitem','l_linestatus','Categorical','category'),
+      |('lineitem','l_orderkey','Integer','numeric'),
+      |('lineitem','l_partkey','Integer','numeric'),
+      |('lineitem','l_quantity','Double','numeric'),
+      |('lineitem','l_returnflag','Categorical','category'),
+      |('lineitem','l_shipdate','Datetime',''),
+      |('lineitem','l_suppkey','Integer','numeric'),
+      |('lineitem','l_tax','Double','numeric'),
+      |('orders','o_custkey','Integer','numeric'),
+      |('orders','o_orderdate','Datetime',''),
+      |('orders','o_orderkey','Integer','numeric'),
+      |('orders','o_orderpriority','Categorical','category'),
+      |('orders','o_orderstatus','Categorical','category'),
+      |('orders','o_totalprice','Double','numeric')) AS t(table_name, column_name, logical_type, semantic_tags) ORDER BY table_name, column_name""".stripMargin)
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_describe_lineitem" -> (q02DescribeLineitem _),
+    "q03_value_counts_orders" -> (q03ValueCountsOrders _),
+    "q04_histogram_price" -> (q04HistogramPrice _),
+    "q05_pearson_lineitem" -> (q05PearsonLineitem _),
+    "q06_spearman_lineitem" -> (q06SpearmanLineitem _),
+    "q07_mutual_info_orders" -> (q07MutualInfoOrders _),
+    "q08_boxplot_lineitem" -> (q08BoxplotLineitem _),
+    "q09_infer_types" -> (q09InferTypes _),
+    "q10_concat_columns" -> (q10ConcatColumns _),
+    "q11_select_rename" -> (q11SelectRename _),
+    "q12_boolean_transform" -> (q12BooleanTransform _),
+    "q13_sentinel_replace" -> (q13SentinelReplace _),
+    "q14_datetime_coerce" -> (q14DatetimeCoerce _),
+    "q15_freq_inference" -> (q15FreqInference _),
+    "q16_medcouple_outliers" -> (q16MedcoupleOutliers _)
+  )
+}

@@ -1,0 +1,310 @@
+package graft.frame
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.infer.TypeInference
+import graft.schema.{SchemaMetadata, WwColumnSchema, WwTableSchema}
+import graft.types.{LogicalType, TypeSystem}
+
+/** The engine's table abstraction: a Spark DataFrame plus woodwork-style
+  * typing information (reference: WoodworkTableAccessor,
+  * woodwork/table_accessor.py:39-42).
+  *
+  * Everything stays lazy/immutable: `init` returns a new frame whose plan
+  * includes the coercion projection — nothing is materialized until an action,
+  * and the typing info rides along in `StructField.metadata`, so any plain
+  * DataFrame transformation keeps it through Catalyst.
+  */
+final case class WoodworkFrame(df: DataFrame, schema: WwTableSchema) {
+
+  def spark = df.sparkSession
+  def columnNames: Seq[String] = schema.columns.keys.toSeq
+  def logicalTypes: ListMap[String, String] = schema.logicalTypes
+  def semanticTags: ListMap[String, Set[String]] = schema.semanticTags
+  def index: Option[String] = schema.index
+  def timeIndex: Option[String] = schema.timeIndex
+
+  /** Typed projection: `df.ww[cols]` (reference: table_accessor.py:296-315). */
+  def apply(cols: Seq[String]): WoodworkFrame = {
+    val missing = cols.filterNot(schema.contains)
+    require(missing.isEmpty, s"Columns not found: ${missing.mkString(",")}")
+    WoodworkFrame(df.select(cols.map(col): _*), schema.subset(cols))
+  }
+
+  /** Single typed column (reference: table_accessor.py:296-303). */
+  def column(name: String): (DataFrame, WwColumnSchema) =
+    (df.select(col(name)), schema(name))
+
+  /** Select columns by logical type, semantic tag, or name
+    * (reference: table_accessor.py:567-601).
+    */
+  def select(include: Seq[String] = Nil, exclude: Seq[String] = Nil): WoodworkFrame =
+    apply(schema.filterCols(include, exclude))
+
+  /** reference: table_accessor.py:832-857 */
+  def drop(cols: Seq[String]): WoodworkFrame = {
+    val missing = cols.filterNot(schema.contains)
+    require(missing.isEmpty, s"Columns not found: ${missing.mkString(",")}")
+    apply(columnNames.diff(cols))
+  }
+
+  /** Remove a column, returning it as a typed single-column frame
+    * (reference: table_accessor.py:809-830).
+    */
+  def pop(name: String): (WoodworkFrame, (DataFrame, WwColumnSchema)) =
+    (drop(Seq(name)), column(name))
+
+  /** reference: table_accessor.py:859-879 */
+  def rename(mapping: Map[String, String]): WoodworkFrame = {
+    val renamed = schema.rename(mapping)
+    WoodworkFrame(
+      SchemaMetadata.attach(df.withColumnsRenamed(mapping), renamed), renamed)
+  }
+
+  /** Add or replace a column: `df.ww[col] = series`
+    * (reference: table_accessor.py:317-342). Forbids replacing the index or
+    * time index, matching the reference's error.
+    */
+  def withColumn(name: String, c: Column,
+                 logicalType: Option[LogicalType] = None): WoodworkFrame = {
+    require(!index.contains(name) && !timeIndex.contains(name),
+      s"Cannot reassign index or time index column $name")
+    val base = df.withColumn(name, c)
+    val lt = logicalType.getOrElse(
+      TypeInference.inferTypes(base, Seq(name)).apply(name))
+    val cs = WwColumnSchema(lt)
+    val coerced = base.withColumn(name,
+      lt.transform(col(name), base.schema(name).dataType)
+        .as(name, SchemaMetadata.columnMetadata(cs)))
+    WoodworkFrame(coerced, schema.copy(columns = schema.columns.updated(name, cs)))
+  }
+
+  /** Re-type columns; the data is re-coerced through the new types' transforms
+    * (reference: table_accessor.py:525-565 `set_types`).
+    */
+  def setTypes(logicalTypes: Map[String, LogicalType] = Map.empty,
+               semanticTags: Map[String, Set[String]] = Map.empty,
+               retainIndexTags: Boolean = true): WoodworkFrame = {
+    val unknown = (logicalTypes.keySet ++ semanticTags.keySet).diff(schema.columns.keySet)
+    require(unknown.isEmpty, s"Columns not found: ${unknown.mkString(",")}")
+    val newCols = schema.columns.map { case (n, cs) =>
+      var c = cs
+      logicalTypes.get(n).foreach { lt =>
+        val kept = if (retainIndexTags) c.semanticTags.intersect(Set("index", "time_index"))
+                   else Set.empty[String]
+        c = c.copy(logicalType = lt, semanticTags = kept)
+      }
+      semanticTags.get(n).foreach(t => c = c.addTags(t))
+      n -> c
+    }
+    val newSchema = schema.copy(columns = newCols)
+    val projected = df.select(newCols.map { case (n, cs) =>
+      val from = df.schema(n).dataType
+      val base = if (logicalTypes.contains(n))
+        cs.logicalType.transform(col(n), from) else col(n)
+      base.as(n, SchemaMetadata.columnMetadata(cs))
+    }.toSeq: _*)
+    WoodworkFrame(projected, newSchema)
+  }
+
+  private def retag(f: WwColumnSchema => WwColumnSchema,
+                    cols: Seq[String]): WoodworkFrame = {
+    val unknown = cols.filterNot(schema.contains)
+    require(unknown.isEmpty, s"Columns not found: ${unknown.mkString(",")}")
+    val newCols = schema.columns.map { case (n, cs) =>
+      n -> (if (cols.contains(n)) f(cs) else cs)
+    }
+    val s = schema.copy(columns = newCols)
+    WoodworkFrame(SchemaMetadata.attach(df, s), s)
+  }
+
+  /** reference: table_accessor.py:603-621 */
+  def addSemanticTags(tags: Map[String, Set[String]]): WoodworkFrame =
+    tags.foldLeft(this) { case (acc, (n, t)) => acc.retag(_.addTags(t), Seq(n)) }
+
+  /** reference: table_accessor.py:623-643 */
+  def removeSemanticTags(tags: Map[String, Set[String]]): WoodworkFrame =
+    tags.foldLeft(this) { case (acc, (n, t)) => acc.retag(_.removeTags(t), Seq(n)) }
+
+  /** reference: table_schema.py:260-290 `reset_semantic_tags` */
+  def resetSemanticTags(cols: Seq[String] = Nil,
+                        retainIndexTags: Boolean = false): WoodworkFrame =
+    retag(_.resetTags(retainIndexTags),
+      if (cols.isEmpty) columnNames else cols)
+
+  /** Tag a column as the index (reference: table_accessor.py:495-509;
+    * uniqueness/null validation is a separate explicit action — see
+    * [[validateIndex]] — because it is a full scan at 100 TB).
+    */
+  def setIndex(name: String): WoodworkFrame = {
+    require(schema.contains(name), s"Column not found: $name")
+    retag(c => c.copy(semanticTags = c.semanticTags - "index"), columnNames)
+      .retag(_.addTags(Set("index")), Seq(name))
+  }
+
+  /** reference: table_accessor.py:511-523; time index must be datetime or
+    * numeric (reference: table_schema.py:671-682).
+    */
+  def setTimeIndex(name: String): WoodworkFrame = {
+    require(schema.contains(name), s"Column not found: $name")
+    val cs = schema(name)
+    require(cs.isDatetime || cs.isNumeric,
+      s"Time index column $name must be a Datetime or numeric column")
+    retag(c => c.copy(semanticTags = c.semanticTags - "time_index"), columnNames)
+      .retag(_.addTags(Set("time_index")), Seq(name))
+  }
+
+  /** Explicit index validation: unique and non-null
+    * (reference: table_accessor.py:1709-1721). One distributed agg.
+    */
+  def validateIndex(): Unit = index.foreach { idx =>
+    val r = df.agg(
+      count(lit(1)).as("n"),
+      count(col(idx)).as("nonNull"),
+      count_distinct(col(idx)).as("distinct")).head()
+    require(r.getLong(1) == r.getLong(0), s"Index column $idx contains null values")
+    require(r.getLong(2) == r.getLong(0), s"Index column $idx contains duplicate values")
+  }
+
+  /** Rows ordered by (time_index, index) — the reference sorts eagerly at init
+    * (reference: table_accessor.py:699-704); here it is an explicit op so a
+    * 100 TB init is not a global sort.
+    */
+  def sortedByTime: DataFrame = (timeIndex, index) match {
+    case (Some(t), Some(i)) => df.orderBy(col(t), col(i))
+    case (Some(t), None) => df.orderBy(col(t))
+    case _ => df
+  }
+
+  /** Per-column invalid-value counts under each column's logical type
+    * (reference: table_accessor.py:1639-1662 `validate_logical_types`).
+    * One wide agg job.
+    */
+  def validateLogicalTypes(): Map[String, Long] = {
+    val exprs = schema.columns.toSeq.map { case (n, cs) =>
+      coalesce(sum(when(cs.logicalType.invalidExpr(col(n)), 1L)), lit(0L)).as(n)
+    }
+    if (exprs.isEmpty) Map.empty
+    else {
+      val row = df.agg(exprs.head, exprs.tail: _*).head()
+      columnNames.zipWithIndex.map { case (n, i) => n -> row.getLong(i) }.toMap
+    }
+  }
+
+  /** Typing-info table like the reference's `df.ww.types` repr
+    * (reference: table_accessor.py:344-360).
+    */
+  def typesTable: DataFrame = {
+    import df.sparkSession.implicits._
+    schema.columns.toSeq.map { case (n, cs) =>
+      (n, df.schema(n).dataType.simpleString, cs.logicalType.name,
+        cs.allTags.toSeq.sorted.mkString(";"))
+    }.toDF("column_name", "physical_type", "logical_type", "semantic_tags")
+  }
+}
+
+object WoodworkFrame {
+
+  /** Initialize typing info on a DataFrame: validate params, merge
+    * explicit/partial types, infer the rest in one sample pass, and lazily
+    * coerce every column through its logical type's transform
+    * (reference: table_accessor.py:44-273 init flow, §3.1 of SURVEY).
+    */
+  def init(df: DataFrame,
+           name: Option[String] = None,
+           index: Option[String] = None,
+           timeIndex: Option[String] = None,
+           logicalTypes: Map[String, LogicalType] = Map.empty,
+           semanticTags: Map[String, Set[String]] = Map.empty,
+           useStandardTags: Boolean = true,
+           columnOrigins: Map[String, String] = Map.empty,
+           columnDescriptions: Map[String, String] = Map.empty,
+           tableMetadata: Map[String, String] = Map.empty,
+           typeSystem: TypeSystem = TypeSystem.global,
+           validate: Boolean = false): WoodworkFrame = {
+    val cols = df.columns.toSeq
+    require(cols.distinct.size == cols.size, "DataFrame contains duplicate column names")
+    val badRefs = (logicalTypes.keySet ++ semanticTags.keySet ++
+      index.toSet ++ timeIndex.toSet).diff(cols.toSet)
+    require(badRefs.isEmpty, s"Columns not found: ${badRefs.mkString(",")}")
+
+    // priority: explicit logical_types > existing metadata > inference
+    // (reference: table_accessor.py:47-51, 1800-1837)
+    val existing: Map[String, WwColumnSchema] =
+      SchemaMetadata.recover(df).map(_.columns.toMap).getOrElse(Map.empty)
+    val needInference = cols.filterNot(c =>
+      logicalTypes.contains(c) || existing.contains(c))
+    val inferred: Map[String, LogicalType] =
+      if (needInference.isEmpty) Map.empty
+      else TypeInference.inferTypes(df, needInference, typeSystem)
+
+    val columns = ListMap(cols.map { c =>
+      val lt = logicalTypes.getOrElse(c,
+        existing.get(c).map(_.logicalType).getOrElse(inferred(c)))
+      val sysTags =
+        (if (index.contains(c)) Set("index") else Set.empty[String]) ++
+        (if (timeIndex.contains(c)) Set("time_index") else Set.empty[String])
+      c -> WwColumnSchema(
+        logicalType = lt,
+        semanticTags = semanticTags.getOrElse(c,
+          existing.get(c).map(_.semanticTags).getOrElse(Set.empty)) ++ sysTags,
+        useStandardTags = useStandardTags,
+        description = columnDescriptions.get(c).orElse(existing.get(c).flatMap(_.description)),
+        origin = columnOrigins.get(c).orElse(existing.get(c).flatMap(_.origin)))
+    }: _*)
+    val schema = WwTableSchema(columns, name, tableMetadata)
+
+    timeIndex.foreach { t =>
+      val cs = columns(t)
+      require(cs.isDatetime || cs.isNumeric,
+        s"Time index column $t must be a Datetime or numeric column")
+    }
+
+    // single lazy coercion projection (no job until an action)
+    val projected = df.select(columns.map { case (n, cs) =>
+      cs.logicalType.transform(col(n), df.schema(n).dataType)
+        .as(n, SchemaMetadata.columnMetadata(cs))
+    }.toSeq: _*)
+    val frame = WoodworkFrame(projected, schema)
+    if (validate) frame.validateIndex()
+    frame
+  }
+
+  /** Recover a typed frame from a DataFrame whose StructField metadata already
+    * carries ww typing (e.g. read back from parquet) without re-inference
+    * (reference: deserializers/deserializer_base.py:26-145).
+    */
+  def fromMetadata(df: DataFrame, name: Option[String] = None): Option[WoodworkFrame] =
+    SchemaMetadata.recover(df).map(s => WoodworkFrame(df, s.copy(name = name)))
+
+  /** Column-wise concatenation: full outer equi-join on the index column
+    * (Spark re-expression of the reference's row-index alignment,
+    * reference: utils.py:422-541 `concat_columns`). Inputs must share ≤1
+    * index; duplicate non-index column names error, matching the reference.
+    */
+  def concatColumns(frames: Seq[WoodworkFrame]): WoodworkFrame = {
+    require(frames.size >= 2, "concatColumns requires at least two frames")
+    val indices = frames.flatMap(_.index).distinct
+    require(indices.size == 1,
+      "concatColumns requires exactly one shared index column across inputs")
+    val idx = indices.head
+    val nonIndexCols = frames.flatMap(_.columnNames.filterNot(_ == idx))
+    require(nonIndexCols.distinct.size == nonIndexCols.size,
+      "Duplicate column names across concatenated frames")
+    val joined = frames.map(_.df).reduce((a, b) => a.join(b, Seq(idx), "full_outer"))
+    val columns = ListMap((idx -> frames.head.schema(idx)) +:
+      frames.flatMap(f => f.schema.columns.toSeq.filterNot(_._1 == idx)): _*)
+    val metaKeys = frames.flatMap(_.schema.metadata.keys)
+    require(metaKeys.distinct.size == metaKeys.size,
+      "Conflicting table metadata keys in concatenated frames")
+    WoodworkFrame(
+      SchemaMetadata.attach(joined, WwTableSchema(columns)),
+      WwTableSchema(columns,
+        frames.flatMap(_.schema.name).headOption,
+        frames.map(_.schema.metadata).reduce(_ ++ _)))
+  }
+}

@@ -1,0 +1,380 @@
+package graft.stats
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.frame.WoodworkFrame
+
+/** Pairwise column dependence: Pearson, Spearman, adjusted mutual information,
+  * and their signed max (reference: `df.ww.dependence`,
+  * woodwork/table_accessor.py:881-1433; engine
+  * statistics_utils/_get_dependence_dict.py:31-264,
+  * _calculate_dependence_measure.py:11-95).
+  *
+  * Spark-first layout:
+  *   - ONE agg computes every pair's shared/union row counts AND every
+  *     Pearson coefficient (`corr` skips null pairs natively = the
+  *     reference's intersection semantics).
+  *   - Spearman uses global average-ranks (one window per column) when a
+  *     pair is null-free; only null-bearing pairs fall back to per-pair
+  *     rank jobs.
+  *   - MI bins numeric columns by exact quantiles (pd.qcut equivalent),
+  *     then per-pair contingency tables (bounded by the reference's
+  *     800/6000-nunique drop rule) come back to the driver where the
+  *     sklearn-parity AMI correction runs on k×k counts.
+  * Every score is scaled by shared/union rows
+  * (reference: _calculate_dependence_measure.py:85).
+  */
+object Dependence {
+
+  val AllMeasures = Seq("mutual_info", "pearson", "spearman", "max")
+
+  /** reference: statistics_utils/_parse_measures.py:7-76 */
+  def parseMeasures(measures: Seq[String]): (Seq[String], Seq[String], Boolean) = {
+    require(measures.nonEmpty, "No measures supplied")
+    val norm = if (measures.contains("all")) AllMeasures else measures
+    norm.foreach(m => require(AllMeasures.contains(m), s"Unknown measure $m"))
+    val calcMax = norm.contains("max")
+    val calc =
+      if (calcMax) Seq("mutual_info", "pearson", "spearman")
+      else norm.filterNot(_ == "max")
+    (norm, calc, calcMax)
+  }
+
+  final case class PairResult(
+      col1: String, col2: String,
+      sharedRows: Long, unionRows: Long,
+      var mutualInfo: Double = Double.NaN,
+      var pearson: Double = Double.NaN,
+      var spearman: Double = Double.NaN,
+      var max: Double = Double.NaN)
+
+  def dependence(frame: WoodworkFrame,
+                 measures: Seq[String] = Seq("mutual_info"),
+                 numBins: Int = 10,
+                 nrows: Option[Long] = None,
+                 minShared: Long = 25,
+                 maxNunique: Long = 6000,
+                 targetCol: Option[String] = None): DataFrame = {
+    val (returned, calcOrder, calcMax) = parseMeasures(measures)
+    val schema = frame.schema
+
+    // columns valid per measure (reference: utils.py:330-398; booleans are
+    // treated as IntegerNullable, reference: _get_dependence_dict.py:109-112)
+    def validFor(measure: String)(n: String): Boolean = {
+      val c = schema(n)
+      if (c.isIndex || c.isTimeIndex) false
+      else measure match {
+        case "pearson" => c.isNumeric || c.isDatetime || c.isBoolean
+        case "spearman" => c.isNumeric || c.isDatetime || c.isBoolean ||
+          c.logicalType.name == "Ordinal"
+        case "mutual_info" => c.isNumeric || c.isCategorical || c.isDatetime ||
+          c.isBoolean
+      }
+    }
+    val miCols = schema.columns.keys.toSeq.filter(validFor("mutual_info"))
+    val allCols = miCols
+    require(allCols.size >= 2 || targetCol.nonEmpty,
+      "Not enough valid columns to measure dependence")
+
+    // numeric working view: bool→int, datetime→epoch, ordinal→rank
+    val df0 = nrows match {
+      case Some(n) => frame.df.limit(n.toInt)
+      case None => frame.df
+    }
+    val prepCols: Seq[Column] = allCols.map { n =>
+      val c = schema(n)
+      val raw = col(n)
+      val v: Column =
+        if (c.isBoolean) raw.cast(IntegerType).cast(DoubleType)
+        else if (c.isDatetime) unix_micros(raw.cast(TimestampType)).cast(DoubleType)
+        else if (c.logicalType.name == "Ordinal")
+          c.logicalType.asInstanceOf[graft.types.LogicalType.Ordinal] match {
+            case o if o.order.nonEmpty => o.rank(raw).cast(DoubleType)
+            case _ => raw.cast(StringType).cast(DoubleType)
+          }
+        else if (c.isNumeric) raw.cast(DoubleType)
+        else raw.cast(StringType) // categorical: label for MI only
+      v.as(n)
+    }
+    val prep = df0.select(prepCols: _*).cache()
+
+    try {
+      val numericSet = allCols.filter { n =>
+        val c = schema(n)
+        c.isNumeric || c.isDatetime || c.isBoolean ||
+          (c.logicalType.name == "Ordinal")
+      }.toSet
+
+      // ---- pass 1: per-column nonnull/nunique + per-pair shared + pearson
+      val pairs: Seq[(String, String)] = targetCol match {
+        case Some(t) => allCols.filterNot(_ == t).map(_ -> t)
+        case None => allCols.combinations(2).map(s => (s(0), s(1))).toSeq
+      }
+      val colAggs: Seq[Column] = allCols.flatMap { n =>
+        Seq(count(col(n)).as(s"cnt__$n"), count_distinct(col(n)).as(s"nun__$n"))
+      }
+      val pearsonCols = allCols.filter(validFor("pearson")).toSet
+      val pairAggs: Seq[Column] = pairs.flatMap { case (a, b) =>
+        val shared = coalesce(
+          sum(when(col(a).isNotNull && col(b).isNotNull, 1L)), lit(0L))
+          .as(s"sh__${a}__$b")
+        val pe =
+          if (calcOrder.contains("pearson") && pearsonCols(a) && pearsonCols(b))
+            Seq(corr(col(a), col(b)).as(s"pe__${a}__$b"))
+          else Nil
+        shared +: pe
+      }
+      val aggs = colAggs ++ pairAggs ++ Seq(count(lit(1)).as("total__"))
+      val r1 = prep.agg(aggs.head, aggs.tail: _*).head()
+      def g(nm: String): Long = r1.getLong(r1.fieldIndex(nm))
+      def gd(nm: String): Double = {
+        val i = r1.fieldIndex(nm)
+        if (r1.isNullAt(i)) Double.NaN else r1.getDouble(i)
+      }
+      val total = g("total__")
+      val nonNull = allCols.map(n => n -> g(s"cnt__$n")).toMap
+      val nunique = allCols.map(n => n -> g(s"nun__$n")).toMap
+
+      // large-categorical drop (reference: _get_dependence_dict.py:276-299)
+      val largeCats = allCols.filter(n =>
+        !numericSet(n) && nunique(n) > 800).sortBy(n => -nunique(n))
+      var catSum = allCols.filter(n => !numericSet(n)).map(nunique).sum
+      var dropped = Set.empty[String]
+      for (n <- largeCats if catSum > maxNunique && (largeCats.size - dropped.size) > 1) {
+        dropped += n; catSum -= nunique(n)
+      }
+
+      val results: Seq[PairResult] = pairs
+        .filterNot { case (a, b) => dropped(a) || dropped(b) }
+        .map { case (a, b) =>
+          val shared = g(s"sh__${a}__$b")
+          val union = nonNull(a) + nonNull(b) - shared
+          val pr = PairResult(a, b, shared, union)
+          if (calcOrder.contains("pearson") && pearsonCols(a) && pearsonCols(b) &&
+              shared >= minShared && union > 0)
+            pr.pearson = gd(s"pe__${a}__$b") * shared / union
+          pr
+        }
+
+      // ---- spearman
+      if (calcOrder.contains("spearman")) {
+        val spCols = allCols.filter(validFor("spearman")).filterNot(dropped)
+        // global average-ranks valid for null-free pairs
+        val ranked = spCols.foldLeft(prep) { (d, n) =>
+          val wRank = Window.orderBy(col(n))
+          val cntSame = Window.partitionBy(col(n))
+          d.withColumn(s"rk__$n",
+            when(col(n).isNotNull,
+              rank().over(wRank) + (count(lit(1)).over(cntSame) - 1) / 2.0))
+        }
+        val spPairs = results.filter(r =>
+          spCols.contains(r.col1) && spCols.contains(r.col2) &&
+            r.sharedRows >= minShared)
+        val (nullFree, withNulls) = spPairs.partition(r =>
+          nonNull(r.col1) == total && nonNull(r.col2) == total)
+        if (nullFree.nonEmpty) {
+          val exprs = nullFree.map(r =>
+            corr(col(s"rk__${r.col1}"), col(s"rk__${r.col2}"))
+              .as(s"sp__${r.col1}__${r.col2}"))
+          val row = ranked.agg(exprs.head, exprs.tail: _*).head()
+          nullFree.foreach { r =>
+            val i = row.fieldIndex(s"sp__${r.col1}__${r.col2}")
+            val v = if (row.isNullAt(i)) Double.NaN else row.getDouble(i)
+            r.spearman = v * r.sharedRows / r.unionRows
+          }
+        }
+        withNulls.foreach { r =>
+          val sub = prep.select(col(r.col1), col(r.col2))
+            .where(col(r.col1).isNotNull && col(r.col2).isNotNull)
+          val rr = sub
+            .withColumn("ra", rank().over(Window.orderBy(col(r.col1))) +
+              (count(lit(1)).over(Window.partitionBy(col(r.col1))) - 1) / 2.0)
+            .withColumn("rb", rank().over(Window.orderBy(col(r.col2))) +
+              (count(lit(1)).over(Window.partitionBy(col(r.col2))) - 1) / 2.0)
+            .agg(corr(col("ra"), col("rb"))).head()
+          val v = if (rr.isNullAt(0)) Double.NaN else rr.getDouble(0)
+          r.spearman = v * r.sharedRows / r.unionRows
+        }
+      }
+
+      // ---- mutual info (AMI)
+      if (calcOrder.contains("mutual_info")) {
+        val keep = allCols.filterNot(dropped)
+        // quantile-bin numeric cols with >2 distinct values
+        // (reference: _bin_numeric_cols_into_categories.py:4-27)
+        val toBin = keep.filter(n => numericSet(n) && nunique(n) > 2)
+        val boundaries: Map[String, Array[Double]] =
+          if (toBin.isEmpty) Map.empty
+          else {
+            val qs = (1 until numBins).map(_.toDouble / numBins).toArray
+            val exprs = toBin.map(n => percentile(col(n), lit(qs)).as(n))
+            val row = prep.agg(exprs.head, exprs.tail: _*).head()
+            toBin.zipWithIndex.map { case (n, i) =>
+              val bs = if (row.isNullAt(i)) Array.empty[Double]
+                else row.getSeq[Double](i).distinct.sorted.toArray
+              n -> bs
+            }.toMap
+          }
+        val binned = keep.foldLeft(prep) { (d, n) =>
+          boundaries.get(n) match {
+            case Some(bs) if bs.nonEmpty =>
+              val c = col(n)
+              val code = bs.zipWithIndex.foldLeft(lit(0)) { case (acc, (b, i)) =>
+                when(c > b, lit(i + 1)).otherwise(acc)
+              }
+              d.withColumn(s"bin__$n", when(c.isNotNull, code.cast(StringType)))
+            case _ =>
+              d.withColumn(s"bin__$n", col(n).cast(StringType))
+          }
+        }
+        results.filter(r => !dropped(r.col1) && !dropped(r.col2) &&
+          r.sharedRows >= minShared).foreach { r =>
+          val ct = binned
+            .where(col(s"bin__${r.col1}").isNotNull && col(s"bin__${r.col2}").isNotNull)
+            .groupBy(s"bin__${r.col1}", s"bin__${r.col2}")
+            .agg(count(lit(1)).as("n"))
+            .collect()
+            .map(row => (row.getString(0), row.getString(1), row.getLong(2)))
+          r.mutualInfo = Ami.adjustedMutualInfo(ct) * r.sharedRows / r.unionRows
+        }
+      }
+
+      // ---- max (reference: _calculate_max_dependence_for_pair.py:5-50)
+      if (calcMax) results.foreach { r =>
+        val candidates = Seq(
+          "mutual_info" -> r.mutualInfo,
+          "pearson" -> math.abs(r.pearson),
+          "spearman" -> math.abs(r.spearman)).filterNot(_._2.isNaN)
+        if (candidates.nonEmpty) {
+          val best = candidates.maxBy(_._2)._1
+          r.max = best match {
+            case "mutual_info" => r.mutualInfo
+            case "pearson" => r.pearson
+            case "spearman" => r.spearman
+          }
+        }
+      }
+
+      // ---- assemble, sort desc by first returned measure (NaN last)
+      val firstMeasure = returned.head
+      def measureOf(r: PairResult, m: String): Double = m match {
+        case "mutual_info" => r.mutualInfo
+        case "pearson" => r.pearson
+        case "spearman" => r.spearman
+        case "max" => r.max
+      }
+      val sorted = results.sortBy { r =>
+        val v = measureOf(r, firstMeasure)
+        (v.isNaN, -v)
+      }
+      val spark = frame.df.sparkSession
+      val fields = StructField("column_1", StringType, false) ::
+        StructField("column_2", StringType, false) ::
+        returned.map(m => StructField(m, DoubleType)).toList
+      val rows = sorted.map { r =>
+        Row.fromSeq(r.col1 +: r.col2 +: returned.map { m =>
+          val v = measureOf(r, m)
+          if (v.isNaN) null else v
+        })
+      }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), StructType(fields))
+    } finally prep.unpersist()
+  }
+}
+
+/** Adjusted mutual information with sklearn parity: MI and entropies from the
+  * contingency table, expected MI via the exact hypergeometric formula, and
+  * the "arithmetic" average-method normalization (the sklearn default the
+  * reference calls, reference: _calculate_dependence_measure.py:79-83).
+  * All driver-side on a bounded k×k table.
+  */
+object Ami {
+
+  /** Lanczos log-gamma (g=7, n=9 coefficients; standard public constants). */
+  private[stats] def lgamma(x: Double): Double = {
+    if (x < 0.5)
+      math.log(math.Pi / math.sin(math.Pi * x)) - lgamma(1.0 - x)
+    else {
+      val g = 7.0
+      val c = Array(
+        0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+        771.32342877765313, -176.61502916214059, 12.507343278686905,
+        -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7)
+      val xx = x - 1.0
+      var a = c(0)
+      val t = xx + g + 0.5
+      var i = 1
+      while (i < 9) { a += c(i) / (xx + i); i += 1 }
+      0.5 * math.log(2 * math.Pi) + (xx + 0.5) * math.log(t) - t + math.log(a)
+    }
+  }
+
+  def adjustedMutualInfo(cells: Seq[(String, String, Long)]): Double = {
+    if (cells.isEmpty) return Double.NaN
+    val aKeys = cells.map(_._1).distinct
+    val bKeys = cells.map(_._2).distinct
+    val aSum = cells.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    val bSum = cells.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum }
+    val n = cells.map(_._3).sum.toDouble
+    if (n == 0) return Double.NaN
+    // single-cluster degenerate cases → 1.0 (sklearn convention)
+    if (aKeys.size == 1 && bKeys.size == 1) return 1.0
+
+    val mi = cells.map { case (a, b, nij) =>
+      val p = nij / n
+      p * (math.log(nij * n) - math.log(aSum(a).toDouble * bSum(b)))
+    }.sum
+
+    def entropy(sums: Iterable[Long]): Double =
+      -sums.filter(_ > 0).map { s => val p = s / n; p * math.log(p) }.sum
+    val hU = entropy(aSum.values)
+    val hV = entropy(bSum.values)
+    if (hU == 0.0 || hV == 0.0) return 1.0
+
+    val emi = expectedMutualInfo(aSum.values.toArray, bSum.values.toArray, n.toLong)
+    val meanH = (hU + hV) / 2.0
+    var denom = meanH - emi
+    val eps = 2.220446049250313e-16
+    denom = if (denom < 0) math.min(denom, -eps) else math.max(denom, eps)
+    (mi - emi) / denom
+  }
+
+  /** Expected MI under the permutation model (Vinh, Epps, Bailey 2010 —
+    * the formula sklearn implements in `expected_mutual_information`).
+    */
+  def expectedMutualInfo(a: Array[Long], b: Array[Long], nL: Long): Double = {
+    val n = nL.toDouble
+    val logN = math.log(n)
+    var emi = 0.0
+    var i = 0
+    while (i < a.length) {
+      val ai = a(i).toDouble
+      var j = 0
+      while (j < b.length) {
+        val bj = b(j).toDouble
+        val start = math.max(1L, a(i) + b(j) - nL)
+        val end = math.min(a(i), b(j))
+        var nij = start
+        while (nij <= end) {
+          val nd = nij.toDouble
+          val logTerm = logN + math.log(nd) - math.log(ai) - math.log(bj)
+          val logHyper =
+            lgamma(ai + 1) + lgamma(bj + 1) +
+              lgamma(n - ai + 1) + lgamma(n - bj + 1) -
+              lgamma(n + 1) - lgamma(nd + 1) -
+              lgamma(ai - nd + 1) - lgamma(bj - nd + 1) -
+              lgamma(n - ai - bj + nd + 1)
+          emi += (nd / n) * logTerm * math.exp(logHyper)
+          nij += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    emi
+  }
+}
