@@ -122,6 +122,62 @@ object Oracles {
     """SELECT CAST(ts AS DATE) AS day, count(*) AS cnt
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  val q20: String =
+    """SELECT md5(substr(text, 1, 100)) AS key_hash, count(*) AS cnt,
+      | min(doc_id) AS keeper
+      |FROM documents GROUP BY substr(text, 1, 100) HAVING count(*) > 1
+      |ORDER BY key_hash""".stripMargin
+
+  val q21: String =
+    graft.ops.Dedup.Sql.jaccardPairs("documents", "doc_id", "text", 3, 0.2,
+      "doc_id < 100")
+
+  val q22: String =
+    graft.ops.Dedup.Sql.jaccardPairs("documents", "doc_id", "text", 3, 0.6)
+
+  val q24: String = {
+    val expr = graft.ops.TextAnalysis.Sql.langId("text")
+    s"""SELECT $expr AS lang_pred, count(*) AS cnt
+       |FROM documents GROUP BY 1 ORDER BY lang_pred""".stripMargin
+  }
+
+  val q25: String = {
+    val S = graft.ops.TextAnalysis.Sql
+    s"""SELECT doc_id, ${S.tokenCount("text")} AS token_count,
+       | ${S.charCount("text")} AS char_count,
+       | ${S.punctCount("text")} AS punct_count,
+       | ${S.stopwordHits("text")} AS stopword_hits,
+       | ${S.qualityScore("text")} AS quality_score
+       |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin
+  }
+
+  val q26: String =
+    s"""SELECT doc_id, ${graft.ops.TextAnalysis.Sql.fingerprint("text")} AS fingerprint
+       |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin
+
+  val q27: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |           FROM embeddings)
+      |SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+      |  round(list_dot_product(q.v, c.v) /
+      |        (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 4) AS cosine
+      |FROM e q JOIN e c ON q.vec_id <> c.vec_id
+      |WHERE q.vec_id < 10
+      |  AND round(list_dot_product(q.v, c.v) /
+      |        (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 4) >= 0.3
+      |ORDER BY query_id, candidate_id""".stripMargin
+
+  val q28: String =
+    """SELECT label AS grp, round(sqrt(sum(m*m)), 4) AS centroid_norm
+      |FROM (
+      |  SELECT label, u.i AS i, avg(CAST(u.v AS DOUBLE)) AS m
+      |  FROM (SELECT label,
+      |          unnest(list_transform(range(1, len(embedding)+1),
+      |                 i -> struct_pack(i := i, v := embedding[i]))) AS u
+      |        FROM embeddings)
+      |  GROUP BY label, u.i)
+      |GROUP BY label ORDER BY grp""".stripMargin
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q01_pricing_summary" -> q01,
@@ -135,7 +191,15 @@ object Oracles {
       "q11_select_rename" -> q11,
       "q12_boolean_transform" -> q12,
       "q13_sentinel_replace" -> q13,
-      "q14_datetime_coerce" -> q14)
+      "q14_datetime_coerce" -> q14,
+      "q20_dedup_exact" -> q20,
+      "q21_ngram_jaccard" -> q21,
+      "q22_minhash_lsh" -> q22,
+      "q24_lang_id" -> q24,
+      "q25_text_quality" -> q25,
+      "q26_fingerprint" -> q26,
+      "q27_ann_cosine" -> q27,
+      "q28_embedding_centroids" -> q28)
     base ++ q09Literal.map("q09_infer_types" -> _)
   }
 }

@@ -215,6 +215,98 @@ object Queries {
       .toDF("column_name", "method", "low", "high", "num_low", "num_high")
   }
 
+  // ------------------------------------------------- LLM-pipeline operators
+
+  /** Exact dedup by hash-groupBy on a normalized key. */
+  def q20DedupExact(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    ops.Dedup.exactDuplicates(docs, substring(col("text"), 1, 100), col("doc_id"))
+      .orderBy("key_hash")
+  }
+
+  /** Exhaustive word-3-gram Jaccard near-dup pairs on a bounded subset. */
+  def q21NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents").where(col("doc_id") < 100)
+    ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.2)
+      .orderBy("id_1", "id_2")
+  }
+
+  /** MinHash-LSH near-dup pairs (banded buckets + exact verification);
+    * oracle is the exhaustive ground truth.
+    */
+  def q22MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    ops.Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.6)
+      .orderBy("id_1", "id_2")
+  }
+
+  /** SimHash near-dup candidates (rows-only: hash not cross-engine). */
+  def q23SimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    ops.Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+      .orderBy("id_1", "id_2")
+  }
+
+  /** Language-ID heuristic distribution. */
+  def q24LangId(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .groupBy(ops.TextAnalysis.langId(col("text")).as("lang_pred"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("lang_pred")
+
+  /** Per-document text statistics + quality score. */
+  def q25TextQuality(s: SparkSession, dir: String): DataFrame = {
+    val c = col("text")
+    table(s, dir, "documents").where(col("doc_id") < 50)
+      .select(col("doc_id"),
+        ops.TextAnalysis.tokenCount(c).as("token_count"),
+        ops.TextAnalysis.charCount(c).as("char_count"),
+        ops.TextAnalysis.punctCount(c).as("punct_count"),
+        ops.TextAnalysis.stopwordHits(c).as("stopword_hits"),
+        ops.TextAnalysis.qualityScore(c).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprints (md5 of normalized text). */
+  def q26Fingerprint(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents").where(col("doc_id") < 20)
+      .select(col("doc_id"),
+        ops.TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** Brute-force cosine similarity search: first 10 queries vs all vectors. */
+  def q27AnnCosine(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    ops.Similarity.thresholdSearch(
+      emb.where(col("vec_id") < 10), emb, "vec_id", "embedding", threshold = 0.3)
+      .orderBy("query_id", "candidate_id")
+  }
+
+  /** Per-label embedding centroid norms (vector aggregation shape). */
+  def q28EmbeddingCentroids(s: SparkSession, dir: String): DataFrame =
+    ops.Similarity.centroidNorms(table(s, dir, "embeddings"), "label", "embedding")
+      .orderBy("grp")
+
+  /** LSH-bucketed ANN pairs (scale path; rows-only check). */
+  def q29LshAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    ops.Similarity.lshSearch(emb, "vec_id", "embedding", dim = 64,
+      numPlanes = 8, threshold = 0.3)
+      .orderBy("query_id", "candidate_id")
+  }
+
+  /** Multimodal plumbing: payload bytes + md5 + stub feature head
+    * (rows-only: exercises binary columns and partition-batched decode).
+    */
+  def q30Multimodal(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents").where(col("doc_id") < 20)
+    val withP = ops.Multimodal.withPayload(docs, "text", "text", "text/plain")
+    val featured = ops.Multimodal.featurize(ops.Multimodal.payloadStats(withP))
+    featured.select(col("doc_id"), col("payload_bytes"), col("payload_md5"),
+      round(element_at(col("features"), 1), 6).as("f0"))
+      .orderBy("doc_id")
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -270,6 +362,17 @@ object Queries {
     "q13_sentinel_replace" -> (q13SentinelReplace _),
     "q14_datetime_coerce" -> (q14DatetimeCoerce _),
     "q15_freq_inference" -> (q15FreqInference _),
-    "q16_medcouple_outliers" -> (q16MedcoupleOutliers _)
+    "q16_medcouple_outliers" -> (q16MedcoupleOutliers _),
+    "q20_dedup_exact" -> (q20DedupExact _),
+    "q21_ngram_jaccard" -> (q21NgramJaccard _),
+    "q22_minhash_lsh" -> (q22MinhashLsh _),
+    "q23_simhash_pairs" -> (q23SimhashPairs _),
+    "q24_lang_id" -> (q24LangId _),
+    "q25_text_quality" -> (q25TextQuality _),
+    "q26_fingerprint" -> (q26Fingerprint _),
+    "q27_ann_cosine" -> (q27AnnCosine _),
+    "q28_embedding_centroids" -> (q28EmbeddingCentroids _),
+    "q29_lsh_ann" -> (q29LshAnn _),
+    "q30_multimodal" -> (q30Multimodal _)
   )
 }

@@ -225,7 +225,8 @@ object WoodworkFrame {
            columnDescriptions: Map[String, String] = Map.empty,
            tableMetadata: Map[String, String] = Map.empty,
            typeSystem: TypeSystem = TypeSystem.global,
-           validate: Boolean = false): WoodworkFrame = {
+           validate: Boolean = false,
+           coerce: Boolean = true): WoodworkFrame = {
     val cols = df.columns.toSeq
     require(cols.distinct.size == cols.size, "DataFrame contains duplicate column names")
     val badRefs = (logicalTypes.keySet ++ semanticTags.keySet ++
@@ -264,9 +265,11 @@ object WoodworkFrame {
         s"Time index column $t must be a Datetime or numeric column")
     }
 
-    // single lazy coercion projection (no job until an action)
+    // single lazy coercion projection (no job until an action); coerce=false
+    // is the trusted-input fast path (reference: validate=False semantics)
     val projected = df.select(columns.map { case (n, cs) =>
-      cs.logicalType.transform(col(n), df.schema(n).dataType)
+      (if (coerce) cs.logicalType.transform(col(n), df.schema(n).dataType)
+       else col(n))
         .as(n, SchemaMetadata.columnMetadata(cs))
     }.toSeq: _*)
     val frame = WoodworkFrame(projected, schema)

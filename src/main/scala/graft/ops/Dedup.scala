@@ -1,0 +1,168 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for training-data pipelines, each designed as
+  * shuffle-conscious distributed plans:
+  *
+  *   - exact: one hash-groupBy (single shuffle on the key).
+  *   - n-gram Jaccard: shingle arrays + array_intersect/union — exhaustive
+  *     only over bounded subsets; the scale path is MinHash-LSH below.
+  *   - MinHash-LSH: shingle→64 minhashes→banded buckets; candidate pairs
+  *     only ever materialize within a bucket (shuffle is by band hash, never
+  *     all-pairs), then exact-Jaccard verification filters false positives.
+  *   - SimHash: 64-bit signature via per-bit token-hash voting; near-dup
+  *     candidates by 16-bit chunk banding (Hamming ≤ 3 ⇒ some chunk equal),
+  *     verified with bit_count(xor).
+  */
+object Dedup {
+
+  /** Exact duplicate groups on a key expression: (key_hash, cnt, keeper).
+    * One shuffle; at 100 TB this is the canonical hash-dedup.
+    */
+  def exactDuplicates(df: DataFrame, key: Column, idCol: Column): DataFrame =
+    df.groupBy(md5(key.cast(StringType)).as("key_hash"))
+      .agg(count(lit(1)).as("cnt"), min(idCol).as("keeper"))
+      .where(col("cnt") > 1)
+
+  /** Distinct word n-gram shingles of a text column. */
+  def shingles(c: Column, n: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(c)
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array(concat_ws(" ", toks)))
+    array_distinct(grams)
+  }
+
+  /** Exact pairwise n-gram Jaccard over a (bounded) document set: for every
+    * pair id1 < id2 with similarity ≥ threshold. Exhaustive cross join —
+    * use only on bounded subsets; LSH is the scale path.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.2): DataFrame = {
+    val withSh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    val a = withSh.as("a"); val b = withSh.as("b")
+    val inter = size(array_intersect(col("a.sh"), col("b.sh"))).cast(DoubleType)
+    val union = (size(col("a.sh")) + size(col("b.sh"))).cast(DoubleType) -
+      size(array_intersect(col("a.sh"), col("b.sh"))).cast(DoubleType)
+    a.join(b, col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_1"), col("b.id").as("id_2"),
+        round(inter / union, 4).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signatures: `numHashes` permutations simulated as seeded
+    * xxhash64 minima over the shingle set. One explode + one groupBy(doc):
+    * the shuffle carries (doc, shingle) pairs once, and the 64 min
+    * aggregates are plain codegen'd mins.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, numHashes: Int = 64): DataFrame = {
+    val exploded = df
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+    val minAggs = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+    exploded.groupBy("id").agg(minAggs.head, minAggs.tail: _*)
+  }
+
+  /** LSH candidate pairs from banded minhash signatures, verified with exact
+    * Jaccard ≥ threshold. bands×rowsPerBand must equal the signature width;
+    * more bands → higher recall at lower thresholds. With 32 bands of 2 the
+    * miss probability at j=0.6 is (1-0.36)^32 ≈ 6e-7.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, numHashes: Int = 64, bands: Int = 32,
+                      threshold: Double = 0.6): DataFrame = {
+    val rowsPer = numHashes / bands
+    val sigs = minhashSignatures(df, idCol, textCol, n, numHashes)
+    val bandCols = (0 until bands).map { b =>
+      val cols = (0 until rowsPer).map(r => col(s"h${b * rowsPer + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("sig"))
+    }
+    val buckets = sigs.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_1"), col("y.id").as("id_2"))
+      .distinct()
+    // exact verification on the candidate set only
+    val withSh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    val inter = size(array_intersect(col("a.sh"), col("b.sh"))).cast(DoubleType)
+    val union = (size(col("a.sh")) + size(col("b.sh"))).cast(DoubleType) -
+      size(array_intersect(col("a.sh"), col("b.sh"))).cast(DoubleType)
+    cand
+      .join(withSh.as("a"), col("id_1") === col("a.id"))
+      .join(withSh.as("b"), col("id_2") === col("b.id"))
+      .select(col("id_1"), col("id_2"), round(inter / union, 4).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash per document: per-bit vote of token hashes. The explode
+    * shuffles (doc, token) once; 64 sum aggregates assemble driver-free into
+    * a single long via bitwise expression fold.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = df.select(col(idCol).as("id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"b$i"))
+    val summed = exploded.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map(i =>
+      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
+      .reduce(_.bitwiseOR(_))
+    summed.select(col("id"), sig.as("simhash"))
+  }
+
+  /** Near-duplicate pairs by SimHash Hamming distance ≤ maxDist, using
+    * 16-bit chunk banding (pigeonhole: distance ≤ 3 ⇒ at least one of 4
+    * chunks identical) so candidates stay bucket-local.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 3): DataFrame = {
+    val sigs = simhash(df, idCol, textCol)
+    val chunks = sigs.select(col("id"), col("simhash"),
+      explode(array((0 until 4).map(j =>
+        struct(lit(j).as("chunk"),
+          shiftright(col("simhash"), j * 16).bitwiseAND(0xFFFFL).as("v"))): _*))
+        .as("c"))
+      .select(col("id"), col("simhash"), col("c.chunk").as("chunk"), col("c.v").as("v"))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.v") === col("y.v") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_1"), col("y.id").as("id_2"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxDist)
+  }
+
+  // ------------------------------------------------------------ oracle SQL
+  object Sql {
+    /** Exhaustive n-gram Jaccard pairs in DuckDB (ground truth for both the
+      * exhaustive and the LSH variants).
+      */
+    def jaccardPairs(table: String, idCol: String, textCol: String,
+                     n: Int, threshold: Double, filter: String = "true"): String = {
+      val toks = s"regexp_extract_all(lower($textCol), '\\S+')"
+      s"""WITH t AS (
+         | SELECT $idCol AS id,
+         |   list_distinct(CASE WHEN len($toks) >= $n
+         |     THEN list_transform(range(1, len($toks) - ${n - 2}),
+         |            i -> ${(0 until n).map(j => s"$toks[i+$j]").mkString(" || ' ' || ")})
+         |     ELSE [array_to_string($toks, ' ')] END) AS sh
+         | FROM $table WHERE $filter)
+         |SELECT a.id AS id_1, b.id AS id_2,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        (CAST(len(a.sh) + len(b.sh) AS DOUBLE) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)), 4) AS jaccard
+         |FROM t a JOIN t b ON a.id < b.id
+         |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        (CAST(len(a.sh) + len(b.sh) AS DOUBLE) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)), 4) >= $threshold
+         |ORDER BY id_1, id_2""".stripMargin
+    }
+  }
+}

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`): brute-force cosine as the exact baseline, and a
+  * random-hyperplane LSH bucketed variant as the scale path (candidates only
+  * materialize within a bucket; the shuffle key is the bucket signature, so
+  * no all-pairs join ever exists in the plan).
+  */
+object Similarity {
+
+  /** Elementwise double view of a float vector. */
+  def asDouble(c: Column): Column = transform(c, x => x.cast(DoubleType))
+
+  /** Sequential-fold dot product — aggregate() folds in index order, so the
+    * result is bit-deterministic (and reproducible in engines whose list
+    * dot product also folds sequentially).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** All candidate pairs with rounded cosine ≥ threshold for each query
+    * vector. Exact (cross join) — bounded query sets only; the broadcast of
+    * the small query side keeps the big side shuffle-free.
+    */
+  def thresholdSearch(queries: DataFrame, candidates: DataFrame,
+                      idCol: String, vecCol: String,
+                      threshold: Double): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv")))
+    val c = candidates.select(col(idCol).as("candidate_id"),
+      asDouble(col(vecCol)).as("cv"))
+    q.join(c, col("query_id") =!= col("candidate_id"))
+      .select(col("query_id"), col("candidate_id"),
+        round(cosine(col("qv"), col("cv")), 4).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
+  /** Exact top-k neighbors per query by brute force (broadcast queries,
+    * per-query window rank).
+    */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val scored = thresholdSearch(queries, candidates, idCol, vecCol, -1.0)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("candidate_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Deterministic random hyperplanes (seeded driver-side RNG, broadcast as
+    * literals).
+    */
+  private def hyperplanes(dim: Int, numPlanes: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit LSH bucket signature for each vector: numPlanes sign bits
+    * packed into a long. Vectors in the same bucket are ANN candidates.
+    */
+  def lshSignature(vec: Column, dim: Int, numPlanes: Int = 12,
+                   seed: Long = 42L): Column = {
+    val planes = hyperplanes(dim, numPlanes, seed)
+    val v = asDouble(vec)
+    (0 until numPlanes).map { p =>
+      when(dot(v, lit(planes(p))) >= 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** LSH-bucketed ANN: candidates restricted to same-bucket vectors (probing
+    * multiple signatures at smaller plane counts raises recall). Returns
+    * (query_id, candidate_id, cosine) for same-bucket pairs with cosine ≥
+    * threshold. At scale this is a bucket-key equi-join — shuffle on the
+    * bucket signature, never an all-pairs product.
+    */
+  def lshSearch(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                numPlanes: Int = 12, threshold: Double = 0.3,
+                seed: Long = 42L): DataFrame = {
+    val sig = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
+      lshSignature(col(vecCol), dim, numPlanes, seed).as("bucket"))
+    sig.as("a").join(sig.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("query_id"), col("b.id").as("candidate_id"),
+        round(cosine(col("a.v"), col("b.v")), 4).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
+  /** Per-group centroid L2 norms — the "vector aggregate" shape (posexplode →
+    * per-dimension mean → renorm). One shuffle on (group, dim).
+    */
+  def centroidNorms(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol).as("grp"), posexplode(asDouble(col(vecCol))))
+      .groupBy("grp", "pos").agg(avg("col").as("m"))
+      .groupBy("grp").agg(round(sqrt(sum(col("m") * col("m"))), 4).as("centroid_norm"))
+
+  /** Embedding-cosine near-duplicate pairs (the embedding analog of MinHash
+    * dedup): same-bucket LSH pairs above a high cosine threshold.
+    */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                        threshold: Double = 0.95): DataFrame =
+    lshSearch(df, idCol, vecCol, dim, numPlanes = 8, threshold = threshold)
+}

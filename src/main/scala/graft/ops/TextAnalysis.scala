@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * statistics, quality scoring, language identification, and document
+  * fingerprinting. Everything is a pure Column expression (codegen'd, no
+  * UDFs) so the same arithmetic is reproducible in any ANSI engine — the
+  * shared constants below are the single source of truth for both the Spark
+  * expressions and the generated oracle SQL.
+  */
+object TextAnalysis {
+
+  /** Compact English stopword list used for quality scoring (distinct from
+    * the 1000-word NL-inference list; small enough to inline into SQL).
+    */
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "on", "for", "with",
+    "is", "are", "was", "be", "as", "at", "by", "it", "this", "that", "from")
+
+  /** Marker words per language for the n-gram/stopword language-ID heuristic.
+    * Deliberately tiny and disjoint; CJK detection is a codepoint-class test.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "es" -> Seq("el", "los", "las", "que", "y", "por"),
+    "fr" -> Seq("le", "les", "et", "dans", "est", "pour"))
+
+  val CjkRegex = "[\\x{4e00}-\\x{9fff}]"
+  val PunctClass = "[.,!?;:]"
+
+  /** Whitespace tokens, matching `regexp_extract_all(text, '\S+')`. */
+  def tokens(c: Column): Column = regexp_extract_all(lower(c), lit("\\S+"), lit(0))
+
+  def tokenCount(c: Column): Column = size(tokens(c)).cast(LongType)
+
+  def charCount(c: Column): Column = length(c).cast(LongType)
+
+  /** Count of punctuation characters, as the length delta under removal (the
+    * same expression shape works in any SQL engine).
+    */
+  def punctCount(c: Column): Column =
+    (length(c) - length(regexp_replace(c, PunctClass, ""))).cast(LongType)
+
+  def stopwordHits(c: Column): Column =
+    size(filter(tokens(c), t => t.isin(Stopwords: _*))).cast(LongType)
+
+  /** Composite quality score in [0,1]: stopword density (natural prose has
+    * some), average word length in the prose band, and length credit.
+    * Weights follow common heuristic text-quality filters (e.g. C4/Gopher
+    * rules family); exact formula is this engine's own.
+    */
+  def qualityScore(c: Column): Column = {
+    val t = tokenCount(c).cast(DoubleType)
+    val chars = charCount(c).cast(DoubleType)
+    val stopRatio = stopwordHits(c).cast(DoubleType) / t
+    val avgWl = chars / t
+    round(
+      least(stopRatio * lit(3.0), lit(1.0)) * 0.4 +
+        when(avgWl.between(3.0, 8.0), 1.0).otherwise(0.0) * 0.3 +
+        least(t / lit(100.0), lit(1.0)) * 0.3, 4)
+  }
+
+  private def markerScore(c: Column, words: Seq[String]): Column =
+    size(filter(tokens(c), t => t.isin(words: _*)))
+
+  /** Language-ID heuristic: CJK codepoints → zh; otherwise the language with
+    * the highest marker-word count (priority order on ties), unknown when no
+    * marker hits.
+    */
+  def langId(c: Column): Column = {
+    val scores = LangMarkers.map { case (lang, words) => lang -> markerScore(c, words) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val cases = scores.foldLeft(when(c.rlike(CjkRegex), "zh")) {
+      case (acc, (lang, s)) => acc.when(s === best && s > 0, lang)
+    }
+    cases.otherwise("unknown")
+  }
+
+  /** Whole-document fingerprint: md5 of whitespace-normalized lowercase text.
+    * Cross-engine reproducible (md5 is universal).
+    */
+  def fingerprint(c: Column): Column =
+    md5(trim(regexp_replace(lower(c), "\\s+", " ")))
+
+  /** Winnowing fingerprint (Schleimer, Wilkerson, Aiken 2003): k-gram rolling
+    * hashes, minimum per sliding window, distinct selected hashes. Used for
+    * robust near-dup document signatures; array of selected hash values.
+    */
+  def winnowingFingerprint(c: Column, k: Int = 5, window: Int = 4): Column = {
+    val toks = tokens(c)
+    val n = size(toks)
+    val grams = when(n >= k,
+      transform(sequence(lit(1), n - (k - 1)), i =>
+        xxhash64(concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*))))
+      .otherwise(array(xxhash64(c)))
+    val m = size(grams)
+    val mins = when(m >= window,
+      transform(sequence(lit(1), m - (window - 1)), i =>
+        array_min(slice(grams, i, lit(window)))))
+      .otherwise(array(array_min(grams)))
+    array_sort(array_distinct(mins))
+  }
+
+  /** Per-document text statistics table. */
+  def textStats(df: DataFrame, textCol: String): DataFrame = {
+    val c = col(textCol)
+    df.select(
+      col("*"),
+      tokenCount(c).as("token_count"),
+      charCount(c).as("char_count"),
+      punctCount(c).as("punct_count"),
+      stopwordHits(c).as("stopword_hits"),
+      qualityScore(c).as("quality_score"),
+      langId(c).as("lang_pred"),
+      fingerprint(c).as("fingerprint"))
+  }
+
+  // ------------------------------------------------------------ oracle SQL
+  /** DuckDB expressions mirroring the Column expressions above, generated
+    * from the same constants.
+    */
+  object Sql {
+    def toks(e: String) = s"regexp_extract_all(lower($e), '\\S+')"
+    def tokenCount(e: String) = s"CAST(length(${toks(e)}) AS BIGINT)"
+    def charCount(e: String) = s"CAST(length($e) AS BIGINT)"
+    def punctCount(e: String) =
+      s"CAST(length($e) - length(regexp_replace($e, '[.,!?;:]', '', 'g')) AS BIGINT)"
+    private def inList(words: Seq[String]) =
+      words.map(w => s"'$w'").mkString("(", ",", ")")
+    def stopwordHits(e: String) =
+      s"CAST(len(list_filter(${toks(e)}, t -> t IN ${inList(Stopwords)})) AS BIGINT)"
+    def qualityScore(e: String) =
+      s"""round(
+         | least(CAST(${stopwordHits(e)} AS DOUBLE)/CAST(${tokenCount(e)} AS DOUBLE)*3.0, 1.0)*0.4 +
+         | (CASE WHEN CAST(${charCount(e)} AS DOUBLE)/CAST(${tokenCount(e)} AS DOUBLE) BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END)*0.3 +
+         | least(CAST(${tokenCount(e)} AS DOUBLE)/100.0, 1.0)*0.3, 4)""".stripMargin
+    def markerScore(e: String, words: Seq[String]) =
+      s"len(list_filter(${toks(e)}, t -> t IN ${inList(words)}))"
+    def langId(e: String): String = {
+      val scores = LangMarkers.map { case (l, ws) => l -> markerScore(e, ws) }
+      val best = scores.map(_._2).reduceRight((a, b) => s"greatest($a, $b)")
+      val whens = scores.map { case (l, s) =>
+        s"WHEN $s = $best AND $s > 0 THEN '$l'"
+      }.mkString(" ")
+      s"(CASE WHEN regexp_matches($e, '[\\x{4e00}-\\x{9fff}]') THEN 'zh' $whens ELSE 'unknown' END)"
+    }
+    def fingerprint(e: String) =
+      s"md5(trim(regexp_replace(lower($e), '\\s+', ' ', 'g')))"
+  }
+}

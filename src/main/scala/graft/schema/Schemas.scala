@@ -130,8 +130,11 @@ object SchemaMetadata {
   def columnMetadata(c: WwColumnSchema): Metadata = {
     var b = new MetadataBuilder()
       .putString("logical_type", c.logicalType.name)
-      .putStringArray("semantic_tags", c.semanticTags.toArray.sorted)
       .putBoolean("use_standard_tags", c.useStandardTags)
+    // an empty JSON array round-trips as long[] in Spark's Metadata parser —
+    // only write the key when non-empty
+    if (c.semanticTags.nonEmpty)
+      b = b.putStringArray("semantic_tags", c.semanticTags.toArray.sorted)
     if (c.logicalType.params.nonEmpty) {
       val pb = new MetadataBuilder()
       c.logicalType.params.foreach { case (k, v) => pb.putString(k, v) }

@@ -70,7 +70,7 @@ object Outliers {
     medcoupleKernel(values)
   }
 
-  private[stats] def medcoupleKernel(sorted: Array[Double]): Double = {
+  private[graft] def medcoupleKernel(sorted: Array[Double]): Double = {
     val n = sorted.length
     if (n < 3) return 0.0
     val med =

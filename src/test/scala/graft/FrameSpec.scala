@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.frame.WoodworkFrame
+import graft.schema.SchemaMetadata
+import graft.types.{LogicalType => LT}
+
+/** WoodworkFrame API behavior
+  * (reference: woodwork/tests/accessor/test_table_accessor.py).
+  */
+class FrameSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture = WoodworkFrame.init(
+    Seq((1L, "a@b.com", "red", 10.5), (2L, "c@d.org", "blue", 20.0),
+        (3L, "e@f.net", "red", 30.25)).toDF("id", "email", "color", "amount"),
+    index = Some("id"),
+    logicalTypes = Map("color" -> LT.Categorical))
+
+  test("init: explicit types win, the rest infer; tags include standard + index") {
+    val f = fixture
+    assert(f.logicalTypes("color") == "Categorical")
+    assert(f.logicalTypes("email") == "EmailAddress")
+    assert(f.logicalTypes("id") == "Integer")
+    assert(f.logicalTypes("amount") == "Double")
+    assert(f.semanticTags("id").contains("index"))
+    assert(f.semanticTags("amount").contains("numeric"))
+    assert(f.index.contains("id"))
+  }
+
+  test("select by tag / type; drop; pop; rename") {
+    val f = fixture
+    assert(f.select(include = Seq("numeric")).columnNames == Seq("id", "amount"))
+    assert(f.select(include = Seq("EmailAddress")).columnNames == Seq("email"))
+    assert(f.select(exclude = Seq("category")).columnNames == Seq("id", "email", "amount"))
+    assert(f.drop(Seq("email")).columnNames == Seq("id", "color", "amount"))
+    val (rest, (colDf, cs)) = f.pop("color")
+    assert(rest.columnNames == Seq("id", "email", "amount"))
+    assert(cs.logicalType == LT.Categorical && colDf.columns.toSeq == Seq("color"))
+    val renamed = f.rename(Map("amount" -> "value"))
+    assert(renamed.columnNames == Seq("id", "email", "color", "value"))
+    assert(renamed.logicalTypes("value") == "Double")
+  }
+
+  test("setTypes re-coerces; tag algebra add/remove/reset") {
+    val f = fixture.setTypes(Map("amount" -> LT.IntegerNullable))
+    assert(f.logicalTypes("amount") == "IntegerNullable")
+    // 10.5 is non-integral → coerced to null
+    val vals = f.df.select("amount").collect().map(r => if (r.isNullAt(0)) null else r.get(0))
+    assert(vals.contains(null) && vals.contains(20L))
+
+    val tagged = fixture.addSemanticTags(Map("amount" -> Set("currency")))
+    assert(tagged.semanticTags("amount").contains("currency"))
+    val removed = tagged.removeSemanticTags(Map("amount" -> Set("currency")))
+    assert(!removed.semanticTags("amount").contains("currency"))
+    val reset = tagged.resetSemanticTags(retainIndexTags = true)
+    assert(reset.semanticTags("id").contains("index"))
+    assert(!reset.semanticTags("amount").contains("currency"))
+  }
+
+  test("typing metadata survives plain DataFrame ops and parquet round-trip") {
+    val f = fixture
+    val transformed = f.df.where(col("amount") > 15).select("id", "color")
+    val recovered = SchemaMetadata.recover(transformed)
+    assert(recovered.get.columns("color").logicalType == LT.Categorical)
+
+    val path = java.nio.file.Files.createTempDirectory("ww").toString + "/t.parquet"
+    f.df.write.mode("overwrite").parquet(path)
+    val back = WoodworkFrame.fromMetadata(spark.read.parquet(path))
+    assert(back.get.logicalTypes("email") == "EmailAddress")
+    assert(back.get.semanticTags("id").contains("index"))
+  }
+
+  test("validateIndex catches duplicates and nulls") {
+    val dup = WoodworkFrame.init(
+      Seq((1L, "x"), (1L, "y")).toDF("id", "v"), index = Some("id"))
+    intercept[IllegalArgumentException](dup.validateIndex())
+    fixture.validateIndex() // unique → fine
+  }
+
+  test("concatColumns outer-joins on the shared index and merges typing") {
+    val base = Seq((1L, "a"), (2L, "b")).toDF("id", "x")
+    val other = Seq((2L, 5.0), (3L, 6.0)).toDF("id", "y")
+    val f1 = WoodworkFrame.init(base, index = Some("id"))
+    val f2 = WoodworkFrame.init(other, index = Some("id"))
+    val cat = WoodworkFrame.concatColumns(Seq(f1, f2))
+    assert(cat.columnNames == Seq("id", "x", "y"))
+    assert(cat.df.count() == 3) // outer join
+    intercept[IllegalArgumentException] {
+      WoodworkFrame.concatColumns(Seq(f1, f1)) // duplicate column names
+    }
+  }
+
+  test("withColumn infers and coerces; cannot replace index") {
+    val f = fixture.withColumn("flag", when(col("amount") > 15, "yes").otherwise("no"))
+    assert(f.logicalTypes("flag") == "Boolean")
+    assert(f.df.schema("flag").dataType.typeName == "boolean")
+    intercept[IllegalArgumentException](fixture.withColumn("id", lit(1)))
+  }
+
+  test("validateLogicalTypes counts invalid rows per column") {
+    val f = WoodworkFrame.init(Seq(("a@b.com"), ("nope")).toDF("email"),
+      logicalTypes = Map("email" -> LT.EmailAddress), coerce = false)
+    assert(f.validateLogicalTypes()("email") == 1L)
+  }
+
+  test("time index must be datetime or numeric") {
+    val df = Seq(("x", 1L)).toDF("name", "t")
+    intercept[IllegalArgumentException] {
+      WoodworkFrame.init(df, timeIndex = Some("name"))
+    }
+    assert(WoodworkFrame.init(df, timeIndex = Some("t")).timeIndex.contains("t"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.types.{LogicalType => LT}
+
+/** Coercion/validation kernels per logical type
+  * (reference: woodwork/tests/logical_types/test_logical_types.py).
+  */
+class LogicalTypesSpec extends SparkSpec {
+
+  private def coerce(lt: LT, values: Seq[String]): Seq[Any] = {
+    import spark.implicits._
+    values.toDF("c")
+      .select(lt.transform(col("c"), StringType).as("c"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.get(0)).toSeq
+  }
+
+  test("Boolean coerces token strings; unknowns null") {
+    assert(coerce(LT.BooleanT, Seq("yes", "NO", "t", "F", "1", "0", "bogus")) ==
+      Seq(true, false, true, false, true, false, null))
+  }
+
+  test("IntegerNullable nulls non-integral strings") {
+    assert(coerce(LT.IntegerNullable, Seq("5", "5.0", "5.5", "x")) ==
+      Seq(5L, 5L, null, null))
+  }
+
+  test("Double coerces numeric strings, nulls garbage") {
+    assert(coerce(LT.Double, Seq("1.5", "2", "junk")) == Seq(1.5, 2.0, null))
+  }
+
+  test("null sentinels become nulls in transform") {
+    assert(coerce(LT.Categorical, Seq("a", "N/A", "", " ", "<NA>", "none")) ==
+      Seq("a", null, null, null, null, null))
+  }
+
+  test("AgeNullable nulls negatives") {
+    assert(coerce(LT.AgeNullable, Seq("30", "-4", "0")) == Seq(30L, null, 0L))
+  }
+
+  test("PostalCode normalizes numerics to 5-digit strings") {
+    import spark.implicits._
+    val out = Seq(1234, 90210).toDF("c")
+      .select(LT.PostalCode.transform(col("c"), IntegerType))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("01234", "90210"))
+  }
+
+  test("EmailAddress transform nulls regex failures; validate flags them") {
+    assert(coerce(LT.EmailAddress, Seq("a@b.co", "nope")) == Seq("a@b.co", null))
+    import spark.implicits._
+    val invalid = Seq("a@b.co", "nope").toDF("c")
+      .select(LT.EmailAddress.invalidExpr(col("c"))).collect().map(_.getBoolean(0)).toSeq
+    assert(invalid == Seq(false, true))
+  }
+
+  test("LatLong parses string pairs into struct; malformed → null") {
+    import spark.implicits._
+    val rows = Seq("(33.3, -45.2)", "[1.5, 2.5]", "junk").toDF("c")
+      .select(LT.LatLong.transform(col("c"), StringType).as("c")).collect()
+    assert(rows(0).getStruct(0).getDouble(0) == 33.3)
+    assert(rows(0).getStruct(0).getDouble(1) == -45.2)
+    assert(rows(1).getStruct(0).getDouble(0) == 1.5)
+    assert(rows(2).isNullAt(0))
+  }
+
+  test("Ordinal validates membership and ranks by declared order") {
+    import spark.implicits._
+    val ord = LT.Ordinal(Seq("low", "med", "high"))
+    val df = Seq("low", "high", "bogus").toDF("c")
+    val invalid = df.select(ord.invalidExpr(col("c"))).collect().map(_.getBoolean(0)).toSeq
+    assert(invalid == Seq(false, false, true))
+    val ranks = df.select(ord.rank(col("c"))).collect().map(_.getLong(0)).toSeq
+    assert(ranks == Seq(1L, 3L, 0L))
+  }
+
+  test("transform is idempotent (transform∘transform = transform)") {
+    import spark.implicits._
+    for (lt <- Seq[LT](LT.Double, LT.IntegerNullable, LT.BooleanT, LT.Categorical)) {
+      val df = Seq("1", "2.5", "yes", "N/A", "x").toDF("c")
+      val once = df.select(lt.transform(col("c"), StringType).as("c"))
+      val twice = once.select(lt.transform(col("c"), once.schema("c").dataType).as("c"))
+      assert(once.collect().toSeq == twice.collect().toSeq, lt.name)
+    }
+  }
+
+  test("type_string naming is snake_case; fromString round-trips") {
+    assert(LT.IntegerNullable.typeString == "integer_nullable")
+    assert(LT.URL.typeString == "url")
+    assert(LT.fromString("integer_nullable") == LT.IntegerNullable)
+    assert(LT.fromString("Boolean") == LT.BooleanT)
+    val ord = LT.Ordinal(Seq("a", "b"))
+    assert(LT.fromString("ordinal", ord.params) == ord)
+  }
+}

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+/** LLM-pipeline operator behavior: dedup, similarity, text analysis,
+  * multimodal plumbing.
+  */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank now"),
+    (2L, "completely different content about spark engines and query optimizers"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup finds identical texts") {
+    val d = Dedup.exactDuplicates(docs, col("text"), col("doc_id")).collect()
+    assert(d.length == 1)
+    assert(d.head.getAs[Long]("cnt") == 2 && d.head.getAs[Long]("keeper") == 0)
+  }
+
+  test("ngram jaccard: near-dups high, unrelated zero") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.01)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("jaccard")))
+      .toMap
+    assert(pairs((0L, 3L)) == 1.0)
+    assert(pairs((0L, 1L)) > 0.7)
+    assert(!pairs.contains((0L, 2L))) // zero similarity filtered at > 0 rounding
+  }
+
+  test("minhash LSH finds the exact and near duplicates") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L)))
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("simhash: identical docs distance 0; near-dups within banding reach") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        r.getAs[Number]("hamming").longValue()))
+      .toMap
+    assert(pairs((0L, 3L)) == 0L)
+    assert(pairs.get((0L, 1L)).forall(_ <= 10L))
+  }
+
+  test("cosine similarity: orthogonal 0, identical 1") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 2.0f)), (2L, Array(3.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val res = Similarity.thresholdSearch(vecs, vecs, "vec_id", "embedding", -1.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("cosine")))
+      .toMap
+    assert(res((0L, 1L)) == 0.0)
+    assert(res((0L, 2L)) == 1.0)
+  }
+
+  test("bruteForceTopK returns k ranked neighbors per query") {
+    val vecs = (0 until 20).map(i =>
+      (i.toLong, Array.tabulate(4)(j => (i * 31 + j * 7 % 13).toFloat / 10f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(
+      vecs.where(col("vec_id") < 2), vecs, "vec_id", "embedding", k = 3)
+    val grouped = top.collect().groupBy(_.getLong(0))
+    assert(grouped.size == 2 && grouped.values.forall(_.length == 3))
+  }
+
+  test("LSH ANN buckets: same-bucket high-cosine pairs found") {
+    val base = Array.tabulate(8)(_.toFloat)
+    val vecs = (0 until 50).map { i =>
+      val v = base.map(x => x + (i % 5) * 10f) // 5 tight clusters
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val found = Similarity.lshSearch(vecs, "vec_id", "embedding", dim = 8,
+      numPlanes = 6, threshold = 0.99)
+    assert(found.count() > 0)
+  }
+
+  test("centroidNorms: identical vectors → norm of the vector") {
+    val vecs = Seq((0, Array(3.0f, 4.0f)), (0, Array(3.0f, 4.0f)))
+      .toDF("label", "embedding")
+    val r = Similarity.centroidNorms(vecs, "label", "embedding").collect().head
+    assert(r.getAs[Double]("centroid_norm") == 5.0)
+  }
+
+  test("text stats: tokens, punct, stopwords, quality, langid, fingerprint") {
+    val r = TextAnalysis.textStats(
+      Seq((0L, "The quick fox, and the dog!")).toDF("id", "text"), "text")
+      .collect().head
+    assert(r.getAs[Long]("token_count") == 6)
+    assert(r.getAs[Long]("punct_count") == 2)
+    assert(r.getAs[Long]("stopword_hits") == 3) // the, and, the
+    assert(r.getAs[String]("lang_pred") == "en")
+    assert(r.getAs[String]("fingerprint").length == 32)
+    val q = r.getAs[Double]("quality_score")
+    assert(q > 0 && q <= 1)
+  }
+
+  test("langid: CJK → zh, no markers → unknown") {
+    val df = Seq("这是中文文本测试", "zzz qqq vvv").toDF("text")
+      .select(TextAnalysis.langId(col("text")).as("l"))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("zh", "unknown"))
+  }
+
+  test("winnowing fingerprint: identical docs share it, different don't") {
+    val df = docs.select(col("doc_id"),
+      TextAnalysis.winnowingFingerprint(col("text")).as("fp"))
+    val fps = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fps(0L) == fps(3L))
+    assert(fps(0L) != fps(2L))
+    assert(fps(0L).intersect(fps(1L)).nonEmpty) // near-dups share selected hashes
+  }
+
+  test("multimodal: payload plumbing + deterministic stub features") {
+    val withP = Multimodal.withPayload(docs, "text", "image", "image/jpeg")
+    assert(withP.schema("payload").dataType.typeName == "binary")
+    assert(withP.schema("payload_meta").dataType == Multimodal.MetaType)
+    val feats = Multimodal.featurize(Multimodal.payloadStats(withP))
+    val rows = feats.select("doc_id", "features", "payload_md5").collect()
+    assert(rows.forall(_.getSeq[Double](1).length == Multimodal.FeatureDim))
+    val byId = rows.map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(byId(0L) == byId(3L)) // deterministic: same bytes, same features
+    assert(byId(0L) != byId(2L))
+  }
+}

