@@ -1,0 +1,172 @@
+package graft.io
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.frame.WoodworkFrame
+import graft.schema.{SchemaMetadata, WwColumnSchema, WwTableSchema}
+import graft.types.LogicalType
+
+/** Typed I/O: read a file into an initialized frame, write a frame with its
+  * typing info, and round-trip through a woodwork-compatible typing-info JSON
+  * (schema version 12.0.0) so tables serialized by the reference can be
+  * ingested (reference: woodwork/serializers/, deserializers/,
+  * utils.py:95-195 `read_file`).
+  *
+  * Parquet needs no sidecar — ww typing rides in StructField.metadata, which
+  * Spark persists in the parquet footer natively. The JSON sidecar is for
+  * CSV/JSON/ORC and for reference compatibility.
+  */
+object ReadWrite {
+
+  val SchemaVersion: String = SchemaMetadata.SchemaVersion
+
+  private val extToFormat = Map(
+    "csv" -> "csv", "parquet" -> "parquet", "orc" -> "orc", "json" -> "json")
+
+  /** reference: utils.py:150-163 content-type guessing */
+  def formatFor(path: String): String = {
+    val ext = path.reverse.takeWhile(_ != '.').reverse.toLowerCase
+    extToFormat.getOrElse(ext, "parquet")
+  }
+
+  /** Read + init in one step (reference: `ww.read_file`). CSV reads with
+    * header + schema inference disabled so logical-type inference owns
+    * typing; parquet/orc keep their physical schema.
+    */
+  def readFile(spark: SparkSession, path: String,
+               format: Option[String] = None,
+               name: Option[String] = None,
+               index: Option[String] = None,
+               timeIndex: Option[String] = None,
+               logicalTypes: Map[String, LogicalType] = Map.empty,
+               semanticTags: Map[String, Set[String]] = Map.empty): WoodworkFrame = {
+    val fmt = format.getOrElse(formatFor(path))
+    val reader = spark.read
+    val df = fmt match {
+      case "csv" => reader.option("header", "true").csv(path)
+      case other => reader.format(other).load(path)
+    }
+    WoodworkFrame.init(df, name = name, index = index, timeIndex = timeIndex,
+      logicalTypes = logicalTypes, semanticTags = semanticTags)
+  }
+
+  /** Write data + typing info (reference: `df.ww.to_disk`,
+    * table_accessor.py:654-697). Parquet embeds typing in the footer; every
+    * format also gets the JSON sidecar for reference compatibility.
+    */
+  def toDisk(frame: WoodworkFrame, path: String, format: String = "parquet",
+             mode: String = "overwrite"): Unit = {
+    val writer = frame.df.write.mode(mode)
+    format match {
+      case "csv" => writer.option("header", "true").csv(s"$path/data")
+      case other => writer.format(other).save(s"$path/data")
+    }
+    Files.createDirectories(Paths.get(path))
+    Files.write(Paths.get(s"$path/woodwork_typing_info.json"),
+      typingInfoJson(frame).getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Read back a frame written by [[toDisk]]: typing info from the JSON
+    * sidecar, re-init without inference (reference: `read_woodwork_table`,
+    * deserialize.py:4-70).
+    */
+  def fromDisk(spark: SparkSession, path: String,
+               format: String = "parquet"): WoodworkFrame = {
+    val df = format match {
+      case "csv" => spark.read.option("header", "true").csv(s"$path/data")
+      case other => spark.read.format(other).load(s"$path/data")
+    }
+    val json = new String(
+      Files.readAllBytes(Paths.get(s"$path/woodwork_typing_info.json")),
+      StandardCharsets.UTF_8)
+    val schema = typingInfoFromJson(json)
+    val coerced = df.select(schema.columns.map { case (n, cs) =>
+      cs.logicalType.transform(org.apache.spark.sql.functions.col(n), df.schema(n).dataType)
+        .as(n, SchemaMetadata.columnMetadata(cs))
+    }.toSeq: _*)
+    WoodworkFrame(coerced, schema)
+  }
+
+  // ---------------------------------------------------------------- JSON
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** Typing info as woodwork-compatible JSON
+    * (reference: serializers/serializer_base.py:137-185
+    * `typing_info_to_dict`).
+    */
+  def typingInfoJson(frame: WoodworkFrame): String = {
+    val cols = frame.schema.columns.zipWithIndex.map { case ((n, cs), i) =>
+      val params = cs.logicalType.params.map { case (k, v) =>
+        s""""${esc(k)}": "${esc(v)}"""" }.mkString(", ")
+      s"""{"name": "${esc(n)}", "ordinal": $i,
+         |"logical_type": {"parameters": {$params}, "type": "${esc(cs.logicalType.name)}"},
+         |"physical_type": {"type": "${esc(frame.df.schema(n).dataType.simpleString)}"},
+         |"semantic_tags": [${cs.semanticTags.toSeq.sorted.map(t => s""""${esc(t)}"""").mkString(", ")}],
+         |"use_standard_tags": ${cs.useStandardTags},
+         |"description": ${cs.description.map(d => s""""${esc(d)}"""").getOrElse("null")},
+         |"origin": ${cs.origin.map(o => s""""${esc(o)}"""").getOrElse("null")},
+         |"metadata": {}}""".stripMargin.replace("\n", " ")
+    }.mkString(",\n  ")
+    val idx = frame.index.map(i => s""""${esc(i)}"""").getOrElse("null")
+    val tidx = frame.timeIndex.map(i => s""""${esc(i)}"""").getOrElse("null")
+    val name = frame.schema.name.map(n => s""""${esc(n)}"""").getOrElse("null")
+    s"""{
+       |  "schema_version": "$SchemaVersion",
+       |  "name": $name,
+       |  "index": $idx,
+       |  "time_index": $tidx,
+       |  "column_typing_info": [
+       |  $cols
+       |  ],
+       |  "loading_info": {"table_type": "spark"},
+       |  "table_metadata": {}
+       |}""".stripMargin
+  }
+
+  /** Parse a typing-info JSON (ours or the reference's) back to a schema.
+    * Minimal purpose-built parser over the fixed document shape — no JSON
+    * library dependency.
+    */
+  def typingInfoFromJson(json: String): WwTableSchema = {
+    val verRe = """"schema_version"\s*:\s*"([^"]+)"""".r
+    verRe.findFirstMatchIn(json).foreach { m =>
+      val major = m.group(1).takeWhile(_ != '.')
+      if (major != SchemaVersion.takeWhile(_ != '.'))
+        System.err.println(
+          s"[graft.io] typing info schema version ${m.group(1)} differs from $SchemaVersion")
+    }
+    val index = """"index"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(json).map(_.group(1))
+    val timeIndex = """"time_index"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(json).map(_.group(1))
+    val colRe =
+      ("""\{"name":\s*"((?:[^"\\]|\\.)*)",\s*"ordinal":\s*(\d+),\s*""" +
+        """"logical_type":\s*\{"parameters":\s*\{(.*?)\},\s*"type":\s*"([^"]+)"\}.*?""" +
+        """"semantic_tags":\s*\[(.*?)\],\s*"use_standard_tags":\s*(true|false)""").r
+    val cols = colRe.findAllMatchIn(json).map { m =>
+      val name = m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
+      val params = SchemaMetadata.parseJsonMap(s"{${m.group(3)}}")
+      val ltName = m.group(4)
+      val tags = """"([^"]+)"""".r.findAllMatchIn(m.group(5)).map(_.group(1)).toSet
+      val sysTags =
+        (if (index.contains(name)) Set("index") else Set.empty[String]) ++
+          (if (timeIndex.contains(name)) Set("time_index") else Set.empty[String])
+      (m.group(2).toInt, name, WwColumnSchema(
+        logicalType = LogicalType.fromString(ltName, params),
+        semanticTags = tags ++ sysTags,
+        useStandardTags = m.group(6).toBoolean))
+    }.toSeq.sortBy(_._1)
+    WwTableSchema(ListMap(cols.map(c => c._2 -> c._3): _*))
+  }
+}

@@ -164,9 +164,12 @@ object SchemaMetadata {
     re.findAllMatchIn(json).map(m => unescape(m.group(1)) -> unescape(m.group(2))).toMap
   }
 
-  private def unescape(s: String): String = s
-    .replace("\\\"", "\"").replace("\\\\", "\\").replace("\\n", "\n")
-    .replace("\\r", "\r").replace("\\t", "\t")
+  private def unescape(s: String): String = {
+    val u = "\\\\u([0-9a-fA-F]{4})".r
+      .replaceAllIn(s, m => Integer.parseInt(m.group(1), 16).toChar.toString)
+    u.replace("\\\"", "\"").replace("\\n", "\n")
+      .replace("\\r", "\r").replace("\\t", "\t").replace("\\\\", "\\")
+  }
 
   def columnFromMetadata(field: StructField): Option[WwColumnSchema] = {
     val m = field.metadata

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.TextAnalysis
+import graft.schema.{SchemaMetadata, WwTableSchema}
+
+/** Structured Streaming extension (beyond the reference, which is
+  * batch-only — SURVEY §2.9): apply a known typing schema to a stream and run
+  * the engine's profiling/quality expressions as windowed streaming
+  * aggregations. Typing inference itself stays batch (you infer on a sample,
+  * then apply the schema to the stream — the standard pattern).
+  */
+object StreamingFrame {
+
+  /** Apply a previously inferred/declared schema's coercions to a streaming
+    * DataFrame (transforms are pure Column expressions, so they stream
+    * as-is).
+    */
+  def applySchema(stream: DataFrame, schema: WwTableSchema): DataFrame =
+    stream.select(schema.columns.map { case (n, cs) =>
+      cs.logicalType.transform(col(n), stream.schema(n).dataType)
+        .as(n, SchemaMetadata.columnMetadata(cs))
+    }.toSeq: _*)
+
+  /** Windowed profile of a numeric column over event time: count, mean, min,
+    * max per window with a watermark for late data. The streaming analog of
+    * `describe` (approximate stats only — exact percentiles don't stream).
+    */
+  def windowedProfile(stream: DataFrame, tsCol: String, valueCol: String,
+                      windowDuration: String = "1 hour",
+                      watermark: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(
+        count(col(valueCol)).as("count"),
+        avg(col(valueCol)).as("mean"),
+        min(col(valueCol)).as("min"),
+        max(col(valueCol)).as("max"),
+        approx_count_distinct(col(valueCol)).as("approx_nunique"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("count"), col("mean"), col("min"), col("max"),
+        col("approx_nunique"))
+
+  /** Streaming text-quality filter: score documents as they arrive and keep
+    * those above the threshold — the streaming front door of a training-data
+    * ingest pipeline.
+    */
+  def qualityFilter(stream: DataFrame, textCol: String,
+                    minScore: Double = 0.5): DataFrame =
+    stream
+      .withColumn("quality_score", TextAnalysis.qualityScore(col(textCol)))
+      .withColumn("lang_pred", TextAnalysis.langId(col(textCol)))
+      .withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
+      .where(col("quality_score") >= minScore)
+
+  /** Streaming exact-dedup within the watermark horizon: drop rows whose
+    * fingerprint already appeared (Spark's dropDuplicates with watermark
+    * keeps state bounded — the streaming analog of hash dedup).
+    */
+  def streamingDedup(stream: DataFrame, textCol: String, tsCol: String,
+                     watermark: String = "1 hour"): DataFrame =
+    stream
+      .withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates("fingerprint")
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.frame.WoodworkFrame
+import graft.io.ReadWrite
+import graft.streaming.StreamingFrame
+import graft.types.{LogicalType => LT, TypeTables}
+
+/** Typed I/O round-trips and the streaming extension. */
+class IoStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture = WoodworkFrame.init(
+    Seq((1L, "a@b.com", "x", 1.5), (2L, "c@d.org", "y", 2.5))
+      .toDF("id", "email", "cat", "v"),
+    index = Some("id"),
+    logicalTypes = Map("cat" -> LT.Categorical))
+
+  test("toDisk/fromDisk parquet round-trip preserves typing without inference") {
+    val dir = java.nio.file.Files.createTempDirectory("wwio").toString
+    ReadWrite.toDisk(fixture, dir)
+    val back = ReadWrite.fromDisk(spark, dir)
+    assert(back.logicalTypes == fixture.logicalTypes)
+    assert(back.index.contains("id"))
+    assert(back.df.count() == 2)
+  }
+
+  test("csv round-trip re-coerces physical types from the typing info") {
+    val dir = java.nio.file.Files.createTempDirectory("wwcsv").toString
+    ReadWrite.toDisk(fixture, dir, format = "csv")
+    val back = ReadWrite.fromDisk(spark, dir, format = "csv")
+    assert(back.logicalTypes("v") == "Double")
+    assert(back.df.schema("v").dataType.typeName == "double") // csv read strings re-coerced
+    assert(back.df.schema("id").dataType.typeName == "long")
+  }
+
+  test("typing info JSON carries schema version, index, params") {
+    val f = fixture.setTypes(Map("cat" -> LT.Ordinal(Seq("x", "y"))))
+    val json = ReadWrite.typingInfoJson(f)
+    assert(json.contains("\"schema_version\": \"12.0.0\""))
+    assert(json.contains("\"index\": \"id\""))
+    val schema = ReadWrite.typingInfoFromJson(json)
+    assert(schema("cat").logicalType == LT.Ordinal(Seq("x", "y")))
+    assert(schema.index.contains("id"))
+  }
+
+  test("readFile csv infers types") {
+    val dir = java.nio.file.Files.createTempDirectory("wwread").toString
+    Seq(("1", "yes"), ("2", "no")).toDF("n", "flag")
+      .write.option("header", "true").csv(s"$dir/t.csv")
+    val f = ReadWrite.readFile(spark, s"$dir/t.csv", format = Some("csv"))
+    assert(f.logicalTypes("n") == "Integer")
+    assert(f.logicalTypes("flag") == "Boolean")
+  }
+
+  test("registry introspection tables") {
+    val types = TypeTables.listLogicalTypes(spark).collect()
+    assert(types.length == 26)
+    assert(types.count(_.getAs[Boolean]("is_default_type")) == 1)
+    val tags = TypeTables.listSemanticTags(spark).collect()
+    assert(tags.map(_.getString(0)).toSet.contains("numeric"))
+  }
+
+  test("streaming: schema apply + windowed profile + quality filter") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val stream = mem.toDF().toDF("ts", "text", "v")
+
+    val typed = StreamingFrame.applySchema(stream, fixture.schema.subset(Nil))
+    assert(typed.isStreaming || typed.columns.isEmpty) // empty subset → no cols
+
+    val profiled = StreamingFrame.windowedProfile(stream, "ts", "v",
+      windowDuration = "1 minute", watermark = "1 minute")
+    val q1 = profiled.writeStream.format("memory").queryName("prof")
+      .outputMode("append").start()
+    val filtered = StreamingFrame.qualityFilter(stream, "text", minScore = 0.0)
+    val q2 = filtered.writeStream.format("memory").queryName("filt")
+      .outputMode("append").start()
+
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    mem.addData((t0, "the quick brown fox and the lazy dog", 1.0),
+      (t0, "more words of the day for the test", 2.0))
+    q1.processAllAvailable(); q2.processAllAvailable()
+    val filt = spark.sql("select * from filt").collect()
+    assert(filt.length == 2)
+    assert(filt.forall(_.getAs[String]("lang_pred") == "en"))
+    q1.stop(); q2.stop()
+  }
+}
