@@ -178,6 +178,27 @@ object Oracles {
       |  GROUP BY label, u.i)
       |GROUP BY label ORDER BY grp""".stripMargin
 
+  val q31: String =
+    """SELECT CAST(p_brand AS VARCHAR) AS value, count(*) AS "count"
+      |FROM part WHERE p_brand IS NOT NULL
+      |GROUP BY 1 ORDER BY "count" DESC, value ASC LIMIT 10""".stripMargin
+
+  val q32: String =
+    """SELECT value, "count" FROM (
+      | SELECT CAST(o_orderdate AS DATE) AS value, count(*) AS "count"
+      | FROM orders WHERE o_orderdate IS NOT NULL
+      | GROUP BY 1 ORDER BY value DESC LIMIT 10)
+      |ORDER BY "count" DESC, value ASC""".stripMargin
+
+  val q33: String =
+    """SELECT CAST(c_nationkey AS BIGINT) AS value, count(*) AS "count"
+      |FROM customer WHERE c_nationkey IS NOT NULL
+      |GROUP BY 1 ORDER BY "count" DESC, value ASC LIMIT 30""".stripMargin
+
+  val q35: String =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE c_custkey IN (1, 2) ORDER BY c_custkey""".stripMargin
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q01_pricing_summary" -> q01,
@@ -199,7 +220,11 @@ object Oracles {
       "q25_text_quality" -> q25,
       "q26_fingerprint" -> q26,
       "q27_ann_cosine" -> q27,
-      "q28_embedding_centroids" -> q28)
+      "q28_embedding_centroids" -> q28,
+      "q31_top_values" -> q31,
+      "q32_recent_values" -> q32,
+      "q33_int_range_counts" -> q33,
+      "q35_loc_union" -> q35)
     base ++ q09Literal.map("q09_infer_types" -> _)
   }
 }

@@ -307,6 +307,43 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Top-x categorical values (describe extra_stats). */
+  def q31TopValues(s: SparkSession, dir: String): DataFrame =
+    stats.ValueCounts.topValues(table(s, dir, "part"), "p_brand", x = 10)
+      .withColumn("value", col("value").cast(StringType))
+      .orderBy(col("count").desc, col("value").asc)
+
+  /** Most-recent-date counts for a datetime column (describe extra_stats). */
+  def q32RecentValues(s: SparkSession, dir: String): DataFrame =
+    stats.Describe.recentValueCounts(table(s, dir, "orders"), "o_orderdate", x = 10)
+
+  /** Integer value counts in range (describe extra_stats). */
+  def q33IntRangeCounts(s: SparkSession, dir: String): DataFrame =
+    stats.Describe.numericValueCountsInRange(table(s, dir, "customer"),
+      "c_nationkey", bins = 30)
+
+  /** Signed max dependence across measures (rows-only: includes AMI). */
+  def q34DependenceMax(s: SparkSession, dir: String): DataFrame = {
+    val f = typedTable(s, dir, "orders")
+      .apply(Seq("o_orderstatus", "o_orderpriority", "o_totalprice", "o_orderdate"))
+    stats.Dependence.dependence(f, Seq("all"))
+      .select(col("column_1"), col("column_2"),
+        round(col("mutual_info"), 4).as("mutual_info"),
+        round(col("pearson"), 4).as("pearson"),
+        round(col("spearman"), 4).as("spearman"),
+        round(col("max"), 4).as("max"))
+      .orderBy("column_1", "column_2")
+  }
+
+  /** loc row-lookup on the index + typed union (schema ops). */
+  def q35LocUnion(s: SparkSession, dir: String): DataFrame = {
+    val f = WoodworkFrame.init(table(s, dir, "customer"), index = Some("c_custkey"))
+    val a = f.loc(1L)
+    val b = f.loc(2L)
+    a.unionAll(b).df.select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -373,6 +410,11 @@ object Queries {
     "q27_ann_cosine" -> (q27AnnCosine _),
     "q28_embedding_centroids" -> (q28EmbeddingCentroids _),
     "q29_lsh_ann" -> (q29LshAnn _),
-    "q30_multimodal" -> (q30Multimodal _)
+    "q30_multimodal" -> (q30Multimodal _),
+    "q31_top_values" -> (q31TopValues _),
+    "q32_recent_values" -> (q32RecentValues _),
+    "q33_int_range_counts" -> (q33IntRangeCounts _),
+    "q34_dependence_max" -> (q34DependenceMax _),
+    "q35_loc_union" -> (q35LocUnion _)
   )
 }

@@ -195,6 +195,33 @@ final case class WoodworkFrame(df: DataFrame, schema: WwTableSchema) {
     }
   }
 
+  /** Label row-lookup on the index column — the Spark analog of `df.ww.loc`
+    * (reference: indexers.py:9-49; positional `iloc` has no distributed
+    * analog and is intentionally not provided).
+    */
+  def loc(indexValue: Any): WoodworkFrame = {
+    val idx = index.getOrElse(
+      throw new IllegalArgumentException("loc requires an index column"))
+    WoodworkFrame(df.where(col(idx) === lit(indexValue)), schema)
+  }
+
+  /** Schema-checked row-wise union (free in Spark, absent in the reference —
+    * exposed with typing preserved).
+    */
+  def unionAll(other: WoodworkFrame): WoodworkFrame = {
+    require(schema.logicalTypes == other.schema.logicalTypes,
+      "unionAll requires identical column names and logical types")
+    WoodworkFrame(df.unionByName(other.df), schema)
+  }
+
+  /** Columns with MI-valid logical types (reference:
+    * table_accessor.py:1435-1452 `get_valid_mi_columns`).
+    */
+  def validMiColumns: Seq[String] = schema.columns.collect {
+    case (n, c) if (c.isNumeric || c.isCategorical || c.isDatetime ||
+      c.isBoolean) && !c.isIndex && !c.isTimeIndex => n
+  }.toSeq
+
   /** Typing-info table like the reference's `df.ww.types` repr
     * (reference: table_accessor.py:344-360).
     */

@@ -62,11 +62,16 @@ object FrequencyInference {
   def inferFrequency(df: DataFrame, colName: String,
                      threshold: Double = 0.9): FreqResult = {
     val c = col(colName)
-    val w = Window.orderBy(c)
+    // A global-window lag would collapse to ONE partition. Range-partition on
+    // the timestamp and lag within partitions instead: fully parallel, and
+    // only numPartitions boundary diffs are lost — noise for the vote.
+    val parts = math.max(df.sparkSession.sparkContext.defaultParallelism, 4)
     val diffs = df.where(c.isNotNull)
-      .select(unix_micros(c.cast("timestamp")).as("us"),
-        year(c).as("y"), month(c).as("m"), dayofmonth(c).as("d"))
-      .withColumn("diff", col("us") - lag(col("us"), 1).over(Window.orderBy(col("us"))))
+      .select(unix_micros(c.cast("timestamp")).as("us"))
+      .repartitionByRange(parts, col("us"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("diff", col("us") -
+        lag(col("us"), 1).over(Window.partitionBy("pid").orderBy("us")))
       .where(col("diff").isNotNull)
     val counts = diffs.groupBy("diff").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc).limit(5).collect()

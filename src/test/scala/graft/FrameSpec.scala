@@ -105,6 +105,20 @@ class FrameSpec extends SparkSpec {
     assert(f.validateLogicalTypes()("email") == 1L)
   }
 
+  test("loc index lookup, typed unionAll, validMiColumns, withOptions") {
+    val f = fixture
+    assert(f.loc(2L).df.count() == 1)
+    assert(f.loc(1L).unionAll(f.loc(3L)).df.count() == 2)
+    intercept[IllegalArgumentException](f.unionAll(f.drop(Seq("email"))))
+    assert(f.validMiColumns.toSet == Set("color", "amount"))
+
+    val opts = graft.config.WwConfig.options.copy(categoricalThreshold = 0.9)
+    graft.config.WwConfig.withOptions(opts) {
+      assert(graft.config.WwConfig.options.categoricalThreshold == 0.9)
+    }
+    assert(graft.config.WwConfig.options.categoricalThreshold == 0.2)
+  }
+
   test("time index must be datetime or numeric") {
     val df = Seq(("x", 1L)).toDF("name", "t")
     intercept[IllegalArgumentException] {
