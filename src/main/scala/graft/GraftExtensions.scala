@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expressions.VectorDot
+
+/** Engine extension entry point: register native expressions with a session
+  * via `spark.sql.extensions=graft.GraftExtensions` (or
+  * `builder.withExtensions(new GraftExtensions)`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("ww_vector_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "ww_vector_dot"),
+      (children: Seq[Expression]) => VectorDot(children.head, children(1))))
+  }
+}

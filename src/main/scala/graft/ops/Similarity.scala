@@ -16,12 +16,24 @@ object Similarity {
   /** Elementwise double view of a float vector. */
   def asDouble(c: Column): Column = transform(c, x => x.cast(DoubleType))
 
-  /** Sequential-fold dot product — aggregate() folds in index order, so the
-    * result is bit-deterministic (and reproducible in engines whose list
-    * dot product also folds sequentially).
+  /** Sequential-accumulation dot product, bit-deterministic (and
+    * reproducible in engines whose list dot product also folds
+    * sequentially). Uses the native codegen'd [[graft.expressions.VectorDot]]
+    * when [[graft.GraftExtensions]] is installed in the session; falls back
+    * to the (interpreted) higher-order-function fold otherwise — identical
+    * arithmetic either way.
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    if (nativeDotAvailable)
+      call_function("ww_vector_dot", a, b)
+    else
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  private def nativeDotAvailable: Boolean =
+    try {
+      org.apache.spark.sql.SparkSession.active.catalog
+        .functionExists("ww_vector_dot")
+    } catch { case _: Throwable => false }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -73,12 +73,9 @@ object Describe {
     }
 
     val statRow = df.agg(aggExprs.head, aggExprs.tail: _*).head()
-    // exact nunique in its own agg: N count_distincts expand the scan ×N and
-    // interact badly with the imperative percentile buffers above
-    val nunExprs = cols.map { case (n, _) =>
-      (if (approx) approx_count_distinct(col(n)) else count_distinct(col(n))).as(n)
-    }
-    val nunRow = df.agg(nunExprs.head, nunExprs.tail: _*).head()
+    // exact nunique and mode BOTH come out of the single melt job below —
+    // one scan instead of an N-way count_distinct Expand plus a mode job
+    val (modes, nuniques) = meltStats(df, cols.map(_._1))
     // quartiles in their own agg: percentile is a TypedImperativeAggregate
     // and would push the whole wide agg above out of whole-stage codegen
     val numCols = cols.collect { case (n, cs) if cs.isNumeric => n }
@@ -92,10 +89,6 @@ object Describe {
           n -> (if (qRow.isNullAt(i)) null else qRow.getSeq[Double](i))
         }.toMap
       }
-    val modes = modesFor(df, cols.collect {
-      case (n, cs) if cs.isCategorical || cs.isBoolean || cs.isNumeric || cs.isDatetime => n
-    })
-
     val spark = df.sparkSession
     val out = cols.zipWithIndex.map { case ((n, cs), i) =>
       val s = statRow.getStruct(i)
@@ -108,7 +101,7 @@ object Describe {
         cs.logicalType.name,
         cs.allTags.toSeq.sorted.mkString(";"),
         cnt,
-        nunRow.getLong(i),
+        nuniques.getOrElse(n, 0L),
         total - cnt,
         dOpt(2), dOpt(3), dOpt(4),
         if (quart == null) null else quart(0),
@@ -151,8 +144,18 @@ object Describe {
     * statistics_utils/_get_mode.py:1-6). All columns in one melt job: values
     * are stacked as (column, value-as-string) pairs, counted, and ranked.
     */
-  def modesFor(df: DataFrame, cols: Seq[String]): Map[String, String] = {
-    if (cols.isEmpty) return Map.empty
+  def modesFor(df: DataFrame, cols: Seq[String]): Map[String, String] =
+    meltStats(df, cols)._1
+
+  /** One melt job for per-column mode AND exact nunique: stack (column,
+    * value-as-string) pairs, count groups, then take top-1 per column and
+    * the per-column group count in the same aggregation. Value stringification
+    * is injective for distinct atomic values, so group counts equal
+    * count(DISTINCT col).
+    */
+  def meltStats(df: DataFrame,
+                cols: Seq[String]): (Map[String, String], Map[String, Long]) = {
+    if (cols.isEmpty) return (Map.empty, Map.empty)
     val entries = cols.map(n =>
       struct(lit(n).as("column_name"), col(n).cast(StringType).as("value")))
     val melted = df.select(explode(array(entries: _*)).as("e"))
@@ -160,13 +163,14 @@ object Describe {
       .where(col("value").isNotNull)
     val w = Window.partitionBy("column_name")
       .orderBy(col("cnt").desc, col("value").asc)
-    melted.groupBy("column_name", "value").agg(count(lit(1)).as("cnt"))
+    val rows = melted.groupBy("column_name", "value").agg(count(lit(1)).as("cnt"))
       .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select("column_name", "value")
+      .groupBy("column_name")
+      .agg(max(when(col("rn") === 1, col("value"))).as("mode"),
+        count(lit(1)).as("nunique"))
       .collect()
-      .map(r => r.getString(0) -> r.getString(1))
-      .toMap
+    (rows.map(r => r.getString(0) -> r.getString(1)).toMap,
+      rows.map(r => r.getString(0) -> r.getLong(2)).toMap)
   }
 
   /** Equal-width histogram of a numeric column in `bins` buckets

@@ -107,9 +107,10 @@ object Outliers {
     * (reference: _get_box_plot_info_for_column.py:42-66
     * `_determine_coefficients`; exponents -4/3 for left, -3/4·sign pattern).
     */
-  def medcoupleBoxPlot(df: DataFrame, colName: String): BoxPlotInfo = {
+  def medcoupleBoxPlot(df: DataFrame, colName: String,
+                       knownMc: Option[Double] = None): BoxPlotInfo = {
     val (mn, q1, med, q3, mx) = quantiles(df, colName)
-    val mc = medcouple(df, colName)
+    val mc = knownMc.getOrElse(medcouple(df, colName))
     val iqr = q3 - q1
     val skew = df.agg(skewness(col(colName).cast(DoubleType))).head().getDouble(0)
     val cap = 3.5
@@ -128,7 +129,7 @@ object Outliers {
   def bestOutliers(df: DataFrame, colName: String, threshold: Double = 0.3): BoxPlotInfo = {
     val mc = medcouple(df, colName)
     if (math.abs(mc) < threshold) boxPlot(df, colName)
-    else medcoupleBoxPlot(df, colName)
+    else medcoupleBoxPlot(df, colName, knownMc = Some(mc))
   }
 
   /** Rows outside the box-plot bounds, as a DataFrame (distributed; use this

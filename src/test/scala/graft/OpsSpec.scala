@@ -116,6 +116,24 @@ class OpsSpec extends SparkSpec {
     assert(fps(0L).intersect(fps(1L)).nonEmpty) // near-dups share selected hashes
   }
 
+  test("native VectorDot matches the HOF fold bit-for-bit, handles nulls") {
+    assert(spark.catalog.functionExists("ww_vector_dot"))
+    val vecs = (0 until 100).map(i =>
+      (i.toLong, Array.tabulate(16)(j => (math.sin(i * 17 + j) * 10).toFloat)))
+      .toDF("id", "v")
+    val native = vecs.select(call_function("ww_vector_dot", col("v"), col("v")))
+      .collect().map(_.getDouble(0))
+    val hof = vecs.select(
+      aggregate(zip_with(col("v").cast("array<double>"), col("v").cast("array<double>"),
+        (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
+      .collect().map(_.getDouble(0))
+    assert(native.toSeq == hof.toSeq) // bit-identical sequential accumulation
+    val withNull = Seq((1L, Array[java.lang.Float](1.0f, null, 3.0f)))
+      .toDF("id", "v")
+      .select(call_function("ww_vector_dot", col("v"), col("v")))
+    assert(withNull.collect().head.isNullAt(0))
+  }
+
   test("multimodal: payload plumbing + deterministic stub features") {
     val withP = Multimodal.withPayload(docs, "text", "image", "image/jpeg")
     assert(withP.schema("payload").dataType.typeName == "binary")
