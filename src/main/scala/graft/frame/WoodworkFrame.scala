@@ -304,6 +304,52 @@ object WoodworkFrame {
     frame
   }
 
+  /** Standalone single-column init — the `init_series` analog
+    * (reference: accessor_utils.py:10-69): infer or apply a logical type to
+    * one column and return the coerced single-column frame + its schema.
+    */
+  def initColumn(df: DataFrame, colName: String,
+                 logicalType: Option[LogicalType] = None,
+                 semanticTags: Set[String] = Set.empty,
+                 description: Option[String] = None,
+                 origin: Option[String] = None): (DataFrame, WwColumnSchema) = {
+    val lt = logicalType.getOrElse(
+      TypeInference.inferTypes(df, Seq(colName)).apply(colName))
+    val cs = WwColumnSchema(lt, semanticTags, useStandardTags = true,
+      description, origin)
+    val out = df.select(
+      lt.transform(col(colName), df.schema(colName).dataType)
+        .as(colName, SchemaMetadata.columnMetadata(cs)))
+    (out, cs)
+  }
+
+  /** Structural schema validity check — the `get_invalid_schema_message`
+    * analog (reference: accessor_utils.py:84-145): names and physical types
+    * must line up; None = valid. No data scan.
+    */
+  def invalidSchemaMessage(df: DataFrame, schema: WwTableSchema): Option[String] = {
+    val dfCols = df.columns.toSeq
+    val scCols = schema.columns.keys.toSeq
+    if (dfCols != scCols)
+      Some(s"The columns of your DataFrame (${dfCols.mkString(",")}) do not " +
+        s"match the columns in the typing information (${scCols.mkString(",")})")
+    else {
+      schema.columns.collectFirst {
+        case (n, cs) if !compatiblePhysical(df.schema(n).dataType, cs.logicalType) =>
+          s"dtype mismatch for column $n: DataFrame has " +
+            s"${df.schema(n).dataType.simpleString}, " +
+            s"${cs.logicalType.name} expects ${cs.logicalType.sparkType.simpleString}"
+      }
+    }
+  }
+
+  private def compatiblePhysical(dt: org.apache.spark.sql.types.DataType,
+                                 lt: LogicalType): Boolean =
+    dt == lt.sparkType
+
+  def isSchemaValid(df: DataFrame, schema: WwTableSchema): Boolean =
+    invalidSchemaMessage(df, schema).isEmpty
+
   /** Recover a typed frame from a DataFrame whose StructField metadata already
     * carries ww typing (e.g. read back from parquet) without re-inference
     * (reference: deserializers/deserializer_base.py:26-145).

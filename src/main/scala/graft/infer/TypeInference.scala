@@ -36,22 +36,10 @@ object TypeInference {
 
   private val intRegex = "^\\s*[-+]?[0-9]+\\s*$"
 
-  /** Candidate timestamp formats tried when the default cast fails; mirrors
-    * the spirit of pandas' format guessing (reference: utils.py:595-650)
-    * without per-row python.
+  /** Shared multi-format timestamp parse — the same parser the Datetime
+    * coercion uses, so infer-as-Datetime implies coerces-as-Datetime.
     */
-  val datetimeFormats: Seq[String] = Seq(
-    "yyyy-MM-dd", "yyyy-MM-dd HH:mm:ss", "yyyy/MM/dd", "MM/dd/yyyy",
-    "MM-dd-yyyy", "dd/MM/yyyy", "yyyyMMdd", "MM/dd/yy", "dd-MMM-yyyy",
-    "MMM d, yyyy", "yyyy-MM-dd'T'HH:mm:ss")
-
-  /** Guarded timestamp parse: the length/first-char guard short-circuits the
-    * 12-format cascade for free-text columns (And short-circuits per row).
-    */
-  private def tsParse(s: Column): Column =
-    when(length(s).between(6, 35),
-      coalesce((s.try_cast(TimestampType) +:
-        datetimeFormats.map(f => try_to_timestamp(s, lit(f)))): _*))
+  private def tsParse(s: Column): Column = LogicalType.parseTimestamp(s)
 
   private def cnt(cond: Column): Column =
     coalesce(sum(when(cond, 1L)), lit(0L))

@@ -273,10 +273,30 @@ object LogicalType {
   }
 
   // ---------------------------------------------------------------- temporal
+  /** Candidate timestamp formats for format-free string parsing; mirrors the
+    * spirit of pandas' per-element format fallback
+    * (reference: utils.py:595-650 `_infer_datetime_format` + to_datetime's
+    * element-wise parse) without per-row python.
+    */
+  val datetimeFormats: Seq[String] = Seq(
+    "yyyy-MM-dd", "yyyy-MM-dd HH:mm:ss", "yyyy/MM/dd", "MM/dd/yyyy",
+    "MM-dd-yyyy", "dd/MM/yyyy", "yyyyMMdd", "MM/dd/yy", "dd-MMM-yyyy",
+    "MMM d, yyyy", "yyyy-MM-dd'T'HH:mm:ss")
+
+  /** Guarded multi-format timestamp parse shared by inference and coercion —
+    * a column that INFERS as Datetime must also COERCE under the same parser.
+    * The length guard short-circuits the format cascade for free text.
+    */
+  def parseTimestamp(s: Column): Column =
+    when(length(s).between(6, 35),
+      coalesce((s.try_cast(TimestampType) +:
+        datetimeFormats.map(f => try_to_timestamp(s, lit(f)))): _*))
+
   /** reference: logical_types.py:298-368. Spark TimestampType (session TZ
-    * UTC); explicit format via to_timestamp, otherwise try_cast coercion
-    * (errors="coerce" equivalent). Timezone is stripped by Spark's session-TZ
-    * normalization; the original tz string is kept as a param.
+    * UTC); explicit format via to_timestamp, otherwise the shared
+    * multi-format parse (errors="coerce" equivalent). Timezone is stripped by
+    * Spark's session-TZ normalization; the original tz string is kept as a
+    * param.
     */
   final case class Datetime(datetimeFormat: Option[String] = None,
                             timezone: Option[String] = None) extends LogicalType {
@@ -293,7 +313,7 @@ object LogicalType {
         val s = replaceNans(c, from).cast(StringType)
         datetimeFormat match {
           case Some(fmt) => try_to_timestamp(s, lit(fmt))
-          case None => s.try_cast(TimestampType)
+          case None => parseTimestamp(s)
         }
     }
   }

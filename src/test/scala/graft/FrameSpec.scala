@@ -119,6 +119,28 @@ class FrameSpec extends SparkSpec {
     assert(graft.config.WwConfig.options.categoricalThreshold == 0.2)
   }
 
+  test("initColumn infers/coerces one column; schema validity check") {
+    val df = Seq("1", "2", "3").toDF("n")
+    val (out, cs) = WoodworkFrame.initColumn(df, "n")
+    assert(cs.logicalType.name == "Integer")
+    assert(out.schema("n").dataType.typeName == "long")
+
+    val f = fixture
+    assert(WoodworkFrame.isSchemaValid(f.df, f.schema))
+    assert(WoodworkFrame.invalidSchemaMessage(f.df.drop("email"), f.schema).isDefined)
+    val retyped = f.df.withColumn("amount", col("amount").cast("string"))
+    assert(WoodworkFrame.invalidSchemaMessage(retyped, f.schema)
+      .exists(_.contains("dtype mismatch")))
+  }
+
+  test("multi-format datetime strings coerce under the same parser that infers them") {
+    val df = Seq("01/15/2024", "02/20/2024", "12/31/2023").toDF("d")
+    val f = WoodworkFrame.init(df)
+    assert(f.logicalTypes("d") == "Datetime")
+    assert(f.df.schema("d").dataType.typeName == "timestamp")
+    assert(f.df.where(col("d").isNull).count() == 0)
+  }
+
   test("time index must be datetime or numeric") {
     val df = Seq(("x", 1L)).toDF("name", "t")
     intercept[IllegalArgumentException] {
