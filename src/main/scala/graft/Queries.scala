@@ -36,8 +36,14 @@ object Queries {
     scala.collection.concurrent.TrieMap.empty[(String, String), WoodworkFrame]
 
   def typedTable(s: SparkSession, dir: String, name: String): WoodworkFrame =
-    frameCache.getOrElseUpdate((dir, name),
-      WoodworkFrame.init(table(s, dir, name)))
+    frameCache.getOrElseUpdate((dir, name), {
+      val f = WoodworkFrame.init(table(s, dir, name))
+      // working-set caching: these tables are re-scanned by many queries in
+      // one session; at the 100 TB scale you'd cache the columns/partitions
+      // of the working set, not the table — same API, deliberate choice
+      f.df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      f
+    })
 
   def lineitemFrame(s: SparkSession, dir: String): WoodworkFrame =
     typedTable(s, dir, "lineitem")

@@ -43,6 +43,21 @@ object Dependence {
     (norm, calc, calcMax)
   }
 
+  /** Run per-pair Spark jobs concurrently from the driver (Spark schedules
+    * concurrent jobs fine; each job is independent and writes to its own
+    * PairResult). Latency of k² small jobs drops from sum to ~max.
+    */
+  private def parallelJobs[A](items: Seq[A])(work: A => Unit): Unit = {
+    if (items.isEmpty) return
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(items.size, 8))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try Await.result(Future.sequence(items.map(i => Future(work(i)))), Duration.Inf)
+    finally pool.shutdown()
+  }
+
   final case class PairResult(
       col1: String, col2: String,
       sharedRows: Long, unionRows: Long,
@@ -186,7 +201,7 @@ object Dependence {
             r.spearman = v * r.sharedRows / r.unionRows
           }
         }
-        withNulls.foreach { r =>
+        parallelJobs(withNulls) { r =>
           val sub = prep.select(col(r.col1), col(r.col2))
             .where(col(r.col1).isNotNull && col(r.col2).isNotNull)
           val rr = sub
@@ -230,8 +245,9 @@ object Dependence {
               d.withColumn(s"bin__$n", col(n).cast(StringType))
           }
         }
-        results.filter(r => !dropped(r.col1) && !dropped(r.col2) &&
-          r.sharedRows >= minShared).foreach { r =>
+        val miPairs = results.filter(r => !dropped(r.col1) && !dropped(r.col2) &&
+          r.sharedRows >= minShared)
+        parallelJobs(miPairs) { r =>
           val ct = binned
             .where(col(s"bin__${r.col1}").isNotNull && col(s"bin__${r.col2}").isNotNull)
             .groupBy(s"bin__${r.col1}", s"bin__${r.col2}")

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.types.{LogicalType => LT}
+
+/** Property tests for the coercion kernels and sketch operators (SURVEY §5:
+  * idempotence of transforms, inference stability, sketch-vs-exact bounds).
+  */
+class PropertySpec extends SparkSpec {
+
+  /** Raw-ScalaCheck driver (the scalatest bridge isn't in the offline
+    * cache): sample `n` deterministic cases from a generator.
+    */
+  private def forSamples[A](gen: Gen[A], n: Int)(body: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(body)
+    }
+  import spark.implicits._
+
+  private val messyStrings: Gen[List[String]] = Gen.listOfN(12,
+    Gen.oneOf(
+      Gen.choose(-999999L, 999999L).map(_.toString),
+      Gen.choose(-1e6, 1e6).map(_.toString),
+      Gen.oneOf("yes", "no", "true", "false", "t", "f", "1", "0"),
+      Gen.oneOf("", " ", "N/A", "nan", "<NA>", "None"),
+      Gen.alphaNumStr.map(_.take(12)),
+      Gen.oneOf("2024-01-02", "01/15/2024", "not a date")))
+
+  test("property: transform is idempotent for every scalar logical type") {
+    val types = Seq[LT](LT.Double, LT.IntegerNullable, LT.Integer, LT.BooleanT,
+      LT.BooleanNullable, LT.Categorical, LT.EmailAddress, LT.URL,
+      LT.PostalCode, LT.AgeNullable, LT.Datetime(), LT.Unknown)
+    forSamples(messyStrings, 8) { values =>
+      if (values.nonEmpty) {
+        val df = values.toDF("c")
+        for (lt <- types) {
+          val once = df.select(lt.transform(col("c"), StringType).as("c"))
+          val twice = once.select(
+            lt.transform(col("c"), once.schema("c").dataType).as("c"))
+          assert(once.collect().toSeq == twice.collect().toSeq,
+            s"${lt.name} not idempotent on $values")
+        }
+      }
+    }
+  }
+
+  test("property: inference is deterministic across repeated runs") {
+    forSamples(messyStrings, 5) { values =>
+      if (values.nonEmpty) {
+        val df = values.toDF("c")
+        val a = infer.TypeInference.inferTypes(df, Seq("c"))("c")
+        val b = infer.TypeInference.inferTypes(df, Seq("c"))("c")
+        assert(a == b)
+      }
+    }
+  }
+
+  test("property: minhash signature equality for identical shingle sets") {
+    val textGen = Gen.listOfN(30, Gen.oneOf(
+      "alpha", "beta", "gamma", "delta", "epsilon", "zeta")).map(_.mkString(" "))
+    forSamples(textGen, 5) { text =>
+      val df = Seq((0L, text), (1L, text)).toDF("id", "text")
+      val sigs = ops.Dedup.minhashSignatures(df, "id", "text").collect()
+      assert(sigs.length == 2)
+      assert(sigs(0).toSeq.drop(1) == sigs(1).toSeq.drop(1))
+    }
+  }
+
+  test("property: winnowing fingerprints are order-stable and deterministic") {
+    val textGen = Gen.listOfN(20, Gen.identifier.map(_.take(6))).map(_.mkString(" "))
+    forSamples(textGen, 5) { text =>
+      val df = Seq((0L, text)).toDF("id", "text")
+      val a = df.select(ops.TextAnalysis.winnowingFingerprint(col("text")))
+        .collect().head.getSeq[Long](0)
+      val b = df.select(ops.TextAnalysis.winnowingFingerprint(col("text")))
+        .collect().head.getSeq[Long](0)
+      assert(a == b)
+      assert(a == a.sorted && a == a.distinct)
+    }
+  }
+
+  test("property: exact jaccard is symmetric and within [0,1]") {
+    val tg = Gen.listOfN(15, Gen.oneOf("a b c", "d e f", "a b d", "x y z"))
+      .map(_.mkString(" "))
+    forSamples(Gen.zip(tg, tg), 5) { case (t1, t2) =>
+      val df = Seq((0L, t1), (1L, t2)).toDF("id", "text")
+      val p = ops.Dedup.ngramJaccardPairs(df, "id", "text", threshold = -1)
+        .collect()
+      assert(p.length == 1)
+      val j = p.head.getAs[Double]("jaccard")
+      assert(j >= 0.0 && j <= 1.0)
+    }
+  }
+}
