@@ -147,6 +147,7 @@ object Oracles {
        | ${S.charCount("text")} AS char_count,
        | ${S.punctCount("text")} AS punct_count,
        | ${S.stopwordHits("text")} AS stopword_hits,
+       | ${S.bpeTokenCount("text")} AS bpe_token_count,
        | ${S.qualityScore("text")} AS quality_score
        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin
   }

@@ -269,6 +269,7 @@ object Queries {
         ops.TextAnalysis.charCount(c).as("char_count"),
         ops.TextAnalysis.punctCount(c).as("punct_count"),
         ops.TextAnalysis.stopwordHits(c).as("stopword_hits"),
+        ops.TextAnalysis.bpeTokenCount(c).as("bpe_token_count"),
         ops.TextAnalysis.qualityScore(c).as("quality_score"))
       .orderBy("doc_id")
   }
@@ -339,6 +340,17 @@ object Queries {
         round(col("spearman"), 4).as("spearman"),
         round(col("max"), 4).as("max"))
       .orderBy("column_1", "column_2")
+  }
+
+  /** IVF ANN: coarse k-means quantizer + nprobe cluster probing (rows-only:
+    * the quantizer is not ANSI-expressible; determinism comes from seeds).
+    */
+  def q36IvfAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val centroids = ops.Similarity.trainCentroids(emb, "embedding", k = 8)
+    ops.Similarity.ivfSearch(emb.where(col("vec_id") < 10), emb,
+      "vec_id", "embedding", centroids, nprobe = 3, threshold = 0.3)
+      .orderBy("query_id", "candidate_id")
   }
 
   /** loc row-lookup on the index + typed union (schema ops). */
@@ -421,6 +433,7 @@ object Queries {
     "q32_recent_values" -> (q32RecentValues _),
     "q33_int_range_counts" -> (q33IntRangeCounts _),
     "q34_dependence_max" -> (q34DependenceMax _),
-    "q35_loc_union" -> (q35LocUnion _)
+    "q35_loc_union" -> (q35LocUnion _),
+    "q36_ivf_ann" -> (q36IvfAnn _)
   )
 }

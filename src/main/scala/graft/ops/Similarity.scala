@@ -119,4 +119,88 @@ object Similarity {
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                         threshold: Double = 0.95): DataFrame =
     lshSearch(df, idCol, vecCol, dim, numPlanes = 8, threshold = threshold)
+
+  // ------------------------------------------------------------------ IVF
+  /** Coarse k-means centroids trained driver-side on a bounded sample
+    * (Lloyd iterations on ≤sampleSize vectors — the classic IVF quantizer
+    * training shape; the full data never leaves executors).
+    */
+  def trainCentroids(df: DataFrame, vecCol: String, k: Int = 16,
+                     sampleSize: Int = 2000, iters: Int = 10,
+                     seed: Long = 42L): Array[Array[Double]] = {
+    val total = df.count()
+    val frac = math.min(1.0, sampleSize.toDouble / math.max(total, 1))
+    val sample = df.select(asDouble(col(vecCol)).as("v"))
+      .sample(withReplacement = false, frac, seed)
+      .limit(sampleSize).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty sample for IVF training")
+    val dim = sample.head.length
+    val rnd = new java.util.Random(seed)
+    var centroids = Array.fill(k)(sample(rnd.nextInt(sample.length)).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val cnts = new Array[Long](k)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        cnts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(k)(c =>
+        if (cnts(c) == 0) centroids(c)
+        else sums(c).map(_ / cnts(c)))
+    }
+    centroids
+  }
+
+  /** Distance rank expression: array of (squared-distance-proxy, cluster)
+    * structs sorted ascending — proxy is ‖c‖² − 2·v·c (the ‖v‖² term is
+    * constant per row).
+    */
+  private def distStructs(v: Column, centroids: Array[Array[Double]]): Column =
+    array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
+      val cc = c.map(x => x * x).sum
+      struct((lit(cc) - dot(v, lit(c)) * 2).as("d"), lit(i).as("cluster"))
+    }: _*))
+
+  /** IVF assignment: each vector goes to its nearest coarse centroid — one
+    * codegen'd projection, no shuffle.
+    */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+                centroids: Array[Array[Double]]): DataFrame =
+    df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("cluster",
+        element_at(distStructs(col("v"), centroids), 1).getField("cluster"))
+
+  /** IVF ANN search: queries probe their `nprobe` nearest centroid lists and
+    * score only vectors in those lists. The probe-list join shuffles on the
+    * cluster id — candidate volume is data/k·nprobe per query, never the full
+    * cross product. This is the scale path next to [[lshSearch]].
+    */
+  def ivfSearch(queries: DataFrame, candidates: DataFrame,
+                idCol: String, vecCol: String,
+                centroids: Array[Array[Double]],
+                nprobe: Int = 2, threshold: Double = 0.3): DataFrame = {
+    val index = ivfAssign(candidates, idCol, vecCol, centroids)
+      .select(col("id").as("candidate_id"), col("v").as("cv"),
+        col("cluster").as("c_cluster"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("probe", explode(slice(
+        distStructs(col("qv"), centroids), 1, nprobe).getField("cluster")))
+    broadcast(probes)
+      .join(index, col("probe") === col("c_cluster") &&
+        col("query_id") =!= col("candidate_id"))
+      .select(col("query_id"), col("candidate_id"),
+        round(cosine(col("qv"), col("cv")), 4).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
 }

@@ -37,6 +37,18 @@ object TextAnalysis {
 
   def tokenCount(c: Column): Column = size(tokens(c)).cast(LongType)
 
+  /** BPE-style pre-tokenizer regex (GPT-2 family shape, RE2-compatible so
+    * the identical pattern runs in any regex engine): letter runs, digit
+    * runs, punctuation runs, each with optional leading space.
+    */
+  val BpeTokenRegex = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+
+  /** Token count under the BPE-ish pre-tokenizer — the cheap proxy for "how
+    * many LLM tokens is this document".
+    */
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(BpeTokenRegex), lit(0))).cast(LongType)
+
   def charCount(c: Column): Column = length(c).cast(LongType)
 
   /** Count of punctuation characters, as the length delta under removal (the
@@ -126,6 +138,8 @@ object TextAnalysis {
   object Sql {
     def toks(e: String) = s"regexp_extract_all(lower($e), '\\S+')"
     def tokenCount(e: String) = s"CAST(length(${toks(e)}) AS BIGINT)"
+    def bpeTokenCount(e: String) =
+      s"CAST(length(regexp_extract_all($e, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS BIGINT)"
     def charCount(e: String) = s"CAST(length($e) AS BIGINT)"
     def punctCount(e: String) =
       s"CAST(length($e) - length(regexp_replace($e, '[.,!?;:]', '', 'g')) AS BIGINT)"

@@ -43,6 +43,39 @@ object Dependence {
     (norm, calc, calcMax)
   }
 
+  /** Distributed average-rank lookup table (value → avg rank) for one
+    * column. Shape: per-value counts (one shuffle) → range partition by
+    * value → per-partition cumulative counts (parallel windows) + partition
+    * offsets computed from P driver-side scalars. Equal values land in one
+    * range partition, so tie groups never split. Produces exactly the
+    * classic `rank() + (count_same-1)/2` average ranks without the
+    * single-partition global-sort window.
+    */
+  private[stats] def avgRankTable(df: DataFrame, v: String): DataFrame = {
+    val spark = df.sparkSession
+    val parts = math.max(spark.sparkContext.defaultParallelism, 4)
+    val counts = df.where(col(v).isNotNull)
+      .groupBy(col(v).as("__v")).agg(count(lit(1)).as("__c"))
+      .repartitionByRange(parts, col("__v"))
+      .withColumn("__pid", spark_partition_id())
+      .cache()
+    val partSums = counts.groupBy("__pid").agg(sum("__c").as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // prefix sums: offset(p) = Σ counts of partitions < p (P driver scalars)
+    val sortedPids = partSums.keys.toSeq.sorted
+    val prefix = sortedPids.scanLeft(0L)((acc, p) => acc + partSums(p))
+    val offsetOf = sortedPids.zip(prefix).toMap
+    val offExpr = sortedPids.foldLeft(lit(0L)) { (acc, p) =>
+      when(col("__pid") === p, lit(offsetOf(p))).otherwise(acc)
+    }
+    val w = Window.partitionBy("__pid").orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    counts
+      .withColumn("__cumLess", coalesce(sum(col("__c")).over(w), lit(0L)))
+      .select(col("__v"),
+        (col("__cumLess") + offExpr + (col("__c") + 1) / 2.0).as("__avg_rank"))
+  }
+
   /** Run per-pair Spark jobs concurrently from the driver (Spark schedules
     * concurrent jobs fine; each job is independent and writes to its own
     * PairResult). Latency of k² small jobs drops from sum to ~max.
@@ -177,13 +210,12 @@ object Dependence {
       // ---- spearman
       if (calcOrder.contains("spearman")) {
         val spCols = allCols.filter(validFor("spearman")).filterNot(dropped)
-        // global average-ranks valid for null-free pairs
+        // distributed average-ranks (never a single-partition global sort),
+        // joined back by value — valid for null-free pairs
         val ranked = spCols.foldLeft(prep) { (d, n) =>
-          val wRank = Window.orderBy(col(n))
-          val cntSame = Window.partitionBy(col(n))
-          d.withColumn(s"rk__$n",
-            when(col(n).isNotNull,
-              rank().over(wRank) + (count(lit(1)).over(cntSame) - 1) / 2.0))
+          val rt = avgRankTable(prep, n)
+          d.join(rt, d(n) === rt("__v"), "left")
+            .drop("__v").withColumnRenamed("__avg_rank", s"rk__$n")
         }
         val spPairs = results.filter(r =>
           spCols.contains(r.col1) && spCols.contains(r.col2) &&
@@ -202,13 +234,16 @@ object Dependence {
           }
         }
         parallelJobs(withNulls) { r =>
+          // ranks on the pair's shared rows, same distributed rank shape
           val sub = prep.select(col(r.col1), col(r.col2))
             .where(col(r.col1).isNotNull && col(r.col2).isNotNull)
+          val ra = avgRankTable(sub, r.col1)
+            .withColumnRenamed("__avg_rank", "ra").withColumnRenamed("__v", "__va")
+          val rb = avgRankTable(sub, r.col2)
+            .withColumnRenamed("__avg_rank", "rb").withColumnRenamed("__v", "__vb")
           val rr = sub
-            .withColumn("ra", rank().over(Window.orderBy(col(r.col1))) +
-              (count(lit(1)).over(Window.partitionBy(col(r.col1))) - 1) / 2.0)
-            .withColumn("rb", rank().over(Window.orderBy(col(r.col2))) +
-              (count(lit(1)).over(Window.partitionBy(col(r.col2))) - 1) / 2.0)
+            .join(ra, col(r.col1) === col("__va"))
+            .join(rb, col(r.col2) === col("__vb"))
             .agg(corr(col("ra"), col("rb"))).head()
           val v = if (rr.isNullAt(0)) Double.NaN else rr.getDouble(0)
           r.spearman = v * r.sharedRows / r.unionRows

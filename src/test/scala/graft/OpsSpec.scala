@@ -81,6 +81,27 @@ class OpsSpec extends SparkSpec {
     assert(found.count() > 0)
   }
 
+  test("IVF: clustered vectors recover their cluster-mates; bpe token count") {
+    val base = (0 until 60).map { i =>
+      val cluster = i % 3
+      (i.toLong, Array.tabulate(8)(j =>
+        (cluster * 50 + j + (i % 7) * 0.01).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(base, "embedding", k = 3, sampleSize = 60)
+    assert(cents.length == 3)
+    val found = Similarity.ivfSearch(base.where(col("vec_id") < 3), base,
+      "vec_id", "embedding", cents, nprobe = 1, threshold = 0.999)
+    // same-cluster vectors are near-parallel → found; cross-cluster excluded
+    val pairs = found.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (q, c) => (q % 3) == (c % 3) })
+
+    val bpe = Seq("Hello, world! 42 tokens?").toDF("t")
+      .select(TextAnalysis.bpeTokenCount(col("t"))).head().getLong(0)
+    // "Hello" "," " world" "!" " 42" " tokens" "?" = 7
+    assert(bpe == 7L)
+  }
+
   test("centroidNorms: identical vectors → norm of the vector") {
     val vecs = Seq((0, Array(3.0f, 4.0f)), (0, Array(3.0f, 4.0f)))
       .toDF("label", "embedding")
