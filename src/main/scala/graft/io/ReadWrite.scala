@@ -150,23 +150,86 @@ object ReadWrite {
     }
     val index = """"index"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(json).map(_.group(1))
     val timeIndex = """"time_index"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(json).map(_.group(1))
-    val colRe =
-      ("""\{"name":\s*"((?:[^"\\]|\\.)*)",\s*"ordinal":\s*(\d+),\s*""" +
-        """"logical_type":\s*\{"parameters":\s*\{(.*?)\},\s*"type":\s*"([^"]+)"\}.*?""" +
-        """"semantic_tags":\s*\[(.*?)\],\s*"use_standard_tags":\s*(true|false)""").r
-    val cols = colRe.findAllMatchIn(json).map { m =>
-      val name = m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
-      val params = SchemaMetadata.parseJsonMap(s"{${m.group(3)}}")
-      val ltName = m.group(4)
-      val tags = """"([^"]+)"""".r.findAllMatchIn(m.group(5)).map(_.group(1)).toSet
+
+    // split column_typing_info into balanced-brace objects, then extract each
+    // field independently — field ORDER differs between our serializer and
+    // the reference's python dict ordering, so no whole-object regex.
+    val arrStart = json.indexOf("\"column_typing_info\"")
+    require(arrStart >= 0, "typing info JSON missing column_typing_info")
+    val objs = scala.collection.mutable.ListBuffer.empty[String]
+    var i = json.indexOf('[', arrStart) + 1
+    var depth = 0
+    var objStart = -1
+    var inStr = false
+    var done = false
+    while (i < json.length && !done) {
+      val ch = json.charAt(i)
+      if (inStr) { if (ch == '\\') i += 1 else if (ch == '"') inStr = false }
+      else ch match {
+        case '"' => inStr = true
+        case '{' => if (depth == 0) objStart = i; depth += 1
+        case '}' =>
+          depth -= 1
+          if (depth == 0) { objs += json.substring(objStart, i + 1) }
+        case ']' => if (depth == 0) done = true
+        case _ =>
+      }
+      i += 1
+    }
+
+    def strField(obj: String, key: String): Option[String] =
+      (s""""$key"\\s*:\\s*"((?:[^"\\\\]|\\\\.)*)"""").r
+        .findFirstMatchIn(obj).map(_.group(1)
+          .replace("\\\"", "\"").replace("\\\\", "\\"))
+
+    // balanced-brace sub-object for a key (nested dicts break naive regexes)
+    def subObject(obj: String, key: String): Option[String] = {
+      val idx = obj.indexOf("\"" + key + "\"")
+      if (idx < 0) return None
+      val start = obj.indexOf('{', idx)
+      if (start < 0) return None
+      var d = 0; var j = start; var inS = false
+      var res: Option[String] = None
+      while (j < obj.length && res.isEmpty) {
+        val ch = obj.charAt(j)
+        if (inS) { if (ch == '\\') j += 1 else if (ch == '"') inS = false }
+        else ch match {
+          case '"' => inS = true
+          case '{' => d += 1
+          case '}' => d -= 1; if (d == 0) res = Some(obj.substring(start, j + 1))
+          case _ =>
+        }
+        j += 1
+      }
+      res
+    }
+    val cols = objs.toSeq.map { obj =>
+      val name = strField(obj, "name").getOrElse(
+        throw new IllegalArgumentException(s"column object missing name: $obj"))
+      val ordinal = """"ordinal"\s*:\s*(\d+)""".r
+        .findFirstMatchIn(obj).map(_.group(1).toInt).getOrElse(0)
+      val lt = subObject(obj, "logical_type").getOrElse("{}")
+      val ltName = """"type"\s*:\s*"([^"]+)"""".r
+        .findFirstMatchIn(lt).map(_.group(1)).getOrElse("Unknown")
+      val params = subObject(lt, "parameters")
+        .map(SchemaMetadata.parseJsonMap)
+        .getOrElse(Map.empty[String, String])
+      val tags = """"semantic_tags"\s*:\s*\[(.*?)\]""".r
+        .findFirstMatchIn(obj)
+        .map(m => """"([^"]+)"""".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSet)
+        .getOrElse(Set.empty[String])
+      val ust = """"use_standard_tags"\s*:\s*(true|false)""".r
+        .findFirstMatchIn(obj).forall(_.group(1).toBoolean)
       val sysTags =
         (if (index.contains(name)) Set("index") else Set.empty[String]) ++
           (if (timeIndex.contains(name)) Set("time_index") else Set.empty[String])
-      (m.group(2).toInt, name, WwColumnSchema(
+      (ordinal, name, WwColumnSchema(
         logicalType = LogicalType.fromString(ltName, params),
         semanticTags = tags ++ sysTags,
-        useStandardTags = m.group(6).toBoolean))
-    }.toSeq.sortBy(_._1)
+        useStandardTags = ust,
+        description = strField(obj, "description"),
+        origin = strField(obj, "origin")))
+    }.sortBy(_._1)
     WwTableSchema(ListMap(cols.map(c => c._2 -> c._3): _*))
   }
 }

@@ -70,16 +70,22 @@ object Outliers {
     medcoupleKernel(values)
   }
 
+  /** Naive medcouple kernel with the exact tie handling of the Hubert &
+    * Vandervieren algorithm as implemented by statsmodels (the reference
+    * calls that implementation, _medcouple_implementation.py:4-39): for the
+    * k observations equal to the median, the k×k tie block takes the signum
+    * matrix sign(r + c - (k-1)) instead of 0/0 divisions.
+    */
   private[graft] def medcoupleKernel(sorted: Array[Double]): Double = {
     val n = sorted.length
     if (n < 3) return 0.0
     val med =
       if (n % 2 == 1) sorted(n / 2)
       else (sorted(n / 2 - 1) + sorted(n / 2)) / 2.0
-    val lower = sorted.filter(_ <= med)
-    val upper = sorted.filter(_ >= med)
-    // primitive preallocated array: the n²/4 kernel values would box through
-    // an ArrayBuffer[Double]
+    val lower = sorted.filter(_ <= med) // ascending: negatives then med-ties
+    val upper = sorted.filter(_ >= med) // ascending: med-ties then positives
+    val ties = sorted.count(_ == med)
+    val tieColStart = lower.length - ties // med-ties are the tail of lower
     val arr = new Array[Double](lower.length * upper.length)
     var k = 0
     var i = 0
@@ -88,8 +94,14 @@ object Outliers {
       var j = 0
       while (j < upper.length) {
         val xj = upper(j)
-        // ties at the median use the signum kernel (standard definition) = 0
-        arr(k) = if (xj != xi) ((xj - med) - (med - xi)) / (xj - xi) else 0.0
+        arr(k) =
+          if (xi == med && xj == med) {
+            // signum tie block: rows are upper's tie indices, cols are the
+            // last `ties` indices of lower, value = sign(r + c - (ties-1))
+            val r = j
+            val c = i - tieColStart
+            java.lang.Math.signum(r + c - (ties - 1).toDouble)
+          } else ((xj - med) - (med - xi)) / (xj - xi)
         k += 1
         j += 1
       }

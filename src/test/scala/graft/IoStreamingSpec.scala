@@ -46,6 +46,32 @@ class IoStreamingSpec extends SparkSpec {
     assert(schema.index.contains("id"))
   }
 
+  test("parses reference-ordered typing JSON (python dict field order)") {
+    // the reference serializer emits use_standard_tags BEFORE logical_type
+    // and parameters BEFORE type (serializer_base.py:157-173)
+    val json =
+      """{
+        | "schema_version": "12.0.0", "name": "t", "index": "id",
+        | "time_index": null,
+        | "column_typing_info": [
+        |  {"name": "id", "ordinal": 0, "use_standard_tags": true,
+        |   "logical_type": {"parameters": {}, "type": "Integer"},
+        |   "physical_type": {"type": "int64"}, "semantic_tags": ["index"],
+        |   "description": null, "origin": null, "metadata": {}},
+        |  {"name": "lvl", "ordinal": 1, "use_standard_tags": true,
+        |   "logical_type": {"parameters": {"order": "ab"}, "type": "Ordinal"},
+        |   "physical_type": {"type": "category"}, "semantic_tags": ["category"],
+        |   "description": "levels", "origin": "base", "metadata": {}}
+        | ],
+        | "loading_info": {"table_type": "pandas"}, "table_metadata": {}}""".stripMargin
+    val schema = ReadWrite.typingInfoFromJson(json)
+    assert(schema.columns.keys.toSeq == Seq("id", "lvl"))
+    assert(schema("id").logicalType == LT.Integer)
+    assert(schema.index.contains("id"))
+    assert(schema("lvl").logicalType == LT.Ordinal(Seq("a", "b")))
+    assert(schema("lvl").description.contains("levels"))
+  }
+
   test("readFile csv infers types") {
     val dir = java.nio.file.Files.createTempDirectory("wwread").toString
     Seq(("1", "yes"), ("2", "no")).toDF("n", "flag")

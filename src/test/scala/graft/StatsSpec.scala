@@ -104,9 +104,10 @@ class StatsSpec extends SparkSpec {
   test("medcouple kernel: 0 for symmetric, positive for right skew") {
     val sym = Array(1.0, 2.0, 3.0, 4.0, 5.0)
     assert(math.abs(Outliers.medcoupleKernel(sym)) < 1e-12)
-    // ground truth 1/6 computed with the standard naive kernel
+    // ground truth 1/3 computed with the statsmodels algorithm (signum tie
+    // block at the median), which the reference delegates to
     val skewed = Array(1.0, 1.0, 2.0, 2.0, 3.0, 3.0, 4.0, 5.0, 10.0, 50.0)
-    assert(math.abs(Outliers.medcoupleKernel(skewed) - 1.0 / 6.0) < 1e-12)
+    assert(math.abs(Outliers.medcoupleKernel(skewed) - 1.0 / 3.0) < 1e-12)
   }
 
   test("frequency inference: daily series → D; gap report finds the hole") {
