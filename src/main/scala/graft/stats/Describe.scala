@@ -41,10 +41,6 @@ object Describe {
       }
     require(cols.nonEmpty, "No columns to describe")
 
-    def pct(c: Column, ps: Seq[Double]): Column =
-      if (approx) percentile_approx(c, lit(ps.toArray), lit(10000))
-      else percentile(c, lit(ps.toArray))
-
     val aggExprs: Seq[Column] = cols.map { case (n, cs) =>
       val c = col(n)
       val dt = df.schema(n).dataType
@@ -73,17 +69,28 @@ object Describe {
     }
 
     val statRow = df.agg(aggExprs.head, aggExprs.tail: _*).head()
-    // exact nunique and mode BOTH come out of the single melt job below —
-    // one scan instead of an N-way count_distinct Expand plus a mode job
-    val (modes, nuniques) = meltStats(df, cols.map(_._1))
-    // quartiles in their own agg: percentile is a TypedImperativeAggregate
-    // and would push the whole wide agg above out of whole-stage codegen
     val numCols = cols.collect { case (n, cs) if cs.isNumeric => n }
+    val nonNullOf: Map[String, Long] = cols.zipWithIndex.map { case ((n, _), i) =>
+      n -> statRow.getStruct(i).getLong(1)
+    }.toMap
+    // exact nunique, mode AND exact quartiles all come out of the single
+    // melt job below: one (column,value) shuffle instead of a count_distinct
+    // Expand + a percentile ObjectHashAggregate (whose final merge holds
+    // every distinct value in one process — a non-starter at 100 TB)
+    val quartileTargets: Map[String, Seq[Double]] =
+      if (approx) Map.empty
+      else numCols.filter(n => nonNullOf(n) > 0).map { n =>
+        n -> Seq(0.25, 0.5, 0.75).map(p => p * (nonNullOf(n) - 1))
+      }.toMap
+    val (modes, nuniques, exactQuartiles) =
+      meltStatsFull(df, cols.map(_._1), quartileTargets)
     val quartiles: Map[String, Seq[Double]] =
-      if (numCols.isEmpty) Map.empty
+      if (!approx) exactQuartiles
+      else if (numCols.isEmpty) Map.empty
       else {
         val qExprs = numCols.map(n =>
-          pct(col(n).cast(DoubleType), Seq(0.25, 0.5, 0.75)).as(n))
+          percentile_approx(col(n).cast(DoubleType),
+            lit(Array(0.25, 0.5, 0.75)), lit(10000)).as(n))
         val qRow = df.agg(qExprs.head, qExprs.tail: _*).head()
         numCols.zipWithIndex.map { case (n, i) =>
           n -> (if (qRow.isNullAt(i)) null else qRow.getSeq[Double](i))
@@ -145,32 +152,111 @@ object Describe {
     * are stacked as (column, value-as-string) pairs, counted, and ranked.
     */
   def modesFor(df: DataFrame, cols: Seq[String]): Map[String, String] =
-    meltStats(df, cols)._1
+    meltStatsFull(df, cols, Map.empty)._1
 
-  /** One melt job for per-column mode AND exact nunique: stack (column,
-    * value-as-string) pairs, count groups, then take top-1 per column and
-    * the per-column group count in the same aggregation. Value stringification
-    * is injective for distinct atomic values, so group counts equal
-    * count(DISTINCT col).
-    */
   def meltStats(df: DataFrame,
                 cols: Seq[String]): (Map[String, String], Map[String, Long]) = {
-    if (cols.isEmpty) return (Map.empty, Map.empty)
-    val entries = cols.map(n =>
-      struct(lit(n).as("column_name"), col(n).cast(StringType).as("value")))
-    val melted = df.select(explode(array(entries: _*)).as("e"))
-      .select(col("e.column_name"), col("e.value"))
+    val r = meltStatsFull(df, cols, Map.empty)
+    (r._1, r._2)
+  }
+
+  /** ONE melt job feeding three statistics:
+    *
+    *   - mode per column: `min(struct(-cnt, value))` over the value groups —
+    *     max count with smallest-value tie-break (pandas `mode()[0]`), no
+    *     skewed per-column window sort;
+    *   - exact nunique: the group count (value stringification is injective
+    *     for atomic types, so groups = distinct values);
+    *   - exact quartiles: order statistics over the (value, count) groups via
+    *     range-partitioned per-partition prefix sums + driver-side partition
+    *     offsets — never a global sort, never a single process holding every
+    *     distinct value (which is what `percentile`'s final merge does).
+    *
+    * `targets` maps numeric columns to fractional order-statistic positions
+    * (p·(n−1)); interpolation matches SQL `percentile`:
+    * v_lo·(⌈pos⌉−pos) + v_hi·(pos−⌊pos⌋).
+    */
+  def meltStatsFull(df: DataFrame, cols: Seq[String],
+                    targets: Map[String, Seq[Double]])
+      : (Map[String, String], Map[String, Long], Map[String, Seq[Double]]) = {
+    if (cols.isEmpty) return (Map.empty, Map.empty, Map.empty)
+    val entries = cols.map { n =>
+      val vnum =
+        if (targets.contains(n)) col(n).cast(DoubleType)
+        else lit(null).cast(DoubleType)
+      struct(lit(n).as("column_name"), col(n).cast(StringType).as("value"),
+        vnum.as("value_num"))
+    }
+    val groups = df.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.column_name"), col("e.value"), col("e.value_num"))
       .where(col("value").isNotNull)
-    val w = Window.partitionBy("column_name")
-      .orderBy(col("cnt").desc, col("value").asc)
-    val rows = melted.groupBy("column_name", "value").agg(count(lit(1)).as("cnt"))
-      .withColumn("rn", row_number().over(w))
-      .groupBy("column_name")
-      .agg(max(when(col("rn") === 1, col("value"))).as("mode"),
-        count(lit(1)).as("nunique"))
-      .collect()
-    (rows.map(r => r.getString(0) -> r.getString(1)).toMap,
-      rows.map(r => r.getString(0) -> r.getLong(2)).toMap)
+      .groupBy("column_name", "value")
+      .agg(count(lit(1)).as("cnt"), first("value_num").as("value_num"))
+      .cache()
+    try {
+      val topRows = groups.groupBy("column_name")
+        .agg(min(struct((-col("cnt")).as("negCnt"), col("value"))).as("top"),
+          count(lit(1)).as("nunique"))
+        .collect()
+      val modes = topRows.map(r => r.getString(0) -> r.getStruct(1).getString(1)).toMap
+      val nuniques = topRows.map(r => r.getString(0) -> r.getLong(2)).toMap
+
+      val quartiles: Map[String, Seq[Double]] =
+        if (targets.isEmpty) Map.empty
+        else {
+          val parts = math.max(df.sparkSession.sparkContext.defaultParallelism, 4)
+          val gn = groups.where(col("value_num").isNotNull)
+            .repartitionByRange(parts, col("column_name"), col("value_num"))
+            .withColumn("pid", spark_partition_id())
+            .cache()
+          try {
+            // per-(column, partition) totals → per-column prefix offsets
+            val partSums = gn.groupBy("column_name", "pid")
+              .agg(sum("cnt").as("s")).collect()
+              .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+            val offsetOf: Map[(String, Int), Long] = targets.keys.flatMap { c =>
+              val pids = partSums.keys.collect { case (`c`, p) => p }.toSeq.sorted
+              val prefix = pids.scanLeft(0L)((acc, p) => acc + partSums((c, p)))
+              pids.zip(prefix).map { case (p, off) => (c, p) -> off }
+            }.toMap
+            val offExpr = offsetOf.foldLeft(lit(0L)) { case (acc, ((c, p), off)) =>
+              when(col("column_name") === c && col("pid") === p, lit(off))
+                .otherwise(acc)
+            }
+            val w = Window.partitionBy("column_name", "pid")
+              .orderBy(col("value_num"))
+              .rowsBetween(Window.unboundedPreceding, -1)
+            val cum = gn
+              .withColumn("cumLess",
+                coalesce(sum(col("cnt")).over(w), lit(0L)) + offExpr)
+            // rows covering any target index (≤ 6 rows per column)
+            val idxWanted: Map[String, Seq[Long]] = targets.map { case (c, ps) =>
+              c -> ps.flatMap(p =>
+                Seq(math.floor(p).toLong, math.ceil(p).toLong)).distinct
+            }
+            val cond = idxWanted.flatMap { case (c, idxs) =>
+              idxs.map(ix => col("column_name") === c &&
+                col("cumLess") <= ix && lit(ix) < col("cumLess") + col("cnt"))
+            }.reduce(_ || _)
+            val hits = cum.where(cond)
+              .select("column_name", "value_num", "cumLess", "cnt").collect()
+              .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+            def valueAt(c: String, ix: Long): Double =
+              hits.collectFirst {
+                case (`c`, v, lo, cnt) if lo <= ix && ix < lo + cnt => v
+              }.getOrElse(Double.NaN)
+            targets.map { case (c, ps) =>
+              c -> ps.map { pos =>
+                val lo = math.floor(pos).toLong
+                val hi = math.ceil(pos).toLong
+                if (lo == hi) valueAt(c, lo)
+                else valueAt(c, lo) * (hi - pos) + valueAt(c, hi) * (pos - lo)
+              }
+            }
+          } finally gn.unpersist()
+        }
+      (modes, nuniques, quartiles)
+    } finally groups.unpersist()
   }
 
   /** Equal-width histogram of a numeric column in `bins` buckets
