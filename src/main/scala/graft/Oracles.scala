@@ -196,6 +196,21 @@ object Oracles {
       |FROM customer WHERE c_nationkey IS NOT NULL
       |GROUP BY 1 ORDER BY "count" DESC, value ASC LIMIT 30""".stripMargin
 
+  val q37: String =
+    """SELECT 'o_orderdate' AS column_name, count(o_orderdate) AS cnt,
+      | count(DISTINCT o_orderdate) AS nunique,
+      | count(*) - count(o_orderdate) AS nan_count,
+      | CAST(min(o_orderdate) AS TIMESTAMP) AS min_datetime,
+      | CAST(max(o_orderdate) AS TIMESTAMP) AS max_datetime
+      |FROM orders""".stripMargin
+
+  val q38: String =
+    """SELECT 'c_custkey' AS column_name, CAST(0 AS BIGINT) AS invalid_count
+      |UNION ALL
+      |SELECT 'email_dirty', count(*) FILTER (WHERE c_custkey % 10 <> 0)
+      |FROM customer
+      |ORDER BY column_name""".stripMargin
+
   val q35: String =
     """SELECT c_custkey, c_name, c_acctbal FROM customer
       |WHERE c_custkey IN (1, 2) ORDER BY c_custkey""".stripMargin
@@ -225,7 +240,9 @@ object Oracles {
       "q31_top_values" -> q31,
       "q32_recent_values" -> q32,
       "q33_int_range_counts" -> q33,
-      "q35_loc_union" -> q35)
+      "q35_loc_union" -> q35,
+      "q37_describe_datetime" -> q37,
+      "q38_validate_types" -> q38)
     base ++ q09Literal.map("q09_infer_types" -> _)
   }
 }

@@ -353,6 +353,31 @@ object Queries {
       .orderBy("query_id", "candidate_id")
   }
 
+  /** describe() on datetime columns: exact min/max/count/nunique. */
+  def q37DescribeDatetime(s: SparkSession, dir: String): DataFrame = {
+    val f = typedTable(s, dir, "orders")
+    stats.Describe.describe(f, include = Seq("Datetime"))
+      .select(col("column_name"), col("count").as("cnt"), col("nunique"),
+        col("nan_count"), col("min_datetime"), col("max_datetime"))
+      .orderBy("column_name")
+  }
+
+  /** validate_logical_types: per-column invalid-value counts. */
+  def q38ValidateTypes(s: SparkSession, dir: String): DataFrame = {
+    val cust = table(s, dir, "customer")
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 10 === 0,
+          concat(lit("user"), col("c_custkey"), lit("@example.com")))
+          .otherwise(col("c_name")).as("email_dirty"))
+    val f = WoodworkFrame.init(cust,
+      logicalTypes = Map("email_dirty" -> LogicalType.EmailAddress),
+      coerce = false)
+    val invalid = f.validateLogicalTypes()
+    import s.implicits._
+    invalid.toSeq.map { case (n, c) => (n, c) }.sortBy(_._1)
+      .toDF("column_name", "invalid_count")
+  }
+
   /** loc row-lookup on the index + typed union (schema ops). */
   def q35LocUnion(s: SparkSession, dir: String): DataFrame = {
     val f = WoodworkFrame.init(table(s, dir, "customer"), index = Some("c_custkey"))
@@ -434,6 +459,8 @@ object Queries {
     "q33_int_range_counts" -> (q33IntRangeCounts _),
     "q34_dependence_max" -> (q34DependenceMax _),
     "q35_loc_union" -> (q35LocUnion _),
-    "q36_ivf_ann" -> (q36IvfAnn _)
+    "q36_ivf_ann" -> (q36IvfAnn _),
+    "q37_describe_datetime" -> (q37DescribeDatetime _),
+    "q38_validate_types" -> (q38ValidateTypes _)
   )
 }

@@ -128,8 +128,13 @@ object Dependence {
       "Not enough valid columns to measure dependence")
 
     // numeric working view: bool→int, datetime→epoch, ordinal→rank
+    // row sampling (reference: _get_dependence_dict.py:163-165 nrows) —
+    // Bernoulli fraction, not limit(): limit() collapses to one partition
     val df0 = nrows match {
-      case Some(n) => frame.df.limit(n.toInt)
+      case Some(n) =>
+        val total = frame.df.count()
+        if (total <= n) frame.df
+        else frame.df.sample(withReplacement = false, n.toDouble / total, 0)
       case None => frame.df
     }
     val prepCols: Seq[Column] = allCols.map { n =>
