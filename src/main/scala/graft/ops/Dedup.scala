@@ -54,17 +54,25 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** MinHash signatures: `numHashes` permutations simulated as seeded
-    * xxhash64 minima over the shingle set. One explode + one groupBy(doc):
+  /** MinHash signatures: `numHashes` permutations derived from TWO base
+    * string hashes via XOR-rotate mixing h_i = h1 ⊕ rotl(h2, i) (the
+    * two-hash family trick à la Kirsch-Mitzenmacher, in overflow-free bit
+    * ops because ANSI mode faults on wrapping add/multiply) — each shingle
+    * is hashed twice, not `numHashes` times. One explode + one groupBy(doc):
     * the shuffle carries (doc, shingle) pairs once, and the 64 min
-    * aggregates are plain codegen'd mins.
+    * aggregates are plain codegen'd long mins.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, numHashes: Int = 64): DataFrame = {
     val exploded = df
       .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+      .withColumn("h1", xxhash64(col("sh")))
+      .withColumn("h2", xxhash64(lit(1), col("sh")))
+    def rotl(c: Column, i: Int): Column =
+      if (i == 0) c
+      else shiftleft(c, i).bitwiseOR(shiftrightunsigned(c, 64 - i))
     val minAggs = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+      min(col("h1").bitwiseXOR(rotl(col("h2"), i))).as(s"h$i"))
     exploded.groupBy("id").agg(minAggs.head, minAggs.tail: _*)
   }
 

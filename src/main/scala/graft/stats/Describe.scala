@@ -201,9 +201,47 @@ object Describe {
       val modes = topRows.map(r => r.getString(0) -> r.getStruct(1).getString(1)).toMap
       val nuniques = topRows.map(r => r.getString(0) -> r.getLong(2)).toMap
 
+      // order-statistic positions wanted per column
+      val idxWantedAll: Map[String, Seq[Long]] = targets.map { case (c, ps) =>
+        c -> ps.flatMap(p =>
+          Seq(math.floor(p).toLong, math.ceil(p).toLong)).distinct
+      }
+      def interpolate(hits: Array[(String, Double, Long, Long)]): Map[String, Seq[Double]] = {
+        def valueAt(c: String, ix: Long): Double =
+          hits.collectFirst {
+            case (`c`, v, lo, cnt) if lo <= ix && ix < lo + cnt => v
+          }.getOrElse(Double.NaN)
+        targets.map { case (c, ps) =>
+          c -> ps.map { pos =>
+            val lo = math.floor(pos).toLong
+            val hi = math.ceil(pos).toLong
+            if (lo == hi) valueAt(c, lo)
+            else valueAt(c, lo) * (hi - pos) + valueAt(c, hi) * (pos - lo)
+          }
+        }
+      }
+      // adaptive: below this many distinct values a column's cumulative sums
+      // fit comfortably in one window task (single job, no driver offsets);
+      // above it, the range-partitioned prefix-sum path takes over
+      val singleTaskBound = 10L * 1000 * 1000
+      val maxNunique = targets.keys.map(c => nuniques.getOrElse(c, 0L)).maxOption.getOrElse(0L)
+
       val quartiles: Map[String, Seq[Double]] =
         if (targets.isEmpty) Map.empty
-        else {
+        else if (maxNunique <= singleTaskBound) {
+          val w = Window.partitionBy("column_name").orderBy(col("value_num"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+          val cum = groups.where(col("value_num").isNotNull)
+            .withColumn("cumLess", coalesce(sum(col("cnt")).over(w), lit(0L)))
+          val cond = idxWantedAll.flatMap { case (c, idxs) =>
+            idxs.map(ix => col("column_name") === c &&
+              col("cumLess") <= ix && lit(ix) < col("cumLess") + col("cnt"))
+          }.reduce(_ || _)
+          val hits = cum.where(cond)
+            .select("column_name", "value_num", "cumLess", "cnt").collect()
+            .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+          interpolate(hits)
+        } else {
           val parts = math.max(df.sparkSession.sparkContext.defaultParallelism, 4)
           val gn = groups.where(col("value_num").isNotNull)
             .repartitionByRange(parts, col("column_name"), col("value_num"))
@@ -230,29 +268,14 @@ object Describe {
               .withColumn("cumLess",
                 coalesce(sum(col("cnt")).over(w), lit(0L)) + offExpr)
             // rows covering any target index (≤ 6 rows per column)
-            val idxWanted: Map[String, Seq[Long]] = targets.map { case (c, ps) =>
-              c -> ps.flatMap(p =>
-                Seq(math.floor(p).toLong, math.ceil(p).toLong)).distinct
-            }
-            val cond = idxWanted.flatMap { case (c, idxs) =>
+            val cond = idxWantedAll.flatMap { case (c, idxs) =>
               idxs.map(ix => col("column_name") === c &&
                 col("cumLess") <= ix && lit(ix) < col("cumLess") + col("cnt"))
             }.reduce(_ || _)
             val hits = cum.where(cond)
               .select("column_name", "value_num", "cumLess", "cnt").collect()
               .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
-            def valueAt(c: String, ix: Long): Double =
-              hits.collectFirst {
-                case (`c`, v, lo, cnt) if lo <= ix && ix < lo + cnt => v
-              }.getOrElse(Double.NaN)
-            targets.map { case (c, ps) =>
-              c -> ps.map { pos =>
-                val lo = math.floor(pos).toLong
-                val hi = math.ceil(pos).toLong
-                if (lo == hi) valueAt(c, lo)
-                else valueAt(c, lo) * (hi - pos) + valueAt(c, hi) * (pos - lo)
-              }
-            }
+            interpolate(hits)
           } finally gn.unpersist()
         }
       (modes, nuniques, quartiles)

@@ -89,6 +89,20 @@ class IoStreamingSpec extends SparkSpec {
     assert(tags.map(_.getString(0)).toSet.contains("numeric"))
   }
 
+  test("streaming dedup drops duplicate fingerprints within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val stream = mem.toDF().toDF("ts", "text")
+    val deduped = StreamingFrame.streamingDedup(stream, "text", "ts")
+    val q = deduped.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    mem.addData((t0, "same doc text"), (t0, "same doc text"), (t0, "other text"))
+    q.processAllAvailable()
+    assert(spark.sql("select * from dedup").count() == 2)
+    q.stop()
+  }
+
   test("streaming: schema apply + windowed profile + quality filter") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
