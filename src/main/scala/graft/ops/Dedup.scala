@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -27,9 +28,12 @@ object Dedup {
       .agg(count(lit(1)).as("cnt"), min(idCol).as("keeper"))
       .where(col("cnt") > 1)
 
-  /** Distinct word n-gram shingles of a text column. */
-  def shingles(c: Column, n: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(c)
+  /** Distinct word n-gram shingles from a PRE-MATERIALIZED tokens column.
+    * The lambda references the tokens many times; if the tokenizer expression
+    * were inlined here, interpreted HOF evaluation would re-run the regex per
+    * element_at — always shingle via [[withShingles]] / a tokens column.
+    */
+  def shinglesFromTokens(toks: Column, n: Int = 3): Column = {
     val grams = when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)), i =>
         concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
@@ -37,20 +41,72 @@ object Dedup {
     array_distinct(grams)
   }
 
+  /** Exploded distinct shingle table (id, sh): posexplode tokens once, build
+    * n-grams with window lead() within each document. This is the hot-path
+    * shape — array-of-shingles HOFs evaluate interpreted AND CollapseProject
+    * re-inlines the tokenizer into every element_at, re-running the regex per
+    * gram element; the exploded form runs the tokenizer exactly once per row
+    * and keeps everything in codegen. Documents with fewer than n tokens
+    * contribute their whole normalized text as one shingle (matching the
+    * array-based definition above).
+    */
+  def shingleTable(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("id").orderBy("pos")
+    val grams = toks
+      .withColumn("sh",
+        concat_ws(" ", (0 until n).map(j => lead(col("tok"), j).over(w)): _*))
+      .withColumn("last", lead(col("tok"), n - 1).over(w))
+      .where(col("last").isNotNull)
+      .select("id", "sh")
+    val short = df
+      .where(size(TextAnalysis.tokens(col(textCol))) < n)
+      .select(col(idCol).as("id"),
+        array_join(TextAnalysis.tokens(col(textCol)), " ").as("sh"))
+    grams.unionAll(short).distinct()
+  }
+
+  /** (id, sh-array) view built from [[shingleTable]] (for verify joins that
+    * want whole sets).
+    */
+  private def withShingles(df: DataFrame, idCol: String, textCol: String,
+                           n: Int): DataFrame =
+    shingleTable(df, idCol, textCol, n)
+      .groupBy("id").agg(collect_list(col("sh")).as("sh"))
+
+  /** Distinct word n-gram shingles of a text column (single-expression
+    * convenience; prefer [[withShingles]] in hot paths).
+    */
+  def shingles(c: Column, n: Int = 3): Column =
+    shinglesFromTokens(TextAnalysis.tokens(c), n)
+
   /** Exact pairwise n-gram Jaccard over a (bounded) document set: for every
     * pair id1 < id2 with similarity ≥ threshold. Exhaustive cross join —
     * use only on bounded subsets; LSH is the scale path.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.2): DataFrame = {
-    val withSh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-    val a = withSh.as("a"); val b = withSh.as("b")
-    val inter = size(array_intersect(col("a.sh"), col("b.sh"))).cast(DoubleType)
-    val union = (size(col("a.sh")) + size(col("b.sh"))).cast(DoubleType) -
-      size(array_intersect(col("a.sh"), col("b.sh"))).cast(DoubleType)
-    a.join(b, col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_1"), col("b.id").as("id_2"),
-        round(inter / union, 4).as("jaccard"))
+    // join-based set algebra on the exploded shingle table: intersections
+    // come from a shingle-equality self-join (shuffle key = shingle), set
+    // sizes from a groupBy — no array HOFs anywhere
+    val sh = shingleTable(df, idCol, textCol, n).cache()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_1"), col("b.id").as("id_2"))
+      .agg(count(lit(1)).as("inter"))
+    // exhaustive pair frame over the (small) per-doc size table so
+    // zero-overlap pairs keep a 0.0 jaccard (API parity with thresholds ≤ 0)
+    val pairs = sizes.as("x").join(sizes.as("y"), col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_1"), col("y.id").as("id_2"),
+        col("x.sz").as("sz1"), col("y.sz").as("sz2"))
+    val j = (col("inter").cast(DoubleType)) /
+      ((col("sz1") + col("sz2")).cast(DoubleType) - col("inter").cast(DoubleType))
+    pairs.join(inter, Seq("id_1", "id_2"), "left")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .select(col("id_1"), col("id_2"), round(j, 4).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
@@ -63,9 +119,12 @@ object Dedup {
     * aggregates are plain codegen'd long mins.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, numHashes: Int = 64): DataFrame = {
-    val exploded = df
-      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+                        n: Int = 3, numHashes: Int = 64): DataFrame =
+    minhashSignaturesFromTable(shingleTable(df, idCol, textCol, n), numHashes)
+
+  /** Signatures from an existing (id, sh) shingle table. */
+  def minhashSignaturesFromTable(sh: DataFrame, numHashes: Int = 64): DataFrame = {
+    val exploded = sh
       .withColumn("h1", xxhash64(col("sh")))
       .withColumn("h2", xxhash64(lit(1), col("sh")))
     def rotl(c: Column, i: Int): Column =
@@ -85,7 +144,9 @@ object Dedup {
                       n: Int = 3, numHashes: Int = 64, bands: Int = 32,
                       threshold: Double = 0.6): DataFrame = {
     val rowsPer = numHashes / bands
-    val sigs = minhashSignatures(df, idCol, textCol, n, numHashes)
+    // ONE shingle table feeds both the signatures and the exact verification
+    val sh = shingleTable(df, idCol, textCol, n).cache()
+    val sigs = minhashSignaturesFromTable(sh, numHashes)
     val bandCols = (0 until bands).map { b =>
       val cols = (0 until rowsPer).map(r => col(s"h${b * rowsPer + r}"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("sig"))
@@ -97,15 +158,19 @@ object Dedup {
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_1"), col("y.id").as("id_2"))
       .distinct()
-    // exact verification on the candidate set only
-    val withSh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-    val inter = size(array_intersect(col("a.sh"), col("b.sh"))).cast(DoubleType)
-    val union = (size(col("a.sh")) + size(col("b.sh"))).cast(DoubleType) -
-      size(array_intersect(col("a.sh"), col("b.sh"))).cast(DoubleType)
-    cand
-      .join(withSh.as("a"), col("id_1") === col("a.id"))
-      .join(withSh.as("b"), col("id_2") === col("b.id"))
-      .select(col("id_1"), col("id_2"), round(inter / union, 4).as("jaccard"))
+    // exact verification on the candidate set only: count common shingles
+    // via shingle-equality joins restricted to candidate pairs
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(sh.as("a"), col("id_1") === col("a.id"))
+      .join(sh.as("b"), col("id_2") === col("b.id") && col("a.sh") === col("b.sh"))
+      .groupBy("id_1", "id_2").agg(count(lit(1)).as("inter"))
+    val j = col("inter").cast(DoubleType) /
+      ((col("sz1") + col("sz2")).cast(DoubleType) - col("inter").cast(DoubleType))
+    inter
+      .join(sizes.select(col("id").as("id_1"), col("sz").as("sz1")), "id_1")
+      .join(sizes.select(col("id").as("id_2"), col("sz").as("sz2")), "id_2")
+      .select(col("id_1"), col("id_2"), round(j, 4).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
