@@ -185,11 +185,21 @@ object LogicalType {
       }
   }
 
-  /** reference: logical_types.py:185-226 */
-  case object BooleanT extends LogicalType {
+  /** reference: logical_types.py:185-226; `cast_nulls_as` fills nulls with a
+    * fixed boolean during coercion (reference: logical_types.py:201-206).
+    */
+  final case class BooleanT(castNullsAs: Option[Boolean] = None) extends LogicalType {
     override def name: String = "Boolean"
     def sparkType: DataType = BooleanType
-    override def transform(c: Column, from: DataType): Column = booleanCoerce(c, from)
+    override def params: Map[String, String] =
+      castNullsAs.map(v => "cast_nulls_as" -> v.toString).toMap
+    override def transform(c: Column, from: DataType): Column = {
+      val coerced = booleanCoerce(c, from)
+      castNullsAs match {
+        case Some(v) => coalesce(coerced, lit(v))
+        case None => coerced
+      }
+    }
   }
 
   /** reference: logical_types.py:229-245 */
@@ -395,7 +405,7 @@ object LogicalType {
 
   /** All 25 concrete types (parameterized ones with default params). */
   val all: Seq[LogicalType] = Seq(
-    Address, Age, AgeFractional, AgeNullable, BooleanT, BooleanNullable,
+    Address, Age, AgeFractional, AgeNullable, BooleanT(), BooleanNullable,
     Categorical, CountryCode, CurrencyCode, Datetime(), Double, EmailAddress,
     Filepath, Integer, IntegerNullable, IPAddress, LatLong, NaturalLanguage,
     Ordinal(), PersonFullName, PhoneNumber, PostalCode, SubRegionCode,
@@ -413,6 +423,8 @@ object LogicalType {
         Ordinal(params.get("order").map(_.split(Ordinal.Sep).toSeq).getOrElse(Nil))
       case _: Datetime =>
         Datetime(params.get("datetime_format"), params.get("timezone"))
+      case _: BooleanT =>
+        BooleanT(params.get("cast_nulls_as").map(_.toBoolean))
       case t => t
     }
   }

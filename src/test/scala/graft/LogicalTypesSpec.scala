@@ -17,9 +17,13 @@ class LogicalTypesSpec extends SparkSpec {
       .collect().map(r => if (r.isNullAt(0)) null else r.get(0)).toSeq
   }
 
-  test("Boolean coerces token strings; unknowns null") {
-    assert(coerce(LT.BooleanT, Seq("yes", "NO", "t", "F", "1", "0", "bogus")) ==
+  test("Boolean coerces token strings; unknowns null; cast_nulls_as fills") {
+    assert(coerce(LT.BooleanT(), Seq("yes", "NO", "t", "F", "1", "0", "bogus")) ==
       Seq(true, false, true, false, true, false, null))
+    assert(coerce(LT.BooleanT(castNullsAs = Some(false)), Seq("yes", "bogus", "N/A")) ==
+      Seq(true, false, false))
+    assert(LT.fromString("Boolean", Map("cast_nulls_as" -> "true")) ==
+      LT.BooleanT(Some(true)))
   }
 
   test("IntegerNullable nulls non-integral strings") {
@@ -78,7 +82,7 @@ class LogicalTypesSpec extends SparkSpec {
 
   test("transform is idempotent (transform∘transform = transform)") {
     import spark.implicits._
-    for (lt <- Seq[LT](LT.Double, LT.IntegerNullable, LT.BooleanT, LT.Categorical)) {
+    for (lt <- Seq[LT](LT.Double, LT.IntegerNullable, LT.BooleanT(), LT.Categorical)) {
       val df = Seq("1", "2.5", "yes", "N/A", "x").toDF("c")
       val once = df.select(lt.transform(col("c"), StringType).as("c"))
       val twice = once.select(lt.transform(col("c"), once.schema("c").dataType).as("c"))
@@ -90,7 +94,7 @@ class LogicalTypesSpec extends SparkSpec {
     assert(LT.IntegerNullable.typeString == "integer_nullable")
     assert(LT.URL.typeString == "url")
     assert(LT.fromString("integer_nullable") == LT.IntegerNullable)
-    assert(LT.fromString("Boolean") == LT.BooleanT)
+    assert(LT.fromString("Boolean") == LT.BooleanT())
     val ord = LT.Ordinal(Seq("a", "b"))
     assert(LT.fromString("ordinal", ord.params) == ord)
   }

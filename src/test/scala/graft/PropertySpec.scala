@@ -31,7 +31,7 @@ class PropertySpec extends SparkSpec {
       Gen.oneOf("2024-01-02", "01/15/2024", "not a date")))
 
   test("property: transform is idempotent for every scalar logical type") {
-    val types = Seq[LT](LT.Double, LT.IntegerNullable, LT.Integer, LT.BooleanT,
+    val types = Seq[LT](LT.Double, LT.IntegerNullable, LT.Integer, LT.BooleanT(),
       LT.BooleanNullable, LT.Categorical, LT.EmailAddress, LT.URL,
       LT.PostalCode, LT.AgeNullable, LT.Datetime(), LT.Unknown)
     forSamples(messyStrings, 8) { values =>
