@@ -68,6 +68,19 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(dep.getAs[Double]("pearson") - 0.8) < 1e-12)
   }
 
+  test("dependence target_col restricts pairs; nrows samples") {
+    val f = WoodworkFrame.init(
+      (1 to 40).map(i => (i.toDouble, 2.0 * i, i.toDouble + 1, -i.toDouble))
+        .toSeq.toDF("a", "b", "c", "target"))
+    val dep = Dependence.dependence(f, Seq("pearson"), minShared = 5,
+      targetCol = Some("target")).collect()
+    assert(dep.length == 3)
+    assert(dep.forall(_.getString(1) == "target"))
+    val sampled = Dependence.dependence(f, Seq("pearson"), minShared = 5,
+      nrows = Some(20L)).collect()
+    assert(sampled.nonEmpty)
+  }
+
   test("sparse pairs (< minShared) yield null") {
     val f = WoodworkFrame.init(
       ((1 to 10).map(i => (Some(i.toDouble), None: Option[Double])) ++
