@@ -73,11 +73,14 @@ object FrequencyInference {
       .withColumn("diff", col("us") -
         lag(col("us"), 1).over(Window.partitionBy("pid").orderBy("us")))
       .where(col("diff").isNotNull)
-    val counts = diffs.groupBy("diff").agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc).limit(5).collect()
-    val totalDiffs = counts.map(_.getLong(1)).sum +
-      0L // top-5 approximation is exact when one delta dominates
-    val observed = diffs.count()
+    // one scan: group the deltas, then both the top delta and the total
+    // observed count come from the (tiny) grouped result
+    val grouped = diffs.groupBy("diff").agg(count(lit(1)).as("cnt")).cache()
+    val counts =
+      try grouped.orderBy(col("cnt").desc).limit(5).collect()
+      finally ()
+    val observed = grouped.agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
+    grouped.unpersist()
     if (counts.isEmpty || observed == 0)
       return FreqResult(colName, None, 0.0, observed)
     val (bestDelta, bestCnt) = (counts.head.getLong(0), counts.head.getLong(1))
