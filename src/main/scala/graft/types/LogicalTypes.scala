@@ -293,6 +293,13 @@ object LogicalType {
     "MM-dd-yyyy", "dd/MM/yyyy", "yyyyMMdd", "MM/dd/yy", "dd-MMM-yyyy",
     "MMM d, yyyy", "yyyy-MM-dd'T'HH:mm:ss")
 
+  /** Two-digit-year pivot: Spark's `yy` maps everything to 20xx; pandas
+    * pivots 69-99 into 19xx (reference: logical_types.py:329-333, 367-368).
+    * Applied only to the two-digit-year format branches.
+    */
+  private def pivotTwoDigitYear(t: Column): Column =
+    when(year(t) >= 2069, add_months(t, -1200)).otherwise(t)
+
   /** Guarded multi-format timestamp parse shared by inference and coercion —
     * a column that INFERS as Datetime must also COERCE under the same parser.
     * The length guard short-circuits the format cascade for free text.
@@ -300,7 +307,10 @@ object LogicalType {
   def parseTimestamp(s: Column): Column =
     when(length(s).between(6, 35),
       coalesce((s.try_cast(TimestampType) +:
-        datetimeFormats.map(f => try_to_timestamp(s, lit(f)))): _*))
+        datetimeFormats.map { f =>
+          val t = try_to_timestamp(s, lit(f))
+          if (f.contains("yy") && !f.contains("yyyy")) pivotTwoDigitYear(t) else t
+        }): _*))
 
   /** reference: logical_types.py:298-368. Spark TimestampType (session TZ
     * UTC); explicit format via to_timestamp, otherwise the shared

@@ -141,6 +141,14 @@ class FrameSpec extends SparkSpec {
     assert(f.df.where(col("d").isNull).count() == 0)
   }
 
+  test("two-digit years pivot at 69 (pandas convention)") {
+    val df = Seq("01/15/69", "01/15/25").toDF("d")
+    val f = WoodworkFrame.init(df, logicalTypes =
+      Map("d" -> graft.types.LogicalType.Datetime()))
+    val years = f.df.select(year(col("d"))).collect().map(_.getInt(0)).toSeq
+    assert(years == Seq(1969, 2025))
+  }
+
   test("time index must be datetime or numeric") {
     val df = Seq(("x", 1L)).toDF("name", "t")
     intercept[IllegalArgumentException] {
