@@ -386,6 +386,11 @@ object LogicalType {
     * (reference: logical_types.py:518-545; parse at utils.py:222-259).
     * Accepts struct input, array<double> input, or a "(lat, lon)" /
     * "[lat, lon]" string. A malformed value coerces to null.
+    *
+    * Null convention (SURVEY §4.3.6): a fully-null pair is a NULL STRUCT —
+    * never struct(null, null) — mirroring the reference's single-NaN
+    * representation (utils.py:311-327 `_is_latlong_nan`); a half-null pair
+    * keeps the struct with one null field.
     */
   case object LatLong extends LogicalType {
     val structType: StructType = StructType(Seq(
@@ -393,8 +398,10 @@ object LogicalType {
     def sparkType: DataType = structType
     override def transform(c: Column, from: DataType): Column = from match {
       case s: StructType if s.length == 2 =>
-        struct(c.getField(s(0).name).cast(DoubleType).as("lat"),
-               c.getField(s(1).name).cast(DoubleType).as("lon"))
+        val lat = c.getField(s(0).name).cast(DoubleType)
+        val lon = c.getField(s(1).name).cast(DoubleType)
+        when(c.isNotNull && (lat.isNotNull || lon.isNotNull),
+          struct(lat.as("lat"), lon.as("lon")))
       case ArrayType(_, _) =>
         when(size(c) === 2,
           struct(element_at(c, 1).cast(DoubleType).as("lat"),

@@ -60,6 +60,18 @@ class LogicalTypesSpec extends SparkSpec {
     assert(invalid == Seq(false, true))
   }
 
+  test("LatLong null convention: fully-null pair → null struct") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1.0), Some(2.0)), (None, None), (Some(3.0), None))
+      .toDF("lat", "lon").select(struct(col("lat"), col("lon")).as("c"))
+    val out = df.select(LT.LatLong.transform(col("c"),
+      df.schema("c").dataType).as("c")).collect()
+    assert(!out(0).isNullAt(0))
+    assert(out(1).isNullAt(0)) // fully-null pair = null struct
+    assert(!out(2).isNullAt(0) && out(2).getStruct(0).isNullAt(1))
+  }
+
   test("LatLong parses string pairs into struct; malformed → null") {
     import spark.implicits._
     val rows = Seq("(33.3, -45.2)", "[1.5, 2.5]", "junk").toDF("c")
