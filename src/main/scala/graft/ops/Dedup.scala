@@ -104,10 +104,13 @@ object Dedup {
         col("x.sz").as("sz1"), col("y.sz").as("sz2"))
     val j = (col("inter").cast(DoubleType)) /
       ((col("sz1") + col("sz2")).cast(DoubleType) - col("inter").cast(DoubleType))
-    pairs.join(inter, Seq("id_1", "id_2"), "left")
+    val out = pairs.join(inter, Seq("id_1", "id_2"), "left")
       .withColumn("inter", coalesce(col("inter"), lit(0L)))
       .select(col("id_1"), col("id_2"), round(j, 4).as("jaccard"))
       .where(col("jaccard") >= threshold)
+    // materialize the (small) pair result, then free the cached shingle
+    // table — repeated dedup calls must not accumulate executor cache blocks
+    try out.localCheckpoint(eager = true) finally sh.unpersist()
   }
 
   /** MinHash signatures: `numHashes` permutations derived from TWO base
@@ -167,11 +170,13 @@ object Dedup {
       .groupBy("id_1", "id_2").agg(count(lit(1)).as("inter"))
     val j = col("inter").cast(DoubleType) /
       ((col("sz1") + col("sz2")).cast(DoubleType) - col("inter").cast(DoubleType))
-    inter
+    val out = inter
       .join(sizes.select(col("id").as("id_1"), col("sz").as("sz1")), "id_1")
       .join(sizes.select(col("id").as("id_2"), col("sz").as("sz2")), "id_2")
       .select(col("id_1"), col("id_2"), round(j, 4).as("jaccard"))
       .where(col("jaccard") >= threshold)
+    // materialize verified pairs (small), then free the cached shingle table
+    try out.localCheckpoint(eager = true) finally sh.unpersist()
   }
 
   /** 64-bit SimHash per document: per-bit vote of token hashes. The explode

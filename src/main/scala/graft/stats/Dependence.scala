@@ -50,8 +50,12 @@ object Dependence {
     * range partition, so tie groups never split. Produces exactly the
     * classic `rank() + (count_same-1)/2` average ranks without the
     * single-partition global-sort window.
+    *
+    * Returns the rank table plus a cleanup thunk that unpersists the cached
+    * per-value counts — call it after the LAST action consuming the table
+    * (repeated dependence calls must not accumulate cached blocks).
     */
-  private[stats] def avgRankTable(df: DataFrame, v: String): DataFrame = {
+  private[stats] def avgRankTable(df: DataFrame, v: String): (DataFrame, () => Unit) = {
     val spark = df.sparkSession
     val parts = math.max(spark.sparkContext.defaultParallelism, 4)
     val counts = df.where(col(v).isNotNull)
@@ -70,10 +74,11 @@ object Dependence {
     }
     val w = Window.partitionBy("__pid").orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    counts
+    val table = counts
       .withColumn("__cumLess", coalesce(sum(col("__c")).over(w), lit(0L)))
       .select(col("__v"),
         (col("__cumLess") + offExpr + (col("__c") + 1) / 2.0).as("__avg_rank"))
+    (table, () => { counts.unpersist(); () })
   }
 
   /** Run per-pair Spark jobs concurrently from the driver (Spark schedules
@@ -122,9 +127,19 @@ object Dependence {
           c.isBoolean
       }
     }
-    val miCols = schema.columns.keys.toSeq.filter(validFor("mutual_info"))
-    val allCols = miCols
-    require(allCols.size >= 2 || targetCol.nonEmpty,
+    // columns valid for AT LEAST ONE requested measure (reference:
+    // _get_dependence_dict.py:118-149 builds the column set from the union of
+    // the requested measures' valid types — a pearson-only call must not emit
+    // all-NaN rows for categorical pairs)
+    val allCols = schema.columns.keys.toSeq.filter(n =>
+      calcOrder.exists(m => validFor(m)(n)))
+    targetCol.foreach { t =>
+      require(schema.columns.contains(t),
+        s"target_col '$t' not found in schema")
+      require(allCols.contains(t),
+        s"target_col '$t' is not valid for measures: ${calcOrder.mkString(", ")}")
+    }
+    require(allCols.size >= 2,
       "Not enough valid columns to measure dependence")
 
     // numeric working view: bool→int, datetime→epoch, ordinal→rank
@@ -217,41 +232,49 @@ object Dependence {
         val spCols = allCols.filter(validFor("spearman")).filterNot(dropped)
         // distributed average-ranks (never a single-partition global sort),
         // joined back by value — valid for null-free pairs
-        val ranked = spCols.foldLeft(prep) { (d, n) =>
-          val rt = avgRankTable(prep, n)
-          d.join(rt, d(n) === rt("__v"), "left")
-            .drop("__v").withColumnRenamed("__avg_rank", s"rk__$n")
-        }
         val spPairs = results.filter(r =>
           spCols.contains(r.col1) && spCols.contains(r.col2) &&
             r.sharedRows >= minShared)
         val (nullFree, withNulls) = spPairs.partition(r =>
           nonNull(r.col1) == total && nonNull(r.col2) == total)
         if (nullFree.nonEmpty) {
-          val exprs = nullFree.map(r =>
-            corr(col(s"rk__${r.col1}"), col(s"rk__${r.col2}"))
-              .as(s"sp__${r.col1}__${r.col2}"))
-          val row = ranked.agg(exprs.head, exprs.tail: _*).head()
-          nullFree.foreach { r =>
-            val i = row.fieldIndex(s"sp__${r.col1}__${r.col2}")
-            val v = if (row.isNullAt(i)) Double.NaN else row.getDouble(i)
-            r.spearman = v * r.sharedRows / r.unionRows
-          }
+          val rankedCols = spCols.filter(n =>
+            nullFree.exists(r => r.col1 == n || r.col2 == n))
+          val rankTables = rankedCols.map(n => n -> avgRankTable(prep, n))
+          try {
+            val ranked = rankTables.foldLeft(prep) { case (d, (n, (rt, _))) =>
+              d.join(rt, d(n) === rt("__v"), "left")
+                .drop("__v").withColumnRenamed("__avg_rank", s"rk__$n")
+            }
+            val exprs = nullFree.map(r =>
+              corr(col(s"rk__${r.col1}"), col(s"rk__${r.col2}"))
+                .as(s"sp__${r.col1}__${r.col2}"))
+            val row = ranked.agg(exprs.head, exprs.tail: _*).head()
+            nullFree.foreach { r =>
+              val i = row.fieldIndex(s"sp__${r.col1}__${r.col2}")
+              val v = if (row.isNullAt(i)) Double.NaN else row.getDouble(i)
+              r.spearman = v * r.sharedRows / r.unionRows
+            }
+          } finally rankTables.foreach(_._2._2())
         }
         parallelJobs(withNulls) { r =>
           // ranks on the pair's shared rows, same distributed rank shape
           val sub = prep.select(col(r.col1), col(r.col2))
             .where(col(r.col1).isNotNull && col(r.col2).isNotNull)
-          val ra = avgRankTable(sub, r.col1)
-            .withColumnRenamed("__avg_rank", "ra").withColumnRenamed("__v", "__va")
-          val rb = avgRankTable(sub, r.col2)
-            .withColumnRenamed("__avg_rank", "rb").withColumnRenamed("__v", "__vb")
-          val rr = sub
-            .join(ra, col(r.col1) === col("__va"))
-            .join(rb, col(r.col2) === col("__vb"))
-            .agg(corr(col("ra"), col("rb"))).head()
-          val v = if (rr.isNullAt(0)) Double.NaN else rr.getDouble(0)
-          r.spearman = v * r.sharedRows / r.unionRows
+          val (ra0, cleanA) = avgRankTable(sub, r.col1)
+          val (rb0, cleanB) = avgRankTable(sub, r.col2)
+          try {
+            val ra = ra0
+              .withColumnRenamed("__avg_rank", "ra").withColumnRenamed("__v", "__va")
+            val rb = rb0
+              .withColumnRenamed("__avg_rank", "rb").withColumnRenamed("__v", "__vb")
+            val rr = sub
+              .join(ra, col(r.col1) === col("__va"))
+              .join(rb, col(r.col2) === col("__vb"))
+              .agg(corr(col("ra"), col("rb"))).head()
+            val v = if (rr.isNullAt(0)) Double.NaN else rr.getDouble(0)
+            r.spearman = v * r.sharedRows / r.unionRows
+          } finally { cleanA(); cleanB() }
         }
       }
 
@@ -389,7 +412,10 @@ object Ami {
       -sums.filter(_ > 0).map { s => val p = s / n; p * math.log(p) }.sum
     val hU = entropy(aSum.values)
     val hV = entropy(bSum.values)
-    if (hU == 0.0 || hV == 0.0) return 1.0
+    // When exactly ONE side is constant (hU xor hV zero), sklearn's AMI falls
+    // through to the normal formula: mi=0, emi=0 → (0-0)/(meanH) = 0.0 — a
+    // constant column carries no information. Only the both-single-cluster
+    // case above short-circuits to 1.0.
 
     val emi = expectedMutualInfo(aSum.values.toArray, bSum.values.toArray, n.toLong)
     val meanH = (hU + hV) / 2.0

@@ -83,7 +83,7 @@ object Describe {
         n -> Seq(0.25, 0.5, 0.75).map(p => p * (nonNullOf(n) - 1))
       }.toMap
     val (modes, nuniques, exactQuartiles) =
-      meltStatsFull(df, cols.map(_._1), quartileTargets)
+      meltStatsFull(df, cols.map(_._1), quartileTargets, numCols.toSet)
     val quartiles: Map[String, Seq[Double]] =
       if (!approx) exactQuartiles
       else if (numCols.isEmpty) Map.empty
@@ -177,12 +177,13 @@ object Describe {
     * v_lo·(⌈pos⌉−pos) + v_hi·(pos−⌊pos⌋).
     */
   def meltStatsFull(df: DataFrame, cols: Seq[String],
-                    targets: Map[String, Seq[Double]])
+                    targets: Map[String, Seq[Double]],
+                    numericCols: Set[String] = Set.empty)
       : (Map[String, String], Map[String, Long], Map[String, Seq[Double]]) = {
     if (cols.isEmpty) return (Map.empty, Map.empty, Map.empty)
     val entries = cols.map { n =>
       val vnum =
-        if (targets.contains(n)) col(n).cast(DoubleType)
+        if (targets.contains(n) || numericCols.contains(n)) col(n).cast(DoubleType)
         else lit(null).cast(DoubleType)
       struct(lit(n).as("column_name"), col(n).cast(StringType).as("value"),
         vnum.as("value_num"))
@@ -194,11 +195,16 @@ object Describe {
       .agg(count(lit(1)).as("cnt"), first("value_num").as("value_num"))
       .cache()
     try {
+      // mode tie-break: numeric columns break count-ties on the NUMERIC value
+      // (pandas sorted Series.mode()[0] — '9' beats '10'); non-numeric
+      // columns have a null value_num everywhere, so ties fall through to the
+      // lexicographic min on the string value
       val topRows = groups.groupBy("column_name")
-        .agg(min(struct((-col("cnt")).as("negCnt"), col("value"))).as("top"),
+        .agg(min(struct((-col("cnt")).as("negCnt"), col("value_num"),
+            col("value"))).as("top"),
           count(lit(1)).as("nunique"))
         .collect()
-      val modes = topRows.map(r => r.getString(0) -> r.getStruct(1).getString(1)).toMap
+      val modes = topRows.map(r => r.getString(0) -> r.getStruct(1).getString(2)).toMap
       val nuniques = topRows.map(r => r.getString(0) -> r.getLong(2)).toMap
 
       // order-statistic positions wanted per column

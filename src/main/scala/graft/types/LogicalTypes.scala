@@ -120,11 +120,14 @@ object LogicalType {
     override def standardTags: Set[String] = Set("numeric")
     override def transform(c: Column, from: DataType): Column = from match {
       case t if isIntegralType(t) => c.cast(LongType)
-      case t if isFractionalType(t) => when(c % 1 === 0, c.cast(LongType))
+      // try_cast, not cast: a >Long.Max integral double (e.g. a 20-digit
+      // integer string inferred as IntegerNullable) must coerce to null under
+      // ANSI mode (errors="coerce"), not throw at action time
+      case t if isFractionalType(t) => when(c % 1 === 0, c.try_cast(LongType))
       case _ =>
         val s = replaceNans(c, from)
         val d = s.try_cast(DoubleType)
-        when(d % 1 === 0, d.cast(LongType))
+        when(d % 1 === 0, d.try_cast(LongType))
     }
   }
 

@@ -31,6 +31,17 @@ class LogicalTypesSpec extends SparkSpec {
       Seq(5L, 5L, null, null))
   }
 
+  test("IntegerNullable coerces >Long.Max integrals to null, not ANSI error") {
+    // a 20-digit integer string passes %1==0 but overflows long: errors=coerce
+    assert(coerce(LT.IntegerNullable, Seq("5", "12345678901234567890123")) ==
+      Seq(5L, null))
+    import spark.implicits._
+    val big = Seq(1.0, 1.23e19).toDF("c")
+      .select(LT.IntegerNullable.transform(col("c"), DoubleType))
+      .collect().map(r => if (r.isNullAt(0)) null else r.get(0)).toSeq
+    assert(big == Seq(1L, null))
+  }
+
   test("Double coerces numeric strings, nulls garbage") {
     assert(coerce(LT.Double, Seq("1.5", "2", "junk")) == Seq(1.5, 2.0, null))
   }

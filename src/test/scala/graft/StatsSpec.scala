@@ -98,6 +98,45 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(Ami.adjustedMutualInfo(indep) - (-0.0073776845414102)) < 1e-9)
   }
 
+  test("AMI: one constant column → 0, not 1 (sklearn fall-through)") {
+    // only ONE side single-cluster: sklearn computes (0-0)/(meanH) = 0.0
+    val oneConst = Seq(("a", "x", 50L), ("a", "y", 50L))
+    assert(math.abs(Ami.adjustedMutualInfo(oneConst)) < 1e-12)
+    val oneConstFlip = Seq(("x", "a", 50L), ("y", "a", 50L))
+    assert(math.abs(Ami.adjustedMutualInfo(oneConstFlip)) < 1e-12)
+  }
+
+  test("mode tie-break is numeric for numeric columns, lexicographic otherwise") {
+    // counts tied 2-2 between 9 and 10: numeric min → 9 (pandas mode()[0]);
+    // a string column with the same values ties lexicographically → "10"
+    val df = Seq(9L, 9L, 10L, 10L).toDF("n")
+      .withColumn("s", col("n").cast("string"))
+    val (modes, _, _) = Describe.meltStatsFull(df, Seq("n", "s"),
+      Map.empty, numericCols = Set("n"))
+    assert(modes("n") == "9")
+    assert(modes("s") == "10")
+  }
+
+  test("dependence: pearson-only call restricts pairs to pearson-valid columns") {
+    val f = WoodworkFrame.init(
+      (1 to 30).map(i => (i.toDouble, 2.0 * i, if (i % 2 == 0) "a" else "b"))
+        .toSeq.toDF("x", "y", "cat"),
+      logicalTypes = Map("cat" -> graft.types.LogicalType.Categorical))
+    val dep = Dependence.dependence(f, Seq("pearson"), minShared = 5).collect()
+    // no all-NaN rows for pairs involving the categorical column
+    assert(dep.length == 1)
+    assert(dep.head.getString(0) == "x" && dep.head.getString(1) == "y")
+    // invalid target_col is a clear error, not an AnalysisException
+    val err = intercept[IllegalArgumentException] {
+      Dependence.dependence(f, Seq("pearson"), targetCol = Some("nope"))
+    }
+    assert(err.getMessage.contains("nope"))
+    val err2 = intercept[IllegalArgumentException] {
+      Dependence.dependence(f, Seq("pearson"), targetCol = Some("cat"))
+    }
+    assert(err2.getMessage.contains("cat"))
+  }
+
   test("AMI matches sklearn on an asymmetric contingency") {
     // sklearn.metrics.adjusted_mutual_info_score on labels built from this
     // contingency gives 0.2250422394... (verified externally)
