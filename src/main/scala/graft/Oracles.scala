@@ -122,6 +122,43 @@ object Oracles {
     """SELECT CAST(ts AS DATE) AS day, count(*) AS cnt
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Full frequency-inference decision reproduced in SQL: winning delta from
+    * the sorted-series diffs (deterministic tie-break: count desc, delta asc),
+    * share vs the 0.9 threshold, pandas-style offset alias for the winner,
+    * calendar month-start fallback. Valid because the Spark side recovers
+    * partition-boundary diffs — the delta multiset is partitioning-independent.
+    */
+  val q15: String = {
+    val units = Seq(
+      604800000000L -> "W", 86400000000L -> "D", 3600000000L -> "H",
+      60000000L -> "T", 1000000L -> "S", 1000L -> "L", 1L -> "U")
+    val aliasCase = units.map { case (u, nm) =>
+      s"WHEN diff % $u = 0 THEN (CASE WHEN diff / $u = 1 THEN '$nm' " +
+        s"ELSE CAST(diff / $u AS VARCHAR) || '$nm' END)"
+    }.mkString(" ")
+    s"""WITH d AS (
+       | SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (ORDER BY ts) AS diff
+       | FROM events WHERE ts IS NOT NULL),
+       |g AS (SELECT diff, count(*) AS cnt FROM d WHERE diff IS NOT NULL GROUP BY diff),
+       |t AS (SELECT diff, cnt FROM g ORDER BY cnt DESC, diff ASC LIMIT 1),
+       |o AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS observed FROM g),
+       |cal AS (SELECT count(*) AS n,
+       |        coalesce(sum(CASE WHEN day(ts) = 1 THEN 1 ELSE 0 END), 0) AS firsts
+       |        FROM events WHERE ts IS NOT NULL)
+       |SELECT 'ts' AS column_name,
+       | CASE WHEN CAST(t.cnt AS DOUBLE) / o.observed >= 0.9
+       |        THEN (CASE WHEN diff <= 0 THEN 'none' $aliasCase ELSE 'none' END)
+       |      WHEN CAST(cal.firsts AS DOUBLE) / cal.n >= 0.9 THEN 'MS'
+       |      ELSE 'none' END AS alias,
+       | round(CASE WHEN CAST(t.cnt AS DOUBLE) / o.observed >= 0.9
+       |              THEN CAST(t.cnt AS DOUBLE) / o.observed
+       |            WHEN CAST(cal.firsts AS DOUBLE) / cal.n >= 0.9
+       |              THEN CAST(cal.firsts AS DOUBLE) / cal.n
+       |            ELSE CAST(t.cnt AS DOUBLE) / o.observed END, 4) AS dominant_share,
+       | o.observed AS n_observed
+       |FROM t, o, cal""".stripMargin
+  }
+
   val q20: String =
     """SELECT md5(substr(text, 1, 100)) AS key_hash, count(*) AS cnt,
       | min(doc_id) AS keeper
@@ -229,6 +266,7 @@ object Oracles {
       "q12_boolean_transform" -> q12,
       "q13_sentinel_replace" -> q13,
       "q14_datetime_coerce" -> q14,
+      "q15_freq_inference" -> q15,
       "q20_dedup_exact" -> q20,
       "q21_ngram_jaccard" -> q21,
       "q22_minhash_lsh" -> q22,

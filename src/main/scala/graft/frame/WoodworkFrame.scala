@@ -372,8 +372,20 @@ object WoodworkFrame {
     require(nonIndexCols.distinct.size == nonIndexCols.size,
       "Duplicate column names across concatenated frames")
     val joined = frames.map(_.df).reduce((a, b) => a.join(b, Seq(idx), "full_outer"))
+    // the outer join can introduce nulls into any non-index column, so
+    // non-nullable logical types promote to their nullable parents without a
+    // data scan (reference: utils.py:513-524 drops Integer ltypes on columns
+    // that gained nulls so they re-infer as IntegerNullable)
+    def promote(cs: WwColumnSchema): WwColumnSchema = cs.logicalType match {
+      case LogicalType.Integer => cs.copy(logicalType = LogicalType.IntegerNullable)
+      case LogicalType.Age => cs.copy(logicalType = LogicalType.AgeNullable)
+      case _: LogicalType.BooleanT => cs.copy(logicalType = LogicalType.BooleanNullable)
+      case _ => cs
+    }
     val columns = ListMap((idx -> frames.head.schema(idx)) +:
-      frames.flatMap(f => f.schema.columns.toSeq.filterNot(_._1 == idx)): _*)
+      frames.flatMap(f => f.schema.columns.toSeq.collect {
+        case (n, cs) if n != idx => n -> promote(cs)
+      }): _*)
     val metaKeys = frames.flatMap(_.schema.metadata.keys)
     require(metaKeys.distinct.size == metaKeys.size,
       "Conflicting table metadata keys in concatenated frames")

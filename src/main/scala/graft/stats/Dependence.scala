@@ -110,7 +110,9 @@ object Dependence {
                  nrows: Option[Long] = None,
                  minShared: Long = 25,
                  maxNunique: Long = 6000,
-                 targetCol: Option[String] = None): DataFrame = {
+                 targetCol: Option[String] = None,
+                 callback: Option[(Long, Long, Long, String, Double) => Unit] = None)
+      : DataFrame = {
     val (returned, calcOrder, calcMax) = parseMeasures(measures)
     val schema = frame.schema
 
@@ -226,6 +228,11 @@ object Dependence {
             pr.pearson = gd(s"pe__${a}__$b") * shared / union
           pr
         }
+      // per-(pair, measure) progress callbacks
+      // (reference: _get_dependence_dict.py callback plumbing)
+      val caller = new graft.config.CallbackCaller(callback, "pair-measure",
+        results.size.toLong * calcOrder.size)
+      if (calcOrder.contains("pearson")) caller.update(results.size.toLong)
 
       // ---- spearman
       if (calcOrder.contains("spearman")) {
@@ -254,6 +261,7 @@ object Dependence {
               val i = row.fieldIndex(s"sp__${r.col1}__${r.col2}")
               val v = if (row.isNullAt(i)) Double.NaN else row.getDouble(i)
               r.spearman = v * r.sharedRows / r.unionRows
+              caller.update(1)
             }
           } finally rankTables.foreach(_._2._2())
         }
@@ -274,6 +282,7 @@ object Dependence {
               .agg(corr(col("ra"), col("rb"))).head()
             val v = if (rr.isNullAt(0)) Double.NaN else rr.getDouble(0)
             r.spearman = v * r.sharedRows / r.unionRows
+            caller.update(1)
           } finally { cleanA(); cleanB() }
         }
       }
@@ -318,6 +327,7 @@ object Dependence {
             .collect()
             .map(row => (row.getString(0), row.getString(1), row.getLong(2)))
           r.mutualInfo = Ami.adjustedMutualInfo(ct) * r.sharedRows / r.unionRows
+          caller.update(1)
         }
       }
 

@@ -27,7 +27,9 @@ object Describe {
     */
   def describe(frame: WoodworkFrame,
                include: Seq[String] = Nil,
-               approx: Boolean = false): DataFrame = {
+               approx: Boolean = false,
+               callback: Option[(Long, Long, Long, String, Double) => Unit] = None)
+      : DataFrame = {
     val df = frame.df
     val schema = frame.schema
     // index/time_index columns are excluded (reference: _get_describe_dict.py:96-99)
@@ -97,7 +99,10 @@ object Describe {
         }.toMap
       }
     val spark = df.sparkSession
+    // per-column progress callbacks (reference: _get_describe_dict.py:226-230)
+    val caller = new graft.config.CallbackCaller(callback, "column", cols.size.toLong)
     val out = cols.zipWithIndex.map { case ((n, cs), i) =>
+      caller.update(1)
       val s = statRow.getStruct(i)
       val total = s.getLong(0); val cnt = s.getLong(1)
       def dOpt(j: Int): Any = if (s.isNullAt(j)) null else s.getDouble(j)

@@ -63,24 +63,45 @@ object FrequencyInference {
                      threshold: Double = 0.9): FreqResult = {
     val c = col(colName)
     // A global-window lag would collapse to ONE partition. Range-partition on
-    // the timestamp and lag within partitions instead: fully parallel, and
-    // only numPartitions boundary diffs are lost — noise for the vote.
-    val parts = math.max(df.sparkSession.sparkContext.defaultParallelism, 4)
-    val diffs = df.where(c.isNotNull)
+    // the timestamp and lag within partitions instead: fully parallel. The
+    // per-partition window loses the one diff straddling each partition
+    // boundary; those are recovered below from the per-partition (min,max) —
+    // ≤ parts-1 values, driver-side — so the delta multiset is EXACTLY the
+    // sorted-series diffs, independent of partition count.
+    val spark = df.sparkSession
+    val parts = math.max(spark.sparkContext.defaultParallelism, 4)
+    val withPid = df.where(c.isNotNull)
       .select(unix_micros(c.cast("timestamp")).as("us"))
       .repartitionByRange(parts, col("us"))
       .withColumn("pid", spark_partition_id())
-      .withColumn("diff", col("us") -
-        lag(col("us"), 1).over(Window.partitionBy("pid").orderBy("us")))
-      .where(col("diff").isNotNull)
-    // one scan: group the deltas, then both the top delta and the total
-    // observed count come from the (tiny) grouped result
-    val grouped = diffs.groupBy("diff").agg(count(lit(1)).as("cnt")).cache()
-    val counts =
-      try grouped.orderBy(col("cnt").desc).limit(5).collect()
-      finally ()
-    val observed = grouped.agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
-    grouped.unpersist()
+      .cache()
+    val (counts, observed) = try {
+      val inner = withPid
+        .withColumn("diff", col("us") -
+          lag(col("us"), 1).over(Window.partitionBy("pid").orderBy("us")))
+        .where(col("diff").isNotNull)
+        .select("diff")
+      val bounds = withPid.groupBy("pid")
+        .agg(min("us").as("mn"), max("us").as("mx"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      val boundary = bounds.toSeq.sliding(2).collect {
+        case Seq(a, b) => b._1 - a._2
+      }.toSeq
+      import spark.implicits._
+      val all =
+        if (boundary.isEmpty) inner
+        else inner.unionAll(boundary.toDF("diff"))
+      // one scan: group the deltas, then both the top delta and the total
+      // observed count come from the (tiny) grouped result
+      val grouped = all.groupBy("diff").agg(count(lit(1)).as("cnt")).cache()
+      try {
+        // deterministic winner: highest count, then SMALLEST delta
+        val top = grouped.orderBy(col("cnt").desc, col("diff").asc)
+          .limit(5).collect()
+        val obs = grouped.agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
+        (top, obs)
+      } finally grouped.unpersist()
+    } finally withPid.unpersist()
     if (counts.isEmpty || observed == 0)
       return FreqResult(colName, None, 0.0, observed)
     val (bestDelta, bestCnt) = (counts.head.getLong(0), counts.head.getLong(1))

@@ -92,6 +92,21 @@ class FrameSpec extends SparkSpec {
     }
   }
 
+  test("concatColumns promotes non-nullable types on null-gaining columns") {
+    val base = Seq((1L, 10L), (2L, 20L)).toDF("id", "n")
+    val other = Seq((2L, true), (3L, false)).toDF("id", "flag")
+    val f1 = WoodworkFrame.init(base, index = Some("id"))
+    val f2 = WoodworkFrame.init(other, index = Some("id"))
+    assert(f1.logicalTypes("n") == "Integer")
+    assert(f2.logicalTypes("flag") == "Boolean")
+    val cat = WoodworkFrame.concatColumns(Seq(f1, f2))
+    // outer join introduces nulls → nullable parents (reference:
+    // utils.py:513-524); the index itself is never promoted
+    assert(cat.logicalTypes("n") == "IntegerNullable")
+    assert(cat.logicalTypes("flag") == "BooleanNullable")
+    assert(cat.logicalTypes("id") == "Integer")
+  }
+
   test("withColumn infers and coerces; cannot replace index") {
     val f = fixture.withColumn("flag", when(col("amount") > 15, "yes").otherwise("no"))
     assert(f.logicalTypes("flag") == "Boolean")

@@ -175,6 +175,35 @@ class StatsSpec extends SparkSpec {
     assert(gaps.length == 1)
   }
 
+  test("frequency inference recovers partition-boundary diffs (observed = n-1)") {
+    // 31 regular hourly points across several range partitions: without
+    // boundary recovery observed would be 31 - numPartitions
+    val ts = (0 until 31).map(i =>
+      java.sql.Timestamp.from(
+        java.sql.Timestamp.valueOf("2024-03-01 00:00:00").toInstant
+          .plusSeconds(i * 3600L)))
+    val r = FrequencyInference.inferFrequency(ts.toDF("t"), "t")
+    assert(r.nObserved == 30)
+    assert(r.alias.contains("H"))
+    assert(r.dominantShare == 1.0)
+  }
+
+  test("describe and dependence invoke progress callbacks per unit of work") {
+    val updates = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val cb: (Long, Long, Long, String, Double) => Unit =
+      (u, p, t, _, _) => updates.synchronized { updates += ((u, p, t)) }
+    val f = WoodworkFrame.init(
+      (1 to 30).map(i => (i.toDouble, 2.0 * i)).toSeq.toDF("x", "y"))
+    Describe.describe(f, callback = Some(cb))
+    assert(updates.size == 2 && updates.forall(_._3 == 2))
+    updates.clear()
+    Dependence.dependence(f, Seq("pearson", "spearman"), minShared = 5,
+      callback = Some(cb))
+    // 1 pair × 2 measures
+    assert(updates.map(_._1).sum == 2)
+    assert(updates.forall(_._3 == 2))
+  }
+
   test("histogram puts every non-null row in exactly one of n bins") {
     val h = Describe.histogram((1 to 1000).map(_.toDouble).toDF("v"), "v", bins = 10)
       .collect()
