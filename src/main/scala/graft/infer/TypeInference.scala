@@ -64,7 +64,12 @@ object TypeInference {
           cnt(s.isNotNull && dbl.isNull).as("dblFail"),
           cnt(dbl.isNotNull && dbl % 1 =!= 0).as("dblNonIntegral"),
           lit(0L).as("numNonIntegral"),
-          cnt(s.isNotNull && tsParse(s).isNull).as("dtFail"),
+          // cheap disqualifier ahead of the 12-format cascade: no supported
+          // datetime shape (numeric separators, 3-letter month abbrevs, 'T')
+          // contains a run of 4+ letters, and Or short-circuits — so
+          // "1-URGENT"/"AUTOMOBILE"-style values never pay a parse attempt
+          cnt(s.isNotNull && (s.rlike("[A-Za-z]{4}") || tsParse(s).isNull))
+            .as("dtFail"),
           cnt(s.isNotNull && !lowered.isin(allBoolTokens: _*)).as("boolBad"),
           // per-token presence flags instead of collect_set: a
           // TypedImperativeAggregate in the agg list forces the ENTIRE wide
@@ -160,9 +165,26 @@ object TypeInference {
     * type_system.py:101,349-358); tables at or below the bound are used whole,
     * which pins exact reproducibility at test scale.
     */
-  def collectStats(df: DataFrame, cols: Seq[String]): Map[String, ColStats] =
-    collectStatsWithSample(df, cols)._1
+  def collectStats(df: DataFrame, cols: Seq[String]): Map[String, ColStats] = {
+    val (stats, sampled) = collectStatsWithSample(df, cols)
+    sampled.unpersist()
+    stats
+  }
 
+  private def runConcurrently[A](items: Seq[A])(work: A => Unit): Unit = {
+    if (items.isEmpty) return
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(items.size, 8))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try Await.result(Future.sequence(items.map(i => Future(work(i)))), Duration.Inf)
+    finally pool.shutdown()
+  }
+
+  /** Returns the stats plus the CACHED sample frame (callers unpersist after
+    * their last job over it — the NL pass reuses it).
+    */
   private def collectStatsWithSample(
       df: DataFrame, cols: Seq[String]): (Map[String, ColStats], DataFrame) = {
     if (cols.isEmpty) return (Map.empty, df)
@@ -172,27 +194,35 @@ object TypeInference {
     // exact 100k sample; an exact-size sample would need a limit() that
     // collapses the stats agg to one partition. Tables at or below the bound
     // are used whole (exact reproducibility at test scale).
-    val sampled =
+    val sampled = (
       if (total > sampleSize)
         df.sample(withReplacement = false, sampleSize.toDouble / total, 42)
-      else df
+      else df).cache()
+    sampled.count() // ONE full-table scan materializes the bounded sample
     val fields = df.schema.fields.filter(f => cols.contains(f.name))
-    // Two scans of the sample: exact distinct counts go in their own agg —
-    // mixing N count_distincts (Expand ×N) with imperative buffers
-    // (collect_set) in one agg multiplies row volume by buffer width.
-    val exprs = fields.map(f => statExprs(f.name, f.dataType))
+    // One SMALL agg per column, run concurrently over the cached sample:
+    // a single wide agg across every column is one giant whole-stage-codegen
+    // function whose Janino compile costs more than the sample scan itself;
+    // per-column plans compile in parallel on the job-submitter threads and
+    // each re-scan hits the in-memory bounded sample.
+    val rows = new Array[Row](fields.length)
+    runConcurrently(fields.indices) { i =>
+      val f = fields(i)
+      rows(i) = sampled.agg(statExprs(f.name, f.dataType)).head()
+    }
+    // exact distinct counts in their own (cheap, codegen-light) agg —
+    // count_distinct's Expand would blow up the stats agg if mixed in
     val distinctable = fields.filter(f => f.dataType match {
       case StringType | _: NumericType => true
       case _ => false
     }).map(_.name)
     val distinctExprs = distinctable.map(n => count_distinct(col(n)).as(n))
-    val row = sampled.agg(exprs.head, exprs.tail: _*).head()
     val dRow = if (distinctExprs.nonEmpty)
       sampled.agg(distinctExprs.head, distinctExprs.tail: _*).head() else null
     val distincts = distinctable.zipWithIndex
       .map { case (n, i) => n -> dRow.getLong(i) }.toMap
     (fields.zipWithIndex.map { case (f, i) =>
-      f.name -> rowToStats(row, i, f.dataType, distincts.getOrElse(f.name, 0L))
+      f.name -> rowToStats(rows(i), 0, f.dataType, distincts.getOrElse(f.name, 0L))
     }.toMap, sampled)
   }
 
@@ -217,15 +247,17 @@ object TypeInference {
                  ts: TypeSystem = TypeSystem.global): Map[String, LogicalType] = {
     val target = if (cols.isEmpty) df.columns.toSeq else cols
     val (stats, sampled) = collectStatsWithSample(df, target)
-    val first = stats.map { case (n, st) => n -> ts.inferFromStats(st) }
-    // deferred NaturalLanguage pass for unmatched string columns
-    val nlCandidates = first.collect {
-      case (n, lt) if lt == ts.defaultType && stats(n).dataType == StringType &&
-        stats(n).nonNullCount > 0 => n
-    }.toSeq
-    first ++ nlCandidates.map { n =>
-      val avgWords = nlAvgCommonWords(sampled, n, stats(n).nonNullCount)
-      n -> ts.inferFromStats(stats(n).copy(nlAvgCommonWords = avgWords))
-    }
+    try {
+      val first = stats.map { case (n, st) => n -> ts.inferFromStats(st) }
+      // deferred NaturalLanguage pass for unmatched string columns
+      val nlCandidates = first.collect {
+        case (n, lt) if lt == ts.defaultType && stats(n).dataType == StringType &&
+          stats(n).nonNullCount > 0 => n
+      }.toSeq
+      first ++ nlCandidates.map { n =>
+        val avgWords = nlAvgCommonWords(sampled, n, stats(n).nonNullCount)
+        n -> ts.inferFromStats(stats(n).copy(nlAvgCommonWords = avgWords))
+      }
+    } finally sampled.unpersist()
   }
 }

@@ -55,7 +55,27 @@ object Dependence {
     * per-value counts — call it after the LAST action consuming the table
     * (repeated dependence calls must not accumulate cached blocks).
     */
-  private[stats] def avgRankTable(df: DataFrame, v: String): (DataFrame, () => Unit) = {
+  /** Distinct-value count below which the rank table's prefix sums run as one
+    * single-task window over the (already-reduced) per-value counts — no
+    * second shuffle, no driver offsets, no cache. Above it, the
+    * range-partitioned prefix-sum path takes over.
+    */
+  private val SingleTaskBound = 10L * 1000 * 1000
+
+  private[stats] def avgRankTable(df: DataFrame, v: String,
+                                  nuniqueHint: Option[Long] = None)
+      : (DataFrame, () => Unit) = {
+    if (nuniqueHint.exists(_ <= SingleTaskBound)) {
+      val counts = df.where(col(v).isNotNull)
+        .groupBy(col(v).as("__v")).agg(count(lit(1)).as("__c"))
+      val w = Window.orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val table = counts
+        .withColumn("__cumLess", coalesce(sum(col("__c")).over(w), lit(0L)))
+        .select(col("__v"),
+          (col("__cumLess") + (col("__c") + 1) / 2.0).as("__avg_rank"))
+      return (table, () => ())
+    }
     val spark = df.sparkSession
     val parts = math.max(spark.sparkContext.defaultParallelism, 4)
     val counts = df.where(col(v).isNotNull)
@@ -247,9 +267,21 @@ object Dependence {
         if (nullFree.nonEmpty) {
           val rankedCols = spCols.filter(n =>
             nullFree.exists(r => r.col1 == n || r.col2 == n))
-          val rankTables = rankedCols.map(n => n -> avgRankTable(prep, n))
+          // each rank table runs a small driver-side action; build them
+          // concurrently so k tables cost ~one table of wall-clock
+          val rankTables = {
+            val arr = new Array[(String, (DataFrame, () => Unit))](rankedCols.size)
+            parallelJobs(rankedCols.zipWithIndex) { case (n, i) =>
+              arr(i) = n -> avgRankTable(prep, n, Some(nunique(n)))
+            }
+            arr.toSeq
+          }
           try {
-            val ranked = rankTables.foldLeft(prep) { case (d, (n, (rt, _))) =>
+            // join each rank table back by value; LOW-cardinality tables
+            // (known from the pass-1 nunique) broadcast, so only
+            // high-cardinality columns ever re-shuffle the base frame
+            val ranked = rankTables.foldLeft(prep) { case (d, (n, (rt0, _))) =>
+              val rt = if (nunique(n) <= 100000) broadcast(rt0) else rt0
               d.join(rt, d(n) === rt("__v"), "left")
                 .drop("__v").withColumnRenamed("__avg_rank", s"rk__$n")
             }

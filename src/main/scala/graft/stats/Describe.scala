@@ -186,18 +186,25 @@ object Describe {
                     numericCols: Set[String] = Set.empty)
       : (Map[String, String], Map[String, Long], Map[String, Seq[Double]]) = {
     if (cols.isEmpty) return (Map.empty, Map.empty, Map.empty)
+    // numeric columns melt as raw doubles — no per-row string formatting, and
+    // the shuffle carries an 8-byte key instead of a string; the (single)
+    // mode string per numeric column is reconstructed driver-side below
+    val numish = cols.filter(n => targets.contains(n) || numericCols.contains(n)).toSet
+    val integral = numish.filter(n => LogicalType.isIntegralType(df.schema(n).dataType))
     val entries = cols.map { n =>
-      val vnum =
-        if (targets.contains(n) || numericCols.contains(n)) col(n).cast(DoubleType)
-        else lit(null).cast(DoubleType)
-      struct(lit(n).as("column_name"), col(n).cast(StringType).as("value"),
-        vnum.as("value_num"))
+      if (numish(n))
+        struct(lit(n).as("column_name"),
+          lit(null).cast(StringType).as("value"),
+          col(n).cast(DoubleType).as("value_num"))
+      else
+        struct(lit(n).as("column_name"), col(n).cast(StringType).as("value"),
+          lit(null).cast(DoubleType).as("value_num"))
     }
     val groups = df.select(explode(array(entries: _*)).as("e"))
       .select(col("e.column_name"), col("e.value"), col("e.value_num"))
-      .where(col("value").isNotNull)
-      .groupBy("column_name", "value")
-      .agg(count(lit(1)).as("cnt"), first("value_num").as("value_num"))
+      .where(col("value").isNotNull || col("value_num").isNotNull)
+      .groupBy("column_name", "value", "value_num")
+      .agg(count(lit(1)).as("cnt"))
       .cache()
     try {
       // mode tie-break: numeric columns break count-ties on the NUMERIC value
@@ -209,7 +216,17 @@ object Describe {
             col("value"))).as("top"),
           count(lit(1)).as("nunique"))
         .collect()
-      val modes = topRows.map(r => r.getString(0) -> r.getStruct(1).getString(2)).toMap
+      val modes = topRows.map { r =>
+        val top = r.getStruct(1)
+        val s =
+          if (!top.isNullAt(2)) top.getString(2)
+          else if (top.isNullAt(1)) null
+          else {
+            val d = top.getDouble(1)
+            if (integral(r.getString(0))) d.toLong.toString else d.toString
+          }
+        r.getString(0) -> s
+      }.toMap
       val nuniques = topRows.map(r => r.getString(0) -> r.getLong(2)).toMap
 
       // order-statistic positions wanted per column
