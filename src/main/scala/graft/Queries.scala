@@ -125,8 +125,9 @@ object Queries {
   def q08BoxplotLineitem(s: SparkSession, dir: String): DataFrame = {
     val li = table(s, dir, "lineitem")
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val infos = Outliers.boxPlots(li, cols)
     val rows = cols.map { c =>
-      val b = Outliers.boxPlot(li, c)
+      val b = infos(c)
       (c, round4(b.q1), round4(b.median), round4(b.q3),
         round4(b.low), round4(b.high), b.numLow, b.numHigh)
     }

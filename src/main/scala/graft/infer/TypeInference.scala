@@ -60,6 +60,7 @@ object TypeInference {
         struct(
           count(lit(1)).as("total"),
           count(s).as("nonNull"),
+          count_distinct(s).as("distinct"),
           cnt(s.isNotNull && !s.rlike(intRegex)).as("intFail"),
           cnt(s.isNotNull && dbl.isNull).as("dblFail"),
           cnt(dbl.isNotNull && dbl % 1 =!= 0).as("dblNonIntegral"),
@@ -109,6 +110,7 @@ object TypeInference {
         struct(
           count(lit(1)).as("total"),
           count(c).as("nonNull"),
+          count_distinct(c).as("distinct"),
           lit(0L).as("intFail"), lit(0L).as("dblFail"),
           lit(0L).as("dblNonIntegral"),
           nonIntegral.as("numNonIntegral"),
@@ -122,6 +124,7 @@ object TypeInference {
         struct(
           count(lit(1)).as("total"),
           count(c).as("nonNull"),
+          lit(0L).as("distinct"),
           lit(0L).as("intFail"), lit(0L).as("dblFail"),
           lit(0L).as("dblNonIntegral"), lit(0L).as("numNonIntegral"),
           lit(0L).as("dtFail"), lit(0L).as("boolBad"),
@@ -133,30 +136,30 @@ object TypeInference {
     }
   }
 
-  private def rowToStats(r: Row, idx: Int, dt: DataType, distinct: Long): ColStats = {
+  private def rowToStats(r: Row, idx: Int, dt: DataType): ColStats = {
     val s = r.getStruct(idx)
     ColStats(
       dataType = dt,
       totalCount = s.getLong(0),
       nonNullCount = s.getLong(1),
-      distinctCount = distinct,
-      intParseFail = s.getLong(2),
-      dblParseFail = s.getLong(3),
-      dblNonIntegral = s.getLong(4),
-      numNonIntegral = s.getLong(5),
-      dtParseFail = s.getLong(6),
-      boolBadToken = s.getLong(7),
+      distinctCount = s.getLong(2),
+      intParseFail = s.getLong(3),
+      dblParseFail = s.getLong(4),
+      dblNonIntegral = s.getLong(5),
+      numNonIntegral = s.getLong(6),
+      dtParseFail = s.getLong(7),
+      boolBadToken = s.getLong(8),
       boolTokens = {
-        val flags = Option(s.getSeq[Int](8)).getOrElse(Seq.empty)
+        val flags = Option(s.getSeq[Int](9)).getOrElse(Seq.empty)
         val tokens = WwConfig.options.booleanTransformMappings.keySet.toSeq.sorted
         tokens.zip(flags).collect { case (t, f) if f == 1 => t }.toSet
       },
-      emailFail = s.getLong(9),
-      phoneFail = s.getLong(10),
-      postalFail = s.getLong(11),
-      urlFail = s.getLong(12),
-      ipFail = s.getLong(13),
-      nlAvgCommonWords = if (s.isNullAt(14)) Double.NaN else s.getDouble(14)
+      emailFail = s.getLong(10),
+      phoneFail = s.getLong(11),
+      postalFail = s.getLong(12),
+      urlFail = s.getLong(13),
+      ipFail = s.getLong(14),
+      nlAvgCommonWords = if (s.isNullAt(15)) Double.NaN else s.getDouble(15)
     )
   }
 
@@ -210,19 +213,8 @@ object TypeInference {
       val f = fields(i)
       rows(i) = sampled.agg(statExprs(f.name, f.dataType)).head()
     }
-    // exact distinct counts in their own (cheap, codegen-light) agg —
-    // count_distinct's Expand would blow up the stats agg if mixed in
-    val distinctable = fields.filter(f => f.dataType match {
-      case StringType | _: NumericType => true
-      case _ => false
-    }).map(_.name)
-    val distinctExprs = distinctable.map(n => count_distinct(col(n)).as(n))
-    val dRow = if (distinctExprs.nonEmpty)
-      sampled.agg(distinctExprs.head, distinctExprs.tail: _*).head() else null
-    val distincts = distinctable.zipWithIndex
-      .map { case (n, i) => n -> dRow.getLong(i) }.toMap
     (fields.zipWithIndex.map { case (f, i) =>
-      f.name -> rowToStats(rows(i), 0, f.dataType, distincts.getOrElse(f.name, 0L))
+      f.name -> rowToStats(rows(i), 0, f.dataType)
     }.toMap, sampled)
   }
 

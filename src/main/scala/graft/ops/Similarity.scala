@@ -105,13 +105,22 @@ object Similarity {
       .where(col("cosine") >= threshold)
   }
 
-  /** Per-group centroid L2 norms — the "vector aggregate" shape (posexplode →
-    * per-dimension mean → renorm). One shuffle on (group, dim).
+  /** Per-group centroid L2 norms — the "vector aggregate" shape as ONE
+    * groupBy with a per-dimension avg column each (no row explosion: the
+    * shuffle carries one partial row per group instead of dim× the input;
+    * element_at is indexed directly on the raw array so no HOF gets
+    * re-inlined per dimension).
     */
-  def centroidNorms(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
-    df.select(col(groupCol).as("grp"), posexplode(asDouble(col(vecCol))))
-      .groupBy("grp", "pos").agg(avg("col").as("m"))
-      .groupBy("grp").agg(round(sqrt(sum(col("m") * col("m"))), 4).as("centroid_norm"))
+  def centroidNorms(df: DataFrame, groupCol: String, vecCol: String): DataFrame = {
+    val dim = df.select(size(col(vecCol))).limit(1).head().getInt(0)
+    val means = (0 until dim).map(i =>
+      avg(element_at(col(vecCol), i + 1).cast(DoubleType)).as(s"m$i"))
+    val normExpr = sqrt((0 until dim).map(i => col(s"m$i") * col(s"m$i"))
+      .reduce(_ + _))
+    df.groupBy(col(groupCol).as("grp"))
+      .agg(means.head, means.tail: _*)
+      .select(col("grp"), round(normExpr, 4).as("centroid_norm"))
+  }
 
   /** Embedding-cosine near-duplicate pairs (the embedding analog of MinHash
     * dedup): same-bucket LSH pairs above a high cosine threshold.

@@ -23,13 +23,34 @@ object Outliers {
       numLow: Long, numHigh: Long,
       method: String)
 
-  private def quantiles(df: DataFrame, colName: String): (Double, Double, Double, Double, Double) = {
-    val c = col(colName).cast(DoubleType)
-    val r = df.agg(
-      percentile(c, lit(Array(0.0, 0.25, 0.5, 0.75, 1.0))).as("q")).head()
-    val q = r.getSeq[Double](0)
-    (q(0), q(1), q(2), q(3), q(4))
+  /** Exact {min, q1, median, q3, max} per column WITHOUT `percentile`'s
+    * ObjectHashAggregate (whose final merge holds every distinct value in one
+    * process): min/max/count from one cheap agg, quartiles from the melt
+    * order-statistics path shared with describe. Interpolation is identical
+    * to SQL percentile, so oracle parity carries over.
+    */
+  private def quantilesFor(df: DataFrame, cols: Seq[String])
+      : Map[String, (Double, Double, Double, Double, Double)] = {
+    val aggExprs = cols.flatMap { n =>
+      val c = col(n).cast(DoubleType)
+      Seq(count(c).as(s"cnt__$n"), min(c).as(s"mn__$n"), max(c).as(s"mx__$n"))
+    }
+    val r = df.agg(aggExprs.head, aggExprs.tail: _*).head()
+    def cnt(n: String): Long = r.getLong(r.fieldIndex(s"cnt__$n"))
+    def d(nm: String): Double = r.getDouble(r.fieldIndex(nm))
+    val targets = cols.filter(cnt(_) > 0).map { n =>
+      n -> Seq(0.25, 0.5, 0.75).map(p => p * (cnt(n) - 1))
+    }.toMap
+    val casted = df.select(cols.map(n => col(n).cast(DoubleType).as(n)): _*)
+    val (_, _, quarts) = Describe.meltStatsFull(casted, cols, targets, cols.toSet)
+    cols.map { n =>
+      val q = quarts.getOrElse(n, Seq(Double.NaN, Double.NaN, Double.NaN))
+      n -> (d(s"mn__$n"), q(0), q(1), q(2), d(s"mx__$n"))
+    }.toMap
   }
+
+  private def quantiles(df: DataFrame, colName: String): (Double, Double, Double, Double, Double) =
+    quantilesFor(df, Seq(colName))(colName)
 
   private def outlierCounts(df: DataFrame, colName: String,
                             low: Double, high: Double): (Long, Long) = {
@@ -43,13 +64,33 @@ object Outliers {
   /** Standard IQR box plot: bounds q1-1.5·IQR / q3+1.5·IQR clamped to
     * min/max (reference: _get_box_plot_info_for_column.py:69-91).
     */
-  def boxPlot(df: DataFrame, colName: String): BoxPlotInfo = {
-    val (mn, q1, med, q3, mx) = quantiles(df, colName)
-    val iqr = q3 - q1
-    val low = math.max(q1 - 1.5 * iqr, mn)
-    val high = math.min(q3 + 1.5 * iqr, mx)
-    val (nl, nh) = outlierCounts(df, colName, low, high)
-    BoxPlotInfo(low, high, q1, med, q3, mn, mx, nl, nh, "box_plot")
+  def boxPlot(df: DataFrame, colName: String): BoxPlotInfo =
+    boxPlots(df, Seq(colName))(colName)
+
+  /** Multi-column box plots in THREE distributed jobs total (count/min/max
+    * agg + one melt + one outlier-count agg), instead of per-column loops.
+    */
+  def boxPlots(df: DataFrame, cols: Seq[String]): Map[String, BoxPlotInfo] = {
+    val qs = quantilesFor(df, cols)
+    val bounds = cols.map { n =>
+      val (mn, q1, _, q3, mx) = qs(n)
+      val iqr = q3 - q1
+      n -> (math.max(q1 - 1.5 * iqr, mn), math.min(q3 + 1.5 * iqr, mx))
+    }.toMap
+    val cntExprs = cols.flatMap { n =>
+      val c = col(n).cast(DoubleType)
+      val (lo, hi) = bounds(n)
+      Seq(coalesce(sum(when(c < lo, 1L)), lit(0L)).as(s"nl__$n"),
+        coalesce(sum(when(c > hi, 1L)), lit(0L)).as(s"nh__$n"))
+    }
+    val r = df.agg(cntExprs.head, cntExprs.tail: _*).head()
+    cols.map { n =>
+      val (mn, q1, med, q3, mx) = qs(n)
+      val (lo, hi) = bounds(n)
+      n -> BoxPlotInfo(lo, hi, q1, med, q3, mn, mx,
+        r.getLong(r.fieldIndex(s"nl__$n")), r.getLong(r.fieldIndex(s"nh__$n")),
+        "box_plot")
+    }.toMap
   }
 
   /** Medcouple statistic on a ≤`sampleSize` sample
@@ -62,11 +103,16 @@ object Outliers {
     val c = col(colName).cast(DoubleType)
     val total = df.where(c.isNotNull).count()
     val src = df.where(c.isNotNull).select(c)
-    val values =
+    // no limit() in the plan — it would collapse the sample scan to one
+    // partition; collect the slightly-over-sampled rows (bounded ~1.1×10k)
+    // and cut to size driver-side in partition order (same rows limit()
+    // would have taken)
+    val collected =
       (if (total > sampleSize)
         src.sample(withReplacement = false, sampleSize.toDouble / total * 1.1, seed)
-          .limit(sampleSize)
-      else src).collect().map(_.getDouble(0)).sorted
+      else src).collect()
+    val values = collected.iterator.take(sampleSize).map(_.getDouble(0))
+      .toArray.sorted
     medcoupleKernel(values)
   }
 
@@ -107,11 +153,42 @@ object Outliers {
       }
       i += 1
     }
-    java.util.Arrays.sort(arr)
     val m = arr.length
     if (m == 0) 0.0
-    else if (m % 2 == 1) arr(m / 2)
-    else (arr(m / 2 - 1) + arr(m / 2)) / 2.0
+    else if (m % 2 == 1) quickselect(arr, m / 2)
+    else {
+      // selection in O(m) instead of sorting the n²/4-element kernel array:
+      // select the upper-middle, then the lower-middle is the max of the
+      // (partitioned-below) left side
+      val hi = quickselect(arr, m / 2)
+      var lo = arr(0)
+      var i = 1
+      while (i < m / 2) { if (arr(i) > lo) lo = arr(i); i += 1 }
+      (lo + hi) / 2.0
+    }
+  }
+
+  /** In-place quickselect: returns the k-th smallest and leaves arr
+    * partitioned so that arr(i) <= arr(k) for i < k.
+    */
+  private def quickselect(a: Array[Double], k: Int): Double = {
+    val rnd = new java.util.Random(42)
+    var lo = 0
+    var hi = a.length - 1
+    while (lo < hi) {
+      val p = a(lo + rnd.nextInt(hi - lo + 1))
+      var i = lo
+      var j = hi
+      while (i <= j) {
+        while (a(i) < p) i += 1
+        while (a(j) > p) j -= 1
+        if (i <= j) { val t = a(i); a(i) = a(j); a(j) = t; i += 1; j -= 1 }
+      }
+      if (k <= j) hi = j
+      else if (k >= i) lo = i
+      else { lo = k; hi = k }
+    }
+    a(k)
   }
 
   /** Medcouple-adjusted bounds: q1 - 1.5·e^(c1·MC)·IQR, q3 + 1.5·e^(c2·MC)·IQR
