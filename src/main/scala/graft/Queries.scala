@@ -35,15 +35,16 @@ object Queries {
   private val frameCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), WoodworkFrame]
 
+  /** No blanket persist of the typed frame: the coercion projection re-runs
+    * per query but costs less than materializing every column up front —
+    * measured at sf0.1, and the same holds at 100 TB where caching whole
+    * tables is not an option either (operators cache their own bounded
+    * working sets: dependence's prep frame, dedup's shingle table, the
+    * inference sample).
+    */
   def typedTable(s: SparkSession, dir: String, name: String): WoodworkFrame =
-    frameCache.getOrElseUpdate((dir, name), {
-      val f = WoodworkFrame.init(table(s, dir, name))
-      // working-set caching: these tables are re-scanned by many queries in
-      // one session; at the 100 TB scale you'd cache the columns/partitions
-      // of the working set, not the table — same API, deliberate choice
-      f.df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      f
-    })
+    frameCache.getOrElseUpdate((dir, name),
+      WoodworkFrame.init(table(s, dir, name)))
 
   def lineitemFrame(s: SparkSession, dir: String): WoodworkFrame =
     typedTable(s, dir, "lineitem")
