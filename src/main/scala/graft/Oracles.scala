@@ -216,6 +216,33 @@ object Oracles {
       |  GROUP BY label, u.i)
       |GROUP BY label ORDER BY grp""".stripMargin
 
+  /** LSH ANN reproduced exactly in SQL: the seeded hyperplanes are embedded
+    * as literals (Double.toString round-trips bit-exactly through DuckDB's
+    * strtod), so bucket signatures — and therefore the candidate set — are
+    * engine-independent. Cosine uses the same sequential-fold dot product
+    * shape as q27.
+    */
+  private def lshSql(numPlanes: Int, threshold: Double): String = {
+    val planes = graft.ops.Similarity.hyperplanes(64, numPlanes, 42L)
+    val bucket = (0 until numPlanes).map { p =>
+      val arr = planes(p).mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(v, $arr) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |b AS (SELECT vec_id, v, $bucket AS bucket FROM e)
+       |SELECT a.vec_id AS query_id, c.vec_id AS candidate_id,
+       |  round(list_dot_product(a.v, c.v) /
+       |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))), 4) AS cosine
+       |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+       |WHERE round(list_dot_product(a.v, c.v) /
+       |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))), 4) >= $threshold
+       |ORDER BY query_id, candidate_id""".stripMargin
+  }
+
+  val q29: String = lshSql(numPlanes = 8, threshold = 0.3)
+  val q39: String = lshSql(numPlanes = 4, threshold = 0.4)
+
   val q31: String =
     """SELECT CAST(p_brand AS VARCHAR) AS value, count(*) AS "count"
       |FROM part WHERE p_brand IS NOT NULL
@@ -275,6 +302,8 @@ object Oracles {
       "q26_fingerprint" -> q26,
       "q27_ann_cosine" -> q27,
       "q28_embedding_centroids" -> q28,
+      "q29_lsh_ann" -> q29,
+      "q39_embedding_neardup" -> q39,
       "q31_top_values" -> q31,
       "q32_recent_values" -> q32,
       "q33_int_range_counts" -> q33,

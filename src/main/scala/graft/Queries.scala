@@ -355,6 +355,16 @@ object Queries {
       .orderBy("query_id", "candidate_id")
   }
 
+  /** Embedding-cosine near-duplicate pairs: LSH same-bucket candidates at the
+    * data's similarity ceiling (the dedup flavor of similarity search).
+    */
+  def q39EmbeddingNeardup(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    ops.Similarity.lshSearch(emb, "vec_id", "embedding", dim = 64,
+      numPlanes = 4, threshold = 0.4)
+      .orderBy("query_id", "candidate_id")
+  }
+
   /** describe() on datetime columns: exact min/max/count/nunique. */
   def q37DescribeDatetime(s: SparkSession, dir: String): DataFrame = {
     val f = typedTable(s, dir, "orders")
@@ -463,6 +473,7 @@ object Queries {
     "q35_loc_union" -> (q35LocUnion _),
     "q36_ivf_ann" -> (q36IvfAnn _),
     "q37_describe_datetime" -> (q37DescribeDatetime _),
-    "q38_validate_types" -> (q38ValidateTypes _)
+    "q38_validate_types" -> (q38ValidateTypes _),
+    "q39_embedding_neardup" -> (q39EmbeddingNeardup _)
   )
 }

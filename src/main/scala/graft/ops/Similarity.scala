@@ -68,9 +68,10 @@ object Similarity {
   }
 
   /** Deterministic random hyperplanes (seeded driver-side RNG, broadcast as
-    * literals).
+    * literals). Public so oracle SQL can embed the exact same planes as
+    * literals — the LSH bucketing is then reproducible in any engine.
     */
-  private def hyperplanes(dim: Int, numPlanes: Int, seed: Long): Array[Array[Double]] = {
+  def hyperplanes(dim: Int, numPlanes: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new java.util.Random(seed)
     Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
