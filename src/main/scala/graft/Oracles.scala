@@ -243,6 +243,31 @@ object Oracles {
   val q29: String = lshSql(numPlanes = 8, threshold = 0.3)
   val q39: String = lshSql(numPlanes = 4, threshold = 0.4)
 
+  /** Winnowing with md5-string fingerprints: gram construction, window-min
+    * (lexicographic = list_sort(...)[1]), and the short-doc/short-gram
+    * fallbacks mirror the Spark windowed plan exactly.
+    */
+  val q40: String = {
+    val k = 5; val w = 4
+    val gram = (0 until k).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+    s"""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
+       |           FROM documents WHERE doc_id < 100),
+       |g AS (SELECT doc_id,
+       |        CASE WHEN len(toks) >= $k
+       |          THEN list_transform(range(1, len(toks) - ${k - 2}), i -> md5($gram))
+       |          ELSE [md5(array_to_string(toks, ' '))] END AS grams
+       |      FROM t),
+       |m AS (SELECT doc_id,
+       |        CASE WHEN len(grams) >= $w
+       |          THEN list_transform(range(1, len(grams) - ${w - 2}),
+       |                 i -> list_sort(grams[i:i+${w - 1}])[1])
+       |          ELSE [list_sort(grams)[1]] END AS mins
+       |      FROM g)
+       |SELECT DISTINCT doc_id, fp FROM
+       |  (SELECT doc_id, unnest(mins) AS fp FROM m)
+       |ORDER BY doc_id, fp""".stripMargin
+  }
+
   val q31: String =
     """SELECT CAST(p_brand AS VARCHAR) AS value, count(*) AS "count"
       |FROM part WHERE p_brand IS NOT NULL
@@ -304,6 +329,7 @@ object Oracles {
       "q28_embedding_centroids" -> q28,
       "q29_lsh_ann" -> q29,
       "q39_embedding_neardup" -> q39,
+      "q40_winnowing" -> q40,
       "q31_top_values" -> q31,
       "q32_recent_values" -> q32,
       "q33_int_range_counts" -> q33,

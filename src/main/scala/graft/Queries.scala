@@ -365,6 +365,16 @@ object Queries {
       .orderBy("query_id", "candidate_id")
   }
 
+  /** Winnowing fingerprints (Schleimer et al. 2003) over a bounded doc set:
+    * k-gram md5s, per-window minimum, distinct selections.
+    */
+  def q40Winnowing(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents").where(col("doc_id") < 100)
+    ops.TextAnalysis.winnowingTable(docs, "doc_id", "text", k = 5, window = 4)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "fp")
+  }
+
   /** describe() on datetime columns: exact min/max/count/nunique. */
   def q37DescribeDatetime(s: SparkSession, dir: String): DataFrame = {
     val f = typedTable(s, dir, "orders")
@@ -474,6 +484,7 @@ object Queries {
     "q36_ivf_ann" -> (q36IvfAnn _),
     "q37_describe_datetime" -> (q37DescribeDatetime _),
     "q38_validate_types" -> (q38ValidateTypes _),
-    "q39_embedding_neardup" -> (q39EmbeddingNeardup _)
+    "q39_embedding_neardup" -> (q39EmbeddingNeardup _),
+    "q40_winnowing" -> (q40Winnowing _)
   )
 }

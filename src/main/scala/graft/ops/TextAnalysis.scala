@@ -117,6 +117,43 @@ object TextAnalysis {
     array_sort(array_distinct(mins))
   }
 
+  /** Winnowing fingerprints as an exploded table (id, fp) — the hot-path
+    * shape: the tokenizer runs once per row, k-grams come from window lead()
+    * (codegen; no HOF re-inlining), the per-window minimum is a frame-bounded
+    * window min, and selected fingerprints are md5 STRINGS so the identical
+    * construction runs in any engine (min = lexicographic min).
+    */
+  def winnowingTable(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 5, window: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toksOf = tokens(col(textCol))
+    val base = df.where(size(toksOf) >= k)
+      .select(col(idCol).as("id"), posexplode(toksOf).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("id").orderBy("pos")
+    val grams = base
+      .withColumn("g",
+        md5(concat_ws(" ", (0 until k).map(j => lead(col("tok"), j).over(w)): _*)))
+      .withColumn("last", lead(col("tok"), k - 1).over(w))
+      .where(col("last").isNotNull)
+      .select(col("id"), col("pos"), col("g"))
+    val wMin = Window.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
+    val wLead = Window.partitionBy("id").orderBy("pos")
+    val marked = grams
+      .withColumn("wmin", min(col("g")).over(wMin))
+      .withColumn("wfull", lead(col("g"), window - 1).over(wLead))
+    // valid window starts; docs with fewer than `window` grams contribute the
+    // minimum of all their grams; docs with fewer than k tokens fingerprint
+    // their whole normalized text
+    val windowed = marked.where(col("wfull").isNotNull)
+      .select(col("id"), col("wmin").as("fp"))
+    val shortGrams = marked
+      .groupBy("id").agg(count(lit(1)).as("m"), min(col("g")).as("fp"))
+      .where(col("m") < window).select(col("id"), col("fp"))
+    val shortDocs = df.where(size(toksOf) < k)
+      .select(col(idCol).as("id"), md5(array_join(toksOf, " ")).as("fp"))
+    windowed.unionAll(shortGrams).unionAll(shortDocs).distinct()
+  }
+
   /** Per-document text statistics table. */
   def textStats(df: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)
