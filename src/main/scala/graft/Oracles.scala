@@ -172,6 +172,33 @@ object Oracles {
   val q22: String =
     graft.ops.Dedup.Sql.jaccardPairs("documents", "doc_id", "text", 3, 0.6)
 
+  /** SimHash reproduced exactly in SQL: token hash = first 15 hex chars of
+    * md5 parsed as a 60-bit int, per-bit ±1 votes, 15-bit chunk banding,
+    * Hamming via bit_count(xor) — every step engine-portable.
+    */
+  val q23: String = {
+    val bits = graft.ops.Dedup.SimhashBits
+    val bsums = (0 until bits).map(i =>
+      s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(",\n        ")
+    val sig = (0 until bits).map(i =>
+      s"(CASE WHEN b$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)").mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+       |             FROM documents),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+       |v AS (SELECT doc_id,
+       |        $bsums
+       |      FROM h GROUP BY doc_id),
+       |s AS (SELECT doc_id, $sig AS sig FROM v),
+       |c AS (SELECT doc_id, sig, j, (sig >> (j * 15)) & 32767 AS chunk_v
+       |      FROM s, (SELECT unnest([0, 1, 2, 3]) AS j)),
+       |p AS (SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2,
+       |        CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |      FROM c a JOIN c b
+       |        ON a.j = b.j AND a.chunk_v = b.chunk_v AND a.doc_id < b.doc_id)
+       |SELECT id_1, id_2, hamming FROM p WHERE hamming <= 3
+       |ORDER BY id_1, id_2""".stripMargin
+  }
+
   val q24: String = {
     val expr = graft.ops.TextAnalysis.Sql.langId("text")
     s"""SELECT $expr AS lang_pred, count(*) AS cnt
@@ -322,6 +349,7 @@ object Oracles {
       "q20_dedup_exact" -> q20,
       "q21_ngram_jaccard" -> q21,
       "q22_minhash_lsh" -> q22,
+      "q23_simhash_pairs" -> q23,
       "q24_lang_id" -> q24,
       "q25_text_quality" -> q25,
       "q26_fingerprint" -> q26,

@@ -179,26 +179,33 @@ object Dedup {
     try out.localCheckpoint(eager = true) finally sh.unpersist()
   }
 
-  /** 64-bit SimHash per document: per-bit vote of token hashes. The explode
-    * shuffles (doc, token) once; 64 sum aggregates assemble driver-free into
-    * a single long via bitwise expression fold.
+  /** SimHash bit width: 60 bits = 15 hex chars of md5, the widest slice that
+    * fits a signed 64-bit int in every engine — the token hash is therefore
+    * engine-portable (md5 is universal), unlike xxhash64.
+    */
+  val SimhashBits = 60
+
+  /** 60-bit SimHash per document: per-bit vote of md5-derived token hashes.
+    * The explode shuffles (doc, token) once; 60 sum aggregates assemble
+    * driver-free into a single long via bitwise expression fold.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val exploded = df.select(col(idCol).as("id"),
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map(i =>
+      .withColumn("h",
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast(LongType))
+    val bitSums = (0 until SimhashBits).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"b$i"))
     val summed = exploded.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map(i =>
+    val sig = (0 until SimhashBits).map(i =>
       when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
       .reduce(_.bitwiseOR(_))
     summed.select(col("id"), sig.as("simhash"))
   }
 
   /** Near-duplicate pairs by SimHash Hamming distance ≤ maxDist, using
-    * 16-bit chunk banding (pigeonhole: distance ≤ 3 ⇒ at least one of 4
+    * 15-bit chunk banding (pigeonhole: distance ≤ 3 ⇒ at least one of 4
     * chunks identical) so candidates stay bucket-local.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
@@ -207,14 +214,15 @@ object Dedup {
     val chunks = sigs.select(col("id"), col("simhash"),
       explode(array((0 until 4).map(j =>
         struct(lit(j).as("chunk"),
-          shiftright(col("simhash"), j * 16).bitwiseAND(0xFFFFL).as("v"))): _*))
+          shiftright(col("simhash"), j * 15).bitwiseAND(0x7FFFL).as("v"))): _*))
         .as("c"))
       .select(col("id"), col("simhash"), col("c.chunk").as("chunk"), col("c.v").as("v"))
     chunks.as("x").join(chunks.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.v") === col("y.v") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_1"), col("y.id").as("id_2"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+          .cast(LongType).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxDist)
   }
