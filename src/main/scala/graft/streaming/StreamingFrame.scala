@@ -68,4 +68,42 @@ object StreamingFrame {
       .withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicates("fingerprint")
+
+  /** Running per-key profile carried in CUSTOM state
+    * (`mapGroupsWithState`): count/mean/min/max updated incrementally per
+    * micro-batch — the stateful-operator shape for accumulating per-group
+    * statistics that windowed aggs can't express (state lives across
+    * windows). Emit in update mode.
+    */
+  final case class KeyProfile(key: String, count: Long, mean: Double,
+                              min: Double, max: Double)
+
+  def statefulProfile(stream: DataFrame, keyCol: String, valueCol: String)
+      : org.apache.spark.sql.Dataset[KeyProfile] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col(keyCol).cast(StringType).as("k"),
+        col(valueCol).cast(DoubleType).as("v"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[KeyProfile, KeyProfile](GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[KeyProfile]) =>
+          val prev = state.getOption.getOrElse(
+            KeyProfile(key, 0L, 0.0, Double.MaxValue, Double.MinValue))
+          var cnt = prev.count
+          var sum = prev.mean * prev.count
+          var mn = prev.min
+          var mx = prev.max
+          rows.foreach { case (_, v) =>
+            cnt += 1; sum += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+          }
+          val next = KeyProfile(key, cnt, if (cnt == 0) 0.0 else sum / cnt, mn, mx)
+          state.update(next)
+          next
+      }
+  }
 }

@@ -103,6 +103,26 @@ class IoStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stateful per-key profile accumulates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Double)]
+    val stream = mem.toDF().toDF("k", "v")
+    val prof = StreamingFrame.statefulProfile(stream, "k", "v")
+    val q = prof.writeStream.format("memory").queryName("keyprof")
+      .outputMode("update").start()
+    mem.addData(("a", 1.0), ("a", 3.0), ("b", 10.0))
+    q.processAllAvailable()
+    mem.addData(("a", 5.0)) // state carries: count 3, mean 3.0
+    q.processAllAvailable()
+    val rows = spark.sql("select * from keyprof where key = 'a'")
+      .orderBy(col("count")).collect()
+    assert(rows.last.getAs[Long]("count") == 3)
+    assert(rows.last.getAs[Double]("mean") == 3.0)
+    assert(rows.last.getAs[Double]("min") == 1.0)
+    assert(rows.last.getAs[Double]("max") == 5.0)
+    q.stop()
+  }
+
   test("streaming: schema apply + windowed profile + quality filter") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)]

@@ -81,6 +81,18 @@ class StatsSpec extends SparkSpec {
     assert(sampled.nonEmpty)
   }
 
+  test("spearman ranks Ordinal columns by their declared order") {
+    // values whose LEXICOGRAPHIC order ('high' < 'low' < 'med') differs from
+    // the declared order (low < med < high): correct rank conversion gives
+    // spearman exactly 1 against the ascending numeric column
+    val levels = Seq("low", "med", "high")
+    val data = (0 until 30).map(i => (levels(i % 3), (i % 3).toDouble + i * 0.001))
+    val f = WoodworkFrame.init(data.toDF("lvl", "x"),
+      logicalTypes = Map("lvl" -> graft.types.LogicalType.Ordinal(levels)))
+    val dep = Dependence.dependence(f, Seq("spearman"), minShared = 5).collect().head
+    assert(dep.getAs[Double]("spearman") > 0.9)
+  }
+
   test("sparse pairs (< minShared) yield null") {
     val f = WoodworkFrame.init(
       ((1 to 10).map(i => (Some(i.toDouble), None: Option[Double])) ++
