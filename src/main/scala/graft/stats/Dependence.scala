@@ -116,6 +116,30 @@ object Dependence {
     finally pool.shutdown()
   }
 
+  /** Named single-measure variants (reference API surface:
+    * table_accessor.py:881-1433 `mutual_information`, `pearson_correlation`,
+    * `spearman_correlation` and their `_dict` forms — all delegate to the
+    * same engine, as here).
+    */
+  def mutualInformation(frame: WoodworkFrame, numBins: Int = 10,
+                        nrows: Option[Long] = None, minShared: Long = 25,
+                        maxNunique: Long = 6000,
+                        targetCol: Option[String] = None): DataFrame =
+    dependence(frame, Seq("mutual_info"), numBins, nrows, minShared,
+      maxNunique, targetCol)
+
+  def pearsonCorrelation(frame: WoodworkFrame, nrows: Option[Long] = None,
+                         minShared: Long = 25,
+                         targetCol: Option[String] = None): DataFrame =
+    dependence(frame, Seq("pearson"), nrows = nrows, minShared = minShared,
+      targetCol = targetCol)
+
+  def spearmanCorrelation(frame: WoodworkFrame, nrows: Option[Long] = None,
+                          minShared: Long = 25,
+                          targetCol: Option[String] = None): DataFrame =
+    dependence(frame, Seq("spearman"), nrows = nrows, minShared = minShared,
+      targetCol = targetCol)
+
   final case class PairResult(
       col1: String, col2: String,
       sharedRows: Long, unionRows: Long,
