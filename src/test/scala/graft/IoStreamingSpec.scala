@@ -72,6 +72,17 @@ class IoStreamingSpec extends SparkSpec {
     assert(schema("lvl").description.contains("levels"))
   }
 
+  test("orc and json round-trips preserve typing via the sidecar") {
+    for (fmt <- Seq("orc", "json")) {
+      val dir = java.nio.file.Files.createTempDirectory(s"ww$fmt").toString
+      ReadWrite.toDisk(fixture, dir, format = fmt)
+      val back = ReadWrite.fromDisk(spark, dir, format = fmt)
+      assert(back.logicalTypes == fixture.logicalTypes, fmt)
+      assert(back.df.schema("v").dataType.typeName == "double", fmt)
+      assert(back.df.count() == 2, fmt)
+    }
+  }
+
   test("readFile csv infers types") {
     val dir = java.nio.file.Files.createTempDirectory("wwread").toString
     Seq(("1", "yes"), ("2", "no")).toDF("n", "flag")
