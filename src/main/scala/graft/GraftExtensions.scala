@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.VectorDot
+import graft.expressions.{MinhashSig, VectorDot}
 
 /** Engine extension entry point: register native expressions with a session
   * via `spark.sql.extensions=graft.GraftExtensions` (or
@@ -16,5 +16,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("ww_vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "ww_vector_dot"),
       (children: Seq[Expression]) => VectorDot(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("ww_minhash"),
+      new ExpressionInfo(classOf[MinhashSig].getName, "ww_minhash"),
+      (children: Seq[Expression]) =>
+        MinhashSig(children.head, children(1), children(2))))
   }
 }

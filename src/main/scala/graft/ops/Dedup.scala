@@ -143,19 +143,41 @@ object Dedup {
     * more bands → higher recall at lower thresholds. With 32 bands of 2 the
     * miss probability at j=0.6 is (1-0.36)^32 ≈ 6e-7.
     */
+  private def nativeMinhashAvailable: Boolean =
+    try {
+      org.apache.spark.sql.SparkSession.active.catalog
+        .functionExists("ww_minhash")
+    } catch { case _: Throwable => false }
+
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, numHashes: Int = 64, bands: Int = 32,
                       threshold: Double = 0.6): DataFrame = {
     val rowsPer = numHashes / bands
-    // ONE shingle table feeds both the signatures and the exact verification
+    // ONE shingle table feeds the exact verification (and the signature
+    // fallback below)
     val sh = shingleTable(df, idCol, textCol, n).cache()
-    val sigs = minhashSignaturesFromTable(sh, numHashes)
+    // signatures: per-row native expression when registered — NO shuffle at
+    // all for the signature stage (the aggregation fallback shuffles every
+    // (doc, shingle) pair of the corpus); both paths produce bit-identical
+    // signatures (same two-hash XOR-rotate family, same xxhash64 seeds)
+    val sigs =
+      if (nativeMinhashAvailable)
+        df.select(col(idCol).as("id"),
+          call_function("ww_minhash", TextAnalysis.tokens(col(textCol)),
+            lit(n), lit(numHashes)).as("sig"))
+          .where(col("sig").isNotNull)
+      else {
+        val wide = minhashSignaturesFromTable(sh, numHashes)
+        wide.select(col("id"),
+          array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+      }
     val bandCols = (0 until bands).map { b =>
-      val cols = (0 until rowsPer).map(r => col(s"h${b * rowsPer + r}"))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("sig"))
+      val elems = (0 until rowsPer).map(r =>
+        element_at(col("sig"), b * rowsPer + r + 1))
+      struct(lit(b).as("band"), xxhash64(elems: _*).as("bsig"))
     }
     val buckets = sigs.select(col("id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bsig").as("sig"))
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.id") < col("y.id"))

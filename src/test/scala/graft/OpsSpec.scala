@@ -40,6 +40,19 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("native ww_minhash signatures are bit-identical to the agg path") {
+    val extra = docs.unionAll(Seq((4L, "ab"), (5L, "")).toDF("doc_id", "text"))
+    val sh = Dedup.shingleTable(extra, "doc_id", "text", 3)
+    val agg = Dedup.minhashSignaturesFromTable(sh, 16)
+      .select(col("id"), array((0 until 16).map(i => col(s"h$i")): _*).as("sig"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq))
+    val native = extra.select(col("doc_id").as("id"),
+      call_function("ww_minhash", TextAnalysis.tokens(col("text")),
+        lit(3), lit(16)).as("sig"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq))
+    assert(agg.toSeq == native.toSeq)
+  }
+
   test("simhash: identical docs distance 0; near-dups within banding reach") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 10)
       .collect().map(r => ((r.getLong(0), r.getLong(1)),
