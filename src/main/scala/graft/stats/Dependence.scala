@@ -227,8 +227,16 @@ object Dependence {
         case Some(t) => allCols.filterNot(_ == t).map(_ -> t)
         case None => allCols.combinations(2).map(s => (s(0), s(1))).toSeq
       }
+      // exact distinct ONLY where semantics depend on it (the >800/Σ6000
+      // categorical drop rule); numeric columns use nunique purely as a path
+      // hint (single-task rank window, broadcast join, bin guard), where
+      // approx_count_distinct avoids the Expand that would multiply the agg's
+      // input by (#exact-distinct columns + 1)
       val colAggs: Seq[Column] = allCols.flatMap { n =>
-        Seq(count(col(n)).as(s"cnt__$n"), count_distinct(col(n)).as(s"nun__$n"))
+        val dc =
+          if (numericSet(n)) approx_count_distinct(col(n))
+          else count_distinct(col(n))
+        Seq(count(col(n)).as(s"cnt__$n"), dc.as(s"nun__$n"))
       }
       val pearsonCols = allCols.filter(validFor("pearson")).toSet
       val pairAggs: Seq[Column] = pairs.flatMap { case (a, b) =>
