@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{MinhashSig, VectorDot}
+import graft.expressions.{MinhashSig, SimhashSig, VectorDot}
 
 /** Engine extension entry point: register native expressions with a session
   * via `spark.sql.extensions=graft.GraftExtensions` (or
@@ -21,5 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinhashSig].getName, "ww_minhash"),
       (children: Seq[Expression]) =>
         MinhashSig(children.head, children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("ww_simhash"),
+      new ExpressionInfo(classOf[SimhashSig].getName, "ww_simhash"),
+      (children: Seq[Expression]) => SimhashSig(children.head)))
   }
 }

@@ -207,11 +207,26 @@ object Dedup {
     */
   val SimhashBits = 60
 
+  private def nativeSimhashAvailable: Boolean =
+    try {
+      org.apache.spark.sql.SparkSession.active.catalog
+        .functionExists("ww_simhash")
+    } catch { case _: Throwable => false }
+
   /** 60-bit SimHash per document: per-bit vote of md5-derived token hashes.
-    * The explode shuffles (doc, token) once; 60 sum aggregates assemble
-    * driver-free into a single long via bitwise expression fold.
+    * With the native `ww_simhash` expression registered, signatures compute
+    * per row with NO shuffle (votes never leave the document's row); the
+    * fallback explodes (doc, token) once and folds 60 sum aggregates into
+    * the signature. Both paths are bit-identical.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    if (nativeSimhashAvailable)
+      // token-less documents are excluded, matching the explode path (an
+      // empty explode emits no rows for them)
+      return df
+        .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+        .where(col("toks").isNotNull && size(col("toks")) > 0)
+        .select(col("id"), call_function("ww_simhash", col("toks")).as("simhash"))
     val exploded = df.select(col(idCol).as("id"),
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .withColumn("h",

@@ -53,6 +53,23 @@ class OpsSpec extends SparkSpec {
     assert(agg.toSeq == native.toSeq)
   }
 
+  test("native ww_simhash signatures are bit-identical to the agg path") {
+    val extra = docs.unionAll(Seq((4L, "one"), (5L, "")).toDF("doc_id", "text"))
+    val exploded = extra.select(col("doc_id").as("id"),
+      explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+    val bitSums = (0 until Dedup.SimhashBits).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
+    val summed = exploded.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until Dedup.SimhashBits).map(i =>
+      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)).reduce(_.bitwiseOR(_))
+    val agg = summed.select(col("id"), sig.as("simhash"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val native = Dedup.simhash(extra, "doc_id", "text")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(agg == native)
+  }
+
   test("simhash: identical docs distance 0; near-dups within banding reach") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 10)
       .collect().map(r => ((r.getLong(0), r.getLong(1)),
