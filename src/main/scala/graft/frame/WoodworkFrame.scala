@@ -195,6 +195,21 @@ final case class WoodworkFrame(df: DataFrame, schema: WwTableSchema) {
     }
   }
 
+  /** The rows holding invalid values for any column's logical type, with the
+    * offending columns listed — the `return_invalid_values=True` variant of
+    * validate_logical_types (reference: table_accessor.py:1639-1662). Stays
+    * a DataFrame: at scale the invalid set can be large, so it is never
+    * collected here.
+    */
+  def invalidRows(): DataFrame = {
+    val flags = schema.columns.toSeq.map { case (n, cs) =>
+      when(cs.logicalType.invalidExpr(col(n)), lit(n))
+    }
+    df.withColumn("invalid_columns",
+        array_compact(array(flags: _*)))
+      .where(size(col("invalid_columns")) > 0)
+  }
+
   /** Label row-lookup on the index column — the Spark analog of `df.ww.loc`
     * (reference: indexers.py:9-49; positional `iloc` has no distributed
     * analog and is intentionally not provided).

@@ -120,6 +120,16 @@ class FrameSpec extends SparkSpec {
     assert(f.validateLogicalTypes()("email") == 1L)
   }
 
+  test("invalidRows returns offending rows with their invalid columns") {
+    val f = WoodworkFrame.init(
+      Seq(("a@b.com", 30L), ("nope", -1L)).toDF("email", "age"),
+      logicalTypes = Map("email" -> LT.EmailAddress, "age" -> LT.Age),
+      coerce = false)
+    val bad = f.invalidRows().collect()
+    assert(bad.length == 1)
+    assert(bad.head.getAs[Seq[String]]("invalid_columns").toSet == Set("email", "age"))
+  }
+
   test("loc index lookup, typed unionAll, validMiColumns, withOptions") {
     val f = fixture
     assert(f.loc(2L).df.count() == 1)
