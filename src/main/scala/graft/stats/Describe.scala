@@ -12,11 +12,12 @@ import graft.types.LogicalType
   * woodwork/table_accessor.py:1454-1567; engine
   * statistics_utils/_get_describe_dict.py:51-231).
   *
-  * Spark-first shape: ONE wide `agg` computes count/nunique/nan_count/mean/
-  * std/min/max/quartiles/num_true/num_false for every profiled column in a
-  * single scan; modes for all columns come from ONE melt→groupBy→rank job
-  * rather than a per-column loop. Nothing is collected but the final
-  * per-column stat rows (bounded by table width, not height).
+  * Spark-first shape: ONE wide `agg` computes count/nan_count/mean/std/min/
+  * max/num_true/num_false for every profiled column in a single scan;
+  * mode/nunique/exact-quartiles run as one SMALL pruned-scan groupBy job per
+  * column, concurrently (parquet column pruning makes k single-column scans
+  * read the same bytes as one k-column pass). Nothing is collected but the
+  * final per-column stat rows (bounded by table width, not height).
   */
 object Describe {
 
