@@ -122,6 +122,18 @@ final case class WoodworkFrame(df: DataFrame, schema: WwTableSchema) {
     WoodworkFrame(SchemaMetadata.attach(df, s), s)
   }
 
+  /** Set a column's free-form description (reference: the column-schema
+    * `description` setter, column_schema.py:120-133).
+    */
+  def setDescription(colName: String, description: Option[String]): WoodworkFrame =
+    retag(_.copy(description = description), Seq(colName))
+
+  /** Set a column's origin marker, e.g. "base"/"engineered"
+    * (reference: column_schema.py:135-148).
+    */
+  def setOrigin(colName: String, origin: Option[String]): WoodworkFrame =
+    retag(_.copy(origin = origin), Seq(colName))
+
   /** reference: table_accessor.py:603-621 */
   def addSemanticTags(tags: Map[String, Set[String]]): WoodworkFrame =
     tags.foldLeft(this) { case (acc, (n, t)) => acc.retag(_.addTags(t), Seq(n)) }

@@ -120,6 +120,20 @@ class FrameSpec extends SparkSpec {
     assert(f.validateLogicalTypes()("email") == 1L)
   }
 
+  test("setDescription/setOrigin round-trip through metadata; standard tags obey useStandardTags") {
+    val f = fixture.setDescription("amount", Some("order total"))
+      .setOrigin("amount", Some("base"))
+    assert(f.schema("amount").description.contains("order total"))
+    assert(f.schema("amount").origin.contains("base"))
+    val recovered = SchemaMetadata.recover(f.df).get
+    assert(recovered("amount").description.contains("order total"))
+    assert(recovered("amount").origin.contains("base"))
+
+    val noStd = WoodworkFrame.init(Seq(1.5, 2.5).toDF("v"), useStandardTags = false)
+    assert(!noStd.schema("v").allTags.contains("numeric"))
+    assert(fixture.schema("amount").allTags.contains("numeric"))
+  }
+
   test("invalidRows returns offending rows with their invalid columns") {
     val f = WoodworkFrame.init(
       Seq(("a@b.com", 30L), ("nope", -1L)).toDF("email", "age"),
