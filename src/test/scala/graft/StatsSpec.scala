@@ -216,6 +216,24 @@ class StatsSpec extends SparkSpec {
     assert(updates.forall(_._3 == 2))
   }
 
+  test("robustness: empty frame and all-null columns don't crash the suite") {
+    val empty = WoodworkFrame.init(
+      Seq.empty[(Double, String)].toDF("x", "c"),
+      logicalTypes = Map("x" -> graft.types.LogicalType.Double,
+        "c" -> graft.types.LogicalType.Categorical))
+    val d = Describe.describe(empty).collect()
+    assert(d.length == 2)
+    assert(d.forall(_.getAs[Long]("count") == 0))
+
+    val nulls = WoodworkFrame.init(
+      (1 to 30).map(i => (Option.empty[Double], i.toDouble)).toSeq.toDF("a", "b"),
+      logicalTypes = Map("a" -> graft.types.LogicalType.Double,
+        "b" -> graft.types.LogicalType.Double))
+    val dep = Dependence.dependence(nulls, Seq("pearson"), minShared = 5)
+      .collect().head
+    assert(dep.isNullAt(dep.fieldIndex("pearson"))) // 0 shared rows → null
+  }
+
   test("histogram puts every non-null row in exactly one of n bins") {
     val h = Describe.histogram((1 to 1000).map(_.toDouble).toDF("v"), "v", bins = 10)
       .collect()
