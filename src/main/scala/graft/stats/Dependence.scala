@@ -355,17 +355,22 @@ object Dependence {
       if (calcOrder.contains("mutual_info")) {
         val keep = allCols.filterNot(dropped)
         // quantile-bin numeric cols with >2 distinct values
-        // (reference: _bin_numeric_cols_into_categories.py:4-27)
+        // (reference: _bin_numeric_cols_into_categories.py:4-27). Exact
+        // quantile boundaries via the shared per-column order-statistics
+        // path — never `percentile`'s single-process distinct-value merge.
         val toBin = keep.filter(n => numericSet(n) && nunique(n) > 2)
         val boundaries: Map[String, Array[Double]] =
           if (toBin.isEmpty) Map.empty
           else {
-            val qs = (1 until numBins).map(_.toDouble / numBins).toArray
-            val exprs = toBin.map(n => percentile(col(n), lit(qs)).as(n))
-            val row = prep.agg(exprs.head, exprs.tail: _*).head()
-            toBin.zipWithIndex.map { case (n, i) =>
-              val bs = if (row.isNullAt(i)) Array.empty[Double]
-                else row.getSeq[Double](i).distinct.sorted.toArray
+            val qs = (1 until numBins).map(_.toDouble / numBins)
+            val binTargets = toBin.map(n =>
+              n -> qs.map(p => p * (nonNull(n) - 1))).toMap
+            val (_, _, quants) = Describe.meltStatsFull(
+              prep.select(toBin.map(col): _*), toBin, binTargets, toBin.toSet)
+            toBin.map { n =>
+              val bs = quants.get(n)
+                .map(_.filterNot(_.isNaN).distinct.sorted.toArray)
+                .getOrElse(Array.empty[Double])
               n -> bs
             }.toMap
           }
