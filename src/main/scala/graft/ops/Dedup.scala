@@ -68,14 +68,6 @@ object Dedup {
     grams.unionAll(short).distinct()
   }
 
-  /** (id, sh-array) view built from [[shingleTable]] (for verify joins that
-    * want whole sets).
-    */
-  private def withShingles(df: DataFrame, idCol: String, textCol: String,
-                           n: Int): DataFrame =
-    shingleTable(df, idCol, textCol, n)
-      .groupBy("id").agg(collect_list(col("sh")).as("sh"))
-
   /** Distinct word n-gram shingles of a text column (single-expression
     * convenience; prefer [[withShingles]] in hot paths).
     */

@@ -139,11 +139,13 @@ object Similarity {
                      sampleSize: Int = 2000, iters: Int = 10,
                      seed: Long = 42L): Array[Array[Double]] = {
     val total = df.count()
-    val frac = math.min(1.0, sampleSize.toDouble / math.max(total, 1))
+    // slight over-sample, cut to size driver-side in partition order — a
+    // limit() in the plan would collapse the sample scan to one partition
+    val frac = math.min(1.0, sampleSize.toDouble / math.max(total, 1) * 1.1)
     val sample = df.select(asDouble(col(vecCol)).as("v"))
       .sample(withReplacement = false, frac, seed)
-      .limit(sampleSize).collect()
-      .map(_.getSeq[Double](0).toArray)
+      .collect().iterator.take(sampleSize)
+      .map(_.getSeq[Double](0).toArray).toArray
     require(sample.nonEmpty, "empty sample for IVF training")
     val dim = sample.head.length
     val rnd = new java.util.Random(seed)
