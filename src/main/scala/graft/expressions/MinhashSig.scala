@@ -56,10 +56,9 @@ case class MinhashSig(first: Expression, second: Expression, third: Expression)
     val n = arr.numElements()
     val mins = Array.fill(numHashes)(Long.MaxValue)
 
-    def tok(i: Int): UTF8String = {
-      val u = arr.getUTF8String(i)
-      if (u == null) UTF8String.EMPTY_UTF8 else u
-    }
+    // may return null — UTF8String.concatWs skips null inputs, matching the
+    // SQL concat_ws semantics of the aggregation fallback path
+    def tok(i: Int): UTF8String = arr.getUTF8String(i)
     def foldGram(bytes: Array[Byte]): Unit = {
       val h1 = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
       val h2 = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, seed2)

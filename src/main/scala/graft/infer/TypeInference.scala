@@ -68,8 +68,13 @@ object TypeInference {
           // cheap disqualifier ahead of the 12-format cascade: no supported
           // datetime shape (numeric separators, 3-letter month abbrevs, 'T')
           // contains a run of 4+ letters, and Or short-circuits — so
-          // "1-URGENT"/"AUTOMOBILE"-style values never pay a parse attempt
-          cnt(s.isNotNull && (s.rlike("[A-Za-z]{4}") || tsParse(s).isNull))
+          // "1-URGENT"/"AUTOMOBILE"-style values never pay a parse attempt.
+          // Exception: a trailing region zone-id ("... Europe/Paris"), which
+          // the native timestamp cast accepts — those fall through to the
+          // parse instead of being disqualified by their letter run.
+          cnt(s.isNotNull &&
+            ((s.rlike("[A-Za-z]{4}") &&
+              !s.rlike("[A-Za-z_]+(/[A-Za-z_]+)+\\s*$")) || tsParse(s).isNull))
             .as("dtFail"),
           cnt(s.isNotNull && !lowered.isin(allBoolTokens: _*)).as("boolBad"),
           // per-token presence flags instead of collect_set: a
@@ -169,8 +174,8 @@ object TypeInference {
     * which pins exact reproducibility at test scale.
     */
   def collectStats(df: DataFrame, cols: Seq[String]): Map[String, ColStats] = {
-    val (stats, sampled) = collectStatsWithSample(df, cols)
-    sampled.unpersist()
+    val (stats, _, cleanup) = collectStatsWithSample(df, cols)
+    cleanup()
     stats
   }
 
@@ -185,22 +190,29 @@ object TypeInference {
     finally pool.shutdown()
   }
 
-  /** Returns the stats plus the CACHED sample frame (callers unpersist after
-    * their last job over it — the NL pass reuses it).
+  /** Returns the stats, the (cached) sample frame for follow-up jobs (the NL
+    * pass reuses it), and a cleanup thunk that releases ONLY the cache this
+    * call created — when no sampling occurred and the caller had already
+    * persisted `df`, the caller's cache is left untouched.
     */
   private def collectStatsWithSample(
-      df: DataFrame, cols: Seq[String]): (Map[String, ColStats], DataFrame) = {
-    if (cols.isEmpty) return (Map.empty, df)
+      df: DataFrame,
+      cols: Seq[String]): (Map[String, ColStats], DataFrame, () => Unit) = {
+    if (cols.isEmpty) return (Map.empty, df, () => ())
     val sampleSize = WwConfig.options.inferenceSampleSize
     val total = df.count()
     // Above the bound, Bernoulli sampling lands within ~1% of the reference's
     // exact 100k sample; an exact-size sample would need a limit() that
     // collapses the stats agg to one partition. Tables at or below the bound
     // are used whole (exact reproducibility at test scale).
-    val sampled = (
+    val base =
       if (total > sampleSize)
         df.sample(withReplacement = false, sampleSize.toDouble / total, 42)
-      else df).cache()
+      else df
+    val ownCache = base.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val sampled = if (ownCache) base.cache() else base
+    val cleanup: () => Unit =
+      if (ownCache) () => { sampled.unpersist(); () } else () => ()
     sampled.count() // ONE full-table scan materializes the bounded sample
     val fields = df.schema.fields.filter(f => cols.contains(f.name))
     // One SMALL agg per column, run concurrently over the cached sample:
@@ -215,7 +227,7 @@ object TypeInference {
     }
     (fields.zipWithIndex.map { case (f, i) =>
       f.name -> rowToStats(rows(i), 0, f.dataType)
-    }.toMap, sampled)
+    }.toMap, sampled, cleanup)
   }
 
   /** Mean common-word count per cell for one column over the sample
@@ -238,7 +250,7 @@ object TypeInference {
   def inferTypes(df: DataFrame, cols: Seq[String] = Nil,
                  ts: TypeSystem = TypeSystem.global): Map[String, LogicalType] = {
     val target = if (cols.isEmpty) df.columns.toSeq else cols
-    val (stats, sampled) = collectStatsWithSample(df, target)
+    val (stats, sampled, cleanup) = collectStatsWithSample(df, target)
     try {
       val first = stats.map { case (n, st) => n -> ts.inferFromStats(st) }
       // deferred NaturalLanguage pass for unmatched string columns
@@ -250,6 +262,6 @@ object TypeInference {
         val avgWords = nlAvgCommonWords(sampled, n, stats(n).nonNullCount)
         n -> ts.inferFromStats(stats(n).copy(nlAvgCommonWords = avgWords))
       }
-    } finally sampled.unpersist()
+    } finally cleanup()
   }
 }

@@ -77,6 +77,12 @@ object Dedup {
   /** Exact pairwise n-gram Jaccard over a (bounded) document set: for every
     * pair id1 < id2 with similarity ≥ threshold. Exhaustive cross join —
     * use only on bounded subsets; LSH is the scale path.
+    *
+    * EAGER: the returned frame is materialized at call time (localCheckpoint)
+    * so the internal shingle cache can be freed immediately instead of living
+    * until the caller's first action. Checkpoint blocks are released when the
+    * returned frame is garbage-collected (ContextCleaner), so repeated calls
+    * do not accumulate storage as long as results are not all retained.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.2): DataFrame = {
@@ -134,6 +140,10 @@ object Dedup {
     * Jaccard ≥ threshold. bands×rowsPerBand must equal the signature width;
     * more bands → higher recall at lower thresholds. With 32 bands of 2 the
     * miss probability at j=0.6 is (1-0.36)^32 ≈ 6e-7.
+    *
+    * EAGER: like [[ngramJaccardPairs]], the verified pair set is materialized
+    * at call time (localCheckpoint) so the internal shingle cache is freed
+    * deterministically; blocks release when the result frame is GC'd.
     */
   private def nativeMinhashAvailable: Boolean =
     try {

@@ -113,9 +113,22 @@ object Similarity {
     * re-inlined per dimension).
     */
   def centroidNorms(df: DataFrame, groupCol: String, vecCol: String): DataFrame = {
-    val dim = df.select(size(col(vecCol))).limit(1).head().getInt(0)
+    // dim probe: first non-null vector; empty/all-null input → empty result.
+    // try_element_at below keeps ragged (shorter) vectors as nulls instead of
+    // an ANSI INVALID_ARRAY_INDEX error — avg skips them per dimension.
+    val dimRow = df.where(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).limit(1).collect()
+    if (dimRow.isEmpty) {
+      import org.apache.spark.sql.Row
+      return df.sparkSession.createDataFrame(
+        df.sparkSession.sparkContext.emptyRDD[Row],
+        StructType(Seq(
+          StructField("grp", df.schema(groupCol).dataType),
+          StructField("centroid_norm", DoubleType))))
+    }
+    val dim = dimRow(0).getInt(0)
     val means = (0 until dim).map(i =>
-      avg(element_at(col(vecCol), i + 1).cast(DoubleType)).as(s"m$i"))
+      avg(try_element_at(col(vecCol), lit(i + 1)).cast(DoubleType)).as(s"m$i"))
     val normExpr = sqrt((0 until dim).map(i => col(s"m$i") * col(s"m$i"))
       .reduce(_ + _))
     df.groupBy(col(groupCol).as("grp"))

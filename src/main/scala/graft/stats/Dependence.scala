@@ -60,7 +60,7 @@ object Dependence {
     * second shuffle, no driver offsets, no cache. Above it, the
     * range-partitioned prefix-sum path takes over.
     */
-  private val SingleTaskBound = 10L * 1000 * 1000
+  private val SingleTaskBound = 1L * 1000 * 1000
 
   private[stats] def avgRankTable(df: DataFrame, v: String,
                                   nuniqueHint: Option[Long] = None)

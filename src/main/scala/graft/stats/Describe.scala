@@ -46,10 +46,7 @@ object Describe {
 
     val aggExprs: Seq[Column] = cols.map { case (n, cs) =>
       val c = col(n)
-      val dt = df.schema(n).dataType
-      val numericLike = cs.isNumeric && LogicalType.isIntegralType(dt) ||
-        LogicalType.isFractionalType(dt)
-      val d = if (numericLike) c.cast(DoubleType) else c.cast(DoubleType)
+      val d = c.cast(DoubleType)
       val isNum = cs.isNumeric
       val isDt = cs.isDatetime
       val isBool = cs.isBoolean
@@ -170,7 +167,7 @@ object Describe {
     * single-task window over the (already-reduced) per-value counts; above
     * it, the range-partitioned prefix-sum path takes over.
     */
-  private val SingleTaskBound = 10L * 1000 * 1000
+  private val SingleTaskBound = 1L * 1000 * 1000
 
   private def runConcurrently[A](items: Seq[A])(work: A => Unit): Unit = {
     if (items.isEmpty) return
