@@ -331,6 +331,59 @@ object Oracles {
     """SELECT c_custkey, c_name, c_acctbal FROM customer
       |WHERE c_custkey IN (1, 2) ORDER BY c_custkey""".stripMargin
 
+  /** Ground truth for q41 computed arithmetically from the key — the Spark
+    * side must RECOVER these exact doubles through the string/array parse,
+    * which is a stronger check than replaying the regex in SQL.
+    */
+  val q41: String =
+    """WITH src AS (
+      |  SELECT c_custkey AS k,
+      |    CAST(c_custkey % 180 AS DOUBLE) - 90 + 0.5 AS lat,
+      |    CAST(c_custkey % 400 AS DOUBLE) - 180 + 0.25 AS lon
+      |  FROM customer WHERE c_custkey <= 400)
+      |SELECT k AS c_custkey,
+      |  CASE WHEN k % 7 = 0 OR k % 5 = 0 THEN NULL ELSE lat END AS lat_s,
+      |  CASE WHEN k % 7 = 0 OR k % 5 = 0 THEN NULL ELSE lon END AS lon_s,
+      |  CASE WHEN k % 7 = 0 OR k % 5 = 0 THEN NULL ELSE lat END AS lat_a,
+      |  CASE WHEN k % 7 = 0 OR k % 5 = 0 THEN NULL ELSE lon END AS lon_a,
+      |  CASE WHEN k % 7 = 0 OR k % 5 = 0 THEN true ELSE false END AS pair_null,
+      |  CASE WHEN k % 7 <> 0 AND k % 5 <> 0 AND (abs(lat) > 90 OR abs(lon) > 180)
+      |       THEN true ELSE false END AS invalid
+      |FROM src ORDER BY c_custkey""".stripMargin
+
+  val q42: String =
+    """WITH m AS (
+      |  SELECT CASE WHEN o_orderkey % 13 = 0 THEN '9-BOGUS'
+      |              ELSE o_orderpriority END AS prio FROM orders)
+      |SELECT prio, count(*) AS cnt,
+      |  CAST(CASE prio WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+      |       WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4
+      |       WHEN '5-LOW' THEN 5 ELSE 0 END AS BIGINT) AS rank,
+      |  CASE WHEN prio IN ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+      |       THEN false ELSE true END AS invalid
+      |FROM m GROUP BY prio ORDER BY prio""".stripMargin
+
+  /** q43 ground truth from key arithmetic: each fixture is valid for its type
+    * iff the key predicate holds, so the regexes must accept/reject exactly
+    * those rows. PostalCode coercion passes strings through (the reference
+    * does not null invalid zips on transform), hence total for its
+    * coerced_nonnull.
+    */
+  val q43: String =
+    """WITH n AS (SELECT count(*) AS total,
+      |  count(*) FILTER (WHERE c_custkey % 3 = 0) AS e,
+      |  count(*) FILTER (WHERE c_custkey % 4 = 0) AS u,
+      |  count(*) FILTER (WHERE c_custkey % 5 = 0) AS i,
+      |  count(*) FILTER (WHERE c_custkey % 2 = 0) AS p,
+      |  count(*) FILTER (WHERE c_custkey % 6 IN (0, 1)) AS z
+      |  FROM customer WHERE c_custkey <= 300)
+      |SELECT 'email_v' AS column_name, e AS coerced_nonnull, total - e AS invalid_count FROM n
+      |UNION ALL SELECT 'ip_v', i, total - i FROM n
+      |UNION ALL SELECT 'phone_v', p, total - p FROM n
+      |UNION ALL SELECT 'postal_v', total, total - z FROM n
+      |UNION ALL SELECT 'url_v', u, total - u FROM n
+      |ORDER BY column_name""".stripMargin
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q01_pricing_summary" -> q01,
@@ -363,7 +416,10 @@ object Oracles {
       "q33_int_range_counts" -> q33,
       "q35_loc_union" -> q35,
       "q37_describe_datetime" -> q37,
-      "q38_validate_types" -> q38)
+      "q38_validate_types" -> q38,
+      "q41_latlong" -> q41,
+      "q42_ordinal" -> q42,
+      "q43_regex_types" -> q43)
     base ++ q09Literal.map("q09_infer_types" -> _)
   }
 }

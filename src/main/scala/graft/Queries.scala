@@ -409,6 +409,96 @@ object Queries {
       .orderBy("c_custkey")
   }
 
+  /** LatLong coercion from string AND array inputs: "(lat, lon)" / "[lat,
+    * lon]" parses, sentinel/garbage → NULL STRUCT (never struct(null, null)),
+    * out-of-range pairs flagged by validate. Exercises LogicalTypes LatLong
+    * end-to-end (reference: logical_types.py:518-545, utils.py:222-327).
+    */
+  def q41LatLong(s: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    val latRaw = (k % 180).cast(DoubleType) - 90 + 0.5
+    val lonRaw = (k % 400).cast(DoubleType) - 180 + 0.25
+    val llStr = when(k % 7 === 0, lit("N/A"))
+      .when(k % 5 === 0, lit("not a latlong"))
+      .when(k % 3 === 0,
+        concat(lit("["), latRaw.cast(StringType), lit(", "),
+          lonRaw.cast(StringType), lit("]")))
+      .otherwise(
+        concat(lit("("), latRaw.cast(StringType), lit(", "),
+          lonRaw.cast(StringType), lit(")")))
+    val llArr = when(k % 7 =!= 0 && k % 5 =!= 0, array(latRaw, lonRaw))
+    val raw = table(s, dir, "customer").where(k <= 400)
+      .select(k, llStr.as("ll_str"), llArr.as("ll_arr"))
+    val f = WoodworkFrame.init(raw, logicalTypes =
+      Map("ll_str" -> LogicalType.LatLong, "ll_arr" -> LogicalType.LatLong))
+    f.df.select(col("c_custkey"),
+        col("ll_str.lat").as("lat_s"), col("ll_str.lon").as("lon_s"),
+        col("ll_arr.lat").as("lat_a"), col("ll_arr.lon").as("lon_a"),
+        col("ll_str").isNull.as("pair_null"),
+        coalesce(LogicalType.LatLong.invalidExpr(col("ll_str")), lit(false))
+          .as("invalid"))
+      .orderBy("c_custkey")
+  }
+
+  /** Ordinal: declared-order rank (array_position) + membership validation;
+    * values outside the order rank 0 and flag invalid
+    * (reference: logical_types.py:588-637).
+    */
+  def q42Ordinal(s: SparkSession, dir: String): DataFrame = {
+    val order = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val ord = LogicalType.Ordinal(order)
+    val o = table(s, dir, "orders").select(col("o_orderkey"),
+      when(col("o_orderkey") % 13 === 0, "9-BOGUS")
+        .otherwise(col("o_orderpriority")).as("prio"))
+    val f = WoodworkFrame.init(o, logicalTypes = Map("prio" -> ord))
+    f.df.groupBy(col("prio"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", ord.rank(col("prio")))
+      .withColumn("invalid", coalesce(ord.invalidExpr(col("prio")), lit(false)))
+      .orderBy("prio")
+  }
+
+  /** Regex-type coercion matrix: Email/URL/IP/Phone/PostalCode over a mixed
+    * valid/invalid fixture — coerced non-null counts (regex types null
+    * non-matching values; PostalCode passes strings through untouched, the
+    * reference's behavior) plus validate_logical_types invalid counts.
+    */
+  def q43RegexTypes(s: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    val ks = k.cast(StringType)
+    val raw = table(s, dir, "customer").where(k <= 300).select(k,
+      when(k % 3 === 0, concat(lit("user"), ks, lit("@example.com")))
+        .otherwise(concat(lit("name "), ks)).as("email_v"),
+      when(k % 4 === 0, concat(lit("https://example.com/page/"), ks))
+        .otherwise(concat(lit("ftp-"), ks)).as("url_v"),
+      when(k % 5 === 0,
+          concat(lit("192.168."), (k % 256).cast(StringType), lit("."),
+            ((k * 7) % 256).cast(StringType)))
+        .otherwise(lit("999.999.999.999")).as("ip_v"),
+      when(k % 2 === 0,
+          concat(lit("302-555-"), lpad((k % 10000).cast(StringType), 4, "0")))
+        .otherwise(concat(lit("12-"), ks)).as("phone_v"),
+      when(k % 6 === 0, lpad(ks, 5, "0"))
+        .when(k % 6 === 1, concat(lpad(ks, 5, "0"), lit("-1234")))
+        .otherwise(concat(lit("z"), ks)).as("postal_v"))
+    val types: Map[String, LogicalType] = Map(
+      "email_v" -> LogicalType.EmailAddress, "url_v" -> LogicalType.URL,
+      "ip_v" -> LogicalType.IPAddress, "phone_v" -> LogicalType.PhoneNumber,
+      "postal_v" -> LogicalType.PostalCode)
+    val invalid = WoodworkFrame.init(raw, logicalTypes = types, coerce = false)
+      .validateLogicalTypes()
+    val coerced = WoodworkFrame.init(raw, logicalTypes = types)
+    val names = types.keys.toSeq.sorted
+    val counts = coerced.df
+      .agg(count(col(names.head)), names.tail.map(n => count(col(n))): _*)
+      .head()
+    import s.implicits._
+    names.zipWithIndex.map { case (n, i) =>
+      (n, counts.getLong(i), invalid(n))
+    }.toDF("column_name", "coerced_nonnull", "invalid_count")
+      .orderBy("column_name")
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -485,6 +575,9 @@ object Queries {
     "q37_describe_datetime" -> (q37DescribeDatetime _),
     "q38_validate_types" -> (q38ValidateTypes _),
     "q39_embedding_neardup" -> (q39EmbeddingNeardup _),
-    "q40_winnowing" -> (q40Winnowing _)
+    "q40_winnowing" -> (q40Winnowing _),
+    "q41_latlong" -> (q41LatLong _),
+    "q42_ordinal" -> (q42Ordinal _),
+    "q43_regex_types" -> (q43RegexTypes _)
   )
 }
