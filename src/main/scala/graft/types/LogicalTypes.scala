@@ -15,8 +15,16 @@ import graft.config.WwConfig
   * physical layer is a Spark `DataType` rather than a pandas dtype; the
   * nullable-vs-non-nullable pandas distinction (int64 vs Int64) is carried by
   * the logical type identity itself (Integer vs IntegerNullable).
+  *
+  * OPEN for extension (reference contract: type_system.py:143-189 `add_type`
+  * accepts user LogicalType subclasses, exercised by
+  * tests/type_system/test_custom_types.py): user types subclass this trait,
+  * optionally override [[LogicalType.withParams]] for parameterized
+  * round-trips, and register via `TypeSystem.addType` — after which
+  * inference, coercion, schema metadata and disk serialization all treat
+  * them exactly like built-ins.
   */
-sealed trait LogicalType extends Serializable {
+trait LogicalType extends Serializable {
   /** Class-style name, e.g. "IntegerNullable". */
   def name: String = getClass.getSimpleName.stripSuffix("$")
 
@@ -44,6 +52,12 @@ sealed trait LogicalType extends Serializable {
     * `validate_logical_types` (reference: logical_types.py:70-78, 807-827).
     */
   def invalidExpr(c: Column): Column = lit(false)
+
+  /** Reconstruct this type with deserialized params (identity for
+    * parameter-free types). Custom parameterized types override this so
+    * schema-metadata and disk round-trips restore their parameters.
+    */
+  def withParams(params: Map[String, String]): LogicalType = this
 }
 
 object LogicalType {
@@ -432,11 +446,15 @@ object LogicalType {
     Timedelta, URL, Unknown)
 
   /** Resolve a type_string or class name to a LogicalType
-    * (reference: type_sys/utils.py `str_to_logical_type`).
+    * (reference: type_sys/utils.py `str_to_logical_type` — which searches the
+    * live type system's registered types, so custom types registered via
+    * `TypeSystem.addType` resolve here too and survive disk round-trips).
     */
-  def fromString(s: String, params: Map[String, String] = Map.empty): LogicalType = {
+  def fromString(s: String, params: Map[String, String] = Map.empty,
+                 ts: TypeSystem = TypeSystem.global): LogicalType = {
     val norm = s.trim.toLowerCase.replace(" ", "_")
     val base = all.find(t => t.typeString == norm || t.name.toLowerCase == norm)
+      .orElse(ts.lookup(norm))
       .getOrElse(throw new IllegalArgumentException(s"Unknown logical type: $s"))
     base match {
       case _: Ordinal =>
@@ -445,7 +463,7 @@ object LogicalType {
         Datetime(params.get("datetime_format"), params.get("timezone"))
       case _: BooleanT =>
         BooleanT(params.get("cast_nulls_as").map(_.toBoolean))
-      case t => t
+      case t => if (params.isEmpty) t else t.withParams(params)
     }
   }
 }

@@ -51,6 +51,13 @@ final class TypeSystem private (
   def relationships: List[(String, String)] = rels
   def instanceOf(name: String): LogicalType = instances(name)
 
+  /** Resolve a normalized (lowercase, underscored) name or type_string to a
+    * registered instance — lets `LogicalType.fromString` see custom types.
+    */
+  def lookup(norm: String): Option[LogicalType] =
+    instances.values.find(t =>
+      t.typeString == norm || t.name.toLowerCase == norm)
+
   /** reference: type_system.py:143-189 `add_type` */
   def addType(ltype: LogicalType,
               inferenceFunction: Option[ColStats => Boolean] = None,
@@ -68,6 +75,7 @@ final class TypeSystem private (
     require(name != defaultType.name, "cannot remove the default type")
     val parentOf = rels.find(_._2 == name).map(_._1)
     inferenceFns -= name
+    if (!LT.all.exists(_.name == name)) instances -= name
     rels = rels.flatMap {
       case (p, c) if p == name => parentOf.map(_ -> c)
       case (p, c) if c == name => None
