@@ -384,6 +384,10 @@ object Oracles {
       |UNION ALL SELECT 'url_v', u, total - u FROM n
       |ORDER BY column_name""".stripMargin
 
+  val q44: String =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS cnt
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q01_pricing_summary" -> q01,
@@ -419,7 +423,8 @@ object Oracles {
       "q38_validate_types" -> q38,
       "q41_latlong" -> q41,
       "q42_ordinal" -> q42,
-      "q43_regex_types" -> q43)
+      "q43_regex_types" -> q43,
+      "q44_learned_datetime" -> q44)
     base ++ q09Literal.map("q09_infer_types" -> _)
   }
 }

@@ -499,6 +499,21 @@ object Queries {
       .orderBy("column_name")
   }
 
+  /** Learned datetime-format inference: dd.MM.yyyy strings (unparseable by
+    * the fixed cascade) infer as Datetime with a learned format param and
+    * coerce through it (reference: utils.py:595-650).
+    */
+  def q44LearnedDatetime(s: SparkSession, dir: String): DataFrame = {
+    val o = table(s, dir, "orders").select(col("o_orderkey"),
+      date_format(col("o_orderdate"), "dd.MM.yyyy").as("od_str"))
+    val f = WoodworkFrame.init(o)
+    val lt = f.schema("od_str").logicalType
+    require(lt == LogicalType.Datetime(Some("dd.MM.yyyy")),
+      s"expected learned dd.MM.yyyy Datetime, got $lt")
+    f.df.groupBy(date_format(col("od_str"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("cnt")).orderBy("month")
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -578,6 +593,7 @@ object Queries {
     "q40_winnowing" -> (q40Winnowing _),
     "q41_latlong" -> (q41LatLong _),
     "q42_ordinal" -> (q42Ordinal _),
-    "q43_regex_types" -> (q43RegexTypes _)
+    "q43_regex_types" -> (q43RegexTypes _),
+    "q44_learned_datetime" -> (q44LearnedDatetime _)
   )
 }

@@ -106,7 +106,12 @@ object TypeInference {
           // linearly per token. It runs as a deferred explode+InSet job only
           // for columns nothing else matched — which is also exactly the
           // reference's evaluation order (type_system.py:391-411).
-          lit(Double.NaN).as("nlAvg")
+          lit(Double.NaN).as("nlAvg"),
+          // date-shape screen for the learned-format deferred pass: only a
+          // column whose EVERY non-null value looks like a 3-field date pays
+          // the driver-side format vote (DatetimeFormat.guessFormat)
+          cnt(s.isNotNull && s.rlike(DatetimeFormat.dateShapeRegex))
+            .as("dateShape")
         ).as(name)
       case _: NumericType =>
         val nonIntegral: Column =
@@ -123,7 +128,7 @@ object TypeInference {
           array().cast(ArrayType(IntegerType)).as("boolTokens"),
           lit(1L).as("emailFail"), lit(1L).as("phoneFail"),
           lit(1L).as("postalFail"), lit(1L).as("urlFail"), lit(1L).as("ipFail"),
-          lit(Double.NaN).as("nlAvg")
+          lit(Double.NaN).as("nlAvg"), lit(0L).as("dateShape")
         ).as(name)
       case _ =>
         struct(
@@ -136,7 +141,7 @@ object TypeInference {
           array().cast(ArrayType(IntegerType)).as("boolTokens"),
           lit(1L).as("emailFail"), lit(1L).as("phoneFail"),
           lit(1L).as("postalFail"), lit(1L).as("urlFail"), lit(1L).as("ipFail"),
-          lit(Double.NaN).as("nlAvg")
+          lit(Double.NaN).as("nlAvg"), lit(0L).as("dateShape")
         ).as(name)
     }
   }
@@ -164,7 +169,8 @@ object TypeInference {
       postalFail = s.getLong(12),
       urlFail = s.getLong(13),
       ipFail = s.getLong(14),
-      nlAvgCommonWords = if (s.isNullAt(15)) Double.NaN else s.getDouble(15)
+      nlAvgCommonWords = if (s.isNullAt(15)) Double.NaN else s.getDouble(15),
+      dateShapeCount = s.getLong(16)
     )
   }
 
@@ -253,12 +259,35 @@ object TypeInference {
     val (stats, sampled, cleanup) = collectStatsWithSample(df, target)
     try {
       val first = stats.map { case (n, st) => n -> ts.inferFromStats(st) }
+      // deferred learned-datetime pass: a string column whose every non-null
+      // value is date-SHAPED but which the fixed format cascade could not
+      // parse (e.g. dd.MM.yyyy) gets a bounded driver-side format vote
+      // (reference: utils.py:595-650); a winning format re-enters the DAG
+      // with dtParseFail=0 and is stored as the Datetime format param so
+      // coercion uses it distributedly.
+      val learned = stats.collect {
+        case (n, st) if st.dataType == StringType && st.nonNullCount > 0 &&
+            st.dtParseFail > 0 && st.dateShapeCount == st.nonNullCount &&
+            st.dblParseFail == st.nonNullCount =>
+          val sampleN = WwConfig.options.datetimeFormatSampleSize
+          val s = LogicalType.replaceNans(col(n), StringType)
+          val vals = sampled.select(s.as("v")).where(col("v").isNotNull)
+            .limit(sampleN).collect().map(_.getString(0)).toSeq
+          n -> DatetimeFormat.guessFormat(vals).flatMap { fmt =>
+            ts.inferFromStats(stats(n).copy(dtParseFail = 0)) match {
+              case _: LogicalType.Datetime =>
+                Some(LogicalType.Datetime(datetimeFormat = Some(fmt)))
+              case _ => None
+            }
+          }
+      }.collect { case (n, Some(lt)) => n -> (lt: LogicalType) }
+      val afterDt = first ++ learned
       // deferred NaturalLanguage pass for unmatched string columns
-      val nlCandidates = first.collect {
+      val nlCandidates = afterDt.collect {
         case (n, lt) if lt == ts.defaultType && stats(n).dataType == StringType &&
           stats(n).nonNullCount > 0 => n
       }.toSeq
-      first ++ nlCandidates.map { n =>
+      afterDt ++ nlCandidates.map { n =>
         val avgWords = nlAvgCommonWords(sampled, n, stats(n).nonNullCount)
         n -> ts.inferFromStats(stats(n).copy(nlAvgCommonWords = avgWords))
       }

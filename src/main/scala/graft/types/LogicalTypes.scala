@@ -349,7 +349,12 @@ object LogicalType {
       case _ =>
         val s = replaceNans(c, from).cast(StringType)
         datetimeFormat match {
-          case Some(fmt) => try_to_timestamp(s, lit(fmt))
+          case Some(fmt) =>
+            // pandas pivots two-digit years 69-99 into 19xx; Spark's `yy`
+            // maps everything to 20xx (reference: logical_types.py:329-333)
+            val t = try_to_timestamp(s, lit(fmt))
+            if (fmt.contains("yy") && !fmt.contains("yyyy")) pivotTwoDigitYear(t)
+            else t
           case None => parseTimestamp(s)
         }
     }

@@ -30,7 +30,8 @@ final case class ColStats(
     postalFail: Long,
     urlFail: Long,
     ipFail: Long,
-    nlAvgCommonWords: Double // mean common-word count per cell (NaN if n/a)
+    nlAvgCommonWords: Double, // mean common-word count per cell (NaN if n/a)
+    dateShapeCount: Long = 0L // non-null values matching d+[-/.]d+[-/.]d+ shape
 ) {
   def hasNulls: Boolean = nonNullCount < totalCount
 }
