@@ -122,42 +122,16 @@ object Oracles {
     """SELECT CAST(ts AS DATE) AS day, count(*) AS cnt
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** Full frequency-inference decision reproduced in SQL: winning delta from
-    * the sorted-series diffs (deterministic tie-break: count desc, delta asc),
-    * share vs the 0.9 threshold, pandas-style offset alias for the winner,
-    * calendar month-start fallback. Valid because the Spark side recovers
-    * partition-boundary diffs — the delta multiset is partitioning-independent.
+  /** Full frequency-inference decision reproduced in SQL via the shared
+    * builder (graft.stats.FrequencyInference.Sql.decision): winning delta
+    * from the sorted-series diffs (tie-break: count desc, delta asc), share
+    * vs the 0.9 threshold, pandas-style offset alias incl. anchored weekly,
+    * calendar year/quarter/month end+start fallbacks. Valid because the
+    * Spark side recovers partition-boundary diffs — the delta multiset is
+    * partitioning-independent.
     */
-  val q15: String = {
-    val units = Seq(
-      604800000000L -> "W", 86400000000L -> "D", 3600000000L -> "H",
-      60000000L -> "T", 1000000L -> "S", 1000L -> "L", 1L -> "U")
-    val aliasCase = units.map { case (u, nm) =>
-      s"WHEN diff % $u = 0 THEN (CASE WHEN diff / $u = 1 THEN '$nm' " +
-        s"ELSE CAST(diff / $u AS VARCHAR) || '$nm' END)"
-    }.mkString(" ")
-    s"""WITH d AS (
-       | SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (ORDER BY ts) AS diff
-       | FROM events WHERE ts IS NOT NULL),
-       |g AS (SELECT diff, count(*) AS cnt FROM d WHERE diff IS NOT NULL GROUP BY diff),
-       |t AS (SELECT diff, cnt FROM g ORDER BY cnt DESC, diff ASC LIMIT 1),
-       |o AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS observed FROM g),
-       |cal AS (SELECT count(*) AS n,
-       |        coalesce(sum(CASE WHEN day(ts) = 1 THEN 1 ELSE 0 END), 0) AS firsts
-       |        FROM events WHERE ts IS NOT NULL)
-       |SELECT 'ts' AS column_name,
-       | CASE WHEN CAST(t.cnt AS DOUBLE) / o.observed >= 0.9
-       |        THEN (CASE WHEN diff <= 0 THEN 'none' $aliasCase ELSE 'none' END)
-       |      WHEN CAST(cal.firsts AS DOUBLE) / cal.n >= 0.9 THEN 'MS'
-       |      ELSE 'none' END AS alias,
-       | round(CASE WHEN CAST(t.cnt AS DOUBLE) / o.observed >= 0.9
-       |              THEN CAST(t.cnt AS DOUBLE) / o.observed
-       |            WHEN CAST(cal.firsts AS DOUBLE) / cal.n >= 0.9
-       |              THEN CAST(cal.firsts AS DOUBLE) / cal.n
-       |            ELSE CAST(t.cnt AS DOUBLE) / o.observed END, 4) AS dominant_share,
-       | o.observed AS n_observed
-       |FROM t, o, cal""".stripMargin
-  }
+  val q15: String = graft.stats.FrequencyInference.Sql.decision(
+    "SELECT ts FROM events", "ts")
 
   val q20: String =
     """SELECT md5(substr(text, 1, 100)) AS key_hash, count(*) AS cnt,
@@ -388,6 +362,15 @@ object Oracles {
     """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS cnt
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  val q45: String = graft.stats.FrequencyInference.Sql.decision(
+    """SELECT DISTINCT last_day(CAST(o_orderdate AS DATE)) AS ts
+      |FROM orders WHERE o_orderdate IS NOT NULL""".stripMargin, "month_end")
+
+  val q46: String = graft.stats.FrequencyInference.Sql.decision(
+    """SELECT DISTINCT CAST(o_orderdate AS DATE) +
+      |  CAST(7 - (isodow(CAST(o_orderdate AS DATE)) % 7) AS INTEGER) AS ts
+      |FROM orders WHERE o_orderdate IS NOT NULL""".stripMargin, "week_end")
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q01_pricing_summary" -> q01,
@@ -424,7 +407,9 @@ object Oracles {
       "q41_latlong" -> q41,
       "q42_ordinal" -> q42,
       "q43_regex_types" -> q43,
-      "q44_learned_datetime" -> q44)
+      "q44_learned_datetime" -> q44,
+      "q45_calendar_freq" -> q45,
+      "q46_weekly_freq" -> q46)
     base ++ q09Literal.map("q09_infer_types" -> _)
   }
 }

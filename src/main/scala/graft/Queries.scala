@@ -514,6 +514,33 @@ object Queries {
       .agg(count(lit(1)).as("cnt")).orderBy("month")
   }
 
+  /** Calendar frequency inference: a distinct month-end series (irregular
+    * fixed deltas) must infer the pandas month-end alias "M" through the
+    * calendar fallback (reference: frequency_inference fixtures).
+    */
+  def q45CalendarFreq(s: SparkSession, dir: String): DataFrame = {
+    val me = table(s, dir, "orders").where(col("o_orderdate").isNotNull)
+      .select(last_day(col("o_orderdate").cast("date")).as("month_end"))
+      .distinct()
+    val r = FrequencyInference.inferFrequency(me, "month_end")
+    import s.implicits._
+    Seq((r.column, r.alias.getOrElse("none"), round4(r.dominantShare), r.nObserved))
+      .toDF("column_name", "alias", "dominant_share", "n_observed")
+  }
+
+  /** Anchored weekly frequency inference: a distinct next-Sunday series has
+    * an exact 7-day delta and must anchor as "W-SUN" like pandas.
+    */
+  def q46WeeklyFreq(s: SparkSession, dir: String): DataFrame = {
+    val wk = table(s, dir, "orders").where(col("o_orderdate").isNotNull)
+      .select(next_day(col("o_orderdate").cast("date"), "SUN").as("week_end"))
+      .distinct()
+    val r = FrequencyInference.inferFrequency(wk, "week_end")
+    import s.implicits._
+    Seq((r.column, r.alias.getOrElse("none"), round4(r.dominantShare), r.nObserved))
+      .toDF("column_name", "alias", "dominant_share", "n_observed")
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -594,6 +621,8 @@ object Queries {
     "q41_latlong" -> (q41LatLong _),
     "q42_ordinal" -> (q42Ordinal _),
     "q43_regex_types" -> (q43RegexTypes _),
-    "q44_learned_datetime" -> (q44LearnedDatetime _)
+    "q44_learned_datetime" -> (q44LearnedDatetime _),
+    "q45_calendar_freq" -> (q45CalendarFreq _),
+    "q46_weekly_freq" -> (q46WeeklyFreq _)
   )
 }

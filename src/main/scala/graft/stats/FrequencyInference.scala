@@ -25,6 +25,9 @@ object FrequencyInference {
   final case class FreqResult(column: String, alias: Option[String],
                               dominantShare: Double, nObserved: Long)
 
+  private[stats] val DayUs = 86400000000L
+  private[stats] val WeekUs = 7 * DayUs
+
   private val fixedAliases: Seq[(Long, String)] = {
     val us = 1L
     val ms = 1000L * us
@@ -35,6 +38,10 @@ object FrequencyInference {
     Seq(
       d * 7 -> "W", d -> "D", h -> "H", min -> "T", s -> "S", ms -> "L", us -> "U")
   }
+
+  /** ISO weekday (1=Mon..7=Sun) → pandas anchor abbreviation. */
+  private[stats] val weekdayNames =
+    Array("MON", "TUE", "WED", "THU", "FRI", "SAT", "SUN")
 
   /** Render a microsecond delta as a pandas-style offset alias ("D", "2H",
     * "15T", ...), or None for irregular deltas.
@@ -107,21 +114,110 @@ object FrequencyInference {
     val (bestDelta, bestCnt) = (counts.head.getLong(0), counts.head.getLong(1))
     val share = bestCnt.toDouble / observed
     if (share >= threshold) {
-      FreqResult(colName, aliasFor(bestDelta), share, observed)
+      // weekly deltas anchor on the dominant weekday like pandas ("W-SUN"),
+      // one tiny weekday-histogram agg only when the winner is a week multiple
+      val alias =
+        if (bestDelta > 0 && bestDelta % WeekUs == 0) {
+          val wd = df.where(c.isNotNull)
+            .groupBy(((dayofweek(c.cast("date")) + lit(5)) % 7 + 1).as("wd"))
+            .agg(count(lit(1)).as("cnt"))
+            .orderBy(col("cnt").desc, col("wd").asc)
+            .limit(1).head().getInt(0)
+          val k = bestDelta / WeekUs
+          val nm = weekdayNames(wd - 1)
+          Some(if (k == 1) s"W-$nm" else s"${k}W-$nm")
+        } else aliasFor(bestDelta)
+      FreqResult(colName, alias, share, observed)
     } else {
-      // calendar-frequency check: month starts / month ends / quarters / years
+      // calendar-frequency check, most specific first (reference infers these
+      // through pandas' offset aliases: year end/start, quarter end/start,
+      // month end/start — _determine_most_likely_freq.py + fixtures
+      // tests/fixtures/datetime_freq.py)
+      val d = c.cast("date")
+      val isLast = d === last_day(d)
       val cal = df.where(c.isNotNull)
-        .select(year(c).as("y"), month(c).as("m"), dayofmonth(c).as("d"))
         .agg(
           count(lit(1)).as("n"),
-          coalesce(sum(when(col("d") === 1, 1L)), lit(0L)).as("firsts"),
-          count_distinct(col("m")).as("months"))
+          coalesce(sum(when(month(d) === 12 && dayofmonth(d) === 31, 1L)), lit(0L)),
+          coalesce(sum(when(month(d) === 1 && dayofmonth(d) === 1, 1L)), lit(0L)),
+          coalesce(sum(when(month(d).isin(3, 6, 9, 12) && isLast, 1L)), lit(0L)),
+          coalesce(sum(when(month(d).isin(1, 4, 7, 10) && dayofmonth(d) === 1, 1L)), lit(0L)),
+          coalesce(sum(when(isLast, 1L)), lit(0L)),
+          coalesce(sum(when(dayofmonth(d) === 1, 1L)), lit(0L)))
         .head()
       val n = cal.getLong(0)
-      val firsts = cal.getLong(1)
-      if (n > 0 && firsts.toDouble / n >= threshold)
-        FreqResult(colName, Some("MS"), firsts.toDouble / n, observed)
-      else FreqResult(colName, None, share, observed)
+      // pandas quirks preserved: quarter-start infers "QS-OCT", year-start
+      // "AS-JAN" (tests/fixtures/datetime_freq.py ALL_ALIASES)
+      val checks = Seq(
+        cal.getLong(1) -> "A-DEC", cal.getLong(2) -> "AS-JAN",
+        cal.getLong(3) -> "Q-DEC", cal.getLong(4) -> "QS-OCT",
+        cal.getLong(5) -> "M", cal.getLong(6) -> "MS")
+      checks.collectFirst {
+        case (cnt, al) if n > 0 && cnt.toDouble / n >= threshold =>
+          FreqResult(colName, Some(al), cnt.toDouble / n, observed)
+      }.getOrElse(FreqResult(colName, None, share, observed))
+    }
+  }
+
+  // ------------------------------------------------------------ oracle SQL
+  /** DuckDB replica of the full inference decision, generated from the same
+    * priority list the Scala path uses so both engines cannot drift. `src`
+    * must yield a single timestamp/date column named `ts`.
+    */
+  object Sql {
+    def decision(src: String, colName: String, threshold: Double = 0.9): String = {
+      val units = Seq(
+        86400000000L -> "D", 3600000000L -> "H", 60000000L -> "T",
+        1000000L -> "S", 1000L -> "L", 1L -> "U")
+      val wkName = "CASE wk.wd WHEN 1 THEN 'MON' WHEN 2 THEN 'TUE' " +
+        "WHEN 3 THEN 'WED' WHEN 4 THEN 'THU' WHEN 5 THEN 'FRI' " +
+        "WHEN 6 THEN 'SAT' ELSE 'SUN' END"
+      val weekly = s"WHEN diff % $WeekUs = 0 THEN " +
+        s"(CASE WHEN diff / $WeekUs = 1 THEN 'W-' || $wkName " +
+        s"ELSE CAST(diff / $WeekUs AS VARCHAR) || 'W-' || $wkName END)"
+      val fixedCase = weekly + " " + units.map { case (u, nm) =>
+        s"WHEN diff % $u = 0 THEN (CASE WHEN diff / $u = 1 THEN '$nm' " +
+          s"ELSE CAST(diff / $u AS VARCHAR) || '$nm' END)"
+      }.mkString(" ")
+      val calChecks = Seq(
+        "yends" -> "A-DEC", "ystarts" -> "AS-JAN", "qends" -> "Q-DEC",
+        "qstarts" -> "QS-OCT", "lasts" -> "M", "firsts" -> "MS")
+      val calAlias = calChecks.map { case (f, al) =>
+        s"WHEN CAST(cal.$f AS DOUBLE) / cal.n >= $threshold THEN '$al'"
+      }.mkString(" ")
+      val calShare = calChecks.map { case (f, _) =>
+        s"WHEN CAST(cal.$f AS DOUBLE) / cal.n >= $threshold " +
+          s"THEN CAST(cal.$f AS DOUBLE) / cal.n"
+      }.mkString(" ")
+      s"""WITH src AS ($src),
+         |d AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) -
+         |        lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (ORDER BY ts) AS diff
+         |      FROM src WHERE ts IS NOT NULL),
+         |g AS (SELECT diff, count(*) AS cnt FROM d WHERE diff IS NOT NULL GROUP BY diff),
+         |t AS (SELECT diff, cnt FROM g ORDER BY cnt DESC, diff ASC LIMIT 1),
+         |o AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS observed FROM g),
+         |wk AS (SELECT isodow(CAST(ts AS DATE)) AS wd, count(*) AS c
+         |       FROM src WHERE ts IS NOT NULL
+         |       GROUP BY 1 ORDER BY c DESC, wd ASC LIMIT 1),
+         |cal AS (SELECT count(*) AS n,
+         |  coalesce(sum(CASE WHEN month(CAST(ts AS DATE)) = 12 AND day(CAST(ts AS DATE)) = 31 THEN 1 END), 0) AS yends,
+         |  coalesce(sum(CASE WHEN month(CAST(ts AS DATE)) = 1 AND day(CAST(ts AS DATE)) = 1 THEN 1 END), 0) AS ystarts,
+         |  coalesce(sum(CASE WHEN month(CAST(ts AS DATE)) IN (3,6,9,12) AND CAST(ts AS DATE) = last_day(CAST(ts AS DATE)) THEN 1 END), 0) AS qends,
+         |  coalesce(sum(CASE WHEN month(CAST(ts AS DATE)) IN (1,4,7,10) AND day(CAST(ts AS DATE)) = 1 THEN 1 END), 0) AS qstarts,
+         |  coalesce(sum(CASE WHEN CAST(ts AS DATE) = last_day(CAST(ts AS DATE)) THEN 1 END), 0) AS lasts,
+         |  coalesce(sum(CASE WHEN day(CAST(ts AS DATE)) = 1 THEN 1 END), 0) AS firsts
+         |  FROM src WHERE ts IS NOT NULL)
+         |SELECT '$colName' AS column_name,
+         | CASE WHEN CAST(t.cnt AS DOUBLE) / o.observed >= $threshold
+         |        THEN (CASE WHEN diff <= 0 THEN 'none' $fixedCase ELSE 'none' END)
+         |      $calAlias
+         |      ELSE 'none' END AS alias,
+         | round(CASE WHEN CAST(t.cnt AS DOUBLE) / o.observed >= $threshold
+         |              THEN CAST(t.cnt AS DOUBLE) / o.observed
+         |            $calShare
+         |            ELSE CAST(t.cnt AS DOUBLE) / o.observed END, 4) AS dominant_share,
+         | o.observed AS n_observed
+         |FROM t, o, wk, cal""".stripMargin
     }
   }
 

@@ -200,6 +200,48 @@ class StatsSpec extends SparkSpec {
     assert(r.dominantShare == 1.0)
   }
 
+  test("frequency inference: calendar aliases M / Q-DEC / A-DEC / MS and anchored weekly") {
+    def dates(ds: Seq[String]) =
+      ds.map(java.sql.Date.valueOf).toDF("t")
+    // month ends (irregular 28-31d deltas) → M
+    val monthEnds = (1 to 24).map { i =>
+      val y = 2020 + (i - 1) / 12; val m = (i - 1) % 12 + 1
+      java.time.LocalDate.of(y, m, 1).plusMonths(1).minusDays(1).toString
+    }
+    assert(FrequencyInference.inferFrequency(dates(monthEnds), "t")
+      .alias.contains("M"))
+    // quarter ends → Q-DEC
+    val qEnds = Seq("2020-03-31", "2020-06-30", "2020-09-30", "2020-12-31",
+      "2021-03-31", "2021-06-30", "2021-09-30", "2021-12-31")
+    assert(FrequencyInference.inferFrequency(dates(qEnds), "t")
+      .alias.contains("Q-DEC"))
+    // year ends → A-DEC (beats Q-DEC by priority)
+    val yEnds = (2015 to 2024).map(y => s"$y-12-31")
+    assert(FrequencyInference.inferFrequency(dates(yEnds), "t")
+      .alias.contains("A-DEC"))
+    // year starts → AS-JAN
+    val yStarts = (2015 to 2024).map(y => s"$y-01-01")
+    assert(FrequencyInference.inferFrequency(dates(yStarts), "t")
+      .alias.contains("AS-JAN"))
+    // month starts still → MS
+    val mStarts = (1 to 24).map { i =>
+      val y = 2020 + (i - 1) / 12; val m = (i - 1) % 12 + 1
+      f"$y-$m%02d-01"
+    }
+    assert(FrequencyInference.inferFrequency(dates(mStarts), "t")
+      .alias.contains("MS"))
+    // exact-week deltas anchor on the weekday: 2024-01-01 is a Monday
+    val mondays = (0 until 20).map(i =>
+      java.time.LocalDate.of(2024, 1, 1).plusWeeks(i).toString)
+    assert(FrequencyInference.inferFrequency(dates(mondays), "t")
+      .alias.contains("W-MON"))
+    // multi-week spacing keeps the count prefix
+    val biweekly = (0 until 12).map(i =>
+      java.time.LocalDate.of(2024, 1, 7).plusWeeks(2L * i).toString)
+    assert(FrequencyInference.inferFrequency(dates(biweekly), "t")
+      .alias.contains("2W-SUN"))
+  }
+
   test("describe and dependence invoke progress callbacks per unit of work") {
     val updates = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
     val cb: (Long, Long, Long, String, Double) => Unit =
