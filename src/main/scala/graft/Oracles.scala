@@ -371,6 +371,16 @@ object Oracles {
       |  CAST(7 - (isodow(CAST(o_orderdate AS DATE)) % 7) AS INTEGER) AS ts
       |FROM orders WHERE o_orderdate IS NOT NULL""".stripMargin, "week_end")
 
+  /** q47 expected dimensions recomputed arithmetically — the Spark side must
+    * recover them by parsing the constructed PNG/JPEG container bytes.
+    */
+  val q47: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS mime,
+      |  CAST(doc_id % 64 + 16 AS INTEGER) AS width,
+      |  CAST((doc_id * 3) % 64 + 16 AS INTEGER) AS height
+      |FROM documents WHERE doc_id < 60 ORDER BY doc_id""".stripMargin
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q01_pricing_summary" -> q01,
@@ -409,7 +419,8 @@ object Oracles {
       "q43_regex_types" -> q43,
       "q44_learned_datetime" -> q44,
       "q45_calendar_freq" -> q45,
-      "q46_weekly_freq" -> q46)
+      "q46_weekly_freq" -> q46,
+      "q47_image_meta" -> q47)
     base ++ q09Literal.map("q09_infer_types" -> _)
   }
 }

@@ -541,6 +541,34 @@ object Queries {
       .toDF("column_name", "alias", "dominant_share", "n_observed")
   }
 
+  /** Real multimodal header decode: PNG and JPEG payloads CONSTRUCTED as
+    * actual container bytes (signature + IHDR / SOI + APP0 + SOF0) with
+    * dimensions derived from doc_id; the engine must RECOVER width/height by
+    * parsing the bytes (ops.ImageMeta), the oracle recomputes them
+    * arithmetically.
+    */
+  def q47ImageMeta(s: SparkSession, dir: String): DataFrame = {
+    val k = col("doc_id")
+    val w = (k % 64 + 16).cast(IntegerType)
+    val h = ((k * 3) % 64 + 16).cast(IntegerType)
+    val pngHex = concat(
+      lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+      lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"), lit("0806000000"))
+    val jpgHex = concat(
+      lit("FFD8" + "FFE0" + "0010" + "4A46494600010100000100010000" +
+        "FFC0" + "0011" + "08"),
+      lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"), lit("03011100021101031101"))
+    val docs = table(s, dir, "documents").where(k < 60)
+      .select(k, unhex(when(k % 2 === 0, pngHex).otherwise(jpgHex)).as("img"))
+    val withP = ops.Multimodal.withPayload(docs, "img", "image",
+      "application/octet-stream")
+    ops.Multimodal.decodeMeta(withP)
+      .select(k, col("payload_meta.mime").as("mime"),
+        col("payload_meta.width").as("width"),
+        col("payload_meta.height").as("height"))
+      .orderBy("doc_id")
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -623,6 +651,7 @@ object Queries {
     "q43_regex_types" -> (q43RegexTypes _),
     "q44_learned_datetime" -> (q44LearnedDatetime _),
     "q45_calendar_freq" -> (q45CalendarFreq _),
-    "q46_weekly_freq" -> (q46WeeklyFreq _)
+    "q46_weekly_freq" -> (q46WeeklyFreq _),
+    "q47_image_meta" -> (q47ImageMeta _)
   )
 }

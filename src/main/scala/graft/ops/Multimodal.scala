@@ -9,11 +9,13 @@ import org.apache.spark.sql.types._
   * run as partition-batched transforms (the Scala analog of `mapInPandas` —
   * one iterator per partition, batch-shaped work, no per-row driver calls).
   *
-  * The actual codec step is STUBBED (this container ships no image/audio
-  * libraries): [[stubDecode]] produces a deterministic fake feature vector
-  * derived from the payload bytes, so the Spark-side plumbing — schema,
-  * partitioning, batch iteration, feature shape — is real and testable, and
-  * a real decoder drops in by replacing one function.
+  * Header metadata decode is REAL ([[decodeMeta]] / [[ImageMeta]]: PNG, JPEG
+  * and GIF dimensions parsed from the payload bytes, pure JVM). Only the
+  * pixel-level feature extraction remains STUBBED (this container ships no
+  * codec libraries): [[stubDecode]] produces a deterministic fake feature
+  * vector derived from the payload bytes, so the Spark-side plumbing —
+  * schema, partitioning, batch iteration, feature shape — is exercised
+  * end-to-end and a real codec drops in by replacing one function.
   */
 object Multimodal {
 
@@ -73,6 +75,33 @@ object Multimodal {
       rows.map { r =>
         val bytes = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
         Row.fromSeq(r.toSeq :+ stubDecode(bytes).toSeq)
+      }
+    }(enc)
+  }
+
+  /** Decode image payload headers (PNG/JPEG/GIF, pure-JVM byte parsing) into
+    * the metadata struct: detected mime + true width/height replace the
+    * caller-claimed values; non-image payloads pass through untouched. Same
+    * mapPartitions shape as [[featurize]] — decode work stays executor-side.
+    */
+  def decodeMeta(df: DataFrame, payloadCol: String = "payload",
+                 metaCol: String = "payload_meta"): DataFrame = {
+    val schema = df.schema
+    val pIdx = schema.fieldIndex(payloadCol)
+    val mIdx = schema.fieldIndex(metaCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(pIdx)) null else r.getAs[Array[Byte]](pIdx)
+        ImageMeta.decode(bytes) match {
+          case Some(info) =>
+            val old = r.getStruct(mIdx)
+            val meta = Row("image", info.mime,
+              info.width, info.height,
+              if (old == null) null else old.get(4))
+            Row.fromSeq(r.toSeq.updated(mIdx, meta))
+          case None => r
+        }
       }
     }(enc)
   }

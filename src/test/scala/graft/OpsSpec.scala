@@ -196,4 +196,42 @@ class OpsSpec extends SparkSpec {
     assert(byId(0L) == byId(3L)) // deterministic: same bytes, same features
     assert(byId(0L) != byId(2L))
   }
+
+  test("image header decode: PNG, JPEG (marker scan), GIF, garbage") {
+    def hexBytes(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // 640x480 PNG: signature + IHDR
+    val png = hexBytes("89504E470D0A1A0A" + "0000000D" + "49484452" +
+      "00000280" + "000001E0" + "0806000000")
+    assert(ImageMeta.decode(png).contains(ImageMeta.Info("image/png", 640, 480)))
+    // JPEG: SOI, APP0 (skipped), DQT (skipped), SOF0 with h=0x010E w=0x0164
+    val jpg = hexBytes("FFD8" + "FFE0" + "0005" + "000000" +
+      "FFDB" + "0004" + "0000" +
+      "FFC0" + "0011" + "08" + "010E" + "0164" + "03011100021101031101")
+    assert(ImageMeta.decode(jpg).contains(ImageMeta.Info("image/jpeg", 356, 270)))
+    // progressive JPEG uses SOF2 (0xC2) — still a frame header
+    val jpg2 = hexBytes("FFD8" + "FFC2" + "0011" + "08" + "0040" + "0080" +
+      "03011100021101031101")
+    assert(ImageMeta.decode(jpg2).contains(ImageMeta.Info("image/jpeg", 128, 64)))
+    // GIF89a 3x5 (little-endian dims)
+    val gif = hexBytes("474946383961" + "0300" + "0500" + "F70000")
+    assert(ImageMeta.decode(gif).contains(ImageMeta.Info("image/gif", 3, 5)))
+    // garbage / truncated / null
+    assert(ImageMeta.decode("not an image".getBytes).isEmpty)
+    assert(ImageMeta.decode(png.take(12)).isEmpty)
+    assert(ImageMeta.decode(hexBytes("FFD8FFE0")).isEmpty)
+    assert(ImageMeta.decode(null).isEmpty)
+    // decodeMeta fills the metadata struct from the bytes
+    val df = Seq((1L, png), (2L, jpg), (3L, "plain".getBytes)).toDF("id", "img")
+    val withP = Multimodal.withPayload(df, "img", "image", "unknown")
+    val out = Multimodal.decodeMeta(withP)
+      .select("id", "payload_meta.mime", "payload_meta.width",
+        "payload_meta.height")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1 else r.getInt(2),
+          if (r.isNullAt(3)) -1 else r.getInt(3))).toMap
+    assert(out(1L) == (("image/png", 640, 480)))
+    assert(out(2L) == (("image/jpeg", 356, 270)))
+    assert(out(3L) == (("unknown", -1, -1))) // non-image passes through
+  }
 }
