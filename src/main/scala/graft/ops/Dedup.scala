@@ -180,10 +180,10 @@ object Dedup {
     }
     val buckets = sigs.select(col("id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bsig").as("sig"))
-    val cand = buckets.as("x").join(buckets.as("y"),
-        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_1"), col("y.id").as("id_2"))
+    // skew-guarded: a band bucket full of near-identical docs grid-splits
+    // instead of one quadratic task
+    val cand = SkewJoin.selfPairs(buckets, Seq("band", "sig"), "id")
+      .select(col("x_id").as("id_1"), col("y_id").as("id_2"))
       .distinct()
     // exact verification on the candidate set only: count common shingles
     // via shingle-equality joins restricted to candidate pairs
@@ -256,11 +256,11 @@ object Dedup {
           shiftright(col("simhash"), j * 15).bitwiseAND(0x7FFFL).as("v"))): _*))
         .as("c"))
       .select(col("id"), col("simhash"), col("c.chunk").as("chunk"), col("c.v").as("v"))
-    chunks.as("x").join(chunks.as("y"),
-        col("x.chunk") === col("y.chunk") && col("x.v") === col("y.v") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_1"), col("y.id").as("id_2"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+    // skew-guarded: identical documents share every chunk value — the guard
+    // keeps one hot chunk bucket from becoming a single quadratic task
+    SkewJoin.selfPairs(chunks, Seq("chunk", "v"), "id", Seq("simhash"))
+      .select(col("x_id").as("id_1"), col("y_id").as("id_2"),
+        bit_count(col("x_simhash").bitwiseXOR(col("y_simhash")))
           .cast(LongType).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxDist)

@@ -99,10 +99,11 @@ object Similarity {
                 seed: Long = 42L): DataFrame = {
     val sig = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
       lshSignature(col(vecCol), dim, numPlanes, seed).as("bucket"))
-    sig.as("a").join(sig.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("query_id"), col("b.id").as("candidate_id"),
-        round(cosine(col("a.v"), col("b.v")), 4).as("cosine"))
+    // skew-guarded self-join: a degenerate bucket (near-dup-heavy corpora)
+    // grid-splits instead of exploding one task quadratically
+    SkewJoin.selfPairs(sig, Seq("bucket"), "id", Seq("v"))
+      .select(col("x_id").as("query_id"), col("y_id").as("candidate_id"),
+        round(cosine(col("x_v"), col("y_v")), 4).as("cosine"))
       .where(col("cosine") >= threshold)
   }
 

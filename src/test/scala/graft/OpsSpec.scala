@@ -197,6 +197,33 @@ class OpsSpec extends SparkSpec {
     assert(byId(0L) != byId(2L))
   }
 
+  test("skew-guarded self-join: degenerate bucket grid-splits, same pair set") {
+    // one hot bucket (600 rows, chunkSize 64 → grid cells) + cold buckets
+    val rows = (0 until 600).map(i => (i.toLong, "hot", i * 1.5)) ++
+      (600 until 650).map(i => (i.toLong, s"cold${i % 7}", i * 1.5))
+    val df = rows.toDF("id", "bucket", "w")
+    val guarded = SkewJoin.selfPairs(df, Seq("bucket"), "id", Seq("w"),
+      chunkSize = 64, maxChunks = 16)
+      .select("x_id", "y_id", "x_w", "y_w").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+    val naive = df.as("a").join(df.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"), col("a.w"), col("b.w")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+    assert(guarded == naive)
+    val coldPairs = (0 until 7).map { k =>
+      val n = (600 until 650).count(_ % 7 == k); n * (n - 1) / 2
+    }.sum
+    assert(guarded.size == 600 * 599 / 2 + coldPairs)
+    // 1k identical docs through the full LSH dedup path still verifies
+    val dupDocs = (0 until 1000).map(i => (i.toLong, "the same exact text " * 5))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(dupDocs, "doc_id", "text", threshold = 0.9)
+    assert(pairs.count() == 1000L * 999 / 2)
+  }
+
   test("image header decode: PNG, JPEG (marker scan), GIF, garbage") {
     def hexBytes(h: String): Array[Byte] =
       h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
