@@ -19,7 +19,8 @@ import graft.types.{LogicalType, TypeSystem}
   * and the typing info rides along in `StructField.metadata`, so any plain
   * DataFrame transformation keeps it through Catalyst.
   */
-final case class WoodworkFrame(df: DataFrame, schema: WwTableSchema) {
+final case class WoodworkFrame(df: DataFrame, schema: WwTableSchema,
+                               alreadySorted: Boolean = false) {
 
   def spark = df.sparkSession
   def columnNames: Seq[String] = schema.columns.keys.toSeq
@@ -184,13 +185,17 @@ final case class WoodworkFrame(df: DataFrame, schema: WwTableSchema) {
 
   /** Rows ordered by (time_index, index) — the reference sorts eagerly at init
     * (reference: table_accessor.py:699-704); here it is an explicit op so a
-    * 100 TB init is not a global sort.
+    * 100 TB init is not a global sort. `already_sorted=True` at init
+    * (reference: table_accessor.py:68-70,132) declares the input pre-sorted
+    * and makes this the identity.
     */
-  def sortedByTime: DataFrame = (timeIndex, index) match {
-    case (Some(t), Some(i)) => df.orderBy(col(t), col(i))
-    case (Some(t), None) => df.orderBy(col(t))
-    case _ => df
-  }
+  def sortedByTime: DataFrame =
+    if (alreadySorted) df
+    else (timeIndex, index) match {
+      case (Some(t), Some(i)) => df.orderBy(col(t), col(i))
+      case (Some(t), None) => df.orderBy(col(t))
+      case _ => df
+    }
 
   /** Per-column invalid-value counts under each column's logical type
     * (reference: table_accessor.py:1639-1662 `validate_logical_types`).
@@ -280,17 +285,31 @@ object WoodworkFrame {
            tableMetadata: Map[String, String] = Map.empty,
            typeSystem: TypeSystem = TypeSystem.global,
            validate: Boolean = false,
-           coerce: Boolean = true): WoodworkFrame = {
+           coerce: Boolean = true,
+           ignoreColumns: Set[String] = Set.empty,
+           alreadySorted: Boolean = false): WoodworkFrame = {
     val cols = df.columns.toSeq
     require(cols.distinct.size == cols.size, "DataFrame contains duplicate column names")
     val badRefs = (logicalTypes.keySet ++ semanticTags.keySet ++
-      index.toSet ++ timeIndex.toSet).diff(cols.toSet)
+      index.toSet ++ timeIndex.toSet ++ ignoreColumns).diff(cols.toSet)
     require(badRefs.isEmpty, s"Columns not found: ${badRefs.mkString(",")}")
 
     // priority: explicit logical_types > existing metadata > inference
     // (reference: table_accessor.py:47-51, 1800-1837)
     val existing: Map[String, WwColumnSchema] =
       SchemaMetadata.recover(df).map(_.columns.toMap).getOrElse(Map.empty)
+
+    // ignore_columns skip re-inference by reusing the existing schema type:
+    // they must come from an existing schema and may not also be forced
+    // (reference: table_accessor.py:1747-1769 `_check_ignore_columns`)
+    if (ignoreColumns.nonEmpty) {
+      val bothSet = ignoreColumns.intersect(logicalTypes.keySet)
+      require(bothSet.isEmpty,
+        s"ignore_columns contains columns that are being set in logical_types: ${bothSet.mkString(",")}")
+      val noSchema = ignoreColumns.filterNot(existing.contains)
+      require(noSchema.isEmpty,
+        s"ignore_columns requires an existing schema for: ${noSchema.mkString(",")}")
+    }
     val needInference = cols.filterNot(c =>
       logicalTypes.contains(c) || existing.contains(c))
     val inferred: Map[String, LogicalType] =
@@ -326,7 +345,7 @@ object WoodworkFrame {
        else col(n))
         .as(n, SchemaMetadata.columnMetadata(cs))
     }.toSeq: _*)
-    val frame = WoodworkFrame(projected, schema)
+    val frame = WoodworkFrame(projected, schema, alreadySorted)
     if (validate) frame.validateIndex()
     frame
   }

@@ -26,22 +26,28 @@ object Describe {
     * `approx = true` switches to `percentile_approx` — the knob to prefer at
     * 100 TB where an exact percentile is a global sort.
     */
+  /** Columns describe operates on: index/time_index excluded
+    * (reference: _get_describe_dict.py:96-99), optional include selectors.
+    */
+  private def columnsFor(frame: WoodworkFrame, include: Seq[String])
+      : Seq[(String, graft.schema.WwColumnSchema)] = {
+    val schema = frame.schema
+    val base = schema.columns.toSeq
+      .filterNot { case (_, c) => c.isIndex || c.isTimeIndex }
+    if (include.isEmpty) base
+    else {
+      val sel = schema.filterCols(include).toSet
+      base.filter { case (n, _) => sel.contains(n) }
+    }
+  }
+
   def describe(frame: WoodworkFrame,
                include: Seq[String] = Nil,
                approx: Boolean = false,
                callback: Option[(Long, Long, Long, String, Double) => Unit] = None)
       : DataFrame = {
     val df = frame.df
-    val schema = frame.schema
-    // index/time_index columns are excluded (reference: _get_describe_dict.py:96-99)
-    val base = schema.columns.toSeq
-      .filterNot { case (_, c) => c.isIndex || c.isTimeIndex }
-    val cols =
-      if (include.isEmpty) base
-      else {
-        val sel = schema.filterCols(include).toSet
-        base.filter { case (n, _) => sel.contains(n) }
-      }
+    val cols = columnsFor(frame, include)
     require(cols.nonEmpty, "No columns to describe")
 
     val aggExprs: Seq[Column] = cols.map { case (n, cs) =>
@@ -328,5 +334,94 @@ object Describe {
       .agg(count(lit(1)).as("count"))
       .orderBy(col("count").desc, col("value").asc)
       .limit(bins)
+  }
+
+  private val HistEntry = ArrayType(StructType(Seq(
+    StructField("bin", LongType), StructField("frequency", LongType))))
+  private val CountEntry = ArrayType(StructType(Seq(
+    StructField("value", StringType), StructField("count", LongType))))
+
+  /** describe with the reference's `extra_stats=True` columns assembled in
+    * (reference: _get_describe_dict.py:199-224): per-column
+    *
+    *   - numeric: `histogram` (bins buckets); integer-family types whose
+    *     value range fits in `bins` additionally get numeric `top_values`
+    *   - categorical: `top_values` (top_x most frequent)
+    *   - datetime: `recent_values` (recent_x most recent date counts)
+    *
+    * Extras are bounded lists (≤ bins/top_x/recent_x entries), computed as
+    * one small concurrent job per qualifying column over pruned scans and
+    * attached as array<struct> columns; `value` is stringified so one schema
+    * carries every type.
+    */
+  def describeWithExtras(frame: WoodworkFrame,
+                         include: Seq[String] = Nil,
+                         bins: Int = 10, topX: Int = 10, recentX: Int = 10,
+                         callback: Option[(Long, Long, Long, String, Double) => Unit] = None)
+      : DataFrame = {
+    val base = describe(frame, include, callback = callback)
+    val df = frame.df
+    val cols = columnsFor(frame, include)
+    val intFamily = Set("Age", "AgeNullable", "Integer", "IntegerNullable")
+
+    // one wide agg: per-numeric-column min/max/non-null/non-integral —
+    // decides histogram applicability and the numeric top_values condition
+    val numCols = cols.collect { case (n, cs) if cs.isNumeric => n }
+    val numInfo: Map[String, (Option[Double], Option[Double], Long, Long)] =
+      if (numCols.isEmpty) Map.empty
+      else {
+        val exprs = numCols.map { n =>
+          val d = col(n).cast(DoubleType)
+          struct(min(d), max(d), count(d),
+            coalesce(sum(when(d % 1 =!= 0, 1L)), lit(0L))).as(n)
+        }
+        val r = df.agg(exprs.head, exprs.tail: _*).head()
+        numCols.zipWithIndex.map { case (n, i) =>
+          val s = r.getStruct(i)
+          n -> (if (s.isNullAt(0)) None else Some(s.getDouble(0)),
+            if (s.isNullAt(1)) None else Some(s.getDouble(1)),
+            s.getLong(2), s.getLong(3))
+        }.toMap
+      }
+
+    val hist = new java.util.concurrent.ConcurrentHashMap[String, Seq[Row]]()
+    val tops = new java.util.concurrent.ConcurrentHashMap[String, Seq[Row]]()
+    val recents = new java.util.concurrent.ConcurrentHashMap[String, Seq[Row]]()
+    runConcurrently(cols) { case (n, cs) =>
+      if (cs.isNumeric) numInfo(n) match {
+        case (Some(lo), Some(hi), _, nonIntegral) =>
+          hist.put(n, histogram(df, n, bins).collect().toSeq)
+          val rangeLen = hi.toLong + 1 - lo.toLong
+          if (intFamily.contains(cs.logicalType.name) && rangeLen <= bins &&
+              nonIntegral == 0)
+            tops.put(n, numericValueCountsInRange(df, n, bins)
+              .select(col("value").cast(StringType), col("count"))
+              .collect().toSeq)
+        case _ => hist.put(n, Seq.empty) // all-null numeric → empty histogram
+      }
+      else if (cs.isCategorical)
+        tops.put(n, ValueCounts.topValues(df, n, topX)
+          .select(col("value").cast(StringType), col("count"))
+          .collect().toSeq)
+      else if (cs.isDatetime)
+        recents.put(n, recentValueCounts(df, n, recentX)
+          .select(col("value").cast(StringType), col("count"))
+          .collect().toSeq)
+    }
+
+    val spark = df.sparkSession
+    val extraRows = cols.map { case (n, _) =>
+      Row(n, Option(hist.get(n)).orNull, Option(tops.get(n)).orNull,
+        Option(recents.get(n)).orNull)
+    }
+    val extraSchema = StructType(Seq(
+      StructField("column_name", StringType),
+      StructField("histogram", HistEntry),
+      StructField("top_values", CountEntry),
+      StructField("recent_values", CountEntry)))
+    val extras = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(extraRows).asJava), extraSchema)
+    base.join(extras, Seq("column_name"), "left")
   }
 }

@@ -331,9 +331,12 @@ object LogicalType {
 
   /** reference: logical_types.py:298-368. Spark TimestampType (session TZ
     * UTC); explicit format via to_timestamp, otherwise the shared
-    * multi-format parse (errors="coerce" equivalent). Timezone is stripped by
-    * Spark's session-TZ normalization; the original tz string is kept as a
-    * param.
+    * multi-format parse (errors="coerce" equivalent).
+    *
+    * Timezone strip-and-store (reference `_remove_timezone`,
+    * logical_types.py:319-324): with `timezone` set, coerced values are the
+    * WALL-CLOCK time in that zone (the pandas `tz_localize(None)` result) and
+    * the zone name rides in the params for serialization.
     */
   final case class Datetime(datetimeFormat: Option[String] = None,
                             timezone: Option[String] = None) extends LogicalType {
@@ -342,8 +345,14 @@ object LogicalType {
     override def params: Map[String, String] =
       datetimeFormat.map("datetime_format" -> _).toMap ++
         timezone.map("timezone" -> _).toMap
+    private def stripTz(t: Column): Column = timezone match {
+      // instant (UTC-normalized under the session zone) → naive wall clock
+      // in the stored zone, matching pandas' tz_localize(None)
+      case Some(tz) => from_utc_timestamp(t, tz)
+      case None => t
+    }
     override def transform(c: Column, from: DataType): Column = from match {
-      case TimestampType => c
+      case TimestampType => stripTz(c)
       case DateType => c.cast(TimestampType)
       case _: NumericType => c.cast(TimestampType)
       case _ =>
@@ -353,9 +362,11 @@ object LogicalType {
             // pandas pivots two-digit years 69-99 into 19xx; Spark's `yy`
             // maps everything to 20xx (reference: logical_types.py:329-333)
             val t = try_to_timestamp(s, lit(fmt))
-            if (fmt.contains("yy") && !fmt.contains("yyyy")) pivotTwoDigitYear(t)
-            else t
-          case None => parseTimestamp(s)
+            stripTz(
+              if (fmt.contains("yy") && !fmt.contains("yyyy"))
+                pivotTwoDigitYear(t)
+              else t)
+          case None => stripTz(parseTimestamp(s))
         }
     }
   }

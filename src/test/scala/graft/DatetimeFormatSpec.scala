@@ -54,6 +54,22 @@ class DatetimeFormatSpec extends SparkSpec {
       "2020-01-13", "2020-12-31", "2021-02-01"))
   }
 
+  test("Datetime timezone strip-and-store: wall clock in the stored zone + round-trip") {
+    val dt = LT.Datetime(timezone = Some("America/New_York"))
+    val df = Seq("2020-01-01 00:00:00+00:00", "2020-06-15 12:30:00Z").toDF("t")
+    val got = df.select(date_format(
+        dt.transform(col("t"), org.apache.spark.sql.types.StringType),
+        "yyyy-MM-dd HH:mm:ss").as("wall")).as[String].collect().sorted
+    // pandas tz_localize(None) keeps the wall clock: EST -5 / EDT -4
+    assert(got sameElements Array("2019-12-31 19:00:00", "2020-06-15 08:30:00"))
+    // the zone survives schema metadata + disk round-trips via params
+    val f = WoodworkFrame.init(df, logicalTypes = Map("t" -> dt))
+    assert(WoodworkFrame.init(f.df).schema("t").logicalType == dt)
+    val dir = java.nio.file.Files.createTempDirectory("ww_tz").toString
+    graft.io.ReadWrite.toDisk(f, dir)
+    assert(graft.io.ReadWrite.fromDisk(spark, dir).schema("t").logicalType == dt)
+  }
+
   test("two-digit-year coercion pivots 69-99 into 19xx like pandas") {
     val dt = LT.Datetime(datetimeFormat = Some("dd/MM/yy"))
     val df = Seq("31/12/99", "01/06/15", "15/03/69", "20/08/68").toDF("d")

@@ -29,6 +29,32 @@ class FrameSpec extends SparkSpec {
     assert(f.index.contains("id"))
   }
 
+  test("init: ignore_columns reuses existing schema types; already_sorted skips the sort") {
+    val f = fixture
+    // re-init with ignore: the ignored column keeps its schema type without
+    // re-inference; ignoring without an existing schema (or while forcing)
+    // raises like the reference
+    val again = WoodworkFrame.init(f.df, ignoreColumns = Set("email"))
+    assert(again.logicalTypes("email") == "EmailAddress")
+    intercept[IllegalArgumentException] {
+      WoodworkFrame.init(f.df, ignoreColumns = Set("email"),
+        logicalTypes = Map("email" -> LT.NaturalLanguage))
+    }
+    intercept[IllegalArgumentException] {
+      WoodworkFrame.init(Seq((1L, "x")).toDF("id", "v"),
+        ignoreColumns = Set("v"))
+    }
+    // already_sorted: sortedByTime becomes the identity plan
+    val ts = Seq((2L, "2024-01-02"), (1L, "2024-01-01"))
+      .toDF("id", "t")
+    val sorted = WoodworkFrame.init(ts, index = Some("id"),
+      timeIndex = Some("t"), alreadySorted = true)
+    assert(sorted.sortedByTime.queryExecution.analyzed ==
+      sorted.df.queryExecution.analyzed)
+    val unsorted = WoodworkFrame.init(ts, index = Some("id"), timeIndex = Some("t"))
+    assert(unsorted.sortedByTime.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
   test("select by tag / type; drop; pop; rename") {
     val f = fixture
     assert(f.select(include = Seq("numeric")).columnNames == Seq("id", "amount"))

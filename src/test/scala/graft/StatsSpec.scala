@@ -1,9 +1,11 @@
 package graft
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
 import graft.frame.WoodworkFrame
 import graft.stats._
+import graft.types.{LogicalType => LT}
 
 /** Statistics suite behavior
   * (reference: woodwork/tests/accessor/test_statistics.py).
@@ -240,6 +242,34 @@ class StatsSpec extends SparkSpec {
       java.time.LocalDate.of(2024, 1, 7).plusWeeks(2L * i).toString)
     assert(FrequencyInference.inferFrequency(dates(biweekly), "t")
       .alias.contains("2W-SUN"))
+  }
+
+  test("describeWithExtras: histogram / top_values / recent_values per column type") {
+    val df = Seq(
+      (1L, 2L, "a", "2024-01-05"), (2L, 3L, "b", "2024-01-06"),
+      (3L, 2L, "a", "2024-01-06"), (4L, 9L, "a", "2024-01-07"),
+      (5L, 2L, "c", "2024-01-07"), (6L, 3L, "b", "2024-01-07")
+    ).toDF("id", "small_int", "cat", "day")
+    val f = WoodworkFrame.init(df, index = Some("id"),
+      logicalTypes = Map(
+        "small_int" -> LT.IntegerNullable, "cat" -> LT.Categorical,
+        "day" -> LT.Datetime()))
+    val out = Describe.describeWithExtras(f, bins = 10, topX = 2, recentX = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // integer with range 2..9 (<= bins) gets histogram AND numeric top_values
+    val si = out("small_int")
+    assert(si.getSeq[Row](si.fieldIndex("histogram")).map(_.getLong(1)).sum == 6)
+    val siTop = si.getSeq[Row](si.fieldIndex("top_values"))
+    assert(siTop.head.getString(0) == "2" && siTop.head.getLong(1) == 3)
+    // categorical top_values, most frequent first, capped at topX
+    val catTop = out("cat").getSeq[Row](out("cat").fieldIndex("top_values"))
+    assert(catTop.map(r => (r.getString(0), r.getLong(1))) ==
+      Seq(("a", 3L), ("b", 2L)))
+    assert(out("cat").isNullAt(out("cat").fieldIndex("histogram")))
+    // datetime recent_values: two most recent days, count-desc
+    val rec = out("day").getSeq[Row](out("day").fieldIndex("recent_values"))
+    assert(rec.map(r => (r.getString(0), r.getLong(1))) ==
+      Seq(("2024-01-07", 3L), ("2024-01-06", 2L)))
   }
 
   test("describe and dependence invoke progress callbacks per unit of work") {
