@@ -504,8 +504,8 @@ object Queries {
     * coerce through it (reference: utils.py:595-650).
     */
   def q44LearnedDatetime(s: SparkSession, dir: String): DataFrame = {
-    val o = table(s, dir, "orders").select(col("o_orderkey"),
-      date_format(col("o_orderdate"), "dd.MM.yyyy").as("od_str"))
+    val o = table(s, dir, "orders")
+      .select(date_format(col("o_orderdate"), "dd.MM.yyyy").as("od_str"))
     val f = WoodworkFrame.init(o)
     val lt = f.schema("od_str").logicalType
     require(lt == LogicalType.Datetime(Some("dd.MM.yyyy")),
