@@ -339,9 +339,9 @@ object Oracles {
 
   /** q43 ground truth from key arithmetic: each fixture is valid for its type
     * iff the key predicate holds, so the regexes must accept/reject exactly
-    * those rows. PostalCode coercion passes strings through (the reference
-    * does not null invalid zips on transform), hence total for its
-    * coerced_nonnull.
+    * those rows. Coercion runs under null_invalid_values=true, so every
+    * regex type (incl. PostalCode's `_coerce_postal_code` path) nulls its
+    * non-matching rows.
     */
   val q43: String =
     """WITH n AS (SELECT count(*) AS total,
@@ -354,7 +354,7 @@ object Oracles {
       |SELECT 'email_v' AS column_name, e AS coerced_nonnull, total - e AS invalid_count FROM n
       |UNION ALL SELECT 'ip_v', i, total - i FROM n
       |UNION ALL SELECT 'phone_v', p, total - p FROM n
-      |UNION ALL SELECT 'postal_v', total, total - z FROM n
+      |UNION ALL SELECT 'postal_v', z, total - z FROM n
       |UNION ALL SELECT 'url_v', u, total - u FROM n
       |ORDER BY column_name""".stripMargin
 

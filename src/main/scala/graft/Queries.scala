@@ -459,9 +459,11 @@ object Queries {
   }
 
   /** Regex-type coercion matrix: Email/URL/IP/Phone/PostalCode over a mixed
-    * valid/invalid fixture — coerced non-null counts (regex types null
-    * non-matching values; PostalCode passes strings through untouched, the
-    * reference's behavior) plus validate_logical_types invalid counts.
+    * valid/invalid fixture — coerced non-null counts under
+    * `null_invalid_values=true` (every regex type nulls non-matching values,
+    * the reference's `_coerce_string`/`_coerce_postal_code` flag path) plus
+    * validate_logical_types invalid counts. Without the flag the reference —
+    * and this engine — preserves non-matching strings.
     */
   def q43RegexTypes(s: SparkSession, dir: String): DataFrame = {
     val k = col("c_custkey")
@@ -487,7 +489,8 @@ object Queries {
       "postal_v" -> LogicalType.PostalCode)
     val invalid = WoodworkFrame.init(raw, logicalTypes = types, coerce = false)
       .validateLogicalTypes()
-    val coerced = WoodworkFrame.init(raw, logicalTypes = types)
+    val coerced = WoodworkFrame.init(raw, logicalTypes = types,
+      nullInvalidValues = true)
     val names = types.keys.toSeq.sorted
     val counts = coerced.df
       .agg(count(col(names.head)), names.tail.map(n => count(col(n))): _*)

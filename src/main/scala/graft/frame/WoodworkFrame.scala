@@ -89,7 +89,8 @@ final case class WoodworkFrame(df: DataFrame, schema: WwTableSchema,
     */
   def setTypes(logicalTypes: Map[String, LogicalType] = Map.empty,
                semanticTags: Map[String, Set[String]] = Map.empty,
-               retainIndexTags: Boolean = true): WoodworkFrame = {
+               retainIndexTags: Boolean = true,
+               nullInvalidValues: Boolean = false): WoodworkFrame = {
     val unknown = (logicalTypes.keySet ++ semanticTags.keySet).diff(schema.columns.keySet)
     require(unknown.isEmpty, s"Columns not found: ${unknown.mkString(",")}")
     val newCols = schema.columns.map { case (n, cs) =>
@@ -106,10 +107,10 @@ final case class WoodworkFrame(df: DataFrame, schema: WwTableSchema,
     val projected = df.select(newCols.map { case (n, cs) =>
       val from = df.schema(n).dataType
       val base = if (logicalTypes.contains(n))
-        cs.logicalType.transform(col(n), from) else col(n)
+        cs.logicalType.transform(col(n), from, nullInvalidValues) else col(n)
       base.as(n, SchemaMetadata.columnMetadata(cs))
     }.toSeq: _*)
-    WoodworkFrame(projected, newSchema)
+    WoodworkFrame(projected, newSchema, alreadySorted)
   }
 
   private def retag(f: WwColumnSchema => WwColumnSchema,
@@ -287,7 +288,8 @@ object WoodworkFrame {
            validate: Boolean = false,
            coerce: Boolean = true,
            ignoreColumns: Set[String] = Set.empty,
-           alreadySorted: Boolean = false): WoodworkFrame = {
+           alreadySorted: Boolean = false,
+           nullInvalidValues: Boolean = false): WoodworkFrame = {
     val cols = df.columns.toSeq
     require(cols.distinct.size == cols.size, "DataFrame contains duplicate column names")
     val badRefs = (logicalTypes.keySet ++ semanticTags.keySet ++
@@ -339,9 +341,12 @@ object WoodworkFrame {
     }
 
     // single lazy coercion projection (no job until an action); coerce=false
-    // is the trusted-input fast path (reference: validate=False semantics)
+    // is the trusted-input fast path (reference: validate=False semantics);
+    // null_invalid_values matches the reference default (False = regex types
+    // preserve non-matching values)
     val projected = df.select(columns.map { case (n, cs) =>
-      (if (coerce) cs.logicalType.transform(col(n), df.schema(n).dataType)
+      (if (coerce)
+         cs.logicalType.transform(col(n), df.schema(n).dataType, nullInvalidValues)
        else col(n))
         .as(n, SchemaMetadata.columnMetadata(cs))
     }.toSeq: _*)

@@ -47,6 +47,18 @@ trait LogicalType extends Serializable {
   def transform(c: Column, from: DataType): Column =
     if (from == sparkType) c else c.try_cast(sparkType)
 
+  /** Coercion with the reference's `null_invalid_values` knob
+    * (reference: logical_types.py transform signatures, default False): types
+    * whose invalid values can be PRESERVED in the physical representation
+    * (the regex string types) only null them when the flag is set. Types
+    * whose physical coercion inherently nulls unparseable values (numerics,
+    * datetimes, booleans, LatLong — where the reference would raise instead)
+    * ignore the flag; that errors="coerce" default is the documented
+    * divergence.
+    */
+  def transform(c: Column, from: DataType, nullInvalidValues: Boolean): Column =
+    transform(c, from)
+
   /** Boolean expression that is true for rows whose value is INVALID for this
     * logical type (null-safe: null is never invalid). Used by
     * `validate_logical_types` (reference: logical_types.py:70-78, 807-827).
@@ -271,6 +283,16 @@ object LogicalType {
       case _: NumericType => format_string("%05.0f", c.cast(DoubleType))
       case _ => replaceNans(c, from).cast(StringType)
     }
+    /** flag → `_coerce_postal_code` (reference: logical_types.py:758-760,
+      * 947-950): numeric normalization plus regex nulling.
+      */
+    override def transform(c: Column, from: DataType,
+                           nullInvalidValues: Boolean): Column = {
+      val base = transform(c, from)
+      if (nullInvalidValues)
+        when(startMatch(base, WwConfig.options.postalCodeInferenceRegex), base)
+      else base
+    }
     override def invalidExpr(c: Column): Column =
       regexInvalid(c, WwConfig.options.postalCodeInferenceRegex)
   }
@@ -400,41 +422,54 @@ object LogicalType {
   }
 
   // ---------------------------------------------------------------- regex-validated strings
-  /** reference: logical_types.py:442-470 */
-  case object EmailAddress extends LogicalType {
+  /** Shared shape for the regex string types: the 2-arg transform keeps the
+    * strict errors="coerce" behavior (nulls non-matching values); the flagged
+    * transform mirrors the reference exactly — invalid values are PRESERVED
+    * unless `null_invalid_values` is set (reference: logical_types.py:455-461
+    * and siblings, default False).
+    */
+  sealed trait RegexStringType extends LogicalType {
     def sparkType: DataType = StringType
+    protected def regex: String
     override def transform(c: Column, from: DataType): Column =
-      regexTransform(c, from, WwConfig.options.emailInferenceRegex)
-    override def invalidExpr(c: Column): Column =
-      regexInvalid(c, WwConfig.options.emailInferenceRegex)
+      regexTransform(c, from, regex)
+    override def transform(c: Column, from: DataType,
+                           nullInvalidValues: Boolean): Column =
+      if (nullInvalidValues) regexTransform(c, from, regex)
+      else replaceNans(c, from).cast(StringType)
+    override def invalidExpr(c: Column): Column = regexInvalid(c, regex)
   }
 
-  /** reference: logical_types.py:503 (ipv4 or ipv6) */
+  /** reference: logical_types.py:442-470 */
+  case object EmailAddress extends RegexStringType {
+    protected def regex: String = WwConfig.options.emailInferenceRegex
+  }
+
+  /** reference: logical_types.py:503 (ipv4 or ipv6); NOTE the reference's
+    * IPAddress has NO transform coercion at all — values pass through and
+    * only validate flags them — so the flagged path preserves always.
+    */
   case object IPAddress extends LogicalType {
     def sparkType: DataType = StringType
     private def regex =
       s"(${WwConfig.options.ipv4InferenceRegex})|(${WwConfig.options.ipv6InferenceRegex})"
     override def transform(c: Column, from: DataType): Column =
       regexTransform(c, from, regex)
+    override def transform(c: Column, from: DataType,
+                           nullInvalidValues: Boolean): Column =
+      if (nullInvalidValues) regexTransform(c, from, regex)
+      else replaceNans(c, from).cast(StringType)
     override def invalidExpr(c: Column): Column = regexInvalid(c, regex)
   }
 
   /** reference: logical_types.py:648 (US/Canada numbers) */
-  case object PhoneNumber extends LogicalType {
-    def sparkType: DataType = StringType
-    override def transform(c: Column, from: DataType): Column =
-      regexTransform(c, from, WwConfig.options.phoneInferenceRegex)
-    override def invalidExpr(c: Column): Column =
-      regexInvalid(c, WwConfig.options.phoneInferenceRegex)
+  case object PhoneNumber extends RegexStringType {
+    protected def regex: String = WwConfig.options.phoneInferenceRegex
   }
 
   /** reference: logical_types.py:711 */
-  case object URL extends LogicalType {
-    def sparkType: DataType = StringType
-    override def transform(c: Column, from: DataType): Column =
-      regexTransform(c, from, WwConfig.options.urlInferenceRegex)
-    override def invalidExpr(c: Column): Column =
-      regexInvalid(c, WwConfig.options.urlInferenceRegex)
+  case object URL extends RegexStringType {
+    protected def regex: String = WwConfig.options.urlInferenceRegex
   }
 
   // ---------------------------------------------------------------- LatLong

@@ -71,6 +71,27 @@ class LogicalTypesSpec extends SparkSpec {
     assert(invalid == Seq(false, true))
   }
 
+  test("null_invalid_values flag: regex types preserve by default, null when set " +
+    "(reference logical_types.py transform default False)") {
+    import spark.implicits._
+    import graft.frame.WoodworkFrame
+    val df = Seq(("a@b.co", "99999"), ("nope", "z1")).toDF("em", "zip")
+    val types = Map("em" -> (LT.EmailAddress: LT), "zip" -> (LT.PostalCode: LT))
+    // default (reference parity): non-matching values survive coercion
+    val keep = WoodworkFrame.init(df, logicalTypes = types)
+    assert(keep.df.select("em").as[String].collect().toSet == Set("a@b.co", "nope"))
+    assert(keep.df.select("zip").as[String].collect().toSet == Set("99999", "z1"))
+    // flag set: non-matching values null out
+    val nulled = WoodworkFrame.init(df, logicalTypes = types, nullInvalidValues = true)
+    assert(nulled.df.select("em").collect().map(r =>
+      if (r.isNullAt(0)) null else r.getString(0)).toSet == Set("a@b.co", null))
+    assert(nulled.df.select("zip").collect().map(r =>
+      if (r.isNullAt(0)) null else r.getString(0)).toSet == Set("99999", null))
+    // setTypes threads the same flag
+    val re = keep.setTypes(Map("em" -> LT.EmailAddress), nullInvalidValues = true)
+    assert(re.df.select("em").collect().count(_.isNullAt(0)) == 1)
+  }
+
   test("LatLong null convention: fully-null pair → null struct") {
     import spark.implicits._
     val df = Seq(
