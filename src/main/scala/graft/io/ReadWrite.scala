@@ -44,13 +44,22 @@ object ReadWrite {
                index: Option[String] = None,
                timeIndex: Option[String] = None,
                logicalTypes: Map[String, LogicalType] = Map.empty,
-               semanticTags: Map[String, Set[String]] = Map.empty): WoodworkFrame = {
+               semanticTags: Map[String, Set[String]] = Map.empty,
+               replaceNan: Boolean = false): WoodworkFrame = {
     val fmt = format.getOrElse(formatFor(path))
     val reader = spark.read
-    val df = fmt match {
+    val raw = fmt match {
       case "csv" => reader.option("header", "true").csv(path)
       case other => reader.format(other).load(path)
     }
+    // replace_nan (reference: utils.py:95-195): string null-sentinels become
+    // physical nulls at read time, one projection over the string columns
+    val df =
+      if (!replaceNan) raw
+      else raw.select(raw.schema.fields.map { f =>
+        LogicalType.replaceNans(org.apache.spark.sql.functions.col(f.name),
+          f.dataType).as(f.name)
+      }.toSeq: _*)
     WoodworkFrame.init(df, name = name, index = index, timeIndex = timeIndex,
       logicalTypes = logicalTypes, semanticTags = semanticTags)
   }

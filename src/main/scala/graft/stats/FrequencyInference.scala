@@ -222,8 +222,9 @@ object FrequencyInference {
   }
 
   /** Gap diagnosis for a near-regular series: missing timestamps vs the ideal
-    * `sequence(min, max, delta)` grid, duplicate timestamps, and extra
-    * (off-grid) values (reference: frequency_inference/_determine_*.py).
+    * `sequence(min, max, delta)` grid, duplicate timestamps, extra (off-grid)
+    * values, and null entries
+    * (reference: frequency_inference/_determine_{missing,duplicate,extra,nan}_values.py).
     * Fully distributed: grid generation is `sequence` + explode, comparisons
     * are anti-joins.
     */
@@ -242,6 +243,10 @@ object FrequencyInference {
       .select(col("ts"), lit("duplicate").as("kind"), (col("cnt") - 1).as("cnt"))
     val extra = actual.join(grid, actual("ts") === grid("expected_ts"), "left_anti")
       .select(col("ts"), lit("extra").as("kind"), lit(1L).as("cnt"))
-    missing.unionAll(dups).unionAll(extra).orderBy("ts", "kind")
+    val nans = df.where(c.isNull)
+      .agg(count(lit(1)).as("cnt")).where(col("cnt") > 0)
+      .select(lit(null).cast("timestamp").as("ts"), lit("nan").as("kind"),
+        col("cnt"))
+    missing.unionAll(dups).unionAll(extra).unionAll(nans).orderBy("ts", "kind")
   }
 }

@@ -90,6 +90,14 @@ class IoStreamingSpec extends SparkSpec {
     val f = ReadWrite.readFile(spark, s"$dir/t.csv", format = Some("csv"))
     assert(f.logicalTypes("n") == "Integer")
     assert(f.logicalTypes("flag") == "Boolean")
+    // replace_nan: string sentinels become physical nulls at read time
+    val dir2 = java.nio.file.Files.createTempDirectory("wwread2").toString
+    Seq(("1", "a"), ("N/A", "none")).toDF("n", "s")
+      .write.option("header", "true").csv(s"$dir2/t.csv")
+    val g = ReadWrite.readFile(spark, s"$dir2/t.csv", format = Some("csv"),
+      replaceNan = true)
+    assert(g.df.collect().flatMap(r => Seq(r.isNullAt(0), r.isNullAt(1)))
+      .count(identity) == 2)
   }
 
   test("registry introspection tables") {

@@ -187,6 +187,11 @@ class StatsSpec extends SparkSpec {
     val gaps = FrequencyInference.gapReport(df, "t", 86400L * 1000000L)
       .collect().filter(_.getString(1) == "missing")
     assert(gaps.length == 1)
+    // null entries report as one "nan" row with their count
+    val withNulls = (ts.map(Option(_)) :+ None :+ None).toDF("t")
+    val nanRows = FrequencyInference.gapReport(withNulls, "t", 86400L * 1000000L)
+      .collect().filter(_.getString(1) == "nan")
+    assert(nanRows.map(_.getLong(2)).toSeq == Seq(2L))
   }
 
   test("frequency inference recovers partition-boundary diffs (observed = n-1)") {
