@@ -83,6 +83,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: skew-guarded self-join equals the naive bucket self-join") {
+    // random bucket-size distributions, chunkSize forced tiny so the grid
+    // path actually engages for several buckets
+    val rowsGen = for {
+      nBuckets <- Gen.choose(1, 5)
+      sizes <- Gen.listOfN(nBuckets, Gen.choose(1, 40))
+    } yield sizes.zipWithIndex.flatMap { case (sz, b) =>
+      (0 until sz).map(i => (b * 1000L + i, s"b$b"))
+    }
+    forSamples(rowsGen, 5) { rows =>
+      val df = rows.toDF("id", "bucket")
+      val guarded = ops.SkewJoin
+        .selfPairs(df, Seq("bucket"), "id", chunkSize = 8, maxChunks = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val naive = df.as("a").join(df.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+        .select(col("a.id"), col("b.id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(guarded == naive)
+    }
+  }
+
   test("property: exact jaccard is symmetric and within [0,1]") {
     val tg = Gen.listOfN(15, Gen.oneOf("a b c", "d e f", "a b d", "x y z"))
       .map(_.mkString(" "))
