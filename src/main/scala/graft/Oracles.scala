@@ -381,6 +381,54 @@ object Oracles {
       |  CAST((doc_id * 3) % 64 + 16 AS INTEGER) AS height
       |FROM documents WHERE doc_id < 60 ORDER BY doc_id""".stripMargin
 
+  /** q48: identical fixture construction + the IDENTICAL unanchored PII
+    * patterns (single source of truth: TextAnalysis.piiPatterns) through
+    * DuckDB's RE2 — counts must agree engine-to-engine.
+    */
+  val q48: String = {
+    val counts = graft.ops.TextAnalysis.piiPatterns.map { case (nm, pat) =>
+      s"CAST(len(regexp_extract_all(txt, '$pat')) AS BIGINT) AS $nm"
+    }.mkString(",\n  ")
+    """WITH src AS (SELECT doc_id,
+      |  substr(text, 1, 40) || ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com' ||
+      |  CASE WHEN doc_id % 3 = 0 THEN ' from 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.7' ELSE '' END ||
+      |  CASE WHEN doc_id % 4 = 0 THEN ' visit https://example.com/p/' || CAST(doc_id AS VARCHAR) ELSE '' END ||
+      |  CASE WHEN doc_id % 5 = 0 THEN ' call 302-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS txt
+      |  FROM documents WHERE doc_id < 100)
+      |SELECT doc_id,
+      |  """.stripMargin + counts + "\nFROM src ORDER BY doc_id"
+  }
+
+  val q49: String =
+    """WITH src AS (SELECT doc_id,
+      |  substr(text, 1, 50) || chr(10) ||
+      |  CASE WHEN doc_id % 2 = 0 THEN 'subscribe to our newsletter'
+      |       ELSE 'unique line ' || CAST(doc_id AS VARCHAR) END || chr(10) ||
+      |  CASE WHEN doc_id % 5 = 0 THEN 'all rights reserved'
+      |       ELSE 'tail ' || CAST(doc_id AS VARCHAR) END AS txt
+      |  FROM documents WHERE doc_id < 100),
+      |l AS (SELECT doc_id, trim(unnest(string_split(txt, chr(10)))) AS line FROM src)
+      |SELECT line, count(DISTINCT doc_id) AS n_docs, count(*) AS n_lines
+      |FROM l WHERE line <> ''
+      |GROUP BY line HAVING count(DISTINCT doc_id) >= 10
+      |ORDER BY line""".stripMargin
+
+  val q50: String =
+    """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+      |           FROM documents WHERE doc_id < 100),
+      |g AS (SELECT doc_id, len(toks) AS nt,
+      |        CASE WHEN len(toks) >= 3
+      |          THEN list_transform(range(1, len(toks) - 1),
+      |                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |          ELSE [] END AS grams
+      |      FROM t)
+      |SELECT doc_id,
+      |  CASE WHEN nt >= 3
+      |       THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) /
+      |                        CAST(len(grams) AS DOUBLE), 4)
+      |       ELSE 0.0 END AS repetition
+      |FROM g ORDER BY doc_id""".stripMargin
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q01_pricing_summary" -> q01,
@@ -420,7 +468,10 @@ object Oracles {
       "q44_learned_datetime" -> q44,
       "q45_calendar_freq" -> q45,
       "q46_weekly_freq" -> q46,
-      "q47_image_meta" -> q47)
+      "q47_image_meta" -> q47,
+      "q48_pii_scan" -> q48,
+      "q49_boilerplate" -> q49,
+      "q50_repetition" -> q50)
     base ++ q09Literal.map("q09_infer_types" -> _)
   }
 }

@@ -572,6 +572,52 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** PII scan: per-document counts of planted emails/urls/ips/phones via the
+    * unanchored config regexes — the pre-training scrub signal. The oracle
+    * runs the IDENTICAL patterns through DuckDB's regex engine.
+    */
+  def q48PiiScan(s: SparkSession, dir: String): DataFrame = {
+    val k = col("doc_id")
+    val ks = k.cast(StringType)
+    val txt = concat(substring(col("text"), 1, 40),
+      lit(" reach user"), ks, lit("@example.com"),
+      when(k % 3 === 0, concat(lit(" from 10.0."), (k % 200).cast(StringType),
+        lit(".7"))).otherwise(lit("")),
+      when(k % 4 === 0, concat(lit(" visit https://example.com/p/"), ks))
+        .otherwise(lit("")),
+      when(k % 5 === 0, concat(lit(" call 302-555-"),
+        lpad((k % 10000).cast(StringType), 4, "0"))).otherwise(lit("")))
+    val docs = table(s, dir, "documents").where(k < 100)
+      .select(k, txt.as("txt"))
+    ops.TextAnalysis.piiCounts(docs, "doc_id", "txt").orderBy("doc_id")
+  }
+
+  /** Corpus boilerplate detection: lines planted across many documents
+    * surface from the line hash-groupBy with distinct-doc counts.
+    */
+  def q49Boilerplate(s: SparkSession, dir: String): DataFrame = {
+    val k = col("doc_id")
+    val ks = k.cast(StringType)
+    val txt = concat_ws("\n", substring(col("text"), 1, 50),
+      when(k % 2 === 0, lit("subscribe to our newsletter"))
+        .otherwise(concat(lit("unique line "), ks)),
+      when(k % 5 === 0, lit("all rights reserved"))
+        .otherwise(concat(lit("tail "), ks)))
+    val docs = table(s, dir, "documents").where(k < 100)
+      .select(k, txt.as("txt"))
+    ops.TextAnalysis.duplicateLines(docs, "doc_id", "txt", minDocs = 10)
+      .orderBy("line")
+  }
+
+  /** Per-document 3-gram repetition score over the raw corpus text (the
+    * small synthetic vocabulary repeats naturally).
+    */
+  def q50Repetition(s: SparkSession, dir: String): DataFrame =
+    ops.TextAnalysis.repetitionScore(
+        table(s, dir, "documents").where(col("doc_id") < 100), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -655,6 +701,9 @@ object Queries {
     "q44_learned_datetime" -> (q44LearnedDatetime _),
     "q45_calendar_freq" -> (q45CalendarFreq _),
     "q46_weekly_freq" -> (q46WeeklyFreq _),
-    "q47_image_meta" -> (q47ImageMeta _)
+    "q47_image_meta" -> (q47ImageMeta _),
+    "q48_pii_scan" -> (q48PiiScan _),
+    "q49_boilerplate" -> (q49Boilerplate _),
+    "q50_repetition" -> (q50Repetition _)
   )
 }

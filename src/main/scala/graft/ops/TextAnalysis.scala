@@ -154,6 +154,74 @@ object TextAnalysis {
     windowed.unionAll(shortGrams).unionAll(shortDocs).distinct()
   }
 
+  /** Unanchored (in-text scanning) variants of the config validation
+    * regexes, for PII detection over document text. The ipv4 scan is
+    * word-bounded so "10.0.0.123" counts once rather than splitting.
+    */
+  def piiPatterns: Seq[(String, String)] = {
+    val opts = graft.config.WwConfig.options
+    Seq(
+      "emails" -> opts.emailInferenceRegex.stripPrefix("^").stripSuffix("$"),
+      "urls" -> opts.urlInferenceRegex,
+      "ips" -> ("\\b(?:" +
+        opts.ipv4InferenceRegex.stripPrefix("^").stripSuffix("$") + ")\\b"),
+      "phones" -> opts.phoneInferenceRegex.stripSuffix("$"))
+  }
+
+  /** Per-document PII pattern hit counts (emails, urls, ips, phones) — the
+    * standard pre-training scrub signal. Pure regexp_count projection: no
+    * shuffle, fully codegen'd, linear scan at any scale.
+    */
+  def piiCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol) +: piiPatterns.map { case (nm, pat) =>
+      regexp_count(col(textCol), lit(pat)).cast(LongType).as(nm)
+    }: _*)
+
+  /** Corpus-level boilerplate line detection: lines (split on `sep`)
+    * appearing in at least `minDocs` DISTINCT documents. One hash-groupBy on
+    * the line — the canonical 100 TB boilerplate-removal shape (explode is
+    * linear, the shuffle key is the line hash, and the output is only the
+    * repeated tail).
+    */
+  def duplicateLines(df: DataFrame, idCol: String, textCol: String,
+                     minDocs: Int = 2, sep: String = "\n"): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as("line"))
+      .select(col("id"), trim(col("line")).as("line"))
+      .where(col("line") =!= "")
+      .groupBy(col("line"))
+      .agg(count_distinct(col("id")).as("n_docs"), count(lit(1)).as("n_lines"))
+      .where(col("n_docs") >= minDocs)
+
+  /** Per-document n-gram repetition score: 1 − distinct/total word n-grams
+    * (0 = no repetition) — the classic "repetitious junk" quality signal.
+    * Exploded windowed grams (duplicates KEPT, unlike the shingle table) so
+    * the tokenizer runs once per row and the count agg stays in codegen;
+    * documents with fewer than n tokens score 0.
+    */
+  def repetitionScore(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toksOf = tokens(col(textCol))
+    val base = df.where(size(toksOf) >= n)
+      .select(col(idCol).as("id"), posexplode(toksOf).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("id").orderBy("pos")
+    val grams = base
+      .withColumn("g",
+        concat_ws(" ", (0 until n).map(j => lead(col("tok"), j).over(w)): _*))
+      .withColumn("last", lead(col("tok"), n - 1).over(w))
+      .where(col("last").isNotNull)
+    val scored = grams.groupBy("id")
+      .agg(round(lit(1.0) -
+          count_distinct(col("g")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType), 4)
+        .as("repetition"))
+    val short = df.where(size(toksOf) < n)
+      .select(col(idCol).as("id"), lit(0.0).as("repetition"))
+    scored.unionAll(short)
+  }
+
   /** Per-document text statistics table. */
   def textStats(df: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)
