@@ -429,6 +429,24 @@ object Oracles {
       |       ELSE 0.0 END AS repetition
       |FROM g ORDER BY doc_id""".stripMargin
 
+  /** q51: same fixture as q48; the redaction chain (urls → emails → ips →
+    * phones, same order constant) replayed with DuckDB regexp_replace 'g'.
+    */
+  val q51: String = {
+    val pats = graft.ops.TextAnalysis.piiPatterns.toMap
+    val chain = graft.ops.TextAnalysis.PiiPlaceholders.foldLeft("txt") {
+      case (acc, (nm, ph)) => s"regexp_replace($acc, '${pats(nm)}', '$ph', 'g')"
+    }
+    """WITH src AS (SELECT doc_id,
+      |  substr(text, 1, 40) || ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com' ||
+      |  CASE WHEN doc_id % 3 = 0 THEN ' from 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.7' ELSE '' END ||
+      |  CASE WHEN doc_id % 4 = 0 THEN ' visit https://example.com/p/' || CAST(doc_id AS VARCHAR) ELSE '' END ||
+      |  CASE WHEN doc_id % 5 = 0 THEN ' call 302-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS txt
+      |  FROM documents WHERE doc_id < 100)
+      |SELECT doc_id, """.stripMargin + chain +
+      " AS redacted\nFROM src ORDER BY doc_id"
+  }
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q01_pricing_summary" -> q01,
@@ -471,7 +489,8 @@ object Oracles {
       "q47_image_meta" -> q47,
       "q48_pii_scan" -> q48,
       "q49_boilerplate" -> q49,
-      "q50_repetition" -> q50)
+      "q50_repetition" -> q50,
+      "q51_pii_redact" -> q51)
     base ++ q09Literal.map("q09_infer_types" -> _)
   }
 }

@@ -618,6 +618,25 @@ object Queries {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** PII redaction over the q48 fixture: the redacted strings themselves are
+    * compared against DuckDB running the identical replace chain.
+    */
+  def q51PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val k = col("doc_id")
+    val ks = k.cast(StringType)
+    val txt = concat(substring(col("text"), 1, 40),
+      lit(" reach user"), ks, lit("@example.com"),
+      when(k % 3 === 0, concat(lit(" from 10.0."), (k % 200).cast(StringType),
+        lit(".7"))).otherwise(lit("")),
+      when(k % 4 === 0, concat(lit(" visit https://example.com/p/"), ks))
+        .otherwise(lit("")),
+      when(k % 5 === 0, concat(lit(" call 302-555-"),
+        lpad((k % 10000).cast(StringType), 4, "0"))).otherwise(lit("")))
+    table(s, dir, "documents").where(k < 100)
+      .select(k, ops.TextAnalysis.redactPii(txt).as("redacted"))
+      .orderBy("doc_id")
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -704,6 +723,7 @@ object Queries {
     "q47_image_meta" -> (q47ImageMeta _),
     "q48_pii_scan" -> (q48PiiScan _),
     "q49_boilerplate" -> (q49Boilerplate _),
-    "q50_repetition" -> (q50Repetition _)
+    "q50_repetition" -> (q50Repetition _),
+    "q51_pii_redact" -> (q51PiiRedact _)
   )
 }

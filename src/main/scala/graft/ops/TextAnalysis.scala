@@ -177,6 +177,25 @@ object TextAnalysis {
       regexp_count(col(textCol), lit(pat)).cast(LongType).as(nm)
     }: _*)
 
+  /** Placeholder tokens for [[redactPii]], keyed like [[piiPatterns]].
+    * URLs redact FIRST (an email-shaped substring can live inside a URL);
+    * the chain order is part of the operator contract.
+    */
+  val PiiPlaceholders: Seq[(String, String)] = Seq(
+    "urls" -> "[URL]", "emails" -> "[EMAIL]", "ips" -> "[IP]",
+    "phones" -> "[PHONE]")
+
+  /** PII redaction: replace every pattern hit with its placeholder — the
+    * scrub step of a pre-training pipeline. Pure regexp_replace chain (one
+    * projection, streams as-is).
+    */
+  def redactPii(c: Column): Column = {
+    val pats = piiPatterns.toMap
+    PiiPlaceholders.foldLeft(c) { case (acc, (nm, ph)) =>
+      regexp_replace(acc, pats(nm), ph)
+    }
+  }
+
   /** Corpus-level boilerplate line detection: lines (split on `sep`)
     * appearing in at least `minDocs` DISTINCT documents. One hash-groupBy on
     * the line — the canonical 100 TB boilerplate-removal shape (explode is

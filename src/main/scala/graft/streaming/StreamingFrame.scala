@@ -69,6 +69,38 @@ object StreamingFrame {
       .withWatermark(tsCol, watermark)
       .dropDuplicates("fingerprint")
 
+  /** Streaming PII scrub: redact email/url/ip/phone hits in place and carry
+    * the hit counts — one stateless projection, streams at any rate.
+    */
+  def piiScrub(stream: DataFrame, textCol: String): DataFrame =
+    stream
+      .withColumns(TextAnalysis.piiPatterns.map { case (nm, pat) =>
+        s"pii_$nm" -> regexp_count(col(textCol), lit(pat)).cast(LongType)
+      }.toMap)
+      .withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
+
+  /** Streaming NEAR-duplicate suppression: the per-row native `ww_simhash`
+    * signature (no shuffle, no state to build it) keys a watermarked
+    * dropDuplicates — near-identical documents collapse to one signature and
+    * later arrivals within the horizon drop. Falls back to the exact md5
+    * fingerprint when the native expression isn't registered (documented
+    * degradation: exact-dup-only).
+    */
+  def streamingNearDedup(stream: DataFrame, textCol: String, tsCol: String,
+                         watermark: String = "1 hour"): DataFrame = {
+    val nativeSimhash =
+      try stream.sparkSession.catalog.functionExists("ww_simhash")
+      catch { case _: Throwable => false }
+    val sig =
+      if (nativeSimhash)
+        call_function("ww_simhash", TextAnalysis.tokens(col(textCol)))
+      else TextAnalysis.fingerprint(col(textCol))
+    stream
+      .withColumn("near_sig", sig.cast(StringType))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates("near_sig")
+  }
+
   /** Running per-key profile carried in CUSTOM state
     * (`mapGroupsWithState`): count/mean/min/max updated incrementally per
     * micro-batch — the stateful-operator shape for accumulating per-group

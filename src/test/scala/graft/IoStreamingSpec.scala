@@ -122,6 +122,33 @@ class IoStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming near-dedup collapses simhash-identical docs; piiScrub redacts") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val stream = mem.toDF().toDF("ts", "text")
+    val deduped = StreamingFrame.streamingNearDedup(stream, "text", "ts")
+    val q = deduped.writeStream.format("memory").queryName("neardedup")
+      .outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // same token multiset → identical simhash even with different spacing
+    mem.addData((t0, "alpha beta gamma delta"), (t0, "alpha  beta gamma  delta"),
+      (t0, "totally different words here"))
+    q.processAllAvailable()
+    assert(spark.sql("select * from neardedup").count() == 2)
+    q.stop()
+    val mem2 = MemoryStream[String]
+    val scrubbed = StreamingFrame.piiScrub(mem2.toDF().toDF("text"), "text")
+    val q2 = scrubbed.writeStream.format("memory").queryName("scrub")
+      .outputMode("append").start()
+    mem2.addData("mail a@b.co or visit https://x.io/1 from 10.0.0.7")
+    q2.processAllAvailable()
+    val row = spark.sql("select * from scrub").collect().head
+    assert(row.getAs[String]("text") == "mail [EMAIL] or visit [URL] from [IP]")
+    assert(row.getAs[Long]("pii_emails") == 1L &&
+      row.getAs[Long]("pii_urls") == 1L && row.getAs[Long]("pii_ips") == 1L)
+    q2.stop()
+  }
+
   test("stateful per-key profile accumulates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Double)]
