@@ -244,6 +244,15 @@ object Oracles {
   val q29: String = lshSql(numPlanes = 8, threshold = 0.3)
   val q39: String = lshSql(numPlanes = 4, threshold = 0.4)
 
+  /** q30: the non-stubbed multimodal surface — UTF-8 byte length and content
+    * md5 of the payload — is plain SQL on both engines.
+    */
+  val q30: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+      |  md5(text) AS payload_md5
+      |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin
+
   /** Winnowing with md5-string fingerprints: gram construction, window-min
     * (lexicographic = list_sort(...)[1]), and the short-doc/short-gram
     * fallbacks mirror the Spark windowed plan exactly.
@@ -447,6 +456,91 @@ object Oracles {
       " AS redacted\nFROM src ORDER BY doc_id"
   }
 
+  /** q52: the identical md5 split/sample arithmetic (single source of truth:
+    * Sampling.Sql) grouped per split.
+    */
+  val q52: String = {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val splitCase = graft.ops.Sampling.Sql.splitCase("doc_id", splits)
+    val h1 = graft.ops.Sampling.Sql.hash01("doc_id", "s1")
+    s"""WITH a AS (SELECT doc_id, $splitCase AS split, $h1 AS h1 FROM documents)
+       |SELECT split, count(*) AS n_total,
+       |  CAST(coalesce(sum(CASE WHEN h1 < 0.5 THEN 1 END), 0) AS BIGINT) AS n_sampled
+       |FROM a GROUP BY split ORDER BY split""".stripMargin
+  }
+
+  /** q53: word-5-gram overlap join between corpus and the sliced benchmark
+    * fixture, counting DISTINCT shared grams per (doc, bench) pair.
+    */
+  val q53: String = {
+    val n = 5
+    val gram = (0 until n).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+    s"""WITH cg AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - ${n - 2}), i -> $gram)) AS g
+       |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
+       |        FROM documents WHERE doc_id < 200)
+       |  WHERE len(toks) >= $n),
+       |bg AS (
+       |  SELECT DISTINCT bench_id, g FROM (
+       |    SELECT bench_id, unnest(list_transform(range(1, len(toks) - ${n - 2}), i -> $gram)) AS g
+       |    FROM (SELECT CAST(doc_id // 10 AS BIGINT) AS bench_id,
+       |                 regexp_extract_all(lower(substr(text, 30, 150)), '\\S+') AS toks
+       |          FROM documents WHERE doc_id < 100 AND doc_id % 10 = 0)
+       |    WHERE len(toks) >= $n))
+       |SELECT cg.doc_id, bg.bench_id, count(DISTINCT cg.g) AS overlap
+       |FROM cg JOIN bg USING (g)
+       |GROUP BY cg.doc_id, bg.bench_id
+       |HAVING count(DISTINCT cg.g) >= 3
+       |ORDER BY doc_id, bench_id""".stripMargin
+  }
+
+  /** q54: the identical start-position rule (emit while the previous chunk
+    * did not already reach the end) via list_filter, chunks via inclusive
+    * 1-based list slicing.
+    */
+  val q54: String = {
+    val cs = 32; val st = 24
+    s"""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
+       |           FROM documents WHERE doc_id < 50),
+       |s AS (SELECT doc_id, toks,
+       |        list_filter(range(0, len(toks), $st),
+       |          s -> s = 0 OR s - $st + $cs < len(toks)) AS starts
+       |      FROM t WHERE len(toks) > 0),
+       |e AS (SELECT doc_id, toks,
+       |        unnest(range(1, len(starts) + 1)) - 1 AS chunk_index,
+       |        unnest(starts) AS start
+       |      FROM s)
+       |SELECT doc_id, CAST(chunk_index AS INTEGER) AS chunk_index,
+       |  CAST(least($cs, len(toks) - start) AS BIGINT) AS n_tokens,
+       |  md5(array_to_string(toks[start + 1 : start + $cs], ' ')) AS chunk_md5
+       |FROM e ORDER BY doc_id, chunk_index""".stripMargin
+  }
+
+  /** q55: corpus bigram counts, deterministic top-20. */
+  val q55: String =
+    """WITH t AS (SELECT regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+      |g AS (SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS gram
+      |      FROM t WHERE len(toks) >= 2)
+      |SELECT gram, count(*) AS count FROM g
+      |GROUP BY gram ORDER BY count DESC, gram ASC LIMIT 20""".stripMargin
+
+  /** q56: identical URL fixture + the IDENTICAL url scan regex (single
+    * source of truth: WwConfig) and host capture through DuckDB RE2.
+    */
+  val q56: String = {
+    val urlPat = graft.config.WwConfig.options.urlInferenceRegex
+    s"""WITH src AS (SELECT doc_id,
+       |  substr(text, 1, 30) || ' see https://site' || CAST(doc_id % 7 AS VARCHAR) ||
+       |  '.example.org/page/' || CAST(doc_id AS VARCHAR) ||
+       |  CASE WHEN doc_id % 3 = 0 THEN ' and http://cdn.assets.net/x' ELSE '' END AS txt
+       |  FROM documents WHERE doc_id < 200),
+       |u AS (SELECT doc_id, lower(regexp_extract(unnest(regexp_extract_all(txt, '$urlPat')), '^https?://([^/]+)', 1)) AS domain
+       |      FROM src)
+       |SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
+       |FROM u WHERE domain <> ''
+       |GROUP BY domain ORDER BY domain""".stripMargin
+  }
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q01_pricing_summary" -> q01,
@@ -472,6 +566,7 @@ object Oracles {
       "q27_ann_cosine" -> q27,
       "q28_embedding_centroids" -> q28,
       "q29_lsh_ann" -> q29,
+      "q30_multimodal" -> q30,
       "q39_embedding_neardup" -> q39,
       "q40_winnowing" -> q40,
       "q31_top_values" -> q31,
@@ -490,7 +585,12 @@ object Oracles {
       "q48_pii_scan" -> q48,
       "q49_boilerplate" -> q49,
       "q50_repetition" -> q50,
-      "q51_pii_redact" -> q51)
+      "q51_pii_redact" -> q51,
+      "q52_hash_split" -> q52,
+      "q53_contamination" -> q53,
+      "q54_chunking" -> q54,
+      "q55_top_ngrams" -> q55,
+      "q56_domains" -> q56)
     base ++ q09Literal.map("q09_infer_types" -> _)
   }
 }

@@ -304,15 +304,18 @@ object Queries {
       .orderBy("query_id", "candidate_id")
   }
 
-  /** Multimodal plumbing: payload bytes + md5 + stub feature head
-    * (rows-only: exercises binary columns and partition-batched decode).
+  /** Multimodal plumbing: binary payload column + partition-batched stats and
+    * featurize. The oracled output is the real (non-stubbed) surface — byte
+    * length and content md5 — while the stub feature head is still exercised
+    * (every row must produce a FeatureDim-sized vector to survive the filter).
     */
   def q30Multimodal(s: SparkSession, dir: String): DataFrame = {
     val docs = table(s, dir, "documents").where(col("doc_id") < 20)
     val withP = ops.Multimodal.withPayload(docs, "text", "text", "text/plain")
     val featured = ops.Multimodal.featurize(ops.Multimodal.payloadStats(withP))
-    featured.select(col("doc_id"), col("payload_bytes"), col("payload_md5"),
-      round(element_at(col("features"), 1), 6).as("f0"))
+    featured
+      .where(size(col("features")) === ops.Multimodal.FeatureDim)
+      .select(col("doc_id"), col("payload_bytes"), col("payload_md5"))
       .orderBy("doc_id")
   }
 
@@ -637,6 +640,73 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Deterministic train/val/test hash split + within-train deterministic
+    * sampling: counts per split plus how many of each split a 50% sample
+    * keeps. Pure projections over md5 arithmetic — reproducible across runs,
+    * engines and partitionings (the oracle recomputes the identical hashes).
+    */
+  def q52HashSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val assigned = ops.Sampling.hashSplit(docs, "doc_id", splits)
+    val sampled = ops.Sampling.deterministicSample(assigned, "doc_id", 0.5,
+      salt = "s1")
+    assigned.groupBy(col("split")).agg(count(lit(1)).as("n_total"))
+      .join(sampled.groupBy(col("split")).agg(count(lit(1)).as("n_sampled")),
+        Seq("split"), "left")
+      .select(col("split"), col("n_total"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+      .orderBy("split")
+  }
+
+  /** Benchmark decontamination: a synthetic eval set (a text slice of every
+    * 10th document) is checked against the corpus for shared word 5-grams;
+    * source documents (and any coincidental vocabulary collisions) surface
+    * with their distinct-gram overlap counts.
+    */
+  def q53Contamination(s: SparkSession, dir: String): DataFrame = {
+    val corpus = table(s, dir, "documents").where(col("doc_id") < 200)
+    val bench = table(s, dir, "documents")
+      .where(col("doc_id") < 100 && col("doc_id") % 10 === 0)
+      .select((col("doc_id") / 10).cast(LongType).as("bench_id"),
+        substring(col("text"), 30, 150).as("bench_text"))
+    ops.Corpus.contamination(corpus, "doc_id", "text",
+        bench, "bench_id", "bench_text", n = 5, minOverlap = 3)
+      .withColumnRenamed("corpus_id", "doc_id")
+      .orderBy("doc_id", "bench_id")
+  }
+
+  /** Context-window chunking: 32-token chunks advancing by 24 (8-token
+    * overlap); chunk text rides as md5 so the compared output stays small.
+    */
+  def q54Chunking(s: SparkSession, dir: String): DataFrame =
+    ops.Corpus.chunkByTokens(
+        table(s, dir, "documents").where(col("doc_id") < 50),
+        "doc_id", "text", chunkSize = 32, stride = 24)
+      .select(col("id").as("doc_id"), col("chunk_index"), col("n_tokens"),
+        md5(col("chunk_text")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_index")
+
+  /** Corpus-wide top-20 word bigrams (ties broken by gram) — the corpus
+    * vocabulary profile, compiled to partial TakeOrderedAndProject.
+    */
+  def q55TopNgrams(s: SparkSession, dir: String): DataFrame =
+    ops.Corpus.topNgrams(table(s, dir, "documents"), "doc_id", "text",
+      n = 2, k = 20)
+
+  /** Per-domain URL profile over a URL-planted fixture: occurrence and
+    * distinct-document counts per lowercased host.
+    */
+  def q56Domains(s: SparkSession, dir: String): DataFrame = {
+    val k = col("doc_id")
+    val txt = concat(substring(col("text"), 1, 30),
+      lit(" see https://site"), (k % 7).cast(StringType),
+      lit(".example.org/page/"), k.cast(StringType),
+      when(k % 3 === 0, lit(" and http://cdn.assets.net/x")).otherwise(lit("")))
+    val docs = table(s, dir, "documents").where(k < 200).select(k, txt.as("txt"))
+    ops.Corpus.domainCounts(docs, "doc_id", "txt").orderBy("domain")
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -724,6 +794,11 @@ object Queries {
     "q48_pii_scan" -> (q48PiiScan _),
     "q49_boilerplate" -> (q49Boilerplate _),
     "q50_repetition" -> (q50Repetition _),
-    "q51_pii_redact" -> (q51PiiRedact _)
+    "q51_pii_redact" -> (q51PiiRedact _),
+    "q52_hash_split" -> (q52HashSplit _),
+    "q53_contamination" -> (q53Contamination _),
+    "q54_chunking" -> (q54Chunking _),
+    "q55_top_ngrams" -> (q55TopNgrams _),
+    "q56_domains" -> (q56Domains _)
   )
 }

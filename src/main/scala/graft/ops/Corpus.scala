@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-level operators for training-data pipelines: benchmark
+  * decontamination, context-window chunking, corpus n-gram statistics and
+  * URL/domain profiling.
+  *
+  * Shared shape decisions (the 100 TB reasoning):
+  *   - word n-grams come from posexplode + window `lead` partitioned by doc —
+  *     the tokenizer runs ONCE per row and gram assembly stays in codegen
+  *     (no higher-order-function re-inlining of the tokenizer per gram);
+  *   - nothing materializes an all-pairs or corpus-wide distinct; joins are
+  *     candidate-restricted and the small side is broadcast.
+  */
+object Corpus {
+
+  /** Exploded word n-gram table: (id, pos, gram). Duplicate grams kept —
+    * callers that need set semantics aggregate with count_distinct instead
+    * of paying a corpus-wide distinct shuffle.
+    */
+  private[ops] def gramTable(df: DataFrame, idCol: String, textCol: String,
+                             n: Int): DataFrame = {
+    val toksOf = TextAnalysis.tokens(col(textCol))
+    val base = df.where(size(toksOf) >= n)
+      .select(col(idCol).as("id"), posexplode(toksOf).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("id").orderBy("pos")
+    base
+      .withColumn("gram",
+        concat_ws(" ", (0 until n).map(j => lead(col("tok"), j).over(w)): _*))
+      .withColumn("last", lead(col("tok"), n - 1).over(w))
+      .where(col("last").isNotNull)
+      .select(col("id"), col("pos"), col("gram"))
+  }
+
+  /** Benchmark decontamination: which corpus documents share at least
+    * `minOverlap` DISTINCT word n-grams with which benchmark documents
+    * (the standard "did my eval set leak into training data" check; n = 13
+    * is the common choice at real scale).
+    *
+    * Plan shape: the benchmark gram set (small — eval sets are thousands of
+    * docs) is broadcast, so the corpus side streams map-side through the
+    * join with no corpus shuffle; only MATCHED gram hits reach the
+    * (corpus_id, bench_id) aggregation. Grams join on md5 so the key is a
+    * fixed 32 bytes regardless of n.
+    *
+    * Output: (corpus_id, bench_id, overlap) sorted by ids.
+    */
+  def contamination(corpus: DataFrame, idCol: String, textCol: String,
+                    bench: DataFrame, benchIdCol: String, benchTextCol: String,
+                    n: Int = 13, minOverlap: Int = 1): DataFrame = {
+    val cg = gramTable(corpus, idCol, textCol, n)
+      .select(col("id").as("corpus_id"), md5(col("gram")).as("g"))
+    val bg = gramTable(bench, benchIdCol, benchTextCol, n)
+      .select(col("id").as("bench_id"), md5(col("gram")).as("g"))
+      .distinct()
+    cg.join(broadcast(bg), "g")
+      .groupBy(col("corpus_id"), col("bench_id"))
+      .agg(count_distinct(col("g")).as("overlap"))
+      .where(col("overlap") >= minOverlap)
+  }
+
+  /** Context-window chunking: split each document into token chunks of
+    * `chunkSize` advancing by `stride` (stride < chunkSize ⇒ overlapping
+    * chunks). A start position is emitted only while the PREVIOUS chunk did
+    * not already reach the end of the document, so tail chunks are shorter
+    * but never fully contained in their predecessor (the Hugging Face
+    * `return_overflowing_tokens` convention). Empty documents emit nothing.
+    *
+    * Pure projection + explode: no shuffle at any scale.
+    *
+    * Output: (id, chunk_index, n_tokens, chunk_text).
+    */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+                    chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    val toksOf = TextAnalysis.tokens(col(textCol))
+    val starts = filter(
+      sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)), lit(stride)),
+      s => s === 0 || s - stride + chunkSize < size(col("toks")))
+    df.where(size(toksOf) > 0)
+      .select(col(idCol).as("id"), toksOf.as("toks"))
+      .select(col("id"), col("toks"), posexplode(starts).as(Seq("chunk_index", "start")))
+      .select(
+        col("id"), col("chunk_index"),
+        least(lit(chunkSize), size(col("toks")) - col("start"))
+          .cast(LongType).as("n_tokens"),
+        array_join(slice(col("toks"), col("start") + 1, lit(chunkSize)), " ")
+          .as("chunk_text"))
+  }
+
+  /** Corpus-wide top-k word n-grams by occurrence count (ties broken by
+    * gram ascending). groupBy + orderBy + limit compiles to partial
+    * TakeOrderedAndProject — only k rows per partition ever move.
+    */
+  def topNgrams(df: DataFrame, idCol: String, textCol: String,
+                n: Int, k: Int): DataFrame =
+    gramTable(df, idCol, textCol, n)
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("count"))
+      .orderBy(col("count").desc, col("gram").asc)
+      .limit(k)
+
+  /** Regex for pulling URLs out of running text (the config validation
+    * pattern, which is anchored-free already) and the host capture.
+    */
+  private def urlScanRegex: String = graft.config.WwConfig.options.urlInferenceRegex
+  val HostCapture = "^https?://([^/]+)"
+
+  /** Per-domain URL profile over a corpus: for each lowercased host,
+    * total URL occurrences and distinct documents containing it. The
+    * canonical source-mix / domain-blocklist signal. Explode is linear in
+    * URL count; the single shuffle key is the host.
+    *
+    * Output: (domain, n_urls, n_docs).
+    */
+  def domainCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(regexp_extract_all(col(textCol), lit(urlScanRegex), lit(0)))
+          .as("url"))
+      .select(col("id"),
+        lower(regexp_extract(col("url"), HostCapture, 1)).as("domain"))
+      .where(col("domain") =!= "")
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_urls"), count_distinct(col("id")).as("n_docs"))
+}

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Corpus, Sampling}
+
+/** Corpus ops (decontamination, chunking, n-gram stats, domains) and
+  * deterministic sampling/splitting.
+  */
+class CorpusSamplingSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("id", "text")
+  }
+
+  test("hashSplit: total partition, determinism, approximate proportions, salt re-deal") {
+    import spark.implicits._
+    val ids = (0L until 10000L).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = Sampling.hashSplit(ids, "id", splits)
+    val counts = a.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 10000L)
+    assert(math.abs(counts("train") - 8000L) < 400, s"train=${counts("train")}")
+    assert(math.abs(counts("val") - 1000L) < 200)
+    assert(math.abs(counts("test") - 1000L) < 200)
+    // determinism: identical assignment on re-run
+    val b = Sampling.hashSplit(ids, "id", splits)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // a different salt re-deals a nontrivial share
+    val c = Sampling.hashSplit(ids, "id", splits, salt = "other")
+      .withColumnRenamed("split", "split2")
+    val moved = a.join(c, "id")
+      .where(col("split") =!= col("split2")).count()
+    assert(moved > 1000, s"only $moved rows moved under a new salt")
+  }
+
+  test("deterministicSample: stable subset at the requested rate") {
+    import spark.implicits._
+    val ids = (0L until 10000L).toDF("id")
+    val s1 = Sampling.deterministicSample(ids, "id", 0.3)
+    val n = s1.count()
+    assert(math.abs(n - 3000L) < 300, s"n=$n")
+    assert(s1.exceptAll(Sampling.deterministicSample(ids, "id", 0.3)).isEmpty)
+    // monotone: a larger fraction keeps a superset
+    val s2 = Sampling.deterministicSample(ids, "id", 0.6)
+    assert(s1.exceptAll(s2).isEmpty)
+  }
+
+  test("stratifiedSample: per-stratum rates, zero default") {
+    import spark.implicits._
+    val df = (0L until 6000L).map(i => (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))
+      .toDF("id", "s")
+    val out = Sampling.stratifiedSample(df, "id", "s", Map("a" -> 1.0, "b" -> 0.25))
+    val counts = out.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("a") == 2000L)
+    assert(math.abs(counts.getOrElse("b", 0L) - 500L) < 150)
+    assert(!counts.contains("c"))
+  }
+
+  test("chunkByTokens: stride/overlap boundaries and tail suppression") {
+    val df = docs(
+      1L -> "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10", // 10 toks
+      2L -> "a b c d e",                      // 5 toks: starts 0, 3
+      3L -> "solo",                           // 1 tok
+      4L -> "")                               // empty: no chunks
+    val out = Corpus.chunkByTokens(df, "id", "text", chunkSize = 4, stride = 3)
+      .orderBy("id", "chunk_index")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    val doc1 = out.filter(_._1 == 1L)
+    // starts 0,3,6 kept; 9 dropped (previous chunk reached the end)
+    assert(doc1.map(_._4).toSeq == Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(doc1.map(_._3).toSeq == Seq(4L, 4L, 4L))
+    val doc2 = out.filter(_._1 == 2L)
+    assert(doc2.map(_._4).toSeq == Seq("a b c d", "d e"))
+    assert(doc2.map(_._3).toSeq == Seq(4L, 2L))
+    assert(out.filter(_._1 == 3L).map(_._4).toSeq == Seq("solo"))
+    assert(!out.exists(_._1 == 4L))
+  }
+
+  test("contamination: shared n-grams found, overlap counts distinct grams") {
+    val corpus = docs(
+      1L -> "alpha beta gamma delta epsilon zeta",   // contains bench 10's grams
+      2L -> "one two three four five six seven",
+      3L -> "alpha beta gamma delta other words here")
+    val bench = docs(
+      10L -> "alpha beta gamma delta epsilon",        // 3-grams: abc,bcd,cde
+      11L -> "totally disjoint benchmark content")
+    val out = Corpus.contamination(corpus, "id", "text", bench, "id", "text",
+        n = 3, minOverlap = 1)
+      .orderBy("corpus_id", "bench_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1 shares all 3 distinct 3-grams of bench 10; doc 3 shares 2
+    assert(out.toSeq == Seq((1L, 10L, 3L), (3L, 10L, 2L)))
+  }
+
+  test("topNgrams: counts and deterministic tie-break") {
+    val df = docs(1L -> "x y x y z", 2L -> "x y q")
+    // bigrams: doc1: "x y","y x","x y","y z"; doc2: "x y","y q"
+    val out = Corpus.topNgrams(df, "id", "text", n = 2, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("x y", 3L), ("y q", 1L), ("y x", 1L)))
+  }
+
+  test("domainCounts: host extraction, lowercasing, distinct docs") {
+    val df = docs(
+      1L -> "see https://A.Example.com/x and https://a.example.com/y",
+      2L -> "ref http://b.org/z plus https://a.example.com/w",
+      3L -> "no urls at all")
+    val out = Corpus.domainCounts(df, "id", "text")
+      .orderBy("domain")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("a.example.com", 3L, 2L), ("b.org", 1L, 1L)))
+  }
+}
