@@ -26,7 +26,8 @@ object ReadWrite {
   val SchemaVersion: String = SchemaMetadata.SchemaVersion
 
   private val extToFormat = Map(
-    "csv" -> "csv", "parquet" -> "parquet", "orc" -> "orc", "json" -> "json")
+    "csv" -> "csv", "parquet" -> "parquet", "orc" -> "orc", "json" -> "json",
+    "feather" -> "feather", "arrow" -> "feather")
 
   /** reference: utils.py:150-163 content-type guessing */
   def formatFor(path: String): String = {
@@ -50,6 +51,7 @@ object ReadWrite {
     val reader = spark.read
     val raw = fmt match {
       case "csv" => reader.option("header", "true").csv(path)
+      case "feather" | "arrow" => ArrowIo.read(spark, path)
       case other => reader.format(other).load(path)
     }
     // replace_nan (reference: utils.py:95-195): string null-sentinels become
@@ -70,10 +72,11 @@ object ReadWrite {
     */
   def toDisk(frame: WoodworkFrame, path: String, format: String = "parquet",
              mode: String = "overwrite"): Unit = {
-    val writer = frame.df.write.mode(mode)
     format match {
-      case "csv" => writer.option("header", "true").csv(s"$path/data")
-      case other => writer.format(other).save(s"$path/data")
+      case "csv" =>
+        frame.df.write.mode(mode).option("header", "true").csv(s"$path/data")
+      case "feather" | "arrow" => ArrowIo.write(frame.df, s"$path/data")
+      case other => frame.df.write.mode(mode).format(other).save(s"$path/data")
     }
     Files.createDirectories(Paths.get(path))
     Files.write(Paths.get(s"$path/woodwork_typing_info.json"),
@@ -88,6 +91,7 @@ object ReadWrite {
                format: String = "parquet"): WoodworkFrame = {
     val df = format match {
       case "csv" => spark.read.option("header", "true").csv(s"$path/data")
+      case "feather" | "arrow" => ArrowIo.read(spark, s"$path/data")
       case other => spark.read.format(other).load(s"$path/data")
     }
     val json = new String(
