@@ -541,6 +541,30 @@ object Oracles {
        |GROUP BY domain ORDER BY domain""".stripMargin
   }
 
+  /** q57: the identical lag/cumsum sessionization over epoch-micros (DuckDB
+    * reads the nanos timestamps and epoch_us truncates exactly like the
+    * Spark-side nanosAsLong read).
+    */
+  val q57: String = {
+    val gapUs = 86400L * 1000000L
+    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us
+       |           FROM events WHERE user_id < 100),
+       |m AS (SELECT user_id, event_id, us,
+       |        CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > $gapUs
+       |             THEN 1 ELSE 0 END AS is_new
+       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |s AS (SELECT user_id, us,
+       |        sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |          ROWS UNBOUNDED PRECEDING) - 1 AS session_index
+       |      FROM m)
+       |SELECT user_id, CAST(session_index AS BIGINT) AS session_index,
+       |  count(*) AS n_events,
+       |  min(us) AS start_us, max(us) AS end_us,
+       |  max(us) - min(us) AS duration_us
+       |FROM s GROUP BY user_id, session_index
+       |ORDER BY user_id, session_index""".stripMargin
+  }
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q01_pricing_summary" -> q01,
@@ -590,7 +614,8 @@ object Oracles {
       "q53_contamination" -> q53,
       "q54_chunking" -> q54,
       "q55_top_ngrams" -> q55,
-      "q56_domains" -> q56)
+      "q56_domains" -> q56,
+      "q57_sessionize" -> q57)
     base ++ q09Literal.map("q09_infer_types" -> _)
   }
 }

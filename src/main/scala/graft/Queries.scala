@@ -22,8 +22,10 @@ object Queries {
     // does natively), keeping both engines aligned.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$dir/$name.parquet")
+    // integer DIV, not floor(x / 1000): double division loses precision at
+    // nanosecond epoch magnitudes (2^53 < 1.7e18) and drifts ±1 µs
     if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(floor(col("ts") / 1000).cast(LongType)))
+      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     else df
   }
 
@@ -707,6 +709,17 @@ object Queries {
     ops.Corpus.domainCounts(docs, "doc_id", "txt").orderBy("domain")
   }
 
+  /** Gap-based sessionization of the events stream: per-session event count
+    * and exact epoch-micros bounds (1-day gap — the synthetic events are
+    * daily-spaced; real clickstreams use ~30 min with the same operator).
+    */
+  def q57Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events").where(col("user_id") < 100)
+    ops.Sessionize.sessionStats(ev, "user_id", "ts", gapSeconds = 86400L,
+        orderCols = Seq("event_id"))
+      .orderBy("user_id", "session_index")
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -799,6 +812,7 @@ object Queries {
     "q53_contamination" -> (q53Contamination _),
     "q54_chunking" -> (q54Chunking _),
     "q55_top_ngrams" -> (q55TopNgrams _),
-    "q56_domains" -> (q56Domains _)
+    "q56_domains" -> (q56Domains _),
+    "q57_sessionize" -> (q57Sessionize _)
   )
 }
