@@ -565,6 +565,11 @@ object Oracles {
        |ORDER BY user_id, session_index""".stripMargin
   }
 
+  /** q58: positional slice = ORDER BY index LIMIT/OFFSET. */
+  val q58: String =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |ORDER BY c_custkey LIMIT 5 OFFSET 10""".stripMargin
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q01_pricing_summary" -> q01,
@@ -615,7 +620,8 @@ object Oracles {
       "q54_chunking" -> q54,
       "q55_top_ngrams" -> q55,
       "q56_domains" -> q56,
-      "q57_sessionize" -> q57)
+      "q57_sessionize" -> q57,
+      "q58_iloc" -> q58)
     base ++ q09Literal.map("q09_infer_types" -> _)
   }
 }

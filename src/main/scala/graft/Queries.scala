@@ -720,6 +720,13 @@ object Queries {
       .orderBy("user_id", "session_index")
   }
 
+  /** Positional iloc slice over the index-ordered customer frame. */
+  def q58Iloc(s: SparkSession, dir: String): DataFrame = {
+    val f = WoodworkFrame.init(table(s, dir, "customer"), index = Some("c_custkey"))
+    f.iloc(10, 15).df.select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -813,6 +820,7 @@ object Queries {
     "q54_chunking" -> (q54Chunking _),
     "q55_top_ngrams" -> (q55TopNgrams _),
     "q56_domains" -> (q56Domains _),
-    "q57_sessionize" -> (q57Sessionize _)
+    "q57_sessionize" -> (q57Sessionize _),
+    "q58_iloc" -> (q58Iloc _)
   )
 }

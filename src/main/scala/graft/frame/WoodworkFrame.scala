@@ -229,14 +229,45 @@ final case class WoodworkFrame(df: DataFrame, schema: WwTableSchema,
   }
 
   /** Label row-lookup on the index column — the Spark analog of `df.ww.loc`
-    * (reference: indexers.py:9-49; positional `iloc` has no distributed
-    * analog and is intentionally not provided).
+    * (reference: indexers.py:9-49).
     */
   def loc(indexValue: Any): WoodworkFrame = {
     val idx = index.getOrElse(
       throw new IllegalArgumentException("loc requires an index column"))
     WoodworkFrame(df.where(col(idx) === lit(indexValue)), schema)
   }
+
+  /** Positional row slice `[from, until)` over the frame's canonical order —
+    * the Spark analog of `df.ww.iloc` (reference: indexers.py:52-96).
+    * Position is defined by (time_index, index) — or the index alone — since
+    * a distributed frame has no stable input order; with neither, the frame
+    * must have been declared `already_sorted` (trusting partition order).
+    *
+    * Scale shape: one range-partitioned sort shuffle plus zipWithIndex's
+    * per-partition count pass — positions come from partition offsets, never
+    * a single-task global window. Filtering happens before any collection;
+    * the slice stays distributed.
+    */
+  def iloc(from: Long, until: Long): WoodworkFrame = {
+    require(from >= 0 && until >= from, s"invalid slice [$from, $until)")
+    val ordered = (timeIndex, index) match {
+      case (Some(t), Some(i)) => df.orderBy(col(t), col(i))
+      case (Some(t), None) => df.orderBy(col(t))
+      case (None, Some(i)) => df.orderBy(col(i))
+      case _ if alreadySorted => df
+      case _ => throw new IllegalArgumentException(
+        "iloc requires an index, a time index, or init(alreadySorted = true): " +
+          "a distributed frame has no stable row order to take positions from")
+    }
+    val sch = ordered.schema
+    val rows = ordered.rdd.zipWithIndex()
+      .filter { case (_, i) => i >= from && i < until }
+      .map(_._1)
+    WoodworkFrame(df.sparkSession.createDataFrame(rows, sch), schema)
+  }
+
+  /** Single-row positional lookup (reference: indexers.py:52-96). */
+  def iloc(position: Long): WoodworkFrame = iloc(position, position + 1)
 
   /** Schema-checked row-wise union (free in Spark, absent in the reference —
     * exposed with typing preserved).

@@ -184,6 +184,27 @@ class FrameSpec extends SparkSpec {
     assert(graft.config.WwConfig.options.categoricalThreshold == 0.2)
   }
 
+  test("iloc positional slice over the canonical (index) order") {
+    val df = Seq((30L, "c"), (10L, "a"), (20L, "b"), (40L, "d"))
+      .toDF("id", "v").repartition(3)
+    val f = WoodworkFrame.init(df, index = Some("id"))
+    // positions follow index order, not partition/input order
+    assert(f.iloc(0).df.select("v").head.getString(0) == "a")
+    assert(f.iloc(1, 3).df.orderBy("id").select("v")
+      .collect().map(_.getString(0)).toSeq == Seq("b", "c"))
+    assert(f.iloc(2, 100).df.count() == 2)   // until clamps past the end
+    assert(f.iloc(4, 9).df.count() == 0)
+    assert(f.iloc(1, 3).schema == f.schema)  // typing preserved
+    intercept[IllegalArgumentException](f.iloc(-1, 2))
+    // no ordering available and not declared sorted -> refuse
+    val bare = WoodworkFrame.init(Seq(1, 2).toDF("x"))
+    intercept[IllegalArgumentException](bare.iloc(0))
+    // declared pre-sorted: partition order is trusted
+    val sorted = WoodworkFrame.init(Seq(5, 6, 7).toDF("x").coalesce(1),
+      alreadySorted = true)
+    assert(sorted.iloc(1).df.head.getLong(0) == 6L)
+  }
+
   test("initColumn infers/coerces one column; schema validity check") {
     val df = Seq("1", "2", "3").toDF("n")
     val (out, cs) = WoodworkFrame.initColumn(df, "n")
