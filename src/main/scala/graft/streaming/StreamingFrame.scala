@@ -46,6 +46,23 @@ object StreamingFrame {
         col("count"), col("mean"), col("min"), col("max"),
         col("approx_nunique"))
 
+  /** Streaming gap-based sessionization: per-session event counts and bounds
+    * via Spark's native session_window (dynamic gap-merged windows with
+    * watermark eviction) — the streaming twin of [[graft.ops.Sessionize]],
+    * whose batch lag/cumsum formulation produces the same sessions.
+    */
+  def streamingSessionize(stream: DataFrame, keyCol: String, tsCol: String,
+                          gap: String = "30 minutes",
+                          watermark: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   /** Streaming text-quality filter: score documents as they arrive and keep
     * those above the threshold — the streaming front door of a training-data
     * ingest pipeline.

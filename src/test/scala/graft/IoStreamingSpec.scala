@@ -149,6 +149,34 @@ class IoStreamingSpec extends SparkSpec {
     q2.stop()
   }
 
+  test("streaming sessionize merges gap-joined events; watermark closes sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val stream = mem.toDF().toDF("ts", "user_id")
+    val sessions = StreamingFrame.streamingSessionize(stream, "user_id", "ts",
+      gap = "10 minutes", watermark = "1 minute")
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 7: two events 5 min apart (one session), one 30 min later (second)
+    mem.addData(
+      (ts("2024-01-01 00:00:00"), 7L), (ts("2024-01-01 00:05:00"), 7L),
+      (ts("2024-01-01 00:35:00"), 7L),
+      (ts("2024-01-01 00:00:00"), 8L))
+    q.processAllAvailable()
+    // advance the watermark far enough to emit all closed sessions
+    mem.addData((ts("2024-01-01 02:00:00"), 9L))
+    q.processAllAvailable()
+    val rows = spark.sql("select * from sessions where user_id in (7, 8)")
+      .orderBy("user_id", "session_start").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      (7L, "2024-01-01 00:00:00.0", 2L),
+      (7L, "2024-01-01 00:35:00.0", 1L),
+      (8L, "2024-01-01 00:00:00.0", 1L)))
+    q.stop()
+  }
+
   test("stateful per-key profile accumulates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Double)]
