@@ -570,6 +570,39 @@ object Oracles {
     """SELECT c_custkey, c_name, c_acctbal FROM customer
       |ORDER BY c_custkey LIMIT 5 OFFSET 10""".stripMargin
 
+  /** q59: identical per-shard exclusive-cumsum pack assignment and stats. */
+  val q59: String =
+    """WITH d AS (SELECT doc_id, source,
+      |    CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |p AS (SELECT doc_id, source, n_tok,
+      |    source || ':' || CAST(
+      |      (sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |         ROWS UNBOUNDED PRECEDING) - n_tok) // 512 AS VARCHAR) AS pack_id
+      |  FROM d)
+      |SELECT pack_id, count(*) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |  round(CAST(sum(n_tok) AS DOUBLE) / 512.0, 4) AS fill
+      |FROM p GROUP BY pack_id ORDER BY pack_id""".stripMargin
+
+  /** q60: per-dim bounds over all vectors, then the identical encode/decode
+    * double arithmetic per vector (zipped unnest + subscript join).
+    */
+  val q60: String =
+    """WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+      |    generate_subscripts(embedding, 1) AS d
+      |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64),
+      |b AS (SELECT d, min(v) AS mn, max(v) AS mx FROM e GROUP BY d),
+      |q AS (SELECT e.vec_id, e.v,
+      |    CASE WHEN b.mx = b.mn THEN b.mn
+      |         ELSE (least(255, greatest(0, floor((e.v - b.mn) / (b.mx - b.mn) * 255))) + 0.5)
+      |              / 255.0 * (b.mx - b.mn) + b.mn END AS approx
+      |  FROM e JOIN b USING (d) WHERE e.vec_id < 50)
+      |SELECT vec_id,
+      |  round(sum(abs(v - approx)) / 64, 6) AS mean_err,
+      |  round(max(abs(v - approx)), 6) AS max_err
+      |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q01_pricing_summary" -> q01,
@@ -621,7 +654,9 @@ object Oracles {
       "q55_top_ngrams" -> q55,
       "q56_domains" -> q56,
       "q57_sessionize" -> q57,
-      "q58_iloc" -> q58)
+      "q58_iloc" -> q58,
+      "q59_packing" -> q59,
+      "q60_quantize" -> q60)
     base ++ q09Literal.map("q09_infer_types" -> _)
   }
 }

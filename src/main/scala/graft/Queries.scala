@@ -727,6 +727,31 @@ object Queries {
       .orderBy("c_custkey")
   }
 
+  /** Sequence packing under a 512-token budget, sharded by source: pack
+    * membership from the per-shard exclusive cumsum, then per-pack stats.
+    */
+  def q59Packing(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        ops.TextAnalysis.tokenCount(col("text")).as("n_tok"))
+    val packed = ops.Packing.packByCumsum(docs, "doc_id", "n_tok",
+      budget = 512L, shardCol = Some("source"))
+    ops.Packing.packStats(packed, "n_tok", budget = 512L)
+      .orderBy("pack_id")
+  }
+
+  /** SQ8 embedding quantization: per-dim bounds from one agg, then encode →
+    * decode → per-vector reconstruction error (the compression quality
+    * check). The oracle replays the identical IEEE-double arithmetic.
+    */
+  def q60Quantize(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val bounds = ops.Quantize.sq8Bounds(emb, "embedding", dim = 64)
+    ops.Quantize.sq8Error(emb.where(col("vec_id") < 50), "embedding", bounds)
+      .select(col("vec_id"), col("mean_err"), col("max_err"))
+      .orderBy("vec_id")
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -821,6 +846,8 @@ object Queries {
     "q55_top_ngrams" -> (q55TopNgrams _),
     "q56_domains" -> (q56Domains _),
     "q57_sessionize" -> (q57Sessionize _),
-    "q58_iloc" -> (q58Iloc _)
+    "q58_iloc" -> (q58Iloc _),
+    "q59_packing" -> (q59Packing _),
+    "q60_quantize" -> (q60Quantize _)
   )
 }
