@@ -101,6 +101,27 @@ class ArrowIoSpec extends SparkSpec {
       f.df.orderBy("id").collect().toSeq)
   }
 
+  test("demo loadRetail: reference schema, typing contract, nrows scaling") {
+    val f = graft.io.Demo.loadRetail(spark, nrows = 300L).toOption.get
+    assert(f.df.count() == 300L)
+    assert(f.columnNames == Seq("order_product_id", "order_id", "product_id",
+      "description", "quantity", "order_date", "unit_price", "customer_name",
+      "country", "total", "cancelled"))
+    assert(f.logicalTypes("description") == "NaturalLanguage")
+    assert(f.logicalTypes("cancelled") == "Boolean")
+    assert(f.index.contains("order_product_id"))
+    assert(f.timeIndex.contains("order_date"))
+    // cancelled rows carry negative totals
+    import org.apache.spark.sql.functions.col
+    assert(f.df.where(col("cancelled") && col("total") >= 0).count() == 0)
+    // deterministic: two loads agree
+    val again = graft.io.Demo.loadRetail(spark, nrows = 300L).toOption.get
+    assert(f.df.exceptAll(again.df).isEmpty)
+    // uninitialized variant returns the bare DataFrame
+    assert(graft.io.Demo.loadRetail(spark, nrows = 10L, initWoodwork = false)
+      .left.toOption.get.columns.length == 11)
+  }
+
   test("nested types are rejected with a clear message") {
     import spark.implicits._
     val df = Seq((1L, Seq(1.0, 2.0))).toDF("id", "vec")
