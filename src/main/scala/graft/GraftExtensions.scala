@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{MinhashSig, SimhashSig, VectorDot}
+import graft.expressions.{MinhashSig, NgramHashes, SimhashSig, VectorDot}
 
 /** Engine extension entry point: register native expressions with a session
   * via `spark.sql.extensions=graft.GraftExtensions` (or
@@ -25,5 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("ww_simhash"),
       new ExpressionInfo(classOf[SimhashSig].getName, "ww_simhash"),
       (children: Seq[Expression]) => SimhashSig(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("ww_ngrams"),
+      new ExpressionInfo(classOf[NgramHashes].getName, "ww_ngrams"),
+      (children: Seq[Expression]) => NgramHashes(children.head, children(1))))
   }
 }

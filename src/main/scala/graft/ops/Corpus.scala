@@ -22,8 +22,8 @@ object Corpus {
     * callers that need set semantics aggregate with count_distinct instead
     * of paying a corpus-wide distinct shuffle.
     */
-  private[ops] def gramTable(df: DataFrame, idCol: String, textCol: String,
-                             n: Int): DataFrame = {
+  private[graft] def gramTable(df: DataFrame, idCol: String, textCol: String,
+                               n: Int): DataFrame = {
     val toksOf = TextAnalysis.tokens(col(textCol))
     val base = df.where(size(toksOf) >= n)
       .select(col(idCol).as("id"), posexplode(toksOf).as(Seq("pos", "tok")))
@@ -52,8 +52,19 @@ object Corpus {
   def contamination(corpus: DataFrame, idCol: String, textCol: String,
                     bench: DataFrame, benchIdCol: String, benchTextCol: String,
                     n: Int = 13, minOverlap: Int = 1): DataFrame = {
-    val cg = gramTable(corpus, idCol, textCol, n)
-      .select(col("id").as("corpus_id"), md5(col("gram")).as("g"))
+    // corpus side: the native per-row ww_ngrams expression removes the
+    // exploded-token window exchange entirely — the corpus streams through
+    // the broadcast join with ZERO pre-join shuffle; fallback keeps the
+    // window gram table when the extension is not registered
+    val native = corpus.sparkSession.sessionState.catalog.functionExists(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("ww_ngrams"))
+    val cg =
+      if (native)
+        corpus.select(col(idCol).as("corpus_id"),
+          explode(call_function("ww_ngrams",
+            TextAnalysis.tokens(col(textCol)), lit(n))).as("g"))
+      else gramTable(corpus, idCol, textCol, n)
+        .select(col("id").as("corpus_id"), md5(col("gram")).as("g"))
     val bg = gramTable(bench, benchIdCol, benchTextCol, n)
       .select(col("id").as("bench_id"), md5(col("gram")).as("g"))
       .distinct()
@@ -104,6 +115,45 @@ object Corpus {
       .agg(count(lit(1)).as("count"))
       .orderBy(col("count").desc, col("gram").asc)
       .limit(k)
+
+  /** The benchmark side of [[contamination]] as a standalone gram-hash set,
+    * collected driver-side — build once from the (small) eval corpus, reuse
+    * against any number of corpus scans or an ingest stream (see
+    * `StreamingFrame.decontaminate`). Bounded by the EVAL set's size, not
+    * the corpus: a 100k-doc benchmark is a few million 32-byte hashes.
+    */
+  def benchmarkGramSet(bench: DataFrame, idCol: String, textCol: String,
+                       n: Int = 13): Set[String] =
+    gramTable(bench, idCol, textCol, n)
+      .select(md5(col("gram")).as("g"))
+      .distinct()
+      .collect().map(_.getString(0)).toSet
+
+  /** Per-row contaminated-gram count against a pre-built benchmark gram
+    * set. A single scalar pipeline — the native `ww_ngrams` expression
+    * tokenizes once per row, and membership is an InSet hash probe — so it
+    * runs on streams (no window, no join) and adds zero shuffle to batch
+    * plans. Falls back to HOF gram assembly when the extension is not
+    * registered (same values; re-runs the tokenizer per gram, so register
+    * `graft.GraftExtensions` on hot paths).
+    */
+  def contaminationHits(spark: org.apache.spark.sql.SparkSession,
+                        textCol: String, n: Int,
+                        gramSet: Set[String]): org.apache.spark.sql.Column = {
+    val grams =
+      if (spark.sessionState.catalog.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier("ww_ngrams")))
+        call_function("ww_ngrams", TextAnalysis.tokens(col(textCol)), lit(n))
+      else {
+        val toks = TextAnalysis.tokens(col(textCol))
+        array_distinct(when(size(toks) >= n,
+          transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+            md5(concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))))
+          .otherwise(array().cast(ArrayType(StringType))))
+      }
+    if (gramSet.isEmpty) lit(0)
+    else coalesce(size(filter(grams, g => g.isInCollection(gramSet))), lit(0))
+  }
 
   /** Regex for pulling URLs out of running text (the config validation
     * pattern, which is anchored-free already) and the host capture.

@@ -63,6 +63,22 @@ object StreamingFrame {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** Streaming benchmark decontamination: drop documents sharing any word
+    * n-gram with the (pre-collected) eval gram set at the ingest door —
+    * before contaminated text ever lands in the corpus. Build the set once
+    * with `Corpus.benchmarkGramSet`; the check is a single per-row scalar
+    * expression (native `ww_ngrams` + InSet probe), so it streams with no
+    * join, no window and no state.
+    */
+  def decontaminate(stream: DataFrame, textCol: String,
+                    benchGramSet: Set[String], n: Int = 13): DataFrame =
+    stream
+      .withColumn("contaminated_grams",
+        graft.ops.Corpus.contaminationHits(stream.sparkSession, textCol, n,
+          benchGramSet))
+      .where(col("contaminated_grams") === 0)
+      .drop("contaminated_grams")
+
   /** Streaming text-quality filter: score documents as they arrive and keep
     * those above the threshold — the streaming front door of a training-data
     * ingest pipeline.

@@ -96,6 +96,47 @@ class CorpusSamplingSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 10L, 3L), (3L, 10L, 2L)))
   }
 
+  test("ww_ngrams native expression matches the batch gram table's md5 set") {
+    val df = docs(
+      1L -> "one two three four five six",
+      2L -> "short doc",          // < n tokens -> no grams
+      3L -> "a b a b a b")        // duplicate grams -> distinct set
+    val n = 3
+    val native = df.select(col("id"),
+        call_function("ww_ngrams", graft.ops.TextAnalysis.tokens(col("text")),
+          lit(n)).as("g"))
+      .select(col("id"), explode(col("g")).as("g"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = graft.ops.Corpus.gramTable(df.toDF("id", "text"), "id", "text", n)
+      .select(col("id"), md5(col("gram")).as("g"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(native == batch)
+    assert(!native.exists(_._1 == 2L))
+  }
+
+  test("streaming decontaminate drops gram-sharing docs at ingest") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val bench = docs(100L -> "alpha beta gamma delta epsilon")
+    val gramSet = graft.ops.Corpus.benchmarkGramSet(bench, "id", "text", n = 3)
+    assert(gramSet.size == 3)
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("id", "text")
+    val clean = graft.streaming.StreamingFrame.decontaminate(
+      stream, "text", gramSet, n = 3)
+    val q = clean.writeStream.format("memory").queryName("decontam")
+      .outputMode("append").start()
+    mem.addData(
+      (1L, "contains alpha beta gamma inside itself"),
+      (2L, "totally unrelated clean document text here"))
+    q.processAllAvailable()
+    val kept = spark.sql("select id from decontam").collect().map(_.getLong(0))
+    assert(kept.toSeq == Seq(2L))
+    q.stop()
+  }
+
   test("topNgrams: counts and deterministic tie-break") {
     val df = docs(1L -> "x y x y z", 2L -> "x y q")
     // bigrams: doc1: "x y","y x","x y","y z"; doc2: "x y","y q"
