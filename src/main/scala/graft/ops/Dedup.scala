@@ -140,10 +140,6 @@ object Dedup {
     * Jaccard ≥ threshold. bands×rowsPerBand must equal the signature width;
     * more bands → higher recall at lower thresholds. With 32 bands of 2 the
     * miss probability at j=0.6 is (1-0.36)^32 ≈ 6e-7.
-    *
-    * EAGER: like [[ngramJaccardPairs]], the verified pair set is materialized
-    * at call time (localCheckpoint) so the internal shingle cache is freed
-    * deterministically; blocks release when the result frame is GC'd.
     */
   private def nativeMinhashAvailable: Boolean =
     try {
@@ -151,13 +147,16 @@ object Dedup {
         .functionExists("ww_minhash")
     } catch { case _: Throwable => false }
 
+  private def nativeNgramsAvailable: Boolean =
+    try {
+      org.apache.spark.sql.SparkSession.active.catalog
+        .functionExists("ww_ngrams")
+    } catch { case _: Throwable => false }
+
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, numHashes: Int = 64, bands: Int = 32,
                       threshold: Double = 0.6): DataFrame = {
     val rowsPer = numHashes / bands
-    // ONE shingle table feeds the exact verification (and the signature
-    // fallback below)
-    val sh = shingleTable(df, idCol, textCol, n).cache()
     // signatures: per-row native expression when registered — NO shuffle at
     // all for the signature stage (the aggregation fallback shuffles every
     // (doc, shingle) pair of the corpus); both paths produce bit-identical
@@ -169,7 +168,8 @@ object Dedup {
             lit(n), lit(numHashes)).as("sig"))
           .where(col("sig").isNotNull)
       else {
-        val wide = minhashSignaturesFromTable(sh, numHashes)
+        val wide = minhashSignaturesFromTable(
+          shingleTable(df, idCol, textCol, n), numHashes)
         wide.select(col("id"),
           array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
       }
@@ -185,22 +185,34 @@ object Dedup {
     val cand = SkewJoin.selfPairs(buckets, Seq("band", "sig"), "id")
       .select(col("x_id").as("id_1"), col("y_id").as("id_2"))
       .distinct()
-    // exact verification on the candidate set only: count common shingles
-    // via shingle-equality joins restricted to candidate pairs
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = cand
-      .join(sh.as("a"), col("id_1") === col("a.id"))
-      .join(sh.as("b"), col("id_2") === col("b.id") && col("a.sh") === col("b.sh"))
-      .groupBy("id_1", "id_2").agg(count(lit(1)).as("inter"))
-    val j = col("inter").cast(DoubleType) /
-      ((col("sz1") + col("sz2")).cast(DoubleType) - col("inter").cast(DoubleType))
-    val out = inter
-      .join(sizes.select(col("id").as("id_1"), col("sz").as("sz1")), "id_1")
-      .join(sizes.select(col("id").as("id_2"), col("sz").as("sz2")), "id_2")
+    // exact verification stays candidate-local: the (small) pair set joins
+    // back to the two docs' shingle-hash SETS and Jaccard is pure array
+    // arithmetic per matched row — the corpus shingle table is never
+    // materialized or shuffled, and the result is an ordinary LAZY frame
+    // (nothing cached, nothing to free). Gram sets come from the native
+    // tokenize-once ww_ngrams (md5 sets intersect identically to raw
+    // shingles); short docs keep the whole-text-shingle convention.
+    def gramSet(t: Column): Column = {
+      val toks = TextAnalysis.tokens(t)
+      val grams =
+        if (nativeNgramsAvailable)
+          call_function("ww_ngrams", toks, lit(n))
+        else transform(shinglesFromTokens(toks, n), g => md5(g))
+      when(size(toks) >= n, grams)
+        .otherwise(array(md5(array_join(toks, " "))))
+    }
+    val texts = df.select(col(idCol).as("id"), col(textCol).as("t"))
+    val withSets = cand
+      .join(texts.select(col("id").as("id_1"), col("t").as("t1")), "id_1")
+      .join(texts.select(col("id").as("id_2"), col("t").as("t2")), "id_2")
+      .select(col("id_1"), col("id_2"),
+        gramSet(col("t1")).as("g1"), gramSet(col("t2")).as("g2"))
+    val inter = size(array_intersect(col("g1"), col("g2"))).cast(DoubleType)
+    val j = inter /
+      ((size(col("g1")) + size(col("g2"))).cast(DoubleType) - inter)
+    withSets
       .select(col("id_1"), col("id_2"), round(j, 4).as("jaccard"))
       .where(col("jaccard") >= threshold)
-    // materialize verified pairs (small), then free the cached shingle table
-    try out.localCheckpoint(eager = true) finally sh.unpersist()
   }
 
   /** SimHash bit width: 60 bits = 15 hex chars of md5, the widest slice that
