@@ -603,6 +603,19 @@ object Oracles {
       |  round(max(abs(v - approx)), 6) AS max_err
       |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  /** q61: identical lag-diff micros arithmetic per user. */
+  val q61: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us
+      |           FROM events WHERE user_id < 50),
+      |d AS (SELECT user_id,
+      |        us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS delta_us
+      |      FROM e)
+      |SELECT user_id, count(*) AS n_deltas,
+      |  CAST(sum(delta_us) AS BIGINT) AS sum_us,
+      |  CAST(max(delta_us) AS BIGINT) AS max_us
+      |FROM d WHERE delta_us IS NOT NULL
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q01_pricing_summary" -> q01,
@@ -656,7 +669,8 @@ object Oracles {
       "q57_sessionize" -> q57,
       "q58_iloc" -> q58,
       "q59_packing" -> q59,
-      "q60_quantize" -> q60)
+      "q60_quantize" -> q60,
+      "q61_timedelta" -> q61)
     base ++ q09Literal.map("q09_infer_types" -> _)
   }
 }

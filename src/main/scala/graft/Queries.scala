@@ -752,6 +752,37 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  /** Timedelta logical type end-to-end: per-user event inter-arrival as a
+    * DayTimeInterval column through typed init, aggregated integer-exact in
+    * epoch micros.
+    */
+  def q61Timedelta(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = table(s, dir, "events").where(col("user_id") < 50)
+    val us = unix_micros(col("ts"))
+    val prev = lag(us, 1).over(
+      Window.partitionBy("user_id").orderBy(us.asc, col("event_id").asc))
+    val withDelta = ev
+      .withColumn("delta_us", us - prev)
+      .withColumn("delta",
+        make_dt_interval(lit(0), lit(0), lit(0),
+          (us - prev).cast(DoubleType) / 1000000.0))
+      .where(col("delta").isNotNull)
+      .select(col("user_id"), col("delta"), col("delta_us"))
+    val f = WoodworkFrame.init(withDelta,
+      logicalTypes = Map("delta" -> LogicalType.Timedelta))
+    require(f.schema("delta").logicalType.name == "Timedelta",
+      s"expected Timedelta, got ${f.schema("delta").logicalType.name}")
+    // the interval column carries the Timedelta typing; the compared
+    // aggregates use the exact micros twin (interval→long casts truncate
+    // to seconds)
+    f.df.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_deltas"),
+        sum(col("delta_us")).as("sum_us"),
+        max(col("delta_us")).as("max_us"))
+      .orderBy("user_id")
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -848,6 +879,7 @@ object Queries {
     "q57_sessionize" -> (q57Sessionize _),
     "q58_iloc" -> (q58Iloc _),
     "q59_packing" -> (q59Packing _),
-    "q60_quantize" -> (q60Quantize _)
+    "q60_quantize" -> (q60Quantize _),
+    "q61_timedelta" -> (q61Timedelta _)
   )
 }
