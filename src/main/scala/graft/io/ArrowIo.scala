@@ -155,38 +155,45 @@ object ArrowIo {
     val written = df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       if (rows.isEmpty) Iterator.empty
       else {
-        val alloc = new RootAllocator()
-        val root = VectorSchemaRoot.create(arrowSchemaFor(sparkSchema), alloc)
-        val part = new HPath(dir, f"part-$pid%05d.arrow")
-        val fs = part.getFileSystem(new Configuration())
-        val out = fs.create(part, true)
-        val writer = new ArrowFileWriter(root, null, Channels.newChannel(out))
-        try {
-          writer.start()
-          val nCols = sparkSchema.length
-          while (rows.hasNext) {
-            root.allocateNew()
-            var n = 0
-            while (n < BatchRows && rows.hasNext) {
-              val row = rows.next()
-              var c = 0
-              while (c < nCols) {
-                setCell(root.getVector(c), n, row.get(c))
-                c += 1
-              }
-              n += 1
-            }
-            root.setRowCount(n)
-            writer.writeBatch()
-          }
-          writer.end()
-        } finally {
-          writer.close(); out.close(); root.close(); alloc.close()
-        }
-        Iterator.single(part.toString)
+        writePart(dir, pid, sparkSchema, rows)
+        Iterator.single(1)
       }
     }.count()
-    require(written >= 0) // force the action's result
+    // an entirely-empty frame still round-trips: write one zero-batch part
+    // so read() can recover the schema from the footer
+    if (written == 0) writePart(dir, 0, sparkSchema, Iterator.empty)
+  }
+
+  private def writePart(dir: String, pid: Int, sparkSchema: StructType,
+                        rows: Iterator[Row]): Unit = {
+    val alloc = new RootAllocator()
+    val root = VectorSchemaRoot.create(arrowSchemaFor(sparkSchema), alloc)
+    val part = new HPath(dir, f"part-$pid%05d.arrow")
+    val fs = part.getFileSystem(new Configuration())
+    val out = fs.create(part, true)
+    val writer = new ArrowFileWriter(root, null, Channels.newChannel(out))
+    try {
+      writer.start()
+      val nCols = sparkSchema.length
+      while (rows.hasNext) {
+        root.allocateNew()
+        var n = 0
+        while (n < BatchRows && rows.hasNext) {
+          val row = rows.next()
+          var c = 0
+          while (c < nCols) {
+            setCell(root.getVector(c), n, row.get(c))
+            c += 1
+          }
+          n += 1
+        }
+        root.setRowCount(n)
+        writer.writeBatch()
+      }
+      writer.end()
+    } finally {
+      writer.close(); out.close(); root.close(); alloc.close()
+    }
   }
 
   // ------------------------------------------------------------------- read

@@ -122,6 +122,16 @@ class ArrowIoSpec extends SparkSpec {
       .left.toOption.get.columns.length == 11)
   }
 
+  test("empty frame round-trips schema through a zero-batch part file") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("arrowempty").toString
+    val df = Seq((1L, "x")).toDF("id", "s").where(col("id") < 0)
+    ArrowIo.write(df, dir)
+    val back = ArrowIo.read(spark, dir)
+    assert(back.schema == df.schema)
+    assert(back.count() == 0)
+  }
+
   test("nested types are rejected with a clear message") {
     import spark.implicits._
     val df = Seq((1L, Seq(1.0, 2.0))).toDF("id", "vec")

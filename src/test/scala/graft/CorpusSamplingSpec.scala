@@ -80,6 +80,30 @@ class CorpusSamplingSpec extends SparkSpec {
     assert(!out.exists(_._1 == 4L))
   }
 
+  test("chunking property: concatenating stride-aligned chunk prefixes rebuilds every doc") {
+    // with stride s, dropping the trailing (chunkSize - s) overlap tokens of
+    // every chunk except the last reconstructs the exact token stream
+    val rnd = new scala.util.Random(7)
+    val data = (1L to 40L).map { i =>
+      i -> Seq.fill(rnd.nextInt(30))("t" + rnd.nextInt(99)).mkString(" ")
+    }
+    val df = docs(data: _*)
+    val (cs, st) = (8, 5)
+    val chunks = Corpus.chunkByTokens(df, "id", "text", cs, st)
+      .orderBy("id", "chunk_index")
+      .collect().map(r => (r.getLong(0), r.getString(3)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    data.foreach { case (id, text) =>
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      if (toks.isEmpty) assert(!chunks.contains(id))
+      else {
+        val cks = chunks(id).map(_.split(" ").toSeq)
+        val rebuilt = cks.init.map(_.take(st)).flatten ++ cks.last
+        assert(rebuilt == toks, s"doc $id: $rebuilt != $toks")
+      }
+    }
+  }
+
   test("contamination: shared n-grams found, overlap counts distinct grams") {
     val corpus = docs(
       1L -> "alpha beta gamma delta epsilon zeta",   // contains bench 10's grams
