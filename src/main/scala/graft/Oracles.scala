@@ -616,6 +616,25 @@ object Oracles {
       |FROM d WHERE delta_us IS NOT NULL
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q62: the identical explicit sum/sum_sq formulas over the whole table
+    * (profile-merge associativity makes batch-split == direct).
+    */
+  val q62: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val rows = cols.map { c =>
+      s"""SELECT '$c' AS column_name,
+         |  count(*) AS count,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
+         |  round(sum(CAST($c AS DOUBLE)) / count($c), 4) AS mean,
+         |  round(sqrt(greatest((sum(CAST($c AS DOUBLE) * CAST($c AS DOUBLE)) -
+         |    sum(CAST($c AS DOUBLE)) * sum(CAST($c AS DOUBLE)) / count($c)) / (count($c) - 1), 0.0)), 4) AS std,
+         |  round(min(CAST($c AS DOUBLE)), 4) AS min,
+         |  round(max(CAST($c AS DOUBLE)), 4) AS max
+         |FROM lineitem""".stripMargin
+    }
+    rows.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q01_pricing_summary" -> q01,
@@ -670,7 +689,8 @@ object Oracles {
       "q58_iloc" -> q58,
       "q59_packing" -> q59,
       "q60_quantize" -> q60,
-      "q61_timedelta" -> q61)
+      "q61_timedelta" -> q61,
+      "q62_incremental_profile" -> q62)
     base ++ q09Literal.map("q09_infer_types" -> _)
   }
 }

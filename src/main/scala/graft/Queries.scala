@@ -783,6 +783,21 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** Incremental profile: lineitem split into two disjoint batches by
+    * orderkey parity, profiled independently, merged, finalized — the
+    * per-day-batch pattern. The oracle computes the same explicit-formula
+    * stats over the whole table directly (merge must equal whole).
+    */
+  def q62IncrementalProfile(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val a = stats.IncrementalProfile.profile(li.where(col("l_orderkey") % 2 === 0), cols)
+    val b = stats.IncrementalProfile.profile(li.where(col("l_orderkey") % 2 === 1), cols)
+    stats.IncrementalProfile.finalize(stats.IncrementalProfile.merge(Seq(a, b)))
+      .drop("nunique_approx") // sketch estimate is not ANSI-expressible
+      .orderBy("column_name")
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -880,6 +895,7 @@ object Queries {
     "q58_iloc" -> (q58Iloc _),
     "q59_packing" -> (q59Packing _),
     "q60_quantize" -> (q60Quantize _),
-    "q61_timedelta" -> (q61Timedelta _)
+    "q61_timedelta" -> (q61Timedelta _),
+    "q62_incremental_profile" -> (q62IncrementalProfile _)
   )
 }

@@ -1,0 +1,87 @@
+package graft.stats
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Mergeable column profiles — the incremental flavor of describe for data
+  * that arrives in batches (per day, per partition, per ingest shard).
+  *
+  * At 100 TB you do not re-profile the corpus when a day lands: each batch
+  * reduces to a tiny sufficient-statistics table (one row per column), and
+  * profiles MERGE by summing/min-maxing those statistics — including
+  * distinct counts, which ride as HyperLogLog sketches (Spark's
+  * hll_sketch_agg / hll_union_agg, the Apache DataSketches HLL), unioned
+  * without rescanning anything. finalize() turns any merged profile into
+  * describe-style output; every derived stat (mean, sample std) is computed
+  * from the merged sums with explicit arithmetic, so profile(A ∪ B) ==
+  * merge(profile(A), profile(B)) exactly.
+  */
+object IncrementalProfile {
+
+  /** One row per column: (column_name, count, null_count, sum, sum_sq,
+    * min, max, hll) over the given numeric columns. One wide aggregation —
+    * a single scan, partial-aggregated map-side.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one column required")
+    val perCol = cols.map { c0 =>
+      val c = col(c0).cast(DoubleType)
+      struct(
+        lit(c0).as("column_name"),
+        count(lit(1)).as("count"),
+        count(when(col(c0).isNull, 1)).as("null_count"),
+        sum(c).as("sum"),
+        sum(c * c).as("sum_sq"),
+        min(c).as("min"),
+        max(c).as("max"),
+        // the sketch accepts int/long/string/binary only — doubles sketch
+        // their canonical string rendering (distinct-preserving)
+        hll_sketch_agg(col(c0).cast(StringType)).as("hll"))
+    }
+    df.agg(perCol.head.as("s0"),
+        perCol.tail.zipWithIndex.map { case (e, i) => e.as(s"s${i + 1}") }: _*)
+      .select(explode(array(cols.indices.map(i => col(s"s$i")): _*)).as("s"))
+      .select(col("s.*"))
+  }
+
+  /** Merge any number of profiles (from disjoint row sets of the same
+    * table): counts and moments add, bounds min/max, sketches union. The
+    * shuffle is one groupBy over (columns × batches) rows — nothing
+    * rescans the data.
+    */
+  def merge(profiles: Seq[DataFrame]): DataFrame = {
+    require(profiles.nonEmpty, "at least one profile required")
+    profiles.reduce(_ unionByName _)
+      .groupBy(col("column_name"))
+      .agg(
+        sum(col("count")).as("count"),
+        sum(col("null_count")).as("null_count"),
+        sum(col("sum")).as("sum"),
+        sum(col("sum_sq")).as("sum_sq"),
+        min(col("min")).as("min"),
+        max(col("max")).as("max"),
+        hll_union_agg(col("hll")).as("hll"))
+  }
+
+  /** Describe-style output from a (merged) profile: count, nulls, mean,
+    * sample std, min, max, approximate nunique. Derived stats use explicit
+    * formulas over the carried sums (numerically: fine for profile-scale
+    * reporting; describe() remains the exact path).
+    */
+  def finalize(profile: DataFrame, roundTo: Int = 4): DataFrame = {
+    val n = col("count") - col("null_count")
+    val mean = col("sum") / n
+    val variance = (col("sum_sq") - col("sum") * col("sum") / n) /
+      (n - lit(1))
+    profile.select(
+      col("column_name"),
+      col("count"),
+      col("null_count"),
+      round(mean, roundTo).as("mean"),
+      round(when(n > 1, sqrt(greatest(variance, lit(0.0)))), roundTo).as("std"),
+      round(col("min"), roundTo).as("min"),
+      round(col("max"), roundTo).as("max"),
+      hll_sketch_estimate(col("hll")).as("nunique_approx"))
+  }
+}

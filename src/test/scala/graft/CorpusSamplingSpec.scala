@@ -169,6 +169,28 @@ class CorpusSamplingSpec extends SparkSpec {
     assert(out.toSeq == Seq(("x y", 3L), ("y q", 1L), ("y x", 1L)))
   }
 
+  test("incremental profile: merge of disjoint batches equals whole-table profile") {
+    import spark.implicits._
+    import graft.stats.IncrementalProfile
+    val df = (1L to 500L).map(i =>
+      (i, if (i % 7 == 0) None else Some(i.toDouble % 13), (i % 50).toDouble))
+      .toDF("id", "a", "b")
+    val whole = IncrementalProfile.finalize(
+      IncrementalProfile.profile(df, Seq("a", "b")))
+    val merged = IncrementalProfile.finalize(IncrementalProfile.merge(Seq(
+      IncrementalProfile.profile(df.where(col("id") <= 200), Seq("a", "b")),
+      IncrementalProfile.profile(df.where(col("id") > 200 && col("id") <= 400), Seq("a", "b")),
+      IncrementalProfile.profile(df.where(col("id") > 400), Seq("a", "b")))))
+    val w = whole.orderBy("column_name").collect().map(_.toSeq)
+    val m = merged.orderBy("column_name").collect().map(_.toSeq)
+    assert(w.toSeq == m.toSeq) // including the HLL nunique estimate
+    // sanity: the stats themselves
+    val aRow = whole.where(col("column_name") === "a").head
+    assert(aRow.getAs[Long]("count") == 500L)
+    assert(aRow.getAs[Long]("null_count") == 71L)
+    assert(aRow.getAs[Long]("nunique_approx") == 13L)
+  }
+
   test("domainCounts: host extraction, lowercasing, distinct docs") {
     val df = docs(
       1L -> "see https://A.Example.com/x and https://a.example.com/y",
