@@ -112,8 +112,8 @@ object Queries {
       .orderBy("column_1", "column_2")
   }
 
-  /** Adjusted mutual information on orders categoricals (no SQL oracle — AMI
-    * correction is not ANSI-expressible; rows-only check).
+  /** Adjusted mutual information on orders categoricals (AMI correction is
+    * not ANSI-expressible; oracle = pinned expected values, Oracles.q07Pinned).
     */
   def q07MutualInfoOrders(s: SparkSession, dir: String): DataFrame = {
     val f = typedTable(s, dir, "orders")
@@ -215,7 +215,9 @@ object Queries {
       .toDF("column_name", "alias", "dominant_share", "n_observed")
   }
 
-  /** Medcouple-based outlier dispatch (sampled; rows-only check). */
+  /** Medcouple-based outlier dispatch (seeded sample; oracle = pinned
+    * expected values, Oracles.q16Pinned).
+    */
   def q16MedcoupleOutliers(s: SparkSession, dir: String): DataFrame = {
     val li = table(s, dir, "lineitem")
     val b = Outliers.bestOutliers(li, "l_extendedprice")
@@ -336,7 +338,9 @@ object Queries {
     stats.Describe.numericValueCountsInRange(table(s, dir, "customer"),
       "c_nationkey", bins = 30)
 
-  /** Signed max dependence across measures (rows-only: includes AMI). */
+  /** Signed max dependence across measures (includes AMI; oracle = pinned
+    * expected values, Oracles.q34Pinned).
+    */
   def q34DependenceMax(s: SparkSession, dir: String): DataFrame = {
     val f = typedTable(s, dir, "orders")
       .apply(Seq("o_orderstatus", "o_orderpriority", "o_totalprice", "o_orderdate"))
@@ -349,8 +353,9 @@ object Queries {
       .orderBy("column_1", "column_2")
   }
 
-  /** IVF ANN: coarse k-means quantizer + nprobe cluster probing (rows-only:
-    * the quantizer is not ANSI-expressible; determinism comes from seeds).
+  /** IVF ANN: coarse k-means quantizer + nprobe cluster probing (the
+    * quantizer is not ANSI-expressible; determinism comes from seeds —
+    * oracle = pinned expected values, Oracles.q36Pinned).
     */
   def q36IvfAnn(s: SparkSession, dir: String): DataFrame = {
     val emb = table(s, dir, "embeddings")

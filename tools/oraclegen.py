@@ -1,0 +1,33 @@
+import duckdb, math, sys
+# Pinned-literal oracle generator: rebuilds the VALUES lists in Oracles.scala
+# from a verified graft.Verify dump (default /tmp/verify_out). Rerun after any
+# behavior change to the four pinned queries, paste output into Oracles.scala.
+out = sys.argv[1] if len(sys.argv) > 1 else '/tmp/verify_out'
+SPECS = {
+  'q07_mutual_info_orders': (['column_1','column_2','mutual_info'], ['s','s','d'], 'ORDER BY column_1, column_2'),
+  'q16_medcouple_outliers': (['column_name','method','low','high','num_low','num_high'], ['s','s','d','d','i','i'], ''),
+  'q34_dependence_max': (['column_1','column_2','mutual_info','pearson','spearman','max'], ['s','s','d','d','d','d'], 'ORDER BY column_1, column_2'),
+  'q36_ivf_ann': (['query_id','candidate_id','cosine'], ['i','i','d'], 'ORDER BY query_id, candidate_id'),
+}
+def lit(v, t):
+    if t == 's': return "'" + str(v).replace("'","''") + "'"
+    if t == 'i': return f"CAST({int(v)} AS BIGINT)"
+    if v is None or (isinstance(v, float) and math.isnan(v)): return 'CAST(NULL AS DOUBLE)'
+    return f"CAST({repr(float(v))} AS DOUBLE)"
+for q, (cols, types, order) in SPECS.items():
+    df = duckdb.sql(f"SELECT * FROM '{out}/{q}/*.parquet'").df()
+    # NULL vs NaN: parquet NULL arrives as NaN in pandas; re-read masks
+    mask = duckdb.sql("SELECT " + ", ".join(f'"{c}" IS NULL AS "{c}"' for c in cols) + f" FROM '{out}/{q}/*.parquet'").df()
+    rows = []
+    for i in range(len(df)):
+        vals = [ 'CAST(NULL AS DOUBLE)' if (types[j]=='d' and mask[cols[j]][i]) else lit(df[cols[j]][i], types[j]) for j in range(len(cols)) ]
+        rows.append("      |(" + ",".join(vals) + ")")
+    sep = ",\n"
+    body = sep.join(rows)
+    alias = f"AS t({', '.join(cols)})" + ((" " + order) if order else "")
+    name = q.split('_')[0]
+    print(f'  val {name}Pinned: String =')
+    print(f'    """SELECT * FROM (VALUES')
+    print(body)
+    print(f'      |) {alias}""".stripMargin')
+    print()
