@@ -243,27 +243,57 @@ final case class WoodworkFrame(df: DataFrame, schema: WwTableSchema,
     * a distributed frame has no stable input order; with neither, the frame
     * must have been declared `already_sorted` (trusting partition order).
     *
-    * Scale shape: one range-partitioned sort shuffle plus zipWithIndex's
-    * per-partition count pass — positions come from partition offsets, never
-    * a single-task global window. Filtering happens before any collection;
-    * the slice stays distributed.
+    * Scale shape: a pure DataFrame plan — one range-partition shuffle with a
+    * per-partition sort, then positions as partition offset (P driver
+    * scalars from a count pass) + within-partition ordinal
+    * (monotonically_increasing_id's low bits), never a single-task global
+    * window and never an RDD round-trip (the old zipWithIndex path
+    * deserialized every row and dropped codegen downstream). The
+    * range-partitioned frame is cached so the count pass and the slice see
+    * identical partition boundaries (RangePartitioner sampling is not
+    * stable across separate jobs), and the returned slice is EAGER
+    * (localCheckpoint) so the cache can be freed at once — same contract as
+    * `Dedup.ngramJaccardPairs`.
     */
   def iloc(from: Long, until: Long): WoodworkFrame = {
     require(from >= 0 && until >= from, s"invalid slice [$from, $until)")
-    val ordered = (timeIndex, index) match {
-      case (Some(t), Some(i)) => df.orderBy(col(t), col(i))
-      case (Some(t), None) => df.orderBy(col(t))
-      case (None, Some(i)) => df.orderBy(col(i))
-      case _ if alreadySorted => df
+    val orderCols: Seq[Column] = (timeIndex, index) match {
+      case (Some(t), Some(i)) => Seq(col(t), col(i))
+      case (Some(t), None) => Seq(col(t))
+      case (None, Some(i)) => Seq(col(i))
+      case _ if alreadySorted => Seq.empty
       case _ => throw new IllegalArgumentException(
         "iloc requires an index, a time index, or init(alreadySorted = true): " +
           "a distributed frame has no stable row order to take positions from")
     }
-    val sch = ordered.schema
-    val rows = ordered.rdd.zipWithIndex()
-      .filter { case (_, i) => i >= from && i < until }
-      .map(_._1)
-    WoodworkFrame(df.sparkSession.createDataFrame(rows, sch), schema)
+    val parts = math.max(spark.sparkContext.defaultParallelism, 4)
+    val arranged =
+      if (orderCols.isEmpty) df // already_sorted: trust partition order as-is
+      else df.repartitionByRange(parts, orderCols: _*)
+        .sortWithinPartitions(orderCols: _*)
+    // monotonically_increasing_id = (partitionId << 33) + rowOrdinal; the
+    // ordinal follows the within-partition sort because the projection sits
+    // above the Sort node, so (pid, mid - (pid << 33)) is (partition, local
+    // position) without any window exchange
+    val tagged = arranged
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__mid", monotonically_increasing_id())
+      .cache()
+    try {
+      val partCounts = tagged.groupBy("__pid").agg(count(lit(1)).as("__c"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val sortedPids = partCounts.keys.toSeq.sorted
+      val prefix = sortedPids.scanLeft(0L)((acc, p) => acc + partCounts(p))
+      val offsetOf = sortedPids.zip(prefix).toMap
+      val offExpr = sortedPids.foldLeft(lit(0L)) { (acc, p) =>
+        when(col("__pid") === p, lit(offsetOf(p))).otherwise(acc)
+      }
+      val pos = offExpr +
+        (col("__mid") - shiftleft(col("__pid").cast(LongType), 33))
+      val slice = tagged.where(pos >= from && pos < until)
+        .drop("__pid", "__mid")
+      WoodworkFrame(slice.localCheckpoint(eager = true), schema)
+    } finally tagged.unpersist()
   }
 
   /** Single-row positional lookup (reference: indexers.py:52-96). */
