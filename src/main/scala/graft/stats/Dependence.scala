@@ -189,9 +189,20 @@ object Dependence {
       "Not enough valid columns to measure dependence")
 
     // numeric working view: bool→int, datetime→epoch, ordinal→rank
-    // row sampling (reference: _get_dependence_dict.py:163-165 nrows) —
-    // Bernoulli fraction, not limit(): limit() collapses to one partition
+    // row sampling (reference: _get_dependence_dict.py:163-165 nrows) — a
+    // ONE-SCAN bounded sample: per-partition top-n by a seeded random key
+    // (TakeOrderedAndProject holds an n-entry heap per task, never the
+    // partition), then a cheap n-row round-robin shuffle restores
+    // parallelism for the agg passes. The old path paid a full count()
+    // scan just to size a Bernoulli fraction before scanning again — at
+    // 100 TB that doubles the cost of a "cheap sampled" call. Above the
+    // heap bound the fraction path remains (two scans, but bounded memory).
     val df0 = nrows match {
+      case Some(n) if n <= 100000 =>
+        val parts = math.max(frame.df.sparkSession.sparkContext
+          .defaultParallelism / 4, 2)
+        frame.df.withColumn("__r", rand(0)).orderBy(col("__r")).limit(n.toInt)
+          .drop("__r").repartition(parts)
       case Some(n) =>
         val total = frame.df.count()
         if (total <= n) frame.df
@@ -239,22 +250,46 @@ object Dependence {
         Seq(count(col(n)).as(s"cnt__$n"), dc.as(s"nun__$n"))
       }
       val pearsonCols = allCols.filter(validFor("pearson")).toSet
-      val pairAggs: Seq[Column] = pairs.flatMap { case (a, b) =>
-        val shared = coalesce(
-          sum(when(col(a).isNotNull && col(b).isNotNull, 1L)), lit(0L))
-          .as(s"sh__${a}__$b")
-        val pe =
-          if (calcOrder.contains("pearson") && pearsonCols(a) && pearsonCols(b))
-            Seq(corr(col(a), col(b)).as(s"pe__${a}__$b"))
-          else Nil
-        shared +: pe
-      }
-      val aggs = colAggs ++ pairAggs ++ Seq(count(lit(1)).as("total__"))
-      val r1 = prep.agg(aggs.head, aggs.tail: _*).head()
-      def g(nm: String): Long = r1.getLong(r1.fieldIndex(nm))
+      def pairAggsFor(ps: Seq[(String, String)]): Seq[Column] =
+        ps.flatMap { case (a, b) =>
+          val shared = coalesce(
+            sum(when(col(a).isNotNull && col(b).isNotNull, 1L)), lit(0L))
+            .as(s"sh__${a}__$b")
+          val pe =
+            if (calcOrder.contains("pearson") && pearsonCols(a) && pearsonCols(b))
+              Seq(corr(col(a), col(b)).as(s"pe__${a}__$b"))
+            else Nil
+          shared +: pe
+        }
+      // k columns → k·(k-1)/2 pair aggregates: one agg holding all of them
+      // is fine at profile width ~20, but a 60-column frame (1,770 pairs)
+      // blows past Janino's 64KB generated-method limit and falls out of
+      // whole-stage codegen. Cap ~200 pairs per agg job; batches run
+      // concurrently over the cached prep, so latency is ~max not sum.
+      val pairBatchSize = 200
+      val r1s: Seq[Row] =
+        if (pairs.size <= pairBatchSize) {
+          val aggs = colAggs ++ pairAggsFor(pairs) ++
+            Seq(count(lit(1)).as("total__"))
+          Seq(prep.agg(aggs.head, aggs.tail: _*).head())
+        } else {
+          val groups: Seq[Seq[Column]] =
+            (colAggs ++ Seq(count(lit(1)).as("total__"))) +:
+              pairs.grouped(pairBatchSize).map(pairAggsFor).toSeq
+          val out = new Array[Row](groups.length)
+          parallelJobs(groups.indices) { i =>
+            val as = groups(i)
+            out(i) = prep.agg(as.head, as.tail: _*).head()
+          }
+          out.toIndexedSeq
+        }
+      val fieldOf: Map[String, (Row, Int)] = r1s.flatMap(r =>
+        r.schema.fieldNames.zipWithIndex.map { case (f, i) => f -> (r, i) })
+        .toMap
+      def g(nm: String): Long = { val (r, i) = fieldOf(nm); r.getLong(i) }
       def gd(nm: String): Double = {
-        val i = r1.fieldIndex(nm)
-        if (r1.isNullAt(i)) Double.NaN else r1.getDouble(i)
+        val (r, i) = fieldOf(nm)
+        if (r.isNullAt(i)) Double.NaN else r.getDouble(i)
       }
       val total = g("total__")
       val nonNull = allCols.map(n => n -> g(s"cnt__$n")).toMap

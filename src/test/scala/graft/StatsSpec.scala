@@ -83,6 +83,27 @@ class StatsSpec extends SparkSpec {
     assert(sampled.nonEmpty)
   }
 
+  test("dependence pass-1 batches pairs on wide frames (60 cols, 1770 pairs)") {
+    // > pairBatchSize forces the batched path: results must equal the exact
+    // single-agg semantics — every pair of these perfectly linear columns
+    // (one anti-correlated) has |pearson| = 1
+    val n = 25
+    val base = spark.range(1, n + 1).toDF("id")
+    val wide = (1 to 59).foldLeft(base) { (d, j) =>
+      d.withColumn(f"c$j%02d",
+        if (j == 1) -col("id").cast("double") * j
+        else col("id").cast("double") * j)
+    }.drop("id")
+      .withColumn("c60", col("c02") * 3)
+    val f = WoodworkFrame.init(wide)
+    val dep = Dependence.dependence(f, Seq("pearson"), minShared = 5).collect()
+    assert(dep.length == 60 * 59 / 2)
+    assert(dep.forall(r => math.abs(math.abs(r.getAs[Double]("pearson")) - 1.0) < 1e-9))
+    val anti = dep.filter(r => r.getString(0) == "c01" || r.getString(1) == "c01")
+    assert(anti.length == 59 &&
+      anti.forall(r => math.abs(r.getAs[Double]("pearson") + 1.0) < 1e-9))
+  }
+
   test("spearman ranks Ordinal columns by their declared order") {
     // values whose LEXICOGRAPHIC order ('high' < 'low' < 'med') differs from
     // the declared order (low < med < high): correct rank conversion gives
