@@ -35,6 +35,51 @@ object ReadWrite {
     extToFormat.getOrElse(ext, "parquet")
   }
 
+  /** Content sniffing from the leading magic bytes of the first data file —
+    * used when the extension is unrecognized (the reference guesses purely by
+    * extension, utils.py:150-163; sniffing is strictly safer for a `.dat`
+    * that is really parquet). Goes through the Hadoop FileSystem of the
+    * session so it works on any configured store, reads 8 bytes, never the
+    * file. Recognizes parquet (PAR1), Arrow IPC (ARROW1), ORC, JSON text,
+    * and falls back to csv for other text (incl. gzip/zstd, which Spark's
+    * csv reader decompresses by extension-codec).
+    */
+  def sniffFormat(spark: SparkSession, path: String): Option[String] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val p = new HPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def firstFile(h: HPath): Option[HPath] = {
+      val st = fs.getFileStatus(h)
+      if (st.isFile) { if (st.getLen > 0) Some(h) else None }
+      else fs.listStatus(h).sortBy(_.getPath.getName)
+        .filterNot(s => s.getPath.getName.startsWith("_") ||
+          s.getPath.getName.startsWith("."))
+        .iterator.map(s => firstFile(s.getPath))
+        .collectFirst { case Some(f) => f }
+    }
+    try firstFile(p).map { f =>
+      val in = fs.open(f)
+      val head = new Array[Byte](8)
+      val n = try {
+        var off = 0
+        var r = 0
+        while (off < 8 && { r = in.read(head, off, 8 - off); r > 0 }) off += r
+        off
+      } finally in.close()
+      val s = new String(head, 0, n, StandardCharsets.US_ASCII)
+      if (s.startsWith("PAR1")) "parquet"
+      else if (s.startsWith("ARROW1")) "feather"
+      else if (s.startsWith("ORC")) "orc"
+      else {
+        val firstPrintable = s.dropWhile(c => c == ' ' || c == '\t' ||
+          c == '\r' || c == '\n')
+        if (firstPrintable.startsWith("{") || firstPrintable.startsWith("["))
+          "json"
+        else "csv"
+      }
+    } catch { case _: java.io.IOException => None }
+  }
+
   /** Read + init in one step (reference: `ww.read_file`). CSV reads with
     * header + schema inference disabled so logical-type inference owns
     * typing; parquet/orc keep their physical schema.
@@ -47,7 +92,12 @@ object ReadWrite {
                logicalTypes: Map[String, LogicalType] = Map.empty,
                semanticTags: Map[String, Set[String]] = Map.empty,
                replaceNan: Boolean = false): WoodworkFrame = {
-    val fmt = format.getOrElse(formatFor(path))
+    // extension first (reference parity), magic-byte sniff when it lies
+    val fmt = format.getOrElse {
+      val ext = path.reverse.takeWhile(_ != '.').reverse.toLowerCase
+      extToFormat.getOrElse(ext,
+        sniffFormat(spark, path).getOrElse("parquet"))
+    }
     val reader = spark.read
     val raw = fmt match {
       case "csv" => reader.option("header", "true").csv(path)

@@ -83,6 +83,27 @@ class IoStreamingSpec extends SparkSpec {
     }
   }
 
+  test("readFile sniffs magic bytes when the extension lies") {
+    // parquet data living under a '.dat' path must be detected as parquet
+    val dir = java.nio.file.Files.createTempDirectory("wwsniff").toString
+    val pq = s"$dir/table.dat"
+    fixture.df.write.parquet(pq)
+    assert(ReadWrite.sniffFormat(spark, pq).contains("parquet"))
+    val f = ReadWrite.readFile(spark, pq)
+    assert(f.df.count() == 2 && f.df.schema("v").dataType.typeName == "double")
+    // json lines under a '.bin' path → json
+    val js = s"$dir/rows.bin"
+    java.nio.file.Files.write(java.nio.file.Paths.get(js),
+      "{\"a\": 1}\n{\"a\": 2}\n".getBytes("UTF-8"))
+    assert(ReadWrite.sniffFormat(spark, js).contains("json"))
+    assert(ReadWrite.readFile(spark, js).df.count() == 2)
+    // plain text that is neither → csv fallback
+    val cs = s"$dir/plain.unknown"
+    java.nio.file.Files.write(java.nio.file.Paths.get(cs),
+      "a,b\n1,2\n".getBytes("UTF-8"))
+    assert(ReadWrite.sniffFormat(spark, cs).contains("csv"))
+  }
+
   test("readFile csv infers types") {
     val dir = java.nio.file.Files.createTempDirectory("wwread").toString
     Seq(("1", "yes"), ("2", "no")).toDF("n", "flag")
