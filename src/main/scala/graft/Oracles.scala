@@ -146,6 +146,9 @@ object Oracles {
   val q22: String =
     graft.ops.Dedup.Sql.jaccardPairs("documents", "doc_id", "text", 3, 0.6)
 
+  val q65: String =
+    graft.ops.Dedup.Sql.duplicateClusters("documents", "doc_id", "text", 3, 0.6)
+
   /** SimHash reproduced exactly in SQL: token hash = first 15 hex chars of
     * md5 parsed as a 60-bit int, per-bit ±1 votes, 15-bit chunk banding,
     * Hamming via bit_count(xor) — every step engine-portable.
@@ -706,12 +709,106 @@ object Oracles {
       |(CAST(9 AS BIGINT),CAST(489 AS BIGINT),CAST(0.3435 AS DOUBLE))
       |) AS t(query_id, candidate_id, cosine) ORDER BY query_id, candidate_id""".stripMargin
 
+  /** Pinned q63 PQ reconstruction error (codebooks seeded 42, sample
+    * order fixed by the sf0.01 parquet — regenerate via tools/oraclegen.py).
+    */
+  val q63Pinned: String =
+    """SELECT * FROM (VALUES
+      |(CAST(0 AS BIGINT),CAST(0.082225 AS DOUBLE),CAST(0.218394 AS DOUBLE)),
+      |(CAST(1 AS BIGINT),CAST(0.068075 AS DOUBLE),CAST(0.248917 AS DOUBLE)),
+      |(CAST(2 AS BIGINT),CAST(0.08734 AS DOUBLE),CAST(0.264881 AS DOUBLE)),
+      |(CAST(3 AS BIGINT),CAST(0.073345 AS DOUBLE),CAST(0.238461 AS DOUBLE)),
+      |(CAST(4 AS BIGINT),CAST(0.069211 AS DOUBLE),CAST(0.258682 AS DOUBLE)),
+      |(CAST(5 AS BIGINT),CAST(0.07392 AS DOUBLE),CAST(0.269679 AS DOUBLE)),
+      |(CAST(6 AS BIGINT),CAST(0.07419 AS DOUBLE),CAST(0.226222 AS DOUBLE)),
+      |(CAST(7 AS BIGINT),CAST(0.072659 AS DOUBLE),CAST(0.220864 AS DOUBLE)),
+      |(CAST(8 AS BIGINT),CAST(0.075069 AS DOUBLE),CAST(0.275258 AS DOUBLE)),
+      |(CAST(9 AS BIGINT),CAST(0.071916 AS DOUBLE),CAST(0.370878 AS DOUBLE)),
+      |(CAST(10 AS BIGINT),CAST(0.072483 AS DOUBLE),CAST(0.201863 AS DOUBLE)),
+      |(CAST(11 AS BIGINT),CAST(0.083137 AS DOUBLE),CAST(0.278534 AS DOUBLE)),
+      |(CAST(12 AS BIGINT),CAST(0.075049 AS DOUBLE),CAST(0.318833 AS DOUBLE)),
+      |(CAST(13 AS BIGINT),CAST(0.069489 AS DOUBLE),CAST(0.205052 AS DOUBLE)),
+      |(CAST(14 AS BIGINT),CAST(0.066762 AS DOUBLE),CAST(0.195134 AS DOUBLE)),
+      |(CAST(15 AS BIGINT),CAST(0.07009 AS DOUBLE),CAST(0.201389 AS DOUBLE)),
+      |(CAST(16 AS BIGINT),CAST(0.07561 AS DOUBLE),CAST(0.227677 AS DOUBLE)),
+      |(CAST(17 AS BIGINT),CAST(0.077881 AS DOUBLE),CAST(0.303099 AS DOUBLE)),
+      |(CAST(18 AS BIGINT),CAST(0.070925 AS DOUBLE),CAST(0.213718 AS DOUBLE)),
+      |(CAST(19 AS BIGINT),CAST(0.066555 AS DOUBLE),CAST(0.220491 AS DOUBLE)),
+      |(CAST(20 AS BIGINT),CAST(0.076355 AS DOUBLE),CAST(0.387507 AS DOUBLE)),
+      |(CAST(21 AS BIGINT),CAST(0.075946 AS DOUBLE),CAST(0.316789 AS DOUBLE)),
+      |(CAST(22 AS BIGINT),CAST(0.071078 AS DOUBLE),CAST(0.230563 AS DOUBLE)),
+      |(CAST(23 AS BIGINT),CAST(0.069623 AS DOUBLE),CAST(0.29019 AS DOUBLE)),
+      |(CAST(24 AS BIGINT),CAST(0.065644 AS DOUBLE),CAST(0.226472 AS DOUBLE)),
+      |(CAST(25 AS BIGINT),CAST(0.07562 AS DOUBLE),CAST(0.285703 AS DOUBLE)),
+      |(CAST(26 AS BIGINT),CAST(0.064912 AS DOUBLE),CAST(0.389236 AS DOUBLE)),
+      |(CAST(27 AS BIGINT),CAST(0.065582 AS DOUBLE),CAST(0.215081 AS DOUBLE)),
+      |(CAST(28 AS BIGINT),CAST(0.072457 AS DOUBLE),CAST(0.228816 AS DOUBLE)),
+      |(CAST(29 AS BIGINT),CAST(0.069833 AS DOUBLE),CAST(0.213618 AS DOUBLE)),
+      |(CAST(30 AS BIGINT),CAST(0.074452 AS DOUBLE),CAST(0.249202 AS DOUBLE)),
+      |(CAST(31 AS BIGINT),CAST(0.08395 AS DOUBLE),CAST(0.266339 AS DOUBLE)),
+      |(CAST(32 AS BIGINT),CAST(0.07003 AS DOUBLE),CAST(0.220129 AS DOUBLE)),
+      |(CAST(33 AS BIGINT),CAST(0.073383 AS DOUBLE),CAST(0.308778 AS DOUBLE)),
+      |(CAST(34 AS BIGINT),CAST(0.074634 AS DOUBLE),CAST(0.229559 AS DOUBLE)),
+      |(CAST(35 AS BIGINT),CAST(0.078375 AS DOUBLE),CAST(0.22012 AS DOUBLE)),
+      |(CAST(36 AS BIGINT),CAST(0.06574 AS DOUBLE),CAST(0.201196 AS DOUBLE)),
+      |(CAST(37 AS BIGINT),CAST(0.072629 AS DOUBLE),CAST(0.248698 AS DOUBLE)),
+      |(CAST(38 AS BIGINT),CAST(0.076308 AS DOUBLE),CAST(0.184574 AS DOUBLE)),
+      |(CAST(39 AS BIGINT),CAST(0.068897 AS DOUBLE),CAST(0.237378 AS DOUBLE)),
+      |(CAST(40 AS BIGINT),CAST(0.072077 AS DOUBLE),CAST(0.221573 AS DOUBLE)),
+      |(CAST(41 AS BIGINT),CAST(0.079316 AS DOUBLE),CAST(0.295 AS DOUBLE)),
+      |(CAST(42 AS BIGINT),CAST(0.07461 AS DOUBLE),CAST(0.247628 AS DOUBLE)),
+      |(CAST(43 AS BIGINT),CAST(0.074262 AS DOUBLE),CAST(0.24451 AS DOUBLE)),
+      |(CAST(44 AS BIGINT),CAST(0.076153 AS DOUBLE),CAST(0.214333 AS DOUBLE)),
+      |(CAST(45 AS BIGINT),CAST(0.07045 AS DOUBLE),CAST(0.305925 AS DOUBLE)),
+      |(CAST(46 AS BIGINT),CAST(0.076861 AS DOUBLE),CAST(0.241578 AS DOUBLE)),
+      |(CAST(47 AS BIGINT),CAST(0.077032 AS DOUBLE),CAST(0.221606 AS DOUBLE)),
+      |(CAST(48 AS BIGINT),CAST(0.076941 AS DOUBLE),CAST(0.222126 AS DOUBLE)),
+      |(CAST(49 AS BIGINT),CAST(0.077749 AS DOUBLE),CAST(0.331591 AS DOUBLE))
+      |) AS t(vec_id, mean_err, max_err) ORDER BY vec_id""".stripMargin
+
+  /** Pinned q64 IVF-PQ search output (coarse + PQ quantizers seeded). */
+  val q64Pinned: String =
+    """SELECT * FROM (VALUES
+      |(CAST(0 AS BIGINT),CAST(171 AS BIGINT),CAST(0.3711 AS DOUBLE)),
+      |(CAST(0 AS BIGINT),CAST(189 AS BIGINT),CAST(0.3404 AS DOUBLE)),
+      |(CAST(0 AS BIGINT),CAST(229 AS BIGINT),CAST(0.3454 AS DOUBLE)),
+      |(CAST(0 AS BIGINT),CAST(498 AS BIGINT),CAST(0.3561 AS DOUBLE)),
+      |(CAST(1 AS BIGINT),CAST(59 AS BIGINT),CAST(0.314 AS DOUBLE)),
+      |(CAST(1 AS BIGINT),CAST(428 AS BIGINT),CAST(0.3307 AS DOUBLE)),
+      |(CAST(2 AS BIGINT),CAST(320 AS BIGINT),CAST(0.3106 AS DOUBLE)),
+      |(CAST(2 AS BIGINT),CAST(418 AS BIGINT),CAST(0.3269 AS DOUBLE)),
+      |(CAST(2 AS BIGINT),CAST(462 AS BIGINT),CAST(0.312 AS DOUBLE)),
+      |(CAST(3 AS BIGINT),CAST(44 AS BIGINT),CAST(0.383 AS DOUBLE)),
+      |(CAST(3 AS BIGINT),CAST(130 AS BIGINT),CAST(0.3989 AS DOUBLE)),
+      |(CAST(3 AS BIGINT),CAST(490 AS BIGINT),CAST(0.3146 AS DOUBLE)),
+      |(CAST(3 AS BIGINT),CAST(491 AS BIGINT),CAST(0.3102 AS DOUBLE)),
+      |(CAST(4 AS BIGINT),CAST(71 AS BIGINT),CAST(0.3359 AS DOUBLE)),
+      |(CAST(4 AS BIGINT),CAST(190 AS BIGINT),CAST(0.3734 AS DOUBLE)),
+      |(CAST(4 AS BIGINT),CAST(235 AS BIGINT),CAST(0.3359 AS DOUBLE)),
+      |(CAST(4 AS BIGINT),CAST(249 AS BIGINT),CAST(0.3478 AS DOUBLE)),
+      |(CAST(5 AS BIGINT),CAST(359 AS BIGINT),CAST(0.3012 AS DOUBLE)),
+      |(CAST(5 AS BIGINT),CAST(419 AS BIGINT),CAST(0.3516 AS DOUBLE)),
+      |(CAST(6 AS BIGINT),CAST(252 AS BIGINT),CAST(0.3296 AS DOUBLE)),
+      |(CAST(6 AS BIGINT),CAST(381 AS BIGINT),CAST(0.3223 AS DOUBLE)),
+      |(CAST(7 AS BIGINT),CAST(334 AS BIGINT),CAST(0.3315 AS DOUBLE)),
+      |(CAST(7 AS BIGINT),CAST(340 AS BIGINT),CAST(0.3101 AS DOUBLE)),
+      |(CAST(7 AS BIGINT),CAST(445 AS BIGINT),CAST(0.3832 AS DOUBLE)),
+      |(CAST(8 AS BIGINT),CAST(494 AS BIGINT),CAST(0.3381 AS DOUBLE)),
+      |(CAST(9 AS BIGINT),CAST(49 AS BIGINT),CAST(0.4242 AS DOUBLE)),
+      |(CAST(9 AS BIGINT),CAST(256 AS BIGINT),CAST(0.34 AS DOUBLE)),
+      |(CAST(9 AS BIGINT),CAST(383 AS BIGINT),CAST(0.3878 AS DOUBLE)),
+      |(CAST(9 AS BIGINT),CAST(471 AS BIGINT),CAST(0.3222 AS DOUBLE))
+      |) AS t(query_id, candidate_id, cosine) ORDER BY query_id, candidate_id""".stripMargin
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q07_mutual_info_orders" -> q07Pinned,
       "q16_medcouple_outliers" -> q16Pinned,
       "q34_dependence_max" -> q34Pinned,
       "q36_ivf_ann" -> q36Pinned,
+      "q63_pq_error" -> q63Pinned,
+      "q64_ivf_pq" -> q64Pinned,
+      "q65_dup_clusters" -> q65,
       "q01_pricing_summary" -> q01,
       "q02_describe_lineitem" -> q02,
       "q03_value_counts_orders" -> q03,

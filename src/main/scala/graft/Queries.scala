@@ -803,6 +803,42 @@ object Queries {
       .orderBy("column_name")
   }
 
+  /** PQ reconstruction error per vector (codebooks trained driver-side on a
+    * bounded seeded sample — not ANSI-expressible; oracle = pinned expected
+    * values, Oracles.q63Pinned).
+    */
+  def q63PqError(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val pq = ops.Quantize.trainPq(emb, "embedding", dim = 64, m = 8, k = 16)
+    ops.Quantize.pqError(emb.where(col("vec_id") < 50), "embedding", pq)
+      .select(col("vec_id"), col("mean_err"), col("max_err"))
+      .orderBy("vec_id")
+  }
+
+  /** IVF-PQ ANN: coarse quantizer + PQ-coded candidates scored by
+    * asymmetric distance (oracle = pinned expected values,
+    * Oracles.q64Pinned).
+    */
+  def q64IvfPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val centroids = ops.Similarity.trainCentroids(emb, "embedding", k = 8)
+    val pq = ops.Quantize.trainPq(emb, "embedding", dim = 64, m = 8, k = 16)
+    ops.Similarity.ivfSearchPq(emb.where(col("vec_id") < 10), emb,
+      "vec_id", "embedding", centroids, pq, nprobe = 3, threshold = 0.3)
+      .orderBy("query_id", "candidate_id")
+  }
+
+  /** Duplicate clusters from LSH near-dup pairs: connected components by
+    * min-label propagation (oracle = recursive-CTE transitive closure over
+    * the same verified pair set).
+    */
+  def q65DupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val pairs = ops.Dedup.minhashLshPairs(docs, "doc_id", "text",
+      threshold = 0.6)
+    ops.Dedup.duplicateClusters(pairs).orderBy("id")
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -901,6 +937,9 @@ object Queries {
     "q59_packing" -> (q59Packing _),
     "q60_quantize" -> (q60Quantize _),
     "q61_timedelta" -> (q61Timedelta _),
-    "q62_incremental_profile" -> (q62IncrementalProfile _)
+    "q62_incremental_profile" -> (q62IncrementalProfile _),
+    "q63_pq_error" -> (q63PqError _),
+    "q64_ivf_pq" -> (q64IvfPq _),
+    "q65_dup_clusters" -> (q65DupClusters _)
   )
 }

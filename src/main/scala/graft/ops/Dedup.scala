@@ -215,6 +215,53 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Resolve near-duplicate PAIRS into duplicate CLUSTERS: connected
+    * components by iterative min-label propagation; the cluster id is the
+    * smallest member id. This is the step that turns any pair detector
+    * (exhaustive Jaccard, MinHash-LSH, SimHash, embedding near-dup) into
+    * keep/drop decisions — keep each cluster's labeled representative, drop
+    * the rest.
+    *
+    * Scale shape: each round is one equi-join + one groupBy over the edge
+    * list (shuffle key = node id), and min-labels propagate transitively —
+    * a node adopts its neighbor's label which already folded THEIR
+    * neighbors from the prior round — so convergence takes O(log diameter)
+    * to O(diameter) rounds. Near-dup clusters are shallow (variants link
+    * through hub documents); `maxIter` bounds adversarial chains. Lineage
+    * is truncated per round (localCheckpoint) so the iterative plan cannot
+    * grow without bound; the result is EAGER like the other pair ops.
+    */
+  def duplicateClusters(pairs: DataFrame, idCol1: String = "id_1",
+                        idCol2: String = "id_2",
+                        maxIter: Int = 20): DataFrame = {
+    val e0 = pairs.select(col(idCol1).as("a"), col(idCol2).as("b"))
+    val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint(eager = true)
+    // round 0: every node takes min(self, smallest direct neighbor)
+    var labels = edges.groupBy(col("a").as("id"))
+      .agg(min(col("b")).as("nbr"))
+      .select(col("id"), least(col("id"), col("nbr")).as("label"))
+      .localCheckpoint(eager = true)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("b"), col("label").as("lb")), "b")
+        .groupBy(col("a").as("id")).agg(min(col("lb")).as("nbrLabel"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbrLabel"), col("label")))
+            .as("label"),
+          col("label").as("prev"))
+        .localCheckpoint(eager = true)
+      changed = next.where(col("label") =!= col("prev")).count()
+      labels = next.drop("prev")
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   /** SimHash bit width: 60 bits = 15 hex chars of md5, the widest slice that
     * fits a signed 64-bit int in every engine — the token hash is therefore
     * engine-portable (md5 is universal), unlike xxhash64.
@@ -300,6 +347,26 @@ object Dedup {
          |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
          |        (CAST(len(a.sh) + len(b.sh) AS DOUBLE) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)), 4) >= $threshold
          |ORDER BY id_1, id_2""".stripMargin
+    }
+
+    /** Connected components over the Jaccard pair set as a recursive CTE:
+      * reach = transitive closure over symmetrized edges, cluster id =
+      * smallest reachable id (incl. self). Closure is O(V·E) — oracle-scale
+      * only; the Spark side ([[Dedup.duplicateClusters]]) iterates min-label
+      * propagation instead.
+      */
+    def duplicateClusters(table: String, idCol: String, textCol: String,
+                          n: Int, threshold: Double): String = {
+      val pairsSql = jaccardPairs(table, idCol, textCol, n, threshold)
+      s"""WITH RECURSIVE pairs AS ($pairsSql),
+         |edges AS (SELECT id_1 AS a, id_2 AS b FROM pairs
+         |          UNION SELECT id_2, id_1 FROM pairs),
+         |reach(a, r) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT e.a, r.r FROM edges e JOIN reach r ON r.a = e.b)
+         |SELECT a AS id, least(a, min(r)) AS cluster_id
+         |FROM reach GROUP BY a ORDER BY id""".stripMargin
     }
   }
 }

@@ -63,6 +63,90 @@ object Quantize {
     df.withColumn(outCol, approx)
   }
 
+  // ------------------------------------------------------------------ PQ
+  /** Product quantization (Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", IEEE TPAMI 2011): the vector splits into `m`
+    * subvectors, each coded as the id of its nearest per-subspace centroid —
+    * dim×8 bytes compress to m codes. Codebooks train driver-side on ONE
+    * bounded sample (same shape as IVF coarse training); encode/decode are
+    * pure projections with the codebooks inlined as array literals, so both
+    * stream with zero shuffle. [[graft.ops.Similarity.ivfSearchPq]] pairs
+    * this with the IVF index — the standard IVF-PQ layout at 100 TB, where
+    * the index stores (cluster, codes) and never the raw vectors.
+    */
+  final case class PqBooks(subDim: Int, books: Array[Array[Array[Double]]]) {
+    def m: Int = books.length
+    def k: Int = books.head.length
+    def dim: Int = m * subDim
+    /** books as a nested literal column (m × k × subDim). */
+    private[ops] def lit3: Column =
+      typedlit(books.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq)
+  }
+
+  /** Train per-subspace codebooks on a bounded driver-side sample — one
+    * sample collect, `m` local Lloyd runs (seed varies per subspace).
+    */
+  def trainPq(df: DataFrame, vecCol: String, dim: Int, m: Int = 8,
+              k: Int = 16, sampleSize: Int = 2000, iters: Int = 10,
+              seed: Long = 42L): PqBooks = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subvectors")
+    val subDim = dim / m
+    val full = Similarity.sampleVectors(
+      df.where(col(vecCol).isNotNull && size(col(vecCol)) === dim),
+      vecCol, sampleSize, seed)
+    require(full.nonEmpty, "empty sample for PQ training")
+    PqBooks(subDim, Array.tabulate(m) { i =>
+      val sub = full.map(_.slice(i * subDim, (i + 1) * subDim))
+      Similarity.kmeansLocal(sub, k, iters, seed + i)
+    })
+  }
+
+  /** Code array expression: for each subspace, the id of the nearest
+    * centroid by the ‖c‖² − 2·v·c proxy (the ‖v_sub‖² term is constant per
+    * subspace — same argmin). One codegen'd projection, no shuffle.
+    */
+  def pqEncodeExpr(vecCol: Column, pq: PqBooks): Column = {
+    val v = transform(vecCol, x => x.cast(DoubleType))
+    array((0 until pq.m).map { i =>
+      val cands = array(pq.books(i).zipWithIndex.map { case (c, j) =>
+        val cc = c.map(x => x * x).sum
+        val dotc = (0 until pq.subDim).map(d =>
+          element_at(v, i * pq.subDim + d + 1) * lit(c(d))).reduce(_ + _)
+        struct((lit(cc) - dotc * 2).as("d"), lit(j).as("c"))
+      }: _*)
+      element_at(array_sort(cands), 1).getField("c")
+    }: _*)
+  }
+
+  def pqEncode(df: DataFrame, vecCol: String, pq: PqBooks,
+               outCol: String = "codes"): DataFrame =
+    df.withColumn(outCol, pqEncodeExpr(col(vecCol), pq))
+
+  /** Reconstruct the approximate vector: per subspace, the coded centroid,
+    * concatenated — an indexed lookup into the codebook literal.
+    */
+  def pqDecodeExpr(codesCol: Column, pq: PqBooks): Column =
+    flatten(zip_with(codesCol, sequence(lit(0), lit(pq.m - 1)),
+      (c, i) => element_at(element_at(pq.lit3, i + 1), c + 1)))
+
+  def pqDecode(df: DataFrame, codesCol: String, pq: PqBooks,
+               outCol: String = "approx"): DataFrame =
+    df.withColumn(outCol, pqDecodeExpr(col(codesCol), pq))
+
+  /** Per-vector PQ reconstruction error (mean/max absolute error) — the
+    * quality check mirroring [[sq8Error]].
+    */
+  def pqError(df: DataFrame, vecCol: String, pq: PqBooks): DataFrame = {
+    val enc = pqEncode(df.where(col(vecCol).isNotNull &&
+      size(col(vecCol)) === pq.dim), vecCol, pq)
+    val dec = pqDecode(enc, "codes", pq)
+    val v = transform(col(vecCol), x => x.cast(DoubleType))
+    val errs = zip_with(v, col("approx"), (a, b) => abs(a - b))
+    dec
+      .withColumn("mean_err", round(aggregate(errs, lit(0.0), _ + _) / pq.dim, 6))
+      .withColumn("max_err", round(array_max(errs), 6))
+  }
+
   /** Per-vector reconstruction error of the quantization (mean/max absolute
     * error against the original) — the quality check after compression.
     */

@@ -152,15 +152,32 @@ object Similarity {
   def trainCentroids(df: DataFrame, vecCol: String, k: Int = 16,
                      sampleSize: Int = 2000, iters: Int = 10,
                      seed: Long = 42L): Array[Array[Double]] = {
+    val sample = sampleVectors(df, vecCol, sampleSize, seed)
+    require(sample.nonEmpty, "empty sample for IVF training")
+    kmeansLocal(sample, k, iters, seed)
+  }
+
+  /** Bounded driver-side vector sample shared by the quantizer trainers
+    * (IVF coarse centroids here, PQ codebooks in [[Quantize]]).
+    */
+  private[ops] def sampleVectors(df: DataFrame, vecCol: String,
+                                 sampleSize: Int,
+                                 seed: Long): Array[Array[Double]] = {
     val total = df.count()
     // slight over-sample, cut to size driver-side in partition order — a
     // limit() in the plan would collapse the sample scan to one partition
     val frac = math.min(1.0, sampleSize.toDouble / math.max(total, 1) * 1.1)
-    val sample = df.select(asDouble(col(vecCol)).as("v"))
+    df.select(asDouble(col(vecCol)).as("v"))
       .sample(withReplacement = false, frac, seed)
       .collect().iterator.take(sampleSize)
       .map(_.getSeq[Double](0).toArray).toArray
-    require(sample.nonEmpty, "empty sample for IVF training")
+  }
+
+  /** Lloyd k-means on an in-memory sample (init = seeded draw from the
+    * sample; empty clusters keep their previous centroid).
+    */
+  private[ops] def kmeansLocal(sample: Array[Array[Double]], k: Int,
+                               iters: Int, seed: Long): Array[Array[Double]] = {
     val dim = sample.head.length
     val rnd = new java.util.Random(seed)
     var centroids = Array.fill(k)(sample(rnd.nextInt(sample.length)).clone())
@@ -227,6 +244,36 @@ object Similarity {
         col("query_id") =!= col("candidate_id"))
       .select(col("query_id"), col("candidate_id"),
         round(cosine(col("qv"), col("cv")), 4).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
+  /** IVF-PQ search: the index side stores (cluster, PQ codes) — never the
+    * raw vectors, which is what makes a 100 TB embedding index fit in a
+    * fraction of the data's footprint. Queries probe `nprobe` coarse cells
+    * (exactly [[ivfSearch]]); candidate scoring decodes the codes to their
+    * centroid reconstruction inline (asymmetric distance: exact query vs
+    * quantized candidate) — a codebook-literal lookup that stays in the
+    * projection, no extra shuffle beyond the probe join.
+    */
+  def ivfSearchPq(queries: DataFrame, candidates: DataFrame,
+                  idCol: String, vecCol: String,
+                  centroids: Array[Array[Double]],
+                  pq: Quantize.PqBooks,
+                  nprobe: Int = 2, threshold: Double = 0.3): DataFrame = {
+    val index = ivfAssign(candidates, idCol, vecCol, centroids)
+      .select(col("id").as("candidate_id"),
+        Quantize.pqEncodeExpr(col("v"), pq).as("codes"),
+        col("cluster").as("c_cluster"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("probe", explode(slice(
+        distStructs(col("qv"), centroids), 1, nprobe).getField("cluster")))
+    broadcast(probes)
+      .join(index, col("probe") === col("c_cluster") &&
+        col("query_id") =!= col("candidate_id"))
+      .select(col("query_id"), col("candidate_id"),
+        round(cosine(col("qv"), Quantize.pqDecodeExpr(col("codes"), pq)), 4)
+          .as("cosine"))
       .where(col("cosine") >= threshold)
   }
 }

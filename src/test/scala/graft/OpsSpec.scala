@@ -40,6 +40,19 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("duplicateClusters: components labeled by min id, chains converge") {
+    // {1,2,3} via (1,2),(2,3); {5,6}; a 9-hop path 10..19 exercises
+    // multi-round propagation
+    val pairs = (Seq((1L, 2L), (2L, 3L), (5L, 6L)) ++
+      (10L until 19L).map(i => (i, i + 1))).toDF("id_1", "id_2")
+    val out = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 1L)
+    assert(out(5L) == 5L && out(6L) == 5L)
+    assert((10L to 19L).forall(out(_) == 10L))
+    assert(out.size == 15)
+  }
+
   test("native ww_minhash signatures are bit-identical to the agg path") {
     val extra = docs.unionAll(Seq((4L, "ab"), (5L, "")).toDF("doc_id", "text"))
     val sh = Dedup.shingleTable(extra, "doc_id", "text", 3)

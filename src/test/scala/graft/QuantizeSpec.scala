@@ -41,4 +41,64 @@ class QuantizeSpec extends SparkSpec {
     val halfStep = 10.0 / 255.0 / 2.0 + 5e-7
     assert(err.values.forall(_ <= halfStep), s"errors $err exceed $halfStep")
   }
+
+  // ------------------------------------------------------------------ PQ
+  private def pqFixture = {
+    // 40 vectors of dim 8 drawn from 4 well-separated deterministic patterns
+    val rnd = new java.util.Random(7)
+    (0 until 40).map { i =>
+      val base = i % 4
+      (i.toLong, (0 until 8).map(d =>
+        (base * 10.0 + (d % 2) + rnd.nextDouble() * 0.01).toFloat))
+    }.toDF("id", "vec")
+  }
+
+  test("PQ: encode emits m codes in [0,k); training is deterministic") {
+    val df = pqFixture
+    val pq = Quantize.trainPq(df, "vec", dim = 8, m = 4, k = 4, seed = 42L)
+    assert(pq.m == 4 && pq.k == 4 && pq.subDim == 2)
+    val pq2 = Quantize.trainPq(df, "vec", dim = 8, m = 4, k = 4, seed = 42L)
+    assert(pq.books.flatten.flatten.toSeq == pq2.books.flatten.flatten.toSeq)
+    val codes = Quantize.pqEncode(df, "vec", pq).select("codes").collect()
+      .map(_.getSeq[Int](0))
+    assert(codes.forall(cs => cs.length == 4 && cs.forall(c => c >= 0 && c < 4)))
+  }
+
+  test("PQ: decode reconstructs clustered vectors near-exactly") {
+    // 4 tight clusters, k=8 codebooks per subspace (over-provisioned so the
+    // seeded init covers every cluster) → reconstruction error collapses to
+    // the intra-cluster jitter (~0.01)
+    val df = pqFixture
+    val pq = Quantize.trainPq(df, "vec", dim = 8, m = 4, k = 8, seed = 42L)
+    val errs = Quantize.pqError(df, "vec", pq).select("max_err").collect()
+      .map(_.getDouble(0))
+    assert(errs.forall(_ < 0.02), s"max errs ${errs.max}")
+  }
+
+  test("PQ: decode round-trips through encode as centroid lookup") {
+    val df = pqFixture
+    val pq = Quantize.trainPq(df, "vec", dim = 8, m = 4, k = 4, seed = 42L)
+    val row = Quantize.pqDecode(Quantize.pqEncode(df, "vec", pq), "codes", pq)
+      .select("codes", "approx").head()
+    val codes = row.getSeq[Int](0)
+    val approx = row.getSeq[Double](1)
+    val expected = codes.zipWithIndex.flatMap { case (c, i) => pq.books(i)(c) }
+    assert(approx == expected)
+  }
+
+  test("IVF-PQ search finds same-cluster neighbors with quantized scores") {
+    val df = pqFixture
+    val centroids = graft.ops.Similarity.trainCentroids(df, "vec", k = 4,
+      seed = 11L)
+    val pq = Quantize.trainPq(df, "vec", dim = 8, m = 4, k = 4, seed = 42L)
+    val hits = graft.ops.Similarity.ivfSearchPq(
+      df.where(col("id") < 4), df, "id", "vec", centroids, pq,
+      nprobe = 2, threshold = 0.99).collect()
+    // every query's own-cluster members (9 others each) score ~1 on these
+    // tight clusters
+    assert(hits.length >= 4 * 5)
+    val exact = graft.ops.Similarity.thresholdSearch(
+      df.where(col("id") < 4), df, "id", "vec", 0.99).count()
+    assert(hits.length <= exact)
+  }
 }

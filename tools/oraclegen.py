@@ -8,6 +8,8 @@ SPECS = {
   'q16_medcouple_outliers': (['column_name','method','low','high','num_low','num_high'], ['s','s','d','d','i','i'], ''),
   'q34_dependence_max': (['column_1','column_2','mutual_info','pearson','spearman','max'], ['s','s','d','d','d','d'], 'ORDER BY column_1, column_2'),
   'q36_ivf_ann': (['query_id','candidate_id','cosine'], ['i','i','d'], 'ORDER BY query_id, candidate_id'),
+  'q63_pq_error': (['vec_id','mean_err','max_err'], ['i','d','d'], 'ORDER BY vec_id'),
+  'q64_ivf_pq': (['query_id','candidate_id','cosine'], ['i','i','d'], 'ORDER BY query_id, candidate_id'),
 }
 def lit(v, t):
     if t == 's': return "'" + str(v).replace("'","''") + "'"
