@@ -149,6 +149,39 @@ object Oracles {
   val q65: String =
     graft.ops.Dedup.Sql.duplicateClusters("documents", "doc_id", "text", 3, 0.6)
 
+  val q66: String =
+    graft.ops.TextAnalysis.Sql.gopherRules("documents", "doc_id", "text",
+      50L, 100000L)
+
+  val q67: String = {
+    val clusters = graft.ops.Dedup.Sql.duplicateClusters(
+      "documents", "doc_id", "text", 3, 0.6)
+    s"""SELECT doc_id, source, n_chars FROM documents
+       |WHERE doc_id NOT IN (
+       |  SELECT id FROM ($clusters) c WHERE id <> cluster_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB's native ASOF LEFT JOIN is the oracle for [[graft.ops.AsofJoin]]
+    * (inclusive `>=` match, nulls never match — both sides' semantics).
+    */
+  val q68: String =
+    """SELECT l.event_id, l.user_id,
+      |  r.event_id AS purchase_id, r.value AS purchase_value
+      |FROM (SELECT * FROM events WHERE event_type = 'click') l
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      |  ON l.user_id = r.user_id AND l.ts >= r.ts
+      |ORDER BY l.event_id""".stripMargin
+
+  val q69: String =
+    """WITH bands(band_id, lo, hi) AS (VALUES
+      |  (CAST(1 AS BIGINT), 0.0, 50.0), (CAST(2 AS BIGINT), 25.0, 75.0),
+      |  (CAST(3 AS BIGINT), 50.0, 150.0), (CAST(4 AS BIGINT), 100.0, 300.0),
+      |  (CAST(5 AS BIGINT), 250.0, 500.0))
+      |SELECT event_id, band_id FROM events e
+      |JOIN bands b ON e.value >= b.lo AND e.value <= b.hi
+      |ORDER BY event_id, band_id""".stripMargin
+
   /** SimHash reproduced exactly in SQL: token hash = first 15 hex chars of
     * md5 parsed as a 60-bit int, per-bit ±1 votes, 15-bit chunk banding,
     * Hamming via bit_count(xor) — every step engine-portable.
@@ -675,37 +708,41 @@ object Oracles {
       |('o_totalprice','o_orderdate',CAST(-0.0004 AS DOUBLE),CAST(0.0111 AS DOUBLE),CAST(0.011 AS DOUBLE),CAST(0.0111 AS DOUBLE))
       |) AS t(column_1, column_2, mutual_info, pearson, spearman, max) ORDER BY column_1, column_2""".stripMargin
 
-  /** Pinned q36 IVF-ANN output (quantizer seeded 42; sample order follows
-    * parquet file order, which is fixed for the sf0.01 fixture).
+  /** Pinned q36 IVF-ANN output (quantizer seeded 42; training sample is the
+    * seeded random-key top-n — deterministic for the fixed sf0.01 fixture).
     */
   val q36Pinned: String =
     """SELECT * FROM (VALUES
+      |(CAST(0 AS BIGINT),CAST(334 AS BIGINT),CAST(0.3627 AS DOUBLE)),
       |(CAST(0 AS BIGINT),CAST(387 AS BIGINT),CAST(0.3311 AS DOUBLE)),
       |(CAST(1 AS BIGINT),CAST(27 AS BIGINT),CAST(0.3482 AS DOUBLE)),
       |(CAST(1 AS BIGINT),CAST(64 AS BIGINT),CAST(0.3164 AS DOUBLE)),
+      |(CAST(1 AS BIGINT),CAST(124 AS BIGINT),CAST(0.3028 AS DOUBLE)),
       |(CAST(1 AS BIGINT),CAST(195 AS BIGINT),CAST(0.3227 AS DOUBLE)),
       |(CAST(1 AS BIGINT),CAST(386 AS BIGINT),CAST(0.3715 AS DOUBLE)),
       |(CAST(1 AS BIGINT),CAST(407 AS BIGINT),CAST(0.327 AS DOUBLE)),
-      |(CAST(2 AS BIGINT),CAST(117 AS BIGINT),CAST(0.3181 AS DOUBLE)),
       |(CAST(3 AS BIGINT),CAST(130 AS BIGINT),CAST(0.3999 AS DOUBLE)),
       |(CAST(3 AS BIGINT),CAST(149 AS BIGINT),CAST(0.3299 AS DOUBLE)),
+      |(CAST(3 AS BIGINT),CAST(174 AS BIGINT),CAST(0.3035 AS DOUBLE)),
       |(CAST(3 AS BIGINT),CAST(343 AS BIGINT),CAST(0.3085 AS DOUBLE)),
       |(CAST(4 AS BIGINT),CAST(114 AS BIGINT),CAST(0.3985 AS DOUBLE)),
-      |(CAST(4 AS BIGINT),CAST(496 AS BIGINT),CAST(0.3412 AS DOUBLE)),
-      |(CAST(5 AS BIGINT),CAST(33 AS BIGINT),CAST(0.311 AS DOUBLE)),
+      |(CAST(4 AS BIGINT),CAST(408 AS BIGINT),CAST(0.3228 AS DOUBLE)),
+      |(CAST(4 AS BIGINT),CAST(482 AS BIGINT),CAST(0.3139 AS DOUBLE)),
       |(CAST(5 AS BIGINT),CAST(359 AS BIGINT),CAST(0.3058 AS DOUBLE)),
       |(CAST(5 AS BIGINT),CAST(404 AS BIGINT),CAST(0.3284 AS DOUBLE)),
       |(CAST(5 AS BIGINT),CAST(419 AS BIGINT),CAST(0.3192 AS DOUBLE)),
       |(CAST(6 AS BIGINT),CAST(350 AS BIGINT),CAST(0.3245 AS DOUBLE)),
       |(CAST(7 AS BIGINT),CAST(209 AS BIGINT),CAST(0.3945 AS DOUBLE)),
       |(CAST(7 AS BIGINT),CAST(221 AS BIGINT),CAST(0.3247 AS DOUBLE)),
-      |(CAST(7 AS BIGINT),CAST(302 AS BIGINT),CAST(0.3145 AS DOUBLE)),
       |(CAST(7 AS BIGINT),CAST(334 AS BIGINT),CAST(0.3569 AS DOUBLE)),
       |(CAST(7 AS BIGINT),CAST(340 AS BIGINT),CAST(0.4928 AS DOUBLE)),
+      |(CAST(7 AS BIGINT),CAST(381 AS BIGINT),CAST(0.3452 AS DOUBLE)),
       |(CAST(7 AS BIGINT),CAST(445 AS BIGINT),CAST(0.3408 AS DOUBLE)),
+      |(CAST(8 AS BIGINT),CAST(39 AS BIGINT),CAST(0.3847 AS DOUBLE)),
+      |(CAST(8 AS BIGINT),CAST(138 AS BIGINT),CAST(0.3567 AS DOUBLE)),
+      |(CAST(8 AS BIGINT),CAST(380 AS BIGINT),CAST(0.3045 AS DOUBLE)),
+      |(CAST(8 AS BIGINT),CAST(403 AS BIGINT),CAST(0.3382 AS DOUBLE)),
       |(CAST(9 AS BIGINT),CAST(49 AS BIGINT),CAST(0.3852 AS DOUBLE)),
-      |(CAST(9 AS BIGINT),CAST(386 AS BIGINT),CAST(0.3221 AS DOUBLE)),
-      |(CAST(9 AS BIGINT),CAST(414 AS BIGINT),CAST(0.3323 AS DOUBLE)),
       |(CAST(9 AS BIGINT),CAST(489 AS BIGINT),CAST(0.3435 AS DOUBLE))
       |) AS t(query_id, candidate_id, cosine) ORDER BY query_id, candidate_id""".stripMargin
 
@@ -714,90 +751,82 @@ object Oracles {
     */
   val q63Pinned: String =
     """SELECT * FROM (VALUES
-      |(CAST(0 AS BIGINT),CAST(0.082225 AS DOUBLE),CAST(0.218394 AS DOUBLE)),
-      |(CAST(1 AS BIGINT),CAST(0.068075 AS DOUBLE),CAST(0.248917 AS DOUBLE)),
-      |(CAST(2 AS BIGINT),CAST(0.08734 AS DOUBLE),CAST(0.264881 AS DOUBLE)),
-      |(CAST(3 AS BIGINT),CAST(0.073345 AS DOUBLE),CAST(0.238461 AS DOUBLE)),
-      |(CAST(4 AS BIGINT),CAST(0.069211 AS DOUBLE),CAST(0.258682 AS DOUBLE)),
-      |(CAST(5 AS BIGINT),CAST(0.07392 AS DOUBLE),CAST(0.269679 AS DOUBLE)),
-      |(CAST(6 AS BIGINT),CAST(0.07419 AS DOUBLE),CAST(0.226222 AS DOUBLE)),
-      |(CAST(7 AS BIGINT),CAST(0.072659 AS DOUBLE),CAST(0.220864 AS DOUBLE)),
-      |(CAST(8 AS BIGINT),CAST(0.075069 AS DOUBLE),CAST(0.275258 AS DOUBLE)),
-      |(CAST(9 AS BIGINT),CAST(0.071916 AS DOUBLE),CAST(0.370878 AS DOUBLE)),
-      |(CAST(10 AS BIGINT),CAST(0.072483 AS DOUBLE),CAST(0.201863 AS DOUBLE)),
-      |(CAST(11 AS BIGINT),CAST(0.083137 AS DOUBLE),CAST(0.278534 AS DOUBLE)),
-      |(CAST(12 AS BIGINT),CAST(0.075049 AS DOUBLE),CAST(0.318833 AS DOUBLE)),
-      |(CAST(13 AS BIGINT),CAST(0.069489 AS DOUBLE),CAST(0.205052 AS DOUBLE)),
-      |(CAST(14 AS BIGINT),CAST(0.066762 AS DOUBLE),CAST(0.195134 AS DOUBLE)),
-      |(CAST(15 AS BIGINT),CAST(0.07009 AS DOUBLE),CAST(0.201389 AS DOUBLE)),
-      |(CAST(16 AS BIGINT),CAST(0.07561 AS DOUBLE),CAST(0.227677 AS DOUBLE)),
-      |(CAST(17 AS BIGINT),CAST(0.077881 AS DOUBLE),CAST(0.303099 AS DOUBLE)),
-      |(CAST(18 AS BIGINT),CAST(0.070925 AS DOUBLE),CAST(0.213718 AS DOUBLE)),
-      |(CAST(19 AS BIGINT),CAST(0.066555 AS DOUBLE),CAST(0.220491 AS DOUBLE)),
-      |(CAST(20 AS BIGINT),CAST(0.076355 AS DOUBLE),CAST(0.387507 AS DOUBLE)),
-      |(CAST(21 AS BIGINT),CAST(0.075946 AS DOUBLE),CAST(0.316789 AS DOUBLE)),
-      |(CAST(22 AS BIGINT),CAST(0.071078 AS DOUBLE),CAST(0.230563 AS DOUBLE)),
-      |(CAST(23 AS BIGINT),CAST(0.069623 AS DOUBLE),CAST(0.29019 AS DOUBLE)),
-      |(CAST(24 AS BIGINT),CAST(0.065644 AS DOUBLE),CAST(0.226472 AS DOUBLE)),
-      |(CAST(25 AS BIGINT),CAST(0.07562 AS DOUBLE),CAST(0.285703 AS DOUBLE)),
-      |(CAST(26 AS BIGINT),CAST(0.064912 AS DOUBLE),CAST(0.389236 AS DOUBLE)),
-      |(CAST(27 AS BIGINT),CAST(0.065582 AS DOUBLE),CAST(0.215081 AS DOUBLE)),
-      |(CAST(28 AS BIGINT),CAST(0.072457 AS DOUBLE),CAST(0.228816 AS DOUBLE)),
-      |(CAST(29 AS BIGINT),CAST(0.069833 AS DOUBLE),CAST(0.213618 AS DOUBLE)),
-      |(CAST(30 AS BIGINT),CAST(0.074452 AS DOUBLE),CAST(0.249202 AS DOUBLE)),
-      |(CAST(31 AS BIGINT),CAST(0.08395 AS DOUBLE),CAST(0.266339 AS DOUBLE)),
-      |(CAST(32 AS BIGINT),CAST(0.07003 AS DOUBLE),CAST(0.220129 AS DOUBLE)),
-      |(CAST(33 AS BIGINT),CAST(0.073383 AS DOUBLE),CAST(0.308778 AS DOUBLE)),
-      |(CAST(34 AS BIGINT),CAST(0.074634 AS DOUBLE),CAST(0.229559 AS DOUBLE)),
-      |(CAST(35 AS BIGINT),CAST(0.078375 AS DOUBLE),CAST(0.22012 AS DOUBLE)),
-      |(CAST(36 AS BIGINT),CAST(0.06574 AS DOUBLE),CAST(0.201196 AS DOUBLE)),
-      |(CAST(37 AS BIGINT),CAST(0.072629 AS DOUBLE),CAST(0.248698 AS DOUBLE)),
-      |(CAST(38 AS BIGINT),CAST(0.076308 AS DOUBLE),CAST(0.184574 AS DOUBLE)),
-      |(CAST(39 AS BIGINT),CAST(0.068897 AS DOUBLE),CAST(0.237378 AS DOUBLE)),
-      |(CAST(40 AS BIGINT),CAST(0.072077 AS DOUBLE),CAST(0.221573 AS DOUBLE)),
-      |(CAST(41 AS BIGINT),CAST(0.079316 AS DOUBLE),CAST(0.295 AS DOUBLE)),
-      |(CAST(42 AS BIGINT),CAST(0.07461 AS DOUBLE),CAST(0.247628 AS DOUBLE)),
-      |(CAST(43 AS BIGINT),CAST(0.074262 AS DOUBLE),CAST(0.24451 AS DOUBLE)),
-      |(CAST(44 AS BIGINT),CAST(0.076153 AS DOUBLE),CAST(0.214333 AS DOUBLE)),
-      |(CAST(45 AS BIGINT),CAST(0.07045 AS DOUBLE),CAST(0.305925 AS DOUBLE)),
-      |(CAST(46 AS BIGINT),CAST(0.076861 AS DOUBLE),CAST(0.241578 AS DOUBLE)),
-      |(CAST(47 AS BIGINT),CAST(0.077032 AS DOUBLE),CAST(0.221606 AS DOUBLE)),
-      |(CAST(48 AS BIGINT),CAST(0.076941 AS DOUBLE),CAST(0.222126 AS DOUBLE)),
-      |(CAST(49 AS BIGINT),CAST(0.077749 AS DOUBLE),CAST(0.331591 AS DOUBLE))
+      |(CAST(0 AS BIGINT),CAST(0.074868 AS DOUBLE),CAST(0.215581 AS DOUBLE)),
+      |(CAST(1 AS BIGINT),CAST(0.071458 AS DOUBLE),CAST(0.208169 AS DOUBLE)),
+      |(CAST(2 AS BIGINT),CAST(0.074359 AS DOUBLE),CAST(0.221986 AS DOUBLE)),
+      |(CAST(3 AS BIGINT),CAST(0.07425 AS DOUBLE),CAST(0.341436 AS DOUBLE)),
+      |(CAST(4 AS BIGINT),CAST(0.066981 AS DOUBLE),CAST(0.284401 AS DOUBLE)),
+      |(CAST(5 AS BIGINT),CAST(0.08077 AS DOUBLE),CAST(0.282758 AS DOUBLE)),
+      |(CAST(6 AS BIGINT),CAST(0.06943 AS DOUBLE),CAST(0.259854 AS DOUBLE)),
+      |(CAST(7 AS BIGINT),CAST(0.07054 AS DOUBLE),CAST(0.202167 AS DOUBLE)),
+      |(CAST(8 AS BIGINT),CAST(0.071995 AS DOUBLE),CAST(0.256949 AS DOUBLE)),
+      |(CAST(9 AS BIGINT),CAST(0.068974 AS DOUBLE),CAST(0.331308 AS DOUBLE)),
+      |(CAST(10 AS BIGINT),CAST(0.073887 AS DOUBLE),CAST(0.213961 AS DOUBLE)),
+      |(CAST(11 AS BIGINT),CAST(0.070938 AS DOUBLE),CAST(0.198255 AS DOUBLE)),
+      |(CAST(12 AS BIGINT),CAST(0.0768 AS DOUBLE),CAST(0.192918 AS DOUBLE)),
+      |(CAST(13 AS BIGINT),CAST(0.071924 AS DOUBLE),CAST(0.247604 AS DOUBLE)),
+      |(CAST(14 AS BIGINT),CAST(0.069074 AS DOUBLE),CAST(0.203163 AS DOUBLE)),
+      |(CAST(15 AS BIGINT),CAST(0.078174 AS DOUBLE),CAST(0.276792 AS DOUBLE)),
+      |(CAST(16 AS BIGINT),CAST(0.074574 AS DOUBLE),CAST(0.237318 AS DOUBLE)),
+      |(CAST(17 AS BIGINT),CAST(0.07317 AS DOUBLE),CAST(0.218262 AS DOUBLE)),
+      |(CAST(18 AS BIGINT),CAST(0.072034 AS DOUBLE),CAST(0.259562 AS DOUBLE)),
+      |(CAST(19 AS BIGINT),CAST(0.069915 AS DOUBLE),CAST(0.191642 AS DOUBLE)),
+      |(CAST(20 AS BIGINT),CAST(0.078242 AS DOUBLE),CAST(0.356536 AS DOUBLE)),
+      |(CAST(21 AS BIGINT),CAST(0.072747 AS DOUBLE),CAST(0.25605 AS DOUBLE)),
+      |(CAST(22 AS BIGINT),CAST(0.076336 AS DOUBLE),CAST(0.229109 AS DOUBLE)),
+      |(CAST(23 AS BIGINT),CAST(0.071209 AS DOUBLE),CAST(0.247228 AS DOUBLE)),
+      |(CAST(24 AS BIGINT),CAST(0.069784 AS DOUBLE),CAST(0.230201 AS DOUBLE)),
+      |(CAST(25 AS BIGINT),CAST(0.082666 AS DOUBLE),CAST(0.245946 AS DOUBLE)),
+      |(CAST(26 AS BIGINT),CAST(0.071177 AS DOUBLE),CAST(0.336483 AS DOUBLE)),
+      |(CAST(27 AS BIGINT),CAST(0.074914 AS DOUBLE),CAST(0.301336 AS DOUBLE)),
+      |(CAST(28 AS BIGINT),CAST(0.074341 AS DOUBLE),CAST(0.286553 AS DOUBLE)),
+      |(CAST(29 AS BIGINT),CAST(0.069814 AS DOUBLE),CAST(0.283355 AS DOUBLE)),
+      |(CAST(30 AS BIGINT),CAST(0.068914 AS DOUBLE),CAST(0.301232 AS DOUBLE)),
+      |(CAST(31 AS BIGINT),CAST(0.073451 AS DOUBLE),CAST(0.281935 AS DOUBLE)),
+      |(CAST(32 AS BIGINT),CAST(0.077334 AS DOUBLE),CAST(0.236931 AS DOUBLE)),
+      |(CAST(33 AS BIGINT),CAST(0.074211 AS DOUBLE),CAST(0.24738 AS DOUBLE)),
+      |(CAST(34 AS BIGINT),CAST(0.082868 AS DOUBLE),CAST(0.21304 AS DOUBLE)),
+      |(CAST(35 AS BIGINT),CAST(0.06909 AS DOUBLE),CAST(0.255051 AS DOUBLE)),
+      |(CAST(36 AS BIGINT),CAST(0.068774 AS DOUBLE),CAST(0.284294 AS DOUBLE)),
+      |(CAST(37 AS BIGINT),CAST(0.070215 AS DOUBLE),CAST(0.371722 AS DOUBLE)),
+      |(CAST(38 AS BIGINT),CAST(0.068341 AS DOUBLE),CAST(0.161912 AS DOUBLE)),
+      |(CAST(39 AS BIGINT),CAST(0.076055 AS DOUBLE),CAST(0.179324 AS DOUBLE)),
+      |(CAST(40 AS BIGINT),CAST(0.073228 AS DOUBLE),CAST(0.21037 AS DOUBLE)),
+      |(CAST(41 AS BIGINT),CAST(0.083203 AS DOUBLE),CAST(0.31537 AS DOUBLE)),
+      |(CAST(42 AS BIGINT),CAST(0.079551 AS DOUBLE),CAST(0.347875 AS DOUBLE)),
+      |(CAST(43 AS BIGINT),CAST(0.077948 AS DOUBLE),CAST(0.229389 AS DOUBLE)),
+      |(CAST(44 AS BIGINT),CAST(0.07184 AS DOUBLE),CAST(0.203527 AS DOUBLE)),
+      |(CAST(45 AS BIGINT),CAST(0.079549 AS DOUBLE),CAST(0.338473 AS DOUBLE)),
+      |(CAST(46 AS BIGINT),CAST(0.073896 AS DOUBLE),CAST(0.18792 AS DOUBLE)),
+      |(CAST(47 AS BIGINT),CAST(0.07126 AS DOUBLE),CAST(0.191996 AS DOUBLE)),
+      |(CAST(48 AS BIGINT),CAST(0.07489 AS DOUBLE),CAST(0.255589 AS DOUBLE)),
+      |(CAST(49 AS BIGINT),CAST(0.078318 AS DOUBLE),CAST(0.254857 AS DOUBLE))
       |) AS t(vec_id, mean_err, max_err) ORDER BY vec_id""".stripMargin
 
   /** Pinned q64 IVF-PQ search output (coarse + PQ quantizers seeded). */
   val q64Pinned: String =
     """SELECT * FROM (VALUES
-      |(CAST(0 AS BIGINT),CAST(171 AS BIGINT),CAST(0.3711 AS DOUBLE)),
-      |(CAST(0 AS BIGINT),CAST(189 AS BIGINT),CAST(0.3404 AS DOUBLE)),
-      |(CAST(0 AS BIGINT),CAST(229 AS BIGINT),CAST(0.3454 AS DOUBLE)),
-      |(CAST(0 AS BIGINT),CAST(498 AS BIGINT),CAST(0.3561 AS DOUBLE)),
-      |(CAST(1 AS BIGINT),CAST(59 AS BIGINT),CAST(0.314 AS DOUBLE)),
-      |(CAST(1 AS BIGINT),CAST(428 AS BIGINT),CAST(0.3307 AS DOUBLE)),
-      |(CAST(2 AS BIGINT),CAST(320 AS BIGINT),CAST(0.3106 AS DOUBLE)),
-      |(CAST(2 AS BIGINT),CAST(418 AS BIGINT),CAST(0.3269 AS DOUBLE)),
-      |(CAST(2 AS BIGINT),CAST(462 AS BIGINT),CAST(0.312 AS DOUBLE)),
-      |(CAST(3 AS BIGINT),CAST(44 AS BIGINT),CAST(0.383 AS DOUBLE)),
-      |(CAST(3 AS BIGINT),CAST(130 AS BIGINT),CAST(0.3989 AS DOUBLE)),
-      |(CAST(3 AS BIGINT),CAST(490 AS BIGINT),CAST(0.3146 AS DOUBLE)),
-      |(CAST(3 AS BIGINT),CAST(491 AS BIGINT),CAST(0.3102 AS DOUBLE)),
-      |(CAST(4 AS BIGINT),CAST(71 AS BIGINT),CAST(0.3359 AS DOUBLE)),
-      |(CAST(4 AS BIGINT),CAST(190 AS BIGINT),CAST(0.3734 AS DOUBLE)),
-      |(CAST(4 AS BIGINT),CAST(235 AS BIGINT),CAST(0.3359 AS DOUBLE)),
-      |(CAST(4 AS BIGINT),CAST(249 AS BIGINT),CAST(0.3478 AS DOUBLE)),
-      |(CAST(5 AS BIGINT),CAST(359 AS BIGINT),CAST(0.3012 AS DOUBLE)),
-      |(CAST(5 AS BIGINT),CAST(419 AS BIGINT),CAST(0.3516 AS DOUBLE)),
-      |(CAST(6 AS BIGINT),CAST(252 AS BIGINT),CAST(0.3296 AS DOUBLE)),
-      |(CAST(6 AS BIGINT),CAST(381 AS BIGINT),CAST(0.3223 AS DOUBLE)),
-      |(CAST(7 AS BIGINT),CAST(334 AS BIGINT),CAST(0.3315 AS DOUBLE)),
-      |(CAST(7 AS BIGINT),CAST(340 AS BIGINT),CAST(0.3101 AS DOUBLE)),
-      |(CAST(7 AS BIGINT),CAST(445 AS BIGINT),CAST(0.3832 AS DOUBLE)),
-      |(CAST(8 AS BIGINT),CAST(494 AS BIGINT),CAST(0.3381 AS DOUBLE)),
-      |(CAST(9 AS BIGINT),CAST(49 AS BIGINT),CAST(0.4242 AS DOUBLE)),
-      |(CAST(9 AS BIGINT),CAST(256 AS BIGINT),CAST(0.34 AS DOUBLE)),
-      |(CAST(9 AS BIGINT),CAST(383 AS BIGINT),CAST(0.3878 AS DOUBLE)),
-      |(CAST(9 AS BIGINT),CAST(471 AS BIGINT),CAST(0.3222 AS DOUBLE))
+      |(CAST(0 AS BIGINT),CAST(261 AS BIGINT),CAST(0.3417 AS DOUBLE)),
+      |(CAST(0 AS BIGINT),CAST(351 AS BIGINT),CAST(0.3383 AS DOUBLE)),
+      |(CAST(0 AS BIGINT),CAST(388 AS BIGINT),CAST(0.3077 AS DOUBLE)),
+      |(CAST(0 AS BIGINT),CAST(464 AS BIGINT),CAST(0.3354 AS DOUBLE)),
+      |(CAST(1 AS BIGINT),CAST(124 AS BIGINT),CAST(0.4189 AS DOUBLE)),
+      |(CAST(1 AS BIGINT),CAST(428 AS BIGINT),CAST(0.4125 AS DOUBLE)),
+      |(CAST(3 AS BIGINT),CAST(114 AS BIGINT),CAST(0.3578 AS DOUBLE)),
+      |(CAST(3 AS BIGINT),CAST(130 AS BIGINT),CAST(0.3419 AS DOUBLE)),
+      |(CAST(4 AS BIGINT),CAST(47 AS BIGINT),CAST(0.3922 AS DOUBLE)),
+      |(CAST(5 AS BIGINT),CAST(92 AS BIGINT),CAST(0.3392 AS DOUBLE)),
+      |(CAST(5 AS BIGINT),CAST(460 AS BIGINT),CAST(0.4072 AS DOUBLE)),
+      |(CAST(6 AS BIGINT),CAST(189 AS BIGINT),CAST(0.3603 AS DOUBLE)),
+      |(CAST(6 AS BIGINT),CAST(350 AS BIGINT),CAST(0.3454 AS DOUBLE)),
+      |(CAST(6 AS BIGINT),CAST(381 AS BIGINT),CAST(0.3607 AS DOUBLE)),
+      |(CAST(7 AS BIGINT),CAST(9 AS BIGINT),CAST(0.3174 AS DOUBLE)),
+      |(CAST(7 AS BIGINT),CAST(229 AS BIGINT),CAST(0.3031 AS DOUBLE)),
+      |(CAST(7 AS BIGINT),CAST(334 AS BIGINT),CAST(0.3542 AS DOUBLE)),
+      |(CAST(7 AS BIGINT),CAST(340 AS BIGINT),CAST(0.4311 AS DOUBLE)),
+      |(CAST(7 AS BIGINT),CAST(381 AS BIGINT),CAST(0.352 AS DOUBLE)),
+      |(CAST(8 AS BIGINT),CAST(138 AS BIGINT),CAST(0.3068 AS DOUBLE)),
+      |(CAST(9 AS BIGINT),CAST(49 AS BIGINT),CAST(0.3522 AS DOUBLE))
       |) AS t(query_id, candidate_id, cosine) ORDER BY query_id, candidate_id""".stripMargin
 
   def all(q09Literal: Option[String]): Map[String, String] = {
@@ -809,6 +838,10 @@ object Oracles {
       "q63_pq_error" -> q63Pinned,
       "q64_ivf_pq" -> q64Pinned,
       "q65_dup_clusters" -> q65,
+      "q66_gopher_rules" -> q66,
+      "q67_deduplicate" -> q67,
+      "q68_asof_join" -> q68,
+      "q69_range_join" -> q69,
       "q01_pricing_summary" -> q01,
       "q02_describe_lineitem" -> q02,
       "q03_value_counts_orders" -> q03,

@@ -839,6 +839,57 @@ object Queries {
     ops.Dedup.duplicateClusters(pairs).orderBy("id")
   }
 
+  /** End-to-end near-dup removal: survivors after LSH pairs → components →
+    * representative-only filter (oracle = anti-join against the
+    * recursive-CTE cluster table).
+    */
+  def q67Deduplicate(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    ops.Dedup.deduplicate(docs, "doc_id", "text", threshold = 0.6)
+      .select("doc_id", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** Gopher rule filter with per-rule diagnostic flags (full oracle — every
+    * rule is identical regex/arithmetic in both engines).
+    */
+  def q66GopherRules(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    ops.TextAnalysis.gopherRules(docs, "doc_id", "text").orderBy("id")
+  }
+
+  /** As-of join: each click event picks the user's most recent prior (or
+    * simultaneous) purchase — oracle is DuckDB's native ASOF LEFT JOIN.
+    */
+  def q68AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+    val clicks = ev.where(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    ops.AsofJoin.asofJoin(clicks, purchases, Seq("user_id"), "ts", "ts",
+      Seq("purchase_id", "value"))
+      .select(col("event_id"), col("user_id"),
+        col("purchase_id_right").as("purchase_id"),
+        col("value_right").as("purchase_value"))
+      .orderBy("event_id")
+  }
+
+  /** Range join: events matched to overlapping value bands via bin-bucketed
+    * equi-join (oracle = plain BETWEEN join in DuckDB).
+    */
+  def q69RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = table(s, dir, "events").select("event_id", "value")
+    val bands = Seq((1L, 0.0, 50.0), (2L, 25.0, 75.0), (3L, 50.0, 150.0),
+      (4L, 100.0, 300.0), (5L, 250.0, 500.0)).toDF("band_id", "lo", "hi")
+    ops.RangeJoin.pointInInterval(ev, "value", bands, "lo", "hi",
+      binWidth = 50.0)
+      .select(col("event_id"), col("band_id_iv").as("band_id"))
+      .orderBy("event_id", "band_id")
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -940,6 +991,10 @@ object Queries {
     "q62_incremental_profile" -> (q62IncrementalProfile _),
     "q63_pq_error" -> (q63PqError _),
     "q64_ivf_pq" -> (q64IvfPq _),
-    "q65_dup_clusters" -> (q65DupClusters _)
+    "q65_dup_clusters" -> (q65DupClusters _),
+    "q66_gopher_rules" -> (q66GopherRules _),
+    "q67_deduplicate" -> (q67Deduplicate _),
+    "q68_asof_join" -> (q68AsofJoin _),
+    "q69_range_join" -> (q69RangeJoin _)
   )
 }

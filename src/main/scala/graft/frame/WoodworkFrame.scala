@@ -266,6 +266,19 @@ final case class WoodworkFrame(df: DataFrame, schema: WwTableSchema,
         "iloc requires an index, a time index, or init(alreadySorted = true): " +
           "a distributed frame has no stable row order to take positions from")
     }
+    // small-slice fast path: orderBy + limit compiles to
+    // TakeOrderedAndProject (per-task n-entry heaps, no sort shuffle, no
+    // cache, no materialization) and positions come from one bounded
+    // single-partition window over ≤`until` rows. Lazy and deterministic
+    // given a total order key.
+    if (orderCols.nonEmpty && until <= 100000) {
+      import org.apache.spark.sql.expressions.Window
+      val top = df.orderBy(orderCols: _*).limit(until.toInt)
+      val w = Window.orderBy(orderCols: _*)
+      val slice = top.withColumn("__pos", row_number().over(w) - 1)
+        .where(col("__pos") >= from).drop("__pos")
+      return WoodworkFrame(slice, schema)
+    }
     val parts = math.max(spark.sparkContext.defaultParallelism, 4)
     val arranged =
       if (orderCols.isEmpty) df // already_sorted: trust partition order as-is

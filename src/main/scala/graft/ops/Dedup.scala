@@ -262,6 +262,24 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  /** End-to-end near-duplicate removal: LSH pairs → connected components →
+    * keep each cluster's smallest-id representative, drop the rest. Returns
+    * the surviving corpus with the original columns. The final filter is a
+    * left anti join on the drop list (cluster members that are not the
+    * label); the list's size is the duplicate count, so the join is left
+    * unhinted — AQE broadcasts it when duplication is light and shuffles
+    * when a crawl-heavy corpus makes the list genuinely large.
+    */
+  def deduplicate(df: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3, threshold: Double = 0.6): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, n = n,
+      threshold = threshold)
+    val drops = duplicateClusters(pairs)
+      .where(col("id") =!= col("cluster_id"))
+      .select(col("id").as(s"__drop_$idCol"))
+    df.join(drops, col(idCol) === col(s"__drop_$idCol"), "left_anti")
+  }
+
   /** SimHash bit width: 60 bits = 15 hex chars of md5, the widest slice that
     * fits a signed 64-bit int in every engine — the token hash is therefore
     * engine-portable (md5 is universal), unlike xxhash64.

@@ -158,19 +158,20 @@ object Similarity {
   }
 
   /** Bounded driver-side vector sample shared by the quantizer trainers
-    * (IVF coarse centroids here, PQ codebooks in [[Quantize]]).
+    * (IVF coarse centroids here, PQ codebooks in [[Quantize]]). ONE scan:
+    * per-partition top-n by a seeded random key (TakeOrderedAndProject
+    * holds an n-entry heap per task, never the partition) — the old
+    * count()-then-Bernoulli path scanned the table twice just to size the
+    * fraction, which at 100 TB doubles the cost of training. Sample order
+    * is the random-key order: deterministic for a fixed dataset and seed.
     */
   private[ops] def sampleVectors(df: DataFrame, vecCol: String,
                                  sampleSize: Int,
                                  seed: Long): Array[Array[Double]] = {
-    val total = df.count()
-    // slight over-sample, cut to size driver-side in partition order — a
-    // limit() in the plan would collapse the sample scan to one partition
-    val frac = math.min(1.0, sampleSize.toDouble / math.max(total, 1) * 1.1)
     df.select(asDouble(col(vecCol)).as("v"))
-      .sample(withReplacement = false, frac, seed)
-      .collect().iterator.take(sampleSize)
-      .map(_.getSeq[Double](0).toArray).toArray
+      .withColumn("__r", rand(seed))
+      .orderBy(col("__r")).limit(sampleSize)
+      .collect().map(_.getSeq[Double](0).toArray)
   }
 
   /** Lloyd k-means on an in-memory sample (init = seeded draw from the

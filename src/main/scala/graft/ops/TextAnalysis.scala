@@ -76,6 +76,64 @@ object TextAnalysis {
         least(t / lit(100.0), lit(1.0)) * 0.3, 4)
   }
 
+  /** The Gopher stop set (Rae et al. 2021, "Scaling Language Models",
+    * appendix A1.1): a document must contain ≥ 2 of these to pass.
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style rule filter (Rae et al. 2021, A1.1) with PER-RULE
+    * diagnostic flags — the standard pretraining-corpus gate, kept
+    * decomposed so a pipeline can report WHY documents were dropped, not
+    * just drop them. Every rule is an engine-portable projection (regex +
+    * arithmetic — no UDF, no shuffle); `pass` is the conjunction.
+    *
+    * Thresholds follow the paper: 50 ≤ words ≤ 100k, mean word length in
+    * [3, 10], symbol-to-word ratio (# or …) ≤ 0.1, < 90% bullet-started
+    * lines inverted as ≥ 90% non-bullet, ≤ 30% ellipsis-ended lines,
+    * ≥ 80% words with an alphabetic character, ≥ 2 Gopher stopwords.
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+    val t = col(textCol)
+    val toks = regexp_extract_all(t, lit("\\S+"), lit(0))
+    val wc = size(toks).cast(LongType)
+    val nonWs = length(regexp_replace(t, "\\s", "")).cast(DoubleType)
+    val meanWl = nonWs / wc.cast(DoubleType)
+    val hashes = (length(t) - length(regexp_replace(t, "#", "")))
+      .cast(DoubleType)
+    val ellipses = ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3)
+      .cast(DoubleType)
+    val symbolRatio = (hashes + ellipses) / wc.cast(DoubleType)
+    val lines = split(t, "\n")
+    val lc = size(lines).cast(DoubleType)
+    val nonBullet = size(filter(lines, l =>
+      !(ltrim(l).startsWith("•") || ltrim(l).startsWith("-") ||
+        ltrim(l).startsWith("*")))).cast(DoubleType)
+    val ellipsisEnd = size(filter(lines, l =>
+      rtrim(l).endsWith("...") || rtrim(l).endsWith("…"))).cast(DoubleType)
+    val alphaWords = size(filter(toks, w => w.rlike("[A-Za-z]")))
+      .cast(DoubleType)
+    val stopHits = size(array_intersect(
+      array_distinct(transform(toks, w => lower(w))),
+      array(GopherStopwords.map(lit): _*))).cast(LongType)
+    def guarded(c: Column): Column = when(wc > 0, c).otherwise(lit(false))
+    df.select(col(idCol).as("id"),
+      wc.as("word_count"),
+      (wc >= minWords && wc <= maxWords).as("ok_word_count"),
+      guarded(meanWl.between(3.0, 10.0)).as("ok_mean_word_len"),
+      guarded(symbolRatio <= 0.1).as("ok_symbol_ratio"),
+      (nonBullet / lc >= 0.9).as("ok_bullet_lines"),
+      (ellipsisEnd / lc <= 0.3).as("ok_ellipsis_lines"),
+      guarded(alphaWords / wc.cast(DoubleType) >= 0.8).as("ok_alpha_words"),
+      (stopHits >= 2L).as("ok_stopwords"))
+      .withColumn("pass",
+        col("ok_word_count") && col("ok_mean_word_len") &&
+          col("ok_symbol_ratio") && col("ok_bullet_lines") &&
+          col("ok_ellipsis_lines") && col("ok_alpha_words") &&
+          col("ok_stopwords"))
+  }
+
   private def markerScore(c: Column, words: Seq[String]): Column =
     size(filter(tokens(c), t => t.isin(words: _*)))
 
@@ -288,5 +346,52 @@ object TextAnalysis {
     }
     def fingerprint(e: String) =
       s"md5(trim(regexp_replace(lower($e), '\\s+', ' ', 'g')))"
+
+    /** [[TextAnalysis.gopherRules]] reproduced in DuckDB — identical rule
+      * arithmetic over the same regex token/line splits.
+      */
+    def gopherRules(table: String, idCol: String, textCol: String,
+                    minWords: Long, maxWords: Long): String = {
+      // LIST literal, not the IN-tuple shape: list_intersect needs [...]
+      val stopList = GopherStopwords.map(w => s"'$w'")
+        .mkString("[", ",", "]")
+      s"""WITH g AS (
+         | SELECT $idCol AS id, $textCol AS t,
+         |   regexp_extract_all($textCol, '\\S+') AS toks,
+         |   CAST(length(regexp_replace($textCol, '\\s', '', 'g')) AS DOUBLE) AS nonws,
+         |   string_split($textCol, chr(10)) AS lines
+         | FROM $table),
+         |f AS (
+         | SELECT id,
+         |   CAST(len(toks) AS BIGINT) AS word_count,
+         |   CAST(len(toks) AS DOUBLE) AS wc,
+         |   nonws,
+         |   CAST(length(t) - length(replace(t, '#', '')) AS DOUBLE) AS hashes,
+         |   CAST((length(t) - length(replace(t, '...', ''))) / 3 AS DOUBLE) AS ellipses,
+         |   CAST(len(lines) AS DOUBLE) AS lc,
+         |   CAST(len(list_filter(lines, l -> NOT (starts_with(ltrim(l), chr(8226))
+         |     OR starts_with(ltrim(l), '-') OR starts_with(ltrim(l), '*')))) AS DOUBLE) AS non_bullet,
+         |   CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...')
+         |     OR ends_with(rtrim(l), chr(8230)))) AS DOUBLE) AS ell_end,
+         |   CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) AS alpha_words,
+         |   CAST(len(list_intersect(list_distinct(list_transform(toks, w -> lower(w))), $stopList)) AS BIGINT) AS stop_hits
+         | FROM g)
+         |SELECT id, word_count,
+         |  word_count >= $minWords AND word_count <= $maxWords AS ok_word_count,
+         |  CASE WHEN word_count > 0 THEN nonws / wc BETWEEN 3.0 AND 10.0 ELSE false END AS ok_mean_word_len,
+         |  CASE WHEN word_count > 0 THEN (hashes + ellipses) / wc <= 0.1 ELSE false END AS ok_symbol_ratio,
+         |  non_bullet / lc >= 0.9 AS ok_bullet_lines,
+         |  ell_end / lc <= 0.3 AS ok_ellipsis_lines,
+         |  CASE WHEN word_count > 0 THEN alpha_words / wc >= 0.8 ELSE false END AS ok_alpha_words,
+         |  stop_hits >= 2 AS ok_stopwords,
+         |  (word_count >= $minWords AND word_count <= $maxWords)
+         |    AND (CASE WHEN word_count > 0 THEN nonws / wc BETWEEN 3.0 AND 10.0 ELSE false END)
+         |    AND (CASE WHEN word_count > 0 THEN (hashes + ellipses) / wc <= 0.1 ELSE false END)
+         |    AND non_bullet / lc >= 0.9
+         |    AND ell_end / lc <= 0.3
+         |    AND (CASE WHEN word_count > 0 THEN alpha_words / wc >= 0.8 ELSE false END)
+         |    AND stop_hits >= 2 AS pass
+         |FROM f ORDER BY id""".stripMargin
+    }
   }
 }

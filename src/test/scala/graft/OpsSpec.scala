@@ -53,6 +53,34 @@ class OpsSpec extends SparkSpec {
     assert(out.size == 15)
   }
 
+  test("deduplicate keeps one representative per near-dup cluster") {
+    val out = Dedup.deduplicate(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // docs 0,1,3 form one near-dup cluster (0-3 exact, 0-1 near) → keep 0;
+    // doc 2 is unrelated → kept
+    assert(out == Set(0L, 2L))
+  }
+
+  test("gopherRules: flags fire per rule, short/symbol-heavy docs fail") {
+    val fixture = Seq(
+      // 60 clean prose words incl. stopwords → all rules pass
+      (1L, ("the quick brown fox jumps over that lazy dog with grace and " * 6).trim),
+      (2L, "too short to have enough words"),                   // word count
+      (3L, ("the and of " * 20) + ("#### ### " * 20).trim),     // symbol ratio
+      (4L, (1 to 60).map(i => s"- item$i the and").mkString("\n")), // bullets
+      (5L, "")                                                   // empty
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.gopherRules(fixture, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("pass"))
+    assert(!out(2L).getAs[Boolean]("ok_word_count"))
+    assert(!out(3L).getAs[Boolean]("ok_symbol_ratio"))
+    assert(!out(4L).getAs[Boolean]("ok_bullet_lines"))
+    assert(out(4L).getAs[Boolean]("ok_word_count"))
+    assert(!out(5L).getAs[Boolean]("pass") &&
+      out(5L).getAs[Long]("word_count") == 0L)
+  }
+
   test("native ww_minhash signatures are bit-identical to the agg path") {
     val extra = docs.unionAll(Seq((4L, "ab"), (5L, "")).toDF("doc_id", "text"))
     val sh = Dedup.shingleTable(extra, "doc_id", "text", 3)
