@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{MinhashSig, NgramHashes, SimhashSig, VectorDot}
+import graft.expressions.{MinhashSig, NgramHashes, NormalizeText, SimhashSig, VectorDot}
 
 /** Engine extension entry point: register native expressions with a session
   * via `spark.sql.extensions=graft.GraftExtensions` (or
@@ -29,5 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("ww_ngrams"),
       new ExpressionInfo(classOf[NgramHashes].getName, "ww_ngrams"),
       (children: Seq[Expression]) => NgramHashes(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("ww_normalize_text"),
+      new ExpressionInfo(classOf[NormalizeText].getName, "ww_normalize_text"),
+      (children: Seq[Expression]) =>
+        NormalizeText(children.head, children(1), children(2))))
   }
 }

@@ -173,6 +173,10 @@ object Oracles {
       |  ON l.user_id = r.user_id AND l.ts >= r.ts
       |ORDER BY l.event_id""".stripMargin
 
+  val q70: String =
+    """SELECT doc_id, md5(nfc_normalize(text)) AS norm_md5
+      |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
+
   val q69: String =
     """WITH bands(band_id, lo, hi) AS (VALUES
       |  (CAST(1 AS BIGINT), 0.0, 50.0), (CAST(2 AS BIGINT), 25.0, 75.0),
@@ -842,6 +846,7 @@ object Oracles {
       "q67_deduplicate" -> q67,
       "q68_asof_join" -> q68,
       "q69_range_join" -> q69,
+      "q70_normalize" -> q70,
       "q01_pricing_summary" -> q01,
       "q02_describe_lineitem" -> q02,
       "q03_value_counts_orders" -> q03,

@@ -890,6 +890,17 @@ object Queries {
       .orderBy("event_id", "band_id")
   }
 
+  /** Unicode NFC normalization fingerprints (oracle = DuckDB
+    * nfc_normalize; the fixture corpus is ASCII-heavy so this mainly pins
+    * the identity fast path — unicode behavior is spec-tested).
+    */
+  def q70Normalize(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents").where(col("doc_id") < 200)
+    docs.select(col("doc_id"),
+      md5(ops.TextAnalysis.normalizeText(col("text"))).as("norm_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -995,6 +1006,7 @@ object Queries {
     "q66_gopher_rules" -> (q66GopherRules _),
     "q67_deduplicate" -> (q67Deduplicate _),
     "q68_asof_join" -> (q68AsofJoin _),
-    "q69_range_join" -> (q69RangeJoin _)
+    "q69_range_join" -> (q69RangeJoin _),
+    "q70_normalize" -> (q70Normalize _)
   )
 }

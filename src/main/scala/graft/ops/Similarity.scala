@@ -269,11 +269,20 @@ object Similarity {
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("probe", explode(slice(
         distStructs(col("qv"), centroids), 1, nprobe).getField("cluster")))
+    // ADC scoring: the reconstruction appears ONCE (the dot product); the
+    // candidate's norm comes from per-code norms precomputed driver-side
+    // (an m×k literal lookup), so the interpreted decode HOF runs once per
+    // candidate row instead of three times inside cosine()
+    val dec = Quantize.pqDecodeExpr(col("codes"), pq)
+    val codeNormSq = (0 until pq.m).map { i =>
+      val norms = pq.books(i).map(c => c.map(x => x * x).sum).toIndexedSeq
+      element_at(typedlit(norms), element_at(col("codes"), i + 1) + 1)
+    }.reduce(_ + _)
     broadcast(probes)
       .join(index, col("probe") === col("c_cluster") &&
         col("query_id") =!= col("candidate_id"))
       .select(col("query_id"), col("candidate_id"),
-        round(cosine(col("qv"), Quantize.pqDecodeExpr(col("codes"), pq)), 4)
+        round(dot(col("qv"), dec) / (norm(col("qv")) * sqrt(codeNormSq)), 4)
           .as("cosine"))
       .where(col("cosine") >= threshold)
   }

@@ -150,6 +150,32 @@ object TextAnalysis {
     cases.otherwise("unknown")
   }
 
+  /** Unicode normalization of a text column — NFC/NFKC/NFD/NFKD plus
+    * optional diacritic stripping. Uses the native codegen'd
+    * [[graft.expressions.NormalizeText]] when [[graft.GraftExtensions]] is
+    * installed (ASCII rows return without a copy); falls back to a scala
+    * UDF over the same static kernel otherwise — identical output either
+    * way.
+    */
+  def normalizeText(c: Column, form: String = "NFC",
+                    stripAccents: Boolean = false): Column = {
+    val native =
+      try org.apache.spark.sql.SparkSession.active.catalog
+        .functionExists("ww_normalize_text")
+      catch { case _: Throwable => false }
+    if (native)
+      call_function("ww_normalize_text", c, lit(form), lit(stripAccents))
+    else {
+      val f = udf((s: String) =>
+        if (s == null) null
+        else graft.expressions.NormalizeText.norm(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s),
+          org.apache.spark.unsafe.types.UTF8String.fromString(form),
+          stripAccents).toString)
+      f(c)
+    }
+  }
+
   /** Whole-document fingerprint: md5 of whitespace-normalized lowercase text.
     * Cross-engine reproducible (md5 is universal).
     */

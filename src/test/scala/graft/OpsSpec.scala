@@ -61,6 +61,25 @@ class OpsSpec extends SparkSpec {
     assert(out == Set(0L, 2L))
   }
 
+  test("normalizeText: NFC folds composed/decomposed, NFKC folds ligatures") {
+    val composed = "caf\u00e9"        // é as one codepoint
+    val decomposed = "cafe\u0301"     // e + combining acute
+    val df = Seq((1L, composed), (2L, decomposed), (3L, "plain ascii"),
+      (4L, "ﬁle")).toDF("id", "t")     // ﬁ ligature
+    def run(form: String, strip: Boolean) =
+      df.select(col("id"),
+        graft.ops.TextAnalysis.normalizeText(col("t"), form, strip).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val nfc = run("NFC", strip = false)
+    assert(nfc(1L) == nfc(2L) && nfc(1L) == composed)
+    assert(nfc(3L) == "plain ascii")
+    assert(nfc(4L) == "ﬁle")      // NFC keeps compatibility chars
+    val nfkc = run("NFKC", strip = false)
+    assert(nfkc(4L) == "file")              // NFKC folds the ligature
+    val stripped = run("NFC", strip = true)
+    assert(stripped(1L) == "cafe" && stripped(2L) == "cafe")
+  }
+
   test("gopherRules: flags fire per rule, short/symbol-heavy docs fail") {
     val fixture = Seq(
       // 60 clean prose words incl. stopwords → all rules pass
