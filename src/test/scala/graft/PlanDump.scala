@@ -40,7 +40,15 @@ object PlanDump {
       "q53_contamination" ->
         "The benchmark gram side collapses to a BroadcastExchange (eval sets are small) and the corpus side builds grams with the native per-row ww_ngrams expression — tokenizer runs once per row, NO pre-join exchange of any kind — so the corpus streams map-side through the BroadcastHashJoin and only MATCHED gram hits reach the (doc, bench) aggregation shuffle; there is no corpus-wide distinct anywhere.",
       "q57_sessionize" ->
-        "The lag window, the running-sum window and the per-session aggregation all ride ONE hashpartitioning(user_id) exchange: both windows share a spec, and the aggregation's grouping key starts with the partition key so Catalyst inserts no second shuffle.")
+        "The lag window, the running-sum window and the per-session aggregation all ride ONE hashpartitioning(user_id) exchange: both windows share a spec, and the aggregation's grouping key starts with the partition key so Catalyst inserts no second shuffle.",
+      "q58_iloc" ->
+        "Small positional slices compile to TakeOrderedAndProject (per-task bounded heaps, no sort shuffle, no RDD round-trip) plus one bounded window over at most `until` rows — the zipWithIndex full-deserialization path is gone.",
+      "q64_ivf_pq" ->
+        "IVF-PQ: the index side is pure projections (cluster assignment + PQ codes — the raw vectors never shuffle); the probe side broadcasts; scoring is ADC (dot against the one-time decode, candidate norm from a per-code literal lookup). The only exchange after the broadcast join is the presentation sort.",
+      "q68_asof_join" ->
+        "As-of join is the union-sort shape: ONE hashpartitioning(user_id) exchange feeds a single running last() window over (time, side); no range join, no per-key nested loop, no BroadcastNestedLoopJoin anywhere in the plan.",
+      "q69_range_join" ->
+        "Point-in-interval via bin bucketing: intervals explode to covered bins and the match is a bin equi-join + exact containment filter — Spark's default plan for a BETWEEN join (nested loop against every interval) never appears.")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence for headline operators\n\n")
     sb.append("Generated by `graft.PlanDump` (sf0.01, local[8]). Each section: why the\n")
