@@ -95,7 +95,23 @@ object TextAnalysis {
     */
   def gopherRules(df: DataFrame, idCol: String, textCol: String,
                   minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
-    val t = col(textCol)
+    val flags = gopherFlagCols(col(textCol), minWords, maxWords)
+    df.select(col(idCol).as("id") +: flags.map { case (n, c) => c.as(n) }: _*)
+      .withColumn("pass",
+        flags.collect { case (n, _) if n.startsWith("ok_") => col(n) }
+          .reduce(_ && _))
+  }
+
+  /** The single pass/fail conjunction as one predicate column — the shape a
+    * streaming gate or a WHERE clause wants (no join, no extra pass).
+    */
+  def gopherPass(t: Column, minWords: Long = 50L,
+                 maxWords: Long = 100000L): Column =
+    gopherFlagCols(t, minWords, maxWords)
+      .collect { case (n, c) if n.startsWith("ok_") => c }.reduce(_ && _)
+
+  private def gopherFlagCols(t: Column, minWords: Long,
+                             maxWords: Long): Seq[(String, Column)] = {
     val toks = regexp_extract_all(t, lit("\\S+"), lit(0))
     val wc = size(toks).cast(LongType)
     val nonWs = length(regexp_replace(t, "\\s", "")).cast(DoubleType)
@@ -118,20 +134,15 @@ object TextAnalysis {
       array_distinct(transform(toks, w => lower(w))),
       array(GopherStopwords.map(lit): _*))).cast(LongType)
     def guarded(c: Column): Column = when(wc > 0, c).otherwise(lit(false))
-    df.select(col(idCol).as("id"),
-      wc.as("word_count"),
-      (wc >= minWords && wc <= maxWords).as("ok_word_count"),
-      guarded(meanWl.between(3.0, 10.0)).as("ok_mean_word_len"),
-      guarded(symbolRatio <= 0.1).as("ok_symbol_ratio"),
-      (nonBullet / lc >= 0.9).as("ok_bullet_lines"),
-      (ellipsisEnd / lc <= 0.3).as("ok_ellipsis_lines"),
-      guarded(alphaWords / wc.cast(DoubleType) >= 0.8).as("ok_alpha_words"),
-      (stopHits >= 2L).as("ok_stopwords"))
-      .withColumn("pass",
-        col("ok_word_count") && col("ok_mean_word_len") &&
-          col("ok_symbol_ratio") && col("ok_bullet_lines") &&
-          col("ok_ellipsis_lines") && col("ok_alpha_words") &&
-          col("ok_stopwords"))
+    Seq(
+      "word_count" -> wc,
+      "ok_word_count" -> (wc >= minWords && wc <= maxWords),
+      "ok_mean_word_len" -> guarded(meanWl.between(3.0, 10.0)),
+      "ok_symbol_ratio" -> guarded(symbolRatio <= 0.1),
+      "ok_bullet_lines" -> (nonBullet / lc >= 0.9),
+      "ok_ellipsis_lines" -> (ellipsisEnd / lc <= 0.3),
+      "ok_alpha_words" -> guarded(alphaWords / wc.cast(DoubleType) >= 0.8),
+      "ok_stopwords" -> (stopHits >= 2L))
   }
 
   private def markerScore(c: Column, words: Seq[String]): Column =

@@ -91,6 +91,14 @@ object StreamingFrame {
       .withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
       .where(col("quality_score") >= minScore)
 
+  /** Streaming Gopher gate: the rule conjunction is one stateless predicate
+    * projection (never a stream-stream join), so it streams at any rate —
+    * the batch twin with per-rule diagnostics is
+    * [[graft.ops.TextAnalysis.gopherRules]].
+    */
+  def gopherGate(stream: DataFrame, textCol: String): DataFrame =
+    stream.where(TextAnalysis.gopherPass(col(textCol)))
+
   /** Streaming exact-dedup within the watermark horizon: drop rows whose
     * fingerprint already appeared (Spark's dropDuplicates with watermark
     * keeps state bounded — the streaming analog of hash dedup).

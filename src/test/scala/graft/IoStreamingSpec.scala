@@ -170,6 +170,20 @@ class IoStreamingSpec extends SparkSpec {
     q2.stop()
   }
 
+  test("streaming gopher gate drops failing docs statelessly") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val gated = StreamingFrame.gopherGate(mem.toDF().toDF("text"), "text")
+    val q = gated.writeStream.format("memory").queryName("gate")
+      .outputMode("append").start()
+    val good = ("the quick brown fox jumps over that lazy dog with grace and " * 6).trim
+    mem.addData(good, "too few words", "")
+    q.processAllAvailable()
+    val kept = spark.sql("select text from gate").collect().map(_.getString(0))
+    assert(kept.toSeq == Seq(good))
+    q.stop()
+  }
+
   test("streaming sessionize merges gap-joined events; watermark closes sessions") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long)]
