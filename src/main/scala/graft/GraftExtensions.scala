@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{MinhashSig, NgramHashes, NormalizeText, SimhashSig, VectorDot}
+import graft.expressions.{MinhashSig, NgramHashes, NormalizeText, PqEncode, SimhashSig, VectorDot}
 
 /** Engine extension entry point: register native expressions with a session
   * via `spark.sql.extensions=graft.GraftExtensions` (or
@@ -34,5 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NormalizeText].getName, "ww_normalize_text"),
       (children: Seq[Expression]) =>
         NormalizeText(children.head, children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("ww_pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "ww_pq_encode"),
+      (children: Seq[Expression]) => PqEncode(children.head, children(1))))
   }
 }

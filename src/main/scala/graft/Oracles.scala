@@ -177,6 +177,10 @@ object Oracles {
     """SELECT doc_id, md5(nfc_normalize(text)) AS norm_md5
       |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
 
+  val q71: String = graft.ops.Sampling.Sql.mixtureQuery(
+    "documents", "doc_id", "source", graft.Queries.q71Weights, "",
+    "doc_id, d.source") + "\nORDER BY doc_id"
+
   val q69: String =
     """WITH bands(band_id, lo, hi) AS (VALUES
       |  (CAST(1 AS BIGINT), 0.0, 50.0), (CAST(2 AS BIGINT), 25.0, 75.0),
@@ -847,6 +851,7 @@ object Oracles {
       "q68_asof_join" -> q68,
       "q69_range_join" -> q69,
       "q70_normalize" -> q70,
+      "q71_mixture" -> q71,
       "q01_pricing_summary" -> q01,
       "q02_describe_lineitem" -> q02,
       "q03_value_counts_orders" -> q03,

@@ -901,6 +901,22 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Shared by the q71 query and its oracle — insertion order fixes the
+    * float normalization order in both engines.
+    */
+  val q71Weights: scala.collection.immutable.ListMap[String, Double] =
+    scala.collection.immutable.ListMap(
+      "src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.15, "src3" -> 0.1)
+
+  /** Mixture sampling to target source weights (oracle replays the same
+    * rate arithmetic + id-hash membership in SQL).
+    */
+  def q71Mixture(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    ops.Sampling.mixtureSample(docs, "doc_id", "source", q71Weights)
+      .select("doc_id", "source").orderBy("doc_id")
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -1007,6 +1023,7 @@ object Queries {
     "q67_deduplicate" -> (q67Deduplicate _),
     "q68_asof_join" -> (q68AsofJoin _),
     "q69_range_join" -> (q69RangeJoin _),
-    "q70_normalize" -> (q70Normalize _)
+    "q70_normalize" -> (q70Normalize _),
+    "q71_mixture" -> (q71Mixture _)
   )
 }

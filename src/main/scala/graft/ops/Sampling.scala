@@ -72,6 +72,37 @@ object Sampling {
     df.where(hash01(col(idCol), salt) < rate)
   }
 
+  /** Mixture sampling: downsample each source so the surviving corpus
+    * matches the target weights — the "mix web/books/wiki at 60/25/15"
+    * op of a pretraining pipeline. Per-source rates come from one small
+    * count-by-source aggregation: the largest achievable mixture keeps
+    * `T = min_i(n_i / w_i)` total rows, so `rate_i = w_i · T / n_i` (the
+    * scarcest source relative to its weight is kept whole). Row membership
+    * is then the same deterministic id-hash filter as
+    * [[stratifiedSample]] — stable under retries and repartitioning.
+    * Sources absent from the data are dropped from the mixture; rows of
+    * unlisted sources are dropped from the output.
+    */
+  def mixtureSample(df: DataFrame, idCol: String, sourceCol: String,
+                    weights: Map[String, Double],
+                    salt: String = ""): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    val wSum = weights.values.sum
+    val w = weights.view.mapValues(_ / wSum).toMap
+    val counts = df.where(col(sourceCol).isin(w.keys.toSeq: _*))
+      .groupBy(col(sourceCol).cast(StringType).as("s"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = w.filter { case (s, _) => counts.getOrElse(s, 0L) > 0L }
+    require(present.nonEmpty, "no listed source present in the data")
+    val t = present.map { case (s, wi) => counts(s) / wi }.min
+    val rates = present.map { case (s, wi) =>
+      s -> math.min(1.0, wi * t / counts(s))
+    }
+    stratifiedSample(df, idCol, sourceCol, rates, default = 0.0, salt)
+  }
+
   // ------------------------------------------------------------ oracle SQL
   /** DuckDB mirrors of the expressions above (same md5 arithmetic). */
   object Sql {
@@ -86,6 +117,34 @@ object Sampling {
         s"WHEN $h < $hi THEN '$name'"
       }.mkString(" ")
       s"(CASE $whens ELSE '${splits.last._1}' END)"
+    }
+
+    /** [[Sampling.mixtureSample]] replayed in SQL: same normalization
+      * (identical Scala fold over the SAME insertion-ordered map → the
+      * normalized weights embed as bit-exact double literals), same
+      * `min(n/w)` target, same `least(1, w·t/n)` rates, same id-hash
+      * membership — rates land on identical doubles in both engines.
+      * Pass the very same (ordered) map the Spark query uses.
+      */
+    def mixtureQuery(table: String, idCol: String, sourceCol: String,
+                     weights: Map[String, Double], salt: String,
+                     select: String): String = {
+      val wSum = weights.values.sum
+      val w = weights.view.mapValues(_ / wSum).toMap
+      val inList = weights.keys.map(s => s"'$s'").mkString("(", ",", ")")
+      def wCase(col: String) = "CASE " + col +
+        weights.keys.map(s => s" WHEN '$s' THEN CAST(${w(s)} AS DOUBLE)")
+          .mkString + " END"
+      s"""WITH n AS (
+         |  SELECT CAST($sourceCol AS VARCHAR) AS s, count(*) AS n
+         |  FROM $table WHERE CAST($sourceCol AS VARCHAR) IN $inList
+         |  GROUP BY 1),
+         |t AS (SELECT min(n / (${wCase("s")})) AS t FROM n),
+         |r AS (SELECT s, least(CAST(1.0 AS DOUBLE), (${wCase("s")}) * t.t / n) AS rate
+         |      FROM n, t)
+         |SELECT $select FROM $table d
+         |JOIN r ON CAST(d.$sourceCol AS VARCHAR) = r.s
+         |WHERE ${hash01(s"d.$idCol", salt)} < r.rate""".stripMargin
     }
   }
 }

@@ -86,6 +86,27 @@ class QuantizeSpec extends SparkSpec {
     assert(approx == expected)
   }
 
+  test("native ww_pq_encode matches the array_sort fallback path") {
+    val df = pqFixture
+    val pq = Quantize.trainPq(df, "vec", dim = 8, m = 4, k = 4, seed = 42L)
+    val native = Quantize.pqEncode(df, "vec", pq).select("id", "codes")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // rebuild the fallback expression directly (bypasses the registry probe)
+    val v = transform(col("vec"), x => x.cast("double"))
+    val fallback = array((0 until pq.m).map { i =>
+      val cands = array(pq.books(i).zipWithIndex.map { case (c, j) =>
+        val cc = c.map(x => x * x).sum
+        val dotc = (0 until pq.subDim).map(d =>
+          element_at(v, i * pq.subDim + d + 1) * lit(c(d))).reduce(_ + _)
+        struct((lit(cc) - dotc * 2).as("d"), lit(j).as("c"))
+      }: _*)
+      element_at(array_sort(cands), 1).getField("c")
+    }: _*)
+    val fb = df.select(col("id"), fallback.as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(native == fb)
+  }
+
   test("IVF-PQ search finds same-cluster neighbors with quantized scores") {
     val df = pqFixture
     val centroids = graft.ops.Similarity.trainCentroids(df, "vec", k = 4,
