@@ -235,6 +235,43 @@ object Dedup {
                         idCol2: String = "id_2",
                         maxIter: Int = 20): DataFrame = {
     val e0 = pairs.select(col(idCol1).as("a"), col(idCol2).as("b"))
+    // near-dup pair sets are tiny relative to the corpus (every pair IS a
+    // duplicate); below the bound a driver-side union-find replaces ~10
+    // tiny Spark jobs (edge checkpoint + per-round join/agg/count) with one
+    // collect — same result, constant factor down. The distributed rounds
+    // below remain the path for adversarially dense pair sets.
+    val smallBound = 1000000L
+    val longIds = e0.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType)
+    val head =
+      if (longIds) e0.limit((smallBound + 1).toInt).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    if (longIds && head.length <= smallBound) {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+        }
+        r
+      }
+      head.foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          // union by min so the representative is the smallest member id
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+        parent.getOrElseUpdate(a, find(a)); parent.getOrElseUpdate(b, find(b))
+      }
+      val ids = head.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return ids.map(id => (id, find(id))).toSeq
+        .toDF("id", "cluster_id")
+    }
     val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
       .distinct().localCheckpoint(eager = true)
     // round 0: every node takes min(self, smallest direct neighbor)

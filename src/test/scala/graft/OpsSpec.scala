@@ -53,6 +53,19 @@ class OpsSpec extends SparkSpec {
     assert(out.size == 15)
   }
 
+  test("duplicateClusters distributed rounds (non-long ids) match union-find") {
+    // string ids bypass the driver union-find fast path and run the
+    // min-label propagation rounds; same component structure as the long
+    // fixture, labels are lexicographic minima
+    val pairs = (Seq(("a1", "a2"), ("a2", "a3"), ("b1", "b2")) ++
+      (10 until 19).map(i => (s"c$i", s"c${i + 1}"))).toDF("id_1", "id_2")
+    val out = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("a1") == "a1" && out("a2") == "a1" && out("a3") == "a1")
+    assert(out("b1") == "b1" && out("b2") == "b1")
+    assert((10 to 19).forall(i => out(s"c$i") == "c10"))
+  }
+
   test("deduplicate keeps one representative per near-dup cluster") {
     val out = Dedup.deduplicate(docs, "doc_id", "text", threshold = 0.5)
       .select("doc_id").collect().map(_.getLong(0)).toSet
