@@ -30,6 +30,67 @@ class PropertySpec extends SparkSpec {
       Gen.alphaNumStr.map(_.take(12)),
       Gen.oneOf("2024-01-02", "01/15/2024", "not a date")))
 
+  test("property: asofJoin equals the per-row reference on random data") {
+    // random trades/quotes with duplicate timestamps and unmatched keys;
+    // the reference is the direct definition: max right time <= left time
+    val caseGen = for {
+      nq <- Gen.choose(0, 25)
+      nt <- Gen.choose(1, 25)
+      quotes <- Gen.listOfN(nq, for {
+        k <- Gen.choose(1L, 4L); t <- Gen.choose(0L, 50L)
+        p <- Gen.choose(1, 999)
+      } yield (k, t, p.toDouble))
+      trades <- Gen.listOfN(nt, for {
+        k <- Gen.choose(1L, 5L); t <- Gen.choose(0L, 50L)
+      } yield (k, t))
+    } yield (quotes, trades.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) })
+    forSamples(caseGen, 12) { case (quotes, trades) =>
+      // de-dup (key, ts) on the right: with ties the matched PRICE is
+      // tie-ambiguous in both the operator and the reference; keep the
+      // max-price row per (key, ts) to make the expectation well-defined
+      val q = quotes.groupBy(p => (p._1, p._2)).map(_._2.maxBy(_._3)).toSeq
+      val qDf = q.toDF("key", "qts", "price")
+      val tDf = trades.toDF("trade_id", "key", "tts")
+      val got = graft.ops.AsofJoin.asofJoin(tDf, qDf, Seq("key"), "tts", "qts",
+        Seq("price")).collect()
+        .map(r => r.getAs[Long]("trade_id") ->
+          Option(r.getAs[java.lang.Double]("price_right")).map(_.toDouble))
+        .toMap
+      val expected = trades.map { case (id, k, t) =>
+        val cands = q.filter(p => p._1 == k && p._2 <= t)
+        id -> (if (cands.isEmpty) None
+               else Some(cands.maxBy(p => (p._2, p._3))._3))
+      }.toMap
+      assert(got == expected, s"quotes=$q trades=$trades")
+    }
+  }
+
+  test("property: rangeJoin equals the exact BETWEEN join on random data") {
+    val caseGen = for {
+      np <- Gen.choose(1, 40)
+      ni <- Gen.choose(1, 8)
+      points <- Gen.listOfN(np, Gen.choose(-100.0, 100.0))
+      ivs <- Gen.listOfN(ni, for {
+        lo <- Gen.choose(-120.0, 110.0); w <- Gen.choose(0.0, 60.0)
+      } yield (lo, lo + w))
+      bw <- Gen.oneOf(1.0, 7.3, 50.0)
+    } yield (points.zipWithIndex.map { case (x, i) => (i.toLong, x) },
+      ivs.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }, bw)
+    forSamples(caseGen, 12) { case (points, ivs, bw) =>
+      val pDf = points.toDF("pid", "x")
+      val iDf = ivs.toDF("iv_id", "lo", "hi")
+      val got = graft.ops.RangeJoin.pointInInterval(pDf, "x", iDf,
+        "lo", "hi", binWidth = bw).select("pid", "iv_id_iv").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val expected = for {
+        (pid, x) <- points; (ivId, lo, hi) <- ivs
+        if x >= lo && x <= hi
+      } yield (pid, ivId)
+      assert(got.sorted == expected.sorted, s"bw=$bw ivs=$ivs")
+      assert(got.size == got.distinct.size) // exactly-once candidates
+    }
+  }
+
   test("property: transform is idempotent for every scalar logical type") {
     val types = Seq[LT](LT.Double, LT.IntegerNullable, LT.Integer, LT.BooleanT(),
       LT.BooleanNullable, LT.Categorical, LT.EmailAddress, LT.URL,
