@@ -837,6 +837,109 @@ object Oracles {
       |(CAST(9 AS BIGINT),CAST(49 AS BIGINT),CAST(0.3522 AS DOUBLE))
       |) AS t(query_id, candidate_id, cosine) ORDER BY query_id, candidate_id""".stripMargin
 
+  /** Per-source top-5 by quality score, ties broken by doc_id. */
+  val q72: String = {
+    val S = graft.ops.TextAnalysis.Sql
+    s"""WITH s AS (SELECT source, doc_id, ${S.qualityScore("text")} AS score
+       |           FROM documents),
+       |r AS (SELECT source, doc_id, score,
+       |      CAST(row_number() OVER (PARTITION BY source
+       |        ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank FROM s)
+       |SELECT source, doc_id, score, rank FROM r WHERE rank <= 5
+       |ORDER BY source, rank""".stripMargin
+  }
+
+  /** C4-style repeated-line removal over the q49 boilerplate fixture. */
+  val q73: String =
+    """WITH src AS (SELECT doc_id,
+      |  substr(text, 1, 50) || chr(10) ||
+      |  CASE WHEN doc_id % 2 = 0 THEN 'subscribe to our newsletter'
+      |       ELSE 'unique line ' || CAST(doc_id AS VARCHAR) END || chr(10) ||
+      |  CASE WHEN doc_id % 5 = 0 THEN 'all rights reserved'
+      |       ELSE 'tail ' || CAST(doc_id AS VARCHAR) END AS txt
+      |  FROM documents WHERE doc_id < 100),
+      |d AS (SELECT doc_id, string_split(txt, chr(10)) AS ls FROM src),
+      |l AS (SELECT doc_id, unnest(ls) AS line,
+      |             unnest(range(1, len(ls) + 1)) AS pos FROM d),
+      |bad AS (SELECT trim(line) AS bl FROM l WHERE trim(line) <> ''
+      |        GROUP BY 1 HAVING count(DISTINCT doc_id) >= 10),
+      |kept AS (SELECT doc_id, pos, line FROM l
+      |         WHERE trim(line) NOT IN (SELECT bl FROM bad)),
+      |a AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+      |      count(*) AS n_kept FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+      |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+      |  CAST(len(d.ls) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+      |FROM d LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** Add-1 bigram LM scores (same window-count formulation as the Spark
+    * plan: per-gram and per-context counts over the shared gram table).
+    */
+  val q77: String =
+    """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+      |           FROM documents WHERE doc_id < 200),
+      |v AS (SELECT count(DISTINCT tok) AS vv
+      |      FROM (SELECT unnest(toks) AS tok FROM t)),
+      |g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      |        i -> toks[i] || ' ' || toks[i+1])) AS gram
+      |      FROM t WHERE len(toks) >= 2),
+      |c AS (SELECT doc_id, gram, string_split(gram, ' ')[1] AS ctx FROM g),
+      |w AS (SELECT doc_id,
+      |        count(*) OVER (PARTITION BY gram) AS c_bigram,
+      |        count(*) OVER (PARTITION BY ctx) AS c_ctx FROM c)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  round(avg(log2((c_bigram + 1.0) /
+      |    (c_ctx + 1.0 * (SELECT vv FROM v)))), 4) AS lm_score
+      |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Pinned q74 Bloom-decontamination hits (xxhash64 is not portable to the
+    * oracle engine; the filter is deterministic — regenerate via
+    * tools/oraclegen.py).
+    */
+  val q74Pinned: String =
+    """SELECT * FROM (VALUES
+      |(CAST(0 AS BIGINT),CAST(21 AS BIGINT)),
+      |(CAST(10 AS BIGINT),CAST(21 AS BIGINT)),
+      |(CAST(20 AS BIGINT),CAST(21 AS BIGINT)),
+      |(CAST(30 AS BIGINT),CAST(20 AS BIGINT)),
+      |(CAST(40 AS BIGINT),CAST(20 AS BIGINT)),
+      |(CAST(50 AS BIGINT),CAST(22 AS BIGINT)),
+      |(CAST(60 AS BIGINT),CAST(21 AS BIGINT)),
+      |(CAST(70 AS BIGINT),CAST(24 AS BIGINT)),
+      |(CAST(80 AS BIGINT),CAST(21 AS BIGINT)),
+      |(CAST(90 AS BIGINT),CAST(13 AS BIGINT))
+      |) AS t(doc_id, bloom_hits) ORDER BY doc_id""".stripMargin
+
+  /** Pinned q75 distributed k-means summary (seeded init; regenerate via
+    * tools/oraclegen.py).
+    */
+  val q75Pinned: String =
+    """SELECT * FROM (VALUES
+      |(CAST(0 AS BIGINT),CAST(57 AS BIGINT),CAST(52.9189 AS DOUBLE)),
+      |(CAST(1 AS BIGINT),CAST(54 AS BIGINT),CAST(49.6945 AS DOUBLE)),
+      |(CAST(2 AS BIGINT),CAST(69 AS BIGINT),CAST(63.9834 AS DOUBLE)),
+      |(CAST(3 AS BIGINT),CAST(48 AS BIGINT),CAST(44.126 AS DOUBLE)),
+      |(CAST(4 AS BIGINT),CAST(66 AS BIGINT),CAST(60.7601 AS DOUBLE)),
+      |(CAST(5 AS BIGINT),CAST(66 AS BIGINT),CAST(61.784 AS DOUBLE)),
+      |(CAST(6 AS BIGINT),CAST(64 AS BIGINT),CAST(60.0355 AS DOUBLE)),
+      |(CAST(7 AS BIGINT),CAST(76 AS BIGINT),CAST(70.5931 AS DOUBLE))
+      |) AS t(cluster, n, inertia) ORDER BY cluster""".stripMargin
+
+  /** Pinned q76 SemDeDup summary (seeded k-means + LSH-free within-cluster
+    * pairs; regenerate via tools/oraclegen.py).
+    */
+  val q76Pinned: String =
+    """SELECT * FROM (VALUES
+      |(CAST(0 AS BIGINT),CAST(57 AS BIGINT),CAST(1 AS BIGINT)),
+      |(CAST(1 AS BIGINT),CAST(54 AS BIGINT),CAST(3 AS BIGINT)),
+      |(CAST(2 AS BIGINT),CAST(69 AS BIGINT),CAST(7 AS BIGINT)),
+      |(CAST(3 AS BIGINT),CAST(48 AS BIGINT),CAST(3 AS BIGINT)),
+      |(CAST(4 AS BIGINT),CAST(66 AS BIGINT),CAST(4 AS BIGINT)),
+      |(CAST(5 AS BIGINT),CAST(66 AS BIGINT),CAST(1 AS BIGINT)),
+      |(CAST(6 AS BIGINT),CAST(64 AS BIGINT),CAST(1 AS BIGINT)),
+      |(CAST(7 AS BIGINT),CAST(76 AS BIGINT),CAST(4 AS BIGINT))
+      |) AS t(cluster, n, n_dropped) ORDER BY cluster""".stripMargin
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q07_mutual_info_orders" -> q07Pinned,
@@ -852,6 +955,12 @@ object Oracles {
       "q69_range_join" -> q69,
       "q70_normalize" -> q70,
       "q71_mixture" -> q71,
+      "q72_topk_source" -> q72,
+      "q73_line_dedup" -> q73,
+      "q74_bloom_contamination" -> q74Pinned,
+      "q75_kmeans" -> q75Pinned,
+      "q76_semdedup" -> q76Pinned,
+      "q77_lm_score" -> q77,
       "q01_pricing_summary" -> q01,
       "q02_describe_lineitem" -> q02,
       "q03_value_counts_orders" -> q03,

@@ -917,6 +917,87 @@ object Queries {
       .select("doc_id", "source").orderBy("doc_id")
   }
 
+  /** Per-source top-5 documents by quality score (deterministic doc_id
+    * tie-break) — the best-per-source curation pass.
+    */
+  def q72TopkSource(s: SparkSession, dir: String): DataFrame =
+    ops.Corpus.topKPerGroup(table(s, dir, "documents"), "source", "doc_id",
+        ops.TextAnalysis.qualityScore(col("text")), k = 5)
+      .select(col("grp").as("source"), col("id").as("doc_id"),
+        col("score"), col("rank"))
+      .orderBy("source", "rank")
+
+  /** C4-style repeated-line removal over the q49 boilerplate fixture: the
+    * planted lines vanish from every document, unique lines survive.
+    */
+  def q73LineDedup(s: SparkSession, dir: String): DataFrame = {
+    val k = col("doc_id")
+    val ks = k.cast(StringType)
+    val txt = concat_ws("\n", substring(col("text"), 1, 50),
+      when(k % 2 === 0, lit("subscribe to our newsletter"))
+        .otherwise(concat(lit("unique line "), ks)),
+      when(k % 5 === 0, lit("all rights reserved"))
+        .otherwise(concat(lit("tail "), ks)))
+    val docs = table(s, dir, "documents").where(k < 100)
+      .select(k, txt.as("txt"))
+    ops.TextAnalysis.removeDuplicateLines(docs, "doc_id", "txt", minDocs = 10)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** Bloom-filter decontamination over the q53 fixture: corpus documents
+    * whose 5-gram hashes hit the benchmark Bloom filter (1M bits, 5
+    * hashes). Zero false negatives by construction, so every q53
+    * contaminated document appears; the pinned oracle freezes the (near
+    * certainly absent at this sizing) false-positive tail too.
+    */
+  def q74BloomContamination(s: SparkSession, dir: String): DataFrame = {
+    val corpus = table(s, dir, "documents").where(col("doc_id") < 200)
+    val bench = table(s, dir, "documents")
+      .where(col("doc_id") < 100 && col("doc_id") % 10 === 0)
+      .select((col("doc_id") / 10).cast(LongType).as("bench_id"),
+        substring(col("text"), 30, 150).as("bench_text"))
+    val bits = ops.Corpus.buildGramBloom(bench, "bench_id", "bench_text",
+      n = 5, numBits = 1 << 20, numHashes = 5)
+    corpus.select(col("doc_id"),
+        ops.Corpus.bloomHits(s, "text", 5, bits, numHashes = 5)
+          .cast(LongType).as("bloom_hits"))
+      .where(col("bloom_hits") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** Distributed Lloyd k-means over the embeddings table: per-cluster size
+    * and inertia after 5 iterations from the seeded init.
+    */
+  def q75Kmeans(s: SparkSession, dir: String): DataFrame =
+    ops.Similarity.kmeansSummary(table(s, dir, "embeddings"), "embedding",
+        k = 8, iters = 5, seed = 42L)
+      .select(col("cluster").cast(LongType).as("cluster"), col("n"),
+        col("inertia"))
+      .orderBy("cluster")
+
+  /** SemDeDup over the embeddings table (tau scaled to the synthetic
+    * fixture's cosine range): per-k-means-cluster population and dropped
+    * near-duplicate count.
+    */
+  def q76SemDedup(s: SparkSession, dir: String): DataFrame =
+    ops.Similarity.semanticDedup(table(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 8, tau = 0.4, iters = 5, seed = 42L)
+      .groupBy(col("cluster").cast(LongType).as("cluster"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(!col("keep"), lit(1L)).otherwise(lit(0L))).as("n_dropped"))
+      .orderBy("cluster")
+
+  /** Add-1 bigram LM scores over a corpus slice — the KenLM-perplexity
+    * proxy, trained and scored in one plan.
+    */
+  def q77LmScore(s: SparkSession, dir: String): DataFrame =
+    ops.Corpus.bigramLmScores(
+        table(s, dir, "documents").where(col("doc_id") < 200),
+        "doc_id", "text", addK = 1.0)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -1024,6 +1105,12 @@ object Queries {
     "q68_asof_join" -> (q68AsofJoin _),
     "q69_range_join" -> (q69RangeJoin _),
     "q70_normalize" -> (q70Normalize _),
-    "q71_mixture" -> (q71Mixture _)
+    "q71_mixture" -> (q71Mixture _),
+    "q72_topk_source" -> (q72TopkSource _),
+    "q73_line_dedup" -> (q73LineDedup _),
+    "q74_bloom_contamination" -> (q74BloomContamination _),
+    "q75_kmeans" -> (q75Kmeans _),
+    "q76_semdedup" -> (q76SemDedup _),
+    "q77_lm_score" -> (q77LmScore _)
   )
 }

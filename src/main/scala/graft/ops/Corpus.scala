@@ -155,6 +155,132 @@ object Corpus {
     else coalesce(size(filter(grams, g => g.isInCollection(gramSet))), lit(0))
   }
 
+  /** Bigram language-model scoring — the engine-portable proxy for the
+    * KenLM perplexity filter (CCNet, Wenzek et al. 2020): train add-k
+    * smoothed bigram counts on the corpus itself, then score each document
+    * by its mean log2 bigram probability
+    * `P(w2|w1) = (c(w1,w2) + k) / (c(w1,*) + k*V)` with V the distinct
+    * unigram vocabulary. Higher scores read as "more typical of the
+    * corpus"; the quality gate drops the low tail.
+    *
+    * Plan shape: "train" and "score" share one pass over the gram table —
+    * the per-gram and per-context counts are partition-window counts
+    * (shuffle keys: gram hash, then context hash), so the corpus is
+    * tokenized ONCE and nothing round-trips through a driver-side model.
+    * At 100 TB the count windows shuffle the gram table twice and the
+    * final per-document aggregation once; the model never needs to fit
+    * anywhere — it exists only as window state. V (vocabulary size) is the
+    * one eager scalar, a distinct-count over exploded tokens.
+    *
+    * Output: (id, n_bigrams, lm_score) for documents with ≥ 1 bigram.
+    */
+  def bigramLmScores(df: DataFrame, idCol: String, textCol: String,
+                     addK: Double = 1.0): DataFrame = {
+    val vocab = df.select(
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .agg(count_distinct(col("tok")))
+      .head().getLong(0)
+    val grams = gramTable(df, idCol, textCol, 2)
+      .select(col("id"), col("gram"),
+        substring_index(col("gram"), " ", 1).as("ctx"))
+    val wGram = Window.partitionBy(col("gram"))
+    val wCtx = Window.partitionBy(col("ctx"))
+    val p = (col("c_bigram") + lit(addK)) /
+      (col("c_ctx") + lit(addK) * lit(vocab.toDouble))
+    grams
+      .withColumn("c_bigram", count(lit(1)).over(wGram))
+      .withColumn("c_ctx", count(lit(1)).over(wCtx))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log2(p)), 4).as("lm_score"))
+  }
+
+  /** Per-group top-k curation: keep the `k` best rows per group under
+    * `scoreCol` — the "best documents per source/domain" pass that follows
+    * quality scoring in a pretraining pipeline. Ties break on ascending id
+    * so the selection is deterministic across engines and retries.
+    *
+    * Plan shape: one shuffle on the group key, then a partition-local sort
+    * feeding a streaming `row_number` — rank-k selection never materializes
+    * a group in memory beyond the sort spill machinery, and nothing
+    * resembling a per-group self-join or max-subquery appears. At 100 TB
+    * the group key (source/domain) has moderate cardinality and heavy skew;
+    * the window sort is external (spills), so a hot domain slows its own
+    * task but cannot OOM it.
+    *
+    * Output: (group, id, score, rank) with rank in [1, k].
+    */
+  def topKPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                   score: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("score").desc, col("id").asc)
+    df.select(col(groupCol).as("grp"), col(idCol).as("id"),
+        score.as("score"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= k)
+  }
+
+  /** Deterministic k-hash Bloom filter over a benchmark's distinct n-gram
+    * hashes — the constant-memory alternative to [[benchmarkGramSet]] when
+    * the contamination side is itself large (deduplicating a new crawl
+    * against last year's multi-billion-gram corpus: an exact set no longer
+    * broadcasts, a 1M-bit Bloom always does). Bit positions come from
+    * seeded xxhash64 (Kirsch–Mitzenmacher-style independent seeds), so the
+    * filter is reproducible across engines and sessions.
+    *
+    * `numBits` must be a power of two. Returns the packed bitset
+    * (little-endian within each word: bit i of word w = position w*64+i).
+    */
+  def buildGramBloom(bench: DataFrame, idCol: String, textCol: String,
+                     n: Int, numBits: Int = 1 << 20,
+                     numHashes: Int = 5): Array[Long] = {
+    require(numBits > 0 && (numBits & (numBits - 1)) == 0,
+      s"numBits must be a power of two, got $numBits")
+    val g = gramTable(bench, idCol, textCol, n)
+      .select(md5(col("gram")).as("g")).distinct()
+    val positions = g.select(explode(array((0 until numHashes).map(i =>
+        pmod(xxhash64(lit(i), col("g")), lit(numBits))): _*)).as("p"))
+      .distinct()
+      .collect().map(_.getLong(0))
+    val bits = new Array[Long](numBits / 64)
+    positions.foreach(p => bits((p >> 6).toInt) |= (1L << (p & 63)))
+    bits
+  }
+
+  /** Per-row count of word n-grams that HIT the Bloom filter (possible
+    * contamination; false-positive rate set by the filter sizing, zero
+    * false negatives). A pure scalar pipeline like [[contaminationHits]]:
+    * the bitset rides the plan as ONE array literal (no per-element codegen,
+    * no join, no shuffle), each gram tests `numHashes` indexed bit probes —
+    * so the corpus side streams, on batch or on a stream.
+    */
+  def bloomHits(spark: org.apache.spark.sql.SparkSession, textCol: String,
+                n: Int, bits: Array[Long],
+                numHashes: Int = 5): org.apache.spark.sql.Column = {
+    val numBits = bits.length * 64
+    val bitsLit = typedlit(bits.toSeq)
+    val grams =
+      if (spark.sessionState.catalog.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier("ww_ngrams")))
+        call_function("ww_ngrams", TextAnalysis.tokens(col(textCol)), lit(n))
+      else {
+        val toks = TextAnalysis.tokens(col(textCol))
+        array_distinct(when(size(toks) >= n,
+          transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+            md5(concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))))
+          .otherwise(array().cast(ArrayType(StringType))))
+      }
+    def bitSet(g: org.apache.spark.sql.Column, i: Int) = {
+      val p = pmod(xxhash64(lit(i), g), lit(numBits.toLong))
+      val word = element_at(bitsLit, shiftright(p, 6).cast(IntegerType) + 1)
+      call_function("shiftright", word, (p % 64).cast(IntegerType))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }
+    coalesce(size(filter(grams, g =>
+      (0 until numHashes).map(i => bitSet(g, i)).reduce(_ && _))), lit(0))
+  }
+
   /** Regex for pulling URLs out of running text (the config validation
     * pattern, which is anchored-free already) and the host capture.
     */

@@ -248,6 +248,87 @@ object Similarity {
       .where(col("cosine") >= threshold)
   }
 
+  /** Distributed Lloyd k-means over the FULL table (vs [[trainCentroids]],
+    * which fits on a bounded driver sample for quantizer training): each
+    * iteration is ONE Spark job — assignment is a codegen'd projection
+    * against the broadcast-as-literal centroids, and the update is a
+    * k-row aggregate of per-dimension means — so the cluster-side state is
+    * k×(dim+1) scalars per task and the driver holds k×dim doubles, at any
+    * data scale. Init draws k seeded sample vectors ([[sampleVectors]]);
+    * empty clusters keep their previous centroid, matching
+    * [[kmeansLocal]].
+    */
+  def kmeansFit(df: DataFrame, vecCol: String, k: Int, iters: Int = 5,
+                seed: Long = 42L): Array[Array[Double]] = {
+    var centroids = sampleVectors(df, vecCol, k, seed)
+    require(centroids.length == k,
+      s"need at least k=$k non-null vectors, got ${centroids.length}")
+    val dim = centroids.head.length
+    val vecs = df.select(asDouble(col(vecCol)).as("v"))
+    for (_ <- 0 until iters) {
+      val upd = vecs
+        .withColumn("cluster",
+          element_at(distStructs(col("v"), centroids), 1).getField("cluster"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"),
+          (0 until dim).map(i => avg(element_at(col("v"), i + 1)).as(s"m$i")): _*)
+        .collect()
+      val next = centroids.map(_.clone())
+      upd.foreach { r =>
+        val c = r.getInt(0)
+        next(c) = Array.tabulate(dim)(i => r.getDouble(i + 2))
+      }
+      centroids = next
+    }
+    centroids
+  }
+
+  /** Per-cluster k-means fit summary: size and inertia (within-cluster sum
+    * of squared distance) under the final [[kmeansFit]] centroids. The
+    * exact squared distance reuses the sorted proxy (‖c‖² − 2·v·c) plus the
+    * row's own ‖v‖² — one projection, one k-row aggregate.
+    *
+    * Output: (cluster, n, inertia) — the corpus-clustering profile that
+    * fronts SemDeDup / source-mix analyses.
+    */
+  def kmeansSummary(df: DataFrame, vecCol: String, k: Int, iters: Int = 5,
+                    seed: Long = 42L): DataFrame = {
+    val centroids = kmeansFit(df, vecCol, k, iters, seed)
+    val best = element_at(distStructs(col("v"), centroids), 1)
+    df.select(asDouble(col(vecCol)).as("v"))
+      .select(best.getField("cluster").as("cluster"),
+        (dot(col("v"), col("v")) + best.getField("d")).as("sqdist"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"), round(sum(col("sqdist")), 4).as("inertia"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication = cluster the
+    * embedding space (k-means), then within each cluster drop all but one
+    * of every group of near-identical vectors (cosine ≥ `tau`, grouped
+    * transitively, min-id canonical). The two scale levers compose: the
+    * k-means pass bounds candidate generation to within-cluster pairs, and
+    * the within-cluster self-join is skew-guarded ([[SkewJoin.selfPairs]])
+    * so a dense cluster grid-splits instead of exploding one task.
+    *
+    * Output: one row per input vector — (id, cluster, keep) — the dedup
+    * verdict joined back onto the full population.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int, tau: Double, iters: Int = 5,
+                    seed: Long = 42L): DataFrame = {
+    val centroids = kmeansFit(df, vecCol, k, iters, seed)
+    val assigned = ivfAssign(df, idCol, vecCol, centroids)
+    val pairs = SkewJoin.selfPairs(assigned, Seq("cluster"), "id", Seq("v"))
+      .select(col("x_id").as("id_1"), col("y_id").as("id_2"),
+        round(cosine(col("x_v"), col("y_v")), 4).as("cosine"))
+      .where(col("cosine") >= tau)
+    val verdicts = Dedup.duplicateClusters(pairs)
+      .select(col("id").as("d_id"), col("cluster_id").as("canonical"))
+    assigned.join(verdicts, col("id") === col("d_id"), "left")
+      .select(col("id"), col("cluster"),
+        coalesce(col("canonical") === col("id"), lit(true)).as("keep"))
+  }
+
   /** IVF-PQ search: the index side stores (cluster, PQ codes) — never the
     * raw vectors, which is what makes a 100 TB embedding index fit in a
     * fraction of the data's footprint. Queries probe `nprobe` coarse cells

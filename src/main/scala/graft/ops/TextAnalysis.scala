@@ -308,6 +308,51 @@ object TextAnalysis {
       .agg(count_distinct(col("id")).as("n_docs"), count(lit(1)).as("n_lines"))
       .where(col("n_docs") >= minDocs)
 
+  /** C4-style repeated-line removal: strips, from EVERY document, each line
+    * whose trimmed form appears in at least `minDocs` distinct documents
+    * (the [[duplicateLines]] detection turned into the transform — Raffel
+    * et al. 2020 §2.2 dedup the corpus at the line level before training).
+    *
+    * Plan shape for 100 TB: the repeated-line table is tiny relative to the
+    * corpus (it IS the boilerplate tail), so removal is a broadcast
+    * left-anti join — the exploded corpus streams map-side; the only full
+    * shuffles are the line-count groupBy (key = line) and the per-document
+    * reassembly groupBy (key = id). Reassembly sorts each document's
+    * surviving lines by original position inside a bounded per-row array,
+    * not a corpus-wide sort.
+    *
+    * Output: (id, clean_text, n_kept, n_removed); documents whose every
+    * line was boilerplate survive with empty text, keeping the row set
+    * stable for downstream joins.
+    */
+  def removeDuplicateLines(df: DataFrame, idCol: String, textCol: String,
+                           minDocs: Int = 2, sep: String = "\n"): DataFrame = {
+    val sepQ = java.util.regex.Pattern.quote(sep)
+    val lines = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), sepQ)).as(Seq("pos", "line")))
+    val bad = lines
+      .select(trim(col("line")).as("bad_line"), col("id"))
+      .where(col("bad_line") =!= "")
+      .groupBy(col("bad_line"))
+      .agg(count_distinct(col("id")).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .select(col("bad_line"))
+    val kept = lines.join(broadcast(bad),
+      trim(col("line")) === col("bad_line"), "left_anti")
+    val agg = kept.groupBy(col("id")).agg(
+      array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s("line")), sep).as("clean_text"),
+      count(lit(1)).as("n_kept"))
+    df.select(col(idCol).as("id"),
+        size(split(col(textCol), sepQ)).cast(LongType).as("n_lines"))
+      .join(agg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Per-document n-gram repetition score: 1 − distinct/total word n-grams
     * (0 = no repetition) — the classic "repetitious junk" quality signal.
     * Exploded windowed grams (duplicates KEPT, unlike the shingle table) so

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Corpus, Dedup, Similarity, TextAnalysis}
+
+/** Round-4 pipeline operators: per-group top-k curation, repeated-line
+  * removal, bigram LM scoring, Bloom decontamination, distributed k-means,
+  * and SemDeDup.
+  */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("topKPerGroup: k best per group, deterministic id tie-break") {
+    val df = Seq(
+      ("a", 1L, 0.5), ("a", 2L, 0.9), ("a", 3L, 0.9), ("a", 4L, 0.1),
+      ("b", 5L, 0.7)).toDF("g", "id", "s")
+    val out = Corpus.topKPerGroup(df, "g", "id", col("s"), k = 2)
+      .orderBy("grp", "rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    // ties on 0.9 resolve to the smaller id first
+    assert(out.toSeq == Seq(("a", 2L, 1L), ("a", 3L, 2L), ("b", 5L, 1L)))
+  }
+
+  test("removeDuplicateLines: repeated lines vanish everywhere, order kept") {
+    val df = Seq(
+      (1L, "keep one\nboilerplate\nkeep two"),
+      (2L, "boilerplate\nunique here"),
+      (3L, "  boilerplate  \nlast doc"),
+      (4L, "boilerplate")).toDF("id", "text")
+    val cleaned = TextAnalysis.removeDuplicateLines(df, "id", "text", minDocs = 3)
+      .orderBy("id").collect()
+    assert(cleaned.map(_.getString(1)).toSeq ==
+      Seq("keep one\nkeep two", "unique here", "last doc", ""))
+    assert(cleaned.map(_.getLong(3)).toSeq == Seq(1L, 1L, 1L, 1L)) // n_removed
+  }
+
+  test("removeDuplicateLines: trimmed-form matching, empty lines survive") {
+    val df = Seq(
+      (1L, "a\n\nb\nspam"), (2L, " spam \nc\n\nd"), (3L, "spam\ne")).toDF("id", "text")
+    val out = TextAnalysis.removeDuplicateLines(df, "id", "text", minDocs = 3)
+      .orderBy("id").collect()
+    // 'spam' matches via trim in doc 2; empty lines are never counted as dups
+    assert(out.map(_.getString(1)).toSeq == Seq("a\n\nb", "c\n\nd", "e"))
+  }
+
+  test("bigramLmScores: add-1 probabilities match hand arithmetic") {
+    // corpus: doc1 = "a b a b", doc2 = "a b c"; V = 3 (a, b, c)
+    // bigram counts: (a b)=3, (b a)=1, (b c)=1; ctx counts: a=3, b=2
+    val df = Seq((1L, "a b a b"), (2L, "a b c")).toDF("id", "text")
+    val out = Corpus.bigramLmScores(df, "id", "text", addK = 1.0)
+      .orderBy("id").collect()
+    def lg(p: Double) = math.log(p) / math.log(2.0)
+    // doc1 grams: (a b), (b a), (a b) → p = 4/6, 2/5, 4/6
+    val d1 = (lg(4.0 / 6) + lg(2.0 / 5) + lg(4.0 / 6)) / 3
+    // doc2 grams: (a b), (b c) → p = 4/6, 2/5
+    val d2 = (lg(4.0 / 6) + lg(2.0 / 5)) / 2
+    assert(out.map(_.getLong(1)).toSeq == Seq(3L, 2L))
+    assert(math.abs(out(0).getDouble(2) - math.rint(d1 * 1e4) / 1e4) < 1e-9)
+    assert(math.abs(out(1).getDouble(2) - math.rint(d2 * 1e4) / 1e4) < 1e-9)
+  }
+
+  test("bloom filter: zero false negatives; hits match exact set on fixture") {
+    val bench = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("id", "text")
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon eta"), // shares 2 distinct 5-grams? no: 1
+      (11L, "totally different words here none match"),
+      (12L, "alpha beta gamma delta epsilon zeta exact")).toDF("id", "text")
+    val bits = Corpus.buildGramBloom(bench, "id", "text", n = 5,
+      numBits = 1 << 16, numHashes = 5)
+    val hits = corpus.select(col("id"),
+        Corpus.bloomHits(spark, "text", 5, bits, numHashes = 5).as("h"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getInt(1)))
+    val exact = Corpus.benchmarkGramSet(bench, "id", "text", n = 5)
+    val exactHits = corpus.select(col("id"),
+        Corpus.contaminationHits(spark, "text", 5, exact).as("h"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getInt(1)))
+    // no false negatives: bloom >= exact per doc; at this sizing, equal
+    assert(hits.toSeq == exactHits.toSeq)
+    assert(hits(0)._2 >= 1 && hits(1)._2 == 0 && hits(2)._2 >= 2)
+  }
+
+  test("kmeansFit: converges to the two planted centers") {
+    val pts = (0 until 50).map(i => (i.toLong, Array(0.0f + i % 3 * 0.01f, 0.0f))) ++
+      (50 until 100).map(i => (i.toLong, Array(10.0f + i % 3 * 0.01f, 10.0f)))
+    val df = pts.toDF("id", "v")
+    val cs = Similarity.kmeansFit(df, "v", k = 2, iters = 5, seed = 7L)
+    val sorted = cs.sortBy(_.head)
+    assert(math.abs(sorted(0)(0)) < 0.1 && math.abs(sorted(0)(1)) < 0.1)
+    assert(math.abs(sorted(1)(0) - 10.0) < 0.1 && math.abs(sorted(1)(1) - 10.0) < 0.1)
+  }
+
+  test("kmeansSummary: sizes partition the input, inertia nonnegative") {
+    val pts = (0 until 60).map(i =>
+      (i.toLong, Array((i % 6).toFloat, (i % 5).toFloat)))
+    val df = pts.toDF("id", "v")
+    val out = Similarity.kmeansSummary(df, "v", k = 3, iters = 4, seed = 1L)
+      .collect()
+    assert(out.map(_.getLong(1)).sum == 60L)
+    assert(out.forall(_.getDouble(2) >= 0.0))
+  }
+
+  test("semanticDedup: near-identical vectors collapse to min-id canonical") {
+    val base = (0 until 40).map(i =>
+      (i.toLong, Array(math.cos(i * 0.7).toFloat, math.sin(i * 0.7).toFloat,
+        (i % 7).toFloat, 1.0f)))
+    // plant exact duplicates of ids 0 and 1
+    val dups = Seq((100L, base(0)._2), (101L, base(0)._2), (102L, base(1)._2))
+    val df = (base ++ dups).toDF("id", "v")
+    val out = Similarity.semanticDedup(df, "id", "v", k = 4, tau = 0.9999,
+      iters = 3, seed = 5L)
+    val dropped = out.where(!col("keep")).select("id")
+      .collect().map(_.getLong(0)).sorted
+    assert(dropped.toSeq == Seq(100L, 101L, 102L))
+    assert(out.count() == 43L)
+  }
+}

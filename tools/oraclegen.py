@@ -10,6 +10,9 @@ SPECS = {
   'q36_ivf_ann': (['query_id','candidate_id','cosine'], ['i','i','d'], 'ORDER BY query_id, candidate_id'),
   'q63_pq_error': (['vec_id','mean_err','max_err'], ['i','d','d'], 'ORDER BY vec_id'),
   'q64_ivf_pq': (['query_id','candidate_id','cosine'], ['i','i','d'], 'ORDER BY query_id, candidate_id'),
+  'q74_bloom_contamination': (['doc_id','bloom_hits'], ['i','i'], 'ORDER BY doc_id'),
+  'q75_kmeans': (['cluster','n','inertia'], ['i','i','d'], 'ORDER BY cluster'),
+  'q76_semdedup': (['cluster','n','n_dropped'], ['i','i','i'], 'ORDER BY cluster'),
 }
 def lit(v, t):
     if t == 's': return "'" + str(v).replace("'","''") + "'"
