@@ -48,7 +48,13 @@ object PlanDump {
       "q68_asof_join" ->
         "As-of join is the union-sort shape: ONE hashpartitioning(user_id) exchange feeds a single running last() window over (time, side); no range join, no per-key nested loop, no BroadcastNestedLoopJoin anywhere in the plan.",
       "q69_range_join" ->
-        "Point-in-interval via bin bucketing: intervals explode to covered bins and the match is a bin equi-join + exact containment filter — Spark's default plan for a BETWEEN join (nested loop against every interval) never appears.")
+        "Point-in-interval via bin bucketing: intervals explode to covered bins and the match is a bin equi-join + exact containment filter — Spark's default plan for a BETWEEN join (nested loop against every interval) never appears.",
+      "q73_line_dedup" ->
+        "Repeated-line removal: the boilerplate line set (the only corpus-frequency aggregate) feeds a BroadcastExchange, so the exploded corpus streams map-side through a broadcast left-anti join; the only full shuffles are the line-count groupBy and the per-document reassembly groupBy, and reassembly sorts positions inside a bounded per-row array, never corpus-wide.",
+      "q74_bloom_contamination" ->
+        "Bloom decontamination is a pure scalar pipeline: the 1M-bit filter rides the plan as ONE array literal (no per-element codegen, no join), each gram tests 5 indexed bit probes, and the corpus scan streams with zero exchanges before the presentation sort — the shape that stays constant-memory when the contamination set is a billion grams.",
+      "q77_lm_score" ->
+        "Bigram LM train+score in one plan: per-gram and per-context counts are partition-window counts over the SAME gram table — the corpus is tokenized once, the model never materializes as a table or a driver object, and the three exchanges (gram hash, context hash, doc id) are the plan's only data movement.")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence for headline operators\n\n")
     sb.append("Generated by `graft.PlanDump` (sf0.01, local[8]). Each section: why the\n")
