@@ -892,6 +892,29 @@ object Oracles {
       |    (c_ctx + 1.0 * (SELECT vv FROM v)))), 4) AS lm_score
       |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Domain-blocklist flag: identical URL extraction to q56 plus the same
+    * parent-suffix expansion the Spark expression performs.
+    */
+  val q78: String = {
+    val urlPat = graft.config.WwConfig.options.urlInferenceRegex
+    val blocked = graft.Queries.q78Blocklist
+      .map(d => s"'${d.toLowerCase}'").mkString("(", ",", ")")
+    s"""WITH src AS (SELECT doc_id,
+       |  substr(text, 1, 30) || ' see https://site' || CAST(doc_id % 7 AS VARCHAR) ||
+       |  '.example.org/page/' || CAST(doc_id AS VARCHAR) ||
+       |  CASE WHEN doc_id % 3 = 0 THEN ' and http://cdn.assets.net/x' ELSE '' END AS txt
+       |  FROM documents WHERE doc_id < 200),
+       |h AS (SELECT doc_id, list_transform(regexp_extract_all(txt, '$urlPat'),
+       |        u -> lower(regexp_extract(u, '^https?://([^/]+)', 1))) AS hosts
+       |      FROM src)
+       |SELECT doc_id,
+       |  len(list_filter(hosts, hh -> len(list_filter(
+       |    list_transform(range(1, len(string_split(hh, '.')) + 1),
+       |      i -> array_to_string(string_split(hh, '.')[i:], '.')),
+       |    sfx -> sfx IN $blocked)) > 0)) > 0 AS blocked
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
   /** Pinned q74 Bloom-decontamination hits (xxhash64 is not portable to the
     * oracle engine; the filter is deterministic — regenerate via
     * tools/oraclegen.py).
@@ -961,6 +984,7 @@ object Oracles {
       "q75_kmeans" -> q75Pinned,
       "q76_semdedup" -> q76Pinned,
       "q77_lm_score" -> q77,
+      "q78_domain_blocklist" -> q78,
       "q01_pricing_summary" -> q01,
       "q02_describe_lineitem" -> q02,
       "q03_value_counts_orders" -> q03,

@@ -998,6 +998,23 @@ object Queries {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** Blocked domains shared by the q78 query and oracle. */
+  val q78Blocklist: Seq[String] = Seq("site3.example.org", "assets.net")
+
+  /** Domain-blocklist flag over the q56 URL fixture: exact host or
+    * subdomain match (cdn.assets.net trips the blocked assets.net).
+    */
+  def q78DomainBlocklist(s: SparkSession, dir: String): DataFrame = {
+    val k = col("doc_id")
+    val txt = concat(substring(col("text"), 1, 30),
+      lit(" see https://site"), (k % 7).cast(StringType),
+      lit(".example.org/page/"), k.cast(StringType),
+      when(k % 3 === 0, lit(" and http://cdn.assets.net/x")).otherwise(lit("")))
+    table(s, dir, "documents").where(k < 200)
+      .select(k, ops.Corpus.hasBlockedDomain(txt, q78Blocklist).as("blocked"))
+      .orderBy("doc_id")
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -1111,6 +1128,7 @@ object Queries {
     "q74_bloom_contamination" -> (q74BloomContamination _),
     "q75_kmeans" -> (q75Kmeans _),
     "q76_semdedup" -> (q76SemDedup _),
-    "q77_lm_score" -> (q77LmScore _)
+    "q77_lm_score" -> (q77LmScore _),
+    "q78_domain_blocklist" -> (q78DomainBlocklist _)
   )
 }

@@ -287,6 +287,36 @@ object Corpus {
   private def urlScanRegex: String = graft.config.WwConfig.options.urlInferenceRegex
   val HostCapture = "^https?://([^/]+)"
 
+  /** True when the document's text links to a blocked domain — exact host
+    * match or any subdomain (`cdn.assets.net` matches a blocked
+    * `assets.net`). Blocklists are bounded (they're curated), so the list
+    * rides the plan as one array literal and the whole test is a per-row
+    * scalar: extract URLs, lower-case hosts, expand each host's parent
+    * suffixes, and overlap against the literal — no explode, no join, no
+    * shuffle, which also makes it a valid streaming-ingest gate.
+    */
+  def hasBlockedDomain(textCol: org.apache.spark.sql.Column,
+                       blocked: Seq[String]): org.apache.spark.sql.Column = {
+    require(blocked.nonEmpty, "empty domain blocklist")
+    val blockedLit = typedlit(blocked.map(_.toLowerCase))
+    val hosts = transform(
+      regexp_extract_all(textCol, lit(urlScanRegex), lit(0)),
+      u => lower(regexp_extract(u, HostCapture, 1)))
+    exists(hosts, h => {
+      val parts = split(h, "\\.")
+      val suffixes = transform(sequence(lit(1), size(parts)),
+        i => array_join(slice(parts, i, size(parts)), "."))
+      arrays_overlap(suffixes, blockedLit)
+    })
+  }
+
+  /** Corpus rows that do NOT link to any blocked domain — the URL/domain
+    * blocklist pass of a crawl-curation pipeline.
+    */
+  def domainBlocklistFilter(df: DataFrame, textCol: String,
+                            blocked: Seq[String]): DataFrame =
+    df.where(!hasBlockedDomain(col(textCol), blocked))
+
   /** Per-domain URL profile over a corpus: for each lowercased host,
     * total URL occurrences and distinct documents containing it. The
     * canonical source-mix / domain-blocklist signal. Explode is linear in

@@ -345,7 +345,11 @@ object TextAnalysis {
           s => s("line")), sep).as("clean_text"),
       count(lit(1)).as("n_kept"))
     df.select(col(idCol).as("id"),
-        size(split(col(textCol), sepQ)).cast(LongType).as("n_lines"))
+        // null text explodes to no lines; count it as zero, not SQL-null
+        // (or -1 under legacy sizeOfNull)
+        when(col(textCol).isNull, lit(0))
+          .otherwise(size(split(col(textCol), sepQ)))
+          .cast(LongType).as("n_lines"))
       .join(agg, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("clean_text"), lit("")).as("clean_text"),

@@ -79,6 +79,24 @@ object StreamingFrame {
       .where(col("contaminated_grams") === 0)
       .drop("contaminated_grams")
 
+  /** Streaming Bloom-filter decontamination: like [[decontaminate]] but the
+    * membership side is the packed bitset from
+    * [[graft.ops.Corpus.buildGramBloom]] instead of an exact gram set —
+    * constant memory at any contamination-set size, zero false negatives
+    * (a false positive drops a clean document at the filter's configured
+    * rate). Pure stateless projection + filter, so it runs on any output
+    * mode with no watermark or state store.
+    */
+  def bloomDecontaminate(stream: DataFrame, textCol: String,
+                         bits: Array[Long], n: Int = 13,
+                         numHashes: Int = 5): DataFrame =
+    stream
+      .withColumn("bloom_hits",
+        graft.ops.Corpus.bloomHits(stream.sparkSession, textCol, n, bits,
+          numHashes))
+      .where(col("bloom_hits") === 0)
+      .drop("bloom_hits")
+
   /** Streaming text-quality filter: score documents as they arrive and keep
     * those above the threshold — the streaming front door of a training-data
     * ingest pipeline.

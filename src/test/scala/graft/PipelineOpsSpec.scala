@@ -44,6 +44,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.map(_.getString(1)).toSeq == Seq("a\n\nb", "c\n\nd", "e"))
   }
 
+  test("removeDuplicateLines: null text yields empty output with zero counts") {
+    val df = Seq((1L, "x\ny"), (2L, null.asInstanceOf[String]), (3L, "x\nz"))
+      .toDF("id", "text")
+    val out = TextAnalysis.removeDuplicateLines(df, "id", "text", minDocs = 2)
+      .orderBy("id").collect()
+    assert(out.length == 3)
+    assert(out(1).getString(1) == "" && out(1).getLong(2) == 0L &&
+      out(1).getLong(3) == 0L)
+    assert(out(0).getString(1) == "y" && out(2).getString(1) == "z")
+  }
+
+  test("hasBlockedDomain: exact host, subdomain, and no-match cases") {
+    val df = Seq(
+      (1L, "see https://cdn.assets.net/x for files"),
+      (2L, "see https://assets.net/y direct"),
+      (3L, "see https://safe-assets.net/z lookalike"),
+      (4L, "see https://other.org/ok and http://deep.sub.assets.net/q"),
+      (5L, "no urls at all")).toDF("id", "text")
+    val out = df.select(col("id"),
+        Corpus.hasBlockedDomain(col("text"), Seq("assets.net")).as("b"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    // suffix expansion matches whole domain labels only: safe-assets.net is
+    // a different registered domain and must NOT match
+    assert(out.toSeq == Seq((1L, true), (2L, true), (3L, false),
+      (4L, true), (5L, false)))
+  }
+
+  test("domainBlocklistFilter: keeps only unblocked docs") {
+    val df = Seq(
+      (1L, "https://bad.example.com/a"), (2L, "https://fine.org/b"))
+      .toDF("id", "text")
+    val kept = Corpus.domainBlocklistFilter(df, "text", Seq("bad.example.com"))
+      .select("id").collect().map(_.getLong(0))
+    assert(kept.toSeq == Seq(2L))
+  }
+
   test("bigramLmScores: add-1 probabilities match hand arithmetic") {
     // corpus: doc1 = "a b a b", doc2 = "a b c"; V = 3 (a, b, c)
     // bigram counts: (a b)=3, (b a)=1, (b c)=1; ctx counts: a=3, b=2
@@ -79,6 +115,26 @@ class PipelineOpsSpec extends SparkSpec {
     // no false negatives: bloom >= exact per doc; at this sizing, equal
     assert(hits.toSeq == exactHits.toSeq)
     assert(hits(0)._2 >= 1 && hits(1)._2 == 0 && hits(2)._2 >= 2)
+  }
+
+  test("streaming bloomDecontaminate drops bloom-hit docs at ingest") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("id", "text")
+    val bits = Corpus.buildGramBloom(bench, "id", "text", n = 3,
+      numBits = 1 << 16, numHashes = 5)
+    val mem = MemoryStream[(Long, String)]
+    val clean = graft.streaming.StreamingFrame.bloomDecontaminate(
+      mem.toDF().toDF("id", "text"), "text", bits, n = 3)
+    val q = clean.writeStream.format("memory").queryName("bloomclean")
+      .outputMode("append").start()
+    mem.addData(
+      (1L, "contains alpha beta gamma inside itself"),
+      (2L, "totally unrelated clean document text here"))
+    q.processAllAvailable()
+    val kept = spark.sql("select id from bloomclean").collect().map(_.getLong(0))
+    assert(kept.toSeq == Seq(2L))
+    q.stop()
   }
 
   test("kmeansFit: converges to the two planted centers") {
