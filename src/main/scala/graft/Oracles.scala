@@ -963,6 +963,79 @@ object Oracles {
       |(CAST(7 AS BIGINT),CAST(76 AS BIGINT),CAST(4 AS BIGINT))
       |) AS t(cluster, n, n_dropped) ORDER BY cluster""".stripMargin
 
+  /** q79: exact-substring repeated spans — identical gram table (k = 5 word
+    * grams on md5 identity), duplicated set (count >= 2), and
+    * gaps-and-islands span merge, in DuckDB SQL.
+    */
+  val q79: String = {
+    val k = 5
+    val passage = Queries.q79SharedPassage
+    s"""WITH src AS (SELECT doc_id, concat_ws(' ', substr(text, 1, 60),
+       |  CASE WHEN doc_id % 3 = 0 THEN '$passage'
+       |       ELSE 'unique filler segment number ' || CAST(doc_id AS VARCHAR) END,
+       |  'closing words common to all') AS txt
+       |  FROM documents WHERE doc_id < 150),
+       |t AS (SELECT doc_id, regexp_extract_all(lower(txt), '\\S+') AS toks FROM src),
+       |g AS (SELECT doc_id,
+       |  unnest(range(1, len(toks) - $k + 2)) AS pos,
+       |  unnest(list_transform(range(1, len(toks) - $k + 2),
+       |    i -> md5(array_to_string(list_slice(toks, i, i + $k - 1), ' ')))) AS g
+       |  FROM t WHERE len(toks) >= $k),
+       |d AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2),
+       |h AS (SELECT doc_id, pos FROM g WHERE g IN (SELECT g FROM d)),
+       |i AS (SELECT doc_id, pos,
+       |  CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+       |         OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + $k
+       |       THEN 1 ELSE 0 END AS ns FROM h),
+       |s AS (SELECT doc_id, pos,
+       |  sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS span FROM i),
+       |sp AS (SELECT doc_id, span, min(pos) AS s, max(pos) + $k - 1 AS e
+       |       FROM s GROUP BY 1, 2),
+       |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_spans,
+       |       CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens FROM sp GROUP BY 1)
+       |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  coalesce(dup_spans, 0) AS dup_spans,
+       |  coalesce(dup_tokens, 0) AS dup_tokens,
+       |  round(CAST(coalesce(dup_tokens, 0) AS DOUBLE) /
+       |        CAST(len(toks) AS DOUBLE), 4) AS dup_ratio
+       |FROM t LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
+  /** q80: multinomial Naive Bayes — identical token counts, add-one
+    * smoothing, fixed-point micro-nat weights (exact BIGINT sums), and
+    * argmax with ascending-label tie-break, in DuckDB SQL.
+    */
+  val q80: String =
+    """WITH train AS (SELECT lang, text FROM documents WHERE doc_id < 350),
+      |tok AS (SELECT lang AS label,
+      |        unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM train),
+      |counts AS (SELECT label, tok, count(*) AS cnt FROM tok GROUP BY 1, 2),
+      |vocab AS (SELECT count(DISTINCT tok) AS v FROM counts),
+      |tot AS (SELECT count(*) AS n FROM train),
+      |ct AS (SELECT label, sum(cnt) AS class_tokens FROM counts GROUP BY 1),
+      |dc AS (SELECT lang AS label, count(*) AS n_docs FROM train GROUP BY 1),
+      |classes AS (SELECT ct.label,
+      |  CAST(round(ln(CAST(n_docs AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS prior,
+      |  CAST(round(ln(1.0 / CAST(class_tokens + v AS DOUBLE)) * 1000000) AS BIGINT) AS default_w
+      |  FROM ct JOIN dc USING (label) CROSS JOIN vocab CROSS JOIN tot),
+      |weights AS (SELECT counts.label, tok,
+      |  CAST(round(ln(CAST(cnt + 1 AS DOUBLE) / CAST(class_tokens + v AS DOUBLE)) * 1000000) AS BIGINT) AS w
+      |  FROM counts JOIN ct USING (label) CROSS JOIN vocab),
+      |test AS (SELECT doc_id, text FROM documents WHERE doc_id >= 350),
+      |dtok AS (SELECT doc_id AS id,
+      |         unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM test),
+      |pc AS (SELECT id, c.label, CAST(sum(coalesce(w.w, c.default_w)) AS BIGINT) AS ll
+      |       FROM dtok CROSS JOIN classes c
+      |       LEFT JOIN weights w ON w.label = c.label AND w.tok = dtok.tok
+      |       GROUP BY 1, 2),
+      |base AS (SELECT doc_id AS id, label, prior FROM test CROSS JOIN classes),
+      |scored AS (SELECT id, label, prior + coalesce(ll, 0) AS score
+      |           FROM base LEFT JOIN pc USING (id, label))
+      |SELECT id AS doc_id, label AS pred, CAST(score AS BIGINT) AS score
+      |FROM (SELECT *, row_number() OVER
+      |        (PARTITION BY id ORDER BY score DESC, label ASC) AS rn
+      |      FROM scored) WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q07_mutual_info_orders" -> q07Pinned,
@@ -985,6 +1058,8 @@ object Oracles {
       "q76_semdedup" -> q76Pinned,
       "q77_lm_score" -> q77,
       "q78_domain_blocklist" -> q78,
+      "q79_repeated_spans" -> q79,
+      "q80_naive_bayes" -> q80,
       "q01_pricing_summary" -> q01,
       "q02_describe_lineitem" -> q02,
       "q03_value_counts_orders" -> q03,

@@ -1015,6 +1015,45 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Shared passage injected into every third document for the q79
+    * exact-substring fixture; 12 words so k=5 grams tile it.
+    */
+  val q79SharedPassage: String =
+    "the quick brown fox jumps over the lazy dog again and again"
+
+  /** Exact-substring repeated-span detection (Lee et al. 2022 style) over a
+    * fixture where every third document carries a shared passage and every
+    * document shares a closing phrase.
+    */
+  def q79RepeatedSpans(s: SparkSession, dir: String): DataFrame = {
+    val k = col("doc_id")
+    val ks = k.cast(StringType)
+    val txt = concat_ws(" ", substring(col("text"), 1, 60),
+      when(k % 3 === 0, lit(q79SharedPassage))
+        .otherwise(concat(lit("unique filler segment number "), ks)),
+      lit("closing words common to all"))
+    val docs = table(s, dir, "documents").where(k < 150)
+      .select(k, txt.as("txt"))
+    ops.SpanDedup.repeatedSpans(docs, "doc_id", "txt", k = 5)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** Naive Bayes classifier: train a language model on the labeled first
+    * 350 documents (label = lang), score the held-out tail. Fixed-point
+    * micro-nat scores make the argmax + score hash-exact across engines.
+    */
+  def q80NaiveBayes(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val train = docs.where(col("doc_id") < 350)
+    val test = docs.where(col("doc_id") >= 350)
+    val (weights, classes) =
+      ops.Classifier.trainNaiveBayes(train, "lang", "text")
+    ops.Classifier.scoreNaiveBayes(test, "doc_id", "text", weights, classes)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -1129,6 +1168,8 @@ object Queries {
     "q75_kmeans" -> (q75Kmeans _),
     "q76_semdedup" -> (q76SemDedup _),
     "q77_lm_score" -> (q77LmScore _),
-    "q78_domain_blocklist" -> (q78DomainBlocklist _)
+    "q78_domain_blocklist" -> (q78DomainBlocklist _),
+    "q79_repeated_spans" -> (q79RepeatedSpans _),
+    "q80_naive_bayes" -> (q80NaiveBayes _)
   )
 }

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed multinomial Naive Bayes over whitespace tokens — the classic
+  * fastText-shaped quality/language classifier of a pretraining pipeline
+  * (train on a labeled subset, score the corpus), built entirely from
+  * groupBy/join aggregates so training is one shuffle over the token table
+  * and scoring is a broadcast join — no MLlib iteration, no driver-side
+  * feature matrix.
+  *
+  * The reference (alteryx/woodwork) has no model operators; this is part of
+  * the beyond-reference training-data surface (SURVEY.md §2.12).
+  *
+  * Determinism contract: every log-likelihood is stored in FIXED-POINT
+  * micro-nats (`round(ln(p) * 1e6)` as BIGINT). Summing longs is exact and
+  * order-independent, so scores hash-match bit-for-bit across engines,
+  * partitionings, and retries — unlike a double sum, whose value depends on
+  * aggregation order. (A last-ulp `ln` divergence between libm
+  * implementations would need to land exactly on a 0.5 micro-nat boundary
+  * to break this — negligible.)
+  *
+  * Plan shape for 100 TB: the token table is linear in the corpus; training
+  * aggregates shuffle on (label, token) then label; the model (vocab ×
+  * classes) is small enough to broadcast for scoring (a 1M-token vocab ×
+  * 10 classes is tens of MB), so the scoring pass is map-side only plus the
+  * final per-document aggregation shuffle on the document id.
+  */
+object Classifier {
+
+  /** Scale for fixed-point micro-nat log-likelihoods. */
+  val MicroNats = 1e6
+
+  private def unats(p: org.apache.spark.sql.Column) =
+    round(log(p) * MicroNats).cast(LongType)
+
+  /** Train: returns (weights, classes).
+    *
+    * weights: (label, tok, w) — w = round(ln((cnt+1)/(classTokens+V))·1e6),
+    * add-one smoothing over the training vocabulary of size V.
+    * classes: (label, prior, default_w) — prior = round(ln(nDocs/N)·1e6),
+    * default_w the unseen-token weight round(ln(1/(classTokens+V))·1e6).
+    */
+  def trainNaiveBayes(df: DataFrame, labelCol: String,
+                      textCol: String): (DataFrame, DataFrame) = {
+    val toks = df.select(col(labelCol).as("label"),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    val counts = toks.groupBy(col("label"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    // two driver scalars (one job each over already-small aggregates):
+    // vocabulary size and total labeled docs
+    val v = counts.select(col("tok")).distinct().count()
+    val n = df.count()
+    val classTotals = counts.groupBy(col("label"))
+      .agg(sum(col("cnt")).as("class_tokens"))
+    val docCounts = df.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_docs"))
+    val classes = classTotals.join(docCounts, Seq("label"))
+      .select(col("label"),
+        unats(col("n_docs").cast(DoubleType) / lit(n.toDouble)).as("prior"),
+        unats(lit(1.0) /
+          (col("class_tokens") + lit(v)).cast(DoubleType)).as("default_w"))
+    val weights = counts.join(classTotals, Seq("label"))
+      .select(col("label"), col("tok"),
+        unats((col("cnt") + lit(1)).cast(DoubleType) /
+          (col("class_tokens") + lit(v)).cast(DoubleType)).as("w"))
+    (weights, classes)
+  }
+
+  /** Score: per document, the argmax class of prior + Σ token weights
+    * (unseen tokens take the class default). Ties break on ascending label.
+    *
+    * Output: (id, pred, score) — score in micro-nats (BIGINT). Documents
+    * with no tokens get the best prior alone.
+    */
+  def scoreNaiveBayes(corpus: DataFrame, idCol: String, textCol: String,
+                      weights: DataFrame, classes: DataFrame): DataFrame = {
+    val docToks = corpus.select(col(idCol).as("id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    val perClass = docToks
+      .crossJoin(broadcast(classes.select(col("label"), col("default_w"))))
+      .join(broadcast(weights), Seq("label", "tok"), "left")
+      .select(col("id"), col("label"),
+        coalesce(col("w"), col("default_w")).as("w"))
+      .groupBy(col("id"), col("label"))
+      .agg(sum(col("w")).as("ll"))
+    // empty documents still score: start every (doc, class) from the prior
+    val base = corpus.select(col(idCol).as("id"))
+      .crossJoin(broadcast(classes.select(col("label"), col("prior"))))
+    val scored = base.join(perClass, Seq("id", "label"), "left")
+      .select(col("id"), col("label"),
+        (col("prior") + coalesce(col("ll"), lit(0L))).as("score"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("score").desc, col("label").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("id"), col("label").as("pred"), col("score"))
+  }
+}
