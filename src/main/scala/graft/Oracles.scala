@@ -1036,6 +1036,58 @@ object Oracles {
       |        (PARTITION BY id ORDER BY score DESC, label ASC) AS rn
       |      FROM scored) WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  /** q81: identical URL fixture and the same canonicalization regex chain
+    * (fragment, lowercase scheme/host, default port, utm params, dangling
+    * separators, trailing slash) in DuckDB RE2.
+    */
+  val q81: String =
+    """WITH src AS (SELECT 'HTTPS://Site' || CAST(doc_id % 5 AS VARCHAR) ||
+      |  '.Example.ORG' || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END ||
+      |  '/Page/' || CAST(doc_id % 20 AS VARCHAR) ||
+      |  CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+      |  '?utm_source=feed' ||
+      |  CASE WHEN doc_id % 3 = 0 THEN '&ref=' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END ||
+      |  '&utm_campaign=x' ||
+      |  CASE WHEN doc_id % 6 = 0 THEN '#section' ELSE '' END AS url
+      |  FROM documents WHERE doc_id < 240),
+      |n1 AS (SELECT url, regexp_replace(url, '#.*$', '') AS nofrag FROM src),
+      |n2 AS (SELECT url,
+      |  lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |  lower(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host,
+      |  regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS rest
+      |  FROM n1),
+      |n3 AS (SELECT url, scheme,
+      |  CASE WHEN scheme = 'http' THEN regexp_replace(host, ':80$', '')
+      |       WHEN scheme = 'https' THEN regexp_replace(host, ':443$', '')
+      |       ELSE host END AS host2,
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(rest,
+      |    'utm_[A-Za-z0-9_]*=[^&#]*&', '', 'g'),
+      |    'utm_[A-Za-z0-9_]*=[^&#]*$', ''),
+      |    '[?&]$', ''), '/$', '') AS rest2 FROM n2)
+      |SELECT scheme || '://' || host2 || rest2 AS canonical,
+      |  CAST(count(*) AS BIGINT) AS n_urls,
+      |  CAST(count(DISTINCT url) AS BIGINT) AS n_variants
+      |FROM n3 GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q82: per-source datacard — same projections (token count, fixed-point
+    * quality, fingerprint, language-ID) via the shared SQL generators.
+    */
+  val q82: String = {
+    import graft.ops.TextAnalysis.{Sql => T}
+    s"""WITH d AS (SELECT source,
+       |  ${T.tokenCount("text")} AS toks,
+       |  CAST(round(${T.qualityScore("text")} * 10000) AS BIGINT) AS q4,
+       |  ${T.fingerprint("text")} AS fp,
+       |  ${T.langId("text")} AS lang FROM documents)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+       |  round(CAST(sum(toks) AS DOUBLE) / CAST(count(*) AS DOUBLE), 2) AS avg_tokens,
+       |  round(CAST(sum(q4) AS DOUBLE) / CAST(count(*) * 10000 AS DOUBLE), 4) AS avg_quality,
+       |  CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS exact_dup_docs,
+       |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
+  }
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q07_mutual_info_orders" -> q07Pinned,
@@ -1060,6 +1112,8 @@ object Oracles {
       "q78_domain_blocklist" -> q78,
       "q79_repeated_spans" -> q79,
       "q80_naive_bayes" -> q80,
+      "q81_canonical_urls" -> q81,
+      "q82_datacard" -> q82,
       "q01_pricing_summary" -> q01,
       "q02_describe_lineitem" -> q02,
       "q03_value_counts_orders" -> q03,

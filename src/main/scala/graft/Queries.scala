@@ -1054,6 +1054,33 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** URL canonicalization over a messy fixture: mixed-case scheme/host,
+    * default ports, trailing slashes, utm_* params, fragments. Counts per
+    * canonical URL show how much the normalization collapses.
+    */
+  def q81CanonicalUrls(s: SparkSession, dir: String): DataFrame = {
+    val k = col("doc_id")
+    def m(n: Int) = (k % n).cast(StringType)
+    val url = concat(
+      lit("HTTPS://Site"), m(5), lit(".Example.ORG"),
+      when(k % 4 === 0, lit(":443")).otherwise(lit("")),
+      lit("/Page/"), m(20),
+      when(k % 2 === 0, lit("/")).otherwise(lit("")),
+      lit("?utm_source=feed"),
+      when(k % 3 === 0, concat(lit("&ref="), m(7))).otherwise(lit("")),
+      lit("&utm_campaign=x"),
+      when(k % 6 === 0, lit("#section")).otherwise(lit("")))
+    val urls = table(s, dir, "documents").where(k < 240).select(url.as("url"))
+    ops.Corpus.canonicalUrlCounts(urls, "url").orderBy("canonical")
+  }
+
+  /** Per-source datacard over the documents table: counts, token volume,
+    * fixed-point quality mean, exact-dup and language profile.
+    */
+  def q82Datacard(s: SparkSession, dir: String): DataFrame =
+    ops.Corpus.datacard(table(s, dir, "documents"), "source", "text")
+      .orderBy("source")
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -1170,6 +1197,8 @@ object Queries {
     "q77_lm_score" -> (q77LmScore _),
     "q78_domain_blocklist" -> (q78DomainBlocklist _),
     "q79_repeated_spans" -> (q79RepeatedSpans _),
-    "q80_naive_bayes" -> (q80NaiveBayes _)
+    "q80_naive_bayes" -> (q80NaiveBayes _),
+    "q81_canonical_urls" -> (q81CanonicalUrls _),
+    "q82_datacard" -> (q82Datacard _)
   )
 }

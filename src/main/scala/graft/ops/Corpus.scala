@@ -333,4 +333,72 @@ object Corpus {
       .where(col("domain") =!= "")
       .groupBy(col("domain"))
       .agg(count(lit(1)).as("n_urls"), count_distinct(col("id")).as("n_docs"))
+
+  /** URL canonicalization: the normalization pass of a crawl-dedup
+    * pipeline. Rules (each a pure regex projection, documented contract):
+    * drop the `#fragment`; lowercase scheme and host; strip the scheme's
+    * default port (`:80` http, `:443` https); remove `utm_*` tracking
+    * query params and any dangling `?`/`&`; strip one trailing `/`.
+    * Malformed inputs without a `scheme://host` prefix pass through with
+    * only the fragment/utm/trailing-slash rules applied to the whole
+    * string. No shuffle — composes into scans and streaming gates.
+    */
+  def canonicalizeUrl(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val schemeHost = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+    val noFrag = regexp_replace(c, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = lower(regexp_extract(noFrag,
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val rest = regexp_replace(noFrag, schemeHost, "")
+    val hostNoPort = when(scheme === "http", regexp_replace(host, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host, ":443$", ""))
+      .otherwise(host)
+    def cleanRest(r: org.apache.spark.sql.Column) = {
+      val r1 = regexp_replace(r, "utm_[A-Za-z0-9_]*=[^&#]*&", "")
+      val r2 = regexp_replace(r1, "utm_[A-Za-z0-9_]*=[^&#]*$", "")
+      val r3 = regexp_replace(r2, "[?&]$", "")
+      regexp_replace(r3, "/$", "")
+    }
+    when(scheme =!= "", concat(scheme, lit("://"), hostNoPort, cleanRest(rest)))
+      .otherwise(cleanRest(noFrag))
+  }
+
+  /** Canonical-URL dedup profile: distinct raw spellings and total
+    * occurrences per canonical URL — the measure of how much crawl
+    * frontier the normalization collapses. One shuffle on the canonical
+    * key.
+    */
+  def canonicalUrlCounts(df: DataFrame, urlCol: String): DataFrame =
+    df.select(col(urlCol).as("url"), canonicalizeUrl(col(urlCol)).as("canonical"))
+      .groupBy(col("canonical"))
+      .agg(count(lit(1)).as("n_urls"),
+        count_distinct(col("url")).as("n_variants"))
+
+  /** Per-source corpus datacard: document counts, token volume, quality,
+    * exact-duplicate and language profile — the summary table a dataset
+    * release ships. One aggregation pass over the corpus (token/quality/
+    * fingerprint are per-row projections; the only shuffle is the source
+    * groupBy). Quality is averaged in fixed-point (per-doc score × 10⁴ as
+    * BIGINT) so the mean is order-independent and hash-exact.
+    *
+    * Output per source: (source, n_docs, total_tokens, avg_tokens,
+    * avg_quality, exact_dup_docs, n_langs).
+    */
+  def datacard(df: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val q4 = round(TextAnalysis.qualityScore(t) * 10000).cast(LongType)
+    df.select(col(sourceCol).as("source"),
+        TextAnalysis.tokenCount(t).as("toks"), q4.as("q4"),
+        TextAnalysis.fingerprint(t).as("fp"),
+        TextAnalysis.langId(t).as("lang"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("total_tokens"),
+        round(sum(col("toks")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType), 2).as("avg_tokens"),
+        round(sum(col("q4")).cast(DoubleType) /
+          (count(lit(1)) * lit(10000)).cast(DoubleType), 4).as("avg_quality"),
+        (count(lit(1)) - count_distinct(col("fp"))).as("exact_dup_docs"),
+        count_distinct(col("lang")).as("n_langs"))
+  }
 }

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Classifier, Corpus, SpanDedup}
+
+/** Specs for the round-4 curation operators: exact-substring span dedup,
+  * the fixed-point Naive Bayes classifier, URL canonicalization, and the
+  * per-source datacard.
+  */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repeatedSpans finds the shared passage and merges overlapping grams") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"one unique opening here $shared and a unique tail one"),
+      (2L, s"two different opening text $shared plus another tail two"),
+      (3L, "totally unrelated words nothing repeats in this document at all"))
+      .toDF("id", "text")
+    val out = SpanDedup.repeatedSpans(docs, "id", "text", k = 3)
+      .orderBy("id").collect()
+    // docs 1 and 2 share an 8-token passage: 6 overlapping 3-grams merge
+    // into ONE span covering exactly the 8 shared tokens
+    assert(out(0).getAs[Long]("dup_spans") === 1L)
+    assert(out(0).getAs[Long]("dup_tokens") === 8L)
+    assert(out(1).getAs[Long]("dup_spans") === 1L)
+    assert(out(1).getAs[Long]("dup_tokens") === 8L)
+    assert(out(2).getAs[Long]("dup_spans") === 0L)
+    assert(out(2).getAs[Long]("dup_tokens") === 0L)
+  }
+
+  test("repeatedSpans catches a repeat within a single document") {
+    val docs = Seq(
+      (1L, "x y z filler filler2 filler3 x y z end"),
+      (2L, "completely distinct content with no repeated trigram here ok"))
+      .toDF("id", "text")
+    val out = SpanDedup.repeatedSpans(docs, "id", "text", k = 3)
+      .orderBy("id").collect()
+    assert(out(0).getAs[Long]("dup_spans") === 2L)
+    assert(out(0).getAs[Long]("dup_tokens") === 6L)
+    assert(out(1).getAs[Long]("dup_tokens") === 0L)
+  }
+
+  test("removeRepeatedSpans cuts every duplicated occurrence") {
+    val docs = Seq(
+      (1L, "a b c d e tail one"),
+      (2L, "a b c d e two tail"))
+      .toDF("id", "text")
+    val out = SpanDedup.removeRepeatedSpans(docs, "id", "text", k = 5)
+      .orderBy("id").collect()
+    assert(out(0).getAs[String]("clean_text") === "tail one")
+    assert(out(1).getAs[String]("clean_text") === "two tail")
+    assert(out(0).getAs[Long]("kept_tokens") === 2L)
+  }
+
+  test("naive bayes recovers an obvious two-class separation") {
+    val train = Seq(
+      ("spam", "buy cheap pills now buy buy"),
+      ("spam", "cheap cheap offer buy now"),
+      ("ham", "meeting notes for the quarterly review"),
+      ("ham", "please review the attached meeting agenda"))
+      .toDF("label", "text")
+    val test = Seq(
+      (1L, "cheap pills offer"),
+      (2L, "quarterly meeting review"))
+      .toDF("id", "text")
+    val (w, c) = Classifier.trainNaiveBayes(train, "label", "text")
+    val out = Classifier.scoreNaiveBayes(test, "id", "text", w, c)
+      .orderBy("id").collect()
+    assert(out(0).getAs[String]("pred") === "spam")
+    assert(out(1).getAs[String]("pred") === "ham")
+  }
+
+  test("naive bayes: empty document falls back to the best prior") {
+    val train = Seq(
+      ("a", "x x x"), ("a", "x y"), ("b", "z w"))
+      .toDF("label", "text")
+    val test = Seq((1L, "")).toDF("id", "text")
+    val (w, c) = Classifier.trainNaiveBayes(train, "label", "text")
+    val out = Classifier.scoreNaiveBayes(test, "id", "text", w, c).collect()
+    assert(out.length === 1)
+    // class a has 2 of 3 training docs: larger prior wins with no tokens
+    assert(out(0).getAs[String]("pred") === "a")
+  }
+
+  test("canonicalizeUrl applies the documented rules") {
+    val cases = Seq(
+      ("HTTPS://Example.COM:443/Path/?utm_source=a&id=3#frag",
+        "https://example.com/Path/?id=3"),
+      ("http://Host.org:80/a/b/", "http://host.org/a/b"),
+      ("https://x.net/?utm_a=1&utm_b=2", "https://x.net"),
+      ("https://x.net/p?id=1&utm_c=9", "https://x.net/p?id=1"),
+      ("no scheme here/", "no scheme here"))
+      .toDF("url", "expected")
+    val out = cases
+      .withColumn("canonical", Corpus.canonicalizeUrl(col("url")))
+      .where(col("canonical") =!= col("expected"))
+      .collect()
+    assert(out.isEmpty, out.mkString(";"))
+  }
+
+  test("datacard aggregates per source with exact fixed-point quality") {
+    val docs = Seq(
+      ("web", "the quick brown fox jumps over the lazy dog"),
+      ("web", "the quick brown fox jumps over the lazy dog"),
+      ("books", "a different and much longer text about the world of books"))
+      .toDF("source", "text")
+    val out = Corpus.datacard(docs, "source", "text")
+      .orderBy("source").collect()
+    assert(out(0).getAs[String]("source") === "books")
+    assert(out(0).getAs[Long]("n_docs") === 1L)
+    assert(out(0).getAs[Long]("exact_dup_docs") === 0L)
+    assert(out(1).getAs[String]("source") === "web")
+    assert(out(1).getAs[Long]("n_docs") === 2L)
+    // identical texts share a fingerprint: one of the two is an exact dup
+    assert(out(1).getAs[Long]("exact_dup_docs") === 1L)
+    assert(out(1).getAs[Long]("total_tokens") === 18L)
+  }
+}
