@@ -1088,6 +1088,26 @@ object Oracles {
        |FROM d GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** q83: TF-IDF — same tf counts, smooth idf in fixed-point micro-units,
+    * exact integer tf × idf products, row_number top-3 with term tie-break.
+    */
+  val q83: String =
+    """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 120),
+      |tok AS (SELECT doc_id AS id,
+      |        unnest(regexp_extract_all(lower(text), '\S+')) AS term FROM docs),
+      |tf AS (SELECT id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+      |dfq AS (SELECT term, count(*) AS dft FROM tf GROUP BY 1),
+      |tot AS (SELECT count(*) AS n FROM docs),
+      |s AS (SELECT id, term, tf,
+      |  tf * CAST(round((ln(CAST(n + 1 AS DOUBLE) / CAST(dft + 1 AS DOUBLE)) + 1.0)
+      |       * 1000000) AS BIGINT) AS score
+      |  FROM tf JOIN dfq USING (term) CROSS JOIN tot),
+      |r AS (SELECT *, row_number() OVER
+      |        (PARTITION BY id ORDER BY score DESC, term ASC) AS rank FROM s)
+      |SELECT id AS doc_id, term, tf, CAST(score AS BIGINT) AS score,
+      |  CAST(rank AS BIGINT) AS rank
+      |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q07_mutual_info_orders" -> q07Pinned,
@@ -1114,6 +1134,7 @@ object Oracles {
       "q80_naive_bayes" -> q80,
       "q81_canonical_urls" -> q81,
       "q82_datacard" -> q82,
+      "q83_tfidf" -> q83,
       "q01_pricing_summary" -> q01,
       "q02_describe_lineitem" -> q02,
       "q03_value_counts_orders" -> q03,

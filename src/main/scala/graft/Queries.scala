@@ -1081,6 +1081,16 @@ object Queries {
     ops.Corpus.datacard(table(s, dir, "documents"), "source", "text")
       .orderBy("source")
 
+  /** TF-IDF top-3 terms per document — integer-exact scores (fixed-point
+    * idf × integer tf), deterministic term tie-break.
+    */
+  def q83Tfidf(s: SparkSession, dir: String): DataFrame =
+    ops.Corpus.tfIdfTopTerms(
+        table(s, dir, "documents").where(col("doc_id") < 120),
+        "doc_id", "text", k = 3)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "rank")
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -1199,6 +1209,7 @@ object Queries {
     "q79_repeated_spans" -> (q79RepeatedSpans _),
     "q80_naive_bayes" -> (q80NaiveBayes _),
     "q81_canonical_urls" -> (q81CanonicalUrls _),
-    "q82_datacard" -> (q82Datacard _)
+    "q82_datacard" -> (q82Datacard _),
+    "q83_tfidf" -> (q83Tfidf _)
   )
 }

@@ -99,4 +99,48 @@ object Classifier {
       .where(col("rn") === 1)
       .select(col("id"), col("label").as("pred"), col("score"))
   }
+
+  /** Collected model for per-row scoring: label → (prior, default_w,
+    * token → w). Bounded by vocab × classes — the collect is the model
+    * itself, not data.
+    */
+  case class NbModel(classes: Seq[(String, Long, Long)],
+                     weights: Map[String, Map[String, Long]]) extends Serializable
+
+  def collectModel(weights: DataFrame, classes: DataFrame): NbModel = {
+    val cs = classes.collect().map(r => (r.getAs[String]("label"),
+      r.getAs[Long]("prior"), r.getAs[Long]("default_w"))).toSeq.sortBy(_._1)
+    val ws = weights.collect()
+      .groupBy(_.getAs[String]("tok"))
+      .map { case (tok, rows) =>
+        tok -> rows.map(r =>
+          r.getAs[String]("label") -> r.getAs[Long]("w")).toMap
+      }
+    NbModel(cs, ws)
+  }
+
+  /** Stateless per-row argmax scorer over a collected model — the shape a
+    * STREAMING ingest gate needs (no explode, no join, no state): one UDF
+    * call per row against the broadcast model. Identical arithmetic and
+    * tie-break to [[scoreNaiveBayes]] (exact long sums), so batch and
+    * streaming paths agree bit-for-bit.
+    */
+  def predictExpr(model: NbModel)
+                 (text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val f = udf { (s: String) =>
+      val toks = if (s == null) Array.empty[String]
+        else "\\S+".r.findAllIn(s.toLowerCase).toArray
+      var bestLabel: String = null
+      var bestScore = Long.MinValue
+      for ((label, prior, defaultW) <- model.classes) {
+        var score = prior
+        for (t <- toks)
+          score += model.weights.get(t).flatMap(_.get(label)).getOrElse(defaultW)
+        // ascending-label tie-break: classes iterate sorted, strict >
+        if (score > bestScore) { bestScore = score; bestLabel = label }
+      }
+      bestLabel
+    }
+    f(text)
+  }
 }

@@ -374,6 +374,42 @@ object Corpus {
       .agg(count(lit(1)).as("n_urls"),
         count_distinct(col("url")).as("n_variants"))
 
+  /** TF-IDF top terms per document. IDF uses the smooth sklearn form
+    * ln((N+1)/(df+1)) + 1, stored in FIXED-POINT micro-units (BIGINT), so
+    * the per-term score tf × idf is an exact integer product — rankings
+    * and scores hash-match across engines and partitionings (no
+    * order-dependent double sums anywhere).
+    *
+    * Plan shape for 100 TB: term frequencies shuffle on (doc, term); the
+    * document-frequency table shuffles on term and joins back on term (a
+    * vocabulary-sized side — NOT forced broadcast, AQE picks the strategy);
+    * top-k is a per-doc streaming row_number, never materializing a
+    * document's full term list outside the window sort.
+    *
+    * Output: (id, term, tf, score, rank) with rank in [1, k].
+    */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 5): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    val n = df.count()
+    val tf = df.select(col(idCol).as("id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // tf is already distinct per (id, term): doc frequency is a plain count
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dft"))
+    val idfU = round((log(lit((n + 1).toDouble) /
+      (col("dft") + lit(1)).cast(DoubleType)) + lit(1.0)) * lit(1e6))
+      .cast(LongType)
+    val scored = tf.join(dfreq.select(col("term"), idfU.as("idf_u")), Seq("term"))
+      .select(col("id"), col("term"), col("tf"),
+        (col("tf") * col("idf_u")).as("score"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= k)
+  }
+
   /** Per-source corpus datacard: document counts, token volume, quality,
     * exact-duplicate and language profile — the summary table a dataset
     * release ships. One aggregation pass over the corpus (token/quality/

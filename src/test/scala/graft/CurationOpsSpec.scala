@@ -83,6 +83,47 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(0).getAs[String]("pred") === "a")
   }
 
+  test("tfIdfTopTerms ranks distinctive terms above ubiquitous ones") {
+    val docs = Seq(
+      (1L, "shared shared unique1"),
+      (2L, "shared unique2 unique2"),
+      (3L, "shared other words"))
+      .toDF("id", "text")
+    val out = Corpus.tfIdfTopTerms(docs, "id", "text", k = 2)
+      .orderBy("id", "rank").collect()
+    // doc 1: "shared" tf=2 at idf 1.0 (2.0M) beats "unique1" tf=1 at idf
+    // ln(2)+1 (1.69M); doc 2: "unique2" tf=2 at the distinctive idf wins
+    assert(out(0).getAs[String]("term") === "shared")
+    assert(out(1).getAs[String]("term") === "unique1")
+    assert(out(2).getAs[String]("term") === "unique2")
+    assert(out(2).getAs[Long]("tf") === 2L)
+    // integer-exact score: tf × round(idf·1e6)
+    val n = 3.0
+    val idfU = math.round((math.log((n + 1) / (1 + 1)) + 1) * 1e6)
+    assert(out(2).getAs[Long]("score") === 2L * idfU)
+  }
+
+  test("predictExpr matches the distributed scorer row for row") {
+    val train = Seq(
+      ("spam", "buy cheap pills now buy buy"),
+      ("spam", "cheap cheap offer buy now"),
+      ("ham", "meeting notes for the quarterly review"),
+      ("ham", "please review the attached meeting agenda"))
+      .toDF("label", "text")
+    val test = Seq(
+      (1L, "cheap pills offer"), (2L, "quarterly meeting review"),
+      (3L, "unrelated tokens entirely"), (4L, ""))
+      .toDF("id", "text")
+    val (w, c) = Classifier.trainNaiveBayes(train, "label", "text")
+    val dist = Classifier.scoreNaiveBayes(test, "id", "text", w, c)
+      .orderBy("id").collect().map(r => r.getAs[String]("pred"))
+    val model = Classifier.collectModel(w, c)
+    val perRow = test
+      .withColumn("pred", Classifier.predictExpr(model)(col("text")))
+      .orderBy("id").collect().map(r => r.getAs[String]("pred"))
+    assert(dist.toSeq === perRow.toSeq)
+  }
+
   test("canonicalizeUrl applies the documented rules") {
     val cases = Seq(
       ("HTTPS://Example.COM:443/Path/?utm_source=a&id=3#frag",
