@@ -1108,6 +1108,46 @@ object Oracles {
       |  CAST(rank AS BIGINT) AS rank
       |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  /** q84: cross-set LSH decontamination — same literal hyperplanes and
+    * bucket arithmetic as [[lshSql]], corpus × bench split on vec_id.
+    */
+  val q84: String = {
+    val numPlanes = 4; val threshold = 0.3
+    val planes = graft.ops.Similarity.hyperplanes(64, numPlanes, 42L)
+    val bucket = (0 until numPlanes).map { p =>
+      val arr = planes(p).mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(v, $arr) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+       |c AS (SELECT * FROM b WHERE vec_id >= 50),
+       |q AS (SELECT * FROM b WHERE vec_id < 50)
+       |SELECT c.vec_id AS corpus_id, q.vec_id AS bench_id,
+       |  round(list_dot_product(c.v, q.v) /
+       |        (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v))), 4) AS cosine
+       |FROM c JOIN q ON c.bucket = q.bucket
+       |WHERE round(list_dot_product(c.v, q.v) /
+       |        (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v))), 4) >= $threshold
+       |ORDER BY corpus_id, bench_id""".stripMargin
+  }
+
+  /** q85: curriculum binning — global (score, id) rank and ⌊rank·bins/n⌋,
+    * quality score via the shared SQL generator.
+    */
+  val q85: String = {
+    import graft.ops.TextAnalysis.{Sql => T}
+    s"""WITH s AS (SELECT doc_id AS id, ${T.qualityScore("text")} AS score
+       |           FROM documents WHERE doc_id < 200),
+       |r AS (SELECT id, score,
+       |      CAST(row_number() OVER (ORDER BY score, id) - 1 AS BIGINT) AS rank
+       |      FROM s),
+       |n AS (SELECT count(*) AS n FROM s)
+       |SELECT id AS doc_id, score, rank,
+       |  CAST(floor(rank * 4 / CAST(n AS DOUBLE)) AS BIGINT) AS bin
+       |FROM r CROSS JOIN n ORDER BY doc_id""".stripMargin
+  }
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q07_mutual_info_orders" -> q07Pinned,
@@ -1135,6 +1175,8 @@ object Oracles {
       "q81_canonical_urls" -> q81,
       "q82_datacard" -> q82,
       "q83_tfidf" -> q83,
+      "q84_cross_decontamination" -> q84,
+      "q85_curriculum" -> q85,
       "q01_pricing_summary" -> q01,
       "q02_describe_lineitem" -> q02,
       "q03_value_counts_orders" -> q03,

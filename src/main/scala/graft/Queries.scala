@@ -1091,6 +1091,31 @@ object Queries {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id", "rank")
 
+  /** Cross-set embedding decontamination: corpus vectors (vec_id ≥ 50)
+    * near-duplicating any benchmark vector (vec_id < 50) through shared
+    * LSH buckets; bench side broadcast.
+    */
+  def q84CrossDecontamination(s: SparkSession, dir: String): DataFrame = {
+    val e = table(s, dir, "embeddings")
+    ops.Similarity.crossSetMatches(
+        e.where(col("vec_id") >= 50), "vec_id",
+        e.where(col("vec_id") < 50), "vec_id",
+        "embedding", dim = 64, numPlanes = 4, threshold = 0.3)
+      .orderBy("corpus_id", "bench_id")
+  }
+
+  /** Curriculum binning by quality score: global rank via range partitions
+    * + per-partition offsets, bin = floor(rank·bins/n).
+    */
+  def q85Curriculum(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents").where(col("doc_id") < 200)
+      .select(col("doc_id"),
+        ops.TextAnalysis.qualityScore(col("text")).as("score"))
+    ops.Sampling.curriculumBins(docs, "doc_id", "score", bins = 4)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -1210,6 +1235,8 @@ object Queries {
     "q80_naive_bayes" -> (q80NaiveBayes _),
     "q81_canonical_urls" -> (q81CanonicalUrls _),
     "q82_datacard" -> (q82Datacard _),
-    "q83_tfidf" -> (q83Tfidf _)
+    "q83_tfidf" -> (q83Tfidf _),
+    "q84_cross_decontamination" -> (q84CrossDecontamination _),
+    "q85_curriculum" -> (q85Curriculum _)
   )
 }

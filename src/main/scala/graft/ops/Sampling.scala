@@ -147,4 +147,56 @@ object Sampling {
          |WHERE ${hash01(s"d.$idCol", salt)} < r.rate""".stripMargin
     }
   }
+
+  /** Curriculum binning: assign each row a difficulty bin in [0, bins) by
+    * its GLOBAL rank under (score, id) — the "order by difficulty, feed in
+    * stages" step of curriculum training. bin = ⌊rank·bins/n⌋ with rank
+    * 0-based, so bins are equal-sized up to remainder and the assignment is
+    * deterministic (id breaks score ties).
+    *
+    * Plan shape for 100 TB: the global rank comes from range partitioning
+    * on (score, id) + per-partition offsets (P driver scalars from one
+    * count pass), NEVER a corpus-wide single-partition window. The range-
+    * partitioned frame is cached so the count pass and the ranked output
+    * see identical partition boundaries (RangePartitioner sampling is not
+    * stable across jobs); the result is EAGER (localCheckpoint) so the
+    * cache can be freed at once — same contract as `WoodworkFrame.iloc`.
+    *
+    * Output: (id, score, rank, bin).
+    */
+  def curriculumBins(df: DataFrame, idCol: String, scoreCol: String,
+                     bins: Int): DataFrame = {
+    require(bins > 0, s"need bins > 0, got $bins")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val parts = math.max(spark.sparkContext.defaultParallelism, 4)
+    val base = df.select(col(idCol).as("id"), col(scoreCol).as("score"))
+      .repartitionByRange(parts, col("score"), col("id"))
+      .withColumn("__pid", spark_partition_id())
+      .cache()
+    try {
+      val partCounts = base.groupBy(col("__pid"))
+        .agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val n = partCounts.values.sum
+      if (n == 0L) return base.select(col("id"), col("score"),
+        lit(0L).as("rank"), lit(0L).as("bin")).where(lit(false))
+      val sortedPids = partCounts.keys.toSeq.sorted
+      val prefix = sortedPids.scanLeft(0L)((acc, p) => acc + partCounts(p))
+      val offsetOf = sortedPids.zip(prefix).toMap
+      val offExpr = sortedPids.foldLeft(lit(0L)) { (acc, p) =>
+        when(col("__pid") === p, lit(offsetOf(p))).otherwise(acc)
+      }
+      val w = Window.partitionBy(col("__pid"))
+        .orderBy(col("score"), col("id"))
+      // exact while rank·bins < 2^53 (IEEE double); fine for any real corpus
+      base
+        .withColumn("rank",
+          row_number().over(w).cast(LongType) - 1 + offExpr)
+        .select(col("id"), col("score"), col("rank"),
+          floor(col("rank") * lit(bins) / lit(n.toDouble)).cast(LongType)
+            .as("bin"))
+        .localCheckpoint(true)
+    } finally base.unpersist()
+  }
 }

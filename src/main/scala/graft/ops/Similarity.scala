@@ -144,6 +144,32 @@ object Similarity {
                         threshold: Double = 0.95): DataFrame =
     lshSearch(df, idCol, vecCol, dim, numPlanes = 8, threshold = threshold)
 
+  /** Cross-set embedding decontamination: corpus vectors that are
+    * near-duplicates of any benchmark vector — the semantic analog of
+    * n-gram decontamination, for "did a paraphrased eval item leak into
+    * training data". Both sides bucket under the SAME hyperplanes; the
+    * benchmark side (eval sets are small) is broadcast, so the corpus
+    * streams map-side through the bucket equi-join with ZERO corpus
+    * shuffle, and only same-bucket pairs pay a cosine.
+    *
+    * Output: (corpus_id, bench_id, cosine) with cosine ≥ threshold.
+    */
+  def crossSetMatches(corpus: DataFrame, corpusIdCol: String,
+                      bench: DataFrame, benchIdCol: String,
+                      vecCol: String, dim: Int, numPlanes: Int = 4,
+                      threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
+    val cs = corpus.select(col(corpusIdCol).as("corpus_id"),
+      asDouble(col(vecCol)).as("cv"),
+      lshSignature(col(vecCol), dim, numPlanes, seed).as("bucket"))
+    val bs = bench.select(col(benchIdCol).as("bench_id"),
+      asDouble(col(vecCol)).as("bv"),
+      lshSignature(col(vecCol), dim, numPlanes, seed).as("bucket"))
+    cs.join(broadcast(bs), Seq("bucket"))
+      .select(col("corpus_id"), col("bench_id"),
+        round(cosine(col("cv"), col("bv")), 4).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
   // ------------------------------------------------------------------ IVF
   /** Coarse k-means centroids trained driver-side on a bounded sample
     * (Lloyd iterations on ≤sampleSize vectors — the classic IVF quantizer

@@ -124,6 +124,45 @@ class CurationOpsSpec extends SparkSpec {
     assert(dist.toSeq === perRow.toSeq)
   }
 
+  test("crossSetMatches finds planted near-duplicates across sets") {
+    // identical leaked vector on both sides (same bucket by construction);
+    // the other pairs are orthogonal or opposite and can never pass
+    val leaked = Seq.fill(8)(0.1)
+    val bench = Seq((1L, leaked), (2L, Seq.fill(8)(-0.5)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq((100L, leaked), (101L, Seq.fill(8)(0.5).zipWithIndex
+      .map { case (v, i) => if (i % 2 == 0) v else -v }))
+      .toDF("vec_id", "embedding")
+    val out = ops.Similarity.crossSetMatches(
+      corpus, "vec_id", bench, "vec_id", "embedding",
+      dim = 8, numPlanes = 2, threshold = 0.9).collect()
+    // the near-identical pair (100, 1) shares a bucket and passes the
+    // threshold; the orthogonal/opposite vectors never do
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((100L, 1L)))
+  }
+
+  test("curriculumBins assigns equal-width rank bins deterministically") {
+    val rows = (0 until 20).map(i => (i.toLong, (19 - i).toDouble))
+    val df = rows.toDF("id", "score")
+    val out = ops.Sampling.curriculumBins(df, "id", "score", bins = 4)
+      .orderBy("rank").collect()
+    // lowest score = rank 0; 20 rows into 4 bins of 5
+    assert(out(0).getAs[Long]("id") === 19L)
+    assert(out(0).getAs[Long]("bin") === 0L)
+    assert(out(19).getAs[Long]("id") === 0L)
+    assert(out(19).getAs[Long]("bin") === 3L)
+    assert(out.map(_.getAs[Long]("rank")).toSeq === (0L until 20L))
+    assert(out.groupBy(_.getAs[Long]("bin")).view.mapValues(_.length).toMap ===
+      Map(0L -> 5, 1L -> 5, 2L -> 5, 3L -> 5))
+  }
+
+  test("curriculumBins breaks score ties by id") {
+    val df = Seq((5L, 1.0), (3L, 1.0), (9L, 0.5)).toDF("id", "score")
+    val out = ops.Sampling.curriculumBins(df, "id", "score", bins = 3)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("id")).toSeq === Seq(9L, 3L, 5L))
+  }
+
   test("canonicalizeUrl applies the documented rules") {
     val cases = Seq(
       ("HTTPS://Example.COM:443/Path/?utm_source=a&id=3#frag",
