@@ -54,6 +54,8 @@ object Classifier {
     // vocabulary size and total labeled docs
     val v = counts.select(col("tok")).distinct().count()
     val n = df.count()
+    require(n > 0, "empty training set")
+    require(v > 0, "training set has no tokens")
     val classTotals = counts.groupBy(col("label"))
       .agg(sum(col("cnt")).as("class_tokens"))
     val docCounts = df.groupBy(col(labelCol).as("label"))

@@ -54,7 +54,15 @@ object PlanDump {
       "q74_bloom_contamination" ->
         "Bloom decontamination is a pure scalar pipeline: the 1M-bit filter rides the plan as ONE array literal (no per-element codegen, no join), each gram tests 5 indexed bit probes, and the corpus scan streams with zero exchanges before the presentation sort — the shape that stays constant-memory when the contamination set is a billion grams.",
       "q77_lm_score" ->
-        "Bigram LM train+score in one plan: per-gram and per-context counts are partition-window counts over the SAME gram table — the corpus is tokenized once, the model never materializes as a table or a driver object, and the three exchanges (gram hash, context hash, doc id) are the plan's only data movement.")
+        "Bigram LM train+score in one plan: per-gram and per-context counts are partition-window counts over the SAME gram table — the corpus is tokenized once, the model never materializes as a table or a driver object, and the three exchanges (gram hash, context hash, doc id) are the plan's only data movement.",
+      "q79_repeated_spans" ->
+        "Exact-substring dedup without a suffix array: the gram table is posexplode + per-doc window lead (tokenizer runs once per row); the duplicated-gram set is one partial-aggregated hash groupBy on the 32-byte md5 key, marked back via a shuffle semi-join on the SAME key; span merge is lag + running-sum inside a per-doc window. No all-pairs join, no driver state — every stage is linear in corpus size.",
+      "q80_naive_bayes" ->
+        "Naive Bayes train + score as one lazy plan: training is a (label, token) count shuffle; the model (vocab × classes — model-sized, not data-sized) re-enters via BroadcastExchange, so corpus scoring streams map-side and the only post-broadcast exchange is the per-document aggregation. Fixed-point BIGINT log-likelihoods keep every aggregate order-independent, so the plan is retry- and partitioning-stable by construction.",
+      "q84_cross_decontamination" ->
+        "Cross-set semantic decontamination: both sides bucket under IDENTICAL hyperplane literals as codegen projections; the benchmark side collapses to a BroadcastExchange, so the corpus streams map-side through the bucket equi-join with ZERO corpus shuffle, and only same-bucket pairs pay the native ww_vector_dot cosine.",
+      "q85_curriculum" ->
+        "Global score rank with NO global window: range repartition on (score, id), per-partition offsets from P driver scalars, per-partition row_number + offset, then pure-arithmetic bin assignment. The single-partition Window.orderBy a naive ntile would use never appears.")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence for headline operators\n\n")
     sb.append("Generated by `graft.PlanDump` (sf0.01, local[8]). Each section: why the\n")
