@@ -1148,6 +1148,17 @@ object Oracles {
        |FROM r CROSS JOIN n ORDER BY doc_id""".stripMargin
   }
 
+  /** q86: WAV header decode — expected values recomputed from the fixture's
+    * construction arithmetic (the q47 pattern); duration is integer
+    * truncation n·1000 ÷ rate on both sides.
+    */
+  val q86: String =
+    """SELECT doc_id, 'audio/wav' AS mime,
+      |  CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+      |  CAST((doc_id % 3 + 1) * 8000 AS INTEGER) AS sample_rate,
+      |  CAST((doc_id % 50 + 100) * 1000 // ((doc_id % 3 + 1) * 8000) AS BIGINT) AS duration_ms
+      |FROM documents WHERE doc_id < 80 ORDER BY doc_id""".stripMargin
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q07_mutual_info_orders" -> q07Pinned,
@@ -1177,6 +1188,7 @@ object Oracles {
       "q83_tfidf" -> q83,
       "q84_cross_decontamination" -> q84,
       "q85_curriculum" -> q85,
+      "q86_audio_meta" -> q86,
       "q01_pricing_summary" -> q01,
       "q02_describe_lineitem" -> q02,
       "q03_value_counts_orders" -> q03,

@@ -1116,6 +1116,43 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Real WAV (RIFF) header decode over synthesized audio payloads — the
+    * audio sibling of q47: channels/sample-rate/duration parsed from the
+    * payload bytes executor-side, never taken from the caller's claim.
+    */
+  def q86AudioMeta(s: SparkSession, dir: String): DataFrame = {
+    val k = col("doc_id")
+    def le16h(x: Column) = concat(
+      lpad(hex(x.bitwiseAND(lit(255L))), 2, "0"),
+      lpad(hex(shiftright(x, 8).bitwiseAND(lit(255L))), 2, "0"))
+    def le32h(x: Column) = concat(
+      lpad(hex(x.bitwiseAND(lit(255L))), 2, "0"),
+      lpad(hex(shiftright(x, 8).bitwiseAND(lit(255L))), 2, "0"),
+      lpad(hex(shiftright(x, 16).bitwiseAND(lit(255L))), 2, "0"),
+      lpad(hex(shiftright(x, 24).bitwiseAND(lit(255L))), 2, "0"))
+    val c = (k % 2 + 1).cast(LongType)
+    val rate = ((k % 3 + 1) * 8000).cast(LongType)
+    val n = (k % 50 + 100).cast(LongType)
+    val ba = c * 2
+    val br = rate * ba
+    val ds = n * ba
+    val wavHex = concat(
+      lit("52494646"), le32h(ds + 36), lit("57415645"), // RIFF size WAVE
+      lit("666D7420"), le32h(lit(16L)), le16h(lit(1L)), // fmt  16 pcm
+      le16h(c), le32h(rate), le32h(br), le16h(ba), le16h(lit(16L)),
+      lit("64617461"), le32h(ds)) // data size
+    val docs = table(s, dir, "documents").where(k < 80)
+      .select(k, unhex(wavHex).as("wav"))
+    val withP = ops.Multimodal.withPayload(docs, "wav", "audio",
+      "application/octet-stream")
+    ops.Multimodal.decodeMeta(withP)
+      .select(k, col("payload_meta.mime").as("mime"),
+        col("payload_meta.channels").as("channels"),
+        col("payload_meta.sample_rate").as("sample_rate"),
+        col("payload_meta.duration_ms").as("duration_ms"))
+      .orderBy("doc_id")
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -1237,6 +1274,7 @@ object Queries {
     "q82_datacard" -> (q82Datacard _),
     "q83_tfidf" -> (q83Tfidf _),
     "q84_cross_decontamination" -> (q84CrossDecontamination _),
-    "q85_curriculum" -> (q85Curriculum _)
+    "q85_curriculum" -> (q85Curriculum _),
+    "q86_audio_meta" -> (q86AudioMeta _)
   )
 }

@@ -25,7 +25,9 @@ object Multimodal {
     StructField("mime", StringType),
     StructField("width", IntegerType),
     StructField("height", IntegerType),
-    StructField("duration_ms", LongType)))
+    StructField("duration_ms", LongType),
+    StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType)))
 
   val FeatureDim = 8
 
@@ -37,7 +39,9 @@ object Multimodal {
         lit(modality).as("modality"), lit(mime).as("mime"),
         lit(null).cast(IntegerType).as("width"),
         lit(null).cast(IntegerType).as("height"),
-        lit(null).cast(LongType).as("duration_ms")).cast(MetaType))
+        lit(null).cast(LongType).as("duration_ms"),
+        lit(null).cast(IntegerType).as("channels"),
+        lit(null).cast(IntegerType).as("sample_rate")).cast(MetaType))
 
   /** STUB decoder: a real implementation would decode the payload (JPEG,
     * WAV, MP4 frame sample, ...) here; this deterministic fake hashes byte
@@ -79,10 +83,12 @@ object Multimodal {
     }(enc)
   }
 
-  /** Decode image payload headers (PNG/JPEG/GIF, pure-JVM byte parsing) into
-    * the metadata struct: detected mime + true width/height replace the
-    * caller-claimed values; non-image payloads pass through untouched. Same
-    * mapPartitions shape as [[featurize]] — decode work stays executor-side.
+  /** Decode payload headers (image: PNG/JPEG/GIF via [[ImageMeta]]; audio:
+    * WAV/RIFF via [[AudioMeta]] — all pure-JVM byte parsing) into the
+    * metadata struct: detected mime + true dimensions/channels/rate/duration
+    * replace the caller-claimed values; unrecognized payloads pass through
+    * untouched. Same mapPartitions shape as [[featurize]] — decode work
+    * stays executor-side.
     */
   def decodeMeta(df: DataFrame, payloadCol: String = "payload",
                  metaCol: String = "payload_meta"): DataFrame = {
@@ -98,9 +104,15 @@ object Multimodal {
             val old = r.getStruct(mIdx)
             val meta = Row("image", info.mime,
               info.width, info.height,
-              if (old == null) null else old.get(4))
+              if (old == null) null else old.get(4), null, null)
             Row.fromSeq(r.toSeq.updated(mIdx, meta))
-          case None => r
+          case None => AudioMeta.decode(bytes) match {
+            case Some(a) =>
+              val meta = Row("audio", a.mime, null, null,
+                a.durationMs, a.channels, a.sampleRate)
+              Row.fromSeq(r.toSeq.updated(mIdx, meta))
+            case None => r
+          }
         }
       }
     }(enc)

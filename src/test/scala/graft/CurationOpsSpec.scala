@@ -163,6 +163,27 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("id")).toSeq === Seq(9L, 3L, 5L))
   }
 
+  test("AudioMeta decodes WAV headers and rejects malformed payloads") {
+    // 1 channel, 8000 Hz, 16-bit PCM, 4000 samples → 500 ms
+    def le16(v: Int) = Array((v & 255).toByte, ((v >> 8) & 255).toByte)
+    def le32(v: Int) = Array(
+      (v & 255).toByte, ((v >> 8) & 255).toByte,
+      ((v >> 16) & 255).toByte, ((v >> 24) & 255).toByte)
+    val ds = 4000 * 2
+    val wav = "RIFF".getBytes ++ le32(36 + ds) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+      le32(16000) ++ le16(2) ++ le16(16) ++ "data".getBytes ++ le32(ds)
+    val info = ops.AudioMeta.decode(wav).get
+    assert(info.channels === 1)
+    assert(info.sampleRate === 8000)
+    assert(info.bitsPerSample === 16)
+    assert(info.durationMs === 500L)
+    assert(ops.AudioMeta.decode("not a wav at all padding padding"
+      .getBytes).isEmpty)
+    assert(ops.AudioMeta.decode(null).isEmpty)
+    assert(ops.AudioMeta.decode(wav.take(20)).isEmpty)
+  }
+
   test("canonicalizeUrl applies the documented rules") {
     val cases = Seq(
       ("HTTPS://Example.COM:443/Path/?utm_source=a&id=3#frag",
