@@ -117,6 +117,20 @@ object StreamingFrame {
   def gopherGate(stream: DataFrame, textCol: String): DataFrame =
     stream.where(TextAnalysis.gopherPass(col(textCol)))
 
+  /** Streaming classifier gate: tag each arriving document with the Naive
+    * Bayes argmax class (model trained offline, broadcast inside the
+    * scorer) and optionally keep only the wanted classes. Stateless per-row
+    * scoring — no join, no state store — with arithmetic identical to the
+    * batch scorer, so offline and ingest decisions agree bit-for-bit.
+    */
+  def classifyGate(stream: DataFrame, textCol: String,
+                   model: graft.ops.Classifier.NbModel,
+                   keep: Seq[String] = Seq.empty): DataFrame = {
+    val tagged = stream.withColumn("pred",
+      graft.ops.Classifier.predictExpr(model)(col(textCol)))
+    if (keep.isEmpty) tagged else tagged.where(col("pred").isin(keep: _*))
+  }
+
   /** Streaming exact-dedup within the watermark horizon: drop rows whose
     * fingerprint already appeared (Spark's dropDuplicates with watermark
     * keeps state bounded — the streaming analog of hash dedup).

@@ -184,6 +184,30 @@ class IoStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming classifier gate tags and filters by predicted class") {
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq(
+      ("spam", "buy cheap pills now buy buy"),
+      ("spam", "cheap cheap offer buy now"),
+      ("ham", "meeting notes for the quarterly review"),
+      ("ham", "please review the attached meeting agenda"))
+      .toDF("label", "text")
+    val (w, c) = graft.ops.Classifier.trainNaiveBayes(train, "label", "text")
+    val model = graft.ops.Classifier.collectModel(w, c)
+    val mem = MemoryStream[String]
+    val gated = StreamingFrame.classifyGate(mem.toDF().toDF("text"), "text",
+      model, keep = Seq("ham"))
+    val q = gated.writeStream.format("memory").queryName("classified")
+      .outputMode("append").start()
+    mem.addData("cheap pills offer now", "quarterly meeting review agenda")
+    q.processAllAvailable()
+    val kept = spark.sql("select text, pred from classified").collect()
+    assert(kept.length == 1)
+    assert(kept.head.getString(0) == "quarterly meeting review agenda")
+    assert(kept.head.getString(1) == "ham")
+    q.stop()
+  }
+
   test("streaming sessionize merges gap-joined events; watermark closes sessions") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long)]
