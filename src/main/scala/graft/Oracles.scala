@@ -1159,6 +1159,60 @@ object Oracles {
       |  CAST((doc_id % 50 + 100) * 1000 // ((doc_id % 3 + 1) * 8000) AS BIGINT) AS duration_ms
       |FROM documents WHERE doc_id < 80 ORDER BY doc_id""".stripMargin
 
+  /** q87: perplexity partition — the q77 LM-score CTEs feeding the q85
+    * rank/bin formula with tercile labels.
+    */
+  val q87: String =
+    """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+      |           FROM documents WHERE doc_id < 200),
+      |v AS (SELECT count(DISTINCT tok) AS vv
+      |      FROM (SELECT unnest(toks) AS tok FROM t)),
+      |g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      |        i -> toks[i] || ' ' || toks[i+1])) AS gram
+      |      FROM t WHERE len(toks) >= 2),
+      |c AS (SELECT doc_id, gram, string_split(gram, ' ')[1] AS ctx FROM g),
+      |w AS (SELECT doc_id,
+      |        count(*) OVER (PARTITION BY gram) AS c_bigram,
+      |        count(*) OVER (PARTITION BY ctx) AS c_ctx FROM c),
+      |s AS (SELECT doc_id,
+      |        round(avg(log2((c_bigram + 1.0) /
+      |          (c_ctx + 1.0 * (SELECT vv FROM v)))), 4) AS lm_score
+      |      FROM w GROUP BY doc_id),
+      |r AS (SELECT doc_id, lm_score,
+      |      CAST(row_number() OVER (ORDER BY lm_score, doc_id) - 1 AS BIGINT) AS rank
+      |      FROM s),
+      |n AS (SELECT count(*) AS n FROM s)
+      |SELECT doc_id, lm_score, rank,
+      |  (['tail', 'middle', 'head'])[CAST(floor(rank * 3 / CAST(n AS DOUBLE)) AS INTEGER) + 1] AS bucket
+      |FROM r CROSS JOIN n ORDER BY doc_id""".stripMargin
+
+  /** q88: exact-N hash sample — identical md5 hash, hash-then-id order,
+    * LIMIT n.
+    */
+  val q88: String = {
+    val h = graft.ops.Sampling.Sql.hash01("doc_id", "r4")
+    s"""SELECT doc_id, source FROM (
+       |  SELECT doc_id, source FROM documents
+       |  ORDER BY $h, doc_id LIMIT 40)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q89: per-source token budget — same hash order, windowed cumulative
+    * sum, keep-first-row guard.
+    */
+  val q89: String = {
+    val h = graft.ops.Sampling.Sql.hash01("doc_id", "")
+    val tc = graft.ops.TextAnalysis.Sql.tokenCount("text")
+    s"""WITH d AS (SELECT doc_id, source, $tc AS n_tokens FROM documents),
+       |c AS (SELECT doc_id, source, n_tokens,
+       |  CAST(sum(n_tokens) OVER (PARTITION BY source
+       |    ORDER BY $h, doc_id) AS BIGINT) AS cum_tokens
+       |  FROM d)
+       |SELECT doc_id, source, n_tokens, cum_tokens FROM c
+       |WHERE cum_tokens <= 2000 OR cum_tokens = n_tokens
+       |ORDER BY source, doc_id""".stripMargin
+  }
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q07_mutual_info_orders" -> q07Pinned,
@@ -1189,6 +1243,9 @@ object Oracles {
       "q84_cross_decontamination" -> q84,
       "q85_curriculum" -> q85,
       "q86_audio_meta" -> q86,
+      "q87_perplexity_partition" -> q87,
+      "q88_exact_sample" -> q88,
+      "q89_token_budget" -> q89,
       "q01_pricing_summary" -> q01,
       "q02_describe_lineitem" -> q02,
       "q03_value_counts_orders" -> q03,

@@ -1153,6 +1153,34 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style perplexity head/middle/tail partition over the q77 LM
+    * fixture: bigram LM scores → global-rank terciles.
+    */
+  def q87PerplexityPartition(s: SparkSession, dir: String): DataFrame =
+    ops.Corpus.perplexityPartition(
+        table(s, dir, "documents").where(col("doc_id") < 200),
+        "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  /** Deterministic exact-40 sample of the documents table by id hash. */
+  def q88ExactSample(s: SparkSession, dir: String): DataFrame =
+    ops.Sampling.exactSample(
+        table(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", n = 40, salt = "r4")
+      .orderBy("doc_id")
+
+  /** Per-source token-budget selection: ≤ 2000 whitespace tokens per
+    * source, rows chosen in reproducible id-hash order.
+    */
+  def q89TokenBudget(s: SparkSession, dir: String): DataFrame =
+    ops.Sampling.tokenBudgetPerGroup(
+        table(s, dir, "documents"), "source", "doc_id",
+        ops.TextAnalysis.tokenCount(col("text")), budget = 2000L)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_tokens"))
+      .orderBy("source", "doc_id")
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -1275,6 +1303,9 @@ object Queries {
     "q83_tfidf" -> (q83Tfidf _),
     "q84_cross_decontamination" -> (q84CrossDecontamination _),
     "q85_curriculum" -> (q85Curriculum _),
-    "q86_audio_meta" -> (q86AudioMeta _)
+    "q86_audio_meta" -> (q86AudioMeta _),
+    "q87_perplexity_partition" -> (q87PerplexityPartition _),
+    "q88_exact_sample" -> (q88ExactSample _),
+    "q89_token_budget" -> (q89TokenBudget _)
   )
 }

@@ -195,6 +195,30 @@ object Corpus {
         round(avg(log2(p)), 4).as("lm_score"))
   }
 
+  /** CCNet-style perplexity partition (Wenzek et al. 2020): split the
+    * corpus into equal head/middle/tail buckets by language-model score —
+    * the composition of [[bigramLmScores]] (train+score in one plan) and
+    * [[Sampling.curriculumBins]] (global rank without a global window).
+    * Higher lm_score = lower perplexity, so rank ascends from the most
+    * perplexed: labels default to (tail, middle, head). Documents with
+    * fewer than 2 tokens have no bigram score and are absent, matching
+    * [[bigramLmScores]].
+    *
+    * Output: (id, lm_score, rank, bucket).
+    */
+  def perplexityPartition(df: DataFrame, idCol: String, textCol: String,
+                          addK: Double = 1.0,
+                          labels: Seq[String] = Seq("tail", "middle", "head"))
+      : DataFrame = {
+    require(labels.nonEmpty, "need at least one bucket label")
+    val scores = bigramLmScores(df, idCol, textCol, addK)
+    val binned = graft.ops.Sampling.curriculumBins(
+      scores, "id", "lm_score", labels.size)
+    binned.select(col("id"), col("score").as("lm_score"), col("rank"),
+      element_at(typedlit(labels), (col("bin") + 1).cast(IntegerType))
+        .as("bucket"))
+  }
+
   /** Per-group top-k curation: keep the `k` best rows per group under
     * `scoreCol` — the "best documents per source/domain" pass that follows
     * quality scoring in a pretraining pipeline. Ties break on ascending id

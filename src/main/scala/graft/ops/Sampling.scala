@@ -148,6 +148,47 @@ object Sampling {
     }
   }
 
+  /** Deterministic exact-N sample: the `n` rows whose id-hash is smallest
+    * (ties broken by id). Unlike `df.sample(fraction)`, the result size is
+    * EXACT and membership is a pure function of (id, salt) — reproducible
+    * across runs, engines and partitionings. Compiles to
+    * TakeOrderedAndProject: per-task n-entry heaps, no sort shuffle, so it
+    * scales to any corpus as long as n fits one executor's memory.
+    */
+  def exactSample(df: DataFrame, idCol: String, n: Int,
+                  salt: String = ""): DataFrame = {
+    require(n > 0, s"need n > 0, got $n")
+    df.withColumn("__h", hash01(col(idCol), salt))
+      .orderBy(col("__h"), col(idCol))
+      .limit(n)
+      .drop("__h")
+  }
+
+  /** Token-budget selection per group: walk each group's rows in id-hash
+    * order and keep rows while the group's running token total stays
+    * within `budget` — "give me ≤ B tokens per source, chosen
+    * reproducibly". The first row of a group always survives (a document
+    * bigger than the whole budget would otherwise starve the group).
+    *
+    * The cumulative sum is a window PARTITIONED BY GROUP — never a global
+    * single-partition order — so the plan holds at any corpus size; skew
+    * is bounded by the largest group's sort spill.
+    *
+    * Output: input columns + n_tokens + cum_tokens.
+    */
+  def tokenBudgetPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                          tokenCount: Column, budget: Long,
+                          salt: String = ""): DataFrame = {
+    require(budget > 0, s"need budget > 0, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(hash01(col(idCol), salt), col(idCol))
+    df.withColumn("n_tokens", tokenCount)
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") <= budget ||
+        col("cum_tokens") === col("n_tokens"))
+  }
+
   /** Curriculum binning: assign each row a difficulty bin in [0, bins) by
     * its GLOBAL rank under (score, id) — the "order by difficulty, feed in
     * stages" step of curriculum training. bin = ⌊rank·bins/n⌋ with rank

@@ -163,6 +163,35 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("id")).toSeq === Seq(9L, 3L, 5L))
   }
 
+  test("exactSample returns exactly n rows, stable across partitionings") {
+    val df = (0L until 100L).toDF("id")
+    val a = ops.Sampling.exactSample(df, "id", n = 10, salt = "s")
+      .collect().map(_.getLong(0)).toSet
+    val b = ops.Sampling.exactSample(df.repartition(7), "id", 10, "s")
+      .collect().map(_.getLong(0)).toSet
+    assert(a.size === 10)
+    assert(a === b)
+    // different salt re-deals the sample
+    val c = ops.Sampling.exactSample(df, "id", 10, "other")
+      .collect().map(_.getLong(0)).toSet
+    assert(a !== c)
+  }
+
+  test("tokenBudgetPerGroup respects the budget and never starves a group") {
+    val df = Seq(
+      ("a", 1L, "one two three"), ("a", 2L, "four five"),
+      ("a", 3L, "six seven eight nine"),
+      ("b", 4L, "a text far larger than the whole budget in tokens here"))
+      .toDF("source", "doc_id", "text")
+    val out = ops.Sampling.tokenBudgetPerGroup(df, "source", "doc_id",
+      ops.TextAnalysis.tokenCount(col("text")), budget = 6L).collect()
+    val byGroup = out.groupBy(_.getAs[String]("source"))
+    // group a: kept rows stay within 6 cumulative tokens
+    assert(byGroup("a").map(_.getAs[Long]("cum_tokens")).max <= 6L)
+    // group b's single 11-token doc survives via the first-row guard
+    assert(byGroup("b").map(_.getAs[Long]("doc_id")).toSeq === Seq(4L))
+  }
+
   test("AudioMeta decodes WAV headers and rejects malformed payloads") {
     // 1 channel, 8000 Hz, 16-bit PCM, 4000 samples → 500 ms
     def le16(v: Int) = Array((v & 255).toByte, ((v >> 8) & 255).toByte)
