@@ -1213,6 +1213,22 @@ object Oracles {
        |ORDER BY source, doc_id""".stripMargin
   }
 
+  /** q90: incremental dedup — same fingerprint (md5 of whitespace-normed
+    * lowercase), within-batch first-wins window, anti join vs the seen set.
+    */
+  val q90: String =
+    """WITH seen AS (SELECT DISTINCT
+      |  md5(trim(regexp_replace(lower('doc body ' || CAST(doc_id % 100 AS VARCHAR)), '\s+', ' ', 'g'))) AS fingerprint
+      |  FROM documents WHERE doc_id < 250),
+      |b AS (SELECT doc_id,
+      |  md5(trim(regexp_replace(lower('doc body ' || CAST(doc_id % 230 AS VARCHAR)), '\s+', ' ', 'g'))) AS fingerprint
+      |  FROM documents WHERE doc_id >= 250),
+      |f AS (SELECT doc_id, fingerprint,
+      |  row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn FROM b)
+      |SELECT doc_id, fingerprint FROM f
+      |WHERE rn = 1 AND fingerprint NOT IN (SELECT fingerprint FROM seen)
+      |ORDER BY doc_id""".stripMargin
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q07_mutual_info_orders" -> q07Pinned,
@@ -1246,6 +1262,7 @@ object Oracles {
       "q87_perplexity_partition" -> q87,
       "q88_exact_sample" -> q88,
       "q89_token_budget" -> q89,
+      "q90_incremental_dedup" -> q90,
       "q01_pricing_summary" -> q01,
       "q02_describe_lineitem" -> q02,
       "q03_value_counts_orders" -> q03,

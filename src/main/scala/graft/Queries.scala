@@ -1181,6 +1181,24 @@ object Queries {
         col("cum_tokens"))
       .orderBy("source", "doc_id")
 
+  /** Incremental exact dedup: batch rows (doc_id ≥ 250, bodies doc_id%230)
+    * against a seen-set of fingerprints (doc_id < 250, bodies doc_id%100) —
+    * exercises within-batch first-wins AND cross-increment drops.
+    */
+  def q90IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val k = col("doc_id")
+    val docs = table(s, dir, "documents")
+    val body = (m: Int) =>
+      concat(lit("doc body "), (k % m).cast(StringType))
+    val seenFp = docs.where(k < 250)
+      .select(ops.TextAnalysis.fingerprint(body(100)).as("fingerprint"))
+      .distinct()
+    val batch = docs.where(k >= 250).select(k, body(230).as("text"))
+    ops.Dedup.incrementalDedup(batch, "doc_id", "text", seenFp)
+      .select(col("doc_id"), col("fingerprint"))
+      .orderBy("doc_id")
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -1306,6 +1324,7 @@ object Queries {
     "q86_audio_meta" -> (q86AudioMeta _),
     "q87_perplexity_partition" -> (q87PerplexityPartition _),
     "q88_exact_sample" -> (q88ExactSample _),
-    "q89_token_budget" -> (q89TokenBudget _)
+    "q89_token_budget" -> (q89TokenBudget _),
+    "q90_incremental_dedup" -> (q90IncrementalDedup _)
   )
 }

@@ -307,6 +307,33 @@ object Dedup {
     * unhinted — AQE broadcasts it when duplication is light and shuffles
     * when a crawl-heavy corpus makes the list genuinely large.
     */
+  /** Incremental exact dedup for rolling ingest: keep each batch row only
+    * if (a) it is the FIRST occurrence of its content fingerprint within
+    * the batch (min id wins — deterministic across retries) and (b) the
+    * fingerprint is absent from the already-ingested `seen` set. The
+    * per-day pattern at 100 TB: the seen set is a fingerprint TABLE (not a
+    * driver structure), the batch anti-joins it on the fingerprint hash —
+    * one shuffle each for the within-batch window and the anti join, both
+    * keyed on the 32-byte md5. For probabilistic constant-memory gating at
+    * ingest use [[graft.streaming.StreamingFrame.bloomDecontaminate]];
+    * this operator is the exact batch reconciliation.
+    *
+    * Output: batch rows that survive, plus their `fingerprint` column
+    * (append it to the seen table for the next increment).
+    */
+  def incrementalDedup(batch: DataFrame, idCol: String, textCol: String,
+                       seen: DataFrame): DataFrame = {
+    require(seen.columns.contains("fingerprint"),
+      "seen set needs a 'fingerprint' column")
+    import org.apache.spark.sql.expressions.Window
+    val fp = batch.withColumn("fingerprint",
+      TextAnalysis.fingerprint(col(textCol)))
+    val w = Window.partitionBy(col("fingerprint")).orderBy(col(idCol))
+    fp.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+      .join(seen.select(col("fingerprint")), Seq("fingerprint"), "left_anti")
+  }
+
   def deduplicate(df: DataFrame, idCol: String, textCol: String,
                   n: Int = 3, threshold: Double = 0.6): DataFrame = {
     val pairs = minhashLshPairs(df, idCol, textCol, n = n,

@@ -192,6 +192,20 @@ class CurationOpsSpec extends SparkSpec {
     assert(byGroup("b").map(_.getAs[Long]("doc_id")).toSeq === Seq(4L))
   }
 
+  test("incrementalDedup: first-wins within batch, seen fingerprints drop") {
+    val seen = Seq("already ingested doc").toDF("text")
+      .select(ops.TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+    val batch = Seq(
+      (10L, "fresh content one"),
+      (11L, "fresh content one"), // within-batch dup: id 10 wins
+      (12L, "already ingested doc"), // cross-increment dup: dropped
+      (13L, "fresh content two"))
+      .toDF("doc_id", "text")
+    val out = ops.Dedup.incrementalDedup(batch, "doc_id", "text", seen)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(10L, 13L))
+  }
+
   test("AudioMeta decodes WAV headers and rejects malformed payloads") {
     // 1 channel, 8000 Hz, 16-bit PCM, 4000 samples → 500 ms
     def le16(v: Int) = Array((v & 255).toByte, ((v >> 8) & 255).toByte)
