@@ -1229,6 +1229,51 @@ object Oracles {
       |WHERE rn = 1 AND fingerprint NOT IN (SELECT fingerprint FROM seen)
       |ORDER BY doc_id""".stripMargin
 
+  /** q91: the full curation funnel replayed in DuckDB — shared-constant
+    * Gopher rules, the identical redaction chain, fingerprint first-wins
+    * dedup, and the three per-source aggregates.
+    */
+  val q91: String = {
+    val pats = graft.ops.TextAnalysis.piiPatterns.toMap
+    val chain = graft.ops.TextAnalysis.PiiPlaceholders.foldLeft("txt") {
+      case (acc, (nm, ph)) => s"regexp_replace($acc, '${pats(nm)}', '$ph', 'g')"
+    }
+    val T = graft.ops.TextAnalysis.Sql
+    val gop = T.gopherRules("src", "doc_id", "txt", 50L, 100000L)
+    s"""WITH src AS (SELECT doc_id, source,
+       |  CASE WHEN doc_id % 10 = 0 THEN 'short doc'
+       |       WHEN doc_id % 7 = 3 THEN '${graft.Queries.q91Passage}'
+       |       ELSE substr(text, 1, 400) || ' contact user' ||
+       |            CAST(doc_id % 40 AS VARCHAR) ||
+       |            '@example.com and share the rest of that report with them' END AS txt
+       |  FROM documents),
+       |gop AS ($gop),
+       |keptg AS (SELECT s.doc_id, s.source, s.txt FROM src s
+       |          JOIN gop ON gop.id = s.doc_id WHERE gop.pass),
+       |red AS (SELECT doc_id, source, $chain AS clean_text FROM keptg),
+       |f1 AS (SELECT doc_id, source, clean_text,
+       |       md5(trim(regexp_replace(lower(clean_text), '\\s+', ' ', 'g'))) AS fingerprint
+       |       FROM red),
+       |f2 AS (SELECT *, row_number() OVER
+       |         (PARTITION BY fingerprint ORDER BY doc_id) AS rn FROM f1),
+       |ded AS (SELECT doc_id, source, clean_text FROM f2 WHERE rn = 1),
+       |inn AS (SELECT source, CAST(count(*) AS BIGINT) AS docs_in
+       |        FROM src GROUP BY 1),
+       |gp AS (SELECT source, CAST(count(*) AS BIGINT) AS gate_pass
+       |       FROM keptg GROUP BY 1),
+       |kp AS (SELECT source, CAST(count(*) AS BIGINT) AS kept,
+       |       CAST(sum(${T.tokenCount("clean_text")}) AS BIGINT) AS total_tokens,
+       |       round(CAST(sum(CAST(round(${T.qualityScore("clean_text")} * 10000) AS BIGINT)) AS DOUBLE) /
+       |             CAST(count(*) * 10000 AS DOUBLE), 4) AS avg_quality
+       |       FROM ded GROUP BY 1)
+       |SELECT inn.source, docs_in,
+       |  coalesce(gate_pass, 0) AS gate_pass, coalesce(kept, 0) AS kept,
+       |  coalesce(total_tokens, 0) AS total_tokens, avg_quality
+       |FROM inn LEFT JOIN gp ON inn.source = gp.source
+       |LEFT JOIN kp ON inn.source = kp.source
+       |ORDER BY inn.source""".stripMargin
+  }
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q07_mutual_info_orders" -> q07Pinned,
@@ -1263,6 +1308,7 @@ object Oracles {
       "q88_exact_sample" -> q88,
       "q89_token_budget" -> q89,
       "q90_incremental_dedup" -> q90,
+      "q91_curate_pipeline" -> q91,
       "q01_pricing_summary" -> q01,
       "q02_describe_lineitem" -> q02,
       "q03_value_counts_orders" -> q03,

@@ -1199,6 +1199,33 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** 53 plain-prose words that pass every Gopher rule — the duplicated
+    * passage of the q91 curation fixture.
+    */
+  val q91Passage: String =
+    "the project team met to review the data pipeline and confirmed that " +
+    "every stage of the process works as expected with clear results and " +
+    "steady progress across all areas while the group agreed to keep the " +
+    "current plan and to share updates with everyone involved so that " +
+    "future work can continue without delay"
+
+  /** End-to-end curation funnel: Gopher gate → PII scrub → exact dedup →
+    * per-source report, over a fixture with failing docs (every 10th),
+    * duplicated passages (every 7th ≡ 3) and embedded emails.
+    */
+  def q91CuratePipeline(s: SparkSession, dir: String): DataFrame = {
+    val k = col("doc_id")
+    val txt = when(k % 10 === 0, lit("short doc"))
+      .when(k % 7 === 3, lit(q91Passage))
+      .otherwise(concat(substring(col("text"), 1, 400),
+        lit(" contact user"), (k % 40).cast(StringType),
+        lit("@example.com and share the rest of that report with them")))
+    val docs = table(s, dir, "documents")
+      .select(k, col("source"), txt.as("txt"))
+    ops.Pipeline.curateReport(docs, "doc_id", "txt", "source")
+      .orderBy("source")
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -1325,6 +1352,7 @@ object Queries {
     "q87_perplexity_partition" -> (q87PerplexityPartition _),
     "q88_exact_sample" -> (q88ExactSample _),
     "q89_token_budget" -> (q89TokenBudget _),
-    "q90_incremental_dedup" -> (q90IncrementalDedup _)
+    "q90_incremental_dedup" -> (q90IncrementalDedup _),
+    "q91_curate_pipeline" -> (q91CuratePipeline _)
   )
 }

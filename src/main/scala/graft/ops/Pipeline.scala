@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** End-to-end corpus curation: the standard pretraining front door — rule
+  * gate → PII scrub → exact dedup → quality annotation — composed from the
+  * individual operators so one call produces a training-ready corpus plus
+  * a per-source funnel report. Everything stays ONE lazy plan per output:
+  * the gate and scrub are projections, dedup is a fingerprint window +
+  * first-wins filter, and the report is three small aggregates joined on
+  * source. Nothing here adds a shuffle the component operators don't
+  * already have.
+  */
+object Pipeline {
+
+  /** The curated corpus: documents that pass the Gopher rules, with PII
+    * redacted, exact duplicates dropped (first id wins on the REDACTED
+    * fingerprint — two docs differing only in their PII literals are
+    * duplicates), and quality/language annotations.
+    *
+    * Output: (id, source, clean_text, fingerprint, quality_score,
+    * lang_pred).
+    */
+  def curate(df: DataFrame, idCol: String, textCol: String,
+             sourceCol: String, minWords: Long = 50L): DataFrame = {
+    val gated = df.where(TextAnalysis.gopherPass(col(textCol), minWords))
+    val red = gated.select(col(idCol).as("id"), col(sourceCol).as("source"),
+      TextAnalysis.redactPii(col(textCol)).as("clean_text"))
+    val fp = red.withColumn("fingerprint",
+      TextAnalysis.fingerprint(col("clean_text")))
+    val w = Window.partitionBy(col("fingerprint")).orderBy(col("id"))
+    fp.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+      .withColumn("quality_score",
+        TextAnalysis.qualityScore(col("clean_text")))
+      .withColumn("lang_pred", TextAnalysis.langId(col("clean_text")))
+  }
+
+  /** Per-source curation funnel: how many documents entered, passed the
+    * gate, survived dedup, and what the surviving corpus looks like.
+    * Quality is averaged in fixed-point (score × 10⁴ as BIGINT) so the
+    * mean is order-independent (same contract as [[Corpus.datacard]]).
+    *
+    * Output: (source, docs_in, gate_pass, kept, total_tokens,
+    * avg_quality).
+    */
+  def curateReport(df: DataFrame, idCol: String, textCol: String,
+                   sourceCol: String, minWords: Long = 50L): DataFrame = {
+    val in = df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("docs_in"))
+    val pass = df.where(TextAnalysis.gopherPass(col(textCol), minWords))
+      .groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("gate_pass"))
+    val kept = curate(df, idCol, textCol, sourceCol, minWords)
+      .select(col("source"),
+        TextAnalysis.tokenCount(col("clean_text")).as("toks"),
+        (round(col("quality_score") * 10000)).cast(LongType).as("q4"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("kept"),
+        sum(col("toks")).as("total_tokens"),
+        round(sum(col("q4")).cast(DoubleType) /
+          (count(lit(1)) * lit(10000)).cast(DoubleType), 4)
+          .as("avg_quality"))
+    in.join(pass, Seq("source"), "left")
+      .join(kept, Seq("source"), "left")
+      .select(col("source"), col("docs_in"),
+        coalesce(col("gate_pass"), lit(0L)).as("gate_pass"),
+        coalesce(col("kept"), lit(0L)).as("kept"),
+        coalesce(col("total_tokens"), lit(0L)).as("total_tokens"),
+        col("avg_quality"))
+  }
+}

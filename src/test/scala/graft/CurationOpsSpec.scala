@@ -206,6 +206,26 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(10L, 13L))
   }
 
+  test("Pipeline.curate gates, scrubs, dedups and annotates in one pass") {
+    val passing = Queries.q91Passage
+    val docs = Seq(
+      (1L, "web", passing),
+      (2L, "web", passing), // exact dup after scrub: dropped
+      (3L, "web", passing + " reach me at a@b.co"), // PII variant: kept, redacted
+      (4L, "web", "way too short"))
+      .toDF("doc_id", "source", "text")
+    val out = ops.Pipeline.curate(docs, "doc_id", "text", "source")
+      .orderBy("id").collect()
+    assert(out.map(_.getAs[Long]("id")).toSeq === Seq(1L, 3L))
+    assert(out(1).getAs[String]("clean_text").endsWith("reach me at [EMAIL]"))
+    val report = ops.Pipeline.curateReport(docs, "doc_id", "text", "source")
+      .collect()
+    assert(report.length === 1)
+    assert(report.head.getAs[Long]("docs_in") === 4L)
+    assert(report.head.getAs[Long]("gate_pass") === 3L)
+    assert(report.head.getAs[Long]("kept") === 2L)
+  }
+
   test("AudioMeta decodes WAV headers and rejects malformed payloads") {
     // 1 channel, 8000 Hz, 16-bit PCM, 4000 samples → 500 ms
     def le16(v: Int) = Array((v & 255).toByte, ((v >> 8) & 255).toByte)
