@@ -34,20 +34,23 @@ object AudioMeta {
     if (!isWav(b)) return None
     var channels = -1; var rate = -1; var bits = -1
     var byteRate = -1L; var dataSize = -1L
-    var o = 12
+    // Long offsets: a corrupted 32-bit chunk size must neither wrap an Int
+    // (infinite loop / negative index) nor stall the walk
+    var o = 12L
     while (o + 8 <= b.length && (channels < 0 || dataSize < 0)) {
-      val id = tag(b, o)
-      val size = le32(b, o + 4)
+      val oi = o.toInt
+      val id = tag(b, oi)
+      val size = le32(b, oi + 4)
       if (id == "fmt " && o + 24 <= b.length) {
-        channels = le16(b, o + 10)
-        rate = le32(b, o + 12).toInt
-        byteRate = le32(b, o + 16)
-        bits = le16(b, o + 22)
+        channels = le16(b, oi + 10)
+        rate = le32(b, oi + 12).toInt
+        byteRate = le32(b, oi + 16)
+        bits = le16(b, oi + 22)
       } else if (id == "data") {
         dataSize = size
       }
       // chunks are word-aligned: odd sizes carry one pad byte
-      o += 8 + size.toInt + (size.toInt & 1)
+      o += 8L + size + (size & 1L)
     }
     if (channels <= 0 || rate <= 0 || byteRate <= 0 || dataSize < 0) None
     else Some(Info("audio/wav", channels, rate, bits,

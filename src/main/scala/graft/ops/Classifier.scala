@@ -127,11 +127,13 @@ object Classifier {
     * tie-break to [[scoreNaiveBayes]] (exact long sums), so batch and
     * streaming paths agree bit-for-bit.
     */
+  private val TokenRegex = "\\S+".r
+
   def predictExpr(model: NbModel)
                  (text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val f = udf { (s: String) =>
       val toks = if (s == null) Array.empty[String]
-        else "\\S+".r.findAllIn(s.toLowerCase).toArray
+        else TokenRegex.findAllIn(s.toLowerCase).toArray
       var bestLabel: String = null
       var bestScore = Long.MinValue
       for ((label, prior, defaultW) <- model.classes) {
