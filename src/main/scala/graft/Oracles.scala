@@ -1274,6 +1274,82 @@ object Oracles {
        |ORDER BY inn.source""".stripMargin
   }
 
+  /** Pinned q92 BPE merge table (deterministic train: count-desc,
+    * pair-lexicographic tie-break; regenerate via tools/oraclegen.py
+    * after any tokenizer-affecting change).
+    */
+  val q92Pinned: String =
+    """SELECT * FROM (VALUES
+      |(CAST(0 AS BIGINT),'e','r','er'),
+      |(CAST(1 AS BIGINT),'o','w','ow'),
+      |(CAST(2 AS BIGINT),'i','n','in'),
+      |(CAST(3 AS BIGINT),'o','r','or'),
+      |(CAST(4 AS BIGINT),'s','t','st'),
+      |(CAST(5 AS BIGINT),'a','l','al'),
+      |(CAST(6 AS BIGINT),'a','t','at'),
+      |(CAST(7 AS BIGINT),'m','er','mer'),
+      |(CAST(8 AS BIGINT),'a','r','ar'),
+      |(CAST(9 AS BIGINT),'p','ar','par'),
+      |(CAST(10 AS BIGINT),'a','s','as'),
+      |(CAST(11 AS BIGINT),'as','h','ash'),
+      |(CAST(12 AS BIGINT),'h','ash','hash'),
+      |(CAST(13 AS BIGINT),'j','o','jo'),
+      |(CAST(14 AS BIGINT),'jo','in','join'),
+      |(CAST(15 AS BIGINT),'a','n','an'),
+      |(CAST(16 AS BIGINT),'c','an','can'),
+      |(CAST(17 AS BIGINT),'f','i','fi'),
+      |(CAST(18 AS BIGINT),'fi','l','fil'),
+      |(CAST(19 AS BIGINT),'fil','t','filt'),
+      |(CAST(20 AS BIGINT),'filt','er','filter'),
+      |(CAST(21 AS BIGINT),'s','can','scan'),
+      |(CAST(22 AS BIGINT),'at','c','atc'),
+      |(CAST(23 AS BIGINT),'atc','h','atch'),
+      |(CAST(24 AS BIGINT),'b','atch','batch'),
+      |(CAST(25 AS BIGINT),'al','l','all'),
+      |(CAST(26 AS BIGINT),'m','all','mall'),
+      |(CAST(27 AS BIGINT),'s','mall','small'),
+      |(CAST(28 AS BIGINT),'l','ow','low'),
+      |(CAST(29 AS BIGINT),'s','low','slow'),
+      |(CAST(30 AS BIGINT),'c','u','cu'),
+      |(CAST(31 AS BIGINT),'cu','st','cust'),
+      |(CAST(32 AS BIGINT),'cust','o','custo'),
+      |(CAST(33 AS BIGINT),'custo','mer','customer'),
+      |(CAST(34 AS BIGINT),'a','b','ab'),
+      |(CAST(35 AS BIGINT),'ab','l','abl'),
+      |(CAST(36 AS BIGINT),'abl','e','able'),
+      |(CAST(37 AS BIGINT),'t','able','table'),
+      |(CAST(38 AS BIGINT),'al','u','alu'),
+      |(CAST(39 AS BIGINT),'alu','e','alue')
+      |) AS t(rank, "left", "right", merged) ORDER BY rank""".stripMargin
+
+  /** Pinned q93 per-source BPE piece counts under the q92 tokenizer
+    * (regenerate via tools/oraclegen.py).
+    */
+  val q93Pinned: String =
+    """SELECT * FROM (VALUES
+      |('src0',CAST(15 AS BIGINT),CAST(2252 AS BIGINT)),
+      |('src1',CAST(15 AS BIGINT),CAST(2180 AS BIGINT)),
+      |('src10',CAST(15 AS BIGINT),CAST(2059 AS BIGINT)),
+      |('src11',CAST(15 AS BIGINT),CAST(2378 AS BIGINT)),
+      |('src12',CAST(15 AS BIGINT),CAST(1901 AS BIGINT)),
+      |('src13',CAST(15 AS BIGINT),CAST(2472 AS BIGINT)),
+      |('src14',CAST(15 AS BIGINT),CAST(1936 AS BIGINT)),
+      |('src15',CAST(15 AS BIGINT),CAST(1944 AS BIGINT)),
+      |('src16',CAST(15 AS BIGINT),CAST(2095 AS BIGINT)),
+      |('src17',CAST(15 AS BIGINT),CAST(2157 AS BIGINT)),
+      |('src18',CAST(15 AS BIGINT),CAST(2225 AS BIGINT)),
+      |('src19',CAST(15 AS BIGINT),CAST(1612 AS BIGINT)),
+      |('src2',CAST(15 AS BIGINT),CAST(2441 AS BIGINT)),
+      |('src3',CAST(15 AS BIGINT),CAST(1966 AS BIGINT)),
+      |('src4',CAST(15 AS BIGINT),CAST(2064 AS BIGINT)),
+      |('src5',CAST(15 AS BIGINT),CAST(2260 AS BIGINT)),
+      |('src6',CAST(15 AS BIGINT),CAST(1549 AS BIGINT)),
+      |('src7',CAST(15 AS BIGINT),CAST(2442 AS BIGINT)),
+      |('src8',CAST(15 AS BIGINT),CAST(1880 AS BIGINT)),
+      |('src9',CAST(15 AS BIGINT),CAST(2160 AS BIGINT))
+      |) AS t(source, n_docs, total_pieces) ORDER BY source""".stripMargin
+
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q07_mutual_info_orders" -> q07Pinned,
@@ -1309,6 +1385,8 @@ object Oracles {
       "q89_token_budget" -> q89,
       "q90_incremental_dedup" -> q90,
       "q91_curate_pipeline" -> q91,
+      "q92_bpe_train" -> q92Pinned,
+      "q93_bpe_pieces" -> q93Pinned,
       "q01_pricing_summary" -> q01,
       "q02_describe_lineitem" -> q02,
       "q03_value_counts_orders" -> q03,

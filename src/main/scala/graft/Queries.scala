@@ -1226,6 +1226,34 @@ object Queries {
       .orderBy("source")
   }
 
+  /** Shared BPE training config for q92/q93: top-2000 words of the first
+    * 300 documents, 40 merges.
+    */
+  def q9xBpeMerges(s: SparkSession, dir: String): Seq[ops.Bpe.Merge] =
+    ops.Bpe.train(
+      table(s, dir, "documents").where(col("doc_id") < 300),
+      "text", numMerges = 40, maxWords = 2000)
+
+  /** BPE tokenizer training: the learned merge table (deterministic:
+    * count-desc, pair-lexicographic tie-break). Pinned oracle — the merge
+    * loop is not ANSI-expressible; regenerate via tools/oraclegen.py.
+    */
+  def q92BpeTrain(s: SparkSession, dir: String): DataFrame =
+    ops.Bpe.mergesTable(s, q9xBpeMerges(s, dir)).orderBy("rank")
+
+  /** BPE piece counts under the q92-trained tokenizer, rolled up per
+    * source — "how many tokens will training see". Pinned oracle.
+    */
+  def q93BpePieces(s: SparkSession, dir: String): DataFrame = {
+    val merges = q9xBpeMerges(s, dir)
+    table(s, dir, "documents").where(col("doc_id") < 300)
+      .select(col("source"),
+        ops.Bpe.pieceCount(merges)(col("text")).as("pieces"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("pieces")).as("total_pieces"))
+      .orderBy("source")
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -1353,6 +1381,8 @@ object Queries {
     "q88_exact_sample" -> (q88ExactSample _),
     "q89_token_budget" -> (q89TokenBudget _),
     "q90_incremental_dedup" -> (q90IncrementalDedup _),
-    "q91_curate_pipeline" -> (q91CuratePipeline _)
+    "q91_curate_pipeline" -> (q91CuratePipeline _),
+    "q92_bpe_train" -> (q92BpeTrain _),
+    "q93_bpe_pieces" -> (q93BpePieces _)
   )
 }

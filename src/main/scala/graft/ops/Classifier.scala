@@ -129,11 +129,17 @@ object Classifier {
     */
   private val TokenRegex = "\\S+".r
 
+  /** JVM-side twin of [[TextAnalysis.tokens]] (lowercase whitespace
+    * tokens) for per-row UDF scorers.
+    */
+  private[ops] def tokenize(s: String): Array[String] =
+    if (s == null) Array.empty[String]
+    else TokenRegex.findAllIn(s.toLowerCase).toArray
+
   def predictExpr(model: NbModel)
                  (text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val f = udf { (s: String) =>
-      val toks = if (s == null) Array.empty[String]
-        else TokenRegex.findAllIn(s.toLowerCase).toArray
+      val toks = tokenize(s)
       var bestLabel: String = null
       var bestScore = Long.MinValue
       for ((label, prior, defaultW) <- model.classes) {

@@ -226,6 +226,28 @@ class CurationOpsSpec extends SparkSpec {
     assert(report.head.getAs[Long]("kept") === 2L)
   }
 
+  test("Bpe.train learns the classic merges; segment/pieceCount agree") {
+    // Sennrich-style toy corpus: low x3, lower x2, newest x2
+    val docs = Seq("low low low lower lower newest newest").toDF("text")
+    val merges = ops.Bpe.train(docs, "text", numMerges = 3, maxWords = 100)
+    assert(merges.map(m => (m.left, m.right)) ===
+      Seq(("l", "o"), ("lo", "w"), ("e", "r")))
+    val rankOf = merges.map(m => (m.left, m.right) -> m.rank).toMap
+    assert(ops.Bpe.segmentWord("lowest", rankOf).toSeq ===
+      Seq("low", "e", "s", "t"))
+    val counted = docs
+      .select(ops.Bpe.pieceCount(merges)(col("text")).as("n"))
+      .head().getLong(0)
+    // low=1 x3, lower=low+er=2 x2, newest=n+e+w+e+s+t=6 x2
+    assert(counted === 3 * 1 + 2 * 2 + 2 * 6)
+  }
+
+  test("Bpe.train stops when no pair repeats") {
+    val docs = Seq("abc def ghi").toDF("text")
+    val merges = ops.Bpe.train(docs, "text", numMerges = 10, maxWords = 100)
+    assert(merges.isEmpty)
+  }
+
   test("AudioMeta decodes WAV headers and rejects malformed payloads") {
     // 1 channel, 8000 Hz, 16-bit PCM, 4000 samples → 500 ms
     def le16(v: Int) = Array((v & 255).toByte, ((v >> 8) & 255).toByte)

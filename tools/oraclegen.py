@@ -13,13 +13,19 @@ SPECS = {
   'q74_bloom_contamination': (['doc_id','bloom_hits'], ['i','i'], 'ORDER BY doc_id'),
   'q75_kmeans': (['cluster','n','inertia'], ['i','i','d'], 'ORDER BY cluster'),
   'q76_semdedup': (['cluster','n','n_dropped'], ['i','i','i'], 'ORDER BY cluster'),
+  'q92_bpe_train': (['rank','left','right','merged'], ['i','s','s','s'], 'ORDER BY rank'),
+  'q93_bpe_pieces': (['source','n_docs','total_pieces'], ['s','i','i'], 'ORDER BY source'),
 }
 def lit(v, t):
     if t == 's': return "'" + str(v).replace("'","''") + "'"
     if t == 'i': return f"CAST({int(v)} AS BIGINT)"
     if v is None or (isinstance(v, float) and math.isnan(v)): return 'CAST(NULL AS DOUBLE)'
     return f"CAST({repr(float(v))} AS DOUBLE)"
+import glob, os
 for q, (cols, types, order) in SPECS.items():
+    if not glob.glob(f'{out}/{q}/*.parquet'):
+        print(f'-- {q}: no dump at {out}, skipped', file=sys.stderr)
+        continue
     df = duckdb.sql(f"SELECT * FROM '{out}/{q}/*.parquet'").df()
     # NULL vs NaN: parquet NULL arrives as NaN in pandas; re-read masks
     mask = duckdb.sql("SELECT " + ", ".join(f'"{c}" IS NULL AS "{c}"' for c in cols) + f" FROM '{out}/{q}/*.parquet'").df()
