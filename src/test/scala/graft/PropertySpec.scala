@@ -178,4 +178,66 @@ class PropertySpec extends SparkSpec {
       assert(j >= 0.0 && j <= 1.0)
     }
   }
+
+  test("property: repeatedSpans equals the brute-force reference") {
+    val k = 3
+    val docGen = Gen.listOfN(4,
+      Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+    forSamples(docGen, 8) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val got = ops.SpanDedup.repeatedSpans(df, "id", "text", k)
+        .collect().map(r => r.getAs[Long]("id") ->
+          (r.getAs[Long]("dup_spans"), r.getAs[Long]("dup_tokens"))).toMap
+      // brute force: count each doc's gram occurrences across the corpus,
+      // mark covered positions, merge into maximal runs
+      val toks = texts.map(_.toLowerCase.split("\\s+").toSeq)
+      val all = toks.flatMap(ts => ts.sliding(k).filter(_.length == k).toSeq)
+      val freq = all.groupBy(identity).view.mapValues(_.size).toMap
+      toks.zipWithIndex.foreach { case (ts, i) =>
+        val covered = (0 to ts.length - k)
+          .filter(p => freq(ts.slice(p, p + k)) >= 2)
+          .flatMap(p => p until p + k).toSet
+        val spans =
+          covered.toSeq.sorted.foldLeft(List.empty[(Int, Int)]) {
+            case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+            case (acc, p) => (p, p) :: acc
+          }.length
+        assert(got(i.toLong) === ((spans.toLong, covered.size.toLong)),
+          s"doc $i: ${ts.mkString(" ")}")
+      }
+    }
+  }
+
+  test("property: curriculumBins rank equals the driver-side sort") {
+    val gen = Gen.listOfN(30, Gen.choose(0, 9))
+    forSamples(gen, 6) { scores =>
+      val rows = scores.zipWithIndex.map { case (s, i) => (i.toLong, s.toDouble) }
+      val out = ops.Sampling.curriculumBins(
+          rows.toDF("id", "score"), "id", "score", bins = 4)
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rank")).toMap
+      val expect = rows.sortBy { case (id, s) => (s, id) }
+        .zipWithIndex.map { case ((id, _), r) => id -> r.toLong }.toMap
+      assert(out === expect)
+    }
+  }
+
+  test("property: exactSample equals the driver-side hash order take-n") {
+    val gen = Gen.listOfN(40, Gen.choose(0L, 10000L)).map(_.distinct)
+    forSamples(gen, 6) { ids =>
+      val n = math.min(7, ids.size)
+      if (n > 0) {
+        val got = ops.Sampling.exactSample(ids.toDF("id"), "id", n, "p")
+          .collect().map(_.getLong(0)).toSet
+        def h(id: Long): Long = {
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$id:p".getBytes("UTF-8"))
+          java.lang.Long.parseLong(
+            md.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+        }
+        val expect = ids.sortBy(id => (h(id), id)).take(n).toSet
+        assert(got === expect)
+      }
+    }
+  }
 }
