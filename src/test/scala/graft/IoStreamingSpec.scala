@@ -184,6 +184,22 @@ class IoStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("shard writer balances files and the manifest reconciles") {
+    val dir = java.nio.file.Files.createTempDirectory("wwshard").toString
+    val df = (0L until 200L).map(i => (i, s"row $i")).toDF("id", "body")
+    val manifest = graft.io.ShardWriter.writeShards(df, dir, 4, "id")
+      .collect()
+    assert(manifest.length === 4)
+    assert(manifest.map(_.getAs[Long]("rows")).sum === 200L)
+    assert(manifest.forall(_.getAs[Long]("bytes") > 0L))
+    // shard membership is hash-stable: rewriting yields identical sizes
+    val again = graft.io.ShardWriter.writeShards(df.repartition(13), dir, 4, "id")
+      .collect().map(r => r.getAs[Long]("rows")).sorted
+    assert(again.toSeq === manifest.map(_.getAs[Long]("rows")).sorted.toSeq)
+    // content round-trips
+    assert(spark.read.parquet(dir).count() === 200L)
+  }
+
   test("streaming classifier gate tags and filters by predicted class") {
     implicit val sqlCtx = spark.sqlContext
     val train = Seq(
