@@ -1350,6 +1350,30 @@ object Oracles {
       |) AS t(source, n_docs, total_pieces) ORDER BY source""".stripMargin
 
 
+  /** q94: rolling 1-hour RANGE window over epoch micros, integer-cent
+    * sums — boundary semantics identical (inclusive, peers-by-value).
+    */
+  val q94: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+      |           CAST(round(value * 100) AS BIGINT) AS cents
+      |           FROM events WHERE user_id < 40)
+      |SELECT event_id, user_id,
+      |  CAST(count(*) OVER w AS BIGINT) AS n_window,
+      |  CAST(sum(cents) OVER w AS BIGINT) AS sum_cents_window
+      |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us
+      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  /** q95: hourly resample per event type — date_trunc buckets, cent sums,
+    * exact min/max.
+    */
+  val q95: String =
+    """SELECT event_type AS "group", date_trunc('hour', ts) AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  min(value) AS min_value, max(value) AS max_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q07_mutual_info_orders" -> q07Pinned,
@@ -1387,6 +1411,8 @@ object Oracles {
       "q91_curate_pipeline" -> q91,
       "q92_bpe_train" -> q92Pinned,
       "q93_bpe_pieces" -> q93Pinned,
+      "q94_rolling_window" -> q94,
+      "q95_resample" -> q95,
       "q01_pricing_summary" -> q01,
       "q02_describe_lineitem" -> q02,
       "q03_value_counts_orders" -> q03,

@@ -1254,6 +1254,23 @@ object Queries {
       .orderBy("source")
   }
 
+  /** Rolling 1-hour per-user event aggregate (RANGE window over epoch
+    * micros; integer-cent sums).
+    */
+  def q94RollingWindow(s: SparkSession, dir: String): DataFrame =
+    ops.TimeSeries.rollingAggregate(
+        table(s, dir, "events").where(col("user_id") < 40), "user_id", "ts",
+        "value", windowSeconds = 3600L)
+      .select(col("event_id"), col("user_id"),
+        col("n_window"), col("sum_cents_window"))
+      .orderBy("event_id")
+
+  /** Hourly resample of the event stream per event type. */
+  def q95Resample(s: SparkSession, dir: String): DataFrame =
+    ops.TimeSeries.resample(table(s, dir, "events"), "ts", "hour",
+        "event_type", "value")
+      .orderBy("group", "bucket")
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -1383,6 +1400,8 @@ object Queries {
     "q90_incremental_dedup" -> (q90IncrementalDedup _),
     "q91_curate_pipeline" -> (q91CuratePipeline _),
     "q92_bpe_train" -> (q92BpeTrain _),
-    "q93_bpe_pieces" -> (q93BpePieces _)
+    "q93_bpe_pieces" -> (q93BpePieces _),
+    "q94_rolling_window" -> (q94RollingWindow _),
+    "q95_resample" -> (q95Resample _)
   )
 }

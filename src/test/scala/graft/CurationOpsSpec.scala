@@ -248,6 +248,38 @@ class CurationOpsSpec extends SparkSpec {
     assert(merges.isEmpty)
   }
 
+  test("rollingAggregate: trailing window includes boundary, resets per key") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00"), 1.00),
+      (2L, 7L, ts("2024-01-01 10:30:00"), 2.00),
+      (3L, 7L, ts("2024-01-01 11:00:00"), 4.00), // 10:00 still in [t-1h, t]
+      (4L, 7L, ts("2024-01-01 13:00:00"), 8.00), // window reset
+      (5L, 9L, ts("2024-01-01 10:45:00"), 16.00)) // other key untouched
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = ops.TimeSeries.rollingAggregate(df, "user_id", "ts", "value",
+      windowSeconds = 3600L).orderBy("event_id").collect()
+    assert(out.map(_.getAs[Long]("n_window")).toSeq === Seq(1, 2, 3, 1, 1))
+    assert(out(2).getAs[Long]("sum_cents_window") === 700L)
+    assert(out(4).getAs[Long]("sum_cents_window") === 1600L)
+  }
+
+  test("resample buckets by hour per group") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      ("click", ts("2024-01-01 10:05:00"), 1.5),
+      ("click", ts("2024-01-01 10:55:00"), 2.5),
+      ("click", ts("2024-01-01 11:05:00"), 3.0),
+      ("view", ts("2024-01-01 10:20:00"), 7.0))
+      .toDF("event_type", "ts", "value")
+    val out = ops.TimeSeries.resample(df, "ts", "hour", "event_type", "value")
+      .orderBy("group", "bucket").collect()
+    assert(out.length === 3)
+    assert(out(0).getAs[Long]("n") === 2L)
+    assert(out(0).getAs[Long]("sum_cents") === 400L)
+    assert(out(0).getAs[Double]("max_value") === 2.5)
+  }
+
   test("AudioMeta decodes WAV headers and rejects malformed payloads") {
     // 1 channel, 8000 Hz, 16-bit PCM, 4000 samples → 500 ms
     def le16(v: Int) = Array((v & 255).toByte, ((v >> 8) & 255).toByte)
