@@ -158,10 +158,10 @@ object Sampling {
   def exactSample(df: DataFrame, idCol: String, n: Int,
                   salt: String = ""): DataFrame = {
     require(n > 0, s"need n > 0, got $n")
-    df.withColumn("__h", hash01(col(idCol), salt))
-      .orderBy(col("__h"), col(idCol))
+    df.withColumn("__ww_sample_h", hash01(col(idCol), salt))
+      .orderBy(col("__ww_sample_h"), col(idCol))
       .limit(n)
-      .drop("__h")
+      .drop("__ww_sample_h")
   }
 
   /** Token-budget selection per group: walk each group's rows in id-hash
