@@ -62,7 +62,11 @@ object PlanDump {
       "q84_cross_decontamination" ->
         "Cross-set semantic decontamination: both sides bucket under IDENTICAL hyperplane literals as codegen projections; the benchmark side collapses to a BroadcastExchange, so the corpus streams map-side through the bucket equi-join with ZERO corpus shuffle, and only same-bucket pairs pay the native ww_vector_dot cosine.",
       "q85_curriculum" ->
-        "Global score rank with NO global window: range repartition on (score, id), per-partition offsets from P driver scalars, per-partition row_number + offset, then pure-arithmetic bin assignment. The single-partition Window.orderBy a naive ntile would use never appears.")
+        "Global score rank with NO global window: range repartition on (score, id), per-partition offsets from P driver scalars, per-partition row_number + offset, then pure-arithmetic bin assignment. The single-partition Window.orderBy a naive ntile would use never appears.",
+      "q91_curate_pipeline" ->
+        "End-to-end curation (gate, scrub, dedup, report) stays ONE lazy plan per output: the Gopher conjunction and PII redaction are pure projections fused into the scan, dedup is a fingerprint-partitioned window, and the funnel report is three small per-source aggregates joined at the end — no intermediate materialization anywhere.",
+      "q94_rolling_window" ->
+        "Rolling trailing-window features: a per-user RANGE frame over epoch micros — the only exchange is hashpartitioning(user_id); there is no global sort, and the frame arithmetic is integer so results are engine-exact.")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence for headline operators\n\n")
     sb.append("Generated by `graft.PlanDump` (sf0.01, local[8]). Each section: why the\n")
