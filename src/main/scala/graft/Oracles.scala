@@ -1413,6 +1413,9 @@ object Oracles {
       "q93_bpe_pieces" -> q93Pinned,
       "q94_rolling_window" -> q94,
       "q95_resample" -> q95,
+      "q96_cross_minhash" -> graft.ops.Dedup.Sql.crossJaccardPairs(
+        "documents", "doc_id", "text", 3, 0.5,
+        "id >= 100", "id < 100"),
       "q01_pricing_summary" -> q01,
       "q02_describe_lineitem" -> q02,
       "q03_value_counts_orders" -> q03,

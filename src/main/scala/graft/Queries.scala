@@ -1271,6 +1271,19 @@ object Queries {
         "event_type", "value")
       .orderBy("group", "bucket")
 
+  /** Text-level cross-corpus decontamination: corpus docs (id ≥ 100)
+    * near-duplicating benchmark docs (id < 100) via shared MinHash-LSH
+    * buckets; oracle is the exhaustive cross Jaccard.
+    */
+  def q96CrossMinhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    ops.Dedup.crossMinhashMatches(
+        docs.where(col("doc_id") >= 100),
+        docs.where(col("doc_id") < 100),
+        "doc_id", "text", threshold = 0.5)
+      .orderBy("corpus_id", "bench_id")
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -1402,6 +1415,7 @@ object Queries {
     "q92_bpe_train" -> (q92BpeTrain _),
     "q93_bpe_pieces" -> (q93BpePieces _),
     "q94_rolling_window" -> (q94RollingWindow _),
-    "q95_resample" -> (q95Resample _)
+    "q95_resample" -> (q95Resample _),
+    "q96_cross_minhash" -> (q96CrossMinhash _)
   )
 }

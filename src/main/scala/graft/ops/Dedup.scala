@@ -153,14 +153,13 @@ object Dedup {
         .functionExists("ww_ngrams")
     } catch { case _: Throwable => false }
 
-  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-                      n: Int = 3, numHashes: Int = 64, bands: Int = 32,
-                      threshold: Double = 0.6): DataFrame = {
+  /** (id, band, sig) LSH bucket table for a corpus — signatures from the
+    * per-row native `ww_minhash` when registered (zero shuffle), else the
+    * bit-identical aggregation fallback.
+    */
+  private def bandBuckets(df: DataFrame, idCol: String, textCol: String,
+                          n: Int, numHashes: Int, bands: Int): DataFrame = {
     val rowsPer = numHashes / bands
-    // signatures: per-row native expression when registered — NO shuffle at
-    // all for the signature stage (the aggregation fallback shuffles every
-    // (doc, shingle) pair of the corpus); both paths produce bit-identical
-    // signatures (same two-hash XOR-rotate family, same xxhash64 seeds)
     val sigs =
       if (nativeMinhashAvailable)
         df.select(col(idCol).as("id"),
@@ -178,8 +177,32 @@ object Dedup {
         element_at(col("sig"), b * rowsPer + r + 1))
       struct(lit(b).as("band"), xxhash64(elems: _*).as("bsig"))
     }
-    val buckets = sigs.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+    sigs.select(col("id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bsig").as("sig"))
+  }
+
+  /** Distinct md5 gram set of a text column (tokenize-once native
+    * `ww_ngrams` when registered); short docs fingerprint their whole
+    * normalized text — the shared verification representation.
+    */
+  private def gramSetExpr(t: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(t)
+    val grams =
+      if (nativeNgramsAvailable)
+        call_function("ww_ngrams", toks, lit(n))
+      else transform(shinglesFromTokens(toks, n), g => md5(g))
+    when(size(toks) >= n, grams)
+      .otherwise(array(md5(array_join(toks, " "))))
+  }
+
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, numHashes: Int = 64, bands: Int = 32,
+                      threshold: Double = 0.6): DataFrame = {
+    // signatures: per-row native expression when registered — NO shuffle at
+    // all for the signature stage (the aggregation fallback shuffles every
+    // (doc, shingle) pair of the corpus); both paths produce bit-identical
+    // signatures (same two-hash XOR-rotate family, same xxhash64 seeds)
+    val buckets = bandBuckets(df, idCol, textCol, n, numHashes, bands)
     // skew-guarded: a band bucket full of near-identical docs grid-splits
     // instead of one quadratic task
     val cand = SkewJoin.selfPairs(buckets, Seq("band", "sig"), "id")
@@ -192,15 +215,7 @@ object Dedup {
     // (nothing cached, nothing to free). Gram sets come from the native
     // tokenize-once ww_ngrams (md5 sets intersect identically to raw
     // shingles); short docs keep the whole-text-shingle convention.
-    def gramSet(t: Column): Column = {
-      val toks = TextAnalysis.tokens(t)
-      val grams =
-        if (nativeNgramsAvailable)
-          call_function("ww_ngrams", toks, lit(n))
-        else transform(shinglesFromTokens(toks, n), g => md5(g))
-      when(size(toks) >= n, grams)
-        .otherwise(array(md5(array_join(toks, " "))))
-    }
+    def gramSet(t: Column): Column = gramSetExpr(t, n)
     val texts = df.select(col(idCol).as("id"), col(textCol).as("t"))
     val withSets = cand
       .join(texts.select(col("id").as("id_1"), col("t").as("t1")), "id_1")
@@ -307,6 +322,43 @@ object Dedup {
     * unhinted — AQE broadcasts it when duplication is light and shuffles
     * when a crawl-heavy corpus makes the list genuinely large.
     */
+  /** Text-level cross-corpus decontamination: corpus documents that
+    * NEAR-DUPLICATE any benchmark document — the MinHash sibling of the
+    * exact n-gram overlap ([[Corpus.contamination]]) and the embedding
+    * variant ([[Similarity.crossSetMatches]]); this is the one that
+    * catches lightly-edited eval items.
+    *
+    * Plan shape for 100 TB: both sides bucket under the SAME signature
+    * family; the benchmark bucket table (eval sets are small) is
+    * broadcast, so the corpus streams map-side through the (band, sig)
+    * equi-join with ZERO corpus shuffle; exact Jaccard verification is
+    * candidate-local with the bench text side broadcast too.
+    *
+    * Output: (corpus_id, bench_id, jaccard) with jaccard ≥ threshold.
+    */
+  def crossMinhashMatches(corpus: DataFrame, bench: DataFrame,
+                          idCol: String, textCol: String, n: Int = 3,
+                          numHashes: Int = 64, bands: Int = 32,
+                          threshold: Double = 0.6): DataFrame = {
+    val cb = bandBuckets(corpus, idCol, textCol, n, numHashes, bands)
+    val bb = bandBuckets(bench, idCol, textCol, n, numHashes, bands)
+      .withColumnRenamed("id", "bench_id")
+    val cand = cb.join(broadcast(bb), Seq("band", "sig"))
+      .select(col("id").as("corpus_id"), col("bench_id"))
+      .distinct()
+    val ct = corpus.select(col(idCol).as("corpus_id"),
+      gramSetExpr(col(textCol), n).as("g1"))
+    val bt = bench.select(col(idCol).as("bench_id"),
+      gramSetExpr(col(textCol), n).as("g2"))
+    val withSets = cand.join(ct, "corpus_id").join(broadcast(bt), "bench_id")
+    val inter = size(array_intersect(col("g1"), col("g2"))).cast(DoubleType)
+    val j = inter /
+      ((size(col("g1")) + size(col("g2"))).cast(DoubleType) - inter)
+    withSets
+      .select(col("corpus_id"), col("bench_id"), round(j, 4).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** Incremental exact dedup for rolling ingest: keep each batch row only
     * if (a) it is the FIRST occurrence of its content fingerprint within
     * the batch (min id wins — deterministic across retries) and (b) the
@@ -429,6 +481,33 @@ object Dedup {
          |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
          |        (CAST(len(a.sh) + len(b.sh) AS DOUBLE) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)), 4) >= $threshold
          |ORDER BY id_1, id_2""".stripMargin
+    }
+
+    /** Exhaustive CROSS-set Jaccard (ground truth for
+      * [[Dedup.crossMinhashMatches]]): corpus × bench pairs over the same
+      * distinct-shingle representation.
+      */
+    def crossJaccardPairs(table: String, idCol: String, textCol: String,
+                          n: Int, threshold: Double, corpusFilter: String,
+                          benchFilter: String): String = {
+      val toks = s"regexp_extract_all(lower($textCol), '\\S+')"
+      val jac = "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+        "(CAST(len(a.sh) + len(b.sh) AS DOUBLE) - " +
+        "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE))"
+      s"""WITH t AS (
+         | SELECT $idCol AS id,
+         |   list_distinct(CASE WHEN len($toks) >= $n
+         |     THEN list_transform(range(1, len($toks) - ${n - 2}),
+         |            i -> ${(0 until n).map(j => s"$toks[i+$j]").mkString(" || ' ' || ")})
+         |     ELSE [array_to_string($toks, ' ')] END) AS sh
+         | FROM $table),
+         |c AS (SELECT * FROM t WHERE $corpusFilter),
+         |q AS (SELECT * FROM t WHERE $benchFilter)
+         |SELECT a.id AS corpus_id, b.id AS bench_id,
+         |  round($jac, 4) AS jaccard
+         |FROM c a JOIN q b ON true
+         |WHERE round($jac, 4) >= $threshold
+         |ORDER BY corpus_id, bench_id""".stripMargin
     }
 
     /** Connected components over the Jaccard pair set as a recursive CTE:

@@ -280,6 +280,21 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(0).getAs[Double]("max_value") === 2.5)
   }
 
+  test("crossMinhashMatches finds the edited near-dup, skips distinct docs") {
+    val base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4).trim
+    val bench = Seq((1L, base), (2L, "completely different benchmark words"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (100L, base + " tail edit"), // lightly edited copy of bench 1
+      (101L, "unrelated corpus document about nothing shared here"))
+      .toDF("doc_id", "text")
+    val out = ops.Dedup.crossMinhashMatches(corpus, bench, "doc_id", "text",
+      threshold = 0.5).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 100L)).map(_.swap))
+    assert(out.head.getAs[Double]("jaccard") > 0.8)
+  }
+
   test("AudioMeta decodes WAV headers and rejects malformed payloads") {
     // 1 channel, 8000 Hz, 16-bit PCM, 4000 samples → 500 ms
     def le16(v: Int) = Array((v & 255).toByte, ((v >> 8) & 255).toByte)
