@@ -1374,6 +1374,33 @@ object Oracles {
       |  min(value) AS min_value, max(value) AS max_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q97: scaling — identical exact integer-cent fit statistics and the
+    * same double arithmetic order for mean/var/std and the projections.
+    */
+  val q97: String =
+    """WITH c AS (SELECT l_orderkey, l_linenumber,
+      |  CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem),
+      |f AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s,
+      |      CAST(sum(c * c) AS BIGINT) AS ss,
+      |      min(c) AS mn, max(c) AS mx FROM c)
+      |SELECT l_orderkey, l_linenumber,
+      |  round((CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / n) /
+      |    sqrt(CAST(ss AS DOUBLE) / n -
+      |         (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)), 4) AS z,
+      |  round((CAST(c AS DOUBLE) - mn) / (mx - mn), 4) AS mm
+      |FROM c CROSS JOIN f WHERE l_orderkey < 200
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** q98: frequency label encoding — rank by count desc, value asc. */
+  val q98: String =
+    """WITH m AS (SELECT o_orderpriority,
+      |  CAST(row_number() OVER (ORDER BY count(*) DESC, o_orderpriority ASC) - 1
+      |       AS BIGINT) AS o_orderpriority_enc
+      |  FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1)
+      |SELECT o_orderkey, o.o_orderpriority, o_orderpriority_enc
+      |FROM orders o LEFT JOIN m USING (o_orderpriority)
+      |WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q07_mutual_info_orders" -> q07Pinned,
@@ -1416,6 +1443,8 @@ object Oracles {
       "q96_cross_minhash" -> graft.ops.Dedup.Sql.crossJaccardPairs(
         "documents", "doc_id", "text", 3, 0.5,
         "id >= 100", "id < 100"),
+      "q97_standardize" -> q97,
+      "q98_frequency_encode" -> q98,
       "q01_pricing_summary" -> q01,
       "q02_describe_lineitem" -> q02,
       "q03_value_counts_orders" -> q03,

@@ -1284,6 +1284,29 @@ object Queries {
       .orderBy("corpus_id", "bench_id")
   }
 
+  /** Feature scaling fitted on the FULL column with exact integer-cents
+    * statistics, applied to a bounded slice.
+    */
+  def q97Standardize(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem")
+    val fit = ops.FeaturePrep.fitScale(li, "l_extendedprice")
+    li.where(col("l_orderkey") < 200)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        ops.FeaturePrep.standardize(fit)(col("l_extendedprice")).as("z"),
+        ops.FeaturePrep.minMax(fit)(col("l_extendedprice")).as("mm"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Frequency label encoding of order priorities (rank by count desc,
+    * value asc), mapping fitted on the full table.
+    */
+  def q98FrequencyEncode(s: SparkSession, dir: String): DataFrame =
+    ops.FeaturePrep.frequencyEncode(table(s, dir, "orders"), "o_orderpriority")
+      .where(col("o_orderkey") < 500)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_orderpriority_enc"))
+      .orderBy("o_orderkey")
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -1416,6 +1439,8 @@ object Queries {
     "q93_bpe_pieces" -> (q93BpePieces _),
     "q94_rolling_window" -> (q94RollingWindow _),
     "q95_resample" -> (q95Resample _),
-    "q96_cross_minhash" -> (q96CrossMinhash _)
+    "q96_cross_minhash" -> (q96CrossMinhash _),
+    "q97_standardize" -> (q97Standardize _),
+    "q98_frequency_encode" -> (q98FrequencyEncode _)
   )
 }

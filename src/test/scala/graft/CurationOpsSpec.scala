@@ -295,6 +295,28 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.head.getAs[Double]("jaccard") > 0.8)
   }
 
+  test("FeaturePrep: exact-cents fit, z-score/minmax transforms, encoding") {
+    val df = Seq(1.00, 2.00, 3.00, 4.00).toDF("v")
+    val fit = ops.FeaturePrep.fitScale(df, "v")
+    assert(fit.n === 4L)
+    assert(fit.sumCents === 1000L)
+    assert(fit.minCents === 100L && fit.maxCents === 400L)
+    val out = df.select(col("v"),
+        ops.FeaturePrep.standardize(fit)(col("v")).as("z"),
+        ops.FeaturePrep.minMax(fit)(col("v")).as("mm"))
+      .orderBy("v").collect()
+    // mean 2.5, population std sqrt(1.25) over cents: z(1.0) ≈ -1.3416
+    assert(math.abs(out(0).getAs[Double]("z") + 1.3416) < 1e-9)
+    assert(out(0).getAs[Double]("mm") === 0.0)
+    assert(out(3).getAs[Double]("mm") === 1.0)
+    val cats = Seq("b", "a", "b", "c", "b", "a").toDF("cat")
+    val enc = ops.FeaturePrep.frequencyEncode(cats, "cat")
+      .select("cat", "cat_enc").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // b (3) → 0, a (2) → 1, c (1) → 2
+    assert(enc === Map("b" -> 0L, "a" -> 1L, "c" -> 2L))
+  }
+
   test("AudioMeta decodes WAV headers and rejects malformed payloads") {
     // 1 channel, 8000 Hz, 16-bit PCM, 4000 samples → 500 ms
     def le16(v: Int) = Array((v & 255).toByte, ((v >> 8) & 255).toByte)
