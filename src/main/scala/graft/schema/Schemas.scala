@@ -95,6 +95,35 @@ final case class WwTableSchema(
     }: _*))
   }
 
+  /** Schema drift vs another typed schema — the governance check a rolling
+    * ingest runs before appending a new batch to yesterday's table. Pure
+    * metadata (no data scan): one row per difference, kinds `added` /
+    * `removed` / `retyped` / `retagged`.
+    *
+    * Output rows: (column, kind, before, after) where before/after are the
+    * logical type names (for retyped), sorted tag lists (for retagged), or
+    * None on the absent side.
+    */
+  def drift(newer: WwTableSchema): Seq[(String, String, Option[String], Option[String])] = {
+    val removed = columns.keys.toSeq.filterNot(newer.columns.contains)
+      .map(c => (c, "removed", Some(columns(c).logicalType.name), None))
+    val added = newer.columns.keys.toSeq.filterNot(columns.contains)
+      .map(c => (c, "added", None, Some(newer.columns(c).logicalType.name)))
+    val common = columns.keys.toSeq.filter(newer.columns.contains)
+    val retyped = common.flatMap { c =>
+      val (a, b) = (columns(c).logicalType.name, newer.columns(c).logicalType.name)
+      if (a != b) Some((c, "retyped", Some(a), Some(b))) else None
+    }
+    val retagged = common.flatMap { c =>
+      val (a, b) = (columns(c).allTags, newer.columns(c).allTags)
+      if (a != b)
+        Some((c, "retagged", Some(a.toSeq.sorted.mkString(",")),
+          Some(b.toSeq.sorted.mkString(","))))
+      else None
+    }
+    (removed ++ added ++ retyped ++ retagged).sortBy(r => (r._1, r._2))
+  }
+
   /** Column selector over {logical type name/string, semantic tag, column
     * name} (reference: table_schema.py:474-563 `_filter_cols`).
     */

@@ -317,6 +317,25 @@ class CurationOpsSpec extends SparkSpec {
     assert(enc === Map("b" -> 0L, "a" -> 1L, "c" -> 2L))
   }
 
+  test("schema drift reports added/removed/retyped/retagged columns") {
+    import graft.frame.WoodworkFrame
+    import graft.types.{LogicalType => LT}
+    val a = WoodworkFrame.init(
+      Seq((1L, "x", 1.5)).toDF("id", "cat", "gone"),
+      logicalTypes = Map("cat" -> LT.Categorical)).schema
+    val b = WoodworkFrame.init(
+      Seq((1L, "x", "new")).toDF("id", "cat", "fresh"),
+      logicalTypes = Map("cat" -> LT.NaturalLanguage)).schema
+    val d = a.drift(b)
+    assert(d.map(r => (r._1, r._2)).toSet === Set(
+      ("gone", "removed"), ("fresh", "added"),
+      ("cat", "retyped"), ("cat", "retagged")))
+    val retyped = d.find(_._2 == "retyped").get
+    assert(retyped._3 === Some("Categorical"))
+    assert(retyped._4 === Some("NaturalLanguage"))
+    assert(a.drift(a).isEmpty)
+  }
+
   test("AudioMeta decodes WAV headers and rejects malformed payloads") {
     // 1 channel, 8000 Hz, 16-bit PCM, 4000 samples → 500 ms
     def le16(v: Int) = Array((v & 255).toByte, ((v >> 8) & 255).toByte)
