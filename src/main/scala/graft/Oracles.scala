@@ -578,7 +578,9 @@ object Oracles {
        |  '.example.org/page/' || CAST(doc_id AS VARCHAR) ||
        |  CASE WHEN doc_id % 3 = 0 THEN ' and http://cdn.assets.net/x' ELSE '' END AS txt
        |  FROM documents WHERE doc_id < 200),
-       |u AS (SELECT doc_id, lower(regexp_extract(unnest(regexp_extract_all(txt, '$urlPat')), '^https?://([^/]+)', 1)) AS domain
+       |u AS (SELECT doc_id, regexp_replace(regexp_replace(
+       |        lower(regexp_extract(unnest(regexp_extract_all(txt, '$urlPat')), '^https?://([^/]+)', 1)),
+       |        '^[^@]*@', ''), ':[0-9]+$$', '') AS domain
        |      FROM src)
        |SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
        |FROM u WHERE domain <> ''
@@ -905,7 +907,9 @@ object Oracles {
        |  CASE WHEN doc_id % 3 = 0 THEN ' and http://cdn.assets.net/x' ELSE '' END AS txt
        |  FROM documents WHERE doc_id < 200),
        |h AS (SELECT doc_id, list_transform(regexp_extract_all(txt, '$urlPat'),
-       |        u -> lower(regexp_extract(u, '^https?://([^/]+)', 1))) AS hosts
+       |        u -> regexp_replace(regexp_replace(
+       |          lower(regexp_extract(u, '^https?://([^/]+)', 1)),
+       |          '^[^@]*@', ''), ':[0-9]+$$', '')) AS hosts
        |      FROM src)
        |SELECT doc_id,
        |  len(list_filter(hosts, hh -> len(list_filter(
@@ -1206,10 +1210,12 @@ object Oracles {
     s"""WITH d AS (SELECT doc_id, source, $tc AS n_tokens FROM documents),
        |c AS (SELECT doc_id, source, n_tokens,
        |  CAST(sum(n_tokens) OVER (PARTITION BY source
-       |    ORDER BY $h, doc_id) AS BIGINT) AS cum_tokens
+       |    ORDER BY $h, doc_id) AS BIGINT) AS cum_tokens,
+       |  row_number() OVER (PARTITION BY source
+       |    ORDER BY $h, doc_id) AS rn
        |  FROM d)
        |SELECT doc_id, source, n_tokens, cum_tokens FROM c
-       |WHERE cum_tokens <= 2000 OR cum_tokens = n_tokens
+       |WHERE cum_tokens <= 2000 OR rn = 1
        |ORDER BY source, doc_id""".stripMargin
   }
 

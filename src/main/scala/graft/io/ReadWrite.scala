@@ -29,10 +29,14 @@ object ReadWrite {
     "csv" -> "csv", "parquet" -> "parquet", "orc" -> "orc", "json" -> "json",
     "feather" -> "feather", "arrow" -> "feather")
 
-  /** reference: utils.py:150-163 content-type guessing */
-  def formatFor(path: String): String = {
+  /** reference: utils.py:150-163 content-type guessing. `unknown` decides
+    * the fallback for unrecognized extensions (plain default here; the
+    * readFile path passes the magic-byte sniff).
+    */
+  def formatFor(path: String,
+                unknown: => String = "parquet"): String = {
     val ext = path.reverse.takeWhile(_ != '.').reverse.toLowerCase
-    extToFormat.getOrElse(ext, "parquet")
+    extToFormat.getOrElse(ext, unknown)
   }
 
   /** Content sniffing from the leading magic bytes of the first data file —
@@ -93,11 +97,8 @@ object ReadWrite {
                semanticTags: Map[String, Set[String]] = Map.empty,
                replaceNan: Boolean = false): WoodworkFrame = {
     // extension first (reference parity), magic-byte sniff when it lies
-    val fmt = format.getOrElse {
-      val ext = path.reverse.takeWhile(_ != '.').reverse.toLowerCase
-      extToFormat.getOrElse(ext,
-        sniffFormat(spark, path).getOrElse("parquet"))
-    }
+    val fmt = format.getOrElse(
+      formatFor(path, sniffFormat(spark, path).getOrElse("parquet")))
     val reader = spark.read
     val raw = fmt match {
       case "csv" => reader.option("header", "true").csv(path)

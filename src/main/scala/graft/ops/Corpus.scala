@@ -137,22 +137,32 @@ object Corpus {
     * registered (same values; re-runs the tokenizer per gram, so register
     * `graft.GraftExtensions` on hot paths).
     */
+  /** Distinct md5 word-n-gram hashes of a text column — the ONE shared
+    * gram-hash expression behind exact contamination, Bloom probes and
+    * (via [[graft.ops.Dedup]]'s whole-short-doc convention) LSH verify.
+    * Native tokenize-once `ww_ngrams` when registered; bit-identical HOF
+    * fallback otherwise. Docs shorter than n grams yield an empty array.
+    */
+  private[graft] def gramHashes(spark: org.apache.spark.sql.SparkSession,
+                                textCol: String,
+                                n: Int): org.apache.spark.sql.Column =
+    if (spark.sessionState.catalog.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("ww_ngrams")))
+      call_function("ww_ngrams", TextAnalysis.tokens(col(textCol)), lit(n))
+    else {
+      val toks = TextAnalysis.tokens(col(textCol))
+      array_distinct(when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+          md5(concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))))
+        .otherwise(array().cast(ArrayType(StringType))))
+    }
+
   def contaminationHits(spark: org.apache.spark.sql.SparkSession,
                         textCol: String, n: Int,
                         gramSet: Set[String]): org.apache.spark.sql.Column = {
-    val grams =
-      if (spark.sessionState.catalog.functionExists(
-          org.apache.spark.sql.catalyst.FunctionIdentifier("ww_ngrams")))
-        call_function("ww_ngrams", TextAnalysis.tokens(col(textCol)), lit(n))
-      else {
-        val toks = TextAnalysis.tokens(col(textCol))
-        array_distinct(when(size(toks) >= n,
-          transform(sequence(lit(1), size(toks) - (n - 1)), i =>
-            md5(concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))))
-          .otherwise(array().cast(ArrayType(StringType))))
-      }
     if (gramSet.isEmpty) lit(0)
-    else coalesce(size(filter(grams, g => g.isInCollection(gramSet))), lit(0))
+    else coalesce(size(filter(gramHashes(spark, textCol, n),
+      g => g.isInCollection(gramSet))), lit(0))
   }
 
   /** Bigram language-model scoring — the engine-portable proxy for the
@@ -259,8 +269,8 @@ object Corpus {
   def buildGramBloom(bench: DataFrame, idCol: String, textCol: String,
                      n: Int, numBits: Int = 1 << 20,
                      numHashes: Int = 5): Array[Long] = {
-    require(numBits > 0 && (numBits & (numBits - 1)) == 0,
-      s"numBits must be a power of two, got $numBits")
+    require(numBits >= 64 && (numBits & (numBits - 1)) == 0,
+      s"numBits must be a power of two >= 64 (whole 64-bit words), got $numBits")
     val g = gramTable(bench, idCol, textCol, n)
       .select(md5(col("gram")).as("g")).distinct()
     val positions = g.select(explode(array((0 until numHashes).map(i =>
@@ -284,17 +294,7 @@ object Corpus {
                 numHashes: Int = 5): org.apache.spark.sql.Column = {
     val numBits = bits.length * 64
     val bitsLit = typedlit(bits.toSeq)
-    val grams =
-      if (spark.sessionState.catalog.functionExists(
-          org.apache.spark.sql.catalyst.FunctionIdentifier("ww_ngrams")))
-        call_function("ww_ngrams", TextAnalysis.tokens(col(textCol)), lit(n))
-      else {
-        val toks = TextAnalysis.tokens(col(textCol))
-        array_distinct(when(size(toks) >= n,
-          transform(sequence(lit(1), size(toks) - (n - 1)), i =>
-            md5(concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))))
-          .otherwise(array().cast(ArrayType(StringType))))
-      }
+    val grams = gramHashes(spark, textCol, n)
     def bitSet(g: org.apache.spark.sql.Column, i: Int) = {
       val p = pmod(xxhash64(lit(i), g), lit(numBits.toLong))
       val word = element_at(bitsLit, shiftright(p, 6).cast(IntegerType) + 1)
@@ -311,6 +311,14 @@ object Corpus {
   private def urlScanRegex: String = graft.config.WwConfig.options.urlInferenceRegex
   val HostCapture = "^https?://([^/]+)"
 
+  /** Lowercased host with userinfo ("user@") and ":port" stripped — the
+    * form the blocklist suffix match and the domain profile key on. Without
+    * this, "http://assets.net:8080/x" would dodge a blocked "assets.net".
+    */
+  private def normalizedHost(u: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(
+      lower(regexp_extract(u, HostCapture, 1)), "^[^@]*@", ""), ":\\d+$", "")
+
   /** True when the document's text links to a blocked domain — exact host
     * match or any subdomain (`cdn.assets.net` matches a blocked
     * `assets.net`). Blocklists are bounded (they're curated), so the list
@@ -325,7 +333,7 @@ object Corpus {
     val blockedLit = typedlit(blocked.map(_.toLowerCase))
     val hosts = transform(
       regexp_extract_all(textCol, lit(urlScanRegex), lit(0)),
-      u => lower(regexp_extract(u, HostCapture, 1)))
+      u => normalizedHost(u))
     exists(hosts, h => {
       val parts = split(h, "\\.")
       val suffixes = transform(sequence(lit(1), size(parts)),
@@ -352,8 +360,7 @@ object Corpus {
     df.select(col(idCol).as("id"),
         explode(regexp_extract_all(col(textCol), lit(urlScanRegex), lit(0)))
           .as("url"))
-      .select(col("id"),
-        lower(regexp_extract(col("url"), HostCapture, 1)).as("domain"))
+      .select(col("id"), normalizedHost(col("url")).as("domain"))
       .where(col("domain") =!= "")
       .groupBy(col("domain"))
       .agg(count(lit(1)).as("n_urls"), count_distinct(col("id")).as("n_docs"))

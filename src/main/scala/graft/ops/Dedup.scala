@@ -249,7 +249,11 @@ object Dedup {
   def duplicateClusters(pairs: DataFrame, idCol1: String = "id_1",
                         idCol2: String = "id_2",
                         maxIter: Int = 20): DataFrame = {
+    // materialize the pair set ONCE before the size probe: without this,
+    // a >bound pair set would run the (expensive) upstream pair pipeline
+    // twice — once for the probe collect, again for the distributed rounds
     val e0 = pairs.select(col(idCol1).as("a"), col(idCol2).as("b"))
+      .localCheckpoint(true)
     // near-dup pair sets are tiny relative to the corpus (every pair IS a
     // duplicate); below the bound a driver-side union-find replaces ~10
     // tiny Spark jobs (edge checkpoint + per-round join/agg/count) with one

@@ -43,8 +43,11 @@ object FeaturePrep {
 
   /** z-score standardization under a fit: (x − mean)/std, rounded to 4
     * places. Pure projection — the fit rides the plan as literals.
+    * Constant columns (std = 0) map to 0.0, consistent with [[minMax]],
+    * never NaN/Infinity.
     */
   def standardize(fit: ScaleFit)(c: Column): Column = {
+    if (fit.stdCents == 0.0) return lit(0.0)
     val cents = round(c * 100).cast(LongType).cast(DoubleType)
     round((cents - lit(fit.meanCents)) / lit(fit.stdCents), 4)
   }

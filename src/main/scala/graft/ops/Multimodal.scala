@@ -101,10 +101,14 @@ object Multimodal {
         val bytes = if (r.isNullAt(pIdx)) null else r.getAs[Array[Byte]](pIdx)
         ImageMeta.decode(bytes) match {
           case Some(info) =>
+            // detected fields replace claims; untouched claims (duration,
+            // channels, rate) pass through uniformly
             val old = r.getStruct(mIdx)
             val meta = Row("image", info.mime,
               info.width, info.height,
-              if (old == null) null else old.get(4), null, null)
+              if (old == null) null else old.get(4),
+              if (old == null) null else old.get(5),
+              if (old == null) null else old.get(6))
             Row.fromSeq(r.toSeq.updated(mIdx, meta))
           case None => AudioMeta.decode(bytes) match {
             case Some(a) =>

@@ -183,10 +183,14 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(groupCol))
       .orderBy(hash01(col(idCol), salt), col(idCol))
+    // the starvation guard is literal first-row-ness (row_number), not
+    // cum == n_tokens: the latter would also admit an over-budget doc
+    // preceded only by zero-token rows
     df.withColumn("n_tokens", tokenCount)
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-      .where(col("cum_tokens") <= budget ||
-        col("cum_tokens") === col("n_tokens"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("cum_tokens") <= budget || col("__rn") === 1)
+      .drop("__rn")
   }
 
   /** Curriculum binning: assign each row a difficulty bin in [0, bins) by

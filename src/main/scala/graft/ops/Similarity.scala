@@ -194,11 +194,21 @@ object Similarity {
   private[ops] def sampleVectors(df: DataFrame, vecCol: String,
                                  sampleSize: Int,
                                  seed: Long): Array[Array[Double]] = {
-    df.select(asDouble(col(vecCol)).as("v"))
+    // null/empty embeddings never train (a single null row would NPE the
+    // driver-side kernels)
+    df.where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(asDouble(col(vecCol)).as("v"))
       .withColumn("__r", rand(seed))
       .orderBy(col("__r")).limit(sampleSize)
       .collect().map(_.getSeq[Double](0).toArray)
   }
+
+  /** Rows whose vector is present and exactly `dim` wide — the guard every
+    * centroid-arithmetic consumer needs (ragged/null vectors would NPE the
+    * update collect or poison per-dimension averages).
+    */
+  private def validVecs(df: DataFrame, vecCol: String, dim: Int): DataFrame =
+    df.where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
 
   /** Lloyd k-means on an in-memory sample (init = seeded draw from the
     * sample; empty clusters keep their previous centroid).
@@ -290,7 +300,7 @@ object Similarity {
     require(centroids.length == k,
       s"need at least k=$k non-null vectors, got ${centroids.length}")
     val dim = centroids.head.length
-    val vecs = df.select(asDouble(col(vecCol)).as("v"))
+    val vecs = validVecs(df, vecCol, dim).select(asDouble(col(vecCol)).as("v"))
     for (_ <- 0 until iters) {
       val upd = vecs
         .withColumn("cluster",
@@ -321,7 +331,8 @@ object Similarity {
                     seed: Long = 42L): DataFrame = {
     val centroids = kmeansFit(df, vecCol, k, iters, seed)
     val best = element_at(distStructs(col("v"), centroids), 1)
-    df.select(asDouble(col(vecCol)).as("v"))
+    validVecs(df, vecCol, centroids.head.length)
+      .select(asDouble(col(vecCol)).as("v"))
       .select(best.getField("cluster").as("cluster"),
         (dot(col("v"), col("v")) + best.getField("d")).as("sqdist"))
       .groupBy(col("cluster"))
@@ -343,7 +354,8 @@ object Similarity {
                     k: Int, tau: Double, iters: Int = 5,
                     seed: Long = 42L): DataFrame = {
     val centroids = kmeansFit(df, vecCol, k, iters, seed)
-    val assigned = ivfAssign(df, idCol, vecCol, centroids)
+    val assigned = ivfAssign(validVecs(df, vecCol, centroids.head.length),
+      idCol, vecCol, centroids)
     val pairs = SkewJoin.selfPairs(assigned, Seq("cluster"), "id", Seq("v"))
       .select(col("x_id").as("id_1"), col("y_id").as("id_2"),
         round(cosine(col("x_v"), col("y_v")), 4).as("cosine"))

@@ -84,6 +84,11 @@ object SpanDedup {
     * operator embarrassingly parallel (no global "who was first" ordering,
     * which would serialize the corpus at 100 TB).
     *
+    * Gram identity is case-insensitive (matching [[repeatedSpans]]) but
+    * surviving text keeps its ORIGINAL casing; inter-token whitespace
+    * collapses to single spaces (token-level surgery cannot preserve the
+    * original separators around a cut).
+    *
     * Output: (id, clean_text, n_tokens, kept_tokens).
     */
   def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
@@ -101,9 +106,12 @@ object SpanDedup {
       .select(col("id"), explode(sequence(col("pos"),
         col("pos") + lit(k - 1))).as("cut"))
       .distinct()
+    // ORIGINAL-case tokens: positions align 1:1 with the lowercased gram
+    // table (same \S+ split), so the cut set applies directly
     val toks = df
       .select(col(idCol).as("id"),
-        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
+        posexplode(regexp_extract_all(col(textCol), lit("\\S+"), lit(0)))
+          .as(Seq("pos", "tok")))
     val kept = toks.join(covered,
         toks("id") === covered("id") && toks("pos") === covered("cut"),
         "left_anti")

@@ -42,13 +42,15 @@ class CurationOpsSpec extends SparkSpec {
   }
 
   test("removeRepeatedSpans cuts every duplicated occurrence") {
+    // mixed case: gram identity is case-insensitive, surviving text keeps
+    // its ORIGINAL casing
     val docs = Seq(
-      (1L, "a b c d e tail one"),
-      (2L, "a b c d e two tail"))
+      (1L, "A b C d E tail One"),
+      (2L, "a B c D e two tail"))
       .toDF("id", "text")
     val out = SpanDedup.removeRepeatedSpans(docs, "id", "text", k = 5)
       .orderBy("id").collect()
-    assert(out(0).getAs[String]("clean_text") === "tail one")
+    assert(out(0).getAs[String]("clean_text") === "tail One")
     assert(out(1).getAs[String]("clean_text") === "two tail")
     assert(out(0).getAs[Long]("kept_tokens") === 2L)
   }
@@ -293,6 +295,48 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet ===
       Set((1L, 100L)).map(_.swap))
     assert(out.head.getAs[Double]("jaccard") > 0.8)
+  }
+
+  test("hasBlockedDomain matches through explicit ports and userinfo") {
+    val df = Seq(
+      "see http://assets.net:8080/x today",
+      "see http://user@cdn.assets.net/y today",
+      "see http://fine.example.com/z today")
+      .toDF("text")
+    val out = df.select(col("text"),
+        ops.Corpus.hasBlockedDomain(col("text"), Seq("assets.net"))
+          .as("blocked"))
+      .collect().map(r => r.getString(0).contains("example") -> r.getBoolean(1))
+    assert(out.filter(!_._1).forall(_._2), "port/userinfo hosts must match")
+    assert(out.filter(_._1).forall(!_._2))
+  }
+
+  test("standardize maps a constant column to 0.0, not NaN") {
+    val df = Seq(2.0, 2.0, 2.0).toDF("v")
+    val fit = ops.FeaturePrep.fitScale(df, "v")
+    assert(fit.stdCents === 0.0)
+    val out = df.select(ops.FeaturePrep.standardize(fit)(col("v")).as("z"))
+      .collect().map(_.getDouble(0))
+    assert(out.toSeq === Seq(0.0, 0.0, 0.0))
+  }
+
+  test("tokenBudgetPerGroup: zero-token first row cannot smuggle a big doc") {
+    // find an id pair where the empty doc hashes BEFORE the big doc so the
+    // big doc is rank 2 and must obey the budget
+    def h(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:".getBytes("UTF-8"))
+      md.take(4).map(b => f"${b & 0xff}%02x").mkString
+    }
+    val (emptyId, bigId) = (1L to 50L).flatMap(a =>
+      (51L to 100L).map(b => (a, b))).find { case (a, b) => h(a) < h(b) }.get
+    val df = Seq(
+      ("g", emptyId, ""),
+      ("g", bigId, "eleven words here definitely more than the budget allows to pass"))
+      .toDF("source", "doc_id", "text")
+    val out = ops.Sampling.tokenBudgetPerGroup(df, "source", "doc_id",
+      ops.TextAnalysis.tokenCount(col("text")), budget = 5L).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(emptyId))
   }
 
   test("FeaturePrep: exact-cents fit, z-score/minmax transforms, encoding") {
