@@ -1407,6 +1407,18 @@ object Oracles {
       |FROM orders o LEFT JOIN m USING (o_orderpriority)
       |WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin
 
+  /** q99: key-skew profile — exact counts, heaviest-first with value
+    * tie-break, share over the exact total.
+    */
+  val q99: String =
+    """WITH c AS (SELECT CAST(l_suppkey AS VARCHAR) AS value,
+      |           CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1),
+      |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+      |SELECT value, cnt,
+      |  round(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
+      |FROM c CROSS JOIN t
+      |ORDER BY cnt DESC, value ASC LIMIT 10""".stripMargin
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q07_mutual_info_orders" -> q07Pinned,
@@ -1451,6 +1463,7 @@ object Oracles {
         "id >= 100", "id < 100"),
       "q97_standardize" -> q97,
       "q98_frequency_encode" -> q98,
+      "q99_skew_report" -> q99,
       "q01_pricing_summary" -> q01,
       "q02_describe_lineitem" -> q02,
       "q03_value_counts_orders" -> q03,

@@ -1307,6 +1307,13 @@ object Queries {
         col("o_orderpriority_enc"))
       .orderBy("o_orderkey")
 
+  /** Join-key skew profile of lineitem's order key family: top-10 heaviest
+    * suppliers with row counts and corpus share.
+    */
+  def q99SkewReport(s: SparkSession, dir: String): DataFrame =
+    ops.SkewJoin.skewReport(table(s, dir, "lineitem"), "l_suppkey", k = 10)
+      .orderBy(col("cnt").desc, col("value").asc)
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -1441,6 +1448,7 @@ object Queries {
     "q95_resample" -> (q95Resample _),
     "q96_cross_minhash" -> (q96CrossMinhash _),
     "q97_standardize" -> (q97Standardize _),
-    "q98_frequency_encode" -> (q98FrequencyEncode _)
+    "q98_frequency_encode" -> (q98FrequencyEncode _),
+    "q99_skew_report" -> (q99SkewReport _)
   )
 }

@@ -71,4 +71,26 @@ object SkewJoin {
       carry.map(n =>
         when(lt, col(s"y_$n")).otherwise(col(s"x_$n")).as(s"y_$n")): _*)
   }
+
+  /** Join-key skew profile: the top-k heaviest key values with their row
+    * counts and corpus share — the diagnostic that decides whether a join
+    * needs salting / the grid-split ([[selfPairs]]) before it runs. One
+    * count aggregate + a TakeOrderedAndProject; the total is exact (sum of
+    * the same partial counts, no second scan of the raw data).
+    *
+    * Output: (value, cnt, share) — share = cnt/total rounded to 6 places,
+    * ordered heaviest first (value tie-break).
+    */
+  def skewReport(df: org.apache.spark.sql.DataFrame, keyCol: String,
+                 k: Int = 20): org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    val counts = df.groupBy(col(keyCol).cast("string").as("value"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt"))).head().getLong(0)
+    counts
+      .orderBy(col("cnt").desc, col("value").asc)
+      .limit(k)
+      .withColumn("share",
+        round(col("cnt").cast("double") / lit(total.toDouble), 6))
+  }
 }

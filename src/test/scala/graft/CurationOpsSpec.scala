@@ -339,6 +339,15 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(emptyId))
   }
 
+  test("skewReport surfaces heavy hitters with exact shares") {
+    val df = (Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++ Seq("cold"))
+      .toDF("k")
+    val out = ops.SkewJoin.skewReport(df, "k", k = 2).collect()
+    assert(out.map(_.getAs[String]("value")).toSeq === Seq("hot", "warm"))
+    assert(out(0).getAs[Long]("cnt") === 6L)
+    assert(out(0).getAs[Double]("share") === 0.6)
+  }
+
   test("FeaturePrep: exact-cents fit, z-score/minmax transforms, encoding") {
     val df = Seq(1.00, 2.00, 3.00, 4.00).toDF("v")
     val fit = ops.FeaturePrep.fitScale(df, "v")
