@@ -669,7 +669,7 @@ object Oracles {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
     val rows = cols.map { c =>
       s"""SELECT '$c' AS column_name,
-         |  count(*) AS count,
+         |  count($c) AS count,
          |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
          |  round(sum(CAST($c AS DOUBLE)) / count($c), 4) AS mean,
          |  round(sqrt(greatest((sum(CAST($c AS DOUBLE) * CAST($c AS DOUBLE)) -

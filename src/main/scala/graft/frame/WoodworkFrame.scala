@@ -71,15 +71,18 @@ final case class WoodworkFrame(df: DataFrame, schema: WwTableSchema,
     * time index, matching the reference's error.
     */
   def withColumn(name: String, c: Column,
-                 logicalType: Option[LogicalType] = None): WoodworkFrame = {
+                 logicalType: Option[LogicalType] = None,
+                 nullInvalidValues: Boolean = false): WoodworkFrame = {
     require(!index.contains(name) && !timeIndex.contains(name),
       s"Cannot reassign index or time index column $name")
     val base = df.withColumn(name, c)
     val lt = logicalType.getOrElse(
       TypeInference.inferTypes(base, Seq(name)).apply(name))
     val cs = WwColumnSchema(lt)
+    // 3-arg transform: the same default-preserve coercion init/setTypes
+    // apply (the 2-arg form is the strict regex coerce)
     val coerced = base.withColumn(name,
-      lt.transform(col(name), base.schema(name).dataType)
+      lt.transform(col(name), base.schema(name).dataType, nullInvalidValues)
         .as(name, SchemaMetadata.columnMetadata(cs)))
     WoodworkFrame(coerced, schema.copy(columns = schema.columns.updated(name, cs)))
   }
@@ -437,13 +440,14 @@ object WoodworkFrame {
                  logicalType: Option[LogicalType] = None,
                  semanticTags: Set[String] = Set.empty,
                  description: Option[String] = None,
-                 origin: Option[String] = None): (DataFrame, WwColumnSchema) = {
+                 origin: Option[String] = None,
+                 nullInvalidValues: Boolean = false): (DataFrame, WwColumnSchema) = {
     val lt = logicalType.getOrElse(
       TypeInference.inferTypes(df, Seq(colName)).apply(colName))
     val cs = WwColumnSchema(lt, semanticTags, useStandardTags = true,
       description, origin)
     val out = df.select(
-      lt.transform(col(colName), df.schema(colName).dataType)
+      lt.transform(col(colName), df.schema(colName).dataType, nullInvalidValues)
         .as(colName, SchemaMetadata.columnMetadata(cs)))
     (out, cs)
   }

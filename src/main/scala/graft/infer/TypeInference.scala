@@ -185,16 +185,8 @@ object TypeInference {
     stats
   }
 
-  private def runConcurrently[A](items: Seq[A])(work: A => Unit): Unit = {
-    if (items.isEmpty) return
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(items.size, 8))
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    try Await.result(Future.sequence(items.map(i => Future(work(i)))), Duration.Inf)
-    finally pool.shutdown()
-  }
+  private def runConcurrently[A](items: Seq[A])(work: A => Unit): Unit =
+    graft.util.Concurrency.runConcurrently(items)(work)
 
   /** Returns the stats, the (cached) sample frame for follow-up jobs (the NL
     * pass reuses it), and a cleanup thunk that releases ONLY the cache this

@@ -105,16 +105,8 @@ object Dependence {
     * concurrent jobs fine; each job is independent and writes to its own
     * PairResult). Latency of k² small jobs drops from sum to ~max.
     */
-  private def parallelJobs[A](items: Seq[A])(work: A => Unit): Unit = {
-    if (items.isEmpty) return
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(items.size, 8))
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    try Await.result(Future.sequence(items.map(i => Future(work(i)))), Duration.Inf)
-    finally pool.shutdown()
-  }
+  private def parallelJobs[A](items: Seq[A])(work: A => Unit): Unit =
+    graft.util.Concurrency.runConcurrently(items)(work)
 
   /** Named single-measure variants (reference API surface:
     * table_accessor.py:881-1433 `mutual_information`, `pearson_correlation`,
@@ -539,12 +531,38 @@ object Ami {
     (mi - emi) / denom
   }
 
+  /** Exact-EMI work cap: the Vinh hypergeometric sum iterates
+    * Σᵢⱼ min(aᵢ,bⱼ) terms, which grows with ROW COUNT, not table width —
+    * on an unsampled billion-row table the driver loop would effectively
+    * never finish. Above the cap we switch to the large-N asymptotic
+    * E[MI] ≈ (R−1)(C−1)/(2N) nats (the χ²_{(R−1)(C−1)} mean of the G
+    * statistic under independence — Vinh et al. 2010 §4 limit), which is
+    * exactly the regime where the exact sum is intractable and the
+    * correction is vanishing anyway. Exact (sklearn-parity) below the cap;
+    * every pinned oracle fixture is far below it.
+    */
+  private val EmiExactIterBound = 50000000L
+
   /** Expected MI under the permutation model (Vinh, Epps, Bailey 2010 —
     * the formula sklearn implements in `expected_mutual_information`).
     */
   def expectedMutualInfo(a: Array[Long], b: Array[Long], nL: Long): Double = {
     val n = nL.toDouble
     val logN = math.log(n)
+    // one cheap R×C pass to size the exact sum before paying for it
+    var work = 0L
+    var wi = 0
+    while (wi < a.length && work <= EmiExactIterBound) {
+      var wj = 0
+      while (wj < b.length) {
+        val span = math.min(a(wi), b(wj)) - math.max(1L, a(wi) + b(wj) - nL) + 1
+        if (span > 0) work += span
+        wj += 1
+      }
+      wi += 1
+    }
+    if (work > EmiExactIterBound)
+      return (a.length - 1).toDouble * (b.length - 1).toDouble / (2.0 * n)
     var emi = 0.0
     var i = 0
     while (i < a.length) {

@@ -175,16 +175,8 @@ object Describe {
     */
   private val SingleTaskBound = 1L * 1000 * 1000
 
-  private def runConcurrently[A](items: Seq[A])(work: A => Unit): Unit = {
-    if (items.isEmpty) return
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(items.size, 8))
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    try Await.result(Future.sequence(items.map(i => Future(work(i)))), Duration.Inf)
-    finally pool.shutdown()
-  }
+  private def runConcurrently[A](items: Seq[A])(work: A => Unit): Unit =
+    graft.util.Concurrency.runConcurrently(items)(work)
 
   /** Per-column group statistics feeding describe:
     *
@@ -205,6 +197,12 @@ object Describe {
     * `targets` maps numeric columns to fractional order-statistic positions
     * (p·(n−1)); interpolation matches SQL `percentile`:
     * v_lo·(⌈pos⌉−pos) + v_hi·(pos−⌊pos⌋).
+    *
+    * Numeric envelope: numeric columns group on their DoubleType cast, so
+    * integral values beyond 2⁵³ collapse — the SAME float64 envelope as the
+    * pandas reference, whose describe/mode/quantile paths also route int64
+    * through float64 (and as SQL `percentile`, which interpolates in
+    * double).
     */
   def meltStatsFull(df: DataFrame, cols: Seq[String],
                     targets: Map[String, Seq[Double]],

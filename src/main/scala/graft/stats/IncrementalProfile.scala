@@ -67,7 +67,9 @@ object IncrementalProfile {
   /** Describe-style output from a (merged) profile: count, nulls, mean,
     * sample std, min, max, approximate nunique. Derived stats use explicit
     * formulas over the carried sums (numerically: fine for profile-scale
-    * reporting; describe() remains the exact path).
+    * reporting; describe() remains the exact path). `count` is the
+    * NON-NULL count, matching describe's convention (the profile's raw
+    * total stays recoverable as count + null_count).
     */
   def finalize(profile: DataFrame, roundTo: Int = 4): DataFrame = {
     val n = col("count") - col("null_count")
@@ -76,7 +78,7 @@ object IncrementalProfile {
       (n - lit(1))
     profile.select(
       col("column_name"),
-      col("count"),
+      n.as("count"),
       col("null_count"),
       round(mean, roundTo).as("mean"),
       round(when(n > 1, sqrt(greatest(variance, lit(0.0)))), roundTo).as("std"),

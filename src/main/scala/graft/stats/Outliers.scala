@@ -37,7 +37,12 @@ object Outliers {
     }
     val r = df.agg(aggExprs.head, aggExprs.tail: _*).head()
     def cnt(n: String): Long = r.getLong(r.fieldIndex(s"cnt__$n"))
-    def d(nm: String): Double = r.getDouble(r.fieldIndex(nm))
+    // all-null / empty columns: min and max aggregate to NULL, and
+    // Row.getDouble would NPE — report NaN like the quartile path
+    def d(nm: String): Double = {
+      val i = r.fieldIndex(nm)
+      if (r.isNullAt(i)) Double.NaN else r.getDouble(i)
+    }
     val targets = cols.filter(cnt(_) > 0).map { n =>
       n -> Seq(0.25, 0.5, 0.75).map(p => p * (cnt(n) - 1))
     }.toMap
@@ -201,7 +206,8 @@ object Outliers {
     val (mn, q1, med, q3, mx) = quantiles(df, colName)
     val mc = knownMc.getOrElse(medcouple(df, colName))
     val iqr = q3 - q1
-    val skew = df.agg(skewness(col(colName).cast(DoubleType))).head().getDouble(0)
+    val skewRow = df.agg(skewness(col(colName).cast(DoubleType))).head()
+    val skew = if (skewRow.isNullAt(0)) Double.NaN else skewRow.getDouble(0)
     val cap = 3.5
     val a = math.min(math.abs(skew), cap)
     val (c1, c2) = if (mc >= 0) (-a, a) else (a, -a)

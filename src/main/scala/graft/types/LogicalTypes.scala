@@ -152,8 +152,11 @@ object LogicalType {
       case t if isFractionalType(t) => when(c % 1 === 0, c.try_cast(LongType))
       case _ =>
         val s = replaceNans(c, from)
+        // exact integer strings first: routing a 19-digit id through
+        // DoubleType would round it to the nearest 2^53-representable value
         val d = s.try_cast(DoubleType)
-        when(d % 1 === 0, d.try_cast(LongType))
+        coalesce(s.try_cast(LongType),
+          when(d % 1 === 0, d.try_cast(LongType)))
     }
   }
 
@@ -280,7 +283,10 @@ object LogicalType {
     def sparkType: DataType = StringType
     override def standardTags: Set[String] = Set("category")
     override def transform(c: Column, from: DataType): Column = from match {
-      case _: NumericType => format_string("%05.0f", c.cast(DoubleType))
+      // when-guard: java.util.Formatter renders a null arg as the literal
+      // string "null" rather than propagating SQL NULL
+      case _: NumericType =>
+        when(c.isNotNull, format_string("%05.0f", c.cast(DoubleType)))
       case _ => replaceNans(c, from).cast(StringType)
     }
     /** flag → `_coerce_postal_code` (reference: logical_types.py:758-760,
@@ -494,7 +500,10 @@ object LogicalType {
         when(c.isNotNull && (lat.isNotNull || lon.isNotNull),
           struct(lat.as("lat"), lon.as("lon")))
       case ArrayType(_, _) =>
-        when(size(c) === 2,
+        // fully-null pair stays a NULL STRUCT (the documented convention),
+        // matching the struct and string branches
+        when(size(c) === 2 &&
+            (element_at(c, 1).isNotNull || element_at(c, 2).isNotNull),
           struct(element_at(c, 1).cast(DoubleType).as("lat"),
                  element_at(c, 2).cast(DoubleType).as("lon")))
       case _ =>

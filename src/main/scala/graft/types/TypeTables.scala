@@ -3,14 +3,24 @@ package graft.types
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Registry introspection tables (reference: `ww.list_logical_types` /
-  * `ww.list_semantic_tags`, woodwork/type_sys/utils.py:68-138).
+  * `ww.list_semantic_tags`, woodwork/type_sys/utils.py:68-138). Both tables
+  * read the LIVE type system, so custom types registered via
+  * `TypeSystem.addType` appear exactly like the reference's registry dump.
   */
 object TypeTables {
+
+  /** Built-in types plus everything registered in `ts` (custom types
+    * included; de-registered built-ins still listed with
+    * is_registered=false, matching the reference).
+    */
+  private def knownTypes(ts: TypeSystem): Seq[LogicalType] =
+    (LogicalType.all.map(_.name) ++ ts.registeredTypes.toSeq.sorted)
+      .distinct.map(ts.instanceOf)
 
   def listLogicalTypes(spark: SparkSession,
                        ts: TypeSystem = TypeSystem.global): DataFrame = {
     import spark.implicits._
-    LogicalType.all.map { lt =>
+    knownTypes(ts).map { lt =>
       (lt.name, lt.typeString, lt.sparkType.simpleString,
         lt.standardTags.toSeq.sorted.mkString(";"),
         lt.name == ts.defaultType.name,
@@ -20,9 +30,10 @@ object TypeTables {
       .orderBy("name")
   }
 
-  def listSemanticTags(spark: SparkSession): DataFrame = {
+  def listSemanticTags(spark: SparkSession,
+                       ts: TypeSystem = TypeSystem.global): DataFrame = {
     import spark.implicits._
-    val standard = LogicalType.all
+    val standard = knownTypes(ts)
       .flatMap(lt => lt.standardTags.map(_ -> lt.name))
       .groupBy(_._1)
       .map { case (tag, pairs) =>

@@ -186,7 +186,8 @@ class CorpusSamplingSpec extends SparkSpec {
     assert(w.toSeq == m.toSeq) // including the HLL nunique estimate
     // sanity: the stats themselves
     val aRow = whole.where(col("column_name") === "a").head
-    assert(aRow.getAs[Long]("count") == 500L)
+    // count is the NON-NULL count (describe parity): 500 rows − 71 nulls
+    assert(aRow.getAs[Long]("count") == 429L)
     assert(aRow.getAs[Long]("null_count") == 71L)
     assert(aRow.getAs[Long]("nunique_approx") == 13L)
   }
