@@ -13,7 +13,9 @@ import org.apache.spark.sql.types._
   * excluded from whole-stage codegen) and allocates an intermediate array per
   * row. This expression generates a tight primitive loop inside codegen: no
   * allocation, sequential accumulation (bit-identical to the fold), null
-  * element ⇒ null result (zip_with/aggregate semantics).
+  * element OR mismatched lengths ⇒ null result (zip_with pads the shorter
+  * array with nulls, so the fold is null there too — a silent truncated
+  * dot product would be a plausible-looking wrong similarity).
   *
   * This is the (b)-tier extension point from SURVEY §7.3: a custom
   * `Expression` where built-in operators can't express the kernel
@@ -46,7 +48,8 @@ case class VectorDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     val lf = elemIsFloat(left); val rf = elemIsFloat(right)
     var s = 0.0
     var i = 0
@@ -70,9 +73,10 @@ case class VectorDot(left: Expression, right: Expression)
       val getY = if (elemIsFloat(right)) s"(double) $y.getFloat($i)"
                  else s"$y.getDouble($i)"
       s"""
-         |final int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |final int $n = $x.numElements();
          |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |if ($n != $y.numElements()) { ${ev.isNull} = true; }
+         |else for (int $i = 0; $i < $n; $i++) {
          |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $s += $getX * $getY;
          |}

@@ -145,32 +145,58 @@ object ArrowIo {
     * [[BatchRows]]-row record batches — memory per task is one batch, not
     * one partition.
     */
+  /** The session's Hadoop conf flattened for task-side rebuild — ArrowIo
+    * must see the same fs.* / credentials settings as every other reader
+    * (a bare `new Configuration()` drops all spark.hadoop.* config).
+    */
+  private def confEntries(conf: Configuration): Array[(String, String)] = {
+    val it = conf.iterator()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    while (it.hasNext) { val e = it.next(); buf += e.getKey -> e.getValue }
+    buf.toArray
+  }
+
+  private def rebuild(entries: Array[(String, String)]): Configuration = {
+    val c = new Configuration(false)
+    entries.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
   def write(df: DataFrame, dir: String): Unit = {
     val sparkSchema = df.schema
     sparkSchema.fields.foreach(toArrowField) // validate types up front
+    val hadoopConf = df.sparkSession.sparkContext.hadoopConfiguration
+    val entries = confEntries(hadoopConf)
     val dirPath = new HPath(dir)
-    val fs0 = dirPath.getFileSystem(new Configuration())
+    val fs0 = dirPath.getFileSystem(hadoopConf)
     if (fs0.exists(dirPath)) fs0.delete(dirPath, true)
     fs0.mkdirs(dirPath)
     val written = df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       if (rows.isEmpty) Iterator.empty
       else {
-        writePart(dir, pid, sparkSchema, rows)
+        writePart(dir, pid, sparkSchema, rows, rebuild(entries))
         Iterator.single(1)
       }
     }.count()
     // an entirely-empty frame still round-trips: write one zero-batch part
     // so read() can recover the schema from the footer
-    if (written == 0) writePart(dir, 0, sparkSchema, Iterator.empty)
+    if (written == 0) writePart(dir, 0, sparkSchema, Iterator.empty, hadoopConf)
   }
 
   private def writePart(dir: String, pid: Int, sparkSchema: StructType,
-                        rows: Iterator[Row]): Unit = {
+                        rows: Iterator[Row], conf: Configuration): Unit = {
     val alloc = new RootAllocator()
     val root = VectorSchemaRoot.create(arrowSchemaFor(sparkSchema), alloc)
     val part = new HPath(dir, f"part-$pid%05d.arrow")
-    val fs = part.getFileSystem(new Configuration())
-    val out = fs.create(part, true)
+    // poor-man's commit protocol: stream to a per-attempt temp file, then
+    // rename into place — a speculative/zombie second attempt can no longer
+    // interleave bytes into the final file; rename-to-existing loses and
+    // cleans up (first attempt wins)
+    val attempt = Option(org.apache.spark.TaskContext.get())
+      .map(_.taskAttemptId()).getOrElse(0L)
+    val tmp = new HPath(dir, f".part-$pid%05d.arrow.$attempt.tmp")
+    val fs = part.getFileSystem(conf)
+    val out = fs.create(tmp, true)
     val writer = new ArrowFileWriter(root, null, Channels.newChannel(out))
     try {
       writer.start()
@@ -194,6 +220,7 @@ object ArrowIo {
     } finally {
       writer.close(); out.close(); root.close(); alloc.close()
     }
+    if (!fs.rename(tmp, part)) fs.delete(tmp, false)
   }
 
   // ------------------------------------------------------------------- read
@@ -226,8 +253,10 @@ object ArrowIo {
     * schema; row decoding is distributed over the part files.
     */
   def read(spark: SparkSession, dir: String): DataFrame = {
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val entries = confEntries(hadoopConf)
     val dirPath = new HPath(dir)
-    val fs = dirPath.getFileSystem(new Configuration())
+    val fs = dirPath.getFileSystem(hadoopConf)
     val parts = fs.listStatus(dirPath).toSeq
       .filter(_.getPath.getName.endsWith(".arrow"))
       .sortBy(_.getPath.getName)
@@ -246,12 +275,20 @@ object ArrowIo {
       .parallelize(parts, math.min(parts.size, 64))
       .flatMap { case (p, len) =>
         val path = new HPath(p)
-        val pfs = path.getFileSystem(new Configuration())
+        val pfs = path.getFileSystem(rebuild(entries))
         val alloc = new RootAllocator()
         val reader = new ArrowFileReader(
           new SeekableReadChannel(new HdfsSeekableChannel(pfs.open(path), len)),
           alloc)
         val root = reader.getVectorSchemaRoot
+        var closed = false
+        def closeAll(): Unit = if (!closed) {
+          closed = true; reader.close(); alloc.close()
+        }
+        // partial consumption (limit/take/failure) must not leak the open
+        // stream and the allocator's direct buffers — close at task end
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeAll()))
         new Iterator[Row] {
           private var rowIdx = 0
           private var batchRows = 0
@@ -261,7 +298,7 @@ object ArrowIo {
               if (reader.loadNextBatch()) {
                 batchRows = root.getRowCount; rowIdx = 0
               } else {
-                done = true; reader.close(); alloc.close()
+                done = true; closeAll()
               }
             }
           override def hasNext: Boolean = { advance(); !done }

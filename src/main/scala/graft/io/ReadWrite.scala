@@ -129,9 +129,14 @@ object ReadWrite {
       case "feather" | "arrow" => ArrowIo.write(frame.df, s"$path/data")
       case other => frame.df.write.mode(mode).format(other).save(s"$path/data")
     }
-    Files.createDirectories(Paths.get(path))
-    Files.write(Paths.get(s"$path/woodwork_typing_info.json"),
-      typingInfoJson(frame).getBytes(StandardCharsets.UTF_8))
+    // sidecar through the session's Hadoop FS, NOT java.nio: a remote
+    // path (s3a://, hdfs://) must carry data and typing info together
+    val hPath = new org.apache.hadoop.fs.Path(s"$path/woodwork_typing_info.json")
+    val fs = hPath.getFileSystem(
+      frame.df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(hPath, true)
+    try out.write(typingInfoJson(frame).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Read back a frame written by [[toDisk]]: typing info from the JSON
@@ -145,9 +150,14 @@ object ReadWrite {
       case "feather" | "arrow" => ArrowIo.read(spark, s"$path/data")
       case other => spark.read.format(other).load(s"$path/data")
     }
-    val json = new String(
-      Files.readAllBytes(Paths.get(s"$path/woodwork_typing_info.json")),
-      StandardCharsets.UTF_8)
+    val hPath = new org.apache.hadoop.fs.Path(s"$path/woodwork_typing_info.json")
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(hPath)
+    val json =
+      try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        StandardCharsets.UTF_8)
+      finally in.close()
     val schema = typingInfoFromJson(json)
     val coerced = df.select(schema.columns.map { case (n, cs) =>
       cs.logicalType.transform(org.apache.spark.sql.functions.col(n), df.schema(n).dataType)
@@ -212,6 +222,12 @@ object ReadWrite {
         System.err.println(
           s"[graft.io] typing info schema version ${m.group(1)} differs from $SchemaVersion")
     }
+    // top-level name lives BEFORE the column array — grab it from the
+    // prefix so a column named "name" can't shadow it
+    val arrStart0 = json.indexOf("\"column_typing_info\"")
+    val tableName = """"name"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+      .findFirstMatchIn(if (arrStart0 > 0) json.substring(0, arrStart0) else json)
+      .map(m => graft.schema.SchemaMetadata.unescape(m.group(1)))
     val index = """"index"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(json).map(_.group(1))
     val timeIndex = """"time_index"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(json).map(_.group(1))
 
@@ -243,8 +259,8 @@ object ReadWrite {
 
     def strField(obj: String, key: String): Option[String] =
       (s""""$key"\\s*:\\s*"((?:[^"\\\\]|\\\\.)*)"""").r
-        .findFirstMatchIn(obj).map(_.group(1)
-          .replace("\\\"", "\"").replace("\\\\", "\\"))
+        .findFirstMatchIn(obj)
+        .map(m => graft.schema.SchemaMetadata.unescape(m.group(1)))
 
     // balanced-brace sub-object for a key (nested dicts break naive regexes)
     def subObject(obj: String, key: String): Option[String] = {
@@ -294,6 +310,6 @@ object ReadWrite {
         description = strField(obj, "description"),
         origin = strField(obj, "origin")))
     }.sortBy(_._1)
-    WwTableSchema(ListMap(cols.map(c => c._2 -> c._3): _*))
+    WwTableSchema(ListMap(cols.map(c => c._2 -> c._3): _*), name = tableName)
   }
 }

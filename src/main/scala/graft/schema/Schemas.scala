@@ -193,11 +193,31 @@ object SchemaMetadata {
     re.findAllMatchIn(json).map(m => unescape(m.group(1)) -> unescape(m.group(2))).toMap
   }
 
-  private def unescape(s: String): String = {
-    val u = "\\\\u([0-9a-fA-F]{4})".r
-      .replaceAllIn(s, m => Integer.parseInt(m.group(1), 16).toChar.toString)
-    u.replace("\\\"", "\"").replace("\\n", "\n")
-      .replace("\\r", "\r").replace("\\t", "\t").replace("\\\\", "\\")
+  /** JSON string unescape, tokenizing LEFT TO RIGHT — chained
+    * String.replace would corrupt values like "C:\\temp" (the \\t inside
+    * the escaped backslash must not become a tab). Shared by the metadata
+    * recover path and the typing-info JSON reader.
+    */
+  private[graft] def unescape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => sb += '"'; i += 2
+          case '\\' => sb += '\\'; i += 2
+          case 'n' => sb += '\n'; i += 2
+          case 'r' => sb += '\r'; i += 2
+          case 't' => sb += '\t'; i += 2
+          case 'u' if i + 6 <= s.length =>
+            sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+            i += 6
+          case other => sb += '\\'; sb += other; i += 2
+        }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
   }
 
   def columnFromMetadata(field: StructField): Option[WwColumnSchema] = {

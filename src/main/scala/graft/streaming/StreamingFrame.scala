@@ -132,15 +132,17 @@ object StreamingFrame {
   }
 
   /** Streaming exact-dedup within the watermark horizon: drop rows whose
-    * fingerprint already appeared (Spark's dropDuplicates with watermark
-    * keeps state bounded — the streaming analog of hash dedup).
+    * fingerprint already appeared. dropDuplicatesWithinWatermark — NOT
+    * plain dropDuplicates, whose state is only evicted when the event-time
+    * column is part of the key and so would grow one state row per
+    * distinct fingerprint forever on a non-event-time key like ours.
     */
   def streamingDedup(stream: DataFrame, textCol: String, tsCol: String,
                      watermark: String = "1 hour"): DataFrame =
     stream
       .withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
       .withWatermark(tsCol, watermark)
-      .dropDuplicates("fingerprint")
+      .dropDuplicatesWithinWatermark("fingerprint")
 
   /** Streaming PII scrub: redact email/url/ip/phone hits in place and carry
     * the hit counts — one stateless projection, streams at any rate.
@@ -171,7 +173,7 @@ object StreamingFrame {
     stream
       .withColumn("near_sig", sig.cast(StringType))
       .withWatermark(tsCol, watermark)
-      .dropDuplicates("near_sig")
+      .dropDuplicatesWithinWatermark("near_sig")
   }
 
   /** Running per-key profile carried in CUSTOM state
@@ -191,6 +193,8 @@ object StreamingFrame {
     stream
       .select(col(keyCol).cast(StringType).as("k"),
         col(valueCol).cast(DoubleType).as("v"))
+      // null keys/values would kill the query at the primitive encoder
+      .where(col("k").isNotNull && col("v").isNotNull)
       .as[(String, Double)]
       .groupByKey(_._1)
       .mapGroupsWithState[KeyProfile, KeyProfile](GroupStateTimeout.NoTimeout) {

@@ -339,6 +339,24 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(emptyId))
   }
 
+  test("ww_vector_dot: mismatched lengths yield null, not a truncated dot") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0)),
+        (Seq(1.0, 2.0), Seq(3.0, 4.0)))
+      .toDF("a", "b")
+    val out = df.selectExpr("ww_vector_dot(a, b) AS d").collect()
+    assert(out(0).isNullAt(0), "ragged pair must be null")
+    assert(out(1).getDouble(0) === 11.0)
+  }
+
+  test("typing-info sidecar round-trips the table name") {
+    import graft.frame.WoodworkFrame
+    val f = WoodworkFrame.init(Seq((1L, "a")).toDF("id", "v"),
+      name = Some("my_table"))
+    val json = graft.io.ReadWrite.typingInfoJson(f)
+    val back = graft.io.ReadWrite.typingInfoFromJson(json)
+    assert(back.name === Some("my_table"))
+  }
+
   test("skewReport surfaces heavy hitters with exact shares") {
     val df = (Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++ Seq("cold"))
       .toDF("k")
