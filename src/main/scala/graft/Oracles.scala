@@ -1000,8 +1000,9 @@ object Oracles {
        |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
        |  coalesce(dup_spans, 0) AS dup_spans,
        |  coalesce(dup_tokens, 0) AS dup_tokens,
-       |  round(CAST(coalesce(dup_tokens, 0) AS DOUBLE) /
-       |        CAST(len(toks) AS DOUBLE), 4) AS dup_ratio
+       |  CASE WHEN len(toks) > 0 THEN
+       |    round(CAST(coalesce(dup_tokens, 0) AS DOUBLE) /
+       |          CAST(len(toks) AS DOUBLE), 4) ELSE 0.0 END AS dup_ratio
        |FROM t LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin
   }
 
@@ -1064,9 +1065,10 @@ object Oracles {
       |  CASE WHEN scheme = 'http' THEN regexp_replace(host, ':80$', '')
       |       WHEN scheme = 'https' THEN regexp_replace(host, ':443$', '')
       |       ELSE host END AS host2,
-      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(rest,
-      |    'utm_[A-Za-z0-9_]*=[^&#]*&', '', 'g'),
-      |    'utm_[A-Za-z0-9_]*=[^&#]*$', ''),
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(rest,
+      |    '&utm_[A-Za-z0-9_]*=[^&#]*', '', 'g'),
+      |    '\?utm_[A-Za-z0-9_]*=[^&#]*&', '?'),
+      |    '\?utm_[A-Za-z0-9_]*=[^&#]*$', ''),
       |    '[?&]$', ''), '/$', '') AS rest2 FROM n2)
       |SELECT scheme || '://' || host2 || rest2 AS canonical,
       |  CAST(count(*) AS BIGINT) AS n_urls,

@@ -385,10 +385,13 @@ object Corpus {
       .when(scheme === "https", regexp_replace(host, ":443$", ""))
       .otherwise(host)
     def cleanRest(r: org.apache.spark.sql.Column) = {
-      val r1 = regexp_replace(r, "utm_[A-Za-z0-9_]*=[^&#]*&", "")
-      val r2 = regexp_replace(r1, "utm_[A-Za-z0-9_]*=[^&#]*$", "")
-      val r3 = regexp_replace(r2, "[?&]$", "")
-      regexp_replace(r3, "/$", "")
+      // boundary-anchored utm stripping: an unanchored pattern would also
+      // mangle params whose names merely CONTAIN "utm_" (e.g. xutm_source)
+      val r1 = regexp_replace(r, "&utm_[A-Za-z0-9_]*=[^&#]*", "")
+      val r2 = regexp_replace(r1, "\\?utm_[A-Za-z0-9_]*=[^&#]*&", "?")
+      val r3 = regexp_replace(r2, "\\?utm_[A-Za-z0-9_]*=[^&#]*$", "")
+      val r4 = regexp_replace(r3, "[?&]$", "")
+      regexp_replace(r4, "/$", "")
     }
     when(scheme =!= "", concat(scheme, lit("://"), hostNoPort, cleanRest(rest)))
       .otherwise(cleanRest(noFrag))

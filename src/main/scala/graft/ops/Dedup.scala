@@ -159,6 +159,9 @@ object Dedup {
     */
   private def bandBuckets(df: DataFrame, idCol: String, textCol: String,
                           n: Int, numHashes: Int, bands: Int): DataFrame = {
+    require(bands > 0 && bands <= numHashes && numHashes % bands == 0,
+      s"bands must divide numHashes (got bands=$bands, numHashes=$numHashes) " +
+        "— a remainder would silently drop signature rows from banding")
     val rowsPer = numHashes / bands
     val sigs =
       if (nativeMinhashAvailable)
@@ -350,11 +353,15 @@ object Dedup {
     val cand = cb.join(broadcast(bb), Seq("band", "sig"))
       .select(col("id").as("corpus_id"), col("bench_id"))
       .distinct()
-    val ct = corpus.select(col(idCol).as("corpus_id"),
-      gramSetExpr(col(textCol), n).as("g1"))
-    val bt = bench.select(col(idCol).as("bench_id"),
-      gramSetExpr(col(textCol), n).as("g2"))
+    // candidate-local verification: join the candidate ids to the raw
+    // texts FIRST, then build gram sets on matched rows only — computing
+    // gramSetExpr under the corpus projection would tokenize the whole
+    // corpus a second time and shuffle full gram-set columns
+    val ct = corpus.select(col(idCol).as("corpus_id"), col(textCol).as("t1"))
+    val bt = bench.select(col(idCol).as("bench_id"), col(textCol).as("t2"))
     val withSets = cand.join(ct, "corpus_id").join(broadcast(bt), "bench_id")
+      .select(col("corpus_id"), col("bench_id"),
+        gramSetExpr(col("t1"), n).as("g1"), gramSetExpr(col("t2"), n).as("g2"))
     val inter = size(array_intersect(col("g1"), col("g2"))).cast(DoubleType)
     val j = inter /
       ((size(col("g1")) + size(col("g2"))).cast(DoubleType) - inter)

@@ -27,6 +27,9 @@ object Quantize {
     }
     val row = df.where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
       .agg(aggs.head, aggs.tail: _*).head()
+    // zero matching rows → null aggregates; fail with the cause, not an NPE
+    require(!row.isNullAt(0),
+      s"no non-null $dim-dimensional vectors in $vecCol — cannot fit bounds")
     Sq8Bounds(
       (0 until dim).map(d => row.getDouble(2 * d)),
       (0 until dim).map(d => row.getDouble(2 * d + 1)))

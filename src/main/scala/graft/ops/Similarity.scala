@@ -114,11 +114,13 @@ object Similarity {
     * re-inlined per dimension).
     */
   def centroidNorms(df: DataFrame, groupCol: String, vecCol: String): DataFrame = {
-    // dim probe: first non-null vector; empty/all-null input → empty result.
-    // try_element_at below keeps ragged (shorter) vectors as nulls instead of
-    // an ANSI INVALID_ARRAY_INDEX error — avg skips them per dimension.
+    // dim probe: MAX vector length (one cheap agg — deterministic, unlike
+    // an unordered limit(1) that could sample a corrupt short row and
+    // silently truncate every vector); empty/all-null input → empty result.
+    // try_element_at below keeps ragged (shorter) vectors as nulls instead
+    // of an ANSI INVALID_ARRAY_INDEX error — avg skips them per dimension.
     val dimRow = df.where(col(vecCol).isNotNull)
-      .select(size(col(vecCol))).limit(1).collect()
+      .agg(max(size(col(vecCol)))).collect().filterNot(_.isNullAt(0))
     if (dimRow.isEmpty) {
       import org.apache.spark.sql.Row
       return df.sparkSession.createDataFrame(

@@ -86,7 +86,11 @@ object SkewJoin {
     require(k > 0, s"need k > 0, got $k")
     val counts = df.groupBy(col(keyCol).cast("string").as("value"))
       .agg(count(lit(1)).as("cnt"))
-    val total = counts.agg(sum(col("cnt"))).head().getLong(0)
+    val totalRow = counts.agg(sum(col("cnt"))).head()
+    // empty input: sum() is null — return an empty report, not an NPE
+    if (totalRow.isNullAt(0))
+      return counts.withColumn("share", lit(0.0))
+    val total = totalRow.getLong(0)
     counts
       .orderBy(col("cnt").desc, col("value").asc)
       .limit(k)

@@ -73,8 +73,10 @@ object SpanDedup {
       .select(col("id"), col("n_tokens"),
         coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
-        round(coalesce(col("dup_tokens"), lit(0L)).cast(DoubleType) /
-          col("n_tokens").cast(DoubleType), 4).as("dup_ratio"))
+        when(col("n_tokens") > 0,
+          round(coalesce(col("dup_tokens"), lit(0L)).cast(DoubleType) /
+            col("n_tokens").cast(DoubleType), 4))
+          .otherwise(lit(0.0)).as("dup_ratio"))
   }
 
   /** The removal pass: cut every duplicated span (as found by

@@ -70,10 +70,14 @@ object TextAnalysis {
     val chars = charCount(c).cast(DoubleType)
     val stopRatio = stopwordHits(c).cast(DoubleType) / t
     val avgWl = chars / t
-    round(
+    // zero-token guard: 0/0 = NaN, and least() treats NaN as GREATER than
+    // everything, so an empty document would otherwise earn the full 0.4
+    // stopword-density credit and outscore real low-quality prose
+    when(t > 0, round(
       least(stopRatio * lit(3.0), lit(1.0)) * 0.4 +
         when(avgWl.between(3.0, 8.0), 1.0).otherwise(0.0) * 0.3 +
-        least(t / lit(100.0), lit(1.0)) * 0.3, 4)
+        least(t / lit(100.0), lit(1.0)) * 0.3, 4))
+      .otherwise(lit(0.0))
   }
 
   /** The Gopher stop set (Rae et al. 2021, "Scaling Language Models",
@@ -203,7 +207,9 @@ object TextAnalysis {
     val grams = when(n >= k,
       transform(sequence(lit(1), n - (k - 1)), i =>
         xxhash64(concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*))))
-      .otherwise(array(xxhash64(c)))
+      // short docs hash the NORMALIZED token join, matching gram identity
+      // (hashing raw text would make short-doc near-dup case-sensitive)
+      .otherwise(array(xxhash64(array_join(toks, " "))))
     val m = size(grams)
     val mins = when(m >= window,
       transform(sequence(lit(1), m - (window - 1)), i =>
@@ -337,7 +343,10 @@ object TextAnalysis {
       .agg(count_distinct(col("id")).as("n_docs"))
       .where(col("n_docs") >= minDocs)
       .select(col("bad_line"))
-    val kept = lines.join(broadcast(bad),
+    // no broadcast hint: the repeated-line set is usually small but is
+    // UNBOUNDED (every common short line qualifies at minDocs=2 on a big
+    // crawl) — AQE picks broadcast when it actually fits
+    val kept = lines.join(bad,
       trim(col("line")) === col("bad_line"), "left_anti")
     val agg = kept.groupBy(col("id")).agg(
       array_join(
@@ -416,10 +425,10 @@ object TextAnalysis {
     def stopwordHits(e: String) =
       s"CAST(len(list_filter(${toks(e)}, t -> t IN ${inList(Stopwords)})) AS BIGINT)"
     def qualityScore(e: String) =
-      s"""round(
+      s"""(CASE WHEN ${tokenCount(e)} > 0 THEN round(
          | least(CAST(${stopwordHits(e)} AS DOUBLE)/CAST(${tokenCount(e)} AS DOUBLE)*3.0, 1.0)*0.4 +
          | (CASE WHEN CAST(${charCount(e)} AS DOUBLE)/CAST(${tokenCount(e)} AS DOUBLE) BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END)*0.3 +
-         | least(CAST(${tokenCount(e)} AS DOUBLE)/100.0, 1.0)*0.3, 4)""".stripMargin
+         | least(CAST(${tokenCount(e)} AS DOUBLE)/100.0, 1.0)*0.3, 4) ELSE 0.0 END)""".stripMargin
     def markerScore(e: String, words: Seq[String]) =
       s"len(list_filter(${toks(e)}, t -> t IN ${inList(words)}))"
     def langId(e: String): String = {
