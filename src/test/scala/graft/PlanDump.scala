@@ -50,7 +50,7 @@ object PlanDump {
       "q69_range_join" ->
         "Point-in-interval via bin bucketing: intervals explode to covered bins and the match is a bin equi-join + exact containment filter — Spark's default plan for a BETWEEN join (nested loop against every interval) never appears.",
       "q73_line_dedup" ->
-        "Repeated-line removal: the boilerplate line set (the only corpus-frequency aggregate) feeds a BroadcastExchange, so the exploded corpus streams map-side through a broadcast left-anti join; the only full shuffles are the line-count groupBy and the per-document reassembly groupBy, and reassembly sorts positions inside a bounded per-row array, never corpus-wide.",
+        "Repeated-line removal: the boilerplate line set (the only corpus-frequency aggregate) anti-joins the exploded corpus with NO forced hint — the set is usually tiny (AQE broadcasts it, as this plan shows) but is unbounded at minDocs=2 on a big crawl, so the strategy choice is left to runtime statistics. The only full shuffles are the line-count groupBy and the per-document reassembly groupBy, and reassembly sorts positions inside a bounded per-row array, never corpus-wide.",
       "q74_bloom_contamination" ->
         "Bloom decontamination is a pure scalar pipeline: the 1M-bit filter rides the plan as ONE array literal (no per-element codegen, no join), each gram tests 5 indexed bit probes, and the corpus scan streams with zero exchanges before the presentation sort — the shape that stays constant-memory when the contamination set is a billion grams.",
       "q77_lm_score" ->
