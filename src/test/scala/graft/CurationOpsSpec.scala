@@ -428,6 +428,41 @@ class CurationOpsSpec extends SparkSpec {
     assert(ops.AudioMeta.decode(wav.take(20)).isEmpty)
   }
 
+  test("qualityScore: empty and whitespace-only docs score 0.0") {
+    // regression: 0/0 NaN used to win least() and grant the 0.4 credit
+    val out = Seq("", "   ", "real prose with the usual words here")
+      .toDF("text")
+      .select(ops.TextAnalysis.qualityScore(col("text")).as("q"))
+      .collect().map(_.getDouble(0))
+    assert(out(0) === 0.0)
+    assert(out(1) === 0.0)
+    assert(out(2) > 0.0)
+  }
+
+  test("canonicalizeUrl: utm boundary anchoring and consecutive params") {
+    val cases = Seq(
+      // params merely CONTAINING utm_ survive
+      ("http://h/p?xutm_source=1&b=2", "http://h/p?xutm_source=1&b=2"),
+      // consecutive utm params all strip
+      ("http://h/p?utm_a=1&utm_b=2&c=3", "http://h/p?c=3"),
+      ("http://h/p?utm_a=1&utm_b=2", "http://h/p"),
+      ("http://h/p?a=1&xutm_b=2", "http://h/p?a=1&xutm_b=2"))
+      .toDF("url", "expected")
+    val bad = cases
+      .withColumn("canonical", ops.Corpus.canonicalizeUrl(col("url")))
+      .where(col("canonical") =!= col("expected"))
+      .collect()
+    assert(bad.isEmpty, bad.mkString(";"))
+  }
+
+  test("winnowingFingerprint: short docs are case/whitespace-insensitive") {
+    val df = Seq((1L, "Foo  Bar"), (2L, "foo bar")).toDF("id", "text")
+    val fps = df
+      .select(ops.TextAnalysis.winnowingFingerprint(col("text")).as("fp"))
+      .collect().map(_.getSeq[Long](0))
+    assert(fps(0) === fps(1))
+  }
+
   test("canonicalizeUrl applies the documented rules") {
     val cases = Seq(
       ("HTTPS://Example.COM:443/Path/?utm_source=a&id=3#frag",
