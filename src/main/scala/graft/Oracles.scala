@@ -4,7 +4,8 @@ package graft
   * be bit-identical with the Spark side: integer-cents sums, identical IEEE
   * expression shapes, and explicit rounding on anything produced by a
   * streaming aggregate (corr/avg) whose merge order may differ between
-  * engines. Queries without an entry get the driver's rows-only check
+  * engines. Every declared query now carries either full SQL or a pinned
+  * literal; a query without an entry would get the driver's rows-only check
   * (AMI / sampled medcouple / frequency voting are not ANSI-expressible).
   */
 object Oracles {
@@ -98,11 +99,13 @@ object Oracles {
   def q09(literal: String): String = literal
 
   val q10: String =
-    """SELECT a.c_custkey, c_name, c_acctbal, c_mktsegment
-      |FROM (SELECT c_custkey, c_name FROM customer) a
-      |FULL OUTER JOIN (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer) b
+    """SELECT coalesce(a.c_custkey, b.c_custkey) AS c_custkey,
+      |  c_name, c_acctbal, c_mktsegment
+      |FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 1400) a
+      |FULL OUTER JOIN (SELECT c_custkey, c_acctbal, c_mktsegment
+      |                 FROM customer WHERE c_custkey >= 100) b
       |ON a.c_custkey = b.c_custkey
-      |ORDER BY a.c_custkey""".stripMargin
+      |ORDER BY c_custkey""".stripMargin
 
   val q11: String =
     """SELECT o_orderkey AS order_id, o_custkey, o_totalprice AS total_price
@@ -165,12 +168,19 @@ object Oracles {
   /** DuckDB's native ASOF LEFT JOIN is the oracle for [[graft.ops.AsofJoin]]
     * (inclusive `>=` match, nulls never match — both sides' semantics).
     */
+  /** q68: the ASOF comparison runs on epoch MICROS (like q57/q94), matching
+    * Spark's nanos→micros truncation of events.ts — comparing raw
+    * TIMESTAMP_NS values would silently diverge if the fixture ever gained
+    * sub-microsecond jitter.
+    */
   val q68: String =
     """SELECT l.event_id, l.user_id,
       |  r.event_id AS purchase_id, r.value AS purchase_value
-      |FROM (SELECT * FROM events WHERE event_type = 'click') l
-      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
-      |  ON l.user_id = r.user_id AND l.ts >= r.ts
+      |FROM (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+      |      WHERE event_type = 'click') l
+      |ASOF LEFT JOIN (SELECT event_id, user_id, value, epoch_us(ts) AS us
+      |                FROM events WHERE event_type = 'purchase') r
+      |  ON l.user_id = r.user_id AND l.us >= r.us
       |ORDER BY l.event_id""".stripMargin
 
   val q70: String =

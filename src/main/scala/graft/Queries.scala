@@ -154,9 +154,16 @@ object Queries {
 
   /** concat_columns = typed outer join on the shared index. */
   def q10ConcatColumns(s: SparkSession, dir: String): DataFrame = {
+    // DISJOINT key tails: each side owns rows the other lacks, so the
+    // compare actually distinguishes the outer join (and its null
+    // introduction) from a degenerate inner join over identical key sets
     val cust = table(s, dir, "customer")
-    val f1 = WoodworkFrame.init(cust.select("c_custkey", "c_name"), index = Some("c_custkey"))
-    val f2 = WoodworkFrame.init(cust.select("c_custkey", "c_acctbal", "c_mktsegment"),
+    val f1 = WoodworkFrame.init(
+      cust.where(col("c_custkey") < 1400).select("c_custkey", "c_name"),
+      index = Some("c_custkey"))
+    val f2 = WoodworkFrame.init(
+      cust.where(col("c_custkey") >= 100)
+        .select("c_custkey", "c_acctbal", "c_mktsegment"),
       index = Some("c_custkey"))
     WoodworkFrame.concatColumns(Seq(f1, f2)).df.orderBy("c_custkey")
   }
@@ -205,7 +212,8 @@ object Queries {
       .agg(count(lit(1)).as("cnt")).orderBy("day")
   }
 
-  /** Temporal frequency inference on events.ts (rows-only check). */
+  /** Temporal frequency inference on events.ts (full oracle: the
+    * decision arithmetic reproduces in SQL — Oracles.q15). */
   def q15FreqInference(s: SparkSession, dir: String): DataFrame = {
     val f = typedTable(s, dir, "events")
     val results = FrequencyInference.inferFrequencies(f)
@@ -252,7 +260,8 @@ object Queries {
       .orderBy("id_1", "id_2")
   }
 
-  /** SimHash near-dup candidates (rows-only: hash not cross-engine). */
+  /** SimHash near-dup candidates (full oracle: the 60-bit md5-slice
+    * signature reproduces in DuckDB — Oracles.q23). */
   def q23SimhashPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = table(s, dir, "documents")
     ops.Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
@@ -300,7 +309,8 @@ object Queries {
     ops.Similarity.centroidNorms(table(s, dir, "embeddings"), "label", "embedding")
       .orderBy("grp")
 
-  /** LSH-bucketed ANN pairs (scale path; rows-only check). */
+  /** LSH-bucketed ANN pairs (scale path; full oracle — lshSql embeds
+    * the identical hyperplane literals). */
   def q29LshAnn(s: SparkSession, dir: String): DataFrame = {
     val emb = table(s, dir, "embeddings")
     ops.Similarity.lshSearch(emb, "vec_id", "embedding", dim = 64,
@@ -536,6 +546,11 @@ object Queries {
       .select(last_day(col("o_orderdate").cast("date")).as("month_end"))
       .distinct()
     val r = FrequencyInference.inferFrequency(me, "month_end")
+    // pin the covered path (the q44 pattern): if a regenerated fixture ever
+    // stops yielding the calendar alias, fail loudly instead of letting
+    // query and oracle agree on the fallen-through 'none'
+    require(r.alias.contains("M"),
+      s"q45 expects monthly alias M, got ${r.alias}")
     import s.implicits._
     Seq((r.column, r.alias.getOrElse("none"), round4(r.dominantShare), r.nObserved))
       .toDF("column_name", "alias", "dominant_share", "n_observed")
@@ -549,6 +564,8 @@ object Queries {
       .select(next_day(col("o_orderdate").cast("date"), "SUN").as("week_end"))
       .distinct()
     val r = FrequencyInference.inferFrequency(wk, "week_end")
+    require(r.alias.contains("W-SUN"),
+      s"q46 expects anchored weekly alias W-SUN, got ${r.alias}")
     import s.implicits._
     Seq((r.column, r.alias.getOrElse("none"), round4(r.dominantShare), r.nObserved))
       .toDF("column_name", "alias", "dominant_share", "n_observed")
@@ -1229,10 +1246,14 @@ object Queries {
   /** Shared BPE training config for q92/q93: top-2000 words of the first
     * 300 documents, 40 merges.
     */
+  private val bpeCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[ops.Bpe.Merge]]
+
   def q9xBpeMerges(s: SparkSession, dir: String): Seq[ops.Bpe.Merge] =
-    ops.Bpe.train(
-      table(s, dir, "documents").where(col("doc_id") < 300),
-      "text", numMerges = 40, maxWords = 2000)
+    bpeCache.getOrElseUpdate(dir,
+      ops.Bpe.train(
+        table(s, dir, "documents").where(col("doc_id") < 300),
+        "text", numMerges = 40, maxWords = 2000))
 
   /** BPE tokenizer training: the learned merge table (deterministic:
     * count-desc, pair-lexicographic tie-break). Pinned oracle — the merge

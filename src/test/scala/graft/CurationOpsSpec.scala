@@ -428,6 +428,22 @@ class CurationOpsSpec extends SparkSpec {
     assert(ops.AudioMeta.decode(wav.take(20)).isEmpty)
   }
 
+  test("piiPatterns scan variants ground-truth against known strings") {
+    // the derived (anchor-stripped) scan patterns have no independent
+    // oracle — q48/q51 embed the same strings in DuckDB — so pin them
+    // here against canonical hits and non-hits
+    val pats = ops.TextAnalysis.piiPatterns.toMap
+    def hits(name: String, s: String): Int =
+      java.util.regex.Pattern.compile(pats(name)).matcher(s)
+        .results().count().toInt
+    assert(hits("emails", "mail a.b+c@ex-ample.co.uk now") === 1)
+    assert(hits("emails", "not an email: a@ b@") === 0)
+    assert(hits("urls", "go to https://x.io/a?b=1 or http://y.net") === 2)
+    assert(hits("ips", "from 10.0.0.7 and 256.1.1.1") === 1)
+    assert(hits("ips", "version 1.2.3.4.5 reads as one bounded quad") <= 1)
+    assert(hits("phones", "call 302-555-0101 today") === 1)
+  }
+
   test("qualityScore: empty and whitespace-only docs score 0.0") {
     // regression: 0/0 NaN used to win least() and grant the 0.4 credit
     val out = Seq("", "   ", "real prose with the usual words here")
