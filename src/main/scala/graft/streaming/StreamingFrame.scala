@@ -117,6 +117,26 @@ object StreamingFrame {
   def gopherGate(stream: DataFrame, textCol: String): DataFrame =
     stream.where(TextAnalysis.gopherPass(col(textCol)))
 
+  /** The composed streaming front door: Gopher rule gate → PII scrub →
+    * Bloom decontamination → (optional) classifier filter → near-dup
+    * suppression — the streaming twin of [[graft.ops.Pipeline.curate]].
+    * Every stage is a stateless projection/filter except the final
+    * watermarked dedup, so the chain runs at ingest rate with one bounded
+    * state store.
+    */
+  def ingestGate(stream: DataFrame, textCol: String, tsCol: String,
+                 bloomBits: Array[Long], n: Int = 13,
+                 model: Option[graft.ops.Classifier.NbModel] = None,
+                 keep: Seq[String] = Seq.empty,
+                 watermark: String = "1 hour"): DataFrame = {
+    val gated = gopherGate(stream, textCol)
+    val scrubbed = piiScrub(gated, textCol)
+    val clean = bloomDecontaminate(scrubbed, textCol, bloomBits, n)
+    val classed = model.map(m => classifyGate(clean, textCol, m, keep))
+      .getOrElse(clean)
+    streamingNearDedup(classed, textCol, tsCol, watermark)
+  }
+
   /** Streaming classifier gate: tag each arriving document with the Naive
     * Bayes argmax class (model trained offline, broadcast inside the
     * scorer) and optionally keep only the wanted classes. Stateless per-row

@@ -224,6 +224,37 @@ class IoStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("ingestGate: composed streaming front door gates, scrubs and dedups") {
+    implicit val sqlCtx = spark.sqlContext
+    val passing = Queries.q91Passage
+    // bloom built from a benchmark doc that shares grams with one input
+    val bench = Seq((1L, passing)).toDF("id", "text")
+    val bits = graft.ops.Corpus.buildGramBloom(bench, "id", "text",
+      n = 13, numBits = 1 << 16)
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val stream = mem.toDF().toDF("ts", "text")
+    val gated = StreamingFrame.ingestGate(stream, "text", "ts", bits, n = 13)
+    val q = gated.writeStream.format("memory").queryName("ingest")
+      .outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // a fully distinct 50+ word passing doc (no shared 13-gram windows)
+    val fresh = ("the garden committee walked through every plot this " +
+      "morning and noted that all of the beds were watered with care " +
+      "while the volunteers trimmed hedges and sorted seeds for the " +
+      "spring planting season so that everyone involved could plan the " +
+      "next steps together and share tools without delay before lunch") +
+      " reach me at a@b.co"
+    mem.addData(
+      (t0, passing), // contaminated: shares 13-grams with bench → dropped
+      (t0, "too short"), // fails gopher → dropped
+      (t0, fresh), (t0, fresh)) // near-dups: one survives, scrubbed
+    q.processAllAvailable()
+    val rows = spark.sql("select text from ingest").collect()
+    assert(rows.length === 1)
+    assert(rows.head.getString(0).endsWith("reach me at [EMAIL]"))
+    q.stop()
+  }
+
   test("streaming sessionize merges gap-joined events; watermark closes sessions") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long)]

@@ -179,6 +179,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: crossMinhashMatches is sound (subset of exhaustive pairs)") {
+    // LSH recall is probabilistic; PRECISION is exact (verification is the
+    // true Jaccard). Every reported pair must appear in the exhaustive
+    // cross set with the identical score.
+    val docGen = Gen.listOfN(6,
+      Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d", "e")).map(_.mkString(" ")))
+    forSamples(docGen, 6) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val corpus = df.where(col("id") >= 3)
+      val bench = df.where(col("id") < 3)
+      val got = ops.Dedup.crossMinhashMatches(corpus, bench, "id", "text",
+          n = 3, threshold = 0.3)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard"))
+        .toMap
+      // exhaustive reference over the same distinct-shingle definition
+      def shingleSet(t: String): Set[Seq[String]] = {
+        val toks = t.toLowerCase.split("\\s+").toSeq
+        if (toks.length >= 3) toks.sliding(3).map(_.toSeq).toSet
+        else Set(toks)
+      }
+      val exhaustive = (for {
+        (ct, ci) <- texts.zipWithIndex if ci >= 3
+        (bt, bi) <- texts.zipWithIndex if bi < 3
+      } yield {
+        val (a, b) = (shingleSet(ct), shingleSet(bt))
+        val inter = a.intersect(b).size.toDouble
+        val j = inter / (a.size + b.size - inter)
+        (ci.toLong, bi.toLong) ->
+          BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }).toMap
+      got.foreach { case (pair, j) =>
+        assert(exhaustive.contains(pair), s"phantom pair $pair")
+        assert(math.abs(exhaustive(pair) - j) < 1e-9,
+          s"pair $pair score $j vs exhaustive ${exhaustive(pair)}")
+        assert(j >= 0.3)
+      }
+    }
+  }
+
   test("property: repeatedSpans equals the brute-force reference") {
     val k = 3
     val docGen = Gen.listOfN(4,
