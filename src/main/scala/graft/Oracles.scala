@@ -1394,19 +1394,25 @@ object Oracles {
 
   /** q97: scaling — identical exact integer-cent fit statistics and the
     * same double arithmetic order for mean/var/std and the projections.
+    * The sum of squares is exact on both sides (Spark Decimal(38,0),
+    * DuckDB HUGEINT), and variance uses the exact integer numerator
+    * n·Σc² − (Σc)² rounded to double once — mirroring
+    * [[graft.ops.FeaturePrep.ScaleFit.varCents2]] bit for bit.
     */
   val q97: String =
     """WITH c AS (SELECT l_orderkey, l_linenumber,
       |  CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem),
       |f AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s,
-      |      CAST(sum(c * c) AS BIGINT) AS ss,
-      |      min(c) AS mn, max(c) AS mx FROM c)
+      |      sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS ss,
+      |      min(c) AS mn, max(c) AS mx FROM c),
+      |v AS (SELECT n, s, mn, mx,
+      |      CAST(CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * CAST(s AS HUGEINT)
+      |           AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var2
+      |      FROM f)
       |SELECT l_orderkey, l_linenumber,
-      |  round((CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / n) /
-      |    sqrt(CAST(ss AS DOUBLE) / n -
-      |         (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)), 4) AS z,
+      |  round((CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / n) / sqrt(var2), 4) AS z,
       |  round((CAST(c AS DOUBLE) - mn) / (mx - mn), 4) AS mm
-      |FROM c CROSS JOIN f WHERE l_orderkey < 200
+      |FROM c CROSS JOIN v WHERE l_orderkey < 200
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
   /** q98: frequency label encoding — rank by count desc, value asc. */

@@ -17,8 +17,11 @@ import org.apache.spark.sql.types._
   */
 object ShardWriter {
 
-  /** Write `df` as `numShards` parquet shards under `path`; returns the
-    * manifest as (file, rows, bytes), one row per shard file.
+  /** Write `df` as up to `numShards` parquet shards under `path`; returns
+    * the manifest as (file, rows, bytes), one row per shard file. Hash
+    * partitions that receive no rows produce no file, so fewer than
+    * `numShards` files can land — callers that need exactly N placeholders
+    * should not rely on the file count.
     */
   def writeShards(df: DataFrame, path: String, numShards: Int,
                   idCol: String): DataFrame = {
@@ -28,25 +31,33 @@ object ShardWriter {
     manifest(df.sparkSession, path)
   }
 
-  /** Manifest of an existing parquet directory: (file, rows, bytes). */
+  /** Manifest of an existing parquet directory: (file, rows, bytes). Row
+    * counts come straight from each file's parquet footer
+    * (ParquetFileReader row-group metadata) — no row is ever read. The
+    * driver loop is bounded by the shard count, and each footer read is a
+    * few KB of metadata IO.
+    */
   def manifest(spark: SparkSession, path: String): DataFrame = {
     val hPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.listStatus(hPath)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = hPath.getFileSystem(conf)
+    val files = fs.listStatus(hPath)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(s => s.getPath.getName -> s.getLen).toMap
-    // per-file row counts: a zero-column count compiles to a footer-rowcount
-    // scan (no data pages are read)
-    val rows = spark.read.parquet(path)
-      .groupBy(element_at(split(input_file_name(), "/"), -1).as("file"))
-      .agg(count(lit(1)).as("rows"))
-    val bytesDf = spark.createDataFrame(
-      bytes.toSeq.map { case (f, b) => org.apache.spark.sql.Row(f, b) }.asJava,
+      .sortBy(_.getPath.getName)
+    val rowsOf = files.map { s =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromStatus(s, conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try s.getPath.getName -> reader.getRecordCount
+      finally reader.close()
+    }.toMap
+    val manifestRows = files.map { s =>
+      org.apache.spark.sql.Row(s.getPath.getName,
+        rowsOf(s.getPath.getName), s.getLen)
+    }.toSeq
+    spark.createDataFrame(manifestRows.asJava,
       StructType(Seq(StructField("file", StringType),
-        StructField("bytes", LongType))))
-    rows.join(bytesDf, Seq("file"), "full")
-      .select(col("file"), coalesce(col("rows"), lit(0L)).as("rows"),
-        coalesce(col("bytes"), lit(0L)).as("bytes"))
+        StructField("rows", LongType), StructField("bytes", LongType))))
   }
 
   private implicit class SeqAsJava[A](s: Seq[A]) {

@@ -130,11 +130,14 @@ object Classifier {
   private val TokenRegex = "\\S+".r
 
   /** JVM-side twin of [[TextAnalysis.tokens]] (lowercase whitespace
-    * tokens) for per-row UDF scorers.
+    * tokens) for per-row UDF scorers. Locale.ROOT matches Spark's
+    * locale-independent `lower()` — a default-locale lowercase would break
+    * the bit-for-bit batch/streaming agreement on e.g. a Turkish-locale
+    * JVM ('I' → 'ı').
     */
   private[ops] def tokenize(s: String): Array[String] =
     if (s == null) Array.empty[String]
-    else TokenRegex.findAllIn(s.toLowerCase).toArray
+    else TokenRegex.findAllIn(s.toLowerCase(java.util.Locale.ROOT)).toArray
 
   def predictExpr(model: NbModel)
                  (text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {

@@ -12,32 +12,46 @@ import org.apache.spark.sql.types._
   * fixed-point cents (sums of longs are order-independent; a double
   * mean/variance would depend on aggregation order), so fitted parameters
   * and transformed values hash-match across engines and partitionings.
-  * Variance uses the population form Σx²/n − (Σx/n)² over exact integer
-  * sums — numerically safe here because cents values are integers ≤ ~2³²
-  * and n·x² stays far below 2⁶³ for any realistic metric column.
+  * The sum of squares accumulates in DecimalType(38,0) — a long sum of
+  * c² wraps silently past 2⁶³, which a single ~$20M value (2e9 cents)
+  * squared already approaches; decimal sums stay exact (and just as
+  * order-independent) to 10³⁸. Variance uses the exact integer numerator
+  * n·Σx² − (Σx)², converted to double only for the final division, so
+  * no catastrophic cancellation ever happens in floating point.
   */
 object FeaturePrep {
 
-  /** Fitted scaling parameters for one column, in integer cents. */
-  final case class ScaleFit(n: Long, sumCents: Long, sumSqCents: Long,
+  /** Fitted scaling parameters for one column, in integer cents.
+    * `sumSqCents` is exact (decimal-accumulated); the variance numerator
+    * n·Σx² − (Σx)² is computed in exact integer arithmetic and rounded to
+    * double once, at the end.
+    */
+  final case class ScaleFit(n: Long, sumCents: Long, sumSqCents: BigDecimal,
                             minCents: Long, maxCents: Long) {
     def meanCents: Double = sumCents.toDouble / n
-    def varCents2: Double =
-      sumSqCents.toDouble / n - meanCents * meanCents
+    def varCents2: Double = {
+      val num = sumSqCents * BigDecimal(n) - BigDecimal(sumCents).pow(2)
+      num.toDouble / (n.toDouble * n.toDouble)
+    }
     def stdCents: Double = math.sqrt(math.max(varCents2, 0.0))
   }
 
-  /** One aggregation pass over non-null values. */
+  /** One aggregation pass over non-null values. The squared term is summed
+    * as Decimal(38,0): exact and order-independent like a long sum, but
+    * immune to the silent 2⁶³ wrap a LongType sum of squares hits for
+    * large-magnitude columns.
+    */
   def fitScale(df: DataFrame, valueCol: String): ScaleFit = {
     val cents = round(col(valueCol) * 100).cast(LongType)
+    val centsDec = cents.cast(DecimalType(19, 0))
     val r = df.where(col(valueCol).isNotNull)
-      .select(cents.as("c"))
+      .select(cents.as("c"), (centsDec * centsDec).as("c2"))
       .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
-        sum(col("c") * col("c")).as("ss"),
+        sum(col("c2")).cast(DecimalType(38, 0)).as("ss"),
         min(col("c")).as("mn"), max(col("c")).as("mx"))
       .head()
     require(r.getLong(0) > 0, s"no non-null values in $valueCol")
-    ScaleFit(r.getLong(0), r.getLong(1), r.getLong(2),
+    ScaleFit(r.getLong(0), r.getLong(1), BigDecimal(r.getDecimal(2)),
       r.getLong(3), r.getLong(4))
   }
 

@@ -74,9 +74,10 @@ object SkewJoin {
 
   /** Join-key skew profile: the top-k heaviest key values with their row
     * counts and corpus share — the diagnostic that decides whether a join
-    * needs salting / the grid-split ([[selfPairs]]) before it runs. One
-    * count aggregate + a TakeOrderedAndProject; the total is exact (sum of
-    * the same partial counts, no second scan of the raw data).
+    * needs salting / the grid-split ([[selfPairs]]) before it runs. The
+    * per-key count table is materialized once (localCheckpoint) so the
+    * exact total and the top-k both read the aggregated blocks — the raw
+    * input is scanned exactly once.
     *
     * Output: (value, cnt, share) — share = cnt/total rounded to 6 places,
     * ordered heaviest first (value tie-break).
@@ -86,6 +87,7 @@ object SkewJoin {
     require(k > 0, s"need k > 0, got $k")
     val counts = df.groupBy(col(keyCol).cast("string").as("value"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val totalRow = counts.agg(sum(col("cnt"))).head()
     // empty input: sum() is null — return an empty report, not an NPE
     if (totalRow.isNullAt(0))

@@ -561,8 +561,15 @@ object Ami {
       }
       wi += 1
     }
-    if (work > EmiExactIterBound)
+    if (work > EmiExactIterBound) {
+      // visible runtime signal: consumers comparing against sklearn must
+      // know this value came from the asymptotic regime, not the exact sum
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"expectedMutualInfo: exact Vinh sum needs >$EmiExactIterBound " +
+          s"terms (R=${a.length}, C=${b.length}, N=$nL); using the " +
+          "asymptotic (R-1)(C-1)/(2N) approximation")
       return (a.length - 1).toDouble * (b.length - 1).toDouble / (2.0 * n)
+    }
     var emi = 0.0
     var i = 0
     while (i < a.length) {
