@@ -62,6 +62,12 @@ object Dependence {
     */
   private val SingleTaskBound = 1L * 1000 * 1000
 
+  /** Largest `nrows` sample drawn by the one-scan per-partition-heap path;
+    * 1M slim prep rows (a few doubles each) ≈ 10s-of-MB heaps per task.
+    * Larger requests fall back to the two-scan Bernoulli fraction.
+    */
+  private[stats] val HeapSampleBound = 1L * 1000 * 1000
+
   private[stats] def avgRankTable(df: DataFrame, v: String,
                                   nuniqueHint: Option[Long] = None)
       : (DataFrame, () => Unit) = {
@@ -181,26 +187,6 @@ object Dependence {
       "Not enough valid columns to measure dependence")
 
     // numeric working view: bool→int, datetime→epoch, ordinal→rank
-    // row sampling (reference: _get_dependence_dict.py:163-165 nrows) — a
-    // ONE-SCAN bounded sample: per-partition top-n by a seeded random key
-    // (TakeOrderedAndProject holds an n-entry heap per task, never the
-    // partition), then a cheap n-row round-robin shuffle restores
-    // parallelism for the agg passes. The old path paid a full count()
-    // scan just to size a Bernoulli fraction before scanning again — at
-    // 100 TB that doubles the cost of a "cheap sampled" call. Above the
-    // heap bound the fraction path remains (two scans, but bounded memory).
-    val df0 = nrows match {
-      case Some(n) if n <= 100000 =>
-        val parts = math.max(frame.df.sparkSession.sparkContext
-          .defaultParallelism / 4, 2)
-        frame.df.withColumn("__r", rand(0)).orderBy(col("__r")).limit(n.toInt)
-          .drop("__r").repartition(parts)
-      case Some(n) =>
-        val total = frame.df.count()
-        if (total <= n) frame.df
-        else frame.df.sample(withReplacement = false, n.toDouble / total, 0)
-      case None => frame.df
-    }
     val prepCols: Seq[Column] = allCols.map { n =>
       val c = schema(n)
       val raw = col(n)
@@ -216,7 +202,31 @@ object Dependence {
         else raw.cast(StringType) // categorical: label for MI only
       v.as(n)
     }
-    val prep = df0.select(prepCols: _*).cache()
+    // row sampling (reference: _get_dependence_dict.py:163-165 nrows) — a
+    // ONE-SCAN bounded sample over the SLIM measure projection (a few
+    // doubles/labels per row, not the full frame): per-partition top-n by
+    // a seeded random key (TakeOrderedAndProject holds an n-entry heap of
+    // slim rows per task, never the partition), then a cheap n-row
+    // round-robin shuffle restores parallelism for the agg passes. rand(0)
+    // is a function of (partition, row position), so projecting first
+    // samples the exact same rows the unprojected scan would. Above
+    // HeapSampleBound (n-entry heaps of slim rows ≈ 100s of MB/task) the
+    // two-scan Bernoulli fraction path remains as the constant-memory
+    // escape hatch — profiling samples never realistically reach it.
+    val prepped = frame.df.select(prepCols: _*)
+    val df0 = nrows match {
+      case Some(n) if n <= HeapSampleBound =>
+        val parts = math.max(frame.df.sparkSession.sparkContext
+          .defaultParallelism / 4, 2)
+        prepped.withColumn("__r", rand(0)).orderBy(col("__r")).limit(n.toInt)
+          .drop("__r").repartition(parts)
+      case Some(n) =>
+        val total = prepped.count()
+        if (total <= n) prepped
+        else prepped.sample(withReplacement = false, n.toDouble / total, 0)
+      case None => prepped
+    }
+    val prep = df0.cache()
 
     try {
       val numericSet = allCols.filter { n =>

@@ -12,12 +12,16 @@ import graft.types.LogicalType
   * woodwork/table_accessor.py:1454-1567; engine
   * statistics_utils/_get_describe_dict.py:51-231).
   *
-  * Spark-first shape: ONE wide `agg` computes count/nan_count/mean/std/min/
-  * max/num_true/num_false for every profiled column in a single scan;
-  * mode/nunique/exact-quartiles run as one SMALL pruned-scan groupBy job per
-  * column, concurrently (parquet column pruning makes k single-column scans
-  * read the same bytes as one k-column pass). Nothing is collected but the
-  * final per-column stat rows (bounded by table width, not height).
+  * Spark-first shape: wide `agg` jobs compute count/nan_count/mean/std/min/
+  * max/num_true/num_false for every profiled column, BATCHED at
+  * [[StatBatchSize]] columns per concurrent job — one giant agg over a
+  * 500-column frame emits ~5,500 aggregate expressions in a single
+  * generated method and falls past Janino's 64KB whole-stage-codegen limit
+  * (the same hazard dependence's pair batching guards). Parquet column
+  * pruning makes the k batch scans read the same bytes as one full-width
+  * pass. mode/nunique/exact-quartiles run as one SMALL pruned-scan groupBy
+  * job per column, concurrently. Nothing is collected but the final
+  * per-column stat rows (bounded by table width, not height).
   */
 object Describe {
 
@@ -41,6 +45,30 @@ object Describe {
     }
   }
 
+  /** Columns per concurrent stat-agg job. 25 columns × 11 aggregates ≈ 275
+    * aggregate expressions per generated method — comfortably inside
+    * Janino's 64KB limit, so wide frames stay in whole-stage codegen.
+    */
+  private[graft] val StatBatchSize = 25
+
+  /** Run one named struct-aggregate per column, batched at
+    * [[StatBatchSize]] per concurrent agg job. Returns column → its stat
+    * struct. Parquet pruning means each batch job scans only its own
+    * columns, so total IO matches a single full-width agg.
+    */
+  private def batchedStructAgg(df: DataFrame,
+                               items: Seq[(String, Column)]): Map[String, Row] = {
+    if (items.isEmpty) return Map.empty
+    val out = new java.util.concurrent.ConcurrentHashMap[String, Row]()
+    runConcurrently(items.grouped(StatBatchSize).toSeq) { batch =>
+      val exprs = batch.map(_._2)
+      val r = df.agg(exprs.head, exprs.tail: _*).head()
+      batch.zipWithIndex.foreach { case ((n, _), i) => out.put(n, r.getStruct(i)) }
+    }
+    import scala.jdk.CollectionConverters._
+    out.asScala.toMap
+  }
+
   def describe(frame: WoodworkFrame,
                include: Seq[String] = Nil,
                approx: Boolean = false,
@@ -50,13 +78,13 @@ object Describe {
     val cols = columnsFor(frame, include)
     require(cols.nonEmpty, "No columns to describe")
 
-    val aggExprs: Seq[Column] = cols.map { case (n, cs) =>
+    val aggExprs: Seq[(String, Column)] = cols.map { case (n, cs) =>
       val c = col(n)
       val d = c.cast(DoubleType)
       val isNum = cs.isNumeric
       val isDt = cs.isDatetime
       val isBool = cs.isBoolean
-      struct(
+      n -> struct(
         count(lit(1)).as("total"),
         count(c).as("count"),
         (if (isNum) avg(d) else lit(null).cast(DoubleType)).as("mean"),
@@ -74,10 +102,10 @@ object Describe {
       ).as(n)
     }
 
-    val statRow = df.agg(aggExprs.head, aggExprs.tail: _*).head()
+    val statOf: Map[String, Row] = batchedStructAgg(df, aggExprs)
     val numCols = cols.collect { case (n, cs) if cs.isNumeric => n }
-    val nonNullOf: Map[String, Long] = cols.zipWithIndex.map { case ((n, _), i) =>
-      n -> statRow.getStruct(i).getLong(1)
+    val nonNullOf: Map[String, Long] = cols.map { case (n, _) =>
+      n -> statOf(n).getLong(1)
     }.toMap
     // exact nunique, mode AND exact quartiles all come out of the single
     // melt job below: one (column,value) shuffle instead of a count_distinct
@@ -94,20 +122,23 @@ object Describe {
       if (!approx) exactQuartiles
       else if (numCols.isEmpty) Map.empty
       else {
+        // wrapped in a struct so the batched helper applies; same Janino
+        // width hazard as the stat aggs
         val qExprs = numCols.map(n =>
-          percentile_approx(col(n).cast(DoubleType),
-            lit(Array(0.25, 0.5, 0.75)), lit(10000)).as(n))
-        val qRow = df.agg(qExprs.head, qExprs.tail: _*).head()
-        numCols.zipWithIndex.map { case (n, i) =>
-          n -> (if (qRow.isNullAt(i)) null else qRow.getSeq[Double](i))
+          n -> struct(percentile_approx(col(n).cast(DoubleType),
+            lit(Array(0.25, 0.5, 0.75)), lit(10000))).as(n))
+        val qOf = batchedStructAgg(df, qExprs)
+        numCols.map { n =>
+          val s = qOf(n)
+          n -> (if (s.isNullAt(0)) null else s.getSeq[Double](0))
         }.toMap
       }
     val spark = df.sparkSession
     // per-column progress callbacks (reference: _get_describe_dict.py:226-230)
     val caller = new graft.config.CallbackCaller(callback, "column", cols.size.toLong)
-    val out = cols.zipWithIndex.map { case ((n, cs), i) =>
+    val out = cols.map { case (n, cs) =>
       caller.update(1)
-      val s = statRow.getStruct(i)
+      val s = statOf(n)
       val total = s.getLong(0); val cnt = s.getLong(1)
       def dOpt(j: Int): Any = if (s.isNullAt(j)) null else s.getDouble(j)
       val quart: Seq[Double] = quartiles.getOrElse(n, null)
@@ -362,25 +393,21 @@ object Describe {
     val cols = columnsFor(frame, include)
     val intFamily = Set("Age", "AgeNullable", "Integer", "IntegerNullable")
 
-    // one wide agg: per-numeric-column min/max/non-null/non-integral —
+    // per-numeric-column min/max/non-null/non-integral (batched wide aggs) —
     // decides histogram applicability and the numeric top_values condition
     val numCols = cols.collect { case (n, cs) if cs.isNumeric => n }
-    val numInfo: Map[String, (Option[Double], Option[Double], Long, Long)] =
-      if (numCols.isEmpty) Map.empty
-      else {
-        val exprs = numCols.map { n =>
-          val d = col(n).cast(DoubleType)
-          struct(min(d), max(d), count(d),
-            coalesce(sum(when(d % 1 =!= 0, 1L)), lit(0L))).as(n)
-        }
-        val r = df.agg(exprs.head, exprs.tail: _*).head()
-        numCols.zipWithIndex.map { case (n, i) =>
-          val s = r.getStruct(i)
-          n -> (if (s.isNullAt(0)) None else Some(s.getDouble(0)),
-            if (s.isNullAt(1)) None else Some(s.getDouble(1)),
-            s.getLong(2), s.getLong(3))
-        }.toMap
+    val numInfo: Map[String, (Option[Double], Option[Double], Long, Long)] = {
+      val exprs = numCols.map { n =>
+        val d = col(n).cast(DoubleType)
+        n -> struct(min(d), max(d), count(d),
+          coalesce(sum(when(d % 1 =!= 0, 1L)), lit(0L))).as(n)
       }
+      batchedStructAgg(df, exprs).map { case (n, s) =>
+        n -> (if (s.isNullAt(0)) None else Some(s.getDouble(0)),
+          if (s.isNullAt(1)) None else Some(s.getDouble(1)),
+          s.getLong(2), s.getLong(3))
+      }
+    }
 
     val hist = new java.util.concurrent.ConcurrentHashMap[String, Seq[Row]]()
     val tops = new java.util.concurrent.ConcurrentHashMap[String, Seq[Row]]()

@@ -106,18 +106,18 @@ object Outliers {
   def medcouple(df: DataFrame, colName: String, sampleSize: Int = 10000,
                 seed: Long = 42): Double = {
     val c = col(colName).cast(DoubleType)
-    val total = df.where(c.isNotNull).count()
-    val src = df.where(c.isNotNull).select(c)
-    // no limit() in the plan — it would collapse the sample scan to one
-    // partition; collect the slightly-over-sampled rows (bounded ~1.1×10k)
-    // and cut to size driver-side in partition order (same rows limit()
-    // would have taken)
-    val collected =
-      (if (total > sampleSize)
-        src.sample(withReplacement = false, sampleSize.toDouble / total * 1.1, seed)
-      else src).collect()
-    val values = collected.iterator.take(sampleSize).map(_.getDouble(0))
-      .toArray.sorted
+    // ONE scan: per-partition top-n by a seeded random key
+    // (TakeOrderedAndProject holds a sampleSize-entry heap of bare doubles
+    // per task, never the partition). The old count()-then-Bernoulli path
+    // paid a full extra scan just to size the fraction — at 100 TB the
+    // pre-count costs more than the medcouple kernel it bounds. Same
+    // contract as Similarity.sampleVectors: deterministic for a fixed
+    // dataset and seed; when the column has ≤ sampleSize non-null values
+    // the "sample" is exactly all of them.
+    val values = df.where(c.isNotNull).select(c.as("v"))
+      .withColumn("__r", rand(seed))
+      .orderBy(col("__r")).limit(sampleSize)
+      .select(col("v")).collect().map(_.getDouble(0)).sorted
     medcoupleKernel(values)
   }
 

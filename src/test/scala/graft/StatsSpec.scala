@@ -188,6 +188,39 @@ class StatsSpec extends SparkSpec {
     assert(info.q1 == 26.0 && info.q3 == 76.0)
   }
 
+  test("medcouple sample path runs ONE scan job (no pre-count)") {
+    val df = (1 to 5000).map(_.toDouble).toDF("x")
+    df.count() // warm the plan so the measured run is just medcouple
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val mc = Outliers.medcouple(df, "x", sampleSize = 1000, seed = 7)
+      Thread.sleep(500) // listener bus is async
+      assert(jobs.get() == 1, s"expected 1 scan job, saw ${jobs.get()}")
+      assert(!mc.isNaN)
+    } finally spark.sparkContext.removeSparkListener(l)
+    // sampleSize >= rows: the "sample" is exactly the full column
+    val full = Outliers.medcouple(df, "x", sampleSize = 10000)
+    val direct = Outliers.medcoupleKernel((1 to 5000).map(_.toDouble).toArray)
+    assert(full == direct)
+  }
+
+  test("dependence nrows above the old 100k bound still samples in one scan") {
+    val df = (1 to 3000).map(i => (i.toDouble, (i * 2).toDouble)).toDF("a", "b")
+    val f = WoodworkFrame.init(df)
+    // n in (100k, HeapSampleBound]: the heap path must apply, not the
+    // count-then-Bernoulli fallback — with 3k rows the "sample" is the
+    // whole table, so pearson is exactly 1
+    val dep = Dependence.dependence(f, Seq("pearson"), minShared = 5,
+      nrows = Some(200000L)).collect()
+    assert(math.abs(dep.head.getAs[Double]("pearson") - 1.0) < 1e-12)
+  }
+
   test("medcouple kernel: 0 for symmetric, positive for right skew") {
     val sym = Array(1.0, 2.0, 3.0, 4.0, 5.0)
     assert(math.abs(Outliers.medcoupleKernel(sym)) < 1e-12)
@@ -296,6 +329,42 @@ class StatsSpec extends SparkSpec {
     val rec = out("day").getSeq[Row](out("day").fieldIndex("recent_values"))
     assert(rec.map(r => (r.getString(0), r.getLong(1))) ==
       Seq(("2024-01-07", 3L), ("2024-01-06", 2L)))
+  }
+
+  test("describe: wide frame spans multiple stat-agg batches with exact results") {
+    // > 2× StatBatchSize columns so the batched wide-agg path (the Janino
+    // 64KB guard) actually splits; values are a per-column arithmetic
+    // progression so every stat has a closed form
+    val width = Describe.StatBatchSize * 2 + 5
+    val names = (0 until width).map(i => s"c$i")
+    val rows = (0 until 7).map { r =>
+      Row.fromSeq((0 until width).map(k => (r + k).toDouble))
+    }
+    val schema = org.apache.spark.sql.types.StructType(names.map(n =>
+      org.apache.spark.sql.types.StructField(n,
+        org.apache.spark.sql.types.DoubleType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 2), schema)
+    val f = WoodworkFrame.init(df,
+      logicalTypes = names.map(_ -> graft.types.LogicalType.Double).toMap)
+    val out = Describe.describe(f).collect().map(r => r.getString(0) -> r).toMap
+    assert(out.size == width)
+    (0 until width).foreach { k =>
+      val d = out(s"c$k")
+      assert(d.getAs[Long]("count") == 7)
+      assert(d.getAs[Long]("nunique") == 7)
+      assert(d.getAs[Double]("mean") == 3.0 + k)
+      assert(d.getAs[Double]("min") == k.toDouble)
+      assert(d.getAs[Double]("max") == 6.0 + k)
+      assert(d.getAs[Double]("first_quartile") == 1.5 + k)
+      assert(d.getAs[Double]("second_quartile") == 3.0 + k)
+      assert(d.getAs[Double]("third_quartile") == 4.5 + k)
+    }
+    // approx path batches the same way
+    val ap = Describe.describe(f, approx = true).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(ap(s"c${width - 1}").getAs[Double]("second_quartile") ==
+      3.0 + (width - 1))
   }
 
   test("describe and dependence invoke progress callbacks per unit of work") {
