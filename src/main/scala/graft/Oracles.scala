@@ -298,8 +298,8 @@ object Oracles {
   val q29: String = lshSql(numPlanes = 8, threshold = 0.3)
   val q39: String = lshSql(numPlanes = 4, threshold = 0.4)
 
-  /** q30: the non-stubbed multimodal surface — UTF-8 byte length and content
-    * md5 of the payload — is plain SQL on both engines.
+  /** q30: the SQL-expressible multimodal surface — UTF-8 byte length and
+    * content md5 of the payload — is plain SQL on both engines.
     */
   val q30: String =
     """SELECT doc_id,
@@ -1425,6 +1425,74 @@ object Oracles {
       |FROM orders o LEFT JOIN m USING (o_orderpriority)
       |WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin
 
+  /** q100: decoded-pixel image features — the oracle regenerates the
+    * deterministic pixel function arithmetically (lateral ranges over
+    * width×height) and mirrors the engine's exact-integer mean/σ
+    * arithmetic: mean = Σx/n, σ = sqrt((n·Σx² − (Σx)²)/n²), luma in
+    * integer per-mille BT.601 weights. The engine side must actually
+    * ImageIO-decode the PNGs to recover these numbers.
+    */
+  val q100: String =
+    """WITH d AS (SELECT doc_id AS k, CAST(doc_id % 16 + 8 AS BIGINT) AS w,
+      |                  CAST((doc_id * 3) % 16 + 8 AS BIGINT) AS h
+      |           FROM documents WHERE doc_id < 40),
+      |px AS (SELECT k,
+      |    (x + y + k) % 256 AS r, (2*x + y + k) % 256 AS g,
+      |    (x + 2*y + k) % 256 AS b
+      |  FROM d,
+      |    LATERAL (SELECT unnest(range(0, w)) AS x) xs,
+      |    LATERAL (SELECT unnest(range(0, h)) AS y) ys),
+      |a AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(r) AS BIGINT) AS sr, CAST(sum(r*r) AS BIGINT) AS qr,
+      |    CAST(sum(g) AS BIGINT) AS sg, CAST(sum(g*g) AS BIGINT) AS qg,
+      |    CAST(sum(b) AS BIGINT) AS sb, CAST(sum(b*b) AS BIGINT) AS qb,
+      |    CAST(sum(299*r + 587*g + 114*b) AS BIGINT) AS sl,
+      |    CAST(sum((299*r + 587*g + 114*b) * (299*r + 587*g + 114*b))
+      |         AS BIGINT) AS ql
+      |  FROM px GROUP BY k)
+      |SELECT k AS doc_id,
+      |  round(CAST(sr AS DOUBLE)/n, 4) AS mean_r,
+      |  round(CAST(sg AS DOUBLE)/n, 4) AS mean_g,
+      |  round(CAST(sb AS DOUBLE)/n, 4) AS mean_b,
+      |  round(sqrt(CAST(n*qr - sr*sr AS DOUBLE)/(CAST(n AS DOUBLE)*n)), 4) AS std_r,
+      |  round(sqrt(CAST(n*qg - sg*sg AS DOUBLE)/(CAST(n AS DOUBLE)*n)), 4) AS std_g,
+      |  round(sqrt(CAST(n*qb - sb*sb AS DOUBLE)/(CAST(n AS DOUBLE)*n)), 4) AS std_b,
+      |  round(CAST(sl AS DOUBLE)/n/1000.0, 4) AS luma_mean,
+      |  round(sqrt(CAST(n*ql - sl*sl AS DOUBLE)/(CAST(n AS DOUBLE)*n))/1000.0, 4)
+      |    AS luma_std
+      |FROM a ORDER BY doc_id""".stripMargin
+
+  /** q101: decoded-sample audio features — the oracle regenerates the
+    * deterministic PCM sample function and mirrors the engine's exact
+    * integer sums; the engine must parse the RIFF data chunk and decode
+    * little-endian 16-bit samples to recover them.
+    */
+  val q101: String =
+    """WITH d AS (SELECT doc_id AS k, doc_id % 2 + 1 AS c,
+      |                  (doc_id % 3 + 1) * 8000 AS rate,
+      |                  (doc_id % 50 + 100) * (doc_id % 2 + 1) AS n
+      |           FROM documents WHERE doc_id < 60),
+      |s AS (SELECT k, c, rate, n, i,
+      |    ((i * (k + 7) * 31 + 17) % 4001) - 2000 AS v
+      |  FROM d, LATERAL (SELECT unnest(range(0, n)) AS i) ii),
+      |w AS (SELECT k, c, rate, n, v,
+      |    lag(v) OVER (PARTITION BY k ORDER BY i) AS pv
+      |  FROM s),
+      |a AS (SELECT k, c, rate, n,
+      |    CAST(sum(v*v) AS BIGINT) AS ss, CAST(sum(abs(v)) AS BIGINT) AS sa,
+      |    CAST(max(abs(v)) AS BIGINT) AS pk,
+      |    CAST(sum(CASE WHEN pv IS NOT NULL AND pv * v < 0 THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS zc
+      |  FROM w GROUP BY k, c, rate, n)
+      |SELECT k AS doc_id,
+      |  round(sqrt(CAST(ss AS DOUBLE)/n)/32768.0, 4) AS rms,
+      |  round(CAST(pk AS DOUBLE)/32768.0, 4) AS peak,
+      |  round(CAST(sa AS DOUBLE)/n/32768.0, 4) AS mean_abs,
+      |  round(CAST(zc AS DOUBLE)/(n - 1), 4) AS zcr,
+      |  CAST((2*n * 1000) // (rate*2*c) AS DOUBLE) AS duration_ms,
+      |  CAST(c AS DOUBLE) AS channels, CAST(rate AS DOUBLE) AS sample_rate
+      |FROM a ORDER BY doc_id""".stripMargin
+
   /** q99: key-skew profile — exact counts, heaviest-first with value
     * tie-break, share over the exact total.
     */
@@ -1482,6 +1550,8 @@ object Oracles {
       "q97_standardize" -> q97,
       "q98_frequency_encode" -> q98,
       "q99_skew_report" -> q99,
+      "q100_image_features" -> q100,
+      "q101_audio_features" -> q101,
       "q01_pricing_summary" -> q01,
       "q02_describe_lineitem" -> q02,
       "q03_value_counts_orders" -> q03,

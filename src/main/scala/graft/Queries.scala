@@ -319,9 +319,11 @@ object Queries {
   }
 
   /** Multimodal plumbing: binary payload column + partition-batched stats and
-    * featurize. The oracled output is the real (non-stubbed) surface — byte
-    * length and content md5 — while the stub feature head is still exercised
-    * (every row must produce a FeatureDim-sized vector to survive the filter).
+    * featurize. The oracled output here is the SQL-expressible surface — byte
+    * length and content md5 — while the byte-distribution feature head runs on
+    * every row (each must produce a FeatureDim-sized vector to survive the
+    * filter); decoded image/audio features get their own full oracles in
+    * q100/q101.
     */
   def q30Multimodal(s: SparkSession, dir: String): DataFrame = {
     val docs = table(s, dir, "documents").where(col("doc_id") < 20)
@@ -1335,6 +1337,95 @@ object Queries {
     ops.SkewJoin.skewReport(table(s, dir, "lineitem"), "l_suppkey", k = 10)
       .orderBy(col("cnt").desc, col("value").asc)
 
+  /** Decoded-PIXEL image features: the fixture synthesizes REAL PNGs
+    * executor-side (deterministic pixel function of (x, y, doc_id), encoded
+    * with `javax.imageio`), and the engine must decode them back to pixels
+    * to recover per-channel/luma statistics — PNG is lossless, so decode
+    * returns exactly the pixels drawn. The oracle recomputes the same
+    * statistics arithmetically from the pixel function (q47's
+    * recover-by-parsing pattern, extended from headers to pixel data).
+    */
+  def q100ImageFeatures(s: SparkSession, dir: String): DataFrame = {
+    val mkPng = udf { (k: Long) =>
+      val w = (k % 16 + 8).toInt
+      val h = ((k * 3) % 16 + 8).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = ((x + y + k) % 256).toInt
+          val g = ((2 * x + y + k) % 256).toInt
+          val b = ((x + 2 * y + k) % 256).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val docs = table(s, dir, "documents").where(col("doc_id") < 40)
+      .select(col("doc_id"), mkPng(col("doc_id")).as("img"))
+    val withP = ops.Multimodal.withPayload(docs, "img", "image", "image/png")
+    ops.Multimodal.featurize(withP)
+      .select(col("doc_id"),
+        element_at(col("features"), 1).as("mean_r"),
+        element_at(col("features"), 2).as("mean_g"),
+        element_at(col("features"), 3).as("mean_b"),
+        element_at(col("features"), 4).as("std_r"),
+        element_at(col("features"), 5).as("std_g"),
+        element_at(col("features"), 6).as("std_b"),
+        element_at(col("features"), 7).as("luma_mean"),
+        element_at(col("features"), 8).as("luma_std"))
+      .orderBy("doc_id")
+  }
+
+  /** Decoded-SAMPLE audio features: real 16-bit PCM WAVs synthesized
+    * executor-side (deterministic sample function), decoded back by the
+    * engine via RIFF data-chunk byte arithmetic; the oracle recomputes
+    * RMS/peak/zero-crossings from the sample function — the audio sibling
+    * of q100.
+    */
+  def q101AudioFeatures(s: SparkSession, dir: String): DataFrame = {
+    val mkWav = udf { (k: Long) =>
+      val channels = (k % 2 + 1).toInt
+      val rate = ((k % 3 + 1) * 8000).toInt
+      val frames = (k % 50 + 100).toInt
+      val n = frames * channels
+      val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val ba = channels * 2
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(channels.toShort).putInt(rate)
+        .putInt(rate * ba).putShort(ba.toShort).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(2 * n)
+      var i = 0
+      while (i < n) {
+        bb.putShort((((i * (k + 7) * 31 + 17) % 4001) - 2000).toShort)
+        i += 1
+      }
+      bb.array()
+    }
+    val docs = table(s, dir, "documents").where(col("doc_id") < 60)
+      .select(col("doc_id"), mkWav(col("doc_id")).as("wav"))
+    val withP = ops.Multimodal.withPayload(docs, "wav", "audio", "audio/wav")
+    ops.Multimodal.featurize(withP)
+      .select(col("doc_id"),
+        element_at(col("features"), 1).as("rms"),
+        element_at(col("features"), 2).as("peak"),
+        element_at(col("features"), 3).as("mean_abs"),
+        element_at(col("features"), 4).as("zcr"),
+        element_at(col("features"), 5).as("duration_ms"),
+        element_at(col("features"), 6).as("channels"),
+        element_at(col("features"), 7).as("sample_rate"))
+      .orderBy("doc_id")
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -1470,6 +1561,8 @@ object Queries {
     "q96_cross_minhash" -> (q96CrossMinhash _),
     "q97_standardize" -> (q97Standardize _),
     "q98_frequency_encode" -> (q98FrequencyEncode _),
-    "q99_skew_report" -> (q99SkewReport _)
+    "q99_skew_report" -> (q99SkewReport _),
+    "q100_image_features" -> (q100ImageFeatures _),
+    "q101_audio_features" -> (q101AudioFeatures _)
   )
 }

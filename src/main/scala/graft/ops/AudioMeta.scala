@@ -7,8 +7,9 @@ package graft.ops
   *
   * Layout parsed: "RIFF" + size + "WAVE", then a chunk walk for "fmt "
   * (audio format, channels, sample rate, byte rate, block align, bits per
-  * sample) and "data" (payload size). Sample-level decode stays out of
-  * scope exactly like pixel decode ([[Multimodal.stubDecode]]).
+  * sample) and "data" (payload size). [[pcm16Samples]] decodes the 16-bit
+  * PCM payload itself — little-endian byte pairs to signed ints — feeding
+  * [[Multimodal]]'s real audio featurization.
   */
 object AudioMeta {
 
@@ -29,11 +30,15 @@ object AudioMeta {
   def isWav(b: Array[Byte]): Boolean =
     b != null && b.length >= 44 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE"
 
-  /** Chunk-walk decode; returns None for malformed/truncated headers. */
-  def decode(b: Array[Byte]): Option[Info] = {
+  /** Parsed fmt chunk plus the data chunk's byte range. */
+  final case class Chunks(channels: Int, sampleRate: Int, byteRate: Long,
+                          bitsPerSample: Int, dataOffset: Int, dataSize: Long)
+
+  /** Chunk walk; returns None for malformed/truncated headers. */
+  def chunks(b: Array[Byte]): Option[Chunks] = {
     if (!isWav(b)) return None
     var channels = -1; var rate = -1; var bits = -1
-    var byteRate = -1L; var dataSize = -1L
+    var byteRate = -1L; var dataSize = -1L; var dataOff = -1
     // Long offsets: a corrupted 32-bit chunk size must neither wrap an Int
     // (infinite loop / negative index) nor stall the walk
     var o = 12L
@@ -48,12 +53,40 @@ object AudioMeta {
         bits = le16(b, oi + 22)
       } else if (id == "data") {
         dataSize = size
+        dataOff = oi + 8
       }
       // chunks are word-aligned: odd sizes carry one pad byte
       o += 8L + size + (size & 1L)
     }
     if (channels <= 0 || rate <= 0 || byteRate <= 0 || dataSize < 0) None
-    else Some(Info("audio/wav", channels, rate, bits,
-      dataSize * 1000L / byteRate))
+    else Some(Chunks(channels, rate, byteRate, bits, dataOff, dataSize))
   }
+
+  def decode(b: Array[Byte]): Option[Info] =
+    chunks(b).map(c => Info("audio/wav", c.channels, c.sampleRate,
+      c.bitsPerSample, c.dataSize * 1000L / c.byteRate))
+
+  /** Decoded 16-bit PCM samples (interleaved, all channels pooled) from the
+    * data chunk — plain little-endian byte arithmetic, no codec. None when
+    * the container isn't 16-bit PCM or the data chunk is truncated.
+    */
+  def pcm16Samples(b: Array[Byte]): Option[Array[Int]] =
+    chunks(b).flatMap { c =>
+      if (c.bitsPerSample != 16 || c.dataOffset < 0) None
+      else {
+        val avail = math.min(c.dataSize, (b.length - c.dataOffset).toLong)
+        if (avail < c.dataSize) None // truncated payload
+        else {
+          val n = (c.dataSize / 2).toInt
+          val out = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            val o = c.dataOffset + 2 * i
+            out(i) = (u8(b(o)) | (u8(b(o + 1)) << 8)).toShort.toInt
+            i += 1
+          }
+          Some(out)
+        }
+      }
+    }
 }

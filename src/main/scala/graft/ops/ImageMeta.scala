@@ -11,8 +11,9 @@ package graft.ops
   *   - GIF: "GIF87a"/"GIF89a", logical screen width/height little-endian at
   *     offset 6/8.
   *
-  * The pixel/feature decode stays stubbed ([[Multimodal.stubDecode]]) — that
-  * genuinely needs codec libraries — but header metadata is exact.
+  * Header parsing here is allocation-free and runs on truncated payloads;
+  * full pixel decode lives in [[Multimodal.imageFeatures]] via the JDK's
+  * `javax.imageio` readers.
   */
 object ImageMeta {
 

@@ -9,13 +9,16 @@ import org.apache.spark.sql.types._
   * run as partition-batched transforms (the Scala analog of `mapInPandas` —
   * one iterator per partition, batch-shaped work, no per-row driver calls).
   *
-  * Header metadata decode is REAL ([[decodeMeta]] / [[ImageMeta]]: PNG, JPEG
-  * and GIF dimensions parsed from the payload bytes, pure JVM). Only the
-  * pixel-level feature extraction remains STUBBED (this container ships no
-  * codec libraries): [[stubDecode]] produces a deterministic fake feature
-  * vector derived from the payload bytes, so the Spark-side plumbing —
-  * schema, partitioning, batch iteration, feature shape — is exercised
-  * end-to-end and a real codec drops in by replacing one function.
+  * Decoding is REAL end-to-end, with zero external dependencies:
+  * header metadata via [[ImageMeta]]/[[AudioMeta]] byte parsing, image
+  * pixels via the JDK's `javax.imageio` (PNG/JPEG/GIF/BMP), and WAV PCM
+  * samples via little-endian byte arithmetic over the RIFF data chunk.
+  * [[decodeFeatures]] dispatches per payload: decoded-pixel channel
+  * statistics for images, decoded-sample amplitude statistics for audio,
+  * and exact byte-distribution statistics for anything else. Every feature
+  * derives from exact integer sums over decoded values (order-independent,
+  * hash-reproducible — see the fixed-point determinism contract used
+  * throughout the stats package), converted to double once at the end.
   */
 object Multimodal {
 
@@ -43,31 +46,179 @@ object Multimodal {
         lit(null).cast(IntegerType).as("channels"),
         lit(null).cast(IntegerType).as("sample_rate")).cast(MetaType))
 
-  /** STUB decoder: a real implementation would decode the payload (JPEG,
-    * WAV, MP4 frame sample, ...) here; this deterministic fake hashes byte
-    * slices into a fixed-dim feature vector so shape/partitioning/batching
-    * are exercised end-to-end.
+  // HALF_UP to match SQL round() semantics (half away from zero), the same
+  // convention every oracled query in this repo uses
+  @inline private def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Exact-integer mean/std pair: mean = Σx/n, std from the exact integer
+    * numerator n·Σx² − (Σx)² (no catastrophic cancellation, one double
+    * rounding at the end) — mirrored verbatim by the SQL oracles.
     */
-  def stubDecode(payload: Array[Byte]): Array[Double] = {
-    if (payload == null || payload.isEmpty) return Array.fill(FeatureDim)(0.0)
-    val out = new Array[Double](FeatureDim)
-    var i = 0
-    while (i < FeatureDim) {
-      var h = 1125899906842597L + i
-      var j = i
-      while (j < payload.length) {
-        h = 31 * h + payload(j)
-        j += FeatureDim
+  @inline private def meanStd(sum: Long, sumSq: Long, n: Long): (Double, Double) = {
+    val mean = sum.toDouble / n
+    val num = n * sumSq - sum * sum
+    (mean, math.sqrt(math.max(num.toDouble / (n.toDouble * n.toDouble), 0.0)))
+  }
+
+  /** Pixel-level image features via `javax.imageio` (JDK-native PNG/JPEG/
+    * GIF/BMP decode): per-channel mean and population σ over the decoded
+    * sRGB values, plus the same pair over BT.601 integer luma (per-mille
+    * weights 299/587/114, so sums stay exact). None when the payload isn't
+    * a decodable image (e.g. a header-only fixture).
+    *
+    * Layout: [meanR, meanG, meanB, stdR, stdG, stdB, lumaMean, lumaStd],
+    * each rounded to 4 places.
+    */
+  def imageFeatures(payload: Array[Byte]): Option[Array[Double]] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return None
+    val w = img.getWidth; val h = img.getHeight
+    val n = w.toLong * h
+    var sr = 0L; var sg = 0L; var sb = 0L; var sl = 0L
+    var qr = 0L; var qg = 0L; var qb = 0L; var ql = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+        val l = 299L * r + 587L * g + 114L * b // per-mille BT.601 luma
+        sr += r; sg += g; sb += b; sl += l
+        qr += r.toLong * r; qg += g.toLong * g; qb += b.toLong * b; ql += l * l
+        x += 1
       }
-      out(i) = (h % 1000003L).toDouble / 1000003.0
+      y += 1
+    }
+    val (mr, dr) = meanStd(sr, qr, n); val (mg, dg) = meanStd(sg, qg, n)
+    val (mb, db) = meanStd(sb, qb, n); val (ml, dl) = meanStd(sl, ql, n)
+    Some(Array(round4(mr), round4(mg), round4(mb),
+      round4(dr), round4(dg), round4(db),
+      round4(ml / 1000.0), round4(dl / 1000.0)))
+  }
+
+  /** Luma histogram of a decoded image: `bins` equal-width buckets over the
+    * 0..255 BT.601 luma range (integer per-mille luma, so bucketing is
+    * exact integer arithmetic). None when the payload isn't decodable.
+    */
+  def lumaHistogram(payload: Array[Byte], bins: Int = 8): Option[Array[Long]] = {
+    require(bins > 0, s"need bins > 0, got $bins")
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return None
+    val out = new Array[Long](bins)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val l = 299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+          114L * (rgb & 0xFF) // 0..255000
+        out(math.min((l * bins / 255001L).toInt, bins - 1)) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Some(out)
+  }
+
+  /** Sample-level audio features over decoded 16-bit PCM (all channels
+    * pooled): RMS / peak / mean-|s| normalized to full scale, zero-crossing
+    * rate, duration, and the container's channel/rate/bit fields. Exact
+    * integer sums (Σs² ≤ n·2³⁰ — no overflow below ~2³³ samples), one
+    * double conversion at the end. None for non-16-bit or truncated data.
+    *
+    * Layout: [rms, peak, meanAbs, zcr, durationMs, channels, sampleRate,
+    * bitsPerSample], amplitudes in [0,1] rounded to 4 places; duration is
+    * EXACT integer milliseconds (dataSize·1000/byteRate in long division —
+    * a rounded rational here can land on a decimal tie where binary-exact
+    * and shortest-repr rounding disagree across engines).
+    */
+  def audioFeatures(payload: Array[Byte]): Option[Array[Double]] =
+    AudioMeta.chunks(payload).flatMap { c =>
+      AudioMeta.pcm16Samples(payload).flatMap { s =>
+        if (s.isEmpty) None
+        else {
+          var sumSq = 0L; var sumAbs = 0L; var peak = 0L; var zc = 0L
+          var i = 0
+          while (i < s.length) {
+            val v = s(i).toLong
+            sumSq += v * v; sumAbs += math.abs(v)
+            if (math.abs(v) > peak) peak = math.abs(v)
+            if (i > 0 && s(i - 1).toLong * v < 0) zc += 1
+            i += 1
+          }
+          val n = s.length
+          val rms = math.sqrt(sumSq.toDouble / n) / 32768.0
+          val zcr = if (n > 1) zc.toDouble / (n - 1) else 0.0
+          Some(Array(round4(rms), round4(peak.toDouble / 32768.0),
+            round4(sumAbs.toDouble / n / 32768.0), round4(zcr),
+            (c.dataSize * 1000L / c.byteRate).toDouble,
+            c.channels.toDouble, c.sampleRate.toDouble,
+            c.bitsPerSample.toDouble))
+        }
+      }
+    }
+
+  /** Byte-distribution features for payloads that are neither decodable
+    * images nor PCM audio (text blobs, compressed archives, video
+    * containers this build doesn't demux): mean/σ of the byte values
+    * (exact integer sums), printable-ASCII and whitespace ratios, Shannon
+    * entropy in bits from the 256-bin histogram (fixed summation order —
+    * deterministic), distinct byte count, and min/max byte.
+    */
+  def byteFeatures(payload: Array[Byte]): Array[Double] = {
+    val hist = new Array[Long](256)
+    var sum = 0L; var sumSq = 0L
+    var printable = 0L; var ws = 0L
+    var i = 0
+    while (i < payload.length) {
+      val b = payload(i) & 0xFF
+      hist(b) += 1; sum += b; sumSq += b.toLong * b
+      if (b >= 32 && b < 127) printable += 1
+      if (b == ' ' || b == '\t' || b == '\n' || b == '\r') ws += 1
       i += 1
     }
-    out
+    val n = payload.length.toLong
+    val (mean, std) = meanStd(sum, sumSq, n)
+    var entropy = 0.0; var distinct = 0L
+    var mn = -1; var mx = -1
+    var j = 0
+    while (j < 256) {
+      if (hist(j) > 0) {
+        distinct += 1
+        if (mn < 0) mn = j
+        mx = j
+        val p = hist(j).toDouble / n
+        entropy -= p * (math.log(p) / math.log(2.0))
+      }
+      j += 1
+    }
+    Array(round4(mean), round4(std), round4(printable.toDouble / n),
+      round4(ws.toDouble / n), round4(entropy), distinct.toDouble,
+      mn.toDouble, mx.toDouble)
+  }
+
+  /** Modality-dispatched REAL feature decode: image headers route to
+    * `javax.imageio` pixel decode, WAV containers to PCM sample decode,
+    * everything else (and any undecodable payload, e.g. a truncated image)
+    * to byte-distribution statistics. Always exactly [[FeatureDim]] values.
+    */
+  def decodeFeatures(payload: Array[Byte]): Array[Double] = {
+    if (payload == null || payload.isEmpty) return Array.fill(FeatureDim)(0.0)
+    val decoded =
+      if (ImageMeta.decode(payload).isDefined) imageFeatures(payload)
+      else if (AudioMeta.isWav(payload)) audioFeatures(payload)
+      else None
+    decoded.getOrElse(byteFeatures(payload))
   }
 
   /** Partition-batched featurize: the mapPartitions shape keeps decode work
-    * executor-side with one setup per partition (where a real codec would
-    * allocate its decoder), mirroring `mapInPandas` batch semantics.
+    * executor-side with one setup per partition (ImageIO reader instances
+    * are per-thread), mirroring `mapInPandas` batch semantics.
     */
   def featurize(df: DataFrame, payloadCol: String = "payload",
                 outCol: String = "features"): DataFrame = {
@@ -75,10 +226,9 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(schema)
     val idx = df.schema.fieldIndex(payloadCol)
     df.mapPartitions { rows =>
-      // per-partition decoder setup would go here
       rows.map { r =>
         val bytes = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
-        Row.fromSeq(r.toSeq :+ stubDecode(bytes).toSeq)
+        Row.fromSeq(r.toSeq :+ decodeFeatures(bytes).toSeq)
       }
     }(enc)
   }
@@ -122,8 +272,8 @@ object Multimodal {
     }(enc)
   }
 
-  /** Payload-level statistics that need no decoding (real, not stubbed):
-    * byte sizes and content fingerprints, one agg-able projection.
+  /** Payload-level statistics that need no decoding: byte sizes and content
+    * fingerprints, one agg-able projection.
     */
   def payloadStats(df: DataFrame, payloadCol: String = "payload"): DataFrame =
     df.withColumn("payload_bytes", length(col(payloadCol)).cast(LongType))

@@ -258,7 +258,7 @@ class OpsSpec extends SparkSpec {
     assert(withNull.collect().head.isNullAt(0))
   }
 
-  test("multimodal: payload plumbing + deterministic stub features") {
+  test("multimodal: payload plumbing + deterministic byte-distribution features") {
     val withP = Multimodal.withPayload(docs, "text", "image", "image/jpeg")
     assert(withP.schema("payload").dataType.typeName == "binary")
     assert(withP.schema("payload_meta").dataType == Multimodal.MetaType)
@@ -268,6 +268,92 @@ class OpsSpec extends SparkSpec {
     val byId = rows.map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     assert(byId(0L) == byId(3L)) // deterministic: same bytes, same features
     assert(byId(0L) != byId(2L))
+  }
+
+  /** Hand-built 2×2 RGB8 PNG: signature, IHDR, one IDAT whose zlib stream
+    * is a single stored (uncompressed) deflate block, IEND. Checksums via
+    * java.util.zip CRC32/Adler32 — no encoder involved, so the bytes (and
+    * therefore the decoded pixels) are fully specified by this test.
+    */
+  private def handBuiltPng(pixels: Array[Array[(Int, Int, Int)]]): Array[Byte] = {
+    val h = pixels.length; val w = pixels(0).length
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte))
+    def be32(v: Long): Array[Byte] = Array(
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def chunk(tp: String, data: Array[Byte]): Unit = {
+      bos.write(be32(data.length))
+      val body = tp.getBytes("US-ASCII") ++ data
+      bos.write(body)
+      val crc = new java.util.zip.CRC32(); crc.update(body)
+      bos.write(be32(crc.getValue))
+    }
+    chunk("IHDR", be32(w) ++ be32(h) ++ Array[Byte](8, 2, 0, 0, 0))
+    // raw scanlines: filter byte 0 + RGB triples
+    val raw = pixels.flatMap(row => 0.toByte +: row.flatMap { case (r, g, b) =>
+      Array(r.toByte, g.toByte, b.toByte) }).toArray
+    val stored = Array[Byte](0x01, // BFINAL=1, BTYPE=00 (stored)
+      (raw.length & 0xFF).toByte, ((raw.length >> 8) & 0xFF).toByte,
+      (~raw.length & 0xFF).toByte, ((~raw.length >> 8) & 0xFF).toByte) ++ raw
+    val adler = new java.util.zip.Adler32(); adler.update(raw)
+    chunk("IDAT", Array[Byte](0x78, 0x01) ++ stored ++ be32(adler.getValue))
+    chunk("IEND", Array.empty[Byte])
+    bos.toByteArray
+  }
+
+  test("imageFeatures decodes a hand-built 2×2 PNG byte-exactly") {
+    val png = handBuiltPng(Array(
+      Array((10, 20, 30), (40, 50, 60)),
+      Array((70, 80, 90), (100, 110, 120))))
+    // sanity: the header parser agrees with the hand-built dims
+    assert(ImageMeta.decode(png).contains(ImageMeta.Info("image/png", 2, 2)))
+    val f = Multimodal.imageFeatures(png).get
+    // means: R (10+40+70+100)/4, G +10, B +20
+    assert(f(0) == 55.0 && f(1) == 65.0 && f(2) == 75.0)
+    // each channel spreads ±45,±15 around its mean: σ = sqrt(1125) = 33.541
+    assert(f(3) == 33.541 && f(4) == 33.541 && f(5) == 33.541)
+    // per-mille luma: 18150/48150/78150/108150 → mean 63.15, σ 33.541
+    assert(f(6) == 63.15 && f(7) == 33.541)
+    // luma histogram over 4 bins: two pixels below 63750‰, two above
+    assert(Multimodal.lumaHistogram(png, bins = 4).get.toSeq ==
+      Seq(2L, 2L, 0L, 0L))
+    // decodeFeatures dispatches images to the pixel path
+    assert(Multimodal.decodeFeatures(png).toSeq == f.toSeq)
+  }
+
+  test("audioFeatures decodes hand-built WAV PCM; undecodables fall back") {
+    // 1 channel, 8kHz, 4 samples: +1000, -1000, +2000, -2000
+    val samples = Array[Short](1000, -1000, 2000, -2000)
+    val bb = java.nio.ByteBuffer.allocate(44 + 2 * samples.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * samples.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(2 * samples.length)
+    samples.foreach(bb.putShort)
+    val wav = bb.array()
+    assert(AudioMeta.pcm16Samples(wav).get.toSeq == samples.map(_.toInt).toSeq)
+    val f = Multimodal.audioFeatures(wav).get
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(f(0) == r4(math.sqrt(1.0e7 / 4) / 32768.0)) // rms from Σs²=10^7
+    assert(f(1) == r4(2000.0 / 32768.0)) // peak
+    assert(f(2) == r4(1500.0 / 32768.0)) // mean |s|
+    assert(f(3) == 1.0) // alternating signs: 3 crossings / 3 pairs
+    assert(f(4) == 0.0) // 8 data bytes / 16000 B/s → 0 whole ms
+    assert(f(5) == 1.0 && f(6) == 8000.0 && f(7) == 16.0)
+    // truncated data chunk → no PCM decode → byte-distribution fallback
+    val truncated = java.util.Arrays.copyOf(wav, 46)
+    assert(Multimodal.audioFeatures(truncated).isEmpty)
+    assert(Multimodal.decodeFeatures(truncated).length == Multimodal.FeatureDim)
+    // header-only PNG (q47-style fixture, no IDAT) → byte fallback, no crash
+    val headerOnly = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte) ++ new Array[Byte](25)
+    assert(Multimodal.decodeFeatures(headerOnly).length ==
+      Multimodal.FeatureDim)
   }
 
   test("skew-guarded self-join: degenerate bucket grid-splits, same pair set") {
