@@ -292,7 +292,10 @@ object ReadWrite {
       val ltName = """"type"\s*:\s*"([^"]+)"""".r
         .findFirstMatchIn(lt).map(_.group(1)).getOrElse("Unknown")
       val params = subObject(lt, "parameters")
-        .map(SchemaMetadata.parseJsonMap)
+        .map(SchemaMetadata.parseJsonValueMap)
+        .getOrElse(Map.empty[String, String])
+      val colMeta = subObject(obj, "metadata")
+        .map(SchemaMetadata.parseJsonValueMap)
         .getOrElse(Map.empty[String, String])
       val tags = """"semantic_tags"\s*:\s*\[(.*?)\]""".r
         .findFirstMatchIn(obj)
@@ -308,8 +311,28 @@ object ReadWrite {
         semanticTags = tags ++ sysTags,
         useStandardTags = ust,
         description = strField(obj, "description"),
-        origin = strField(obj, "origin")))
+        origin = strField(obj, "origin"),
+        metadata = colMeta))
     }.sortBy(_._1)
-    WwTableSchema(ListMap(cols.map(c => c._2 -> c._3): _*), name = tableName)
+    // table_metadata sits AFTER the column array — parse it from the
+    // suffix so column metadata objects can't shadow it
+    val tailStart = {
+      val lastObjEnd = if (objs.isEmpty) arrStart else
+        json.indexOf(']', json.indexOf(objs.last) + objs.last.length)
+      math.max(lastObjEnd, arrStart)
+    }
+    val tableMeta = {
+      val tail = json.substring(tailStart)
+      val idx = tail.indexOf("\"table_metadata\"")
+      if (idx < 0) Map.empty[String, String]
+      else {
+        val start = tail.indexOf('{', idx)
+        val end = if (start >= 0) tail.indexOf('}', start) else -1
+        if (start < 0 || end < 0) Map.empty[String, String]
+        else SchemaMetadata.parseJsonValueMap(tail.substring(start, end + 1))
+      }
+    }
+    WwTableSchema(ListMap(cols.map(c => c._2 -> c._3): _*), name = tableName,
+      metadata = tableMeta)
   }
 }

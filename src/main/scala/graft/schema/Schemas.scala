@@ -193,6 +193,34 @@ object SchemaMetadata {
     re.findAllMatchIn(json).map(m => unescape(m.group(1)) -> unescape(m.group(2))).toMap
   }
 
+  /** Flat JSON object parser that also accepts the non-string values the
+    * reference serializer emits (python dicts like
+    * `{"order": [25, 33, 57]}`, `{"is_sorted": true}`): numbers and
+    * booleans keep their literal text, flat arrays join their elements
+    * with the Ordinal separator (U+001F — the same convention the Ordinal
+    * round-trip uses), and `null` entries are absent (None semantics).
+    */
+  private[graft] def parseJsonValueMap(json: String): Map[String, String] = {
+    val re = ("\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*" +
+      "(\"(?:[^\"\\\\]|\\\\.)*\"|\\[[^\\]]*\\]|-?[0-9.eE+\\-]+|true|false|null)").r
+    re.findAllMatchIn(json).flatMap { m =>
+      val k = unescape(m.group(1))
+      val v = m.group(2)
+      if (v == "null") None
+      else if (v.startsWith("\""))
+        Some(k -> unescape(v.substring(1, v.length - 1)))
+      else if (v.startsWith("[")) {
+        val elems = v.substring(1, v.length - 1).split(",")
+          .map(_.trim).filter(_.nonEmpty)
+          .map(e =>
+            if (e.startsWith("\"")) unescape(e.substring(1, e.length - 1))
+            else e)
+        Some(k -> elems.mkString(graft.types.LogicalType.Ordinal.Sep))
+      }
+      else Some(k -> v)
+    }.toMap
+  }
+
   /** JSON string unescape, tokenizing LEFT TO RIGHT — chained
     * String.replace would corrupt values like "C:\\temp" (the \\t inside
     * the escaped backslash must not become a tab). Shared by the metadata

@@ -72,6 +72,79 @@ class IoStreamingSpec extends SparkSpec {
     assert(schema("lvl").description.contains("levels"))
   }
 
+  test("ingests the reference's own serialization-test typing fixture byte-for-byte") {
+    // transcribed verbatim from the reference's expected typing dict
+    // (/root/reference/woodwork/tests/accessor/test_serialization.py:63-259,
+    // test_to_dictionary) — python dict field order, int-valued Ordinal
+    // order, null parameters, per-column metadata, table_metadata
+    val in = getClass.getResourceAsStream("/reference_typing_info.json")
+    val json = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    val schema = ReadWrite.typingInfoFromJson(json)
+    assert(schema.name.contains("test_data"))
+    assert(schema.index.contains("id"))
+    assert(schema.timeIndex.isEmpty)
+    assert(schema.columns.keys.toSeq == Seq("id", "full_name", "email",
+      "phone_number", "age", "signup_date", "is_registered", "double",
+      "double_with_nan", "integer", "nullable_integer", "boolean",
+      "categorical", "datetime_with_NaT", "url", "ip_address"))
+    assert(schema("id").logicalType == LT.Integer)
+    assert(schema("id").semanticTags == Set("index", "tag1"))
+    assert(schema("id").metadata == Map("is_sorted" -> "true"))
+    assert(schema("full_name").logicalType.name == "Unknown")
+    assert(schema("email").logicalType.name == "EmailAddress")
+    assert(schema("phone_number").logicalType.name == "PhoneNumber")
+    assert(schema("phone_number").origin.contains("base"))
+    // int-valued order list survives as the ordered category sequence
+    assert(schema("age").logicalType == LT.Ordinal(Seq("25", "33", "57")))
+    assert(schema("age").description.contains("age of the user"))
+    assert(schema("age").metadata ==
+      Map("interesting_values" ->
+        Seq("33", "57").mkString(graft.types.LogicalType.Ordinal.Sep)))
+    assert(schema("signup_date").logicalType == LT.Datetime(None, None))
+    assert(schema("signup_date").origin.contains("engineered"))
+    assert(schema("is_registered").logicalType.name == "BooleanNullable")
+    assert(schema("double").logicalType == LT.Double)
+    assert(schema("double").allTags.contains("numeric"))
+    assert(schema("nullable_integer").logicalType.name == "IntegerNullable")
+    assert(schema("boolean").logicalType == LT.BooleanT(None))
+    assert(schema("categorical").logicalType.name == "Categorical")
+    assert(schema("datetime_with_NaT").logicalType == LT.Datetime(None, None))
+    assert(schema("url").logicalType.name == "URL")
+    assert(schema("ip_address").logicalType.name == "IPAddress")
+    assert(schema.metadata == Map("date_created" -> "11/16/20"))
+
+    // full fromDisk ingest against the fixture: matching data + the
+    // reference-format sidecar, read back with types applied
+    val dir = java.nio.file.Files.createTempDirectory("wwref").toString
+    val df = Seq(
+      (1L, "Mr. John Doe", "john.smith@example.com", "5555555555",
+        57L, "2020-09-01 00:00:00", true, 2.5, 0.2, 4L, 2L, true, "a",
+        "2020-09-01 00:00:00", "https://github.com/alteryx/woodwork",
+        "172.16.254.1"))
+      .toDF("id", "full_name", "email", "phone_number", "age",
+        "signup_date", "is_registered", "double", "double_with_nan",
+        "integer", "nullable_integer", "boolean", "categorical",
+        "datetime_with_NaT", "url", "ip_address")
+    df.write.parquet(s"$dir/data")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/woodwork_typing_info.json"),
+      json.getBytes("UTF-8"))
+    val back = ReadWrite.fromDisk(spark, dir)
+    assert(back.logicalTypes.toMap == Map(
+      "id" -> "Integer", "full_name" -> "Unknown",
+      "email" -> "EmailAddress", "phone_number" -> "PhoneNumber",
+      "age" -> "Ordinal", "signup_date" -> "Datetime",
+      "is_registered" -> "BooleanNullable", "double" -> "Double",
+      "double_with_nan" -> "Double", "integer" -> "Integer",
+      "nullable_integer" -> "IntegerNullable", "boolean" -> "Boolean",
+      "categorical" -> "Categorical", "datetime_with_NaT" -> "Datetime",
+      "url" -> "URL", "ip_address" -> "IPAddress"))
+    assert(back.index.contains("id"))
+    val row = back.df.head()
+    assert(row.getAs[String]("age") == "57") // ordinal → ordered category
+    assert(back.df.schema("signup_date").dataType.typeName == "timestamp")
+  }
+
   test("orc and json round-trips preserve typing via the sidecar") {
     for (fmt <- Seq("orc", "json")) {
       val dir = java.nio.file.Files.createTempDirectory(s"ww$fmt").toString
