@@ -328,6 +328,63 @@ class IoStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("ingestGate throughput: one bounded state store, measured rows/sec") {
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((1L, Queries.q91Passage)).toDF("id", "text")
+    val bits = graft.ops.Corpus.buildGramBloom(bench, "id", "text",
+      n = 13, numBits = 1 << 16)
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val stream = mem.toDF().toDF("ts", "text")
+    val gated = StreamingFrame.ingestGate(stream, "text", "ts", bits, n = 13)
+    val q = gated.writeStream.format("memory").queryName("ingest_bench")
+      .outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // each doc: 30 (stopword, synthetic-word) pairs — 60 words, ≥2 distinct
+    // stopwords, mean word length in range, and per-doc content words drawn
+    // from a 17k vocab so docs are SUBSTANTIALLY distinct (the gate's
+    // near-dedup would rightly collapse docs differing by a few tokens)
+    val stops = Seq("the", "and", "with", "that", "for", "have")
+    def wordOf(x: Int): String = {
+      val a = ('a' + x % 26).toChar
+      val b = ('a' + (x / 26) % 26).toChar
+      val c = ('a' + (x / 676) % 26).toChar
+      val d = ('a' + (x / 17576) % 26).toChar
+      s"w$a$b$c$d"
+    }
+    // 37 is coprime with 26^4, so doc word-sets are distinct for all
+    // i < 456976; only two stopword tokens are shared across docs — a
+    // large shared token fraction would bias simhash signatures together
+    // and near-dedup would (correctly) start collapsing distinct docs
+    def doc(i: Int) = "the and " + (0 until 58).map(j =>
+      wordOf((i * 37 + j * 13) % 456976)).mkString(" ")
+    // warm batch: plan compile + state store init off the measured path
+    mem.addData((t0, doc(30001)))
+    q.processAllAvailable()
+    val n = 20000
+    val payload = (0 until n).map(i => (t0, doc(i)))
+    val start = System.nanoTime()
+    mem.addData(payload: _*)
+    q.processAllAvailable()
+    val secs = (System.nanoTime() - start) / 1e9
+    val rps = n / secs
+    info(f"ingestGate throughput: $n%d docs in $secs%.2f s = $rps%.0f rows/s")
+    // the composed gate holds exactly ONE stateful operator (the
+    // watermarked dedup store); every other stage is a stateless
+    // projection/filter
+    val progress = q.lastProgress
+    assert(progress.stateOperators.length == 1)
+    assert(progress.stateOperators.head.operatorName
+      .contains("dedupeWithinWatermark"))
+    val out = spark.sql("select count(*) from ingest_bench").head().getLong(0)
+    // every substantially-distinct doc survives (modulo rare simhash
+    // collisions between genuinely different docs)
+    assert(out >= (n * 0.99).toLong, s"only $out of $n docs survived")
+    // state is bounded by rows inside the watermark horizon, not history
+    assert(progress.stateOperators.head.numRowsTotal <= (n + 1).toLong)
+    assert(rps > 1000.0, f"ingest gate slower than 1k rows/s: $rps%.0f")
+    q.stop()
+  }
+
   test("streaming sessionize merges gap-joined events; watermark closes sessions") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long)]
