@@ -320,6 +320,21 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.toSeq === Seq(0.0, 0.0, 0.0))
   }
 
+  test("fitScale survives sums of squares past 2^63 (decimal accumulation)") {
+    // cents of 3e7 square to 9e18 ≈ Long.MaxValue; two of them wrap a
+    // LongType sum silently — the decimal accumulator must stay exact
+    val df = Seq(3.0e7, 3.0e7, 1.0e7).toDF("v")
+    val fit = ops.FeaturePrep.fitScale(df, "v")
+    assert(fit.sumSqCents == BigDecimal("19000000000000000000")) // 1.9e19 > 2^63
+    // exact integer numerator: (3·Σx² − (Σx)²)/9 with Σx = 7e9 cents
+    val expectedVar =
+      (BigDecimal("57000000000000000000") - BigDecimal("49000000000000000000"))
+        .toDouble / 9.0
+    assert(fit.varCents2 == expectedVar)
+    assert(fit.stdCents == math.sqrt(expectedVar))
+    assert(fit.stdCents > 0.0) // the wrapped long sum would go negative → 0
+  }
+
   test("tokenBudgetPerGroup: zero-token first row cannot smuggle a big doc") {
     // find an id pair where the empty doc hashes BEFORE the big doc so the
     // big doc is rank 2 and must obey the budget
