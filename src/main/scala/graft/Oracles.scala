@@ -298,6 +298,45 @@ object Oracles {
   val q29: String = lshSql(numPlanes = 8, threshold = 0.3)
   val q39: String = lshSql(numPlanes = 4, threshold = 0.4)
 
+  /** Multi-table LSH near-dup oracle (q102): each hyperplane family's
+    * planes embedded as literals (seeds 42 + 7919·t, matching
+    * `Similarity.embeddingNearDups`), per-table bucket pairs UNION-ed
+    * (distinct — mirrors the Spark side's dropDuplicates on ids), then
+    * the cosine recomputed from the raw vectors. The plane count matches
+    * the Spark side's auto-scale, which pins at minPlanes=8 for any
+    * corpus under 65k vectors — the sf0.01/sf0.1 fixtures included.
+    */
+  private def lshMultiSql(numPlanes: Int, numTables: Int,
+                          threshold: Double): String = {
+    def bucketExpr(seed: Long): String = {
+      val planes = graft.ops.Similarity.hyperplanes(64, numPlanes, seed)
+      (0 until numPlanes).map { p =>
+        val arr = planes(p).mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(v, $arr) >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+    }
+    val tableCtes = (0 until numTables).map { t =>
+      s"b$t AS (SELECT vec_id, v, ${bucketExpr(42L + 7919L * t)} AS bucket FROM e)"
+    }.mkString(",\n")
+    val pairUnion = (0 until numTables).map { t =>
+      s"SELECT a.vec_id AS qa, c.vec_id AS qc FROM b$t a " +
+        s"JOIN b$t c ON a.bucket = c.bucket AND a.vec_id < c.vec_id"
+    }.mkString("\nUNION\n")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |$tableCtes,
+       |p AS ($pairUnion)
+       |SELECT p.qa AS query_id, p.qc AS candidate_id,
+       |  round(list_dot_product(x.v, y.v) /
+       |        (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 4) AS cosine
+       |FROM p JOIN e x ON p.qa = x.vec_id JOIN e y ON p.qc = y.vec_id
+       |WHERE round(list_dot_product(x.v, y.v) /
+       |        (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 4) >= $threshold
+       |ORDER BY query_id, candidate_id""".stripMargin
+  }
+
+  val q102: String = lshMultiSql(numPlanes = 8, numTables = 2, threshold = 0.4)
+
   /** q30: the SQL-expressible multimodal surface — UTF-8 byte length and
     * content md5 of the payload — is plain SQL on both engines.
     */
@@ -1552,6 +1591,7 @@ object Oracles {
       "q99_skew_report" -> q99,
       "q100_image_features" -> q100,
       "q101_audio_features" -> q101,
+      "q102_neardup_scaled" -> q102,
       "q01_pricing_summary" -> q01,
       "q02_describe_lineitem" -> q02,
       "q03_value_counts_orders" -> q03,

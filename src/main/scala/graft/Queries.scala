@@ -1426,6 +1426,20 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Corpus-scale embedding near-dup: auto-scaled plane count (pinned at
+    * minPlanes for fixture sizes) with 2 OR-ed hyperplane tables — the
+    * fix for fixed-plane LSH's quadratic candidate growth found by the
+    * sf1 scale-stress (q39 at 7.2x runtime for 10x rows). The oracle
+    * mirrors both plane families as literals and the UNION-distinct of
+    * per-table bucket pairs.
+    */
+  def q102NearDupScaled(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    ops.Similarity.embeddingNearDups(emb, "vec_id", "embedding", dim = 64,
+      threshold = 0.4)
+      .orderBy("query_id", "candidate_id")
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -1563,6 +1577,7 @@ object Queries {
     "q98_frequency_encode" -> (q98FrequencyEncode _),
     "q99_skew_report" -> (q99SkewReport _),
     "q100_image_features" -> (q100ImageFeatures _),
-    "q101_audio_features" -> (q101AudioFeatures _)
+    "q101_audio_features" -> (q101AudioFeatures _),
+    "q102_neardup_scaled" -> (q102NearDupScaled _)
   )
 }

@@ -140,11 +140,44 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs (the embedding analog of MinHash
-    * dedup): same-bucket LSH pairs above a high cosine threshold.
+    * dedup) — the corpus-scale path.
+    *
+    * A FIXED plane count is quadratic at scale: the bucket count is
+    * constant, so buckets grow linearly with the corpus and within-bucket
+    * candidate pairs grow quadratically (measured 7.2x runtime at 10x rows
+    * in the sf1 scale-stress). Here the plane count grows as
+    * `max(minPlanes, ceil(log2(n / targetBucket)))`, keeping the expected
+    * bucket size ~`targetBucket` as the corpus grows — candidate volume
+    * stays ~linear (a 1e9-vector corpus gets ~2^20 buckets/table). The
+    * recall the extra planes cost is bought back with `numTables`
+    * independent hyperplane families OR-ed together (standard LSH
+    * OR-construction): a pair is a candidate if it collides in ANY table;
+    * pairs are deduped on ids before the cosine filter.
+    *
+    * Below `targetBucket * 2^minPlanes` rows (=65536 at defaults) the plane
+    * count is pinned at `minPlanes`, so fixture-scale results are stable
+    * and oracle-reproducible with literal planes.
     */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-                        threshold: Double = 0.95): DataFrame =
-    lshSearch(df, idCol, vecCol, dim, numPlanes = 8, threshold = threshold)
+                        threshold: Double = 0.95, targetBucket: Int = 256,
+                        numTables: Int = 2, minPlanes: Int = 8,
+                        maxPlanes: Int = 24, seed: Long = 42L): DataFrame = {
+    val n = df.count()
+    val p = math.min(maxPlanes, math.max(minPlanes,
+      math.ceil(math.log(math.max(n, 1L).toDouble / targetBucket) /
+        math.log(2.0)).toInt))
+    val tables = (0 until numTables).map { t =>
+      df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
+        lshSignature(col(vecCol), dim, p, seed + 7919L * t).as("bucket"))
+        .withColumn("tbl", lit(t))
+    }
+    SkewJoin.selfPairs(tables.reduce(_ union _),
+        Seq("tbl", "bucket"), "id", Seq("v"))
+      .dropDuplicates("x_id", "y_id")
+      .select(col("x_id").as("query_id"), col("y_id").as("candidate_id"),
+        round(cosine(col("x_v"), col("y_v")), 4).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
 
   /** Cross-set embedding decontamination: corpus vectors that are
     * near-duplicates of any benchmark vector — the semantic analog of

@@ -184,6 +184,28 @@ class OpsSpec extends SparkSpec {
     assert(found.count() > 0)
   }
 
+  test("embeddingNearDups: multi-table OR beats any single table's recall") {
+    // 30 near-dup pairs (tiny perturbations of 30 random-ish bases): the
+    // OR-construction must find every pair any individual hyperplane
+    // family finds, and exact duplicates of a pair never split buckets
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 30).flatMap { i =>
+      val base = Array.fill(8)(rnd.nextGaussian().toFloat)
+      Seq((i.toLong * 2, base), (i.toLong * 2 + 1, base.clone()))
+    }
+    val vecs = rows.toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDups(vecs, "vec_id", "embedding",
+      dim = 8, threshold = 0.999, minPlanes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical vectors share every table's signature → all 30 pairs found
+    assert((0 until 30).forall(i =>
+      pairs.contains((i.toLong * 2, i.toLong * 2 + 1))))
+    // no pair reported twice (union of tables deduped on ids)
+    val all = Similarity.embeddingNearDups(vecs, "vec_id", "embedding",
+      dim = 8, threshold = 0.999, minPlanes = 4).collect()
+    assert(all.length == all.map(r => (r.getLong(0), r.getLong(1))).distinct.length)
+  }
+
   test("IVF: clustered vectors recover their cluster-mates; bpe token count") {
     val base = (0 until 60).map { i =>
       val cluster = i % 3

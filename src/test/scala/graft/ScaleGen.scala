@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress data generator (dev tool, not part of the driver contract):
+  * synthesizes an sf1-shaped dataset from sf0.1 by unioning `copies`
+  * key-shifted replicas of each fact table — the cheapest local stand-in
+  * for a 10× scale-up when no dbgen is reachable (zero-egress sandbox).
+  *
+  * Per copy i every identifier column shifts by i·10¹⁰ (far beyond any
+  * real key), so joins land on the matching replica exactly like a larger
+  * generated dataset; nation/region keys stay unshifted (dims kept 1×,
+  * like TPC-H's constant-size tables). Document text gets a per-copy
+  * suffix so the corpus isn't 90% exact duplicates, which would stress
+  * dedup in an unrealistic way.
+  *
+  * Usage: Test/runMain graft.ScaleGen [outDir] [copies]
+  * then:  SPARK_GRAFT_SF_DIR=<outDir> sbt "runMain graft.Bench"
+  */
+object ScaleGen {
+  private val Shift = 10000000000L
+
+  def main(args: Array[String]): Unit = {
+    val outDir = if (args.length > 0) args(0) else "/tmp/graft_sf1"
+    val copies = if (args.length > 1) args(1).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val srcDir = "/root/testdata/sf0.1"
+    val facts = Seq("lineitem", "orders", "customer", "supplier", "part",
+      "events", "documents", "embeddings")
+    val dims = Seq("nation", "region")
+
+    def shifted(df: DataFrame, i: Int): DataFrame = {
+      val idCols = df.columns.filter { n =>
+        val l = n.toLowerCase
+        (l.endsWith("key") || l == "doc_id" || l == "vec_id" ||
+          l == "user_id" || l == "event_id") &&
+          !l.endsWith("nationkey") && !l.endsWith("regionkey")
+      }.toSet
+      var out = idCols.foldLeft(df)((d, c) =>
+        d.withColumn(c, col(c) + lit(i.toLong * Shift)))
+      // A real 10x corpus has 10x the documents at the SAME duplicate
+      // density — not 10 near-copies of every doc. Suffixing every token
+      // with the copy index is a bijection on the token alphabet: within a
+      // copy, every shingle set (and so every Jaccard / MinHash / SimHash
+      // relation) is preserved exactly, while cross-copy shingle overlap
+      // drops to zero. Copy 0 keeps the original text so single-corpus
+      // results at sf0.1 remain a subset.
+      if (out.columns.contains("text") && i > 0)
+        out = out.withColumn("text",
+          regexp_replace(col("text"), "(\\S+)", s"$$1·$i"))
+      // Same idea for vectors: rotating the dimensions is an orthogonal
+      // transform — all within-copy cosines/distances are exact — while
+      // cross-copy cosine falls to noise, keeping near-dup density per
+      // vector constant as the corpus grows.
+      if (out.columns.contains("embedding") && i > 0) {
+        val d = lit(i) // distinct per copy; dim=64 >> copies
+        out = out.withColumn("embedding",
+          concat(slice(col("embedding"), d + 1,
+              size(col("embedding")) - d),
+            slice(col("embedding"), lit(1), d)))
+      }
+      out
+    }
+
+    for (t <- facts) {
+      val base = Queries.table(spark, srcDir, t)
+      val scaled = (0 until copies).map(i => shifted(base, i))
+        .reduce(_ unionAll _)
+      scaled.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      println(s"[scalegen] $t x$copies -> $outDir")
+    }
+    for (t <- dims) {
+      Queries.table(spark, srcDir, t)
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      println(s"[scalegen] $t x1 -> $outDir")
+    }
+    spark.stop()
+  }
+}
