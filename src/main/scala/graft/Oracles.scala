@@ -986,6 +986,115 @@ object Oracles {
       |(CAST(90 AS BIGINT),CAST(13 AS BIGINT))
       |) AS t(doc_id, bloom_hits) ORDER BY doc_id""".stripMargin
 
+  /** Pinned q103 PCA projection (regenerate via tools/oraclegen.py after
+    * any Pca behavior change). Cross-checked this round against an
+    * independent numpy/LAPACK eigh implementation: max |diff| after
+    * 4-decimal rounding = 0.0 over all 100 rows x 4 components.
+    */
+  val q103Pinned: String =
+    """SELECT * FROM (VALUES
+      |(CAST(0 AS BIGINT),CAST(-0.0655 AS DOUBLE),CAST(-0.0934 AS DOUBLE),CAST(0.0274 AS DOUBLE),CAST(-0.0875 AS DOUBLE)),
+      |(CAST(1 AS BIGINT),CAST(0.0791 AS DOUBLE),CAST(-0.1859 AS DOUBLE),CAST(0.0696 AS DOUBLE),CAST(0.0323 AS DOUBLE)),
+      |(CAST(2 AS BIGINT),CAST(-0.2719 AS DOUBLE),CAST(0.0389 AS DOUBLE),CAST(-0.2027 AS DOUBLE),CAST(-0.0706 AS DOUBLE)),
+      |(CAST(3 AS BIGINT),CAST(0.2989 AS DOUBLE),CAST(0.0939 AS DOUBLE),CAST(0.0947 AS DOUBLE),CAST(-0.1518 AS DOUBLE)),
+      |(CAST(4 AS BIGINT),CAST(0.0581 AS DOUBLE),CAST(-0.0045 AS DOUBLE),CAST(0.003 AS DOUBLE),CAST(0.2178 AS DOUBLE)),
+      |(CAST(5 AS BIGINT),CAST(0.2652 AS DOUBLE),CAST(-0.2261 AS DOUBLE),CAST(-0.142 AS DOUBLE),CAST(-0.0473 AS DOUBLE)),
+      |(CAST(6 AS BIGINT),CAST(-0.0393 AS DOUBLE),CAST(0.1851 AS DOUBLE),CAST(-0.0048 AS DOUBLE),CAST(0.13 AS DOUBLE)),
+      |(CAST(7 AS BIGINT),CAST(-0.1082 AS DOUBLE),CAST(-0.1897 AS DOUBLE),CAST(-0.1099 AS DOUBLE),CAST(0.3279 AS DOUBLE)),
+      |(CAST(8 AS BIGINT),CAST(0.2145 AS DOUBLE),CAST(0.1735 AS DOUBLE),CAST(-0.0399 AS DOUBLE),CAST(-0.0505 AS DOUBLE)),
+      |(CAST(9 AS BIGINT),CAST(-0.0985 AS DOUBLE),CAST(0.0557 AS DOUBLE),CAST(-0.2106 AS DOUBLE),CAST(0.0794 AS DOUBLE)),
+      |(CAST(10 AS BIGINT),CAST(0.1659 AS DOUBLE),CAST(-0.1611 AS DOUBLE),CAST(0.0308 AS DOUBLE),CAST(-0.2294 AS DOUBLE)),
+      |(CAST(11 AS BIGINT),CAST(0.0183 AS DOUBLE),CAST(0.0659 AS DOUBLE),CAST(0.091 AS DOUBLE),CAST(-0.1476 AS DOUBLE)),
+      |(CAST(12 AS BIGINT),CAST(0.1777 AS DOUBLE),CAST(-0.0007 AS DOUBLE),CAST(-0.086 AS DOUBLE),CAST(-0.1577 AS DOUBLE)),
+      |(CAST(13 AS BIGINT),CAST(0.0728 AS DOUBLE),CAST(0.1276 AS DOUBLE),CAST(-0.0388 AS DOUBLE),CAST(0.133 AS DOUBLE)),
+      |(CAST(14 AS BIGINT),CAST(0.1431 AS DOUBLE),CAST(-0.0293 AS DOUBLE),CAST(-0.0668 AS DOUBLE),CAST(-0.0366 AS DOUBLE)),
+      |(CAST(15 AS BIGINT),CAST(-0.1503 AS DOUBLE),CAST(-0.0773 AS DOUBLE),CAST(0.2322 AS DOUBLE),CAST(-0.1972 AS DOUBLE)),
+      |(CAST(16 AS BIGINT),CAST(0.3994 AS DOUBLE),CAST(-0.0336 AS DOUBLE),CAST(0.1208 AS DOUBLE),CAST(-0.1403 AS DOUBLE)),
+      |(CAST(17 AS BIGINT),CAST(-0.2837 AS DOUBLE),CAST(0.1262 AS DOUBLE),CAST(0.2874 AS DOUBLE),CAST(-0.1311 AS DOUBLE)),
+      |(CAST(18 AS BIGINT),CAST(0.0799 AS DOUBLE),CAST(0.0598 AS DOUBLE),CAST(-0.2351 AS DOUBLE),CAST(-0.2361 AS DOUBLE)),
+      |(CAST(19 AS BIGINT),CAST(-0.1559 AS DOUBLE),CAST(-0.3792 AS DOUBLE),CAST(-0.0751 AS DOUBLE),CAST(-0.0232 AS DOUBLE)),
+      |(CAST(20 AS BIGINT),CAST(-0.3274 AS DOUBLE),CAST(0.1824 AS DOUBLE),CAST(0.2058 AS DOUBLE),CAST(0.037 AS DOUBLE)),
+      |(CAST(21 AS BIGINT),CAST(-0.1313 AS DOUBLE),CAST(0.0561 AS DOUBLE),CAST(-0.0602 AS DOUBLE),CAST(-0.0437 AS DOUBLE)),
+      |(CAST(22 AS BIGINT),CAST(-0.0652 AS DOUBLE),CAST(-0.1399 AS DOUBLE),CAST(-0.123 AS DOUBLE),CAST(-0.0747 AS DOUBLE)),
+      |(CAST(23 AS BIGINT),CAST(-0.0094 AS DOUBLE),CAST(-0.2501 AS DOUBLE),CAST(0.1258 AS DOUBLE),CAST(0.0223 AS DOUBLE)),
+      |(CAST(24 AS BIGINT),CAST(-0.127 AS DOUBLE),CAST(-0.0925 AS DOUBLE),CAST(-0.256 AS DOUBLE),CAST(-0.033 AS DOUBLE)),
+      |(CAST(25 AS BIGINT),CAST(0.2093 AS DOUBLE),CAST(-0.0091 AS DOUBLE),CAST(-0.1939 AS DOUBLE),CAST(0.1608 AS DOUBLE)),
+      |(CAST(26 AS BIGINT),CAST(0.0374 AS DOUBLE),CAST(-0.1511 AS DOUBLE),CAST(-0.0015 AS DOUBLE),CAST(0.3362 AS DOUBLE)),
+      |(CAST(27 AS BIGINT),CAST(0.098 AS DOUBLE),CAST(-0.024 AS DOUBLE),CAST(-0.1368 AS DOUBLE),CAST(-0.1 AS DOUBLE)),
+      |(CAST(28 AS BIGINT),CAST(-0.0589 AS DOUBLE),CAST(0.0773 AS DOUBLE),CAST(0.1306 AS DOUBLE),CAST(0.1508 AS DOUBLE)),
+      |(CAST(29 AS BIGINT),CAST(-0.1273 AS DOUBLE),CAST(0.1098 AS DOUBLE),CAST(0.1069 AS DOUBLE),CAST(0.1549 AS DOUBLE)),
+      |(CAST(30 AS BIGINT),CAST(0.1507 AS DOUBLE),CAST(0.1022 AS DOUBLE),CAST(0.1772 AS DOUBLE),CAST(0.0246 AS DOUBLE)),
+      |(CAST(31 AS BIGINT),CAST(0.1846 AS DOUBLE),CAST(-0.1136 AS DOUBLE),CAST(0.0621 AS DOUBLE),CAST(-0.0043 AS DOUBLE)),
+      |(CAST(32 AS BIGINT),CAST(-0.0321 AS DOUBLE),CAST(-0.0533 AS DOUBLE),CAST(0.1789 AS DOUBLE),CAST(-0.1557 AS DOUBLE)),
+      |(CAST(33 AS BIGINT),CAST(0.0757 AS DOUBLE),CAST(-0.2767 AS DOUBLE),CAST(-0.1882 AS DOUBLE),CAST(-0.0602 AS DOUBLE)),
+      |(CAST(34 AS BIGINT),CAST(-0.188 AS DOUBLE),CAST(-0.3174 AS DOUBLE),CAST(-0.1196 AS DOUBLE),CAST(-0.012 AS DOUBLE)),
+      |(CAST(35 AS BIGINT),CAST(0.3714 AS DOUBLE),CAST(-0.0411 AS DOUBLE),CAST(0.1313 AS DOUBLE),CAST(-0.2003 AS DOUBLE)),
+      |(CAST(36 AS BIGINT),CAST(-0.0222 AS DOUBLE),CAST(-0.1697 AS DOUBLE),CAST(0.0506 AS DOUBLE),CAST(-0.1228 AS DOUBLE)),
+      |(CAST(37 AS BIGINT),CAST(0.133 AS DOUBLE),CAST(0.0643 AS DOUBLE),CAST(-0.0629 AS DOUBLE),CAST(-0.0141 AS DOUBLE)),
+      |(CAST(38 AS BIGINT),CAST(-0.1132 AS DOUBLE),CAST(-0.0896 AS DOUBLE),CAST(-0.0895 AS DOUBLE),CAST(0.1575 AS DOUBLE)),
+      |(CAST(39 AS BIGINT),CAST(0.1587 AS DOUBLE),CAST(-0.2502 AS DOUBLE),CAST(-0.0851 AS DOUBLE),CAST(-0.2072 AS DOUBLE)),
+      |(CAST(40 AS BIGINT),CAST(0.0343 AS DOUBLE),CAST(0.1806 AS DOUBLE),CAST(0.1925 AS DOUBLE),CAST(0.0999 AS DOUBLE)),
+      |(CAST(41 AS BIGINT),CAST(0.0164 AS DOUBLE),CAST(-0.2631 AS DOUBLE),CAST(0.1131 AS DOUBLE),CAST(-0.0146 AS DOUBLE)),
+      |(CAST(42 AS BIGINT),CAST(-0.125 AS DOUBLE),CAST(0.0451 AS DOUBLE),CAST(-0.0925 AS DOUBLE),CAST(0.0376 AS DOUBLE)),
+      |(CAST(43 AS BIGINT),CAST(0.1316 AS DOUBLE),CAST(0.0967 AS DOUBLE),CAST(-0.1526 AS DOUBLE),CAST(-0.1635 AS DOUBLE)),
+      |(CAST(44 AS BIGINT),CAST(0.2378 AS DOUBLE),CAST(-0.1752 AS DOUBLE),CAST(-0.0078 AS DOUBLE),CAST(-0.1206 AS DOUBLE)),
+      |(CAST(45 AS BIGINT),CAST(-0.1555 AS DOUBLE),CAST(-0.1844 AS DOUBLE),CAST(-0.1228 AS DOUBLE),CAST(0.2024 AS DOUBLE)),
+      |(CAST(46 AS BIGINT),CAST(0.0663 AS DOUBLE),CAST(-0.2585 AS DOUBLE),CAST(0.1991 AS DOUBLE),CAST(-0.1351 AS DOUBLE)),
+      |(CAST(47 AS BIGINT),CAST(0.1244 AS DOUBLE),CAST(0.1812 AS DOUBLE),CAST(0.1111 AS DOUBLE),CAST(0.0502 AS DOUBLE)),
+      |(CAST(48 AS BIGINT),CAST(0.0356 AS DOUBLE),CAST(-0.3408 AS DOUBLE),CAST(-0.0548 AS DOUBLE),CAST(0.2389 AS DOUBLE)),
+      |(CAST(49 AS BIGINT),CAST(-0.29 AS DOUBLE),CAST(-0.083 AS DOUBLE),CAST(-0.265 AS DOUBLE),CAST(0.1616 AS DOUBLE)),
+      |(CAST(50 AS BIGINT),CAST(0.2611 AS DOUBLE),CAST(0.1449 AS DOUBLE),CAST(-0.0137 AS DOUBLE),CAST(-0.2564 AS DOUBLE)),
+      |(CAST(51 AS BIGINT),CAST(0.1381 AS DOUBLE),CAST(-0.0717 AS DOUBLE),CAST(0.2113 AS DOUBLE),CAST(-0.0835 AS DOUBLE)),
+      |(CAST(52 AS BIGINT),CAST(-0.0956 AS DOUBLE),CAST(-0.006 AS DOUBLE),CAST(0.059 AS DOUBLE),CAST(-0.1824 AS DOUBLE)),
+      |(CAST(53 AS BIGINT),CAST(-0.1279 AS DOUBLE),CAST(0.4493 AS DOUBLE),CAST(-0.1188 AS DOUBLE),CAST(0.0384 AS DOUBLE)),
+      |(CAST(54 AS BIGINT),CAST(-0.3746 AS DOUBLE),CAST(-0.1367 AS DOUBLE),CAST(-0.1913 AS DOUBLE),CAST(-0.1234 AS DOUBLE)),
+      |(CAST(55 AS BIGINT),CAST(-0.2818 AS DOUBLE),CAST(0.0199 AS DOUBLE),CAST(0.0339 AS DOUBLE),CAST(0.2298 AS DOUBLE)),
+      |(CAST(56 AS BIGINT),CAST(0.0747 AS DOUBLE),CAST(-0.0251 AS DOUBLE),CAST(0.0508 AS DOUBLE),CAST(0.1777 AS DOUBLE)),
+      |(CAST(57 AS BIGINT),CAST(0.1542 AS DOUBLE),CAST(-0.1015 AS DOUBLE),CAST(0.0891 AS DOUBLE),CAST(0.2292 AS DOUBLE)),
+      |(CAST(58 AS BIGINT),CAST(0.2032 AS DOUBLE),CAST(-0.0453 AS DOUBLE),CAST(0.0348 AS DOUBLE),CAST(-0.0632 AS DOUBLE)),
+      |(CAST(59 AS BIGINT),CAST(-0.0852 AS DOUBLE),CAST(-0.0704 AS DOUBLE),CAST(0.2086 AS DOUBLE),CAST(0.0062 AS DOUBLE)),
+      |(CAST(60 AS BIGINT),CAST(-0.189 AS DOUBLE),CAST(-0.1162 AS DOUBLE),CAST(-0.3303 AS DOUBLE),CAST(0.1429 AS DOUBLE)),
+      |(CAST(61 AS BIGINT),CAST(0.2303 AS DOUBLE),CAST(0.1106 AS DOUBLE),CAST(0.1253 AS DOUBLE),CAST(0.0795 AS DOUBLE)),
+      |(CAST(62 AS BIGINT),CAST(-0.2472 AS DOUBLE),CAST(0.0033 AS DOUBLE),CAST(-0.0226 AS DOUBLE),CAST(0.105 AS DOUBLE)),
+      |(CAST(63 AS BIGINT),CAST(0.1783 AS DOUBLE),CAST(-0.0267 AS DOUBLE),CAST(-0.077 AS DOUBLE),CAST(-0.0977 AS DOUBLE)),
+      |(CAST(64 AS BIGINT),CAST(-0.0759 AS DOUBLE),CAST(-0.0818 AS DOUBLE),CAST(-0.048 AS DOUBLE),CAST(0.0118 AS DOUBLE)),
+      |(CAST(65 AS BIGINT),CAST(-0.0658 AS DOUBLE),CAST(-0.3051 AS DOUBLE),CAST(-0.0669 AS DOUBLE),CAST(-0.0898 AS DOUBLE)),
+      |(CAST(66 AS BIGINT),CAST(-0.1987 AS DOUBLE),CAST(0.165 AS DOUBLE),CAST(0.2427 AS DOUBLE),CAST(-0.0744 AS DOUBLE)),
+      |(CAST(67 AS BIGINT),CAST(-0.1859 AS DOUBLE),CAST(-0.1203 AS DOUBLE),CAST(0.0976 AS DOUBLE),CAST(0.0283 AS DOUBLE)),
+      |(CAST(68 AS BIGINT),CAST(-0.2072 AS DOUBLE),CAST(-0.1726 AS DOUBLE),CAST(-0.1092 AS DOUBLE),CAST(-0.1336 AS DOUBLE)),
+      |(CAST(69 AS BIGINT),CAST(-0.0921 AS DOUBLE),CAST(0.0396 AS DOUBLE),CAST(-0.2837 AS DOUBLE),CAST(-0.5787 AS DOUBLE)),
+      |(CAST(70 AS BIGINT),CAST(-0.1646 AS DOUBLE),CAST(0.1907 AS DOUBLE),CAST(0.3991 AS DOUBLE),CAST(-0.1582 AS DOUBLE)),
+      |(CAST(71 AS BIGINT),CAST(-0.1221 AS DOUBLE),CAST(-0.0046 AS DOUBLE),CAST(-0.1282 AS DOUBLE),CAST(0.0395 AS DOUBLE)),
+      |(CAST(72 AS BIGINT),CAST(-0.0888 AS DOUBLE),CAST(0.0955 AS DOUBLE),CAST(0.3578 AS DOUBLE),CAST(0.0134 AS DOUBLE)),
+      |(CAST(73 AS BIGINT),CAST(0.0494 AS DOUBLE),CAST(0.1749 AS DOUBLE),CAST(-0.1569 AS DOUBLE),CAST(-0.21 AS DOUBLE)),
+      |(CAST(74 AS BIGINT),CAST(0.0783 AS DOUBLE),CAST(0.2074 AS DOUBLE),CAST(0.1056 AS DOUBLE),CAST(0.0173 AS DOUBLE)),
+      |(CAST(75 AS BIGINT),CAST(-0.0298 AS DOUBLE),CAST(0.1337 AS DOUBLE),CAST(-0.4623 AS DOUBLE),CAST(0.0948 AS DOUBLE)),
+      |(CAST(76 AS BIGINT),CAST(-0.0425 AS DOUBLE),CAST(0.0699 AS DOUBLE),CAST(0.0836 AS DOUBLE),CAST(0.0029 AS DOUBLE)),
+      |(CAST(77 AS BIGINT),CAST(-0.2383 AS DOUBLE),CAST(-0.1012 AS DOUBLE),CAST(0.3301 AS DOUBLE),CAST(-0.2132 AS DOUBLE)),
+      |(CAST(78 AS BIGINT),CAST(-0.0778 AS DOUBLE),CAST(-0.1315 AS DOUBLE),CAST(-0.2651 AS DOUBLE),CAST(-0.0491 AS DOUBLE)),
+      |(CAST(79 AS BIGINT),CAST(0.06 AS DOUBLE),CAST(0.1717 AS DOUBLE),CAST(0.3321 AS DOUBLE),CAST(-0.1592 AS DOUBLE)),
+      |(CAST(80 AS BIGINT),CAST(0.1845 AS DOUBLE),CAST(-0.2383 AS DOUBLE),CAST(0.0052 AS DOUBLE),CAST(-0.0269 AS DOUBLE)),
+      |(CAST(81 AS BIGINT),CAST(-0.1118 AS DOUBLE),CAST(0.2416 AS DOUBLE),CAST(-0.0951 AS DOUBLE),CAST(0.0423 AS DOUBLE)),
+      |(CAST(82 AS BIGINT),CAST(-0.2135 AS DOUBLE),CAST(0.5137 AS DOUBLE),CAST(0.0029 AS DOUBLE),CAST(-0.2307 AS DOUBLE)),
+      |(CAST(83 AS BIGINT),CAST(0.0017 AS DOUBLE),CAST(0.216 AS DOUBLE),CAST(0.278 AS DOUBLE),CAST(-0.1297 AS DOUBLE)),
+      |(CAST(84 AS BIGINT),CAST(-0.1101 AS DOUBLE),CAST(-0.1785 AS DOUBLE),CAST(0.1721 AS DOUBLE),CAST(0.2109 AS DOUBLE)),
+      |(CAST(85 AS BIGINT),CAST(0.0246 AS DOUBLE),CAST(0.1689 AS DOUBLE),CAST(-0.2654 AS DOUBLE),CAST(-0.081 AS DOUBLE)),
+      |(CAST(86 AS BIGINT),CAST(0.0189 AS DOUBLE),CAST(-0.1634 AS DOUBLE),CAST(-0.1668 AS DOUBLE),CAST(0.0133 AS DOUBLE)),
+      |(CAST(87 AS BIGINT),CAST(-0.2011 AS DOUBLE),CAST(-0.2162 AS DOUBLE),CAST(-0.224 AS DOUBLE),CAST(0.1207 AS DOUBLE)),
+      |(CAST(88 AS BIGINT),CAST(0.3256 AS DOUBLE),CAST(0.1648 AS DOUBLE),CAST(-0.0619 AS DOUBLE),CAST(0.1421 AS DOUBLE)),
+      |(CAST(89 AS BIGINT),CAST(0.0746 AS DOUBLE),CAST(0.0478 AS DOUBLE),CAST(-0.3386 AS DOUBLE),CAST(0.0043 AS DOUBLE)),
+      |(CAST(90 AS BIGINT),CAST(-0.1045 AS DOUBLE),CAST(0.2432 AS DOUBLE),CAST(-0.0013 AS DOUBLE),CAST(0.3459 AS DOUBLE)),
+      |(CAST(91 AS BIGINT),CAST(-0.0341 AS DOUBLE),CAST(0.149 AS DOUBLE),CAST(0.0867 AS DOUBLE),CAST(-0.025 AS DOUBLE)),
+      |(CAST(92 AS BIGINT),CAST(0.2181 AS DOUBLE),CAST(-0.0166 AS DOUBLE),CAST(-0.2634 AS DOUBLE),CAST(0.082 AS DOUBLE)),
+      |(CAST(93 AS BIGINT),CAST(0.0966 AS DOUBLE),CAST(0.0569 AS DOUBLE),CAST(0.107 AS DOUBLE),CAST(0.171 AS DOUBLE)),
+      |(CAST(94 AS BIGINT),CAST(-0.3005 AS DOUBLE),CAST(0.0562 AS DOUBLE),CAST(-0.0258 AS DOUBLE),CAST(-0.0006 AS DOUBLE)),
+      |(CAST(95 AS BIGINT),CAST(-0.2677 AS DOUBLE),CAST(-0.2722 AS DOUBLE),CAST(-0.0047 AS DOUBLE),CAST(-0.0295 AS DOUBLE)),
+      |(CAST(96 AS BIGINT),CAST(0.0512 AS DOUBLE),CAST(0.0664 AS DOUBLE),CAST(0.0854 AS DOUBLE),CAST(0.1121 AS DOUBLE)),
+      |(CAST(97 AS BIGINT),CAST(-0.3006 AS DOUBLE),CAST(0.0792 AS DOUBLE),CAST(-0.1731 AS DOUBLE),CAST(-0.1834 AS DOUBLE)),
+      |(CAST(98 AS BIGINT),CAST(-0.1581 AS DOUBLE),CAST(0.1727 AS DOUBLE),CAST(-0.1578 AS DOUBLE),CAST(-0.1769 AS DOUBLE)),
+      |(CAST(99 AS BIGINT),CAST(0.012 AS DOUBLE),CAST(0.071 AS DOUBLE),CAST(0.0544 AS DOUBLE),CAST(0.0576 AS DOUBLE))
+      |) AS t(vec_id, pc1, pc2, pc3, pc4) ORDER BY vec_id""".stripMargin
+
   /** Pinned q75 distributed k-means summary (seeded init; regenerate via
     * tools/oraclegen.py).
     */
@@ -1592,6 +1701,7 @@ object Oracles {
       "q100_image_features" -> q100,
       "q101_audio_features" -> q101,
       "q102_neardup_scaled" -> q102,
+      "q103_pca_project" -> q103Pinned,
       "q01_pricing_summary" -> q01,
       "q02_describe_lineitem" -> q02,
       "q03_value_counts_orders" -> q03,

@@ -1440,6 +1440,28 @@ object Queries {
       .orderBy("query_id", "candidate_id")
   }
 
+  /** PCA projection of the embedding corpus: one-pass moments
+    * (treeAggregate — the RowMatrix.computeCovariance shape), driver-side
+    * Jacobi eigen on the 64×64 covariance, then a literal-matrix codegen
+    * projection (`ops.Pca`). Non-SQL-expressible (eigendecomposition) →
+    * pinned oracle from a verified run (tools/oraclegen.py, the q75/q76
+    * precedent); PcaSpec carries the independent mathematical ground truth
+    * (eigen residuals, orthonormality, planted-direction recovery,
+    * whitening variance).
+    */
+  def q103PcaProject(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val model = ops.Pca.fit(emb, "embedding", dim = 64, k = 4)
+    ops.Pca.project(emb, "embedding", model)
+      .where(col("vec_id") < 100)
+      .select(col("vec_id"),
+        round(element_at(col("pc"), 1), 4).as("pc1"),
+        round(element_at(col("pc"), 2), 4).as("pc2"),
+        round(element_at(col("pc"), 3), 4).as("pc3"),
+        round(element_at(col("pc"), 4), 4).as("pc4"))
+      .orderBy("vec_id")
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -1578,6 +1600,7 @@ object Queries {
     "q99_skew_report" -> (q99SkewReport _),
     "q100_image_features" -> (q100ImageFeatures _),
     "q101_audio_features" -> (q101AudioFeatures _),
-    "q102_neardup_scaled" -> (q102NearDupScaled _)
+    "q102_neardup_scaled" -> (q102NearDupScaled _),
+    "q103_pca_project" -> (q103PcaProject _)
   )
 }

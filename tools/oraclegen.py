@@ -15,6 +15,7 @@ SPECS = {
   'q76_semdedup': (['cluster','n','n_dropped'], ['i','i','i'], 'ORDER BY cluster'),
   'q92_bpe_train': (['rank','left','right','merged'], ['i','s','s','s'], 'ORDER BY rank'),
   'q93_bpe_pieces': (['source','n_docs','total_pieces'], ['s','i','i'], 'ORDER BY source'),
+  'q103_pca_project': (['vec_id','pc1','pc2','pc3','pc4'], ['i','d','d','d','d'], 'ORDER BY vec_id'),
 }
 def lit(v, t):
     if t == 's': return "'" + str(v).replace("'","''") + "'"
