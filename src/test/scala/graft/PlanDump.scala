@@ -66,7 +66,11 @@ object PlanDump {
       "q91_curate_pipeline" ->
         "End-to-end curation (gate, scrub, dedup, report) stays ONE lazy plan per output: the Gopher conjunction and PII redaction are pure projections fused into the scan, dedup is a fingerprint-partitioned window, and the funnel report is three small per-source aggregates joined at the end — no intermediate materialization anywhere.",
       "q94_rolling_window" ->
-        "Rolling trailing-window features: a per-user RANGE frame over epoch micros — the only exchange is hashpartitioning(user_id); there is no global sort, and the frame arithmetic is integer so results are engine-exact.")
+        "Rolling trailing-window features: a per-user RANGE frame over epoch micros — the only exchange is hashpartitioning(user_id); there is no global sort, and the frame arithmetic is integer so results are engine-exact.",
+      "q102_neardup_scaled" ->
+        "Corpus-scale embedding near-dup: both hyperplane families are codegen sign-bit projections (zero shuffle for signatures); candidates exist only inside (table, bucket) equi-join cells, skew-guarded by the grid-split window; the pair set dedups on ids before the cosine. The plane count grows with log2(n), so bucket sizes — and with them the join's per-key volume — hold constant as the corpus scales; the fixed-plane quadratic shape the sf1 stress measured (BENCH_SF1.md) cannot appear.",
+      "q103_pca_project" ->
+        "PCA projection: the fitted components enter the plan as literal planes — one native ww_vector_dot per component, all inside a single WholeStageCodegen projection over the scan; no shuffle at all before the presentation sort. The fit itself (treeAggregate moment partials + driver Jacobi) happens before this plan exists and leaves no trace in it — the projected corpus never pays the fit again.")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence for headline operators\n\n")
     sb.append("Generated by `graft.PlanDump` (sf0.01, local[8]). Each section: why the\n")
