@@ -1095,6 +1095,17 @@ object Oracles {
       |(CAST(99 AS BIGINT),CAST(0.012 AS DOUBLE),CAST(0.071 AS DOUBLE),CAST(0.0544 AS DOUBLE),CAST(0.0576 AS DOUBLE))
       |) AS t(vec_id, pc1, pc2, pc3, pc4) ORDER BY vec_id""".stripMargin
 
+  /** Pinned q104 OPQ-vs-PQ reconstruction error (regenerate via
+    * tools/oraclegen.py after any Quantize/Pca behavior change). The
+    * invariant the numbers certify: opq avg_mean_err < pq avg_mean_err at
+    * identical (m=8, k=16) budgets.
+    */
+  val q104Pinned: String =
+    """SELECT * FROM (VALUES
+      |('opq',CAST(0.071401 AS DOUBLE),CAST(0.237263 AS DOUBLE)),
+      |('pq',CAST(0.073432 AS DOUBLE),CAST(0.241798 AS DOUBLE))
+      |) AS t(method, avg_mean_err, avg_max_err) ORDER BY method""".stripMargin
+
   /** Pinned q75 distributed k-means summary (seeded init; regenerate via
     * tools/oraclegen.py).
     */
@@ -1702,6 +1713,7 @@ object Oracles {
       "q101_audio_features" -> q101,
       "q102_neardup_scaled" -> q102,
       "q103_pca_project" -> q103Pinned,
+      "q104_opq_error" -> q104Pinned,
       "q01_pricing_summary" -> q01,
       "q02_describe_lineitem" -> q02,
       "q03_value_counts_orders" -> q03,

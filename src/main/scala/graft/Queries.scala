@@ -1462,6 +1462,27 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  /** OPQ vs raw PQ reconstruction error on the embedding corpus: the
+    * eigen-balanced rotation (ops.Quantize.trainOpq — Ge et al. parametric
+    * OPQ) must cut the corpus-average quantization error vs plain PQ at
+    * identical (m, k) budgets. Non-SQL-expressible (PCA + Lloyd) → pinned
+    * oracle; QuantizeSpec carries the independent skewed-spectrum ground
+    * truth and the orthonormality/allocation checks.
+    */
+  def q104OpqError(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val pq = ops.Quantize.trainPq(emb, "embedding", dim = 64)
+    val opq = ops.Quantize.trainOpq(emb, "embedding", dim = 64)
+    def summarize(errs: DataFrame, method: String): DataFrame =
+      errs.agg(round(avg("mean_err"), 6).as("avg_mean_err"),
+          round(avg("max_err"), 6).as("avg_max_err"))
+        .withColumn("method", lit(method))
+    summarize(ops.Quantize.pqError(emb, "embedding", pq), "pq")
+      .unionByName(summarize(ops.Quantize.opqError(emb, "embedding", opq), "opq"))
+      .select(col("method"), col("avg_mean_err"), col("avg_max_err"))
+      .orderBy("method")
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -1601,6 +1622,7 @@ object Queries {
     "q100_image_features" -> (q100ImageFeatures _),
     "q101_audio_features" -> (q101AudioFeatures _),
     "q102_neardup_scaled" -> (q102NearDupScaled _),
-    "q103_pca_project" -> (q103PcaProject _)
+    "q103_pca_project" -> (q103PcaProject _),
+    "q104_opq_error" -> (q104OpqError _)
   )
 }

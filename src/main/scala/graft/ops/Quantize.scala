@@ -161,6 +161,69 @@ object Quantize {
       .withColumn("max_err", round(array_max(errs), 6))
   }
 
+  // ---------------------------------------------------------------- OPQ
+
+  /** OPQ rotation model (parametric variant — Ge et al., "Optimized
+    * Product Quantization", CVPR 2013 §4): rotate into the PCA basis, then
+    * deal the eigen-dimensions into the `m` subspaces by descending
+    * eigenvalue with a capacity-constrained greedy (least-loaded bucket
+    * with room), so every subspace carries ~equal variance. The BALANCE is
+    * what cuts quantization error — naive PCA rotation alone concentrates
+    * variance into the first subspace and can measure WORSE than raw PQ
+    * (it does on the near-isotropic test embeddings); balancing beats raw
+    * PQ on both isotropic and skewed spectra.
+    *
+    * `rotation` holds a [[Pca.PcaModel]] whose components are already
+    * permuted to the balanced order, so `Pca.projectExpr` IS the rotation
+    * expression — a literal-matrix codegen projection, zero shuffle, the
+    * same shape as every other fit-then-project operator here. Rotation is
+    * orthogonal, so reconstruction error measured in the rotated space
+    * equals the error in the original space.
+    */
+  final case class OpqModel(rotation: Pca.PcaModel, pq: PqBooks)
+
+  def trainOpq(df: DataFrame, vecCol: String, dim: Int, m: Int = 8,
+               k: Int = 16, sampleSize: Int = 2000, iters: Int = 10,
+               seed: Long = 42L): OpqModel = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subvectors")
+    val subDim = dim / m
+    val pca = Pca.fit(df, vecCol, dim, dim)
+    // capacity-constrained greedy: components arrive sorted by descending
+    // eigenvalue; each lands in the least-loaded subspace that has room
+    val load = new Array[Double](m)
+    val filled = new Array[Int](m)
+    val buckets = Array.fill(m)(List.newBuilder[Int])
+    for (i <- 0 until dim) {
+      val b = (0 until m).filter(filled(_) < subDim).minBy(load(_))
+      buckets(b) += i; load(b) += pca.variances(i); filled(b) += 1
+    }
+    val perm = buckets.flatMap(_.result())
+    val rot = Pca.PcaModel(pca.mean, perm.map(pca.components),
+      perm.map(pca.variances))
+    val rotated = df
+      .where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .withColumn("__rot", Pca.projectExpr(col(vecCol), rot))
+    OpqModel(rot, trainPq(rotated, "__rot", dim, m, k, sampleSize, iters, seed))
+  }
+
+  /** PQ codes of the rotated vector — rotation and encode compose into one
+    * codegen projection (no intermediate column, no shuffle).
+    */
+  def opqEncode(df: DataFrame, vecCol: String, model: OpqModel,
+                codesCol: String = "codes"): DataFrame =
+    df.withColumn(codesCol,
+      pqEncodeExpr(Pca.projectExpr(col(vecCol), model.rotation), model.pq))
+
+  /** Per-vector OPQ reconstruction error, measured in the rotated space
+    * (= original-space error; the rotation is orthogonal).
+    */
+  def opqError(df: DataFrame, vecCol: String, model: OpqModel): DataFrame =
+    pqError(
+      df.where(col(vecCol).isNotNull &&
+          size(col(vecCol)) === model.rotation.mean.length)
+        .withColumn("__rot", Pca.projectExpr(col(vecCol), model.rotation)),
+      "__rot", model.pq)
+
   /** Per-vector reconstruction error of the quantization (mean/max absolute
     * error against the original) — the quality check after compression.
     */

@@ -122,4 +122,37 @@ class QuantizeSpec extends SparkSpec {
       df.where(col("id") < 4), df, "id", "vec", 0.99).count()
     assert(hits.length <= exact)
   }
+
+  test("OPQ: balanced eigen allocation beats raw PQ on a skewed spectrum") {
+    // 2 high-variance dims + 6 low: raw PQ's consecutive slicing puts both
+    // hot dims into subspace 0 (k=4 codes can't cover a 2D spread), while
+    // OPQ deals them into different subspaces
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 600).map { _ =>
+      Array.tabulate(8)(j =>
+        ((if (j < 2) 10.0 else 0.3) * rnd.nextGaussian()).toFloat)
+    }
+    val df = rows.map(Tuple1(_)).toDF("embedding")
+    val pq = Quantize.trainPq(df, "embedding", dim = 8, m = 4, k = 4,
+      sampleSize = 600)
+    val opq = Quantize.trainOpq(df, "embedding", dim = 8, m = 4, k = 4,
+      sampleSize = 600)
+    val rawErr = Quantize.pqError(df, "embedding", pq)
+      .agg(avg("mean_err")).head().getDouble(0)
+    val opqErr = Quantize.opqError(df, "embedding", opq)
+      .agg(avg("mean_err")).head().getDouble(0)
+    assert(opqErr < rawErr, s"opq $opqErr !< raw $rawErr")
+    // rotation is a full orthonormal (permuted) basis
+    val r = opq.rotation.components
+    assert(r.length == 8 && r.forall(_.length == 8))
+    for (a <- r.indices; b <- r.indices) {
+      val d = (0 until 8).map(i => r(a)(i) * r(b)(i)).sum
+      assert(math.abs(d - (if (a == b) 1.0 else 0.0)) < 1e-9)
+    }
+    // the two dominant eigen-directions landed in DIFFERENT subspaces
+    val bySub = opq.rotation.variances.grouped(2).toSeq
+    val top2subs = opq.rotation.variances.zipWithIndex.sortBy(-_._1).take(2)
+      .map(_._2 / 2)
+    assert(top2subs.distinct.length == 2, bySub.map(_.sum).toString)
+  }
 }
