@@ -1106,6 +1106,61 @@ object Oracles {
       |('pq',CAST(0.073432 AS DOUBLE),CAST(0.241798 AS DOUBLE))
       |) AS t(method, avg_mean_err, avg_max_err) ORDER BY method""".stripMargin
 
+  /** Pinned q105 IVF-PQ-under-OPQ-rotation hits (regenerate via
+    * tools/oraclegen.py after any Quantize/Pca/Similarity change). The
+    * uncentered rotation preserves cosine exactly, so these scores are in
+    * the original space's units and comparable with q64's.
+    */
+  val q105Pinned: String =
+    """SELECT * FROM (VALUES
+      |(CAST(0 AS BIGINT),CAST(73 AS BIGINT),CAST(0.3007 AS DOUBLE)),
+      |(CAST(0 AS BIGINT),CAST(143 AS BIGINT),CAST(0.3861 AS DOUBLE)),
+      |(CAST(0 AS BIGINT),CAST(190 AS BIGINT),CAST(0.3199 AS DOUBLE)),
+      |(CAST(0 AS BIGINT),CAST(261 AS BIGINT),CAST(0.3456 AS DOUBLE)),
+      |(CAST(0 AS BIGINT),CAST(334 AS BIGINT),CAST(0.3083 AS DOUBLE)),
+      |(CAST(0 AS BIGINT),CAST(344 AS BIGINT),CAST(0.3377 AS DOUBLE)),
+      |(CAST(1 AS BIGINT),CAST(27 AS BIGINT),CAST(0.359 AS DOUBLE)),
+      |(CAST(1 AS BIGINT),CAST(261 AS BIGINT),CAST(0.446 AS DOUBLE)),
+      |(CAST(1 AS BIGINT),CAST(386 AS BIGINT),CAST(0.3325 AS DOUBLE)),
+      |(CAST(2 AS BIGINT),CAST(266 AS BIGINT),CAST(0.4102 AS DOUBLE)),
+      |(CAST(2 AS BIGINT),CAST(351 AS BIGINT),CAST(0.3079 AS DOUBLE)),
+      |(CAST(2 AS BIGINT),CAST(418 AS BIGINT),CAST(0.3421 AS DOUBLE)),
+      |(CAST(2 AS BIGINT),CAST(474 AS BIGINT),CAST(0.3097 AS DOUBLE)),
+      |(CAST(3 AS BIGINT),CAST(126 AS BIGINT),CAST(0.3526 AS DOUBLE)),
+      |(CAST(3 AS BIGINT),CAST(201 AS BIGINT),CAST(0.3258 AS DOUBLE)),
+      |(CAST(3 AS BIGINT),CAST(231 AS BIGINT),CAST(0.302 AS DOUBLE)),
+      |(CAST(3 AS BIGINT),CAST(341 AS BIGINT),CAST(0.3089 AS DOUBLE)),
+      |(CAST(3 AS BIGINT),CAST(343 AS BIGINT),CAST(0.3317 AS DOUBLE)),
+      |(CAST(3 AS BIGINT),CAST(396 AS BIGINT),CAST(0.3287 AS DOUBLE)),
+      |(CAST(3 AS BIGINT),CAST(441 AS BIGINT),CAST(0.3244 AS DOUBLE)),
+      |(CAST(3 AS BIGINT),CAST(463 AS BIGINT),CAST(0.3208 AS DOUBLE)),
+      |(CAST(4 AS BIGINT),CAST(110 AS BIGINT),CAST(0.3059 AS DOUBLE)),
+      |(CAST(4 AS BIGINT),CAST(114 AS BIGINT),CAST(0.3609 AS DOUBLE)),
+      |(CAST(4 AS BIGINT),CAST(408 AS BIGINT),CAST(0.3426 AS DOUBLE)),
+      |(CAST(5 AS BIGINT),CAST(382 AS BIGINT),CAST(0.3107 AS DOUBLE)),
+      |(CAST(5 AS BIGINT),CAST(419 AS BIGINT),CAST(0.306 AS DOUBLE)),
+      |(CAST(6 AS BIGINT),CAST(395 AS BIGINT),CAST(0.3404 AS DOUBLE)),
+      |(CAST(7 AS BIGINT),CAST(108 AS BIGINT),CAST(0.3694 AS DOUBLE)),
+      |(CAST(7 AS BIGINT),CAST(153 AS BIGINT),CAST(0.3886 AS DOUBLE)),
+      |(CAST(7 AS BIGINT),CAST(213 AS BIGINT),CAST(0.3293 AS DOUBLE)),
+      |(CAST(7 AS BIGINT),CAST(269 AS BIGINT),CAST(0.334 AS DOUBLE)),
+      |(CAST(7 AS BIGINT),CAST(292 AS BIGINT),CAST(0.3174 AS DOUBLE)),
+      |(CAST(7 AS BIGINT),CAST(299 AS BIGINT),CAST(0.3438 AS DOUBLE)),
+      |(CAST(7 AS BIGINT),CAST(332 AS BIGINT),CAST(0.3289 AS DOUBLE)),
+      |(CAST(7 AS BIGINT),CAST(334 AS BIGINT),CAST(0.3383 AS DOUBLE)),
+      |(CAST(7 AS BIGINT),CAST(339 AS BIGINT),CAST(0.3635 AS DOUBLE)),
+      |(CAST(7 AS BIGINT),CAST(340 AS BIGINT),CAST(0.3099 AS DOUBLE)),
+      |(CAST(7 AS BIGINT),CAST(374 AS BIGINT),CAST(0.3241 AS DOUBLE)),
+      |(CAST(7 AS BIGINT),CAST(445 AS BIGINT),CAST(0.3375 AS DOUBLE)),
+      |(CAST(8 AS BIGINT),CAST(138 AS BIGINT),CAST(0.3067 AS DOUBLE)),
+      |(CAST(8 AS BIGINT),CAST(405 AS BIGINT),CAST(0.314 AS DOUBLE)),
+      |(CAST(8 AS BIGINT),CAST(447 AS BIGINT),CAST(0.3416 AS DOUBLE)),
+      |(CAST(8 AS BIGINT),CAST(456 AS BIGINT),CAST(0.302 AS DOUBLE)),
+      |(CAST(9 AS BIGINT),CAST(36 AS BIGINT),CAST(0.3152 AS DOUBLE)),
+      |(CAST(9 AS BIGINT),CAST(49 AS BIGINT),CAST(0.3823 AS DOUBLE)),
+      |(CAST(9 AS BIGINT),CAST(205 AS BIGINT),CAST(0.3611 AS DOUBLE))
+      |) AS t(query_id, candidate_id, cosine) ORDER BY query_id, candidate_id""".stripMargin
+
   /** Pinned q75 distributed k-means summary (seeded init; regenerate via
     * tools/oraclegen.py).
     */
@@ -1714,6 +1769,7 @@ object Oracles {
       "q102_neardup_scaled" -> q102,
       "q103_pca_project" -> q103Pinned,
       "q104_opq_error" -> q104Pinned,
+      "q105_ivf_opq" -> q105Pinned,
       "q01_pricing_summary" -> q01,
       "q02_describe_lineitem" -> q02,
       "q03_value_counts_orders" -> q03,

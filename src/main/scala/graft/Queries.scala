@@ -1483,6 +1483,25 @@ object Queries {
       .orderBy("method")
   }
 
+  /** IVF-PQ search in the OPQ-rotated space: `trainOpq(centered = false)`
+    * keeps the rotation purely orthogonal, so rotated cosine == original
+    * cosine exactly; clusters and codes are built over the rotated vectors
+    * and the existing [[ops.Similarity.ivfSearchPq]] runs UNCHANGED — the
+    * composition is one extra literal-matrix projection, not a new
+    * operator. Mirrors q64's parameters for comparability.
+    */
+  def q105IvfOpq(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val opq = ops.Quantize.trainOpq(emb, "embedding", dim = 64, m = 8,
+      k = 16, centered = false)
+    val rotated = emb.select(col("vec_id"),
+      opq.rotateExpr(col("embedding")).as("rot"))
+    val centroids = ops.Similarity.trainCentroids(rotated, "rot", k = 8)
+    ops.Similarity.ivfSearchPq(rotated.where(col("vec_id") < 10), rotated,
+      "vec_id", "rot", centroids, opq.pq, nprobe = 3, threshold = 0.3)
+      .orderBy("query_id", "candidate_id")
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -1623,6 +1642,7 @@ object Queries {
     "q101_audio_features" -> (q101AudioFeatures _),
     "q102_neardup_scaled" -> (q102NearDupScaled _),
     "q103_pca_project" -> (q103PcaProject _),
-    "q104_opq_error" -> (q104OpqError _)
+    "q104_opq_error" -> (q104OpqError _),
+    "q105_ivf_opq" -> (q105IvfOpq _)
   )
 }

@@ -180,14 +180,30 @@ object Quantize {
     * orthogonal, so reconstruction error measured in the rotated space
     * equals the error in the original space.
     */
-  final case class OpqModel(rotation: Pca.PcaModel, pq: PqBooks)
+  final case class OpqModel(rotation: Pca.PcaModel, pq: PqBooks) {
+    /** The rotation as a column expression — compose it with any
+      * vector operator (IVF assignment, encode, cosine search) to run
+      * that operator in the rotated space.
+      */
+    def rotateExpr(vecCol: Column): Column = Pca.projectExpr(vecCol, rotation)
+  }
 
+  /** `centered = true` (default) subtracts the corpus mean before rotating
+    * — the right space for RECONSTRUCTION (compression, dedup-by-error).
+    * Pass `centered = false` for COSINE consumers (IVF/LSH search over the
+    * rotated space): a pure rotation is orthogonal, so rotated cosine ==
+    * original cosine exactly, while the mean shift of the centered variant
+    * would change angles. The balanced eigen allocation is computed the
+    * same way in both modes.
+    */
   def trainOpq(df: DataFrame, vecCol: String, dim: Int, m: Int = 8,
                k: Int = 16, sampleSize: Int = 2000, iters: Int = 10,
-               seed: Long = 42L): OpqModel = {
+               seed: Long = 42L, centered: Boolean = true): OpqModel = {
     require(dim % m == 0, s"dim $dim not divisible into $m subvectors")
     val subDim = dim / m
-    val pca = Pca.fit(df, vecCol, dim, dim)
+    val pca0 = Pca.fit(df, vecCol, dim, dim)
+    val pca = if (centered) pca0
+      else Pca.PcaModel(new Array[Double](dim), pca0.components, pca0.variances)
     // capacity-constrained greedy: components arrive sorted by descending
     // eigenvalue; each lands in the least-loaded subspace that has room
     val load = new Array[Double](m)

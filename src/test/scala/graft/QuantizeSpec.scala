@@ -155,4 +155,38 @@ class QuantizeSpec extends SparkSpec {
       .map(_._2 / 2)
     assert(top2subs.distinct.length == 2, bySub.map(_.sum).toString)
   }
+
+  test("uncentered OPQ rotation preserves cosine; IVF-PQ composes over it") {
+    val df = pqFixture
+    val opq = Quantize.trainOpq(df, "vec", dim = 8, m = 4, k = 4,
+      sampleSize = 40, centered = false)
+    assert(opq.rotation.mean.forall(_ == 0.0))
+    val rotated = df.select(col("id"), opq.rotateExpr(col("vec")).as("rot"))
+    // pure rotation is orthogonal: rotated cosine == original cosine
+    val orig = graft.ops.Similarity.thresholdSearch(
+      df.where(col("id") < 2), df, "id", "vec", -1.0)
+      .withColumnRenamed("cosine", "orig")
+    val rot = graft.ops.Similarity.thresholdSearch(
+      rotated.where(col("id") < 2), rotated, "id", "rot", -1.0)
+      .withColumnRenamed("cosine", "rotc")
+    val joined = orig.join(rot, Seq("query_id", "candidate_id"))
+    assert(joined.count() == 2 * 39)
+    assert(joined.where(abs(col("orig") - col("rotc")) > 2e-4).count() == 0)
+    // IVF-PQ over the rotated space: ADC scores stay faithful to the exact
+    // cosine (bases 2 and 3 of this fixture are nearly collinear — cosine
+    // ≈0.9999 — so CROSS-base hits above the threshold are correct, and
+    // cluster purity is not the property to assert)
+    val cents = graft.ops.Similarity.trainCentroids(rotated, "rot", k = 4,
+      seed = 11L)
+    val hits = graft.ops.Similarity.ivfSearchPq(
+      rotated.where(col("id") < 4), rotated, "id", "rot", cents, opq.pq,
+      nprobe = 2, threshold = 0.99)
+    val exact = graft.ops.Similarity.thresholdSearch(
+      df.where(col("id") < 4), df, "id", "vec", -1.0)
+      .withColumnRenamed("cosine", "exactc")
+    val fid = hits.join(exact, Seq("query_id", "candidate_id"))
+    assert(fid.count() > 0 && fid.count() == hits.count())
+    assert(fid.where(abs(col("cosine") - col("exactc")) > 0.02).count() == 0)
+    assert(fid.where(col("exactc") < 0.97).count() == 0)
+  }
 }
