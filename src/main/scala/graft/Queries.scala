@@ -997,11 +997,13 @@ object Queries {
 
   /** SemDeDup over the embeddings table (tau scaled to the synthetic
     * fixture's cosine range): per-k-means-cluster population and dropped
-    * near-duplicate count.
+    * near-duplicate count. Uses the corpus-scaled k (resolves to kMin=8 at
+    * fixture sizes — identical to the pinned oracle's k — and grows with
+    * the corpus past 32k vectors so cells stay ~targetCell).
     */
   def q76SemDedup(s: SparkSession, dir: String): DataFrame =
-    ops.Similarity.semanticDedup(table(s, dir, "embeddings"), "vec_id",
-        "embedding", k = 8, tau = 0.4, iters = 5, seed = 42L)
+    ops.Similarity.semanticDedupScaled(table(s, dir, "embeddings"), "vec_id",
+        "embedding", tau = 0.4, iters = 5, seed = 42L)
       .groupBy(col("cluster").cast(LongType).as("cluster"))
       .agg(count(lit(1)).as("n"),
         sum(when(!col("keep"), lit(1L)).otherwise(lit(0L))).as("n_dropped"))

@@ -385,6 +385,32 @@ object Similarity {
     * Output: one row per input vector — (id, cluster, keep) — the dedup
     * verdict joined back onto the full population.
     */
+  /** [[semanticDedup]] with the cluster count scaled to the corpus:
+    * `k = clamp(ceil(n / targetCell), kMin, kMax)`, holding the expected
+    * cell size — and with it the within-cell candidate-pair volume PER ROW
+    * — constant as the corpus grows. A fixed k is the same quadratic shape
+    * as fixed-plane LSH (the sf3 scale-stress measured it: BENCH_SF1.md);
+    * SemDeDup at LAION scale runs tens of thousands of cells for exactly
+    * this reason (Abbas et al. 2023, §3).
+    *
+    * `kMax` defaults to 256 because assignment is a literal-centroid
+    * codegen projection (k·dim terms per row): past ~256×64 the expression
+    * outgrows whole-stage codegen. Beyond kMax·targetCell rows (~1M at
+    * defaults) cells grow linearly again — at that scale swap the
+    * assignment step for a broadcast-joined ANN assignment before raising
+    * kMax. Below `kMin · targetCell` rows (32k at defaults) k pins at
+    * `kMin`, so fixture-scale results are stable.
+    */
+  def semanticDedupScaled(df: DataFrame, idCol: String, vecCol: String,
+                          tau: Double, targetCell: Int = 4096,
+                          kMin: Int = 8, kMax: Int = 256, iters: Int = 5,
+                          seed: Long = 42L): DataFrame = {
+    val n = df.count()
+    val k = math.min(kMax, math.max(kMin,
+      math.ceil(n.toDouble / targetCell).toInt))
+    semanticDedup(df, idCol, vecCol, k, tau, iters, seed)
+  }
+
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     k: Int, tau: Double, iters: Int = 5,
                     seed: Long = 42L): DataFrame = {

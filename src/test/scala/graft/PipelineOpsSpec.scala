@@ -171,4 +171,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(dropped.toSeq == Seq(100L, 101L, 102L))
     assert(out.count() == 43L)
   }
+
+  test("semanticDedupScaled pins k at kMin below the scale threshold") {
+    // 43 rows << kMin·targetCell, so the scaled variant must produce the
+    // bit-identical verdict set as an explicit k = kMin call
+    val base = (0 until 40).map(i =>
+      (i.toLong, Array(math.cos(i * 0.7).toFloat, math.sin(i * 0.7).toFloat,
+        (i % 7).toFloat, 1.0f)))
+    val dups = Seq((100L, base(0)._2), (101L, base(0)._2), (102L, base(1)._2))
+    val df = (base ++ dups).toDF("id", "v")
+    val scaled = Similarity.semanticDedupScaled(df, "id", "v", tau = 0.9999,
+      kMin = 4, iters = 3, seed = 5L).orderBy("id").collect()
+    val fixed = Similarity.semanticDedup(df, "id", "v", k = 4, tau = 0.9999,
+      iters = 3, seed = 5L).orderBy("id").collect()
+    assert(scaled.toSeq == fixed.toSeq)
+  }
 }
