@@ -783,7 +783,7 @@ object Queries {
   def q61Timedelta(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = table(s, dir, "events").where(col("user_id") < 50)
-    val us = unix_micros(col("ts"))
+    val us = unix_micros(col("ts").cast(TimestampType))
     val prev = lag(us, 1).over(
       Window.partitionBy("user_id").orderBy(us.asc, col("event_id").asc))
     val withDelta = ev

@@ -28,7 +28,10 @@ object Sessionize {
                    gapSeconds: Long,
                    orderCols: Seq[String] = Seq.empty): DataFrame = {
     require(gapSeconds > 0, "gapSeconds must be positive")
-    val us = unix_micros(col(tsCol))
+    // cast first: parquet TIMESTAMP_NTZ columns (isAdjustedToUTC=false)
+    // are rejected by unix_micros; the session timezone is UTC so the
+    // cast is a deterministic reinterpretation
+    val us = unix_micros(col(tsCol).cast(TimestampType))
     val order = us.asc +: orderCols.map(col(_).asc)
     val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
     val prev = lag(us, 1).over(w)
@@ -45,7 +48,7 @@ object Sessionize {
   def sessionStats(df: DataFrame, keyCol: String, tsCol: String,
                    gapSeconds: Long,
                    orderCols: Seq[String] = Seq.empty): DataFrame = {
-    val us = unix_micros(col(tsCol))
+    val us = unix_micros(col(tsCol).cast(TimestampType))
     withSessions(df, keyCol, tsCol, gapSeconds, orderCols)
       .groupBy(col(keyCol), col("session_index"))
       .agg(

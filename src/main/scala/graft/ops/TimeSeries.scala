@@ -30,8 +30,9 @@ object TimeSeries {
     require(windowSeconds > 0, s"need windowSeconds > 0, got $windowSeconds")
     // epoch MICROS as the range key: sub-second timestamps align exactly
     // in any engine (integer arithmetic, no truncation ambiguity)
+    // cast first: TIMESTAMP_NTZ inputs are rejected by unix_micros
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(unix_micros(col(tsCol)))
+      .orderBy(unix_micros(col(tsCol).cast(TimestampType)))
       .rangeBetween(-windowSeconds * 1000000L, 0)
     val cents = round(col(valueCol) * 100).cast(LongType)
     df.withColumn("n_window", count(lit(1)).over(w))

@@ -45,3 +45,28 @@ for q, (cols, types, order) in SPECS.items():
     print(body)
     print(f'      |) {alias}""".stripMargin')
     print()
+
+# --time-pins: emit the PinnedTimeQueriesSpec literals (q57/q61/q94 checksums
+# and rows from the DuckDB oracle SQL at sf0.001). Paste into
+# src/test/scala/graft/PinnedTimeQueriesSpec.scala after any intended
+# behavior change to those three queries.
+if '--time-pins' in sys.argv:
+    import json
+    oracle = json.load(open(f'{out}/oracle_sql.json'))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM '/root/testdata/sf0.001/events.parquet'")
+    q57 = con.execute(
+        "SELECT count(*), sum(session_index), sum(n_events), sum(duration_us),"
+        " sum(start_us % 1000003), sum(end_us % 1000003) FROM ("
+        + oracle['q57_sessionize'] + ")").fetchone()
+    print('q57 checksums (n, sum_session_index, sum_n_events, sum_duration_us,'
+          ' sum_start_us%1000003, sum_end_us%1000003):')
+    print('  ' + ', '.join(f'{int(v)}L' for v in q57))
+    q94 = con.execute(
+        "SELECT count(*), sum(n_window), sum(sum_cents_window),"
+        " sum(event_id*n_window) FROM (" + oracle['q94_rolling_window'] + ")").fetchone()
+    print('q94 checksums (n, sum_n_window, sum_sum_cents, sum_event_id*n_window):')
+    print('  ' + ', '.join(f'{int(v)}L' for v in q94))
+    print('q61 rows:')
+    for r in con.execute(oracle['q61_timedelta']).fetchall():
+        print('      (' + ', '.join(f'{int(v)}L' for v in r) + '),')
