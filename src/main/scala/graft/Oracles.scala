@@ -1772,6 +1772,9 @@ object Oracles {
       "q105_ivf_opq" -> q105Pinned,
       "q01_pricing_summary" -> q01,
       "q02_describe_lineitem" -> q02,
+      // q106 = q02's projection under approx=true: every projected column is
+      // exact in both modes, so the oracle is shared verbatim
+      "q106_describe_approx" -> q02,
       "q03_value_counts_orders" -> q03,
       "q04_histogram_price" -> q04,
       "q05_pearson_lineitem" -> q05,

@@ -377,13 +377,16 @@ object Queries {
       .orderBy("query_id", "candidate_id")
   }
 
-  /** Embedding-cosine near-duplicate pairs: LSH same-bucket candidates at the
-    * data's similarity ceiling (the dedup flavor of similarity search).
+  /** PINNED LEGACY CONTROL — deliberately fixed-plane (quadratic-at-scale)
+    * near-dup, kept because its oracle embeds the 4 hyperplanes as SQL
+    * literals and it is the measured baseline the scaled path (q102) is
+    * judged against. The API default for near-dup is
+    * [[ops.Similarity.embeddingNearDups]].
     */
   def q39EmbeddingNeardup(s: SparkSession, dir: String): DataFrame = {
     val emb = table(s, dir, "embeddings")
-    ops.Similarity.lshSearch(emb, "vec_id", "embedding", dim = 64,
-      numPlanes = 4, threshold = 0.4)
+    ops.Similarity.embeddingNearDupsFixed(emb, "vec_id", "embedding",
+      dim = 64, numPlanes = 4, threshold = 0.4)
       .orderBy("query_id", "candidate_id")
   }
 
@@ -1504,6 +1507,23 @@ object Queries {
       .orderBy("query_id", "candidate_id")
   }
 
+  /** describe(approx=true) over the same lineitem frame and projection as
+    * q02 — the documented 100 TB default: quartiles come from
+    * percentile_approx instead of the exact order-statistics melt (the
+    * sort-shaped stage that scaled 8.6× at 30× data in BENCH_SF1). The
+    * projected columns (count/nunique/nan_count/min/max) are exact under
+    * BOTH modes, so this query shares q02's oracle verbatim and stays
+    * hash-checked while timing the approx plan.
+    */
+  def q106DescribeApprox(s: SparkSession, dir: String): DataFrame = {
+    val f = lineitemFrame(s, dir)
+    Describe.describe(f, include = Seq("numeric"), approx = true)
+      .select(
+        col("column_name"), col("count").as("cnt"), col("nunique"),
+        col("nan_count"), col("min").as("min_v"), col("max").as("max_v"))
+      .orderBy("column_name")
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -1645,6 +1665,7 @@ object Queries {
     "q102_neardup_scaled" -> (q102NearDupScaled _),
     "q103_pca_project" -> (q103PcaProject _),
     "q104_opq_error" -> (q104OpqError _),
-    "q105_ivf_opq" -> (q105IvfOpq _)
+    "q105_ivf_opq" -> (q105IvfOpq _),
+    "q106_describe_approx" -> (q106DescribeApprox _)
   )
 }

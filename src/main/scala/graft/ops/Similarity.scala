@@ -93,6 +93,14 @@ object Similarity {
     * (query_id, candidate_id, cosine) for same-bucket pairs with cosine ≥
     * threshold. At scale this is a bucket-key equi-join — shuffle on the
     * bucket signature, never an all-pairs product.
+    *
+    * NOTE: a FIXED `numPlanes` means a fixed bucket count, so buckets — and
+    * with them within-bucket candidate pairs — grow quadratically with the
+    * corpus (measured 56.8× runtime at 30× rows, BENCH_SF1.md). For
+    * near-duplicate detection over a growing corpus use
+    * [[embeddingNearDups]], which scales the plane count with log₂(n);
+    * fixed planes are only right when the caller owns the bucket math
+    * (e.g. a pinned-oracle regression control — [[embeddingNearDupsFixed]]).
     */
   def lshSearch(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                 numPlanes: Int = 12, threshold: Double = 0.3,
@@ -183,6 +191,18 @@ object Similarity {
       .where(col("cosine") >= threshold)
       .dropDuplicates("query_id", "candidate_id")
   }
+
+  /** DELIBERATELY-quadratic legacy control: [[lshSearch]] with a fixed plane
+    * count, kept ONLY as the pinned regression baseline whose oracle embeds
+    * the 4 hyperplanes as SQL literals (q39). Never the API default — the
+    * default near-dup path is [[embeddingNearDups]] (scaled planes, OR-ed
+    * tables, ~linear candidate volume).
+    */
+  def embeddingNearDupsFixed(df: DataFrame, idCol: String, vecCol: String,
+                             dim: Int, numPlanes: Int = 4,
+                             threshold: Double = 0.4,
+                             seed: Long = 42L): DataFrame =
+    lshSearch(df, idCol, vecCol, dim, numPlanes, threshold, seed)
 
   /** Cross-set embedding decontamination: corpus vectors that are
     * near-duplicates of any benchmark vector — the semantic analog of
@@ -324,6 +344,107 @@ object Similarity {
       .where(col("cosine") >= threshold)
   }
 
+  // ------------------------------------------------- hierarchical centroids
+  /** Two-level centroid index for large-k assignment: `coarse` is a small
+    * (≤256) top-level codebook — safe for the literal-codegen projection —
+    * and `fine(c)` holds the sub-centroids trained inside coarse cell `c`.
+    * Global cluster ids are dense: cell c's sub-centroids own the id range
+    * `[offsets(c), offsets(c) + fine(c).length)`.
+    */
+  case class CentroidIndex(coarse: Array[Array[Double]],
+                           fine: Array[Array[Array[Double]]]) {
+    val offsets: Array[Int] = fine.scanLeft(0)(_ + _.length).init
+    def k: Int = offsets.last + fine.last.length
+  }
+
+  /** Hierarchical k-means for k beyond the literal-codegen bound: train
+    * `kc ≈ √k` coarse centroids with the distributed [[kmeansFit]] (kc ≤ 256
+    * keeps every per-row projection codegen'd), then take ONE bounded
+    * per-cell sample pass (seeded rand + per-cell row_number — the shuffle
+    * key is the cell, each task keeps ≤m rows) and train each cell's
+    * `⌈k/kc⌉` sub-centroids driver-side on its sample, cells in parallel
+    * across driver cores. Total driver state: ≤`sampleBudget` sample
+    * vectors + k×dim centroid doubles — independent of data scale. The
+    * realized centroid count is `kc·⌈k/kc⌉` (≥ k, < k + kc); callers that
+    * size k for a target cell occupancy are insensitive to the rounding.
+    *
+    * Cells the sample never hit keep their coarse centroid as their only
+    * sub-centroid, so every coarse cell stays addressable.
+    */
+  def kmeansFitHierarchical(df: DataFrame, vecCol: String, k: Int,
+                            iters: Int = 5, seed: Long = 42L,
+                            sampleBudget: Int = 100000): CentroidIndex = {
+    val kc = math.min(256, math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt))
+    val finePer = math.ceil(k.toDouble / kc).toInt
+    val coarse = kmeansFit(df, vecCol, kc, iters, seed)
+    val dim = coarse.head.length
+    val m = math.max(2 * finePer, sampleBudget / kc)
+    val w = Window.partitionBy(col("cluster")).orderBy(col("__r"), col("v"))
+    val sampled = validVecs(df, vecCol, dim)
+      .select(asDouble(col(vecCol)).as("v"))
+      .withColumn("cluster",
+        element_at(distStructs(col("v"), coarse), 1).getField("cluster"))
+      .withColumn("__r", rand(seed ^ 0x5ca1ab1eL))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= m)
+      .select(col("cluster"), col("v"))
+      .collect()
+    val byCell = sampled.groupBy(_.getInt(0)).map { case (c, rows) =>
+      c -> rows.map(_.getSeq[Double](1).toArray)
+    }
+    val fine = new Array[Array[Array[Double]]](kc)
+    import scala.collection.parallel.CollectionConverters._
+    (0 until kc).par.foreach { c =>
+      fine(c) = byCell.get(c) match {
+        case Some(sample) if sample.nonEmpty =>
+          kmeansLocal(sample, math.min(finePer, sample.length), iters,
+            seed + 31L * c)
+        case _ => Array(coarse(c))
+      }
+    }
+    CentroidIndex(coarse, fine)
+  }
+
+  /** Nearest-centroid assignment against a [[CentroidIndex]] — the large-k
+    * replacement for [[ivfAssign]]'s literal projection. Per row: rank the
+    * ≤256 coarse cells with the codegen'd literal proxy, then argmin over
+    * the `nprobe` nearest cells' sub-centroids. The fine codebook rides the
+    * plan as ONE array literal (a single Literal node — it cannot outgrow
+    * whole-stage codegen the way k expanded struct expressions do) and the
+    * argmin is a higher-order `aggregate` fold, so assignment stays a
+    * shuffle-free, blowup-free projection at any k: no probe-explode row
+    * multiplication, no candidate join pushing n vectors through an
+    * exchange. Work per row is ~nprobe·(k/kc)·dim ≈ 2√k·dim multiply-adds.
+    *
+    * Assignment is approximate exactly like IVF search (the true nearest
+    * sub-centroid is found iff it lives in a probed coarse cell) and is a
+    * deterministic pure function of the vector — rerunning on the same data
+    * and seed reproduces every cell bit-for-bit.
+    */
+  def ivfAssignHierarchical(df: DataFrame, idCol: String, vecCol: String,
+                            index: CentroidIndex, nprobe: Int = 2): DataFrame = {
+    val fineLit = typedlit[Seq[Seq[(Int, Seq[Double], Double)]]](
+      index.fine.zipWithIndex.map { case (subs, c) =>
+        subs.zipWithIndex.map { case (fc, j) =>
+          (index.offsets(c) + j, fc.toSeq, fc.map(x => x * x).sum)
+        }.toSeq
+      }.toSeq)
+    val v = col("v")
+    val probes = slice(distStructs(v, index.coarse), 1,
+      math.min(nprobe, index.coarse.length)).getField("cluster")
+    val cands = flatten(transform(probes, c => element_at(fineLit, c + 1)))
+    val best = aggregate(cands,
+      struct(lit(Double.MaxValue).as("d"), lit(-1).as("cluster")),
+      (acc, x) => {
+        val d = x.getField("_3") - dot(v, x.getField("_2")) * 2
+        when(d < acc.getField("d"),
+          struct(d.as("d"), x.getField("_1").as("cluster"))).otherwise(acc)
+      },
+      acc => acc.getField("cluster"))
+    df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("cluster", best)
+  }
+
   /** Distributed Lloyd k-means over the FULL table (vs [[trainCentroids]],
     * which fits on a bounded driver sample for quantizer training): each
     * iteration is ONE Spark job — assignment is a codegen'd projection
@@ -398,30 +519,47 @@ object Similarity {
     * SemDeDup at LAION scale runs tens of thousands of cells for exactly
     * this reason (Abbas et al. 2023, §3).
     *
-    * `kMax` defaults to 256 because assignment is a literal-centroid
-    * codegen projection (k·dim terms per row): past ~256×64 the expression
-    * outgrows whole-stage codegen. Beyond kMax·targetCell rows (~1M at
-    * defaults) cells grow linearly again — at that scale swap the
-    * assignment step for a broadcast-joined ANN assignment before raising
-    * kMax. Below `kMin · targetCell` rows (32k at defaults) k pins at
-    * `kMin`, so fixture-scale results are stable.
+    * Assignment picks its physical shape by k: up to `codegenMaxK` (256)
+    * the centroids ride the plan as expanded literal struct expressions —
+    * the fastest path, and the one whose k·dim terms would outgrow
+    * whole-stage codegen past ~256×64 — and beyond it training and
+    * assignment switch to the two-level [[CentroidIndex]]
+    * ([[kmeansFitHierarchical]] / [[ivfAssignHierarchical]]), which keeps
+    * k unclamped to `kMax` = 65536 (268M rows at the default cell before
+    * the clamp binds; raise kMax for more — the index is √k-shaped, the
+    * cap is just a sanity bound). Below `kMin · targetCell` rows (8192
+    * at defaults) k pins at `kMin`, so fixture-scale results are stable
+    * and identical to the pinned oracle.
     */
   def semanticDedupScaled(df: DataFrame, idCol: String, vecCol: String,
-                          tau: Double, targetCell: Int = 4096,
-                          kMin: Int = 8, kMax: Int = 256, iters: Int = 5,
-                          seed: Long = 42L): DataFrame = {
+                          tau: Double, targetCell: Int = 1024,
+                          kMin: Int = 8, kMax: Int = 65536, iters: Int = 5,
+                          seed: Long = 42L, codegenMaxK: Int = 256): DataFrame = {
     val n = df.count()
     val k = math.min(kMax, math.max(kMin,
       math.ceil(n.toDouble / targetCell).toInt))
-    semanticDedup(df, idCol, vecCol, k, tau, iters, seed)
+    if (k <= codegenMaxK) semanticDedup(df, idCol, vecCol, k, tau, iters, seed)
+    else {
+      val index = kmeansFitHierarchical(df, vecCol, k, iters, seed)
+      dedupAssigned(ivfAssignHierarchical(
+        validVecs(df, vecCol, index.coarse.head.length),
+        idCol, vecCol, index), tau)
+    }
   }
 
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     k: Int, tau: Double, iters: Int = 5,
                     seed: Long = 42L): DataFrame = {
     val centroids = kmeansFit(df, vecCol, k, iters, seed)
-    val assigned = ivfAssign(validVecs(df, vecCol, centroids.head.length),
-      idCol, vecCol, centroids)
+    dedupAssigned(ivfAssign(validVecs(df, vecCol, centroids.head.length),
+      idCol, vecCol, centroids), tau)
+  }
+
+  /** Shared SemDeDup tail: within-cell skew-guarded pairs → transitive
+    * duplicate clusters → keep-verdict join. `assigned` is (id, v, cluster)
+    * from either assignment path.
+    */
+  private def dedupAssigned(assigned: DataFrame, tau: Double): DataFrame = {
     val pairs = SkewJoin.selfPairs(assigned, Seq("cluster"), "id", Seq("v"))
       .select(col("x_id").as("id_1"), col("y_id").as("id_2"),
         round(cosine(col("x_v"), col("y_v")), 4).as("cosine"))

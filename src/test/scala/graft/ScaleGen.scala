@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions._
   * suffix so the corpus isn't 90% exact duplicates, which would stress
   * dedup in an unrealistic way.
   *
-  * Usage: Test/runMain graft.ScaleGen [outDir] [copies]
+  * Usage: Test/runMain graft.ScaleGen [outDir] [copies] [tables]
+  *        (tables = optional comma list, e.g. "embeddings" for a
+  *        vectors-only stress corpus at high copy counts)
   * then:  SPARK_GRAFT_SF_DIR=<outDir> sbt "runMain graft.Bench"
   */
 object ScaleGen {
@@ -24,6 +26,8 @@ object ScaleGen {
   def main(args: Array[String]): Unit = {
     val outDir = if (args.length > 0) args(0) else "/tmp/graft_sf1"
     val copies = if (args.length > 1) args(1).toInt else 10
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").map(_.trim).toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -56,28 +60,36 @@ object ScaleGen {
       if (out.columns.contains("text") && i > 0)
         out = out.withColumn("text",
           regexp_replace(col("text"), "(\\S+)", s"$$1·$i"))
-      // Same idea for vectors: rotating the dimensions is an orthogonal
-      // transform — all within-copy cosines/distances are exact — while
-      // cross-copy cosine falls to noise, keeping near-dup density per
-      // vector constant as the corpus grows.
+      // Same idea for vectors: rotation ∘ per-copy sign flips — both
+      // orthogonal transforms, so all within-copy cosines/distances are
+      // exact — while cross-copy cosine falls to noise, keeping near-dup
+      // density per vector constant as the corpus grows. Rotation alone
+      // repeats every `dim` copies (and slice() breaks past it), so the
+      // sign pattern keeps same-rotation copies decorrelated at any copy
+      // count.
       if (out.columns.contains("embedding") && i > 0) {
-        val d = lit(i) // distinct per copy; dim=64 >> copies
+        val d = lit(i % 63 + 1) // rotation in 1..63, never the identity
+        val rotated = concat(
+          slice(col("embedding"), d + 1, size(col("embedding")) - d),
+          slice(col("embedding"), lit(1), d))
+        val signs = Array.tabulate(64) { j =>
+          if ((((i.toLong * 0x9E3779B9L) >>> (j % 31)) & 1L) == 1L) -1.0f
+          else 1.0f
+        }
         out = out.withColumn("embedding",
-          concat(slice(col("embedding"), d + 1,
-              size(col("embedding")) - d),
-            slice(col("embedding"), lit(1), d)))
+          zip_with(rotated, lit(signs), (x, s) => x * s))
       }
       out
     }
 
-    for (t <- facts) {
+    for (t <- facts.filter(t => only.forall(_.contains(t)))) {
       val base = Queries.table(spark, srcDir, t)
       val scaled = (0 until copies).map(i => shifted(base, i))
         .reduce(_ unionAll _)
       scaled.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
       println(s"[scalegen] $t x$copies -> $outDir")
     }
-    for (t <- dims) {
+    for (t <- dims.filter(t => only.forall(_.contains(t)))) {
       Queries.table(spark, srcDir, t)
         .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
       println(s"[scalegen] $t x1 -> $outDir")
