@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Corpus, Dedup, Similarity}
+
+/** Physical-plan shape assertions for the scale-critical operators: the
+  * properties that make these plans survive a 100× scale-up (broadcast
+  * instead of corpus shuffle, bucketed joins instead of cross products)
+  * are pinned here so a refactor that silently degrades the plan fails in
+  * `sbt test`, not in a cluster bill.
+  *
+  * Assertions run on the INITIAL executed plan (before AQE re-planning) —
+  * the shape Catalyst commits to from the logical plan alone, which is
+  * what holds at any data size.
+  */
+class PlanShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = (0L until 50L)
+    .map(i => (i, s"the quick brown fox $i jumps over the lazy dog " * 3))
+    .toDF("doc_id", "text")
+
+  private def vecs = (0L until 60L).map { i =>
+    (i, Array.tabulate(16)(j => (math.sin(i * 17 + j) * 3).toFloat).toSeq)
+  }.toDF("vec_id", "embedding")
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("cross-corpus minhash decontamination: bench broadcast, zero corpus hash-shuffle before the candidate join") {
+    val plan = planOf(Dedup.crossMinhashMatches(docs, docs.limit(5),
+      "doc_id", "text"))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"bench side must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cross product:\n$plan")
+  }
+
+  test("cross-set embedding decontamination: broadcast bucket equi-join, no cartesian") {
+    val plan = planOf(Similarity.crossSetMatches(vecs, "vec_id",
+      vecs.limit(4), "vec_id", "embedding", dim = 16))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast equi-join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"no cross product:\n$plan")
+  }
+
+  test("scaled embedding near-dup: bucket equi-join only — never a cross product") {
+    val plan = planOf(Similarity.embeddingNearDups(vecs, "vec_id", "embedding",
+      dim = 16))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"no cross product:\n$plan")
+  }
+
+  test("benchmark-gram decontamination: corpus streams through a broadcast join, never a shuffle join") {
+    val plan = planOf(Corpus.contamination(docs, "doc_id", "text",
+      docs.limit(3), "doc_id", "text", n = 3))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark grams must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"corpus must not shuffle-join the benchmark:\n$plan")
+  }
+
+  test("hierarchical assignment is a shuffle-free projection") {
+    val idx = Similarity.kmeansFitHierarchical(vecs, "embedding", k = 12,
+      iters = 2, seed = 1L)
+    val plan = planOf(Similarity.ivfAssignHierarchical(vecs, "vec_id",
+      "embedding", idx))
+    assert(!plan.contains("Exchange"),
+      s"assignment must add no exchange:\n$plan")
+    assert(!plan.contains("Join"), s"assignment must add no join:\n$plan")
+  }
+
+  test("naive bayes scoring re-enters via broadcast — the corpus never shuffles against the model") {
+    val labeled = docs.withColumn("label",
+      when(col("doc_id") % 2 === 0, "a").otherwise("b"))
+    val (weights, classes) =
+      graft.ops.Classifier.trainNaiveBayes(labeled, "label", "text")
+    val plan = planOf(graft.ops.Classifier.scoreNaiveBayes(
+      docs, "doc_id", "text", weights, classes))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"model must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no corpus-side merge join:\n$plan")
+  }
+}
