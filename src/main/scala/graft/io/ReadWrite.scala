@@ -121,13 +121,32 @@ object ReadWrite {
     * table_accessor.py:654-697). Parquet embeds typing in the footer; every
     * format also gets the JSON sidecar for reference compatibility.
     */
+  /** `partitionCols` lays the data out hive-style (`col=value/` dirs) so
+    * later reads prune partitions at file-listing time — at 100 TB the
+    * first and cheapest pushdown lever (a `source=`/`date=` filter skips
+    * whole directory trees before any row is read). Partition columns move
+    * to the tail of the physical layout and come back as
+    * partition-inferred types; [[fromDisk]]'s sidecar re-coercion restores
+    * BOTH the declared column order and the logical types, so the
+    * round-trip is layout-invariant. Not supported for csv headers-only
+    * and arrow (single-dir formats).
+    */
   def toDisk(frame: WoodworkFrame, path: String, format: String = "parquet",
-             mode: String = "overwrite"): Unit = {
+             mode: String = "overwrite",
+             partitionCols: Seq[String] = Nil): Unit = {
+    partitionCols.foreach(c => require(frame.df.columns.contains(c),
+      s"partition column '$c' not in frame"))
     format match {
       case "csv" =>
+        require(partitionCols.isEmpty, "partitionCols unsupported for csv")
         frame.df.write.mode(mode).option("header", "true").csv(s"$path/data")
-      case "feather" | "arrow" => ArrowIo.write(frame.df, s"$path/data")
-      case other => frame.df.write.mode(mode).format(other).save(s"$path/data")
+      case "feather" | "arrow" =>
+        require(partitionCols.isEmpty, "partitionCols unsupported for arrow")
+        ArrowIo.write(frame.df, s"$path/data")
+      case other =>
+        val w = frame.df.write.mode(mode).format(other)
+        (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+          .save(s"$path/data")
     }
     // sidecar through the session's Hadoop FS, NOT java.nio: a remote
     // path (s3a://, hdfs://) must carry data and typing info together

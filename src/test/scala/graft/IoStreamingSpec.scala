@@ -27,6 +27,29 @@ class IoStreamingSpec extends SparkSpec {
     assert(back.df.count() == 2)
   }
 
+  test("partitioned toDisk: hive layout, pruned scans, layout-invariant round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("wwpart").toString
+    ReadWrite.toDisk(fixture, dir, partitionCols = Seq("cat"))
+    // hive-style directories exist per partition value
+    val parts = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(parts.toSeq == Seq("cat=x", "cat=y"))
+    val back = ReadWrite.fromDisk(spark, dir)
+    // sidecar restores declared order + logical types despite the physical
+    // layout moving the partition column to the tail as an inferred string
+    assert(back.df.columns.toSeq == fixture.df.columns.toSeq)
+    assert(back.logicalTypes == fixture.logicalTypes)
+    assert(back.df.orderBy("id").collect().map(_.getString(2)).toSeq ==
+      Seq("x", "y"))
+    // a filter on the partition column prunes at planning time: the scan's
+    // partition filters carry the predicate, selected files drop to 1 dir
+    val pruned = back.df.where(col("cat") === "x")
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cat"),
+      s"expected partition filters in scan:\n$scan")
+    assert(pruned.count() == 1)
+  }
+
   test("csv round-trip re-coerces physical types from the typing info") {
     val dir = java.nio.file.Files.createTempDirectory("wwcsv").toString
     ReadWrite.toDisk(fixture, dir, format = "csv")
