@@ -97,6 +97,21 @@ class HierarchicalSemDedupSpec extends SparkSpec {
     }
   }
 
+  test("degenerate corpus (all vectors identical) through the hierarchical path: one keeper") {
+    // every centroid collapses to the same point, every assignment ties
+    // (argmin keeps the first), and the single cell holds the whole corpus
+    // — the skew guard grid-splits it; exactly one row survives
+    val one = Array.tabulate(dim)(_ => 1.0f).toSeq
+    val df = (0L until 500L).map(i => (i, one)).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedupScaled(df, "vec_id", "embedding",
+      tau = 0.99, targetCell = 1, kMin = 2, iters = 2, seed = 42L,
+      codegenMaxK = 4)
+    val rows = out.collect().map(r => (r.getLong(0), r.getBoolean(2)))
+    assert(rows.length == 500)
+    assert(rows.count(_._2) == 1 && rows.find(_._2).get._1 == 0L,
+      "exactly the min-id row must be kept")
+  }
+
   test("semanticDedupScaled small corpora keep the literal-codegen path and pinned k") {
     // below kMin*targetCell the plan must not contain the hierarchical
     // literal — same semantics as the pinned q76 oracle
