@@ -1707,6 +1707,75 @@ object Oracles {
       |  CAST(c AS DOUBLE) AS channels, CAST(rate AS DOUBLE) AS sample_rate
       |FROM a ORDER BY doc_id""".stripMargin
 
+  /** q107: thumbnail resize — the oracle regenerates the source pixel
+    * functions, applies the exactly-pinned integer box filter (floor
+    * divisions throughout, box = [x·sw/dw, max(+1, (x+1)·sw/dw))), and
+    * computes the luma statistics of the arithmetic dst pixels; the engine
+    * must reproduce them through decode → resize → PNG re-encode → decode.
+    */
+  val q107: String =
+    """WITH d AS (SELECT doc_id AS k, CAST(doc_id % 16 + 8 AS BIGINT) AS sw,
+      |                  CAST((doc_id * 3) % 16 + 8 AS BIGINT) AS sh
+      |           FROM documents WHERE doc_id < 40),
+      |dims AS (SELECT k, sw, sh,
+      |    greatest(1, sw * 12 // greatest(sw, sh)) AS dw,
+      |    greatest(1, sh * 12 // greatest(sw, sh)) AS dh
+      |  FROM d),
+      |dst AS (SELECT k, sw, sh, dw, dh, x, y,
+      |    x * sw // dw AS x0,
+      |    greatest(x * sw // dw + 1, (x + 1) * sw // dw) AS x1,
+      |    y * sh // dh AS y0,
+      |    greatest(y * sh // dh + 1, (y + 1) * sh // dh) AS y1
+      |  FROM dims,
+      |    LATERAL (SELECT unnest(range(0, dw)) AS x) xs,
+      |    LATERAL (SELECT unnest(range(0, dh)) AS y) ys),
+      |box AS (SELECT k, dw, dh, x, y,
+      |    CAST(sum((sx + sy + k) % 256) AS BIGINT) AS sr,
+      |    CAST(sum((2*sx + sy + k) % 256) AS BIGINT) AS sg,
+      |    CAST(sum((sx + 2*sy + k) % 256) AS BIGINT) AS sb,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM dst,
+      |    LATERAL (SELECT unnest(range(x0, x1)) AS sx) bxs,
+      |    LATERAL (SELECT unnest(range(y0, y1)) AS sy) bys
+      |  GROUP BY k, dw, dh, x, y),
+      |pix AS (SELECT k, dw, dh,
+      |    299*(sr // cnt) + 587*(sg // cnt) + 114*(sb // cnt) AS l
+      |  FROM box),
+      |a AS (SELECT k, dw, dh, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(l) AS BIGINT) AS sl, CAST(sum(l*l) AS BIGINT) AS ql
+      |  FROM pix GROUP BY k, dw, dh)
+      |SELECT k AS doc_id, dw AS dst_w, dh AS dst_h,
+      |  round(CAST(sl AS DOUBLE)/n/1000.0, 4) AS luma_mean,
+      |  round(sqrt(CAST(n*ql - sl*sl AS DOUBLE)/(CAST(n AS DOUBLE)*n))/1000.0, 4)
+      |    AS luma_std
+      |FROM a ORDER BY doc_id""".stripMargin
+
+  /** q108: video frame sampling — the oracle regenerates the MP4 fixture's
+    * field arithmetic (duration ticks → ms via the movie timescale, 16.16
+    * tkhd dimensions, mdat offset 248 = ftyp 24 + moov 216 + header 8) and
+    * the frame-midpoint timestamps + proportional mdat seeks; the engine
+    * must recover them by parsing real ISO BMFF boxes.
+    */
+  val q108: String =
+    """WITH d AS (SELECT doc_id AS k,
+      |    CAST(600 * (doc_id % 3 + 1) AS BIGINT) AS ts,
+      |    CAST((doc_id * 37) % 9000 + 600 AS BIGINT) AS dt,
+      |    CAST((doc_id % 8 + 2) * 16 AS BIGINT) AS w,
+      |    CAST((doc_id % 5 + 2) * 16 AS BIGINT) AS h,
+      |    CAST(doc_id % 200 + 64 AS BIGINT) AS s
+      |  FROM documents WHERE doc_id < 50),
+      |m AS (SELECT k, w, h, s, dt * 1000 // ts AS dur_ms FROM d),
+      |f AS (SELECT k, w, h, dur_ms, s, i,
+      |    dur_ms * (2*i + 1) // 8 AS ts_ms
+      |  FROM m, LATERAL (SELECT unnest(range(0, 4)) AS i) ii),
+      |p AS (SELECT k, w, h, dur_ms, i, ts_ms,
+      |    least(s - 1, ts_ms * s // greatest(1, dur_ms)) AS rel
+      |  FROM f)
+      |SELECT k AS doc_id, w AS video_width, h AS video_height,
+      |  dur_ms AS video_duration_ms, i AS frame_idx, ts_ms,
+      |  248 + rel AS probe_offset, (7*k + 13*rel) % 256 AS probe_byte
+      |FROM p ORDER BY doc_id, frame_idx""".stripMargin
+
   /** q99: key-skew profile — exact counts, heaviest-first with value
     * tie-break, share over the exact total.
     */
@@ -1775,6 +1844,8 @@ object Oracles {
       // q106 = q02's projection under approx=true: every projected column is
       // exact in both modes, so the oracle is shared verbatim
       "q106_describe_approx" -> q02,
+      "q107_image_resize" -> q107,
+      "q108_video_frames" -> q108,
       "q03_value_counts_orders" -> q03,
       "q04_histogram_price" -> q04,
       "q05_pearson_lineitem" -> q05,

@@ -1350,28 +1350,33 @@ object Queries {
     * statistics arithmetically from the pixel function (q47's
     * recover-by-parsing pattern, extended from headers to pixel data).
     */
-  def q100ImageFeatures(s: SparkSession, dir: String): DataFrame = {
-    val mkPng = udf { (k: Long) =>
-      val w = (k % 16 + 8).toInt
-      val h = ((k * 3) % 16 + 8).toInt
-      val img = new java.awt.image.BufferedImage(
-        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val r = ((x + y + k) % 256).toInt
-          val g = ((2 * x + y + k) % 256).toInt
-          val b = ((x + 2 * y + k) % 256).toInt
-          img.setRGB(x, y, (r << 16) | (g << 8) | b)
-          x += 1
-        }
-        y += 1
+  /** Deterministic PNG fixture generator shared by q100/q107: w = k%16+8,
+    * h = (3k)%16+8, channel values (x+y+k)%256 / (2x+y+k)%256 / (x+2y+k)%256
+    * — the oracles regenerate the same pixels arithmetically in SQL.
+    */
+  private val mkPng = udf { (k: Long) =>
+    val w = (k % 16 + 8).toInt
+    val h = ((k * 3) % 16 + 8).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((x + y + k) % 256).toInt
+        val g = ((2 * x + y + k) % 256).toInt
+        val b = ((x + 2 * y + k) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
       }
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
-      bos.toByteArray
+      y += 1
     }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  def q100ImageFeatures(s: SparkSession, dir: String): DataFrame = {
     val docs = table(s, dir, "documents").where(col("doc_id") < 40)
       .select(col("doc_id"), mkPng(col("doc_id")).as("img"))
     val withP = ops.Multimodal.withPayload(docs, "img", "image", "image/png")
@@ -1524,6 +1529,98 @@ object Queries {
       .orderBy("column_name")
   }
 
+  /** Image thumbnail pipeline: synthesize real PNGs (q100's generator),
+    * resize with the exactly-pinned integer box filter (decode → box-average
+    * → PNG re-encode), then recover the resized pixels by decoding AGAIN
+    * through the standard featurize path — PNG is lossless, so the luma
+    * statistics are exactly those of the arithmetic dst pixels the oracle
+    * recomputes in SQL. Exercises the full decode→transform→encode→decode
+    * round trip of the multimodal plumbing.
+    */
+  def q107ImageResize(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents").where(col("doc_id") < 40)
+      .select(col("doc_id"), mkPng(col("doc_id")).as("img"))
+    val withP = ops.Multimodal.withPayload(docs, "img", "image", "image/png")
+    val resized = ops.Multimodal.resizeImages(withP, maxSide = 12)
+      .select(col("doc_id"), col("payload_resized"))
+    val withP2 = ops.Multimodal.withPayload(resized, "payload_resized",
+      "image", "image/png")
+    val meta = ops.Multimodal.decodeMeta(withP2)
+    ops.Multimodal.featurize(meta)
+      .select(col("doc_id"),
+        col("payload_meta.width").as("dst_w"),
+        col("payload_meta.height").as("dst_h"),
+        element_at(col("features"), 7).as("luma_mean"),
+        element_at(col("features"), 8).as("luma_std"))
+      .orderBy("doc_id")
+  }
+
+  /** Minimal valid ISO BMFF (MP4) fixture: ftyp + moov(mvhd v0 + trak/tkhd
+    * v0) + mdat, all field values deterministic functions of k that the
+    * oracle mirrors. mdat content byte i = (7k + 13i) % 256 so the frame
+    * probe's byte-accurate seek is SQL-verifiable.
+    */
+  private val mkMp4 = udf { (k: Long) =>
+    val timescale = (600 * (k % 3 + 1)).toInt
+    val durTicks = ((k * 37) % 9000 + 600).toInt
+    val w = ((k % 8 + 2) * 16).toInt
+    val h = ((k % 5 + 2) * 16).toInt
+    val dataLen = (k % 200 + 64).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    def be32(v: Int): Unit = {
+      bos.write((v >>> 24) & 0xFF); bos.write((v >>> 16) & 0xFF)
+      bos.write((v >>> 8) & 0xFF); bos.write(v & 0xFF)
+    }
+    def tag(t: String): Unit = bos.write(t.getBytes("ISO-8859-1"))
+    // ftyp (24 bytes)
+    be32(24); tag("ftyp"); tag("isom"); be32(0x200); tag("isom"); tag("mp41")
+    // moov (8 + 108 + 100)
+    be32(216); tag("moov")
+    be32(108); tag("mvhd"); be32(0) // version 0 + flags
+    be32(0); be32(0)                // creation, modification
+    be32(timescale); be32(durTicks)
+    be32(0x00010000); be32(0x01000000) // rate 1.0, volume 1.0 + reserved
+    be32(0); be32(0)                // reserved
+    // unity matrix
+    be32(0x00010000); be32(0); be32(0)
+    be32(0); be32(0x00010000); be32(0)
+    be32(0); be32(0); be32(0x40000000)
+    (0 until 6).foreach(_ => be32(0)) // pre_defined
+    be32(2)                          // next_track_ID
+    be32(100); tag("trak")
+    be32(92); tag("tkhd"); be32(0x000007) // v0, flags: enabled|in-movie
+    be32(0); be32(0); be32(1); be32(0); be32(durTicks) // times, id, res, dur
+    be32(0); be32(0)                // reserved
+    be32(0); be32(0)                // layer/alt-group, volume/reserved
+    be32(0x00010000); be32(0); be32(0)
+    be32(0); be32(0x00010000); be32(0)
+    be32(0); be32(0); be32(0x40000000)
+    be32(w << 16); be32(h << 16)    // 16.16 fixed width/height
+    // mdat
+    be32(8 + dataLen); tag("mdat")
+    var i = 0
+    while (i < dataLen) { bos.write(((7 * k + 13 * i) % 256).toInt); i += 1 }
+    bos.toByteArray
+  }
+
+  /** Video frame sampling: parse real MP4 container metadata (timescale →
+    * duration, 16.16 tkhd dimensions, mdat location) from synthesized
+    * fixtures, then explode each video into 4 evenly spaced frames with a
+    * byte-accurate proportional seek into mdat. Frame pixel decode is the
+    * documented stub ([[ops.Video.probeByte]]); timestamps, offsets, and
+    * probed bytes are all independently recomputed by the SQL oracle.
+    */
+  def q108VideoFrames(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents").where(col("doc_id") < 50)
+      .select(col("doc_id"), mkMp4(col("doc_id")).as("payload"))
+    val meta = ops.Video.describeVideos(docs)
+    ops.Video.sampleFrames(meta, n = 4)
+      .select(col("doc_id"),
+        col("video_width"), col("video_height"), col("video_duration_ms"),
+        col("frame_idx"), col("ts_ms"), col("probe_offset"), col("probe_byte"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -1666,6 +1763,8 @@ object Queries {
     "q103_pca_project" -> (q103PcaProject _),
     "q104_opq_error" -> (q104OpqError _),
     "q105_ivf_opq" -> (q105IvfOpq _),
-    "q106_describe_approx" -> (q106DescribeApprox _)
+    "q106_describe_approx" -> (q106DescribeApprox _),
+    "q107_image_resize" -> (q107ImageResize _),
+    "q108_video_frames" -> (q108VideoFrames _)
   )
 }

@@ -278,4 +278,91 @@ object Multimodal {
   def payloadStats(df: DataFrame, payloadCol: String = "payload"): DataFrame =
     df.withColumn("payload_bytes", length(col(payloadCol)).cast(LongType))
       .withColumn("payload_md5", md5(col(payloadCol)))
+
+  // ------------------------------------------------------------------ resize
+
+  /** Aspect-preserving thumbnail dimensions under a max side length, exact
+    * integer floor arithmetic (mirrored by the SQL oracle): with
+    * m = max(sw, sh), dw = max(1, sw·T/m), dh = max(1, sh·T/m).
+    */
+  def thumbDims(sw: Int, sh: Int, maxSide: Int): (Int, Int) = {
+    val m = math.max(sw, sh)
+    (math.max(1, sw * maxSide / m), math.max(1, sh * maxSide / m))
+  }
+
+  /** Deterministic integer box-filter resize of decoded sRGB pixels. The
+    * source box for destination pixel (x, y) is
+    * `[x·sw/dw, max(x·sw/dw+1, (x+1)·sw/dw)) × [y·sh/dh, max(·+1, ·))`
+    * (floor division), i.e. area averaging on downscale degrading to
+    * nearest-neighbor on upscale — no empty boxes at any scale pair. Each
+    * output channel is the floor of the box mean (exact integer sums). The
+    * arithmetic is fully pinned so results are identical on every JVM and
+    * reproducible in plain SQL, unlike Graphics2D interpolation.
+    */
+  def resizePixels(src: java.awt.image.BufferedImage, dw: Int, dh: Int): java.awt.image.BufferedImage = {
+    val sw = src.getWidth; val sh = src.getHeight
+    val out = new java.awt.image.BufferedImage(
+      dw, dh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < dh) {
+      val y0 = y * sh / dh
+      val y1 = math.max(y0 + 1, (y + 1) * sh / dh)
+      var x = 0
+      while (x < dw) {
+        val x0 = x * sw / dw
+        val x1 = math.max(x0 + 1, (x + 1) * sw / dw)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var sy = y0
+        while (sy < y1) {
+          var sx = x0
+          while (sx < x1) {
+            val rgb = src.getRGB(sx, sy)
+            sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
+            sx += 1
+          }
+          sy += 1
+        }
+        val n = (x1 - x0).toLong * (y1 - y0)
+        out.setRGB(x, y,
+          (((sr / n).toInt) << 16) | (((sg / n).toInt) << 8) | (sb / n).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Partition-batched image resize: decode (`javax.imageio`), box-filter
+    * resize to fit `maxSide` ([[thumbDims]] + [[resizePixels]]), re-encode
+    * as PNG (lossless — downstream [[featurize]] recovers the resized
+    * pixels exactly). Undecodable payloads pass through as null. Per-row
+    * work, no shuffle; at 100 TB this is a pure map stage whose cost is
+    * decode-bound and scales linearly with payload bytes.
+    */
+  def resizeImages(df: DataFrame, maxSide: Int, payloadCol: String = "payload",
+                   outCol: String = "payload_resized"): DataFrame = {
+    val schema = df.schema.add(StructField(outCol, BinaryType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
+        val resized: Array[Byte] =
+          if (bytes == null) null
+          else {
+            val img =
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              catch { case _: java.io.IOException => null }
+            if (img == null || img.getWidth <= 0 || img.getHeight <= 0) null
+            else {
+              val (dw, dh) = thumbDims(img.getWidth, img.getHeight, maxSide)
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(resizePixels(img, dw, dh), "png", bos)
+              bos.toByteArray
+            }
+          }
+        Row.fromSeq(r.toSeq :+ resized)
+      }
+    }(enc)
+  }
 }

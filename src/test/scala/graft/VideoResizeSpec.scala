@@ -1,0 +1,176 @@
+package graft
+
+import graft.ops.{Multimodal, Video, VideoMeta}
+import org.apache.spark.sql.functions._
+
+/** Image resize (integer box filter) and video container parsing /
+  * frame-sampling plumbing.
+  */
+class VideoResizeSpec extends SparkSpec {
+
+  // ------------------------------------------------------------- image resize
+
+  test("thumbDims: aspect-preserving integer floor arithmetic") {
+    assert(Multimodal.thumbDims(24, 12, 12) == (12, 6))   // 2:1 downscale
+    assert(Multimodal.thumbDims(8, 8, 12) == (12, 12))    // upscale square
+    assert(Multimodal.thumbDims(23, 9, 12) == (12, 4))    // 23*12/23, 9*12/23
+    assert(Multimodal.thumbDims(1000, 1, 12) == (12, 1))  // extreme aspect
+    assert(Multimodal.thumbDims(1, 1000, 12) == (1, 12))
+  }
+
+  /** Brute-force reference of the pinned box-filter semantics. */
+  private def refResize(src: Array[Array[Int]], dw: Int, dh: Int): Array[Array[Int]] = {
+    val sh = src.length; val sw = src(0).length
+    Array.tabulate(dh, dw) { (y, x) =>
+      val x0 = x * sw / dw; val x1 = math.max(x0 + 1, (x + 1) * sw / dw)
+      val y0 = y * sh / dh; val y1 = math.max(y0 + 1, (y + 1) * sh / dh)
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (sy <- y0 until y1; sx <- x0 until x1) {
+        val p = src(sy)(sx)
+        sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+      }
+      val n = (x1 - x0).toLong * (y1 - y0)
+      (((sr / n).toInt) << 16) | (((sg / n).toInt) << 8) | (sb / n).toInt
+    }
+  }
+
+  test("resizePixels matches the brute-force box-filter reference") {
+    val rnd = new scala.util.Random(7)
+    for ((sw, sh, dw, dh) <- Seq((10, 7, 4, 3), (5, 5, 12, 12), (16, 4, 8, 2),
+                                 (9, 13, 3, 5))) {
+      val src = Array.fill(sh, sw)(rnd.nextInt(1 << 24))
+      val img = new java.awt.image.BufferedImage(
+        sw, sh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until sh; x <- 0 until sw) img.setRGB(x, y, src(y)(x))
+      val out = Multimodal.resizePixels(img, dw, dh)
+      val ref = refResize(src, dw, dh)
+      assert(out.getWidth == dw && out.getHeight == dh)
+      for (y <- 0 until dh; x <- 0 until dw)
+        assert((out.getRGB(x, y) & 0xFFFFFF) == ref(y)(x),
+          s"pixel ($x,$y) of ${sw}x$sh -> ${dw}x$dh")
+    }
+  }
+
+  test("resizeImages: PNG decode -> resize -> re-encode round trip on a DataFrame") {
+    import spark.implicits._
+    val mkPng = udf { (k: Long) =>
+      val img = new java.awt.image.BufferedImage(
+        20, 10, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 10; x <- 0 until 20)
+        img.setRGB(x, y, (((x * 12) % 256) << 16) | (((y * 25) % 256) << 8) | k.toInt)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val df = Seq(1L, 2L).toDF("id").withColumn("img", mkPng(col("id")))
+    val withP = Multimodal.withPayload(df, "img", "image", "image/png")
+    val out = Multimodal.resizeImages(withP, maxSide = 8).collect()
+    assert(out.length == 2)
+    for (r <- out) {
+      val bytes = r.getAs[Array[Byte]]("payload_resized")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img.getWidth == 8 && img.getHeight == 4) // 20x10 under max side 8
+    }
+    // undecodable payload passes through as null, row preserved
+    val junk = Seq(("x", "not an image".getBytes)).toDF("id", "payload")
+    val jr = Multimodal.resizeImages(junk, 8).collect()
+    assert(jr.length == 1 && jr(0).isNullAt(jr(0).fieldIndex("payload_resized")))
+  }
+
+  // ------------------------------------------------------------ video parsing
+
+  private def be32(v: Int): Array[Byte] =
+    Array(((v >>> 24) & 0xFF).toByte, ((v >>> 16) & 0xFF).toByte,
+      ((v >>> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >>> 8) & 0xFF).toByte,
+      ((v >>> 16) & 0xFF).toByte, ((v >>> 24) & 0xFF).toByte)
+  private def tag(t: String): Array[Byte] = t.getBytes("ISO-8859-1")
+
+  /** Minimal MP4: ftyp + moov(mvhd v0 + trak(tkhd v0)) + mdat. */
+  private def mkMp4(timescale: Int, durTicks: Int, w: Int, h: Int,
+                    data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def p(b: Array[Byte]): Unit = bos.write(b)
+    p(be32(24)); p(tag("ftyp")); p(tag("isom")); p(be32(0x200))
+    p(tag("isom")); p(tag("mp41"))
+    p(be32(216)); p(tag("moov"))
+    p(be32(108)); p(tag("mvhd")); p(be32(0)); p(be32(0)); p(be32(0))
+    p(be32(timescale)); p(be32(durTicks)); p(be32(0x00010000)); p(be32(0x01000000))
+    p(be32(0)); p(be32(0))
+    p(be32(0x00010000)); p(be32(0)); p(be32(0)); p(be32(0)); p(be32(0x00010000))
+    p(be32(0)); p(be32(0)); p(be32(0)); p(be32(0x40000000))
+    (0 until 6).foreach(_ => p(be32(0))); p(be32(2))
+    p(be32(100)); p(tag("trak"))
+    p(be32(92)); p(tag("tkhd")); p(be32(7)); p(be32(0)); p(be32(0)); p(be32(1))
+    p(be32(0)); p(be32(durTicks)); p(be32(0)); p(be32(0)); p(be32(0)); p(be32(0))
+    p(be32(0x00010000)); p(be32(0)); p(be32(0)); p(be32(0)); p(be32(0x00010000))
+    p(be32(0)); p(be32(0)); p(be32(0)); p(be32(0x40000000))
+    p(be32(w << 16)); p(be32(h << 16))
+    p(be32(8 + data.length)); p(tag("mdat")); p(data)
+    bos.toByteArray
+  }
+
+  /** Minimal AVI: RIFF(AVI ) + LIST hdrl(avih) + LIST movi. */
+  private def mkAvi(usPerFrame: Int, totalFrames: Int, w: Int, h: Int,
+                    movi: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def p(b: Array[Byte]): Unit = bos.write(b)
+    val hdrlSize = 4 + 8 + 56
+    val moviSize = 4 + movi.length
+    val total = 4 + 8 + hdrlSize + 8 + moviSize
+    p(tag("RIFF")); p(le32(total)); p(tag("AVI "))
+    p(tag("LIST")); p(le32(hdrlSize)); p(tag("hdrl"))
+    p(tag("avih")); p(le32(56))
+    p(le32(usPerFrame)); p(le32(0)); p(le32(0)); p(le32(0))
+    p(le32(totalFrames)); p(le32(0)); p(le32(1)); p(le32(0))
+    p(le32(w)); p(le32(h))
+    (0 until 4).foreach(_ => p(le32(0)))
+    p(tag("LIST")); p(le32(moviSize)); p(tag("movi")); p(movi)
+    bos.toByteArray
+  }
+
+  test("VideoMeta: MP4 mvhd/tkhd/mdat fields recovered from real boxes") {
+    val data = Array.tabulate(100)(i => (i % 251).toByte)
+    val mp4 = mkMp4(timescale = 600, durTicks = 3000, w = 320, h = 240, data)
+    val info = VideoMeta.decode(mp4).get
+    assert(info.mime == "video/mp4")
+    assert(info.durationMs == 5000) // 3000 ticks / 600 per sec
+    assert(info.width == 320 && info.height == 240)
+    assert(info.dataOffset == 248 && info.dataSize == 100)
+    // truncated and junk payloads refuse cleanly
+    assert(VideoMeta.decode(mp4.take(30)).isEmpty)
+    assert(VideoMeta.decode("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(VideoMeta.decode(Array.empty[Byte]).isEmpty)
+  }
+
+  test("VideoMeta: AVI avih/movi fields recovered from RIFF chunks") {
+    val movi = Array.fill[Byte](40)(9)
+    val avi = mkAvi(usPerFrame = 40000, totalFrames = 250, w = 640, h = 480, movi)
+    val info = VideoMeta.decode(avi).get
+    assert(info.mime == "video/x-msvideo")
+    assert(info.durationMs == 10000) // 250 frames at 25 fps
+    assert(info.width == 640 && info.height == 480)
+    assert(info.dataSize == 40)
+    assert(new String(avi, info.dataOffset.toInt - 4, 4, "ISO-8859-1") == "movi")
+  }
+
+  test("sampleFrames: 1-to-n explosion, midpoint timestamps, proportional seeks") {
+    import spark.implicits._
+    val data = Array.tabulate(200)(i => ((i * 3) % 256).toByte)
+    val mp4 = mkMp4(600, 6000, 160, 80, data) // 10 000 ms
+    val df = Seq((1L, mp4), (2L, "junk".getBytes)).toDF("id", "payload")
+    val frames = Video.sampleFrames(df, n = 4).collect().sortBy(_.getInt(2))
+    assert(frames.length == 4) // junk row yields zero frames
+    assert(frames.map(_.getLong(3)).toSeq == Seq(1250L, 3750L, 6250L, 8750L))
+    for (r <- frames) {
+      val ts = r.getLong(3)
+      val off = 248 + math.min(199L, ts * 200 / 10000)
+      assert(r.getLong(4) == off)
+      assert(r.getInt(5) == (mp4(off.toInt) & 0xFF))
+    }
+    val meta = Video.describeVideos(df).collect().sortBy(_.getLong(0))
+    assert(meta(0).getAs[Long]("video_duration_ms") == 10000L)
+    assert(meta(1).isNullAt(meta(1).fieldIndex("video_mime")))
+  }
+}
