@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{MinhashSig, NgramHashes, NormalizeText, PqEncode, SimhashSig, VectorDot}
+import graft.expressions.{HeavyHitters, MinhashSig, NgramHashes, NormalizeText, PqEncode, SimhashSig, VectorDot}
 
 /** Engine extension entry point: register native expressions with a session
   * via `spark.sql.extensions=graft.GraftExtensions` (or
@@ -38,5 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("ww_pq_encode"),
       new ExpressionInfo(classOf[PqEncode].getName, "ww_pq_encode"),
       (children: Seq[Expression]) => PqEncode(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("ww_heavy_hitters"),
+      new ExpressionInfo(classOf[HeavyHitters].getName, "ww_heavy_hitters"),
+      (children: Seq[Expression]) =>
+        HeavyHitters(children.head, children(1)).toAggregateExpression()))
   }
 }

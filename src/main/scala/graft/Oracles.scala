@@ -1776,6 +1776,18 @@ object Oracles {
       |  248 + rel AS probe_offset, (7*k + 13*rel) % 256 AS probe_byte
       |FROM p ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** q109: heavy hitters in the exact regime (distinct ≤ capacity per
+    * group): the Misra–Gries summary never decrements, so both bounds equal
+    * the exact grouped count.
+    */
+  val q109: String =
+    """SELECT source, lang AS value,
+      |  CAST(count(*) AS BIGINT) AS count_lo,
+      |  CAST(count(*) AS BIGINT) AS count_hi
+      |FROM documents WHERE lang IS NOT NULL
+      |GROUP BY source, lang
+      |ORDER BY source, count_lo DESC, value""".stripMargin
+
   /** q99: key-skew profile — exact counts, heaviest-first with value
     * tie-break, share over the exact total.
     */
@@ -1846,6 +1858,7 @@ object Oracles {
       "q106_describe_approx" -> q02,
       "q107_image_resize" -> q107,
       "q108_video_frames" -> q108,
+      "q109_heavy_hitters" -> q109,
       "q03_value_counts_orders" -> q03,
       "q04_histogram_price" -> q04,
       "q05_pearson_lineitem" -> q05,

@@ -1621,6 +1621,20 @@ object Queries {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Per-source frequent languages via the native bounded-memory
+    * Misra–Gries aggregate (`ww_heavy_hitters`): at most `capacity`
+    * counters per partial buffer regardless of column cardinality. The
+    * fixture stays in the exact regime (≤5 distinct langs per source,
+    * capacity 16), so the oracle is the exact grouped count — the sketch's
+    * bounds collapse to count_lo = count_hi there; the lossy regime is
+    * property-tested in SketchesSpec instead (order-dependent counts, only
+    * bounds are stable).
+    */
+  def q109HeavyHitters(s: SparkSession, dir: String): DataFrame =
+    ops.Sketches.heavyHitters(table(s, dir, "documents"), "lang",
+        capacity = 16, groupCols = Seq("source"))
+      .orderBy(col("source"), col("count_lo").desc, col("value"))
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -1765,6 +1779,7 @@ object Queries {
     "q105_ivf_opq" -> (q105IvfOpq _),
     "q106_describe_approx" -> (q106DescribeApprox _),
     "q107_image_resize" -> (q107ImageResize _),
-    "q108_video_frames" -> (q108VideoFrames _)
+    "q108_video_frames" -> (q108VideoFrames _),
+    "q109_heavy_hitters" -> (q109HeavyHitters _)
   )
 }

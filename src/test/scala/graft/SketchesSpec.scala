@@ -1,0 +1,65 @@
+package graft
+
+import graft.ops.Sketches
+import org.apache.spark.sql.functions._
+
+/** Bounded-memory heavy-hitters aggregate: exact regime parity, lossy
+  * regime bounds, merge across partitions, SQL registration.
+  */
+class SketchesSpec extends SparkSpec {
+
+  test("heavy hitters exact regime: equals grouped counts (native + fallback)") {
+    import spark.implicits._
+    val df = Seq.tabulate(300)(i => (s"g${i % 2}", s"v${i % 7}"))
+      .toDF("g", "v").repartition(8) // force multi-partition partials + merge
+    val expected = df.groupBy("g", "v").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+
+    val hh = Sketches.heavyHitters(df, "v", capacity = 16, groupCols = Seq("g"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(hh.map(t => (t._1, t._2, t._3)).toSet == expected)
+    assert(hh.forall(t => t._3 == t._4), "exact regime: count_lo == count_hi")
+
+    // fallback path (window-ranked exact groupBy): same rows in this regime
+    val fb = Sketches.heavyHitters(df, "v", capacity = 16,
+        groupCols = Seq("g"), forceFallback = true)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(fb == expected)
+  }
+
+  test("heavy hitters lossy regime: MG bounds hold, frequent values present") {
+    import spark.implicits._
+    // zipf-ish: value v_k appears 2^(10-k) times for k in 0..9, plus 200
+    // singletons — far more distinct values than capacity
+    val rows = (0 until 10).flatMap(k => Seq.fill(1 << (10 - k))(s"v$k")) ++
+      (0 until 200).map(i => s"rare$i")
+    val n = rows.length
+    val truth = rows.groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+    val cap = 12
+    val hh = Sketches.heavyHitters(rows.toDF("v").repartition(8), "v", cap)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+
+    assert(hh.length <= cap)
+    for ((v, lo, hi) <- hh) {
+      val t = truth(v)
+      assert(lo <= t && t <= hi, s"$v: bounds [$lo,$hi] miss true $t")
+    }
+    // every value with frequency > N/(cap+1) is guaranteed tracked
+    val guaranteed = truth.filter(_._2 > n.toLong / (cap + 1)).keySet
+    assert(guaranteed.subsetOf(hh.map(_._1).toSet),
+      s"missing guaranteed hitters: ${guaranteed -- hh.map(_._1).toSet}")
+    // heaviest-first presentation
+    assert(hh.map(_._2).toSeq == hh.map(_._2).sorted(Ordering[Long].reverse).toSeq)
+  }
+
+  test("ww_heavy_hitters usable from SQL with nulls ignored") {
+    import spark.implicits._
+    Seq(Some("a"), Some("a"), Some("b"), None, Some("a"))
+      .toDF("v").createOrReplaceTempView("hh_in")
+    val out = spark.sql(
+      "SELECT ww_heavy_hitters(v, 4) AS hh FROM hh_in").collect()(0)
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(out.map(r => (r.getString(0), r.getLong(1))) == Seq(("a", 3L), ("b", 1L)))
+  }
+}
