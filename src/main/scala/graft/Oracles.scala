@@ -1788,6 +1788,28 @@ object Oracles {
       |GROUP BY source, lang
       |ORDER BY source, count_lo DESC, value""".stripMargin
 
+  /** q110: merged-profile quantiles in the KLL exact regime (n ≤ k): the
+    * sketch retains every value, and its inclusive-rank getQuantile(p) is
+    * the order statistic at index ceil(p·n) (1-based) — computed here
+    * directly from the sorted slice.
+    */
+  val q110: String =
+    """WITH s AS (
+      |  SELECT 'value' AS column_name, CAST(value AS DOUBLE) AS v
+      |  FROM events WHERE event_id < 150 AND value IS NOT NULL
+      |  UNION ALL
+      |  SELECT 'user_id', CAST(user_id AS DOUBLE)
+      |  FROM events WHERE event_id < 150 AND user_id IS NOT NULL),
+      |o AS (SELECT column_name, v,
+      |    row_number() OVER (PARTITION BY column_name ORDER BY v) AS rn,
+      |    count(*) OVER (PARTITION BY column_name) AS n
+      |  FROM s)
+      |SELECT column_name,
+      |  round(max(CASE WHEN rn = CAST(ceil(0.25*n) AS BIGINT) THEN v END), 4) AS p25,
+      |  round(max(CASE WHEN rn = CAST(ceil(0.50*n) AS BIGINT) THEN v END), 4) AS p50,
+      |  round(max(CASE WHEN rn = CAST(ceil(0.75*n) AS BIGINT) THEN v END), 4) AS p75
+      |FROM o GROUP BY column_name ORDER BY column_name""".stripMargin
+
   /** q99: key-skew profile — exact counts, heaviest-first with value
     * tie-break, share over the exact total.
     */
@@ -1859,6 +1881,7 @@ object Oracles {
       "q107_image_resize" -> q107,
       "q108_video_frames" -> q108,
       "q109_heavy_hitters" -> q109,
+      "q110_profile_quantiles" -> q110,
       "q03_value_counts_orders" -> q03,
       "q04_histogram_price" -> q04,
       "q05_pearson_lineitem" -> q05,

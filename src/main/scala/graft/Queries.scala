@@ -1635,6 +1635,23 @@ object Queries {
         capacity = 16, groupCols = Seq("source"))
       .orderBy(col("source"), col("count_lo").desc, col("value"))
 
+  /** Mergeable quantile profiles: two disjoint batches are profiled
+    * independently with KLL doubles sketches, merged WITHOUT rescanning,
+    * and percentiles read off the merged sketch. The fixture keeps total
+    * n (150) under the sketch's k (200), where KLL retains every value and
+    * its inclusive-rank quantiles are exactly the order statistics the
+    * oracle computes — merge correctness is what's actually under test;
+    * the sketch's approximate regime is DataSketches-guaranteed.
+    */
+  def q110ProfileQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events").where(col("event_id") < 150)
+    val batches = Seq(
+      ev.where(col("event_id") < 75), ev.where(col("event_id") >= 75))
+      .map(b => stats.IncrementalProfile.profile(
+        b, Seq("value", "user_id"), quantiles = true))
+    stats.IncrementalProfile.quantiles(stats.IncrementalProfile.merge(batches))
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -1780,6 +1797,7 @@ object Queries {
     "q106_describe_approx" -> (q106DescribeApprox _),
     "q107_image_resize" -> (q107ImageResize _),
     "q108_video_frames" -> (q108VideoFrames _),
-    "q109_heavy_hitters" -> (q109HeavyHitters _)
+    "q109_heavy_hitters" -> (q109HeavyHitters _),
+    "q110_profile_quantiles" -> (q110ProfileQuantiles _)
   )
 }

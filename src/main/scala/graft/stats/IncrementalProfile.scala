@@ -20,14 +20,21 @@ import org.apache.spark.sql.types._
 object IncrementalProfile {
 
   /** One row per column: (column_name, count, null_count, sum, sum_sq,
-    * min, max, hll) over the given numeric columns. One wide aggregation —
-    * a single scan, partial-aggregated map-side.
+    * min, max, hll[, kll]) over the given numeric columns. One wide
+    * aggregation — a single scan, partial-aggregated map-side.
+    *
+    * `quantiles = true` additionally carries a KLL doubles sketch (Spark's
+    * `kll_sketch_agg_double`, the Apache DataSketches KLL — a mergeable
+    * quantile summary with bounded size), making merged profiles able to
+    * answer percentile questions without rescanning. Off by default: the
+    * extra sketch costs ~k doubles per (column × batch).
     */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def profile(df: DataFrame, cols: Seq[String],
+              quantiles: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "at least one column required")
     val perCol = cols.map { c0 =>
       val c = col(c0).cast(DoubleType)
-      struct(
+      val base = Seq(
         lit(c0).as("column_name"),
         count(lit(1)).as("count"),
         count(when(col(c0).isNull, 1)).as("null_count"),
@@ -38,6 +45,10 @@ object IncrementalProfile {
         // the sketch accepts int/long/string/binary only — doubles sketch
         // their canonical string rendering (distinct-preserving)
         hll_sketch_agg(col(c0).cast(StringType)).as("hll"))
+      val withKll =
+        if (quantiles) base :+ call_function("kll_sketch_agg_double", c).as("kll")
+        else base
+      struct(withKll: _*)
     }
     df.agg(perCol.head.as("s0"),
         perCol.tail.zipWithIndex.map { case (e, i) => e.as(s"s${i + 1}") }: _*)
@@ -46,22 +57,42 @@ object IncrementalProfile {
   }
 
   /** Merge any number of profiles (from disjoint row sets of the same
-    * table): counts and moments add, bounds min/max, sketches union. The
-    * shuffle is one groupBy over (columns × batches) rows — nothing
-    * rescans the data.
+    * table): counts and moments add, bounds min/max, sketches union (HLL
+    * always; KLL when the profiles carry one). The shuffle is one groupBy
+    * over (columns × batches) rows — nothing rescans the data.
     */
   def merge(profiles: Seq[DataFrame]): DataFrame = {
     require(profiles.nonEmpty, "at least one profile required")
-    profiles.reduce(_ unionByName _)
-      .groupBy(col("column_name"))
-      .agg(
-        sum(col("count")).as("count"),
-        sum(col("null_count")).as("null_count"),
-        sum(col("sum")).as("sum"),
-        sum(col("sum_sq")).as("sum_sq"),
-        min(col("min")).as("min"),
-        max(col("max")).as("max"),
-        hll_union_agg(col("hll")).as("hll"))
+    val unioned = profiles.reduce(_ unionByName _)
+    val hasKll = unioned.columns.contains("kll")
+    val aggs = Seq(
+      sum(col("count")).as("count"),
+      sum(col("null_count")).as("null_count"),
+      sum(col("sum")).as("sum"),
+      sum(col("sum_sq")).as("sum_sq"),
+      min(col("min")).as("min"),
+      max(col("max")).as("max"),
+      hll_union_agg(col("hll")).as("hll")) ++
+      (if (hasKll) Seq(call_function("kll_merge_agg_double", col("kll")).as("kll"))
+       else Nil)
+    unioned.groupBy(col("column_name")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Percentiles from a (merged) quantile-carrying profile: one row per
+    * column with the requested ranks read off the KLL sketch
+    * (`kll_sketch_get_quantile_double`, inclusive-rank convention: the
+    * smallest retained value whose rank ≥ p). Requires
+    * `profile(quantiles = true)`.
+    */
+  def quantiles(profile: DataFrame, ps: Seq[Double] = Seq(0.25, 0.5, 0.75),
+                roundTo: Int = 4): DataFrame = {
+    require(profile.columns.contains("kll"),
+      "profile was built without quantiles = true")
+    val qCols = ps.map { p =>
+      round(call_function("kll_sketch_get_quantile_double",
+        col("kll"), lit(p)), roundTo).as(s"p${math.round(p * 100)}")
+    }
+    profile.select(col("column_name") +: qCols: _*).orderBy("column_name")
   }
 
   /** Describe-style output from a (merged) profile: count, nulls, mean,

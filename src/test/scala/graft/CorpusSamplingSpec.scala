@@ -192,6 +192,38 @@ class CorpusSamplingSpec extends SparkSpec {
     assert(aRow.getAs[Long]("nunique_approx") == 13L)
   }
 
+  test("incremental profile quantiles: merged KLL sketch answers percentiles") {
+    import spark.implicits._
+    import graft.stats.IncrementalProfile
+    // exact regime (n=100 < k=200): merged-sketch quantiles are the order
+    // statistics at ceil(p*n), regardless of how rows were batched
+    val df = (1L to 100L).map(i => (i, i.toDouble)).toDF("id", "a")
+    val merged = IncrementalProfile.merge(Seq(
+      IncrementalProfile.profile(df.where(col("id") % 2 === 0), Seq("a"), quantiles = true),
+      IncrementalProfile.profile(df.where(col("id") % 2 === 1), Seq("a"), quantiles = true)))
+    val q = IncrementalProfile.quantiles(merged).head
+    assert((q.getDouble(1), q.getDouble(2), q.getDouble(3)) == (25.0, 50.0, 75.0))
+
+    // approximate regime (n=20000 >> k): DataSketches guarantees ~1.65%
+    // normalized rank error at k=200; assert a loose 5% rank window
+    val big = (1L to 20000L).map(i => (i, i.toDouble)).toDF("id", "a")
+    val bigMerged = IncrementalProfile.merge(Seq(
+      IncrementalProfile.profile(big.where(col("id") <= 10000), Seq("a"), quantiles = true),
+      IncrementalProfile.profile(big.where(col("id") > 10000), Seq("a"), quantiles = true)))
+    val bq = IncrementalProfile.quantiles(bigMerged).head
+    for ((p, i) <- Seq(0.25, 0.5, 0.75).zipWithIndex) {
+      val got = bq.getDouble(i + 1)
+      assert(math.abs(got / 20000.0 - p) < 0.05, s"p$p rank error: $got")
+    }
+
+    // profiles without the sketch refuse quantiles with a clear message
+    val plain = IncrementalProfile.profile(df, Seq("a"))
+    val err = intercept[IllegalArgumentException] {
+      IncrementalProfile.quantiles(plain)
+    }
+    assert(err.getMessage.contains("quantiles = true"))
+  }
+
   test("domainCounts: host extraction, lowercasing, distinct docs") {
     val df = docs(
       1L -> "see https://A.Example.com/x and https://a.example.com/y",
