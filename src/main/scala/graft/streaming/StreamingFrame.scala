@@ -46,6 +46,32 @@ object StreamingFrame {
         col("count"), col("mean"), col("min"), col("max"),
         col("approx_nunique"))
 
+  /** Windowed frequent values over event time: the streaming twin of
+    * [[graft.ops.Sketches.heavyHitters]]. Each window's aggregation state
+    * is ONE capacity-bounded Misra–Gries summary (the native
+    * `ww_heavy_hitters` [[graft.expressions.HeavyHitters]]), so state size
+    * per window is independent of the value column's cardinality — where a
+    * per-(window, value) count aggregation would hold every distinct value
+    * in the state store. Exact (count_lo = count_hi) while a window's
+    * distinct count stays ≤ capacity.
+    */
+  def windowedHeavyHitters(stream: DataFrame, tsCol: String, valueCol: String,
+                           capacity: Int,
+                           windowDuration: String = "1 hour",
+                           watermark: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(call_function("ww_heavy_hitters",
+        col(valueCol).cast("string"), lit(capacity)).as("hh"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        explode(col("hh")).as("h"))
+      .select(col("window_start"), col("window_end"),
+        col("h.value").as("value"),
+        col("h.count_lo").as("count_lo"),
+        col("h.count_hi").as("count_hi"))
+
   /** Streaming gap-based sessionization: per-session event counts and bounds
     * via Spark's native session_window (dynamic gap-merged windows with
     * watermark eviction) — the streaming twin of [[graft.ops.Sessionize]],

@@ -239,6 +239,25 @@ class IoStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming windowed heavy hitters: bounded per-window sketch state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val stream = mem.toDF().toDF("ts", "v")
+    val hh = StreamingFrame.windowedHeavyHitters(stream, "ts", "v",
+      capacity = 8, windowDuration = "1 hour", watermark = "0 seconds")
+    val q = hh.writeStream.format("memory").queryName("whh")
+      .outputMode("complete").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:10:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 01:10:00")
+    mem.addData((t0, "a"), (t0, "a"), (t0, "b"), (t1, "c"))
+    q.processAllAvailable()
+    val rows = spark.sql(
+        "select value, count_lo, count_hi from whh order by window_start, count_lo desc, value")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(("a", 2L, 2L), ("b", 1L, 1L), ("c", 1L, 1L)))
+    q.stop()
+  }
+
   test("streaming near-dedup collapses simhash-identical docs; piiScrub redacts") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String)]

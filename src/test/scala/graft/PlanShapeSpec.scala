@@ -70,6 +70,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"assignment must add no join:\n$plan")
   }
 
+  test("heavy hitters: partial (map-side) sketch aggregation before one capacity-sized shuffle") {
+    val df = docs.withColumn("g", (col("doc_id") % 3).cast("string"))
+    val plan = planOf(graft.ops.Sketches.heavyHitters(df, "text", 8, Seq("g")))
+    // ObjectHashAggregate partial pass = the per-partition MG summary; the
+    // exchange then carries only capacity-sized serialized states
+    assert(plan.contains("ObjectHashAggregate"),
+      s"typed-imperative aggregate expected:\n$plan")
+    assert(plan.contains("partial_ww_heavy_hitters"),
+      s"map-side partial sketch expected:\n$plan")
+  }
+
   test("naive bayes scoring re-enters via broadcast — the corpus never shuffles against the model") {
     val labeled = docs.withColumn("label",
       when(col("doc_id") % 2 === 0, "a").otherwise("b"))
