@@ -1810,6 +1810,104 @@ object Oracles {
       |  round(max(CASE WHEN rn = CAST(ceil(0.75*n) AS BIGINT) THEN v END), 4) AS p75
       |FROM o GROUP BY column_name ORDER BY column_name""".stripMargin
 
+  val q111Pinned: String =
+    """SELECT * FROM (VALUES
+      |('src0:0',CAST(4 AS BIGINT),CAST(681 AS BIGINT),CAST(1.3301 AS DOUBLE)),
+      |('src0:1',CAST(3 AS BIGINT),CAST(394 AS BIGINT),CAST(0.7695 AS DOUBLE)),
+      |('src0:2',CAST(5 AS BIGINT),CAST(690 AS BIGINT),CAST(1.3477 AS DOUBLE)),
+      |('src0:3',CAST(3 AS BIGINT),CAST(487 AS BIGINT),CAST(0.9512 AS DOUBLE)),
+      |('src10:0',CAST(4 AS BIGINT),CAST(540 AS BIGINT),CAST(1.0547 AS DOUBLE)),
+      |('src10:1',CAST(6 AS BIGINT),CAST(534 AS BIGINT),CAST(1.043 AS DOUBLE)),
+      |('src10:2',CAST(3 AS BIGINT),CAST(502 AS BIGINT),CAST(0.9805 AS DOUBLE)),
+      |('src10:3',CAST(2 AS BIGINT),CAST(483 AS BIGINT),CAST(0.9434 AS DOUBLE)),
+      |('src11:0',CAST(4 AS BIGINT),CAST(546 AS BIGINT),CAST(1.0664 AS DOUBLE)),
+      |('src11:1',CAST(3 AS BIGINT),CAST(616 AS BIGINT),CAST(1.2031 AS DOUBLE)),
+      |('src11:2',CAST(2 AS BIGINT),CAST(398 AS BIGINT),CAST(0.7773 AS DOUBLE)),
+      |('src11:3',CAST(5 AS BIGINT),CAST(614 AS BIGINT),CAST(1.1992 AS DOUBLE)),
+      |('src11:4',CAST(1 AS BIGINT),CAST(204 AS BIGINT),CAST(0.3984 AS DOUBLE)),
+      |('src12:0',CAST(4 AS BIGINT),CAST(520 AS BIGINT),CAST(1.0156 AS DOUBLE)),
+      |('src12:1',CAST(6 AS BIGINT),CAST(567 AS BIGINT),CAST(1.1074 AS DOUBLE)),
+      |('src12:2',CAST(4 AS BIGINT),CAST(611 AS BIGINT),CAST(1.1934 AS DOUBLE)),
+      |('src12:3',CAST(1 AS BIGINT),CAST(203 AS BIGINT),CAST(0.3965 AS DOUBLE)),
+      |('src13:0',CAST(4 AS BIGINT),CAST(563 AS BIGINT),CAST(1.0996 AS DOUBLE)),
+      |('src13:1',CAST(3 AS BIGINT),CAST(513 AS BIGINT),CAST(1.002 AS DOUBLE)),
+      |('src13:2',CAST(2 AS BIGINT),CAST(495 AS BIGINT),CAST(0.9668 AS DOUBLE)),
+      |('src13:3',CAST(3 AS BIGINT),CAST(512 AS BIGINT),CAST(1.0 AS DOUBLE)),
+      |('src13:4',CAST(3 AS BIGINT),CAST(389 AS BIGINT),CAST(0.7598 AS DOUBLE)),
+      |('src14:0',CAST(4 AS BIGINT),CAST(515 AS BIGINT),CAST(1.0059 AS DOUBLE)),
+      |('src14:1',CAST(5 AS BIGINT),CAST(586 AS BIGINT),CAST(1.1445 AS DOUBLE)),
+      |('src14:2',CAST(5 AS BIGINT),CAST(618 AS BIGINT),CAST(1.207 AS DOUBLE)),
+      |('src14:3',CAST(1 AS BIGINT),CAST(217 AS BIGINT),CAST(0.4238 AS DOUBLE)),
+      |('src15:0',CAST(4 AS BIGINT),CAST(527 AS BIGINT),CAST(1.0293 AS DOUBLE)),
+      |('src15:1',CAST(4 AS BIGINT),CAST(639 AS BIGINT),CAST(1.248 AS DOUBLE)),
+      |('src15:2',CAST(3 AS BIGINT),CAST(485 AS BIGINT),CAST(0.9473 AS DOUBLE)),
+      |('src15:3',CAST(4 AS BIGINT),CAST(293 AS BIGINT),CAST(0.5723 AS DOUBLE)),
+      |('src16:0',CAST(4 AS BIGINT),CAST(567 AS BIGINT),CAST(1.1074 AS DOUBLE)),
+      |('src16:1',CAST(5 AS BIGINT),CAST(656 AS BIGINT),CAST(1.2813 AS DOUBLE)),
+      |('src16:2',CAST(2 AS BIGINT),CAST(404 AS BIGINT),CAST(0.7891 AS DOUBLE)),
+      |('src16:3',CAST(4 AS BIGINT),CAST(468 AS BIGINT),CAST(0.9141 AS DOUBLE)),
+      |('src17:0',CAST(3 AS BIGINT),CAST(601 AS BIGINT),CAST(1.1738 AS DOUBLE)),
+      |('src17:1',CAST(4 AS BIGINT),CAST(496 AS BIGINT),CAST(0.9688 AS DOUBLE)),
+      |('src17:2',CAST(4 AS BIGINT),CAST(564 AS BIGINT),CAST(1.1016 AS DOUBLE)),
+      |('src17:3',CAST(4 AS BIGINT),CAST(496 AS BIGINT),CAST(0.9688 AS DOUBLE)),
+      |('src18:0',CAST(4 AS BIGINT),CAST(598 AS BIGINT),CAST(1.168 AS DOUBLE)),
+      |('src18:1',CAST(2 AS BIGINT),CAST(432 AS BIGINT),CAST(0.8438 AS DOUBLE)),
+      |('src18:2',CAST(5 AS BIGINT),CAST(652 AS BIGINT),CAST(1.2734 AS DOUBLE)),
+      |('src18:3',CAST(3 AS BIGINT),CAST(462 AS BIGINT),CAST(0.9023 AS DOUBLE)),
+      |('src18:4',CAST(1 AS BIGINT),CAST(81 AS BIGINT),CAST(0.1582 AS DOUBLE)),
+      |('src19:0',CAST(8 AS BIGINT),CAST(634 AS BIGINT),CAST(1.2383 AS DOUBLE)),
+      |('src19:1',CAST(3 AS BIGINT),CAST(404 AS BIGINT),CAST(0.7891 AS DOUBLE)),
+      |('src19:2',CAST(4 AS BIGINT),CAST(574 AS BIGINT),CAST(1.1211 AS DOUBLE)),
+      |('src1:0',CAST(4 AS BIGINT),CAST(574 AS BIGINT),CAST(1.1211 AS DOUBLE)),
+      |('src1:1',CAST(4 AS BIGINT),CAST(547 AS BIGINT),CAST(1.0684 AS DOUBLE)),
+      |('src1:2',CAST(4 AS BIGINT),CAST(507 AS BIGINT),CAST(0.9902 AS DOUBLE)),
+      |('src1:3',CAST(2 AS BIGINT),CAST(473 AS BIGINT),CAST(0.9238 AS DOUBLE)),
+      |('src1:4',CAST(1 AS BIGINT),CAST(79 AS BIGINT),CAST(0.1543 AS DOUBLE)),
+      |('src2:0',CAST(4 AS BIGINT),CAST(699 AS BIGINT),CAST(1.3652 AS DOUBLE)),
+      |('src2:1',CAST(2 AS BIGINT),CAST(351 AS BIGINT),CAST(0.6855 AS DOUBLE)),
+      |('src2:2',CAST(4 AS BIGINT),CAST(650 AS BIGINT),CAST(1.2695 AS DOUBLE)),
+      |('src2:3',CAST(2 AS BIGINT),CAST(362 AS BIGINT),CAST(0.707 AS DOUBLE)),
+      |('src2:4',CAST(3 AS BIGINT),CAST(379 AS BIGINT),CAST(0.7402 AS DOUBLE)),
+      |('src3:0',CAST(6 AS BIGINT),CAST(754 AS BIGINT),CAST(1.4727 AS DOUBLE)),
+      |('src3:1',CAST(2 AS BIGINT),CAST(282 AS BIGINT),CAST(0.5508 AS DOUBLE)),
+      |('src3:2',CAST(5 AS BIGINT),CAST(502 AS BIGINT),CAST(0.9805 AS DOUBLE)),
+      |('src3:3',CAST(2 AS BIGINT),CAST(428 AS BIGINT),CAST(0.8359 AS DOUBLE)),
+      |('src4:0',CAST(5 AS BIGINT),CAST(656 AS BIGINT),CAST(1.2813 AS DOUBLE)),
+      |('src4:1',CAST(4 AS BIGINT),CAST(372 AS BIGINT),CAST(0.7266 AS DOUBLE)),
+      |('src4:2',CAST(4 AS BIGINT),CAST(650 AS BIGINT),CAST(1.2695 AS DOUBLE)),
+      |('src4:3',CAST(2 AS BIGINT),CAST(386 AS BIGINT),CAST(0.7539 AS DOUBLE)),
+      |('src5:0',CAST(3 AS BIGINT),CAST(583 AS BIGINT),CAST(1.1387 AS DOUBLE)),
+      |('src5:1',CAST(5 AS BIGINT),CAST(560 AS BIGINT),CAST(1.0938 AS DOUBLE)),
+      |('src5:2',CAST(4 AS BIGINT),CAST(529 AS BIGINT),CAST(1.0332 AS DOUBLE)),
+      |('src5:3',CAST(3 AS BIGINT),CAST(588 AS BIGINT),CAST(1.1484 AS DOUBLE)),
+      |('src6:0',CAST(6 AS BIGINT),CAST(517 AS BIGINT),CAST(1.0098 AS DOUBLE)),
+      |('src6:1',CAST(4 AS BIGINT),CAST(662 AS BIGINT),CAST(1.293 AS DOUBLE)),
+      |('src6:2',CAST(5 AS BIGINT),CAST(370 AS BIGINT),CAST(0.7227 AS DOUBLE)),
+      |('src7:0',CAST(4 AS BIGINT),CAST(628 AS BIGINT),CAST(1.2266 AS DOUBLE)),
+      |('src7:1',CAST(4 AS BIGINT),CAST(562 AS BIGINT),CAST(1.0977 AS DOUBLE)),
+      |('src7:2',CAST(2 AS BIGINT),CAST(450 AS BIGINT),CAST(0.8789 AS DOUBLE)),
+      |('src7:3',CAST(3 AS BIGINT),CAST(573 AS BIGINT),CAST(1.1191 AS DOUBLE)),
+      |('src7:4',CAST(2 AS BIGINT),CAST(229 AS BIGINT),CAST(0.4473 AS DOUBLE)),
+      |('src8:0',CAST(4 AS BIGINT),CAST(538 AS BIGINT),CAST(1.0508 AS DOUBLE)),
+      |('src8:1',CAST(5 AS BIGINT),CAST(566 AS BIGINT),CAST(1.1055 AS DOUBLE)),
+      |('src8:2',CAST(4 AS BIGINT),CAST(594 AS BIGINT),CAST(1.1602 AS DOUBLE)),
+      |('src8:3',CAST(2 AS BIGINT),CAST(182 AS BIGINT),CAST(0.3555 AS DOUBLE)),
+      |('src9:0',CAST(4 AS BIGINT),CAST(535 AS BIGINT),CAST(1.0449 AS DOUBLE)),
+      |('src9:1',CAST(4 AS BIGINT),CAST(532 AS BIGINT),CAST(1.0391 AS DOUBLE)),
+      |('src9:2',CAST(4 AS BIGINT),CAST(561 AS BIGINT),CAST(1.0957 AS DOUBLE)),
+      |('src9:3',CAST(3 AS BIGINT),CAST(532 AS BIGINT),CAST(1.0391 AS DOUBLE))
+      |) AS t(pack_id, n_docs, n_tokens, fill) ORDER BY pack_id""".stripMargin
+
+  /** q112: the salted join's result is salt-invariant — the oracle is the
+    * plain join aggregate with the repo's integer-cents sum convention.
+    */
+  val q112: String =
+    """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS DOUBLE)/100.0
+      |    AS sum_price
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
   /** q99: key-skew profile — exact counts, heaviest-first with value
     * tie-break, share over the exact total.
     */
@@ -1882,6 +1980,8 @@ object Oracles {
       "q108_video_frames" -> q108,
       "q109_heavy_hitters" -> q109,
       "q110_profile_quantiles" -> q110,
+      "q111_tokenize_pack" -> q111Pinned,
+      "q112_salted_join" -> q112,
       "q03_value_counts_orders" -> q03,
       "q04_histogram_price" -> q04,
       "q05_pearson_lineitem" -> q05,

@@ -1282,6 +1282,44 @@ object Queries {
       .orderBy("source")
   }
 
+  /** End-to-end tokenize → pack: per-doc token counts under the
+    * q92-trained BPE merge table drive cumsum sequence packing under a
+    * 512-token budget, sharded by source — the composition a training-data
+    * pipeline runs before writing examples (count with the REAL tokenizer,
+    * not whitespace). Pinned oracle (BPE is not ANSI-expressible);
+    * regenerate via tools/oraclegen.py.
+    */
+  def q111TokenizePack(s: SparkSession, dir: String): DataFrame = {
+    val merges = q9xBpeMerges(s, dir)
+    val docs = table(s, dir, "documents").where(col("doc_id") < 300)
+      .select(col("doc_id"), col("source"),
+        ops.Bpe.pieceCount(merges)(col("text")).as("n_tok"))
+    val packed = ops.Packing.packByCumsum(docs, "doc_id", "n_tok",
+      budget = 512L, shardCol = Some("source"))
+    ops.Packing.packStats(packed, "n_tok", budget = 512L)
+      .orderBy("pack_id")
+  }
+
+  /** Hot-key salted equi-join: lineitem (facts) joins supplier (dims) on
+    * the supplier key with every key above 400 rows salted 8 ways — at
+    * sf0.01 every supplier qualifies, so the query exercises the full
+    * scatter/replicate path. The result is salt-invariant by construction;
+    * the oracle is the PLAIN SQL join aggregate.
+    */
+  def q112SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_extendedprice"))
+    val sup = table(s, dir, "supplier")
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    ops.SkewJoin.saltedEquiJoin(li, sup, "l_suppkey",
+        saltSource = col("l_orderkey"), salt = 8, heavyThreshold = 400L)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_items"),
+        (sum(round(col("l_extendedprice") * 100, 0).cast(LongType))
+          .cast(DoubleType) / 100.0).as("sum_price"))
+      .orderBy("s_nationkey")
+  }
+
   /** Rolling 1-hour per-user event aggregate (RANGE window over epoch
     * micros; integer-cent sums).
     */
@@ -1798,6 +1836,8 @@ object Queries {
     "q107_image_resize" -> (q107ImageResize _),
     "q108_video_frames" -> (q108VideoFrames _),
     "q109_heavy_hitters" -> (q109HeavyHitters _),
-    "q110_profile_quantiles" -> (q110ProfileQuantiles _)
+    "q110_profile_quantiles" -> (q110ProfileQuantiles _),
+    "q111_tokenize_pack" -> (q111TokenizePack _),
+    "q112_salted_join" -> (q112SaltedJoin _)
   )
 }

@@ -72,6 +72,48 @@ object SkewJoin {
         when(lt, col(s"y_$n")).otherwise(col(s"x_$n")).as(s"y_$n")): _*)
   }
 
+  /** Hot-key salted equi-join of a skewed fact table against a dimension
+    * table — the explicit pre-planned form of skew handling for the cases
+    * AQE's runtime skew split does not cover (AQE splits sort-merge/shuffle
+    * joins only, post-hoc; salting also serves shuffled hash joins,
+    * repeatable pre-planned execution, and dims too large to broadcast).
+    *
+    * Mechanics: one aggregation over the facts finds keys whose row count
+    * exceeds `heavyThreshold` (driver state bounded by `maxHeavy` — if more
+    * keys than that are hot, raise the threshold or repartition upstream).
+    * Hot fact rows scatter across `salt` sub-keys; the dim rows for hot
+    * keys replicate `salt` ways so every sub-key finds its match; cold keys
+    * keep salt 0 on both sides — no replication, byte-identical to the
+    * plain join. Result equals `facts.join(dims, key)` exactly, but no
+    * shuffle partition receives more than ~1/salt of any hot key.
+    *
+    * The fact-side salt is `xxhash64(key, saltSource)` so any expression
+    * (an id column, `monotonically_increasing_id()`) spreads rows; the join
+    * RESULT is salt-invariant, so the source only affects balance.
+    */
+  def saltedEquiJoin(facts: DataFrame, dims: DataFrame, key: String,
+                     saltSource: org.apache.spark.sql.Column, salt: Int = 16,
+                     heavyThreshold: Long = 1000000L,
+                     maxHeavy: Int = 10000): DataFrame = {
+    require(salt > 1, s"need salt > 1, got $salt")
+    val heavyRows = facts.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > heavyThreshold)
+      .orderBy(col("cnt").desc)
+      .limit(maxHeavy + 1)
+      .select(col(key)).collect().map(_.get(0))
+    require(heavyRows.length <= maxHeavy,
+      s"more than $maxHeavy keys above $heavyThreshold rows — raise the threshold")
+    if (heavyRows.isEmpty) return facts.join(dims, key)
+    val isHeavy = col(key).isin(heavyRows.toSeq: _*)
+    val saltedFacts = facts.withColumn("__salt",
+      when(isHeavy, pmod(xxhash64(col(key), saltSource), lit(salt)))
+        .otherwise(lit(0L)))
+    val saltedDims = dims.withColumn("__salt",
+      explode(when(isHeavy, sequence(lit(0L), lit(salt.toLong - 1)))
+        .otherwise(array(lit(0L)))))
+    saltedFacts.join(saltedDims, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Join-key skew profile: the top-k heaviest key values with their row
     * counts and corpus share — the diagnostic that decides whether a join
     * needs salting / the grid-split ([[selfPairs]]) before it runs. The

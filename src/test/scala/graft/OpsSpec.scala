@@ -378,6 +378,33 @@ class OpsSpec extends SparkSpec {
       Multimodal.FeatureDim)
   }
 
+  test("salted equi-join: result equals the plain join; cold path skips salting") {
+    // one hot key (500 fact rows) + 20 cold keys; dims = one row per key
+    val facts = ((0 until 500).map(i => (7L, i.toLong)) ++
+      (0 until 20).map(i => (100L + i, 9000L + i))).toDF("k", "id")
+    val dims = ((7L +: (0 until 20).map(i => 100L + i)) :+ 999L)
+      .map(k => (k, s"d$k")).toDF("k", "name")
+    val salted = SkewJoin.saltedEquiJoin(facts, dims, "k", col("id"),
+        salt = 4, heavyThreshold = 100L)
+      .select("k", "id", "name").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val plain = facts.join(dims, "k").select("k", "id", "name").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(salted == plain)
+    assert(salted.size == 520)
+    // no hot keys → identical plain join, no salt machinery
+    val none = SkewJoin.saltedEquiJoin(facts, dims, "k", col("id"),
+      salt = 4, heavyThreshold = 1000L)
+    assert(!none.columns.contains("__salt"))
+    assert(none.count() == 520)
+    // pathological hot-key count refuses with a clear bound
+    val err = intercept[IllegalArgumentException] {
+      SkewJoin.saltedEquiJoin(facts, dims, "k", col("id"),
+        salt = 4, heavyThreshold = 0L, maxHeavy = 5)
+    }
+    assert(err.getMessage.contains("raise the threshold"))
+  }
+
   test("skew-guarded self-join: degenerate bucket grid-splits, same pair set") {
     // one hot bucket (600 rows, chunkSize 64 → grid cells) + cold buckets
     val rows = (0 until 600).map(i => (i.toLong, "hot", i * 1.5)) ++

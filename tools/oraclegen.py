@@ -16,6 +16,7 @@ SPECS = {
   'q92_bpe_train': (['rank','left','right','merged'], ['i','s','s','s'], 'ORDER BY rank'),
   'q93_bpe_pieces': (['source','n_docs','total_pieces'], ['s','i','i'], 'ORDER BY source'),
   'q103_pca_project': (['vec_id','pc1','pc2','pc3','pc4'], ['i','d','d','d','d'], 'ORDER BY vec_id'),
+  'q111_tokenize_pack': (['pack_id','n_docs','n_tokens','fill'], ['s','i','i','d'], 'ORDER BY pack_id'),
   'q104_opq_error': (['method','avg_mean_err','avg_max_err'], ['s','d','d'], 'ORDER BY method'),
   'q105_ivf_opq': (['query_id','candidate_id','cosine'], ['i','i','d'], 'ORDER BY query_id, candidate_id'),
 }
