@@ -30,6 +30,93 @@ class PropertySpec extends SparkSpec {
       Gen.alphaNumStr.map(_.take(12)),
       Gen.oneOf("2024-01-02", "01/15/2024", "not a date")))
 
+  test("property: MP4/AVI metadata round-trips arbitrary field values") {
+    val mp4Gen = for {
+      ts <- Gen.choose(1, 1000000)
+      dur <- Gen.choose(0, Int.MaxValue)
+      w <- Gen.choose(0, 65535)
+      h <- Gen.choose(0, 65535)
+      len <- Gen.choose(0, 300)
+    } yield (ts, dur, w, h, len)
+    forSamples(mp4Gen, 40) { case (ts, dur, w, h, len) =>
+      val data = Array.tabulate(len)(i => (i % 251).toByte)
+      val info = graft.ops.VideoMeta.decode(
+        VideoFixtures.mkMp4(ts, dur, w, h, data)).get
+      assert(info.durationMs == dur.toLong * 1000L / ts)
+      assert(info.width == w && info.height == h)
+      assert(info.dataOffset == 248 && info.dataSize == len)
+    }
+    val aviGen = for {
+      usf <- Gen.choose(1, 10000000)
+      n <- Gen.choose(0, 1000000)
+      w <- Gen.choose(0, 65535)
+      h <- Gen.choose(0, 65535)
+      len <- Gen.choose(0, 300)
+    } yield (usf, n, w, h, len)
+    forSamples(aviGen, 40) { case (usf, n, w, h, len) =>
+      val info = graft.ops.VideoMeta.decode(
+        VideoFixtures.mkAvi(usf, n, w, h, new Array[Byte](len))).get
+      assert(info.durationMs == n.toLong * usf / 1000L)
+      assert(info.width == w && info.height == h)
+      assert(info.dataSize == len)
+    }
+  }
+
+  test("property: box-filter resize matches the brute-force reference on random shapes") {
+    val gen = for {
+      sw <- Gen.choose(1, 40); sh <- Gen.choose(1, 40)
+      dw <- Gen.choose(1, 30); dh <- Gen.choose(1, 30)
+      seed <- Gen.choose(0, 10000)
+    } yield (sw, sh, dw, dh, seed)
+    forSamples(gen, 30) { case (sw, sh, dw, dh, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val src = Array.fill(sh, sw)(rnd.nextInt(1 << 24))
+      val img = new java.awt.image.BufferedImage(
+        sw, sh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until sh; x <- 0 until sw) img.setRGB(x, y, src(y)(x))
+      val out = graft.ops.Multimodal.resizePixels(img, dw, dh)
+      for (y <- 0 until dh; x <- 0 until dw) {
+        val x0 = x * sw / dw; val x1 = math.max(x0 + 1, (x + 1) * sw / dw)
+        val y0 = y * sh / dh; val y1 = math.max(y0 + 1, (y + 1) * sh / dh)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        for (sy <- y0 until y1; sx <- x0 until x1) {
+          val p = src(sy)(sx)
+          sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+        }
+        val cnt = (x1 - x0).toLong * (y1 - y0)
+        val exp = (((sr / cnt).toInt) << 16) | (((sg / cnt).toInt) << 8) |
+          (sb / cnt).toInt
+        assert((out.getRGB(x, y) & 0xFFFFFF) == exp,
+          s"($x,$y) of ${sw}x$sh->${dw}x$dh seed $seed")
+      }
+    }
+  }
+
+  test("property: heavy-hitters bounds and guarantee on random multisets") {
+    val gen = for {
+      cap <- Gen.choose(3, 12)
+      vals <- Gen.listOfN(120, Gen.choose(0, 30).map(i => s"v$i"))
+    } yield (cap, vals)
+    forSamples(gen, 10) { case (cap, vals) =>
+      val truth = vals.groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+      val hh = graft.ops.Sketches.heavyHitters(
+          vals.toDF("v").repartition(5), "v", cap)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(hh.length <= cap)
+      for ((v, lo, hi) <- hh) {
+        val t = truth(v)
+        assert(lo <= t && t <= hi, s"$v: [$lo,$hi] misses $t (cap $cap)")
+      }
+      val guaranteed = truth.filter(_._2 > vals.length.toLong / (cap + 1)).keySet
+      assert(guaranteed.subsetOf(hh.map(_._1).toSet),
+        s"missing: ${guaranteed -- hh.map(_._1).toSet} (cap $cap)")
+      if (truth.size <= cap) {
+        assert(hh.map(t => (t._1, t._2)).toMap == truth)
+        assert(hh.forall(t => t._2 == t._3))
+      }
+    }
+  }
+
   test("property: asofJoin equals the per-row reference on random data") {
     // random trades/quotes with duplicate timestamps and unmatched keys;
     // the reference is the direct definition: max right time <= left time
