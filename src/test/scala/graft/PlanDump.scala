@@ -70,7 +70,13 @@ object PlanDump {
       "q102_neardup_scaled" ->
         "Corpus-scale embedding near-dup: both hyperplane families are codegen sign-bit projections (zero shuffle for signatures); candidates exist only inside (table, bucket) equi-join cells, skew-guarded by the grid-split window; the pair set dedups on ids before the cosine. The plane count grows with log2(n), so bucket sizes — and with them the join's per-key volume — hold constant as the corpus scales; the fixed-plane quadratic shape the sf1 stress measured (BENCH_SF1.md) cannot appear.",
       "q103_pca_project" ->
-        "PCA projection: the fitted components enter the plan as literal planes — one native ww_vector_dot per component, all inside a single WholeStageCodegen projection over the scan; no shuffle at all before the presentation sort. The fit itself (treeAggregate moment partials + driver Jacobi) happens before this plan exists and leaves no trace in it — the projected corpus never pays the fit again.")
+        "PCA projection: the fitted components enter the plan as literal planes — one native ww_vector_dot per component, all inside a single WholeStageCodegen projection over the scan; no shuffle at all before the presentation sort. The fit itself (treeAggregate moment partials + driver Jacobi) happens before this plan exists and leaves no trace in it — the projected corpus never pays the fit again.",
+      "q108_video_frames" ->
+        "Video frame sampling: container parse + 1-to-n frame explosion is one mapPartitions over the payload column — metadata, timestamps, and the byte-accurate mdat seeks all stay executor-side with no shuffle; the only exchange is the presentation sort. At 100 TB this is a pure linear map stage over payload bytes.",
+      "q109_heavy_hitters" ->
+        "Heavy hitters: ObjectHashAggregate runs a partial_ww_heavy_hitters pass per partition — the Misra-Gries summary combines MAP-SIDE, so the exchange carries one <=capacity-entry serialized state per (partition, group), never one row per distinct value. Aggregation state and shuffle volume are independent of the column's cardinality.",
+      "q112_salted_join" ->
+        "Salted equi-join: hot fact keys scatter across (key, salt) sub-keys while the dim side explodes its hot rows to every salt (the Generate node). At fixture scale the salted dim still fits the broadcast threshold, so Catalyst picks BroadcastHashJoin and the facts never shuffle at all — broadcast beats salting whenever it's available. When the dim outgrows broadcast, the same plan becomes a shuffle join whose hashpartitioning covers BOTH (key, salt) columns, so no partition receives more than ~1/salt of any hot key — the case salting exists for; cold keys ride salt 0 untouched either way.")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence for headline operators\n\n")
     sb.append("Generated by `graft.PlanDump` (sf0.01, local[8]). Each section: why the\n")
