@@ -1908,6 +1908,46 @@ object Oracles {
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
 
+  /** q113: image near-dup — the oracle regenerates the variant pixel
+    * functions, the 8×8 box-filtered per-mille luma grid (floor division
+    * throughout), the 56 dHash comparison bits, and the EXHAUSTIVE Hamming
+    * cross join; the engine must reproduce it through PNG decode + banded
+    * bucket joins (exact recall by pigeonhole, so the sets agree).
+    */
+  val q113: String =
+    """WITH d AS (SELECT doc_id AS k, doc_id % 20 AS base, doc_id // 20 AS noise,
+      |    CAST(doc_id % 20 % 16 + 8 AS BIGINT) AS w,
+      |    CAST((doc_id % 20 * 3) % 16 + 8 AS BIGINT) AS h
+      |  FROM documents WHERE doc_id < 40),
+      |cell AS (SELECT k, base, noise, gx, gy,
+      |    gx*w//8 AS x0, greatest(gx*w//8 + 1, (gx+1)*w//8) AS x1,
+      |    gy*h//8 AS y0, greatest(gy*h//8 + 1, (gy+1)*h//8) AS y1
+      |  FROM d,
+      |    LATERAL (SELECT unnest(range(0, 8)) AS gx) a,
+      |    LATERAL (SELECT unnest(range(0, 8)) AS gy) b),
+      |g AS (SELECT k, gx, gy,
+      |    CAST(sum(299*((sx*sx+3*sy+base*37)%250 +
+      |          CASE WHEN noise=1 AND (sx+sy)%11=0 THEN 3 ELSE 0 END)
+      |        + 587*((sy*sy+2*sx+base*59)%250)
+      |        + 114*((sx*sy+base*83)%250)) AS BIGINT)
+      |      // CAST(count(*) AS BIGINT) AS l
+      |  FROM cell,
+      |    LATERAL (SELECT unnest(range(x0, x1)) AS sx) xs,
+      |    LATERAL (SELECT unnest(range(y0, y1)) AS sy) ys
+      |  GROUP BY k, gx, gy),
+      |hb AS (SELECT a.k,
+      |    CAST(sum(CASE WHEN b.l > a.l
+      |      THEN (CAST(1 AS BIGINT) << (a.gy*7 + a.gx)) ELSE 0 END) AS BIGINT)
+      |      AS hash
+      |  FROM g a JOIN g b ON a.k = b.k AND b.gy = a.gy AND b.gx = a.gx + 1
+      |  WHERE a.gx < 7
+      |  GROUP BY a.k),
+      |p AS (SELECT a.k AS id_1, b.k AS id_2,
+      |    CAST(bit_count(xor(a.hash, b.hash)) AS BIGINT) AS hamming
+      |  FROM hb a JOIN hb b ON a.k < b.k)
+      |SELECT id_1, id_2, hamming FROM p WHERE hamming <= 3
+      |ORDER BY id_1, id_2""".stripMargin
+
   /** q99: key-skew profile — exact counts, heaviest-first with value
     * tie-break, share over the exact total.
     */
@@ -1982,6 +2022,7 @@ object Oracles {
       "q110_profile_quantiles" -> q110,
       "q111_tokenize_pack" -> q111Pinned,
       "q112_salted_join" -> q112,
+      "q113_image_neardup" -> q113,
       "q03_value_counts_orders" -> q03,
       "q04_histogram_price" -> q04,
       "q05_pearson_lineitem" -> q05,

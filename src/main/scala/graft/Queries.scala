@@ -1690,6 +1690,51 @@ object Queries {
     stats.IncrementalProfile.quantiles(stats.IncrementalProfile.merge(batches))
   }
 
+  /** Variant PNG generator for q113: doc k renders base image k%20 (q100's
+    * dimension/channel formulas mod 250), and the second half (k ≥ 20) adds
+    * +3 to the red channel wherever (x+y)%11 == 0 — a perceptual
+    * near-duplicate of its base. The oracle regenerates the exact pixels.
+    */
+  private val mkPngVariant = udf { (k: Long) =>
+    val base = k % 20
+    val noise = (k / 20).toInt
+    val w = (base % 16 + 8).toInt
+    val h = ((base * 3) % 16 + 8).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((x * x + 3 * y + base * 37) % 250 +
+          (if (noise == 1 && (x + y) % 11 == 0) 3 else 0)).toInt
+        val g = ((y * y + 2 * x + base * 59) % 250).toInt
+        val b = ((x * y + base * 83) % 250).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Image near-duplicate detection by perceptual difference hash: 40 real
+    * PNGs (20 bases + 20 brightness-perturbed variants) decode to 8×8
+    * box-filtered luma grids → 56-bit dHashes → chunk-banded Hamming pairs
+    * (exact recall by pigeonhole at maxDist+1 chunks). The oracle
+    * recomputes pixels, grid, hash bits, and the exhaustive Hamming cross
+    * join arithmetically in SQL.
+    */
+  def q113ImageNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents").where(col("doc_id") < 40)
+      .select(col("doc_id"), mkPngVariant(col("doc_id")).as("img"))
+    val withP = ops.Multimodal.withPayload(docs, "img", "image", "image/png")
+    ops.Multimodal.imageNearDups(withP, "doc_id", maxDist = 3)
+      .orderBy("id_1", "id_2")
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -1838,6 +1883,7 @@ object Queries {
     "q109_heavy_hitters" -> (q109HeavyHitters _),
     "q110_profile_quantiles" -> (q110ProfileQuantiles _),
     "q111_tokenize_pack" -> (q111TokenizePack _),
-    "q112_salted_join" -> (q112SaltedJoin _)
+    "q112_salted_join" -> (q112SaltedJoin _),
+    "q113_image_neardup" -> (q113ImageNearDup _)
   )
 }

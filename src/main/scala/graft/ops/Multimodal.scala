@@ -332,6 +332,114 @@ object Multimodal {
     out
   }
 
+  /** BT.601 per-mille luma grid of a decoded image, box-filtered to
+    * `gw`×`gh` with the same pinned integer semantics as [[resizePixels]]
+    * but summing LUMA (299r+587g+114b per source pixel) before the floor
+    * division — the input representation for perceptual hashing.
+    */
+  def lumaGrid(src: java.awt.image.BufferedImage, gw: Int, gh: Int): Array[Array[Long]] = {
+    val sw = src.getWidth; val sh = src.getHeight
+    Array.tabulate(gh, gw) { (y, x) =>
+      val x0 = x * sw / gw; val x1 = math.max(x0 + 1, (x + 1) * sw / gw)
+      val y0 = y * sh / gh; val y1 = math.max(y0 + 1, (y + 1) * sh / gh)
+      var s = 0L
+      var sy = y0
+      while (sy < y1) {
+        var sx = x0
+        while (sx < x1) {
+          val rgb = src.getRGB(sx, sy)
+          s += 299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+            114L * (rgb & 0xFF)
+          sx += 1
+        }
+        sy += 1
+      }
+      s / ((x1 - x0).toLong * (y1 - y0))
+    }
+  }
+
+  /** Difference-hash bit width: an 8×8 luma grid gives 7 horizontal
+    * comparisons per row × 8 rows = 56 bits — deliberately < 64 so the
+    * hash is always a non-negative BIGINT in every engine.
+    */
+  val DHashBits = 56
+
+  /** 56-bit perceptual difference hash (dHash): box-filter the luma to an
+    * 8×8 grid, set bit y·7+x when grid(y)(x+1) > grid(y)(x). Invariant to
+    * uniform brightness shifts and robust to small pixel noise — the image
+    * analog of SimHash for near-duplicate detection. None when the payload
+    * doesn't decode.
+    */
+  def dHash(payload: Array[Byte]): Option[Long] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return None
+    val g = lumaGrid(img, 8, 8)
+    var h = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 7) {
+        if (g(y)(x + 1) > g(y)(x)) h |= 1L << (y * 7 + x)
+        x += 1
+      }
+      y += 1
+    }
+    Some(h)
+  }
+
+  /** Per-row dHash column via the standard partition-batched decode shape;
+    * undecodable payloads get null.
+    */
+  def withDHash(df: DataFrame, payloadCol: String = "payload",
+                outCol: String = "dhash"): DataFrame = {
+    val schema = df.schema.add(StructField(outCol, LongType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
+        val h: Any =
+          if (bytes == null) null else dHash(bytes).map(Long.box).orNull
+        Row.fromSeq(r.toSeq :+ h)
+      }
+    }(enc)
+  }
+
+  /** Image near-duplicate pairs by dHash Hamming distance ≤ maxDist — the
+    * [[graft.ops.Dedup.simhashPairs]] shape applied to pixels. Banding into
+    * maxDist+1 chunks makes recall EXACT by pigeonhole (distance ≤ maxDist
+    * ⇒ at least one chunk identical), and candidates only materialize
+    * inside shared-chunk buckets (skew-guarded grid split), NEVER via an
+    * all-pairs join — the operator scales like the text near-dup family.
+    */
+  def imageNearDups(df: DataFrame, idCol: String,
+                    payloadCol: String = "payload",
+                    maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist < DHashBits, s"bad maxDist $maxDist")
+    val nChunks = maxDist + 1
+    val width = (DHashBits + nChunks - 1) / nChunks
+    val sigs = withDHash(df, payloadCol)
+      .where(col("dhash").isNotNull)
+      .select(col(idCol).as("id"), col("dhash"))
+    val chunks = sigs.select(col("id"), col("dhash"),
+      explode(array((0 until nChunks).map { j =>
+        val bits = math.min(width, DHashBits - j * width)
+        struct(lit(j).as("chunk"),
+          shiftright(col("dhash"), j * width)
+            .bitwiseAND((1L << bits) - 1L).as("v"))
+      }: _*)).as("c"))
+      .select(col("id"), col("dhash"),
+        col("c.chunk").as("chunk"), col("c.v").as("v"))
+    SkewJoin.selfPairs(chunks, Seq("chunk", "v"), "id", Seq("dhash"))
+      .select(col("x_id").as("id_1"), col("y_id").as("id_2"),
+        bit_count(col("x_dhash").bitwiseXOR(col("y_dhash")))
+          .cast(LongType).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxDist)
+  }
+
   /** Partition-batched image resize: decode (`javax.imageio`), box-filter
     * resize to fit `maxSide` ([[thumbDims]] + [[resizePixels]]), re-encode
     * as PNG (lossless — downstream [[featurize]] recovers the resized

@@ -77,6 +77,59 @@ class VideoResizeSpec extends SparkSpec {
     assert(jr.length == 1 && jr(0).isNullAt(jr(0).fieldIndex("payload_resized")))
   }
 
+  private def pngOf(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("dHash: brightness-shift invariant, scale-robust, junk refuses") {
+    def tex(x: Int, y: Int) = {
+      val v = (x * x * 7 + y * 13) % 200
+      (v << 16) | (((v * 3) % 200) << 8) | ((x * y) % 200)
+    }
+    val base = Multimodal.dHash(pngOf(32, 24, tex)).get
+    // uniform +20 on every channel: every comparison unchanged
+    val brighter = Multimodal.dHash(pngOf(32, 24, (x, y) => {
+      val p = tex(x, y)
+      (((p >> 16) + 20) << 16) | ((((p >> 8) & 0xFF) + 20) << 8) | ((p & 0xFF) + 20)
+    })).get
+    assert(base == brighter)
+    // 2x upscale (pixel replication): identical box-averaged grid
+    val scaled = Multimodal.dHash(pngOf(64, 48, (x, y) => tex(x / 2, y / 2))).get
+    assert(base == scaled)
+    assert(Multimodal.dHash("not an image".getBytes) == None)
+    assert((base >> Multimodal.DHashBits) == 0L, "56-bit hash stays non-negative")
+  }
+
+  test("imageNearDups equals the exhaustive Hamming join (pigeonhole recall)") {
+    import spark.implicits._
+    // 8 base textures + 8 lightly perturbed variants (k >= 8 reuses k-8's
+    // texture with a sparse +4 luma bump)
+    def variant(k: Long)(x: Int, y: Int): Int =
+      ((((x * x + y * 3 + (k % 8).toInt * 37) % 200) +
+        (if (k >= 8 && (x + y) % 9 == 0) 4 else 0)) * 0x010101)
+    val mk = udf { (k: Long) => pngOf(20, 16, variant(k)) }
+    val dfv = (0L until 16L).toDF("id")
+      .withColumn("payload", mk(col("id")))
+    val got = Multimodal.imageNearDups(dfv, "id", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // exhaustive reference over driver-computed hashes
+    val hashes = (0L until 16L).map { k =>
+      k -> Multimodal.dHash(pngOf(20, 16, variant(k))).get
+    }.toMap
+    val want = (for {
+      a <- 0L until 16L; b <- (a + 1) until 16L
+      d = java.lang.Long.bitCount(hashes(a) ^ hashes(b))
+      if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(got == want)
+    assert(want.nonEmpty, "fixture must produce at least one near-dup pair")
+  }
+
   // ------------------------------------------------------------ video parsing
 
   import VideoFixtures.{mkMp4, mkAvi}
