@@ -1948,6 +1948,31 @@ object Oracles {
       |SELECT id_1, id_2, hamming FROM p WHERE hamming <= 3
       |ORDER BY id_1, id_2""".stripMargin
 
+  /** q114: audio near-dup — the oracle regenerates the PCM sample formula,
+    * the 57-window |s| loudness envelope (window of sample i = i·57/n,
+    * floor), the 56 comparison bits, and the EXHAUSTIVE Hamming join.
+    */
+  val q114: String =
+    """WITH d AS (SELECT doc_id AS k, doc_id % 30 AS base, doc_id // 30 AS noise,
+      |    (doc_id % 30 % 50 + 100) * (doc_id % 30 % 2 + 1) AS n
+      |  FROM documents WHERE doc_id < 60),
+      |s AS (SELECT k, n, i,
+      |    abs(((i*(base+7)*31+17)%4001)-2000 +
+      |        CASE WHEN noise=1 AND i%13=0 THEN 7 ELSE 0 END) AS a,
+      |    i*57//n AS wi
+      |  FROM d, LATERAL (SELECT unnest(range(0, n)) AS i) ii),
+      |e AS (SELECT k, wi, CAST(sum(a) AS BIGINT) AS e FROM s GROUP BY k, wi),
+      |hb AS (SELECT a.k,
+      |    CAST(sum(CASE WHEN b.e > a.e
+      |      THEN (CAST(1 AS BIGINT) << a.wi) ELSE 0 END) AS BIGINT) AS hash
+      |  FROM e a JOIN e b ON a.k = b.k AND b.wi = a.wi + 1
+      |  WHERE a.wi < 56 GROUP BY a.k),
+      |p AS (SELECT a.k AS id_1, b.k AS id_2,
+      |    CAST(bit_count(xor(a.hash, b.hash)) AS BIGINT) AS hamming
+      |  FROM hb a JOIN hb b ON a.k < b.k)
+      |SELECT id_1, id_2, hamming FROM p WHERE hamming <= 3
+      |ORDER BY id_1, id_2""".stripMargin
+
   /** q99: key-skew profile — exact counts, heaviest-first with value
     * tie-break, share over the exact total.
     */
@@ -2023,6 +2048,7 @@ object Oracles {
       "q111_tokenize_pack" -> q111Pinned,
       "q112_salted_join" -> q112,
       "q113_image_neardup" -> q113,
+      "q114_audio_neardup" -> q114,
       "q03_value_counts_orders" -> q03,
       "q04_histogram_price" -> q04,
       "q05_pearson_lineitem" -> q05,

@@ -1735,6 +1735,49 @@ object Queries {
       .orderBy("id_1", "id_2")
   }
 
+  /** Variant WAV generator for q114: doc k renders base stream k%30
+    * (q101's field/sample formulas) and the second half (k ≥ 30) bumps
+    * every 13th sample by +7 — an envelope near-duplicate of its base.
+    */
+  private val mkWavVariant = udf { (k: Long) =>
+    val base = k % 30
+    val noise = (k / 30).toInt
+    val channels = (base % 2 + 1).toInt
+    val rate = ((base % 3 + 1) * 8000).toInt
+    val n = ((base % 50 + 100) * channels).toInt
+    val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ba = channels * 2
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * ba).putShort(ba.toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(2 * n)
+    var i = 0
+    while (i < n) {
+      val v = ((i * (base + 7) * 31 + 17) % 4001) - 2000 +
+        (if (noise == 1 && i % 13 == 0) 7 else 0)
+      bb.putShort(v.toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Audio near-duplicate detection by envelope hash: 60 real PCM WAVs
+    * (30 bases + 30 sample-perturbed variants) decode to 57-window |s|
+    * loudness envelopes → 56-bit hashes → banded Hamming pairs (exact
+    * pigeonhole recall). The oracle regenerates samples, windows, bits,
+    * and the exhaustive Hamming join in SQL — the audio sibling of q113.
+    */
+  def q114AudioNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents").where(col("doc_id") < 60)
+      .select(col("doc_id"), mkWavVariant(col("doc_id")).as("wav"))
+    val withP = ops.Multimodal.withPayload(docs, "wav", "audio", "audio/wav")
+    ops.Multimodal.audioNearDups(withP, "doc_id", maxDist = 3)
+      .orderBy("id_1", "id_2")
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -1884,6 +1927,7 @@ object Queries {
     "q110_profile_quantiles" -> (q110ProfileQuantiles _),
     "q111_tokenize_pack" -> (q111TokenizePack _),
     "q112_salted_join" -> (q112SaltedJoin _),
-    "q113_image_neardup" -> (q113ImageNearDup _)
+    "q113_image_neardup" -> (q113ImageNearDup _),
+    "q114_audio_neardup" -> (q114AudioNearDup _)
   )
 }

@@ -408,37 +408,72 @@ object Multimodal {
   }
 
   /** Image near-duplicate pairs by dHash Hamming distance ≤ maxDist — the
-    * [[graft.ops.Dedup.simhashPairs]] shape applied to pixels. Banding into
-    * maxDist+1 chunks makes recall EXACT by pigeonhole (distance ≤ maxDist
-    * ⇒ at least one chunk identical), and candidates only materialize
-    * inside shared-chunk buckets (skew-guarded grid split), NEVER via an
-    * all-pairs join — the operator scales like the text near-dup family.
+    * [[graft.ops.Dedup.simhashPairs]] shape applied to pixels via the
+    * shared [[Hamming.pairs]] core: exact recall by pigeonhole (maxDist+1
+    * chunks), candidates bucket-local behind the skew-guarded grid split,
+    * never an all-pairs join.
     */
   def imageNearDups(df: DataFrame, idCol: String,
                     payloadCol: String = "payload",
-                    maxDist: Int = 3): DataFrame = {
-    require(maxDist >= 0 && maxDist < DHashBits, s"bad maxDist $maxDist")
-    val nChunks = maxDist + 1
-    val width = (DHashBits + nChunks - 1) / nChunks
-    val sigs = withDHash(df, payloadCol)
-      .where(col("dhash").isNotNull)
-      .select(col(idCol).as("id"), col("dhash"))
-    val chunks = sigs.select(col("id"), col("dhash"),
-      explode(array((0 until nChunks).map { j =>
-        val bits = math.min(width, DHashBits - j * width)
-        struct(lit(j).as("chunk"),
-          shiftright(col("dhash"), j * width)
-            .bitwiseAND((1L << bits) - 1L).as("v"))
-      }: _*)).as("c"))
-      .select(col("id"), col("dhash"),
-        col("c.chunk").as("chunk"), col("c.v").as("v"))
-    SkewJoin.selfPairs(chunks, Seq("chunk", "v"), "id", Seq("dhash"))
-      .select(col("x_id").as("id_1"), col("y_id").as("id_2"),
-        bit_count(col("x_dhash").bitwiseXOR(col("y_dhash")))
-          .cast(LongType).as("hamming"))
-      .distinct()
-      .where(col("hamming") <= maxDist)
+                    maxDist: Int = 3): DataFrame =
+    Hamming.pairs(
+      withDHash(df, payloadCol).select(col(idCol).as("id"), col("dhash")),
+      DHashBits, maxDist, sigCol = "dhash")
+
+  /** 56-bit audio envelope hash over REAL decoded 16-bit PCM: the sample
+    * stream splits into 57 equal index windows (window of sample i =
+    * i·57/n, floor), each window reduces to its exact integer Σ|s|
+    * loudness, and bit j is set when window j+1 is louder than window j —
+    * the audio analog of [[dHash]] (level-shift invariant: scaling every
+    * sample by a constant preserves all comparisons). None for
+    * undecodable/too-short (< 57 samples) payloads.
+    */
+  def audioHash(payload: Array[Byte]): Option[Long] =
+    AudioMeta.pcm16Samples(payload).flatMap { s =>
+      val n = s.length
+      if (n < 57) None
+      else {
+        val e = new Array[Long](57)
+        var i = 0
+        while (i < n) {
+          e((i.toLong * 57 / n).toInt) += math.abs(s(i).toLong)
+          i += 1
+        }
+        var h = 0L
+        var j = 0
+        while (j < DHashBits) {
+          if (e(j + 1) > e(j)) h |= 1L << j
+          j += 1
+        }
+        Some(h)
+      }
+    }
+
+  /** Per-row audio hash column (standard partition-batched decode shape). */
+  def withAudioHash(df: DataFrame, payloadCol: String = "payload",
+                    outCol: String = "ahash"): DataFrame = {
+    val schema = df.schema.add(StructField(outCol, LongType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
+        val h: Any =
+          if (bytes == null) null else audioHash(bytes).map(Long.box).orNull
+        Row.fromSeq(r.toSeq :+ h)
+      }
+    }(enc)
   }
+
+  /** Audio near-duplicate pairs by envelope-hash Hamming distance — same
+    * exact-recall banded shape as [[imageNearDups]].
+    */
+  def audioNearDups(df: DataFrame, idCol: String,
+                    payloadCol: String = "payload",
+                    maxDist: Int = 3): DataFrame =
+    Hamming.pairs(
+      withAudioHash(df, payloadCol).select(col(idCol).as("id"), col("ahash")),
+      DHashBits, maxDist, sigCol = "ahash")
 
   /** Partition-batched image resize: decode (`javax.imageio`), box-filter
     * resize to fit `maxSide` ([[thumbDims]] + [[resizePixels]]), re-encode

@@ -130,6 +130,52 @@ class VideoResizeSpec extends SparkSpec {
     assert(want.nonEmpty, "fixture must produce at least one near-dup pair")
   }
 
+  private def wavOf(samples: Array[Short], channels: Int = 1,
+                    rate: Int = 8000): Array[Byte] = {
+    val n = samples.length
+    val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ba = channels * 2
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * ba).putShort(ba.toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(2 * n)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  test("audioHash: level-scale invariant, short/junk refuses, near-dup parity") {
+    val s = Array.tabulate(200)(i => (((i * 37 + 11) % 3001) - 1500).toShort)
+    val base = Multimodal.audioHash(wavOf(s)).get
+    // doubling every sample scales every window loudness uniformly
+    val louder = Multimodal.audioHash(
+      wavOf(s.map(v => (v * 2).toShort))).get
+    assert(base == louder)
+    assert((base >> Multimodal.DHashBits) == 0L)
+    assert(Multimodal.audioHash(wavOf(s.take(56))) == None) // < 57 samples
+    assert(Multimodal.audioHash("junk".getBytes) == None)
+
+    import spark.implicits._
+    def sampleOf(k: Long): Array[Short] = Array.tabulate(150)(i =>
+      ((((i * ((k % 5) + 3) * 41 + 7) % 2801) - 1400 +
+        (if (k >= 5 && i % 11 == 0) 6 else 0))).toShort)
+    val mk = udf { (k: Long) => wavOf(sampleOf(k)) }
+    val df = (0L until 10L).toDF("id").withColumn("payload", mk(col("id")))
+    val got = Multimodal.audioNearDups(df, "id", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val hashes = (0L until 10L)
+      .map(k => k -> Multimodal.audioHash(wavOf(sampleOf(k))).get).toMap
+    val want = (for {
+      a <- 0L until 10L; b <- (a + 1) until 10L
+      d = java.lang.Long.bitCount(hashes(a) ^ hashes(b))
+      if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
   // ------------------------------------------------------------ video parsing
 
   import VideoFixtures.{mkMp4, mkAvi}
