@@ -190,6 +190,23 @@ object StreamingFrame {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** Streaming image near-dup gate: per-row perceptual dHash
+    * ([[graft.ops.Multimodal.withDHash]] — the mapPartitions decode is
+    * stateless, so it streams) then exact-duplicate suppression on the
+    * hash within the watermark horizon. Perceptually identical frames
+    * (re-encodes, uniform brightness shifts, pixel-doubled rescales)
+    * collapse; undecodable payloads fall back to their byte md5 so they
+    * pass through unless byte-identical.
+    */
+  def streamingImageDedup(stream: DataFrame, payloadCol: String,
+                          tsCol: String,
+                          watermark: String = "1 hour"): DataFrame =
+    graft.ops.Multimodal.withDHash(stream, payloadCol)
+      .withColumn("image_key",
+        coalesce(col("dhash").cast("string"), md5(col(payloadCol))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("image_key")
+
   /** Streaming PII scrub: redact email/url/ip/phone hits in place and carry
     * the hit counts — one stateless projection, streams at any rate.
     */

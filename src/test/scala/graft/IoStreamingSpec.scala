@@ -258,6 +258,33 @@ class IoStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming image dedup collapses perceptual duplicates within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    def png(shift: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val v = math.min(255, (x * x * 5 + y * 11) % 200 + shift)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val mem = MemoryStream[(java.sql.Timestamp, Int)]
+    val stream = mem.toDF().toDF("ts", "shift")
+      .withColumn("payload", udf((s: Int) => png(s)).apply(col("shift")))
+    val out = StreamingFrame.streamingImageDedup(stream, "payload", "ts")
+    val q = out.writeStream.format("memory").queryName("imgdedup")
+      .outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // shift 0 and 20 are brightness-shifted twins (same dHash); 0 repeats
+    mem.addData((t0, 0), (t0, 20), (t0, 0))
+    q.processAllAvailable()
+    assert(spark.sql("select * from imgdedup").count() == 1)
+    q.stop()
+  }
+
   test("streaming near-dedup collapses simhash-identical docs; piiScrub redacts") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String)]
