@@ -1973,6 +1973,23 @@ object Oracles {
       |SELECT id_1, id_2, hamming FROM p WHERE hamming <= 3
       |ORDER BY id_1, id_2""".stripMargin
 
+  /** q115: quantile binning — boundaries are quantile_cont at the interior
+    * deciles (the engine's interpolated order statistics are definitionally
+    * identical), deduped; bin = count of boundaries strictly below.
+    */
+  val q115: String = {
+    val qs = (1 to 9).map(i =>
+      s"quantile_cont(l_extendedprice, 0.$i)").mkString(", ")
+    s"""WITH b AS (SELECT list_sort(list_distinct(list_value($qs))) AS bs
+       |  FROM lineitem)
+       |SELECT l_orderkey, l_linenumber,
+       |  CASE WHEN l_extendedprice IS NULL THEN NULL
+       |    ELSE CAST(len(list_filter(b.bs, x -> l_extendedprice > x)) AS BIGINT)
+       |  END AS bin
+       |FROM lineitem, b WHERE l_orderkey < 200
+       |ORDER BY l_orderkey, l_linenumber""".stripMargin
+  }
+
   /** q99: key-skew profile — exact counts, heaviest-first with value
     * tie-break, share over the exact total.
     */
@@ -2049,6 +2066,7 @@ object Oracles {
       "q112_salted_join" -> q112,
       "q113_image_neardup" -> q113,
       "q114_audio_neardup" -> q114,
+      "q115_quantile_bin" -> q115,
       "q03_value_counts_orders" -> q03,
       "q04_histogram_price" -> q04,
       "q05_pearson_lineitem" -> q05,

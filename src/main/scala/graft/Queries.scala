@@ -1778,6 +1778,21 @@ object Queries {
       .orderBy("id_1", "id_2")
   }
 
+  /** pd.qcut-equivalent quantile binning: boundaries fitted on the FULL
+    * price column as exact interpolated order statistics (= SQL
+    * quantile_cont), duplicates dropped, applied to a bounded slice as a
+    * pure codegen projection. The q97 fit-on-full/apply-to-slice pattern
+    * for binning.
+    */
+  def q115QuantileBin(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem")
+    val fit = ops.FeaturePrep.fitQuantileBins(li, "l_extendedprice", bins = 10)
+    li.where(col("l_orderkey") < 200)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        ops.FeaturePrep.quantileBin(fit)(col("l_extendedprice")).as("bin"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -1928,6 +1943,7 @@ object Queries {
     "q111_tokenize_pack" -> (q111TokenizePack _),
     "q112_salted_join" -> (q112SaltedJoin _),
     "q113_image_neardup" -> (q113ImageNearDup _),
-    "q114_audio_neardup" -> (q114AudioNearDup _)
+    "q114_audio_neardup" -> (q114AudioNearDup _),
+    "q115_quantile_bin" -> (q115QuantileBin _)
   )
 }

@@ -92,4 +92,45 @@ object FeaturePrep {
       .drop("__cnt")
     df.join(mapping, Seq(catCol), "left")
   }
+
+  /** Fitted quantile-bin boundaries (pd.qcut's `duplicates="drop"`
+    * semantics): the interior exact quantiles with duplicate boundary
+    * values collapsed. At most bins−1 doubles of driver state.
+    */
+  final case class QuantileBinFit(boundaries: Array[Double])
+
+  /** Fit pd.qcut-equivalent bin boundaries on the FULL column: exact
+    * linearly-interpolated order statistics at ranks p·(n−1) for
+    * p = 1/bins … (bins−1)/bins — the same shared order-statistics path
+    * describe and dependence use (never `percentile`'s single-process
+    * distinct-value merge), identical to SQL `quantile_cont`. Duplicate
+    * boundaries (heavy repeated values) drop, matching the reference's
+    * `pd.qcut(duplicates="drop")` (`_bin_numeric_cols_into_categories
+    * .py:4-27`).
+    */
+  def fitQuantileBins(df: DataFrame, valueCol: String,
+                      bins: Int): QuantileBinFit = {
+    require(bins > 1, s"need bins > 1, got $bins")
+    val nonNull = df.where(col(valueCol).isNotNull).count()
+    require(nonNull > 0, s"no non-null values in $valueCol")
+    val qs = (1 until bins).map(_.toDouble / bins)
+    val targets = Map(valueCol -> qs.map(p => p * (nonNull - 1)))
+    val (_, _, quants) = graft.stats.Describe.meltStatsFull(
+      df.select(col(valueCol).cast(DoubleType).as(valueCol)),
+      Seq(valueCol), targets, Set(valueCol))
+    QuantileBinFit(quants.get(valueCol)
+      .map(_.filterNot(_.isNaN).distinct.sorted.toArray)
+      .getOrElse(Array.empty))
+  }
+
+  /** Bin code under a fit: the number of boundaries strictly below the
+    * value (0 = lowest bin), null-preserving — one codegen `when` chain,
+    * no join, no shuffle at apply time.
+    */
+  def quantileBin(fit: QuantileBinFit)(c: Column): Column = {
+    val code = fit.boundaries.zipWithIndex.foldLeft(lit(0)) {
+      case (acc, (b, i)) => when(c > lit(b), lit(i + 1)).otherwise(acc)
+    }
+    when(c.isNotNull, code.cast(LongType))
+  }
 }

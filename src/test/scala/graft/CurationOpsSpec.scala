@@ -311,6 +311,26 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.filter(_._1).forall(!_._2))
   }
 
+  test("quantileBin: qcut boundaries, duplicate collapse, null preservation") {
+    // 1..8 with quartile fit: interior boundaries at ranks p*(n-1) for
+    // p = .25/.5/.75 over n=8 → 2.75, 4.5, 6.25 (linear interpolation)
+    val df = (1 to 8).map(_.toDouble).toDF("v")
+    val fit = ops.FeaturePrep.fitQuantileBins(df, "v", bins = 4)
+    assert(fit.boundaries.toSeq == Seq(2.75, 4.5, 6.25))
+    val codes = df.select(ops.FeaturePrep.quantileBin(fit)(col("v")).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(codes == Seq(0, 0, 1, 1, 2, 2, 3, 3))
+    // heavy repeated value: duplicate boundaries drop (qcut duplicates="drop")
+    val heavy = (Seq.fill(9)(5.0) ++ Seq(1.0, 9.0)).toDF("v")
+    val hFit = ops.FeaturePrep.fitQuantileBins(heavy, "v", bins = 4)
+    assert(hFit.boundaries.length < 3, s"got ${hFit.boundaries.toSeq}")
+    // nulls stay null
+    val withNull = Seq[Option[Double]](Some(1.0), None, Some(8.0)).toDF("v")
+    val nb = withNull.select(ops.FeaturePrep.quantileBin(fit)(col("v")).as("b"))
+      .collect()
+    assert(nb(1).isNullAt(0) && !nb(0).isNullAt(0))
+  }
+
   test("standardize maps a constant column to 0.0, not NaN") {
     val df = Seq(2.0, 2.0, 2.0).toDF("v")
     val fit = ops.FeaturePrep.fitScale(df, "v")
