@@ -1990,6 +1990,27 @@ object Oracles {
        |ORDER BY l_orderkey, l_linenumber""".stripMargin
   }
 
+  /** q116: smoothed mean-target encoding — the oracle mirrors the exact
+    * integer-cent sums and the pinned double-conversion shape:
+    * (Σcents/100 + m·prior) / (n + m), prior = global Σcents/100/n.
+    */
+  val q116: String =
+    """WITH g AS (SELECT CAST(sum(CAST(round(o_totalprice*100, 0) AS BIGINT))
+      |      AS DOUBLE)/100.0/count(*) AS prior
+      |  FROM orders WHERE o_totalprice IS NOT NULL),
+      |m AS (SELECT o_orderpriority,
+      |    CAST(sum(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT) AS ts,
+      |    CAST(count(*) AS BIGINT) AS tn
+      |  FROM orders
+      |  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+      |  GROUP BY o_orderpriority)
+      |SELECT o.o_orderkey, o.o_orderpriority,
+      |  round(coalesce(
+      |    (CAST(m.ts AS DOUBLE)/100.0 + 20.0*g.prior)/(CAST(m.tn AS DOUBLE) + 20.0),
+      |    g.prior), 4) AS o_orderpriority_tenc
+      |FROM orders o CROSS JOIN g LEFT JOIN m USING (o_orderpriority)
+      |WHERE o.o_orderkey < 500 ORDER BY o.o_orderkey""".stripMargin
+
   /** q99: key-skew profile — exact counts, heaviest-first with value
     * tie-break, share over the exact total.
     */
@@ -2067,6 +2088,7 @@ object Oracles {
       "q113_image_neardup" -> q113,
       "q114_audio_neardup" -> q114,
       "q115_quantile_bin" -> q115,
+      "q116_target_encode" -> q116,
       "q03_value_counts_orders" -> q03,
       "q04_histogram_price" -> q04,
       "q05_pearson_lineitem" -> q05,

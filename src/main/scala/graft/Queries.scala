@@ -1793,6 +1793,18 @@ object Queries {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Smoothed mean-target encoding of order priority against total price:
+    * fit on the FULL table (exact integer-cent sums), applied to a bounded
+    * slice — q97's fit/apply pattern for the mean-target encoder.
+    */
+  def q116TargetEncode(s: SparkSession, dir: String): DataFrame =
+    ops.FeaturePrep.targetEncode(table(s, dir, "orders"),
+        "o_orderpriority", "o_totalprice", smoothing = 20.0)
+      .where(col("o_orderkey") < 500)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_orderpriority_tenc"))
+      .orderBy("o_orderkey")
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -1944,6 +1956,7 @@ object Queries {
     "q112_salted_join" -> (q112SaltedJoin _),
     "q113_image_neardup" -> (q113ImageNearDup _),
     "q114_audio_neardup" -> (q114AudioNearDup _),
-    "q115_quantile_bin" -> (q115QuantileBin _)
+    "q115_quantile_bin" -> (q115QuantileBin _),
+    "q116_target_encode" -> (q116TargetEncode _)
   )
 }

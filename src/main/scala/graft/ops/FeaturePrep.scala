@@ -93,6 +93,37 @@ object FeaturePrep {
     df.join(mapping, Seq(catCol), "left")
   }
 
+  /** Smoothed mean-target encoding: each category maps to
+    * `(Σ target_cat + m·prior) / (n_cat + m)` with `prior` the global
+    * target mean — the standard leakage-damped categorical encoder for
+    * GBDT/linear training. Determinism: both sums are EXACT integer cents
+    * (order-independent); the formula converts to double in one pinned
+    * expression shape, so encodings hash-match across engines and
+    * partitionings. The mapping table is vocabulary-sized (AQE broadcasts
+    * it); unseen/null categories encode to the prior.
+    *
+    * Output: input columns + `<catCol>_tenc` (rounded to 4 places).
+    */
+  def targetEncode(df: DataFrame, catCol: String, targetCol: String,
+                   smoothing: Double = 20.0): DataFrame = {
+    require(smoothing >= 0, s"need smoothing >= 0, got $smoothing")
+    val cents = round(col(targetCol) * 100, 0).cast(LongType)
+    val g = df.where(col(targetCol).isNotNull)
+      .agg(sum(cents).as("gs"), count(lit(1)).as("gn")).head()
+    require(!g.isNullAt(1) && g.getLong(1) > 0, s"no non-null $targetCol")
+    val prior = g.getLong(0).toDouble / 100.0 / g.getLong(1)
+    val enc = (col("__ts").cast(DoubleType) / 100.0 + lit(smoothing) * lit(prior)) /
+      (col("__tn").cast(DoubleType) + lit(smoothing))
+    val mapping = df.where(col(catCol).isNotNull && col(targetCol).isNotNull)
+      .groupBy(col(catCol))
+      .agg(sum(cents).as("__ts"), count(lit(1)).as("__tn"))
+      .withColumn(s"${catCol}_tenc", round(enc, 4))
+      .drop("__ts", "__tn")
+    df.join(mapping, Seq(catCol), "left")
+      .withColumn(s"${catCol}_tenc",
+        coalesce(col(s"${catCol}_tenc"), round(lit(prior), 4)))
+  }
+
   /** Fitted quantile-bin boundaries (pd.qcut's `duplicates="drop"`
     * semantics): the interior exact quantiles with duplicate boundary
     * values collapsed. At most bins−1 doubles of driver state.

@@ -331,6 +331,24 @@ class CurationOpsSpec extends SparkSpec {
     assert(nb(1).isNullAt(0) && !nb(0).isNullAt(0))
   }
 
+  test("targetEncode: smoothing shrinks toward the prior; unseen gets the prior") {
+    val df = Seq(("a", 10.0), ("a", 20.0), ("b", 100.0), (null, 50.0))
+      .toDF("c", "t")
+    val out = ops.FeaturePrep.targetEncode(df, "c", "t", smoothing = 2.0)
+      .select("c", "c_tenc").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    val prior = 45.0 // (10+20+100+50)/4
+    assert(out("a") == BigDecimal((30.0 + 2 * prior) / 4)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) // 30.0
+    assert(out("b") == BigDecimal((100.0 + 2 * prior) / 3)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) // 63.3333
+    assert(out(null) == 45.0) // null category -> prior
+    // smoothing -> infinity collapses every encoding to the prior
+    val flat = ops.FeaturePrep.targetEncode(df, "c", "t", smoothing = 1e9)
+      .select("c_tenc").collect().map(_.getDouble(0)).distinct
+    assert(flat.forall(v => math.abs(v - prior) < 0.001))
+  }
+
   test("standardize maps a constant column to 0.0, not NaN") {
     val df = Seq(2.0, 2.0, 2.0).toDF("v")
     val fit = ops.FeaturePrep.fitScale(df, "v")

@@ -117,6 +117,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: multimodal byte parsers never throw on arbitrary bytes") {
+    // untrusted 100 TB payloads WILL contain garbage that happens to start
+    // with plausible magics — every parser must refuse cleanly, not throw
+    val junk = for {
+      n <- Gen.choose(0, 400)
+      bytes <- Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+      magic <- Gen.oneOf(Array.empty[Byte],
+        "RIFF".getBytes("ISO-8859-1"),
+        "RIFFxxxxAVI ".getBytes("ISO-8859-1"),
+        "RIFFxxxxWAVE".getBytes("ISO-8859-1"),
+        (Array(0, 0, 0, 24) ++ "ftyp".getBytes("ISO-8859-1").map(_.toInt)).map(_.toByte),
+        Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte),
+        Array(0xFF, 0xD8, 0xFF).map(_.toByte),
+        "GIF89a".getBytes("ISO-8859-1"),
+        "LIST".getBytes("ISO-8859-1"),
+        "mdat".getBytes("ISO-8859-1"))
+
+
+    } yield magic ++ bytes.toArray
+    forSamples(junk, 120) { payload =>
+      graft.ops.VideoMeta.decode(payload)       // may be Some or None
+      graft.ops.ImageMeta.decode(payload)
+      graft.ops.AudioMeta.decode(payload)
+      graft.ops.Multimodal.decodeFeatures(payload)
+      graft.ops.Multimodal.dHash(payload)
+      graft.ops.Multimodal.audioHash(payload)
+      graft.ops.Video.probeByte(payload, payload.length / 2L)
+    }
+    // truncation sweep over one VALID container of each kind
+    val mp4 = VideoFixtures.mkMp4(600, 3000, 320, 240, new Array[Byte](50))
+    val avi = VideoFixtures.mkAvi(40000, 25, 64, 48, new Array[Byte](20))
+    for (cut <- 0 to mp4.length) graft.ops.VideoMeta.decode(mp4.take(cut))
+    for (cut <- 0 to avi.length) graft.ops.VideoMeta.decode(avi.take(cut))
+  }
+
   test("property: asofJoin equals the per-row reference on random data") {
     // random trades/quotes with duplicate timestamps and unmatched keys;
     // the reference is the direct definition: max right time <= left time
