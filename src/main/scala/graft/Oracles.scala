@@ -165,6 +165,25 @@ object Oracles {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** q117: keep-best dedup — clusters from the same recursive closure as
+    * q65/q67, winner per cluster by (n_chars desc, doc_id asc); singletons
+    * (docs outside every cluster) survive via the left join + coalesce.
+    */
+  val q117: String = {
+    val clusters = graft.ops.Dedup.Sql.duplicateClusters(
+      "documents", "doc_id", "text", 3, 0.6)
+    s"""WITH cc AS ($clusters),
+       |withcl AS (SELECT d.doc_id, d.source, d.n_chars,
+       |    coalesce(cc.cluster_id, d.doc_id) AS cl
+       |  FROM documents d LEFT JOIN cc ON cc.id = d.doc_id),
+       |rk AS (SELECT doc_id, source, n_chars,
+       |    row_number() OVER (PARTITION BY cl
+       |      ORDER BY n_chars DESC, doc_id ASC) AS r
+       |  FROM withcl)
+       |SELECT doc_id, source, n_chars FROM rk WHERE r = 1
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB's native ASOF LEFT JOIN is the oracle for [[graft.ops.AsofJoin]]
     * (inclusive `>=` match, nulls never match — both sides' semantics).
     */
@@ -2089,6 +2108,7 @@ object Oracles {
       "q114_audio_neardup" -> q114,
       "q115_quantile_bin" -> q115,
       "q116_target_encode" -> q116,
+      "q117_dedup_keep_best" -> q117,
       "q03_value_counts_orders" -> q03,
       "q04_histogram_price" -> q04,
       "q05_pearson_lineitem" -> q05,

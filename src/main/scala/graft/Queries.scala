@@ -1805,6 +1805,17 @@ object Queries {
         col("o_orderpriority_tenc"))
       .orderBy("o_orderkey")
 
+  /** Quality-aware dedup: each near-duplicate cluster keeps its LONGEST
+    * member (n_chars desc, doc_id asc tie-break) instead of q67's min-id
+    * convention. Oracle = recursive-closure clusters + a ranked window in
+    * SQL.
+    */
+  def q117DedupKeepBest(s: SparkSession, dir: String): DataFrame =
+    ops.Dedup.deduplicateKeepBest(table(s, dir, "documents"),
+        "doc_id", "text", "n_chars", threshold = 0.6)
+      .select("doc_id", "source", "n_chars")
+      .orderBy("doc_id")
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -1957,6 +1968,7 @@ object Queries {
     "q113_image_neardup" -> (q113ImageNearDup _),
     "q114_audio_neardup" -> (q114AudioNearDup _),
     "q115_quantile_bin" -> (q115QuantileBin _),
-    "q116_target_encode" -> (q116TargetEncode _)
+    "q116_target_encode" -> (q116TargetEncode _),
+    "q117_dedup_keep_best" -> (q117DedupKeepBest _)
   )
 }

@@ -407,6 +407,31 @@ object Dedup {
     df.join(drops, col(idCol) === col(s"__drop_$idCol"), "left_anti")
   }
 
+  /** Quality-aware near-duplicate resolution: instead of [[deduplicate]]'s
+    * keep-the-min-id convention, each duplicate cluster keeps its
+    * BEST-scoring member (score desc, id asc tie-break) — the form curation
+    * pipelines actually want ("of these 40 near-copies, keep the longest /
+    * highest-quality one"). Singleton documents pass through untouched.
+    * One extra bounded window over the clustered rows; the pair/cluster
+    * machinery is identical to [[deduplicate]].
+    */
+  def deduplicateKeepBest(df: DataFrame, idCol: String, textCol: String,
+                          scoreCol: String, n: Int = 3,
+                          threshold: Double = 0.6): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, n = n,
+      threshold = threshold)
+    val clusters = duplicateClusters(pairs)
+      .select(col("id").as("__cid"), col("cluster_id").as("__cluster"))
+    val withCl = df.join(clusters, col(idCol) === col("__cid"), "left")
+      .withColumn("__cl", coalesce(col("__cluster"), col(idCol)))
+      .drop("__cid", "__cluster")
+    val w = Window.partitionBy(col("__cl"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    withCl.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .drop("__rk", "__cl")
+  }
+
   /** SimHash bit width: 60 bits = 15 hex chars of md5, the widest slice that
     * fits a signed 64-bit int in every engine — the token hash is therefore
     * engine-portable (md5 is universal), unlike xxhash64.

@@ -378,6 +378,24 @@ class OpsSpec extends SparkSpec {
       Multimodal.FeatureDim)
   }
 
+  test("deduplicateKeepBest keeps the top-scoring cluster member, not the min id") {
+    import spark.implicits._
+    // docs 1,2,3 are near-identical (one cluster); 4 is distinct
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", 10L),
+      (2L, "alpha beta gamma delta epsilon zeta eta", 99L), // best score
+      (3L, "alpha beta gamma delta epsilon zeta", 10L),
+      (4L, "totally different words entirely here now", 50L))
+      .toDF("id", "text", "score")
+    val best = ops.Dedup.deduplicateKeepBest(df, "id", "text", "score",
+        threshold = 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(best == Set(2L, 4L)) // cluster keeps id 2 (score 99), singleton stays
+    val minId = ops.Dedup.deduplicate(df, "id", "text", threshold = 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(minId == Set(1L, 4L)) // the min-id convention keeps id 1 instead
+  }
+
   test("salted equi-join: result equals the plain join; cold path skips salting") {
     // one hot key (500 fact rows) + 20 cold keys; dims = one row per key
     val facts = ((0 until 500).map(i => (7L, i.toLong)) ++
