@@ -184,6 +184,48 @@ object Oracles {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** q118: data-quality constraint report — each declared check mirrored
+    * as a direct SQL count; passed = violations == 0.
+    */
+  val q118: String =
+    """WITH v AS (
+      |SELECT 'accepted_values:l_linestatus' AS c, 'accepted_values' AS kind,
+      |  CAST(count(*) FILTER (WHERE l_linestatus IS NOT NULL
+      |    AND l_linestatus NOT IN ('O','F')) AS BIGINT) AS violations
+      |FROM lineitem
+      |UNION ALL SELECT 'foreign_key:l_orderkey', 'foreign_key',
+      |  CAST((SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+      |    AND l_orderkey NOT IN (SELECT o_orderkey FROM orders
+      |                           WHERE o_orderkey IS NOT NULL)) AS BIGINT)
+      |UNION ALL SELECT 'in_range:l_discount', 'in_range',
+      |  CAST(count(*) FILTER (WHERE l_discount IS NOT NULL
+      |    AND (l_discount < 0.0 OR l_discount > 0.1)) AS BIGINT)
+      |FROM lineitem
+      |UNION ALL SELECT 'in_range:l_quantity', 'in_range',
+      |  CAST(count(*) FILTER (WHERE l_quantity IS NOT NULL
+      |    AND (l_quantity < 1.0 OR l_quantity > 50.0)) AS BIGINT)
+      |FROM lineitem
+      |UNION ALL SELECT 'not_null:l_orderkey', 'not_null',
+      |  CAST(count(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT)
+      |FROM lineitem
+      |UNION ALL SELECT 'not_null:l_shipdate', 'not_null',
+      |  CAST(count(*) FILTER (WHERE l_shipdate IS NULL) AS BIGINT)
+      |FROM lineitem
+      |UNION ALL SELECT 'satisfies:price_positive', 'satisfies',
+      |  CAST(count(*) FILTER (WHERE NOT coalesce(l_extendedprice > 0, false))
+      |    AS BIGINT)
+      |FROM lineitem
+      |UNION ALL SELECT 'satisfies:qty_under_40', 'satisfies',
+      |  CAST(count(*) FILTER (WHERE NOT coalesce(l_quantity < 40, false))
+      |    AS BIGINT)
+      |FROM lineitem
+      |UNION ALL SELECT 'unique:l_orderkey,l_linenumber', 'unique',
+      |  CAST((SELECT count(*) FROM (SELECT 1 AS one FROM lineitem
+      |    GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)) AS BIGINT))
+      |SELECT c AS "constraint", kind, violations,
+      |  violations = 0 AS passed
+      |FROM v ORDER BY "constraint"""".stripMargin
+
   /** DuckDB's native ASOF LEFT JOIN is the oracle for [[graft.ops.AsofJoin]]
     * (inclusive `>=` match, nulls never match — both sides' semantics).
     */
@@ -2109,6 +2151,7 @@ object Oracles {
       "q115_quantile_bin" -> q115,
       "q116_target_encode" -> q116,
       "q117_dedup_keep_best" -> q117,
+      "q118_constraints" -> q118,
       "q03_value_counts_orders" -> q03,
       "q04_histogram_price" -> q04,
       "q05_pearson_lineitem" -> q05,

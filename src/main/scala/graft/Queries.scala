@@ -1816,6 +1816,28 @@ object Queries {
       .select("doc_id", "source", "n_chars")
       .orderBy("doc_id")
 
+  /** Declarative data-quality gate over lineitem/orders: all row-predicate
+    * checks fold into ONE aggregation scan; uniqueness and referential
+    * containment run as their own bounded jobs. Includes one deliberately
+    * failing constraint so the report shape (violations > 0, passed=false)
+    * is exercised, not just the happy path.
+    */
+  def q118Constraints(s: SparkSession, dir: String): DataFrame = {
+    import ops.Constraints._
+    val li = table(s, dir, "lineitem")
+    val ord = table(s, dir, "orders")
+    check(li, Seq(
+      NotNull("l_orderkey"),
+      NotNull("l_shipdate"),
+      InRange("l_discount", 0.0, 0.1),
+      InRange("l_quantity", 1.0, 50.0),
+      AcceptedValues("l_linestatus", Seq("O", "F")),
+      Satisfies("price_positive", col("l_extendedprice") > 0),
+      Satisfies("qty_under_40", col("l_quantity") < 40), // deliberately fails
+      Unique(Seq("l_orderkey", "l_linenumber")),
+      ForeignKey("l_orderkey", ord, "o_orderkey")))
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -1969,6 +1991,7 @@ object Queries {
     "q114_audio_neardup" -> (q114AudioNearDup _),
     "q115_quantile_bin" -> (q115QuantileBin _),
     "q116_target_encode" -> (q116TargetEncode _),
-    "q117_dedup_keep_best" -> (q117DedupKeepBest _)
+    "q117_dedup_keep_best" -> (q117DedupKeepBest _),
+    "q118_constraints" -> (q118Constraints _)
   )
 }

@@ -378,6 +378,39 @@ class OpsSpec extends SparkSpec {
       Multimodal.FeatureDim)
   }
 
+  test("constraints: every kind counts violations exactly; null predicate = violation") {
+    import spark.implicits._
+    import graft.ops.Constraints._
+    val df = Seq(
+      (1L, Some(5.0), "a"), (2L, Some(15.0), "b"),
+      (2L, None, "c"), (4L, Some(-1.0), null))
+      .toDF("id", "v", "s")
+    val ref = Seq(1L, 2L).toDF("rid")
+    val got = check(df, Seq(
+      NotNull("v"),                       // 1 null
+      NotNull("s"),                       // 1 null
+      InRange("v", 0.0, 10.0),            // 15.0 and -1.0 violate
+      AcceptedValues("s", Seq("a", "b")), // "c" violates (null ignored)
+      MatchesRegex("s", "^[ab]$"),        // "c" violates
+      Satisfies("v_pos", col("v") > 0),   // -1.0 fails; NULL v also fails
+      Unique(Seq("id")),                  // key 2 duplicated -> 1 violating key
+      ForeignKey("id", ref, "rid")))      // id 4 missing from ref -> 1 row
+      .collect().map(r => (r.getString(0), (r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got("not_null:v") == ((1L, false)))
+    assert(got("not_null:s") == ((1L, false)))
+    assert(got("in_range:v") == ((2L, false)))
+    assert(got("accepted_values:s") == ((1L, false)))
+    assert(got("matches_regex:s") == ((1L, false)))
+    assert(got("satisfies:v_pos") == ((2L, false))) // -1.0 + NULL both fail
+    assert(got("unique:id") == ((1L, false)))
+    assert(got("foreign_key:id") == ((1L, false)))
+    // all-green path
+    val ok = check(Seq((1L, 2.0)).toDF("id", "v"),
+      Seq(NotNull("id"), InRange("v", 0.0, 10.0), Unique(Seq("id"))))
+      .collect()
+    assert(ok.forall(_.getBoolean(3)))
+  }
+
   test("deduplicateKeepBest keeps the top-scoring cluster member, not the min id") {
     import spark.implicits._
     // docs 1,2,3 are near-identical (one cluster); 4 is distinct
