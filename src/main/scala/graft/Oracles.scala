@@ -226,6 +226,23 @@ object Oracles {
       |  violations = 0 AS passed
       |FROM v ORDER BY "constraint"""".stripMargin
 
+  /** q119: per-row quarantine tags — each check's CASE mirrors the engine's
+    * per-row violation predicate; list_filter drops the non-fired slots.
+    */
+  val q119: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  coalesce(array_to_string(list_filter([
+      |    CASE WHEN l_discount IS NOT NULL
+      |      AND (l_discount < 0.0 OR l_discount > 0.05)
+      |      THEN 'in_range:l_discount' END,
+      |    CASE WHEN NOT coalesce(l_quantity < 40, false)
+      |      THEN 'satisfies:qty_under_40' END,
+      |    CASE WHEN l_returnflag IS NOT NULL AND l_returnflag <> 'N'
+      |      THEN 'accepted_values:l_returnflag' END
+      |  ], x -> x IS NOT NULL), ','), '') AS failed
+      |FROM lineitem WHERE l_orderkey < 100
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   /** DuckDB's native ASOF LEFT JOIN is the oracle for [[graft.ops.AsofJoin]]
     * (inclusive `>=` match, nulls never match — both sides' semantics).
     */
@@ -2152,6 +2169,7 @@ object Oracles {
       "q116_target_encode" -> q116,
       "q117_dedup_keep_best" -> q117,
       "q118_constraints" -> q118,
+      "q119_quarantine" -> q119,
       "q03_value_counts_orders" -> q03,
       "q04_histogram_price" -> q04,
       "q05_pearson_lineitem" -> q05,

@@ -1838,6 +1838,22 @@ object Queries {
       ForeignKey("l_orderkey", ord, "o_orderkey")))
   }
 
+  /** Ingest quarantine routing: the same constraint declarations as q118's
+    * report, evaluated PER ROW as one pure projection; each row carries the
+    * comma-joined names of the checks it fails (empty = clean).
+    */
+  def q119Quarantine(s: SparkSession, dir: String): DataFrame = {
+    import ops.Constraints._
+    val li = table(s, dir, "lineitem").where(col("l_orderkey") < 100)
+    quarantine(li, Seq(
+      InRange("l_discount", 0.0, 0.05),
+      Satisfies("qty_under_40", col("l_quantity") < 40),
+      AcceptedValues("l_returnflag", Seq("N"))))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        array_join(col("dq_failed"), ",").as("failed"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -1992,6 +2008,7 @@ object Queries {
     "q115_quantile_bin" -> (q115QuantileBin _),
     "q116_target_encode" -> (q116TargetEncode _),
     "q117_dedup_keep_best" -> (q117DedupKeepBest _),
-    "q118_constraints" -> (q118Constraints _)
+    "q118_constraints" -> (q118Constraints _),
+    "q119_quarantine" -> (q119Quarantine _)
   )
 }

@@ -100,6 +100,41 @@ object Constraints {
     case _: ForeignKey => "foreign_key"
   }
 
+  /** Per-row violation predicate for row-level constraints (None for the
+    * set-level Unique/ForeignKey kinds).
+    */
+  private def rowViolation(c: Constraint): Option[Column] = c match {
+    case NotNull(col0) => Some(col(col0).isNull)
+    case InRange(col0, lo, hi) =>
+      Some(col(col0).isNotNull && (col(col0) < lo || col(col0) > hi))
+    case AcceptedValues(col0, vals) =>
+      Some(col(col0).isNotNull && !col(col0).cast(StringType).isin(vals: _*))
+    case MatchesRegex(col0, re) =>
+      Some(col(col0).isNotNull && !col(col0).cast(StringType).rlike(re))
+    case Satisfies(_, pred) => Some(!coalesce(pred, lit(false)))
+    case _ => None
+  }
+
+  /** Ingest-time routing with the same constraint declarations: annotate
+    * each row with the names of the ROW-LEVEL constraints it violates
+    * (`dq_failed`, declaration order; empty array = clean). One pure
+    * projection — no shuffle, streams as-is. Set-level constraints
+    * (Unique/ForeignKey) are rejected: routing a row needs a per-row
+    * answer.
+    */
+  def quarantine(df: DataFrame, constraints: Seq[Constraint],
+                 outCol: String = "dq_failed"): DataFrame = {
+    require(constraints.nonEmpty, "no constraints given")
+    val perRow = constraints.map { c =>
+      rowViolation(c).getOrElse(throw new IllegalArgumentException(
+        s"${c.name} is set-level; quarantine takes row-level constraints only"))
+        .cast(BooleanType) -> c.name
+    }
+    df.withColumn(outCol, array_compact(array(perRow.map { case (v, n) =>
+      when(v, lit(n)).otherwise(lit(null).cast(StringType))
+    }: _*)))
+  }
+
   /** Evaluate all constraints; returns one row per constraint:
     * (constraint, kind, violations, passed) ordered by constraint name.
     */

@@ -207,6 +207,19 @@ object StreamingFrame {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("image_key")
 
+  /** Streaming data-quality gate: tag each arriving row with the row-level
+    * constraints it violates ([[graft.ops.Constraints.quarantine]] — one
+    * stateless projection) and optionally keep only clean rows. The same
+    * constraint declarations drive the batch report (q118), batch routing
+    * (q119), and this gate, so offline and ingest decisions agree exactly.
+    */
+  def constraintsGate(stream: DataFrame,
+                      constraints: Seq[graft.ops.Constraints.Constraint],
+                      keepClean: Boolean = true): DataFrame = {
+    val tagged = graft.ops.Constraints.quarantine(stream, constraints)
+    if (keepClean) tagged.where(size(col("dq_failed")) === 0) else tagged
+  }
+
   /** Streaming PII scrub: redact email/url/ip/phone hits in place and carry
     * the hit counts — one stateless projection, streams at any rate.
     */

@@ -258,6 +258,22 @@ class IoStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming constraints gate drops violating rows statelessly") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Constraints._
+    val mem = MemoryStream[(Long, Double)]
+    val stream = mem.toDF().toDF("id", "v")
+    val gated = StreamingFrame.constraintsGate(stream,
+      Seq(InRange("v", 0.0, 10.0), Satisfies("id_pos", col("id") > 0)))
+    val q = gated.writeStream.format("memory").queryName("dqgate")
+      .outputMode("append").start()
+    mem.addData((1L, 5.0), (2L, 15.0), (-3L, 5.0), (4L, 7.0))
+    q.processAllAvailable()
+    val kept = spark.sql("select id from dqgate").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L))
+    q.stop()
+  }
+
   test("streaming image dedup collapses perceptual duplicates within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     def png(shift: Int): Array[Byte] = {
