@@ -229,6 +229,22 @@ object Oracles {
   /** q119: per-row quarantine tags — each check's CASE mirrors the engine's
     * per-row violation predicate; list_filter drops the non-fired slots.
     */
+  /** q120: temperature weights — share = n/total, weight = share^0.5
+    * normalized; identical formula order on both sides, rounded to 6.
+    */
+  val q120: String =
+    """WITH c AS (SELECT CAST(source AS VARCHAR) AS source,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
+      |t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM c),
+      |w AS (SELECT sum(pow(CAST(n AS DOUBLE)/tot, 0.5)) AS ws
+      |  FROM c CROSS JOIN t)
+      |SELECT source, n,
+      |  round(CAST(n AS DOUBLE)/t.tot, 6) AS share,
+      |  round(pow(CAST(n AS DOUBLE)/t.tot, 0.5)/w.ws, 6) AS weight
+      |FROM c CROSS JOIN t CROSS JOIN w
+      |ORDER BY n DESC, source""".stripMargin
+
   val q119: String =
     """SELECT l_orderkey, l_linenumber,
       |  coalesce(array_to_string(list_filter([
@@ -2170,6 +2186,7 @@ object Oracles {
       "q117_dedup_keep_best" -> q117,
       "q118_constraints" -> q118,
       "q119_quarantine" -> q119,
+      "q120_temperature_weights" -> q120,
       "q03_value_counts_orders" -> q03,
       "q04_histogram_price" -> q04,
       "q05_pearson_lineitem" -> q05,

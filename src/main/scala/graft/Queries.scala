@@ -1854,6 +1854,14 @@ object Queries {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Temperature-scaled (alpha = 0.5) mixture weights over document
+    * sources — the exponential-smoothing convention multilingual corpora
+    * sample with; output feeds mixtureSample directly.
+    */
+  def q120TemperatureWeights(s: SparkSession, dir: String): DataFrame =
+    ops.Sampling.temperatureWeights(
+      table(s, dir, "documents"), "source", alpha = 0.5)
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -2009,6 +2017,7 @@ object Queries {
     "q116_target_encode" -> (q116TargetEncode _),
     "q117_dedup_keep_best" -> (q117DedupKeepBest _),
     "q118_constraints" -> (q118Constraints _),
-    "q119_quarantine" -> (q119Quarantine _)
+    "q119_quarantine" -> (q119Quarantine _),
+    "q120_temperature_weights" -> (q120TemperatureWeights _)
   )
 }

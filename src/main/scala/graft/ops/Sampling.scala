@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -101,6 +102,30 @@ object Sampling {
       s -> math.min(1.0, wi * t / counts(s))
     }
     stratifiedSample(df, idCol, sourceCol, rates, default = 0.0, salt)
+  }
+
+  /** Temperature-scaled source weights (multilingual-sampling convention,
+    * e.g. mBERT/XLM-R exponential smoothing): with p_s the source's corpus
+    * share, target weight_s ∝ p_s^alpha, normalized to sum 1. alpha = 1
+    * keeps natural proportions; alpha = 0 is uniform; 0 < alpha < 1
+    * up-samples the tail. One count aggregation; the result feeds
+    * [[mixtureSample]] directly. Output: (source, n, share, weight),
+    * heaviest first (source tie-break), doubles rounded to 6.
+    */
+  def temperatureWeights(df: DataFrame, sourceCol: String,
+                         alpha: Double): DataFrame = {
+    require(alpha >= 0.0, s"need alpha >= 0, got $alpha")
+    val counts = df.where(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol).cast(StringType).as("source"))
+      .agg(count(lit(1)).as("n"))
+    val total = sum(col("n")).over(Window.partitionBy())
+    val share = col("n").cast(DoubleType) / total
+    val scaled = pow(share, lit(alpha))
+    val wSum = sum(scaled).over(Window.partitionBy())
+    counts
+      .withColumn("share", round(share, 6))
+      .withColumn("weight", round(scaled / wSum, 6))
+      .orderBy(col("n").desc, col("source").asc)
   }
 
   // ------------------------------------------------------------ oracle SQL
