@@ -245,6 +245,51 @@ object Oracles {
       |FROM c CROSS JOIN t CROSS JOIN w
       |ORDER BY n DESC, source""".stripMargin
 
+  /** q121: PSI — shares per side, full-outer cell union with ε-floor
+    * 1e-6, Σ(p−q)·ln(p/q); the numeric side bins by reference-fitted exact
+    * deciles (quantile_cont, deduped) with the q115 bin-code convention.
+    */
+  val q121: String =
+    """WITH dr AS (SELECT CAST(lang AS VARCHAR) AS v FROM documents
+      |            WHERE doc_id % 2 = 0 AND lang IS NOT NULL),
+      |dc AS (SELECT CAST(lang AS VARCHAR) AS v FROM documents
+      |       WHERE doc_id % 2 = 1 AND lang IS NOT NULL),
+      |p1 AS (SELECT v, CAST(count(*) AS DOUBLE) /
+      |        (SELECT count(*) FROM dr) AS p FROM dr GROUP BY v),
+      |q1 AS (SELECT v, CAST(count(*) AS DOUBLE) /
+      |        (SELECT count(*) FROM dc) AS q FROM dc GROUP BY v),
+      |cat AS (SELECT 'lang' AS column_name,
+      |    round(sum((greatest(coalesce(p,0),1e-6) - greatest(coalesce(q,0),1e-6))
+      |        * ln(greatest(coalesce(p,0),1e-6)/greatest(coalesce(q,0),1e-6))), 6)
+      |      AS psi,
+      |    CAST(count(*) AS BIGINT) AS n_categories
+      |  FROM p1 FULL OUTER JOIN q1 USING (v)),
+      |er AS (SELECT CAST(value AS DOUBLE) AS x FROM events
+      |       WHERE event_id % 2 = 0 AND value IS NOT NULL),
+      |ec AS (SELECT CAST(value AS DOUBLE) AS x FROM events
+      |       WHERE event_id % 2 = 1 AND value IS NOT NULL),
+      |b AS (SELECT list_sort(list_distinct(list_value(
+      |    quantile_cont(x, 0.1), quantile_cont(x, 0.2), quantile_cont(x, 0.3),
+      |    quantile_cont(x, 0.4), quantile_cont(x, 0.5), quantile_cont(x, 0.6),
+      |    quantile_cont(x, 0.7), quantile_cont(x, 0.8), quantile_cont(x, 0.9)
+      |  ))) AS bs FROM er),
+      |br AS (SELECT CAST(len(list_filter(b.bs, e -> x > e)) AS VARCHAR) AS v
+      |  FROM er, b),
+      |bc AS (SELECT CAST(len(list_filter(b.bs, e -> x > e)) AS VARCHAR) AS v
+      |  FROM ec, b),
+      |p2 AS (SELECT v, CAST(count(*) AS DOUBLE) /
+      |        (SELECT count(*) FROM br) AS p FROM br GROUP BY v),
+      |q2 AS (SELECT v, CAST(count(*) AS DOUBLE) /
+      |        (SELECT count(*) FROM bc) AS q FROM bc GROUP BY v),
+      |num AS (SELECT 'value' AS column_name,
+      |    round(sum((greatest(coalesce(p,0),1e-6) - greatest(coalesce(q,0),1e-6))
+      |        * ln(greatest(coalesce(p,0),1e-6)/greatest(coalesce(q,0),1e-6))), 6)
+      |      AS psi,
+      |    CAST(count(*) AS BIGINT) AS n_categories
+      |  FROM p2 FULL OUTER JOIN q2 USING (v))
+      |SELECT * FROM cat UNION ALL SELECT * FROM num
+      |ORDER BY column_name""".stripMargin
+
   val q119: String =
     """SELECT l_orderkey, l_linenumber,
       |  coalesce(array_to_string(list_filter([
@@ -2187,6 +2232,7 @@ object Oracles {
       "q118_constraints" -> q118,
       "q119_quarantine" -> q119,
       "q120_temperature_weights" -> q120,
+      "q121_drift_psi" -> q121,
       "q03_value_counts_orders" -> q03,
       "q04_histogram_price" -> q04,
       "q05_pearson_lineitem" -> q05,

@@ -1862,6 +1862,23 @@ object Queries {
     ops.Sampling.temperatureWeights(
       table(s, dir, "documents"), "source", alpha = 0.5)
 
+  /** Distribution drift (PSI) between even/odd-id halves of the corpus:
+    * categorical PSI over document language shares, and numeric PSI over
+    * event values binned by reference-side exact deciles — the monitoring
+    * op run between profile snapshots.
+    */
+  def q121DriftPsi(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val cat = ops.Drift.psiCategorical(
+      docs.where(col("doc_id") % 2 === 0),
+      docs.where(col("doc_id") % 2 === 1), "lang")
+    val ev = table(s, dir, "events")
+    val num = ops.Drift.psiNumeric(
+      ev.where(col("event_id") % 2 === 0),
+      ev.where(col("event_id") % 2 === 1), "value", bins = 10)
+    cat.unionByName(num).orderBy("column_name")
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -2018,6 +2035,7 @@ object Queries {
     "q117_dedup_keep_best" -> (q117DedupKeepBest _),
     "q118_constraints" -> (q118Constraints _),
     "q119_quarantine" -> (q119Quarantine _),
-    "q120_temperature_weights" -> (q120TemperatureWeights _)
+    "q120_temperature_weights" -> (q120TemperatureWeights _),
+    "q121_drift_psi" -> (q121DriftPsi _)
   )
 }

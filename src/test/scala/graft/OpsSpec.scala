@@ -378,6 +378,34 @@ class OpsSpec extends SparkSpec {
       Multimodal.FeatureDim)
   }
 
+  test("drift PSI: zero on identical, epsilon-floored on one-sided, large on shift") {
+    import spark.implicits._
+    import graft.ops.Drift
+    val a = Seq.fill(50)("x").++(Seq.fill(50)("y")).toDF("c")
+    // identical distributions -> PSI 0
+    val same = Drift.psiCategorical(a, a, "c").head()
+    assert(same.getDouble(1) == 0.0 && same.getLong(2) == 2L)
+    // heavy shift 50/50 -> 90/10: hand-computed PSI
+    val b = Seq.fill(90)("x").++(Seq.fill(10)("y")).toDF("c")
+    val shift = Drift.psiCategorical(a, b, "c").head().getDouble(1)
+    val expect = (0.5 - 0.9) * math.log(0.5 / 0.9) +
+      (0.5 - 0.1) * math.log(0.5 / 0.1)
+    assert(math.abs(shift - expect) < 1e-5, s"$shift vs $expect")
+    // category on one side only: finite via the epsilon floor
+    val c = Seq.fill(100)("z").toDF("c")
+    val oneSided = Drift.psiCategorical(a, c, "c").head()
+    assert(!oneSided.getDouble(1).isNaN && !oneSided.getDouble(1).isInfinite)
+    assert(oneSided.getLong(2) == 3L)
+    // numeric: a location shift across reference-fitted deciles is large,
+    // matched distributions are ~0
+    val n1 = (1 to 1000).map(_.toDouble).toDF("v")
+    val n2 = (501 to 1500).map(_.toDouble).toDF("v")
+    val psiShift = Drift.psiNumeric(n1, n2, "v").head().getDouble(1)
+    val psiSame = Drift.psiNumeric(n1, n1, "v").head().getDouble(1)
+    assert(psiSame == 0.0)
+    assert(psiShift > 1.0, s"expected large drift, got $psiShift")
+  }
+
   test("constraints: every kind counts violations exactly; null predicate = violation") {
     import spark.implicits._
     import graft.ops.Constraints._
