@@ -290,6 +290,32 @@ object Oracles {
       |SELECT * FROM cat UNION ALL SELECT * FROM num
       |ORDER BY column_name""".stripMargin
 
+  /** q122: embedding stats — identical micro-unit quantization and the
+    * same double-expression shapes for the variance numerator (the sums
+    * exceed 2^53, so expression-shape parity, not just value parity, is
+    * what makes the hash match).
+    */
+  val q122: String =
+    """WITH e AS (SELECT unnest(embedding) AS v,
+      |    generate_subscripts(embedding, 1) - 1 AS dim
+      |  FROM embeddings WHERE embedding IS NOT NULL),
+      |c AS (SELECT dim, CAST(round(v * 1e6, 0) AS BIGINT) AS c FROM e),
+      |a AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(c) AS BIGINT) AS s,
+      |    sum(CAST(c AS HUGEINT) * c) AS ss,
+      |    CAST(min(c) AS BIGINT) AS mn, CAST(max(c) AS BIGINT) AS mx,
+      |    CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS z
+      |  FROM c GROUP BY dim)
+      |SELECT dim, n,
+      |  round(CAST(s AS DOUBLE)/n/1e6, 4) AS mean,
+      |  round(sqrt(greatest(
+      |    (CAST(ss AS DOUBLE)*n - CAST(s AS DOUBLE)*s) /
+      |      (CAST(n AS DOUBLE)*n), 0))/1e6, 4) AS std,
+      |  CAST(mn AS DOUBLE)/1e6 AS min_v,
+      |  CAST(mx AS DOUBLE)/1e6 AS max_v,
+      |  round(CAST(z AS DOUBLE)/n, 4) AS zero_frac
+      |FROM a ORDER BY dim""".stripMargin
+
   val q119: String =
     """SELECT l_orderkey, l_linenumber,
       |  coalesce(array_to_string(list_filter([
@@ -2233,6 +2259,7 @@ object Oracles {
       "q119_quarantine" -> q119,
       "q120_temperature_weights" -> q120,
       "q121_drift_psi" -> q121,
+      "q122_embedding_stats" -> q122,
       "q03_value_counts_orders" -> q03,
       "q04_histogram_price" -> q04,
       "q05_pearson_lineitem" -> q05,

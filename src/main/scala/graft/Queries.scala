@@ -1879,6 +1879,13 @@ object Queries {
     cat.unionByName(num).orderBy("column_name")
   }
 
+  /** Per-dimension embedding QA profile: exact micro-unit fixed-point
+    * sums per dimension (mean/σ/min/max/zero-fraction) — dead-dimension
+    * and scale-imbalance detection over the embeddings table.
+    */
+  def q122EmbeddingStats(s: SparkSession, dir: String): DataFrame =
+    ops.Similarity.embeddingStats(table(s, dir, "embeddings"), "embedding")
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -2036,6 +2043,7 @@ object Queries {
     "q118_constraints" -> (q118Constraints _),
     "q119_quarantine" -> (q119Quarantine _),
     "q120_temperature_weights" -> (q120TemperatureWeights _),
-    "q121_drift_psi" -> (q121DriftPsi _)
+    "q121_drift_psi" -> (q121DriftPsi _),
+    "q122_embedding_stats" -> (q122EmbeddingStats _)
   )
 }

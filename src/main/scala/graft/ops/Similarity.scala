@@ -609,4 +609,41 @@ object Similarity {
           .as("cosine"))
       .where(col("cosine") >= threshold)
   }
+
+  /** Per-dimension embedding statistics — the embedding-column QA profile
+    * (dead dims, scale imbalance, drift inputs). Values quantize to exact
+    * integer MICRO units before aggregation (order-independent long /
+    * decimal sums — the repo's hash-stable fixed-point convention; a double
+    * sum would depend on partitioning), one posexplode + one groupBy(dim).
+    * Output per dimension: n, mean, std (population), min, max, zero_frac
+    * (|v| < 0.5 micro — true zeros), all rounded to 4.
+    */
+  def embeddingStats(df: DataFrame, vecCol: String): DataFrame = {
+    val exploded = df.where(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .withColumn("c", round(col("v") * 1e6, 0).cast(LongType))
+    exploded.groupBy(col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("c")).as("s"),
+        sum((col("c") * col("c")).cast(DecimalType(38, 0))).as("ss"),
+        min(col("c")).as("mn"),
+        max(col("c")).as("mx"),
+        sum(when(abs(col("c")) === 0L, 1L).otherwise(0L)).as("z"))
+      .select(col("dim"), col("n"),
+        round(col("s").cast(DoubleType) / col("n") / 1e6, 4).as("mean"),
+        round(sqrt(greatest(
+          (col("ss").cast(DoubleType) * col("n") -
+            col("s").cast(DoubleType) * col("s")) /
+            (col("n").cast(DoubleType) * col("n")), lit(0.0))) / 1e6, 4)
+          .as("std"),
+        // min/max are EXACT micro integers: emit the bare division (the
+        // identical IEEE op in both engines) — rounding them to 4 places
+        // lands on decimal ties (…50 micros) where Java's shortest-repr
+        // BigDecimal rounding and a binary-value rounding disagree
+        (col("mn").cast(DoubleType) / 1e6).as("min_v"),
+        (col("mx").cast(DoubleType) / 1e6).as("max_v"),
+        round(col("z").cast(DoubleType) / col("n"), 4).as("zero_frac"))
+      .orderBy("dim")
+  }
 }
