@@ -24,14 +24,17 @@ object Hamming {
     require(bits > 0 && bits < 64, s"bits must be in 1..63, got $bits")
     require(maxDist >= 0 && maxDist < bits, s"bad maxDist $maxDist")
     val nChunks = maxDist + 1
-    val width = (bits + nChunks - 1) / nChunks
+    // even bit distribution: chunk j covers [j·bits/n, (j+1)·bits/n) — every
+    // chunk non-empty for any maxDist < bits (a fixed ceil width would push
+    // trailing chunks past the signature and break the pigeonhole guarantee)
+    val bounds = (0 to nChunks).map(j => j * bits / nChunks)
     val base = sigs.select(col(idCol).as("id"), col(sigCol).as("sig"))
       .where(col("sig").isNotNull)
     val chunks = base.select(col("id"), col("sig"),
       explode(array((0 until nChunks).map { j =>
-        val w = math.min(width, bits - j * width)
+        val lo = bounds(j); val w = bounds(j + 1) - lo
         struct(lit(j).as("chunk"),
-          shiftright(col("sig"), j * width)
+          shiftright(col("sig"), lo)
             .bitwiseAND((1L << w) - 1L).as("v"))
       }: _*)).as("c"))
       .select(col("id"), col("sig"),

@@ -117,6 +117,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: Hamming.pairs recall is exact at any maxDist (pigeonhole)") {
+    // random 56-bit signatures; banded pairs must equal the exhaustive
+    // Hamming join at maxDists that stress the chunk-boundary arithmetic
+    val gen = for {
+      n <- Gen.choose(6, 14)
+      sigs <- Gen.listOfN(n, Gen.choose(0L, (1L << 56) - 1))
+      maxDist <- Gen.oneOf(0, 1, 3, 10, 25, 40, 55)
+    } yield (sigs.zipWithIndex.map { case (s, i) => (i.toLong, s) }, maxDist)
+    forSamples(gen, 8) { case (sigs, maxDist) =>
+      val df = sigs.toDF("id", "sig")
+      val got = graft.ops.Hamming.pairs(df, 56, maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = (for {
+        (a, sa) <- sigs; (b, sb) <- sigs if a < b
+        d = java.lang.Long.bitCount(sa ^ sb)
+        if d <= maxDist
+      } yield (a, b, d.toLong)).toSet
+      assert(got == want, s"maxDist $maxDist: ${got.size} vs ${want.size}")
+    }
+  }
+
   test("property: multimodal byte parsers never throw on arbitrary bytes") {
     // untrusted 100 TB payloads WILL contain garbage that happens to start
     // with plausible magics — every parser must refuse cleanly, not throw
