@@ -140,6 +140,9 @@ object Constraints {
     */
   def check(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
     require(constraints.nonEmpty, "no constraints given")
+    // results key by name — two Satisfies("x", ...) would silently collide
+    val dup = constraints.groupBy(_.name).collect { case (n, cs) if cs.size > 1 => n }
+    require(dup.isEmpty, s"duplicate constraint names: ${dup.mkString(", ")}")
     val spark = df.sparkSession
     import spark.implicits._
 
