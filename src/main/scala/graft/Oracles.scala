@@ -316,6 +316,75 @@ object Oracles {
       |  round(CAST(z AS DOUBLE)/n, 4) AS zero_frac
       |FROM a ORDER BY dim""".stripMargin
 
+  /** q123: the six-stage release funnel, every stage replayed with the
+    * operator's existing SQL mirror: gopher gate, fingerprint first-wins,
+    * recursive-closure keep-best clusters, exhaustive cross-Jaccard
+    * decontamination, per-source cumsum packing.
+    */
+  val q123: String = {
+    val gop = graft.ops.TextAnalysis.Sql.gopherRules(
+      "corpus", "id", "text", 50L, 100000L)
+    val fp = graft.ops.TextAnalysis.Sql.fingerprint("text")
+    val clusters = graft.ops.Dedup.Sql.duplicateClusters(
+      "s2t", "id", "text", 3, 0.6)
+    val toks = "regexp_extract_all(lower(text), '\\S+')"
+    val sh = s"""list_distinct(CASE WHEN len($toks) >= 3
+                | THEN list_transform(range(1, len($toks) - 1),
+                |        i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2])
+                | ELSE [array_to_string($toks, ' ')] END)""".stripMargin
+    val jac = "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+      "(CAST(len(a.sh) + len(b.sh) AS DOUBLE) - " +
+      "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE))"
+    val tokCount = "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)"
+    s"""WITH corpus AS (SELECT doc_id AS id, source,
+       |    'here is the text of it and with that for our record ' || text
+       |      AS text
+       |  FROM documents WHERE doc_id >= 100),
+       |bench AS (SELECT doc_id AS id,
+       |    'here is the text of it and with that for our record ' || text
+       |      AS text
+       |  FROM documents WHERE doc_id < 100),
+       |gr AS ($gop),
+       |s1 AS (SELECT c.id, c.source, c.text FROM corpus c
+       |       JOIN gr ON gr.id = c.id WHERE gr.pass),
+       |s2 AS (SELECT id, source, text FROM (
+       |    SELECT s1.*, row_number() OVER (PARTITION BY $fp ORDER BY id) AS rn
+       |    FROM s1) WHERE rn = 1),
+       |s2t AS (SELECT id, source, text, $tokCount AS tok FROM s2),
+       |cc AS ($clusters),
+       |s3 AS (SELECT id, source, text, tok FROM (
+       |    SELECT t.*, row_number() OVER (
+       |        PARTITION BY coalesce(cc.cluster_id, t.id)
+       |        ORDER BY t.tok DESC, t.id ASC) AS r
+       |    FROM s2t t LEFT JOIN cc ON cc.id = t.id) WHERE r = 1),
+       |sh3 AS (SELECT id, $sh AS sh FROM s3),
+       |shb AS (SELECT id, $sh AS sh FROM bench),
+       |cont AS (SELECT DISTINCT a.id FROM sh3 a JOIN shb b ON true
+       |         WHERE round($jac, 4) >= 0.5),
+       |s4 AS (SELECT * FROM s3 WHERE id NOT IN (SELECT id FROM cont)),
+       |pk AS (SELECT source, tok,
+       |    sum(tok) OVER (PARTITION BY source ORDER BY id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS cb
+       |  FROM s4)
+       |SELECT * FROM (
+       |SELECT 0 AS stage_order, 'input' AS stage,
+       |  CAST(count(*) AS BIGINT) AS docs,
+       |  CAST(coalesce(sum($tokCount), 0) AS BIGINT) AS tokens FROM corpus
+       |UNION ALL SELECT 1, 'gated', CAST(count(*) AS BIGINT),
+       |  CAST(coalesce(sum($tokCount), 0) AS BIGINT) FROM s1
+       |UNION ALL SELECT 2, 'exact_dedup', CAST(count(*) AS BIGINT),
+       |  CAST(coalesce(sum($tokCount), 0) AS BIGINT) FROM s2
+       |UNION ALL SELECT 3, 'neardup_keep_best', CAST(count(*) AS BIGINT),
+       |  CAST(coalesce(sum(tok), 0) AS BIGINT) FROM s3
+       |UNION ALL SELECT 4, 'decontaminated', CAST(count(*) AS BIGINT),
+       |  CAST(coalesce(sum(tok), 0) AS BIGINT) FROM s4
+       |UNION ALL SELECT 5, 'packed',
+       |  CAST(count(DISTINCT source || ':' || CAST(cb // 512 AS VARCHAR))
+       |    AS BIGINT),
+       |  CAST(coalesce(sum(tok), 0) AS BIGINT) FROM pk
+       |) f ORDER BY stage_order""".stripMargin
+  }
+
   val q119: String =
     """SELECT l_orderkey, l_linenumber,
       |  coalesce(array_to_string(list_filter([
@@ -2260,6 +2329,7 @@ object Oracles {
       "q120_temperature_weights" -> q120,
       "q121_drift_psi" -> q121,
       "q122_embedding_stats" -> q122,
+      "q123_release_funnel" -> q123,
       "q03_value_counts_orders" -> q03,
       "q04_histogram_price" -> q04,
       "q05_pearson_lineitem" -> q05,

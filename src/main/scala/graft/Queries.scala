@@ -1886,6 +1886,23 @@ object Queries {
   def q122EmbeddingStats(s: SparkSession, dir: String): DataFrame =
     ops.Similarity.embeddingStats(table(s, dir, "embeddings"), "embedding")
 
+  /** The whole library as one release: gate → exact dedup → keep-best
+    * near-dup → decontaminate vs the benchmark half → pack, reported as a
+    * six-stage funnel. Corpus = docs with id ≥ 100; benchmark = id < 100.
+    */
+  def q123ReleaseFunnel(s: SparkSession, dir: String): DataFrame = {
+    // the synthetic token alphabet has no English stopwords, so every doc
+    // gets a deterministic stopword-bearing lead sentence (mirrored by the
+    // oracle) — otherwise the Gopher stopword rule zeroes the funnel
+    val lead = "here is the text of it and with that for our record "
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        concat(lit(lead), col("text")).as("text"))
+    ops.Pipeline.releaseFunnel(
+      docs.where(col("doc_id") >= 100), "doc_id", "text", "source",
+      docs.where(col("doc_id") < 100), "doc_id", "text")
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -2044,6 +2061,7 @@ object Queries {
     "q119_quarantine" -> (q119Quarantine _),
     "q120_temperature_weights" -> (q120TemperatureWeights _),
     "q121_drift_psi" -> (q121DriftPsi _),
-    "q122_embedding_stats" -> (q122EmbeddingStats _)
+    "q122_embedding_stats" -> (q122EmbeddingStats _),
+    "q123_release_funnel" -> (q123ReleaseFunnel _)
   )
 }

@@ -39,6 +39,64 @@ object Pipeline {
       .withColumn("lang_pred", TextAnalysis.langId(col("clean_text")))
   }
 
+  /** The full release pipeline as one funnel report: quality gate → exact
+    * dedup (first id wins on the normalized fingerprint) → near-dup
+    * resolution keeping each cluster's LONGEST member → benchmark
+    * decontamination (drop corpus docs sharing ≥ `crossThreshold` Jaccard
+    * with any benchmark doc) → sequence packing under a token budget,
+    * sharded by source. One row per stage: (stage_order, stage, docs,
+    * tokens) — for the final stage `docs` is the PACK count.
+    *
+    * Every stage is one of the library's verified operators composed
+    * as-is; the report collapses each stage to two numbers, so the only
+    * driver-side data is the 6×2 funnel itself.
+    */
+  def releaseFunnel(corpus: DataFrame, idCol: String, textCol: String,
+                    sourceCol: String,
+                    bench: DataFrame, benchIdCol: String, benchTextCol: String,
+                    minWords: Long = 50L, nearDupThreshold: Double = 0.6,
+                    crossThreshold: Double = 0.5,
+                    budget: Long = 512L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val s0 = corpus.select(col(idCol).as("id"), col(sourceCol).as("source"),
+      col(textCol).as("text"))
+    val s1 = s0.where(TextAnalysis.gopherPass(col("text"), minWords))
+    val w = Window.partitionBy(TextAnalysis.fingerprint(col("text")))
+      .orderBy(col("id"))
+    val s2 = s1.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+    val s2t = s2.withColumn("__tok", TextAnalysis.tokenCount(col("text")))
+    val s3 = Dedup.deduplicateKeepBest(s2t, "id", "text", "__tok",
+      threshold = nearDupThreshold)
+    val benchStd = bench.select(col(benchIdCol).as("id"),
+      col(benchTextCol).as("text"))
+    val contaminated = Dedup.crossMinhashMatches(s3, benchStd, "id", "text",
+        threshold = crossThreshold)
+      .select(col("corpus_id").as("id")).distinct()
+    val s4 = s3.join(contaminated, Seq("id"), "left_anti")
+    val packed = Packing.packByCumsum(s4, "id", "__tok", budget,
+      shardCol = Some("source"))
+
+    def stat(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(TextAnalysis.tokenCount(col("text"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val packRow = {
+      val r = packed.agg(countDistinct(col("pack_id")),
+        coalesce(sum(col("__tok")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val rows = Seq(
+      (0, "input", stat(s0)), (1, "gated", stat(s1)),
+      (2, "exact_dedup", stat(s2)), (3, "neardup_keep_best", stat(s3.drop("__tok").withColumn("text", col("text")))),
+      (4, "decontaminated", stat(s4)), (5, "packed", packRow))
+    rows.map { case (o, n, (d, t)) => (o, n, d, t) }
+      .toDF("stage_order", "stage", "docs", "tokens")
+      .orderBy("stage_order")
+  }
+
   /** Per-source curation funnel: how many documents entered, passed the
     * gate, survived dedup, and what the surviving corpus looks like.
     * Quality is averaged in fixed-point (score × 10⁴ as BIGINT) so the
