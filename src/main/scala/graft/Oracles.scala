@@ -2245,6 +2245,54 @@ object Oracles {
       |FROM orders o CROSS JOIN g LEFT JOIN m USING (o_orderpriority)
       |WHERE o.o_orderkey < 500 ORDER BY o.o_orderkey""".stripMargin
 
+  /** q124: end-to-end image dedup — q113's arithmetic dHash CTEs, then the
+    * recursive closure over the Hamming pair set; survivors are docs that
+    * are their own component minimum.
+    */
+  val q124: String =
+    """WITH RECURSIVE
+      |d AS (SELECT doc_id AS k, doc_id % 20 AS base, doc_id // 20 AS noise,
+      |    CAST(doc_id % 20 % 16 + 8 AS BIGINT) AS w,
+      |    CAST((doc_id % 20 * 3) % 16 + 8 AS BIGINT) AS h
+      |  FROM documents WHERE doc_id < 40),
+      |cell AS (SELECT k, base, noise, gx, gy,
+      |    gx*w//8 AS x0, greatest(gx*w//8 + 1, (gx+1)*w//8) AS x1,
+      |    gy*h//8 AS y0, greatest(gy*h//8 + 1, (gy+1)*h//8) AS y1
+      |  FROM d,
+      |    LATERAL (SELECT unnest(range(0, 8)) AS gx) a,
+      |    LATERAL (SELECT unnest(range(0, 8)) AS gy) b),
+      |g AS (SELECT k, gx, gy,
+      |    CAST(sum(299*((sx*sx+3*sy+base*37)%250 +
+      |          CASE WHEN noise=1 AND (sx+sy)%11=0 THEN 3 ELSE 0 END)
+      |        + 587*((sy*sy+2*sx+base*59)%250)
+      |        + 114*((sx*sy+base*83)%250)) AS BIGINT)
+      |      // CAST(count(*) AS BIGINT) AS l
+      |  FROM cell,
+      |    LATERAL (SELECT unnest(range(x0, x1)) AS sx) xs,
+      |    LATERAL (SELECT unnest(range(y0, y1)) AS sy) ys
+      |  GROUP BY k, gx, gy),
+      |hb AS (SELECT a.k,
+      |    CAST(sum(CASE WHEN b.l > a.l
+      |      THEN (CAST(1 AS BIGINT) << (a.gy*7 + a.gx)) ELSE 0 END) AS BIGINT)
+      |      AS hash
+      |  FROM g a JOIN g b ON a.k = b.k AND b.gy = a.gy AND b.gx = a.gx + 1
+      |  WHERE a.gx < 7
+      |  GROUP BY a.k),
+      |p AS (SELECT a.k AS id_1, b.k AS id_2
+      |  FROM hb a JOIN hb b ON a.k < b.k
+      |  WHERE bit_count(xor(a.hash, b.hash)) <= 3),
+      |edges AS (SELECT id_1 AS a, id_2 AS b FROM p
+      |          UNION SELECT id_2, id_1 FROM p),
+      |reach(a, r) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT e.a, r.r FROM edges e JOIN reach r ON r.a = e.b),
+      |cc AS (SELECT a AS id, least(a, min(r)) AS cluster_id
+      |  FROM reach GROUP BY a)
+      |SELECT k AS doc_id FROM hb
+      |WHERE k NOT IN (SELECT id FROM cc WHERE id <> cluster_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** q99: key-skew profile — exact counts, heaviest-first with value
     * tie-break, share over the exact total.
     */
@@ -2330,6 +2378,7 @@ object Oracles {
       "q121_drift_psi" -> q121,
       "q122_embedding_stats" -> q122,
       "q123_release_funnel" -> q123,
+      "q124_image_dedup" -> q124,
       "q03_value_counts_orders" -> q03,
       "q04_histogram_price" -> q04,
       "q05_pearson_lineitem" -> q05,

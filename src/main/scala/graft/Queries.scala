@@ -1903,6 +1903,19 @@ object Queries {
       docs.where(col("doc_id") < 100), "doc_id", "text")
   }
 
+  /** End-to-end image dedup over q113's fixture: perceptual clusters
+    * resolve to min-id representatives; the oracle recomputes the dHashes
+    * arithmetically and closes the Hamming pair set recursively.
+    */
+  def q124ImageDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents").where(col("doc_id") < 40)
+      .select(col("doc_id"), mkPngVariant(col("doc_id")).as("img"))
+    val withP = ops.Multimodal.withPayload(docs, "img", "image", "image/png")
+    ops.Multimodal.deduplicateImages(withP, "doc_id", maxDist = 3)
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -2062,6 +2075,7 @@ object Queries {
     "q120_temperature_weights" -> (q120TemperatureWeights _),
     "q121_drift_psi" -> (q121DriftPsi _),
     "q122_embedding_stats" -> (q122EmbeddingStats _),
-    "q123_release_funnel" -> (q123ReleaseFunnel _)
+    "q123_release_funnel" -> (q123ReleaseFunnel _),
+    "q124_image_dedup" -> (q124ImageDedup _)
   )
 }

@@ -475,6 +475,21 @@ object Multimodal {
       withAudioHash(df, payloadCol).select(col(idCol).as("id"), col("ahash")),
       DHashBits, maxDist, sigCol = "ahash")
 
+  /** End-to-end image deduplication: perceptual pairs → duplicate-cluster
+    * resolution → min-id representative per cluster, the
+    * [[graft.ops.Dedup.deduplicate]] shape over pixels. Rows whose payload
+    * doesn't decode keep (they produced no pairs).
+    */
+  def deduplicateImages(df: DataFrame, idCol: String,
+                        payloadCol: String = "payload",
+                        maxDist: Int = 3): DataFrame = {
+    val pairs = imageNearDups(df, idCol, payloadCol, maxDist)
+    val drops = Dedup.duplicateClusters(pairs)
+      .where(col("id") =!= col("cluster_id"))
+      .select(col("id").as(s"__drop_$idCol"))
+    df.join(drops, col(idCol) === col(s"__drop_$idCol"), "left_anti")
+  }
+
   /** Partition-batched image resize: decode (`javax.imageio`), box-filter
     * resize to fit `maxSide` ([[thumbDims]] + [[resizePixels]]), re-encode
     * as PNG (lossless — downstream [[featurize]] recovers the resized
