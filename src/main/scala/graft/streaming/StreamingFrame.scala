@@ -207,6 +207,20 @@ object StreamingFrame {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("image_key")
 
+  /** Streaming audio near-dup gate: the [[streamingImageDedup]] shape over
+    * the PCM envelope hash — perceptually identical clips (level-scaled
+    * re-encodes) collapse within the watermark; undecodable payloads fall
+    * back to byte md5.
+    */
+  def streamingAudioDedup(stream: DataFrame, payloadCol: String,
+                          tsCol: String,
+                          watermark: String = "1 hour"): DataFrame =
+    graft.ops.Multimodal.withAudioHash(stream, payloadCol)
+      .withColumn("audio_key",
+        coalesce(col("ahash").cast("string"), md5(col(payloadCol))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("audio_key")
+
   /** Streaming data-quality gate: tag each arriving row with the row-level
     * constraints it violates ([[graft.ops.Constraints.quarantine]] — one
     * stateless projection) and optionally keep only clean rows. The same

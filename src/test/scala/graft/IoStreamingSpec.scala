@@ -301,6 +301,35 @@ class IoStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming audio dedup collapses level-scaled twins within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    def wav(scale: Int): Array[Byte] = {
+      val n = 120
+      val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000)
+        .putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(2 * n)
+      (0 until n).foreach(i =>
+        bb.putShort(((((i * 37 + 11) % 2001) - 1000) * scale).toShort))
+      bb.array()
+    }
+    val mem = MemoryStream[(java.sql.Timestamp, Int)]
+    val stream = mem.toDF().toDF("ts", "scale")
+      .withColumn("payload", udf((s: Int) => wav(s)).apply(col("scale")))
+    val out = StreamingFrame.streamingAudioDedup(stream, "payload", "ts")
+    val q = out.writeStream.format("memory").queryName("auddedup")
+      .outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    mem.addData((t0, 1), (t0, 2), (t0, 1)) // 1 and 2 are level-scaled twins
+    q.processAllAvailable()
+    assert(spark.sql("select * from auddedup").count() == 1)
+    q.stop()
+  }
+
   test("streaming near-dedup collapses simhash-identical docs; piiScrub redacts") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String)]

@@ -53,6 +53,21 @@ class SketchesSpec extends SparkSpec {
     assert(hh.map(_._2).toSeq == hh.map(_._2).sorted(Ordering[Long].reverse).toSeq)
   }
 
+  test("temperatureWeights: alpha=1 keeps shares, alpha=0 is uniform, 0.5 lifts the tail") {
+    import spark.implicits._
+    val df = (Seq.fill(80)("big") ++ Seq.fill(20)("small")).toDF("src")
+    def w(alpha: Double) = graft.ops.Sampling
+      .temperatureWeights(df, "src", alpha)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val w1 = w(1.0)
+    assert(w1("big") == 0.8 && w1("small") == 0.2)
+    val w0 = w(0.0)
+    assert(w0("big") == 0.5 && w0("small") == 0.5)
+    val wh = w(0.5)
+    assert(wh("small") > 0.2 && wh("small") < 0.5, s"tail lift: $wh")
+    assert(math.abs(wh("big") + wh("small") - 1.0) < 1e-9)
+  }
+
   test("ww_heavy_hitters usable from SQL with nulls ignored") {
     import spark.implicits._
     Seq(Some("a"), Some("a"), Some("b"), None, Some("a"))
