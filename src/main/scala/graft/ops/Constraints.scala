@@ -73,22 +73,12 @@ object Constraints {
     def name = s"foreign_key:$column"
   }
 
-  private def violationExpr(c: Constraint): Option[Column] = c match {
-    case NotNull(col0) =>
-      Some(sum(when(col(col0).isNull, 1L).otherwise(0L)))
-    case InRange(col0, lo, hi) =>
-      Some(sum(when(col(col0).isNotNull &&
-        (col(col0) < lo || col(col0) > hi), 1L).otherwise(0L)))
-    case AcceptedValues(col0, vals) =>
-      Some(sum(when(col(col0).isNotNull &&
-        !col(col0).cast(StringType).isin(vals: _*), 1L).otherwise(0L)))
-    case MatchesRegex(col0, re) =>
-      Some(sum(when(col(col0).isNotNull &&
-        !col(col0).cast(StringType).rlike(re), 1L).otherwise(0L)))
-    case Satisfies(_, pred) =>
-      Some(sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)))
-    case _ => None // Unique / ForeignKey need their own jobs
-  }
+  /** Aggregated violation count, derived from the single source of truth
+    * [[rowViolation]] — check() and quarantine() can never diverge on
+    * what a row-level constraint means. None for set-level kinds.
+    */
+  private def violationExpr(c: Constraint): Option[Column] =
+    rowViolation(c).map(v => sum(when(v, 1L).otherwise(0L)))
 
   private def kindOf(c: Constraint): String = c match {
     case _: NotNull => "not_null"

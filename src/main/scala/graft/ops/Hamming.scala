@@ -39,11 +39,14 @@ object Hamming {
       }: _*)).as("c"))
       .select(col("id"), col("sig"),
         col("c.chunk").as("chunk"), col("c.v").as("v"))
+    // filter BEFORE distinct: each candidate appears once per shared chunk
+    // and most exceed maxDist — the distinct should only shuffle actual
+    // matches (hamming is a pure function of the pair, so order is free)
     SkewJoin.selfPairs(chunks, Seq("chunk", "v"), "id", Seq("sig"))
       .select(col("x_id").as("id_1"), col("y_id").as("id_2"),
         bit_count(col("x_sig").bitwiseXOR(col("y_sig")))
           .cast(LongType).as("hamming"))
-      .distinct()
       .where(col("hamming") <= maxDist)
+      .distinct()
   }
 }

@@ -79,10 +79,15 @@ object VideoMeta {
         walkBoxes(b, ms, me) {
           case ("mvhd", s, e) if e - s >= 20 =>
             val version = b(s.toInt) & 0xFF
-            if (version == 1 && e - s >= 28) {
-              // v1: creation/modification are 64-bit
-              timescale = be32(b, s.toInt + 20)
-              duration = be32(b, s.toInt + 24) << 32 | be32(b, s.toInt + 28)
+            if (version == 1) {
+              // v1: creation/modification are 64-bit; duration is 64-bit
+              // (reads through s+32 — a shorter v1 box is malformed and
+              // must NOT fall through to the v0 offsets, which would read
+              // creation-time bytes as the timescale)
+              if (e - s >= 32) {
+                timescale = be32(b, s.toInt + 20)
+                duration = be32(b, s.toInt + 24) << 32 | be32(b, s.toInt + 28)
+              }
             } else {
               timescale = be32(b, s.toInt + 12)
               duration = be32(b, s.toInt + 16)
@@ -129,7 +134,9 @@ object VideoMeta {
           while (ho + 8 <= hend) {
             val hid = fourcc(b, ho.toInt)
             val hsize = le32(b, ho.toInt + 4)
-            if (hid == "avih" && hsize >= 40) {
+            // the avih reads reach ho+48: trust the LIST bound, not just
+            // the chunk's self-declared size (truncated hdrl payloads)
+            if (hid == "avih" && hsize >= 40 && ho + 48 <= hend) {
               usPerFrame = le32(b, ho.toInt + 8)
               totalFrames = le32(b, ho.toInt + 24)
               width = le32(b, ho.toInt + 40).toInt

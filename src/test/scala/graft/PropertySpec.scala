@@ -171,6 +171,26 @@ class PropertySpec extends SparkSpec {
     val avi = VideoFixtures.mkAvi(40000, 25, 64, 48, new Array[Byte](20))
     for (cut <- 0 to mp4.length) graft.ops.VideoMeta.decode(mp4.take(cut))
     for (cut <- 0 to avi.length) graft.ops.VideoMeta.decode(avi.take(cut))
+    // v1 mvhd sweep: flip the version byte (offset 40 = ftyp 24 + moov hdr
+    // 8 + mvhd hdr 8) — a truncated v1 box must refuse, not read past the
+    // array (the v1 duration consumes through content offset 32)
+    val mp4v1 = mp4.clone(); mp4v1(40) = 1
+    for (cut <- 0 to mp4v1.length) graft.ops.VideoMeta.decode(mp4v1.take(cut))
+    // internally inconsistent AVI: the avih chunk CLAIMS 40+ bytes but its
+    // enclosing LIST ends right after the chunk header
+    val badAvi = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def le32(v: Int): Array[Byte] = Array(
+        (v & 0xFF).toByte, ((v >>> 8) & 0xFF).toByte,
+        ((v >>> 16) & 0xFF).toByte, ((v >>> 24) & 0xFF).toByte)
+      bos.write("RIFF".getBytes("ISO-8859-1")); bos.write(le32(4 + 8 + 12))
+      bos.write("AVI ".getBytes("ISO-8859-1"))
+      bos.write("LIST".getBytes("ISO-8859-1")); bos.write(le32(12))
+      bos.write("hdrl".getBytes("ISO-8859-1"))
+      bos.write("avih".getBytes("ISO-8859-1")); bos.write(le32(56))
+      bos.toByteArray
+    }
+    assert(graft.ops.VideoMeta.decode(badAvi).isEmpty)
   }
 
   test("property: asofJoin equals the per-row reference on random data") {
