@@ -53,12 +53,28 @@ object Multimodal {
 
   /** Exact-integer mean/std pair: mean = Σx/n, std from the exact integer
     * numerator n·Σx² − (Σx)² (no catastrophic cancellation, one double
-    * rounding at the end) — mirrored verbatim by the SQL oracles.
+    * rounding at the end) — mirrored verbatim by the SQL oracles. The
+    * numerator multiplies in BigInt: with per-mille luma (l ≤ 255000,
+    * l² ≤ 6.5e10) a LONG n·Σl² wraps past 2⁶³ for images beyond roughly
+    * 155×155 px, silently corrupting std on ordinary photo sizes.
     */
   @inline private def meanStd(sum: Long, sumSq: Long, n: Long): (Double, Double) = {
     val mean = sum.toDouble / n
-    val num = n * sumSq - sum * sum
-    (mean, math.sqrt(math.max(num.toDouble / (n.toDouble * n.toDouble), 0.0)))
+    val num = BigInt(n) * BigInt(sumSq) - BigInt(sum) * BigInt(sum)
+    (mean, math.sqrt(math.max(
+      num.toDouble / (n.toDouble * n.toDouble), 0.0)))
+  }
+
+  /** Shared guarded decode: ImageIO parse with the degenerate-dimension
+    * check applied uniformly (the four call sites previously each carried
+    * their own copy, with drifting guards).
+    */
+  private def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+    else Some(img)
   }
 
   /** Pixel-level image features via `javax.imageio` (JDK-native PNG/JPEG/
@@ -71,10 +87,7 @@ object Multimodal {
     * each rounded to 4 places.
     */
   def imageFeatures(payload: Array[Byte]): Option[Array[Double]] = {
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
-    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return None
+    val img = decodeImage(payload).getOrElse(return None)
     val w = img.getWidth; val h = img.getHeight
     val n = w.toLong * h
     var sr = 0L; var sg = 0L; var sb = 0L; var sl = 0L
@@ -105,10 +118,7 @@ object Multimodal {
     */
   def lumaHistogram(payload: Array[Byte], bins: Int = 8): Option[Array[Long]] = {
     require(bins > 0, s"need bins > 0, got $bins")
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
-    if (img == null) return None
+    val img = decodeImage(payload).getOrElse(return None)
     val out = new Array[Long](bins)
     var y = 0
     while (y < img.getHeight) {
@@ -371,10 +381,7 @@ object Multimodal {
     * doesn't decode.
     */
   def dHash(payload: Array[Byte]): Option[Long] = {
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
-    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return None
+    val img = decodeImage(payload).getOrElse(return None)
     val g = lumaGrid(img, 8, 8)
     var h = 0L
     var y = 0
@@ -507,18 +514,12 @@ object Multimodal {
         val bytes = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
         val resized: Array[Byte] =
           if (bytes == null) null
-          else {
-            val img =
-              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-              catch { case _: java.io.IOException => null }
-            if (img == null || img.getWidth <= 0 || img.getHeight <= 0) null
-            else {
-              val (dw, dh) = thumbDims(img.getWidth, img.getHeight, maxSide)
-              val bos = new java.io.ByteArrayOutputStream()
-              javax.imageio.ImageIO.write(resizePixels(img, dw, dh), "png", bos)
-              bos.toByteArray
-            }
-          }
+          else decodeImage(bytes).map { img =>
+            val (dw, dh) = thumbDims(img.getWidth, img.getHeight, maxSide)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(resizePixels(img, dw, dh), "png", bos)
+            bos.toByteArray
+          }.orNull
         Row.fromSeq(r.toSeq :+ resized)
       }
     }(enc)

@@ -71,10 +71,12 @@ object Pipeline {
       threshold = nearDupThreshold)
     val benchStd = bench.select(col(benchIdCol).as("id"),
       col(benchTextCol).as("text"))
-    val contaminated = Dedup.crossMinhashMatches(s3, benchStd, "id", "text",
-        threshold = crossThreshold)
-      .select(col("corpus_id").as("id")).distinct()
-    val s4 = s3.join(contaminated, Seq("id"), "left_anti")
+    // s3 feeds three downstream actions (its own stat, the contamination
+    // join, and packing) and its lineage contains the MinHash clustering —
+    // cache it so the expensive stages run once, not once per report row
+    val s3c = s3.persist()
+    val contaminated = contaminatedIds(s3c, benchStd, crossThreshold)
+    val s4 = s3c.join(contaminated, Seq("id"), "left_anti").persist()
     val packed = Packing.packByCumsum(s4, "id", "__tok", budget,
       shardCol = Some("source"))
 
@@ -83,19 +85,34 @@ object Pipeline {
         coalesce(sum(TextAnalysis.tokenCount(col("text"))), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
-    val packRow = {
-      val r = packed.agg(countDistinct(col("pack_id")),
+    // stages that already carry __tok sum it directly instead of
+    // re-tokenizing the text
+    def statTok(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
         coalesce(sum(col("__tok")), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
-    val rows = Seq(
-      (0, "input", stat(s0)), (1, "gated", stat(s1)),
-      (2, "exact_dedup", stat(s2)), (3, "neardup_keep_best", stat(s3.drop("__tok").withColumn("text", col("text")))),
-      (4, "decontaminated", stat(s4)), (5, "packed", packRow))
-    rows.map { case (o, n, (d, t)) => (o, n, d, t) }
-      .toDF("stage_order", "stage", "docs", "tokens")
-      .orderBy("stage_order")
+    try {
+      val packRow = {
+        val r = packed.agg(countDistinct(col("pack_id")),
+          coalesce(sum(col("__tok")), lit(0L))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val rows = Seq(
+        (0, "input", stat(s0)), (1, "gated", stat(s1)),
+        (2, "exact_dedup", stat(s2)), (3, "neardup_keep_best", statTok(s3c)),
+        (4, "decontaminated", statTok(s4)), (5, "packed", packRow))
+      rows.map { case (o, n, (d, t)) => (o, n, d, t) }
+        .toDF("stage_order", "stage", "docs", "tokens")
+        .orderBy("stage_order")
+    } finally { s4.unpersist(); s3c.unpersist() }
   }
+
+  private def contaminatedIds(corpus: DataFrame, bench: DataFrame,
+                              crossThreshold: Double): DataFrame =
+    Dedup.crossMinhashMatches(corpus, bench, "id", "text",
+        threshold = crossThreshold)
+      .select(col("corpus_id").as("id")).distinct()
 
   /** Per-source curation funnel: how many documents entered, passed the
     * gate, survived dedup, and what the surviving corpus looks like.

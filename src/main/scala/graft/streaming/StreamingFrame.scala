@@ -143,9 +143,10 @@ object StreamingFrame {
   def gopherGate(stream: DataFrame, textCol: String): DataFrame =
     stream.where(TextAnalysis.gopherPass(col(textCol)))
 
-  /** The composed streaming front door: Gopher rule gate → PII scrub →
-    * Bloom decontamination → (optional) classifier filter → near-dup
-    * suppression — the streaming twin of [[graft.ops.Pipeline.curate]].
+  /** The composed streaming front door: Gopher rule gate → Bloom
+    * decontamination (on RAW text, matching batch) → PII scrub →
+    * (optional) classifier filter → near-dup suppression — the streaming
+    * twin of [[graft.ops.Pipeline.curate]].
     * Every stage is a stateless projection/filter except the final
     * watermarked dedup, so the chain runs at ingest rate with one bounded
     * state store.
@@ -156,10 +157,14 @@ object StreamingFrame {
                  keep: Seq[String] = Seq.empty,
                  watermark: String = "1 hour"): DataFrame = {
     val gated = gopherGate(stream, textCol)
-    val scrubbed = piiScrub(gated, textCol)
-    val clean = bloomDecontaminate(scrubbed, textCol, bloomBits, n)
-    val classed = model.map(m => classifyGate(clean, textCol, m, keep))
-      .getOrElse(clean)
+    // decontaminate BEFORE the PII scrub: the Bloom set indexes RAW
+    // benchmark text, so probing redacted text would let PII-bearing
+    // contaminated spans slip past the gate that batch decontamination
+    // (also raw-text) would drop — ingest and offline must agree
+    val clean = bloomDecontaminate(gated, textCol, bloomBits, n)
+    val scrubbed = piiScrub(clean, textCol)
+    val classed = model.map(m => classifyGate(scrubbed, textCol, m, keep))
+      .getOrElse(scrubbed)
     streamingNearDedup(classed, textCol, tsCol, watermark)
   }
 
@@ -200,12 +205,18 @@ object StreamingFrame {
     */
   def streamingImageDedup(stream: DataFrame, payloadCol: String,
                           tsCol: String,
-                          watermark: String = "1 hour"): DataFrame =
-    graft.ops.Multimodal.withDHash(stream, payloadCol)
+                          watermark: String = "1 hour"): DataFrame = {
+    // null payloads must pass through: md5(null) is null, and a null dedup
+    // key would collapse EVERY payload-less row into the first one
+    val tagged = graft.ops.Multimodal.withDHash(stream, payloadCol)
+    val deduped = tagged.where(col(payloadCol).isNotNull)
       .withColumn("image_key",
         coalesce(col("dhash").cast("string"), md5(col(payloadCol))))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("image_key")
+      .drop("image_key")
+    deduped.unionByName(tagged.where(col(payloadCol).isNull))
+  }
 
   /** Streaming audio near-dup gate: the [[streamingImageDedup]] shape over
     * the PCM envelope hash — perceptually identical clips (level-scaled
@@ -214,12 +225,16 @@ object StreamingFrame {
     */
   def streamingAudioDedup(stream: DataFrame, payloadCol: String,
                           tsCol: String,
-                          watermark: String = "1 hour"): DataFrame =
-    graft.ops.Multimodal.withAudioHash(stream, payloadCol)
+                          watermark: String = "1 hour"): DataFrame = {
+    val tagged = graft.ops.Multimodal.withAudioHash(stream, payloadCol)
+    val deduped = tagged.where(col(payloadCol).isNotNull)
       .withColumn("audio_key",
         coalesce(col("ahash").cast("string"), md5(col(payloadCol))))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("audio_key")
+      .drop("audio_key")
+    deduped.unionByName(tagged.where(col(payloadCol).isNull))
+  }
 
   /** Streaming data-quality gate: tag each arriving row with the row-level
     * constraints it violates ([[graft.ops.Constraints.quarantine]] — one
@@ -272,8 +287,8 @@ object StreamingFrame {
     * statistics that windowed aggs can't express (state lives across
     * windows). Emit in update mode.
     */
-  final case class KeyProfile(key: String, count: Long, mean: Double,
-                              min: Double, max: Double)
+  final case class KeyProfile(key: String, count: Long, sum: Double,
+                              mean: Double, min: Double, max: Double)
 
   def statefulProfile(stream: DataFrame, keyCol: String, valueCol: String)
       : org.apache.spark.sql.Dataset[KeyProfile] = {
@@ -290,9 +305,11 @@ object StreamingFrame {
       .mapGroupsWithState[KeyProfile, KeyProfile](GroupStateTimeout.NoTimeout) {
         case (key, rows, state: GroupState[KeyProfile]) =>
           val prev = state.getOption.getOrElse(
-            KeyProfile(key, 0L, 0.0, Double.MaxValue, Double.MinValue))
+            KeyProfile(key, 0L, 0.0, 0.0, Double.MaxValue, Double.MinValue))
           var cnt = prev.count
-          var sum = prev.mean * prev.count
+          // the running SUM is the state; reconstructing it from a stored
+          // mean (mean*count) compounds one rounding error per micro-batch
+          var sum = prev.sum
           var mn = prev.min
           var mx = prev.max
           rows.foreach { case (_, v) =>
@@ -300,7 +317,8 @@ object StreamingFrame {
             if (v < mn) mn = v
             if (v > mx) mx = v
           }
-          val next = KeyProfile(key, cnt, if (cnt == 0) 0.0 else sum / cnt, mn, mx)
+          val next = KeyProfile(key, cnt, sum,
+            if (cnt == 0) 0.0 else sum / cnt, mn, mx)
           state.update(next)
           next
       }

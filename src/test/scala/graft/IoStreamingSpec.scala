@@ -299,6 +299,17 @@ class IoStreamingSpec extends SparkSpec {
     q.processAllAvailable()
     assert(spark.sql("select * from imgdedup").count() == 1)
     q.stop()
+    // null payloads all pass through — they must NOT collapse on a null key
+    val mem2 = MemoryStream[(java.sql.Timestamp, Int)]
+    val s2 = mem2.toDF().toDF("ts", "shift")
+      .withColumn("payload", lit(null).cast("binary"))
+    val q2 = StreamingFrame.streamingImageDedup(s2, "payload", "ts")
+      .writeStream.format("memory").queryName("imgdedup_null")
+      .outputMode("append").start()
+    mem2.addData((t0, 1), (t0, 2), (t0, 3))
+    q2.processAllAvailable()
+    assert(spark.sql("select * from imgdedup_null").count() == 3)
+    q2.stop()
   }
 
   test("streaming audio dedup collapses level-scaled twins within the watermark") {
