@@ -31,7 +31,7 @@ object Dedup {
   /** Distinct word n-gram shingles from a PRE-MATERIALIZED tokens column.
     * The lambda references the tokens many times; if the tokenizer expression
     * were inlined here, interpreted HOF evaluation would re-run the regex per
-    * element_at — always shingle via [[withShingles]] / a tokens column.
+    * element_at — always shingle via [[shingleTable]] / a tokens column.
     */
   def shinglesFromTokens(toks: Column, n: Int = 3): Column = {
     val grams = when(size(toks) >= n,
@@ -52,8 +52,14 @@ object Dedup {
     */
   def shingleTable(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
+    // both branches derive from ONE materialized tokens projection: the
+    // Generate (long branch) and the Filter (short branch) each evaluate
+    // the tokenizer once per row — inlining it per use would run the regex
+    // three times per row
+    val tokked = df.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("toks"))
+    val toks = tokked.select(col("id"),
+      posexplode(col("toks")).as(Seq("pos", "tok")))
     val w = Window.partitionBy("id").orderBy("pos")
     val grams = toks
       .withColumn("sh",
@@ -61,15 +67,14 @@ object Dedup {
       .withColumn("last", lead(col("tok"), n - 1).over(w))
       .where(col("last").isNotNull)
       .select("id", "sh")
-    val short = df
-      .where(size(TextAnalysis.tokens(col(textCol))) < n)
-      .select(col(idCol).as("id"),
-        array_join(TextAnalysis.tokens(col(textCol)), " ").as("sh"))
+    val short = tokked
+      .where(size(col("toks")) < n)
+      .select(col("id"), array_join(col("toks"), " ").as("sh"))
     grams.unionAll(short).distinct()
   }
 
   /** Distinct word n-gram shingles of a text column (single-expression
-    * convenience; prefer [[withShingles]] in hot paths).
+    * convenience; prefer [[shingleTable]] in hot paths).
     */
   def shingles(c: Column, n: Int = 3): Column =
     shinglesFromTokens(TextAnalysis.tokens(c), n)
@@ -321,14 +326,6 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
-  /** End-to-end near-duplicate removal: LSH pairs → connected components →
-    * keep each cluster's smallest-id representative, drop the rest. Returns
-    * the surviving corpus with the original columns. The final filter is a
-    * left anti join on the drop list (cluster members that are not the
-    * label); the list's size is the duplicate count, so the join is left
-    * unhinted — AQE broadcasts it when duplication is light and shuffles
-    * when a crawl-heavy corpus makes the list genuinely large.
-    */
   /** Text-level cross-corpus decontamination: corpus documents that
     * NEAR-DUPLICATE any benchmark document — the MinHash sibling of the
     * exact n-gram overlap ([[Corpus.contamination]]) and the embedding
@@ -397,6 +394,14 @@ object Dedup {
       .join(seen.select(col("fingerprint")), Seq("fingerprint"), "left_anti")
   }
 
+  /** End-to-end near-duplicate removal: LSH pairs → connected components →
+    * keep each cluster's smallest-id representative, drop the rest. Returns
+    * the surviving corpus with the original columns. The final filter is a
+    * left anti join on the drop list (cluster members that are not the
+    * label); the list's size is the duplicate count, so the join is left
+    * unhinted — AQE broadcasts it when duplication is light and shuffles
+    * when a crawl-heavy corpus makes the list genuinely large.
+    */
   def deduplicate(df: DataFrame, idCol: String, textCol: String,
                   n: Int = 3, threshold: Double = 0.6): DataFrame = {
     val pairs = minhashLshPairs(df, idCol, textCol, n = n,
@@ -472,28 +477,16 @@ object Dedup {
     summed.select(col("id"), sig.as("simhash"))
   }
 
-  /** Near-duplicate pairs by SimHash Hamming distance ≤ maxDist, using
-    * 15-bit chunk banding (pigeonhole: distance ≤ 3 ⇒ at least one of 4
-    * chunks identical) so candidates stay bucket-local.
+  /** Near-duplicate pairs by SimHash Hamming distance ≤ maxDist via the
+    * shared [[Hamming.pairs]] banding (maxDist+1 chunks — exact recall by
+    * pigeonhole at ANY maxDist, where the previous fixed 4×15-bit banding
+    * silently lost pairs past distance 3; at the default maxDist = 3 the
+    * chunking is bit-identical to the old shape).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 3): DataFrame = {
-    val sigs = simhash(df, idCol, textCol)
-    val chunks = sigs.select(col("id"), col("simhash"),
-      explode(array((0 until 4).map(j =>
-        struct(lit(j).as("chunk"),
-          shiftright(col("simhash"), j * 15).bitwiseAND(0x7FFFL).as("v"))): _*))
-        .as("c"))
-      .select(col("id"), col("simhash"), col("c.chunk").as("chunk"), col("c.v").as("v"))
-    // skew-guarded: identical documents share every chunk value — the guard
-    // keeps one hot chunk bucket from becoming a single quadratic task
-    SkewJoin.selfPairs(chunks, Seq("chunk", "v"), "id", Seq("simhash"))
-      .select(col("x_id").as("id_1"), col("y_id").as("id_2"),
-        bit_count(col("x_simhash").bitwiseXOR(col("y_simhash")))
-          .cast(LongType).as("hamming"))
-      .distinct()
-      .where(col("hamming") <= maxDist)
-  }
+                   maxDist: Int = 3): DataFrame =
+    Hamming.pairs(simhash(df, idCol, textCol), SimhashBits, maxDist,
+      sigCol = "simhash")
 
   // ------------------------------------------------------------ oracle SQL
   object Sql {

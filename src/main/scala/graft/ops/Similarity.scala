@@ -166,6 +166,13 @@ object Similarity {
     * count is pinned at `minPlanes`, so fixture-scale results are stable
     * and oracle-reproducible with literal planes.
     */
+  /** NOTE: `df` is evaluated numTables+1 times (the row-count probe that
+    * sizes the plane count, then one signature scan per OR-table). For the
+    * common case — a bare parquet scan — re-scanning is cheaper than
+    * materializing the corpus; if `df` carries expensive upstream lineage,
+    * pass `df.localCheckpoint()` (the [[graft.ops.Dedup.duplicateClusters]]
+    * convention).
+    */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                         threshold: Double = 0.95, targetBucket: Int = 256,
                         numTables: Int = 2, minPlanes: Int = 8,
@@ -500,17 +507,6 @@ object Similarity {
       .agg(count(lit(1)).as("n"), round(sum(col("sqdist")), 4).as("inertia"))
   }
 
-  /** SemDeDup (Abbas et al. 2023): semantic deduplication = cluster the
-    * embedding space (k-means), then within each cluster drop all but one
-    * of every group of near-identical vectors (cosine ≥ `tau`, grouped
-    * transitively, min-id canonical). The two scale levers compose: the
-    * k-means pass bounds candidate generation to within-cluster pairs, and
-    * the within-cluster self-join is skew-guarded ([[SkewJoin.selfPairs]])
-    * so a dense cluster grid-splits instead of exploding one task.
-    *
-    * Output: one row per input vector — (id, cluster, keep) — the dedup
-    * verdict joined back onto the full population.
-    */
   /** [[semanticDedup]] with the cluster count scaled to the corpus:
     * `k = clamp(ceil(n / targetCell), kMin, kMax)`, holding the expected
     * cell size — and with it the within-cell candidate-pair volume PER ROW
@@ -531,6 +527,10 @@ object Similarity {
     * at defaults) k pins at `kMin`, so fixture-scale results are stable
     * and identical to the pinned oracle.
     */
+  /** NOTE: like [[embeddingNearDups]], the row-count probe plus the
+    * k-means iterations re-evaluate `df`; checkpoint expensive upstream
+    * lineage before calling.
+    */
   def semanticDedupScaled(df: DataFrame, idCol: String, vecCol: String,
                           tau: Double, targetCell: Int = 1024,
                           kMin: Int = 8, kMax: Int = 65536, iters: Int = 5,
@@ -547,6 +547,17 @@ object Similarity {
     }
   }
 
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication = cluster the
+    * embedding space (k-means), then within each cluster drop all but one
+    * of every group of near-identical vectors (cosine ≥ `tau`, grouped
+    * transitively, min-id canonical). The two scale levers compose: the
+    * k-means pass bounds candidate generation to within-cluster pairs, and
+    * the within-cluster self-join is skew-guarded ([[SkewJoin.selfPairs]])
+    * so a dense cluster grid-splits instead of exploding one task.
+    *
+    * Output: one row per input vector — (id, cluster, keep) — the dedup
+    * verdict joined back onto the full population.
+    */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     k: Int, tau: Double, iters: Int = 5,
                     seed: Long = 42L): DataFrame = {

@@ -104,9 +104,11 @@ object IncrementalProfile {
     */
   def finalize(profile: DataFrame, roundTo: Int = 4): DataFrame = {
     val n = col("count") - col("null_count")
-    val mean = col("sum") / n
-    val variance = (col("sum_sq") - col("sum") * col("sum") / n) /
-      (n - lit(1))
+    // all-null columns have n = 0: guard every /n (ANSI mode, the Spark 4
+    // default, makes an unguarded divide-by-zero a query-killing error)
+    val mean = when(n > 0, col("sum") / n)
+    val variance = when(n > 1,
+      (col("sum_sq") - col("sum") * col("sum") / n) / (n - lit(1)))
     profile.select(
       col("column_name"),
       n.as("count"),
