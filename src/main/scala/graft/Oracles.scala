@@ -337,12 +337,12 @@ object Oracles {
       "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE))"
     val tokCount = "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)"
     s"""WITH corpus AS (SELECT doc_id AS id, source,
-       |    'here is the text of it and with that for our record ' || text
-       |      AS text
+       |    'the a' || doc_id || ' and b' || doc_id || ' of c' || doc_id ||
+       |    ' it d' || doc_id || ' ' || text AS text
        |  FROM documents WHERE doc_id >= 100),
        |bench AS (SELECT doc_id AS id,
-       |    'here is the text of it and with that for our record ' || text
-       |      AS text
+       |    'the a' || doc_id || ' and b' || doc_id || ' of c' || doc_id ||
+       |    ' it d' || doc_id || ' ' || text AS text
        |  FROM documents WHERE doc_id < 100),
        |gr AS ($gop),
        |s1 AS (SELECT c.id, c.source, c.text FROM corpus c

@@ -1892,12 +1892,17 @@ object Queries {
     */
   def q123ReleaseFunnel(s: SparkSession, dir: String): DataFrame = {
     // the synthetic token alphabet has no English stopwords, so every doc
-    // gets a deterministic stopword-bearing lead sentence (mirrored by the
-    // oracle) — otherwise the Gopher stopword rule zeroes the funnel
-    val lead = "here is the text of it and with that for our record "
+    // gets a deterministic stopword-bearing lead (mirrored by the oracle) —
+    // otherwise the Gopher stopword rule zeroes the funnel. The stopwords
+    // INTERLEAVE with doc-unique tokens so every lead 3-gram contains an
+    // id-bearing token: an identical lead on every doc would give the whole
+    // corpus shared shingles and turn the near-dup stage degenerate (the
+    // BENCH_SF1 generator design note, in miniature)
+    val k = col("doc_id").cast(StringType)
     val docs = table(s, dir, "documents")
       .select(col("doc_id"), col("source"),
-        concat(lit(lead), col("text")).as("text"))
+        concat(lit("the a"), k, lit(" and b"), k, lit(" of c"), k,
+          lit(" it d"), k, lit(" "), col("text")).as("text"))
     ops.Pipeline.releaseFunnel(
       docs.where(col("doc_id") >= 100), "doc_id", "text", "source",
       docs.where(col("doc_id") < 100), "doc_id", "text")

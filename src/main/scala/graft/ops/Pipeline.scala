@@ -61,19 +61,22 @@ object Pipeline {
     import spark.implicits._
     val s0 = corpus.select(col(idCol).as("id"), col(sourceCol).as("source"),
       col(textCol).as("text"))
+    // every stage feeds multiple downstream actions (its own stat + the
+    // next stage), so each expensive transform — the Gopher rule gate, the
+    // fingerprint window, the MinHash clustering — is persisted to run
+    // ONCE; without this the gate alone re-evaluates ~5x across the report
     val s1 = s0.where(TextAnalysis.gopherPass(col("text"), minWords))
+      .persist()
     val w = Window.partitionBy(TextAnalysis.fingerprint(col("text")))
       .orderBy(col("id"))
-    val s2 = s1.withColumn("__rn", row_number().over(w))
+    val s2t = s1.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
-    val s2t = s2.withColumn("__tok", TextAnalysis.tokenCount(col("text")))
+      .withColumn("__tok", TextAnalysis.tokenCount(col("text")))
+      .persist()
     val s3 = Dedup.deduplicateKeepBest(s2t, "id", "text", "__tok",
       threshold = nearDupThreshold)
     val benchStd = bench.select(col(benchIdCol).as("id"),
       col(benchTextCol).as("text"))
-    // s3 feeds three downstream actions (its own stat, the contamination
-    // join, and packing) and its lineage contains the MinHash clustering —
-    // cache it so the expensive stages run once, not once per report row
     val s3c = s3.persist()
     val contaminated = contaminatedIds(s3c, benchStd, crossThreshold)
     val s4 = s3c.join(contaminated, Seq("id"), "left_anti").persist()
@@ -100,12 +103,12 @@ object Pipeline {
       }
       val rows = Seq(
         (0, "input", stat(s0)), (1, "gated", stat(s1)),
-        (2, "exact_dedup", stat(s2)), (3, "neardup_keep_best", statTok(s3c)),
+        (2, "exact_dedup", statTok(s2t)), (3, "neardup_keep_best", statTok(s3c)),
         (4, "decontaminated", statTok(s4)), (5, "packed", packRow))
       rows.map { case (o, n, (d, t)) => (o, n, d, t) }
         .toDF("stage_order", "stage", "docs", "tokens")
         .orderBy("stage_order")
-    } finally { s4.unpersist(); s3c.unpersist() }
+    } finally { s4.unpersist(); s3c.unpersist(); s2t.unpersist(); s1.unpersist() }
   }
 
   private def contaminatedIds(corpus: DataFrame, bench: DataFrame,
