@@ -50,6 +50,14 @@ object Pipeline {
     * Every stage is one of the library's verified operators composed
     * as-is; the report collapses each stage to two numbers, so the only
     * driver-side data is the 6×2 funnel itself.
+    *
+    * ORACLE NOTE (repo convention, as for q65–q67): the near-dup and
+    * decontamination stages use MinHash-LSH candidate generation, whose
+    * recall near the threshold is probabilistic (a pair at Jaccard j is
+    * missed with probability (1-j^b)^bands). The q123 oracle enumerates
+    * pairs exhaustively, so the hash-equivalence is EXACT at fixture scale
+    * (every fixture pair sits far from the threshold) and probabilistic at
+    * corpus scale — the standard LSH trade, not a correctness bug.
     */
   def releaseFunnel(corpus: DataFrame, idCol: String, textCol: String,
                     sourceCol: String,

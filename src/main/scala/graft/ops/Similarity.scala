@@ -637,7 +637,11 @@ object Similarity {
       .agg(
         count(lit(1)).as("n"),
         sum(col("c")).as("s"),
-        sum((col("c") * col("c")).cast(DecimalType(38, 0))).as("ss"),
+        // widen BEFORE multiplying: c*c in LongType overflows 2^63 once
+        // |v| >= ~3037 (ANSI mode turns that into a query-killing
+        // ArithmeticException); the decimal-first product matches the
+        // oracle's CAST(c AS HUGEINT) * c shape
+        sum(col("c").cast(DecimalType(38, 0)) * col("c")).as("ss"),
         min(col("c")).as("mn"),
         max(col("c")).as("mx"),
         sum(when(abs(col("c")) === 0L, 1L).otherwise(0L)).as("z"))

@@ -88,10 +88,17 @@ object IncrementalProfile {
                 roundTo: Int = 4): DataFrame = {
     require(profile.columns.contains("kll"),
       "profile was built without quantiles = true")
+    // Labels carry full precision (p25, p99_5, p99_95): rounding p*100 to
+    // an integer collides nearby ranks (0.995 and 1.0 would both emit
+    // "p100") and duplicate column names break downstream selects.
     val qCols = ps.map { p =>
+      val scaled = BigDecimal(p * 100).underlying.stripTrailingZeros
+        .toPlainString.replace(".", "_").replace("-", "m")
       round(call_function("kll_sketch_get_quantile_double",
-        col("kll"), lit(p)), roundTo).as(s"p${math.round(p * 100)}")
+        col("kll"), lit(p)), roundTo).as(s"p$scaled")
     }
+    require(qCols.map(_.toString).distinct.size == qCols.size,
+      s"duplicate quantile labels from ps = $ps")
     profile.select(col("column_name") +: qCols: _*).orderBy("column_name")
   }
 

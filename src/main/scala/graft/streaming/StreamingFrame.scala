@@ -286,6 +286,12 @@ object StreamingFrame {
     * micro-batch — the stateful-operator shape for accumulating per-group
     * statistics that windowed aggs can't express (state lives across
     * windows). Emit in update mode.
+    *
+    * STATE-SCHEMA NOTE: `KeyProfile` is also the persisted state type.
+    * Adding the `sum` field broke decode compatibility with checkpoints
+    * written before it existed — restart `statefulProfile` queries from a
+    * fresh checkpoint after upgrading (Spark's state store has no implicit
+    * schema evolution for case-class state).
     */
   final case class KeyProfile(key: String, count: Long, sum: Double,
                               mean: Double, min: Double, max: Double)
