@@ -1985,10 +1985,13 @@ object Oracles {
       |FROM a ORDER BY doc_id""".stripMargin
 
   /** q108: video frame sampling — the oracle regenerates the MP4 fixture's
-    * field arithmetic (duration ticks → ms via the movie timescale, 16.16
-    * tkhd dimensions, mdat offset 248 = ftyp 24 + moov 216 + header 8) and
-    * the frame-midpoint timestamps + proportional mdat seeks; the engine
-    * must recover them by parsing real ISO BMFF boxes.
+    * field arithmetic: duration ticks → ms via the movie timescale, 16.16
+    * tkhd dimensions, the mdat content offset S = 420+4n (box sizes are
+    * linear in the sample count), the proportional mdat seek, AND the full
+    * sample-table walk — per-sample stts decode-start ticks (2 runs),
+    * stsz sizes, and absolute byte offsets across the 2-chunk stsc/stco
+    * split with its `gap`-byte interleave hole. The engine must recover
+    * all of it by parsing real ISO BMFF boxes.
     */
   val q108: String =
     """WITH d AS (SELECT doc_id AS k,
@@ -1996,18 +1999,48 @@ object Oracles {
       |    CAST((doc_id * 37) % 9000 + 600 AS BIGINT) AS dt,
       |    CAST((doc_id % 8 + 2) * 16 AS BIGINT) AS w,
       |    CAST((doc_id % 5 + 2) * 16 AS BIGINT) AS h,
-      |    CAST(doc_id % 200 + 64 AS BIGINT) AS s
+      |    CAST(1000 * (doc_id % 2 + 1) AS BIGINT) AS mts,
+      |    CAST(doc_id % 7 + 4 AS BIGINT) AS n,
+      |    CAST(doc_id % 9 AS BIGINT) AS gap
       |  FROM documents WHERE doc_id < 50),
-      |m AS (SELECT k, w, h, s, dt * 1000 // ts AS dur_ms FROM d),
-      |f AS (SELECT k, w, h, dur_ms, s, i,
+      |m AS (SELECT k, w, h, mts, n, gap,
+      |    dt * 1000 // ts AS dur_ms,
+      |    n // 2 AS n1,
+      |    mts // 10 + k % 5 AS delta1,
+      |    mts // 8 + k % 3 AS delta2,
+      |    (n + 1) // 2 AS c1,
+      |    420 + 4 * n AS soff
+      |  FROM d),
+      |sm AS (SELECT k, mts, gap, c1, soff, j,
+      |    (k*11 + 7*j) % 50 + 20 AS siz,
+      |    CASE WHEN j < n1 THEN j * delta1
+      |         ELSE n1 * delta1 + (j - n1) * delta2 END AS st
+      |  FROM m, LATERAL (SELECT unnest(range(0, n)) AS j) jj),
+      |so AS (SELECT k, mts, j, siz, st,
+    |    soff + (CAST(sum(siz) OVER (PARTITION BY k ORDER BY j) AS BIGINT) - siz)
+      |      + CASE WHEN j < c1 THEN 0 ELSE gap END AS boff,
+      |    CAST(sum(siz) OVER (PARTITION BY k) AS BIGINT) + gap AS s_total,
+      |    soff
+      |  FROM sm),
+      |f AS (SELECT k, w, h, dur_ms, mts, soff, gap, i,
       |    dur_ms * (2*i + 1) // 8 AS ts_ms
       |  FROM m, LATERAL (SELECT unnest(range(0, 4)) AS i) ii),
-      |p AS (SELECT k, w, h, dur_ms, i, ts_ms,
-      |    least(s - 1, ts_ms * s // greatest(1, dur_ms)) AS rel
-      |  FROM f)
+      |fs AS (SELECT f.k, f.i, max(so.j) AS sj
+      |  FROM f JOIN so ON f.k = so.k
+      |    AND so.st <= f.ts_ms * f.mts // 1000
+      |  GROUP BY f.k, f.i),
+      |p AS (SELECT f.k, f.w, f.h, f.dur_ms, f.mts, f.i, f.ts_ms,
+      |    least(so.s_total - 1,
+      |          f.ts_ms * so.s_total // greatest(1, f.dur_ms)) AS rel,
+      |    f.soff, so.j AS sj, so.st, so.siz, so.boff
+      |  FROM f JOIN fs ON f.k = fs.k AND f.i = fs.i
+      |  JOIN so ON so.k = f.k AND so.j = fs.sj)
       |SELECT k AS doc_id, w AS video_width, h AS video_height,
       |  dur_ms AS video_duration_ms, i AS frame_idx, ts_ms,
-      |  248 + rel AS probe_offset, (7*k + 13*rel) % 256 AS probe_byte
+      |  soff + rel AS probe_offset, (7*k + 13*rel) % 256 AS probe_byte,
+      |  sj AS sample_idx, st * 1000 // mts AS sample_ts_ms,
+      |  boff AS sample_offset, siz AS sample_size,
+      |  (7*k + 13*(boff - soff)) % 256 AS sample_byte
       |FROM p ORDER BY doc_id, frame_idx""".stripMargin
 
   /** q109: heavy hitters in the exact regime (distinct ≤ capacity per

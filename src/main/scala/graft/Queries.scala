@@ -1593,17 +1593,35 @@ object Queries {
       .orderBy("doc_id")
   }
 
-  /** Minimal valid ISO BMFF (MP4) fixture: ftyp + moov(mvhd v0 + trak/tkhd
-    * v0) + mdat, all field values deterministic functions of k that the
-    * oracle mirrors. mdat content byte i = (7k + 13i) % 256 so the frame
-    * probe's byte-accurate seek is SQL-verifiable.
+  /** Minimal valid ISO BMFF (MP4) fixture: ftyp + moov(mvhd v0 +
+    * trak(tkhd v0 + mdia(mdhd + minf/stbl))) + mdat, all field values
+    * deterministic functions of k that the oracle mirrors. The stbl
+    * carries REAL sample tables — a 2-run stts (n1 samples at delta1
+    * ticks, n2 at delta2), a per-sample stsz, a 2-chunk stsc/stco split
+    * with a `gap`-byte interleave hole between chunks — so the
+    * frame-accurate seek path has genuine box arithmetic to recover.
+    * Layout is linear in the sample count n: stbl = 124+4n, trak = 272+4n,
+    * moov = 388+4n, and mdat content starts at S = 420+4n. mdat content
+    * byte i = (7k + 13i) % 256 so every seek is SQL-verifiable.
     */
   private val mkMp4 = udf { (k: Long) =>
     val timescale = (600 * (k % 3 + 1)).toInt
     val durTicks = ((k * 37) % 9000 + 600).toInt
     val w = ((k % 8 + 2) * 16).toInt
     val h = ((k % 5 + 2) * 16).toInt
-    val dataLen = (k % 200 + 64).toInt
+    // sample-table parameters (oracle mirrors this arithmetic exactly)
+    val mts = (1000 * (k % 2 + 1)).toInt      // media timescale
+    val n = (k % 7 + 4).toInt                 // sample count, 4..10
+    val delta1 = (mts / 10 + k % 5).toInt     // stts run 1 tick step
+    val delta2 = (mts / 8 + k % 3).toInt      // stts run 2 tick step
+    val n1 = n / 2; val n2 = n - n1
+    val mediaDur = n1 * delta1 + n2 * delta2
+    val sizes = Array.tabulate(n)(j => ((k * 11 + 7 * j) % 50 + 20).toInt)
+    val c1 = (n + 1) / 2                      // samples in chunk 1
+    val gap = (k % 9).toInt                   // interleave hole between chunks
+    val sumC1 = sizes.take(c1).sum
+    val dataLen = sizes.sum + gap
+    val sOff = 420 + 4 * n                    // absolute mdat content start
     val bos = new java.io.ByteArrayOutputStream()
     def be32(v: Int): Unit = {
       bos.write((v >>> 24) & 0xFF); bos.write((v >>> 16) & 0xFF)
@@ -1612,8 +1630,8 @@ object Queries {
     def tag(t: String): Unit = bos.write(t.getBytes("ISO-8859-1"))
     // ftyp (24 bytes)
     be32(24); tag("ftyp"); tag("isom"); be32(0x200); tag("isom"); tag("mp41")
-    // moov (8 + 108 + 100)
-    be32(216); tag("moov")
+    // moov (8 + mvhd 108 + trak 272+4n)
+    be32(388 + 4 * n); tag("moov")
     be32(108); tag("mvhd"); be32(0) // version 0 + flags
     be32(0); be32(0)                // creation, modification
     be32(timescale); be32(durTicks)
@@ -1625,7 +1643,7 @@ object Queries {
     be32(0); be32(0); be32(0x40000000)
     (0 until 6).foreach(_ => be32(0)) // pre_defined
     be32(2)                          // next_track_ID
-    be32(100); tag("trak")
+    be32(272 + 4 * n); tag("trak")
     be32(92); tag("tkhd"); be32(0x000007) // v0, flags: enabled|in-movie
     be32(0); be32(0); be32(1); be32(0); be32(durTicks) // times, id, res, dur
     be32(0); be32(0)                // reserved
@@ -1634,6 +1652,23 @@ object Queries {
     be32(0); be32(0x00010000); be32(0)
     be32(0); be32(0); be32(0x40000000)
     be32(w << 16); be32(h << 16)    // 16.16 fixed width/height
+    // mdia (8 + mdhd 32 + minf 132+4n)
+    be32(172 + 4 * n); tag("mdia")
+    be32(32); tag("mdhd"); be32(0)  // version 0 + flags
+    be32(0); be32(0)                // creation, modification
+    be32(mts); be32(mediaDur)
+    be32(0x55C40000)                // language 'und' + pre_defined
+    be32(132 + 4 * n); tag("minf")
+    be32(124 + 4 * n); tag("stbl")
+    be32(32); tag("stts"); be32(0); be32(2)
+    be32(n1); be32(delta1); be32(n2); be32(delta2)
+    be32(20 + 4 * n); tag("stsz"); be32(0); be32(0); be32(n)
+    sizes.foreach(be32)
+    be32(40); tag("stsc"); be32(0); be32(2)
+    be32(1); be32(c1); be32(1)      // chunk 1: c1 samples
+    be32(2); be32(n - c1); be32(1)  // chunk 2: the rest
+    be32(24); tag("stco"); be32(0); be32(2)
+    be32(sOff); be32(sOff + sumC1 + gap)
     // mdat
     be32(8 + dataLen); tag("mdat")
     var i = 0
@@ -1642,11 +1677,15 @@ object Queries {
   }
 
   /** Video frame sampling: parse real MP4 container metadata (timescale →
-    * duration, 16.16 tkhd dimensions, mdat location) from synthesized
-    * fixtures, then explode each video into 4 evenly spaced frames with a
-    * byte-accurate proportional seek into mdat. Frame pixel decode is the
-    * documented stub ([[ops.Video.probeByte]]); timestamps, offsets, and
-    * probed bytes are all independently recomputed by the SQL oracle.
+    * duration, 16.16 tkhd dimensions, mdat location) AND the
+    * `stts`/`stsz`/`stsc`/`stco` sample tables from synthesized fixtures,
+    * then explode each video into 4 evenly spaced frames. Each frame
+    * carries both the proportional mdat seek (`probe_*`) and the
+    * FRAME-ACCURATE sample mapping (`sample_*`: index, exact decode
+    * timestamp, true byte offset across the 2-chunk stsc/stco split with
+    * its interleave gap, and size). Frame pixel decode is the documented
+    * stub ([[ops.Video.probeByte]]); every emitted number is independently
+    * recomputed by the SQL oracle from the fixture arithmetic.
     */
   def q108VideoFrames(s: SparkSession, dir: String): DataFrame = {
     val docs = table(s, dir, "documents").where(col("doc_id") < 50)
@@ -1655,7 +1694,9 @@ object Queries {
     ops.Video.sampleFrames(meta, n = 4)
       .select(col("doc_id"),
         col("video_width"), col("video_height"), col("video_duration_ms"),
-        col("frame_idx"), col("ts_ms"), col("probe_offset"), col("probe_byte"))
+        col("frame_idx"), col("ts_ms"), col("probe_offset"), col("probe_byte"),
+        col("sample_idx"), col("sample_ts_ms"), col("sample_offset"),
+        col("sample_size"), col("sample_byte"))
       .orderBy("doc_id", "frame_idx")
   }
 

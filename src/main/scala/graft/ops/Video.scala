@@ -8,11 +8,13 @@ import org.apache.spark.sql.types._
   * The Spark-side plumbing is fully real: container metadata comes from
   * [[VideoMeta]]'s byte-level MP4/AVI parsers, frame timestamps are exact
   * integer midpoints of `n` equal duration slices, and each sampled frame
-  * performs a byte-accurate seek into the container's encoded-sample
-  * section (`mdat` / `LIST movi`) at the timestamp's proportional offset —
-  * the same access pattern a real demuxer-backed decode would have. Rows
-  * explode one-to-n inside `mapPartitions` (executor-side, batch-shaped,
-  * no shuffle), so at 100 TB this is a linear map stage.
+  * seeks into the container's encoded-sample section. For MP4s carrying
+  * complete sample tables the seek is FRAME-ACCURATE — the timestamp maps
+  * through `stts`/`stsz`/`stsc`/`stco` to the exact sample byte range and
+  * decode time a real demuxer would produce; otherwise a proportional
+  * offset into `mdat` / `LIST movi` stands in. Rows explode one-to-n
+  * inside `mapPartitions` (executor-side, batch-shaped, no shuffle), so at
+  * 100 TB this is a linear map stage.
   *
   * STUB — frame pixel decode: turning the seeked bytes into pixels needs
   * an H.264/VP9 codec, which this zero-dependency JVM build deliberately
@@ -44,12 +46,27 @@ object Video {
     StructField("frame_idx", IntegerType, nullable = false),
     StructField("ts_ms", LongType, nullable = false),
     StructField("probe_offset", LongType, nullable = false),
-    StructField("probe_byte", IntegerType, nullable = false))
+    StructField("probe_byte", IntegerType, nullable = false),
+    StructField("sample_idx", IntegerType, nullable = true),
+    StructField("sample_ts_ms", LongType, nullable = true),
+    StructField("sample_offset", LongType, nullable = true),
+    StructField("sample_size", LongType, nullable = true),
+    StructField("sample_byte", IntegerType, nullable = true))
 
   /** Explode each video payload row into `n` evenly spaced sampled frames.
-    * Output = input columns + (frame_idx, ts_ms, probe_offset, probe_byte);
+    * Output = input columns + (frame_idx, ts_ms, probe_offset, probe_byte,
+    * sample_idx, sample_ts_ms, sample_offset, sample_size, sample_byte);
     * rows whose payload is not a parseable MP4/AVI container yield zero
     * frames (they are reported by [[describeVideos]] instead).
+    *
+    * When the container carries complete MP4 sample tables
+    * (`stts`/`stsz`/`stsc`/`stco` — [[VideoMeta.SampleTable]]), the
+    * `sample_*` columns are FRAME-ACCURATE: the frame timestamp maps
+    * through the media timescale to the sample being decoded at that
+    * instant, reporting its true byte offset/length in the payload and its
+    * exact decode timestamp — what a real demuxer would hand the codec.
+    * Without tables (AVI, table-less MP4) they are null and the
+    * proportional `probe_*` seek remains the estimate.
     */
   def sampleFrames(df: DataFrame, n: Int,
                    payloadCol: String = "payload"): DataFrame = {
@@ -65,8 +82,16 @@ object Video {
             (0 until n).iterator.map { i =>
               val ts = frameTsMs(info.durationMs, i, n)
               val off = seekOffset(info, ts)
+              val sampleCols: Seq[Any] = info.samples match {
+                case Some(st) =>
+                  val j = st.sampleAt(ts * st.mediaTimescale / 1000L)
+                  Seq[Any](j, st.startTicks(j) * 1000L / st.mediaTimescale,
+                    st.offsets(j), st.sizes(j),
+                    probeByte(bytes, st.offsets(j)))
+                case None => Seq[Any](null, null, null, null, null)
+              }
               Row.fromSeq(r.toSeq ++
-                Seq[Any](i, ts, off, probeByte(bytes, off)))
+                Seq[Any](i, ts, off, probeByte(bytes, off)) ++ sampleCols)
             }
           case None => Iterator.empty
         }

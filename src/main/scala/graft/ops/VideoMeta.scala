@@ -25,7 +25,38 @@ object VideoMeta {
     */
   final case class VideoInfo(mime: String, width: Int, height: Int,
                              durationMs: Long, timescale: Long,
-                             dataOffset: Long, dataSize: Long)
+                             dataOffset: Long, dataSize: Long,
+                             samples: Option[SampleTable] = None)
+
+  /** Per-sample index recovered from the MP4 sample tables
+    * (`stts`/`stsz`/`stsc`/`stco`): for sample j, `startTicks(j)` is its
+    * decode timestamp in MEDIA-timescale ticks (cumulative stts deltas),
+    * `offsets(j)` its absolute byte offset in the payload (stco chunk base
+    * + intra-chunk size prefix via the stsc chunk map) and `sizes(j)` its
+    * byte length. Arrays are per-video and bounded by the video's own
+    * sample count — built row-at-a-time inside `mapPartitions`, never
+    * collected.
+    */
+  final case class SampleTable(mediaTimescale: Long, startTicks: Array[Long],
+                               offsets: Array[Long], sizes: Array[Long]) {
+    def n: Int = sizes.length
+    /** Index of the sample being decoded at media-tick `ticks`: the largest
+      * j with startTicks(j) <= ticks (clamped into [0, n-1]).
+      */
+    def sampleAt(ticks: Long): Int = {
+      var lo = 0; var hi = n - 1
+      while (lo < hi) {
+        val mid = (lo + hi + 1) >>> 1
+        if (startTicks(mid) <= ticks) lo = mid else hi = mid - 1
+      }
+      lo
+    }
+  }
+
+  /** Sanity cap on declared sample/entry counts: a malformed count larger
+    * than the payload could ever index must not allocate.
+    */
+  private val MaxSamples = 1 << 22
 
   @inline private def be32(b: Array[Byte], o: Int): Long =
     ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
@@ -68,10 +99,104 @@ object VideoMeta {
     }
   }
 
+  /** Parse one trak's `mdia` subtree into a [[SampleTable]]: `mdhd` gives
+    * the media timescale, `minf/stbl` carries the four sample tables. All
+    * four (plus a positive timescale) must be present and mutually
+    * consistent or the whole table is rejected (None) — a partial table
+    * would silently mis-seek.
+    */
+  private def parseMdia(b: Array[Byte], ds: Long, de: Long): Option[SampleTable] = {
+    var mediaTs = 0L
+    var sttsRuns: Array[(Long, Long)] = null        // (count, delta)
+    var sizes: Array[Long] = null
+    var stscRuns: Array[(Long, Long)] = null        // (first_chunk, samples_per_chunk)
+    var chunkOffs: Array[Long] = null
+    walkBoxes(b, ds, de) {
+      case ("mdhd", s, e) if e - s >= 20 =>
+        val version = b(s.toInt) & 0xFF
+        if (version == 1) { if (e - s >= 32) mediaTs = be32(b, s.toInt + 20) }
+        else mediaTs = be32(b, s.toInt + 12)
+      case ("minf", fs, fe) =>
+        walkBoxes(b, fs, fe) {
+          case ("stbl", ss, se) =>
+            walkBoxes(b, ss, se) {
+              case ("stts", s, e) if e - s >= 8 =>
+                val n = be32(b, s.toInt + 4)
+                if (n <= MaxSamples && s + 8 + 8 * n <= e)
+                  sttsRuns = Array.tabulate(n.toInt) { i =>
+                    val o = s.toInt + 8 + 8 * i
+                    (be32(b, o), be32(b, o + 4))
+                  }
+              case ("stsz", s, e) if e - s >= 12 =>
+                val fixed = be32(b, s.toInt + 4)
+                val n = be32(b, s.toInt + 8)
+                if (n <= MaxSamples) {
+                  if (fixed != 0) sizes = Array.fill(n.toInt)(fixed)
+                  else if (s + 12 + 4 * n <= e)
+                    sizes = Array.tabulate(n.toInt)(i => be32(b, s.toInt + 12 + 4 * i))
+                }
+              case ("stsc", s, e) if e - s >= 8 =>
+                val n = be32(b, s.toInt + 4)
+                if (n <= MaxSamples && s + 8 + 12 * n <= e)
+                  stscRuns = Array.tabulate(n.toInt) { i =>
+                    val o = s.toInt + 8 + 12 * i
+                    (be32(b, o), be32(b, o + 4))
+                  }
+              case ("stco", s, e) if e - s >= 8 =>
+                val n = be32(b, s.toInt + 4)
+                if (n <= MaxSamples && s + 8 + 4 * n <= e)
+                  chunkOffs = Array.tabulate(n.toInt)(i => be32(b, s.toInt + 8 + 4 * i))
+              case ("co64", s, e) if e - s >= 8 =>
+                val n = be32(b, s.toInt + 4)
+                if (n <= MaxSamples && s + 8 + 8 * n <= e)
+                  chunkOffs = Array.tabulate(n.toInt) { i =>
+                    val o = s.toInt + 8 + 8 * i
+                    be32(b, o) << 32 | be32(b, o + 4)
+                  }
+              case _ =>
+            }
+          case _ =>
+        }
+      case _ =>
+    }
+    if (mediaTs <= 0 || sttsRuns == null || sizes == null ||
+        stscRuns == null || chunkOffs == null || sizes.length == 0) return None
+    val n = sizes.length
+    // decode-start ticks: expand the stts (count, delta) runs
+    if (sttsRuns.map(_._1).sum != n) return None
+    val starts = new Array[Long](n)
+    var j = 0; var t = 0L
+    sttsRuns.foreach { case (cnt, delta) =>
+      var c = 0L
+      while (c < cnt && j < n) { starts(j) = t; t += delta; j += 1; c += 1 }
+    }
+    // byte offsets: walk chunks, resolving samples-per-chunk from the last
+    // stsc run whose first_chunk <= the current (1-based) chunk index
+    if (stscRuns.exists(_._1 <= 0) || chunkOffs.length == 0) return None
+    val offsets = new Array[Long](n)
+    var sample = 0; var run = 0
+    var chunk = 1
+    while (sample < n && chunk <= chunkOffs.length) {
+      while (run + 1 < stscRuns.length && stscRuns(run + 1)._1 <= chunk) run += 1
+      val perChunk = stscRuns(run)._2
+      if (perChunk <= 0) return None
+      var within = 0L; var off = chunkOffs(chunk - 1)
+      while (within < perChunk && sample < n) {
+        offsets(sample) = off
+        off += sizes(sample)
+        sample += 1; within += 1
+      }
+      chunk += 1
+    }
+    if (sample < n) return None // ran out of chunks before samples
+    Some(SampleTable(mediaTs, starts, offsets, sizes))
+  }
+
   private def decodeMp4(b: Array[Byte]): Option[VideoInfo] = {
     var timescale = 0L; var duration = 0L
     var width = 0; var height = 0
     var mdatOff = 0L; var mdatSize = 0L
+    var samples: Option[SampleTable] = None
     walkBoxes(b, 0L, b.length.toLong) {
       case ("mdat", s, e) =>
         if (mdatSize == 0) { mdatOff = s; mdatSize = e - s }
@@ -103,6 +228,10 @@ object VideoMeta {
                   width = (be32(b, base.toInt) >> 16).toInt
                   height = (be32(b, base.toInt + 4) >> 16).toInt
                 }
+              case ("mdia", ds, de) =>
+                // first trak with a complete sample table wins (the video
+                // track leads in every mainstream muxer's box order)
+                if (samples.isEmpty) samples = parseMdia(b, ds, de)
               case _ =>
             }
           case _ =>
@@ -111,7 +240,7 @@ object VideoMeta {
     }
     if (timescale <= 0) None
     else Some(VideoInfo("video/mp4", width, height,
-      duration * 1000L / timescale, timescale, mdatOff, mdatSize))
+      duration * 1000L / timescale, timescale, mdatOff, mdatSize, samples))
   }
 
   private def decodeAvi(b: Array[Byte]): Option[VideoInfo] = {

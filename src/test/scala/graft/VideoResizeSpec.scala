@@ -223,4 +223,85 @@ class VideoResizeSpec extends SparkSpec {
     assert(meta(0).getAs[Long]("video_duration_ms") == 10000L)
     assert(meta(1).isNullAt(meta(1).fieldIndex("video_mime")))
   }
+
+  // ------------------------------------------------- MP4 sample-table parsing
+
+  import VideoFixtures.mkMp4Indexed
+
+  /** 5 samples: stts runs (2×100, 3×150) ticks at mts=1000; sizes
+    * 30/40/20/50/25 split 3+2 across two chunks with a 5-byte gap.
+    * Expected decode starts [0,100,200,350,500], offsets
+    * [440,470,510,535,585] (mdat content at 420+4·5=440).
+    */
+  private def indexedMp4(durTicks: Int = 390) =
+    mkMp4Indexed(timescale = 600, durTicks = durTicks, w = 160, h = 80,
+      mts = 1000, n1 = 2, delta1 = 100, n2 = 3, delta2 = 150,
+      sizes = Seq(30, 40, 20, 50, 25), c1 = 3, gap = 5,
+      fill = i => 3 * i + 7)
+
+  test("VideoMeta: stts/stsz/stsc/stco recovered into a per-sample index") {
+    val info = VideoMeta.decode(indexedMp4()).get
+    val st = info.samples.get
+    assert(st.mediaTimescale == 1000L)
+    assert(st.startTicks.toSeq == Seq(0L, 100L, 200L, 350L, 500L))
+    assert(st.sizes.toSeq == Seq(30L, 40L, 20L, 50L, 25L))
+    // chunk 1 is contiguous from the mdat content start; chunk 2 skips the
+    // 5-byte interleave gap declared only through its stco offset
+    assert(st.offsets.toSeq == Seq(440L, 470L, 510L, 535L, 585L))
+    // timestamp → sample binary search, including exact boundaries + clamp
+    assert(st.sampleAt(0) == 0 && st.sampleAt(99) == 0)
+    assert(st.sampleAt(100) == 1 && st.sampleAt(349) == 2)
+    assert(st.sampleAt(350) == 3 && st.sampleAt(500) == 4)
+    assert(st.sampleAt(100000) == 4) // past media duration → last sample
+  }
+
+  test("VideoMeta: incomplete sample tables are rejected whole") {
+    val full = indexedMp4()
+    // corrupt the stco tag: the table set is incomplete → samples = None,
+    // container-level metadata still parses
+    val idx = full.indexOfSlice("stco".getBytes("ISO-8859-1"))
+    assert(idx > 0)
+    val broken = full.clone()
+    "free".getBytes("ISO-8859-1").copyToArray(broken, idx)
+    val info = VideoMeta.decode(broken).get
+    assert(info.samples.isEmpty)
+    assert(info.width == 160 && info.durationMs == 650L)
+  }
+
+  test("sampleFrames: frame-accurate sample mapping from the tables") {
+    import spark.implicits._
+    // movie duration 390 ticks @600 = 650 ms = media duration: frame
+    // midpoints 81/243/406/568 ms land in samples 0/2/3/4
+    val df = Seq((1L, indexedMp4())).toDF("id", "payload")
+    val fr = Video.sampleFrames(df, n = 4).collect().sortBy(_.getInt(2))
+    assert(fr.map(_.getLong(3)).toSeq == Seq(81L, 243L, 406L, 568L))
+    assert(fr.map(_.getInt(6)).toSeq == Seq(0, 2, 3, 4))        // sample_idx
+    assert(fr.map(_.getLong(7)).toSeq == Seq(0L, 200L, 350L, 500L)) // ts_ms
+    assert(fr.map(_.getLong(8)).toSeq == Seq(440L, 510L, 535L, 585L)) // offset
+    assert(fr.map(_.getLong(9)).toSeq == Seq(30L, 20L, 50L, 25L))   // size
+    // sample_byte probes the true sample start: fill(off - 440)
+    assert(fr.map(_.getInt(10)).toSeq ==
+      Seq(7, (3 * 70 + 7) % 256, (3 * 95 + 7) % 256, (3 * 145 + 7) % 256))
+  }
+
+  test("sampleFrames: movie timeline past media duration clamps to last sample") {
+    import spark.implicits._
+    // movie 1200 ticks @600 = 2000 ms but media ends at 650 ms: frames at
+    // 250/750/1250/1750 ms map to samples 2/4/4/4
+    val df = Seq((1L, indexedMp4(durTicks = 1200))).toDF("id", "payload")
+    val fr = Video.sampleFrames(df, n = 4).collect().sortBy(_.getInt(2))
+    assert(fr.map(_.getInt(6)).toSeq == Seq(2, 4, 4, 4))
+  }
+
+  test("sampleFrames: table-less containers emit null sample columns") {
+    import spark.implicits._
+    val mp4 = mkMp4(600, 6000, 160, 80, Array.fill[Byte](50)(1)) // no stbl
+    val avi = mkAvi(40000, 250, 640, 480, Array.fill[Byte](40)(9))
+    val df = Seq((1L, mp4), (2L, avi)).toDF("id", "payload")
+    val fr = Video.sampleFrames(df, n = 2).collect()
+    assert(fr.length == 4)
+    for (r <- fr; c <- 6 to 10) assert(r.isNullAt(c))
+    // the proportional probe path still fills
+    for (r <- fr) assert(r.getLong(4) > 0 && r.getInt(5) >= 0)
+  }
 }
