@@ -2326,6 +2326,51 @@ object Oracles {
       |WHERE k NOT IN (SELECT id FROM cc WHERE id <> cluster_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** q125: the streaming ingest gate's batch replay — shared-constant
+    * Gopher rules, EXACT 13-gram decontamination standing in for the
+    * Bloom probe (zero false negatives; false positives ~1e-17 at the
+    * fixture's sizing — the repo's exact-at-fixture convention), then the
+    * identical redaction chain with raw-text PII counts.
+    */
+  val q125: String = {
+    val pats = graft.ops.TextAnalysis.piiPatterns.toMap
+    val chain = graft.ops.TextAnalysis.PiiPlaceholders.foldLeft("txt") {
+      case (acc, (nm, ph)) => s"regexp_replace($acc, '${pats(nm)}', '$ph', 'g')"
+    }
+    val T = graft.ops.TextAnalysis.Sql
+    val gop = T.gopherRules("src", "doc_id", "txt", 50L, 100000L)
+    val n = 13
+    val gram = (0 until n).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+    def cnt(p: String) = s"CAST(len(regexp_extract_all(txt, '$p')) AS BIGINT)"
+    s"""WITH src AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 10 = 0 THEN 'short doc'
+       |       WHEN doc_id % 9 = 1 THEN '${graft.Queries.q91Passage}'
+       |       ELSE substr(text, 1, 300) || ' contact user' ||
+       |            CAST(doc_id % 40 AS VARCHAR) ||
+       |            '@example.com and they should review the rest of that plan with care' END AS txt
+       |  FROM documents WHERE doc_id < 150),
+       |gop AS ($gop),
+       |keptg AS (SELECT s.doc_id, s.txt FROM src s
+       |          JOIN gop ON gop.id = s.doc_id WHERE gop.pass),
+       |bg AS (SELECT DISTINCT g FROM (
+       |    SELECT unnest(list_transform(range(1, len(toks) - ${n - 2}), i -> $gram)) AS g
+       |    FROM (SELECT regexp_extract_all(lower('${graft.Queries.q91Passage}'), '\\S+') AS toks))),
+       |cg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - ${n - 2}), i -> $gram)) AS g
+       |    FROM (SELECT doc_id, regexp_extract_all(lower(txt), '\\S+') AS toks FROM keptg)
+       |    WHERE len(toks) >= $n),
+       |hit AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (g)),
+       |clean AS (SELECT k.doc_id, k.txt FROM keptg k
+       |          LEFT JOIN hit ON hit.doc_id = k.doc_id WHERE hit.doc_id IS NULL)
+       |SELECT doc_id, red AS txt, pii_emails, pii_urls, pii_ips, pii_phones
+       |FROM (SELECT doc_id, $chain AS red,
+       |  ${cnt(pats("emails"))} AS pii_emails,
+       |  ${cnt(pats("urls"))} AS pii_urls,
+       |  ${cnt(pats("ips"))} AS pii_ips,
+       |  ${cnt(pats("phones"))} AS pii_phones
+       |  FROM clean)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** q99: key-skew profile — exact counts, heaviest-first with value
     * tie-break, share over the exact total.
     */
@@ -2412,6 +2457,7 @@ object Oracles {
       "q122_embedding_stats" -> q122,
       "q123_release_funnel" -> q123,
       "q124_image_dedup" -> q124,
+      "q125_ingest_twin" -> q125,
       "q03_value_counts_orders" -> q03,
       "q04_histogram_price" -> q04,
       "q05_pearson_lineitem" -> q05,

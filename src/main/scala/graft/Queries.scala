@@ -1962,6 +1962,42 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Streaming-twin equivalence, driver-checked: the batch replay of the
+    * streaming ingest gate's stateless chain ([[ops.Pipeline.ingestReplay]]
+    * — Gopher gate → Bloom decontamination → PII scrub, literally the same
+    * functions [[graft.streaming.StreamingFrame.ingestGate]] composes).
+    * The fixture has gate-failing docs (every 10th), contaminated docs
+    * embedding the full benchmark passage (every 9th ≡ 1, Gopher-passing
+    * so the BLOOM stage is what drops them) and embedded emails everywhere
+    * else. IngestTwinSpec runs the actual MemoryStream gate over the same
+    * fixture and asserts row-identical output; this query hands the batch
+    * side to the driver's hash check.
+    *
+    * ORACLE NOTE: the oracle replaces the Bloom probe with the EXACT
+    * 13-gram intersection it approximates — equivalent unless a Bloom
+    * false positive fires (zero false negatives by construction; at 2^20
+    * bits / 5 hashes / ~50 inserted grams the per-doc FP odds are ~1e-17,
+    * the repo's standard exact-at-fixture convention).
+    */
+  def q125IngestTwin(s: SparkSession, dir: String): DataFrame = {
+    val k = col("doc_id")
+    val bench = s.range(1).select(lit(0L).as("bench_id"),
+      lit(q91Passage).as("bench_text"))
+    val bits = ops.Corpus.buildGramBloom(bench, "bench_id", "bench_text",
+      n = 13, numBits = 1 << 20, numHashes = 5)
+    val txt = when(k % 10 === 0, lit("short doc"))
+      .when(k % 9 === 1, lit(q91Passage))
+      .otherwise(concat(substring(col("text"), 1, 300),
+        lit(" contact user"), (k % 40).cast(StringType),
+        lit("@example.com and they should review the rest of that plan with care")))
+    val docs = table(s, dir, "documents").where(k < 150)
+      .select(k, col("source"), txt.as("txt"))
+    ops.Pipeline.ingestReplay(docs, "txt", bits, n = 13)
+      .select(col("doc_id"), col("txt"), col("pii_emails"), col("pii_urls"),
+        col("pii_ips"), col("pii_phones"))
+      .orderBy("doc_id")
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -2122,6 +2158,7 @@ object Queries {
     "q121_drift_psi" -> (q121DriftPsi _),
     "q122_embedding_stats" -> (q122EmbeddingStats _),
     "q123_release_funnel" -> (q123ReleaseFunnel _),
-    "q124_image_dedup" -> (q124ImageDedup _)
+    "q124_image_dedup" -> (q124ImageDedup _),
+    "q125_ingest_twin" -> (q125IngestTwin _)
   )
 }

@@ -78,19 +78,25 @@ object FeaturePrep {
 
   /** Frequency label encoding: each category maps to its rank by
     * descending count (ties on ascending value) — 0 is the most frequent,
-    * the stable ordinal encoding for GBDT-style training. One groupBy +
-    * a bounded-window rank over the (small) distinct-value table, then a
-    * join back (AQE broadcasts vocabulary-sized sides).
+    * the stable ordinal encoding for GBDT-style training. One groupBy,
+    * then a global rank over the distinct-value table via
+    * [[graft.util.Ranks.globalRowNumber]]: a single-task window while the
+    * vocabulary stays under `bound` (the intended `category`-tagged use),
+    * switching to the range-partitioned prefix-offset path above it — so
+    * a mistyped high-cardinality column degrades to a parallel sort, not
+    * a one-task serialization. Join back is vocabulary-sized (AQE
+    * broadcasts it).
     *
     * Output: input columns + `<col>_enc`.
     */
-  def frequencyEncode(df: DataFrame, catCol: String): DataFrame = {
-    val w = Window.orderBy(col("__cnt").desc, col(catCol).asc)
+  def frequencyEncode(df: DataFrame, catCol: String,
+                      bound: Long = graft.util.Ranks.SingleTaskBound): DataFrame = {
     val mapping = df.where(col(catCol).isNotNull)
       .groupBy(col(catCol)).agg(count(lit(1)).as("__cnt"))
-      .withColumn(s"${catCol}_enc", (row_number().over(w) - 1).cast(LongType))
+    val ranked = graft.util.Ranks.globalRowNumber(mapping,
+        Seq(col("__cnt").desc, col(catCol).asc), s"${catCol}_enc", bound)
       .drop("__cnt")
-    df.join(mapping, Seq(catCol), "left")
+    df.join(ranked, Seq(catCol), "left")
   }
 
   /** Smoothed mean-target encoding: each category maps to

@@ -39,6 +39,31 @@ object Pipeline {
       .withColumn("lang_pred", TextAnalysis.langId(col("clean_text")))
   }
 
+  /** Offline replay of [[graft.streaming.StreamingFrame.ingestGate]]'s
+    * stateless chain — Gopher gate → Bloom decontamination (on RAW text,
+    * matching the streaming order) → PII scrub, applied to a batch frame.
+    * The streaming stages are stateless projections/filters, so this calls
+    * the SAME functions with the same expressions: an offline replay of
+    * ingest decisions agrees with the live gate bit-for-bit, and the
+    * driver's SQL oracle can hash-check the equivalence (q125).
+    *
+    * Excluded: the final watermarked near-dup stage, whose state is
+    * arrival order (no batch analog). On a simhash-signature-distinct
+    * corpus it is the identity — IngestTwinSpec constructs exactly that
+    * and asserts the full streaming gate emits these rows verbatim.
+    */
+  def ingestReplay(df: DataFrame, textCol: String,
+                   bloomBits: Array[Long], n: Int = 13,
+                   model: Option[graft.ops.Classifier.NbModel] = None,
+                   keep: Seq[String] = Seq.empty): DataFrame = {
+    val S = graft.streaming.StreamingFrame
+    val gated = S.gopherGate(df, textCol)
+    val clean = S.bloomDecontaminate(gated, textCol, bloomBits, n)
+    val scrubbed = S.piiScrub(clean, textCol)
+    model.map(m => S.classifyGate(scrubbed, textCol, m, keep))
+      .getOrElse(scrubbed)
+  }
+
   /** The full release pipeline as one funnel report: quality gate → exact
     * dedup (first id wins on the normalized fingerprint) → near-dup
     * resolution keeping each cluster's LONGEST member → benchmark

@@ -441,6 +441,24 @@ class CurationOpsSpec extends SparkSpec {
     assert(enc === Map("b" -> 0L, "a" -> 1L, "c" -> 2L))
   }
 
+  test("frequencyEncode: range-partitioned rank path matches the window path") {
+    // 200 distinct categories with a count gradient + ties; bound = 10
+    // forces the high-cardinality path, which must be rank-identical to
+    // the single-window default (same (count desc, value asc) total order)
+    val cats = (0 until 200).flatMap(i =>
+      Seq.fill(i % 7 + 1)(f"c$i%03d")).toDF("cat")
+    val byWindow = ops.FeaturePrep.frequencyEncode(cats, "cat")
+      .select("cat", "cat_enc").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byRange = ops.FeaturePrep.frequencyEncode(cats, "cat", bound = 10L)
+      .select("cat", "cat_enc").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byRange === byWindow)
+    assert(byRange.values.toSeq.sorted === (0L until 200L))
+    // most frequent category (count 7, smallest value among count-7 ties)
+    assert(byRange(f"c${6}%03d") === 0L)
+  }
+
   test("schema drift reports added/removed/retyped/retagged columns") {
     import graft.frame.WoodworkFrame
     import graft.types.{LogicalType => LT}

@@ -1,0 +1,77 @@
+package graft
+
+import graft.ops.{Corpus, Pipeline}
+import graft.streaming.StreamingFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming-twin equivalence for the ingest gate: the live MemoryStream
+  * chain ([[StreamingFrame.ingestGate]]) must emit row-for-row what the
+  * batch replay ([[Pipeline.ingestReplay]]) computes over the same corpus.
+  * q125 hands the batch side to the driver's DuckDB hash check; this spec
+  * closes the loop by pinning streaming == batch on a fixture where the
+  * one excluded stage (watermarked near-dup) is provably the identity.
+  */
+class IngestTwinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val passage = Queries.q91Passage
+
+  /** Mirrors q125's fixture shape: every 10th fails Gopher, every 9th ≡ 1
+    * is the full benchmark passage (Gopher-passing, so only the Bloom
+    * stage drops it), the rest are unique-token passers with an embedded
+    * email.
+    */
+  private def docText(i: Int): String =
+    if (i % 10 == 0) "short doc"
+    else if (i % 9 == 1) passage
+    else {
+      val uniq = (0 until 55).map(j => s"tok${i}x$j").mkString(" ")
+      s"$uniq contact user$i@example.com and they should review " +
+        "the rest of that plan with care"
+    }
+
+  test("ingestGate over MemoryStream equals the batch ingestReplay") {
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((0L, passage)).toDF("bench_id", "bench_text")
+    val bits = Corpus.buildGramBloom(bench, "bench_id", "bench_text",
+      n = 13, numBits = 1 << 20, numHashes = 5)
+
+    val ids = 0 until 60
+    val batchDf = ids.map(i => (i.toLong, docText(i))).toDF("id", "text")
+    val batch = Pipeline.ingestReplay(batchDf, "text", bits, n = 13)
+      .select("id", "text", "pii_emails", "pii_urls", "pii_ips", "pii_phones")
+    val batchRows = batch.collect().map(_.toSeq).toSet
+    assert(batchRows.nonEmpty)
+
+    // the excluded near-dup stage must be the identity here: every
+    // surviving doc carries a distinct simhash signature (unique tokens)
+    val sigs = batch.select(
+        call_function("ww_simhash",
+          graft.ops.TextAnalysis.tokens(col("text"))).as("sig"))
+      .collect().map(_.getLong(0))
+    assert(sigs.distinct.length == sigs.length,
+      "fixture must be signature-distinct for exact equivalence")
+
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val stream = mem.toDF().toDF("ts", "id", "text")
+    val gated = StreamingFrame.ingestGate(stream, "text", "ts", bits, n = 13)
+    val q = gated.writeStream.format("memory").queryName("ingest_twin")
+      .outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // two micro-batches so the equivalence covers the incremental planner,
+    // not just a single-batch degenerate run
+    val (front, back) = ids.splitAt(30)
+    mem.addData(front.map(i => (t0, i.toLong, docText(i))))
+    q.processAllAvailable()
+    mem.addData(back.map(i => (t0, i.toLong, docText(i))))
+    q.processAllAvailable()
+    val streamed = spark.sql(
+        "select id, text, pii_emails, pii_urls, pii_ips, pii_phones " +
+        "from ingest_twin")
+      .collect().map(_.toSeq).toSet
+    q.stop()
+
+    assert(streamed == batchRows)
+  }
+}
