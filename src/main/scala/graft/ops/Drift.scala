@@ -51,6 +51,11 @@ object Drift {
     psiCategorical(binned(ref), binned(cur), column, epsilon)
   }
 
+  /** SCALE NOTE: the empty-partition window runs over the post-aggregation
+    * per-VALUE count table — vocabulary-sized by PSI's construction
+    * (categorical levels or ≤ `bins` quantile labels), never the input —
+    * so the single window task holds at most |vocabulary| slim rows.
+    */
   private def shares(df: DataFrame, column: String, out: String): DataFrame = {
     val counts = df.where(col(column).isNotNull)
       .groupBy(col(column).cast(StringType).as("value"))

@@ -118,6 +118,10 @@ object Sampling {
     val counts = df.where(col(sourceCol).isNotNull)
       .groupBy(col(sourceCol).cast(StringType).as("source"))
       .agg(count(lit(1)).as("n"))
+    // SCALE NOTE: both empty-partition windows run over the per-SOURCE
+    // count table (mixture sources are an enumerated handful), not the
+    // input — the single window task holds |sources| rows at any corpus
+    // size
     val total = sum(col("n")).over(Window.partitionBy())
     val share = col("n").cast(DoubleType) / total
     val scaled = pow(share, lit(alpha))
