@@ -131,8 +131,13 @@ object VideoMeta {
                 val fixed = be32(b, s.toInt + 4)
                 val n = be32(b, s.toInt + 8)
                 if (n <= MaxSamples) {
-                  if (fixed != 0) sizes = Array.fill(n.toInt)(fixed)
-                  else if (s + 12 + 4 * n <= e)
+                  // fixed-size form has no entry list to bound n, so bound
+                  // it by the payload instead: n samples of `fixed` bytes
+                  // can't exceed the container (a 200-byte forgery must
+                  // not drive three 4M-element allocations)
+                  if (fixed > 0) {
+                    if (n * fixed <= b.length) sizes = Array.fill(n.toInt)(fixed)
+                  } else if (s + 12 + 4 * n <= e)
                     sizes = Array.tabulate(n.toInt)(i => be32(b, s.toInt + 12 + 4 * i))
                 }
               case ("stsc", s, e) if e - s >= 8 =>
@@ -171,8 +176,15 @@ object VideoMeta {
       while (c < cnt && j < n) { starts(j) = t; t += delta; j += 1; c += 1 }
     }
     // byte offsets: walk chunks, resolving samples-per-chunk from the last
-    // stsc run whose first_chunk <= the current (1-based) chunk index
-    if (stscRuns.exists(_._1 <= 0) || chunkOffs.length == 0) return None
+    // stsc run whose first_chunk <= the current (1-based) chunk index.
+    // Runs must start at chunk 1 and strictly increase — a run table that
+    // skips chunk 1 (or doubles back) has no defined mapping, and applying
+    // run 0 anyway would be exactly the silent mis-seek this rejection
+    // policy exists to prevent.
+    if (stscRuns.isEmpty || stscRuns.head._1 != 1L ||
+        stscRuns.iterator.sliding(2).withPartial(false)
+          .exists(p => p(1)._1 <= p(0)._1) ||
+        chunkOffs.length == 0) return None
     val offsets = new Array[Long](n)
     var sample = 0; var run = 0
     var chunk = 1

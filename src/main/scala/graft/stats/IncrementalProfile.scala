@@ -90,9 +90,11 @@ object IncrementalProfile {
       "profile was built without quantiles = true")
     // Labels carry full precision (p25, p99_5, p99_95): rounding p*100 to
     // an integer collides nearby ranks (0.995 and 1.0 would both emit
-    // "p100") and duplicate column names break downstream selects.
+    // "p100") and duplicate column names break downstream selects. The
+    // scaling happens in BigDecimal — (p * 100) in Double space mangles
+    // common ranks (0.07*100 = 7.000000000000001 → "p7_000000000000001").
     val qCols = ps.map { p =>
-      val scaled = BigDecimal(p * 100).underlying.stripTrailingZeros
+      val scaled = (BigDecimal(p) * 100).underlying.stripTrailingZeros
         .toPlainString.replace(".", "_").replace("-", "m")
       round(call_function("kll_sketch_get_quantile_double",
         col("kll"), lit(p)), roundTo).as(s"p$scaled")

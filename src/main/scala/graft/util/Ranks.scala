@@ -27,36 +27,41 @@ object Ranks {
     * driver-side partition-count prefix offsets — each task ranks only its
     * own range partition, so a mistyped high-cardinality column degrades
     * to a parallel sort instead of a one-task serialization.
+    *
+    * Execution contract: the input is materialized ONCE up front via
+    * `localCheckpoint` (an eager fit, like every fit in this library) —
+    * the count that picks the regime, the prefix-offset job, and the
+    * caller's downstream actions all read the materialized table instead
+    * of re-running the caller's aggregation, and the range partitioning
+    * stays frozen between the offset collection and the final plan.
+    * SCALE NOTE: localCheckpoint blocks are not replicated; losing an
+    * executor that holds them fails the fit, which is then simply re-run
+    * — the table is a distinct-value mapping, not hours of lineage.
     */
   def globalRowNumber(df: DataFrame, ordering: Seq[Column],
                       rankCol: String,
                       bound: Long = SingleTaskBound): DataFrame = {
-    val n = df.count()
+    val mapping = df.localCheckpoint()
+    val n = mapping.count()
     if (n <= bound) {
       val w = Window.orderBy(ordering: _*)
-      df.withColumn(rankCol, (row_number().over(w) - 1).cast("long"))
+      mapping.withColumn(rankCol, (row_number().over(w) - 1).cast("long"))
     } else {
       val parts = math.max(df.sparkSession.sparkContext.defaultParallelism, 4)
-      val gn = df.repartitionByRange(parts, ordering: _*)
-        .withColumn("__pid", spark_partition_id()).cache()
-      try {
-        val partCounts = gn.groupBy("__pid").count()
-          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-        val pids = partCounts.keys.toSeq.sorted
-        val prefix = pids.scanLeft(0L)((acc, p) => acc + partCounts(p))
-        val offsetOf = pids.zip(prefix).toMap
-        val offExpr = pids.foldLeft(lit(0L)) { (acc, p) =>
-          when(col("__pid") === p, lit(offsetOf(p))).otherwise(acc)
-        }
-        val w = Window.partitionBy("__pid").orderBy(ordering: _*)
-        // materialize while gn is still cached: the caller may use the
-        // result after this method unpersists the intermediate
-        val out = gn.withColumn(rankCol,
-            (row_number().over(w) - 1).cast("long") + offExpr)
-          .drop("__pid")
-          .localCheckpoint()
-        out
-      } finally gn.unpersist()
+      val gn = mapping.repartitionByRange(parts, ordering: _*)
+        .withColumn("__pid", spark_partition_id())
+      val partCounts = gn.groupBy("__pid").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val pids = partCounts.keys.toSeq.sorted
+      val prefix = pids.scanLeft(0L)((acc, p) => acc + partCounts(p))
+      val offsetOf = pids.zip(prefix).toMap
+      val offExpr = pids.foldLeft(lit(0L)) { (acc, p) =>
+        when(col("__pid") === p, lit(offsetOf(p))).otherwise(acc)
+      }
+      val w = Window.partitionBy("__pid").orderBy(ordering: _*)
+      gn.withColumn(rankCol,
+          (row_number().over(w) - 1).cast("long") + offExpr)
+        .drop("__pid")
     }
   }
 }

@@ -222,6 +222,17 @@ class CorpusSamplingSpec extends SparkSpec {
       IncrementalProfile.quantiles(plain)
     }
     assert(err.getMessage.contains("quantiles = true"))
+
+    // labels: full decimal precision, exact in BigDecimal space (0.07 must
+    // not become p7_000000000000001), nearby ranks must not collide
+    val labeled = IncrementalProfile.quantiles(merged,
+      ps = Seq(0.07, 0.5, 0.995, 0.9995))
+    assert(labeled.columns.toSeq ==
+      Seq("column_name", "p7", "p50", "p99_5", "p99_95"))
+    val dup = intercept[IllegalArgumentException] {
+      IncrementalProfile.quantiles(merged, ps = Seq(0.5, 0.5))
+    }
+    assert(dup.getMessage.contains("duplicate"))
   }
 
   test("domainCounts: host extraction, lowercasing, distinct docs") {

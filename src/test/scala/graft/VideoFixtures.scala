@@ -40,49 +40,67 @@ object VideoFixtures {
     * mdia(mdhd + minf(stbl(stts/stsz/stsc/stco))))) + mdat — the same
     * layout as the q108 fixture (2-run stts, per-sample stsz, 2-chunk
     * stsc/stco with a `gap`-byte interleave hole). mdat content byte i =
-    * `fill(i)`. Content offset of mdat is 420 + 4*sizes.length.
+    * `fill(i)`. Content offset of mdat is 420 + 4*sizes.length at the
+    * defaults (q108's constant); `fixedSize != 0` writes a constant-size
+    * stsz with NO entry list (every element of `sizes` must equal it) and
+    * `co64` emits 64-bit chunk offsets — both shift the layout, which the
+    * builder recomputes.
     */
   def mkMp4Indexed(timescale: Int, durTicks: Int, w: Int, h: Int,
                    mts: Int, n1: Int, delta1: Int, n2: Int, delta2: Int,
                    sizes: Seq[Int], c1: Int, gap: Int,
-                   fill: Int => Int): Array[Byte] = {
+                   fill: Int => Int, fixedSize: Int = 0,
+                   co64: Boolean = false): Array[Byte] = {
     val n = sizes.length
     require(n1 + n2 == n && c1 >= 1 && c1 <= n)
+    require(fixedSize == 0 || sizes.forall(_ == fixedSize))
     val mediaDur = n1 * delta1 + n2 * delta2
     val sumC1 = sizes.take(c1).sum
     val dataLen = sizes.sum + gap
-    val sOff = 420 + 4 * n
+    val stszSize = if (fixedSize != 0) 20 else 20 + 4 * n
+    val stcoSize = if (co64) 32 else 24
+    val stblSize = 8 + 32 + stszSize + 40 + stcoSize
+    val minfSize = 8 + stblSize
+    val mdiaSize = 8 + 32 + minfSize
+    val trakSize = 8 + 92 + mdiaSize
+    val moovSize = 8 + 108 + trakSize
+    val sOff = 24 + moovSize + 8
     val bos = new java.io.ByteArrayOutputStream()
     def p(b: Array[Byte]): Unit = bos.write(b)
     p(be32(24)); p(tag("ftyp")); p(tag("isom")); p(be32(0x200))
     p(tag("isom")); p(tag("mp41"))
-    p(be32(388 + 4 * n)); p(tag("moov"))
+    p(be32(moovSize)); p(tag("moov"))
     p(be32(108)); p(tag("mvhd")); p(be32(0)); p(be32(0)); p(be32(0))
     p(be32(timescale)); p(be32(durTicks)); p(be32(0x00010000)); p(be32(0x01000000))
     p(be32(0)); p(be32(0))
     p(be32(0x00010000)); p(be32(0)); p(be32(0)); p(be32(0)); p(be32(0x00010000))
     p(be32(0)); p(be32(0)); p(be32(0)); p(be32(0x40000000))
     (0 until 6).foreach(_ => p(be32(0))); p(be32(2))
-    p(be32(272 + 4 * n)); p(tag("trak"))
+    p(be32(trakSize)); p(tag("trak"))
     p(be32(92)); p(tag("tkhd")); p(be32(7)); p(be32(0)); p(be32(0)); p(be32(1))
     p(be32(0)); p(be32(durTicks)); p(be32(0)); p(be32(0)); p(be32(0)); p(be32(0))
     p(be32(0x00010000)); p(be32(0)); p(be32(0)); p(be32(0)); p(be32(0x00010000))
     p(be32(0)); p(be32(0)); p(be32(0)); p(be32(0x40000000))
     p(be32(w << 16)); p(be32(h << 16))
-    p(be32(172 + 4 * n)); p(tag("mdia"))
+    p(be32(mdiaSize)); p(tag("mdia"))
     p(be32(32)); p(tag("mdhd")); p(be32(0)); p(be32(0)); p(be32(0))
     p(be32(mts)); p(be32(mediaDur)); p(be32(0x55C40000))
-    p(be32(132 + 4 * n)); p(tag("minf"))
-    p(be32(124 + 4 * n)); p(tag("stbl"))
+    p(be32(minfSize)); p(tag("minf"))
+    p(be32(stblSize)); p(tag("stbl"))
     p(be32(32)); p(tag("stts")); p(be32(0)); p(be32(2))
     p(be32(n1)); p(be32(delta1)); p(be32(n2)); p(be32(delta2))
-    p(be32(20 + 4 * n)); p(tag("stsz")); p(be32(0)); p(be32(0)); p(be32(n))
-    sizes.foreach(s => p(be32(s)))
+    p(be32(stszSize)); p(tag("stsz")); p(be32(0)); p(be32(fixedSize)); p(be32(n))
+    if (fixedSize == 0) sizes.foreach(s => p(be32(s)))
     p(be32(40)); p(tag("stsc")); p(be32(0)); p(be32(2))
     p(be32(1)); p(be32(c1)); p(be32(1))
     p(be32(2)); p(be32(n - c1)); p(be32(1))
-    p(be32(24)); p(tag("stco")); p(be32(0)); p(be32(2))
-    p(be32(sOff)); p(be32(sOff + sumC1 + gap))
+    p(be32(stcoSize)); p(tag(if (co64) "co64" else "stco")); p(be32(0)); p(be32(2))
+    if (co64) {
+      p(be32(0)); p(be32(sOff))
+      p(be32(0)); p(be32(sOff + sumC1 + gap))
+    } else {
+      p(be32(sOff)); p(be32(sOff + sumC1 + gap))
+    }
     p(be32(8 + dataLen)); p(tag("mdat"))
     p(Array.tabulate(dataLen)(i => (fill(i) & 0xFF).toByte))
     bos.toByteArray

@@ -255,6 +255,25 @@ class VideoResizeSpec extends SparkSpec {
     assert(st.sampleAt(100000) == 4) // past media duration → last sample
   }
 
+  test("VideoMeta: co64 offsets and constant-size stsz parse identically") {
+    // same logical table as indexedMp4 but constant 30-byte samples
+    // written as a fixed-size stsz (no entry list) + 64-bit co64 offsets;
+    // layout shifts (-4n stsz bytes, +8 co64 bytes) move the mdat start,
+    // which the parser must pick up from the boxes, not a constant
+    val b = mkMp4Indexed(timescale = 600, durTicks = 390, w = 160, h = 80,
+      mts = 1000, n1 = 2, delta1 = 100, n2 = 3, delta2 = 150,
+      sizes = Seq(30, 30, 30, 30, 30), c1 = 3, gap = 5,
+      fill = i => 3 * i + 7, fixedSize = 30, co64 = true)
+    val st = VideoMeta.decode(b).get.samples.get
+    // default S = 420 + 4n; dropping the n stsz entries subtracts 4n and
+    // co64 adds 8 → 420 + 8 = 428, independent of n
+    val sOff = 428
+    assert(st.sizes.toSeq == Seq.fill(5)(30L))
+    assert(st.startTicks.toSeq == Seq(0L, 100L, 200L, 350L, 500L))
+    assert(st.offsets.toSeq == Seq(sOff, sOff + 30, sOff + 60,
+      sOff + 95, sOff + 125).map(_.toLong))
+  }
+
   test("VideoMeta: incomplete sample tables are rejected whole") {
     val full = indexedMp4()
     // corrupt the stco tag: the table set is incomplete → samples = None,
@@ -266,6 +285,17 @@ class VideoResizeSpec extends SparkSpec {
     val info = VideoMeta.decode(broken).get
     assert(info.samples.isEmpty)
     assert(info.width == 160 && info.durationMs == 650L)
+
+    // a stsc run table that skips chunk 1 has no defined chunk mapping:
+    // reject rather than silently applying the first run to chunk 1
+    val badStsc = full.clone()
+    val sIdx = full.indexOfSlice("stsc".getBytes("ISO-8859-1"))
+    // layout after the tag: verflags(4) entry_count(4) first_chunk(4) —
+    // the LSB of run 1's first_chunk is tag+11 relative to content, i.e.
+    // sIdx+4(rest of tag)... concretely: sIdx is the tag start, content
+    // starts at sIdx+4, so first_chunk occupies sIdx+12..15
+    badStsc(sIdx + 15) = 2 // first run's first_chunk: 1 → 2
+    assert(VideoMeta.decode(badStsc).get.samples.isEmpty)
   }
 
   test("sampleFrames: frame-accurate sample mapping from the tables") {
