@@ -74,4 +74,31 @@ class IngestTwinSpec extends SparkSpec {
 
     assert(streamed == batchRows)
   }
+
+  test("constraintsGate over MemoryStream equals the batch quarantine filter") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Constraints._
+    val cons = Seq(NotNull("v"), InRange("v", 0.0, 100.0),
+      Satisfies("id_pos", col("id") > 0))
+    val rows = Seq((1L, 5.0), (2L, 150.0), (-3L, 5.0), (4L, 7.0),
+      (5L, -1.0), (6L, 99.9), (0L, 3.0))
+
+    val batch = quarantine(rows.toDF("id", "v"), cons)
+      .where(size(col("dq_failed")) === 0)
+      .select("id", "v").collect().map(_.toSeq).toSet
+
+    val mem = MemoryStream[(Long, Double)]
+    val gated = StreamingFrame.constraintsGate(mem.toDF().toDF("id", "v"), cons)
+    val q = gated.writeStream.format("memory").queryName("dq_twin")
+      .outputMode("append").start()
+    val (a, b) = rows.splitAt(3)
+    mem.addData(a); q.processAllAvailable()
+    mem.addData(b); q.processAllAvailable()
+    val streamed = spark.sql("select id, v from dq_twin")
+      .collect().map(_.toSeq).toSet
+    q.stop()
+
+    assert(streamed == batch)
+    assert(batch.map(_.head) == Set(1L, 4L, 6L))
+  }
 }
