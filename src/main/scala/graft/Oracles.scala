@@ -2383,6 +2383,75 @@ object Oracles {
       |FROM c CROSS JOIN t
       |ORDER BY cnt DESC, value ASC LIMIT 10""".stripMargin
 
+  /** q126: robust (median/IQR) scaling — quantile_cont is the same
+    * linearly-interpolated order statistic as the Scala exact-quantile fit,
+    * so the literal (x − med)/(q3 − q1) mirrors the driver-side fit
+    * arithmetic operation-for-operation.
+    */
+  val q126: String =
+    """WITH f AS (SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+      |  quantile_cont(l_extendedprice, 0.50) AS med,
+      |  quantile_cont(l_extendedprice, 0.75) AS q3 FROM lineitem)
+      |SELECT l_orderkey, l_linenumber,
+      |  round((l_extendedprice - f.med) / (f.q3 - f.q1), 4) AS rscaled
+      |FROM lineitem, f WHERE l_orderkey < 200
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** q127: winsorization at the exact 5th/95th percentiles. The null gate
+    * mirrors the Scala side: least/greatest skip nulls in both engines,
+    * so the CASE keeps null values null instead of clamping them.
+    */
+  val q127: String =
+    """WITH f AS (SELECT quantile_cont(l_extendedprice, 0.05) AS lo,
+      |  quantile_cont(l_extendedprice, 0.95) AS hi FROM lineitem)
+      |SELECT l_orderkey, l_linenumber,
+      |  CASE WHEN l_extendedprice IS NULL THEN NULL
+      |    ELSE round(greatest(least(l_extendedprice, f.hi), f.lo), 4)
+      |  END AS wins
+      |FROM lineitem, f WHERE l_orderkey < 200
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** q128: candidate-key profile — exact distinct/null counts per
+    * candidate, key = unique and non-null (the reference's index
+    * contract).
+    */
+  val q128: String = {
+    val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    val rows = cols.map { c =>
+      s"""SELECT '$c' AS column_name, s.n AS n_rows, s.d_$c AS n_distinct,
+         |  s.z_$c AS n_null, (s.z_$c = 0 AND s.d_$c = s.n) AS is_key FROM s"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    val aggs = cols.map(c =>
+      s"CAST(count(DISTINCT $c) AS BIGINT) AS d_$c, " +
+        s"CAST(count(*) FILTER (WHERE $c IS NULL) AS BIGINT) AS z_$c")
+      .mkString(",\n  ")
+    s"""WITH s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  $aggs FROM customer)
+       |$rows
+       |ORDER BY column_name""".stripMargin
+  }
+
+  /** q129: functional dependencies — count(DISTINCT a) equals the pair
+    * distinct count over rows where both are non-null; the filtered
+    * struct count mirrors Spark's any-null-skipping multi-argument
+    * distinct count.
+    */
+  val q129: String = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderpriority")
+    val pairs = for { a <- cols; b <- cols if a != b } yield (a, b)
+    val rows = pairs.map { case (a, b) =>
+      val da = s"CAST(count(DISTINCT $a) FILTER (WHERE $b IS NOT NULL) AS BIGINT)"
+      val dp = s"CAST(count(DISTINCT ($a, $b)) FILTER " +
+        s"(WHERE $a IS NOT NULL AND $b IS NOT NULL) AS BIGINT)"
+      s"""SELECT '$a' AS determinant, '$b' AS dependent,
+         |  $da AS n_determinant, $dp AS n_pairs, ($da = $dp) AS holds
+         |FROM orders""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$rows
+       |ORDER BY determinant, dependent""".stripMargin
+  }
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q07_mutual_info_orders" -> q07Pinned,
@@ -2458,6 +2527,10 @@ object Oracles {
       "q123_release_funnel" -> q123,
       "q124_image_dedup" -> q124,
       "q125_ingest_twin" -> q125,
+      "q126_robust_scale" -> q126,
+      "q127_winsorize" -> q127,
+      "q128_candidate_keys" -> q128,
+      "q129_functional_deps" -> q129,
       "q03_value_counts_orders" -> q03,
       "q04_histogram_price" -> q04,
       "q05_pearson_lineitem" -> q05,

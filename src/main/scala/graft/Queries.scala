@@ -1998,6 +1998,50 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Robust (median/IQR) scaling of extended price: exact interpolated
+    * quartiles fitted on the FULL table via the shared order-statistics
+    * path, applied to a bounded slice as a literal projection — q97's
+    * fit/apply pattern with the outlier-immune scaler.
+    */
+  def q126RobustScale(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem")
+    val fit = ops.FeaturePrep.fitRobust(li, "l_extendedprice")
+    li.where(col("l_orderkey") < 200)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        ops.FeaturePrep.robustScale(fit)(col("l_extendedprice")).as("rscaled"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Winsorization at the exact 5th/95th percentiles, fitted full /
+    * applied to a slice — the heavy-tail damper as a pure projection.
+    */
+  def q127Winsorize(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem")
+    val fit = ops.FeaturePrep.fitWinsor(li, "l_extendedprice", 0.05, 0.95)
+    li.where(col("l_orderkey") < 200)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        ops.FeaturePrep.winsorize(fit)(col("l_extendedprice")).as("wins"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Candidate-key discovery over customer: exact distinct/null counts for
+    * every candidate in ONE aggregation pass, with the reference's index
+    * contract (unique AND non-null) decided per column.
+    */
+  def q128CandidateKeys(s: SparkSession, dir: String): DataFrame =
+    stats.KeyDiscovery.candidateKeys(table(s, dir, "customer"),
+        Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
+      .orderBy("column_name")
+
+  /** Exact functional-dependency profile over orders key columns: all
+    * ordered pairs measured in ONE aggregation (o_orderkey determines
+    * everything; nothing determines it back).
+    */
+  def q129FunctionalDeps(s: SparkSession, dir: String): DataFrame =
+    stats.KeyDiscovery.functionalDependencies(table(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderpriority"))
+      .orderBy("determinant", "dependent")
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -2159,6 +2203,10 @@ object Queries {
     "q122_embedding_stats" -> (q122EmbeddingStats _),
     "q123_release_funnel" -> (q123ReleaseFunnel _),
     "q124_image_dedup" -> (q124ImageDedup _),
-    "q125_ingest_twin" -> (q125IngestTwin _)
+    "q125_ingest_twin" -> (q125IngestTwin _),
+    "q126_robust_scale" -> (q126RobustScale _),
+    "q127_winsorize" -> (q127Winsorize _),
+    "q128_candidate_keys" -> (q128CandidateKeys _),
+    "q129_functional_deps" -> (q129FunctionalDeps _)
   )
 }

@@ -130,6 +130,74 @@ object FeaturePrep {
         coalesce(col(s"${catCol}_tenc"), round(lit(prior), 4)))
   }
 
+  /** Exact linearly-interpolated order statistics at ranks p·(n−1) over the
+    * non-null values — the shared path under [[fitQuantileBins]],
+    * [[fitRobust]] and [[fitWinsor]]: identical to SQL `quantile_cont`,
+    * never `percentile`'s single-process distinct-value merge. Result is
+    * aligned with `ps`.
+    */
+  private def exactQuantiles(df: DataFrame, valueCol: String,
+                             ps: Seq[Double]): Seq[Double] = {
+    val nonNull = df.where(col(valueCol).isNotNull).count()
+    require(nonNull > 0, s"no non-null values in $valueCol")
+    val targets = Map(valueCol -> ps.map(p => p * (nonNull - 1)))
+    val (_, _, quants) = graft.stats.Describe.meltStatsFull(
+      df.select(col(valueCol).cast(DoubleType).as(valueCol)),
+      Seq(valueCol), targets, Set(valueCol))
+    quants(valueCol)
+  }
+
+  /** Fitted robust-scaling parameters: exact interpolated quartiles
+    * (median + IQR), the outlier-immune alternative to [[ScaleFit]]'s
+    * mean/std — three doubles of driver state.
+    */
+  final case class RobustFit(q1: Double, median: Double, q3: Double) {
+    def iqr: Double = q3 - q1
+  }
+
+  /** One pass over the per-value count table (the same order-statistics
+    * machinery as [[fitQuantileBins]]) for the exact 25/50/75th
+    * percentiles.
+    */
+  def fitRobust(df: DataFrame, valueCol: String): RobustFit = {
+    val Seq(q1, med, q3) = exactQuantiles(df, valueCol, Seq(0.25, 0.5, 0.75))
+    RobustFit(q1, med, q3)
+  }
+
+  /** Median/IQR scaling under a fit: (x − median)/IQR rounded to 4
+    * places — sklearn's RobustScaler shape. Pure projection (fit rides the
+    * plan as literals); constant-ish columns (IQR = 0) map to 0.0, never
+    * NaN/Infinity, consistent with [[standardize]].
+    */
+  def robustScale(fit: RobustFit)(c: Column): Column = {
+    if (fit.iqr == 0.0) return when(c.isNotNull, lit(0.0))
+    round((c.cast(DoubleType) - lit(fit.median)) / lit(fit.iqr), 4)
+  }
+
+  /** Fitted winsorization bounds: the exact interpolated `lower`/`upper`
+    * quantiles of the column.
+    */
+  final case class WinsorFit(lo: Double, hi: Double)
+
+  def fitWinsor(df: DataFrame, valueCol: String,
+                lower: Double = 0.01, upper: Double = 0.99): WinsorFit = {
+    require(lower >= 0 && upper <= 1 && lower < upper,
+      s"need 0 <= lower < upper <= 1, got ($lower, $upper)")
+    val Seq(lo, hi) = exactQuantiles(df, valueCol, Seq(lower, upper))
+    WinsorFit(lo, hi)
+  }
+
+  /** Tail clipping under a fit: values clamp into [lo, hi], rounded to 4
+    * places — the standard heavy-tail damper before scaling. Pure
+    * null-preserving projection, no join, no shuffle at apply time.
+    * The explicit null gate matters: `least`/`greatest` SKIP null
+    * arguments (in Spark and ANSI SQL alike), so without it a null value
+    * would silently clamp to a bound instead of staying null.
+    */
+  def winsorize(fit: WinsorFit)(c: Column): Column =
+    when(c.isNotNull,
+      round(greatest(least(c.cast(DoubleType), lit(fit.hi)), lit(fit.lo)), 4))
+
   /** Fitted quantile-bin boundaries (pd.qcut's `duplicates="drop"`
     * semantics): the interior exact quantiles with duplicate boundary
     * values collapsed. At most bins−1 doubles of driver state.
@@ -148,16 +216,9 @@ object FeaturePrep {
   def fitQuantileBins(df: DataFrame, valueCol: String,
                       bins: Int): QuantileBinFit = {
     require(bins > 1, s"need bins > 1, got $bins")
-    val nonNull = df.where(col(valueCol).isNotNull).count()
-    require(nonNull > 0, s"no non-null values in $valueCol")
     val qs = (1 until bins).map(_.toDouble / bins)
-    val targets = Map(valueCol -> qs.map(p => p * (nonNull - 1)))
-    val (_, _, quants) = graft.stats.Describe.meltStatsFull(
-      df.select(col(valueCol).cast(DoubleType).as(valueCol)),
-      Seq(valueCol), targets, Set(valueCol))
-    QuantileBinFit(quants.get(valueCol)
-      .map(_.filterNot(_.isNaN).distinct.sorted.toArray)
-      .getOrElse(Array.empty))
+    QuantileBinFit(exactQuantiles(df, valueCol, qs)
+      .filterNot(_.isNaN).distinct.sorted.toArray)
   }
 
   /** Bin code under a fit: the number of boundaries strictly below the

@@ -1,0 +1,112 @@
+package graft.stats
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Schema discovery beyond declared typing: candidate-key detection and
+  * functional-dependency profiling — the automated version of the
+  * uniqueness check the reference runs when an index is DECLARED
+  * (`table_schema.py` `_validate_index`; woodwork never searches for one).
+  * Feeding `set_index`/`set_types` with measured facts instead of hope is
+  * the natural next step for a profiling engine.
+  *
+  * Scale shape: each report reads the table ONCE — all candidates' exact
+  * distinct counts batched into a single `agg` (Spark plans multi-distinct
+  * aggregates via one Expand over the single scan, and partial aggregation
+  * runs map-side; AQE may split the execution into stage jobs, but never
+  * re-reads the source). Driver state is candidate-list-sized (k rows /
+  * k² pair rows), never data-sized.
+  */
+object KeyDiscovery {
+
+  /** Candidate-key profile for the given columns: exact distinct count,
+    * null count, and whether the column uniquely identifies rows
+    * (distinct == non-null rows AND no nulls — the reference's index
+    * contract: unique and non-null).
+    *
+    * Output: (column_name, n_rows, n_distinct, n_null, is_key), one row
+    * per candidate, in the given column order.
+    */
+  def candidateKeys(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one candidate column")
+    cols.foreach(c => require(df.columns.contains(c),
+      s"candidate column '$c' not in frame"))
+    val r = candidateKeyAgg(df, cols).head()
+    val n = r.getLong(0)
+    val rows = cols.zipWithIndex.map { case (c, i) =>
+      val d = r.getLong(1 + 2 * i)
+      val z = r.getLong(2 + 2 * i)
+      Row(c, n, d, z, z == 0L && d == n)
+    }
+    val spark = df.sparkSession
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("column_name", StringType, nullable = false),
+        StructField("n_rows", LongType, nullable = false),
+        StructField("n_distinct", LongType, nullable = false),
+        StructField("n_null", LongType, nullable = false),
+        StructField("is_key", BooleanType, nullable = false))))
+  }
+
+  /** The single batched aggregation behind [[candidateKeys]] — exposed so
+    * the one-scan plan shape is spec-assertable.
+    */
+  private[graft] def candidateKeyAgg(df: DataFrame,
+                                     cols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("__n") +:
+      cols.flatMap(c => Seq(
+        count_distinct(col(c)).as(s"__d_$c"),
+        count(when(col(c).isNull, lit(1))).as(s"__z_$c")))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Exact functional-dependency profile over all ordered pairs of the
+    * given columns: `a → b` holds when every non-null `a` maps to exactly
+    * one non-null `b`, measured as
+    * `count(DISTINCT a) = count(DISTINCT a, b)` over rows where both are
+    * non-null (Spark's multi-argument distinct count skips any-null rows;
+    * the oracle mirrors it with a filtered struct count). All k·(k−1)
+    * pair measures run in the SAME single aggregation.
+    *
+    * Output: (determinant, dependent, n_determinant, n_pairs, holds),
+    * one row per ordered pair, pair order = nested column order.
+    */
+  def functionalDependencies(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    cols.foreach(c => require(df.columns.contains(c),
+      s"column '$c' not in frame"))
+    val pairs = for { a <- cols; b <- cols if a != b } yield (a, b)
+    val r = fdAgg(df, pairs).head()
+    val rows = pairs.zipWithIndex.map { case ((a, b), i) =>
+      val da = r.getLong(2 * i)
+      val dp = r.getLong(2 * i + 1)
+      Row(a, b, da, dp, da == dp)
+    }
+    fdResult(df.sparkSession, rows)
+  }
+
+  /** The single batched aggregation behind [[functionalDependencies]]. */
+  private[graft] def fdAgg(df: DataFrame,
+                           pairs: Seq[(String, String)]): DataFrame = {
+    val aggs = pairs.flatMap { case (a, b) =>
+      Seq(
+        count_distinct(when(col(b).isNotNull, col(a)))
+          .as(s"__da_${a}_$b"),
+        count_distinct(col(a), col(b)).as(s"__dp_${a}_$b"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def fdResult(spark: SparkSession, rows: Seq[Row]): DataFrame = {
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("determinant", StringType, nullable = false),
+        StructField("dependent", StringType, nullable = false),
+        StructField("n_determinant", LongType, nullable = false),
+        StructField("n_pairs", LongType, nullable = false),
+        StructField("holds", BooleanType, nullable = false))))
+  }
+}

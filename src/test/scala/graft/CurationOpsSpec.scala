@@ -419,6 +419,39 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(0).getAs[Double]("share") === 0.6)
   }
 
+  test("robustScale: (x−median)/IQR; zero-IQR column maps to 0.0, not NaN") {
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 100.0).toDF("v")
+    val fit = ops.FeaturePrep.fitRobust(df, "v")
+    assert(fit.median === 3.0 && fit.q1 === 2.0 && fit.q3 === 4.0)
+    val out = df.select(ops.FeaturePrep.robustScale(fit)(col("v")).as("r"))
+      .collect().map(_.getDouble(0))
+    assert(out.toSeq === Seq(-1.0, -0.5, 0.0, 0.5, 48.5))
+
+    val flat = Seq[Option[Double]](Some(5.0), Some(5.0), Some(5.0), None)
+      .toDF("v")
+    val ffit = ops.FeaturePrep.fitRobust(flat, "v")
+    assert(ffit.iqr === 0.0)
+    val fout = flat.select(ops.FeaturePrep.robustScale(ffit)(col("v")).as("r"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0))
+    assert(fout.toSeq === Seq(0.0, 0.0, 0.0, null)) // null stays null
+  }
+
+  test("winsorize clamps tails at exact quantiles and preserves nulls") {
+    val df = (1 to 100).map(_.toDouble) ++ Seq(10000.0)
+    val wdf = (df.map(Option(_)) :+ None).toDF("v")
+    val fit = ops.FeaturePrep.fitWinsor(wdf, "v", 0.05, 0.95)
+    assert(fit.lo === 6.0 && fit.hi === 96.0) // ranks 0.05·100 and 0.95·100
+    val out = wdf.select(ops.FeaturePrep.winsorize(fit)(col("v")).as("w"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0))
+    assert(out.count(_ == null) == 1)
+    val nums = out.filter(_ != null).map(_.asInstanceOf[Double])
+    assert(nums.min == 6.0 && nums.max == 96.0)
+    assert(nums.count(_ == 6.0) == 6)   // 1..5 clamp up + the real 6
+    assert(nums.count(_ == 96.0) == 6)  // 97..100 and 10000 clamp down + 96
+    assert(nums.sorted.toSeq.slice(10, 90) ==
+      (11 to 90).map(_.toDouble)) // interior untouched
+  }
+
   test("FeaturePrep: exact-cents fit, z-score/minmax transforms, encoding") {
     val df = Seq(1.00, 2.00, 3.00, 4.00).toDF("v")
     val fit = ops.FeaturePrep.fitScale(df, "v")

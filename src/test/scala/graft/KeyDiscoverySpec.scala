@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.stats.KeyDiscovery
+
+class KeyDiscoverySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq[(Int, Option[String], String, Option[Int])](
+    (1, Some("a"), "x", Some(10)),
+    (2, Some("b"), "x", Some(10)),
+    (3, Some("c"), "y", Some(20)),
+    (4, None, "y", Some(20)),
+    (5, Some("e"), "z", None)
+  ).toDF("id", "tag", "grp", "grp_val")
+
+  test("candidateKeys: unique-and-non-null wins; nulls and dupes disqualify") {
+    val out = KeyDiscovery.candidateKeys(df, Seq("id", "tag", "grp"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out("id") == ((5L, 5L, 0L, true)))
+    // unique among non-nulls but has a null: NOT a key
+    assert(out("tag") == ((5L, 4L, 1L, false)))
+    assert(out("grp") == ((5L, 3L, 0L, false)))
+  }
+
+  test("candidateKeys and fdAgg batch every measure over ONE table scan") {
+    import org.apache.spark.sql.catalyst.plans.logical.LeafNode
+    val ck = KeyDiscovery.candidateKeyAgg(df, Seq("id", "tag", "grp", "grp_val"))
+    assert(ck.queryExecution.optimizedPlan.collect {
+      case l: LeafNode => l }.size == 1)
+    val fd = KeyDiscovery.fdAgg(df, Seq("id" -> "grp", "grp" -> "id",
+      "grp" -> "grp_val", "grp_val" -> "grp"))
+    assert(fd.queryExecution.optimizedPlan.collect {
+      case l: LeafNode => l }.size == 1)
+  }
+
+  test("functionalDependencies: keys determine all; value columns don't") {
+    val out = KeyDiscovery.functionalDependencies(df,
+        Seq("id", "grp", "grp_val"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(4)).toMap
+    assert(out(("id", "grp")))
+    assert(out(("id", "grp_val")))
+    assert(!out(("grp", "id")))
+    // grp -> grp_val holds: x->10, y->20, z has only a null grp_val (the
+    // any-null-skipping pair count ignores it, as does the oracle)
+    assert(out(("grp", "grp_val")))
+    assert(out(("grp_val", "grp"))) // 10->x, 20->y over non-null pairs
+    assert(!out(("grp_val", "id")))
+  }
+
+  test("functionalDependencies breaks when one determinant maps to two values") {
+    val broken = df.unionAll(
+      Seq((6, Option("f"), "x", Option(99))).toDF("id", "tag", "grp", "grp_val"))
+    val out = KeyDiscovery.functionalDependencies(broken, Seq("grp", "grp_val"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(4)).toMap
+    assert(!out(("grp", "grp_val"))) // x maps to 10 and 99
+    assert(out(("grp_val", "grp")))
+  }
+}
