@@ -138,12 +138,21 @@ object FeaturePrep {
     */
   private def exactQuantiles(df: DataFrame, valueCol: String,
                              ps: Seq[Double]): Seq[Double] = {
-    val nonNull = df.where(col(valueCol).isNotNull).count()
-    require(nonNull > 0, s"no non-null values in $valueCol")
+    // try_cast: non-numeric values become null under ANSI mode instead of
+    // failing the job — fits coerce, they don't validate
+    val proj = df.select(col(valueCol).try_cast(DoubleType).as(valueCol))
+    // count AFTER the double cast: values that cast to null must not
+    // inflate the rank targets past the end of the order-statistics
+    // table, where interpolation would yield NaN fits that disable
+    // clamps silently. Two passes by design: this narrow count scan is
+    // strictly cheaper than the melt pass, and folding it in would mean
+    // caching a per-value count table that is row-scale for continuous
+    // columns.
+    val nonNull = proj.where(col(valueCol).isNotNull).count()
+    require(nonNull > 0, s"no non-null numeric values in $valueCol")
     val targets = Map(valueCol -> ps.map(p => p * (nonNull - 1)))
     val (_, _, quants) = graft.stats.Describe.meltStatsFull(
-      df.select(col(valueCol).cast(DoubleType).as(valueCol)),
-      Seq(valueCol), targets, Set(valueCol))
+      proj, Seq(valueCol), targets, Set(valueCol))
     quants(valueCol)
   }
 
@@ -211,7 +220,8 @@ object FeaturePrep {
     * distinct-value merge), identical to SQL `quantile_cont`. Duplicate
     * boundaries (heavy repeated values) drop, matching the reference's
     * `pd.qcut(duplicates="drop")` (`_bin_numeric_cols_into_categories
-    * .py:4-27`).
+    * .py:4-27`). A column with no numeric values raises (as pd.qcut
+    * does), rather than returning a degenerate everything-in-bin-0 fit.
     */
   def fitQuantileBins(df: DataFrame, valueCol: String,
                       bins: Int): QuantileBinFit = {

@@ -452,6 +452,22 @@ class CurationOpsSpec extends SparkSpec {
       (11 to 90).map(_.toDouble)) // interior untouched
   }
 
+  test("quantile fits rank over post-cast values; all-non-numeric raises") {
+    // 16 numeric strings + 4 non-numeric: ranks must come from the 16
+    // castable values, or the 0.95 rank walks off the table into NaN
+    val vals = (1 to 16).map(i => (i * 10).toString) ++
+      Seq("abc", "def", "ghi", "jkl")
+    val df = vals.toDF("v")
+    val fit = ops.FeaturePrep.fitWinsor(df, "v", 0.0, 1.0)
+    assert(fit.lo === 10.0 && fit.hi === 160.0) // NOT NaN
+    val rfit = ops.FeaturePrep.fitRobust(df, "v")
+    assert(rfit.q1 === 47.5 && rfit.median === 85.0 && rfit.q3 === 122.5)
+    val err = intercept[IllegalArgumentException] {
+      ops.FeaturePrep.fitRobust(Seq("x", "y").toDF("v"), "v")
+    }
+    assert(err.getMessage.contains("no non-null numeric values"))
+  }
+
   test("FeaturePrep: exact-cents fit, z-score/minmax transforms, encoding") {
     val df = Seq(1.00, 2.00, 3.00, 4.00).toDF("v")
     val fit = ops.FeaturePrep.fitScale(df, "v")
