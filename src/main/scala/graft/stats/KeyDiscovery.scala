@@ -17,6 +17,13 @@ import org.apache.spark.sql.types._
   * runs map-side; AQE may split the execution into stage jobs, but never
   * re-reads the source). Driver state is candidate-list-sized (k rows /
   * k² pair rows), never data-sized.
+  *
+  * The scale knob is the CANDIDATE count, not the row count: the Expand
+  * rewrite shuffles one copy of the scanned rows per distinct-expression
+  * group (k+1 copies for k candidate keys, ~2k² for the all-pairs FD
+  * profile — measured sub-linear in rows at 30× data, BENCH_SF1 §4).
+  * Profile a wide table in bounded candidate batches rather than one
+  * hundred-column call.
   */
 object KeyDiscovery {
 
