@@ -444,4 +444,87 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: quantile fits equal the sorted-array interpolation reference") {
+    // independent reference: sort, pos = p·(n−1), linear interpolation —
+    // pins the shared exactQuantiles/meltStatsFull path (and therefore
+    // fitRobust/fitWinsor/fitQuantileBins) against a second implementation
+    def ref(vals: Seq[Double], p: Double): Double = {
+      val s = vals.sorted
+      val pos = p * (s.size - 1)
+      val lo = math.floor(pos).toInt
+      val hi = math.ceil(pos).toInt
+      if (lo == hi) s(lo) else s(lo) * (hi - pos) + s(hi) * (pos - lo)
+    }
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      // duplicates on purpose: a small integer domain scaled to doubles
+      vals <- Gen.listOfN(n, Gen.choose(-50, 50).map(_ / 4.0))
+      nNulls <- Gen.choose(0, 5)
+    } yield (vals, nNulls)
+    forSamples(gen, 10) { case (vals, nNulls) =>
+      val rows = vals.map(Option(_)) ++ Seq.fill(nNulls)(Option.empty[Double])
+      val df = rows.toDF("v")
+      val rfit = ops.FeaturePrep.fitRobust(df, "v")
+      assert(rfit.q1 === ref(vals, 0.25))
+      assert(rfit.median === ref(vals, 0.5))
+      assert(rfit.q3 === ref(vals, 0.75))
+      val wfit = ops.FeaturePrep.fitWinsor(df, "v", 0.1, 0.9)
+      assert(wfit.lo === ref(vals, 0.1))
+      assert(wfit.hi === ref(vals, 0.9))
+    }
+  }
+
+  test("property: winsorize is idempotent and bound-respecting on random data") {
+    val gen = Gen.listOfN(40, Gen.choose(-1e6, 1e6))
+    forSamples(gen, 6) { vals =>
+      val df = vals.toDF("v")
+      val fit = ops.FeaturePrep.fitWinsor(df, "v", 0.05, 0.95)
+      val once = df.select(
+        ops.FeaturePrep.winsorize(fit)(col("v")).as("v"))
+      val out = once.collect().map(_.getDouble(0))
+      // every output in [round(lo,4)-ε, round(hi,4)+ε] (round can nudge
+      // a boundary value by <1e-4 in either direction)
+      assert(out.forall(v => v >= fit.lo - 1e-4 && v <= fit.hi + 1e-4))
+      // idempotent through the rounded domain: clamping again changes nothing
+      val twice = once.select(
+          ops.FeaturePrep.winsorize(fit)(col("v")).as("v"))
+        .collect().map(_.getDouble(0))
+      assert(out.toSeq == twice.toSeq)
+    }
+  }
+
+  test("property: KeyDiscovery equals the brute-force reference on random tables") {
+    val cell: Gen[Option[Int]] = Gen.frequency(
+      8 -> Gen.choose(0, 4).map(Some(_)), 1 -> Gen.const(None))
+    val gen = for {
+      n <- Gen.choose(2, 25)
+      rows <- Gen.listOfN(n, Gen.zip(cell, cell, cell))
+    } yield rows
+    forSamples(gen, 8) { rows =>
+      val df = rows.toDF("a", "b", "c")
+      val cols = Seq("a", "b", "c")
+      val byName = Map("a" -> ((t: (Option[Int], Option[Int], Option[Int])) => t._1),
+        "b" -> ((t: (Option[Int], Option[Int], Option[Int])) => t._2),
+        "c" -> ((t: (Option[Int], Option[Int], Option[Int])) => t._3))
+
+      val keys = stats.KeyDiscovery.candidateKeys(df, cols).collect()
+        .map(r => r.getString(0) -> r.getBoolean(4)).toMap
+      cols.foreach { cn =>
+        val vs = rows.map(byName(cn))
+        val expect = !vs.contains(None) && vs.distinct.size == vs.size
+        assert(keys(cn) == expect, s"col $cn on $rows")
+      }
+
+      val fds = stats.KeyDiscovery.functionalDependencies(df, cols).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(4)).toMap
+      for (a <- cols; b <- cols if a != b) {
+        val pairs = rows.flatMap(t => for {
+          x <- byName(a)(t); y <- byName(b)(t) } yield (x, y))
+        val expect = pairs.groupBy(_._1).values
+          .forall(_.map(_._2).distinct.size <= 1)
+        assert(fds((a, b)) == expect, s"$a->$b on $rows")
+      }
+    }
+  }
 }
