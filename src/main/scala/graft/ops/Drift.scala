@@ -51,6 +51,15 @@ object Drift {
     psiCategorical(binned(ref), binned(cur), column, epsilon)
   }
 
+  /** Fit the reference share table driver-side — vocabulary-bounded by
+    * construction — for
+    * [[graft.streaming.StreamingFrame.streamingDrift]]'s literal plan.
+    * Sorted by category for a deterministic aggregation layout.
+    */
+  def fitShares(ref: DataFrame, column: String): Seq[(String, Double)] =
+    shares(ref, column, "p").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).sortBy(_._1).toSeq
+
   /** SCALE NOTE: the empty-partition window runs over the post-aggregation
     * per-VALUE count table — vocabulary-sized by PSI's construction
     * (categorical levels or ≤ `bins` quantile labels), never the input —

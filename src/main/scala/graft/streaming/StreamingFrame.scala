@@ -329,4 +329,57 @@ object StreamingFrame {
           next
       }
   }
+
+  /** Per-window PSI drift against a batch-fitted reference distribution —
+    * the streaming twin of [[graft.ops.Drift.psiCategorical]], shaped for
+    * unbounded state discipline: the reference shares ride the plan as
+    * LITERALS (one conditional count per reference category), so each
+    * window's aggregation state is |vocabulary|+2 counters and the PSI is
+    * a pure codegen projection over the finished window — no second
+    * stateful operator, no value-cardinality state.
+    *
+    * Out-of-vocabulary convention: all categories unseen at fit time lump
+    * into ONE `ε`-vs-`q_other` cell (bounded state requires a fixed
+    * aggregation width). Batch `psiCategorical`'s full outer join instead
+    * gives each unseen category its own cell, so the two agree exactly
+    * when the stream introduces at most one novel category (spec-pinned)
+    * and diverge conservatively (streaming reads LOWER) when novel mass
+    * splinters across many categories — drift within the known vocabulary
+    * is measured identically.
+    *
+    * Output per closed window: (window_start, window_end, n, psi).
+    */
+  def streamingDrift(stream: DataFrame, tsCol: String, column: String,
+                     refShares: Seq[(String, Double)],
+                     windowDuration: String = "1 hour",
+                     watermark: String = "10 minutes",
+                     epsilon: Double = 1e-6): DataFrame = {
+    require(refShares.nonEmpty, "need a non-empty reference distribution")
+    val v = col(column).cast(StringType)
+    val counts = refShares.zipWithIndex.map { case ((cat, _), i) =>
+      count(when(v === lit(cat), lit(1))).as(s"__c_$i")
+    }
+    val agged = stream
+      // drop null values BEFORE the window agg: an all-null window would
+      // otherwise reach the share division as 0/0 → NaN psi (and a NaN
+      // poisons greatest(), which sorts NaN above everything)
+      .where(v.isNotNull)
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(count(v).as("__n"), counts: _*)
+    val n = col("__n").cast(DoubleType)
+    val known = refShares.indices.map(i => col(s"__c_$i")).reduce(_ + _)
+    val terms = refShares.zipWithIndex.map { case ((_, share), i) =>
+      val p = lit(math.max(share, epsilon))
+      val q = greatest(col(s"__c_$i").cast(DoubleType) / n, lit(epsilon))
+      (p - q) * log(p / q)
+    }
+    val otherQ = greatest((n - known.cast(DoubleType)) / n, lit(epsilon))
+    val otherTerm = (lit(epsilon) - otherQ) * log(lit(epsilon) / otherQ)
+    agged.select(
+      col("window.start").as("window_start"),
+      col("window.end").as("window_end"),
+      col("__n").as("n"),
+      round(terms.reduce(_ + _) + otherTerm, 6).as("psi"))
+  }
 }

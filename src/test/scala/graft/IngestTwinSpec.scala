@@ -101,4 +101,38 @@ class IngestTwinSpec extends SparkSpec {
     assert(streamed == batch)
     assert(batch.map(_.head) == Set(1L, 4L, 6L))
   }
+
+  test("streamingDrift over MemoryStream equals the batch PSI") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Drift
+    val ref = Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(20)("c")
+    val refDf = ref.toDF("cat")
+    val shares = Drift.fitShares(refDf, "cat")
+    assert(shares == Seq("a" -> 0.5, "b" -> 0.3, "c" -> 0.2))
+
+    // current slice: shifted shares + ONE novel category (the regime where
+    // the bounded streaming formula equals the batch full-outer PSI)
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:30")
+    val cur = Seq.fill(20)("a") ++ Seq.fill(45)("b") ++ Seq.fill(25)("c") ++
+      Seq.fill(10)("z")
+    val batchPsi = Drift.psiCategorical(refDf, cur.toDF("cat"), "cat")
+      .head.getDouble(1)
+
+    val mem = MemoryStream[String]
+    val gated = StreamingFrame.streamingDrift(
+      mem.toDF().toDF("cat").withColumn("ts", lit(t0)),
+      "ts", "cat", shares, windowDuration = "1 minute")
+    val q = gated.writeStream.format("memory").queryName("drift_twin")
+      .outputMode("complete").start()
+    val (a, b) = cur.splitAt(40)
+    mem.addData(a); q.processAllAvailable()
+    mem.addData(b); q.processAllAvailable()
+    val rows = spark.sql("select n, psi from drift_twin").collect()
+    q.stop()
+
+    assert(rows.length == 1)
+    assert(rows.head.getLong(0) == cur.size)
+    assert(rows.head.getDouble(1) == batchPsi)
+    assert(batchPsi > 0.1) // the planted shift actually reads as drift
+  }
 }

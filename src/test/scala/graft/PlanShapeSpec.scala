@@ -92,4 +92,16 @@ class PlanShapeSpec extends SparkSpec {
       s"model must broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"no corpus-side merge join:\n$plan")
   }
+
+  test("fitted scalers apply as shuffle-free, join-free projections") {
+    val vals = (1 to 200).map(i => (i.toLong, i * 1.5)).toDF("id", "v")
+    val rfit = graft.ops.FeaturePrep.fitRobust(vals, "v")
+    val wfit = graft.ops.FeaturePrep.fitWinsor(vals, "v")
+    val plan = planOf(vals.select(col("id"),
+      graft.ops.FeaturePrep.robustScale(rfit)(col("v")).as("r"),
+      graft.ops.FeaturePrep.winsorize(wfit)(col("v")).as("w")))
+    assert(!plan.contains("Exchange"), s"apply must add no exchange:\n$plan")
+    assert(!plan.contains("Join"), s"apply must add no join:\n$plan")
+    assert(!plan.contains("Aggregate"), s"fit must ride as literals:\n$plan")
+  }
 }
