@@ -2452,6 +2452,69 @@ object Oracles {
        |ORDER BY determinant, dependent""".stripMargin
   }
 
+  /** q130: Shannon entropy per column — the oracle writes the SAME
+    * algebraic shape as the Scala side (H = ln N − Σc·ln c / N, one plain
+    * aggregate) so the floating-point evaluation matches.
+    */
+  val q130: String = {
+    val cols = Seq("o_custkey", "o_orderpriority", "o_orderstatus")
+    val melt = cols.map(c =>
+      s"SELECT '$c' AS column_name, CAST($c AS VARCHAR) AS value FROM orders")
+      .mkString("\nUNION ALL\n")
+    s"""WITH m AS ($melt),
+       |c AS (SELECT column_name, value, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM m WHERE value IS NOT NULL GROUP BY column_name, value)
+       |SELECT column_name, CAST(sum(cnt) AS BIGINT) AS n,
+       |  CAST(count(*) AS BIGINT) AS n_distinct,
+       |  round(ln(CAST(sum(cnt) AS DOUBLE)) -
+       |    sum(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE))) /
+       |    CAST(sum(cnt) AS DOUBLE), 6) AS entropy,
+       |  CASE WHEN count(*) = 1 THEN 0.0
+       |    ELSE round((ln(CAST(sum(cnt) AS DOUBLE)) -
+       |      sum(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE))) /
+       |      CAST(sum(cnt) AS DOUBLE)) / ln(CAST(count(*) AS DOUBLE)), 6)
+       |  END AS normalized_entropy
+       |FROM c GROUP BY column_name ORDER BY column_name""".stripMargin
+  }
+
+  /** q131: k-anonymity — class sizes from one GROUP BY, reduced to the
+    * single report row.
+    */
+  val q131: String =
+    """WITH cls AS (SELECT c_nationkey, c_mktsegment,
+      |    CAST(count(*) AS BIGINT) AS sz
+      |  FROM customer GROUP BY c_nationkey, c_mktsegment)
+      |SELECT CAST(50 AS BIGINT) AS k,
+      |  CAST(sum(sz) AS BIGINT) AS n_rows,
+      |  CAST(count(*) AS BIGINT) AS n_classes,
+      |  CAST(min(sz) AS BIGINT) AS min_class_size,
+      |  CAST(count(*) FILTER (WHERE sz < 50) AS BIGINT) AS classes_below_k,
+      |  CAST(coalesce(sum(sz) FILTER (WHERE sz < 50), 0) AS BIGINT)
+      |    AS rows_below_k,
+      |  round(CAST(coalesce(sum(sz) FILTER (WHERE sz < 50), 0) AS DOUBLE) /
+      |    CAST(sum(sz) AS DOUBLE), 6) AS share_below_k,
+      |  (min(sz) >= 50) AS is_k_anonymous
+      |FROM cls""".stripMargin
+
+  /** q132: l-diversity — distinct sensitive values per class, reduced to
+    * the single report row.
+    */
+  val q132: String =
+    """WITH cls AS (SELECT o_orderstatus, o_orderpriority,
+      |    CAST(count(*) AS BIGINT) AS sz,
+      |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS dv
+      |  FROM orders GROUP BY o_orderstatus, o_orderpriority)
+      |SELECT CAST(3 AS BIGINT) AS l,
+      |  CAST(count(*) AS BIGINT) AS n_classes,
+      |  CAST(min(dv) AS BIGINT) AS min_diversity,
+      |  CAST(count(*) FILTER (WHERE dv < 3) AS BIGINT) AS classes_below_l,
+      |  CAST(coalesce(sum(sz) FILTER (WHERE dv < 3), 0) AS BIGINT)
+      |    AS rows_below_l,
+      |  round(CAST(coalesce(sum(sz) FILTER (WHERE dv < 3), 0) AS DOUBLE) /
+      |    CAST(sum(sz) AS DOUBLE), 6) AS share_below_l,
+      |  (min(dv) >= 3) AS is_l_diverse
+      |FROM cls""".stripMargin
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q07_mutual_info_orders" -> q07Pinned,
@@ -2531,6 +2594,9 @@ object Oracles {
       "q127_winsorize" -> q127,
       "q128_candidate_keys" -> q128,
       "q129_functional_deps" -> q129,
+      "q130_column_entropy" -> q130,
+      "q131_k_anonymity" -> q131,
+      "q132_l_diversity" -> q132,
       "q03_value_counts_orders" -> q03,
       "q04_histogram_price" -> q04,
       "q05_pearson_lineitem" -> q05,

@@ -2042,6 +2042,28 @@ object Queries {
         Seq("o_orderkey", "o_custkey", "o_orderpriority"))
       .orderBy("determinant", "dependent")
 
+  /** Column-information profile over orders: Shannon entropy per column in
+    * one melt job — near-key columns read ~1 normalized, near-constants ~0.
+    */
+  def q130ColumnEntropy(s: SparkSession, dir: String): DataFrame =
+    stats.KeyDiscovery.columnEntropy(table(s, dir, "orders"),
+        Seq("o_orderstatus", "o_orderpriority", "o_custkey"))
+      .orderBy("column_name")
+
+  /** k-anonymity risk profile of customer under (nation, market segment)
+    * quasi-identifiers: one class groupBy + one bounded reduce.
+    */
+  def q131KAnonymity(s: SparkSession, dir: String): DataFrame =
+    ops.Privacy.kAnonymity(table(s, dir, "customer"),
+      Seq("c_nationkey", "c_mktsegment"), k = 50)
+
+  /** l-diversity of the customer key within (status, priority) order
+    * classes — the sensitive-attribute complement to q131.
+    */
+  def q132LDiversity(s: SparkSession, dir: String): DataFrame =
+    ops.Privacy.lDiversity(table(s, dir, "orders"),
+      Seq("o_orderstatus", "o_orderpriority"), "o_custkey", l = 3)
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -2207,6 +2229,9 @@ object Queries {
     "q126_robust_scale" -> (q126RobustScale _),
     "q127_winsorize" -> (q127Winsorize _),
     "q128_candidate_keys" -> (q128CandidateKeys _),
-    "q129_functional_deps" -> (q129FunctionalDeps _)
+    "q129_functional_deps" -> (q129FunctionalDeps _),
+    "q130_column_entropy" -> (q130ColumnEntropy _),
+    "q131_k_anonymity" -> (q131KAnonymity _),
+    "q132_l_diversity" -> (q132LDiversity _)
   )
 }

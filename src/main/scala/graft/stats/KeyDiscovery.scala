@@ -57,6 +57,50 @@ object KeyDiscovery {
         StructField("is_key", BooleanType, nullable = false))))
   }
 
+  /** Shannon-entropy profile of the given columns: per column, the
+    * non-null count, exact distinct count, entropy in nats over the value
+    * distribution, and the normalized form H/ln(n_distinct) ∈ [0,1]
+    * (0 = constant column, 1 = uniform) — the information-content
+    * complement to [[candidateKeys]]: a near-key has normalized entropy
+    * near 1, a near-constant near 0.
+    *
+    * ONE melt job for every column (stack → groupBy(column, value) →
+    * per-column reduce), mirroring the value_counts shape — never a scan
+    * per column. Entropy terms sum as doubles over the per-VALUE count
+    * table (vocabulary-sized per column) and round to 6 places.
+    *
+    * Output: (column_name, n, n_distinct, entropy, normalized_entropy),
+    * one row per column.
+    */
+  def columnEntropy(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    cols.foreach(c => require(df.columns.contains(c),
+      s"column '$c' not in frame"))
+    val melted = df.select(cols.map(c =>
+        col(c).cast(StringType).as(c)): _*)
+      .select(explode(map(
+        cols.flatMap(c => Seq(lit(c), col(c))): _*))
+        .as(Seq("column_name", "value")))
+      .where(col("value").isNotNull)
+    val counts = melted.groupBy(col("column_name"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+    // H = −Σ (c/N)·ln(c/N) = ln N − (Σ c·ln c)/N: the right side is a
+    // PLAIN aggregate (no nested total inside the sum), and the identical
+    // expression shape is written in the SQL oracle
+    val c = col("cnt").cast(DoubleType)
+    val n = col("n").cast(DoubleType)
+    counts.groupBy(col("column_name"))
+      .agg(sum(col("cnt")).as("n"),
+        count(lit(1)).as("n_distinct"),
+        sum(c * log(c)).as("__clc"))
+      .select(col("column_name"), col("n"), col("n_distinct"),
+        round(log(n) - col("__clc") / n, 6).as("entropy"),
+        when(col("n_distinct") === 1, lit(0.0))
+          .otherwise(round((log(n) - col("__clc") / n) /
+            log(col("n_distinct").cast(DoubleType)), 6))
+          .as("normalized_entropy"))
+  }
+
   /** The single batched aggregation behind [[candidateKeys]] — exposed so
     * the one-scan plan shape is spec-assertable.
     */

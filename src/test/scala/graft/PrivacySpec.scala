@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Privacy
+import graft.stats.KeyDiscovery
+
+class PrivacySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kAnonymity: class sizes, below-k tail, and the anonymity verdict") {
+    // classes: (a,x)=3, (a,y)=2, (b,x)=1
+    val df = Seq(("a", "x"), ("a", "x"), ("a", "x"), ("a", "y"), ("a", "y"),
+      ("b", "x")).toDF("qi1", "qi2")
+    val r = Privacy.kAnonymity(df, Seq("qi1", "qi2"), k = 3).head()
+    assert(r.getLong(1) == 6 && r.getLong(2) == 3) // n_rows, n_classes
+    assert(r.getLong(3) == 1)                      // min_class_size
+    assert(r.getLong(4) == 2 && r.getLong(5) == 3) // classes/rows below k
+    assert(r.getDouble(6) == 0.5)
+    assert(!r.getBoolean(7))
+
+    val r2 = Privacy.kAnonymity(df, Seq("qi1", "qi2"), k = 2)
+    assert(!r2.head.getBoolean(7)) // the singleton class still violates
+    val r3 = Privacy.kAnonymity(df.where(col("qi2") === "x" &&
+      col("qi1") === "a"), Seq("qi1", "qi2"), k = 3).head()
+    assert(r3.getBoolean(7) && r3.getLong(5) == 0)
+  }
+
+  test("kAnonymity: nulls form their own equivalence class") {
+    val df = Seq(Some("a"), Some("a"), None, None, None)
+      .toDF("qi")
+    val r = Privacy.kAnonymity(df, Seq("qi"), k = 3).head()
+    // classes: a=2 (below), null=3 (at k)
+    assert(r.getLong(2) == 2 && r.getLong(3) == 2)
+    assert(r.getLong(4) == 1 && r.getLong(5) == 2)
+  }
+
+  test("lDiversity: distinct sensitive values per class; all-null counts 0") {
+    val df = Seq(
+      ("g1", Some(10)), ("g1", Some(20)), ("g1", Some(30)),
+      ("g2", Some(10)), ("g2", Some(10)),
+      ("g3", None), ("g3", None)
+    ).toDF("qi", "s")
+    val r = Privacy.lDiversity(df, Seq("qi"), "s", l = 2).head()
+    assert(r.getLong(1) == 3)     // n_classes
+    assert(r.getLong(2) == 0)     // min_diversity: g3 has only nulls
+    assert(r.getLong(3) == 2)     // g2 (1 value) and g3 (0) below l
+    assert(r.getLong(4) == 4)     // their rows
+    assert(!r.getBoolean(6))
+  }
+
+  test("columnEntropy: constant -> 0, uniform -> normalized 1, nulls drop") {
+    val df = (1 to 32).map(i =>
+        ("const", s"u$i", if (i <= 16) Some(s"h${i % 4}") else None))
+      .toDF("c_const", "c_uniform", "c_nullhalf")
+    val out = KeyDiscovery.columnEntropy(df,
+        Seq("c_const", "c_uniform", "c_nullhalf"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val (cn, cd, ce, cne) = out("c_const")
+    assert(cn == 32 && cd == 1 && ce == 0.0 && cne == 0.0)
+    val (un, ud, ue, une) = out("c_uniform")
+    assert(un == 32 && ud == 32 && une == 1.0)
+    assert(math.abs(ue - math.log(32.0)) < 1e-6)
+    val (nn, nd, _, nne) = out("c_nullhalf")
+    assert(nn == 16 && nd == 4) // nulls dropped before counting
+    assert(nne == 1.0)          // h0..h3 x4 each: uniform over 4
+  }
+}
