@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -26,25 +26,13 @@ object Privacy {
     * is_k_anonymous).
     */
   def kAnonymity(df: DataFrame, qiCols: Seq[String], k: Int): DataFrame = {
-    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    requireQi(df, qiCols)
     require(k >= 2, s"need k >= 2, got $k")
-    qiCols.foreach(c => require(df.columns.contains(c),
-      s"quasi-identifier '$c' not in frame"))
     val classes = df.groupBy(qiCols.map(col): _*)
       .agg(count(lit(1)).as("__sz"))
-    classes.agg(
-        sum(col("__sz")).as("n_rows"),
-        count(lit(1)).as("n_classes"),
-        min(col("__sz")).as("min_class_size"),
-        count(when(col("__sz") < k, lit(1))).as("classes_below_k"),
-        coalesce(sum(when(col("__sz") < k, col("__sz"))), lit(0L))
-          .as("rows_below_k"))
-      .select(lit(k).cast(LongType).as("k"),
-        col("n_rows"), col("n_classes"), col("min_class_size"),
-        col("classes_below_k"), col("rows_below_k"),
-        round(col("rows_below_k").cast(DoubleType) /
-          col("n_rows").cast(DoubleType), 6).as("share_below_k"),
-        (col("min_class_size") >= k).as("is_k_anonymous"))
+    belowThresholdReport(classes, col("__sz"), k,
+      thresholdName = "k", measureName = "min_class_size", suffix = "_k",
+      verdictName = "is_k_anonymous")
   }
 
   /** l-diversity profile: within each quasi-identifier class, the number
@@ -56,25 +44,51 @@ object Privacy {
     */
   def lDiversity(df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
                  l: Int): DataFrame = {
-    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    requireQi(df, qiCols)
     require(l >= 2, s"need l >= 2, got $l")
-    (qiCols :+ sensitiveCol).foreach(c => require(df.columns.contains(c),
-      s"column '$c' not in frame"))
+    require(df.columns.contains(sensitiveCol),
+      s"column '$sensitiveCol' not in frame")
     val classes = df.groupBy(qiCols.map(col): _*)
       .agg(count(lit(1)).as("__sz"),
         count_distinct(col(sensitiveCol)).as("__div"))
-    classes.agg(
-        sum(col("__sz")).as("n_rows"),
-        count(lit(1)).as("n_classes"),
-        min(col("__div")).as("min_diversity"),
-        count(when(col("__div") < l, lit(1))).as("classes_below_l"),
-        coalesce(sum(when(col("__div") < l, col("__sz"))), lit(0L))
-          .as("rows_below_l"))
-      .select(lit(l).cast(LongType).as("l"),
-        col("n_classes"), col("min_diversity"),
-        col("classes_below_l"), col("rows_below_l"),
-        round(col("rows_below_l").cast(DoubleType) /
-          col("n_rows").cast(DoubleType), 6).as("share_below_l"),
-        (col("min_diversity") >= l).as("is_l_diverse"))
+    belowThresholdReport(classes, col("__div"), l,
+      thresholdName = "l", measureName = "min_diversity", suffix = "_l",
+      verdictName = "is_l_diverse")
+      .drop("n_rows")
   }
+
+  private def requireQi(df: DataFrame, qiCols: Seq[String]): Unit = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    qiCols.foreach(c => require(df.columns.contains(c),
+      s"quasi-identifier '$c' not in frame"))
+  }
+
+  /** Shared reduce for both reports: the classes-below-threshold tail and
+    * the verdict, from a class table carrying `__sz` (class row count) and
+    * the per-class measure. EMPTY-INPUT CONTRACT: zero classes reduce to
+    * zeroed counts, share 0.0, and a vacuously-TRUE verdict — never a
+    * null verdict that NPEs a release gate's `getBoolean`.
+    */
+  private def belowThresholdReport(classes: DataFrame, measure: Column,
+                                   threshold: Int, thresholdName: String,
+                                   measureName: String, suffix: String,
+                                   verdictName: String): DataFrame =
+    classes.agg(
+        coalesce(sum(col("__sz")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min(measure).as(measureName),
+        count(when(measure < threshold, lit(1))).as(s"classes_below$suffix"),
+        coalesce(sum(when(measure < threshold, col("__sz"))), lit(0L))
+          .as(s"rows_below$suffix"))
+      .select(lit(threshold).cast(LongType).as(thresholdName),
+        col("n_rows"), col("n_classes"),
+        coalesce(col(measureName), lit(0L)).as(measureName),
+        col(s"classes_below$suffix"), col(s"rows_below$suffix"),
+        // explicit zero-rows gate: ANSI mode raises on the 0/0 division
+        // long before the coalesce could see a null
+        when(col("n_rows") === 0, lit(0.0))
+          .otherwise(round(col(s"rows_below$suffix").cast(DoubleType) /
+            col("n_rows").cast(DoubleType), 6))
+          .as(s"share_below$suffix"),
+        coalesce(col(measureName) >= threshold, lit(true)).as(verdictName))
 }

@@ -64,41 +64,56 @@ object KeyDiscovery {
     * complement to [[candidateKeys]]: a near-key has normalized entropy
     * near 1, a near-constant near 0.
     *
-    * ONE melt job for every column (stack → groupBy(column, value) →
-    * per-column reduce), mirroring the value_counts shape — never a scan
-    * per column. Entropy terms sum as doubles over the per-VALUE count
-    * table (vocabulary-sized per column) and round to 6 places.
+    * One SINGLE-COLUMN groupBy per column, driven concurrently — the
+    * shape `Describe.meltStatsFull` measured 3× faster than an exploded
+    * melt (parquet column pruning makes k narrow scans read the same
+    * bytes, and the shuffle key stays narrow instead of a
+    * (column, value) string pair per row).
+    *
+    * H = −Σ (c/N)·ln(c/N) = ln N − (Σ c·ln c)/N: the right side is a
+    * PLAIN aggregate over the per-value count table (no nested total),
+    * and the SQL oracle writes the identical expression shape. Rounding
+    * uses HALF_UP at 6 places (what Spark's `round` does) driver-side.
     *
     * Output: (column_name, n, n_distinct, entropy, normalized_entropy),
-    * one row per column.
+    * one row per column IN THE GIVEN ORDER — an all-null column reads
+    * (0, 0, 0.0, 0.0), it is never omitted.
     */
   def columnEntropy(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column")
     cols.foreach(c => require(df.columns.contains(c),
       s"column '$c' not in frame"))
-    val melted = df.select(cols.map(c =>
-        col(c).cast(StringType).as(c)): _*)
-      .select(explode(map(
-        cols.flatMap(c => Seq(lit(c), col(c))): _*))
-        .as(Seq("column_name", "value")))
-      .where(col("value").isNotNull)
-    val counts = melted.groupBy(col("column_name"), col("value"))
-      .agg(count(lit(1)).as("cnt"))
-    // H = −Σ (c/N)·ln(c/N) = ln N − (Σ c·ln c)/N: the right side is a
-    // PLAIN aggregate (no nested total inside the sum), and the identical
-    // expression shape is written in the SQL oracle
-    val c = col("cnt").cast(DoubleType)
-    val n = col("n").cast(DoubleType)
-    counts.groupBy(col("column_name"))
-      .agg(sum(col("cnt")).as("n"),
-        count(lit(1)).as("n_distinct"),
-        sum(c * log(c)).as("__clc"))
-      .select(col("column_name"), col("n"), col("n_distinct"),
-        round(log(n) - col("__clc") / n, 6).as("entropy"),
-        when(col("n_distinct") === 1, lit(0.0))
-          .otherwise(round((log(n) - col("__clc") / n) /
-            log(col("n_distinct").cast(DoubleType)), 6))
-          .as("normalized_entropy"))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val acc =
+      new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Double)]()
+    graft.util.Concurrency.runConcurrently(cols) { cn =>
+      val cDbl = col("cnt").cast(DoubleType)
+      val r = df.select(col(cn).cast(StringType).as("v"))
+        .where(col("v").isNotNull)
+        .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+        .agg(coalesce(sum(col("cnt")), lit(0L)).as("n"),
+          count(lit(1)).as("d"),
+          coalesce(sum(cDbl * log(cDbl)), lit(0.0)).as("clc"))
+        .head()
+      acc.put(cn, (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }
+    val rows = cols.map { cn =>
+      val (n, d, clc) = acc.get(cn)
+      val h = if (n == 0L) 0.0 else r6(math.log(n.toDouble) - clc / n)
+      val hn = if (d <= 1L) 0.0
+        else r6((math.log(n.toDouble) - clc / n) / math.log(d.toDouble))
+      Row(cn, n, d, h, hn)
+    }
+    val spark = df.sparkSession
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("column_name", StringType, nullable = false),
+        StructField("n", LongType, nullable = false),
+        StructField("n_distinct", LongType, nullable = false),
+        StructField("entropy", DoubleType, nullable = false),
+        StructField("normalized_entropy", DoubleType, nullable = false))))
   }
 
   /** The single batched aggregation behind [[candidateKeys]] — exposed so

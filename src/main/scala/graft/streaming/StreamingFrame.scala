@@ -342,10 +342,11 @@ object StreamingFrame {
     * into ONE `ε`-vs-`q_other` cell (bounded state requires a fixed
     * aggregation width). Batch `psiCategorical`'s full outer join instead
     * gives each unseen category its own cell, so the two agree exactly
-    * when the stream introduces at most one novel category (spec-pinned)
-    * and diverge conservatively (streaming reads LOWER) when novel mass
-    * splinters across many categories — drift within the known vocabulary
-    * is measured identically.
+    * when the stream introduces at most one novel category (spec-pinned).
+    * When novel mass splinters across many categories the lumped cell
+    * reads HIGHER than batch ((q−ε)·ln(q/ε) is superadditive in q), so
+    * the monitor over-alerts rather than under-alerts on novel mass —
+    * drift within the known vocabulary is measured identically.
     *
     * Output per closed window: (window_start, window_end, n, psi).
     */

@@ -48,6 +48,27 @@ class PrivacySpec extends SparkSpec {
     assert(!r.getBoolean(6))
   }
 
+  test("empty input: zeroed counts and a vacuously-true verdict, never null") {
+    val df = Seq(("a", 1)).toDF("qi", "s").where(lit(false))
+    val k = Privacy.kAnonymity(df, Seq("qi"), k = 2).head()
+    assert(k.getLong(1) == 0 && k.getLong(2) == 0 && k.getLong(3) == 0)
+    assert(k.getDouble(6) == 0.0)
+    assert(k.getBoolean(7)) // vacuously anonymous — and never an NPE
+    val l = Privacy.lDiversity(df, Seq("qi"), "s", l = 2).head()
+    assert(l.getLong(1) == 0 && l.getLong(2) == 0)
+    assert(l.getBoolean(6))
+  }
+
+  test("columnEntropy: an all-null column yields a zeroed row, not a gap") {
+    val df = Seq(("a", Option.empty[String]), ("b", None)).toDF("x", "dead")
+    val out = KeyDiscovery.columnEntropy(df, Seq("x", "dead")).collect()
+    assert(out.length == 2)
+    assert(out.map(_.getString(0)).toSeq == Seq("x", "dead")) // given order
+    val dead = out(1)
+    assert(dead.getLong(1) == 0 && dead.getLong(2) == 0)
+    assert(dead.getDouble(3) == 0.0 && dead.getDouble(4) == 0.0)
+  }
+
   test("columnEntropy: constant -> 0, uniform -> normalized 1, nulls drop") {
     val df = (1 to 32).map(i =>
         ("const", s"u$i", if (i <= 16) Some(s"h${i % 4}") else None))
