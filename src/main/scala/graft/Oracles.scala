@@ -2515,6 +2515,92 @@ object Oracles {
       |  (min(dv) >= 3) AS is_l_diverse
       |FROM cls""".stripMargin
 
+  /** q133: fuzzy self-join — the oracle is the brute-force quadratic join
+    * the PassJoin blocking replaces; DuckDB's levenshtein is the same
+    * unit-cost metric as Spark's.
+    */
+  val q133: String =
+    """SELECT a.s_suppkey AS id_1, b.s_suppkey AS id_2,
+      |  levenshtein(a.s_name, b.s_name) AS dist
+      |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+      |WHERE levenshtein(a.s_name, b.s_name) <= 1
+      |ORDER BY id_1, id_2""".stripMargin
+
+  /** q134: snapshot diff — both snapshots derived deterministically from
+    * orders; IS DISTINCT FROM mirrors the engine's null-safe compare and
+    * the changed-column list is built the same way (fixed column order,
+    * comma-joined).
+    */
+  val q134: String = {
+    val cmp = Seq("o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val diffs = cmp.map(c => s"(o.$c IS DISTINCT FROM n.$c)")
+    val names = cmp.map(c =>
+      s"CASE WHEN o.$c IS DISTINCT FROM n.$c THEN '$c' END")
+    s"""WITH o AS (SELECT *, TRUE AS present FROM orders),
+       |n AS (SELECT *, TRUE AS present FROM (
+       |  SELECT o_orderkey, o_custkey, o_orderstatus,
+       |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+       |         ELSE o_totalprice END AS o_totalprice,
+       |    o_orderdate,
+       |    CASE WHEN o_orderkey % 5 = 0 THEN 'X-DIFF'
+       |         ELSE o_orderpriority END AS o_orderpriority
+       |  FROM orders WHERE o_orderkey % 13 <> 0
+       |  UNION ALL
+       |  SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus,
+       |    o_totalprice, o_orderdate, o_orderpriority
+       |  FROM orders WHERE o_orderkey % 11 = 0))
+       |SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       |  CASE WHEN o.present IS NULL THEN 'added'
+       |       WHEN n.present IS NULL THEN 'removed'
+       |       WHEN ${diffs.mkString(" OR ")} THEN 'changed'
+       |       ELSE 'unchanged' END AS status,
+       |  CASE WHEN o.present IS NULL OR n.present IS NULL THEN ''
+       |       -- array_to_string of an empty list is NULL in DuckDB
+       |       ELSE coalesce(array_to_string(list_filter(
+       |         [${names.mkString(", ")}], x -> x IS NOT NULL), ','), '')
+       |       END AS changed_cols,
+       |  CASE WHEN o.present IS NULL OR n.present IS NULL THEN 0
+       |       ELSE ${diffs.map(d => s"CAST($d AS INT)").mkString(" + ")}
+       |       END AS n_changed
+       |FROM o FULL JOIN n ON o.o_orderkey = n.o_orderkey
+       |ORDER BY o_orderkey""".stripMargin
+  }
+
+  /** q135: C4 line cleaning — the line derivation and every predicate are
+    * stated with the identical regex arithmetic (RE2 and Java agree on
+    * these patterns); array_to_string needs the empty-list coalesce.
+    */
+  val q135: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    regexp_replace(
+      |      regexp_replace(text, '((\S+ ){20}\S+) ', '\1' || chr(10), 'g'),
+      |      '((\S+ ){6}\S+) ', '\1.' || chr(10), 'g') AS t
+      |  FROM documents),
+      |k AS (
+      |  SELECT doc_id, t,
+      |    list_transform(string_split(t, chr(10)), x -> trim(x)) AS lines,
+      |    list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)),
+      |      x -> len(regexp_extract_all(x, '\S+')) >= 3
+      |        AND regexp_matches(x, '[.!?"'']$')
+      |        AND NOT contains(lower(x), 'javascript')) AS kept
+      |  FROM base),
+      |f AS (
+      |  SELECT doc_id, t, lines, kept,
+      |    coalesce(array_to_string(kept, chr(10)), '') AS clean
+      |  FROM k)
+      |SELECT doc_id,
+      |  CAST(len(lines) AS BIGINT) AS n_lines,
+      |  CAST(len(kept) AS BIGINT) AS n_kept,
+      |  CAST(len(regexp_extract_all(clean, '[.!?]')) AS BIGINT)
+      |    AS n_sentences,
+      |  (len(regexp_extract_all(clean, '[.!?]')) >= 3
+      |    AND NOT contains(lower(t), 'lorem ipsum')
+      |    AND NOT contains(t, '{')) AS page_kept,
+      |  md5(clean) AS clean_md5
+      |FROM f ORDER BY doc_id""".stripMargin
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q07_mutual_info_orders" -> q07Pinned,
@@ -2597,6 +2683,9 @@ object Oracles {
       "q130_column_entropy" -> q130,
       "q131_k_anonymity" -> q131,
       "q132_l_diversity" -> q132,
+      "q133_fuzzy_join" -> q133,
+      "q134_snapshot_diff" -> q134,
+      "q135_c4_clean" -> q135,
       "q03_value_counts_orders" -> q03,
       "q04_histogram_price" -> q04,
       "q05_pearson_lineitem" -> q05,

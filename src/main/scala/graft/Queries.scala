@@ -2064,6 +2064,57 @@ object Queries {
     ops.Privacy.lDiversity(table(s, dir, "orders"),
       Seq("o_orderstatus", "o_orderpriority"), "o_custkey", l = 3)
 
+  /** Edit-distance fuzzy self-join over supplier names: PassJoin segment
+    * blocking + grid-split candidate join + banded-levenshtein verify —
+    * exact recall, so the oracle is the brute-force quadratic join. On
+    * this fixture the constant `Supplier#` prefix makes segment 0 one hot
+    * bucket (the adversarial case the grid split exists for).
+    */
+  def q133FuzzyJoin(s: SparkSession, dir: String): DataFrame =
+    ops.RecordLinkage.fuzzySelfPairs(table(s, dir, "supplier"),
+        "s_suppkey", "s_name", maxDist = 1)
+      .orderBy("id_1", "id_2")
+
+  /** Snapshot diff between two deterministic versions of orders: v2 drops
+    * every 13th key, perturbs price (every 7th) and priority (every 5th),
+    * and appends shifted copies of every 11th — one full-outer key join
+    * classifies every key and names the changed columns.
+    */
+  def q134SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val o = table(s, dir, "orders")
+    val v2 = o.where(pmod(col("o_orderkey"), lit(13)) =!= 0)
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(7)) === 0,
+          col("o_totalprice") + 1.0).otherwise(col("o_totalprice")))
+      .withColumn("o_orderpriority",
+        when(pmod(col("o_orderkey"), lit(5)) === 0, lit("X-DIFF"))
+          .otherwise(col("o_orderpriority")))
+      .unionByName(o.where(pmod(col("o_orderkey"), lit(11)) === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L)))
+    ops.SnapshotDiff.diff(o, v2, Seq("o_orderkey"),
+        Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+          "o_orderpriority"))
+      .orderBy("o_orderkey")
+  }
+
+  /** C4-style line cleaning over a line-structured derivation of the
+    * documents table: two regex passes break each doc into 7-word lines
+    * (every third line and short tails left unpunctuated — the rules the
+    * cleaner must exercise), then the cleaner's line/page verdicts + the
+    * cleaned-text md5 are oracled byte-for-byte.
+    */
+  def q135C4Clean(s: SparkSession, dir: String): DataFrame = {
+    val lined = table(s, dir, "documents").withColumn("t",
+      regexp_replace(
+        regexp_replace(col("text"), "((\\S+ ){20}\\S+) ", "$1\n"),
+        "((\\S+ ){6}\\S+) ", "$1.\n"))
+    ops.TextAnalysis.c4Clean(lined, "doc_id", "t")
+      .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"),
+        col("n_sentences"), col("page_kept"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -2232,6 +2283,9 @@ object Queries {
     "q129_functional_deps" -> (q129FunctionalDeps _),
     "q130_column_entropy" -> (q130ColumnEntropy _),
     "q131_k_anonymity" -> (q131KAnonymity _),
-    "q132_l_diversity" -> (q132LDiversity _)
+    "q132_l_diversity" -> (q132LDiversity _),
+    "q133_fuzzy_join" -> (q133FuzzyJoin _),
+    "q134_snapshot_diff" -> (q134SnapshotDiff _),
+    "q135_c4_clean" -> (q135C4Clean _)
   )
 }

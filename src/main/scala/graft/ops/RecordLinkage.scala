@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Edit-distance record linkage (fuzzy join): all pairs whose string keys
+  * are within Levenshtein distance `maxDist`, EXACT — the entity-resolution
+  * step that joins free-typed names/titles/addresses across (or within)
+  * tables where equality joins find nothing.
+  *
+  * The reference (alteryx/woodwork) has no join operators; this is part of
+  * the beyond-reference training-data surface (SURVEY.md §2.12) — e.g.
+  * source-metadata reconciliation before dedup.
+  *
+  * A naive implementation is a cartesian product with a levenshtein filter
+  * — quadratic and un-runnable at corpus scale. The scale path is
+  * segment-based blocking (the PassJoin family, Li et al., VLDB 2012),
+  * re-expressed as ONE Spark equi-join:
+  *
+  *   1. index side: each string `t` (length L) splits into `maxDist + 1`
+  *      contiguous segments (lengths differing by ≤ 1). Pigeonhole: at
+  *      most `maxDist` edit operations touch at most `maxDist` segments,
+  *      so any `s` within distance d keeps ≥ 1 segment of `t` INTACT —
+  *      and an optimal alignment shifts that segment's position by at
+  *      most d (the insertions/deletions before it).
+  *   2. probe side: each string `s` (length m) emits, for every candidate
+  *      target length Lp ∈ [m−d, m+d] and every segment slot i of the
+  *      Lp-scheme, its substrings of that segment's length at positions
+  *      within ±d of the segment start — O((2d+1)²·(d+1)) entries per
+  *      row, a CONSTANT fan-out computed as pure codegen'd column HOFs
+  *      (no shuffle to build either side).
+  *   3. candidates: equi-join on the compound key (target length, segment
+  *      slot, segment text) — position- and length-discriminating, so a
+  *      shared token only collides within one slot of one length scheme.
+  *      The join runs through [[SkewJoin.gridJoin]]: a corpus-wide
+  *      constant prefix (every `Supplier#…` sharing segment 0) makes one
+  *      key hot, and the grid split bounds every task at ~chunkSize²
+  *      comparisons while preserving the exact candidate set.
+  *   4. verify-before-distinct (the repo convention): the banded
+  *      `levenshtein(x, y, maxDist)` — O(d·min(m,L)) per candidate, and
+  *      early-exiting at the threshold — filters candidates IN the join
+  *      output before the distinct, so the dedup exchange carries only
+  *      true matches (id, id, dist), never the candidate volume.
+  *
+  * Zero-length segments (strings shorter than d+1) need no special case:
+  * an empty segment matches the empty probe substring every string emits
+  * for that slot, so the pigeonhole recall argument covers them too.
+  *
+  * Recall is EXACT (superset candidates + exact verification), which is
+  * what lets the DuckDB oracle be the brute-force quadratic join.
+  */
+object RecordLinkage {
+
+  /** Segment i of the k-way scheme for a length-L string spans
+    * `[floor(iL/k), floor((i+1)L/k))` — 0-based start and length, as
+    * IntegerType columns (the multiply runs in LongType so a huge L
+    * cannot wrap).
+    */
+  private def segBounds(i: Column, len: Column, k: Int): (Column, Column) = {
+    def start(ix: Column): Column =
+      floor(ix.cast(LongType) * len.cast(LongType) / lit(k))
+        .cast(IntegerType)
+    val s = start(i)
+    (s, start(i + 1) - s)
+  }
+
+  /** Index-side relation: one row per (string, segment slot) with the
+    * compound blocking key. Columns: __len, __i, __seg, y_id, y_s.
+    */
+  private def segments(df: DataFrame, idCol: String, strCol: String,
+                       maxDist: Int): DataFrame = {
+    val k = maxDist + 1
+    val (st, ln) = segBounds(col("e"), col("__len"), k)
+    df.where(col(strCol).isNotNull)
+      .select(col(idCol).as("y_id"), col(strCol).as("y_s"),
+        length(col(strCol)).as("__len"),
+        explode(sequence(lit(0), lit(k - 1))).as("e"))
+      .select(col("__len"), col("e").as("__i"),
+        col("y_s").substr(st + 1, ln).as("__seg"),
+        col("y_id"), col("y_s"))
+  }
+
+  /** Probe-side relation: one row per (string, candidate target length,
+    * segment slot, shifted position). Columns: __len, __i, __seg, x_id,
+    * x_s. The triple-nested HOF builds the whole fan-out per row before
+    * one explode — no intermediate explodes, no shuffle.
+    */
+  private def probes(df: DataFrame, idCol: String, strCol: String,
+                     maxDist: Int): DataFrame = {
+    val k = maxDist + 1
+    val m = length(col(strCol))
+    val entries = flatten(transform(
+      sequence(greatest(m - maxDist, lit(0)), m + maxDist),
+      lp => flatten(transform(sequence(lit(0), lit(k - 1)), i => {
+        val (st, ln) = segBounds(i, lp, k)
+        val lo = greatest(st - maxDist, lit(0))
+        val hi = least(st + maxDist, m - ln)
+        val positions = when(hi >= lo, sequence(lo, hi))
+          .otherwise(array().cast(ArrayType(IntegerType)))
+        transform(positions, j => struct(
+          lp.cast(IntegerType).as("l"), i.cast(IntegerType).as("i"),
+          col(strCol).substr(j + 1, ln).as("g")))
+      }))))
+    df.where(col(strCol).isNotNull)
+      .select(col(idCol).as("x_id"), col(strCol).as("x_s"),
+        explode(entries).as("e"))
+      .select(col("e.l").as("__len"), col("e.i").as("__i"),
+        col("e.g").as("__seg"), col("x_id"), col("x_s"))
+  }
+
+  /** Cross-table fuzzy join: (id_1 from left, id_2 from right, dist) for
+    * every pair with `levenshtein ≤ maxDist`, each pair exactly once.
+    */
+  def fuzzyJoinPairs(left: DataFrame, leftId: String, leftStr: String,
+                     right: DataFrame, rightId: String, rightStr: String,
+                     maxDist: Int, chunkSize: Int = 4096): DataFrame = {
+    require(maxDist >= 0, s"need maxDist >= 0, got $maxDist")
+    val cand = SkewJoin.gridJoin(
+      probes(left, leftId, leftStr, maxDist),
+      segments(right, rightId, rightStr, maxDist),
+      Seq("__len", "__i", "__seg"), "x_id", "y_id", chunkSize)
+    // banded levenshtein returns -1 past the threshold; verify BEFORE the
+    // distinct so the exchange carries matches only
+    val d = levenshtein(col("x_s"), col("y_s"), maxDist)
+    cand.select(col("x_id").as("id_1"), col("y_id").as("id_2"), d.as("dist"))
+      .where(col("dist") >= 0)
+      .distinct()
+  }
+
+  /** Self fuzzy join: unordered pairs (id_1 < id_2) within distance
+    * `maxDist` in one table — near-duplicate detection on an entity key.
+    */
+  def fuzzySelfPairs(df: DataFrame, idCol: String, strCol: String,
+                     maxDist: Int, chunkSize: Int = 4096): DataFrame = {
+    require(maxDist >= 0, s"need maxDist >= 0, got $maxDist")
+    val cand = SkewJoin.gridJoin(
+      probes(df, idCol, strCol, maxDist),
+      segments(df, idCol, strCol, maxDist),
+      Seq("__len", "__i", "__seg"), "x_id", "y_id", chunkSize)
+      .where(col("x_id") < col("y_id"))
+    val d = levenshtein(col("x_s"), col("y_s"), maxDist)
+    cand.select(col("x_id").as("id_1"), col("y_id").as("id_2"), d.as("dist"))
+      .where(col("dist") >= 0)
+      .distinct()
+  }
+}

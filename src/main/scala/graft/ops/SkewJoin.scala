@@ -72,6 +72,45 @@ object SkewJoin {
         when(lt, col(s"y_$n")).otherwise(col(s"x_$n")).as(s"y_$n")): _*)
   }
 
+  /** Grid-split inner equi-join of two DIFFERENT relations for candidate
+    * generation — the two-sided sibling of [[selfPairs]]. Per-key chunk
+    * counts on both sides bound every join task to ~chunkSize²
+    * comparisons while preserving the exact match set: each left row lands
+    * in one left-chunk and replicates across the right side's chunk count
+    * for its key (and symmetrically), so a grid cell (i, j) holds exactly
+    * one chunk of each side and every cross pair meets exactly once. Cold
+    * keys (1×1 grid) degenerate to the plain join with zero replication.
+    *
+    * Costs one per-key count aggregation per side (tiny next to the join),
+    * and the count join doubles as key pruning — left rows whose key never
+    * occurs on the right are dropped before the pair exchange.
+    *
+    * Non-key columns of the two inputs must be disjoint (pre-alias them);
+    * `leftId` / `rightId` only seed the chunk hash and need not be unique.
+    */
+  def gridJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftId: String, rightId: String,
+               chunkSize: Int = 4096, maxChunks: Int = 64): DataFrame = {
+    val kc = keys.map(col)
+    def chunkCounts(df: DataFrame, out: String): DataFrame =
+      df.groupBy(kc: _*).agg(
+        least(ceil(count(lit(1)) / lit(chunkSize)), lit(maxChunks))
+          .cast(IntegerType).as(out))
+    val lnc = chunkCounts(left, "__lnc")
+    val rnc = chunkCounts(right, "__rnc")
+    val l2 = left.join(lnc, keys).join(rnc, keys)
+      .withColumn("__gi",
+        pmod(xxhash64(col(leftId)), col("__lnc")).cast(IntegerType))
+      .withColumn("__gj", explode(sequence(lit(0), col("__rnc") - 1)))
+      .drop("__lnc", "__rnc")
+    val r2 = right.join(rnc, keys).join(lnc, keys)
+      .withColumn("__gj",
+        pmod(xxhash64(col(rightId)), col("__rnc")).cast(IntegerType))
+      .withColumn("__gi", explode(sequence(lit(0), col("__lnc") - 1)))
+      .drop("__lnc", "__rnc")
+    l2.join(r2, keys ++ Seq("__gi", "__gj")).drop("__gi", "__gj")
+  }
+
   /** Hot-key salted equi-join of a skewed fact table against a dimension
     * table — the explicit pre-planned form of skew handling for the cases
     * AQE's runtime skew split does not cover (AQE splits sort-merge/shuffle

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Dataset-version diffing: given two snapshots of the same keyed table,
+  * classify every key as added / removed / changed / unchanged and name
+  * the columns that changed — the audit step between two releases of a
+  * training corpus (what did the new crawl add, which documents were
+  * rewritten, what silently disappeared).
+  *
+  * The reference (alteryx/woodwork) has no multi-table operators; this is
+  * beyond-reference governance surface (SURVEY.md §2.12), the batch
+  * sibling of the schema-drift check (`WwTableSchema.drift`).
+  *
+  * Scale shape: ONE full-outer shuffle join on the key (both sides hash-
+  * partition once; AQE handles size imbalance), every per-column compare
+  * is a codegen'd null-safe equality on the joined row, and the output
+  * carries key + verdict only — never both snapshots' payloads. Nothing
+  * is collected; a 100 TB snapshot pair diffs at the cost of one
+  * co-partitioned join.
+  *
+  * Keys are expected non-null (the index contract): a null-key row never
+  * equi-matches, so it surfaces as one `removed` plus one `added` — the
+  * honest reading of an unkeyed row.
+  */
+object SnapshotDiff {
+
+  /** Diff `newDf` against `oldDf` on `keyCols`, comparing `compareCols`
+    * (default: every shared non-key column). Output: key columns, then
+    * `status` ∈ {added, removed, changed, unchanged}, `changed_cols`
+    * (comma-joined, in `compareCols` order; empty unless changed) and
+    * `n_changed`.
+    */
+  def diff(oldDf: DataFrame, newDf: DataFrame, keyCols: Seq[String],
+           compareCols: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val cmp =
+      if (compareCols.nonEmpty) compareCols
+      else oldDf.columns.toSeq.intersect(newDf.columns.toSeq)
+        .filterNot(keyCols.contains)
+    val o = oldDf.select(keyCols.map(col) ++
+      Seq(lit(true).as("__o")) ++ cmp.map(c => col(c).as(s"__o_$c")): _*)
+    val n = newDf.select(keyCols.map(col) ++
+      Seq(lit(true).as("__n")) ++ cmp.map(c => col(c).as(s"__n_$c")): _*)
+    // using-column full outer coalesces the keys in the output
+    val j = o.join(n, keyCols, "full_outer")
+    val diffs = cmp.map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
+    val changedNames = array(cmp.zip(diffs).map { case (c, d) =>
+      when(d, lit(c)).otherwise(lit(null).cast(StringType))
+    }: _*)
+    val nChanged = diffs.map(d => when(d, 1).otherwise(0).cast(IntegerType))
+      .reduceOption(_ + _).getOrElse(lit(0))
+    val both = col("__o").isNotNull && col("__n").isNotNull
+    j.select(keyCols.map(col) ++ Seq(
+      when(col("__o").isNull, "added")
+        .when(col("__n").isNull, "removed")
+        .when(nChanged > 0, "changed")
+        .otherwise("unchanged").as("status"),
+      when(both, array_join(filter(changedNames, x => x.isNotNull), ","))
+        .otherwise(lit("")).as("changed_cols"),
+      when(both, nChanged).otherwise(lit(0)).as("n_changed")): _*)
+  }
+
+  /** One-row summary of a diff: counts per status plus total changed-cell
+    * count — the release-note headline. One aggregation over the diff.
+    */
+  def summary(diffed: DataFrame): DataFrame =
+    diffed.agg(
+      sum(when(col("status") === "added", 1L).otherwise(0L)).as("added"),
+      sum(when(col("status") === "removed", 1L).otherwise(0L)).as("removed"),
+      sum(when(col("status") === "changed", 1L).otherwise(0L)).as("changed"),
+      sum(when(col("status") === "unchanged", 1L).otherwise(0L))
+        .as("unchanged"),
+      sum(col("n_changed").cast(LongType)).as("changed_cells"))
+}

@@ -149,6 +149,41 @@ object TextAnalysis {
       "ok_stopwords" -> (stopHits >= 2L))
   }
 
+  /** C4-style line-level page cleaning (Raffel et al. 2020 §2.2, the
+    * "colossal clean crawled corpus" rules): a line survives iff it has at
+    * least `minLineWords` words, ends in a terminal punctuation mark, and
+    * does not mention javascript; the page survives iff the cleaned text
+    * still carries at least `minSentences` sentence-ending marks and the
+    * raw page shows neither "lorem ipsum" nor a curly brace (the paper's
+    * source-code tell). The three-sentence-span corpus dedup the paper
+    * pairs with these rules is [[SpanDedup]] — compose them.
+    *
+    * Everything is a pure codegen'd Column projection over line arrays —
+    * no UDF, no shuffle, linear at any scale — and every predicate is
+    * engine-portable (the oracle states the identical regex arithmetic).
+    *
+    * Output per row: id, n_lines, n_kept, n_sentences, page_kept,
+    * clean_text (kept lines re-joined; filter on page_kept to drop pages).
+    */
+  def c4Clean(df: DataFrame, idCol: String, textCol: String,
+              minLineWords: Int = 3, minSentences: Int = 3): DataFrame = {
+    val lines = transform(split(col(textCol), "\n"), l => trim(l))
+    val kept = filter(lines, l =>
+      size(regexp_extract_all(l, lit("\\S+"), lit(0))) >= minLineWords &&
+        l.rlike("[.!?\"']$") &&
+        !lower(l).contains("javascript"))
+    val clean = array_join(kept, "\n")
+    val nSent = size(regexp_extract_all(clean, lit("[.!?]"), lit(0)))
+    df.select(col(idCol).as("id"),
+      size(lines).cast(LongType).as("n_lines"),
+      size(kept).cast(LongType).as("n_kept"),
+      nSent.cast(LongType).as("n_sentences"),
+      (nSent >= minSentences &&
+        !lower(col(textCol)).contains("lorem ipsum") &&
+        !col(textCol).contains("{")).as("page_kept"),
+      clean.as("clean_text"))
+  }
+
   private def markerScore(c: Column, words: Seq[String]): Column =
     size(filter(tokens(c), t => t.isin(words: _*)))
 

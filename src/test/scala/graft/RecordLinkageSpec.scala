@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import scala.util.Random
+import graft.ops.RecordLinkage
+
+class RecordLinkageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def brute(strs: Seq[(Long, String)], d: Int): Set[(Long, Long, Int)] = {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    (for {
+      (ia, sa) <- strs; (ib, sb) <- strs if ia < ib
+      dist = lev(sa, sb) if dist <= d
+    } yield (ia, ib, dist)).toSet
+  }
+
+  private def collected(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+  test("fuzzySelfPairs matches brute force on random strings (d = 2)") {
+    val rnd = new Random(7)
+    val strs = (0L until 60L).map { i =>
+      i -> (0 until (3 + rnd.nextInt(8))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    }
+    val df = strs.toDF("id", "s")
+    val got = collected(RecordLinkage.fuzzySelfPairs(df, "id", "s", maxDist = 2))
+    assert(got == brute(strs, 2))
+    assert(got.nonEmpty) // the fixture actually exercises matches
+  }
+
+  test("short and empty strings: zero-length segments keep recall exact") {
+    val strs = Seq(0L -> "", 1L -> "a", 2L -> "b", 3L -> "ab", 4L -> "ba",
+      5L -> "abc", 6L -> "", 7L -> "c")
+    val df = strs.toDF("id", "s")
+    for (d <- Seq(1, 2)) {
+      val got = collected(RecordLinkage.fuzzySelfPairs(df, "id", "s", d))
+      assert(got == brute(strs, d), s"maxDist=$d")
+    }
+  }
+
+  test("grid-split path (chunkSize = 2) returns the identical pair set") {
+    val rnd = new Random(11)
+    val strs = (0L until 40L).map { i =>
+      i -> (0 until (4 + rnd.nextInt(4))).map(_ => ('a' + rnd.nextInt(2)).toChar).mkString
+    }
+    val df = strs.toDF("id", "s")
+    val plain = collected(RecordLinkage.fuzzySelfPairs(df, "id", "s", 1))
+    val grid = collected(RecordLinkage.fuzzySelfPairs(df, "id", "s", 1, chunkSize = 2))
+    assert(plain == grid)
+    assert(plain == brute(strs, 1))
+  }
+
+  test("cross-table join: every within-distance pair, exactly once") {
+    val left = Seq(1L -> "alpha", 2L -> "beta", 3L -> "gamma").toDF("id", "s")
+    val right = Seq(10L -> "alpho", 11L -> "betas", 12L -> "delta",
+      13L -> "alpha").toDF("id", "s")
+    val got = collected(
+      RecordLinkage.fuzzyJoinPairs(left, "id", "s", right, "id", "s", 1))
+    assert(got == Set((1L, 10L, 1), (1L, 13L, 0), (2L, 11L, 1)))
+  }
+
+  test("nulls are ignored; maxDist = 0 degenerates to exact equality") {
+    val df = Seq((0L, "x"), (1L, null), (2L, "x"), (3L, "y")).toDF("id", "s")
+    val got = collected(RecordLinkage.fuzzySelfPairs(df, "id", "s", 0))
+    assert(got == Set((0L, 2L, 0)))
+  }
+}
