@@ -2064,11 +2064,13 @@ object Queries {
     ops.Privacy.lDiversity(table(s, dir, "orders"),
       Seq("o_orderstatus", "o_orderpriority"), "o_custkey", l = 3)
 
-  /** Edit-distance fuzzy self-join over supplier names: PassJoin segment
-    * blocking + grid-split candidate join + banded-levenshtein verify —
-    * exact recall, so the oracle is the brute-force quadratic join. On
-    * this fixture the constant `Supplier#` prefix makes segment 0 one hot
-    * bucket (the adversarial case the grid split exists for).
+  /** Edit-distance fuzzy self-join over supplier names. maxDist = 1
+    * dispatches to the FastSS deletion-neighborhood plan — the constant
+    * `Supplier#` prefix that makes PassJoin's segment 0 a quadratic hot
+    * bucket (measured 11× at 10× data) leaves deletion-variant buckets
+    * at true-neighbor size (3.7× at 30× data, output growing 41×).
+    * Exact recall either way: the oracle is the brute-force quadratic
+    * join.
     */
   def q133FuzzyJoin(s: SparkSession, dir: String): DataFrame =
     ops.RecordLinkage.fuzzySelfPairs(table(s, dir, "supplier"),

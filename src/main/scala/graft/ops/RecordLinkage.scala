@@ -47,8 +47,19 @@ import org.apache.spark.sql.types._
   * an empty segment matches the empty probe substring every string emits
   * for that slot, so the pigeonhole recall argument covers them too.
   *
-  * Recall is EXACT (superset candidates + exact verification), which is
-  * what lets the DuckDB oracle be the brute-force quadratic join.
+  * For `maxDist = 1` — the dominant entity-resolution setting — the
+  * public methods dispatch to a FastSS deletion-neighborhood plan
+  * (Bocek et al. 2007) instead: segment blocking is quadratic in any set
+  * of strings sharing a constant prefix (ids like `Supplier#000000042`
+  * all collide in one segment bucket), while a 1-deletion variant bucket
+  * holds only strings agreeing at every other position, so candidate
+  * volume tracks true-neighbor volume on exactly those corpora. Exact
+  * duplicates are collapsed before variant generation, so duplicate-heavy
+  * corpora cannot inflate the buckets either.
+  *
+  * Both plans have EXACT recall (superset candidates + exact
+  * verification), which is what lets the DuckDB oracle be the
+  * brute-force quadratic join.
   */
 object RecordLinkage {
 
@@ -116,6 +127,27 @@ object RecordLinkage {
                      right: DataFrame, rightId: String, rightStr: String,
                      maxDist: Int, chunkSize: Int = 4096): DataFrame = {
     require(maxDist >= 0, s"need maxDist >= 0, got $maxDist")
+    if (maxDist == 1)
+      deletionCross(left, leftId, leftStr, right, rightId, rightStr, chunkSize)
+    else
+      passJoinCross(left, leftId, leftStr, right, rightId, rightStr,
+        maxDist, chunkSize)
+  }
+
+  /** Self fuzzy join: unordered pairs (id_1 < id_2) within distance
+    * `maxDist` in one table — near-duplicate detection on an entity key.
+    */
+  def fuzzySelfPairs(df: DataFrame, idCol: String, strCol: String,
+                     maxDist: Int, chunkSize: Int = 4096): DataFrame = {
+    require(maxDist >= 0, s"need maxDist >= 0, got $maxDist")
+    if (maxDist == 1) deletionSelf(df, idCol, strCol, chunkSize)
+    else passJoinSelf(df, idCol, strCol, maxDist, chunkSize)
+  }
+
+  private[graft] def passJoinCross(left: DataFrame, leftId: String,
+                                   leftStr: String, right: DataFrame,
+                                   rightId: String, rightStr: String,
+                                   maxDist: Int, chunkSize: Int): DataFrame = {
     val cand = SkewJoin.gridJoin(
       probes(left, leftId, leftStr, maxDist),
       segments(right, rightId, rightStr, maxDist),
@@ -128,12 +160,9 @@ object RecordLinkage {
       .distinct()
   }
 
-  /** Self fuzzy join: unordered pairs (id_1 < id_2) within distance
-    * `maxDist` in one table — near-duplicate detection on an entity key.
-    */
-  def fuzzySelfPairs(df: DataFrame, idCol: String, strCol: String,
-                     maxDist: Int, chunkSize: Int = 4096): DataFrame = {
-    require(maxDist >= 0, s"need maxDist >= 0, got $maxDist")
+  private[graft] def passJoinSelf(df: DataFrame, idCol: String,
+                                  strCol: String, maxDist: Int,
+                                  chunkSize: Int): DataFrame = {
     val cand = SkewJoin.gridJoin(
       probes(df, idCol, strCol, maxDist),
       segments(df, idCol, strCol, maxDist),
@@ -143,5 +172,87 @@ object RecordLinkage {
     cand.select(col("x_id").as("id_1"), col("y_id").as("id_2"), d.as("dist"))
       .where(col("dist") >= 0)
       .distinct()
+  }
+
+  /** The string itself plus every single-character deletion — FastSS's
+    * 1-deletion neighborhood (Bocek et al. 2007). edit(s, t) ≤ 1 ⇔ the
+    * neighborhoods intersect: equality shares s itself, a substitution
+    * shares the both-sides deletion of the differing position, and an
+    * insertion/deletion shares the shorter string.
+    */
+  private def delVariants(s: Column): Column = {
+    val positions = when(length(s) > 0, sequence(lit(0), length(s) - 1))
+      .otherwise(array().cast(ArrayType(IntegerType)))
+    concat(array(s), transform(positions, p =>
+      concat(s.substr(lit(1), p), s.substr(p + 2, length(s)))))
+  }
+
+  /** d = 1 self join via deletion neighborhoods. Where segment blocking
+    * degenerates on corpora whose strings share a long constant prefix
+    * (every `Supplier#…` colliding in one segment bucket — candidate
+    * volume quadratic in the prefix-sharing set), a deletion-variant
+    * bucket holds only strings agreeing at every OTHER position, so
+    * candidate volume tracks the true-neighbor volume. Exact duplicates
+    * are collapsed first: dist-0 pairs come from a grid-guarded self join
+    * on the raw value, and the variant machinery runs over DISTINCT
+    * values only — an exact-dup-heavy corpus cannot inflate the variant
+    * buckets. Value-level matches expand back to id pairs through two
+    * output-bound joins.
+    */
+  private[graft] def deletionSelf(df: DataFrame, idCol: String,
+                                  strCol: String, chunkSize: Int): DataFrame = {
+    val vals = df.where(col(strCol).isNotNull)
+      .select(col(idCol).as("id"), col(strCol).as("s"))
+    val zero = SkewJoin.selfPairs(vals, Seq("s"), "id",
+        chunkSize = chunkSize)
+      .select(col("x_id").as("id_1"), col("y_id").as("id_2"),
+        lit(0).as("dist"))
+    val variants = vals.select(col("s")).distinct()
+      .select(col("s"), explode(delVariants(col("s"))).as("__var"))
+    val vpairs = SkewJoin.selfPairs(variants, Seq("__var"), "s",
+        chunkSize = chunkSize)
+      .withColumn("dist", levenshtein(col("x_s"), col("y_s"), 1))
+      .where(col("dist") >= 0)
+      .select(col("x_s").as("v1"), col("y_s").as("v2"), col("dist"))
+      .distinct()
+    val one = vpairs
+      .join(vals.select(col("s").as("v1"), col("id").as("ia")), "v1")
+      .join(vals.select(col("s").as("v2"), col("id").as("ib")), "v2")
+      .select(least(col("ia"), col("ib")).as("id_1"),
+        greatest(col("ia"), col("ib")).as("id_2"), col("dist"))
+    zero.unionByName(one)
+  }
+
+  /** d = 1 cross-table join via deletion neighborhoods — see
+    * [[deletionSelf]]; dist-0 pairs are a grid-guarded value equi-join,
+    * dist-1 pairs come from variant buckets over each side's distinct
+    * values.
+    */
+  private[graft] def deletionCross(left: DataFrame, leftId: String,
+                                   leftStr: String, right: DataFrame,
+                                   rightId: String, rightStr: String,
+                                   chunkSize: Int): DataFrame = {
+    val lv = left.where(col(leftStr).isNotNull)
+      .select(col(leftId).as("ia"), col(leftStr).as("__k"))
+    val rv = right.where(col(rightStr).isNotNull)
+      .select(col(rightId).as("ib"), col(rightStr).as("__k"))
+    val zero = SkewJoin.gridJoin(lv, rv, Seq("__k"), "ia", "ib", chunkSize)
+      .select(col("ia").as("id_1"), col("ib").as("id_2"), lit(0).as("dist"))
+    def variantTable(v: DataFrame, out: String): DataFrame =
+      v.select(col("__k").as(out)).distinct()
+        .select(col(out), explode(delVariants(col(out))).as("__var"))
+    val vpairs = SkewJoin.gridJoin(
+        variantTable(lv, "v1"), variantTable(rv, "v2"),
+        Seq("__var"), "v1", "v2", chunkSize)
+      .where(col("v1") =!= col("v2"))
+      .withColumn("dist", levenshtein(col("v1"), col("v2"), 1))
+      .where(col("dist") >= 0)
+      .select(col("v1"), col("v2"), col("dist"))
+      .distinct()
+    val one = vpairs
+      .join(lv.select(col("__k").as("v1"), col("ia")), "v1")
+      .join(rv.select(col("__k").as("v2"), col("ib")), "v2")
+      .select(col("ia").as("id_1"), col("ib").as("id_2"), col("dist"))
+    zero.unionByName(one)
   }
 }

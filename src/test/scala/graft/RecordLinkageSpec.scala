@@ -72,6 +72,27 @@ class RecordLinkageSpec extends SparkSpec {
     assert(got == Set((1L, 10L, 1), (1L, 13L, 0), (2L, 11L, 1)))
   }
 
+  test("d = 1: deletion-neighborhood and PassJoin plans agree exactly") {
+    val rnd = new Random(23)
+    val strs = (0L until 50L).map { i =>
+      // duplicates on purpose: the deletion path collapses them first
+      i -> (0 until (2 + rnd.nextInt(5))).map(_ => ('a' + rnd.nextInt(2)).toChar).mkString
+    }
+    val df = strs.toDF("id", "s")
+    val fast = collected(ops.RecordLinkage.deletionSelf(df, "id", "s", 4096))
+    val pass = collected(ops.RecordLinkage.passJoinSelf(df, "id", "s", 1, 4096))
+    assert(fast == pass)
+    assert(fast == brute(strs, 1))
+    val left = strs.take(25).toDF("id", "s")
+    val right = strs.drop(25).toDF("id", "s")
+    val fastX = collected(
+      ops.RecordLinkage.deletionCross(left, "id", "s", right, "id", "s", 4096))
+    val passX = collected(
+      ops.RecordLinkage.passJoinCross(left, "id", "s", right, "id", "s", 1, 4096))
+    assert(fastX == passX)
+    assert(fastX.nonEmpty)
+  }
+
   test("nulls are ignored; maxDist = 0 degenerates to exact equality") {
     val df = Seq((0L, "x"), (1L, null), (2L, "x"), (3L, "y")).toDF("id", "s")
     val got = collected(RecordLinkage.fuzzySelfPairs(df, "id", "s", 0))

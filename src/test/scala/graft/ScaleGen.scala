@@ -60,6 +60,20 @@ object ScaleGen {
       if (out.columns.contains("text") && i > 0)
         out = out.withColumn("text",
           regexp_replace(col("text"), "(\\S+)", s"$$1·$i"))
+      // Entity names: regenerate from the (already-shifted) key so copies
+      // carry DISTINCT names — otherwise every name repeats `copies`
+      // times and fuzzy-join pair density grows with the copy count
+      // instead of staying corpus-constant. The shifted keys are 11+
+      // digits vs the originals' 9, so cross-copy edit distance ≥ 2 and
+      // each copy reproduces the within-copy neighbor structure. Pad width
+      // 13 > digits of copies·Shift — lpad TRUNCATES overlong input.
+      for ((nameCol, keyCol, prefix) <- Seq(
+          ("s_name", "s_suppkey", "Supplier#"),
+          ("c_name", "c_custkey", "Customer#"))) {
+        if (out.columns.contains(nameCol) && i > 0)
+          out = out.withColumn(nameCol,
+            concat(lit(prefix), lpad(col(keyCol).cast("string"), 13, "0")))
+      }
       // Same idea for vectors: rotation ∘ per-copy sign flips — both
       // orthogonal transforms, so all within-copy cosines/distances are
       // exact — while cross-copy cosine falls to noise, keeping near-dup
