@@ -2601,6 +2601,67 @@ object Oracles {
       |  md5(clean) AS clean_md5
       |FROM f ORDER BY doc_id""".stripMargin
 
+  /** q136: Gopher repetition signals — the unit construction (trimmed
+    * non-empty lines + word n-grams over lowercased \S+ tokens), the
+    * lexicographic (cnt, len) top-gram tie-break (struct max), and the
+    * threshold table are all restated from the engine's single source of
+    * truth ([[graft.ops.TextAnalysis.RepetitionThresholds]]).
+    */
+  val q136: String = {
+    val topNs = Seq(2, 3, 4)
+    val dupNs = Seq(5, 6, 7, 8, 9, 10)
+    val th = graft.ops.TextAnalysis.RepetitionThresholds
+    val gramBranches = (topNs ++ dupNs).map { n =>
+      s"""  SELECT doc_id, chars, $n AS n,
+         |    unnest([array_to_string(w[i:i+${n - 1}], ' ')
+         |            for i in range(1, greatest(len(w) - ${n - 2}, 1))]) AS u
+         |  FROM toks""".stripMargin
+    }
+    val topAggs = topNs.map(n =>
+      s"    max(CASE WHEN n = $n THEN {'cnt': cnt, 'len': len} END) AS _top$n")
+    val dupAggs = dupNs.map(n =>
+      s"    sum(CASE WHEN n = $n AND cnt >= 2 THEN cnt * len ELSE 0 END) AS _dup$n")
+    def frac(num: String, den: String): String =
+      s"round(least(CASE WHEN $den > 0 THEN CAST($num AS DOUBLE) / CAST($den AS DOUBLE) ELSE 0.0 END, 1.0), 4)"
+    val measures =
+      Seq("dup_line_frac" -> frac("_dupl", "_lines"),
+        "dup_line_char_frac" -> frac("_duplc", "chars")) ++
+      topNs.map(n => s"top_${n}gram_char_frac" ->
+        frac(s"coalesce((_top$n).cnt * (_top$n).len, 0)", "chars")) ++
+      dupNs.map(n => s"dup_${n}gram_char_frac" -> frac(s"_dup$n", "chars"))
+    val measureSelects = measures.map { case (name, e) => s"  $e AS $name" }
+    val passExpr = measures.map { case (name, e) => s"$e <= ${th(name)}" }
+      .mkString("(", " AND ", ")")
+    s"""WITH toks AS (
+       |  SELECT doc_id, length(text) AS chars,
+       |    regexp_extract_all(lower(text), '\\S+') AS w, text
+       |  FROM documents),
+       |units AS (
+       |  SELECT doc_id, chars, 0 AS n,
+       |    unnest(list_filter(list_transform(string_split(text, chr(10)),
+       |      x -> trim(x)), x -> x <> '')) AS u
+       |  FROM toks
+       |  UNION ALL
+       |${gramBranches.mkString("  UNION ALL\n")}),
+       |c AS (
+       |  SELECT doc_id, chars, n, u, count(*) AS cnt, length(u) AS len
+       |  FROM units GROUP BY doc_id, chars, n, u),
+       |p AS (
+       |  SELECT doc_id, chars,
+       |    sum(CASE WHEN n = 0 THEN cnt ELSE 0 END) AS _lines,
+       |    sum(CASE WHEN n = 0 AND cnt >= 2 THEN cnt ELSE 0 END) AS _dupl,
+       |    sum(CASE WHEN n = 0 AND cnt >= 2 THEN cnt * len ELSE 0 END) AS _duplc,
+       |${(topAggs ++ dupAggs).mkString(",\n")}
+       |  FROM c GROUP BY doc_id, chars)
+       |-- LEFT JOIN: a doc with no units (empty/null text) still reports
+       |-- zeros, as the engine's explode_outer row does
+       |SELECT d.doc_id,
+       |${measureSelects.mkString(",\n")},
+       |  $passExpr AS pass
+       |FROM documents d LEFT JOIN p ON p.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q07_mutual_info_orders" -> q07Pinned,
@@ -2686,6 +2747,7 @@ object Oracles {
       "q133_fuzzy_join" -> q133,
       "q134_snapshot_diff" -> q134,
       "q135_c4_clean" -> q135,
+      "q136_gopher_repetition" -> q136,
       "q03_value_counts_orders" -> q03,
       "q04_histogram_price" -> q04,
       "q05_pearson_lineitem" -> q05,

@@ -2117,6 +2117,17 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Gopher repetition signals over documents: duplicate-line fractions,
+    * top-n-gram and duplicate-n-gram character fractions (Table A1), all
+    * from one unit-explode + two hash aggregations; the oracle restates
+    * the identical unit construction and threshold table.
+    */
+  def q136GopherRepetition(s: SparkSession, dir: String): DataFrame =
+    ops.TextAnalysis.gopherRepetition(table(s, dir, "documents"),
+        "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -2288,6 +2299,7 @@ object Queries {
     "q132_l_diversity" -> (q132LDiversity _),
     "q133_fuzzy_join" -> (q133FuzzyJoin _),
     "q134_snapshot_diff" -> (q134SnapshotDiff _),
-    "q135_c4_clean" -> (q135C4Clean _)
+    "q135_c4_clean" -> (q135C4Clean _),
+    "q136_gopher_repetition" -> (q136GopherRepetition _)
   )
 }

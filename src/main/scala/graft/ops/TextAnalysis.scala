@@ -149,6 +149,107 @@ object TextAnalysis {
       "ok_stopwords" -> (stopHits >= 2L))
   }
 
+  /** Gopher repetition thresholds (Rae et al. 2021, Table A1): maximum
+    * allowed duplicate-line fraction / duplicate-line character fraction,
+    * top n-gram character fraction (n = 2, 3, 4) and duplicate n-gram
+    * character fraction (n = 5..10).
+    */
+  val RepetitionThresholds: Map[String, Double] = Map(
+    "dup_line_frac" -> 0.30, "dup_line_char_frac" -> 0.20,
+    "top_2gram_char_frac" -> 0.20, "top_3gram_char_frac" -> 0.18,
+    "top_4gram_char_frac" -> 0.16,
+    "dup_5gram_char_frac" -> 0.15, "dup_6gram_char_frac" -> 0.14,
+    "dup_7gram_char_frac" -> 0.13, "dup_8gram_char_frac" -> 0.12,
+    "dup_9gram_char_frac" -> 0.11, "dup_10gram_char_frac" -> 0.10)
+
+  /** Gopher repetition signals (Rae et al. 2021, Table A1) — the
+    * repetition half of the Gopher gate, companion to [[gopherRules]]'
+    * composition rules: highly self-repetitive pages (boilerplate loops,
+    * scraper artifacts, keyword stuffing) are the single biggest LM-data
+    * failure mode the composition rules cannot see.
+    *
+    * Definitions (stated exactly — reimplementations vary, so the oracle
+    * mirrors these formulas):
+    *   - lines = trimmed, non-empty `\n`-separated lines; an occurrence
+    *     is "duplicate" when its line text appears ≥ 2 times in the doc.
+    *     `dup_line_frac` = duplicate occurrences / all occurrences;
+    *     `dup_line_char_frac` = their characters / `length(text)`.
+    *   - word n-grams over lowercased `\S+` tokens, joined with single
+    *     spaces. `top_Ngram_char_frac` (n = 2..4) = count·length of the
+    *     most frequent n-gram (ties broken toward the longer gram — the
+    *     covered-character value is then unique) / `length(text)`.
+    *     `dup_Ngram_char_frac` (n = 5..10) = Σ count·length over n-grams
+    *     occurring ≥ 2 times / `length(text)` — overlapping occurrences
+    *     double-count (the standard shortcut), so fractions cap at 1.
+    *   - a doc with no lines / no n-grams at some n scores 0 there (an
+    *     empty doc repeats nothing).
+    *
+    * `pass` = every signal within [[RepetitionThresholds]].
+    *
+    * Scale shape: ONE explode builds every unit (lines + all n-gram
+    * sizes) per row, one (id, n, unit) hash count with map-side partial
+    * aggregation, one per-doc aggregation — the value_counts melt
+    * pattern; nothing is driver-side and the widest shuffle is the gram
+    * table (≈ tokens × 7 rows), the same order as the minhash shingle
+    * fallback.
+    */
+  def gopherRepetition(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val topNs = Seq(2, 3, 4)
+    val dupNs = Seq(5, 6, 7, 8, 9, 10)
+    val toks = tokens(col(textCol))
+    val lineUnits = transform(
+      filter(transform(split(col(textCol), "\n"), l => trim(l)),
+        l => l =!= ""),
+      l => struct(lit(0).as("n"), l.as("u")))
+    val gramUnits = (topNs ++ dupNs).map { n =>
+      val positions = when(size(toks) >= n,
+        sequence(lit(1), size(toks) - (n - 1)))
+        .otherwise(array().cast(ArrayType(IntegerType)))
+      transform(positions, i => struct(
+        lit(n).as("n"), array_join(slice(toks, i, lit(n)), " ").as("u")))
+    }
+    val exploded = df.select(col(idCol).as("id"),
+        length(col(textCol)).as("chars"),
+        explode_outer(concat(lineUnits +: gramUnits: _*)).as("e"))
+      .select(col("id"), col("chars"), col("e.n").as("n"), col("e.u").as("u"))
+    // explode_outer keeps unit-less docs as one (null, null) row; every
+    // downstream aggregate is n-conditional, so it contributes zeros and
+    // the doc still reports (rather than vanishing)
+    val counts = exploded
+      .groupBy(col("id"), col("chars"), col("n"), col("u"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("len", length(col("u")))
+    val cov = col("cnt") * col("len")
+    def fracOf(num: Column, den: Column): Column =
+      round(least(when(den > 0, num.cast(DoubleType) / den.cast(DoubleType))
+        .otherwise(lit(0.0)), lit(1.0)), 4)
+    val aggs =
+      Seq(sum(when(col("n") === 0, col("cnt")).otherwise(0L)).as("_lines"),
+        sum(when(col("n") === 0 && col("cnt") >= 2, col("cnt"))
+          .otherwise(0L)).as("_dupl"),
+        sum(when(col("n") === 0 && col("cnt") >= 2, cov)
+          .otherwise(0L)).as("_duplc")) ++
+      topNs.map(n => max(when(col("n") === n,
+        struct(col("cnt"), col("len")))).as(s"_top$n")) ++
+      dupNs.map(n => sum(when(col("n") === n && col("cnt") >= 2, cov)
+        .otherwise(0L)).as(s"_dup$n"))
+    val perDoc = counts.groupBy(col("id"), col("chars"))
+      .agg(aggs.head, aggs.tail: _*)
+    val measures =
+      Seq("dup_line_frac" -> fracOf(col("_dupl"), col("_lines")),
+        "dup_line_char_frac" -> fracOf(col("_duplc"), col("chars"))) ++
+      topNs.map(n => s"top_${n}gram_char_frac" ->
+        fracOf(coalesce(col(s"_top$n.cnt") * col(s"_top$n.len"), lit(0L)),
+          col("chars"))) ++
+      dupNs.map(n => s"dup_${n}gram_char_frac" ->
+        fracOf(col(s"_dup$n"), col("chars")))
+    perDoc.select(col("id") +:
+      measures.map { case (name, c) => c.as(name) }: _*)
+      .withColumn("pass", measures.map { case (name, _) =>
+        col(name) <= RepetitionThresholds(name) }.reduce(_ && _))
+  }
+
   /** C4-style line-level page cleaning (Raffel et al. 2020 §2.2, the
     * "colossal clean crawled corpus" rules): a line survives iff it has at
     * least `minLineWords` words, ends in a terminal punctuation mark, and

@@ -104,4 +104,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"apply must add no join:\n$plan")
     assert(!plan.contains("Aggregate"), s"fit must ride as literals:\n$plan")
   }
+
+  test("fuzzy join: every join is a bucketed equi-join, never a cross product") {
+    val names = (0L until 40L).map(i => (i, f"Item#$i%05d")).toDF("id", "s")
+    for (d <- Seq(1, 2)) {
+      val plan = planOf(graft.ops.RecordLinkage
+        .fuzzySelfPairs(names, "id", "s", d))
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"maxDist=$d must stay equi-join:\n$plan")
+    }
+  }
+
+  test("snapshot diff: one full-outer key join, no extra exchange after it") {
+    val a = (0L until 50L).map(i => (i, i * 2)).toDF("id", "v")
+    val b = (10L until 60L).map(i => (i, i * 3)).toDF("id", "v")
+    val plan = planOf(graft.ops.SnapshotDiff.diff(a, b, Seq("id")))
+    assert(plan.contains("FullOuter"), s"expect full-outer join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"equi-join only:\n$plan")
+    // the verdict projection must ride the join output directly
+    assert("Exchange".r.findAllIn(plan).size <= 2,
+      s"only the two join-input exchanges:\n$plan")
+  }
 }
