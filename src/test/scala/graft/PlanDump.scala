@@ -76,7 +76,13 @@ object PlanDump {
       "q109_heavy_hitters" ->
         "Heavy hitters: ObjectHashAggregate runs a partial_ww_heavy_hitters pass per partition — the Misra-Gries summary combines MAP-SIDE, so the exchange carries one <=capacity-entry serialized state per (partition, group), never one row per distinct value. Aggregation state and shuffle volume are independent of the column's cardinality.",
       "q112_salted_join" ->
-        "Salted equi-join: hot fact keys scatter across (key, salt) sub-keys while the dim side explodes its hot rows to every salt (the Generate node). At fixture scale the salted dim still fits the broadcast threshold, so Catalyst picks BroadcastHashJoin and the facts never shuffle at all — broadcast beats salting whenever it's available. When the dim outgrows broadcast, the same plan becomes a shuffle join whose hashpartitioning covers BOTH (key, salt) columns, so no partition receives more than ~1/salt of any hot key — the case salting exists for; cold keys ride salt 0 untouched either way.")
+        "Salted equi-join: hot fact keys scatter across (key, salt) sub-keys while the dim side explodes its hot rows to every salt (the Generate node). At fixture scale the salted dim still fits the broadcast threshold, so Catalyst picks BroadcastHashJoin and the facts never shuffle at all — broadcast beats salting whenever it's available. When the dim outgrows broadcast, the same plan becomes a shuffle join whose hashpartitioning covers BOTH (key, salt) columns, so no partition receives more than ~1/salt of any hot key — the case salting exists for; cold keys ride salt 0 untouched either way.",
+      "q133_fuzzy_join" ->
+        "FastSS fuzzy join (maxDist = 1): dist-0 pairs are a grid-guarded value self-join; dist-1 candidates exist only inside deletion-variant equi-join cells over DISTINCT values (the Generate nodes build 1-deletion neighborhoods as pure projections — no shuffle to construct either side), and the banded levenshtein verifies BEFORE the pair distinct, so the dedup exchange carries true matches only. No cartesian product and no nested-loop join anywhere; value-level matches expand to id pairs through two output-bound hash joins.",
+      "q134_snapshot_diff" ->
+        "Snapshot diff: ONE full-outer SortMergeJoin on the key — each snapshot is hash-partitioned exactly once — and every per-column verdict (null-safe compares, changed-column list, counts) is a codegen projection riding the join output; the only later exchange is the presentation sort. Output carries key + verdict, never both payloads.",
+      "q136_gopher_repetition" ->
+        "Gopher repetition signals: ONE Generate builds every unit (trimmed lines + all seven n-gram sizes) per row as array HOFs; the (id, n, unit) count is a partial-aggregated hash groupBy and the per-doc roll-up is a second partial-aggregated groupBy on id — the value_counts melt shape, linear end to end with map-side combines on both exchanges.")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence for headline operators\n\n")
     sb.append("Generated by `graft.PlanDump` (sf0.01, local[8]). Each section: why the\n")
