@@ -2617,8 +2617,10 @@ object Oracles {
          |            for i in range(1, greatest(len(w) - ${n - 2}, 1))]) AS u
          |  FROM toks""".stripMargin
     }
+    // the engine packs the (cnt, len) lexicographic max into one BIGINT
+    // (len capped at 2^20-1) to stay hash-aggregable; mirror it exactly
     val topAggs = topNs.map(n =>
-      s"    max(CASE WHEN n = $n THEN {'cnt': cnt, 'len': len} END) AS _top$n")
+      s"    max(CASE WHEN n = $n THEN CAST(cnt AS BIGINT) * 1048576 + least(len, 1048575) END) AS _top$n")
     val dupAggs = dupNs.map(n =>
       s"    sum(CASE WHEN n = $n AND cnt >= 2 THEN cnt * len ELSE 0 END) AS _dup$n")
     def frac(num: String, den: String): String =
@@ -2627,7 +2629,8 @@ object Oracles {
       Seq("dup_line_frac" -> frac("_dupl", "_lines"),
         "dup_line_char_frac" -> frac("_duplc", "chars")) ++
       topNs.map(n => s"top_${n}gram_char_frac" ->
-        frac(s"coalesce((_top$n).cnt * (_top$n).len, 0)", "chars")) ++
+        frac(s"coalesce((_top$n // 1048576) * (_top$n % 1048576), 0)",
+          "chars")) ++
       dupNs.map(n => s"dup_${n}gram_char_frac" -> frac(s"_dup$n", "chars"))
     val measureSelects = measures.map { case (name, e) => s"  $e AS $name" }
     val passExpr = measures.map { case (name, e) => s"$e <= ${th(name)}" }

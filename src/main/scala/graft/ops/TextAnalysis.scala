@@ -197,10 +197,17 @@ object TextAnalysis {
                        textCol: String): DataFrame = {
     val topNs = Seq(2, 3, 4)
     val dupNs = Seq(5, 6, 7, 8, 9, 10)
-    val toks = tokens(col(textCol))
-    val lineUnits = transform(
+    // bind tokens/lines as ATTRIBUTES before any lambda touches them:
+    // subexpressions inside HOF lambdas are not hoisted, so slicing the
+    // raw regexp_extract_all would re-run the regex once per position ×
+    // per n — two orders of magnitude of wasted work per doc
+    val base = df.select(col(idCol).as("id"),
+      length(col(textCol)).as("chars"),
+      tokens(col(textCol)).as("__toks"),
       filter(transform(split(col(textCol), "\n"), l => trim(l)),
-        l => l =!= ""),
+        l => l =!= "").as("__lines"))
+    val toks = col("__toks")
+    val lineUnits = transform(col("__lines"),
       l => struct(lit(0).as("n"), l.as("u")))
     val gramUnits = (topNs ++ dupNs).map { n =>
       val positions = when(size(toks) >= n,
@@ -209,8 +216,7 @@ object TextAnalysis {
       transform(positions, i => struct(
         lit(n).as("n"), array_join(slice(toks, i, lit(n)), " ").as("u")))
     }
-    val exploded = df.select(col(idCol).as("id"),
-        length(col(textCol)).as("chars"),
+    val exploded = base.select(col("id"), col("chars"),
         explode_outer(concat(lineUnits +: gramUnits: _*)).as("e"))
       .select(col("id"), col("chars"), col("e.n").as("n"), col("e.u").as("u"))
     // explode_outer keeps unit-less docs as one (null, null) row; every
@@ -224,24 +230,30 @@ object TextAnalysis {
     def fracOf(num: Column, den: Column): Column =
       round(least(when(den > 0, num.cast(DoubleType) / den.cast(DoubleType))
         .otherwise(lit(0.0)), lit(1.0)), 4)
+    // the (cnt, len) lexicographic max packs into ONE long (len capped at
+    // 2^20−1 chars — mirrored verbatim in the oracle): a struct max would
+    // force the whole roll-up into a SortAggregate (full sort of the unit
+    // count table, no codegen); the packed long keeps it a HashAggregate
+    val packedMax = col("cnt") * lit(1048576L) +
+      least(col("len").cast(LongType), lit(1048575L))
     val aggs =
       Seq(sum(when(col("n") === 0, col("cnt")).otherwise(0L)).as("_lines"),
         sum(when(col("n") === 0 && col("cnt") >= 2, col("cnt"))
           .otherwise(0L)).as("_dupl"),
         sum(when(col("n") === 0 && col("cnt") >= 2, cov)
           .otherwise(0L)).as("_duplc")) ++
-      topNs.map(n => max(when(col("n") === n,
-        struct(col("cnt"), col("len")))).as(s"_top$n")) ++
+      topNs.map(n => max(when(col("n") === n, packedMax)).as(s"_top$n")) ++
       dupNs.map(n => sum(when(col("n") === n && col("cnt") >= 2, cov)
         .otherwise(0L)).as(s"_dup$n"))
     val perDoc = counts.groupBy(col("id"), col("chars"))
       .agg(aggs.head, aggs.tail: _*)
+    def topCov(n: Int): Column = coalesce(
+      expr(s"(_top$n div 1048576) * (_top$n % 1048576)"), lit(0L))
     val measures =
       Seq("dup_line_frac" -> fracOf(col("_dupl"), col("_lines")),
         "dup_line_char_frac" -> fracOf(col("_duplc"), col("chars"))) ++
       topNs.map(n => s"top_${n}gram_char_frac" ->
-        fracOf(coalesce(col(s"_top$n.cnt") * col(s"_top$n.len"), lit(0L)),
-          col("chars"))) ++
+        fracOf(topCov(n), col("chars"))) ++
       dupNs.map(n => s"dup_${n}gram_char_frac" ->
         fracOf(col(s"_dup$n"), col("chars")))
     perDoc.select(col("id") +:
