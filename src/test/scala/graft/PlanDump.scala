@@ -82,7 +82,7 @@ object PlanDump {
       "q134_snapshot_diff" ->
         "Snapshot diff: ONE full-outer SortMergeJoin on the key — each snapshot is hash-partitioned exactly once — and every per-column verdict (null-safe compares, changed-column list, counts) is a codegen projection riding the join output; the only later exchange is the presentation sort. Output carries key + verdict, never both payloads.",
       "q136_gopher_repetition" ->
-        "Gopher repetition signals: ONE Generate builds every unit (trimmed lines + all seven n-gram sizes) per row as array HOFs; the (id, n, unit) count is a partial-aggregated hash groupBy and the per-doc roll-up is a second partial-aggregated groupBy on id — the value_counts melt shape, linear end to end with map-side combines on both exchanges.")
+        "Gopher repetition signals: the unit table is built with PLAIN explodes (line rows + an (n × position) double explode whose rowwise slice/array_join gram build is all codegen — no interpreted HOF lambdas); the (id, n, unit) count is a partial-aggregated hash groupBy and the per-doc roll-up is a second HashAggregate on id (the top-gram max rides as ONE packed BIGINT so nothing falls back to a sort aggregate) — the value_counts melt shape, linear end to end with map-side combines on both exchanges.")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence for headline operators\n\n")
     sb.append("Generated by `graft.PlanDump` (sf0.01, local[8]). Each section: why the\n")

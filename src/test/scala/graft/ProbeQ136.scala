@@ -44,6 +44,20 @@ object ProbeQ136 {
       .groupBy(col("id"), col("chars"), col("n"), col("u"))
       .agg(count(lit(1)).as("cnt"))
     for (_ <- 1 to 2) time("explode+count")(counts.count())
+    // codegen-friendly variant: two plain explodes + rowwise slice/join
+    val doubled = base
+      .select(col("id"), col("chars"), toks,
+        explode(array((2 to 10).map(lit): _*)).as("n"))
+      .select(col("id"), col("chars"), toks, col("n"),
+        explode(when(size(toks) >= col("n"),
+          sequence(lit(1), size(toks) - col("n") + 1))
+          .otherwise(array().cast(ArrayType(IntegerType)))).as("i"))
+      .select(col("id"), col("chars"), col("n"),
+        array_join(slice(toks, col("i"), col("n")), " ").as("u"))
+    for (_ <- 1 to 2) time("explode2 only")(doubled.count())
+    val counts2 = doubled.groupBy(col("id"), col("chars"), col("n"), col("u"))
+      .agg(count(lit(1)).as("cnt"))
+    for (_ <- 1 to 2) time("explode2+count")(counts2.count())
     for (_ <- 1 to 2) time("full query") {
       Queries.all("q136_gopher_repetition")(spark, dir).count()
     }
