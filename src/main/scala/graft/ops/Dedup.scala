@@ -74,10 +74,12 @@ object Dedup {
   }
 
   /** Distinct word n-gram shingles of a text column (single-expression
-    * convenience; prefer [[shingleTable]] in hot paths).
+    * convenience; prefer [[shingleTable]] in hot paths). The tokenizer is
+    * let-bound so the per-position lambda reads a slot, not the regex.
     */
   def shingles(c: Column, n: Int = 3): Column =
-    shinglesFromTokens(TextAnalysis.tokens(c), n)
+    graft.util.Columns.letBind(TextAnalysis.tokens(c))(
+      toks => shinglesFromTokens(toks, n))
 
   /** Exact pairwise n-gram Jaccard over a (bounded) document set: for every
     * pair id1 < id2 with similarity ≥ threshold. Exhaustive cross join —
@@ -193,15 +195,18 @@ object Dedup {
     * `ww_ngrams` when registered); short docs fingerprint their whole
     * normalized text — the shared verification representation.
     */
-  private def gramSetExpr(t: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(t)
-    val grams =
-      if (nativeNgramsAvailable)
-        call_function("ww_ngrams", toks, lit(n))
-      else transform(shinglesFromTokens(toks, n), g => md5(g))
-    when(size(toks) >= n, grams)
-      .otherwise(array(md5(array_join(toks, " "))))
-  }
+  private def gramSetExpr(t: Column, n: Int): Column =
+    // let-bound so the fallback's per-position lambda reads a slot
+    // instead of re-running the tokenizer regex per element (the native
+    // ww_ngrams path evaluates its argument once either way)
+    graft.util.Columns.letBind(TextAnalysis.tokens(t)) { toks =>
+      val grams =
+        if (nativeNgramsAvailable)
+          call_function("ww_ngrams", toks, lit(n))
+        else transform(shinglesFromTokens(toks, n), g => md5(g))
+      when(size(toks) >= n, grams)
+        .otherwise(array(md5(array_join(toks, " "))))
+    }
 
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, numHashes: Int = 64, bands: Int = 32,

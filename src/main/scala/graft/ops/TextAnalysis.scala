@@ -353,20 +353,32 @@ object TextAnalysis {
     * robust near-dup document signatures; array of selected hash values.
     */
   def winnowingFingerprint(c: Column, k: Int = 5, window: Int = 4): Column = {
-    val toks = tokens(c)
-    val n = size(toks)
-    val grams = when(n >= k,
-      transform(sequence(lit(1), n - (k - 1)), i =>
-        xxhash64(concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*))))
-      // short docs hash the NORMALIZED token join, matching gram identity
-      // (hashing raw text would make short-doc near-dup case-sensitive)
-      .otherwise(array(xxhash64(array_join(toks, " "))))
-    val m = size(grams)
-    val mins = when(m >= window,
-      transform(sequence(lit(1), m - (window - 1)), i =>
-        array_min(slice(grams, i, lit(window)))))
-      .otherwise(array(array_min(grams)))
-    array_sort(array_distinct(mins))
+    // let-bind the token and gram arrays (util.Columns.letBind): a lambda
+    // BODY's subexpressions re-evaluate per element (HOFs hoist nothing),
+    // so referencing the raw tokenization inside the position lambdas
+    // would re-run the regex O(positions·k) times — and slicing a
+    // computed gram array inside the window lambda would rebuild every
+    // gram per window. Lambda variables are plain slot reads.
+    import graft.util.Columns.letBind
+    letBind(tokens(c)) { toks =>
+      val n = size(toks)
+      val grams = when(n >= k,
+        transform(sequence(lit(1), n - (k - 1)), i =>
+          xxhash64(concat_ws(" ",
+            (0 until k).map(j => element_at(toks, i + j)): _*))))
+        // short docs hash the NORMALIZED token join, matching gram
+        // identity (hashing raw text would make short-doc near-dup
+        // case-sensitive)
+        .otherwise(array(xxhash64(array_join(toks, " "))))
+      letBind(grams) { g =>
+        val m = size(g)
+        val mins = when(m >= window,
+          transform(sequence(lit(1), m - (window - 1)), i =>
+            array_min(slice(g, i, lit(window)))))
+          .otherwise(array(array_min(g)))
+        array_sort(array_distinct(mins))
+      }
+    }
   }
 
   /** Winnowing fingerprints as an exploded table (id, fp) — the hot-path
