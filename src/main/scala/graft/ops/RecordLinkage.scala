@@ -60,6 +60,10 @@ import org.apache.spark.sql.types._
   * Both plans have EXACT recall (superset candidates + exact
   * verification), which is what lets the DuckDB oracle be the
   * brute-force quadratic join.
+  *
+  * Rows with a null string are ignored (no edit distance to nothing);
+  * ids are expected non-null and unique (the index contract) — the self
+  * join orders pairs by id, so a null id would silently drop its pairs.
   */
 object RecordLinkage {
 

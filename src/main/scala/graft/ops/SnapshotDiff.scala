@@ -23,7 +23,11 @@ import org.apache.spark.sql.types._
   *
   * Keys are expected non-null (the index contract): a null-key row never
   * equi-matches, so it surfaces as one `removed` plus one `added` — the
-  * honest reading of an unkeyed row.
+  * honest reading of an unkeyed row. Keys are likewise expected UNIQUE
+  * per snapshot — a key with m old and n new rows joins to m×n verdict
+  * rows (standard join semantics); run the key through
+  * [[graft.stats.KeyDiscovery.candidateKeys]] first when uniqueness is
+  * in doubt.
   */
 object SnapshotDiff {
 

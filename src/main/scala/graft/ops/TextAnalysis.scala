@@ -99,24 +99,32 @@ object TextAnalysis {
     */
   def gopherRules(df: DataFrame, idCol: String, textCol: String,
                   minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
-    val flags = gopherFlagCols(col(textCol), minWords, maxWords)
-    df.select(col(idCol).as("id") +: flags.map { case (n, c) => c.as(n) }: _*)
+    // stage the token array as an attribute: four of the flags read it,
+    // and a single projection re-evaluates a reused expression (the
+    // tokenizer regex) once per reference
+    val flags = gopherFlagCols(col("__t"), col("__toks"), minWords, maxWords)
+    df.select(col(idCol).as("id"), col(textCol).as("__t"),
+        regexp_extract_all(col(textCol), lit("\\S+"), lit(0)).as("__toks"))
+      .select(col("id") +: flags.map { case (n, c) => c.as(n) }: _*)
       .withColumn("pass",
         flags.collect { case (n, _) if n.startsWith("ok_") => col(n) }
           .reduce(_ && _))
   }
 
   /** The single pass/fail conjunction as one predicate column — the shape a
-    * streaming gate or a WHERE clause wants (no join, no extra pass).
+    * streaming gate or a WHERE clause wants (no join, no extra pass). The
+    * token array is let-bound so the conjunction tokenizes once.
     */
   def gopherPass(t: Column, minWords: Long = 50L,
                  maxWords: Long = 100000L): Column =
-    gopherFlagCols(t, minWords, maxWords)
-      .collect { case (n, c) if n.startsWith("ok_") => c }.reduce(_ && _)
+    graft.util.Columns.letBind(regexp_extract_all(t, lit("\\S+"), lit(0))) {
+      toks =>
+        gopherFlagCols(t, toks, minWords, maxWords)
+          .collect { case (n, c) if n.startsWith("ok_") => c }.reduce(_ && _)
+    }
 
-  private def gopherFlagCols(t: Column, minWords: Long,
+  private def gopherFlagCols(t: Column, toks: Column, minWords: Long,
                              maxWords: Long): Seq[(String, Column)] = {
-    val toks = regexp_extract_all(t, lit("\\S+"), lit(0))
     val wc = size(toks).cast(LongType)
     val nonWs = length(regexp_replace(t, "\\s", "")).cast(DoubleType)
     val meanWl = nonWs / wc.cast(DoubleType)
@@ -283,21 +291,29 @@ object TextAnalysis {
     */
   def c4Clean(df: DataFrame, idCol: String, textCol: String,
               minLineWords: Int = 3, minSentences: Int = 3): DataFrame = {
+    // staged projections: each derived array/string is aliased once and
+    // the next stage reads the attribute — referencing `kept` (a line
+    // filter) or `clean` (a re-join) several times in ONE projection
+    // would re-evaluate them per reference (Catalyst only collapses
+    // projects when reused aliases are cheap)
     val lines = transform(split(col(textCol), "\n"), l => trim(l))
-    val kept = filter(lines, l =>
-      size(regexp_extract_all(l, lit("\\S+"), lit(0))) >= minLineWords &&
-        l.rlike("[.!?\"']$") &&
-        !lower(l).contains("javascript"))
-    val clean = array_join(kept, "\n")
-    val nSent = size(regexp_extract_all(clean, lit("[.!?]"), lit(0)))
-    df.select(col(idCol).as("id"),
-      size(lines).cast(LongType).as("n_lines"),
-      size(kept).cast(LongType).as("n_kept"),
-      nSent.cast(LongType).as("n_sentences"),
-      (nSent >= minSentences &&
-        !lower(col(textCol)).contains("lorem ipsum") &&
-        !col(textCol).contains("{")).as("page_kept"),
-      clean.as("clean_text"))
+    val staged = df.select(col(idCol).as("id"), col(textCol).as("__t"),
+        lines.as("__lines"))
+      .withColumn("__kept", filter(col("__lines"), l =>
+        size(regexp_extract_all(l, lit("\\S+"), lit(0))) >= minLineWords &&
+          l.rlike("[.!?\"']$") &&
+          !lower(l).contains("javascript")))
+      .withColumn("__clean", array_join(col("__kept"), "\n"))
+      .withColumn("__nsent",
+        size(regexp_extract_all(col("__clean"), lit("[.!?]"), lit(0))))
+    staged.select(col("id"),
+      size(col("__lines")).cast(LongType).as("n_lines"),
+      size(col("__kept")).cast(LongType).as("n_kept"),
+      col("__nsent").cast(LongType).as("n_sentences"),
+      (col("__nsent") >= minSentences &&
+        !lower(col("__t")).contains("lorem ipsum") &&
+        !col("__t").contains("{")).as("page_kept"),
+      col("__clean").as("clean_text"))
   }
 
   private def markerScore(c: Column, words: Seq[String]): Column =
