@@ -2065,12 +2065,13 @@ object Queries {
       Seq("o_orderstatus", "o_orderpriority"), "o_custkey", l = 3)
 
   /** Edit-distance fuzzy self-join over supplier names. maxDist = 1
-    * dispatches to the FastSS deletion-neighborhood plan — the constant
-    * `Supplier#` prefix that makes PassJoin's segment 0 a quadratic hot
-    * bucket (measured 11× at 10× data) leaves deletion-variant buckets
-    * at true-neighbor size (3.7× at 30× data, output growing 41×).
-    * Exact recall either way: the oracle is the brute-force quadratic
-    * join.
+    * dispatches to the FastSS deletion-neighborhood plan: on a single
+    * namespace of sequential ids (every name sharing `Supplier#`),
+    * PassJoin's segment-0 candidates are the full table squared (did not
+    * finish at 30k names) while deletion-variant buckets hold only
+    * strings agreeing at every other position (7.8 s at 30k, 12.4 s at
+    * 150k — BENCH_SF1.md). Exact recall either way: the oracle is the
+    * brute-force quadratic join.
     */
   def q133FuzzyJoin(s: SparkSession, dir: String): DataFrame =
     ops.RecordLinkage.fuzzySelfPairs(table(s, dir, "supplier"),

@@ -68,14 +68,16 @@ object SnapshotDiff {
   }
 
   /** One-row summary of a diff: counts per status plus total changed-cell
-    * count — the release-note headline. One aggregation over the diff.
+    * count — the release-note headline. One aggregation over the diff;
+    * count()/coalesce so an EMPTY diff (two empty snapshots) reports
+    * zeros, not a row of nulls.
     */
   def summary(diffed: DataFrame): DataFrame =
     diffed.agg(
-      sum(when(col("status") === "added", 1L).otherwise(0L)).as("added"),
-      sum(when(col("status") === "removed", 1L).otherwise(0L)).as("removed"),
-      sum(when(col("status") === "changed", 1L).otherwise(0L)).as("changed"),
-      sum(when(col("status") === "unchanged", 1L).otherwise(0L))
-        .as("unchanged"),
-      sum(col("n_changed").cast(LongType)).as("changed_cells"))
+      count(when(col("status") === "added", 1)).as("added"),
+      count(when(col("status") === "removed", 1)).as("removed"),
+      count(when(col("status") === "changed", 1)).as("changed"),
+      count(when(col("status") === "unchanged", 1)).as("unchanged"),
+      coalesce(sum(col("n_changed").cast(LongType)), lit(0L))
+        .as("changed_cells"))
 }

@@ -60,19 +60,24 @@ object ScaleGen {
       if (out.columns.contains("text") && i > 0)
         out = out.withColumn("text",
           regexp_replace(col("text"), "(\\S+)", s"$$1·$i"))
-      // Entity names: regenerate from the (already-shifted) key so copies
-      // carry DISTINCT names — otherwise every name repeats `copies`
-      // times and fuzzy-join pair density grows with the copy count
-      // instead of staying corpus-constant. The shifted keys are 11+
-      // digits vs the originals' 9, so cross-copy edit distance ≥ 2 and
-      // each copy reproduces the within-copy neighbor structure. Pad width
-      // 13 > digits of copies·Shift — lpad TRUNCATES overlong input.
+      // Entity names: regenerate per copy so copies carry DISTINCT names
+      // — otherwise every name repeats `copies` times and fuzzy-join
+      // pair density grows with the copy count instead of staying
+      // corpus-constant. The copy index is embedded as a REPEATED
+      // two-digit block ("0707…"): two copies of the same base key then
+      // differ in >= 2 positions (one digit of difference per block), so
+      // cross-copy Levenshtein >= 2 and only the original within-copy
+      // neighbor structure (the 9-digit tail) contributes d<=1 pairs.
+      // A single embedded copy digit would sit at distance 1 across
+      // copies and quadratically inflate the pair set it claims to hold
+      // constant. The tail is the ORIGINAL key (mod Shift), lpad 9.
       for ((nameCol, keyCol, prefix) <- Seq(
           ("s_name", "s_suppkey", "Supplier#"),
           ("c_name", "c_custkey", "Customer#"))) {
         if (out.columns.contains(nameCol) && i > 0)
           out = out.withColumn(nameCol,
-            concat(lit(prefix), lpad(col(keyCol).cast("string"), 13, "0")))
+            concat(lit(prefix + f"$i%02d$i%02d"),
+              lpad(pmod(col(keyCol), lit(Shift)).cast("string"), 9, "0")))
       }
       // Same idea for vectors: rotation ∘ per-copy sign flips — both
       // orthogonal transforms, so all within-copy cosines/distances are

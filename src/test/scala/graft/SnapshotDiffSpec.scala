@@ -47,6 +47,12 @@ class SnapshotDiffSpec extends SparkSpec {
       == ((1L, 1L, 2L, 1L, 2L)))
   }
 
+  test("summary of an empty diff reports zeros, not nulls") {
+    val empty = v1.where(lit(false))
+    val s = SnapshotDiff.summary(SnapshotDiff.diff(empty, empty, Seq("id"))).head()
+    assert((0 to 4).map(s.getLong) == Seq(0L, 0L, 0L, 0L, 0L))
+  }
+
   test("default compareCols = shared non-key columns; extra columns ignored") {
     val v2extra = v2.withColumn("only_new", lit(1))
     val out = SnapshotDiff.diff(v1, v2extra, Seq("id"))
