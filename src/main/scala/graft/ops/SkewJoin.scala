@@ -24,6 +24,15 @@ import org.apache.spark.sql.types.IntegerType
   * bucket-key exchange (which carries any expensive upstream compute, e.g.
   * per-row minhash signatures) is planned once and reused — the input is
   * never evaluated per side.
+  *
+  * AQE CAVEAT (measured): adaptive partition coalescing sizes reducers by
+  * shuffle INPUT bytes, and a candidate join's input is small while its
+  * output can be enormous — at toy input sizes AQE may coalesce the grid
+  * cells onto few cores and serialize the pair generation. At cluster
+  * scale the inputs exceed the 64 MB advisory size and the cells spread;
+  * if a small-input/huge-output join must parallelize fully, lower
+  * `spark.sql.adaptive.advisoryPartitionSizeInBytes` (or disable
+  * `spark.sql.adaptive.coalescePartitions.enabled`) for that job.
   */
 object SkewJoin {
 

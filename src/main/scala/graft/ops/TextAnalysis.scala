@@ -238,9 +238,7 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt"))
       .withColumn("len", length(col("u")))
     val cov = col("cnt") * col("len")
-    def fracOf(num: Column, den: Column): Column =
-      round(least(when(den > 0, num.cast(DoubleType) / den.cast(DoubleType))
-        .otherwise(lit(0.0)), lit(1.0)), 4)
+    def fracOf(num: Column, den: Column): Column = repFrac(num, den)
     // the (cnt, len) lexicographic max packs into ONE long (len capped at
     // 2^20−1 chars — mirrored verbatim in the oracle): a struct max would
     // force the whole roll-up into a SortAggregate (full sort of the unit
@@ -271,6 +269,94 @@ object TextAnalysis {
       measures.map { case (name, c) => c.as(name) }: _*)
       .withColumn("pass", measures.map { case (name, _) =>
         col(name) <= RepetitionThresholds(name) }.reduce(_ && _))
+  }
+
+  /** The repetition-fraction convention shared by [[gopherRepetition]]
+    * and [[repetitionMetrics]]: capped at 1, zero on an empty
+    * denominator, rounded to 4.
+    */
+  private def repFrac(num: Column, den: Column): Column =
+    round(least(when(den > 0, num.cast(DoubleType) / den.cast(DoubleType))
+      .otherwise(lit(0.0)), lit(1.0)), 4)
+
+  /** Per-row single-expression twin of [[gopherRepetition]]: the same
+    * eleven signals + `pass` as one STRUCT column, computed from sorted
+    * unit arrays entirely inside the projection — no explode, no
+    * shuffle, no state. This is the shape a streaming gate needs
+    * (`StreamingFrame.repetitionGate`); equality with the batch table is
+    * spec-pinned. Duplicate occurrences are elements with an equal
+    * neighbor in the sorted array; the top-gram count is the longest
+    * equal run, packed as the same (cnt, len-capped) BIGINT the batch
+    * aggregation maximizes. Cost is O(units · log units) per row — use
+    * the batch table for corpus profiling, this for per-row gating.
+    */
+  def repetitionMetrics(c: Column): Column = {
+    import graft.util.Columns.letBind
+    val topNs = Seq(2, 3, 4)
+    val dupNs = Seq(5, 6, 7, 8, 9, 10)
+    val chars = length(c)
+    def emptyStrings = array().cast(ArrayType(StringType))
+    def emptyInts = array().cast(ArrayType(IntegerType))
+    // (dupOcc, dupCov, topPacked) over one unit array
+    def unitStats(unitsRaw: Column): Column = letBind(array_sort(unitsRaw)) {
+      s =>
+        val idx = when(size(s) > 0, sequence(lit(1), size(s)))
+          .otherwise(emptyInts)
+        letBind(transform(idx, i => {
+          val cur = element_at(s, i)
+          val p = when(i > lit(1), element_at(s, i - 1))
+          val nx = when(i < size(s), element_at(s, i + 1))
+          (cur <=> p) || (cur <=> nx)
+        })) { mask =>
+          val dupOcc = size(filter(mask, f => f)).cast(LongType)
+          val dupCov = aggregate(
+            zip_with(mask, s, (f, g) =>
+              when(f, length(g).cast(LongType)).otherwise(0L)),
+            lit(0L), (acc, x) => acc + x)
+          // longest equal run, tie toward the longer unit — the same
+          // packed (cnt, len) encoding the batch max uses; units are
+          // never "" (tokens are \S+, lines trimmed non-empty)
+          val top = aggregate(s,
+            struct(lit("").as("p"), lit(0L).as("r"), lit(0L).as("b")),
+            (acc, g) => {
+              val run = when(g === acc.getField("p"),
+                acc.getField("r") + 1L).otherwise(1L)
+              struct(g.as("p"), run.as("r"),
+                greatest(acc.getField("b"), run * 1048576L +
+                  least(length(g).cast(LongType), lit(1048575L))).as("b"))
+            },
+            acc => acc.getField("b"))
+          struct(dupOcc.as("occ"), dupCov.as("cov"), top.as("top"),
+            size(s).cast(LongType).as("m"))
+        }
+    }
+    def topCovOf(packed: Column): Column =
+      ((packed - pmod(packed, lit(1048576L))) / lit(1048576L))
+        .cast(LongType) * pmod(packed, lit(1048576L))
+    letBind(tokens(c)) { toks =>
+      letBind(filter(transform(split(c, "\n"), l => trim(l)),
+        l => l =!= "")) { lines =>
+        def grams(n: Int): Column =
+          when(size(toks) >= n,
+            transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+              array_join(slice(toks, i, lit(n)), " ")))
+            .otherwise(emptyStrings)
+        letBind(unitStats(lines)) { ls =>
+          val measures: Seq[(String, Column)] =
+            Seq("dup_line_frac" ->
+                repFrac(ls.getField("occ"), ls.getField("m")),
+              "dup_line_char_frac" -> repFrac(ls.getField("cov"), chars)) ++
+            topNs.map(n => s"top_${n}gram_char_frac" ->
+              repFrac(topCovOf(unitStats(grams(n)).getField("top")), chars)) ++
+            dupNs.map(n => s"dup_${n}gram_char_frac" ->
+              repFrac(unitStats(grams(n)).getField("cov"), chars))
+          val pass = measures.map { case (name, m) =>
+            m <= RepetitionThresholds(name) }.reduce(_ && _)
+          struct(measures.map { case (name, m) => m.as(name) } :+
+            pass.as("pass"): _*)
+        }
+      }
+    }
   }
 
   /** C4-style line-level page cleaning (Raffel et al. 2020 §2.2, the

@@ -143,6 +143,17 @@ object StreamingFrame {
   def gopherGate(stream: DataFrame, textCol: String): DataFrame =
     stream.where(TextAnalysis.gopherPass(col(textCol)))
 
+  /** Stateless per-row Gopher REPETITION gate (duplicate-line and n-gram
+    * repetition thresholds, Rae et al. 2021 Table A1): drops documents
+    * failing `TextAnalysis.repetitionMetrics(...).pass`. A pure filter —
+    * no explode, no state — the streaming twin of the batch
+    * [[graft.ops.TextAnalysis.gopherRepetition]] profile (per-row ==
+    * batch equality is spec-pinned).
+    */
+  def repetitionGate(stream: DataFrame, textCol: String): DataFrame =
+    stream.where(
+      TextAnalysis.repetitionMetrics(col(textCol)).getField("pass"))
+
   /** The composed streaming front door: Gopher rule gate → Bloom
     * decontamination (on RAW text, matching batch) → PII scrub →
     * (optional) classifier filter → near-dup suppression — the streaming

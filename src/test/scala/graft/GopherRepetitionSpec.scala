@@ -49,6 +49,45 @@ class GopherRepetitionSpec extends SparkSpec {
     assert(out(2L)("pass") == true)
   }
 
+  test("repetitionMetrics (per-row) equals gopherRepetition (batch) field by field") {
+    val docs = Seq(
+      1L -> "same line\nunique one\nsame line\nother two",
+      2L -> "aa bb cc aa bb dd aa bb",
+      3L -> ("tok1 tok2 tok3 tok4 tok5 tok6 " * 4).trim,
+      4L -> (1 to 80).map(i => s"w$i").mkString(" "),
+      5L -> "",
+      6L -> "word",
+      7L -> "Alpha beta\nALPHA BETA gamma delta epsilon zeta")
+    val df = docs.toDF("id", "t")
+    val batch = TextAnalysis.gopherRepetition(df, "id", "t")
+    val cols = batch.columns
+    val perRow = df
+      .select(col("id"), TextAnalysis.repetitionMetrics(col("t")).as("m"))
+      .select(col("id") +: cols.tail.map(c => col(s"m.$c").as(c)): _*)
+    val b = batch.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val p = perRow.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    for (id <- docs.map(_._1))
+      assert(b(id) == p(id), s"id=$id batch=${b(id)} perRow=${p(id)}")
+  }
+
+  test("streaming repetition gate drops repetitive docs statelessly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val gated = graft.streaming.StreamingFrame.repetitionGate(
+      mem.toDF.toDF("id", "t"), "t")
+    val q = gated.writeStream.format("memory")
+      .queryName("rep_gate_out").outputMode("append").start()
+    try {
+      mem.addData(
+        1L -> (1 to 80).map(i => s"w$i").mkString(" "),
+        2L -> ("tok1 tok2 tok3 tok4 tok5 tok6 " * 4).trim)
+      q.processAllAvailable()
+      val ids = spark.table("rep_gate_out").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L))
+    } finally q.stop()
+  }
+
   test("case-insensitive token units; lines keep case") {
     val t = "Alpha beta\nALPHA BETA gamma delta epsilon zeta"
     val out = run(1L -> t)(1L)
