@@ -385,10 +385,8 @@ object TextAnalysis {
     val lines = transform(split(col(textCol), "\n"), l => trim(l))
     val staged = df.select(col(idCol).as("id"), col(textCol).as("__t"),
         lines.as("__lines"))
-      .withColumn("__kept", filter(col("__lines"), l =>
-        size(regexp_extract_all(l, lit("\\S+"), lit(0))) >= minLineWords &&
-          l.rlike("[.!?\"']$") &&
-          !lower(l).contains("javascript")))
+      .withColumn("__kept",
+        filter(col("__lines"), l => c4LineKeep(minLineWords)(l)))
       .withColumn("__clean", array_join(col("__kept"), "\n"))
       .withColumn("__nsent",
         size(regexp_extract_all(col("__clean"), lit("[.!?]"), lit(0))))
@@ -400,6 +398,34 @@ object TextAnalysis {
         !lower(col("__t")).contains("lorem ipsum") &&
         !col("__t").contains("{")).as("page_kept"),
       col("__clean").as("clean_text"))
+  }
+
+  /** The C4 per-line survival predicate — the single source of truth for
+    * [[c4Clean]] (batch) and [[c4Metrics]] (per-row / streaming).
+    */
+  private def c4LineKeep(minLineWords: Int)(l: Column): Column =
+    size(regexp_extract_all(l, lit("\\S+"), lit(0))) >= minLineWords &&
+      l.rlike("[.!?\"']$") &&
+      !lower(l).contains("javascript")
+
+  /** Per-row Column form of [[c4Clean]] for streaming gates:
+    * struct(page_kept, clean_text) with let-bound stages — a pure
+    * stateless projection (`StreamingFrame.c4Gate`).
+    */
+  def c4Metrics(c: Column, minLineWords: Int = 3,
+                minSentences: Int = 3): Column = {
+    import graft.util.Columns.letBind
+    letBind(filter(transform(split(c, "\n"), l => trim(l)),
+      l => c4LineKeep(minLineWords)(l))) { kept =>
+      letBind(array_join(kept, "\n")) { clean =>
+        val nSent = size(regexp_extract_all(clean, lit("[.!?]"), lit(0)))
+        struct(
+          (nSent >= minSentences &&
+            !lower(c).contains("lorem ipsum") &&
+            !c.contains("{")).as("page_kept"),
+          clean.as("clean_text"))
+      }
+    }
   }
 
   private def markerScore(c: Column, words: Seq[String]): Column =

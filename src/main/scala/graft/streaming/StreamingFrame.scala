@@ -154,6 +154,21 @@ object StreamingFrame {
     stream.where(
       TextAnalysis.repetitionMetrics(col(textCol)).getField("pass"))
 
+  /** Stateless C4 page-cleaning gate (Raffel et al. 2020 §2.2): drops
+    * pages failing the sentence-minimum / lorem-ipsum / curly-brace
+    * rules and REPLACES the text with the line-cleaned version — the
+    * streaming twin of [[graft.ops.TextAnalysis.c4Clean]] (same
+    * predicates, shared line-survival rule).
+    */
+  def c4Gate(stream: DataFrame, textCol: String, minLineWords: Int = 3,
+             minSentences: Int = 3): DataFrame =
+    stream
+      .withColumn("__c4",
+        TextAnalysis.c4Metrics(col(textCol), minLineWords, minSentences))
+      .where(col("__c4.page_kept"))
+      .withColumn(textCol, col("__c4.clean_text"))
+      .drop("__c4")
+
   /** The composed streaming front door: Gopher rule gate → Bloom
     * decontamination (on RAW text, matching batch) → PII scrub →
     * (optional) classifier filter → near-dup suppression — the streaming

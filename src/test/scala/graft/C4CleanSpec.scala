@@ -46,6 +46,33 @@ class C4CleanSpec extends SparkSpec {
     assert(out(1L)._3 == 0L && !out(1L)._4)
   }
 
+  test("streaming c4 gate: drops failing pages and emits cleaned text, equal to batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Seq(
+      1L -> "One good sentence stays.\nA second good one stays.\nAnd a third survives.\nbad tail",
+      2L -> "Only one kept sentence here.\nnothing else",
+      3L -> "function f() {\nFirst sentence is fine.\nSecond is fine.\nThird is fine.")
+    val batch = TextAnalysis.c4Clean(docs.toDF("id", "t"), "id", "t")
+      .where(col("page_kept"))
+      .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingFrame
+      .c4Gate(mem.toDF.toDF("id", "t"), "t")
+      .writeStream.format("memory").queryName("c4_gate_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.table("c4_gate_out").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == batch)
+      assert(got.keySet == Set(1L))
+      assert(got(1L) ==
+        "One good sentence stays.\nA second good one stays.\nAnd a third survives.")
+    } finally q.stop()
+  }
+
   test("empty and whitespace-only text: zero kept, page dropped, no nulls") {
     val out = clean(1L -> "", 2L -> "   \n  ")
     assert(out(1L) == ((1L, 0L, 0L, false, "")))
