@@ -238,7 +238,6 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt"))
       .withColumn("len", length(col("u")))
     val cov = col("cnt") * col("len")
-    def fracOf(num: Column, den: Column): Column = repFrac(num, den)
     // the (cnt, len) lexicographic max packs into ONE long (len capped at
     // 2^20−1 chars — mirrored verbatim in the oracle): a struct max would
     // force the whole roll-up into a SortAggregate (full sort of the unit
@@ -259,12 +258,12 @@ object TextAnalysis {
     def topCov(n: Int): Column = coalesce(
       expr(s"(_top$n div 1048576) * (_top$n % 1048576)"), lit(0L))
     val measures =
-      Seq("dup_line_frac" -> fracOf(col("_dupl"), col("_lines")),
-        "dup_line_char_frac" -> fracOf(col("_duplc"), col("chars"))) ++
+      Seq("dup_line_frac" -> repFrac(col("_dupl"), col("_lines")),
+        "dup_line_char_frac" -> repFrac(col("_duplc"), col("chars"))) ++
       topNs.map(n => s"top_${n}gram_char_frac" ->
-        fracOf(topCov(n), col("chars"))) ++
+        repFrac(topCov(n), col("chars"))) ++
       dupNs.map(n => s"dup_${n}gram_char_frac" ->
-        fracOf(col(s"_dup$n"), col("chars")))
+        repFrac(col(s"_dup$n"), col("chars")))
     perDoc.select(col("id") +:
       measures.map { case (name, c) => c.as(name) }: _*)
       .withColumn("pass", measures.map { case (name, _) =>
@@ -342,18 +341,26 @@ object TextAnalysis {
               array_join(slice(toks, i, lit(n)), " ")))
             .otherwise(emptyStrings)
         letBind(unitStats(lines)) { ls =>
-          val measures: Seq[(String, Column)] =
-            Seq("dup_line_frac" ->
-                repFrac(ls.getField("occ"), ls.getField("m")),
-              "dup_line_char_frac" -> repFrac(ls.getField("cov"), chars)) ++
-            topNs.map(n => s"top_${n}gram_char_frac" ->
+          val names =
+            Seq("dup_line_frac", "dup_line_char_frac") ++
+            topNs.map(n => s"top_${n}gram_char_frac") ++
+            dupNs.map(n => s"dup_${n}gram_char_frac")
+          val exprs =
+            Seq(repFrac(ls.getField("occ"), ls.getField("m")),
+              repFrac(ls.getField("cov"), chars)) ++
+            topNs.map(n =>
               repFrac(topCovOf(unitStats(grams(n)).getField("top")), chars)) ++
-            dupNs.map(n => s"dup_${n}gram_char_frac" ->
-              repFrac(unitStats(grams(n)).getField("cov"), chars))
-          val pass = measures.map { case (name, m) =>
-            m <= RepetitionThresholds(name) }.reduce(_ && _)
-          struct(measures.map { case (name, m) => m.as(name) } :+
-            pass.as("pass"): _*)
+            dupNs.map(n => repFrac(unitStats(grams(n)).getField("cov"), chars))
+          // let-bind the eleven measures as ONE array: each gram unitStats
+          // (the dominant per-row cost) would otherwise evaluate twice —
+          // once as an output field and once inside the pass conjunction
+          letBind(array(exprs: _*)) { m =>
+            def at(i: Int): Column = element_at(m, i + 1)
+            val pass = names.zipWithIndex.map { case (name, i) =>
+              at(i) <= RepetitionThresholds(name) }.reduce(_ && _)
+            struct(names.zipWithIndex.map { case (name, i) =>
+              at(i).as(name) } :+ pass.as("pass"): _*)
+          }
         }
       }
     }

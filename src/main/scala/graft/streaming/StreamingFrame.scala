@@ -161,13 +161,18 @@ object StreamingFrame {
     * predicates, shared line-survival rule).
     */
   def c4Gate(stream: DataFrame, textCol: String, minLineWords: Int = 3,
-             minSentences: Int = 3): DataFrame =
+             minSentences: Int = 3): DataFrame = {
+    // refuse rather than silently clobber a caller column with the
+    // scratch name
+    require(!stream.columns.contains("__c4"),
+      "c4Gate uses '__c4' as a scratch column; rename the input column")
     stream
       .withColumn("__c4",
         TextAnalysis.c4Metrics(col(textCol), minLineWords, minSentences))
       .where(col("__c4.page_kept"))
       .withColumn(textCol, col("__c4.clean_text"))
       .drop("__c4")
+  }
 
   /** The composed streaming front door: Gopher rule gate → Bloom
     * decontamination (on RAW text, matching batch) → PII scrub →
