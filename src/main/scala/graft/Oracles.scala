@@ -2665,6 +2665,25 @@ object Oracles {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** q137: entity clusters — recursive transitive closure over the
+    * symmetrized brute-force levenshtein edge set (the q65/q67 oracle
+    * convention; O(V·E) closure is oracle-scale only, the engine side
+    * iterates min-label propagation).
+    */
+  val q137: String =
+    """WITH RECURSIVE pairs AS (
+      |  SELECT a.s_suppkey AS id_1, b.s_suppkey AS id_2
+      |  FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+      |  WHERE levenshtein(a.s_name, b.s_name) <= 1),
+      |edges AS (SELECT id_1 AS a, id_2 AS b FROM pairs
+      |          UNION SELECT id_2, id_1 FROM pairs),
+      |reach(a, r) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT e.a, r.r FROM edges e JOIN reach r ON r.a = e.b)
+      |SELECT a AS id, least(a, min(r)) AS cluster_id
+      |FROM reach GROUP BY a ORDER BY id""".stripMargin
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q07_mutual_info_orders" -> q07Pinned,
@@ -2751,6 +2770,7 @@ object Oracles {
       "q134_snapshot_diff" -> q134,
       "q135_c4_clean" -> q135,
       "q136_gopher_repetition" -> q136,
+      "q137_entity_clusters" -> q137,
       "q03_value_counts_orders" -> q03,
       "q04_histogram_price" -> q04,
       "q05_pearson_lineitem" -> q05,

@@ -2129,6 +2129,20 @@ object Queries {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** Entity canonicalization capstone: the fuzzy pair detector (q133)
+    * composed with the duplicate-cluster resolver — every supplier name
+    * within distance 1 of another collapses into a cluster labeled by
+    * its smallest member id, the mapping an entity-resolution pass feeds
+    * back into joins. Oracle = recursive closure over the brute-force
+    * levenshtein edges (the q65/q67 convention).
+    */
+  def q137EntityClusters(s: SparkSession, dir: String): DataFrame =
+    ops.Dedup.duplicateClusters(
+        ops.RecordLinkage.fuzzySelfPairs(table(s, dir, "supplier"),
+          "s_suppkey", "s_name", maxDist = 1)
+          .select(col("id_1"), col("id_2")))
+      .orderBy("id")
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -2301,6 +2315,7 @@ object Queries {
     "q133_fuzzy_join" -> (q133FuzzyJoin _),
     "q134_snapshot_diff" -> (q134SnapshotDiff _),
     "q135_c4_clean" -> (q135C4Clean _),
-    "q136_gopher_repetition" -> (q136GopherRepetition _)
+    "q136_gopher_repetition" -> (q136GopherRepetition _),
+    "q137_entity_clusters" -> (q137EntityClusters _)
   )
 }
