@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{HeavyHitters, MinhashSig, NgramHashes, NormalizeText, PqEncode, SimhashSig, VectorDot}
+import graft.expressions.{CmsMerge, HeavyHitters, MinhashSig, NgramHashes, NormalizeText, PqEncode, SimhashSig, VectorDot}
 
 /** Engine extension entry point: register native expressions with a session
   * via `spark.sql.extensions=graft.GraftExtensions` (or
@@ -43,5 +43,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HeavyHitters].getName, "ww_heavy_hitters"),
       (children: Seq[Expression]) =>
         HeavyHitters(children.head, children(1)).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("ww_cms_merge"),
+      new ExpressionInfo(classOf[CmsMerge].getName, "ww_cms_merge"),
+      (children: Seq[Expression]) =>
+        CmsMerge(children.head).toAggregateExpression()))
   }
 }

@@ -2684,6 +2684,27 @@ object Oracles {
       |SELECT a AS id, least(a, min(r)) AS cluster_id
       |FROM reach GROUP BY a ORDER BY id""".stripMargin
 
+  /** q138: CMS point frequencies — exact counts, because the sketch width
+    * (20000 cells) dwarfs the vocabulary (≤ 5 values) so no cells
+    * collide; the sketch path being exact in this regime is the property
+    * under test.
+    */
+  val q138: String =
+    """WITH vals(column_name, value) AS (VALUES
+      |  ('o_orderpriority', '1-URGENT'), ('o_orderpriority', '2-HIGH'),
+      |  ('o_orderpriority', '3-MEDIUM'),
+      |  ('o_orderpriority', '4-NOT SPECIFIED'),
+      |  ('o_orderpriority', '5-LOW'),
+      |  ('o_orderstatus', 'F'), ('o_orderstatus', 'O'),
+      |  ('o_orderstatus', 'P'))
+      |SELECT v.column_name, v.value,
+      |  CAST((SELECT count(*) FROM orders o
+      |        WHERE (v.column_name = 'o_orderpriority'
+      |               AND o.o_orderpriority = v.value)
+      |           OR (v.column_name = 'o_orderstatus'
+      |               AND o.o_orderstatus = v.value)) AS BIGINT) AS estimate
+      |FROM vals v ORDER BY column_name, value""".stripMargin
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q07_mutual_info_orders" -> q07Pinned,
@@ -2771,6 +2792,7 @@ object Oracles {
       "q135_c4_clean" -> q135,
       "q136_gopher_repetition" -> q136,
       "q137_entity_clusters" -> q137,
+      "q138_cms_frequency" -> q138,
       "q03_value_counts_orders" -> q03,
       "q04_histogram_price" -> q04,
       "q05_pearson_lineitem" -> q05,

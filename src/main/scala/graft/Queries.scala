@@ -2143,6 +2143,30 @@ object Queries {
           .select(col("id_1"), col("id_2")))
       .orderBy("id")
 
+  /** Mergeable Count–Min frequency profile: two disjoint order batches
+    * each reduce to a per-column CMS, the sketches merge via the native
+    * `ww_cms_merge` union aggregate (no rescan), and point estimates for
+    * the full priority/status vocabulary are read off the merged sketch.
+    * With width 2/eps = 20000 against ≤ 5 distinct values, no cells
+    * collide and every estimate is EXACT — the oracle is the plain
+    * count.
+    */
+  def q138CmsFrequency(s: SparkSession, dir: String): DataFrame = {
+    val o = table(s, dir, "orders")
+    val half1 = stats.IncrementalProfile.frequencyProfile(
+      o.where(pmod(col("o_orderkey"), lit(2)) === 0),
+      Seq("o_orderpriority", "o_orderstatus"))
+    val half2 = stats.IncrementalProfile.frequencyProfile(
+      o.where(pmod(col("o_orderkey"), lit(2)) =!= 0),
+      Seq("o_orderpriority", "o_orderstatus"))
+    val merged = stats.IncrementalProfile.mergeFrequency(Seq(half1, half2))
+    stats.IncrementalProfile.estimateFrequencies(merged,
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+          .map("o_orderpriority" -> _) ++
+        Seq("F", "O", "P").map("o_orderstatus" -> _))
+      .orderBy("column_name", "value")
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -2316,6 +2340,7 @@ object Queries {
     "q134_snapshot_diff" -> (q134SnapshotDiff _),
     "q135_c4_clean" -> (q135C4Clean _),
     "q136_gopher_repetition" -> (q136GopherRepetition _),
-    "q137_entity_clusters" -> (q137EntityClusters _)
+    "q137_entity_clusters" -> (q137EntityClusters _),
+    "q138_cms_frequency" -> (q138CmsFrequency _)
   )
 }

@@ -128,4 +128,62 @@ object IncrementalProfile {
       round(col("max"), roundTo).as("max"),
       hll_sketch_estimate(col("hll")).as("nunique_approx"))
   }
+
+  /** One row per column: (column_name, cms) — a mergeable Count–Min
+    * frequency sketch (Spark's built-in `count_min_sketch` aggregate)
+    * over the column's string rendering, in the same wide-agg melt shape
+    * as [[profile]]. The point-frequency third leg of the mergeable
+    * profile family: HLL answers "how many distinct", KLL "which
+    * quantile", CMS "how often does THIS value occur" — for any value
+    * chosen AFTER the scan, without rescanning any batch.
+    *
+    * All batches must use identical (eps, confidence, seed) or the merge
+    * refuses. Estimates overcount only (within eps·N at the given
+    * confidence); with width (= ceil(2/eps)) far above the column's
+    * distinct count, collisions are absent and estimates are exact —
+    * the regime the driver oracle pins at fixture scale.
+    */
+  def frequencyProfile(df: DataFrame, cols: Seq[String],
+                       eps: Double = 1e-4, confidence: Double = 0.99,
+                       seed: Int = 42): DataFrame = {
+    require(cols.nonEmpty, "at least one column required")
+    val perCol = cols.map { c0 =>
+      struct(lit(c0).as("column_name"),
+        call_function("count_min_sketch", col(c0).cast(StringType),
+          lit(eps), lit(confidence), lit(seed)).as("cms"))
+    }
+    df.agg(perCol.head.as("s0"),
+        perCol.tail.zipWithIndex.map { case (e, i) => e.as(s"s${i + 1}") }: _*)
+      .select(explode(array(cols.indices.map(i => col(s"s$i")): _*)).as("s"))
+      .select(col("s.*"))
+  }
+
+  /** Merge frequency profiles from disjoint batches: CMS cells add
+    * (`ww_cms_merge`, the union aggregate Spark does not ship). One
+    * groupBy over (columns × batches) rows.
+    */
+  def mergeFrequency(profiles: Seq[DataFrame]): DataFrame = {
+    require(profiles.nonEmpty, "at least one profile required")
+    profiles.reduce(_ unionByName _)
+      .groupBy(col("column_name"))
+      .agg(call_function("ww_cms_merge", col("cms")).as("cms"))
+  }
+
+  /** Point-frequency estimates from a (merged) frequency profile for the
+    * given (column, value) pairs. The sketches are column-count-bounded
+    * (one depth×width table each), so reading them driver-side is the
+    * intended access path; a column absent from the profile estimates 0.
+    */
+  def estimateFrequencies(profile: DataFrame,
+                          values: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val sketches = profile.select(col("column_name"), col("cms")).collect()
+      .map(r => r.getString(0) -> CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))).toMap
+    val spark = profile.sparkSession
+    import spark.implicits._
+    values.map { case (c, v) =>
+      (c, v, sketches.get(c).map(_.estimateCount(v)).getOrElse(0L))
+    }.toDF("column_name", "value", "estimate")
+  }
 }

@@ -53,6 +53,44 @@ class SketchesSpec extends SparkSpec {
     assert(hh.map(_._2).toSeq == hh.map(_._2).sorted(Ordering[Long].reverse).toSeq)
   }
 
+  test("CMS frequency profile: merged batches equal a whole-table profile, exact on small vocab") {
+    import spark.implicits._
+    import graft.stats.IncrementalProfile
+    val df = (1 to 300).map(i => (i.toLong, s"v${i % 7}")).toDF("id", "c")
+    val whole = IncrementalProfile.frequencyProfile(df, Seq("c"))
+    val parts = Seq(0, 1, 2).map(k =>
+      IncrementalProfile.frequencyProfile(
+        df.where(col("id") % 3 === k), Seq("c")))
+    val merged = IncrementalProfile.mergeFrequency(parts)
+    val vals = (0 until 7).map(i => "c" -> s"v$i")
+    def est(p: org.apache.spark.sql.DataFrame) =
+      IncrementalProfile.estimateFrequencies(p, vals)
+        .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    val exact = df.groupBy("c").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est(merged) == exact)
+    assert(est(whole) == exact)
+    // unknown value and unknown column estimate 0 / absent-column 0
+    val extra = IncrementalProfile.estimateFrequencies(merged,
+      Seq("c" -> "never-seen", "nope" -> "v0")).collect()
+    assert(extra.map(_.getLong(2)).forall(_ == 0L))
+  }
+
+  test("CMS lossy regime: estimates only overcount, and never below truth") {
+    import spark.implicits._
+    import graft.stats.IncrementalProfile
+    val df = (1 to 500).map(i => (i.toLong, s"k${i % 40}")).toDF("id", "c")
+    // eps = 0.5 -> width 4: forced collisions among 40 distinct values
+    val prof = IncrementalProfile.frequencyProfile(df, Seq("c"), eps = 0.5)
+    val vals = (0 until 40).map(i => "c" -> s"k$i")
+    val ests = IncrementalProfile.estimateFrequencies(prof, vals)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    val exact = df.groupBy("c").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.forall { case (k, n) => ests(k) >= n })
+    assert(ests.values.exists(e => exact.values.min < e)) // collisions happened
+  }
+
   test("temperatureWeights: alpha=1 keeps shares, alpha=0 is uniform, 0.5 lifts the tail") {
     import spark.implicits._
     val df = (Seq.fill(80)("big") ++ Seq.fill(20)("small")).toDF("src")
