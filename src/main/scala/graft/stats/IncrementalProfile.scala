@@ -177,7 +177,11 @@ object IncrementalProfile {
   def estimateFrequencies(profile: DataFrame,
                           values: Seq[(String, String)]): DataFrame = {
     import org.apache.spark.util.sketch.CountMinSketch
-    val sketches = profile.select(col("column_name"), col("cms")).collect()
+    // a null sketch (merge over zero non-null inputs) estimates like an
+    // absent column — 0, not an NPE
+    val sketches = profile
+      .select(col("column_name"), col("cms"))
+      .where(col("cms").isNotNull).collect()
       .map(r => r.getString(0) -> CountMinSketch.readFrom(
         new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))).toMap
     val spark = profile.sparkSession
