@@ -2670,19 +2670,10 @@ object Oracles {
     * convention; O(V·E) closure is oracle-scale only, the engine side
     * iterates min-label propagation).
     */
-  val q137: String =
-    """WITH RECURSIVE pairs AS (
-      |  SELECT a.s_suppkey AS id_1, b.s_suppkey AS id_2
-      |  FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
-      |  WHERE levenshtein(a.s_name, b.s_name) <= 1),
-      |edges AS (SELECT id_1 AS a, id_2 AS b FROM pairs
-      |          UNION SELECT id_2, id_1 FROM pairs),
-      |reach(a, r) AS (
-      |  SELECT a, b FROM edges
-      |  UNION
-      |  SELECT e.a, r.r FROM edges e JOIN reach r ON r.a = e.b)
-      |SELECT a AS id, least(a, min(r)) AS cluster_id
-      |FROM reach GROUP BY a ORDER BY id""".stripMargin
+  val q137: String = graft.ops.Dedup.Sql.closureSql(
+    """SELECT a.s_suppkey AS id_1, b.s_suppkey AS id_2
+      |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+      |WHERE levenshtein(a.s_name, b.s_name) <= 1""".stripMargin)
 
   /** q138: CMS point frequencies — exact counts, because the sketch width
     * (20000 cells) dwarfs the vocabulary (≤ 5 values) so no cells

@@ -2139,8 +2139,7 @@ object Queries {
   def q137EntityClusters(s: SparkSession, dir: String): DataFrame =
     ops.Dedup.duplicateClusters(
         ops.RecordLinkage.fuzzySelfPairs(table(s, dir, "supplier"),
-          "s_suppkey", "s_name", maxDist = 1)
-          .select(col("id_1"), col("id_2")))
+          "s_suppkey", "s_name", maxDist = 1))
       .orderBy("id")
 
   /** Mergeable Count–Min frequency profile: two disjoint order batches

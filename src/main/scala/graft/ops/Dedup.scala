@@ -551,8 +551,14 @@ object Dedup {
       * propagation instead.
       */
     def duplicateClusters(table: String, idCol: String, textCol: String,
-                          n: Int, threshold: Double): String = {
-      val pairsSql = jaccardPairs(table, idCol, textCol, n, threshold)
+                          n: Int, threshold: Double): String =
+      closureSql(jaccardPairs(table, idCol, textCol, n, threshold))
+
+    /** The closure over ANY (id_1, id_2) pair query — shared by the
+      * Jaccard clusters above and the fuzzy-join entity clusters (q137),
+      * so the q65/q67/q137 oracle convention lives in one place.
+      */
+    def closureSql(pairsSql: String): String =
       s"""WITH RECURSIVE pairs AS ($pairsSql),
          |edges AS (SELECT id_1 AS a, id_2 AS b FROM pairs
          |          UNION SELECT id_2, id_1 FROM pairs),
@@ -562,6 +568,5 @@ object Dedup {
          |  SELECT e.a, r.r FROM edges e JOIN reach r ON r.a = e.b)
          |SELECT a AS id, least(a, min(r)) AS cluster_id
          |FROM reach GROUP BY a ORDER BY id""".stripMargin
-    }
   }
 }

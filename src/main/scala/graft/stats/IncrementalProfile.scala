@@ -1,6 +1,6 @@
 package graft.stats
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -18,6 +18,16 @@ import org.apache.spark.sql.types._
   * merge(profile(A), profile(B)) exactly.
   */
 object IncrementalProfile {
+
+  /** Wide-agg melt: ONE aggregation computing a struct per column, then
+    * exploded to one row per column — the shared scaffolding of every
+    * profile flavor (a single scan, partial-aggregated map-side).
+    */
+  private def meltAgg(df: DataFrame, perCol: Seq[Column]): DataFrame =
+    df.agg(perCol.head.as("s0"),
+        perCol.tail.zipWithIndex.map { case (e, i) => e.as(s"s${i + 1}") }: _*)
+      .select(explode(array(perCol.indices.map(i => col(s"s$i")): _*)).as("s"))
+      .select(col("s.*"))
 
   /** One row per column: (column_name, count, null_count, sum, sum_sq,
     * min, max, hll[, kll]) over the given numeric columns. One wide
@@ -50,10 +60,7 @@ object IncrementalProfile {
         else base
       struct(withKll: _*)
     }
-    df.agg(perCol.head.as("s0"),
-        perCol.tail.zipWithIndex.map { case (e, i) => e.as(s"s${i + 1}") }: _*)
-      .select(explode(array(cols.indices.map(i => col(s"s$i")): _*)).as("s"))
-      .select(col("s.*"))
+    meltAgg(df, perCol)
   }
 
   /** Merge any number of profiles (from disjoint row sets of the same
@@ -152,10 +159,7 @@ object IncrementalProfile {
         call_function("count_min_sketch", col(c0).cast(StringType),
           lit(eps), lit(confidence), lit(seed)).as("cms"))
     }
-    df.agg(perCol.head.as("s0"),
-        perCol.tail.zipWithIndex.map { case (e, i) => e.as(s"s${i + 1}") }: _*)
-      .select(explode(array(cols.indices.map(i => col(s"s$i")): _*)).as("s"))
-      .select(col("s.*"))
+    meltAgg(df, perCol)
   }
 
   /** Merge frequency profiles from disjoint batches: CMS cells add
@@ -179,11 +183,17 @@ object IncrementalProfile {
     import org.apache.spark.util.sketch.CountMinSketch
     // a null sketch (merge over zero non-null inputs) estimates like an
     // absent column — 0, not an NPE
-    val sketches = profile
+    val rows = profile
       .select(col("column_name"), col("cms"))
       .where(col("cms").isNotNull).collect()
       .map(r => r.getString(0) -> CountMinSketch.readFrom(
-        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))).toMap
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1))))
+    // duplicate column rows mean the caller unioned batch profiles
+    // without mergeFrequency — a silent last-row-wins would report one
+    // batch's partial counts as the union
+    require(rows.map(_._1).distinct.length == rows.length,
+      "profile has duplicate column rows — pass it through mergeFrequency first")
+    val sketches = rows.toMap
     val spark = profile.sparkSession
     import spark.implicits._
     values.map { case (c, v) =>

@@ -88,7 +88,7 @@ class SketchesSpec extends SparkSpec {
     val exact = df.groupBy("c").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(exact.forall { case (k, n) => ests(k) >= n })
-    assert(ests.values.exists(e => exact.values.min < e)) // collisions happened
+    assert(exact.exists { case (k, n) => ests(k) > n }) // collisions happened
   }
 
   test("temperatureWeights: alpha=1 keeps shares, alpha=0 is uniform, 0.5 lifts the tail") {
