@@ -94,8 +94,14 @@ object SkewJoin {
     * and the count join doubles as key pruning — left rows whose key never
     * occurs on the right are dropped before the pair exchange.
     *
-    * Non-key columns of the two inputs must be disjoint (pre-alias them);
-    * `leftId` / `rightId` only seed the chunk hash and need not be unique.
+    * Non-key columns of the two inputs must be disjoint (pre-alias them).
+    * `leftId` / `rightId` seed the chunk hash: matching is unaffected by
+    * their choice, but the ~chunkSize² per-task bound holds only if the
+    * id is near-UNIQUE within each hot key — a low-cardinality id
+    * collapses a hot key's rows into few chunks, recreating the skew the
+    * split exists to break. When no near-unique column exists, pass a
+    * synthesized one (e.g. `monotonically_increasing_id()` materialized
+    * via withColumn) — the result is id-invariant, only balance changes.
     */
   def gridJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftId: String, rightId: String,

@@ -40,10 +40,26 @@ object SnapshotDiff {
   def diff(oldDf: DataFrame, newDf: DataFrame, keyCols: Seq[String],
            compareCols: Seq[String] = Nil): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column")
+    // scratch-name guard (refuse rather than clobber, the c4Gate
+    // convention): the presence marker __o/__n and the payload aliases
+    // __o_<c>/__n_<c> would silently corrupt the classification if an
+    // input column already used the prefix
+    val clash = (oldDf.columns ++ newDf.columns)
+      .filter(c => c.startsWith("__o") || c.startsWith("__n")).distinct
+    require(clash.isEmpty,
+      s"SnapshotDiff.diff reserves column prefixes __o/__n; rename input " +
+        s"column(s) ${clash.mkString(", ")} first")
     val cmp =
       if (compareCols.nonEmpty) compareCols
       else oldDf.columns.toSeq.intersect(newDf.columns.toSeq)
         .filterNot(keyCols.contains)
+    // keys-only diffing (empty cmp) is almost always a caller mistake —
+    // e.g. column names that differ between snapshots — because every
+    // matched key then reports `unchanged` unconditionally
+    require(cmp.nonEmpty,
+      "no columns to compare: the snapshots share no non-key columns, so " +
+        "every matched key would report 'unchanged' — check the snapshots' " +
+        "column names, or pass compareCols explicitly")
     val o = oldDf.select(keyCols.map(col) ++
       Seq(lit(true).as("__o")) ++ cmp.map(c => col(c).as(s"__o_$c")): _*)
     val n = newDf.select(keyCols.map(col) ++

@@ -233,10 +233,23 @@ object TextAnalysis {
           .otherwise(array().cast(ArrayType(IntegerType)))).as("i"))
       .select(col("id"), col("chars"), col("n"),
         array_join(slice(t, col("i"), col("n")), " ").as("u"))
+    // shuffle 128-bit unit FINGERPRINTS, not unit strings: two
+    // independent xxhash64 lanes + the unit length replace `u` as the
+    // group key, cutting shuffle bytes several-fold on long n-grams
+    // (up to 10 joined tokens each). Counts are identical unless two
+    // DISTINCT units of one (id, n) collide on BOTH lanes — ≤ m²/2^129
+    // per doc (m = units), < 1e-25 even for a 10M-unit document; same
+    // documented-probabilistic convention as the md5 fingerprint dedup
+    // ops. `len` is functionally dependent on the unit, so adding it to
+    // the key changes no group.
     val counts = lineRows.unionByName(gramRows)
-      .groupBy(col("id"), col("chars"), col("n"), col("u"))
+      .select(col("id"), col("chars"), col("n"),
+        xxhash64(col("n"), col("u")).as("h1"),
+        xxhash64(lit("ww_rep2"), col("u")).as("h2"),
+        length(col("u")).as("len"))
+      .groupBy(col("id"), col("chars"), col("n"), col("h1"), col("h2"),
+        col("len"))
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("len", length(col("u")))
     val cov = col("cnt") * col("len")
     // the (cnt, len) lexicographic max packs into ONE long (len capped at
     // 2^20−1 chars — mirrored verbatim in the oracle): a struct max would
@@ -329,9 +342,11 @@ object TextAnalysis {
             size(s).cast(LongType).as("m"))
         }
     }
+    // integer decode (2^20 shift), exactly matching the batch topCov's
+    // `div` — the former double-division decode was exact only below
+    // cnt < 2^33 and risked drift between the spec-pinned twins
     def topCovOf(packed: Column): Column =
-      ((packed - pmod(packed, lit(1048576L))) / lit(1048576L))
-        .cast(LongType) * pmod(packed, lit(1048576L))
+      shiftright(packed, 20) * pmod(packed, lit(1048576L))
     letBind(tokens(c)) { toks =>
       letBind(filter(transform(split(c, "\n"), l => trim(l)),
         l => l =!= "")) { lines =>
