@@ -29,8 +29,59 @@ import java.nio.file.{Files, Paths}
   * key and 3-decimal seconds (~1.3k chars for 102 queries), and the FULL
   * per-query detail (full names, best, spread, every run) goes to
   * `BENCH_DETAIL.json` next to the repo (override: SPARK_GRAFT_BENCH_DETAIL).
+  *
+  * CROSS-SESSION calibration (r9): within-session spread is controlled by
+  * the escalation above, but r7 vs r8 showed the whole SESSION can run
+  * ~1.35× slow (identical bits, tight spreads both times — box load /
+  * JIT-lottery), polluting round-over-round comparisons. The bench now
+  * runs a fixed constant-work probe (one codegen'd hash-reduce scan over
+  * 512M longs on all cores + one single-thread CPU spin) FIRST and LAST,
+  * and reports `calib`: {pre, post, ref, factor} on the stdout line, where
+  * `factor` = mean(pre, post) / CALIB_REF and CALIB_REF is the probe's
+  * pinned reading on an idle build box. Per-query normalized values
+  * (`value / factor`) go to BENCH_DETAIL.json as `value_norm`. Cross-round
+  * comparisons should use value_norm (or divide by factor); a round whose
+  * pre/post disagree badly is itself suspect and says so in the artifact.
+  *
+  * READING THE FACTOR: `post` runs after the full suite has deep-JIT'd
+  * the Spark scheduler paths and typically reads 10–20% below `pre`
+  * (measured r9: pre 0.654, post 0.528 in a session whose CALIB_ONLY
+  * readings were 0.67), while CalibRef is pinned in pre-like cold
+  * sessions — so the mean carries a small downward bias and factor
+  * deviations within ±10% of 1.0 should be read as unity. The signal
+  * this exists for is the ≥1.2× whole-session skew r8 exhibited
+  * (factor would read ~1.3), which clears the noise floor decisively.
   */
 object Bench {
+  /** Pinned idle-box reading of [[calibrationProbe]] (seconds). Measured
+    * 2026-08-14 on the round-9 build box (local[32], Java 17): two
+    * separate idle JVM sessions read 0.610 / 0.608 (0.3% apart). Re-pin
+    * if the hardware changes — only the RATIO across sessions matters.
+    */
+  val CalibRef = 0.609
+
+  /** Fixed constant-work probe: (a) one whole-stage-codegen scan that
+    * hash-reduces 512M longs across all cores — exercises scheduling,
+    * codegen and memory bandwidth; (b) one single-threaded multiply-add
+    * spin of 2^28 iterations — exercises raw per-core clock/JIT state.
+    * Work is constant by construction, so wall time moves only with the
+    * session/box, which is exactly the nuisance factor to divide out.
+    */
+  def calibrationProbe(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    spark.range(0L, 512L << 20, 1L,
+        spark.sparkContext.defaultParallelism)
+      .select(bit_xor(xxhash64(col("id")))).collect()  // xor: no ANSI overflow
+    var x = 0x9e3779b97f4a7c15L
+    var i = 0
+    while (i < (1 << 28)) {
+      x = x * 6364136223846793005L + 1442695040888963407L; i += 1
+    }
+    if (x == 42L) System.err.println("")  // keep the spin live (no DCE)
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -56,6 +107,19 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    // calibration: one untimed warm-up pays the probe's own codegen, then
+    // best-of-3 timed — run before the suite and again after it
+    def calib(): Double = {
+      calibrationProbe(spark)
+      Seq.fill(3)(calibrationProbe(spark)).min
+    }
+    val calibPre = calib()
+    // probe-only mode: print the calibration reading and exit — used to
+    // (re)pin CalibRef and to sanity-check a session before a full bench
+    if (sys.env.get("SPARK_GRAFT_CALIB_ONLY").contains("1")) {
+      println(s"""{"metric":"calib","value":$calibPre,"unit":"sec","ref":$CalibRef}""")
+      spark.stop(); return
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val warm = time(fn)                       // untimed: codegen + warm-up
       val initial = Seq.fill(runs)(time(fn))
@@ -66,20 +130,27 @@ object Bench {
       val value = if (noisy) median(timed) else timed.min
       (name, value, timed.max / math.max(timed.min, 1e-9), warm, timed, noisy)
     }
+    val calibPost = calib()
+    val factor = math.max((calibPre + calibPost) / 2 / CalibRef, 1e-9)
     def r3(d: Double) = math.rint(d * 1000) / 1000
     val qs = results.map { case (k, v, _, _, _, _) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + r3(v)
     }.mkString("{", ",", "}")
     val total = r3(results.map(_._2).sum)
+    val calibJson = s"""{"pre":${r3(calibPre)},"post":${r3(calibPost)},""" +
+      s""""ref":$CalibRef,"factor":${r3(factor)}}"""
     val detail = results.map { case (k, v, spread, warm, timed, noisy) =>
-      s"""  "$k": {"value": ${r3(v)}, "spread": ${r3(spread)}, """ +
+      s"""  "$k": {"value": ${r3(v)}, "value_norm": ${r3(v / factor)}, """ +
+        s""""spread": ${r3(spread)}, """ +
         s""""escalated": $noisy, "warmup": ${r3(warm)}, """ +
         s""""runs": [${timed.map(r3).mkString(", ")}]}"""
-    }.mkString("{\n", ",\n", "\n}")
+    }.mkString("{\n  \"__calib\": " + calibJson + ",\n", ",\n", "\n}")
     try Files.writeString(Paths.get(detailPath), detail)
     catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""calib":$calibJson,"total_norm":${r3(total / factor)},""" +
+      s""""queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
