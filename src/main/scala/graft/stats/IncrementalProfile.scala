@@ -144,8 +144,13 @@ object IncrementalProfile {
     * quantile", CMS "how often does THIS value occur" — for any value
     * chosen AFTER the scan, without rescanning any batch.
     *
-    * All batches must use identical (eps, confidence, seed) or the merge
-    * refuses. Estimates overcount only (within eps·N at the given
+    * All batches must use identical (eps, confidence, seed) — these fix
+    * the sketch's (depth, width, seed) geometry, and sketches with
+    * different geometry are NOT mergeable (their cells index different
+    * hash lattices). [[mergeFrequency]] surfaces a mismatch as an
+    * `IncompatibleMergeException` from the union aggregate at execution
+    * time ("Cannot merge ... with different depth/width/seed"), never as
+    * a silently wrong merged count. Estimates overcount only (within eps·N at the given
     * confidence); with width (= ceil(2/eps)) far above the column's
     * distinct count, collisions are absent and estimates are exact —
     * the regime the driver oracle pins at fixture scale.

@@ -318,18 +318,78 @@ object StreamingFrame {
     * statistics that windowed aggs can't express (state lives across
     * windows). Emit in update mode.
     *
-    * STATE-SCHEMA NOTE: `KeyProfile` is also the persisted state type.
-    * Adding the `sum` field broke decode compatibility with checkpoints
-    * written before it existed — restart `statefulProfile` queries from a
-    * fresh checkpoint after upgrading (Spark's state store has no implicit
-    * schema evolution for case-class state).
+    * STATE-SCHEMA NOTE (r9): the persisted state type is the VERSIONED
+    * envelope [[StateEnvelope.Enveloped]] — a (version, payload) pair
+    * whose Spark-visible schema never changes, so evolving the profile's
+    * fields can never again break checkpoint decode at the encoder layer
+    * (adding `sum` in r7 did exactly that). Version dispatch happens in
+    * [[StateEnvelope.decodeKeyProfile]]: the pre-`sum` layout (version 1)
+    * upgrades in place, an unknown version fails with the NAMED
+    * [[StateEnvelope.StateVersionMismatch]] instead of a bare Kryo/encoder
+    * exception.
     */
   final case class KeyProfile(key: String, count: Long, sum: Double,
                               mean: Double, min: Double, max: Double)
 
+  /** Versioned persistence envelope for custom streaming state. The
+    * payload is a flat JSON object whose doubles travel as IEEE-754 BIT
+    * PATTERNS (longs) — exact round-trip, and NaN/±Inf (legal stream
+    * values) cannot produce unparseable literals. The envelope schema
+    * (int, string) is frozen: new profile fields change only the payload
+    * and bump [[CurrentVersion]] with an upgrade arm in the decoder.
+    */
+  object StateEnvelope {
+    val CurrentVersion = 2
+
+    final case class Enveloped(version: Int, json: String)
+
+    /** Checkpoint state written by a binary this build no longer
+      * understands (or a future one): restart from a fresh checkpoint or
+      * upgrade through an intermediate release that still decodes it.
+      */
+    final class StateVersionMismatch(found: Int)
+        extends IllegalStateException(
+          s"streaming state envelope version $found is not decodable by " +
+            s"this build (supported: 1..$CurrentVersion)")
+
+    private def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    private def bits(d: Double): Long = java.lang.Double.doubleToLongBits(d)
+    private def undo(l: String): Double =
+      java.lang.Double.longBitsToDouble(l.toLong)
+
+    def encodeKeyProfile(p: KeyProfile): Enveloped = Enveloped(
+      CurrentVersion,
+      s"""{"key":"${esc(p.key)}","count":${p.count},"sum":${bits(p.sum)},""" +
+        s""""mean":${bits(p.mean)},"min":${bits(p.min)},"max":${bits(p.max)}}""")
+
+    def decodeKeyProfile(e: Enveloped): KeyProfile = {
+      val m = graft.schema.SchemaMetadata.parseJsonValueMap(e.json)
+      e.version match {
+        case CurrentVersion =>
+          KeyProfile(m("key"), m("count").toLong, undo(m("sum")),
+            undo(m("mean")), undo(m("min")), undo(m("max")))
+        case 1 =>
+          // pre-`sum` layout: reconstruct the running sum as mean·count —
+          // the same (rounding-prone) quantity the old binary carried, so
+          // the upgrade loses nothing the old state had
+          val count = m("count").toLong
+          val mean = undo(m("mean"))
+          KeyProfile(m("key"), count, mean * count, mean,
+            undo(m("min")), undo(m("max")))
+        case v => throw new StateVersionMismatch(v)
+      }
+    }
+  }
+
   def statefulProfile(stream: DataFrame, keyCol: String, valueCol: String)
       : org.apache.spark.sql.Dataset[KeyProfile] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import StateEnvelope.{Enveloped, decodeKeyProfile, encodeKeyProfile}
     val spark = stream.sparkSession
     import spark.implicits._
     stream
@@ -339,9 +399,9 @@ object StreamingFrame {
       .where(col("k").isNotNull && col("v").isNotNull)
       .as[(String, Double)]
       .groupByKey(_._1)
-      .mapGroupsWithState[KeyProfile, KeyProfile](GroupStateTimeout.NoTimeout) {
-        case (key, rows, state: GroupState[KeyProfile]) =>
-          val prev = state.getOption.getOrElse(
+      .mapGroupsWithState[Enveloped, KeyProfile](GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[Enveloped]) =>
+          val prev = state.getOption.map(decodeKeyProfile).getOrElse(
             KeyProfile(key, 0L, 0.0, 0.0, Double.MaxValue, Double.MinValue))
           var cnt = prev.count
           // the running SUM is the state; reconstructing it from a stored
@@ -356,7 +416,7 @@ object StreamingFrame {
           }
           val next = KeyProfile(key, cnt, sum,
             if (cnt == 0) 0.0 else sum / cnt, mn, mx)
-          state.update(next)
+          state.update(encodeKeyProfile(next))
           next
       }
   }

@@ -558,6 +558,33 @@ class IoStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("state envelope: v2 round-trip is exact, v1 fixture upgrades, unknown fails loudly") {
+    import StreamingFrame.{KeyProfile, StateEnvelope}
+    // exact round-trip including NaN and infinities (bit-pattern doubles)
+    val p = KeyProfile("a\"b\\c", 3L, Double.NaN,
+      Double.PositiveInfinity, -0.0, Double.MaxValue)
+    val rt = StateEnvelope.decodeKeyProfile(StateEnvelope.encodeKeyProfile(p))
+    assert(rt.key == p.key && rt.count == p.count)
+    assert(java.lang.Double.doubleToLongBits(rt.sum) ==
+      java.lang.Double.doubleToLongBits(p.sum))
+    assert(rt.mean == p.mean)
+    assert(java.lang.Double.doubleToLongBits(rt.min) ==
+      java.lang.Double.doubleToLongBits(p.min))
+    assert(rt.max == p.max)
+    // checked-in v1 fixture: the pre-`sum` payload layout an r6 binary
+    // persisted (doubles as IEEE-754 bit longs; no "sum" entry)
+    def b(d: Double) = java.lang.Double.doubleToLongBits(d)
+    val v1 = StateEnvelope.Enveloped(1,
+      s"""{"key":"k1","count":4,"mean":${b(2.5)},"min":${b(1.0)},"max":${b(4.0)}}""")
+    val up = StateEnvelope.decodeKeyProfile(v1)
+    assert(up == KeyProfile("k1", 4L, 10.0, 2.5, 1.0, 4.0))
+    // a version this build does not know fails with the NAMED error
+    val boom = intercept[StateEnvelope.StateVersionMismatch] {
+      StateEnvelope.decodeKeyProfile(StateEnvelope.Enveloped(99, "{}"))
+    }
+    assert(boom.getMessage.contains("version 99"))
+  }
+
   test("streaming: schema apply + windowed profile + quality filter") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
