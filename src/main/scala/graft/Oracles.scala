@@ -2696,6 +2696,43 @@ object Oracles {
       |               AND o.o_orderstatus = v.value)) AS BIGINT) AS estimate
       |FROM vals v ORDER BY column_name, value""".stripMargin
 
+  /** q139: composite candidate keys — tuple distinct counts via a
+    * filtered struct count (mirroring Spark's any-null-skipping
+    * multi-argument distinct), any-null row counts, key = no null rows
+    * and tuple-distinct == rows.
+    */
+  val q139: String = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+    val tuples = (1 to 2).flatMap(k => cols.combinations(k).toSeq)
+    val rows = tuples.map { cs =>
+      val name = cs.mkString(",")
+      val nonNull = cs.map(c => s"$c IS NOT NULL").mkString(" AND ")
+      val anyNull = cs.map(c => s"$c IS NULL").mkString(" OR ")
+      val tuple = if (cs.size == 1) cs.head else s"(${cs.mkString(", ")})"
+      val d = s"CAST(count(DISTINCT $tuple) FILTER (WHERE $nonNull) AS BIGINT)"
+      val z = s"CAST(count(*) FILTER (WHERE $anyNull) AS BIGINT)"
+      s"""SELECT '$name' AS key_columns, ${cs.size} AS arity,
+         |  CAST(count(*) AS BIGINT) AS n_rows, $d AS n_distinct,
+         |  $z AS n_null_rows, ($z = 0 AND $d = count(*)) AS is_key
+         |FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$rows
+       |ORDER BY key_columns""".stripMargin
+  }
+
+  /** q140: multi-field linkage — the brute-force quadratic join with the
+    * conjunction of both banded predicates; per-field distances mirror
+    * the engine's `dist_<column>` naming.
+    */
+  val q140: String =
+    """SELECT a.c_custkey AS id_1, b.c_custkey AS id_2,
+      |  levenshtein(a.c_name, b.c_name) AS dist_c_name,
+      |  levenshtein(a.c_mktsegment, b.c_mktsegment) AS dist_c_mktsegment
+      |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      |WHERE levenshtein(a.c_name, b.c_name) <= 1
+      |  AND levenshtein(a.c_mktsegment, b.c_mktsegment) <= 2
+      |ORDER BY id_1, id_2""".stripMargin
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q07_mutual_info_orders" -> q07Pinned,
@@ -2784,6 +2821,8 @@ object Oracles {
       "q136_gopher_repetition" -> q136,
       "q137_entity_clusters" -> q137,
       "q138_cms_frequency" -> q138,
+      "q139_composite_keys" -> q139,
+      "q140_multifield_linkage" -> q140,
       "q03_value_counts_orders" -> q03,
       "q04_histogram_price" -> q04,
       "q05_pearson_lineitem" -> q05,

@@ -2166,6 +2166,31 @@ object Queries {
       .orderBy("column_name", "value")
   }
 
+  /** Composite candidate-key discovery over lineitem: every single column
+    * and every pair from the four key columns measured in ONE aggregation
+    * — (l_orderkey, l_linenumber) is the only true key; no single column
+    * is. The arity-2 lattice is the standard real-world index search the
+    * reference's declared-index contract consumes.
+    */
+  def q139CompositeKeys(s: SparkSession, dir: String): DataFrame =
+    stats.KeyDiscovery.discoverKeys(table(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"),
+        maxArity = 2)
+      .orderBy("key_columns")
+
+  /** Multi-field record linkage over customer: name within distance 1
+    * (the blocking field — its FastSS plan generates the pair table) AND
+    * market segment within distance 2 (verified on the pairs via two id
+    * equi-joins — segments are distant words, so this conjoins
+    * "same segment" without an equality special case), per-field
+    * distances in the output. Oracle = the brute-force two-predicate
+    * quadratic join.
+    */
+  def q140MultiFieldLinkage(s: SparkSession, dir: String): DataFrame =
+    ops.RecordLinkage.multiFieldSelfPairs(table(s, dir, "customer"),
+        "c_custkey", Seq("c_name" -> 1, "c_mktsegment" -> 2))
+      .orderBy("id_1", "id_2")
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -2340,6 +2365,8 @@ object Queries {
     "q135_c4_clean" -> (q135C4Clean _),
     "q136_gopher_repetition" -> (q136GopherRepetition _),
     "q137_entity_clusters" -> (q137EntityClusters _),
-    "q138_cms_frequency" -> (q138CmsFrequency _)
+    "q138_cms_frequency" -> (q138CmsFrequency _),
+    "q139_composite_keys" -> (q139CompositeKeys _),
+    "q140_multifield_linkage" -> (q140MultiFieldLinkage _)
   )
 }

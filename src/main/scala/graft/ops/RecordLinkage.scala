@@ -178,6 +178,74 @@ object RecordLinkage {
       .distinct()
   }
 
+  /** Multi-field self linkage: unordered pairs (id_1 < id_2) where EVERY
+    * field is within its own edit-distance bound — the standard
+    * entity-resolution conjunction (name d≤1 AND address d≤2) over one
+    * typed table. `fields` is (column, maxDist)*; output carries one
+    * `dist_<column>` per field.
+    *
+    * Plan shape: the FIRST field blocks — its [[fuzzySelfPairs]] plan
+    * (FastSS / PassJoin) generates the candidate pairs — and every
+    * remaining field verifies on the pair table via two id equi-joins to
+    * fetch the field values plus a banded levenshtein filter. Order
+    * fields most-selective-first: the block field's match volume is the
+    * only pair table that exists; later fields only shrink it. All joins
+    * stay equi-joins (no cartesian anywhere), and the payload joins run
+    * AFTER the distinct, so they carry true field-1 matches only.
+    *
+    * Null handling follows the single-field contract conjunctively: a
+    * null in ANY field disqualifies the pair (levenshtein against null is
+    * null, which fails the banded filter).
+    */
+  def multiFieldSelfPairs(df: DataFrame, idCol: String,
+                          fields: Seq[(String, Int)],
+                          chunkSize: Int = 4096): DataFrame = {
+    require(fields.nonEmpty, "need at least one field")
+    require(fields.map(_._1).distinct.size == fields.size,
+      "duplicate field column")
+    val (bCol, bDist) = fields.head
+    val base = fuzzySelfPairs(df, idCol, bCol, bDist, chunkSize)
+      .withColumnRenamed("dist", s"dist_$bCol")
+    fields.tail.foldLeft(base) { case (pairs, (c, d)) =>
+      verifyField(pairs,
+        df.select(col(idCol).as("id_1"), col(c).as("__f1")),
+        df.select(col(idCol).as("id_2"), col(c).as("__f2")), c, d)
+    }
+  }
+
+  /** Multi-field cross-table linkage — see [[multiFieldSelfPairs]].
+    * `fields` is (leftColumn, rightColumn, maxDist)*; the first field
+    * blocks via [[fuzzyJoinPairs]], the rest verify on the pair table;
+    * output distances are named `dist_<leftColumn>`.
+    */
+  def multiFieldJoinPairs(left: DataFrame, leftId: String,
+                          right: DataFrame, rightId: String,
+                          fields: Seq[(String, String, Int)],
+                          chunkSize: Int = 4096): DataFrame = {
+    require(fields.nonEmpty, "need at least one field")
+    require(fields.map(_._1).distinct.size == fields.size,
+      "duplicate left field column")
+    val (bl, br, bDist) = fields.head
+    val base = fuzzyJoinPairs(left, leftId, bl, right, rightId, br,
+        bDist, chunkSize)
+      .withColumnRenamed("dist", s"dist_$bl")
+    fields.tail.foldLeft(base) { case (pairs, (lc, rc, d)) =>
+      verifyField(pairs,
+        left.select(col(leftId).as("id_1"), col(lc).as("__f1")),
+        right.select(col(rightId).as("id_2"), col(rc).as("__f2")), lc, d)
+    }
+  }
+
+  /** One verify stage: join the pair table to each side's field payload
+    * on its id and keep pairs whose banded distance clears the bound.
+    */
+  private def verifyField(pairs: DataFrame, l: DataFrame, r: DataFrame,
+                          name: String, maxDist: Int): DataFrame =
+    pairs.join(l, "id_1").join(r, "id_2")
+      .withColumn(s"dist_$name", levenshtein(col("__f1"), col("__f2"), maxDist))
+      .where(col(s"dist_$name") >= 0)
+      .drop("__f1", "__f2")
+
   /** The string itself plus every single-character deletion — FastSS's
     * 1-deletion neighborhood (Bocek et al. 2007). edit(s, t) ≤ 1 ⇔ the
     * neighborhoods intersect: equality shares s itself, a substitution

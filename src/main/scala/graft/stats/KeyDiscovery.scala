@@ -57,6 +57,92 @@ object KeyDiscovery {
         StructField("is_key", BooleanType, nullable = false))))
   }
 
+  /** Composite candidate-key profile: like [[candidateKeys]] but over
+    * column TUPLES — the common real-world case (a fact table keyed by
+    * (order, line number)). Per candidate tuple: exact distinct count of
+    * the tuple (over rows where EVERY member is non-null — Spark's
+    * multi-argument distinct count skips any-null rows and the contract
+    * mirrors it), the count of rows with any null member, and `is_key`
+    * (no null rows AND tuple-distinct == total rows — the reference's
+    * index contract lifted to composites).
+    *
+    * All candidates measure in the SAME single aggregation (one scan, one
+    * Expand with k+1 groups). The scale knob is the candidate count:
+    * `MaxCandidates` bounds one call (the Expand shuffles one row copy
+    * per distinct group); search a wide lattice in staged batches — run
+    * arity 1 first and drop every tuple containing a discovered key
+    * (supersets of a key are trivially keys), the TANE-style prune.
+    *
+    * Output: (key_columns comma-joined, arity, n_rows, n_distinct,
+    * n_null_rows, is_key), one row per candidate in the given order.
+    */
+  def compositeCandidateKeys(df: DataFrame,
+                             candidates: Seq[Seq[String]]): DataFrame = {
+    require(candidates.nonEmpty, "need at least one candidate tuple")
+    require(candidates.size <= MaxCandidates,
+      s"${candidates.size} candidates > $MaxCandidates: the Expand rewrite " +
+        "replicates the scan per distinct group — profile in staged batches")
+    candidates.foreach { cs =>
+      require(cs.nonEmpty, "empty candidate tuple")
+      require(cs.distinct.size == cs.size,
+        s"duplicate column in candidate ${cs.mkString(",")}")
+      cs.foreach(c => require(df.columns.contains(c),
+        s"candidate column '$c' not in frame"))
+    }
+    val r = compositeKeyAgg(df, candidates).head()
+    val n = r.getLong(0)
+    val rows = candidates.zipWithIndex.map { case (cs, i) =>
+      val d = r.getLong(1 + 2 * i)
+      val z = r.getLong(2 + 2 * i)
+      Row(cs.mkString(","), cs.size, n, d, z, z == 0L && d == n)
+    }
+    val spark = df.sparkSession
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("key_columns", StringType, nullable = false),
+        StructField("arity", IntegerType, nullable = false),
+        StructField("n_rows", LongType, nullable = false),
+        StructField("n_distinct", LongType, nullable = false),
+        StructField("n_null_rows", LongType, nullable = false),
+        StructField("is_key", BooleanType, nullable = false))))
+  }
+
+  /** Candidate budget for one [[compositeCandidateKeys]] call: the
+    * multi-distinct Expand replicates the scanned rows once per distinct
+    * group, so cost is candidates × scan — 64 keeps one call under the
+    * all-pairs profile of an 11-column table.
+    */
+  val MaxCandidates = 64
+
+  /** Arity-bounded key search: all single columns plus all unordered
+    * tuples up to `maxArity` over `cols`, measured in one
+    * [[compositeCandidateKeys]] call. Tuple order follows the given
+    * column order (combinations, not permutations — tuple distinctness
+    * is order-free). The default (arity 2) covers the dominant
+    * real-world case; the candidate budget caps the lattice.
+    */
+  def discoverKeys(df: DataFrame, cols: Seq[String],
+                   maxArity: Int = 2): DataFrame = {
+    require(maxArity >= 1, s"need maxArity >= 1, got $maxArity")
+    val tuples = (1 to maxArity)
+      .flatMap(k => cols.combinations(k).toSeq)
+    compositeCandidateKeys(df, tuples)
+  }
+
+  /** The single batched aggregation behind [[compositeCandidateKeys]]. */
+  private[graft] def compositeKeyAgg(df: DataFrame,
+                                     candidates: Seq[Seq[String]]): DataFrame = {
+    val aggs = count(lit(1)).as("__n") +:
+      candidates.zipWithIndex.flatMap { case (cs, i) =>
+        Seq(
+          count_distinct(col(cs.head), cs.tail.map(col): _*).as(s"__d_$i"),
+          count(when(cs.map(c => col(c).isNull).reduce(_ || _), lit(1)))
+            .as(s"__z_$i"))
+      }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Shannon-entropy profile of the given columns: per column, the
     * non-null count, exact distinct count, entropy in nats over the value
     * distribution, and the normalized form H/ln(n_distinct) ∈ [0,1]

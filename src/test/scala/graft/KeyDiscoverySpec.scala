@@ -59,4 +59,46 @@ class KeyDiscoverySpec extends SparkSpec {
     assert(!out(("grp", "grp_val"))) // x maps to 10 and 99
     assert(out(("grp_val", "grp")))
   }
+
+  test("compositeCandidateKeys: tuple distinct + any-null semantics") {
+    val out = KeyDiscovery.compositeCandidateKeys(df,
+        Seq(Seq("id"), Seq("grp", "grp_val"), Seq("id", "tag"),
+          Seq("grp", "id")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5)))).toMap
+    assert(out("id") == ((1, 5L, 5L, 0L, true)))
+    // (grp, grp_val): pairs (x,10)(x,10)(y,20)(y,20)(z,null) → distinct 2
+    // over the 4 all-non-null rows, 1 any-null row, not a key
+    assert(out("grp,grp_val") == ((2, 5L, 2L, 1L, false)))
+    // (id, tag): unique tuples but one null member row disqualifies
+    assert(out("id,tag") == ((2, 5L, 4L, 1L, false)))
+    // adding id to a non-key makes the tuple a key (no nulls in either)
+    assert(out("grp,id") == ((2, 5L, 5L, 0L, true)))
+  }
+
+  test("discoverKeys(maxArity=2): singles + pairs, one scan, lattice order") {
+    val out = KeyDiscovery.discoverKeys(df, Seq("id", "grp", "grp_val"))
+    val names = out.collect().map(_.getString(0)).toSeq
+    assert(names == Seq("id", "grp", "grp_val",
+      "id,grp", "id,grp_val", "grp,grp_val"))
+    import org.apache.spark.sql.catalyst.plans.logical.LeafNode
+    val agg = KeyDiscovery.compositeKeyAgg(df,
+      Seq(Seq("id"), Seq("grp"), Seq("id", "grp")))
+    assert(agg.queryExecution.optimizedPlan.collect {
+      case l: LeafNode => l }.size == 1)
+  }
+
+  test("compositeCandidateKeys misuse guards are loud") {
+    intercept[IllegalArgumentException] {
+      KeyDiscovery.compositeCandidateKeys(df, Seq(Seq("id", "id")))
+    }
+    intercept[IllegalArgumentException] {
+      KeyDiscovery.compositeCandidateKeys(df, Seq(Seq("nope")))
+    }
+    intercept[IllegalArgumentException] {
+      KeyDiscovery.compositeCandidateKeys(df,
+        Seq.fill(KeyDiscovery.MaxCandidates + 1)(Seq("id")))
+    }
+  }
 }

@@ -116,6 +116,17 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("multi-field linkage: block + verify stages stay all-equi-join") {
+    val recs = (0L until 40L)
+      .map(i => (i, s"n${i % 7}x", s"a${i % 5}y")).toDF("id", "nm", "ad")
+    // one d=1 (FastSS) and one d=2 (PassJoin) field in the same pipeline
+    val plan = planOf(graft.ops.RecordLinkage.multiFieldSelfPairs(
+      recs, "id", Seq("nm" -> 1, "ad" -> 2)))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"blocking field AND verify joins must stay equi-joins:\n$plan")
+  }
+
   test("snapshot diff: one full-outer key join, no extra exchange after it") {
     val a = (0L until 50L).map(i => (i, i * 2)).toDF("id", "v")
     val b = (10L until 60L).map(i => (i, i * 3)).toDF("id", "v")
@@ -126,5 +137,43 @@ class PlanShapeSpec extends SparkSpec {
     // the verdict projection must ride the join output directly
     assert("Exchange".r.findAllIn(plan).size <= 2,
       s"only the two join-input exchanges:\n$plan")
+  }
+
+  test("gridJoin under AQE skew-join: result and plan shape are unchanged") {
+    // gridJoin hand-splits hot keys BEFORE the exchange; AQE's runtime
+    // skew split targets sort-merge joins post-hoc. Pin that enabling it
+    // changes neither the match set nor the equi-join shape, so a Spark
+    // upgrade cannot silently double-handle (or mishandle) the skew.
+    val hotLeft = ((0L until 80L).map(i => (i, "hot")) ++
+      (80L until 100L).map(i => (i, s"cold$i"))).toDF("lid", "k")
+    val hotRight = ((0L until 60L).map(i => (i + 1000L, "hot")) ++
+      (60L until 90L).map(i => (i + 1000L, s"coldr$i"))).toDF("rid", "k")
+    def run(): (Set[(Long, Long)], String) = {
+      val j = graft.ops.SkewJoin.gridJoin(hotLeft, hotRight, Seq("k"),
+        "lid", "rid", chunkSize = 8)
+      (j.select("lid", "rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet, planOf(j))
+    }
+    val conf = spark.conf
+    val prevAqe = conf.get("spark.sql.adaptive.enabled", "true")
+    val prevSkew = conf.get("spark.sql.adaptive.skewJoin.enabled", "true")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      val (withSkew, planSkew) = run()
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val (without, planPlain) = run()
+      assert(withSkew == without, "match set must be AQE-skew invariant")
+      // expected exact set: hot 80×60 cross via the grid + no cold overlap
+      assert(withSkew.size == 80 * 60)
+      for (plan <- Seq(planSkew, planPlain)) {
+        assert(!plan.contains("CartesianProduct") &&
+          !plan.contains("BroadcastNestedLoopJoin"),
+          s"grid join must stay an equi-join:\n$plan")
+      }
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+      conf.set("spark.sql.adaptive.skewJoin.enabled", prevSkew)
+    }
   }
 }

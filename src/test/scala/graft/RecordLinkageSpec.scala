@@ -98,4 +98,59 @@ class RecordLinkageSpec extends SparkSpec {
     val got = collected(RecordLinkage.fuzzySelfPairs(df, "id", "s", 0))
     assert(got == Set((0L, 2L, 0)))
   }
+
+  private def lev2(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1)(i => i)
+    for (j <- 1 to b.length) {
+      var prev = dp(0); dp(0) = j
+      for (i <- 1 to a.length) {
+        val cur = dp(i)
+        dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(a.length)
+  }
+
+  test("multiFieldSelfPairs: conjunction of banded fields, per-field dists") {
+    val rnd = new Random(11)
+    def s(n: Int, alpha: Int) =
+      (0 until n).map(_ => ('a' + rnd.nextInt(alpha)).toChar).mkString
+    val recs = (0L until 50L).map(i =>
+      (i, s(4 + rnd.nextInt(4), 3), s(5, 4)))
+    val df = recs.toDF("id", "name", "addr")
+    val want = (for {
+      (ia, na, aa) <- recs; (ib, nb, ab) <- recs if ia < ib
+      dn = lev2(na, nb) if dn <= 1
+      da = lev2(aa, ab) if da <= 2
+    } yield (ia, ib, dn, da)).toSet
+    val got = RecordLinkage.multiFieldSelfPairs(df, "id",
+        Seq("name" -> 1, "addr" -> 2))
+      .collect().map(r => (r.getLong(r.fieldIndex("id_1")),
+        r.getLong(r.fieldIndex("id_2")),
+        r.getInt(r.fieldIndex("dist_name")),
+        r.getInt(r.fieldIndex("dist_addr")))).toSet
+    assert(got == want)
+    assert(want.nonEmpty)   // the fixture exercises surviving pairs
+    // and the second predicate actually prunes (fixture is discriminating)
+    assert(RecordLinkage.fuzzySelfPairs(df, "id", "name", 1).count() >
+      got.size)
+  }
+
+  test("multiFieldJoinPairs: cross-table, null in any field disqualifies") {
+    val left = Seq((0L, "abc", "pp"), (1L, "abd", null), (2L, "zzz", "qq"))
+      .toDF("lid", "lname", "laddr")
+    val right = Seq((10L, "abc", "pp"), (11L, "abe", "pr"), (12L, "abd", "qq"))
+      .toDF("rid", "rname", "raddr")
+    val got = RecordLinkage.multiFieldJoinPairs(left, "lid", right, "rid",
+        Seq(("lname", "rname", 1), ("laddr", "raddr", 1)))
+      .collect().map(r => (r.getLong(r.fieldIndex("id_1")),
+        r.getLong(r.fieldIndex("id_2")),
+        r.getInt(r.fieldIndex("dist_lname")),
+        r.getInt(r.fieldIndex("dist_laddr")))).toSet
+    // (0,10): name 0, addr 0; (0,11): name 1, addr 1; (0,12): name 1,
+    // addr 2 > 1 → out; (1,*): null laddr → out; (2,*): name too far
+    assert(got == Set((0L, 10L, 0, 0), (0L, 11L, 1, 1)))
+  }
 }
