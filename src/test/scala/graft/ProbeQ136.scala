@@ -61,6 +61,13 @@ object ProbeQ136 {
     for (_ <- 1 to 2) time("full query") {
       Queries.all("q136_gopher_repetition")(spark, dir).count()
     }
+    // the zero-shuffle per-row twin on the same corpus: same signals as
+    // one struct projection (spec-pinned equal to the batch table)
+    for (_ <- 1 to 3) time("per-row twin") {
+      docs.select(col("doc_id"),
+          ops.TextAnalysis.repetitionMetrics(col("text")).as("m"))
+        .where(col("m.pass")).count()
+    }
     spark.stop()
   }
 }
