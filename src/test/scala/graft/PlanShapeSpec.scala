@@ -127,6 +127,16 @@ class PlanShapeSpec extends SparkSpec {
       s"blocking field AND verify joins must stay equi-joins:\n$plan")
   }
 
+  test("gopher repetition: hash aggregates only — the packed max never degrades to a sort") {
+    // the (cnt,len) max is packed into one BIGINT precisely so the per-doc
+    // roll-up stays a HashAggregate; a struct max would force a
+    // SortAggregate over the whole unit table
+    val plan = planOf(graft.ops.TextAnalysis.gopherRepetition(
+      docs, "doc_id", "text"))
+    assert(!plan.contains("SortAggregate"),
+      s"roll-up must stay a HashAggregate:\n$plan")
+  }
+
   test("snapshot diff: one full-outer key join, no extra exchange after it") {
     val a = (0L until 50L).map(i => (i, i * 2)).toDF("id", "v")
     val b = (10L until 60L).map(i => (i, i * 3)).toDF("id", "v")
