@@ -51,6 +51,18 @@ import java.nio.file.{Files, Paths}
   * deviations within ±10% of 1.0 should be read as unity. The signal
   * this exists for is the ≥1.2× whole-session skew r8 exhibited
   * (factor would read ~1.3), which clears the noise floor decisively.
+  *
+  * EXECUTION ACTION (r9): the timed action is
+  * `df.queryExecution.toRdd.count()` — full computation of every output
+  * column of the query AS DECLARED, rows materialized as InternalRows,
+  * nothing driver-collected. The previous `df.count()` built a new
+  * Aggregate(count) plan over the query, letting Catalyst PRUNE the
+  * final projections and drop result sorts — projection-shaped queries
+  * measured their scan, not their work (q135 c4_clean read 7.6× low,
+  * q66 gopher_rules 6.1×; aggregation-shaped queries were unaffected).
+  * The stdout line carries `"action":"toRdd"` so artifacts are
+  * comparable only within the same action; r1–r8 artifacts were
+  * count()-measured and UNDERSTATE projection-shaped queries.
   */
 object Bench {
   /** Pinned idle-box reading of [[calibrationProbe]] (seconds). Measured
@@ -97,7 +109,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // toRdd.count(): executes the query's OWN plan (every output column
+      // computed, sorts retained) without collecting rows to the driver —
+      // a count() on top would let Catalyst prune the final projections
+      try { fn(spark, sfDir).queryExecution.toRdd.count() }
+      catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
     val spreadLimit = sys.env.getOrElse("SPARK_GRAFT_SPREAD_LIMIT", "1.5").toDouble
@@ -149,7 +165,8 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""calib":$calibJson,"total_norm":${r3(total / factor)},""" +
+      s""""action":"toRdd","calib":$calibJson,""" +
+      s""""total_norm":${r3(total / factor)},""" +
       s""""queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
