@@ -11,19 +11,26 @@ import org.apache.spark.sql.types._
   * Feeding `set_index`/`set_types` with measured facts instead of hope is
   * the natural next step for a profiling engine.
   *
-  * Scale shape: each report reads the table ONCE — all candidates' exact
-  * distinct counts batched into a single `agg` (Spark plans multi-distinct
-  * aggregates via one Expand over the single scan, and partial aggregation
-  * runs map-side; AQE may split the execution into stage jobs, but never
-  * re-reads the source). Driver state is candidate-list-sized (k rows /
-  * k² pair rows), never data-sized.
+  * Scale shape (key profiles): k CONCURRENT per-candidate jobs, each one
+  * narrow aggregation scanning ONLY its tuple's columns (columnar
+  * pruning — summed scan bytes ≈ Σ tuple widths, comparable to one
+  * full-width scan) with map-side partial distinct collapsing
+  * low-cardinality tuples BEFORE the shuffle. Measured 3–7× faster than
+  * the alternative one-scan multi-distinct aggregate on the q139
+  * lattice (ProbeQ139): Spark plans that shape as one Expand shuffling
+  * k+1 copies of every scanned row regardless of cardinality — the same
+  * melt-vs-jobs result [[columnEntropy]] measured first. The Expand
+  * shape remains available as `scanOnce = true` for scan-bound clusters
+  * (a 100 TB table whose candidate columns dominate its width reads k×
+  * the bytes under concurrent jobs but only once under Expand — trade
+  * measured shuffle savings against scan amplification there). The FD
+  * profile stays batched (its k² pair measures reuse the same few
+  * columns, so per-pair jobs would re-scan, not prune). Driver state is
+  * candidate-list-sized (k rows / k² pair rows), never data-sized.
   *
-  * The scale knob is the CANDIDATE count, not the row count: the Expand
-  * rewrite shuffles one copy of the scanned rows per distinct-expression
-  * group (k+1 copies for k candidate keys, ~2k² for the all-pairs FD
-  * profile — measured sub-linear in rows at 30× data, BENCH_SF1 §4).
-  * Profile a wide table in bounded candidate batches rather than one
-  * hundred-column call.
+  * The scale knob is the CANDIDATE count, not the row count (measured
+  * sub-linear in rows at 30× data, BENCH_SF1 §4): bound one call by
+  * [[MaxCandidates]] and profile a wide table in staged batches.
   */
 object KeyDiscovery {
 
@@ -39,11 +46,8 @@ object KeyDiscovery {
     require(cols.nonEmpty, "need at least one candidate column")
     cols.foreach(c => require(df.columns.contains(c),
       s"candidate column '$c' not in frame"))
-    val r = candidateKeyAgg(df, cols).head()
-    val n = r.getLong(0)
-    val rows = cols.zipWithIndex.map { case (c, i) =>
-      val d = r.getLong(1 + 2 * i)
-      val z = r.getLong(2 + 2 * i)
+    val profiles = profileTuples(df, cols.map(Seq(_)))
+    val rows = cols.zip(profiles).map { case (c, (n, d, z)) =>
       Row(c, n, d, z, z == 0L && d == n)
     }
     val spark = df.sparkSession
@@ -66,22 +70,25 @@ object KeyDiscovery {
     * (no null rows AND tuple-distinct == total rows — the reference's
     * index contract lifted to composites).
     *
-    * All candidates measure in the SAME single aggregation (one scan, one
-    * Expand with k+1 groups). The scale knob is the candidate count:
-    * `MaxCandidates` bounds one call (the Expand shuffles one row copy
-    * per distinct group); search a wide lattice in staged batches — run
-    * arity 1 first and drop every tuple containing a discovered key
-    * (supersets of a key are trivially keys), the TANE-style prune.
+    * Each candidate measures in its own narrow CONCURRENT job (see the
+    * object doc for the measured jobs-vs-Expand tradeoff; `scanOnce =
+    * true` selects the one-scan batched aggregation instead). The scale
+    * knob is the candidate count: `MaxCandidates` bounds one call
+    * (concurrent driver-job fan-out, or Expand row copies under
+    * `scanOnce`); search a wide lattice in staged batches — run arity 1
+    * first and drop every tuple containing a discovered key (supersets
+    * of a key are trivially keys), the TANE-style prune.
     *
     * Output: (key_columns comma-joined, arity, n_rows, n_distinct,
     * n_null_rows, is_key), one row per candidate in the given order.
     */
   def compositeCandidateKeys(df: DataFrame,
-                             candidates: Seq[Seq[String]]): DataFrame = {
+                             candidates: Seq[Seq[String]],
+                             scanOnce: Boolean = false): DataFrame = {
     require(candidates.nonEmpty, "need at least one candidate tuple")
     require(candidates.size <= MaxCandidates,
-      s"${candidates.size} candidates > $MaxCandidates: the Expand rewrite " +
-        "replicates the scan per distinct group — profile in staged batches")
+      s"${candidates.size} candidates > $MaxCandidates: bound the " +
+        "per-call fan-out — profile in staged batches")
     candidates.foreach { cs =>
       require(cs.nonEmpty, "empty candidate tuple")
       require(cs.distinct.size == cs.size,
@@ -89,11 +96,14 @@ object KeyDiscovery {
       cs.foreach(c => require(df.columns.contains(c),
         s"candidate column '$c' not in frame"))
     }
-    val r = compositeKeyAgg(df, candidates).head()
-    val n = r.getLong(0)
-    val rows = candidates.zipWithIndex.map { case (cs, i) =>
-      val d = r.getLong(1 + 2 * i)
-      val z = r.getLong(2 + 2 * i)
+    val profiles =
+      if (scanOnce) {
+        val r = compositeKeyAgg(df, candidates).head()
+        val n = r.getLong(0)
+        candidates.indices.map(i =>
+          (n, r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)))
+      } else profileTuples(df, candidates)
+    val rows = candidates.zip(profiles).map { case (cs, (n, d, z)) =>
       Row(cs.mkString(","), cs.size, n, d, z, z == 0L && d == n)
     }
     val spark = df.sparkSession
@@ -130,7 +140,37 @@ object KeyDiscovery {
     compositeCandidateKeys(df, tuples)
   }
 
-  /** The single batched aggregation behind [[compositeCandidateKeys]]. */
+  /** The concurrent per-candidate profile path: one narrow aggregation
+    * per tuple, driven through a bounded thread pool so the k jobs
+    * overlap in the scheduler; results land indexed so output order is
+    * the caller's candidate order regardless of completion order.
+    */
+  private def profileTuples(df: DataFrame,
+                            candidates: Seq[Seq[String]]): Seq[(Long, Long, Long)] = {
+    val acc =
+      new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Long)]()
+    graft.util.Concurrency.runConcurrently(candidates.indices) { i =>
+      val r = tupleProfileAgg(df, candidates(i)).head()
+      acc.put(i, (r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+    candidates.indices.map(acc.get(_))
+  }
+
+  /** One candidate's profile aggregation — exposed so the spec can pin
+    * that its plan references ONLY the candidate's columns (the pruning
+    * that makes k concurrent jobs read ≈ one full-width scan in total).
+    */
+  private[graft] def tupleProfileAgg(df: DataFrame,
+                                     cs: Seq[String]): DataFrame =
+    df.agg(
+      count(lit(1)).as("__n"),
+      count_distinct(col(cs.head), cs.tail.map(col): _*).as("__d"),
+      count(when(cs.map(c => col(c).isNull).reduce(_ || _), lit(1)))
+        .as("__z"))
+
+  /** The single batched aggregation behind `scanOnce = true` (one scan,
+    * one Expand with k+1 groups — the scan-bound-cluster alternative).
+    */
   private[graft] def compositeKeyAgg(df: DataFrame,
                                      candidates: Seq[Seq[String]]): DataFrame = {
     val aggs = count(lit(1)).as("__n") +:
@@ -200,18 +240,6 @@ object KeyDiscovery {
         StructField("n_distinct", LongType, nullable = false),
         StructField("entropy", DoubleType, nullable = false),
         StructField("normalized_entropy", DoubleType, nullable = false))))
-  }
-
-  /** The single batched aggregation behind [[candidateKeys]] — exposed so
-    * the one-scan plan shape is spec-assertable.
-    */
-  private[graft] def candidateKeyAgg(df: DataFrame,
-                                     cols: Seq[String]): DataFrame = {
-    val aggs = count(lit(1)).as("__n") +:
-      cols.flatMap(c => Seq(
-        count_distinct(col(c)).as(s"__d_$c"),
-        count(when(col(c).isNull, lit(1))).as(s"__z_$c")))
-    df.agg(aggs.head, aggs.tail: _*)
   }
 
   /** Exact functional-dependency profile over all ordered pairs of the

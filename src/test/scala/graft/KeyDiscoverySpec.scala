@@ -24,15 +24,21 @@ class KeyDiscoverySpec extends SparkSpec {
     assert(out("grp") == ((5L, 3L, 0L, false)))
   }
 
-  test("candidateKeys and fdAgg batch every measure over ONE table scan") {
+  test("fdAgg batches every pair measure over ONE table scan") {
     import org.apache.spark.sql.catalyst.plans.logical.LeafNode
-    val ck = KeyDiscovery.candidateKeyAgg(df, Seq("id", "tag", "grp", "grp_val"))
-    assert(ck.queryExecution.optimizedPlan.collect {
-      case l: LeafNode => l }.size == 1)
     val fd = KeyDiscovery.fdAgg(df, Seq("id" -> "grp", "grp" -> "id",
       "grp" -> "grp_val", "grp_val" -> "grp"))
     assert(fd.queryExecution.optimizedPlan.collect {
       case l: LeafNode => l }.size == 1)
+  }
+
+  test("per-candidate profile jobs prune to the candidate's columns") {
+    // the concurrent-jobs shape reads ≈ one full-width scan in TOTAL only
+    // because each job's plan references nothing beyond its tuple
+    val plan = KeyDiscovery.tupleProfileAgg(df, Seq("grp", "grp_val"))
+      .queryExecution.optimizedPlan
+    val scanned = plan.collectLeaves().flatMap(_.output).map(_.name).toSet
+    assert(scanned.subsetOf(Set("grp", "grp_val")), s"scanned: $scanned")
   }
 
   test("functionalDependencies: keys determine all; value columns don't") {
@@ -77,14 +83,23 @@ class KeyDiscoverySpec extends SparkSpec {
     assert(out("grp,id") == ((2, 5L, 5L, 0L, true)))
   }
 
-  test("discoverKeys(maxArity=2): singles + pairs, one scan, lattice order") {
+  test("discoverKeys(maxArity=2): singles + pairs, lattice order; scanOnce parity") {
     val out = KeyDiscovery.discoverKeys(df, Seq("id", "grp", "grp_val"))
     val names = out.collect().map(_.getString(0)).toSeq
     assert(names == Seq("id", "grp", "grp_val",
       "id,grp", "id,grp_val", "grp,grp_val"))
+    // the scanOnce=true Expand path (scan-bound-cluster alternative) and
+    // the default concurrent-jobs path must agree row for row
+    val tuples = Seq(Seq("id"), Seq("grp"), Seq("id", "grp"),
+      Seq("grp", "grp_val"))
+    val jobs = KeyDiscovery.compositeCandidateKeys(df, tuples)
+      .collect().map(_.toSeq).toSeq
+    val batched = KeyDiscovery.compositeCandidateKeys(df, tuples,
+      scanOnce = true).collect().map(_.toSeq).toSeq
+    assert(jobs == batched)
+    // and the batched path really is one scan
     import org.apache.spark.sql.catalyst.plans.logical.LeafNode
-    val agg = KeyDiscovery.compositeKeyAgg(df,
-      Seq(Seq("id"), Seq("grp"), Seq("id", "grp")))
+    val agg = KeyDiscovery.compositeKeyAgg(df, tuples)
     assert(agg.queryExecution.optimizedPlan.collect {
       case l: LeafNode => l }.size == 1)
   }

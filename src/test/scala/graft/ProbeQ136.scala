@@ -58,8 +58,11 @@ object ProbeQ136 {
     val counts2 = doubled.groupBy(col("id"), col("chars"), col("n"), col("u"))
       .agg(count(lit(1)).as("cnt"))
     for (_ <- 1 to 2) time("explode2+count")(counts2.count())
+    // toRdd: a count() on top would prune the 12 per-doc measures out of
+    // the final aggregate and understate the query ~9x (see Bench r9)
     for (_ <- 1 to 2) time("full query") {
-      Queries.all("q136_gopher_repetition")(spark, dir).count()
+      Queries.all("q136_gopher_repetition")(spark, dir)
+        .queryExecution.toRdd.count()
     }
     // the zero-shuffle per-row twin on the same corpus: same signals as
     // one struct projection (spec-pinned equal to the batch table)
