@@ -24,9 +24,11 @@ import org.apache.spark.sql.types._
   * (a 100 TB table whose candidate columns dominate its width reads k×
   * the bytes under concurrent jobs but only once under Expand — trade
   * measured shuffle savings against scan amplification there). The FD
-  * profile stays batched (its k² pair measures reuse the same few
-  * columns, so per-pair jobs would re-scan, not prune). Driver state is
-  * candidate-list-sized (k rows / k² pair rows), never data-sized.
+  * profile follows the same pattern — per-pair jobs measured 2.7×
+  * faster than the batched 2k²-group Expand on the q129 shape (ProbeFd)
+  * even though pairs re-read shared columns, because each pair's
+  * map-side partial distinct collapses before the shuffle. Driver state
+  * is candidate-list-sized (k rows / k² pair rows), never data-sized.
   *
   * The scale knob is the CANDIDATE count, not the row count (measured
   * sub-linear in rows at 30× data, BENCH_SF1 §4): bound one call by
@@ -247,27 +249,50 @@ object KeyDiscovery {
     * one non-null `b`, measured as
     * `count(DISTINCT a) = count(DISTINCT a, b)` over rows where both are
     * non-null (Spark's multi-argument distinct count skips any-null rows;
-    * the oracle mirrors it with a filtered struct count). All k·(k−1)
-    * pair measures run in the SAME single aggregation.
+    * the oracle mirrors it with a filtered struct count). Pairs measure
+    * in concurrent two-column jobs (see the object doc; `scanOnce =
+    * true` batches all k·(k−1) measures into one aggregation instead).
     *
     * Output: (determinant, dependent, n_determinant, n_pairs, holds),
     * one row per ordered pair, pair order = nested column order.
     */
-  def functionalDependencies(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def functionalDependencies(df: DataFrame, cols: Seq[String],
+                             scanOnce: Boolean = false): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
     cols.foreach(c => require(df.columns.contains(c),
       s"column '$c' not in frame"))
     val pairs = for { a <- cols; b <- cols if a != b } yield (a, b)
-    val r = fdAgg(df, pairs).head()
-    val rows = pairs.zipWithIndex.map { case ((a, b), i) =>
-      val da = r.getLong(2 * i)
-      val dp = r.getLong(2 * i + 1)
+    val profiles =
+      if (scanOnce) {
+        val r = fdAgg(df, pairs).head()
+        pairs.indices.map(i => (r.getLong(2 * i), r.getLong(2 * i + 1)))
+      } else {
+        val acc =
+          new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]()
+        graft.util.Concurrency.runConcurrently(pairs.indices) { i =>
+          val r = pairProfileAgg(df, pairs(i)).head()
+          acc.put(i, (r.getLong(0), r.getLong(1)))
+        }
+        pairs.indices.map(acc.get(_))
+      }
+    val rows = pairs.zip(profiles).map { case ((a, b), (da, dp)) =>
       Row(a, b, da, dp, da == dp)
     }
     fdResult(df.sparkSession, rows)
   }
 
-  /** The single batched aggregation behind [[functionalDependencies]]. */
+  /** One ordered pair's FD measures — the per-pair concurrent job. */
+  private[graft] def pairProfileAgg(df: DataFrame,
+                                    pair: (String, String)): DataFrame = {
+    val (a, b) = pair
+    df.agg(
+      count_distinct(when(col(b).isNotNull, col(a))).as("__da"),
+      count_distinct(col(a), col(b)).as("__dp"))
+  }
+
+  /** The batched aggregation behind `scanOnce = true` (all pair measures
+    * in one scan — one Expand with ~2k² distinct groups).
+    */
   private[graft] def fdAgg(df: DataFrame,
                            pairs: Seq[(String, String)]): DataFrame = {
     val aggs = pairs.flatMap { case (a, b) =>

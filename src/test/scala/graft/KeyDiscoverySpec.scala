@@ -24,12 +24,23 @@ class KeyDiscoverySpec extends SparkSpec {
     assert(out("grp") == ((5L, 3L, 0L, false)))
   }
 
-  test("fdAgg batches every pair measure over ONE table scan") {
+  test("fdAgg (scanOnce) batches every pair measure over ONE table scan; paths agree") {
     import org.apache.spark.sql.catalyst.plans.logical.LeafNode
     val fd = KeyDiscovery.fdAgg(df, Seq("id" -> "grp", "grp" -> "id",
       "grp" -> "grp_val", "grp_val" -> "grp"))
     assert(fd.queryExecution.optimizedPlan.collect {
       case l: LeafNode => l }.size == 1)
+    val cols = Seq("id", "grp", "grp_val")
+    val jobs = KeyDiscovery.functionalDependencies(df, cols)
+      .collect().map(_.toSeq).toSeq
+    val batched = KeyDiscovery.functionalDependencies(df, cols,
+      scanOnce = true).collect().map(_.toSeq).toSeq
+    assert(jobs == batched)
+    // and each per-pair job prunes to its two columns
+    val scanned = KeyDiscovery.pairProfileAgg(df, "grp" -> "grp_val")
+      .queryExecution.optimizedPlan.collectLeaves()
+      .flatMap(_.output).map(_.name).toSet
+    assert(scanned.subsetOf(Set("grp", "grp_val")), s"scanned: $scanned")
   }
 
   test("per-candidate profile jobs prune to the candidate's columns") {
