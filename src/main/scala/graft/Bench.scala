@@ -69,8 +69,17 @@ object Bench {
     * 2026-08-14 on the round-9 build box (local[32], Java 17): two
     * separate idle JVM sessions read 0.610 / 0.608 (0.3% apart). Re-pin
     * if the hardware changes — only the RATIO across sessions matters.
+    * The pin is only meaningful at [[CalibCpus]] cores: the probe's
+    * all-core scan scales with parallelism, so a 4-core session would
+    * read ~4× high for reasons that are config, not slowness. Sessions
+    * at any other core count ship factor = 1 (normalization off) and
+    * say so in the artifact rather than silently conflating core count
+    * with session skew.
     */
   val CalibRef = 0.609
+
+  /** Core count [[CalibRef]] was pinned at. */
+  val CalibCpus = 32
 
   /** Fixed constant-work probe: (a) one whole-stage-codegen scan that
     * hash-reduces 512M longs across all cores — exercises scheduling,
@@ -147,14 +156,22 @@ object Bench {
       (name, value, timed.max / math.max(timed.min, 1e-9), warm, timed, noisy)
     }
     val calibPost = calib()
-    val factor = math.max((calibPre + calibPost) / 2 / CalibRef, 1e-9)
+    // the pin is only valid at CalibCpus cores — at any other parallelism
+    // the probe reading moves for config reasons, so normalization is OFF
+    // (factor 1) and the artifact says why
+    val calibPinned =
+      scala.util.Try(cpus.trim.toInt).toOption.contains(CalibCpus)
+    val factor =
+      if (calibPinned) math.max((calibPre + calibPost) / 2 / CalibRef, 1e-9)
+      else 1.0
     def r3(d: Double) = math.rint(d * 1000) / 1000
     val qs = results.map { case (k, v, _, _, _, _) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + r3(v)
     }.mkString("{", ",", "}")
     val total = r3(results.map(_._2).sum)
     val calibJson = s"""{"pre":${r3(calibPre)},"post":${r3(calibPost)},""" +
-      s""""ref":$CalibRef,"factor":${r3(factor)}}"""
+      s""""ref":$CalibRef,"factor":${r3(factor)},""" +
+      s""""cpus":"$cpus","pinned_cpus":$CalibCpus,"pinned":$calibPinned}"""
     val detail = results.map { case (k, v, spread, warm, timed, noisy) =>
       s"""  "$k": {"value": ${r3(v)}, "value_norm": ${r3(v / factor)}, """ +
         s""""spread": ${r3(spread)}, """ +

@@ -36,10 +36,18 @@ object SnapshotDiff {
     * `status` ∈ {added, removed, changed, unchanged}, `changed_cols`
     * (comma-joined, in `compareCols` order; empty unless changed) and
     * `n_changed`.
+    *
+    * `keysOnly = true` opts into pure MEMBERSHIP diffing (which keys
+    * were added/removed; every matched key reports `unchanged`) —
+    * without the flag, an empty compare set is refused loudly because
+    * it usually means the snapshots' column names don't line up.
     */
   def diff(oldDf: DataFrame, newDf: DataFrame, keyCols: Seq[String],
-           compareCols: Seq[String] = Nil): DataFrame = {
+           compareCols: Seq[String] = Nil,
+           keysOnly: Boolean = false): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column")
+    require(!(keysOnly && compareCols.nonEmpty),
+      "keysOnly contradicts an explicit compareCols — pass one or the other")
     // scratch-name guard (refuse rather than clobber, the c4Gate
     // convention): the presence marker __o/__n and the payload aliases
     // __o_<c>/__n_<c> would silently corrupt the classification if an
@@ -50,16 +58,19 @@ object SnapshotDiff {
       s"SnapshotDiff.diff reserves column prefixes __o/__n; rename input " +
         s"column(s) ${clash.mkString(", ")} first")
     val cmp =
-      if (compareCols.nonEmpty) compareCols
+      if (keysOnly) Nil
+      else if (compareCols.nonEmpty) compareCols
       else oldDf.columns.toSeq.intersect(newDf.columns.toSeq)
         .filterNot(keyCols.contains)
-    // keys-only diffing (empty cmp) is almost always a caller mistake —
-    // e.g. column names that differ between snapshots — because every
-    // matched key then reports `unchanged` unconditionally
-    require(cmp.nonEmpty,
+    // an ACCIDENTALLY empty compare set is almost always a caller
+    // mistake — e.g. column names that differ between snapshots —
+    // because every matched key then reports `unchanged` unconditionally;
+    // keysOnly is the explicit opt-in for that semantics
+    require(cmp.nonEmpty || keysOnly,
       "no columns to compare: the snapshots share no non-key columns, so " +
         "every matched key would report 'unchanged' — check the snapshots' " +
-        "column names, or pass compareCols explicitly")
+        "column names, pass compareCols explicitly, or opt in with " +
+        "keysOnly = true for membership diffing")
     val o = oldDf.select(keyCols.map(col) ++
       Seq(lit(true).as("__o")) ++ cmp.map(c => col(c).as(s"__o_$c")): _*)
     val n = newDf.select(keyCols.map(col) ++
@@ -67,9 +78,13 @@ object SnapshotDiff {
     // using-column full outer coalesces the keys in the output
     val j = o.join(n, keyCols, "full_outer")
     val diffs = cmp.map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
-    val changedNames = array(cmp.zip(diffs).map { case (c, d) =>
-      when(d, lit(c)).otherwise(lit(null).cast(StringType))
-    }: _*)
+    // zero-arg array() is ARRAY<NULL> and breaks array_join's analysis —
+    // the keysOnly (empty cmp) case short-circuits to a typed empty
+    val changedNames =
+      if (cmp.isEmpty) array().cast(ArrayType(StringType))
+      else array(cmp.zip(diffs).map { case (c, d) =>
+        when(d, lit(c)).otherwise(lit(null).cast(StringType))
+      }: _*)
     val nChanged = diffs.map(d => when(d, 1).otherwise(0).cast(IntegerType))
       .reduceOption(_ + _).getOrElse(lit(0))
     val both = col("__o").isNotNull && col("__n").isNotNull

@@ -46,6 +46,9 @@ object KeyDiscovery {
     */
   def candidateKeys(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one candidate column")
+    require(cols.size <= MaxCandidates,
+      s"${cols.size} candidates > $MaxCandidates: bound the per-call " +
+        "fan-out — profile in staged batches")
     cols.foreach(c => require(df.columns.contains(c),
       s"candidate column '$c' not in frame"))
     val profiles = profileTuples(df, cols.map(Seq(_)))
@@ -120,9 +123,12 @@ object KeyDiscovery {
         StructField("is_key", BooleanType, nullable = false))))
   }
 
-  /** Candidate budget for one [[compositeCandidateKeys]] call: the
-    * multi-distinct Expand replicates the scanned rows once per distinct
-    * group, so cost is candidates × scan — 64 keeps one call under the
+  /** Per-call measure budget shared by [[candidateKeys]],
+    * [[compositeCandidateKeys]] and [[functionalDependencies]]: k
+    * concurrent jobs each scan the table (pruned), and the `scanOnce`
+    * Expand replicates the scanned rows once per distinct group — either
+    * way cost is measures × scan, so one call is bounded and wider
+    * lattices profile in staged batches. 64 keeps one call under the
     * all-pairs profile of an 11-column table.
     */
   val MaxCandidates = 64
@@ -262,6 +268,10 @@ object KeyDiscovery {
     cols.foreach(c => require(df.columns.contains(c),
       s"column '$c' not in frame"))
     val pairs = for { a <- cols; b <- cols if a != b } yield (a, b)
+    require(pairs.size <= MaxCandidates,
+      s"${cols.size} columns give ${pairs.size} ordered pairs > " +
+        s"$MaxCandidates: bound the per-call fan-out (k jobs here, a " +
+        "~2k²-group Expand under scanOnce) — profile in staged batches")
     val profiles =
       if (scanOnce) {
         val r = fdAgg(df, pairs).head()

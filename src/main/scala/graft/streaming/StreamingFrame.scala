@@ -320,13 +320,19 @@ object StreamingFrame {
     *
     * STATE-SCHEMA NOTE (r9): the persisted state type is the VERSIONED
     * envelope [[StateEnvelope.Enveloped]] — a (version, payload) pair
-    * whose Spark-visible schema never changes, so evolving the profile's
-    * fields can never again break checkpoint decode at the encoder layer
-    * (adding `sum` in r7 did exactly that). Version dispatch happens in
-    * [[StateEnvelope.decodeKeyProfile]]: the pre-`sum` layout (version 1)
-    * upgrades in place, an unknown version fails with the NAMED
-    * [[StateEnvelope.StateVersionMismatch]] instead of a bare Kryo/encoder
-    * exception.
+    * whose Spark-visible schema never changes. ADOPTING the envelope is
+    * itself a one-time state-schema break: checkpoints from builds that
+    * persisted the raw case class (everything before r9) are NOT
+    * readable — Spark's state-store schema check rejects the (int,
+    * string) layout — so upgrading an existing query to this build still
+    * means restarting from a fresh checkpoint. What the envelope buys is
+    * every change AFTER it: profile-field evolution now touches only the
+    * JSON payload plus a version bump with an upgrade arm in
+    * [[StateEnvelope.decodeKeyProfile]] (the version-1 arm is that
+    * convention exercised end-to-end: a spec feeds the pre-`sum` payload
+    * through it), and a payload from a version this build doesn't know
+    * fails with the NAMED [[StateEnvelope.StateVersionMismatch]] instead
+    * of a bare Kryo/encoder exception.
     */
   final case class KeyProfile(key: String, count: Long, sum: Double,
                               mean: Double, min: Double, max: Double)

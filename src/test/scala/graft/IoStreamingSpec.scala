@@ -571,8 +571,10 @@ class IoStreamingSpec extends SparkSpec {
     assert(java.lang.Double.doubleToLongBits(rt.min) ==
       java.lang.Double.doubleToLongBits(p.min))
     assert(rt.max == p.max)
-    // checked-in v1 fixture: the pre-`sum` payload layout an r6 binary
-    // persisted (doubles as IEEE-754 bit longs; no "sum" entry)
+    // checked-in v1 fixture: the pre-`sum` PAYLOAD layout, exercising the
+    // upgrade-arm convention end-to-end (no real pre-r9 checkpoint holds
+    // an envelope — those persisted the raw case class and need a fresh
+    // checkpoint; this pins how the NEXT payload evolution upgrades)
     def b(d: Double) = java.lang.Double.doubleToLongBits(d)
     val v1 = StateEnvelope.Enveloped(1,
       s"""{"key":"k1","count":4,"mean":${b(2.5)},"min":${b(1.0)},"max":${b(4.0)}}""")

@@ -3,9 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev probe: is the batched fdAgg (one scan, Expand over 2k² distinct
-  * groups) actually faster than per-pair concurrent jobs? Backs the
-  * KeyDiscovery doc's "FD stays batched" claim with a number.
+/** Dev probe: batched fdAgg (one scan, Expand over 2k² distinct groups)
+  * vs per-pair concurrent jobs. The measurement (jobs 2.7× faster on the
+  * q129 shape) drove functionalDependencies' default to per-pair jobs,
+  * with the batched shape kept behind `scanOnce = true`.
   */
 object ProbeFd {
   def main(args: Array[String]): Unit = {

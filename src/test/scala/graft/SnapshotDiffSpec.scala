@@ -53,6 +53,24 @@ class SnapshotDiffSpec extends SparkSpec {
     assert((0 to 4).map(s.getLong) == Seq(0L, 0L, 0L, 0L, 0L))
   }
 
+  test("keysOnly = membership diffing; accidental empty compare set still refused") {
+    val out = SnapshotDiff.diff(v1.select("id"), v2.select("id"), Seq("id"),
+        keysOnly = true)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getInt(3)))).toMap
+    assert(out(3L) == (("removed", "", 0)))
+    assert(out(5L) == (("added", "", 0)))
+    assert(Seq(1L, 2L, 4L).forall(k => out(k) == (("unchanged", "", 0))))
+    // without the flag, key-only snapshots are refused loudly
+    intercept[IllegalArgumentException] {
+      SnapshotDiff.diff(v1.select("id"), v2.select("id"), Seq("id"))
+    }
+    // and the flag contradicting explicit compareCols is refused too
+    intercept[IllegalArgumentException] {
+      SnapshotDiff.diff(v1, v2, Seq("id"), Seq("tag"), keysOnly = true)
+    }
+  }
+
   test("default compareCols = shared non-key columns; extra columns ignored") {
     val v2extra = v2.withColumn("only_new", lit(1))
     val out = SnapshotDiff.diff(v1, v2extra, Seq("id"))
