@@ -148,6 +148,47 @@ object KeyDiscovery {
     compositeCandidateKeys(df, tuples)
   }
 
+  /** Arity-STAGED key search with TANE-style pruning (Huhtala et al.
+    * 1999's lattice walk, restricted to key discovery): profile arity 1,
+    * then at each higher arity measure only tuples that contain NO
+    * already-discovered key — a superset of a key is trivially a key, so
+    * measuring it spends a distinct-count to learn nothing. This is the
+    * operational form of the staged-batch guidance in the object doc:
+    * each arity level runs through [[compositeCandidateKeys]] in
+    * [[MaxCandidates]]-bounded chunks, so a wide lattice never exceeds
+    * the per-call budget and the prune shrinks level k+1 by every key
+    * level k found (on a table whose single-column id is a key, arity 2
+    * over n columns measures C(n−1, 2) tuples instead of C(n, 2)).
+    *
+    * Output: the [[compositeCandidateKeys]] schema over every MEASURED
+    * candidate, in lattice order — pruned supersets are absent by
+    * construction (their is_key verdict is implied true by the contained
+    * key's row).
+    */
+  def discoverKeysStaged(df: DataFrame, cols: Seq[String],
+                         maxArity: Int = 2): DataFrame = {
+    require(maxArity >= 1, s"need maxArity >= 1, got $maxArity")
+    require(cols.nonEmpty, "need at least one column")
+    val keys = scala.collection.mutable.ArrayBuffer.empty[Set[String]]
+    val stages = (1 to maxArity).map { a =>
+      val level = cols.combinations(a).toSeq
+        .filterNot(cs => keys.exists(k => k.subsetOf(cs.toSet)))
+      if (level.isEmpty) None
+      else {
+        val measured = level.grouped(MaxCandidates).map(chunk =>
+          compositeCandidateKeys(df, chunk)).reduce(_ unionByName _)
+        // the level's frames are driver-row-backed (candidate-sized), so
+        // collecting the key verdicts here is bounded, not data-sized
+        measured.collect().foreach { r =>
+          if (r.getBoolean(5))
+            keys += r.getString(0).split(",").toSet
+        }
+        Some(measured)
+      }
+    }
+    stages.flatten.reduce(_ unionByName _)
+  }
+
   /** The concurrent per-candidate profile path: one narrow aggregation
     * per tuple, driven through a bounded thread pool so the k jobs
     * overlap in the scheduler; results land indexed so output order is

@@ -115,6 +115,20 @@ class KeyDiscoverySpec extends SparkSpec {
       case l: LeafNode => l }.size == 1)
   }
 
+  test("discoverKeysStaged prunes supersets of found keys, agrees on the key set") {
+    val staged = KeyDiscovery.discoverKeysStaged(df, Seq("id", "grp", "grp_val"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(5)).toMap
+    // id is an arity-1 key, so no arity-2 tuple containing it is measured
+    assert(staged.keySet == Set("id", "grp", "grp_val", "grp,grp_val"))
+    assert(staged("id") && !staged("grp,grp_val"))
+    // the unpruned walk's key set is the staged key set plus the implied
+    // supersets of discovered keys — nothing else
+    val full = KeyDiscovery.discoverKeys(df, Seq("id", "grp", "grp_val"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(5)).toMap
+    val impliedExtra = full.filter(_._2).keySet -- staged.filter(_._2).keySet
+    assert(impliedExtra.forall(_.split(",").contains("id")), s"$impliedExtra")
+  }
+
   test("compositeCandidateKeys misuse guards are loud") {
     intercept[IllegalArgumentException] {
       KeyDiscovery.compositeCandidateKeys(df, Seq(Seq("id", "id")))
