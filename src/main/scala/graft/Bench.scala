@@ -12,31 +12,47 @@ import java.nio.file.{Files, Paths}
   *  - then `RUNS` timed runs; reported value = best, and `spread` =
   *    worst/best of the timed runs so a reader can tell noise from
   *    regression (spread ~1 ⇒ the best is reproducible);
-  *  - SPREAD ESCALATION (r7 fix): queries that drive many small
-  *    driver-coordinated jobs (k-means, funnel) still swung 2.3–2.7×
-  *    within one 3-run bench while single-plan queries agreed to 1.3×.
-  *    Any query whose initial spread exceeds `SPREAD_LIMIT` gets extra
-  *    timed runs (to `ESCALATED_RUNS` total) and reports the MEDIAN of
-  *    all timed runs instead of the best — medians of 7 are stable where
-  *    min-of-3 is a lottery. `BENCH_DETAIL.json` carries an `escalated`
-  *    flag so the mode switch is visible;
+  *  - STABLE-WINDOW ESCALATION (r10, replacing r7's median-of-7): medians
+  *    under escalation still report a LOADED value when the box degrades
+  *    mid-suite — r9 shipped q136 at 11.4 s (runs 4.0→44.7) and q06 at
+  *    8.8 s (3.6→23.8) while both queries' best runs matched their known
+  *    stable levels. A query whose initial spread exceeds `SPREAD_LIMIT`
+  *    now RE-RUNS until the last `STABLE_K` consecutive runs agree within
+  *    `STABLE_BAND` AND that window's best is within `STABLE_BAND` of the
+  *    global best (a burst can make 3 consecutive SLOW runs agree — the
+  *    second clause rejects a stable-but-loaded window), then reports the
+  *    MIN of that stable window. If no stable window appears within
+  *    `MAX_RUNS` total runs, the query reports its global MIN and is
+  *    flagged `polluted` in both the detail file and the stdout line —
+  *    the artifact is self-describing about which values a load burst
+  *    touched (r9 ADVICE: a consumer of the JSON alone must see it);
+  *  - PER-QUERY LOAD SENSING (r10): before each query's timed runs the
+  *    harness records /proc/loadavg (1-min field) and a ~40 ms
+  *    single-thread constant-work micro-probe. Both land in
+  *    BENCH_DETAIL.json (`loadavg`, `micro`) so a polluted flag can be
+  *    attributed to external load (loadavg ≫ active cores, micro ≫ its
+  *    session-start reading) rather than query variance;
   *  - queries run in sorted order so warm-up attribution is stable
   *    round-over-round.
   *
   * Artifact shape — the driver keeps only a ~2000-char tail of stdout, and
-  * 102 full-name queries overflow it (r5/r6 recorded just 63 truncated
+  * 140+ full-name queries overflow it (r5/r6 recorded just 63 truncated
   * timings). The stdout line therefore uses the short `qNN` prefix as the
-  * key and 3-decimal seconds (~1.3k chars for 102 queries), and the FULL
-  * per-query detail (full names, best, spread, every run) goes to
+  * key and ADAPTIVE decimals (3 below 1 s, 2 below 10 s, 1 above — ~12
+  * chars/query keeps 142 queries + calib under the tail), and the FULL
+  * per-query detail (full names, every run, load signals) goes to
   * `BENCH_DETAIL.json` next to the repo (override: SPARK_GRAFT_BENCH_DETAIL).
+  * The complete stdout line is ALSO written verbatim to `BENCH_LINE.json`
+  * (override: SPARK_GRAFT_BENCH_LINE) so downstream tooling can read
+  * structured fields even if the stdout tail truncates mid-JSON.
   *
   * CROSS-SESSION calibration (r9): within-session spread is controlled by
   * the escalation above, but r7 vs r8 showed the whole SESSION can run
   * ~1.35× slow (identical bits, tight spreads both times — box load /
-  * JIT-lottery), polluting round-over-round comparisons. The bench now
-  * runs a fixed constant-work probe (one codegen'd hash-reduce scan over
-  * 512M longs on all cores + one single-thread CPU spin) FIRST and LAST,
-  * and reports `calib`: {pre, post, ref, factor} on the stdout line, where
+  * JIT-lottery), polluting round-over-round comparisons. The bench runs a
+  * fixed constant-work probe (one codegen'd hash-reduce scan over 512M
+  * longs on all cores + one single-thread CPU spin) FIRST and LAST, and
+  * reports `calib`: {pre, post, ref, factor} on the stdout line, where
   * `factor` = mean(pre, post) / CALIB_REF and CALIB_REF is the probe's
   * pinned reading on an idle build box. Per-query normalized values
   * (`value / factor`) go to BENCH_DETAIL.json as `value_norm`. Cross-round
@@ -65,18 +81,27 @@ import java.nio.file.{Files, Paths}
   * count()-measured and UNDERSTATE projection-shaped queries.
   */
 object Bench {
-  /** Pinned idle-box reading of [[calibrationProbe]] (seconds). Measured
-    * 2026-08-14 on the round-9 build box (local[32], Java 17): two
-    * separate idle JVM sessions read 0.610 / 0.608 (0.3% apart). Re-pin
-    * if the hardware changes — only the RATIO across sessions matters.
-    * The pin is only meaningful at [[CalibCpus]] cores: the probe's
-    * all-core scan scales with parallelism, so a 4-core session would
-    * read ~4× high for reasons that are config, not slowness. Sessions
-    * at any other core count ship factor = 1 (normalization off) and
-    * say so in the artifact rather than silently conflating core count
-    * with session skew.
+  /** Pinned idle-box reading of [[calibrationProbe]] (seconds). RE-PIN
+    * CADENCE: each round, before the full bench, run two fresh
+    * `SPARK_GRAFT_CALIB_ONLY=1` sessions on the idle box and update this
+    * constant (and [[CalibPinnedDate]]) if they agree with each other but
+    * not with the pin — factor drift must not silently accumulate
+    * (round-9 finding: the post-suite probe reads deep-JIT-fast, so only
+    * fresh-session CALIB_ONLY readings are pin-grade). Only the RATIO
+    * across sessions matters. The pin is only meaningful at [[CalibCpus]]
+    * cores: the probe's all-core scan scales with parallelism, so a
+    * 4-core session would read ~4× high for reasons that are config, not
+    * slowness. Sessions at any other core count ship factor = 1
+    * (normalization off) and say so in the artifact rather than silently
+    * conflating core count with session skew.
     */
-  val CalibRef = 0.609
+  val CalibRef = 0.630
+
+  /** Date [[CalibRef]] was last measured (two idle fresh-JVM CALIB_ONLY
+    * sessions — r10 re-pin read 0.623 / 0.637, 2.2% apart, vs the r9 pin
+    * 0.609); shipped in the artifact so a reader can judge staleness.
+    */
+  val CalibPinnedDate = "2026-08-15"
 
   /** Core count [[CalibRef]] was pinned at. */
   val CalibCpus = 32
@@ -103,12 +128,34 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** ~40 ms single-thread constant-work spin (2^25 multiply-adds) — the
+    * per-query load sensor. Constant work, so its wall time tracks only
+    * CPU contention at the instant a query is about to be timed.
+    */
+  def microProbe(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9e3779b97f4a7c15L
+    var i = 0
+    while (i < (1 << 25)) {
+      x = x * 6364136223846793005L + 1442695040888963407L; i += 1
+    }
+    if (x == 42L) System.err.println("")
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** 1-minute field of /proc/loadavg (−1 when unreadable). */
+  def loadAvg(): Double =
+    try Files.readString(Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "/root/repo/BENCH_DETAIL.json")
+    val linePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_LINE",
+      "/root/repo/BENCH_LINE.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -126,12 +173,9 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val spreadLimit = sys.env.getOrElse("SPARK_GRAFT_SPREAD_LIMIT", "1.5").toDouble
-    val escalatedRuns = sys.env.getOrElse("SPARK_GRAFT_ESCALATED_RUNS", "7").toInt
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2)
-      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-    }
+    val stableBand = sys.env.getOrElse("SPARK_GRAFT_STABLE_BAND", "1.3").toDouble
+    val stableK = sys.env.getOrElse("SPARK_GRAFT_STABLE_K", "3").toInt
+    val maxRuns = sys.env.getOrElse("SPARK_GRAFT_MAX_RUNS", "12").toInt
     // calibration: one untimed warm-up pays the probe's own codegen, then
     // best-of-3 timed — run before the suite and again after it
     def calib(): Double = {
@@ -145,15 +189,36 @@ object Bench {
       println(s"""{"metric":"calib","value":$calibPre,"unit":"sec","ref":$CalibRef}""")
       spark.stop(); return
     }
+    val microBase = { microProbe(); Seq.fill(3)(microProbe()).min }
+    case class QRes(name: String, value: Double, spread: Double,
+                    warm: Double, timed: Seq[Double], escalated: Boolean,
+                    polluted: Boolean, loadavg: Double, micro: Double)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val la = loadAvg()
+      val mp = { microProbe(); microProbe() }   // one warm, one recorded
       val warm = time(fn)                       // untimed: codegen + warm-up
-      val initial = Seq.fill(runs)(time(fn))
-      val noisy = initial.max / math.max(initial.min, 1e-9) > spreadLimit
-      val timed =
-        if (noisy) initial ++ Seq.fill(math.max(0, escalatedRuns - runs))(time(fn))
-        else initial
-      val value = if (noisy) median(timed) else timed.min
-      (name, value, timed.max / math.max(timed.min, 1e-9), warm, timed, noisy)
+      var timed = Seq.fill(runs)(time(fn))
+      val noisy = timed.max / math.max(timed.min, 1e-9) > spreadLimit
+      // stable window: last stableK runs agree within stableBand AND their
+      // best is within stableBand of the global best (rejects a window
+      // that is internally consistent but sitting on a load burst)
+      def stableWindow(xs: Seq[Double]): Option[Seq[Double]] = {
+        if (xs.size < stableK) None
+        else {
+          val w = xs.takeRight(stableK)
+          val ok = w.max / math.max(w.min, 1e-9) <= stableBand &&
+            w.min <= stableBand * xs.min
+          if (ok) Some(w) else None
+        }
+      }
+      var win = if (noisy) stableWindow(timed) else Some(timed)
+      while (noisy && win.isEmpty && timed.size < maxRuns) {
+        timed = timed :+ time(fn)
+        win = stableWindow(timed)
+      }
+      val value = win.map(_.min).getOrElse(timed.min)
+      QRes(name, value, timed.max / math.max(timed.min, 1e-9), warm, timed,
+        noisy, noisy && win.isEmpty, la, mp)
     }
     val calibPost = calib()
     // the pin is only valid at CalibCpus cores — at any other parallelism
@@ -165,26 +230,46 @@ object Bench {
       if (calibPinned) math.max((calibPre + calibPost) / 2 / CalibRef, 1e-9)
       else 1.0
     def r3(d: Double) = math.rint(d * 1000) / 1000
-    val qs = results.map { case (k, v, _, _, _, _) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + r3(v)
-    }.mkString("{", ",", "}")
-    val total = r3(results.map(_._2).sum)
+    // adaptive precision for the stdout map: the resolution a reader needs
+    // scales with the value, and the char budget is the driver's ~2000
+    // stdout tail (3dp below 1 s, 2dp below 10 s, 1dp above)
+    def rq(d: Double): String =
+      if (d < 1.0) f"$d%.3f" else if (d < 10.0) f"$d%.2f" else f"$d%.1f"
+    val qs = results.map(r =>
+      "\"" + r.name.takeWhile(_ != '_') + "\":" + rq(r.value)
+    ).mkString("{", ",", "}")
+    val total = r3(results.map(_.value).sum)
+    val pollutedList = results.filter(_.polluted)
+      .map(r => "\"" + r.name.takeWhile(_ != '_') + "\"")
+      .mkString("[", ",", "]")
     val calibJson = s"""{"pre":${r3(calibPre)},"post":${r3(calibPost)},""" +
-      s""""ref":$CalibRef,"factor":${r3(factor)},""" +
-      s""""cpus":"$cpus","pinned_cpus":$CalibCpus,"pinned":$calibPinned}"""
-    val detail = results.map { case (k, v, spread, warm, timed, noisy) =>
-      s"""  "$k": {"value": ${r3(v)}, "value_norm": ${r3(v / factor)}, """ +
-        s""""spread": ${r3(spread)}, """ +
-        s""""escalated": $noisy, "warmup": ${r3(warm)}, """ +
-        s""""runs": [${timed.map(r3).mkString(", ")}]}"""
-    }.mkString("{\n  \"__calib\": " + calibJson + ",\n", ",\n", "\n}")
+      s""""ref":$CalibRef,"ref_date":"$CalibPinnedDate",""" +
+      s""""factor":${r3(factor)},"pinned":$calibPinned}"""
+    val detail = results.map { r =>
+      s"""  "${r.name}": {"value": ${r3(r.value)}, """ +
+        s""""value_norm": ${r3(r.value / factor)}, """ +
+        s""""spread": ${r3(r.spread)}, """ +
+        s""""escalated": ${r.escalated}, "polluted": ${r.polluted}, """ +
+        s""""loadavg": ${r3(r.loadavg)}, "micro": ${r3(r.micro)}, """ +
+        s""""warmup": ${r3(r.warm)}, """ +
+        s""""runs": [${r.timed.map(r3).mkString(", ")}]}"""
+    }.mkString(
+      "{\n  \"__calib\": " + calibJson + ",\n" +
+        s"""  "__micro_base": ${r3(microBase)},\n""" +
+        s"""  "__cpus": "$cpus", "__pinned_cpus": $CalibCpus,\n""",
+      ",\n", "\n}")
     try Files.writeString(Paths.get(detailPath), detail)
     catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
-    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""action":"toRdd","calib":$calibJson,""" +
       s""""total_norm":${r3(total / factor)},""" +
-      s""""queries":$qs,"sf":"$sfDir"}""")
+      s""""polluted":$pollutedList,""" +
+      s""""queries":$qs,"sf":"$sfDir"}"""
+    try Files.writeString(Paths.get(linePath), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] line write failed: ${e.getMessage}") }
+    println(line)
     spark.stop()
   }
 }
