@@ -2733,6 +2733,92 @@ object Oracles {
       |  AND levenshtein(a.c_mktsegment, b.c_mktsegment) <= 2
       |ORDER BY id_1, id_2""".stripMargin
 
+  /** q141: TANE-staged key search — the oracle computes the FULL unpruned
+    * lattice in SQL, derives the arity-1 key verdicts in a CTE, and gates
+    * every arity-2 row on "contains no arity-1 key", so both the profile
+    * values AND the prune set are pinned against the data (the engine
+    * must emit exactly the non-implied candidates).
+    */
+  val q141: String = {
+    val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    def profile(cs: Seq[String]): String = {
+      val name = cs.mkString(",")
+      val nonNull = cs.map(c => s"$c IS NOT NULL").mkString(" AND ")
+      val anyNull = cs.map(c => s"$c IS NULL").mkString(" OR ")
+      val tuple = if (cs.size == 1) cs.head else s"(${cs.mkString(", ")})"
+      val d = s"CAST(count(DISTINCT $tuple) FILTER (WHERE $nonNull) AS BIGINT)"
+      val z = s"CAST(count(*) FILTER (WHERE $anyNull) AS BIGINT)"
+      s"""SELECT '$name' AS key_columns, ${cs.size} AS arity,
+         |  CAST(count(*) AS BIGINT) AS n_rows, $d AS n_distinct,
+         |  $z AS n_null_rows, ($z = 0 AND $d = count(*)) AS is_key
+         |FROM customer""".stripMargin
+    }
+    val k1 = cols.map(c =>
+      s"""SELECT '$c' AS c,
+         |  (count(*) FILTER (WHERE $c IS NULL) = 0
+         |   AND count(DISTINCT $c) = count(*)) AS is_key
+         |FROM customer""".stripMargin).mkString("\nUNION ALL\n")
+    val a1 = cols.map(c => profile(Seq(c)))
+    val a2 = cols.combinations(2).toSeq.map { cs =>
+      val members = cs.map(c => s"'$c'").mkString(", ")
+      s"""SELECT * FROM (
+         |${profile(cs)}
+         |) t WHERE NOT EXISTS (
+         |  SELECT 1 FROM k1 WHERE k1.is_key AND k1.c IN ($members))"""
+        .stripMargin
+    }
+    s"""WITH k1 AS (
+       |$k1
+       |)
+       |${(a1 ++ a2).mkString("\nUNION ALL\n")}
+       |ORDER BY key_columns""".stripMargin
+  }
+
+  /** q142: composite-determinant FDs — every measure restated in SQL
+    * (determinant distinct filtered to rows where the dependent is also
+    * non-null, mirroring Spark's any-null-skipping multi-argument
+    * distinct), arity-1 verdicts derived in a CTE, and each arity-2 row
+    * gated on "no contained determinant already holds for this
+    * dependent" — the TANE prune itself is part of the oracled contract.
+    */
+  val q142: String = {
+    val dets = Seq("o_orderkey", "o_custkey", "o_orderstatus")
+    val deps = Seq("o_orderpriority", "o_totalprice")
+    def measure(xs: Seq[String], c: String): String = {
+      val name = xs.mkString(",")
+      val allNN = (xs :+ c).map(x => s"$x IS NOT NULL").mkString(" AND ")
+      val xTuple = if (xs.size == 1) xs.head else s"(${xs.mkString(", ")})"
+      val pTuple = s"(${(xs :+ c).mkString(", ")})"
+      val da = s"CAST(count(DISTINCT $xTuple) FILTER (WHERE $allNN) AS BIGINT)"
+      val dp = s"CAST(count(DISTINCT $pTuple) FILTER (WHERE $allNN) AS BIGINT)"
+      s"""SELECT '$name' AS determinant, ${xs.size} AS arity,
+         |  '$c' AS dependent, $da AS n_determinant, $dp AS n_pairs,
+         |  ($da = $dp) AS holds
+         |FROM orders""".stripMargin
+    }
+    val h1 = (for { x <- dets; c <- deps } yield {
+      val nn = s"$x IS NOT NULL AND $c IS NOT NULL"
+      val da = s"count(DISTINCT $x) FILTER (WHERE $nn)"
+      val dp = s"count(DISTINCT ($x, $c)) FILTER (WHERE $nn)"
+      s"SELECT '$x' AS x, '$c' AS c, ($da = $dp) AS holds FROM orders"
+    }).mkString("\nUNION ALL\n")
+    val a1 = for { x <- dets; c <- deps } yield measure(Seq(x), c)
+    val a2 = for { xs <- dets.combinations(2).toSeq; c <- deps } yield {
+      val members = xs.map(x => s"'$x'").mkString(", ")
+      s"""SELECT * FROM (
+         |${measure(xs, c)}
+         |) t WHERE NOT EXISTS (
+         |  SELECT 1 FROM h1
+         |  WHERE h1.holds AND h1.c = '$c' AND h1.x IN ($members))"""
+        .stripMargin
+    }
+    s"""WITH h1 AS (
+       |$h1
+       |)
+       |${(a1 ++ a2).mkString("\nUNION ALL\n")}
+       |ORDER BY determinant, dependent""".stripMargin
+  }
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q07_mutual_info_orders" -> q07Pinned,
@@ -2823,6 +2909,8 @@ object Oracles {
       "q138_cms_frequency" -> q138,
       "q139_composite_keys" -> q139,
       "q140_multifield_linkage" -> q140,
+      "q141_staged_keys" -> q141,
+      "q142_composite_fds" -> q142,
       "q03_value_counts_orders" -> q03,
       "q04_histogram_price" -> q04,
       "q05_pearson_lineitem" -> q05,

@@ -2191,6 +2191,34 @@ object Queries {
         "c_custkey", Seq("c_name" -> 1, "c_mktsegment" -> 2))
       .orderBy("id_1", "id_2")
 
+  /** TANE-staged key search over customer: c_custkey AND c_name are both
+    * unique at arity 1, so the staged walk prunes every pair containing
+    * either — arity 2 measures ONLY (c_nationkey, c_mktsegment) instead
+    * of all six pairs. The oracle recomputes the full lattice in SQL and
+    * gates each arity-2 row on "no contained single-column key", pinning
+    * both the profile values AND the prune set.
+    */
+  def q141StagedKeys(s: SparkSession, dir: String): DataFrame =
+    stats.KeyDiscovery.discoverKeysStaged(table(s, dir, "customer"),
+        Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"),
+        maxArity = 2)
+      .orderBy("key_columns")
+
+  /** Composite-determinant functional dependencies over orders —
+    * the TANE general case: o_orderkey → everything holds at arity 1, so
+    * the staged walk prunes every arity-2 determinant containing it and
+    * measures only (o_custkey, o_orderstatus) pairs. The oracle
+    * recomputes every measure in SQL and gates arity-2 rows on "no
+    * contained arity-1 determinant already holds for this dependent".
+    */
+  def q142CompositeFds(s: SparkSession, dir: String): DataFrame =
+    stats.KeyDiscovery.compositeFunctionalDependencies(
+        table(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus"),
+        Seq("o_orderpriority", "o_totalprice"),
+        maxArity = 2)
+      .orderBy("determinant", "dependent")
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -2367,6 +2395,8 @@ object Queries {
     "q137_entity_clusters" -> (q137EntityClusters _),
     "q138_cms_frequency" -> (q138CmsFrequency _),
     "q139_composite_keys" -> (q139CompositeKeys _),
+    "q141_staged_keys" -> (q141StagedKeys _),
+    "q142_composite_fds" -> (q142CompositeFds _),
     "q140_multifield_linkage" -> (q140MultiFieldLinkage _)
   )
 }

@@ -1,6 +1,6 @@
 package graft.stats
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -29,6 +29,24 @@ import org.apache.spark.sql.types._
   * even though pairs re-read shared columns, because each pair's
   * map-side partial distinct collapses before the shuffle. Driver state
   * is candidate-list-sized (k rows / k² pair rows), never data-sized.
+  *
+  * APPROX SCREEN (the 100 TB shape): each exact `count_distinct` shuffles
+  * every distinct tuple — for a near-unique candidate that is the whole
+  * table crossing the wire, per candidate. `approxScreen = true` first
+  * measures every candidate with `approx_count_distinct` (HLL++ — the
+  * shuffle is one fixed-size sketch, not the tuples) in concurrent
+  * narrow jobs, and pays the exact shuffle ONLY for candidates the
+  * sketch cannot rule out. A candidate is screened to `is_key = false`
+  * without an exact job when it has any null row, or when its HLL
+  * estimate reads below (1 − ε)·n with ε = 5·rsd (HLL++ NDV error is
+  * ≈ Gaussian with σ = rsd, so a 5σ screen mis-skips a true key with
+  * probability < 3·10⁻⁷). Screened-out candidates report the HLL
+  * estimate (±rsd) as `n_distinct` — documented approximate, mirroring
+  * the exact/approx `describe` convention; candidates that survive the
+  * screen carry exact counts and an exact verdict. ProbeScreen at sf0.1
+  * (30-candidate lineitem lattice): 19/30 exact jobs skipped, shuffle
+  * volume collapses to the confirms — wall-clock parity locally (the
+  * in-memory shuffle is cheap at one box), the savings are wire bytes.
   *
   * The scale knob is the CANDIDATE count, not the row count (measured
   * sub-linear in rows at 30× data, BENCH_SF1 §4): bound one call by
@@ -77,19 +95,40 @@ object KeyDiscovery {
     *
     * Each candidate measures in its own narrow CONCURRENT job (see the
     * object doc for the measured jobs-vs-Expand tradeoff; `scanOnce =
-    * true` selects the one-scan batched aggregation instead). The scale
-    * knob is the candidate count: `MaxCandidates` bounds one call
-    * (concurrent driver-job fan-out, or Expand row copies under
-    * `scanOnce`); search a wide lattice in staged batches — run arity 1
-    * first and drop every tuple containing a discovered key (supersets
-    * of a key are trivially keys), the TANE-style prune.
+    * true` selects the one-scan batched aggregation instead, and
+    * `approxScreen = true` the HLL screen-then-confirm path — the object
+    * doc states its error bound and the approximate `n_distinct` for
+    * screened-out candidates). The scale knob is the candidate count:
+    * `MaxCandidates` bounds one call (concurrent driver-job fan-out, or
+    * Expand row copies under `scanOnce`); search a wide lattice in
+    * staged batches — run arity 1 first and drop every tuple containing
+    * a discovered key (supersets of a key are trivially keys), the
+    * TANE-style prune [[discoverKeysStaged]] automates.
     *
     * Output: (key_columns comma-joined, arity, n_rows, n_distinct,
     * n_null_rows, is_key), one row per candidate in the given order.
     */
   def compositeCandidateKeys(df: DataFrame,
                              candidates: Seq[Seq[String]],
-                             scanOnce: Boolean = false): DataFrame = {
+                             scanOnce: Boolean = false,
+                             approxScreen: Boolean = false,
+                             screenRsd: Double = 0.02): DataFrame = {
+    require(!(scanOnce && approxScreen),
+      "scanOnce and approxScreen are alternative plans — pick one")
+    validateCandidates(df, candidates)
+    val profiles =
+      if (scanOnce) {
+        val r = compositeKeyAgg(df, candidates).head()
+        val n = r.getLong(0)
+        candidates.indices.map(i =>
+          (n, r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)))
+      } else if (approxScreen) profileTuplesScreened(df, candidates, screenRsd)._1
+      else profileTuples(df, candidates)
+    compositeResult(df.sparkSession, candidates.zip(profiles))
+  }
+
+  private def validateCandidates(df: DataFrame,
+                                 candidates: Seq[Seq[String]]): Unit = {
     require(candidates.nonEmpty, "need at least one candidate tuple")
     require(candidates.size <= MaxCandidates,
       s"${candidates.size} candidates > $MaxCandidates: bound the " +
@@ -101,26 +140,23 @@ object KeyDiscovery {
       cs.foreach(c => require(df.columns.contains(c),
         s"candidate column '$c' not in frame"))
     }
-    val profiles =
-      if (scanOnce) {
-        val r = compositeKeyAgg(df, candidates).head()
-        val n = r.getLong(0)
-        candidates.indices.map(i =>
-          (n, r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)))
-      } else profileTuples(df, candidates)
-    val rows = candidates.zip(profiles).map { case (cs, (n, d, z)) =>
+  }
+
+  private val compositeSchema = StructType(Seq(
+    StructField("key_columns", StringType, nullable = false),
+    StructField("arity", IntegerType, nullable = false),
+    StructField("n_rows", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("n_null_rows", LongType, nullable = false),
+    StructField("is_key", BooleanType, nullable = false)))
+
+  private def compositeResult(spark: SparkSession,
+      profiled: Seq[(Seq[String], (Long, Long, Long))]): DataFrame = {
+    val rows = profiled.map { case (cs, (n, d, z)) =>
       Row(cs.mkString(","), cs.size, n, d, z, z == 0L && d == n)
     }
-    val spark = df.sparkSession
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1),
-      StructType(Seq(
-        StructField("key_columns", StringType, nullable = false),
-        StructField("arity", IntegerType, nullable = false),
-        StructField("n_rows", LongType, nullable = false),
-        StructField("n_distinct", LongType, nullable = false),
-        StructField("n_null_rows", LongType, nullable = false),
-        StructField("is_key", BooleanType, nullable = false))))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      compositeSchema)
   }
 
   /** Per-call measure budget shared by [[candidateKeys]],
@@ -154,11 +190,16 @@ object KeyDiscovery {
     * already-discovered key — a superset of a key is trivially a key, so
     * measuring it spends a distinct-count to learn nothing. This is the
     * operational form of the staged-batch guidance in the object doc:
-    * each arity level runs through [[compositeCandidateKeys]] in
-    * [[MaxCandidates]]-bounded chunks, so a wide lattice never exceeds
-    * the per-call budget and the prune shrinks level k+1 by every key
-    * level k found (on a table whose single-column id is a key, arity 2
-    * over n columns measures C(n−1, 2) tuples instead of C(n, 2)).
+    * each arity level measures in [[MaxCandidates]]-bounded chunks, so a
+    * wide lattice never exceeds the per-call budget and the prune
+    * shrinks level k+1 by every key level k found (on a table whose
+    * single-column id is a key, arity 2 over n columns measures
+    * C(n−1, 2) tuples instead of C(n, 2)).
+    *
+    * `approxScreen` applies the object doc's HLL screen-then-confirm
+    * path at every level — on a wide lattice where most tuples are far
+    * from unique, the exact distinct shuffles collapse to one sketch
+    * batch per level plus confirms for the few near-keys.
     *
     * Output: the [[compositeCandidateKeys]] schema over every MEASURED
     * candidate, in lattice order — pruned supersets are absent by
@@ -166,27 +207,31 @@ object KeyDiscovery {
     * key's row).
     */
   def discoverKeysStaged(df: DataFrame, cols: Seq[String],
-                         maxArity: Int = 2): DataFrame = {
+                         maxArity: Int = 2,
+                         approxScreen: Boolean = false,
+                         screenRsd: Double = 0.02): DataFrame = {
     require(maxArity >= 1, s"need maxArity >= 1, got $maxArity")
     require(cols.nonEmpty, "need at least one column")
     val keys = scala.collection.mutable.ArrayBuffer.empty[Set[String]]
-    val stages = (1 to maxArity).map { a =>
+    val profiled =
+      scala.collection.mutable.ArrayBuffer.empty[(Seq[String], (Long, Long, Long))]
+    for (a <- 1 to maxArity) {
       val level = cols.combinations(a).toSeq
         .filterNot(cs => keys.exists(k => k.subsetOf(cs.toSet)))
-      if (level.isEmpty) None
-      else {
-        val measured = level.grouped(MaxCandidates).map(chunk =>
-          compositeCandidateKeys(df, chunk)).reduce(_ unionByName _)
-        // the level's frames are driver-row-backed (candidate-sized), so
-        // collecting the key verdicts here is bounded, not data-sized
-        measured.collect().foreach { r =>
-          if (r.getBoolean(5))
-            keys += r.getString(0).split(",").toSet
+      // per-level collect is bounded: level profiles are candidate-sized
+      // driver values (never data-sized), and verdicts gate the next level
+      level.grouped(MaxCandidates).foreach { chunk =>
+        validateCandidates(df, chunk)
+        val profiles =
+          if (approxScreen) profileTuplesScreened(df, chunk, screenRsd)._1
+          else profileTuples(df, chunk)
+        chunk.zip(profiles).foreach { case (cs, p @ (n, d, z)) =>
+          profiled += ((cs, p))
+          if (z == 0L && d == n) keys += cs.toSet
         }
-        Some(measured)
       }
     }
-    stages.flatten.reduce(_ unionByName _)
+    compositeResult(df.sparkSession, profiled.toSeq)
   }
 
   /** The concurrent per-candidate profile path: one narrow aggregation
@@ -203,6 +248,70 @@ object KeyDiscovery {
       acc.put(i, (r.getLong(0), r.getLong(1), r.getLong(2)))
     }
     candidates.indices.map(acc.get(_))
+  }
+
+  /** HLL screen-then-exact-confirm profile (object doc: APPROX SCREEN).
+    * The screen runs as concurrent per-candidate approx jobs — the same
+    * jobs-beat-batched result as the exact path (ProbeScreen measured
+    * the one-scan 30-sketch aggregate at ~9 s vs ~2 s for 30 narrow
+    * concurrent sketch jobs at sf0.1: 30 interpreted HLL updates per row
+    * in one stage lose to 30 pruned codegen scans that overlap). Either
+    * shape shuffles only fixed-size sketches; the exact confirms are
+    * where distinct tuples actually cross the wire, and the screen's job
+    * is to pay that for near-keys only. Returns the per-candidate
+    * profiles plus the number of exact confirm jobs actually paid — the
+    * spec/probe hook for "how many exact shuffles did the screen save".
+    */
+  private[graft] def profileTuplesScreened(df: DataFrame,
+      candidates: Seq[Seq[String]],
+      rsd: Double): (Seq[(Long, Long, Long)], Int) = {
+    require(rsd > 0 && rsd < 0.2, s"need 0 < rsd < 0.2, got $rsd")
+    val eps = 5 * rsd
+    val scr =
+      new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Long)]()
+    graft.util.Concurrency.runConcurrently(candidates.indices) { i =>
+      val r = screenTupleAgg(df, candidates(i), rsd).head()
+      scr.put(i, (r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+    val screened = candidates.indices.map { i =>
+      val (n, approxD, z) = scr.get(i)
+      // skippable only when the verdict is already decided: a null row
+      // disqualifies the key exactly, and an HLL reading 5 sigma below n
+      // cannot belong to a unique tuple
+      val skip = z > 0L || approxD < ((1.0 - eps) * n).toLong
+      (skip, (n, approxD, z))
+    }
+    val confirmIdx = candidates.indices.filterNot(screened(_)._1)
+    val acc =
+      new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Long)]()
+    graft.util.Concurrency.runConcurrently(confirmIdx) { i =>
+      val row = tupleProfileAgg(df, candidates(i)).head()
+      acc.put(i, (row.getLong(0), row.getLong(1), row.getLong(2)))
+    }
+    val profiles = candidates.indices.map { i =>
+      if (screened(i)._1) screened(i)._2 else acc.get(i)
+    }
+    (profiles, confirmIdx.size)
+  }
+
+  /** One candidate's screening job: count, HLL tuple-distinct estimate,
+    * any-null count — a narrow pruned scan whose shuffle is one sketch,
+    * never the distinct tuples. The null-skip convention mirrors the
+    * exact multi-argument distinct: a tuple with any null member
+    * contributes nothing to the sketch. The sketch input is
+    * `xxhash64(tuple)` rather than a struct — measurably cheaper per row
+    * (no per-row struct allocation before the HLL's own hash), and the
+    * added 64-bit-collision shrinkage is n²/2⁶⁵ — orders of magnitude
+    * inside the 5σ screen band at any feasible n.
+    */
+  private[graft] def screenTupleAgg(df: DataFrame, cs: Seq[String],
+                                    rsd: Double): DataFrame = {
+    val anyNull = cs.map(c => col(c).isNull).reduce(_ || _)
+    df.agg(
+      count(lit(1)).as("__n"),
+      approx_count_distinct(
+        when(!anyNull, xxhash64(cs.map(col): _*)), rsd).as("__a"),
+      count(when(anyNull, lit(1))).as("__z"))
   }
 
   /** One candidate's profile aggregation — exposed so the spec can pin
@@ -330,6 +439,88 @@ object KeyDiscovery {
       Row(a, b, da, dp, da == dp)
     }
     fdResult(df.sparkSession, rows)
+  }
+
+  /** Composite-determinant functional dependencies — the TANE general
+    * case (Huhtala et al. 1999): for every dependent `c`, walk the
+    * determinant lattice `X ⊆ determinants \ {c}` by arity, measuring
+    * `X → c` as tuple-distinct equality
+    * (`count(DISTINCT X) = count(DISTINCT X, c)` over rows where every
+    * member of `X` AND `c` are non-null — the [[functionalDependencies]]
+    * convention lifted to tuples), and PRUNE supersets of determinants
+    * that already hold: if `a → c` holds then `(a,b) → c` is implied
+    * (the actual TANE rule — measuring it spends a shuffle to learn
+    * nothing). Each level measures in concurrent per-tuple jobs through
+    * the same [[MaxCandidates]]-chunked machinery as
+    * [[discoverKeysStaged]].
+    *
+    * Output: (determinant comma-joined, arity, dependent, n_determinant,
+    * n_pairs, holds) for every MEASURED pair in lattice order — implied
+    * supersets are absent by construction.
+    */
+  def compositeFunctionalDependencies(df: DataFrame,
+                                      determinants: Seq[String],
+                                      dependents: Seq[String],
+                                      maxArity: Int = 2): DataFrame = {
+    require(maxArity >= 1, s"need maxArity >= 1, got $maxArity")
+    require(determinants.nonEmpty, "need at least one determinant column")
+    require(dependents.nonEmpty, "need at least one dependent column")
+    (determinants ++ dependents).foreach(c =>
+      require(df.columns.contains(c), s"column '$c' not in frame"))
+    // per dependent: the determinant sets already known to imply it
+    val holdsFor = dependents
+      .map(c => c -> scala.collection.mutable.ArrayBuffer.empty[Set[String]])
+      .toMap
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
+    for (a <- 1 to maxArity) {
+      val level = for {
+        xs <- determinants.combinations(a).toSeq
+        c <- dependents
+        if !xs.contains(c)
+        if !holdsFor(c).exists(h => h.subsetOf(xs.toSet))
+      } yield (xs, c)
+      level.grouped(MaxCandidates).foreach { chunk =>
+        val acc =
+          new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]()
+        graft.util.Concurrency.runConcurrently(chunk.indices) { i =>
+          val (xs, c) = chunk(i)
+          val r = tupleFdAgg(df, xs, c).head()
+          acc.put(i, (r.getLong(0), r.getLong(1)))
+        }
+        chunk.zipWithIndex.foreach { case ((xs, c), i) =>
+          val (da, dp) = acc.get(i)
+          val holds = da == dp
+          rows += Row(xs.mkString(","), xs.size, c, da, dp, holds)
+          if (holds) holdsFor(c) += xs.toSet
+        }
+      }
+    }
+    val spark = df.sparkSession
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1),
+      StructType(Seq(
+        StructField("determinant", StringType, nullable = false),
+        StructField("arity", IntegerType, nullable = false),
+        StructField("dependent", StringType, nullable = false),
+        StructField("n_determinant", LongType, nullable = false),
+        StructField("n_pairs", LongType, nullable = false),
+        StructField("holds", BooleanType, nullable = false))))
+  }
+
+  /** One (tuple → dependent) FD measure: the determinant distinct is
+    * counted only over rows where the dependent is ALSO non-null (each
+    * argument wrapped in `when(c IS NOT NULL, x)` — any-null args drop
+    * the row from the multi-argument distinct, which is exactly the
+    * filter), so `da = dp` iff every complete (X, c) row maps X to one c.
+    */
+  private[graft] def tupleFdAgg(df: DataFrame, xs: Seq[String],
+                                c: String): DataFrame = {
+    val gate = col(c).isNotNull
+    val gated: Seq[Column] = xs.map(x => when(gate, col(x)))
+    df.agg(
+      count_distinct(gated.head, gated.tail: _*).as("__da"),
+      count_distinct(col(xs.head),
+        (xs.tail.map(col) :+ col(c)): _*).as("__dp"))
   }
 
   /** One ordered pair's FD measures — the per-pair concurrent job. */

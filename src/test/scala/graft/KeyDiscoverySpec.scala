@@ -129,6 +129,81 @@ class KeyDiscoverySpec extends SparkSpec {
     assert(impliedExtra.forall(_.split(",").contains("id")), s"$impliedExtra")
   }
 
+  test("approxScreen: verdict parity with exact on the q139-style lattice, fewer exact jobs") {
+    val tuples = Seq(Seq("id"), Seq("tag"), Seq("grp"), Seq("grp_val"),
+      Seq("id", "grp"), Seq("grp", "grp_val"), Seq("id", "tag"),
+      Seq("tag", "grp"), Seq("tag", "grp_val"), Seq("grp_val", "id"))
+    val exact = KeyDiscovery.compositeCandidateKeys(df, tuples)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    val (profiles, nExact) =
+      KeyDiscovery.profileTuplesScreened(df, tuples, rsd = 0.02)
+    val screened = tuples.zip(profiles).map { case (cs, (n, d, z)) =>
+      cs.mkString(",") -> ((n, d, z, z == 0L && d == n))
+    }.toMap
+    // is_key verdicts are identical...
+    tuples.map(_.mkString(",")).foreach { k =>
+      assert(screened(k)._4 == exact(k)._4, s"verdict mismatch at $k")
+      // ...null counts and row counts always exact...
+      assert(screened(k)._1 == exact(k)._1 && screened(k)._3 == exact(k)._3)
+      // ...and candidates that survived the screen carry EXACT distincts
+      if (screened(k)._4) assert(screened(k)._2 == exact(k)._2)
+    }
+    // the screen paid exact confirms only for the null-free near-keys
+    assert(nExact < tuples.size, s"screen saved nothing: $nExact")
+    // screened-out estimates stay within the documented HLL band (tiny
+    // cardinalities here, where HLL++ is exact, so equality in practice)
+    tuples.map(_.mkString(",")).foreach { k =>
+      assert(math.abs(screened(k)._2 - exact(k)._2) <=
+        math.max(1L, (0.1 * exact(k)._2).toLong), s"estimate off at $k")
+    }
+  }
+
+  test("screenTupleAgg prunes to its tuple, plans NO Expand; staged walk accepts approxScreen") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Expand, LeafNode}
+    val agg = KeyDiscovery.screenTupleAgg(df, Seq("grp", "grp_val"), rsd = 0.02)
+    val plan = agg.queryExecution.optimizedPlan
+    assert(plan.collect { case l: LeafNode => l }.size == 1)
+    assert(plan.collect { case e: Expand => e }.isEmpty,
+      "HLL screen must not plan as Expand — its shuffle is one sketch")
+    val scanned = plan.collectLeaves().flatMap(_.output).map(_.name).toSet
+    assert(scanned.subsetOf(Set("grp", "grp_val")), s"scanned: $scanned")
+    val staged = KeyDiscovery.discoverKeysStaged(df,
+        Seq("id", "grp", "grp_val"), approxScreen = true)
+      .collect().map(r => r.getString(0) -> r.getBoolean(5)).toMap
+    assert(staged.keySet == Set("id", "grp", "grp_val", "grp,grp_val"))
+    assert(staged("id") && !staged("grp,grp_val"))
+  }
+
+  test("compositeFunctionalDependencies: TANE prune + tuple measures") {
+    // id -> grp holds at arity 1, so (id, X) -> grp is pruned for every X;
+    // (grp, grp_val) is measured for dependent id and does NOT hold
+    val out = KeyDiscovery.compositeFunctionalDependencies(df,
+        Seq("id", "grp", "grp_val"), Seq("grp", "id"), maxArity = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(2)) ->
+        ((r.getInt(1), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    // dependent == determinant combinations are skipped
+    assert(!out.contains(("id", "id")) && !out.contains(("grp", "grp")))
+    assert(out(("id", "grp"))._4)           // key determines all
+    assert(!out(("grp", "id"))._4)
+    assert(!out(("grp_val", "id"))._4)
+    // arity-2: tuples containing id are pruned for dependent grp (id -> grp
+    // already holds); (grp, grp_val) -> id is measured and fails (x maps
+    // to ids 1 and 2)
+    assert(!out.contains(("id,grp_val", "grp")))
+    assert(out.contains(("grp,grp_val", "id")))
+    assert(!out(("grp,grp_val", "id"))._4)
+    // arity-1 measures agree with the pairwise profiler's convention
+    val pairwise = KeyDiscovery.functionalDependencies(df,
+        Seq("id", "grp", "grp_val"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    for (((d, c), (a, da, dp, h)) <- out if a == 1 && pairwise.contains((d, c)))
+      assert(pairwise((d, c)) == ((da, dp, h)), s"convention drift at $d->$c")
+  }
+
   test("compositeCandidateKeys misuse guards are loud") {
     intercept[IllegalArgumentException] {
       KeyDiscovery.compositeCandidateKeys(df, Seq(Seq("id", "id")))
