@@ -187,9 +187,16 @@ object RecordLinkage {
     * Plan shape: the FIRST field blocks — its [[fuzzySelfPairs]] plan
     * (FastSS / PassJoin) generates the candidate pairs — and every
     * remaining field verifies on the pair table via two id equi-joins to
-    * fetch the field values plus a banded levenshtein filter. Order
-    * fields most-selective-first: the block field's match volume is the
-    * only pair table that exists; later fields only shrink it. All joins
+    * fetch the field values plus a banded levenshtein filter. FIELD
+    * ORDER MATTERS: the first field IS the blocking plan, so order
+    * fields most-selective-first — the block field's match volume is the
+    * only pair table that ever exists, later fields only shrink it.
+    * Cost note: pair-table size ≈ Σ per-bucket C(bucket, 2) of the FIRST
+    * field's neighborhood buckets, so putting the loosest predicate
+    * first (a low-cardinality field like a market segment, or a large
+    * maxDist) inflates the candidate table by orders of magnitude before
+    * any verify stage can cut it — every verify join and levenshtein
+    * then pays that volume. All joins
     * stay equi-joins (no cartesian anywhere), and the payload joins run
     * AFTER the distinct, so they carry true field-1 matches only.
     *

@@ -87,6 +87,42 @@ object PlanDump {
     sb.append("# PLANS — physical-plan evidence for headline operators\n\n")
     sb.append("Generated by `graft.PlanDump` (sf0.01, local[8]). Each section: why the\n")
     sb.append("plan is the one we want at 100 TB, then `explain(\"formatted\")` output.\n")
+    sb.append("""
+## Measured NEGATIVE results — do not re-attempt without new evidence
+
+Plan shapes that look like obvious optimizations and were MEASURED SLOWER,
+recorded here (the plan-evidence file) so a future optimizer pass doesn't
+re-spend a round on them. Full numbers in BENCH_SF1.md §"Round-9 probes".
+
+1. **Exchange-free q136 (gopher repetition).** Docs are one row each, so
+   repartitioning the corpus by id and unifying the line/gram branches
+   into ONE explode lineage provably removes both unit-table exchanges
+   (verified exchange-free by plan assert). It LOSES 2×: 7.5 s vs 4.5 s
+   at sf0.1, 99 s vs 43 s steady at 100×, back-to-back. With ~all-unique
+   fingerprint keys the two unit exchanges are cheap sequential I/O,
+   while stacking the partial+final unit maps AND the per-doc roll-up
+   into one pipeline stage makes the blocking hash aggregates share a
+   single task memory pool — spill pressure replaces shuffle I/O and
+   loses. The union shape with fingerprinted keys stays.
+
+2. **Per-row q136 twin as the batch default.** The zero-shuffle per-row
+   `repetitionMetrics` (the streaming-gate shape — all work in HOF
+   lambdas inside one projection) measured 98–114 s on the same 100×
+   corpus where the two-exchange batch aggregation runs 43 s: the
+   interpreted higher-order-function lambdas cost more than the two
+   fingerprint shuffles save. The per-row twin remains correct and is
+   the right shape where a shuffle is unavailable (streaming gates);
+   ProbeQ136 pins both paths.
+
+3. **One-scan batched sketch screen for key discovery (r10).** Batching
+   30 `approx_count_distinct` sketches into ONE aggregation (one scan,
+   no Expand — looks strictly cheaper than 30 jobs) measured ~9 s vs
+   ~2 s for 30 narrow CONCURRENT sketch jobs at sf0.1: 30 interpreted
+   HLL updates per row in one stage lose to 30 pruned codegen scans
+   that overlap in the scheduler. Same jobs-beat-batched result as the
+   exact-distinct Expand (ProbeQ139/ProbeFd) — the screen now runs as
+   concurrent per-candidate jobs (ProbeScreen).
+""")
     for ((name, note) <- picks) {
       val df = Queries.all(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(
