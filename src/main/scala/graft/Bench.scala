@@ -239,12 +239,12 @@ object Bench {
       "\"" + r.name.takeWhile(_ != '_') + "\":" + rq(r.value)
     ).mkString("{", ",", "}")
     val total = r3(results.map(_.value).sum)
-    // cap at 8 names so a badly loaded session can't push the stdout line
+    // cap at 4 names so a badly loaded session can't push the stdout line
     // past the driver's ~2000-char tail; the full set is in the detail file
     val polluted = results.filter(_.polluted)
-    val pollutedList = (polluted.take(8)
+    val pollutedList = (polluted.take(4)
       .map(r => "\"" + r.name.takeWhile(_ != '_') + "\"") ++
-      (if (polluted.size > 8) Seq("\"+" + (polluted.size - 8) + "\"") else Nil))
+      (if (polluted.size > 4) Seq("\"+" + (polluted.size - 4) + "\"") else Nil))
       .mkString("[", ",", "]")
     val calibJson = s"""{"pre":${r3(calibPre)},"post":${r3(calibPost)},""" +
       s""""ref":$CalibRef,"ref_date":"$CalibPinnedDate",""" +

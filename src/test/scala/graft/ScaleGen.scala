@@ -63,20 +63,29 @@ object ScaleGen {
       // Entity names: regenerate per copy so copies carry DISTINCT names
       // — otherwise every name repeats `copies` times and fuzzy-join
       // pair density grows with the copy count instead of staying
-      // corpus-constant. The copy index is embedded as a REPEATED
-      // two-digit block ("0707…"): two copies of the same base key then
-      // differ in >= 2 positions (one digit of difference per block), so
-      // cross-copy Levenshtein >= 2 and only the original within-copy
-      // neighbor structure (the 9-digit tail) contributes d<=1 pairs.
-      // A single embedded copy digit would sit at distance 1 across
-      // copies and quadratically inflate the pair set it claims to hold
-      // constant. The tail is the ORIGINAL key (mod Shift), lpad 9.
+      // corpus-constant. The copy index is embedded as a THRICE-REPEATED
+      // three-digit block ("007007007"): two distinct copies then differ
+      // in >= 3 positions (at least one digit of difference per block),
+      // so cross-copy Levenshtein >= 3 and FastSS d=1 deletion
+      // neighborhoods (which intersect only at distance <= 2) can never
+      // bridge copies — only the original within-copy neighbor structure
+      // (the 9-digit tail) contributes d<=1 pairs. The earlier TWO-digit
+      // doubled block ("0707") held distance >= 2 but broke past 100
+      // copies: %02d prints three digits for i >= 100, and the mixed
+      // 4/6-char blocks sit at exactly distance 2 in
+      // insertion-compatible patterns, so deletion variants started
+      // COLLIDING across copies — candidate (not output) volume then
+      // grew super-linearly with the copy count (caught by the r10 300×
+      // probe: the q133 100×→300× segment read 4.9× for 3× data with
+      // output exactly 300×). A single embedded copy digit would be
+      // worse still — distance 1 across copies inflates the true pair
+      // set itself. The tail is the ORIGINAL key (mod Shift), lpad 9.
       for ((nameCol, keyCol, prefix) <- Seq(
           ("s_name", "s_suppkey", "Supplier#"),
           ("c_name", "c_custkey", "Customer#"))) {
         if (out.columns.contains(nameCol) && i > 0)
           out = out.withColumn(nameCol,
-            concat(lit(prefix + f"$i%02d$i%02d"),
+            concat(lit(prefix + f"$i%03d$i%03d$i%03d"),
               lpad(pmod(col(keyCol), lit(Shift)).cast("string"), 9, "0")))
       }
       // Same idea for vectors: rotation ∘ per-copy sign flips — both
