@@ -177,11 +177,12 @@ object KeyDiscovery {
     * real-world case; the candidate budget caps the lattice.
     */
   def discoverKeys(df: DataFrame, cols: Seq[String],
-                   maxArity: Int = 2): DataFrame = {
+                   maxArity: Int = 2,
+                   approxScreen: Boolean = false): DataFrame = {
     require(maxArity >= 1, s"need maxArity >= 1, got $maxArity")
     val tuples = (1 to maxArity)
       .flatMap(k => cols.combinations(k).toSeq)
-    compositeCandidateKeys(df, tuples)
+    compositeCandidateKeys(df, tuples, approxScreen = approxScreen)
   }
 
   /** Arity-STAGED key search with TANE-style pruning (Huhtala et al.
