@@ -2819,6 +2819,23 @@ object Oracles {
        |ORDER BY determinant, dependent""".stripMargin
   }
 
+  /** q143: the q141 lattice under the HLL screen — the oracle is q141's
+    * with the (approximate-by-contract) n_distinct column projected
+    * away: the screen's verdicts and the prune set must match exact SQL.
+    */
+  val q143: String =
+    s"""SELECT key_columns, arity, n_rows, n_null_rows, is_key FROM (
+       |$q141
+       |) ORDER BY key_columns""".stripMargin
+
+  /** q144: the q142 composite-FD lattice under the refute-only screen —
+    * q142's oracle with the approximate count columns projected away.
+    */
+  val q144: String =
+    s"""SELECT determinant, arity, dependent, holds FROM (
+       |$q142
+       |) ORDER BY determinant, dependent""".stripMargin
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q07_mutual_info_orders" -> q07Pinned,
@@ -2911,6 +2928,8 @@ object Oracles {
       "q140_multifield_linkage" -> q140,
       "q141_staged_keys" -> q141,
       "q142_composite_fds" -> q142,
+      "q143_screened_keys" -> q143,
+      "q144_screened_fds" -> q144,
       "q03_value_counts_orders" -> q03,
       "q04_histogram_price" -> q04,
       "q05_pearson_lineitem" -> q05,

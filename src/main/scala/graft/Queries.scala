@@ -2219,6 +2219,34 @@ object Queries {
         maxArity = 2)
       .orderBy("determinant", "dependent")
 
+  /** The q141 staged walk under the HLL screen, with the one
+    * non-SQL-expressible column (screened-out candidates carry HLL
+    * estimates as n_distinct) projected away — so the screen's VERDICTS,
+    * the prune set, and the exact null/row counts are all pinned against
+    * the same SQL truth as q141. approx_count_distinct is deterministic,
+    * so this is a stable contract, not a flaky one.
+    */
+  def q143ScreenedKeys(s: SparkSession, dir: String): DataFrame =
+    stats.KeyDiscovery.discoverKeysStaged(table(s, dir, "customer"),
+        Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"),
+        maxArity = 2, approxScreen = true)
+      .select("key_columns", "arity", "n_rows", "n_null_rows", "is_key")
+      .orderBy("key_columns")
+
+  /** The q142 composite-FD walk under the refute-only HLL screen, with
+    * the approximate count columns projected away — refuted pairs carry
+    * HLL estimates, but every verdict (and therefore the TANE prune set)
+    * must match the exact SQL lattice.
+    */
+  def q144ScreenedFds(s: SparkSession, dir: String): DataFrame =
+    stats.KeyDiscovery.compositeFunctionalDependencies(
+        table(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus"),
+        Seq("o_orderpriority", "o_totalprice"),
+        maxArity = 2, approxScreen = true)
+      .select("determinant", "arity", "dependent", "holds")
+      .orderBy("determinant", "dependent")
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -2397,6 +2425,8 @@ object Queries {
     "q139_composite_keys" -> (q139CompositeKeys _),
     "q141_staged_keys" -> (q141StagedKeys _),
     "q142_composite_fds" -> (q142CompositeFds _),
+    "q143_screened_keys" -> (q143ScreenedKeys _),
+    "q144_screened_fds" -> (q144ScreenedFds _),
     "q140_multifield_linkage" -> (q140MultiFieldLinkage _)
   )
 }

@@ -410,11 +410,26 @@ object KeyDiscovery {
     * in concurrent two-column jobs (see the object doc; `scanOnce =
     * true` batches all k·(k−1) measures into one aggregation instead).
     *
+    * `approxScreen` is the FD analog of the key screen — REFUTE-only:
+    * two HLL estimates per pair (determinant distinct, pair distinct)
+    * in one sketch-shuffle job; `holds` requires the exact counts EQUAL,
+    * so a pair whose pair-distinct estimate reads above
+    * (1 + 8·rsd)·determinant-estimate is refuted without an exact job
+    * (each estimate is ≈ Gaussian with σ = rsd; 8·rsd > 5·√2·rsd covers
+    * both, mis-refuting a true FD w.p. < 10⁻⁶). Non-refuted pairs pay
+    * the exact confirm, so every `holds = true` is exact; refuted pairs
+    * report the HLL estimates (±rsd) as their counts — documented
+    * approximate, the [[compositeCandidateKeys]] convention.
+    *
     * Output: (determinant, dependent, n_determinant, n_pairs, holds),
     * one row per ordered pair, pair order = nested column order.
     */
   def functionalDependencies(df: DataFrame, cols: Seq[String],
-                             scanOnce: Boolean = false): DataFrame = {
+                             scanOnce: Boolean = false,
+                             approxScreen: Boolean = false,
+                             screenRsd: Double = 0.02): DataFrame = {
+    require(!(scanOnce && approxScreen),
+      "scanOnce and approxScreen are alternative plans — pick one")
     require(cols.size >= 2, "need at least two columns")
     cols.foreach(c => require(df.columns.contains(c),
       s"column '$c' not in frame"))
@@ -427,6 +442,9 @@ object KeyDiscovery {
       if (scanOnce) {
         val r = fdAgg(df, pairs).head()
         pairs.indices.map(i => (r.getLong(2 * i), r.getLong(2 * i + 1)))
+      } else if (approxScreen) {
+        fdTuplesScreened(df, pairs.map { case (a, b) => (Seq(a), b) },
+          screenRsd)._1
       } else {
         val acc =
           new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]()
@@ -442,6 +460,56 @@ object KeyDiscovery {
     fdResult(df.sparkSession, rows)
   }
 
+  /** Refute-only HLL screen for FD measures (scaladoc at
+    * [[functionalDependencies]]): each (tuple, dependent) first measures
+    * in a sketch-shuffle screen job; clearly-failing pairs keep their
+    * estimates, survivors get the exact confirm. Returns profiles plus
+    * the number of exact jobs paid.
+    */
+  private[graft] def fdTuplesScreened(df: DataFrame,
+      pairs: Seq[(Seq[String], String)],
+      rsd: Double): (Seq[(Long, Long)], Int) = {
+    require(rsd > 0 && rsd < 0.2, s"need 0 < rsd < 0.2, got $rsd")
+    val eps = 8 * rsd
+    val scr = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]()
+    graft.util.Concurrency.runConcurrently(pairs.indices) { i =>
+      val (xs, c) = pairs(i)
+      val r = screenFdAgg(df, xs, c, rsd).head()
+      scr.put(i, (r.getLong(0), r.getLong(1)))
+    }
+    val refuted = pairs.indices.map { i =>
+      val (da, dp) = scr.get(i)
+      dp > ((1.0 + eps) * da).toLong
+    }
+    val confirmIdx = pairs.indices.filterNot(refuted)
+    val acc = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]()
+    graft.util.Concurrency.runConcurrently(confirmIdx) { i =>
+      val (xs, c) = pairs(i)
+      val r = tupleFdAgg(df, xs, c).head()
+      acc.put(i, (r.getLong(0), r.getLong(1)))
+    }
+    val profiles = pairs.indices.map { i =>
+      if (refuted(i)) scr.get(i) else acc.get(i)
+    }
+    (profiles, confirmIdx.size)
+  }
+
+  /** One FD screen job: HLL estimates of the determinant distinct and
+    * the (determinant, dependent) distinct, both gated on every member
+    * non-null (mirroring the exact multi-argument distinct), both over
+    * `xxhash64` tuple inputs (see [[screenTupleAgg]] for why) — one
+    * narrow scan whose shuffle is two sketches.
+    */
+  private[graft] def screenFdAgg(df: DataFrame, xs: Seq[String], c: String,
+                                 rsd: Double): DataFrame = {
+    val gate = (xs :+ c).map(x => col(x).isNotNull).reduce(_ && _)
+    df.agg(
+      approx_count_distinct(
+        when(gate, xxhash64(xs.map(col): _*)), rsd).as("__da"),
+      approx_count_distinct(
+        when(gate, xxhash64((xs :+ c).map(col): _*)), rsd).as("__dp"))
+  }
+
   /** Composite-determinant functional dependencies — the TANE general
     * case (Huhtala et al. 1999): for every dependent `c`, walk the
     * determinant lattice `X ⊆ determinants \ {c}` by arity, measuring
@@ -453,7 +521,10 @@ object KeyDiscovery {
     * (the actual TANE rule — measuring it spends a shuffle to learn
     * nothing). Each level measures in concurrent per-tuple jobs through
     * the same [[MaxCandidates]]-chunked machinery as
-    * [[discoverKeysStaged]].
+    * [[discoverKeysStaged]]; `approxScreen` applies the refute-only HLL
+    * screen (scaladoc at [[functionalDependencies]]) at every level —
+    * every `holds = true` stays exact, so the prune set is unchanged by
+    * screening up to the documented 10⁻⁶ mis-refute odds.
     *
     * Output: (determinant comma-joined, arity, dependent, n_determinant,
     * n_pairs, holds) for every MEASURED pair in lattice order — implied
@@ -462,7 +533,9 @@ object KeyDiscovery {
   def compositeFunctionalDependencies(df: DataFrame,
                                       determinants: Seq[String],
                                       dependents: Seq[String],
-                                      maxArity: Int = 2): DataFrame = {
+                                      maxArity: Int = 2,
+                                      approxScreen: Boolean = false,
+                                      screenRsd: Double = 0.02): DataFrame = {
     require(maxArity >= 1, s"need maxArity >= 1, got $maxArity")
     require(determinants.nonEmpty, "need at least one determinant column")
     require(dependents.nonEmpty, "need at least one dependent column")
@@ -481,15 +554,19 @@ object KeyDiscovery {
         if !holdsFor(c).exists(h => h.subsetOf(xs.toSet))
       } yield (xs, c)
       level.grouped(MaxCandidates).foreach { chunk =>
-        val acc =
-          new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]()
-        graft.util.Concurrency.runConcurrently(chunk.indices) { i =>
-          val (xs, c) = chunk(i)
-          val r = tupleFdAgg(df, xs, c).head()
-          acc.put(i, (r.getLong(0), r.getLong(1)))
-        }
-        chunk.zipWithIndex.foreach { case ((xs, c), i) =>
-          val (da, dp) = acc.get(i)
+        val profiles =
+          if (approxScreen) fdTuplesScreened(df, chunk, screenRsd)._1
+          else {
+            val acc =
+              new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]()
+            graft.util.Concurrency.runConcurrently(chunk.indices) { i =>
+              val (xs, c) = chunk(i)
+              val r = tupleFdAgg(df, xs, c).head()
+              acc.put(i, (r.getLong(0), r.getLong(1)))
+            }
+            chunk.indices.map(acc.get(_))
+          }
+        chunk.zip(profiles).foreach { case ((xs, c), (da, dp)) =>
           val holds = da == dp
           rows += Row(xs.mkString(","), xs.size, c, da, dp, holds)
           if (holds) holdsFor(c) += xs.toSet

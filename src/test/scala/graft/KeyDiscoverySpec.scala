@@ -204,6 +204,50 @@ class KeyDiscoverySpec extends SparkSpec {
       assert(pairwise((d, c)) == ((da, dp, h)), s"convention drift at $d->$c")
   }
 
+  test("FD refute-screen: verdict parity, exact counts for every holds=true, fewer exact jobs") {
+    val cols = Seq("id", "grp", "grp_val")
+    val exact = KeyDiscovery.functionalDependencies(df, cols)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    val screened = KeyDiscovery.functionalDependencies(df, cols,
+        approxScreen = true)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    exact.keySet.foreach { k =>
+      assert(screened(k)._3 == exact(k)._3, s"verdict mismatch at $k")
+      // a surviving pair is exact-confirmed, so its counts are exact too
+      if (screened(k)._3) assert(screened(k) == exact(k))
+    }
+    // the screen refutes clearly-failing pairs without an exact job:
+    // grp -> id has 3 determinant values against 5 pairs (ratio 1.67,
+    // far past the 1 + 8*rsd band even at tiny-n HLL exactness)
+    val pairs = (for { a <- cols; b <- cols if a != b } yield (Seq(a), b))
+    val (_, nExact) = KeyDiscovery.fdTuplesScreened(df, pairs, rsd = 0.02)
+    assert(nExact < pairs.size, s"screen refuted nothing: $nExact")
+    // staged composite walk under the screen keeps the same prune set
+    val stagedExact = KeyDiscovery.compositeFunctionalDependencies(df,
+        cols, Seq("grp", "id"), maxArity = 2)
+      .collect().map(r => (r.getString(0), r.getString(2)) -> r.getBoolean(5))
+      .toMap
+    val stagedScr = KeyDiscovery.compositeFunctionalDependencies(df,
+        cols, Seq("grp", "id"), maxArity = 2, approxScreen = true)
+      .collect().map(r => (r.getString(0), r.getString(2)) -> r.getBoolean(5))
+      .toMap
+    assert(stagedScr == stagedExact)
+  }
+
+  test("screenFdAgg prunes to its columns and plans no Expand") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Expand, LeafNode}
+    val agg = KeyDiscovery.screenFdAgg(df, Seq("grp"), "grp_val", rsd = 0.02)
+    val plan = agg.queryExecution.optimizedPlan
+    assert(plan.collect { case l: LeafNode => l }.size == 1)
+    assert(plan.collect { case e: Expand => e }.isEmpty)
+    val scanned = plan.collectLeaves().flatMap(_.output).map(_.name).toSet
+    assert(scanned.subsetOf(Set("grp", "grp_val")), s"scanned: $scanned")
+  }
+
   test("compositeCandidateKeys misuse guards are loud") {
     intercept[IllegalArgumentException] {
       KeyDiscovery.compositeCandidateKeys(df, Seq(Seq("id", "id")))
