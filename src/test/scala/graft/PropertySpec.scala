@@ -527,4 +527,48 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: composite FDs = brute force incl. the TANE prune; screens keep verdicts") {
+    val cell: Gen[Option[Int]] = Gen.frequency(
+      8 -> Gen.choose(0, 3).map(Some(_)), 1 -> Gen.const(None))
+    val gen = for {
+      n <- Gen.choose(2, 25)
+      rows <- Gen.listOfN(n, Gen.zip(cell, cell, cell))
+    } yield rows
+    forSamples(gen, 6) { rows =>
+      val df = rows.toDF("a", "b", "c")
+      val byName = Map("a" -> ((t: (Option[Int], Option[Int], Option[Int])) => t._1),
+        "b" -> ((t: (Option[Int], Option[Int], Option[Int])) => t._2),
+        "c" -> ((t: (Option[Int], Option[Int], Option[Int])) => t._3))
+      // brute force: X -> c over rows where every member of X and c are
+      // non-null, each X-tuple maps to at most one c
+      def bruteHolds(xs: Seq[String], c: String): Boolean = rows
+        .flatMap { t =>
+          val xv = xs.map(x => byName(x)(t))
+          val cv = byName(c)(t)
+          if (xv.forall(_.isDefined) && cv.isDefined)
+            Some(xv.map(_.get) -> cv.get) else None
+        }
+        .groupBy(_._1).values.forall(_.map(_._2).distinct.size <= 1)
+      val out = stats.KeyDiscovery.compositeFunctionalDependencies(df,
+          Seq("a", "b"), Seq("c"), maxArity = 2)
+        .collect().map(r => (r.getString(0), r.getString(2)) -> r.getBoolean(5))
+        .toMap
+      // verdicts match brute force on everything measured
+      out.foreach { case ((d, c), h) =>
+        assert(h == bruteHolds(d.split(",").toSeq, c), s"$d->$c on $rows")
+      }
+      // the TANE prune: (a,b)->c is measured iff NO single determinant
+      // already holds; when measured, its verdict is the brute-force one
+      val anySingle = bruteHolds(Seq("a"), "c") || bruteHolds(Seq("b"), "c")
+      assert(out.contains(("a,b", "c")) == !anySingle, s"prune on $rows")
+      // the refute-only screen never changes a verdict (tiny-n HLL is
+      // exact, so this is deterministic here)
+      val scr = stats.KeyDiscovery.compositeFunctionalDependencies(df,
+          Seq("a", "b"), Seq("c"), maxArity = 2, approxScreen = true)
+        .collect().map(r => (r.getString(0), r.getString(2)) -> r.getBoolean(5))
+        .toMap
+      assert(scr == out, s"screen drift on $rows")
+    }
+  }
 }
