@@ -419,7 +419,12 @@ object KeyDiscovery {
     * both, mis-refuting a true FD w.p. < 10⁻⁶). Non-refuted pairs pay
     * the exact confirm, so every `holds = true` is exact; refuted pairs
     * report the HLL estimates (±rsd) as their counts — documented
-    * approximate, the [[compositeCandidateKeys]] convention.
+    * approximate, the [[compositeCandidateKeys]] convention. Measured
+    * crossover (BENCH_SF1 r10, the q142/q144 lattice at 100× data):
+    * slightly slower than exact at 1× (sketch-job overhead), 2.1×
+    * FASTER at 100× — exact measures on near-unique determinants
+    * shuffle ~n distinct tuples per pair, the screen's refuted pairs
+    * shuffle two sketches. The bigger the table, the stronger the case.
     *
     * Output: (determinant, dependent, n_determinant, n_pairs, holds),
     * one row per ordered pair, pair order = nested column order.
