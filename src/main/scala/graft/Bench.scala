@@ -18,14 +18,21 @@ import java.nio.file.{Files, Paths}
   *    8.8 s (3.6→23.8) while both queries' best runs matched their known
   *    stable levels. A query whose initial spread exceeds `SPREAD_LIMIT`
   *    now RE-RUNS until the last `STABLE_K` consecutive runs agree within
-  *    `STABLE_BAND` AND that window's best is within `STABLE_BAND` of the
-  *    global best (a burst can make 3 consecutive SLOW runs agree — the
-  *    second clause rejects a stable-but-loaded window), then reports the
-  *    MIN of that stable window. If no stable window appears within
+  *    `STABLE_BAND` AND that window's best is within `STABLE_BAND` of a
+  *    robust floor — the SECOND-smallest run, not the absolute min, so a
+  *    single anomalously fast outlier can't force every later window to
+  *    fail (r10 ADVICE); a burst can make 3 consecutive SLOW runs agree —
+  *    the floor clause rejects a stable-but-loaded window — then reports
+  *    the MIN of that stable window. If no stable window appears within
   *    `MAX_RUNS` total runs, the query reports its global MIN and is
   *    flagged `polluted` in both the detail file and the stdout line —
   *    the artifact is self-describing about which values a load burst
   *    touched (r9 ADVICE: a consumer of the JSON alone must see it);
+  *  - END-OF-SUITE RETRY (r11): after the last query, each still-polluted
+  *    query gets one more stable-window attempt — mid-suite bursts have
+  *    usually passed by then. A found window replaces the value and clears
+  *    the flag; the first attempt's runs ship as `prior_runs` either way
+  *    (r10: q16 shipped flagged at 1.96 s after a 12-run burst straddle);
   *  - PER-QUERY LOAD SENSING (r10): before each query's timed runs the
   *    harness records /proc/loadavg (1-min field) and a ~40 ms
   *    single-thread constant-work micro-probe. Both land in
@@ -192,25 +199,32 @@ object Bench {
     val microBase = { microProbe(); Seq.fill(3)(microProbe()).min }
     case class QRes(name: String, value: Double, spread: Double,
                     warm: Double, timed: Seq[Double], escalated: Boolean,
-                    polluted: Boolean, loadavg: Double, micro: Double)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+                    polluted: Boolean, loadavg: Double, micro: Double,
+                    retried: Boolean = false, priorRuns: Seq[Double] = Nil)
+    // stable window: last stableK runs agree within stableBand AND their
+    // best is within stableBand of a ROBUST floor — the second-smallest
+    // run, not the absolute min, so one anomalously fast outlier during a
+    // burst cannot make the clause unsatisfiable and force a spurious
+    // polluted flag (r10 ADVICE)
+    def stableWindow(xs: Seq[Double]): Option[Seq[Double]] = {
+      if (xs.size < stableK) None
+      else {
+        val w = xs.takeRight(stableK)
+        val sorted = xs.sorted
+        val floor = sorted(math.min(1, sorted.size - 1))
+        val ok = w.max / math.max(w.min, 1e-9) <= stableBand &&
+          w.min <= stableBand * floor
+        if (ok) Some(w) else None
+      }
+    }
+    def measure(name: String,
+                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                doWarm: Boolean): QRes = {
       val la = loadAvg()
       val mp = { microProbe(); microProbe() }   // one warm, one recorded
-      val warm = time(fn)                       // untimed: codegen + warm-up
+      val warm = if (doWarm) time(fn) else -1.0 // untimed: codegen + warm-up
       var timed = Seq.fill(runs)(time(fn))
       val noisy = timed.max / math.max(timed.min, 1e-9) > spreadLimit
-      // stable window: last stableK runs agree within stableBand AND their
-      // best is within stableBand of the global best (rejects a window
-      // that is internally consistent but sitting on a load burst)
-      def stableWindow(xs: Seq[Double]): Option[Seq[Double]] = {
-        if (xs.size < stableK) None
-        else {
-          val w = xs.takeRight(stableK)
-          val ok = w.max / math.max(w.min, 1e-9) <= stableBand &&
-            w.min <= stableBand * xs.min
-          if (ok) Some(w) else None
-        }
-      }
       var win = if (noisy) stableWindow(timed) else Some(timed)
       while (noisy && win.isEmpty && timed.size < maxRuns) {
         timed = timed :+ time(fn)
@@ -219,6 +233,25 @@ object Bench {
       val value = win.map(_.min).getOrElse(timed.min)
       QRes(name, value, timed.max / math.max(timed.min, 1e-9), warm, timed,
         noisy, noisy && win.isEmpty, la, mp)
+    }
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) => measure(name, fn, doWarm = true)
+    }
+    // end-of-suite second chance (r10 VERDICT #2): a burst that hit a query
+    // mid-suite has usually passed by now — each polluted query gets one
+    // more stable-window attempt (no warm-up: JIT state persists). A found
+    // window replaces the value and clears the flag; otherwise the query
+    // stays flagged and reports the global min across BOTH attempts. The
+    // first attempt's runs ship as `prior_runs` either way.
+    val results = firstPass.map { r =>
+      if (!r.polluted) r
+      else {
+        val again = measure(r.name, SparkEntry.queries(r.name), doWarm = false)
+        if (!again.polluted)
+          again.copy(warm = r.warm, retried = true, priorRuns = r.timed)
+        else r.copy(value = math.min(r.value, again.value),
+          timed = again.timed, retried = true, priorRuns = r.timed)
+      }
     }
     val calibPost = calib()
     // the pin is only valid at CalibCpus cores — at any other parallelism
@@ -256,6 +289,9 @@ object Bench {
         s""""escalated": ${r.escalated}, "polluted": ${r.polluted}, """ +
         s""""loadavg": ${r3(r.loadavg)}, "micro": ${r3(r.micro)}, """ +
         s""""warmup": ${r3(r.warm)}, """ +
+        (if (r.retried)
+           s""""retried": true, "prior_runs": [${r.priorRuns.map(r3).mkString(", ")}], """
+         else "") +
         s""""runs": [${r.timed.map(r3).mkString(", ")}]}"""
     }.mkString(
       "{\n  \"__calib\": " + calibJson + ",\n" +

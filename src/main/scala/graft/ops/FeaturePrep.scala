@@ -151,9 +151,7 @@ object FeaturePrep {
     val nonNull = proj.where(col(valueCol).isNotNull).count()
     require(nonNull > 0, s"no non-null numeric values in $valueCol")
     val targets = Map(valueCol -> ps.map(p => p * (nonNull - 1)))
-    val (_, _, quants) = graft.stats.Describe.meltStatsFull(
-      proj, Seq(valueCol), targets, Set(valueCol))
-    quants(valueCol)
+    graft.stats.Describe.exactQuantiles(proj, targets)(valueCol)
   }
 
   /** Fitted robust-scaling parameters: exact interpolated quartiles
@@ -164,9 +162,8 @@ object FeaturePrep {
     def iqr: Double = q3 - q1
   }
 
-  /** One pass over the per-value count table (the same order-statistics
-    * machinery as [[fitQuantileBins]]) for the exact 25/50/75th
-    * percentiles.
+  /** The same sort-free order-statistics machinery as [[fitQuantileBins]]
+    * for the exact 25/50/75th percentiles.
     */
   def fitRobust(df: DataFrame, valueCol: String): RobustFit = {
     val Seq(q1, med, q3) = exactQuantiles(df, valueCol, Seq(0.25, 0.5, 0.75))

@@ -393,8 +393,8 @@ object Dependence {
         val keep = allCols.filterNot(dropped)
         // quantile-bin numeric cols with >2 distinct values
         // (reference: _bin_numeric_cols_into_categories.py:4-27). Exact
-        // quantile boundaries via the shared per-column order-statistics
-        // path — never `percentile`'s single-process distinct-value merge.
+        // quantile boundaries via the shared sort-free histogram walk —
+        // never `percentile`'s single-process distinct-value merge.
         val toBin = keep.filter(n => numericSet(n) && nunique(n) > 2)
         val boundaries: Map[String, Array[Double]] =
           if (toBin.isEmpty) Map.empty
@@ -402,8 +402,8 @@ object Dependence {
             val qs = (1 until numBins).map(_.toDouble / numBins)
             val binTargets = toBin.map(n =>
               n -> qs.map(p => p * (nonNull(n) - 1))).toMap
-            val (_, _, quants) = Describe.meltStatsFull(
-              prep.select(toBin.map(col): _*), toBin, binTargets, toBin.toSet)
+            val quants = Describe.exactQuantiles(
+              prep.select(toBin.map(col): _*), binTargets)
             toBin.map { n =>
               val bs = quants.get(n)
                 .map(_.filterNot(_.isNaN).distinct.sorted.toArray)

@@ -1,7 +1,6 @@
 package graft.stats
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -25,11 +24,6 @@ import graft.types.LogicalType
   */
 object Describe {
 
-  /** Exact quartiles use SQL `percentile` (sort-based, matching the
-    * reference's interpolated exact path, _get_describe_dict.py:163-185);
-    * `approx = true` switches to `percentile_approx` — the knob to prefer at
-    * 100 TB where an exact percentile is a global sort.
-    */
   /** Columns describe operates on: index/time_index excluded
     * (reference: _get_describe_dict.py:96-99), optional include selectors.
     */
@@ -107,10 +101,12 @@ object Describe {
     val nonNullOf: Map[String, Long] = cols.map { case (n, _) =>
       n -> statOf(n).getLong(1)
     }.toMap
-    // exact nunique, mode AND exact quartiles all come out of the single
-    // melt job below: one (column,value) shuffle instead of a count_distinct
-    // Expand + a percentile ObjectHashAggregate (whose final merge holds
-    // every distinct value in one process — a non-starter at 100 TB)
+    // exact nunique + mode come out of the single melt job below (one
+    // (column,value) shuffle instead of a count_distinct Expand); exact
+    // quartiles ride the same per-column task via the sort-free histogram
+    // walk — never a percentile ObjectHashAggregate (whose final merge
+    // holds every distinct value in one process — a non-starter at 100 TB)
+    // and never a Sort node
     val quartileTargets: Map[String, Seq[Double]] =
       if (approx) Map.empty
       else numCols.filter(n => nonNullOf(n) > 0).map { n =>
@@ -200,14 +196,161 @@ object Describe {
     (r._1, r._2)
   }
 
-  /** Distinct-value count below which a column's cumulative sums run as one
-    * single-task window over the (already-reduced) per-value counts; above
-    * it, the range-partitioned prefix-sum path takes over.
-    */
-  private val SingleTaskBound = 1L * 1000 * 1000
-
   private def runConcurrently[A](items: Seq[A])(work: A => Unit): Unit =
     graft.util.Concurrency.runConcurrently(items)(work)
+
+  /** Buckets per region and level of the exact-quantile histogram walk:
+    * regions·4096 groups per agg keeps the shuffle a few KB while shrinking
+    * region width ~4096× per level.
+    */
+  private[graft] val QuantileBuckets = 4096
+
+  /** Exact interpolated order statistics with NO Sort node anywhere:
+    * iterative histogram narrowing. Each level partitions every unresolved
+    * value region into [[QuantileBuckets]] equal-width buckets with ONE
+    * narrow agg over the raw column (count/min/max per bucket — map-side
+    * combined, so the shuffle carries ≤ regions·buckets rows regardless of
+    * data size). A bucket whose observed min == max is a single distinct
+    * value and resolves every rank that falls inside it; any other bucket
+    * holding a wanted rank recurses with its OBSERVED [min,max] as the next
+    * region bounds. Both region endpoints always land in different buckets
+    * (v=lo → bucket 0, v=hi → clamp(⌊B⌋) = B−1), so width shrinks ~B× per
+    * level and an adjacent-double region splits into two single-valued
+    * buckets — ≤ log_B(width/ulp) levels for any double column (≈6 worst
+    * case, 2–3 in practice). This replaces the former range-partitioned
+    * prefix-sum walk over the distinct-value table, whose per-partition
+    * Sort made exact describe the suite's worst scale ratio (8.8× at 30×,
+    * BENCH_SF1 §r10.3): at 100 TB the levels are narrow column scans with
+    * bounded shuffles, and nothing ever sorts.
+    *
+    * `targets` maps column → fractional order-statistic positions p·(n−1);
+    * interpolation matches SQL `percentile`:
+    * v_lo·(⌈pos⌉−pos) + v_hi·(pos−⌊pos⌋). `stats` optionally supplies
+    * per-column (nonNullCount, min, max) a caller already aggregated (the
+    * describe/boxplot paths have them); missing entries are computed in one
+    * batched agg. Columns with zero non-null values are absent from the
+    * result. NaN values follow Spark's sort order (greater than any real);
+    * a rank that lands among NaNs resolves to NaN.
+    */
+  def exactQuantiles(df: DataFrame, targets: Map[String, Seq[Double]],
+                     stats: Map[String, (Long, Double, Double)] = Map.empty)
+      : Map[String, Seq[Double]] = {
+    if (targets.isEmpty) return Map.empty
+    val missing = targets.keys.filterNot(stats.contains).toSeq
+    val computed: Map[String, (Long, Double, Double)] =
+      if (missing.isEmpty) Map.empty
+      else {
+        val exprs = missing.map { n =>
+          val d = col(n).cast(DoubleType)
+          n -> struct(count(d), min(d), max(d)).as(n)
+        }
+        batchedStructAgg(df, exprs).map { case (n, s) =>
+          n -> ((s.getLong(0),
+            if (s.isNullAt(1)) Double.NaN else s.getDouble(1),
+            if (s.isNullAt(2)) Double.NaN else s.getDouble(2)))
+        }
+      }
+    val all = stats ++ computed
+    val out = new java.util.concurrent.ConcurrentHashMap[String, Seq[Double]]()
+    runConcurrently(targets.toSeq) { case (n, ps) =>
+      val (cnt, mn, mx) = all(n)
+      if (cnt > 0) {
+        val v = col(n).cast(DoubleType)
+        out.put(n, bisectColumn(
+          df.select(v.as("v")).where(v.isNotNull), ps, cnt, mn, mx))
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    out.asScala.toMap
+  }
+
+  /** One unresolved value region of the histogram walk: the predicate chain
+    * that defines membership, its observed [lo,hi] bounds, the global rank
+    * of its first value (`offset`), and the wanted ranks inside it.
+    */
+  private final case class QRegion(filter: Column, lo: Double, hi: Double,
+                                   offset: Long, ranks: Seq[Long])
+
+  /** Core of [[exactQuantiles]] for one column. `base` is the single-column
+    * non-null projection named "v"; `cnt`/`mn`/`mx` its non-null count and
+    * bounds.
+    */
+  private def bisectColumn(base: DataFrame, positions: Seq[Double],
+                           cnt: Long, mn: Double, mx: Double): Seq[Double] = {
+    val B = QuantileBuckets
+    val v = col("v")
+    // bucket assignment for a region [lo,hi]; membership of the NEXT level
+    // is defined by this same expression (`=== b`), so driver-side boundary
+    // arithmetic can never disagree with executor-side assignment
+    def mkBucket(lo: Double, hi: Double): Column = {
+      val w = hi - lo
+      if (java.lang.Double.isFinite(w) && w > 0)
+        // NaN shares the top bucket with the largest reals (Spark sorts NaN
+        // last); the child level's NaN branch peels them apart
+        when(isnan(v), lit(B - 1)).otherwise(
+          least(greatest(floor((v - lit(lo)) / lit(w) * B).cast(IntegerType),
+            lit(0)), lit(B - 1)))
+      else if (lo.isNaN || hi.isNaN)
+        // mixed real/NaN region: one split peels the NaNs off the top
+        when(isnan(v), lit(1)).otherwise(lit(0))
+      else {
+        // ±Infinity endpoints make equal width degenerate: halve by compare
+        val mid = if (lo.isNegInfinity && hi.isPosInfinity) 0.0
+                  else lo / 2 + hi / 2
+        when(isnan(v), lit(1)).when(v < lit(mid), lit(0)).otherwise(lit(1))
+      }
+    }
+    val resolved = scala.collection.mutable.Map.empty[Long, Double]
+    val wanted = positions
+      .flatMap(p => Seq(math.floor(p).toLong, math.ceil(p).toLong))
+      .distinct.filter(r => r >= 0 && r < cnt)
+    var regions: List[QRegion] =
+      if (wanted.isEmpty) Nil
+      else if (mn == mx) { wanted.foreach(r => resolved(r) = mn); Nil }
+      else if (mn.isNaN && mx.isNaN) { wanted.foreach(r => resolved(r) = mn); Nil }
+      else List(QRegion(lit(true), mn, mx, 0L, wanted))
+    var level = 0
+    while (regions.nonEmpty && level < 64) {
+      level += 1
+      val buckets = regions.map(r => mkBucket(r.lo, r.hi))
+      val rid = regions.zipWithIndex.foldRight(lit(-1)) {
+        case ((reg, i), acc) => when(reg.filter, lit(i)).otherwise(acc)
+      }
+      val bk = regions.zip(buckets).foldRight(lit(-1)) {
+        case ((reg, b), acc) => when(reg.filter, b).otherwise(acc)
+      }
+      val rows = base.where(regions.map(_.filter).reduce(_ || _))
+        .groupBy(rid.as("rid"), bk.as("b"))
+        .agg(count(lit(1)).as("c"), min(v).as("mn"), max(v).as("mx"))
+        .collect()
+      val byRegion = rows.groupBy(_.getInt(0))
+      val next = List.newBuilder[QRegion]
+      regions.zipWithIndex.foreach { case (reg, i) =>
+        val bs = byRegion.getOrElse(i, Array.empty).sortBy(_.getInt(1))
+        var cum = reg.offset
+        bs.foreach { r =>
+          val b = r.getInt(1); val c = r.getLong(2)
+          val bmn = r.getDouble(3); val bmx = r.getDouble(4)
+          val inside = reg.ranks.filter(rk => rk >= cum && rk < cum + c)
+          if (inside.nonEmpty) {
+            if (bmn == bmx || (bmn.isNaN && bmx.isNaN))
+              inside.foreach(rk => resolved(rk) = bmn)
+            else next += QRegion(reg.filter && (buckets(i) === b),
+              bmn, bmx, cum, inside)
+          }
+          cum += c
+        }
+      }
+      regions = next.result()
+    }
+    positions.map { pos =>
+      val lo = math.floor(pos).toLong
+      val hi = math.ceil(pos).toLong
+      def at(ix: Long): Double = resolved.getOrElse(ix, Double.NaN)
+      if (lo == hi) at(lo)
+      else at(lo) * (hi - pos) + at(hi) * (pos - lo)
+    }
+  }
 
   /** Per-column group statistics feeding describe:
     *
@@ -215,10 +358,9 @@ object Describe {
     *     max count with smallest-value tie-break (pandas `mode()[0]`; numeric
     *     columns tie-break on the numeric value, strings lexicographically);
     *   - exact nunique: the group count;
-    *   - exact quartiles: order statistics over the (value, count) groups —
-    *     a single-task window for bounded cardinalities, range-partitioned
-    *     per-partition prefix sums + driver-side offsets above the bound.
-    *     Never `percentile`'s single-process distinct-value merge.
+    *   - exact quartiles: delegated to the sort-free histogram walk
+    *     ([[exactQuantiles]]/bisectColumn), seeded with the count/min/max
+    *     this job's own agg already produced — zero extra stat scans.
     *
     * One small groupBy job per column, run CONCURRENTLY: parquet column
     * pruning means k single-column scans read the same bytes as one k-column
@@ -246,28 +388,15 @@ object Describe {
     val nuniques = new java.util.concurrent.ConcurrentHashMap[String, Long]()
     val quartiles = new java.util.concurrent.ConcurrentHashMap[String, Seq[Double]]()
 
-    def interpolate(ps: Seq[Double],
-                    hits: Array[(Double, Long, Long)]): Seq[Double] = {
-      def valueAt(ix: Long): Double =
-        hits.collectFirst {
-          case (v, lo, cnt) if lo <= ix && ix < lo + cnt => v
-        }.getOrElse(Double.NaN)
-      ps.map { pos =>
-        val lo = math.floor(pos).toLong
-        val hi = math.ceil(pos).toLong
-        if (lo == hi) valueAt(lo)
-        else valueAt(lo) * (hi - pos) + valueAt(hi) * (pos - lo)
-      }
-    }
-
     runConcurrently(cols) { n =>
       val isNum = numish(n)
       val v = if (isNum) col(n).cast(DoubleType) else col(n).cast(StringType)
-      val g = df.select(v.as("v")).where(col("v").isNotNull)
-        .groupBy("v").agg(count(lit(1)).as("cnt"))
+      val base = df.select(v.as("v")).where(col("v").isNotNull)
+      val g = base.groupBy("v").agg(count(lit(1)).as("cnt"))
       val top = g
         .agg(min(struct((-col("cnt")).as("negCnt"), col("v"))).as("top"),
-          count(lit(1)).as("nu"))
+          count(lit(1)).as("nu"), sum(col("cnt")).as("nn"),
+          min(col("v")).as("mn"), max(col("v")).as("mx"))
         .head()
       val nu = top.getLong(1)
       if (nu > 0) {
@@ -282,41 +411,8 @@ object Describe {
         if (modeStr != null) modes.put(n, modeStr)
 
         targets.get(n).foreach { ps =>
-          val idxs = ps.flatMap(p =>
-            Seq(math.floor(p).toLong, math.ceil(p).toLong)).distinct
-          def cond = idxs.map(ix =>
-            col("cumLess") <= ix && lit(ix) < col("cumLess") + col("cnt"))
-            .reduce(_ || _)
-          val hits: Array[(Double, Long, Long)] =
-            if (nu <= SingleTaskBound) {
-              val w = Window.orderBy(col("v"))
-                .rowsBetween(Window.unboundedPreceding, -1)
-              g.withColumn("cumLess", coalesce(sum(col("cnt")).over(w), lit(0L)))
-                .where(cond).select("v", "cumLess", "cnt").collect()
-                .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
-            } else {
-              val parts = math.max(
-                df.sparkSession.sparkContext.defaultParallelism, 4)
-              val gn = g.repartitionByRange(parts, col("v"))
-                .withColumn("pid", spark_partition_id()).cache()
-              try {
-                val partSums = gn.groupBy("pid").agg(sum("cnt").as("s"))
-                  .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-                val pids = partSums.keys.toSeq.sorted
-                val prefix = pids.scanLeft(0L)((acc, p) => acc + partSums(p))
-                val offsetOf = pids.zip(prefix).toMap
-                val offExpr = pids.foldLeft(lit(0L)) { (acc, p) =>
-                  when(col("pid") === p, lit(offsetOf(p))).otherwise(acc)
-                }
-                val w = Window.partitionBy("pid").orderBy(col("v"))
-                  .rowsBetween(Window.unboundedPreceding, -1)
-                gn.withColumn("cumLess",
-                    coalesce(sum(col("cnt")).over(w), lit(0L)) + offExpr)
-                  .where(cond).select("v", "cumLess", "cnt").collect()
-                  .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
-              } finally gn.unpersist()
-            }
-          quartiles.put(n, interpolate(ps, hits))
+          quartiles.put(n, bisectColumn(base, ps,
+            top.getLong(2), top.getDouble(3), top.getDouble(4)))
         }
       }
     }

@@ -25,9 +25,11 @@ object Outliers {
 
   /** Exact {min, q1, median, q3, max} per column WITHOUT `percentile`'s
     * ObjectHashAggregate (whose final merge holds every distinct value in one
-    * process): min/max/count from one cheap agg, quartiles from the melt
-    * order-statistics path shared with describe. Interpolation is identical
-    * to SQL percentile, so oracle parity carries over.
+    * process): min/max/count from one cheap agg, quartiles from the shared
+    * sort-free histogram walk ([[graft.stats.Describe.exactQuantiles]]),
+    * seeded with this agg's count/min/max so no stat scan repeats.
+    * Interpolation is identical to SQL percentile, so oracle parity carries
+    * over.
     */
   private def quantilesFor(df: DataFrame, cols: Seq[String])
       : Map[String, (Double, Double, Double, Double, Double)] = {
@@ -47,7 +49,9 @@ object Outliers {
       n -> Seq(0.25, 0.5, 0.75).map(p => p * (cnt(n) - 1))
     }.toMap
     val casted = df.select(cols.map(n => col(n).cast(DoubleType).as(n)): _*)
-    val (_, _, quarts) = Describe.meltStatsFull(casted, cols, targets, cols.toSet)
+    val stats = targets.keys.map(n =>
+      n -> ((cnt(n), d(s"mn__$n"), d(s"mx__$n")))).toMap
+    val quarts = Describe.exactQuantiles(casted, targets, stats)
     cols.map { n =>
       val q = quarts.getOrElse(n, Seq(Double.NaN, Double.NaN, Double.NaN))
       n -> (d(s"mn__$n"), q(0), q(1), q(2), d(s"mx__$n"))
