@@ -2445,7 +2445,8 @@ object Oracles {
       val dp = s"CAST(count(DISTINCT ($a, $b)) FILTER " +
         s"(WHERE $a IS NOT NULL AND $b IS NOT NULL) AS BIGINT)"
       s"""SELECT '$a' AS determinant, '$b' AS dependent,
-         |  $da AS n_determinant, $dp AS n_pairs, ($da = $dp) AS holds
+         |  $da AS n_determinant, $dp AS n_pairs, ($da = $dp) AS holds,
+         |  TRUE AS is_exact
          |FROM orders""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""$rows
@@ -2713,7 +2714,8 @@ object Oracles {
       val z = s"CAST(count(*) FILTER (WHERE $anyNull) AS BIGINT)"
       s"""SELECT '$name' AS key_columns, ${cs.size} AS arity,
          |  CAST(count(*) AS BIGINT) AS n_rows, $d AS n_distinct,
-         |  $z AS n_null_rows, ($z = 0 AND $d = count(*)) AS is_key
+         |  $z AS n_null_rows, ($z = 0 AND $d = count(*)) AS is_key,
+         |  TRUE AS is_exact
          |FROM lineitem""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""$rows
@@ -2750,7 +2752,8 @@ object Oracles {
       val z = s"CAST(count(*) FILTER (WHERE $anyNull) AS BIGINT)"
       s"""SELECT '$name' AS key_columns, ${cs.size} AS arity,
          |  CAST(count(*) AS BIGINT) AS n_rows, $d AS n_distinct,
-         |  $z AS n_null_rows, ($z = 0 AND $d = count(*)) AS is_key
+         |  $z AS n_null_rows, ($z = 0 AND $d = count(*)) AS is_key,
+         |  TRUE AS is_exact
          |FROM customer""".stripMargin
     }
     val k1 = cols.map(c =>
@@ -2793,7 +2796,7 @@ object Oracles {
       val dp = s"CAST(count(DISTINCT $pTuple) FILTER (WHERE $allNN) AS BIGINT)"
       s"""SELECT '$name' AS determinant, ${xs.size} AS arity,
          |  '$c' AS dependent, $da AS n_determinant, $dp AS n_pairs,
-         |  ($da = $dp) AS holds
+         |  ($da = $dp) AS holds, TRUE AS is_exact
          |FROM orders""".stripMargin
     }
     val h1 = (for { x <- dets; c <- deps } yield {
@@ -2835,6 +2838,68 @@ object Oracles {
     s"""SELECT determinant, arity, dependent, holds FROM (
        |$q142
        |) ORDER BY determinant, dependent""".stripMargin
+
+  /** q145: the q142 pattern extended to arity 3 — holding CTEs at arity
+    * 1 AND 2, each level gated on "no holding subset at any smaller
+    * arity". An UNMEASURED holding pair always contains a holding
+    * single, so gating on all-pairs `holds` (which SQL can state
+    * directly) selects exactly the engine's Apriori-generated measure
+    * set.
+    */
+  val q145: String = {
+    val dets = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority")
+    val dep = "o_totalprice"
+    def measure(xs: Seq[String]): String = {
+      val name = xs.mkString(",")
+      val allNN = (xs :+ dep).map(x => s"$x IS NOT NULL").mkString(" AND ")
+      val xTuple = if (xs.size == 1) xs.head else s"(${xs.mkString(", ")})"
+      val pTuple = s"(${(xs :+ dep).mkString(", ")})"
+      val da = s"CAST(count(DISTINCT $xTuple) FILTER (WHERE $allNN) AS BIGINT)"
+      val dp = s"CAST(count(DISTINCT $pTuple) FILTER (WHERE $allNN) AS BIGINT)"
+      s"""SELECT '$name' AS determinant, ${xs.size} AS arity,
+         |  '$dep' AS dependent, $da AS n_determinant, $dp AS n_pairs,
+         |  ($da = $dp) AS holds, TRUE AS is_exact
+         |FROM orders""".stripMargin
+    }
+    def holdsSelect(xs: Seq[String]): String = {
+      val nn = (xs :+ dep).map(x => s"$x IS NOT NULL").mkString(" AND ")
+      val xT = if (xs.size == 1) xs.head else s"(${xs.mkString(", ")})"
+      val pT = s"(${(xs :+ dep).mkString(", ")})"
+      s"""SELECT '${xs.mkString(",")}' AS d,
+         |  (count(DISTINCT $xT) FILTER (WHERE $nn) =
+         |   count(DISTINCT $pT) FILTER (WHERE $nn)) AS holds
+         |FROM orders""".stripMargin
+    }
+    val h1 = dets.map(x => holdsSelect(Seq(x))).mkString("\nUNION ALL\n")
+    val h2 = dets.combinations(2).toSeq.map(holdsSelect)
+      .mkString("\nUNION ALL\n")
+    def gate(body: String, subsets: Seq[Seq[String]]): String = {
+      val singles = subsets.filter(_.size == 1)
+        .map(s => s"'${s.head}'").mkString(", ")
+      val pairs = subsets.filter(_.size == 2)
+        .map(s => s"'${s.mkString(",")}'").mkString(", ")
+      val g1 =
+        s"NOT EXISTS (SELECT 1 FROM h1 WHERE h1.holds AND h1.d IN ($singles))"
+      val g2 = if (pairs.isEmpty) "" else
+        s" AND NOT EXISTS (SELECT 1 FROM h2 WHERE h2.holds AND h2.d IN ($pairs))"
+      s"""SELECT * FROM (
+         |$body
+         |) t WHERE $g1$g2""".stripMargin
+    }
+    val a1 = dets.map(x => measure(Seq(x)))
+    val a2 = dets.combinations(2).toSeq.map(xs =>
+      gate(measure(xs), xs.map(Seq(_))))
+    val a3 = dets.combinations(3).toSeq.map(xs =>
+      gate(measure(xs), xs.map(Seq(_)) ++ xs.combinations(2).toSeq))
+    s"""WITH h1 AS (
+       |$h1
+       |), h2 AS (
+       |$h2
+       |)
+       |${(a1 ++ a2 ++ a3).mkString("\nUNION ALL\n")}
+       |ORDER BY determinant, dependent""".stripMargin
+  }
 
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
@@ -2930,6 +2995,7 @@ object Oracles {
       "q142_composite_fds" -> q142,
       "q143_screened_keys" -> q143,
       "q144_screened_fds" -> q144,
+      "q145_staged_fds3" -> q145,
       "q03_value_counts_orders" -> q03,
       "q04_histogram_price" -> q04,
       "q05_pearson_lineitem" -> q05,

@@ -2229,7 +2229,7 @@ object Queries {
   def q143ScreenedKeys(s: SparkSession, dir: String): DataFrame =
     stats.KeyDiscovery.discoverKeysStaged(table(s, dir, "customer"),
         Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"),
-        maxArity = 2, approxScreen = true)
+        maxArity = 2, screen = stats.KeyDiscovery.Screen.Hll)
       .select("key_columns", "arity", "n_rows", "n_null_rows", "is_key")
       .orderBy("key_columns")
 
@@ -2243,8 +2243,25 @@ object Queries {
         table(s, dir, "orders"),
         Seq("o_orderkey", "o_custkey", "o_orderstatus"),
         Seq("o_orderpriority", "o_totalprice"),
-        maxArity = 2, approxScreen = true)
+        maxArity = 2, screen = stats.KeyDiscovery.Screen.Hll)
       .select("determinant", "arity", "dependent", "holds")
+      .orderBy("determinant", "dependent")
+
+  /** The TANE walk to arity THREE (r11): o_orderkey → o_totalprice holds
+    * at arity 1, so every determinant set containing it is pruned at
+    * every level; the remaining three columns walk the full lattice —
+    * three singles, three pairs, one triple — all measured because
+    * nothing below the triple holds. Pins the Apriori level generation
+    * end-to-end: the arity-3 candidate can only be produced from the
+    * arity-2 non-holding survivors, and the oracle gates each level on
+    * "no holding subset at ANY smaller arity" in SQL.
+    */
+  def q145StagedFds3(s: SparkSession, dir: String): DataFrame =
+    stats.KeyDiscovery.compositeFunctionalDependencies(
+        table(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"),
+        Seq("o_totalprice"),
+        maxArity = 3)
       .orderBy("determinant", "dependent")
 
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
@@ -2427,6 +2444,7 @@ object Queries {
     "q142_composite_fds" -> (q142CompositeFds _),
     "q143_screened_keys" -> (q143ScreenedKeys _),
     "q144_screened_fds" -> (q144ScreenedFds _),
+    "q145_staged_fds3" -> (q145StagedFds3 _),
     "q140_multifield_linkage" -> (q140MultiFieldLinkage _)
   )
 }

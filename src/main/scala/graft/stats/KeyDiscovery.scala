@@ -32,7 +32,9 @@ import org.apache.spark.sql.types._
   *
   * APPROX SCREEN (the 100 TB shape): each exact `count_distinct` shuffles
   * every distinct tuple — for a near-unique candidate that is the whole
-  * table crossing the wire, per candidate. `approxScreen = true` first
+  * table crossing the wire, per candidate. `screen = Hll` (or `Auto` on
+  * a frame past the measured crossover — see [[KeyDiscovery.Screen]])
+  * first
   * measures every candidate with `approx_count_distinct` (HLL++ — the
   * shuffle is one fixed-size sketch, not the tuples) in concurrent
   * narrow jobs, and pays the exact shuffle ONLY for candidates the
@@ -41,9 +43,9 @@ import org.apache.spark.sql.types._
   * estimate reads below (1 − ε)·n with ε = 5·rsd (HLL++ NDV error is
   * ≈ Gaussian with σ = rsd, so a 5σ screen mis-skips a true key with
   * probability < 3·10⁻⁷). Screened-out candidates report the HLL
-  * estimate (±rsd) as `n_distinct` — documented approximate, mirroring
-  * the exact/approx `describe` convention; candidates that survive the
-  * screen carry exact counts and an exact verdict. ProbeScreen at sf0.1
+  * estimate (±rsd) as `n_distinct` with `is_exact = false` — the schema
+  * itself marks which rows are sketch estimates; candidates that survive
+  * the screen carry exact counts and an exact verdict. ProbeScreen at sf0.1
   * (30-candidate lineitem lattice): 19/30 exact jobs skipped, shuffle
   * volume collapses to the confirms — wall-clock parity locally (the
   * in-memory shuffle is cheap at one box), the savings are wire bytes.
@@ -53,6 +55,45 @@ import org.apache.spark.sql.types._
   * [[MaxCandidates]] and profile a wide table in staged batches.
   */
 object KeyDiscovery {
+
+  /** Measurement-plan selector for the distinct-count measures: `Exact`
+    * pays an exact `count_distinct` shuffle per candidate; `Hll` applies
+    * the object doc's HLL screen (screen-then-confirm for keys,
+    * refute-only for FDs); `Auto` resolves per call from the optimizer's
+    * scan-size estimate — `Hll` when the frame reads at least
+    * [[AutoScreenBytes]], `Exact` below. The switch point encodes the
+    * measured crossover (BENCH_SF1 §r10, the q142/q144 lattice): the
+    * screen is ~par with exact at sf0.1 (orders reads a few MB) and 2.1×
+    * faster at 100×, so the threshold sits safely inside that span —
+    * below it the sketch-job overhead buys nothing, above it every
+    * skipped exact measure saves a distinct-tuple shuffle. Verdict
+    * semantics are screen-mode-invariant: every row a screened call
+    * returns with `is_exact = true` carries exact counts, and only
+    * screened-out/refuted rows carry sketch estimates (their `is_exact =
+    * false` says so in the artifact itself).
+    */
+  sealed trait Screen
+  object Screen {
+    case object Exact extends Screen
+    case object Hll extends Screen
+    case object Auto extends Screen
+  }
+
+  /** [[Screen.Auto]]'s switch point, compared against the logical plan's
+    * `stats.sizeInBytes` estimate (for a parquet scan: the file bytes to
+    * read after partition pruning). 256 MB ≈ 10× the sf0.1 lattice
+    * tables where exact and screen measure at parity — decisively below
+    * the 100× replicas where the screen measures 2.1× faster.
+    */
+  val AutoScreenBytes: Long = 256L << 20
+
+  private def useHll(df: DataFrame, screen: Screen): Boolean = screen match {
+    case Screen.Exact => false
+    case Screen.Hll   => true
+    case Screen.Auto  =>
+      df.queryExecution.optimizedPlan.stats.sizeInBytes >=
+        BigInt(AutoScreenBytes)
+  }
 
   /** Candidate-key profile for the given columns: exact distinct count,
     * null count, and whether the column uniquely identifies rows
@@ -96,9 +137,9 @@ object KeyDiscovery {
     * Each candidate measures in its own narrow CONCURRENT job (see the
     * object doc for the measured jobs-vs-Expand tradeoff; `scanOnce =
     * true` selects the one-scan batched aggregation instead, and
-    * `approxScreen = true` the HLL screen-then-confirm path — the object
-    * doc states its error bound and the approximate `n_distinct` for
-    * screened-out candidates). The scale knob is the candidate count:
+    * `screen` the HLL screen-then-confirm path — the object doc states
+    * its error bound; `is_exact` marks per row whether its counts are
+    * exact or sketch estimates). The scale knob is the candidate count:
     * `MaxCandidates` bounds one call (concurrent driver-job fan-out, or
     * Expand row copies under `scanOnce`); search a wide lattice in
     * staged batches — run arity 1 first and drop every tuple containing
@@ -106,24 +147,26 @@ object KeyDiscovery {
     * TANE-style prune [[discoverKeysStaged]] automates.
     *
     * Output: (key_columns comma-joined, arity, n_rows, n_distinct,
-    * n_null_rows, is_key), one row per candidate in the given order.
+    * n_null_rows, is_key, is_exact), one row per candidate in the given
+    * order.
     */
   def compositeCandidateKeys(df: DataFrame,
                              candidates: Seq[Seq[String]],
                              scanOnce: Boolean = false,
-                             approxScreen: Boolean = false,
+                             screen: Screen = Screen.Exact,
                              screenRsd: Double = 0.02): DataFrame = {
-    require(!(scanOnce && approxScreen),
-      "scanOnce and approxScreen are alternative plans — pick one")
+    val hll = useHll(df, screen)
+    require(!(scanOnce && hll),
+      "scanOnce and the HLL screen are alternative plans — pick one")
     validateCandidates(df, candidates)
-    val profiles =
+    val profiles: Seq[((Long, Long, Long), Boolean)] =
       if (scanOnce) {
         val r = compositeKeyAgg(df, candidates).head()
         val n = r.getLong(0)
         candidates.indices.map(i =>
-          (n, r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)))
-      } else if (approxScreen) profileTuplesScreened(df, candidates, screenRsd)._1
-      else profileTuples(df, candidates)
+          ((n, r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)), true))
+      } else if (hll) profileTuplesScreened(df, candidates, screenRsd)._1
+      else profileTuples(df, candidates).map((_, true))
     compositeResult(df.sparkSession, candidates.zip(profiles))
   }
 
@@ -142,18 +185,24 @@ object KeyDiscovery {
     }
   }
 
+  /** `is_exact` is the self-describing marker for screened calls: a
+    * `false` row's `n_distinct` is an HLL estimate (±rsd), every `true`
+    * row carries exact counts (r10 ADVICE — the convention is now a
+    * schema-level fact, not a scaladoc warning).
+    */
   private val compositeSchema = StructType(Seq(
     StructField("key_columns", StringType, nullable = false),
     StructField("arity", IntegerType, nullable = false),
     StructField("n_rows", LongType, nullable = false),
     StructField("n_distinct", LongType, nullable = false),
     StructField("n_null_rows", LongType, nullable = false),
-    StructField("is_key", BooleanType, nullable = false)))
+    StructField("is_key", BooleanType, nullable = false),
+    StructField("is_exact", BooleanType, nullable = false)))
 
   private def compositeResult(spark: SparkSession,
-      profiled: Seq[(Seq[String], (Long, Long, Long))]): DataFrame = {
-    val rows = profiled.map { case (cs, (n, d, z)) =>
-      Row(cs.mkString(","), cs.size, n, d, z, z == 0L && d == n)
+      profiled: Seq[(Seq[String], ((Long, Long, Long), Boolean))]): DataFrame = {
+    val rows = profiled.map { case (cs, ((n, d, z), exact)) =>
+      Row(cs.mkString(","), cs.size, n, d, z, z == 0L && d == n, exact)
     }
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
       compositeSchema)
@@ -178,11 +227,37 @@ object KeyDiscovery {
     */
   def discoverKeys(df: DataFrame, cols: Seq[String],
                    maxArity: Int = 2,
-                   approxScreen: Boolean = false): DataFrame = {
+                   screen: Screen = Screen.Exact,
+                   screenRsd: Double = 0.02): DataFrame = {
     require(maxArity >= 1, s"need maxArity >= 1, got $maxArity")
     val tuples = (1 to maxArity)
       .flatMap(k => cols.combinations(k).toSeq)
-    compositeCandidateKeys(df, tuples, approxScreen = approxScreen)
+    compositeCandidateKeys(df, tuples, screen = screen, screenRsd = screenRsd)
+  }
+
+  /** Apriori candidate generation (Agrawal & Srikant 1994 — the same
+    * level rule TANE's lattice walk uses): size-(k+1) candidates are
+    * unions of two size-k SURVIVORS sharing a (k−1)-prefix, kept only
+    * when every k-subset also survived. Output-equivalent to enumerating
+    * `cols.combinations(k+1)` and filtering against the pruned sets, but
+    * the driver-side work is bounded by the survivor count, not the full
+    * lattice — 50 columns at maxArity 5 no longer materializes 2M
+    * combinations to discard most of them. Candidates emerge sorted in
+    * lattice (column-index) order, matching `combinations` order.
+    */
+  private def aprioriNextLevel(survivors: Seq[Seq[String]],
+                               idx: Map[String, Int]): Seq[Seq[String]] = {
+    import scala.math.Ordering.Implicits.seqOrdering
+    val survivorSet = survivors.map(_.toSet).toSet
+    survivors.groupBy(_.init).toSeq.flatMap { case (prefix, group) =>
+      val lasts = group.map(_.last).sortBy(idx)
+      for {
+        i <- lasts.indices
+        j <- (i + 1) until lasts.size
+        cand = (prefix :+ lasts(i)) :+ lasts(j)
+        if cand.toSet.subsets(cand.size - 1).forall(survivorSet.contains)
+      } yield cand
+    }.sortBy(_.map(idx))
   }
 
   /** Arity-STAGED key search with TANE-style pruning (Huhtala et al.
@@ -195,12 +270,17 @@ object KeyDiscovery {
     * wide lattice never exceeds the per-call budget and the prune
     * shrinks level k+1 by every key level k found (on a table whose
     * single-column id is a key, arity 2 over n columns measures
-    * C(n−1, 2) tuples instead of C(n, 2)).
+    * C(n−1, 2) tuples instead of C(n, 2)). Levels generate
+    * Apriori-style from the previous level's non-key survivors
+    * ([[aprioriNextLevel]]) — identical output to enumerate-then-filter,
+    * driver work bounded by survivors instead of C(n, a), which is what
+    * makes arity 3+ walks over wide tables feasible.
     *
-    * `approxScreen` applies the object doc's HLL screen-then-confirm
-    * path at every level — on a wide lattice where most tuples are far
-    * from unique, the exact distinct shuffles collapse to one sketch
-    * batch per level plus confirms for the few near-keys.
+    * `screen = Hll` (or `Auto` on a large frame) applies the object
+    * doc's HLL screen-then-confirm path at every level — on a wide
+    * lattice where most tuples are far from unique, the exact distinct
+    * shuffles collapse to one sketch batch per level plus confirms for
+    * the few near-keys.
     *
     * Output: the [[compositeCandidateKeys]] schema over every MEASURED
     * candidate, in lattice order — pruned supersets are absent by
@@ -209,28 +289,34 @@ object KeyDiscovery {
     */
   def discoverKeysStaged(df: DataFrame, cols: Seq[String],
                          maxArity: Int = 2,
-                         approxScreen: Boolean = false,
+                         screen: Screen = Screen.Exact,
                          screenRsd: Double = 0.02): DataFrame = {
     require(maxArity >= 1, s"need maxArity >= 1, got $maxArity")
     require(cols.nonEmpty, "need at least one column")
-    val keys = scala.collection.mutable.ArrayBuffer.empty[Set[String]]
-    val profiled =
-      scala.collection.mutable.ArrayBuffer.empty[(Seq[String], (Long, Long, Long))]
-    for (a <- 1 to maxArity) {
-      val level = cols.combinations(a).toSeq
-        .filterNot(cs => keys.exists(k => k.subsetOf(cs.toSet)))
+    val hll = useHll(df, screen)
+    val idx = cols.zipWithIndex.toMap
+    val profiled = scala.collection.mutable.ArrayBuffer
+      .empty[(Seq[String], ((Long, Long, Long), Boolean))]
+    // survivors of the previous level: measured and NOT keys — Apriori
+    // generation joins them instead of enumerating the full lattice
+    var survivors: Seq[Seq[String]] = Nil
+    for (a <- 1 to maxArity if a == 1 || survivors.nonEmpty) {
+      val level: Seq[Seq[String]] =
+        if (a == 1) cols.map(Seq(_)) else aprioriNextLevel(survivors, idx)
+      val next = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
       // per-level collect is bounded: level profiles are candidate-sized
       // driver values (never data-sized), and verdicts gate the next level
       level.grouped(MaxCandidates).foreach { chunk =>
         validateCandidates(df, chunk)
         val profiles =
-          if (approxScreen) profileTuplesScreened(df, chunk, screenRsd)._1
-          else profileTuples(df, chunk)
-        chunk.zip(profiles).foreach { case (cs, p @ (n, d, z)) =>
+          if (hll) profileTuplesScreened(df, chunk, screenRsd)._1
+          else profileTuples(df, chunk).map((_, true))
+        chunk.zip(profiles).foreach { case (cs, p @ ((n, d, z), _)) =>
           profiled += ((cs, p))
-          if (z == 0L && d == n) keys += cs.toSet
+          if (!(z == 0L && d == n)) next += cs
         }
       }
+      survivors = next.toSeq
     }
     compositeResult(df.sparkSession, profiled.toSeq)
   }
@@ -260,12 +346,13 @@ object KeyDiscovery {
     * shape shuffles only fixed-size sketches; the exact confirms are
     * where distinct tuples actually cross the wire, and the screen's job
     * is to pay that for near-keys only. Returns the per-candidate
-    * profiles plus the number of exact confirm jobs actually paid — the
-    * spec/probe hook for "how many exact shuffles did the screen save".
+    * (profile, isExact) pairs plus the number of exact confirm jobs
+    * actually paid — the spec/probe hook for "how many exact shuffles
+    * did the screen save".
     */
   private[graft] def profileTuplesScreened(df: DataFrame,
       candidates: Seq[Seq[String]],
-      rsd: Double): (Seq[(Long, Long, Long)], Int) = {
+      rsd: Double): (Seq[((Long, Long, Long), Boolean)], Int) = {
     require(rsd > 0 && rsd < 0.2, s"need 0 < rsd < 0.2, got $rsd")
     val eps = 5 * rsd
     val scr =
@@ -290,7 +377,7 @@ object KeyDiscovery {
       acc.put(i, (row.getLong(0), row.getLong(1), row.getLong(2)))
     }
     val profiles = candidates.indices.map { i =>
-      if (screened(i)._1) screened(i)._2 else acc.get(i)
+      if (screened(i)._1) (screened(i)._2, false) else (acc.get(i), true)
     }
     (profiles, confirmIdx.size)
   }
@@ -360,6 +447,12 @@ object KeyDiscovery {
     * and the SQL oracle writes the identical expression shape. Rounding
     * uses HALF_UP at 6 places (what Spark's `round` does) driver-side.
     *
+    * Values group on their STRING cast (one grouping shape for every
+    * input type), so values whose string forms differ count as distinct
+    * even when numerically equal — an integer 1 and a double 1.0 in a
+    * mixed/cross-typed column are two values here (the SQL oracle's
+    * string cast agrees).
+    *
     * Output: (column_name, n, n_distinct, entropy, normalized_entropy),
     * one row per column IN THE GIVEN ORDER — an all-null column reads
     * (0, 0, 0.0, 0.0), it is never omitted.
@@ -410,7 +503,8 @@ object KeyDiscovery {
     * in concurrent two-column jobs (see the object doc; `scanOnce =
     * true` batches all k·(k−1) measures into one aggregation instead).
     *
-    * `approxScreen` is the FD analog of the key screen — REFUTE-only:
+    * `screen = Hll`/`Auto` is the FD analog of the key screen —
+    * REFUTE-only:
     * two HLL estimates per pair (determinant distinct, pair distinct)
     * in one sketch-shuffle job; `holds` requires the exact counts EQUAL,
     * so a pair whose pair-distinct estimate reads above
@@ -418,23 +512,26 @@ object KeyDiscovery {
     * (each estimate is ≈ Gaussian with σ = rsd; 8·rsd > 5·√2·rsd covers
     * both, mis-refuting a true FD w.p. < 10⁻⁶). Non-refuted pairs pay
     * the exact confirm, so every `holds = true` is exact; refuted pairs
-    * report the HLL estimates (±rsd) as their counts — documented
-    * approximate, the [[compositeCandidateKeys]] convention. Measured
+    * report the HLL estimates (±rsd) as their counts and say so via
+    * `is_exact = false`, the [[compositeCandidateKeys]] convention.
+    * Measured
     * crossover (BENCH_SF1 r10, the q142/q144 lattice at 100× data):
     * slightly slower than exact at 1× (sketch-job overhead), 2.1×
     * FASTER at 100× — exact measures on near-unique determinants
     * shuffle ~n distinct tuples per pair, the screen's refuted pairs
     * shuffle two sketches. The bigger the table, the stronger the case.
     *
-    * Output: (determinant, dependent, n_determinant, n_pairs, holds),
-    * one row per ordered pair, pair order = nested column order.
+    * Output: (determinant, dependent, n_determinant, n_pairs, holds,
+    * is_exact), one row per ordered pair, pair order = nested column
+    * order.
     */
   def functionalDependencies(df: DataFrame, cols: Seq[String],
                              scanOnce: Boolean = false,
-                             approxScreen: Boolean = false,
+                             screen: Screen = Screen.Exact,
                              screenRsd: Double = 0.02): DataFrame = {
-    require(!(scanOnce && approxScreen),
-      "scanOnce and approxScreen are alternative plans — pick one")
+    val hll = useHll(df, screen)
+    require(!(scanOnce && hll),
+      "scanOnce and the HLL screen are alternative plans — pick one")
     require(cols.size >= 2, "need at least two columns")
     cols.foreach(c => require(df.columns.contains(c),
       s"column '$c' not in frame"))
@@ -443,11 +540,11 @@ object KeyDiscovery {
       s"${cols.size} columns give ${pairs.size} ordered pairs > " +
         s"$MaxCandidates: bound the per-call fan-out (k jobs here, a " +
         "~2k²-group Expand under scanOnce) — profile in staged batches")
-    val profiles =
+    val profiles: Seq[((Long, Long), Boolean)] =
       if (scanOnce) {
         val r = fdAgg(df, pairs).head()
-        pairs.indices.map(i => (r.getLong(2 * i), r.getLong(2 * i + 1)))
-      } else if (approxScreen) {
+        pairs.indices.map(i => ((r.getLong(2 * i), r.getLong(2 * i + 1)), true))
+      } else if (hll) {
         fdTuplesScreened(df, pairs.map { case (a, b) => (Seq(a), b) },
           screenRsd)._1
       } else {
@@ -457,10 +554,10 @@ object KeyDiscovery {
           val r = pairProfileAgg(df, pairs(i)).head()
           acc.put(i, (r.getLong(0), r.getLong(1)))
         }
-        pairs.indices.map(acc.get(_))
+        pairs.indices.map(i => (acc.get(i), true))
       }
-    val rows = pairs.zip(profiles).map { case ((a, b), (da, dp)) =>
-      Row(a, b, da, dp, da == dp)
+    val rows = pairs.zip(profiles).map { case ((a, b), ((da, dp), exact)) =>
+      Row(a, b, da, dp, da == dp, exact)
     }
     fdResult(df.sparkSession, rows)
   }
@@ -468,12 +565,12 @@ object KeyDiscovery {
   /** Refute-only HLL screen for FD measures (scaladoc at
     * [[functionalDependencies]]): each (tuple, dependent) first measures
     * in a sketch-shuffle screen job; clearly-failing pairs keep their
-    * estimates, survivors get the exact confirm. Returns profiles plus
-    * the number of exact jobs paid.
+    * estimates, survivors get the exact confirm. Returns (profile,
+    * isExact) pairs plus the number of exact jobs paid.
     */
   private[graft] def fdTuplesScreened(df: DataFrame,
       pairs: Seq[(Seq[String], String)],
-      rsd: Double): (Seq[(Long, Long)], Int) = {
+      rsd: Double): (Seq[((Long, Long), Boolean)], Int) = {
     require(rsd > 0 && rsd < 0.2, s"need 0 < rsd < 0.2, got $rsd")
     val eps = 8 * rsd
     val scr = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]()
@@ -494,7 +591,7 @@ object KeyDiscovery {
       acc.put(i, (r.getLong(0), r.getLong(1)))
     }
     val profiles = pairs.indices.map { i =>
-      if (refuted(i)) scr.get(i) else acc.get(i)
+      if (refuted(i)) (scr.get(i), false) else (acc.get(i), true)
     }
     (profiles, confirmIdx.size)
   }
@@ -526,41 +623,54 @@ object KeyDiscovery {
     * (the actual TANE rule — measuring it spends a shuffle to learn
     * nothing). Each level measures in concurrent per-tuple jobs through
     * the same [[MaxCandidates]]-chunked machinery as
-    * [[discoverKeysStaged]]; `approxScreen` applies the refute-only HLL
-    * screen (scaladoc at [[functionalDependencies]]) at every level —
-    * every `holds = true` stays exact, so the prune set is unchanged by
+    * [[discoverKeysStaged]], and like it generates each level
+    * Apriori-style from the previous level's NON-holding survivors per
+    * dependent ([[aprioriNextLevel]]) — identical output to
+    * enumerate-then-filter with driver work bounded by survivors, not
+    * C(n, a). `screen = Hll`/`Auto` applies the refute-only HLL screen
+    * (scaladoc at [[functionalDependencies]]) at every level — every
+    * `holds = true` stays exact, so the prune set is unchanged by
     * screening up to the documented 10⁻⁶ mis-refute odds.
     *
     * Output: (determinant comma-joined, arity, dependent, n_determinant,
-    * n_pairs, holds) for every MEASURED pair in lattice order — implied
-    * supersets are absent by construction.
+    * n_pairs, holds, is_exact) for every MEASURED pair in lattice order
+    * — implied supersets are absent by construction.
     */
   def compositeFunctionalDependencies(df: DataFrame,
                                       determinants: Seq[String],
                                       dependents: Seq[String],
                                       maxArity: Int = 2,
-                                      approxScreen: Boolean = false,
+                                      screen: Screen = Screen.Exact,
                                       screenRsd: Double = 0.02): DataFrame = {
     require(maxArity >= 1, s"need maxArity >= 1, got $maxArity")
     require(determinants.nonEmpty, "need at least one determinant column")
     require(dependents.nonEmpty, "need at least one dependent column")
     (determinants ++ dependents).foreach(c =>
       require(df.columns.contains(c), s"column '$c' not in frame"))
-    // per dependent: the determinant sets already known to imply it
-    val holdsFor = dependents
-      .map(c => c -> scala.collection.mutable.ArrayBuffer.empty[Set[String]])
-      .toMap
+    val hll = useHll(df, screen)
+    val idx = determinants.zipWithIndex.toMap
+    val depIdx = dependents.zipWithIndex.toMap
+    // per dependent: the previous level's measured NON-holding
+    // determinant sets — holding sets drop out, which IS the TANE prune
+    // (their supersets can never be Apriori-generated)
+    val survivorsFor = scala.collection.mutable.Map(
+      dependents.map(c => c -> Seq.empty[Seq[String]]): _*)
     val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
     for (a <- 1 to maxArity) {
-      val level = for {
-        xs <- determinants.combinations(a).toSeq
-        c <- dependents
-        if !xs.contains(c)
-        if !holdsFor(c).exists(h => h.subsetOf(xs.toSet))
-      } yield (xs, c)
+      val level: Seq[(Seq[String], String)] = {
+        import scala.math.Ordering.Implicits.seqOrdering
+        dependents.flatMap { c =>
+          val cands =
+            if (a == 1) determinants.filterNot(_ == c).map(Seq(_))
+            else aprioriNextLevel(survivorsFor(c), idx)
+          cands.map(xs => (xs, c))
+        }.sortBy { case (xs, c) => (xs.map(idx), depIdx(c)) }
+      }
+      val next = scala.collection.mutable.Map(
+        dependents.map(c => c -> Seq.newBuilder[Seq[String]]): _*)
       level.grouped(MaxCandidates).foreach { chunk =>
-        val profiles =
-          if (approxScreen) fdTuplesScreened(df, chunk, screenRsd)._1
+        val profiles: Seq[((Long, Long), Boolean)] =
+          if (hll) fdTuplesScreened(df, chunk, screenRsd)._1
           else {
             val acc =
               new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]()
@@ -569,14 +679,15 @@ object KeyDiscovery {
               val r = tupleFdAgg(df, xs, c).head()
               acc.put(i, (r.getLong(0), r.getLong(1)))
             }
-            chunk.indices.map(acc.get(_))
+            chunk.indices.map(i => (acc.get(i), true))
           }
-        chunk.zip(profiles).foreach { case ((xs, c), (da, dp)) =>
+        chunk.zip(profiles).foreach { case ((xs, c), ((da, dp), exact)) =>
           val holds = da == dp
-          rows += Row(xs.mkString(","), xs.size, c, da, dp, holds)
-          if (holds) holdsFor(c) += xs.toSet
+          rows += Row(xs.mkString(","), xs.size, c, da, dp, holds, exact)
+          if (!holds) next(c) += xs
         }
       }
+      dependents.foreach(c => survivorsFor(c) = next(c).result())
     }
     val spark = df.sparkSession
     spark.createDataFrame(
@@ -587,7 +698,8 @@ object KeyDiscovery {
         StructField("dependent", StringType, nullable = false),
         StructField("n_determinant", LongType, nullable = false),
         StructField("n_pairs", LongType, nullable = false),
-        StructField("holds", BooleanType, nullable = false))))
+        StructField("holds", BooleanType, nullable = false),
+        StructField("is_exact", BooleanType, nullable = false))))
   }
 
   /** One (tuple → dependent) FD measure: the determinant distinct is
@@ -637,6 +749,7 @@ object KeyDiscovery {
         StructField("dependent", StringType, nullable = false),
         StructField("n_determinant", LongType, nullable = false),
         StructField("n_pairs", LongType, nullable = false),
-        StructField("holds", BooleanType, nullable = false))))
+        StructField("holds", BooleanType, nullable = false),
+        StructField("is_exact", BooleanType, nullable = false))))
   }
 }

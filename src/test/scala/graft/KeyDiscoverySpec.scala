@@ -129,7 +129,7 @@ class KeyDiscoverySpec extends SparkSpec {
     assert(impliedExtra.forall(_.split(",").contains("id")), s"$impliedExtra")
   }
 
-  test("approxScreen: verdict parity with exact on the q139-style lattice, fewer exact jobs") {
+  test("HLL screen: verdict parity with exact on the q139-style lattice, fewer exact jobs") {
     val tuples = Seq(Seq("id"), Seq("tag"), Seq("grp"), Seq("grp_val"),
       Seq("id", "grp"), Seq("grp", "grp_val"), Seq("id", "tag"),
       Seq("tag", "grp"), Seq("tag", "grp_val"), Seq("grp_val", "id"))
@@ -138,7 +138,7 @@ class KeyDiscoverySpec extends SparkSpec {
         ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
     val (profiles, nExact) =
       KeyDiscovery.profileTuplesScreened(df, tuples, rsd = 0.02)
-    val screened = tuples.zip(profiles).map { case (cs, (n, d, z)) =>
+    val screened = tuples.zip(profiles).map { case (cs, ((n, d, z), _)) =>
       cs.mkString(",") -> ((n, d, z, z == 0L && d == n))
     }.toMap
     // is_key verdicts are identical...
@@ -159,7 +159,7 @@ class KeyDiscoverySpec extends SparkSpec {
     }
   }
 
-  test("screenTupleAgg prunes to its tuple, plans NO Expand; staged walk accepts approxScreen") {
+  test("screenTupleAgg prunes to its tuple, plans NO Expand; staged walk accepts the screen") {
     import org.apache.spark.sql.catalyst.plans.logical.{Expand, LeafNode}
     val agg = KeyDiscovery.screenTupleAgg(df, Seq("grp", "grp_val"), rsd = 0.02)
     val plan = agg.queryExecution.optimizedPlan
@@ -169,7 +169,7 @@ class KeyDiscoverySpec extends SparkSpec {
     val scanned = plan.collectLeaves().flatMap(_.output).map(_.name).toSet
     assert(scanned.subsetOf(Set("grp", "grp_val")), s"scanned: $scanned")
     val staged = KeyDiscovery.discoverKeysStaged(df,
-        Seq("id", "grp", "grp_val"), approxScreen = true)
+        Seq("id", "grp", "grp_val"), screen = KeyDiscovery.Screen.Hll)
       .collect().map(r => r.getString(0) -> r.getBoolean(5)).toMap
     assert(staged.keySet == Set("id", "grp", "grp_val", "grp,grp_val"))
     assert(staged("id") && !staged("grp,grp_val"))
@@ -211,7 +211,7 @@ class KeyDiscoverySpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1)) ->
         ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
     val screened = KeyDiscovery.functionalDependencies(df, cols,
-        approxScreen = true)
+        screen = KeyDiscovery.Screen.Hll)
       .collect()
       .map(r => (r.getString(0), r.getString(1)) ->
         ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
@@ -232,7 +232,8 @@ class KeyDiscoverySpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(2)) -> r.getBoolean(5))
       .toMap
     val stagedScr = KeyDiscovery.compositeFunctionalDependencies(df,
-        cols, Seq("grp", "id"), maxArity = 2, approxScreen = true)
+        cols, Seq("grp", "id"), maxArity = 2,
+        screen = KeyDiscovery.Screen.Hll)
       .collect().map(r => (r.getString(0), r.getString(2)) -> r.getBoolean(5))
       .toMap
     assert(stagedScr == stagedExact)
@@ -246,6 +247,64 @@ class KeyDiscoverySpec extends SparkSpec {
     assert(plan.collect { case e: Expand => e }.isEmpty)
     val scanned = plan.collectLeaves().flatMap(_.output).map(_.name).toSet
     assert(scanned.subsetOf(Set("grp", "grp_val")), s"scanned: $scanned")
+  }
+
+  test("staged walk at arity 3: Apriori generation equals enumerate-then-filter") {
+    // arity-1: no keys; arity-2 keys (a,b) and (b,d); the only legal
+    // arity-3 candidate is (a,c,d) — every triple containing a key is
+    // pruned, and Apriori can only build it from the non-key survivors
+    // {ac, ad, cd} sharing prefixes
+    val df3 = Seq(
+      (1, 1, "x", 10), (1, 2, "x", 10), (2, 1, "y", 20),
+      (2, 2, "y", 20), (3, 1, "x", 30), (3, 2, "z", 30)
+    ).toDF("a", "b", "c", "d")
+    val cols = Seq("a", "b", "c", "d")
+    val staged = KeyDiscovery.discoverKeysStaged(df3, cols, maxArity = 3)
+      .collect().map(r => r.getString(0) -> r.getBoolean(5)).toMap
+    // the enumerate-then-filter reference, written out
+    assert(staged.keySet == Set("a", "b", "c", "d",
+      "a,b", "a,c", "a,d", "b,c", "b,d", "c,d", "a,c,d"))
+    assert(staged("a,b") && staged("b,d") && !staged("a,c,d"))
+    assert(Seq("a", "b", "c", "d").forall(c => !staged(c)))
+  }
+
+  test("composite FDs at arity 3: Apriori levels reach a triple-only determinant") {
+    // no single column or pair determines e; the full triple does (rows
+    // are distinct on (a,b,c)) — the arity-3 level must be generated from
+    // the six arity-2 non-holding survivors and measure exactly (a,b,c)
+    val df3 = Seq(
+      (1, 1, 1, 1), (1, 2, 2, 2), (2, 1, 2, 3), (2, 2, 1, 4), (1, 1, 2, 5)
+    ).toDF("a", "b", "c", "e")
+    val out = KeyDiscovery.compositeFunctionalDependencies(df3,
+        Seq("a", "b", "c"), Seq("e"), maxArity = 3)
+      .collect().map(r => (r.getString(0), r.getString(2)) ->
+        ((r.getInt(1), r.getBoolean(5)))).toMap
+    assert(out.keySet.map(_._1) ==
+      Set("a", "b", "c", "a,b", "a,c", "b,c", "a,b,c"))
+    assert(out.filter(_._2._1 < 3).values.forall(!_._2))
+    assert(out(("a,b,c", "e"))._2)
+  }
+
+  test("Screen.Auto: Exact parity below the threshold, Hll selected above it") {
+    // small frame: Auto resolves to Exact — identical rows, all is_exact
+    val tuples = Seq(Seq("id"), Seq("grp"), Seq("grp", "grp_val"))
+    val auto = KeyDiscovery.compositeCandidateKeys(df, tuples,
+      screen = KeyDiscovery.Screen.Auto).collect().map(_.toSeq).toSeq
+    val exact = KeyDiscovery.compositeCandidateKeys(df, tuples)
+      .collect().map(_.toSeq).toSeq
+    assert(auto == exact)
+    assert(exact.forall(_.last == true))
+    // large frame: the optimizer's size estimate crosses AutoScreenBytes
+    // WITHOUT materializing anything, so Auto picks the screen — proven
+    // by the far-from-unique column coming back as a sketch estimate
+    // (is_exact = false), which the Exact path can never produce
+    val big = spark.range(40L * 1000 * 1000)
+      .select(col("id"), pmod(col("id"), lit(1000)).as("grp"))
+    assert(big.queryExecution.optimizedPlan.stats.sizeInBytes >=
+      BigInt(KeyDiscovery.AutoScreenBytes))
+    val row = KeyDiscovery.compositeCandidateKeys(big, Seq(Seq("grp")),
+      screen = KeyDiscovery.Screen.Auto).head()
+    assert(!row.getBoolean(5) && !row.getBoolean(6))
   }
 
   test("compositeCandidateKeys misuse guards are loud") {

@@ -50,7 +50,7 @@ object ProbeScreen {
           .collect().count(_.getBoolean(5)))
       val (profiles, nConfirm) = time(s"screened run$i")(
         stats.KeyDiscovery.profileTuplesScreened(li, lattice, 0.02))
-      val keys = profiles.count { case (n, d, z) => z == 0L && d == n }
+      val keys = profiles.count { case ((n, d, z), _) => z == 0L && d == n }
       println(s"[probe] keys exact=$exact screened=$keys agree=${exact == keys}" +
         s" exact_jobs=${lattice.size} -> confirms=$nConfirm")
     }

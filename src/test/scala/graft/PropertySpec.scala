@@ -565,7 +565,8 @@ class PropertySpec extends SparkSpec {
       // the refute-only screen never changes a verdict (tiny-n HLL is
       // exact, so this is deterministic here)
       val scr = stats.KeyDiscovery.compositeFunctionalDependencies(df,
-          Seq("a", "b"), Seq("c"), maxArity = 2, approxScreen = true)
+          Seq("a", "b"), Seq("c"), maxArity = 2,
+          screen = stats.KeyDiscovery.Screen.Hll)
         .collect().map(r => (r.getString(0), r.getString(2)) -> r.getBoolean(5))
         .toMap
       assert(scr == out, s"screen drift on $rows")

@@ -26,6 +26,13 @@ object ScaleGen {
   def main(args: Array[String]): Unit = {
     val outDir = if (args.length > 0) args(0) else "/tmp/graft_sf1"
     val copies = if (args.length > 1) args(1).toInt else 10
+    // the %03d thrice-repeated name block proves cross-copy distance >= 3
+    // only for 3-digit indices; a 4-digit index would print 12 chars and
+    // the argument would rest on length difference alone — enforce the
+    // invariant where it is assumed (r10 ADVICE)
+    require(copies <= 999,
+      s"copies = $copies > 999: the name-block distance argument covers " +
+        "3-digit copy indices only — extend ScaleGen before going past it")
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").map(_.trim).toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
