@@ -2901,6 +2901,29 @@ object Oracles {
        |ORDER BY determinant, dependent""".stripMargin
   }
 
+  /** q146: MJPEG pixel decode — the fixture's block-constant grayscale
+    * frames round-trip the JPEG codec exactly (DC-only blocks at unit
+    * quantization), so every decoded statistic is recomputed here from
+    * the block-value formula (7k + 13f + 29bi) % 256: per-frame luma mean
+    * is the mean of the 8 block values (each block covers 64 of 512
+    * pixels), min/max are the block extrema, dimensions are the encoded
+    * 32×16, and frame timestamps follow the container's 25 fps
+    * (frame_idx · 40 ms).
+    */
+  val q146: String =
+    """WITH px AS (
+      |  SELECT d.doc_id, f.f AS frame_idx, b.b AS bi,
+      |         (d.doc_id * 7 + f.f * 13 + b.b * 29) % 256 AS v
+      |  FROM (SELECT doc_id FROM documents WHERE doc_id < 40) d,
+      |       LATERAL (SELECT unnest(range(0, 3)) AS f) f,
+      |       LATERAL (SELECT unnest(range(0, 8)) AS b) b)
+      |SELECT doc_id, frame_idx, frame_idx * 40 AS ts_ms,
+      |       32 AS frame_width, 16 AS frame_height,
+      |       sum(v) / 8.0 AS luma_mean,
+      |       min(v) AS luma_min, max(v) AS luma_max
+      |FROM px GROUP BY doc_id, frame_idx
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q07_mutual_info_orders" -> q07Pinned,
@@ -2996,6 +3019,7 @@ object Oracles {
       "q143_screened_keys" -> q143,
       "q144_screened_fds" -> q144,
       "q145_staged_fds3" -> q145,
+      "q146_mjpeg_luma" -> q146,
       "q03_value_counts_orders" -> q03,
       "q04_histogram_price" -> q04,
       "q05_pearson_lineitem" -> q05,

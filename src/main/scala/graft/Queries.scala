@@ -1700,6 +1700,99 @@ object Queries {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** MJPEG/AVI generator for q146: doc k renders an AVI (25 fps, full
+    * hdrl with a `vids`/`MJPG` stream header) whose `LIST movi` carries 3
+    * `00dc` chunks, each a standalone grayscale JPEG frame (32×16,
+    * ImageIO quality 1.0). Frame f is BLOCK-CONSTANT: 8×8 JPEG block bi
+    * (raster order, bi = 4·(y/8) + x/8) holds gray value
+    * (7k + 13f + 29bi) % 256. A block-constant grayscale image at unit
+    * quantization is DC-only per block and round-trips the JPEG codec
+    * EXACTLY (verified for all 256 values and 500 random block patterns),
+    * so the oracle recomputes every decoded luma statistic
+    * arithmetically — the decode path under test is real, the pixels it
+    * must produce are pinned.
+    */
+  private val mkMjpegAvi = udf { (k: Long) =>
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >>> 8) & 0xFF).toByte,
+        ((v >>> 16) & 0xFF).toByte, ((v >>> 24) & 0xFF).toByte)
+    def le16(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >>> 8) & 0xFF).toByte)
+    def tag(t: String): Array[Byte] = t.getBytes("ISO-8859-1")
+    val frames = (0 until 3).map { f =>
+      val img = new java.awt.image.BufferedImage(
+        32, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      var y = 0
+      while (y < 16) {
+        var x = 0
+        while (x < 32) {
+          val bi = (y / 8) * 4 + x / 8
+          img.getRaster.setSample(x, y, 0,
+            ((7 * k + 13 * f + 29 * bi) % 256).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val w = javax.imageio.ImageIO
+        .getImageWritersByFormatName("jpeg").next()
+      val p = w.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(1.0f)
+      val bos = new java.io.ByteArrayOutputStream()
+      w.setOutput(new javax.imageio.stream.MemoryCacheImageOutputStream(bos))
+      w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      w.dispose()
+      bos.toByteArray
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    def p(b: Array[Byte]): Unit = bos.write(b)
+    val strlSize = 4 + (8 + 56) + (8 + 40)           // strh + strf
+    val hdrlSize = 4 + (8 + 56) + (8 + strlSize)     // avih + LIST strl
+    val moviSize = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
+    p(tag("RIFF")); p(le32(4 + 8 + hdrlSize + 8 + moviSize)); p(tag("AVI "))
+    p(tag("LIST")); p(le32(hdrlSize)); p(tag("hdrl"))
+    p(tag("avih")); p(le32(56))
+    p(le32(40000)); p(le32(0)); p(le32(0)); p(le32(0)) // µs/frame 40000 = 25 fps
+    p(le32(3)); p(le32(0)); p(le32(1)); p(le32(0))     // totalFrames, streams
+    p(le32(32)); p(le32(16))                           // width, height
+    (0 until 4).foreach(_ => p(le32(0)))
+    p(tag("LIST")); p(le32(strlSize)); p(tag("strl"))
+    p(tag("strh")); p(le32(56))
+    p(tag("vids")); p(tag("MJPG")); p(le32(0)); p(le32(0)); p(le32(0))
+    p(le32(40000)); p(le32(1000000))                   // scale, rate = 25 fps
+    p(le32(0)); p(le32(3)); p(le32(0)); p(le32(0)); p(le32(0))
+    p(le16(0)); p(le16(0)); p(le16(32)); p(le16(16))   // rcFrame
+    p(tag("strf")); p(le32(40))                        // BITMAPINFOHEADER
+    p(le32(40)); p(le32(32)); p(le32(16)); p(le16(1)); p(le16(24))
+    p(tag("MJPG")); p(le32(32 * 16 * 3))
+    p(le32(0)); p(le32(0)); p(le32(0)); p(le32(0))
+    p(tag("LIST")); p(le32(moviSize)); p(tag("movi"))
+    frames.foreach { f =>
+      p(tag("00dc")); p(le32(f.length)); p(f)
+      if ((f.length & 1) == 1) bos.write(0)            // word alignment
+    }
+    bos.toByteArray
+  }
+
+  /** REAL video pixel decode (r11): Motion-JPEG frames inside AVI
+    * containers are decoded to pixels — `LIST movi` chunk walk → per-frame
+    * JPEG → `javax.imageio` → BT.601 luma statistics — closing the q108
+    * codec stub for the one codec a bare JVM ships. The fixture's
+    * block-constant frames make the JPEG round-trip bit-exact, so the
+    * oracle pins every decoded value (dimensions, mean/min/max luma, frame
+    * timestamps from the container frame rate) arithmetically. Inter-frame
+    * codecs (H.264/VP9) remain the documented boundary.
+    */
+  def q146MjpegLuma(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents").where(col("doc_id") < 40)
+      .select(col("doc_id"), mkMjpegAvi(col("doc_id")).as("payload"))
+    ops.Video.decodeMjpegFrames(docs)
+      .select(col("doc_id"), col("frame_idx"), col("ts_ms"),
+        col("frame_width"), col("frame_height"),
+        col("luma_mean"), col("luma_min"), col("luma_max"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** Per-source frequent languages via the native bounded-memory
     * Misra–Gries aggregate (`ww_heavy_hitters`): at most `capacity`
     * counters per partial buffer regardless of column cardinality. The
@@ -2445,6 +2538,7 @@ object Queries {
     "q143_screened_keys" -> (q143ScreenedKeys _),
     "q144_screened_fds" -> (q144ScreenedFds _),
     "q145_staged_fds3" -> (q145StagedFds3 _),
+    "q146_mjpeg_luma" -> (q146MjpegLuma _),
     "q140_multifield_linkage" -> (q140MultiFieldLinkage _)
   )
 }

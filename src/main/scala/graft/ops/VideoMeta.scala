@@ -302,4 +302,44 @@ object VideoMeta {
     if (isMp4(b)) decodeMp4(b)
     else if (isAvi(b)) decodeAvi(b)
     else None
+
+  /** Byte ranges `(offset, size)` of the encoded video frames inside an
+    * AVI payload, in stream order: walks the `LIST movi` chunk sequence
+    * (located by [[decode]]), collecting `##dc`/`##db` video chunks and
+    * recursing into `LIST rec ` interleave groups (AVI 1.0 groups chunks
+    * meant to be read together under `rec ` lists — OpenDML §2). Audio
+    * (`##wb`), index and unknown chunks are skipped by their declared
+    * size; chunk headers that would overrun the movi bound end the walk
+    * (truncated payload) rather than throw. Empty for non-AVI payloads.
+    *
+    * Reference behavior: woodwork has no media surface; this backs the
+    * engine's multimodal pipeline ops (SURVEY §2.12).
+    */
+  def aviFrameRanges(b: Array[Byte]): Array[(Long, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def isVideoChunk(id: String): Boolean =
+      id.length == 4 && id(0).isDigit && id(1).isDigit &&
+        (id.endsWith("dc") || id.endsWith("db"))
+    def walk(from: Long, to: Long): Unit = {
+      var o = from
+      while (o + 8 <= to) {
+        val id = fourcc(b, o.toInt)
+        val size = le32(b, o.toInt + 4)
+        val content = o + 8
+        if (content + size > to) return // truncated chunk: stop cleanly
+        if (id == "LIST" && size >= 4 &&
+            fourcc(b, content.toInt) == "rec ")
+          walk(content + 4, content + size)
+        else if (isVideoChunk(id)) out += ((content, size))
+        o = content + size + (size & 1) // RIFF chunks are word-aligned
+      }
+    }
+    decode(b) match {
+      case Some(i) if i.mime == "video/x-msvideo" && i.dataSize > 0 =>
+        walk(i.dataOffset, math.min(b.length.toLong,
+          i.dataOffset + i.dataSize))
+      case _ =>
+    }
+    out.toArray
+  }
 }

@@ -106,6 +106,53 @@ object VideoFixtures {
     bos.toByteArray
   }
 
+  /** movi content from raw frame payloads: each becomes a word-aligned
+    * chunk with the given fourcc (default `00dc` = stream-0 compressed
+    * video).
+    */
+  def moviChunks(frames: Seq[Array[Byte]], id: String = "00dc"): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    frames.foreach { f =>
+      bos.write(tag(id)); bos.write(le32(f.length)); bos.write(f)
+      if ((f.length & 1) == 1) bos.write(0)
+    }
+    bos.toByteArray
+  }
+
+  /** A `LIST rec ` interleave group wrapping the given movi-style bytes. */
+  def recList(inner: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(tag("LIST")); bos.write(le32(4 + inner.length))
+    bos.write(tag("rec ")); bos.write(inner)
+    bos.toByteArray
+  }
+
+  /** Grayscale JPEG (ImageIO, quality 1.0) whose 8×8 block (bx, by) holds
+    * `blocks(by)(bx)` — block-constant gray round-trips the codec exactly
+    * (DC-only blocks, unit quantization).
+    */
+  def grayBlockJpeg(blocks: Array[Array[Int]]): Array[Byte] = {
+    val h = blocks.length * 8; val w = blocks(0).length * 8
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, blocks(y / 8)(x / 8))
+    jpegBytes(img)
+  }
+
+  /** JPEG-encode any image at explicit quality 1.0. */
+  def jpegBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(1.0f)
+    val bos = new java.io.ByteArrayOutputStream()
+    w.setOutput(new javax.imageio.stream.MemoryCacheImageOutputStream(bos))
+    w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    w.dispose()
+    bos.toByteArray
+  }
+
   /** Minimal AVI: RIFF(AVI ) + LIST hdrl(avih) + LIST movi. */
   def mkAvi(usPerFrame: Int, totalFrames: Int, w: Int, h: Int,
             movi: Array[Byte]): Array[Byte] = {
