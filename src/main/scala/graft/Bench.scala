@@ -102,11 +102,14 @@ object Bench {
     * (normalization off) and say so in the artifact rather than silently
     * conflating core count with session skew.
     */
-  val CalibRef = 0.630
+  val CalibRef = 0.661
 
   /** Date [[CalibRef]] was last measured (two idle fresh-JVM CALIB_ONLY
-    * sessions — r10 re-pin read 0.623 / 0.637, 2.2% apart, vs the r9 pin
-    * 0.609); shipped in the artifact so a reader can judge staleness.
+    * sessions — r11 re-pin read 0.660 / 0.663, 0.5% apart, vs the r10 pin
+    * 0.630; r10 had read 0.623 / 0.637 vs the r9 pin 0.609 — the box reads
+    * a few percent slower each round, which is exactly the drift this
+    * cadence exists to keep out of the factor); shipped in the artifact so
+    * a reader can judge staleness.
     */
   val CalibPinnedDate = "2026-08-15"
 
