@@ -186,4 +186,42 @@ class PlanShapeSpec extends SparkSpec {
       conf.set("spark.sql.adaptive.skewJoin.enabled", prevSkew)
     }
   }
+
+  test("exact quantiles: NO Sort node and no range partitioning in ANY launched job") {
+    // the sort-free histogram walk launches its per-level aggregations
+    // internally, so the pin captures every executed plan via a
+    // QueryExecutionListener instead of inspecting one DataFrame
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+                             durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String, qe: QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val df = (0 until 5000)
+        .map(i => (i.toDouble / 7.0, (i * 31 % 1000).toDouble))
+        .toDF("a", "b")
+      val got = graft.stats.Describe.exactQuantiles(
+        df, Map("a" -> Seq(0.25 * 4999, 0.5 * 4999, 0.75 * 4999),
+          "b" -> Seq(0.5 * 4999)))
+      assert(got("a").size == 3 && got("b").size == 1)
+      // listener delivery is async: wait for the batched-stats job plus at
+      // least one narrowing level per column to land
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (plans.size < 3 && System.nanoTime() < deadline) Thread.sleep(50)
+      Thread.sleep(200) // drain any still-in-flight listener events
+      assert(plans.size >= 3, s"expected the walk's jobs, saw ${plans.size}")
+      plans.forEach { plan =>
+        assert(!plan.contains("Sort ") && !plan.contains("+- Sort") &&
+          !plan.contains("SortAggregate") &&
+          !plan.contains("rangepartitioning"),
+          s"quantile job must not sort:\n$plan")
+      }
+    } finally spark.listenerManager.unregister(listener)
+  }
 }
