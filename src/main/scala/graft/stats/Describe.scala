@@ -303,10 +303,21 @@ object Describe {
       else if (lo.isNaN || hi.isNaN)
         // mixed real/NaN region: one split peels the NaNs off the top
         when(isnan(v), lit(1)).otherwise(lit(0))
+      else if (lo.isNegInfinity || hi.isPosInfinity)
+        // infinite ENDPOINT(s): peel them into their own single-valued
+        // buckets (which resolve immediately) so the finite middle recurses
+        // with finite bounds. A compare-split would loop here: with
+        // lo = -Inf the midpoint lo/2 + hi/2 is itself -Inf and every row
+        // lands in one bucket, so the region never narrows. Bucket ids keep
+        // value order (-Inf < finite < +Inf < NaN).
+        when(isnan(v), lit(3))
+          .when(v === lit(Double.NegativeInfinity), lit(0))
+          .when(v === lit(Double.PositiveInfinity), lit(2))
+          .otherwise(lit(1))
       else {
-        // ±Infinity endpoints make equal width degenerate: halve by compare
-        val mid = if (lo.isNegInfinity && hi.isPosInfinity) 0.0
-                  else lo / 2 + hi / 2
+        // finite endpoints whose WIDTH overflows a double: halve by compare
+        // (lo/2 + hi/2 cannot overflow)
+        val mid = lo / 2 + hi / 2
         when(isnan(v), lit(1)).when(v < lit(mid), lit(0)).otherwise(lit(1))
       }
     }

@@ -401,6 +401,42 @@ class StatsSpec extends SparkSpec {
     assert(dep.isNullAt(dep.fieldIndex("pearson"))) // 0 shared rows → null
   }
 
+  test("exactQuantiles: ±Infinity, NaN and overflow-wide columns match the sorted reference") {
+    // independent reference with Spark/NaN-last ordering; interpolation
+    // pos = p·(n−1); Inf·nonzero-weight propagates like Spark arithmetic
+    def ref(vals: Seq[Double], p: Double): Double = {
+      val sorted = vals.sortWith((a, b) =>
+        java.lang.Double.compare(a, b) < 0) // NaN sorts last, -0.0 < 0.0
+      val pos = p * (sorted.size - 1)
+      val lo = math.floor(pos).toInt
+      val hi = math.ceil(pos).toInt
+      if (lo == hi) sorted(lo)
+      else sorted(lo) * (hi - pos) + sorted(hi) * (pos - lo)
+    }
+    val inf = Double.PositiveInfinity
+    val cases: Seq[Seq[Double]] = Seq(
+      Seq(-inf, -5.0, 1.0, 2.0, 7.0),                 // -Inf + finite: the
+      Seq(-inf, -inf, 3.0, 4.0, 5.0, 9.0),            //   degenerate-mid case
+      Seq(-1.0, 0.0, 2.5, inf, inf),                  // +Inf top
+      Seq(-inf, 0.0, 1.0, inf),                       // both endpoints
+      Seq(-inf, 2.0, inf, Double.NaN),                // infinities + NaN
+      Seq(-1.7e308, -1.0, 0.0, 2.0, 1.7e308),         // finite overflow width
+      Seq(Double.NaN, Double.NaN, 1.0, 2.0, 3.0, 4.0) // NaNs beyond p=0.5
+    )
+    for (vals <- cases) {
+      val ps = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+      val n = vals.size
+      val got = Describe.exactQuantiles(
+        vals.toDF("v"), Map("v" -> ps.map(_ * (n - 1))))("v")
+      val want = ps.map(ref(vals, _))
+      got.zip(want).zip(ps).foreach { case ((g, w), p) =>
+        assert(java.lang.Double.compare(g, w) == 0 ||
+          (g.isNaN && w.isNaN) || g == w,
+          s"vals=$vals p=$p got=$g want=$w")
+      }
+    }
+  }
+
   test("histogram puts every non-null row in exactly one of n bins") {
     val h = Describe.histogram((1 to 1000).map(_.toDouble).toDF("v"), "v", bins = 10)
       .collect()
