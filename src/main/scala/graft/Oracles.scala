@@ -2924,6 +2924,37 @@ object Oracles {
       |FROM px GROUP BY doc_id, frame_idx
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** q147: inclusion dependencies — per pair, the exact distinct counts
+    * and the count of distinct left values with no right match, all on
+    * the STRING-cast comparison the engine documents (integer columns:
+    * both engines' casts agree).
+    */
+  val q147: String = {
+    def pair(lt: String, lc: String, rt: String, rc: String): String =
+      s"""SELECT left_column, right_column, n_left_distinct,
+         |  n_right_distinct, n_missing, n_missing = 0 AS holds,
+         |  TRUE AS is_exact FROM (
+         |  SELECT '$lc' AS left_column, '$rc' AS right_column,
+         |    (SELECT count(DISTINCT CAST($lc AS VARCHAR)) FROM $lt
+         |       WHERE $lc IS NOT NULL) AS n_left_distinct,
+         |    (SELECT count(DISTINCT CAST($rc AS VARCHAR)) FROM $rt
+         |       WHERE $rc IS NOT NULL) AS n_right_distinct,
+         |    (SELECT count(*) FROM
+         |       (SELECT DISTINCT CAST($lc AS VARCHAR) AS v FROM $lt
+         |          WHERE $lc IS NOT NULL) a
+         |       WHERE NOT EXISTS (SELECT 1 FROM $rt
+         |          WHERE CAST($rc AS VARCHAR) = a.v)) AS n_missing
+         |) t""".stripMargin
+    Seq(
+      pair("lineitem", "l_orderkey", "orders", "o_orderkey"),
+      pair("lineitem", "l_suppkey", "orders", "o_orderkey"),
+      pair("orders", "o_custkey", "customer", "c_custkey"),
+      pair("customer", "c_custkey", "orders", "o_custkey"),
+      pair("lineitem", "l_suppkey", "supplier", "s_suppkey"))
+      .mkString("", "\nUNION ALL\n",
+        "\nORDER BY left_column, right_column")
+  }
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q07_mutual_info_orders" -> q07Pinned,
@@ -3020,6 +3051,7 @@ object Oracles {
       "q144_screened_fds" -> q144,
       "q145_staged_fds3" -> q145,
       "q146_mjpeg_luma" -> q146,
+      "q147_inclusion_deps" -> q147,
       "q03_value_counts_orders" -> q03,
       "q04_histogram_price" -> q04,
       "q05_pearson_lineitem" -> q05,

@@ -2357,6 +2357,32 @@ object Queries {
         maxArity = 3)
       .orderBy("determinant", "dependent")
 
+  /** Inclusion-dependency (FK candidate) discovery across the TPC-H star
+    * (r11): true FKs (lineitem→orders, lineitem→supplier, orders→customer)
+    * must hold, the reverse direction customer→orders must report exactly
+    * the customers with no orders, and a cross-typed non-FK pair
+    * (l_suppkey vs o_orderkey) must count its misses. Every verdict and
+    * count is exact (one full-outer distinct-set join per pair); the HLL
+    * refute screen is spec-covered (KeyDiscoverySpec) since its estimates
+    * are not SQL-reproducible.
+    */
+  def q147InclusionDeps(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem")
+    val ord = table(s, dir, "orders")
+    val cust = table(s, dir, "customer")
+    val sup = table(s, dir, "supplier")
+    val k = stats.KeyDiscovery
+    k.inclusionDependencies(li, Seq("l_orderkey", "l_suppkey"),
+        ord, Seq("o_orderkey"))
+      .unionAll(k.inclusionDependencies(ord, Seq("o_custkey"),
+        cust, Seq("c_custkey")))
+      .unionAll(k.inclusionDependencies(cust, Seq("c_custkey"),
+        ord, Seq("o_custkey")))
+      .unionAll(k.inclusionDependencies(li, Seq("l_suppkey"),
+        sup, Seq("s_suppkey")))
+      .orderBy("left_column", "right_column")
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -2539,6 +2565,7 @@ object Queries {
     "q144_screened_fds" -> (q144ScreenedFds _),
     "q145_staged_fds3" -> (q145StagedFds3 _),
     "q146_mjpeg_luma" -> (q146MjpegLuma _),
+    "q147_inclusion_deps" -> (q147InclusionDeps _),
     "q140_multifield_linkage" -> (q140MultiFieldLinkage _)
   )
 }

@@ -752,4 +752,146 @@ object KeyDiscovery {
         StructField("holds", BooleanType, nullable = false),
         StructField("is_exact", BooleanType, nullable = false))))
   }
+
+  // ------------------------------------------------- inclusion dependencies
+
+  /** Inclusion-dependency (foreign-key candidate) discovery — the third
+    * member of the profiling family (keys → FDs → INDs): for every
+    * (a ∈ leftCols) × (b ∈ rightCols) pair, does every non-null value of
+    * `left.a` appear in `right.b`? NULL semantics follow SQL foreign
+    * keys: left NULLs violate nothing (ignored), right NULLs match
+    * nothing. Values compare on their STRING cast — one comparison shape
+    * for every input type, the [[columnEntropy]] convention (an integer
+    * 1 and a double 1.0 are different values; both engines' casts agree
+    * on integer/string columns, which is what FK discovery runs on).
+    *
+    * EXACT path: each pair is ONE narrow concurrent job — the two
+    * single-column distinct-value sets (map-side pre-aggregated, so the
+    * shuffle carries distinct values only) meet in a full-outer join
+    * whose aggregate reads all three counts at once: n_left_distinct,
+    * n_right_distinct, and n_missing (left values with no right match).
+    * `holds` ⟺ n_missing == 0. Never a cartesian shape — the join is an
+    * equi-join on the value itself.
+    *
+    * SCREENED path (`screen = Hll`, or `Auto` past [[AutoScreenBytes]]
+    * on the larger frame) — REFUTE-only, the [[functionalDependencies]]
+    * pattern lifted to set containment: A ⊆ B ⟺ |A ∪ B| = |B|, and HLL
+    * sketches union losslessly. ONE sketch-only aggregation per side
+    * (fixed-size sketches cross the wire, never values — at 100 TB this
+    * is the whole point) yields per-column sketches; each pair's
+    * |A ∪ B| estimate comes from a driver-side sketch merge, and a pair
+    * whose union estimate exceeds (1 + 8·rsd)·(|B| estimate) is REFUTED
+    * without ever paying a distinct shuffle (both estimates are
+    * ≈ Gaussian with σ = rsd — the FD screen's 8·rsd > 5·√2·rsd
+    * argument, mis-refute odds < 10⁻⁶). Survivors pay the exact confirm
+    * join, so every `holds = true` is exact; refuted rows carry sketch
+    * estimates (n_missing = max(0, est|A∪B| − est|B|)) and say so via
+    * `is_exact = false`.
+    *
+    * Output: (left_column, right_column, n_left_distinct,
+    * n_right_distinct, n_missing, holds, is_exact), one row per pair in
+    * the given order (leftCols major, rightCols minor).
+    */
+  def inclusionDependencies(left: DataFrame, leftCols: Seq[String],
+                            right: DataFrame, rightCols: Seq[String],
+                            screen: Screen = Screen.Exact,
+                            screenRsd: Double = 0.02): DataFrame = {
+    require(leftCols.nonEmpty && rightCols.nonEmpty,
+      "need at least one column on each side")
+    leftCols.foreach(c => require(left.columns.contains(c),
+      s"column '$c' not in left frame"))
+    rightCols.foreach(c => require(right.columns.contains(c),
+      s"column '$c' not in right frame"))
+    val pairs = for (a <- leftCols; b <- rightCols) yield (a, b)
+    require(pairs.size <= MaxCandidates,
+      s"${pairs.size} pairs > $MaxCandidates: bound the per-call fan-out")
+    require(screenRsd > 0 && screenRsd < 0.2,
+      s"need 0 < rsd < 0.2, got $screenRsd")
+    val hll = screen match {
+      case Screen.Exact => false
+      case Screen.Hll   => true
+      case Screen.Auto  =>
+        (left.queryExecution.optimizedPlan.stats.sizeInBytes max
+          right.queryExecution.optimizedPlan.stats.sizeInBytes) >=
+          BigInt(AutoScreenBytes)
+    }
+    def values(df: DataFrame, c: String): DataFrame =
+      df.select(col(c).cast(StringType).as("v")).where(col("v").isNotNull)
+    // exact confirm: ONE job per pair — distinct sets meet in a
+    // full-outer equi-join, the agg reads all three counts at once
+    def confirm(a: String, b: String): (Long, Long, Long) = {
+      val r = values(left, a).distinct()
+        .withColumn("l", lit(1))
+        .join(values(right, b).distinct().withColumn("r", lit(1)),
+          Seq("v"), "full_outer")
+        .agg(count(col("l")), count(col("r")),
+          count(when(col("l").isNotNull && col("r").isNull, 1)))
+        .head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val screenedOut: Map[Int, (Long, Long, Long)] =
+      if (!hll) Map.empty
+      else {
+        // DataSketches HLL relative error ≈ 1.04/√(2^lgK) → lgK from rsd
+        val lgK = math.min(21, math.max(4, math.ceil(
+          2 * math.log(1.04 / screenRsd) / math.log(2)).toInt))
+        def sketches(df: DataFrame, cs: Seq[String]): Map[String, Array[Byte]] = {
+          val exprs = cs.map(c => hll_sketch_agg(
+            col(c).cast(StringType), lgK).as(c))
+          val r = df.agg(exprs.head, exprs.tail: _*).head()
+          cs.zipWithIndex.map { case (c, i) =>
+            c -> (if (r.isNullAt(i)) null else r.getAs[Array[Byte]](i))
+          }.toMap
+        }
+        val skL = sketches(left, leftCols.distinct)
+        val skR = sketches(right, rightCols.distinct)
+        // driver-side merge of candidate-count many fixed-size sketches:
+        // one local row per pair, no executor job over data
+        val spark = left.sparkSession
+        import spark.implicits._
+        val estRows = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+          // a null sketch is an empty column: never refute, confirm exactly
+          if (skL(a) == null || skR(b) == null) Nil
+          else Seq((i, skL(a), skR(b)))
+        }
+        if (estRows.isEmpty) Map.empty
+        else estRows.toDF("i", "ska", "skb")
+          .select(col("i"),
+            hll_sketch_estimate(col("ska")).as("ea"),
+            hll_sketch_estimate(col("skb")).as("eb"),
+            hll_sketch_estimate(hll_union(col("ska"), col("skb")))
+              .as("eu"))
+          .collect()
+          .filter(r => r.getLong(3) >
+            ((1.0 + 8 * screenRsd) * r.getLong(2)).toLong)
+          .map { r =>
+            val (ea, eb, eu) = (r.getLong(1), r.getLong(2), r.getLong(3))
+            r.getInt(0) -> ((ea, eb, math.max(0L, eu - eb)))
+          }.toMap
+      }
+    val acc = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Long)]()
+    val confirmIdx = pairs.indices.filterNot(screenedOut.contains)
+    graft.util.Concurrency.runConcurrently(confirmIdx) { i =>
+      val (a, b) = pairs(i)
+      acc.put(i, confirm(a, b))
+    }
+    val rows = pairs.zipWithIndex.map { case ((a, b), i) =>
+      screenedOut.get(i) match {
+        case Some((ea, eb, miss)) => Row(a, b, ea, eb, miss, false, false)
+        case None =>
+          val (na, nb, miss) = acc.get(i)
+          Row(a, b, na, nb, miss, miss == 0L, true)
+      }
+    }
+    left.sparkSession.createDataFrame(
+      left.sparkSession.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("left_column", StringType, nullable = false),
+        StructField("right_column", StringType, nullable = false),
+        StructField("n_left_distinct", LongType, nullable = false),
+        StructField("n_right_distinct", LongType, nullable = false),
+        StructField("n_missing", LongType, nullable = false),
+        StructField("holds", BooleanType, nullable = false),
+        StructField("is_exact", BooleanType, nullable = false))))
+  }
 }

@@ -307,6 +307,82 @@ class KeyDiscoverySpec extends SparkSpec {
     assert(!row.getBoolean(5) && !row.getBoolean(6))
   }
 
+  test("inclusionDependencies: exact verdicts, counts, and FK null semantics") {
+    val child = Seq(
+      (Some(1), "a"), (Some(2), "b"), (Some(2), "c"),
+      (None, "d"), (Some(9), "e")).toDF("fk", "tag")
+    val parent = Seq(1, 2, 3, 4).toDF("pk")
+    val out = KeyDiscovery.inclusionDependencies(
+      child, Seq("fk", "tag"), parent, Seq("pk")).collect()
+    assert(out.length == 2)
+    val fk = out(0)
+    assert(fk.getString(0) == "fk" && fk.getString(1) == "pk")
+    assert(fk.getLong(2) == 3)        // distinct non-null: 1, 2, 9
+    assert(fk.getLong(3) == 4)
+    assert(fk.getLong(4) == 1)        // 9 has no parent
+    assert(!fk.getBoolean(5) && fk.getBoolean(6))
+    val tag = out(1)                  // strings vs ints: nothing matches
+    assert(tag.getLong(4) == 5 && !tag.getBoolean(5))
+    // drop the violator: the IND holds, NULL fk does not violate (SQL FK)
+    val ok = KeyDiscovery.inclusionDependencies(
+      child.where(col("tag") =!= "e"), Seq("fk"), parent, Seq("pk")).head()
+    assert(ok.getLong(4) == 0 && ok.getBoolean(5) && ok.getBoolean(6))
+  }
+
+  test("inclusionDependencies property: verdicts equal brute-force set containment") {
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 6) {
+      val l = Seq.fill(30)(rnd.nextInt(12)).map(v =>
+        if (rnd.nextInt(10) == 0) None else Some(v))
+      val r = Seq.fill(25)(rnd.nextInt(12))
+      val got = KeyDiscovery.inclusionDependencies(
+        l.toDF("a"), Seq("a"), r.toDF("b"), Seq("b")).head()
+      val la = l.flatten.toSet
+      val rb = r.toSet
+      assert(got.getLong(2) == la.size, s"trial $trial")
+      assert(got.getLong(3) == rb.size, s"trial $trial")
+      assert(got.getLong(4) == (la -- rb).size, s"trial $trial")
+      assert(got.getBoolean(5) == la.subsetOf(rb), s"trial $trial")
+    }
+  }
+
+  test("inclusionDependencies HLL screen: every holds verdict exact, refutations marked") {
+    // far-from-contained column (0..999 vs 0..9) must refute under the
+    // screen; contained column must confirm exactly
+    val l = spark.range(1000).select(
+      col("id").as("wide"), pmod(col("id"), lit(10)).as("narrow"))
+    val r = spark.range(10).select(col("id").as("pk"))
+    val out = KeyDiscovery.inclusionDependencies(
+      l, Seq("wide", "narrow"), r, Seq("pk"),
+      screen = KeyDiscovery.Screen.Hll).collect()
+    val wide = out(0)
+    assert(!wide.getBoolean(5) && !wide.getBoolean(6)) // refuted, estimates
+    val narrow = out(1)
+    assert(narrow.getBoolean(5) && narrow.getBoolean(6)) // confirmed exact
+    assert(narrow.getLong(2) == 10 && narrow.getLong(3) == 10 &&
+      narrow.getLong(4) == 0)
+    // empty left column: null sketch never refutes; exact confirm holds
+    val empty = KeyDiscovery.inclusionDependencies(
+      l.where(col("wide") < 0), Seq("wide"), r, Seq("pk"),
+      screen = KeyDiscovery.Screen.Hll).head()
+    assert(empty.getLong(2) == 0 && empty.getLong(4) == 0 &&
+      empty.getBoolean(5) && empty.getBoolean(6))
+  }
+
+  test("inclusionDependencies confirm plan: equi-join on the value, never a cartesian") {
+    // the confirm join is internal; pin its shape by building the same
+    // frame the operator builds
+    val l = Seq(1, 2, 3).toDF("a")
+    val r = Seq(1, 2).toDF("b")
+    val plan = l.select(col("a").cast("string").as("v")).distinct()
+      .withColumn("l", lit(1))
+      .join(r.select(col("b").cast("string").as("v")).distinct()
+        .withColumn("r", lit(1)), Seq("v"), "full_outer")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("compositeCandidateKeys misuse guards are loud") {
     intercept[IllegalArgumentException] {
       KeyDiscovery.compositeCandidateKeys(df, Seq(Seq("id", "id")))
