@@ -2955,6 +2955,41 @@ object Oracles {
         "\nORDER BY left_column, right_column")
   }
 
+  /** q148: t-closeness — the engine's exact-integer numerator per class
+    * (½·[Σ|c·n − g·sz| + (n − Σg)·sz] / (sz·n)) written identically, one
+    * double division at the end, so doubles match bit-for-bit.
+    */
+  val q148: String =
+    """WITH nn AS (SELECT source, lang FROM documents
+      |    WHERE lang IS NOT NULL),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nn),
+      |g AS (SELECT lang AS v, CAST(count(*) AS BIGINT) AS gc
+      |  FROM nn GROUP BY 1),
+      |cv AS (SELECT source, lang AS v, CAST(count(*) AS BIGINT) AS c
+      |  FROM nn GROUP BY 1, 2),
+      |cz AS (SELECT cv.*,
+      |    CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS sz
+      |  FROM cv),
+      |cls AS (SELECT source, any_value(sz) AS sz,
+      |    CAST(sum(abs(c * n - gc * sz)) +
+      |      (n - sum(gc)) * any_value(sz) AS BIGINT) AS num
+      |  FROM cz JOIN g USING (v) CROSS JOIN tot GROUP BY source, n),
+      |d AS (SELECT sz,
+      |    CAST(num AS DOUBLE) / (2.0 * sz * (SELECT n FROM tot)) AS dist
+      |  FROM cls)
+      |SELECT CAST(0.02 AS DOUBLE) AS t,
+      |  (SELECT n FROM tot) AS n_rows,
+      |  CAST(count(*) AS BIGINT) AS n_classes,
+      |  coalesce(max(dist), 0.0) AS max_distance,
+      |  CAST(count(*) FILTER (WHERE dist > 0.02) AS BIGINT)
+      |    AS classes_above_t,
+      |  CAST(coalesce(sum(sz) FILTER (WHERE dist > 0.02), 0) AS BIGINT)
+      |    AS rows_above_t,
+      |  round(CAST(coalesce(sum(sz) FILTER (WHERE dist > 0.02), 0)
+      |      AS DOUBLE) / (SELECT n FROM tot), 6) AS share_above_t,
+      |  (coalesce(max(dist), 0.0) <= 0.02) AS is_t_close
+      |FROM d""".stripMargin
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q07_mutual_info_orders" -> q07Pinned,
@@ -3052,6 +3087,7 @@ object Oracles {
       "q145_staged_fds3" -> q145,
       "q146_mjpeg_luma" -> q146,
       "q147_inclusion_deps" -> q147,
+      "q148_t_closeness" -> q148,
       "q03_value_counts_orders" -> q03,
       "q04_histogram_price" -> q04,
       "q05_pearson_lineitem" -> q05,

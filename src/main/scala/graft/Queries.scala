@@ -2157,6 +2157,16 @@ object Queries {
     ops.Privacy.lDiversity(table(s, dir, "orders"),
       Seq("o_orderstatus", "o_orderpriority"), "o_custkey", l = 3)
 
+  /** t-closeness of the language distribution within each document
+    * source vs the corpus-wide distribution (r11): the third privacy
+    * report. Per-class variational distances are exact-integer
+    * numerators with one final double division, so the oracle reproduces
+    * them bit-identically.
+    */
+  def q148TCloseness(s: SparkSession, dir: String): DataFrame =
+    ops.Privacy.tCloseness(table(s, dir, "documents"),
+      Seq("source"), "lang", t = 0.02)
+
   /** Edit-distance fuzzy self-join over supplier names. maxDist = 1
     * dispatches to the FastSS deletion-neighborhood plan: on a single
     * namespace of sequential ids (every name sharing `Supplier#`),
@@ -2566,6 +2576,7 @@ object Queries {
     "q145_staged_fds3" -> (q145StagedFds3 _),
     "q146_mjpeg_luma" -> (q146MjpegLuma _),
     "q147_inclusion_deps" -> (q147InclusionDeps _),
+    "q148_t_closeness" -> (q148TCloseness _),
     "q140_multifield_linkage" -> (q140MultiFieldLinkage _)
   )
 }

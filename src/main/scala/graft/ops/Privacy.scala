@@ -57,6 +57,70 @@ object Privacy {
       .drop("n_rows")
   }
 
+  /** t-closeness profile (Li, Li & Venkatasubramanian 2007) — the third
+    * member of the privacy family: a dataset is t-close iff every
+    * quasi-identifier class's SENSITIVE-value distribution sits within
+    * distance t of the global distribution. Distance is the variational
+    * distance ½·Σ_v |P(v|class) − P(v)| (the categorical-attribute form;
+    * ordered-attribute EMD is out of scope, documented). Rows whose
+    * sensitive value is null carry no distribution mass and are excluded
+    * from both sides; a class of only-null sensitives vanishes with them.
+    *
+    * NUMERICAL CONTRACT: per-class distances are computed from exact
+    * integer numerators — ½·Σ|c_v·n − g_v·sz| / (sz·n) plus the
+    * out-of-class mass (n − Σ g_v)·sz — with ONE double division at the
+    * end, so Spark and the SQL oracle produce bit-identical doubles (no
+    * float-summation order dependence).
+    *
+    * Scale shape: one hash-groupBy on (class, value) builds the
+    * class-value table (the only row-scale shuffle); the global
+    * distribution is vocabulary-bounded and BROADCAST into it; the class
+    * size rides a whole-partition window over the already-reduced table;
+    * one bounded aggregation reduces classes to the single report row.
+    *
+    * Output (one row): (t, n_rows, n_classes, max_distance,
+    * classes_above_t, rows_above_t, share_above_t, is_t_close).
+    */
+  def tCloseness(df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+                 t: Double): DataFrame = {
+    requireQi(df, qiCols)
+    require(t > 0 && t < 1, s"need 0 < t < 1, got $t")
+    require(df.columns.contains(sensitiveCol),
+      s"column '$sensitiveCol' not in frame")
+    val sens = col(sensitiveCol)
+    val nn = df.where(sens.isNotNull)
+    val n = nn.count() // one scalar job; every later term needs the total
+    val globalDist = nn.groupBy(sens.as("__v"))
+      .agg(count(lit(1)).as("__g"))
+    val cv = nn.groupBy((qiCols.map(col) :+ sens.as("__v")): _*)
+      .agg(count(lit(1)).as("__c"))
+      .join(broadcast(globalDist), "__v")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qiCols.map(col): _*)
+    val classes = cv
+      .withColumn("__sz", sum(col("__c")).over(w))
+      .groupBy(qiCols.map(col): _*)
+      .agg(first(col("__sz")).as("__sz"),
+        (sum(abs(col("__c") * n - col("__g") * col("__sz"))) +
+          (lit(n) - sum(col("__g"))) * first(col("__sz"))).as("__num"))
+      .select(col("__sz"),
+        (col("__num").cast(DoubleType) /
+          (lit(2.0) * col("__sz") * lit(n))).as("__dist"))
+    classes.agg(
+        count(lit(1)).as("n_classes"),
+        max(col("__dist")).as("max_distance"),
+        count(when(col("__dist") > t, lit(1))).as("classes_above_t"),
+        coalesce(sum(when(col("__dist") > t, col("__sz"))), lit(0L))
+          .as("rows_above_t"))
+      .select(lit(t).as("t"), lit(n).as("n_rows"), col("n_classes"),
+        coalesce(col("max_distance"), lit(0.0)).as("max_distance"),
+        col("classes_above_t"), col("rows_above_t"),
+        when(lit(n) === 0, lit(0.0))
+          .otherwise(round(col("rows_above_t").cast(DoubleType) / lit(n), 6))
+          .as("share_above_t"),
+        coalesce(col("max_distance") <= t, lit(true)).as("is_t_close"))
+  }
+
   private def requireQi(df: DataFrame, qiCols: Seq[String]): Unit = {
     require(qiCols.nonEmpty, "need at least one quasi-identifier column")
     qiCols.foreach(c => require(df.columns.contains(c),

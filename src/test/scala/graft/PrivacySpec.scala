@@ -25,6 +25,53 @@ class PrivacySpec extends SparkSpec {
     assert(r3.getBoolean(7) && r3.getLong(5) == 0)
   }
 
+  test("tCloseness: distances equal the brute-force variational reference") {
+    // classes g1: {x:2, y:2}, g2: {x:3, z:1}; global over 8 rows
+    val df = Seq(
+      ("g1", "x"), ("g1", "x"), ("g1", "y"), ("g1", "y"),
+      ("g2", "x"), ("g2", "x"), ("g2", "x"), ("g2", "z"))
+      .toDF("qi", "s")
+    def brute(rows: Seq[(String, String)]): Map[String, Double] = {
+      val n = rows.size.toDouble
+      val g = rows.groupBy(_._2).view.mapValues(_.size / n).toMap
+      rows.groupBy(_._1).map { case (q, rs) =>
+        val sz = rs.size.toDouble
+        val p = rs.groupBy(_._2).view.mapValues(_.size / sz).toMap
+        q -> 0.5 * (g.keySet ++ p.keySet).toSeq
+          .map(v => math.abs(p.getOrElse(v, 0.0) - g.getOrElse(v, 0.0))).sum
+      }
+    }
+    val dists = brute(Seq(
+      ("g1", "x"), ("g1", "x"), ("g1", "y"), ("g1", "y"),
+      ("g2", "x"), ("g2", "x"), ("g2", "x"), ("g2", "z")))
+    val expectMax = dists.values.max
+    val r = Privacy.tCloseness(df, Seq("qi"), "s", t = 0.10).head()
+    assert(r.getLong(1) == 8 && r.getLong(2) == 2)
+    assert(math.abs(r.getDouble(3) - expectMax) < 1e-12)
+    // g1: |1/2-5/8| + |1/2-2/8| + |0-1/8| = 1/8+2/8+1/8 = 1/2 -> t=1/4
+    // g2: |3/4-5/8| + |0-2/8| + |1/4-1/8| = 1/8+2/8+1/8 = 1/2 -> t=1/4
+    assert(r.getDouble(3) == 0.25)
+    assert(r.getLong(4) == 2 && r.getLong(5) == 8)  // both classes above 0.10
+    assert(r.getDouble(6) == 1.0 && !r.getBoolean(7))
+    val ok = Privacy.tCloseness(df, Seq("qi"), "s", t = 0.25).head()
+    assert(ok.getBoolean(7) && ok.getLong(4) == 0)  // boundary: <= t passes
+  }
+
+  test("tCloseness: null sensitives carry no mass; empty input is vacuously close") {
+    val df = Seq(
+      ("g1", Some("x")), ("g1", Some("y")), ("g1", None),
+      ("g2", Some("x")), ("g2", Some("y")), ("g2", None), ("g2", None))
+      .toDF("qi", "s")
+    val r = Privacy.tCloseness(df, Seq("qi"), "s", t = 0.5).head()
+    assert(r.getLong(1) == 4)               // nulls excluded from n_rows
+    assert(r.getDouble(3) == 0.0)           // both classes: exactly global
+    assert(r.getBoolean(7))
+    val empty = Privacy.tCloseness(df.where(col("s").isNull),
+      Seq("qi"), "s", t = 0.5).head()
+    assert(empty.getLong(1) == 0 && empty.getLong(2) == 0)
+    assert(empty.getDouble(3) == 0.0 && empty.getBoolean(7))
+  }
+
   test("kAnonymity: nulls form their own equivalence class") {
     val df = Seq(Some("a"), Some("a"), None, None, None)
       .toDF("qi")
