@@ -122,6 +122,16 @@ re-spend a round on them. Full numbers in BENCH_SF1.md §"Round-9 probes".
    that overlap in the scheduler. Same jobs-beat-batched result as the
    exact-distinct Expand (ProbeQ139/ProbeFd) — the screen now runs as
    concurrent per-candidate jobs (ProbeScreen).
+
+4. **`percentile_approx` as describe's scale path (r11).** The approx
+   sketch was the documented 100 TB default while exact quartiles were
+   sort-shaped. With exact quartiles now the sort-free histogram walk,
+   the approx knob is the SLOW plan at every measured scale — 47.3 s vs
+   11.2 s exact at 150×/90M rows (BENCH_SF1 §r11): ApproximatePercentile
+   is an ObjectHashAggregate outside whole-stage codegen and its
+   per-column final sketch merge is single-threaded. Do not flip
+   describe back to `approx = true` for scale; the knob remains only
+   for `percentile_approx` semantic parity.
 """)
     for ((name, note) <- picks) {
       val df = Queries.all(name)(spark, sfDir)
