@@ -250,10 +250,15 @@ object Bench {
       if (!r.polluted) r
       else {
         val again = measure(r.name, SparkEntry.queries(r.name), doWarm = false)
+        // either way the shipped record describes ATTEMPT 2 (its runs,
+        // spread, loadavg, micro) with attempt 1 preserved as prior_runs —
+        // mixing fields across attempts would break the self-describing
+        // artifact (a consumer's recomputed spread must match `spread`).
+        // Only `value` spans both: the global min over runs ∪ prior_runs.
         if (!again.polluted)
           again.copy(warm = r.warm, retried = true, priorRuns = r.timed)
-        else r.copy(value = math.min(r.value, again.value),
-          timed = again.timed, retried = true, priorRuns = r.timed)
+        else again.copy(value = math.min(r.value, again.value),
+          warm = r.warm, retried = true, priorRuns = r.timed)
       }
     }
     val calibPost = calib()

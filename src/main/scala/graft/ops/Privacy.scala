@@ -70,7 +70,11 @@ object Privacy {
     * integer numerators — ½·Σ|c_v·n − g_v·sz| / (sz·n) plus the
     * out-of-class mass (n − Σ g_v)·sz — with ONE double division at the
     * end, so Spark and the SQL oracle produce bit-identical doubles (no
-    * float-summation order dependence).
+    * float-summation order dependence). The numerator arithmetic runs in
+    * DecimalType(38,0): the terms reach n·sz ≈ n², which overflows a
+    * Long past ~3·10⁹ non-null rows — exactly the scale this operator is
+    * for — while 38 digits stay exact beyond 10¹⁸ rows (DuckDB's side
+    * auto-promotes BIGINT sums to HUGEINT, so the oracle agrees).
     *
     * Scale shape: one hash-groupBy on (class, value) builds the
     * class-value table (the only row-scale shuffle); the global
@@ -97,12 +101,16 @@ object Privacy {
       .join(broadcast(globalDist), "__v")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(qiCols.map(col): _*)
+    // Decimal(38,0) keeps c·n / g·sz / their sums exact where Long wraps
+    val dec = DecimalType(38, 0)
+    val (cD, gD, szD, nD) = (col("__c").cast(dec), col("__g").cast(dec),
+      col("__sz").cast(dec), lit(n).cast(dec))
     val classes = cv
       .withColumn("__sz", sum(col("__c")).over(w))
       .groupBy(qiCols.map(col): _*)
       .agg(first(col("__sz")).as("__sz"),
-        (sum(abs(col("__c") * n - col("__g") * col("__sz"))) +
-          (lit(n) - sum(col("__g"))) * first(col("__sz"))).as("__num"))
+        (sum(abs(cD * nD - gD * szD)) +
+          (nD - sum(gD)) * first(szD)).as("__num"))
       .select(col("__sz"),
         (col("__num").cast(DoubleType) /
           (lit(2.0) * col("__sz") * lit(n))).as("__dist"))

@@ -145,10 +145,11 @@ object Video {
         val bytes = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
         if (bytes == null) Iterator.empty
         else {
-          val ranges = VideoMeta.aviFrameRanges(bytes)
+          val decoded = VideoMeta.decode(bytes) // ONE header parse per payload
+          val ranges = VideoMeta.aviFrameRanges(bytes, decoded)
           if (ranges.isEmpty) Iterator.empty
           else {
-            val info = VideoMeta.decode(bytes).get // ranges non-empty ⇒ AVI
+            val info = decoded.get // ranges non-empty ⇒ AVI
             ranges.iterator.zipWithIndex.map { case ((off, len), i) =>
               val ts = i * 1000L / math.max(1L, info.timescale)
               val decoded: Seq[Any] = decodeJpegLuma(bytes, off, len) match {

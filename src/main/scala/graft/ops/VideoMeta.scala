@@ -315,7 +315,16 @@ object VideoMeta {
     * Reference behavior: woodwork has no media surface; this backs the
     * engine's multimodal pipeline ops (SURVEY §2.12).
     */
-  def aviFrameRanges(b: Array[Byte]): Array[(Long, Long)] = {
+  def aviFrameRanges(b: Array[Byte]): Array[(Long, Long)] =
+    aviFrameRanges(b, decode(b))
+
+  /** [[aviFrameRanges]] against an ALREADY-decoded [[VideoInfo]] — callers
+    * that need both the metadata and the ranges (e.g.
+    * [[Video.decodeMjpegFrames]]) parse the container header once, not
+    * twice per payload.
+    */
+  def aviFrameRanges(b: Array[Byte],
+                     info: Option[VideoInfo]): Array[(Long, Long)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     def isVideoChunk(id: String): Boolean =
       id.length == 4 && id(0).isDigit && id(1).isDigit &&
@@ -334,7 +343,7 @@ object VideoMeta {
         o = content + size + (size & 1) // RIFF chunks are word-aligned
       }
     }
-    decode(b) match {
+    info match {
       case Some(i) if i.mime == "video/x-msvideo" && i.dataSize > 0 =>
         walk(i.dataOffset, math.min(b.length.toLong,
           i.dataOffset + i.dataSize))

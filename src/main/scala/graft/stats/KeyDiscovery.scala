@@ -155,9 +155,11 @@ object KeyDiscovery {
                              scanOnce: Boolean = false,
                              screen: Screen = Screen.Exact,
                              screenRsd: Double = 0.02): DataFrame = {
-    val hll = useHll(df, screen)
-    require(!(scanOnce && hll),
+    require(!(scanOnce && screen == Screen.Hll),
       "scanOnce and the HLL screen are alternative plans — pick one")
+    // an explicit scanOnce wins over Auto: the guard must stay a static
+    // API contract, never a data-size-triggered runtime failure
+    val hll = !scanOnce && useHll(df, screen)
     validateCandidates(df, candidates)
     val profiles: Seq[((Long, Long, Long), Boolean)] =
       if (scanOnce) {
@@ -529,9 +531,10 @@ object KeyDiscovery {
                              scanOnce: Boolean = false,
                              screen: Screen = Screen.Exact,
                              screenRsd: Double = 0.02): DataFrame = {
-    val hll = useHll(df, screen)
-    require(!(scanOnce && hll),
+    require(!(scanOnce && screen == Screen.Hll),
       "scanOnce and the HLL screen are alternative plans — pick one")
+    // explicit scanOnce wins over Auto (see compositeCandidateKeys)
+    val hll = !scanOnce && useHll(df, screen)
     require(cols.size >= 2, "need at least two columns")
     cols.foreach(c => require(df.columns.contains(c),
       s"column '$c' not in frame"))

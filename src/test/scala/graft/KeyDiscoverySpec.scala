@@ -383,6 +383,28 @@ class KeyDiscoverySpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("scanOnce + Screen.Auto stays exact on any frame size (no data-dependent crash)") {
+    // an explicit scanOnce must win over Auto: the alternative-plans
+    // guard is a static API contract, not a size-triggered failure
+    val big = spark.range(40L * 1000 * 1000)
+      .select(col("id"), pmod(col("id"), lit(1000)).as("grp"))
+    assert(big.queryExecution.optimizedPlan.stats.sizeInBytes >=
+      BigInt(KeyDiscovery.AutoScreenBytes))
+    val r = KeyDiscovery.compositeCandidateKeys(big.limit(100),
+      Seq(Seq("grp")), scanOnce = true,
+      screen = KeyDiscovery.Screen.Auto).head()
+    assert(r.getBoolean(6)) // exact path taken
+    val fd = KeyDiscovery.functionalDependencies(big.limit(100),
+      Seq("id", "grp"), scanOnce = true,
+      screen = KeyDiscovery.Screen.Auto).head()
+    assert(fd.getBoolean(5)) // is_exact
+    // the static misuse (explicit Hll + scanOnce) still refuses loudly
+    intercept[IllegalArgumentException] {
+      KeyDiscovery.compositeCandidateKeys(big.limit(100), Seq(Seq("grp")),
+        scanOnce = true, screen = KeyDiscovery.Screen.Hll)
+    }
+  }
+
   test("compositeCandidateKeys misuse guards are loud") {
     intercept[IllegalArgumentException] {
       KeyDiscovery.compositeCandidateKeys(df, Seq(Seq("id", "id")))

@@ -81,7 +81,9 @@ def classify(old, new, args, micro_base):
         return "new", None
     if new is None:
         return "removed", None
-    ratio = new["value_norm"] / max(old["value_norm"], 1e-9)
+    # both sides floored: r3-rounding can serialize sub-0.5 ms values as
+    # 0.0, and 1/ratio below must never divide by zero
+    ratio = max(new["value_norm"], 1e-9) / max(old["value_norm"], 1e-9)
     if old.get("polluted") or new.get("polluted"):
         return "polluted", ratio
     if max(ratio, 1 / ratio) <= args.band:
@@ -144,7 +146,6 @@ def main():
     print(f"| query | old | new | ratio | verdict |")
     print(f"|---|---|---|---|---|")
     interesting = [r for r in rows if r[3] not in ("stable",)]
-    shown = interesting + [r for r in rows if r[3] == "stable"]
     # non-stable first, each group by |log ratio| descending
     def key(r):
         return -abs(math.log(r[4])) if r[4] else 0
