@@ -254,7 +254,9 @@ object Bench {
         // spread, loadavg, micro) with attempt 1 preserved as prior_runs —
         // mixing fields across attempts would break the self-describing
         // artifact (a consumer's recomputed spread must match `spread`).
-        // Only `value` spans both: the global min over runs ∪ prior_runs.
+        // A clean attempt 2 reports its own stable-window min; only in the
+        // still-polluted branch does `value` span both attempts (the
+        // global min over runs ∪ prior_runs).
         if (!again.polluted)
           again.copy(warm = r.warm, retried = true, priorRuns = r.timed)
         else again.copy(value = math.min(r.value, again.value),

@@ -93,38 +93,49 @@ object Privacy {
       s"column '$sensitiveCol' not in frame")
     val sens = col(sensitiveCol)
     val nn = df.where(sens.isNotNull)
-    val n = nn.count() // one scalar job; every later term needs the total
+    // the total rides as a broadcast one-row cross join, NOT an eager
+    // count() at construction: the operator stays as lazy as its
+    // kAnonymity/lDiversity siblings (a report built before the input
+    // settles can't mix a stale total with fresh data, and merely
+    // constructing it costs nothing — r11 ADVICE)
+    val tot = nn.agg(count(lit(1)).as("__n"))
     val globalDist = nn.groupBy(sens.as("__v"))
       .agg(count(lit(1)).as("__g"))
     val cv = nn.groupBy((qiCols.map(col) :+ sens.as("__v")): _*)
       .agg(count(lit(1)).as("__c"))
       .join(broadcast(globalDist), "__v")
+      .crossJoin(broadcast(tot))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(qiCols.map(col): _*)
     // Decimal(38,0) keeps c·n / g·sz / their sums exact where Long wraps
     val dec = DecimalType(38, 0)
-    val (cD, gD, szD, nD) = (col("__c").cast(dec), col("__g").cast(dec),
-      col("__sz").cast(dec), lit(n).cast(dec))
+    val (cD, gD, szD) = (col("__c").cast(dec), col("__g").cast(dec),
+      col("__sz").cast(dec))
     val classes = cv
       .withColumn("__sz", sum(col("__c")).over(w))
       .groupBy(qiCols.map(col): _*)
-      .agg(first(col("__sz")).as("__sz"),
-        (sum(abs(cD * nD - gD * szD)) +
-          (nD - sum(gD)) * first(szD)).as("__num"))
+      .agg(first(col("__sz")).as("__sz"), first(col("__n")).as("__n"),
+        (sum(abs(cD * col("__n").cast(dec) - gD * szD)) +
+          (first(col("__n")).cast(dec) - sum(gD)) * first(szD))
+          .as("__num"))
       .select(col("__sz"),
         (col("__num").cast(DoubleType) /
-          (lit(2.0) * col("__sz") * lit(n))).as("__dist"))
+          (lit(2.0) * col("__sz") * col("__n"))).as("__dist"))
     classes.agg(
         count(lit(1)).as("n_classes"),
         max(col("__dist")).as("max_distance"),
         count(when(col("__dist") > t, lit(1))).as("classes_above_t"),
         coalesce(sum(when(col("__dist") > t, col("__sz"))), lit(0L))
           .as("rows_above_t"))
-      .select(lit(t).as("t"), lit(n).as("n_rows"), col("n_classes"),
+      // n_rows joins back from the SAME lazy total (one row × one row);
+      // an empty class table still reports the true n (of zero)
+      .crossJoin(broadcast(tot))
+      .select(lit(t).as("t"), col("__n").as("n_rows"), col("n_classes"),
         coalesce(col("max_distance"), lit(0.0)).as("max_distance"),
         col("classes_above_t"), col("rows_above_t"),
-        when(lit(n) === 0, lit(0.0))
-          .otherwise(round(col("rows_above_t").cast(DoubleType) / lit(n), 6))
+        when(col("__n") === 0, lit(0.0))
+          .otherwise(round(col("rows_above_t").cast(DoubleType) /
+            col("__n"), 6))
           .as("share_above_t"),
         coalesce(col("max_distance") <= t, lit(true)).as("is_t_close"))
   }

@@ -126,7 +126,9 @@ object Video {
     * same convention as [[Multimodal]]'s feature vectors), reported as
     * `luma_mean = Σl / (1000·npix)` (double) and `luma_min`/`luma_max`
     * as `⌊l/1000⌋` (the 0..255 luma band). `ts_ms` is the frame's display
-    * time from the container frame rate (`frame_idx · 1000 / fps`, floor).
+    * time from the container's exact frame period
+    * (`frame_idx · µs_per_frame / 1000`, floor — NOT the integer-truncated
+    * fps, which would drift ~3% at 29.97 fps and collapse sub-1fps rates).
     * Non-JPEG or undecodable frame chunks keep their row with null decode
     * fields; non-AVI payloads yield zero rows.
     *
@@ -151,7 +153,9 @@ object Video {
           else {
             val info = decoded.get // ranges non-empty ⇒ AVI
             ranges.iterator.zipWithIndex.map { case ((off, len), i) =>
-              val ts = i * 1000L / math.max(1L, info.timescale)
+              // from the exact frame period, not the integer-truncated fps
+              // (29.97 fps truncates to 29 → ~3% drift; sub-1fps to 0)
+              val ts = i * info.framePeriodUs / 1000L
               val decoded: Seq[Any] = decodeJpegLuma(bytes, off, len) match {
                 case Some((w, h, mean, lo, hi)) => Seq[Any](w, h, mean, lo, hi)
                 case None => Seq[Any](null, null, null, null, null)

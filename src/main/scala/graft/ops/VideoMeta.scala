@@ -26,7 +26,8 @@ object VideoMeta {
   final case class VideoInfo(mime: String, width: Int, height: Int,
                              durationMs: Long, timescale: Long,
                              dataOffset: Long, dataSize: Long,
-                             samples: Option[SampleTable] = None)
+                             samples: Option[SampleTable] = None,
+                             framePeriodUs: Long = 0L)
 
   /** Per-sample index recovered from the MP4 sample tables
     * (`stts`/`stsz`/`stsc`/`stco`): for sample j, `startTicks(j)` is its
@@ -292,7 +293,11 @@ object VideoMeta {
     if (usPerFrame <= 0) None
     else Some(VideoInfo("video/x-msvideo", width, height,
       totalFrames * usPerFrame / 1000L, 1000000L / math.max(1L, usPerFrame),
-      moviOff, moviSize))
+      moviOff, moviSize,
+      // the exact frame period: `timescale` above is the INTEGER-truncated
+      // fps (29.97 → 29, sub-1fps → 0), fine as a nominal rate but wrong
+      // as a timestamp base — frame timestamps derive from this instead
+      framePeriodUs = usPerFrame))
   }
 
   /** Dispatch on container magic; None for anything that isn't a

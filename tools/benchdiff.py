@@ -65,9 +65,13 @@ def load_artifact(path):
     pm = re.search(r'"pinned":(true|false)', tail)
     lm = re.search(r'"polluted":\[([^\]]*)\]', tail)
     polluted = set(re.findall(r'"(q[^"+]+)"', lm.group(1))) if lm else set()
+    # the stdout line caps the polluted list at 4 names + a '"+N"' sentinel
+    # (Bench.scala) — past the cap, queries LOSE their polluted flag here
+    # and can read as code-suspect; say so instead of silently misclassing
+    truncated = bool(lm and re.search(r'"\+\d+"', lm.group(1)))
     meta = {"kind": "driver", "factor": factor,
             "pinned": pm.group(1) == "true" if pm else False,
-            "micro_base": None}
+            "micro_base": None, "polluted_truncated": truncated}
     qs = {}
     for short, v in re.findall(r'"(q\w+)":([0-9.]+)', qm.group(1)):
         qs[short] = {"name": short, "value": float(v),
@@ -99,7 +103,10 @@ def classify(old, new, args, micro_base):
         evidence.append("end-of-suite retry")
     if evidence:
         return "session", ratio
-    if old["value"] < args.floor and new["value"] < args.floor:
+    # normalized values: the band/ratio classes and the printed table are
+    # all calibration-normalized, so the floor must be too — with a factor
+    # far from 1.0 a raw-value floor would disagree with the table
+    if old["value_norm"] < args.floor and new["value_norm"] < args.floor:
         return "sub-second", ratio
     return "code-suspect", ratio
 
@@ -127,6 +134,11 @@ def main():
     if ometa["kind"] == "driver" and nmeta["kind"] == "driver":
         print("# NOTE: both sides are driver artifacts - no per-query load "
               "fields; 'session' class unavailable.\n")
+    for which, m in (("old", ometa), ("new", nmeta)):
+        if m.get("polluted_truncated"):
+            print(f"# NOTE: {which} artifact's polluted list is truncated "
+                  f"('+N' sentinel) - 5th+ polluted queries lost their flag "
+                  f"and may misclassify as code-suspect.\n")
 
     rows, counts = [], {}
     for short in sorted(set(oq) | set(nq), key=lambda s: (len(s), s)):
