@@ -2990,6 +2990,137 @@ object Oracles {
       |  (coalesce(max(dist), 0.0) <= 0.02) AS is_t_close
       |FROM d""".stripMargin
 
+  /** q149: composite inclusion dependencies — tuple containment restated
+    * as DISTINCT multi-column sets with string-cast components and a
+    * NOT EXISTS all-components equality (null right components fail the
+    * equality, which IS the "right nulls match nothing" rule; left
+    * any-null tuples are filtered, the MATCH SIMPLE rule).
+    */
+  val q149: String = {
+    def cpair(lsrc: String, lcs: Seq[String],
+              rsrc: String, rcs: Seq[String]): String = {
+      val k = lcs.size
+      val lsel = lcs.zipWithIndex.map { case (c, i) =>
+        s"CAST($c AS VARCHAR) AS v$i" }.mkString(", ")
+      val lnn = lcs.map(c => s"$c IS NOT NULL").mkString(" AND ")
+      val rsel = rcs.zipWithIndex.map { case (c, i) =>
+        s"CAST($c AS VARCHAR) AS v$i" }.mkString(", ")
+      val rnn = rcs.map(c => s"$c IS NOT NULL").mkString(" AND ")
+      val eq = rcs.zipWithIndex.map { case (c, i) =>
+        s"CAST(r.$c AS VARCHAR) = a.v$i" }.mkString(" AND ")
+      s"""SELECT left_columns, right_columns, arity, n_left_distinct,
+         |  n_right_distinct, n_missing, n_missing = 0 AS holds,
+         |  TRUE AS is_exact FROM (
+         |  SELECT '${lcs.mkString(",")}' AS left_columns,
+         |    '${rcs.mkString(",")}' AS right_columns, $k AS arity,
+         |    (SELECT count(*) FROM
+         |       (SELECT DISTINCT $lsel FROM $lsrc WHERE $lnn) x)
+         |      AS n_left_distinct,
+         |    (SELECT count(*) FROM
+         |       (SELECT DISTINCT $rsel FROM $rsrc WHERE $rnn) x)
+         |      AS n_right_distinct,
+         |    (SELECT count(*) FROM
+         |       (SELECT DISTINCT $lsel FROM $lsrc WHERE $lnn) a
+         |       WHERE NOT EXISTS (SELECT 1 FROM $rsrc r WHERE $eq))
+         |      AS n_missing
+         |) t""".stripMargin
+    }
+    val slice = "(SELECT * FROM lineitem WHERE l_orderkey < 2000)"
+    Seq(
+      cpair("lineitem", Seq("l_orderkey", "l_linestatus"),
+        "orders", Seq("o_orderkey", "o_orderstatus")),
+      cpair("lineitem", Seq("l_orderkey"), "orders", Seq("o_orderkey")),
+      cpair("lineitem", Seq("l_orderkey", "l_suppkey"),
+        "orders", Seq("o_orderkey", "o_custkey")),
+      cpair(slice, Seq("l_orderkey", "l_linenumber"),
+        "lineitem", Seq("l_orderkey", "l_linenumber")),
+      cpair("lineitem", Seq("l_orderkey", "l_linenumber"),
+        slice, Seq("l_orderkey", "l_linenumber")))
+      .mkString("", "\nUNION ALL\n",
+        "\nORDER BY left_columns, right_columns, n_missing")
+  }
+
+  /** q150: ordered-attribute t-closeness (EMD) — cumulative
+    * exact-integer differences over the global value vocabulary in value
+    * order, Σ|cumulative| / ((m−1)·sz·n) with ONE double division of two
+    * exact integers (both < 2⁵³ at any bench scale, so the doubles are
+    * the exact integers and the division is bit-identical across
+    * engines).
+    */
+  val q150: String =
+    """WITH nn AS (SELECT l_returnflag AS q1, l_linestatus AS q2,
+      |    l_quantity AS s FROM lineitem WHERE l_quantity IS NOT NULL),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(count(DISTINCT s) AS BIGINT) AS m FROM nn),
+      |g AS (SELECT s AS v, CAST(count(*) AS BIGINT) AS gc
+      |  FROM nn GROUP BY 1),
+      |sz AS (SELECT q1, q2, CAST(count(*) AS BIGINT) AS sz
+      |  FROM nn GROUP BY 1, 2),
+      |cv AS (SELECT q1, q2, s AS v, CAST(count(*) AS BIGINT) AS c
+      |  FROM nn GROUP BY 1, 2, 3),
+      |grid AS (SELECT sz.q1, sz.q2, sz.sz, g.v, g.gc,
+      |    coalesce(cv.c, 0) AS c
+      |  FROM sz CROSS JOIN g
+      |  LEFT JOIN cv ON cv.q1 = sz.q1 AND cv.q2 = sz.q2 AND cv.v = g.v),
+      |cum AS (SELECT q1, q2, sz,
+      |    sum(c * (SELECT n FROM tot) - gc * sz)
+      |      OVER (PARTITION BY q1, q2 ORDER BY v
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r
+      |  FROM grid),
+      |cls AS (SELECT q1, q2, any_value(sz) AS sz, sum(abs(r)) AS num
+      |  FROM cum GROUP BY q1, q2),
+      |d AS (SELECT sz, CASE WHEN (SELECT m FROM tot) > 1 THEN
+      |    CAST(num AS DOUBLE) /
+      |      CAST(((SELECT m FROM tot) - 1) * sz * (SELECT n FROM tot)
+      |        AS DOUBLE)
+      |    ELSE 0.0 END AS dist FROM cls)
+      |SELECT CAST(0.003 AS DOUBLE) AS t,
+      |  (SELECT n FROM tot) AS n_rows,
+      |  CAST(count(*) AS BIGINT) AS n_classes,
+      |  coalesce(max(dist), 0.0) AS max_distance,
+      |  CAST(count(*) FILTER (WHERE dist > 0.003) AS BIGINT)
+      |    AS classes_above_t,
+      |  CAST(coalesce(sum(sz) FILTER (WHERE dist > 0.003), 0) AS BIGINT)
+      |    AS rows_above_t,
+      |  round(CAST(coalesce(sum(sz) FILTER (WHERE dist > 0.003), 0)
+      |      AS DOUBLE) / (SELECT n FROM tot), 6) AS share_above_t,
+      |  (coalesce(max(dist), 0.0) <= 0.003) AS is_t_close
+      |FROM d""".stripMargin
+
+  /** q152: the schema-wide IND sweep — the q147 per-pair SQL lifted to
+    * every cross-table column pair of the 4-table star, with the table
+    * names in the output.
+    */
+  val q152: String = {
+    def pair(lt: String, lc: String, rt: String, rc: String): String =
+      s"""SELECT left_table, left_column, right_table, right_column,
+         |  n_left_distinct, n_right_distinct, n_missing,
+         |  n_missing = 0 AS holds, TRUE AS is_exact FROM (
+         |  SELECT '$lt' AS left_table, '$lc' AS left_column,
+         |    '$rt' AS right_table, '$rc' AS right_column,
+         |    (SELECT count(DISTINCT CAST($lc AS VARCHAR)) FROM $lt
+         |       WHERE $lc IS NOT NULL) AS n_left_distinct,
+         |    (SELECT count(DISTINCT CAST($rc AS VARCHAR)) FROM $rt
+         |       WHERE $rc IS NOT NULL) AS n_right_distinct,
+         |    (SELECT count(*) FROM
+         |       (SELECT DISTINCT CAST($lc AS VARCHAR) AS v FROM $lt
+         |          WHERE $lc IS NOT NULL) a
+         |       WHERE NOT EXISTS (SELECT 1 FROM $rt
+         |          WHERE CAST($rc AS VARCHAR) = a.v)) AS n_missing
+         |) t""".stripMargin
+    val tabs = Seq(
+      "region" -> Seq("r_regionkey", "r_name"),
+      "nation" -> Seq("n_nationkey", "n_regionkey", "n_name"),
+      "customer" -> Seq("c_custkey", "c_nationkey"),
+      "supplier" -> Seq("s_suppkey", "s_nationkey"))
+    val blocks = for {
+      (lt, lcs) <- tabs; (rt, rcs) <- tabs if lt != rt
+      a <- lcs; b <- rcs
+    } yield pair(lt, a, rt, b)
+    blocks.mkString("", "\nUNION ALL\n",
+      "\nORDER BY left_table, left_column, right_table, right_column")
+  }
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q07_mutual_info_orders" -> q07Pinned,
@@ -3088,6 +3219,13 @@ object Oracles {
       "q146_mjpeg_luma" -> q146,
       "q147_inclusion_deps" -> q147,
       "q148_t_closeness" -> q148,
+      "q149_composite_inds" -> q149,
+      "q150_t_closeness_ordered" -> q150,
+      // q151 = q146's frames at q146's cadence in an MP4 container: the
+      // decoded statistics are container-invariant, so the arithmetic
+      // oracle is shared verbatim (the q106→q02 convention)
+      "q151_mjpeg_mp4" -> q146,
+      "q152_ind_sweep" -> q152,
       "q03_value_counts_orders" -> q03,
       "q04_histogram_price" -> q04,
       "q05_pearson_lineitem" -> q05,

@@ -1712,14 +1712,13 @@ object Queries {
     * arithmetically — the decode path under test is real, the pixels it
     * must produce are pinned.
     */
-  private val mkMjpegAvi = udf { (k: Long) =>
-    def le32(v: Int): Array[Byte] =
-      Array((v & 0xFF).toByte, ((v >>> 8) & 0xFF).toByte,
-        ((v >>> 16) & 0xFF).toByte, ((v >>> 24) & 0xFF).toByte)
-    def le16(v: Int): Array[Byte] =
-      Array((v & 0xFF).toByte, ((v >>> 8) & 0xFF).toByte)
-    def tag(t: String): Array[Byte] = t.getBytes("ISO-8859-1")
-    val frames = (0 until 3).map { f =>
+  /** The 3 block-constant grayscale JPEG frames of doc k (scaladoc at
+    * [[mkMjpegAvi]]) — shared by the AVI (q146) and MP4 (q151) fixtures,
+    * so both containers carry bit-identical standalone-JPEG frames and
+    * one arithmetic oracle pins both decode paths.
+    */
+  private def mjpegTestFrames(k: Long): Seq[Array[Byte]] =
+    (0 until 3).map { f =>
       val img = new java.awt.image.BufferedImage(
         32, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
       var y = 0
@@ -1744,6 +1743,15 @@ object Queries {
       w.dispose()
       bos.toByteArray
     }
+
+  private val mkMjpegAvi = udf { (k: Long) =>
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >>> 8) & 0xFF).toByte,
+        ((v >>> 16) & 0xFF).toByte, ((v >>> 24) & 0xFF).toByte)
+    def le16(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >>> 8) & 0xFF).toByte)
+    def tag(t: String): Array[Byte] = t.getBytes("ISO-8859-1")
+    val frames = mjpegTestFrames(k)
     val bos = new java.io.ByteArrayOutputStream()
     def p(b: Array[Byte]): Unit = bos.write(b)
     val strlSize = 4 + (8 + 56) + (8 + 40)           // strh + strf
@@ -1786,6 +1794,79 @@ object Queries {
   def q146MjpegLuma(s: SparkSession, dir: String): DataFrame = {
     val docs = table(s, dir, "documents").where(col("doc_id") < 40)
       .select(col("doc_id"), mkMjpegAvi(col("doc_id")).as("payload"))
+    ops.Video.decodeMjpegFrames(docs)
+      .select(col("doc_id"), col("frame_idx"), col("ts_ms"),
+        col("frame_width"), col("frame_height"),
+        col("luma_mean"), col("luma_min"), col("luma_max"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  /** MJPEG-in-MP4 generator for q151: doc k's MP4 carries the SAME 3
+    * block-constant JPEG frames as its q146 AVI ([[mjpegTestFrames]]),
+    * concatenated in one `mdat` chunk and indexed by a complete v0
+    * sample table — one stts run (3 samples, 40 ticks at media timescale
+    * 1000 → 40 ms/frame, the AVI's 25 fps), per-sample stsz, one
+    * stsc run (chunk 1, 3 samples), one stco offset. The layout
+    * arithmetic below recomputes every box size from the frame bytes.
+    */
+  private val mkMjpegMp4 = udf { (k: Long) =>
+    def be32(v: Int): Array[Byte] =
+      Array(((v >>> 24) & 0xFF).toByte, ((v >>> 16) & 0xFF).toByte,
+        ((v >>> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def tag(t: String): Array[Byte] = t.getBytes("ISO-8859-1")
+    val frames = mjpegTestFrames(k)
+    val n = frames.size
+    val stblSize = 8 + 24 + (20 + 4 * n) + 28 + 20 // stts+stsz+stsc+stco
+    val minfSize = 8 + stblSize
+    val mdiaSize = 8 + 32 + minfSize               // mdhd + minf
+    val trakSize = 8 + 92 + mdiaSize               // tkhd + mdia
+    val moovSize = 8 + 108 + trakSize              // mvhd + trak
+    val sOff = 24 + moovSize + 8                   // mdat content offset
+    val bos = new java.io.ByteArrayOutputStream()
+    def p(b: Array[Byte]): Unit = bos.write(b)
+    p(be32(24)); p(tag("ftyp")); p(tag("isom")); p(be32(0x200))
+    p(tag("isom")); p(tag("mp41"))
+    p(be32(moovSize)); p(tag("moov"))
+    p(be32(108)); p(tag("mvhd")); p(be32(0)); p(be32(0)); p(be32(0))
+    p(be32(1000)); p(be32(40 * n))                 // movie timescale, duration
+    p(be32(0x00010000)); p(be32(0x01000000)); p(be32(0)); p(be32(0))
+    p(be32(0x00010000)); p(be32(0)); p(be32(0)); p(be32(0)); p(be32(0x00010000))
+    p(be32(0)); p(be32(0)); p(be32(0)); p(be32(0x40000000))
+    (0 until 6).foreach(_ => p(be32(0))); p(be32(2))
+    p(be32(trakSize)); p(tag("trak"))
+    p(be32(92)); p(tag("tkhd")); p(be32(7)); p(be32(0)); p(be32(0)); p(be32(1))
+    p(be32(0)); p(be32(40 * n)); p(be32(0)); p(be32(0)); p(be32(0)); p(be32(0))
+    p(be32(0x00010000)); p(be32(0)); p(be32(0)); p(be32(0)); p(be32(0x00010000))
+    p(be32(0)); p(be32(0)); p(be32(0)); p(be32(0x40000000))
+    p(be32(32 << 16)); p(be32(16 << 16))           // 16.16 width/height
+    p(be32(mdiaSize)); p(tag("mdia"))
+    p(be32(32)); p(tag("mdhd")); p(be32(0)); p(be32(0)); p(be32(0))
+    p(be32(1000)); p(be32(40 * n)); p(be32(0x55C40000)) // media ts, duration
+    p(be32(minfSize)); p(tag("minf"))
+    p(be32(stblSize)); p(tag("stbl"))
+    p(be32(24)); p(tag("stts")); p(be32(0)); p(be32(1))
+    p(be32(n)); p(be32(40))                        // one run: n × 40 ticks
+    p(be32(20 + 4 * n)); p(tag("stsz")); p(be32(0)); p(be32(0)); p(be32(n))
+    frames.foreach(f => p(be32(f.length)))
+    p(be32(28)); p(tag("stsc")); p(be32(0)); p(be32(1))
+    p(be32(1)); p(be32(n)); p(be32(1))             // chunk 1 holds all n
+    p(be32(20)); p(tag("stco")); p(be32(0)); p(be32(1)); p(be32(sOff))
+    p(be32(8 + frames.map(_.length).sum)); p(tag("mdat"))
+    frames.foreach(p)
+    bos.toByteArray
+  }
+
+  /** MJPEG pixel decode from an MP4 container (r12): the same standalone
+    * JPEG frames as q146, located not by a RIFF chunk walk but by the
+    * recovered MP4 sample tables (`stts`/`stsz`/`stsc`/`stco` → exact
+    * byte ranges and decode timestamps). The fixture carries q146's
+    * bit-exact block-constant frames at the same 40 ms cadence, so the
+    * SAME arithmetic oracle pins both container paths — the codec
+    * boundary now reads "inter-frame codecs" exactly.
+    */
+  def q151MjpegMp4(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents").where(col("doc_id") < 40)
+      .select(col("doc_id"), mkMjpegMp4(col("doc_id")).as("payload"))
     ops.Video.decodeMjpegFrames(docs)
       .select(col("doc_id"), col("frame_idx"), col("ts_ms"),
         col("frame_width"), col("frame_height"),
@@ -2393,6 +2474,67 @@ object Queries {
       .orderBy("left_column", "right_column")
   }
 
+  /** COMPOSITE inclusion dependencies (r12) — the profiling family's
+    * third member at composite arity: tuple containment measured by one
+    * full-outer multi-column equi-join of distinct-tuple sets per pair.
+    * The lattice exercises every verdict shape: a cross-frame arity-2
+    * candidate whose truth the data decides ((l_orderkey, l_linestatus)
+    * vs (o_orderkey, o_orderstatus) — an order's line statuses need not
+    * echo its order status), an arity-1 true FK through the same tuple
+    * path, an arity-2 non-FK with counted misses, and a slice⊆full /
+    * full⊆slice pair whose reverse direction counts exactly the tuples
+    * the slice dropped. The slice rows share labels, so the sort
+    * tiebreaks on n_missing.
+    */
+  def q149CompositeInds(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem")
+    val ord = table(s, dir, "orders")
+    val liSlice = li.where(col("l_orderkey") < 2000)
+    val k = stats.KeyDiscovery
+    k.compositeInclusionDependencies(li, ord, Seq(
+        Seq("l_orderkey", "l_linestatus") ->
+          Seq("o_orderkey", "o_orderstatus"),
+        Seq("l_orderkey") -> Seq("o_orderkey"),
+        Seq("l_orderkey", "l_suppkey") -> Seq("o_orderkey", "o_custkey")))
+      .unionAll(k.compositeInclusionDependencies(liSlice, li, Seq(
+        Seq("l_orderkey", "l_linenumber") ->
+          Seq("l_orderkey", "l_linenumber"))))
+      .unionAll(k.compositeInclusionDependencies(li, liSlice, Seq(
+        Seq("l_orderkey", "l_linenumber") ->
+          Seq("l_orderkey", "l_linenumber"))))
+      .orderBy("left_columns", "right_columns", "n_missing")
+  }
+
+  /** Ordered-attribute t-closeness (r12): the Earth-Mover's-Distance
+    * form over the numeric l_quantity vocabulary within
+    * (returnflag, linestatus) classes — mass shifted to ADJACENT
+    * quantities costs little under EMD where the categorical variational
+    * distance (q148) would price it as total. Exact-integer cumulative
+    * numerators, one double division — the q148 bit-exactness convention.
+    */
+  def q150TClosenessOrdered(s: SparkSession, dir: String): DataFrame =
+    ops.Privacy.tClosenessOrdered(table(s, dir, "lineitem"),
+      Seq("l_returnflag", "l_linestatus"), "l_quantity", t = 0.003)
+
+  /** STAGED schema-wide IND sweep (r12): every cross-table column pair
+    * of a 4-table star in one call — the FK-discovery driver that
+    * hand-batched q147. 60 pairs: region←nation must surface
+    * n_regionkey⊆r_regionkey, the nation←customer/supplier FKs, the
+    * nationkey equalities in both directions, and 50-odd non-INDs with
+    * exact miss counts.
+    */
+  def q152IndSweep(s: SparkSession, dir: String): DataFrame =
+    stats.KeyDiscovery.discoverInds(Seq(
+        ("region", table(s, dir, "region"),
+          Seq("r_regionkey", "r_name")),
+        ("nation", table(s, dir, "nation"),
+          Seq("n_nationkey", "n_regionkey", "n_name")),
+        ("customer", table(s, dir, "customer"),
+          Seq("c_custkey", "c_nationkey")),
+        ("supplier", table(s, dir, "supplier"),
+          Seq("s_suppkey", "s_nationkey"))))
+      .orderBy("left_table", "left_column", "right_table", "right_column")
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -2577,6 +2719,10 @@ object Queries {
     "q146_mjpeg_luma" -> (q146MjpegLuma _),
     "q147_inclusion_deps" -> (q147InclusionDeps _),
     "q148_t_closeness" -> (q148TCloseness _),
+    "q149_composite_inds" -> (q149CompositeInds _),
+    "q150_t_closeness_ordered" -> (q150TClosenessOrdered _),
+    "q151_mjpeg_mp4" -> (q151MjpegMp4 _),
+    "q152_ind_sweep" -> (q152IndSweep _),
     "q140_multifield_linkage" -> (q140MultiFieldLinkage _)
   )
 }

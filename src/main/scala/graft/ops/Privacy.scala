@@ -62,7 +62,8 @@ object Privacy {
     * quasi-identifier class's SENSITIVE-value distribution sits within
     * distance t of the global distribution. Distance is the variational
     * distance ½·Σ_v |P(v|class) − P(v)| (the categorical-attribute form;
-    * ordered-attribute EMD is out of scope, documented). Rows whose
+    * ordered/numeric attributes get the Earth-Mover's-Distance form in
+    * [[tClosenessOrdered]]). Rows whose
     * sensitive value is null carry no distribution mass and are excluded
     * from both sides; a class of only-null sensitives vanishes with them.
     *
@@ -97,12 +98,17 @@ object Privacy {
     // count() at construction: the operator stays as lazy as its
     // kAnonymity/lDiversity siblings (a report built before the input
     // settles can't mix a stale total with fresh data, and merely
-    // constructing it costs nothing — r11 ADVICE)
-    val tot = nn.agg(count(lit(1)).as("__n"))
-    val globalDist = nn.groupBy(sens.as("__v"))
-      .agg(count(lit(1)).as("__g"))
-    val cv = nn.groupBy((qiCols.map(col) :+ sens.as("__v")): _*)
+    // constructing it costs nothing — r11 ADVICE). Like
+    // [[tClosenessOrdered]], the global distribution and total DERIVE
+    // from the one row-scale class-value aggregation (exact integer sums
+    // of its counts), so the base scan+shuffle is shared via exchange
+    // reuse instead of re-paid per statistic (r12).
+    val cv0 = nn.groupBy((qiCols.map(col) :+ sens.as("__v")): _*)
       .agg(count(lit(1)).as("__c"))
+    val globalDist = cv0.groupBy(col("__v"))
+      .agg(sum(col("__c")).as("__g"))
+    val tot = globalDist.agg(coalesce(sum(col("__g")), lit(0L)).as("__n"))
+    val cv = cv0
       .join(broadcast(globalDist), "__v")
       .crossJoin(broadcast(tot))
     val w = org.apache.spark.sql.expressions.Window
@@ -121,14 +127,105 @@ object Privacy {
       .select(col("__sz"),
         (col("__num").cast(DoubleType) /
           (lit(2.0) * col("__sz") * col("__n"))).as("__dist"))
+    tReport(classes, tot, t)
+  }
+
+  /** t-closeness for ORDERED (numeric) sensitive attributes — the
+    * Earth-Mover's-Distance form of Li, Li & Venkatasubramanian 2007 §3
+    * ([[tCloseness]] implements the categorical variational distance):
+    * for the globally-observed ordered value vocabulary v₁ < … < v_m,
+    * EMD(class, global) = Σᵢ |Σ_{j≤i} (P(vⱼ|class) − P(vⱼ))| / (m − 1)
+    * — the normalized total cost of shifting class probability mass
+    * along the value axis, which is what "close" should mean when the
+    * sensitive attribute is a salary, an age, a dose. A class
+    * concentrated on ADJACENT values reads close under EMD where the
+    * variational distance would read it far — the ordered form exists
+    * precisely for that case. m = 1 (a single global value) defines
+    * distance 0.
+    *
+    * NUMERICAL CONTRACT ([[tCloseness]]'s, carried over): cumulative
+    * differences are exact integer numerators rᵢ = Σ_{j≤i}(cⱼ·n − gⱼ·sz)
+    * in DecimalType(38,0) (terms reach n², past Long at ~3·10⁹ rows),
+    * per-class distance = (Σᵢ|rᵢ|) / ((m−1)·sz·n) with ONE double
+    * division of two exact integers at the end — Spark and the SQL
+    * oracle produce bit-identical doubles. Null sensitive values carry
+    * no mass (excluded both sides), as in [[tCloseness]].
+    *
+    * Scale shape: one hash-groupBy on (class, value) builds the
+    * class-value table (the only row-scale shuffle); the global
+    * distribution is vocabulary-bounded and BROADCAST across a
+    * class × vocabulary grid (n_classes·m rows — the EMD needs the
+    * zero-count cells, so the grid is the honest cost of the ordered
+    * form; it is reduced-data-sized, never row-sized); the cumulative
+    * sums ride a per-class window over the grid; one bounded aggregation
+    * reduces classes to the single report row. Lazy end-to-end — the
+    * total and vocabulary size ride broadcast one-row cross joins.
+    *
+    * Output (one row): (t, n_rows, n_classes, max_distance,
+    * classes_above_t, rows_above_t, share_above_t, is_t_close) — the
+    * [[tCloseness]] schema.
+    */
+  def tClosenessOrdered(df: DataFrame, qiCols: Seq[String],
+                        sensitiveCol: String, t: Double): DataFrame = {
+    requireQi(df, qiCols)
+    require(t > 0 && t < 1, s"need 0 < t < 1, got $t")
+    require(df.columns.contains(sensitiveCol),
+      s"column '$sensitiveCol' not in frame")
+    val sens = col(sensitiveCol)
+    val nn = df.where(sens.isNotNull)
+    // ONE row-scale aggregation; the global distribution, class sizes,
+    // vocabulary size and total all DERIVE from it (exact integer sums of
+    // its counts), so the base scan+shuffle is shared via exchange reuse
+    // instead of re-paid per statistic
+    val cv = nn.groupBy((qiCols.map(col) :+ sens.as("__v")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val globalDist = cv.groupBy(col("__v"))
+      .agg(sum(col("__c")).as("__g"))
+    val sizes = cv.groupBy(qiCols.map(col): _*)
+      .agg(sum(col("__c")).as("__sz"))
+    val tot = globalDist.agg(
+      coalesce(sum(col("__g")), lit(0L)).as("__n"),
+      count(lit(1)).as("__m"))
+    // class × vocabulary grid: EMD needs the zero-mass cells (a value the
+    // class never takes still moves the cumulative difference)
+    val grid = sizes.crossJoin(broadcast(globalDist))
+      .join(cv, qiCols :+ "__v", "left")
+      .na.fill(0L, Seq("__c"))
+      .crossJoin(broadcast(tot))
+    val dec = DecimalType(38, 0)
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(qiCols.map(col): _*)
+      .orderBy(col("__v")) // the NATIVE value order — this is the "ordered"
+      .rowsBetween(Long.MinValue, 0)
+    val cum = grid.withColumn("__r",
+      sum(col("__c").cast(dec) * col("__n").cast(dec) -
+        col("__g").cast(dec) * col("__sz").cast(dec)).over(wCum))
+    val classes = cum
+      .groupBy(qiCols.map(col): _*)
+      .agg(first(col("__sz")).as("__sz"), first(col("__n")).as("__n"),
+        first(col("__m")).as("__m"), sum(abs(col("__r"))).as("__num"))
+      .select(col("__sz"),
+        when(col("__m") > 1,
+          col("__num").cast(DoubleType) /
+            ((col("__m").cast(dec) - 1) * col("__sz").cast(dec) *
+              col("__n").cast(dec)).cast(DoubleType))
+          .otherwise(lit(0.0)).as("__dist"))
+    tReport(classes, tot.select(col("__n")), t)
+  }
+
+  /** Shared one-row report tail for both t-closeness forms, from a class
+    * table carrying (__sz, __dist) and the lazy one-row total (__n) —
+    * n_rows joins back from the SAME lazy total (one row × one row), so
+    * an empty class table still reports the true n (of zero).
+    */
+  private def tReport(classes: DataFrame, tot: DataFrame,
+                      t: Double): DataFrame =
     classes.agg(
         count(lit(1)).as("n_classes"),
         max(col("__dist")).as("max_distance"),
         count(when(col("__dist") > t, lit(1))).as("classes_above_t"),
         coalesce(sum(when(col("__dist") > t, col("__sz"))), lit(0L))
           .as("rows_above_t"))
-      // n_rows joins back from the SAME lazy total (one row × one row);
-      // an empty class table still reports the true n (of zero)
       .crossJoin(broadcast(tot))
       .select(lit(t).as("t"), col("__n").as("n_rows"), col("n_classes"),
         coalesce(col("max_distance"), lit(0.0)).as("max_distance"),
@@ -138,7 +235,6 @@ object Privacy {
             col("__n"), 6))
           .as("share_above_t"),
         coalesce(col("max_distance") <= t, lit(true)).as("is_t_close"))
-  }
 
   private def requireQi(df: DataFrame, qiCols: Seq[String]): Unit = {
     require(qiCols.nonEmpty, "need at least one quasi-identifier column")

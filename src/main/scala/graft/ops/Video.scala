@@ -113,24 +113,33 @@ object Video {
     StructField("luma_max", IntegerType, nullable = true))
 
   /** REAL pixel-level video decode for the one codec a bare JVM ships a
-    * decoder for: Motion-JPEG in an AVI container, where every `##dc`
-    * frame chunk is a standalone JPEG image and `javax.imageio` is the
-    * codec. This closes the [[probeByte]] stub for MJPEG; H.264/VP9/…
-    * remain the documented out-of-scope boundary.
+    * decoder for: Motion-JPEG, where every frame is a standalone JPEG
+    * image and `javax.imageio` is the codec — in BOTH containers that
+    * carry it. AVI: every `##dc` chunk of the `LIST movi` walk
+    * ([[VideoMeta.aviFrameRanges]]). MP4 (r12): `jpeg`-coded sample
+    * entries carry the same standalone JPEGs, and the recovered sample
+    * tables ([[VideoMeta.SampleTable]] from `stts`/`stsz`/`stsc`/`stco`)
+    * give each frame's exact byte range and decode timestamp — the
+    * composition the AVI path does with the movi walk. This closes the
+    * [[probeByte]] stub for MJPEG in either container; inter-frame codecs
+    * (H.264/VP9/…) remain the documented out-of-scope boundary.
     *
-    * Each payload row explodes into one row per frame chunk
-    * ([[VideoMeta.aviFrameRanges]]), carrying the frame's exact byte range
-    * plus, when the chunk decodes as a JPEG, the decoded dimensions and
-    * BT.601 luma statistics: per-pixel integer per-mille luma
-    * `l = 299R + 587G + 114B` (single-band images: `l = 1000·sample` —
-    * same convention as [[Multimodal]]'s feature vectors), reported as
-    * `luma_mean = Σl / (1000·npix)` (double) and `luma_min`/`luma_max`
-    * as `⌊l/1000⌋` (the 0..255 luma band). `ts_ms` is the frame's display
-    * time from the container's exact frame period
-    * (`frame_idx · µs_per_frame / 1000`, floor — NOT the integer-truncated
-    * fps, which would drift ~3% at 29.97 fps and collapse sub-1fps rates).
-    * Non-JPEG or undecodable frame chunks keep their row with null decode
-    * fields; non-AVI payloads yield zero rows.
+    * Each payload row explodes into one row per frame, carrying the
+    * frame's exact byte range plus, when it decodes as a JPEG, the
+    * decoded dimensions and BT.601 luma statistics: per-pixel integer
+    * per-mille luma `l = 299R + 587G + 114B` (single-band images:
+    * `l = 1000·sample` — same convention as [[Multimodal]]'s feature
+    * vectors), reported as `luma_mean = Σl / (1000·npix)` (double) and
+    * `luma_min`/`luma_max` as `⌊l/1000⌋` (the 0..255 luma band). `ts_ms`
+    * is the frame's display time — AVI: from the container's exact frame
+    * period (`frame_idx · µs_per_frame / 1000`, floor — NOT the
+    * integer-truncated fps, which would drift ~3% at 29.97 fps and
+    * collapse sub-1fps rates); MP4: the sample's decode time from the
+    * `stts` table (`startTicks · 1000 / mediaTimescale`, floor — what a
+    * real demuxer stamps the frame with). Non-JPEG or undecodable frames
+    * keep their row with null decode fields (MJPEG detection is
+    * per-frame, by content); payloads that are neither an AVI nor an MP4
+    * with complete sample tables yield zero rows.
     *
     * Scale shape: decode runs inside `mapPartitions` — executor-side, one
     * linear pass, no shuffle — so at 100 TB this is a pure map stage whose
@@ -148,20 +157,27 @@ object Video {
         if (bytes == null) Iterator.empty
         else {
           val decoded = VideoMeta.decode(bytes) // ONE header parse per payload
-          val ranges = VideoMeta.aviFrameRanges(bytes, decoded)
-          if (ranges.isEmpty) Iterator.empty
-          else {
-            val info = decoded.get // ranges non-empty ⇒ AVI
-            ranges.iterator.zipWithIndex.map { case ((off, len), i) =>
-              // from the exact frame period, not the integer-truncated fps
-              // (29.97 fps truncates to 29 → ~3% drift; sub-1fps to 0)
-              val ts = i * info.framePeriodUs / 1000L
-              val decoded: Seq[Any] = decodeJpegLuma(bytes, off, len) match {
-                case Some((w, h, mean, lo, hi)) => Seq[Any](w, h, mean, lo, hi)
-                case None => Seq[Any](null, null, null, null, null)
+          // (offset, size, ts_ms) per frame, container-appropriately
+          val frames: Array[(Long, Long, Long)] = decoded match {
+            case Some(info) if info.mime == "video/x-msvideo" =>
+              VideoMeta.aviFrameRanges(bytes, decoded).zipWithIndex.map {
+                case ((off, len), i) =>
+                  (off, len, i * info.framePeriodUs / 1000L)
               }
-              Row.fromSeq(r.toSeq ++ Seq[Any](i, ts, off, len) ++ decoded)
+            case Some(info) if info.samples.isDefined =>
+              val st = info.samples.get
+              Array.tabulate(st.n) { i =>
+                (st.offsets(i), st.sizes(i),
+                  st.startTicks(i) * 1000L / st.mediaTimescale)
+              }
+            case _ => Array.empty
+          }
+          frames.iterator.zipWithIndex.map { case ((off, len, ts), i) =>
+            val dec: Seq[Any] = decodeJpegLuma(bytes, off, len) match {
+              case Some((w, h, mean, lo, hi)) => Seq[Any](w, h, mean, lo, hi)
+              case None => Seq[Any](null, null, null, null, null)
             }
+            Row.fromSeq(r.toSeq ++ Seq[Any](i, ts, off, len) ++ dec)
           }
         }
       }

@@ -805,91 +805,326 @@ object KeyDiscovery {
       s"column '$c' not in left frame"))
     rightCols.foreach(c => require(right.columns.contains(c),
       s"column '$c' not in right frame"))
-    val pairs = for (a <- leftCols; b <- rightCols) yield (a, b)
+    val pairs = for (a <- leftCols; b <- rightCols) yield (Seq(a), Seq(b))
     require(pairs.size <= MaxCandidates,
       s"${pairs.size} pairs > $MaxCandidates: bound the per-call fan-out")
-    require(screenRsd > 0 && screenRsd < 0.2,
-      s"need 0 < rsd < 0.2, got $screenRsd")
-    val hll = screen match {
-      case Screen.Exact => false
-      case Screen.Hll   => true
-      case Screen.Auto  =>
-        (left.queryExecution.optimizedPlan.stats.sizeInBytes max
-          right.queryExecution.optimizedPlan.stats.sizeInBytes) >=
-          BigInt(AutoScreenBytes)
-    }
-    def values(df: DataFrame, c: String): DataFrame =
-      df.select(col(c).cast(StringType).as("v")).where(col("v").isNotNull)
-    // exact confirm: ONE job per pair — distinct sets meet in a
-    // full-outer equi-join, the agg reads all three counts at once
-    def confirm(a: String, b: String): (Long, Long, Long) = {
-      val r = values(left, a).distinct()
-        .withColumn("l", lit(1))
-        .join(values(right, b).distinct().withColumn("r", lit(1)),
-          Seq("v"), "full_outer")
-        .agg(count(col("l")), count(col("r")),
-          count(when(col("l").isNotNull && col("r").isNull, 1)))
-        .head()
-      (r.getLong(0), r.getLong(1), r.getLong(2))
-    }
-    val screenedOut: Map[Int, (Long, Long, Long)] =
-      if (!hll) Map.empty
-      else {
-        // DataSketches HLL relative error ≈ 1.04/√(2^lgK) → lgK from rsd
-        val lgK = math.min(21, math.max(4, math.ceil(
-          2 * math.log(1.04 / screenRsd) / math.log(2)).toInt))
-        def sketches(df: DataFrame, cs: Seq[String]): Map[String, Array[Byte]] = {
-          val exprs = cs.map(c => hll_sketch_agg(
-            col(c).cast(StringType), lgK).as(c))
-          val r = df.agg(exprs.head, exprs.tail: _*).head()
-          cs.zipWithIndex.map { case (c, i) =>
-            c -> (if (r.isNullAt(i)) null else r.getAs[Array[Byte]](i))
-          }.toMap
-        }
-        val skL = sketches(left, leftCols.distinct)
-        val skR = sketches(right, rightCols.distinct)
-        // driver-side merge of candidate-count many fixed-size sketches:
-        // one local row per pair, no executor job over data
-        val spark = left.sparkSession
-        import spark.implicits._
-        val estRows = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
-          // a null sketch is an empty column: never refute, confirm exactly
-          if (skL(a) == null || skR(b) == null) Nil
-          else Seq((i, skL(a), skR(b)))
-        }
-        if (estRows.isEmpty) Map.empty
-        else estRows.toDF("i", "ska", "skb")
-          .select(col("i"),
-            hll_sketch_estimate(col("ska")).as("ea"),
-            hll_sketch_estimate(col("skb")).as("eb"),
-            hll_sketch_estimate(hll_union(col("ska"), col("skb")))
-              .as("eu"))
-          .collect()
-          .filter(r => r.getLong(3) >
-            ((1.0 + 8 * screenRsd) * r.getLong(2)).toLong)
-          .map { r =>
-            val (ea, eb, eu) = (r.getLong(1), r.getLong(2), r.getLong(3))
-            r.getInt(0) -> ((ea, eb, math.max(0L, eu - eb)))
-          }.toMap
-      }
-    val acc = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Long)]()
-    val confirmIdx = pairs.indices.filterNot(screenedOut.contains)
-    graft.util.Concurrency.runConcurrently(confirmIdx) { i =>
-      val (a, b) = pairs(i)
-      acc.put(i, confirm(a, b))
-    }
-    val rows = pairs.zipWithIndex.map { case ((a, b), i) =>
-      screenedOut.get(i) match {
-        case Some((ea, eb, miss)) => Row(a, b, ea, eb, miss, false, false)
-        case None =>
-          val (na, nb, miss) = acc.get(i)
-          Row(a, b, na, nb, miss, miss == 0L, true)
-      }
+    val profiles = indProfiles(left, right, pairs,
+      indUseHll(left, right, screen), screenRsd)
+    val rows = pairs.zip(profiles).map {
+      case ((a, b), ((na, nb, miss), exact)) =>
+        Row(a.head, b.head, na, nb, miss, exact && miss == 0L, exact)
     }
     left.sparkSession.createDataFrame(
       left.sparkSession.sparkContext.parallelize(rows, 1),
       StructType(Seq(
         StructField("left_column", StringType, nullable = false),
+        StructField("right_column", StringType, nullable = false),
+        StructField("n_left_distinct", LongType, nullable = false),
+        StructField("n_right_distinct", LongType, nullable = false),
+        StructField("n_missing", LongType, nullable = false),
+        StructField("holds", BooleanType, nullable = false),
+        StructField("is_exact", BooleanType, nullable = false))))
+  }
+
+  /** COMPOSITE inclusion dependencies — [[inclusionDependencies]] lifted
+    * to column TUPLES, completing the profiling family (keys → FDs →
+    * INDs) at composite arity: real foreign keys are often multi-column
+    * (`(ps_partkey, ps_suppkey)`-style), and a per-column IND sweep
+    * cannot see them. Each pair is (left tuple, right tuple) of EQUAL
+    * arity; containment is positional — left tuple value (a₁,…,aₖ)
+    * must appear as a right tuple value (b₁,…,bₖ).
+    *
+    * Semantics are the unary operator's, lifted: a left tuple with ANY
+    * null member violates nothing (SQL MATCH SIMPLE composite-FK rule),
+    * a right tuple with any null member matches nothing, and components
+    * compare on their STRING cast. The EXACT path needs no tuple
+    * encoding at all — the two distinct-tuple sets (map-side
+    * pre-aggregated) meet in ONE full-outer equi-join on all k
+    * components per pair, so there is no collision question to answer.
+    *
+    * The SCREENED path sketches each side's tuples as
+    * `concat_ws('\\u0000', components)` — the encoding need not be
+    * injective, because the screen is REFUTE-only and containment of
+    * tuples implies containment of ANY deterministic encoding of them:
+    * if A ⊆ B then enc(A) ⊆ enc(B), so |enc(A) ∪ enc(B)| = |enc(B)|
+    * exactly and a holding pair can never be refuted by encoding
+    * collisions (a collision can only make a non-holding pair LOOK
+    * holding, which just means it pays the exact confirm that decides
+    * it). Survivor confirms are exact tuple joins as above, so every
+    * `holds = true` is exact; refuted rows carry sketch estimates and
+    * `is_exact = false` — the family-wide convention.
+    *
+    * Output: (left_columns comma-joined, right_columns comma-joined,
+    * arity, n_left_distinct, n_right_distinct, n_missing, holds,
+    * is_exact), one row per pair in the given order.
+    */
+  def compositeInclusionDependencies(left: DataFrame, right: DataFrame,
+      pairs: Seq[(Seq[String], Seq[String])],
+      screen: Screen = Screen.Exact,
+      screenRsd: Double = 0.02): DataFrame = {
+    require(pairs.nonEmpty, "need at least one tuple pair")
+    require(pairs.size <= MaxCandidates,
+      s"${pairs.size} pairs > $MaxCandidates: bound the per-call fan-out")
+    pairs.foreach { case (a, b) =>
+      require(a.nonEmpty, "empty left tuple")
+      require(a.size == b.size,
+        s"arity mismatch: (${a.mkString(",")}) vs (${b.mkString(",")})")
+      require(a.distinct.size == a.size,
+        s"duplicate column in left tuple ${a.mkString(",")}")
+      require(b.distinct.size == b.size,
+        s"duplicate column in right tuple ${b.mkString(",")}")
+      a.foreach(c => require(left.columns.contains(c),
+        s"column '$c' not in left frame"))
+      b.foreach(c => require(right.columns.contains(c),
+        s"column '$c' not in right frame"))
+    }
+    val profiles = indProfiles(left, right, pairs,
+      indUseHll(left, right, screen), screenRsd)
+    val rows = pairs.zip(profiles).map {
+      case ((a, b), ((na, nb, miss), exact)) =>
+        Row(a.mkString(","), b.mkString(","), a.size, na, nb, miss,
+          exact && miss == 0L, exact)
+    }
+    left.sparkSession.createDataFrame(
+      left.sparkSession.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("left_columns", StringType, nullable = false),
+        StructField("right_columns", StringType, nullable = false),
+        StructField("arity", IntegerType, nullable = false),
+        StructField("n_left_distinct", LongType, nullable = false),
+        StructField("n_right_distinct", LongType, nullable = false),
+        StructField("n_missing", LongType, nullable = false),
+        StructField("holds", BooleanType, nullable = false),
+        StructField("is_exact", BooleanType, nullable = false))))
+  }
+
+  /** The Auto decision for IND measures: the LARGER side's optimizer scan
+    * estimate against [[AutoScreenBytes]] (either side large enough makes
+    * the exact distinct shuffle worth screening away).
+    */
+  private def indUseHll(left: DataFrame, right: DataFrame,
+                        screen: Screen): Boolean = screen match {
+    case Screen.Exact => false
+    case Screen.Hll   => true
+    case Screen.Auto  =>
+      (left.queryExecution.optimizedPlan.stats.sizeInBytes max
+        right.queryExecution.optimizedPlan.stats.sizeInBytes) >=
+        BigInt(AutoScreenBytes)
+  }
+
+  /** One side's distinct non-null tuple values, components string-cast and
+    * positionally renamed `__v0..__v{k-1}` so pair joins are pure
+    * multi-column equi-joins.
+    */
+  private def indTupleValues(df: DataFrame, cs: Seq[String]): DataFrame =
+    df.select(cs.zipWithIndex.map { case (c, i) =>
+        col(c).cast(StringType).as(s"__v$i") }: _*)
+      .where(cs.indices.map(i => col(s"__v$i").isNotNull).reduce(_ && _))
+      .distinct()
+
+  /** One pair's exact confirm: the two distinct-tuple sets (map-side
+    * pre-aggregated, so the shuffle carries distinct tuples only) meet in
+    * a full-outer equi-join on all components; the aggregate reads all
+    * three counts at once. Never a cartesian shape.
+    */
+  private def indConfirm(left: DataFrame, a: Seq[String],
+                         right: DataFrame, b: Seq[String]): (Long, Long, Long) = {
+    val keys = a.indices.map(i => s"__v$i")
+    val r = indTupleValues(left, a).withColumn("__l", lit(1))
+      .join(indTupleValues(right, b).withColumn("__r", lit(1)),
+        keys, "full_outer")
+      .agg(count(col("__l")), count(col("__r")),
+        count(when(col("__l").isNotNull && col("__r").isNull, 1)))
+      .head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  /** The tuple encoding the IND screen sketches: components string-cast,
+    * joined with NUL, gated on every member non-null. Deterministic and
+    * shared by both sides, which is ALL the refute-only screen needs (see
+    * [[compositeInclusionDependencies]] for the collision argument).
+    */
+  private def indSketchInput(cs: Seq[String]): Column = {
+    val gate = cs.map(c => col(c).isNotNull).reduce(_ && _)
+    when(gate, concat_ws("\u0000", cs.map(c => col(c).cast(StringType)): _*))
+  }
+
+  /** One sketch-only aggregation over a frame for MANY tuples at once —
+    * the per-side screen job [[indProfiles]] and [[discoverInds]] share
+    * (the staged sweep hoists it: each table is sketched ONCE across all
+    * its pairs). Returns null for an all-null/empty tuple.
+    */
+  private def indSketches(df: DataFrame, tuples: Seq[Seq[String]],
+                          lgK: Int): Map[Seq[String], Array[Byte]] = {
+    val exprs = tuples.zipWithIndex.map { case (cs, i) =>
+      hll_sketch_agg(indSketchInput(cs), lgK).as(s"__s$i") }
+    val r = df.agg(exprs.head, exprs.tail: _*).head()
+    tuples.zipWithIndex.map { case (cs, i) =>
+      cs -> (if (r.isNullAt(i)) null else r.getAs[Array[Byte]](i))
+    }.toMap
+  }
+
+  /** DataSketches HLL relative error ≈ 1.04/√(2^lgK) → lgK from rsd. */
+  private def indLgK(rsd: Double): Int =
+    math.min(21, math.max(4, math.ceil(
+      2 * math.log(1.04 / rsd) / math.log(2)).toInt))
+
+  /** Refute screened-out pairs from per-side sketch maps: A ⊆ B ⟺
+    * |A ∪ B| = |B| and HLL sketches union losslessly, so a pair whose
+    * driver-side union estimate exceeds (1 + 8·rsd)·(|B| estimate) is
+    * refuted without a distinct shuffle (both estimates ≈ Gaussian with
+    * σ = rsd — the FD screen's 8·rsd > 5·√2·rsd argument, mis-refute
+    * odds < 10⁻⁶). The merge is one local row per pair, no executor job
+    * over data. A null sketch is an empty side: never refute, confirm
+    * exactly. Returns refuted index → (estA, estB, estMissing).
+    */
+  private def indRefuted(spark: SparkSession,
+      sketchPairs: Seq[(Int, Array[Byte], Array[Byte])],
+      rsd: Double): Map[Int, (Long, Long, Long)] = {
+    if (sketchPairs.isEmpty) return Map.empty
+    import spark.implicits._
+    sketchPairs.toDF("i", "ska", "skb")
+      .select(col("i"),
+        hll_sketch_estimate(col("ska")).as("ea"),
+        hll_sketch_estimate(col("skb")).as("eb"),
+        hll_sketch_estimate(hll_union(col("ska"), col("skb"))).as("eu"))
+      .collect()
+      .filter(r => r.getLong(3) > ((1.0 + 8 * rsd) * r.getLong(2)).toLong)
+      .map { r =>
+        val (ea, eb, eu) = (r.getLong(1), r.getLong(2), r.getLong(3))
+        r.getInt(0) -> ((ea, eb, math.max(0L, eu - eb)))
+      }.toMap
+  }
+
+  /** Shared IND measurement over tuple pairs of one (left, right) frame
+    * pair: optional HLL-union refute screen (one sketch aggregation per
+    * side covering ALL its tuples), exact full-outer tuple-join confirms
+    * for survivors, concurrent per-pair jobs. Returns
+    * ((nLeft, nRight, nMissing), isExact) per pair in caller order.
+    */
+  private def indProfiles(left: DataFrame, right: DataFrame,
+      pairs: Seq[(Seq[String], Seq[String])],
+      hll: Boolean, rsd: Double): Seq[((Long, Long, Long), Boolean)] = {
+    require(rsd > 0 && rsd < 0.2, s"need 0 < rsd < 0.2, got $rsd")
+    val screenedOut: Map[Int, (Long, Long, Long)] =
+      if (!hll) Map.empty
+      else {
+        val lgK = indLgK(rsd)
+        val skL = indSketches(left, pairs.map(_._1).distinct, lgK)
+        val skR = indSketches(right, pairs.map(_._2).distinct, lgK)
+        indRefuted(left.sparkSession,
+          pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+            if (skL(a) == null || skR(b) == null) Nil
+            else Seq((i, skL(a), skR(b)))
+          }, rsd)
+      }
+    val acc = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Long)]()
+    val confirmIdx = pairs.indices.filterNot(screenedOut.contains)
+    graft.util.Concurrency.runConcurrently(confirmIdx) { i =>
+      val (a, b) = pairs(i)
+      acc.put(i, indConfirm(left, a, right, b))
+    }
+    pairs.indices.map { i =>
+      screenedOut.get(i) match {
+        case Some(est) => (est, false)
+        case None      => (acc.get(i), true)
+      }
+    }
+  }
+
+  /** STAGED schema-wide IND search — the operational driver for a
+    * foreign-key sweep over t tables (the [[discoverKeysStaged]] analog
+    * for the IND member of the family): measures every cross-table
+    * ordered column pair (tᵢ.c ⊆ tⱼ.c' for all i ≠ j), which a caller
+    * today hand-batches through t·(t−1) [[inclusionDependencies]] calls.
+    *
+    * The staging is where the scale win lives: under the screen
+    * (`Hll`, or `Auto` when the LARGEST table's scan estimate passes
+    * [[AutoScreenBytes]]), each table is sketched ONCE — one sketch-only
+    * aggregation per TABLE covering all its columns (t jobs total,
+    * fixed-size sketches on the wire) — and every one of the ~t²·k²
+    * pair verdicts comes from a driver-side sketch merge; only
+    * non-refuted pairs pay an exact confirm join, in
+    * [[MaxCandidates]]-bounded concurrent chunks (the per-call budget,
+    * applied per confirm batch — a sweep is never one unbounded job
+    * fan-out). Exact mode confirms every pair in the same bounded
+    * chunks. Verdict semantics are identical to per-call
+    * [[inclusionDependencies]] results (spec-pinned).
+    *
+    * Output: (left_table, left_column, right_table, right_column,
+    * n_left_distinct, n_right_distinct, n_missing, holds, is_exact), one
+    * row per cross-table pair, in (left table, left column, right table,
+    * right column) input order.
+    */
+  def discoverInds(tables: Seq[(String, DataFrame, Seq[String])],
+                   screen: Screen = Screen.Exact,
+                   screenRsd: Double = 0.02): DataFrame = {
+    require(tables.size >= 2, "need at least two tables")
+    require(tables.map(_._1).distinct.size == tables.size,
+      "duplicate table name")
+    require(screenRsd > 0 && screenRsd < 0.2,
+      s"need 0 < rsd < 0.2, got $screenRsd")
+    tables.foreach { case (t, df, cs) =>
+      require(cs.nonEmpty, s"table '$t': need at least one column")
+      require(cs.distinct.size == cs.size, s"table '$t': duplicate column")
+      cs.foreach(c => require(df.columns.contains(c),
+        s"column '$c' not in table '$t'"))
+    }
+    val hll = screen match {
+      case Screen.Exact => false
+      case Screen.Hll   => true
+      case Screen.Auto  =>
+        tables.map(_._2.queryExecution.optimizedPlan.stats.sizeInBytes)
+          .max >= BigInt(AutoScreenBytes)
+    }
+    // (leftTableIdx, leftCol, rightTableIdx, rightCol) in sweep order
+    val pairs = for {
+      (li, lt) <- tables.zipWithIndex.map(_.swap)
+      (ri, rt) <- tables.zipWithIndex.map(_.swap) if li != ri
+      a <- lt._3; b <- rt._3
+    } yield (li, a, ri, b)
+    val screenedOut: Map[Int, (Long, Long, Long)] =
+      if (!hll) Map.empty
+      else {
+        // the hoist: ONE sketch aggregation per table, reused by every
+        // pair that table participates in (left or right side alike)
+        val lgK = indLgK(screenRsd)
+        val sk: Map[Int, Map[Seq[String], Array[Byte]]] =
+          tables.zipWithIndex.map { case ((_, df, cs), i) =>
+            i -> indSketches(df, cs.map(Seq(_)), lgK)
+          }.toMap
+        indRefuted(tables.head._2.sparkSession,
+          pairs.zipWithIndex.flatMap { case ((li, a, ri, b), i) =>
+            val (ska, skb) = (sk(li)(Seq(a)), sk(ri)(Seq(b)))
+            if (ska == null || skb == null) Nil else Seq((i, ska, skb))
+          }, screenRsd)
+      }
+    // exact confirms, budgeted: MaxCandidates-sized concurrent batches so
+    // a wide sweep never exceeds the per-call job fan-out
+    val acc = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Long)]()
+    pairs.indices.filterNot(screenedOut.contains)
+      .grouped(MaxCandidates).foreach { chunk =>
+        graft.util.Concurrency.runConcurrently(chunk) { i =>
+          val (li, a, ri, b) = pairs(i)
+          acc.put(i, indConfirm(tables(li)._2, Seq(a), tables(ri)._2, Seq(b)))
+        }
+      }
+    val rows = pairs.zipWithIndex.map { case ((li, a, ri, b), i) =>
+      screenedOut.get(i) match {
+        case Some((ea, eb, miss)) =>
+          Row(tables(li)._1, a, tables(ri)._1, b, ea, eb, miss, false, false)
+        case None =>
+          val (na, nb, miss) = acc.get(i)
+          Row(tables(li)._1, a, tables(ri)._1, b, na, nb, miss,
+            miss == 0L, true)
+      }
+    }
+    val spark = tables.head._2.sparkSession
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("left_table", StringType, nullable = false),
+        StructField("left_column", StringType, nullable = false),
+        StructField("right_table", StringType, nullable = false),
         StructField("right_column", StringType, nullable = false),
         StructField("n_left_distinct", LongType, nullable = false),
         StructField("n_right_distinct", LongType, nullable = false),

@@ -383,6 +383,131 @@ class KeyDiscoverySpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("compositeInclusionDependencies: tuple verdicts, counts, and " +
+    "composite null semantics") {
+    // child (k1,k2) tuples: (1,a) (2,b) (2,b) (9,a) (null,c) (3,null)
+    val child = Seq(
+      (Some(1), Some("a")), (Some(2), Some("b")), (Some(2), Some("b")),
+      (Some(9), Some("a")), (None, Some("c")), (Some(3), None))
+      .toDF("k1", "k2")
+    val parent = Seq((1, "a"), (2, "b"), (3, "c"), (9, "a"))
+      .toDF("p1", "p2")
+    val out = KeyDiscovery.compositeInclusionDependencies(child, parent,
+      Seq(Seq("k1", "k2") -> Seq("p1", "p2"),
+        Seq("k1") -> Seq("p1"),
+        Seq("k2") -> Seq("p2"))).collect()
+    val t2 = out(0)
+    assert(t2.getString(0) == "k1,k2" && t2.getString(1) == "p1,p2" &&
+      t2.getInt(2) == 2)
+    // any-null tuples (null,c) and (3,null) are ignored (MATCH SIMPLE):
+    // distinct complete tuples (1,a) (2,b) (9,a) are ALL in the parent
+    assert(t2.getLong(3) == 3 && t2.getLong(4) == 4 && t2.getLong(5) == 0)
+    assert(t2.getBoolean(6) && t2.getBoolean(7))
+    // arity-1 through the same tuple path: k1 = {1,2,9,3} ⊆ {1,2,3,9}
+    val a1 = out(1)
+    assert(a1.getLong(3) == 4 && a1.getLong(5) == 0 && a1.getBoolean(6))
+    val a2 = out(2)
+    assert(a2.getLong(3) == 3 && a2.getLong(5) == 0 && a2.getBoolean(6))
+    // break containment positionally: (9,a) vs parent with (9,z) shows the
+    // tuple is compared as a whole, not per component
+    val parent2 = Seq((1, "a"), (2, "b"), (9, "z")).toDF("p1", "p2")
+    val miss = KeyDiscovery.compositeInclusionDependencies(child, parent2,
+      Seq(Seq("k1", "k2") -> Seq("p1", "p2"))).head()
+    assert(miss.getLong(5) == 1 && !miss.getBoolean(6)) // (9,a) unmatched
+  }
+
+  test("compositeInclusionDependencies property: verdicts equal brute-force " +
+    "tuple containment") {
+    val rnd = new scala.util.Random(43)
+    for (trial <- 1 to 5) {
+      val l = Seq.fill(40)((rnd.nextInt(6), rnd.nextInt(4)))
+      val r = Seq.fill(30)((rnd.nextInt(6), rnd.nextInt(4)))
+      val got = KeyDiscovery.compositeInclusionDependencies(
+        l.toDF("a1", "a2"), r.toDF("b1", "b2"),
+        Seq(Seq("a1", "a2") -> Seq("b1", "b2"))).head()
+      val ls = l.toSet
+      val rs = r.toSet
+      assert(got.getLong(3) == ls.size, s"trial $trial")
+      assert(got.getLong(4) == rs.size, s"trial $trial")
+      assert(got.getLong(5) == (ls -- rs).size, s"trial $trial")
+      assert(got.getBoolean(6) == ls.subsetOf(rs), s"trial $trial")
+    }
+  }
+
+  test("compositeInclusionDependencies HLL screen: a holding tuple pair is " +
+    "NEVER refuted (encoding-collision safety), misses are refuted") {
+    // contained tuple set: slice ⊆ full — under ANY encoding the union
+    // estimate equals the right estimate exactly, so refutation is
+    // impossible and the exact confirm reports holds = is_exact = true
+    val full = spark.range(2000).select(
+      col("id").as("x"), pmod(col("id"), lit(7)).as("y"))
+    val slice = full.where(col("id") < 300).drop("id")
+    val held = KeyDiscovery.compositeInclusionDependencies(
+      slice, full, Seq(Seq("x", "y") -> Seq("x", "y")),
+      screen = KeyDiscovery.Screen.Hll).head()
+    assert(held.getBoolean(6) && held.getBoolean(7))
+    assert(held.getLong(3) == 300 && held.getLong(5) == 0)
+    // far-from-contained: full (2000 tuples) vs slice (300) must refute
+    // with sketch estimates, marked is_exact = false
+    val refuted = KeyDiscovery.compositeInclusionDependencies(
+      full, slice, Seq(Seq("x", "y") -> Seq("x", "y")),
+      screen = KeyDiscovery.Screen.Hll).head()
+    assert(!refuted.getBoolean(6) && !refuted.getBoolean(7))
+    assert(refuted.getLong(5) > 0)
+    // misuse guards
+    intercept[IllegalArgumentException] {
+      KeyDiscovery.compositeInclusionDependencies(full, slice,
+        Seq(Seq("x", "y") -> Seq("x"))) // arity mismatch
+    }
+    intercept[IllegalArgumentException] {
+      KeyDiscovery.compositeInclusionDependencies(full, slice,
+        Seq(Seq("x", "x") -> Seq("x", "y"))) // duplicate component
+    }
+  }
+
+  test("discoverInds: the staged sweep's verdict set equals per-call " +
+    "inclusionDependencies, exact and screened alike") {
+    val t1 = spark.range(120).select(col("id").as("a"),
+      pmod(col("id"), lit(10)).as("b"))
+    val t2 = spark.range(10).select(col("id").as("c"))
+    val t3 = spark.range(200).select(pmod(col("id"), lit(50)).as("d"))
+    val tabs = Seq(("t1", t1, Seq("a", "b")), ("t2", t2, Seq("c")),
+      ("t3", t3, Seq("d")))
+    def perCall(): Map[(String, String, String, String), (Long, Long, Long, Boolean)] =
+      (for {
+        (lt, ldf, lcs) <- tabs; (rt, rdf, rcs) <- tabs if lt != rt
+        a <- lcs; b <- rcs
+      } yield {
+        val r = KeyDiscovery.inclusionDependencies(ldf, Seq(a), rdf, Seq(b))
+          .head()
+        (lt, a, rt, b) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5)))
+      }).toMap
+    val expect = perCall()
+    val swept = KeyDiscovery.discoverInds(tabs).collect()
+    assert(swept.length == expect.size) // 2·1 + 2·1 + 1·2+1·1 + 1·2+1·1 = 10
+    swept.foreach { r =>
+      val key = (r.getString(0), r.getString(1), r.getString(2), r.getString(3))
+      val (na, nb, miss, holds) = expect(key)
+      assert(r.getLong(4) == na && r.getLong(5) == nb &&
+        r.getLong(6) == miss && r.getBoolean(7) == holds, s"$key")
+      assert(r.getBoolean(8)) // exact mode: every row exact
+    }
+    // screened sweep: every is_exact row matches the exact truth, every
+    // refuted row is truly non-holding (refute-only soundness)
+    val screened = KeyDiscovery.discoverInds(tabs,
+      screen = KeyDiscovery.Screen.Hll).collect()
+    screened.foreach { r =>
+      val key = (r.getString(0), r.getString(1), r.getString(2), r.getString(3))
+      val (na, nb, miss, holds) = expect(key)
+      if (r.getBoolean(8))
+        assert(r.getLong(4) == na && r.getLong(5) == nb &&
+          r.getLong(6) == miss && r.getBoolean(7) == holds, s"$key")
+      else
+        assert(!r.getBoolean(7) && !holds, s"refuted but holds: $key")
+    }
+  }
+
   test("scanOnce + Screen.Auto stays exact on any frame size (no data-dependent crash)") {
     // an explicit scanOnce must win over Auto: the alternative-plans
     // guard is a static API contract, not a size-triggered failure

@@ -99,6 +99,71 @@ class MjpegDecodeSpec extends SparkSpec {
     assert(Video.decodeMjpegFrames(df).count() == 0L)
   }
 
+  test("MP4 sample tables drive MJPEG decode: exact ranges across the " +
+    "chunk gap, stts-derived timestamps") {
+    // three JPEG samples in TWO stco chunks separated by a 13-byte hole,
+    // 2-run stts (2×30 ticks then 1×50 at media timescale 1000) — frame
+    // bytes are located by the recovered tables, not by proportion
+    val f0 = grayBlockJpeg(Array(Array(10, 250), Array(0, 128)))
+    val f1 = grayBlockJpeg(Array(Array(200, 200), Array(200, 200)))
+    val f2 = grayBlockJpeg(Array(Array(42, 42), Array(42, 42)))
+    val frames = Seq(f0, f1, f2)
+    val sizes = frames.map(_.length)
+    val gap = 13
+    val data = frames.take(2).flatten ++ Seq.fill(gap)(0.toByte) ++ f2
+    val mp4 = mkMp4Indexed(1000, 110, 16, 16, mts = 1000,
+      n1 = 2, delta1 = 30, n2 = 1, delta2 = 50,
+      sizes = sizes, c1 = 2, gap = gap, fill = i => data(i))
+    val rows = Video.decodeMjpegFrames(payloadDf(9L, mp4))
+      .orderBy("frame_idx").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[Long]("ts_ms")).toSeq == Seq(0L, 30L, 60L))
+    assert(rows.map(_.getAs[Double]("luma_mean")).toSeq ==
+      Seq((10 + 250 + 0 + 128) / 4.0, 200.0, 42.0))
+    assert(rows.map(_.getAs[Long]("frame_size")).toSeq ==
+      sizes.map(_.toLong).toSeq)
+    // the third frame sits past the inter-chunk hole
+    assert(rows(2).getAs[Long]("frame_offset") ==
+      rows(0).getAs[Long]("frame_offset") + sizes(0) + sizes(1) + gap)
+  }
+
+  test("MP4 without sample tables yields zero MJPEG rows; non-JPEG samples " +
+    "keep their row with null decode fields") {
+    // table-less MP4 (mkMp4 writes no stbl): nothing to locate frames with
+    val bare = mkMp4(600, 3000, 320, 240, new Array[Byte](64))
+    assert(Video.decodeMjpegFrames(payloadDf(5L, bare)).count() == 0L)
+    // one JPEG + one junk sample: junk keeps its row, fields null
+    val good = grayBlockJpeg(Array(Array(77)))
+    val junk = Array.tabulate[Byte](48)(i => (i * 5).toByte)
+    val data = good ++ junk
+    val mp4 = mkMp4Indexed(1000, 80, 8, 8, mts = 1000,
+      n1 = 1, delta1 = 40, n2 = 1, delta2 = 40,
+      sizes = Seq(good.length, junk.length), c1 = 2, gap = 0,
+      fill = i => data(i))
+    val rows = Video.decodeMjpegFrames(payloadDf(6L, mp4))
+      .orderBy("frame_idx").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Double]("luma_mean") == 77.0)
+    assert(rows(1).isNullAt(rows(1).fieldIndex("luma_mean")))
+    assert(rows(1).getAs[Long]("frame_size") == junk.length.toLong)
+  }
+
+  test("AVI timestamps come from the exact frame period, not the " +
+    "integer-truncated fps") {
+    val f = grayBlockJpeg(Array(Array(50)))
+    // 29.97 fps: 33367 µs/frame — truncated fps (29) would stamp frame 3
+    // at 103 ms; the exact period stamps it at 100 ms
+    val ntsc = mkAvi(33367, 4, 8, 8, moviChunks(Seq(f, f, f, f)))
+    val ts = Video.decodeMjpegFrames(payloadDf(8L, ntsc))
+      .orderBy("frame_idx").collect().map(_.getAs[Long]("ts_ms"))
+    assert(ts.toSeq == Seq(0L, 33L, 66L, 100L))
+    // sub-1fps (one frame per 2 s): truncated fps would collapse to 1 fps
+    val slow = mkAvi(2000000, 2, 8, 8, moviChunks(Seq(f, f)))
+    val ts2 = Video.decodeMjpegFrames(payloadDf(9L, slow))
+      .orderBy("frame_idx").collect().map(_.getAs[Long]("ts_ms"))
+    assert(ts2.toSeq == Seq(0L, 2000L))
+  }
+
   test("q146 fixture parity: the query's formula decodes to the oracle's") {
     // replicate one doc of the q146 fixture through the public operator
     val k = 11L

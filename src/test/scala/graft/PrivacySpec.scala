@@ -72,6 +72,57 @@ class PrivacySpec extends SparkSpec {
     assert(empty.getDouble(3) == 0.0 && empty.getBoolean(7))
   }
 
+  test("tClosenessOrdered: EMD equals the hand-computed cumulative form") {
+    // class A: {1:2, 2:2}; class B: {3:4}; global n=8, m=3
+    // A: p=(.5,.5,0) q=(.25,.25,.5), cum diffs (.25,.5,0) -> EMD .75/2=.375
+    // B: p=(0,0,1), cum diffs (-.25,-.5,0)            -> EMD .75/2=.375
+    val df = Seq(("A", 1), ("A", 1), ("A", 2), ("A", 2),
+      ("B", 3), ("B", 3), ("B", 3), ("B", 3)).toDF("qi", "s")
+    val r = Privacy.tClosenessOrdered(df, Seq("qi"), "s", t = 0.3).head()
+    assert(r.getLong(1) == 8 && r.getLong(2) == 2)   // n_rows, n_classes
+    assert(r.getDouble(3) == 0.375)                  // exact: 24/64
+    assert(r.getLong(4) == 2 && r.getLong(5) == 8)   // both classes above
+    assert(r.getDouble(6) == 1.0)
+    assert(!r.getBoolean(7))
+    // at t above the max the same frame is t-close
+    assert(Privacy.tClosenessOrdered(df, Seq("qi"), "s", t = 0.4)
+      .head().getBoolean(7))
+  }
+
+  test("tClosenessOrdered: adjacent mass is cheap under EMD, total under " +
+    "variational — the reason the ordered form exists") {
+    // global values 1..5 uniform; class X concentrated on the MIDDLE value:
+    // variational reads 0.8, EMD reads 0.3 (mass moves short distances)
+    val rows = (1 to 5).flatMap(v => Seq.fill(2)(
+      (if (v == 3) "X" else "Y", v)))
+    val df = rows.toDF("qi", "s")
+    val emd = Privacy.tClosenessOrdered(df, Seq("qi"), "s", t = 0.01)
+      .head().getDouble(3)
+    val vari = Privacy.tCloseness(df, Seq("qi"), "s", t = 0.01)
+      .head().getDouble(3)
+    assert(emd == 0.3 && vari == 0.8, s"emd=$emd vari=$vari")
+  }
+
+  test("tClosenessOrdered: single-value vocabulary (m=1) is distance 0; " +
+    "null sensitives carry no mass") {
+    val one = Seq(("a", 7), ("a", 7), ("b", 7)).toDF("qi", "s")
+    val r1 = Privacy.tClosenessOrdered(one, Seq("qi"), "s", t = 0.01).head()
+    assert(r1.getDouble(3) == 0.0 && r1.getBoolean(7))
+    val withNulls = Seq(("a", Some(1)), ("a", None), ("b", Some(2)),
+      ("b", None), ("c", None)).toDF("qi", "s")
+    val r2 = Privacy.tClosenessOrdered(withNulls, Seq("qi"), "s",
+      t = 0.4).head()
+    // only the 2 non-null rows count; class c vanishes entirely
+    assert(r2.getLong(1) == 2 && r2.getLong(2) == 2)
+    // each class holds all mass on its own value: cum |r| at v1 = 1*2-1*1=1,
+    // at v2 = 0 -> dist = 1/((2-1)*1*2) = 0.5 for both classes
+    assert(r2.getDouble(3) == 0.5)
+    // empty input: zeroed report, vacuously close
+    val r3 = Privacy.tClosenessOrdered(
+      one.where(col("qi") === "zzz"), Seq("qi"), "s", t = 0.2).head()
+    assert(r3.getLong(1) == 0 && r3.getLong(2) == 0 && r3.getBoolean(7))
+  }
+
   test("kAnonymity: nulls form their own equivalence class") {
     val df = Seq(Some("a"), Some("a"), None, None, None)
       .toDF("qi")
