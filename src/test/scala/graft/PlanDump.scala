@@ -81,6 +81,8 @@ object PlanDump {
         "FastSS fuzzy join (maxDist = 1): dist-0 pairs are a grid-guarded value self-join; dist-1 candidates exist only inside deletion-variant equi-join cells over DISTINCT values (the Generate nodes build 1-deletion neighborhoods as pure projections — no shuffle to construct either side), and the banded levenshtein verifies BEFORE the pair distinct, so the dedup exchange carries true matches only. No cartesian product and no nested-loop join anywhere; value-level matches expand to id pairs through two output-bound hash joins.",
       "q134_snapshot_diff" ->
         "Snapshot diff: ONE full-outer SortMergeJoin on the key — each snapshot is hash-partitioned exactly once — and every per-column verdict (null-safe compares, changed-column list, counts) is a codegen projection riding the join output; the only later exchange is the presentation sort. Output carries key + verdict, never both payloads.",
+      "q150_t_closeness_ordered" ->
+        "Ordered t-closeness (EMD): ONE row-scale exchange total — the class-value aggregation's — shared by every derived statistic (the sizes branch consumes it directly; the global distribution and the (n, m) totals read it back through ReusedExchange nodes; the grid's join branch re-reads the scan once more only because join null-filter inference changes its pushed filters). The class × vocabulary grid is built from ALREADY-REDUCED frames (classes crossJoin broadcast vocabulary), the cumulative-difference window partitions by class over grid rows, and the report is one bounded aggregate — nothing row-scale moves after the first shuffle.",
       "q136_gopher_repetition" ->
         "Gopher repetition signals: the unit table is built with PLAIN explodes (line rows + an (n × position) double explode whose rowwise slice/array_join gram build is all codegen — no interpreted HOF lambdas); the (id, n, unit) count is a partial-aggregated hash groupBy and the per-doc roll-up is a second HashAggregate on id (the top-gram max rides as ONE packed BIGINT so nothing falls back to a sort aggregate) — the value_counts melt shape, linear end to end with map-side combines on both exchanges.")
     val sb = new StringBuilder
@@ -132,6 +134,28 @@ re-spend a round on them. Full numbers in BENCH_SF1.md §"Round-9 probes".
    per-column final sketch merge is single-threaded. Do not flip
    describe back to `approx = true` for scale; the knob remains only
    for `percentile_approx` semantic parity.
+
+5. **Fused (column, region, bucket) exact-quantile levels (r12).** Fusing
+   the histogram walk's k concurrent per-column per-level aggs into ONE
+   job needs an explode carrying a (cid, bucket, value) tuple per live
+   column per row — the Expand geometry yet again. Measured on a
+   20-numeric-column frame at 30×/18M rows (ProbeQuantFusion,
+   level-for-level honest): per-column 14.1 s, fused **124.7 s (8.8×
+   slower)**. The scheduler round-trips fusion saves (~60 small jobs →
+   ~3) are worth nothing against 20× row replication through the
+   shuffle. Same verdict as #1–#3; the per-column concurrent walk
+   stays for any describe width.
+
+6. **String-concatenation tuple encodings as sketch inputs (r12).**
+   Feeding `hll_sketch_agg` a gated `concat_ws` of string-cast
+   components measured 3× the per-side aggregation cost of hashing the
+   same casts through `xxhash64` (9.9 s vs 3.5 s for 5 sketches over
+   60M rows, ProbeSketchCost; one cold session read 8×): aggregate
+   input expressions evaluate INTERPRETED inside ObjectHashAggregate,
+   so per-row UTF8String building dominates. Any sketch/screen input
+   that only needs a shared deterministic encoding should hash, not
+   concatenate — `screenTupleAgg` (keys/FDs) and `indSketchInput`
+   (INDs) both do.
 """)
     for ((name, note) <- picks) {
       val df = Queries.all(name)(spark, sfDir)

@@ -40,11 +40,16 @@ object ProbeIndRefute {
         .collect()
       rows.count(_.getBoolean(5)) // holding pairs
     }
-    for (s <- Seq[Screen](Screen.Exact, Screen.Hll)) {
-      val holds = run(s) // warm + verdict check
-      val best = (1 to 3).map(_ => t(run(s))).min
-      println(f"[probeindrefute] dir=$sfDir screen=$s holds=$holds best=$best%6.2fs")
+    // interleave the modes (E,H,E,H,...) so page-cache/JIT/session drift
+    // hits both equally; report best + all runs
+    run(Screen.Exact); run(Screen.Hll) // warm both
+    val runs = (1 to 4).map { _ =>
+      (t(run(Screen.Exact)), t(run(Screen.Hll)))
     }
+    val (es, hs) = (runs.map(_._1), runs.map(_._2))
+    println(f"[probeindrefute] dir=$sfDir exact best=${es.min}%6.2fs " +
+      f"runs=${es.map(x => f"$x%.1f").mkString(",")} | " +
+      f"hll best=${hs.min}%6.2fs runs=${hs.map(x => f"$x%.1f").mkString(",")}")
     spark.stop()
   }
 }

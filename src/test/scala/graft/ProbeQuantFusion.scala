@@ -73,9 +73,12 @@ object ProbeQuantFusion {
         val entries = regions.toSeq.map { case (i, r) =>
           val v = col(s"c$i").cast(DoubleType)
           val w = r.hi - r.lo
+          // clamp BEFORE the int cast: the fused shape evaluates the bucket
+          // expression on out-of-region rows too (filtered only after), and
+          // ANSI mode errors on a bigint->int overflow
           val b = least(greatest(
-            floor((v - lit(r.lo)) / lit(w) * B).cast(IntegerType),
-            lit(0)), lit(B - 1))
+            floor((v - lit(r.lo)) / lit(w) * B), lit(0L)),
+            lit((B - 1).toLong)).cast(IntegerType)
           struct(lit(i).as("cid"), b.as("b"), v.as("v"),
             (v >= lit(r.lo) && v <= lit(r.hi)).as("in"))
         }
