@@ -3087,27 +3087,55 @@ object Oracles {
       |  (coalesce(max(dist), 0.0) <= 0.003) AS is_t_close
       |FROM d""".stripMargin
 
-  /** q152: the schema-wide IND sweep — the q147 per-pair SQL lifted to
-    * every cross-table column pair of the 4-table star, with the table
-    * names in the output.
+  /** Shared builders for the IND-sweep oracles (q152/q153): counts and
+    * misses on the STRING-cast comparison, tuple misses via NOT EXISTS on
+    * every component (the q149 convention), table names in the output.
+    */
+  private def sweepUnaryMiss(lsrc: String, lc: String,
+                             rsrc: String, rc: String): String =
+    s"""(SELECT count(*) FROM
+       |  (SELECT DISTINCT CAST($lc AS VARCHAR) AS v FROM $lsrc
+       |     WHERE $lc IS NOT NULL) a
+       |  WHERE NOT EXISTS (SELECT 1 FROM $rsrc
+       |     WHERE CAST($rc AS VARCHAR) = a.v))""".stripMargin
+
+  private def sweepRow(lt: String, lsrc: String, lcs: Seq[String],
+                       rt: String, rsrc: String, rcs: Seq[String]): String = {
+    val k = lcs.size
+    val lsel = lcs.zipWithIndex.map { case (c, i) =>
+      s"CAST($c AS VARCHAR) AS v$i" }.mkString(", ")
+    val lnn = lcs.map(c => s"$c IS NOT NULL").mkString(" AND ")
+    val rsel = rcs.zipWithIndex.map { case (c, i) =>
+      s"CAST($c AS VARCHAR) AS v$i" }.mkString(", ")
+    val rnn = rcs.map(c => s"$c IS NOT NULL").mkString(" AND ")
+    val eq = rcs.zipWithIndex.map { case (c, i) =>
+      s"CAST(r.$c AS VARCHAR) = a.v$i" }.mkString(" AND ")
+    s"""SELECT '$lt' AS left_table, '${lcs.mkString(",")}' AS left_columns,
+       |  '$rt' AS right_table, '${rcs.mkString(",")}' AS right_columns,
+       |  $k AS arity,
+       |  (SELECT count(*) FROM
+       |     (SELECT DISTINCT $lsel FROM $lsrc WHERE $lnn) x)
+       |    AS n_left_distinct,
+       |  (SELECT count(*) FROM
+       |     (SELECT DISTINCT $rsel FROM $rsrc WHERE $rnn) x)
+       |    AS n_right_distinct,
+       |  (SELECT count(*) FROM
+       |     (SELECT DISTINCT $lsel FROM $lsrc WHERE $lnn) a
+       |     WHERE NOT EXISTS (SELECT 1 FROM $rsrc r WHERE $eq))
+       |    AS n_missing""".stripMargin
+  }
+
+  private def sweepSelect(inner: String, where: String = ""): String =
+    s"""SELECT left_table, left_columns, right_table, right_columns,
+       |  arity, n_left_distinct, n_right_distinct, n_missing,
+       |  n_missing = 0 AS holds, TRUE AS is_exact FROM (
+       |$inner
+       |) t$where""".stripMargin
+
+  /** q152: the schema-wide unary IND sweep — the q147 per-pair SQL lifted
+    * to every cross-table column pair of the 4-table star.
     */
   val q152: String = {
-    def pair(lt: String, lc: String, rt: String, rc: String): String =
-      s"""SELECT left_table, left_column, right_table, right_column,
-         |  n_left_distinct, n_right_distinct, n_missing,
-         |  n_missing = 0 AS holds, TRUE AS is_exact FROM (
-         |  SELECT '$lt' AS left_table, '$lc' AS left_column,
-         |    '$rt' AS right_table, '$rc' AS right_column,
-         |    (SELECT count(DISTINCT CAST($lc AS VARCHAR)) FROM $lt
-         |       WHERE $lc IS NOT NULL) AS n_left_distinct,
-         |    (SELECT count(DISTINCT CAST($rc AS VARCHAR)) FROM $rt
-         |       WHERE $rc IS NOT NULL) AS n_right_distinct,
-         |    (SELECT count(*) FROM
-         |       (SELECT DISTINCT CAST($lc AS VARCHAR) AS v FROM $lt
-         |          WHERE $lc IS NOT NULL) a
-         |       WHERE NOT EXISTS (SELECT 1 FROM $rt
-         |          WHERE CAST($rc AS VARCHAR) = a.v)) AS n_missing
-         |) t""".stripMargin
     val tabs = Seq(
       "region" -> Seq("r_regionkey", "r_name"),
       "nation" -> Seq("n_nationkey", "n_regionkey", "n_name"),
@@ -3116,9 +3144,41 @@ object Oracles {
     val blocks = for {
       (lt, lcs) <- tabs; (rt, rcs) <- tabs if lt != rt
       a <- lcs; b <- rcs
-    } yield pair(lt, a, rt, b)
+    } yield sweepSelect(sweepRow(lt, lt, Seq(a), rt, rt, Seq(b)))
     blocks.mkString("", "\nUNION ALL\n",
-      "\nORDER BY left_table, left_column, right_table, right_column")
+      "\nORDER BY left_table, left_columns, right_table, right_columns")
+  }
+
+  /** q153: the composite-arity sweep — every unary candidate, plus a
+    * level-2 row EXACTLY where the MIND generation rule admits one (both
+    * unary projections hold, gated in the WHERE clause), so the oracle
+    * pins the lattice walk itself as well as every measured count.
+    */
+  val q153: String = {
+    // (name, source SQL, columns)
+    val tabs = Seq(
+      ("customer", "customer", Seq("c_custkey", "c_nationkey")),
+      ("supplier", "supplier", Seq("s_suppkey", "s_nationkey")),
+      ("docs", "documents", Seq("source", "lang")),
+      ("head", "(SELECT * FROM documents WHERE doc_id < 300)",
+        Seq("source", "lang")))
+    val unary = for {
+      (lt, lsrc, lcs) <- tabs; (rt, rsrc, rcs) <- tabs if lt != rt
+      a <- lcs; b <- rcs
+    } yield sweepSelect(sweepRow(lt, lsrc, Seq(a), rt, rsrc, Seq(b)))
+    // arity-2 candidates per ordered table pair over (x1,x2) × (y1,y2):
+    // {(x1,y1),(x2,y2)} and {(x1,y2),(x2,y1)} — each emitted only when
+    // BOTH member unary INDs hold (the MIND/Apriori projection rule)
+    val level2 = for {
+      (lt, lsrc, lcs) <- tabs; (rt, rsrc, rcs) <- tabs if lt != rt
+      combo <- Seq(Seq(rcs(0), rcs(1)), Seq(rcs(1), rcs(0)))
+    } yield sweepSelect(
+      sweepRow(lt, lsrc, lcs, rt, rsrc, combo),
+      where = s"""
+        |WHERE ${sweepUnaryMiss(lsrc, lcs(0), rsrc, combo(0))} = 0
+        |  AND ${sweepUnaryMiss(lsrc, lcs(1), rsrc, combo(1))} = 0""".stripMargin)
+    (unary ++ level2).mkString("", "\nUNION ALL\n",
+      "\nORDER BY arity, left_table, left_columns, right_table, right_columns")
   }
 
   def all(q09Literal: Option[String]): Map[String, String] = {
@@ -3226,6 +3286,7 @@ object Oracles {
       // oracle is shared verbatim (the q106→q02 convention)
       "q151_mjpeg_mp4" -> q146,
       "q152_ind_sweep" -> q152,
+      "q153_composite_sweep" -> q153,
       "q03_value_counts_orders" -> q03,
       "q04_histogram_price" -> q04,
       "q05_pearson_lineitem" -> q05,

@@ -2533,7 +2533,31 @@ object Queries {
           Seq("c_custkey", "c_nationkey")),
         ("supplier", table(s, dir, "supplier"),
           Seq("s_suppkey", "s_nationkey"))))
-      .orderBy("left_table", "left_column", "right_table", "right_column")
+      .orderBy("left_table", "left_columns", "right_table", "right_columns")
+
+  /** Composite-arity IND sweep (r12): the MIND lattice walk above the
+    * unary level — arity-2 candidates exist only where every unary
+    * projection HOLDS, so the walk generates (s_suppkey, s_nationkey) ⊆
+    * (c_custkey, c_nationkey) (both projections held) and measures its
+    * misses, while the documents head-slice tables yield a holding
+    * composite ((source, lang) of the slice ⊆ the full table) plus the
+    * measured reverse. The oracle recomputes every measured level-2
+    * candidate AND pins the generation rule itself: a level-2 row may
+    * exist only where both its projections hold.
+    */
+  def q153CompositeSweep(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    stats.KeyDiscovery.discoverInds(Seq(
+        ("customer", table(s, dir, "customer"),
+          Seq("c_custkey", "c_nationkey")),
+        ("supplier", table(s, dir, "supplier"),
+          Seq("s_suppkey", "s_nationkey")),
+        ("docs", docs, Seq("source", "lang")),
+        ("head", docs.where(col("doc_id") < 300), Seq("source", "lang"))),
+      maxArity = 2)
+      .orderBy("arity", "left_table", "left_columns",
+        "right_table", "right_columns")
+  }
 
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
@@ -2723,6 +2747,7 @@ object Queries {
     "q150_t_closeness_ordered" -> (q150TClosenessOrdered _),
     "q151_mjpeg_mp4" -> (q151MjpegMp4 _),
     "q152_ind_sweep" -> (q152IndSweep _),
+    "q153_composite_sweep" -> (q153CompositeSweep _),
     "q140_multifield_linkage" -> (q140MultiFieldLinkage _)
   )
 }

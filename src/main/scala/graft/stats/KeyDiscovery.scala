@@ -1047,30 +1047,51 @@ object KeyDiscovery {
     * foreign-key sweep over t tables (the [[discoverKeysStaged]] analog
     * for the IND member of the family): measures every cross-table
     * ordered column pair (tᵢ.c ⊆ tⱼ.c' for all i ≠ j), which a caller
-    * today hand-batches through t·(t−1) [[inclusionDependencies]] calls.
+    * today hand-batches through t·(t−1) [[inclusionDependencies]] calls
+    * — and, with `maxArity > 1`, walks the COMPOSITE-IND lattice above
+    * them MIND-style (De Marchi, Lopes & Petit 2002 — the Apriori rule
+    * lifted to INDs): an arity-(k+1) candidate
+    * `(a₁..aₖ₊₁) ⊆ (b₁..bₖ₊₁)` exists only when every arity-k
+    * PROJECTION of it holds (a composite IND implies all its
+    * projections), so level k+1 generates from level-k HOLDING INDs of
+    * the same table pair via [[aprioriNextLevel]] over (left, right)
+    * column-pair items, with left components pairwise distinct and
+    * right components pairwise distinct. Items live in canonical
+    * (left column index, right column index) order, so the mirror
+    * permutation `(a₂,a₁) ⊆ (b₂,b₁)` never appears as a separate
+    * candidate. Refuted/missed candidates produce no descendants —
+    * the prune is the generation rule itself.
     *
     * The staging is where the scale win lives: under the screen
     * (`Hll`, or `Auto` when the LARGEST table's scan estimate passes
-    * [[AutoScreenBytes]]), each table is sketched ONCE — one sketch-only
-    * aggregation per TABLE covering all its columns (t jobs total,
-    * fixed-size sketches on the wire) — and every one of the ~t²·k²
-    * pair verdicts comes from a driver-side sketch merge; only
-    * non-refuted pairs pay an exact confirm join, in
+    * [[AutoScreenBytes]]), each table is sketched ONCE PER LEVEL — one
+    * sketch-only aggregation per table covering all its live tuples (t
+    * jobs per level, fixed-size sketches on the wire) — and every
+    * candidate verdict comes from a driver-side sketch merge; only
+    * non-refuted candidates pay an exact confirm join, in
     * [[MaxCandidates]]-bounded concurrent chunks (the per-call budget,
     * applied per confirm batch — a sweep is never one unbounded job
-    * fan-out). Exact mode confirms every pair in the same bounded
-    * chunks. Verdict semantics are identical to per-call
-    * [[inclusionDependencies]] results (spec-pinned).
+    * fan-out). Exact mode confirms every candidate in the same bounded
+    * chunks. Unary verdict semantics are identical to per-call
+    * [[inclusionDependencies]] results, composite ones to per-call
+    * [[compositeInclusionDependencies]] (spec-pinned). Under the screen
+    * the lattice walk stays sound: generation uses only
+    * exact-confirmed holds, and a refuted candidate's absence of
+    * descendants is implied by the projection rule up to the screen's
+    * documented < 10⁻⁶ mis-refute odds.
     *
-    * Output: (left_table, left_column, right_table, right_column,
-    * n_left_distinct, n_right_distinct, n_missing, holds, is_exact), one
-    * row per cross-table pair, in (left table, left column, right table,
-    * right column) input order.
+    * Output: (left_table, left_columns comma-joined, right_table,
+    * right_columns comma-joined, arity, n_left_distinct,
+    * n_right_distinct, n_missing, holds, is_exact), one row per
+    * MEASURED candidate, levels in order, each level in (left table,
+    * right table, lattice) order.
     */
   def discoverInds(tables: Seq[(String, DataFrame, Seq[String])],
+                   maxArity: Int = 1,
                    screen: Screen = Screen.Exact,
                    screenRsd: Double = 0.02): DataFrame = {
     require(tables.size >= 2, "need at least two tables")
+    require(maxArity >= 1, s"need maxArity >= 1, got $maxArity")
     require(tables.map(_._1).distinct.size == tables.size,
       "duplicate table name")
     require(screenRsd > 0 && screenRsd < 0.2,
@@ -1078,69 +1099,126 @@ object KeyDiscovery {
     tables.foreach { case (t, df, cs) =>
       require(cs.nonEmpty, s"table '$t': need at least one column")
       require(cs.distinct.size == cs.size, s"table '$t': duplicate column")
+      // the lattice item encoding is a fixed-width "%03d:%03d" string
+      // (so Apriori's canonical sort is the column-index order); a wider
+      // table must be swept in batches, loudly — never mis-sorted
+      require(cs.size <= 999,
+        s"table '$t': ${cs.size} columns > 999 — sweep wider tables in " +
+          "batched calls")
       cs.foreach(c => require(df.columns.contains(c),
         s"column '$c' not in table '$t'"))
     }
+    val tabs = tables.toIndexedSeq
     val hll = screen match {
       case Screen.Exact => false
       case Screen.Hll   => true
       case Screen.Auto  =>
-        tables.map(_._2.queryExecution.optimizedPlan.stats.sizeInBytes)
+        tabs.map(_._2.queryExecution.optimizedPlan.stats.sizeInBytes)
           .max >= BigInt(AutoScreenBytes)
     }
-    // (leftTableIdx, leftCol, rightTableIdx, rightCol) in sweep order
-    val pairs = for {
-      (li, lt) <- tables.zipWithIndex.map(_.swap)
-      (ri, rt) <- tables.zipWithIndex.map(_.swap) if li != ri
-      a <- lt._3; b <- rt._3
-    } yield (li, a, ri, b)
-    val screenedOut: Map[Int, (Long, Long, Long)] =
-      if (!hll) Map.empty
-      else {
-        // the hoist: ONE sketch aggregation per table, reused by every
-        // pair that table participates in (left or right side alike)
-        val lgK = indLgK(screenRsd)
-        val sk: Map[Int, Map[Seq[String], Array[Byte]]] =
-          tables.zipWithIndex.map { case ((_, df, cs), i) =>
-            i -> indSketches(df, cs.map(Seq(_)), lgK)
-          }.toMap
-        indRefuted(tables.head._2.sparkSession,
-          pairs.zipWithIndex.flatMap { case ((li, a, ri, b), i) =>
-            val (ska, skb) = (sk(li)(Seq(a)), sk(ri)(Seq(b)))
-            if (ska == null || skb == null) Nil else Seq((i, ska, skb))
-          }, screenRsd)
-      }
-    // exact confirms, budgeted: MaxCandidates-sized concurrent batches so
-    // a wide sweep never exceeds the per-call job fan-out
-    val acc = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Long)]()
-    pairs.indices.filterNot(screenedOut.contains)
-      .grouped(MaxCandidates).foreach { chunk =>
-        graft.util.Concurrency.runConcurrently(chunk) { i =>
-          val (li, a, ri, b) = pairs(i)
-          acc.put(i, indConfirm(tables(li)._2, Seq(a), tables(ri)._2, Seq(b)))
+    // a candidate at any arity: (leftTableIdx, leftTuple, rightTableIdx,
+    // rightTuple); its lattice identity per table pair is the SET of
+    // (leftColIdx, rightColIdx) items in canonical order
+    type Cand = (Int, Seq[String], Int, Seq[String])
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
+    // per ordered table pair: the holding item-sets of the previous level
+    // (encoded "lll:rrr" strings so aprioriNextLevel's prefix join applies)
+    def item(li: Int, a: String, ri: Int, b: String): String =
+      f"${tabs(li)._3.indexOf(a)}%03d:${tabs(ri)._3.indexOf(b)}%03d"
+    val holding = scala.collection.mutable.Map
+      .empty[(Int, Int), Seq[Seq[String]]].withDefaultValue(Nil)
+    val tablePairs = for {
+      li <- tabs.indices; ri <- tabs.indices if li != ri
+    } yield (li, ri)
+    for (a <- 1 to maxArity) {
+      val level: Seq[Cand] = tablePairs.flatMap { case (li, ri) =>
+        if (a == 1)
+          for (x <- tabs(li)._3; y <- tabs(ri)._3)
+            yield (li, Seq(x), ri, Seq(y))
+        else {
+          val itemIdx = (for (x <- tabs(li)._3; y <- tabs(ri)._3)
+            yield item(li, x, ri, y)).sorted.zipWithIndex.toMap
+          aprioriNextLevel(holding((li, ri)), itemIdx)
+            .map { items =>
+              val ls = items.map(s => tabs(li)._3(s.take(3).toInt))
+              val rs = items.map(s => tabs(ri)._3(s.drop(4).toInt))
+              (li, ls, ri, rs)
+            }
+            // a tuple may not repeat a column on either side
+            .filter { case (_, ls, _, rs) =>
+              ls.distinct.size == ls.size && rs.distinct.size == rs.size }
         }
       }
-    val rows = pairs.zipWithIndex.map { case ((li, a, ri, b), i) =>
-      screenedOut.get(i) match {
-        case Some((ea, eb, miss)) =>
-          Row(tables(li)._1, a, tables(ri)._1, b, ea, eb, miss, false, false)
-        case None =>
-          val (na, nb, miss) = acc.get(i)
-          Row(tables(li)._1, a, tables(ri)._1, b, na, nb, miss,
-            miss == 0L, true)
+      val profiles = measureIndLevel(tabs, level, hll, screenRsd)
+      val nextHolding = scala.collection.mutable.Map
+        .empty[(Int, Int), scala.collection.mutable.ArrayBuffer[Seq[String]]]
+      level.zip(profiles).foreach { case ((li, ls, ri, rs), ((na, nb, miss), exact)) =>
+        val holds = exact && miss == 0L
+        rows += Row(tabs(li)._1, ls.mkString(","), tabs(ri)._1,
+          rs.mkString(","), a, na, nb, miss, holds, exact)
+        // only exact-confirmed holds generate descendants (screen-sound)
+        if (holds)
+          nextHolding.getOrElseUpdate((li, ri),
+            scala.collection.mutable.ArrayBuffer.empty) +=
+            ls.zip(rs).map { case (x, y) => item(li, x, ri, y) }.sorted
       }
+      holding.clear()
+      nextHolding.foreach { case (k, v) => holding(k) = v.toSeq }
     }
-    val spark = tables.head._2.sparkSession
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+    val spark = tabs.head._2.sparkSession
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1),
       StructType(Seq(
         StructField("left_table", StringType, nullable = false),
-        StructField("left_column", StringType, nullable = false),
+        StructField("left_columns", StringType, nullable = false),
         StructField("right_table", StringType, nullable = false),
-        StructField("right_column", StringType, nullable = false),
+        StructField("right_columns", StringType, nullable = false),
+        StructField("arity", IntegerType, nullable = false),
         StructField("n_left_distinct", LongType, nullable = false),
         StructField("n_right_distinct", LongType, nullable = false),
         StructField("n_missing", LongType, nullable = false),
         StructField("holds", BooleanType, nullable = false),
         StructField("is_exact", BooleanType, nullable = false))))
+  }
+
+  /** Measure one level of sweep candidates: the per-table sketch hoist
+    * (one sketch-only aggregation per table covering all its live tuples),
+    * driver-side refutes, exact confirm joins in [[MaxCandidates]]-bounded
+    * concurrent chunks. Returns ((nLeft, nRight, nMissing), isExact) per
+    * candidate in order.
+    */
+  private def measureIndLevel(tabs: IndexedSeq[(String, DataFrame, Seq[String])],
+      cands: Seq[(Int, Seq[String], Int, Seq[String])],
+      hll: Boolean, rsd: Double): Seq[((Long, Long, Long), Boolean)] = {
+    if (cands.isEmpty) return Nil
+    val screenedOut: Map[Int, (Long, Long, Long)] =
+      if (!hll) Map.empty
+      else {
+        val lgK = indLgK(rsd)
+        val need: Map[Int, Seq[Seq[String]]] =
+          (cands.map { case (li, a, _, _) => (li, a) } ++
+            cands.map { case (_, _, ri, b) => (ri, b) })
+            .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+        val sk = need.map { case (ti, tuples) =>
+          ti -> indSketches(tabs(ti)._2, tuples, lgK) }
+        indRefuted(tabs.head._2.sparkSession,
+          cands.zipWithIndex.flatMap { case ((li, a, ri, b), i) =>
+            val (ska, skb) = (sk(li)(a), sk(ri)(b))
+            if (ska == null || skb == null) Nil else Seq((i, ska, skb))
+          }, rsd)
+      }
+    val acc = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Long)]()
+    cands.indices.filterNot(screenedOut.contains)
+      .grouped(MaxCandidates).foreach { chunk =>
+        graft.util.Concurrency.runConcurrently(chunk) { i =>
+          val (li, a, ri, b) = cands(i)
+          acc.put(i, indConfirm(tabs(li)._2, a, tabs(ri)._2, b))
+        }
+      }
+    cands.indices.map { i =>
+      screenedOut.get(i) match {
+        case Some(est) => (est, false)
+        case None      => (acc.get(i), true)
+      }
+    }
   }
 }

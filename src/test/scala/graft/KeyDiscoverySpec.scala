@@ -489,9 +489,10 @@ class KeyDiscoverySpec extends SparkSpec {
     swept.foreach { r =>
       val key = (r.getString(0), r.getString(1), r.getString(2), r.getString(3))
       val (na, nb, miss, holds) = expect(key)
-      assert(r.getLong(4) == na && r.getLong(5) == nb &&
-        r.getLong(6) == miss && r.getBoolean(7) == holds, s"$key")
-      assert(r.getBoolean(8)) // exact mode: every row exact
+      assert(r.getInt(4) == 1)
+      assert(r.getLong(5) == na && r.getLong(6) == nb &&
+        r.getLong(7) == miss && r.getBoolean(8) == holds, s"$key")
+      assert(r.getBoolean(9)) // exact mode: every row exact
     }
     // screened sweep: every is_exact row matches the exact truth, every
     // refuted row is truly non-holding (refute-only soundness)
@@ -500,12 +501,50 @@ class KeyDiscoverySpec extends SparkSpec {
     screened.foreach { r =>
       val key = (r.getString(0), r.getString(1), r.getString(2), r.getString(3))
       val (na, nb, miss, holds) = expect(key)
-      if (r.getBoolean(8))
-        assert(r.getLong(4) == na && r.getLong(5) == nb &&
-          r.getLong(6) == miss && r.getBoolean(7) == holds, s"$key")
+      if (r.getBoolean(9))
+        assert(r.getLong(5) == na && r.getLong(6) == nb &&
+          r.getLong(7) == miss && r.getBoolean(8) == holds, s"$key")
       else
-        assert(!r.getBoolean(7) && !holds, s"refuted but holds: $key")
+        assert(!r.getBoolean(8) && !holds, s"refuted but holds: $key")
     }
+  }
+
+  test("discoverInds maxArity=2: MIND generation — composite candidates " +
+    "exist exactly where both projections hold, verdicts match brute force") {
+    // t1 (a, b) vs t2 (c, d): a⊆c holds, b⊆d holds, a⊆d and b⊆c do not →
+    // the only level-2 candidate is (a,b) ⊆ (c,d); its truth is measured
+    val t1 = Seq((1, 100), (2, 200), (3, 100)).toDF("a", "b")
+    val t2 = Seq((1, 100), (2, 200), (3, 100), (4, 300)).toDF("c", "d")
+    val out = KeyDiscovery.discoverInds(
+      Seq(("t1", t1, Seq("a", "b")), ("t2", t2, Seq("c", "d"))),
+      maxArity = 2).collect()
+    val l2 = out.filter(_.getInt(4) == 2)
+    assert(l2.length == 1, out.mkString("\n"))
+    val r = l2.head
+    assert(r.getString(0) == "t1" && r.getString(1) == "a,b" &&
+      r.getString(3) == "c,d")
+    // tuples (1,100),(2,200),(3,100) all appear in t2 → holds
+    assert(r.getLong(5) == 3 && r.getLong(7) == 0 && r.getBoolean(8))
+    // shrink t2 to (1,100),(2,200),(3,300): both projections STILL hold,
+    // so the composite is generated — but tuple (3,100) is missing, so it
+    // measures failing (projections holding is necessary, not sufficient)
+    val out2 = KeyDiscovery.discoverInds(
+      Seq(("t1", t1, Seq("a", "b")),
+        ("t2", Seq((1, 100), (2, 200), (3, 300)).toDF("c", "d"),
+          Seq("c", "d"))),
+      maxArity = 2).collect()
+    val l2b = out2.filter(_.getInt(4) == 2)
+    // unary: a={1,2,3}⊆c={1,2,3} holds; b={100,200}⊆d={100,200,300} holds
+    // composite (3,100) not in t2 rows → generated, 1 miss, fails
+    assert(l2b.length == 1)
+    assert(l2b.head.getLong(7) == 1 && !l2b.head.getBoolean(8))
+    // a table pair with a failing projection generates NO composite:
+    // swap d so b ⊄ d
+    val out3 = KeyDiscovery.discoverInds(
+      Seq(("t1", t1, Seq("a", "b")),
+        ("t2", Seq((1, 9), (2, 9), (3, 9)).toDF("c", "d"), Seq("c", "d"))),
+      maxArity = 2).collect()
+    assert(!out3.exists(_.getInt(4) == 2))
   }
 
   test("scanOnce + Screen.Auto stays exact on any frame size (no data-dependent crash)") {
