@@ -118,7 +118,8 @@ def main():
     ap.add_argument("--band", type=float, default=1.3,
                     help="stable if ratio within this (default 1.3)")
     ap.add_argument("--floor", type=float, default=1.0,
-                    help="both sides under this many seconds -> sub-second")
+                    help="both sides under this many NORMALIZED seconds "
+                         "-> sub-second (same basis as the table/band)")
     ap.add_argument("--spread", type=float, default=1.5,
                     help="run spread above this counts as load evidence")
     ap.add_argument("--micro-x", type=float, default=1.5, dest="micro_x",
