@@ -2997,34 +2997,14 @@ object Oracles {
     * any-null tuples are filtered, the MATCH SIMPLE rule).
     */
   val q149: String = {
+    // the sweep builders with the table-name columns projected away —
+    // ONE copy of the composite-IND oracle convention serves q149/q152/q153
     def cpair(lsrc: String, lcs: Seq[String],
-              rsrc: String, rcs: Seq[String]): String = {
-      val k = lcs.size
-      val lsel = lcs.zipWithIndex.map { case (c, i) =>
-        s"CAST($c AS VARCHAR) AS v$i" }.mkString(", ")
-      val lnn = lcs.map(c => s"$c IS NOT NULL").mkString(" AND ")
-      val rsel = rcs.zipWithIndex.map { case (c, i) =>
-        s"CAST($c AS VARCHAR) AS v$i" }.mkString(", ")
-      val rnn = rcs.map(c => s"$c IS NOT NULL").mkString(" AND ")
-      val eq = rcs.zipWithIndex.map { case (c, i) =>
-        s"CAST(r.$c AS VARCHAR) = a.v$i" }.mkString(" AND ")
+              rsrc: String, rcs: Seq[String]): String =
       s"""SELECT left_columns, right_columns, arity, n_left_distinct,
-         |  n_right_distinct, n_missing, n_missing = 0 AS holds,
-         |  TRUE AS is_exact FROM (
-         |  SELECT '${lcs.mkString(",")}' AS left_columns,
-         |    '${rcs.mkString(",")}' AS right_columns, $k AS arity,
-         |    (SELECT count(*) FROM
-         |       (SELECT DISTINCT $lsel FROM $lsrc WHERE $lnn) x)
-         |      AS n_left_distinct,
-         |    (SELECT count(*) FROM
-         |       (SELECT DISTINCT $rsel FROM $rsrc WHERE $rnn) x)
-         |      AS n_right_distinct,
-         |    (SELECT count(*) FROM
-         |       (SELECT DISTINCT $lsel FROM $lsrc WHERE $lnn) a
-         |       WHERE NOT EXISTS (SELECT 1 FROM $rsrc r WHERE $eq))
-         |      AS n_missing
-         |) t""".stripMargin
-    }
+         |  n_right_distinct, n_missing, holds, is_exact FROM (
+         |${sweepSelect(sweepRow("", lsrc, lcs, "", rsrc, rcs))}
+         |) p""".stripMargin
     val slice = "(SELECT * FROM lineitem WHERE l_orderkey < 2000)"
     Seq(
       cpair("lineitem", Seq("l_orderkey", "l_linestatus"),

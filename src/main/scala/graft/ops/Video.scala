@@ -167,8 +167,12 @@ object Video {
             case Some(info) if info.samples.isDefined =>
               val st = info.samples.get
               Array.tabulate(st.n) { i =>
+                // split the tick→ms conversion so `ticks * 1000` cannot
+                // overflow on forged stts tables (timescale is a uint32, so
+                // the remainder term stays ≤ ~4.3e12); same floor result
+                val t = st.startTicks(i); val ts = st.mediaTimescale
                 (st.offsets(i), st.sizes(i),
-                  st.startTicks(i) * 1000L / st.mediaTimescale)
+                  t / ts * 1000L + t % ts * 1000L / ts)
               }
             case _ => Array.empty
           }
@@ -191,7 +195,10 @@ object Video {
     */
   private def decodeJpegLuma(b: Array[Byte], off: Long,
                              len: Long): Option[(Int, Int, Double, Int, Int)] = {
-    if (len < 4 || off < 0 || off + len > b.length) return None
+    // overflow-safe bounds: `off + len` on forged 64-bit sample offsets can
+    // wrap negative and slip past a naive `off + len > b.length` guard
+    if (len < 4 || off < 0 || len > b.length || off > b.length - len)
+      return None
     val o = off.toInt
     if ((b(o) & 0xFF) != 0xFF || (b(o + 1) & 0xFF) != 0xD8) return None
     val img =

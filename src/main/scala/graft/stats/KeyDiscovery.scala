@@ -809,7 +809,7 @@ object KeyDiscovery {
     require(pairs.size <= MaxCandidates,
       s"${pairs.size} pairs > $MaxCandidates: bound the per-call fan-out")
     val profiles = indProfiles(left, right, pairs,
-      indUseHll(left, right, screen), screenRsd)
+      indUseHll(Seq(left, right), screen), screenRsd)
     val rows = pairs.zip(profiles).map {
       case ((a, b), ((na, nb, miss), exact)) =>
         Row(a.head, b.head, na, nb, miss, exact && miss == 0L, exact)
@@ -880,7 +880,7 @@ object KeyDiscovery {
         s"column '$c' not in right frame"))
     }
     val profiles = indProfiles(left, right, pairs,
-      indUseHll(left, right, screen), screenRsd)
+      indUseHll(Seq(left, right), screen), screenRsd)
     val rows = pairs.zip(profiles).map {
       case ((a, b), ((na, nb, miss), exact)) =>
         Row(a.mkString(","), b.mkString(","), a.size, na, nb, miss,
@@ -903,15 +903,14 @@ object KeyDiscovery {
     * estimate against [[AutoScreenBytes]] (either side large enough makes
     * the exact distinct shuffle worth screening away).
     */
-  private def indUseHll(left: DataFrame, right: DataFrame,
-                        screen: Screen): Boolean = screen match {
-    case Screen.Exact => false
-    case Screen.Hll   => true
-    case Screen.Auto  =>
-      (left.queryExecution.optimizedPlan.stats.sizeInBytes max
-        right.queryExecution.optimizedPlan.stats.sizeInBytes) >=
-        BigInt(AutoScreenBytes)
-  }
+  private def indUseHll(frames: Seq[DataFrame], screen: Screen): Boolean =
+    screen match {
+      case Screen.Exact => false
+      case Screen.Hll   => true
+      case Screen.Auto  =>
+        frames.map(_.queryExecution.optimizedPlan.stats.sizeInBytes)
+          .max >= BigInt(AutoScreenBytes)
+    }
 
   /** One side's distinct non-null tuple values, components string-cast and
     * positionally renamed `__v0..__v{k-1}` so pair joins are pure
@@ -1109,13 +1108,7 @@ object KeyDiscovery {
         s"column '$c' not in table '$t'"))
     }
     val tabs = tables.toIndexedSeq
-    val hll = screen match {
-      case Screen.Exact => false
-      case Screen.Hll   => true
-      case Screen.Auto  =>
-        tabs.map(_._2.queryExecution.optimizedPlan.stats.sizeInBytes)
-          .max >= BigInt(AutoScreenBytes)
-    }
+    val hll = indUseHll(tabs.map(_._2), screen)
     // a candidate at any arity: (leftTableIdx, leftTuple, rightTableIdx,
     // rightTuple); its lattice identity per table pair is the SET of
     // (leftColIdx, rightColIdx) items in canonical order
@@ -1123,22 +1116,28 @@ object KeyDiscovery {
     val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
     // per ordered table pair: the holding item-sets of the previous level
     // (encoded "lll:rrr" strings so aprioriNextLevel's prefix join applies)
+    val colIdx = tabs.map(_._3.zipWithIndex.toMap)
     def item(li: Int, a: String, ri: Int, b: String): String =
-      f"${tabs(li)._3.indexOf(a)}%03d:${tabs(ri)._3.indexOf(b)}%03d"
+      f"${colIdx(li)(a)}%03d:${colIdx(ri)(b)}%03d"
     val holding = scala.collection.mutable.Map
       .empty[(Int, Int), Seq[Seq[String]]].withDefaultValue(Nil)
     val tablePairs = for {
       li <- tabs.indices; ri <- tabs.indices if li != ri
     } yield (li, ri)
+    // the per-pair item universe is level-invariant — build it once, and
+    // only when the composite walk will consume it
+    lazy val itemIdx: Map[(Int, Int), Map[String, Int]] =
+      tablePairs.map { case (li, ri) =>
+        (li, ri) -> (for (x <- tabs(li)._3; y <- tabs(ri)._3)
+          yield item(li, x, ri, y)).sorted.zipWithIndex.toMap
+      }.toMap
     for (a <- 1 to maxArity) {
       val level: Seq[Cand] = tablePairs.flatMap { case (li, ri) =>
         if (a == 1)
           for (x <- tabs(li)._3; y <- tabs(ri)._3)
             yield (li, Seq(x), ri, Seq(y))
         else {
-          val itemIdx = (for (x <- tabs(li)._3; y <- tabs(ri)._3)
-            yield item(li, x, ri, y)).sorted.zipWithIndex.toMap
-          aprioriNextLevel(holding((li, ri)), itemIdx)
+          aprioriNextLevel(holding((li, ri)), itemIdx((li, ri)))
             .map { items =>
               val ls = items.map(s => tabs(li)._3(s.take(3).toInt))
               val rs = items.map(s => tabs(ri)._3(s.drop(4).toInt))
