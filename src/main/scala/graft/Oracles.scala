@@ -2932,7 +2932,11 @@ object Oracles {
   val q147: String = {
     def pair(lt: String, lc: String, rt: String, rc: String): String =
       s"""SELECT left_column, right_column, n_left_distinct,
-         |  n_right_distinct, n_missing, n_missing = 0 AS holds,
+         |  n_right_distinct, n_missing,
+         |  CASE WHEN n_left_distinct = 0 THEN 1.0
+         |    ELSE CAST(n_left_distinct - n_missing AS DOUBLE)
+         |      / n_left_distinct END AS coverage,
+         |  n_missing = 0 AS holds,
          |  TRUE AS is_exact FROM (
          |  SELECT '$lc' AS left_column, '$rc' AS right_column,
          |    (SELECT count(DISTINCT CAST($lc AS VARCHAR)) FROM $lt
@@ -3002,7 +3006,7 @@ object Oracles {
     def cpair(lsrc: String, lcs: Seq[String],
               rsrc: String, rcs: Seq[String]): String =
       s"""SELECT left_columns, right_columns, arity, n_left_distinct,
-         |  n_right_distinct, n_missing, holds, is_exact FROM (
+         |  n_right_distinct, n_missing, coverage, holds, is_exact FROM (
          |${sweepSelect(sweepRow("", lsrc, lcs, "", rsrc, rcs))}
          |) p""".stripMargin
     val slice = "(SELECT * FROM lineitem WHERE l_orderkey < 2000)"
@@ -3105,12 +3109,23 @@ object Oracles {
        |    AS n_missing""".stripMargin
   }
 
-  private def sweepSelect(inner: String, where: String = ""): String =
+  private def sweepSelect(inner: String, where: String = "",
+                          theta: Double = 1.0): String = {
+    // θ = 1 is the classic IND; θ < 1 the partial-IND verdict — the
+    // (1.0 - θ) subtraction is written out, not pre-computed, so DuckDB
+    // evaluates the same IEEE ops the Scala side does
+    val holds =
+      if (theta == 1.0) "n_missing = 0"
+      else s"CAST(n_missing AS DOUBLE) <= (1.0 - $theta) * n_left_distinct"
     s"""SELECT left_table, left_columns, right_table, right_columns,
        |  arity, n_left_distinct, n_right_distinct, n_missing,
-       |  n_missing = 0 AS holds, TRUE AS is_exact FROM (
+       |  CASE WHEN n_left_distinct = 0 THEN 1.0
+       |    ELSE CAST(n_left_distinct - n_missing AS DOUBLE)
+       |      / n_left_distinct END AS coverage,
+       |  $holds AS holds, TRUE AS is_exact FROM (
        |$inner
        |) t$where""".stripMargin
+  }
 
   /** q152: the schema-wide unary IND sweep — the q147 per-pair SQL lifted
     * to every cross-table column pair of the 4-table star.
@@ -3159,6 +3174,73 @@ object Oracles {
         |  AND ${sweepUnaryMiss(lsrc, lcs(1), rsrc, combo(1))} = 0""".stripMargin)
     (unary ++ level2).mkString("", "\nUNION ALL\n",
       "\nORDER BY arity, left_table, left_columns, right_table, right_columns")
+  }
+
+  /** q154: approximate FDs — the TANE g₃ error recomputed exactly
+    * (per-(X,c) group counts → per-X (sum, max) → one global row), with
+    * g3 and holds written as the engine's own expressions (one double
+    * division / one double compare of exact integers). Level-2 blocks
+    * are gated on BOTH unary projections being non-holding — the
+    * Apriori generation rule pinned in SQL, the q153 convention.
+    */
+  val q154: String = {
+    val eps = "0.3"
+    // exact (n_rows, n_kept) for X -> c over lineitem, the engine's
+    // two-level aggregation restated
+    def counts(xs: Seq[String], c: String): String = {
+      val xsel = xs.mkString(", ")
+      val nn = (xs :+ c).map(x => s"$x IS NOT NULL").mkString(" AND ")
+      s"""(SELECT CAST(coalesce(sum(nx), 0) AS BIGINT) AS n_rows,
+         |    CAST(coalesce(sum(mx), 0) AS BIGINT) AS n_kept FROM (
+         |  SELECT CAST(sum(cnt) AS BIGINT) AS nx, max(cnt) AS mx FROM (
+         |    SELECT $xsel, $c, CAST(count(*) AS BIGINT) AS cnt
+         |    FROM lineitem WHERE $nn GROUP BY $xsel, $c) g
+         |  GROUP BY $xsel) p)""".stripMargin
+    }
+    def unaryNotHolding(x: String, c: String): String =
+      s"""NOT (SELECT CAST(n_rows - n_kept AS DOUBLE) <= $eps * n_rows
+         |  FROM ${counts(Seq(x), c)} u)""".stripMargin
+    def m(xs: Seq[String], c: String, gate: String = ""): String =
+      s"""SELECT '${xs.mkString(",")}' AS determinant,
+         |  ${xs.size} AS arity, '$c' AS dependent, n_rows, n_kept,
+         |  CASE WHEN n_rows = 0 THEN 0.0
+         |    ELSE CAST(n_rows - n_kept AS DOUBLE) / n_rows END AS g3,
+         |  CAST(n_rows - n_kept AS DOUBLE) <= $eps * n_rows AS holds,
+         |  TRUE AS is_exact
+         |FROM ${counts(xs, c)} t$gate""".stripMargin
+    val dets = Seq("l_orderkey", "l_linenumber", "l_suppkey")
+    val deps = Seq("l_returnflag", "l_linestatus")
+    val unary = for (c <- deps; x <- dets) yield m(Seq(x), c)
+    val level2 = for {
+      c <- deps
+      pair <- dets.combinations(2).toSeq
+    } yield m(pair, c, gate =
+      s"""
+         |WHERE ${unaryNotHolding(pair(0), c)}
+         |  AND ${unaryNotHolding(pair(1), c)}""".stripMargin)
+    (unary ++ level2).mkString("", "\nUNION ALL\n",
+      "\nORDER BY arity, determinant, dependent")
+  }
+
+  /** q155: partial INDs — the q149 convention with the θ = 0.6 holds
+    * relaxation and the coverage quotient, all exact integers with one
+    * double division/compare.
+    */
+  val q155: String = {
+    def ppair(lsrc: String, lcs: Seq[String],
+              rsrc: String, rcs: Seq[String]): String =
+      s"""SELECT left_columns, right_columns, arity, n_left_distinct,
+         |  n_right_distinct, n_missing, coverage, holds, is_exact FROM (
+         |${sweepSelect(sweepRow("", lsrc, lcs, "", rsrc, rcs), theta = 0.6)}
+         |) p""".stripMargin
+    val head = "(SELECT * FROM documents WHERE doc_id < 300)"
+    Seq(
+      ppair("customer", Seq("c_custkey"), "orders", Seq("o_custkey")),
+      ppair("orders", Seq("o_custkey"), "customer", Seq("c_custkey")),
+      ppair("part", Seq("p_partkey"), "lineitem", Seq("l_partkey")),
+      ppair("documents", Seq("source", "lang"), head, Seq("source", "lang")))
+      .mkString("", "\nUNION ALL\n",
+        "\nORDER BY left_columns, right_columns, n_missing")
   }
 
   def all(q09Literal: Option[String]): Map[String, String] = {
@@ -3267,6 +3349,8 @@ object Oracles {
       "q151_mjpeg_mp4" -> q146,
       "q152_ind_sweep" -> q152,
       "q153_composite_sweep" -> q153,
+      "q154_fd_error" -> q154,
+      "q155_partial_inds" -> q155,
       "q03_value_counts_orders" -> q03,
       "q04_histogram_price" -> q04,
       "q05_pearson_lineitem" -> q05,

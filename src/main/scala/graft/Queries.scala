@@ -2559,6 +2559,55 @@ object Queries {
         "right_table", "right_columns")
   }
 
+  /** Approximate functional dependencies (r12): the TANE g₃ error —
+    * the fraction of rows to remove for `X → c` to hold exactly — over
+    * a lineitem lattice whose level-2 candidates exist exactly where
+    * BOTH unary projections miss the threshold (the Apriori generation
+    * the oracle re-derives with gated subqueries). Every unary
+    * candidate fails at ε = 0.3 (so all three pairs are generated per
+    * dependent) and the orderkey pairs hold with genuinely FRACTIONAL
+    * g3 — the synthetic lineitem carries duplicate (orderkey,
+    * linenumber) lines, exactly the dirty-data case g₃ exists for. All
+    * errors are recomputed exactly by the oracle (one double division
+    * of exact integers — bit-identical by construction).
+    */
+  def q154FdError(s: SparkSession, dir: String): DataFrame =
+    stats.KeyDiscovery.approximateFunctionalDependencies(
+      table(s, dir, "lineitem"),
+      determinants = Seq("l_orderkey", "l_linenumber", "l_suppkey"),
+      dependents = Seq("l_returnflag", "l_linestatus"),
+      maxError = 0.3, maxArity = 2)
+      .orderBy("arity", "determinant", "dependent")
+
+  /** Partial inclusion dependencies (r12): FK discovery over DIRTY
+    * data — `holds` relaxes to containment coverage ≥ θ over distinct
+    * values, so customers without orders no longer refute
+    * c_custkey ⊆ o_custkey. Four coverage shapes at θ = 0.6: a
+    * genuinely partial FK-reverse (customer→orders), its fully-covered
+    * forward direction, a partial part→lineitem (unordered parts), and
+    * a composite full⊆slice pair whose coverage is the slice's exact
+    * distinct-tuple share. The `coverage` column is the raw quotient of
+    * exact Longs — bit-identical across engines.
+    */
+  def q155PartialInds(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val k = stats.KeyDiscovery
+    k.compositeInclusionDependencies(
+        table(s, dir, "customer"), table(s, dir, "orders"),
+        Seq(Seq("c_custkey") -> Seq("o_custkey")), minCoverage = 0.6)
+      .unionAll(k.compositeInclusionDependencies(
+        table(s, dir, "orders"), table(s, dir, "customer"),
+        Seq(Seq("o_custkey") -> Seq("c_custkey")), minCoverage = 0.6))
+      .unionAll(k.compositeInclusionDependencies(
+        table(s, dir, "part"), table(s, dir, "lineitem"),
+        Seq(Seq("p_partkey") -> Seq("l_partkey")), minCoverage = 0.6))
+      .unionAll(k.compositeInclusionDependencies(
+        docs, docs.where(col("doc_id") < 300),
+        Seq(Seq("source", "lang") -> Seq("source", "lang")),
+        minCoverage = 0.6))
+      .orderBy("left_columns", "right_columns", "n_missing")
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -2748,6 +2797,8 @@ object Queries {
     "q151_mjpeg_mp4" -> (q151MjpegMp4 _),
     "q152_ind_sweep" -> (q152IndSweep _),
     "q153_composite_sweep" -> (q153CompositeSweep _),
+    "q154_fd_error" -> (q154FdError _),
+    "q155_partial_inds" -> (q155PartialInds _),
     "q140_multifield_linkage" -> (q140MultiFieldLinkage _)
   )
 }

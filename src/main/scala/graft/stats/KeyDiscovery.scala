@@ -612,7 +612,10 @@ object KeyDiscovery {
       approx_count_distinct(
         when(gate, xxhash64(xs.map(col): _*)), rsd).as("__da"),
       approx_count_distinct(
-        when(gate, xxhash64((xs :+ c).map(col): _*)), rsd).as("__dp"))
+        when(gate, xxhash64((xs :+ c).map(col): _*)), rsd).as("__dp"),
+      // exact gated row count — free in the same scan; the FD screen
+      // ignores it, the g3 screen's refute bound needs an exact n
+      count(when(gate, 1)).as("__n"))
   }
 
   /** Composite-determinant functional dependencies — the TANE general
@@ -756,6 +759,181 @@ object KeyDiscovery {
         StructField("is_exact", BooleanType, nullable = false))))
   }
 
+  // ---------------------------------------------- approximate dependencies
+
+  /** APPROXIMATE functional dependencies — the TANE g₃ error measure
+    * (Huhtala et al. 1999 §2.3, after Kivinen & Mannila 1995): g₃(X → c)
+    * is the fraction of rows that must be REMOVED for `X → c` to hold
+    * exactly,
+    *
+    *   g₃ = (n − Σ_x max_y count(x, y)) / n
+    *
+    * over rows where every member of X AND c are non-null (the
+    * [[functionalDependencies]] null convention), with n the count of
+    * such rows and g₃ = 0 on an empty restriction. An FD "approximately
+    * holds" when g₃ ≤ maxError — the dirty-data form of FD profiling:
+    * one mistyped row refutes an exact FD outright but reads g₃ = 1/n
+    * here, which is what a profiler over real data wants to know. The
+    * reported g₃ is the RAW double quotient of two exact Long integers
+    * (both < 2⁵³ far past bench scale), so it is bit-identical across
+    * engines with no rounding convention needed.
+    *
+    * Each measure is two map-side-combined aggregations — row counts per
+    * (X, c) group, then (sum, max) per X group, then one global row —
+    * so the first shuffle carries one row per DISTINCT (X, c) group and
+    * the second strictly fewer; raw rows never cross the wire. Measures
+    * run as concurrent per-candidate jobs pruned to their columns (the
+    * object doc's measured-faster geometry).
+    *
+    * The lattice walk (`maxArity > 1`) is TANE's with the prune justified
+    * by MONOTONICITY instead of implication: adding determinant columns
+    * refines the partition, each refined group keeps a max at least as
+    * large a share, so g₃ is non-increasing in X — a holding set's
+    * supersets hold trivially and are never measured; non-holding
+    * survivors generate the next level Apriori-style per dependent
+    * ([[aprioriNextLevel]]).
+    *
+    * `screen = Hll`/`Auto` adapts the refute-only HLL screen: a
+    * determinant value with k distinct dependents keeps at most
+    * count(x) − (k − 1) rows, so Σ max ≤ n − (dp − da) and
+    * g₃ ≥ (dp − da)/n. A candidate whose sketch estimates read
+    * (dp − da) > maxError·n + 8·rsd·dp is refuted without the exact
+    * two-level aggregation (n is EXACT — a plain count in the screen
+    * job; the 8·rsd·dp band covers the two estimates' joint deviation at
+    * the [[functionalDependencies]] screen's < 10⁻⁶ odds, since
+    * da ≤ dp). Refuted rows report the lower-bound g₃ = (dp − da)/n
+    * from the estimates and `is_exact = false`; every `holds = true` is
+    * exact, so the prune set is unchanged by screening.
+    *
+    * Output: (determinant comma-joined, arity, dependent, n_rows,
+    * n_kept, g3, holds, is_exact) for every MEASURED candidate in
+    * lattice order — supersets of holding sets are absent by
+    * construction.
+    */
+  def approximateFunctionalDependencies(df: DataFrame,
+                                        determinants: Seq[String],
+                                        dependents: Seq[String],
+                                        maxError: Double = 0.05,
+                                        maxArity: Int = 1,
+                                        screen: Screen = Screen.Exact,
+                                        screenRsd: Double = 0.02): DataFrame = {
+    require(maxArity >= 1, s"need maxArity >= 1, got $maxArity")
+    require(maxError >= 0 && maxError < 1,
+      s"need 0 <= maxError < 1, got $maxError")
+    require(determinants.nonEmpty, "need at least one determinant column")
+    require(dependents.nonEmpty, "need at least one dependent column")
+    (determinants ++ dependents).foreach(c =>
+      require(df.columns.contains(c), s"column '$c' not in frame"))
+    val hll = useHll(df, screen)
+    val idx = determinants.zipWithIndex.toMap
+    val depIdx = dependents.zipWithIndex.toMap
+    val survivorsFor = scala.collection.mutable.Map(
+      dependents.map(c => c -> Seq.empty[Seq[String]]): _*)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
+    for (a <- 1 to maxArity) {
+      val level: Seq[(Seq[String], String)] = {
+        import scala.math.Ordering.Implicits.seqOrdering
+        dependents.flatMap { c =>
+          val cands =
+            if (a == 1) determinants.filterNot(_ == c).map(Seq(_))
+            else aprioriNextLevel(survivorsFor(c), idx)
+          cands.map(xs => (xs, c))
+        }.sortBy { case (xs, c) => (xs.map(idx), depIdx(c)) }
+      }
+      val next = scala.collection.mutable.Map(
+        dependents.map(c => c -> Seq.newBuilder[Seq[String]]): _*)
+      level.grouped(MaxCandidates).foreach { chunk =>
+        val profiles: Seq[((Long, Long), Boolean)] =
+          if (hll) g3Screened(df, chunk, maxError, screenRsd)._1
+          else {
+            val acc =
+              new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]()
+            graft.util.Concurrency.runConcurrently(chunk.indices) { i =>
+              val (xs, c) = chunk(i)
+              val r = g3Agg(df, xs, c).head()
+              acc.put(i, (r.getLong(0), r.getLong(1)))
+            }
+            chunk.indices.map(i => (acc.get(i), true))
+          }
+        chunk.zip(profiles).foreach { case ((xs, c), ((n, kept), exact)) =>
+          val viol = n - kept
+          val g3 = if (n == 0L) 0.0 else viol.toDouble / n
+          val holds = exact && viol.toDouble <= maxError * n
+          rows += Row(xs.mkString(","), xs.size, c, n, kept, g3, holds, exact)
+          if (!holds) next(c) += xs
+        }
+      }
+      dependents.foreach(c => survivorsFor(c) = next(c).result())
+    }
+    val spark = df.sparkSession
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1),
+      StructType(Seq(
+        StructField("determinant", StringType, nullable = false),
+        StructField("arity", IntegerType, nullable = false),
+        StructField("dependent", StringType, nullable = false),
+        StructField("n_rows", LongType, nullable = false),
+        StructField("n_kept", LongType, nullable = false),
+        StructField("g3", DoubleType, nullable = false),
+        StructField("holds", BooleanType, nullable = false),
+        StructField("is_exact", BooleanType, nullable = false))))
+  }
+
+  /** One g₃ measure: (n, Σ_x max_y count) over the gated rows — two
+    * map-side-combined aggregation levels, first shuffle sized by the
+    * (X, c) group count, second by the X group count.
+    */
+  private[graft] def g3Agg(df: DataFrame, xs: Seq[String],
+                           c: String): DataFrame = {
+    val gate = (xs :+ c).map(x => col(x).isNotNull).reduce(_ && _)
+    df.where(gate)
+      .groupBy((xs :+ c).map(col): _*).count()
+      .groupBy(xs.map(col): _*)
+      .agg(sum("count").as("__nx"), max("count").as("__mx"))
+      .agg(coalesce(sum("__nx"), lit(0L)).as("__n"),
+        coalesce(sum("__mx"), lit(0L)).as("__kept"))
+  }
+
+  /** Refute-only screen for g₃ measures (scaladoc at
+    * [[approximateFunctionalDependencies]]): one sketch job per candidate
+    * reads (da, dp, n); candidates whose estimated violation lower bound
+    * (dp − da) clears maxError·n + 8·rsd·dp are refuted with estimate
+    * rows, survivors pay the exact [[g3Agg]]. Returns ((n, kept),
+    * isExact) per candidate plus the exact-job count.
+    */
+  private[graft] def g3Screened(df: DataFrame,
+      pairs: Seq[(Seq[String], String)],
+      maxError: Double,
+      rsd: Double): (Seq[((Long, Long), Boolean)], Int) = {
+    require(rsd > 0 && rsd < 0.2, s"need 0 < rsd < 0.2, got $rsd")
+    val scr =
+      new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Long)]()
+    graft.util.Concurrency.runConcurrently(pairs.indices) { i =>
+      val (xs, c) = pairs(i)
+      val r = screenFdAgg(df, xs, c, rsd).head()
+      scr.put(i, (r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+    val refuted = pairs.indices.map { i =>
+      val (da, dp, n) = scr.get(i)
+      (dp - da).toDouble > maxError * n + 8 * rsd * dp
+    }
+    val confirmIdx = pairs.indices.filterNot(refuted)
+    val acc = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]()
+    graft.util.Concurrency.runConcurrently(confirmIdx) { i =>
+      val (xs, c) = pairs(i)
+      val r = g3Agg(df, xs, c).head()
+      acc.put(i, (r.getLong(0), r.getLong(1)))
+    }
+    val profiles = pairs.indices.map { i =>
+      if (refuted(i)) {
+        val (da, dp, n) = scr.get(i)
+        val viol = math.min(n, math.max(0L, dp - da))
+        ((n, n - viol), false)
+      } else (acc.get(i), true)
+    }
+    (profiles, confirmIdx.size)
+  }
+
   // ------------------------------------------------- inclusion dependencies
 
   /** Inclusion-dependency (foreign-key candidate) discovery — the third
@@ -776,6 +954,17 @@ object KeyDiscovery {
     * `holds` ⟺ n_missing == 0. Never a cartesian shape — the join is an
     * equi-join on the value itself.
     *
+    * PARTIAL INDs (`minCoverage = θ < 1` — De Marchi et al.'s
+    * approximate-IND relaxation, what FK discovery over DIRTY data
+    * needs): `holds` becomes containment coverage
+    * |A ∩ B| / |A| ≥ θ over distinct values, i.e.
+    * `n_missing ≤ (1 − θ)·n_left_distinct`, measured by the SAME join —
+    * one orphaned key value no longer hides a 99.99%-true FK. The
+    * always-present `coverage` column is that quotient (exact Longs, one
+    * double division — bit-identical across engines; 1.0 for an empty
+    * left set), and the screen's refute bound relaxes to
+    * |A ∪ B| > (1 + 8·rsd)·(|B| + (1 − θ)·|A|), still refute-only.
+    *
     * SCREENED path (`screen = Hll`, or `Auto` past [[AutoScreenBytes]]
     * on the larger frame) — REFUTE-only, the [[functionalDependencies]]
     * pattern lifted to set containment: A ⊆ B ⟺ |A ∪ B| = |B|, and HLL
@@ -792,15 +981,18 @@ object KeyDiscovery {
     * `is_exact = false`.
     *
     * Output: (left_column, right_column, n_left_distinct,
-    * n_right_distinct, n_missing, holds, is_exact), one row per pair in
-    * the given order (leftCols major, rightCols minor).
+    * n_right_distinct, n_missing, coverage, holds, is_exact), one row
+    * per pair in the given order (leftCols major, rightCols minor).
     */
   def inclusionDependencies(left: DataFrame, leftCols: Seq[String],
                             right: DataFrame, rightCols: Seq[String],
                             screen: Screen = Screen.Exact,
-                            screenRsd: Double = 0.02): DataFrame = {
+                            screenRsd: Double = 0.02,
+                            minCoverage: Double = 1.0): DataFrame = {
     require(leftCols.nonEmpty && rightCols.nonEmpty,
       "need at least one column on each side")
+    require(minCoverage > 0 && minCoverage <= 1.0,
+      s"need 0 < minCoverage <= 1, got $minCoverage")
     leftCols.foreach(c => require(left.columns.contains(c),
       s"column '$c' not in left frame"))
     rightCols.foreach(c => require(right.columns.contains(c),
@@ -809,10 +1001,11 @@ object KeyDiscovery {
     require(pairs.size <= MaxCandidates,
       s"${pairs.size} pairs > $MaxCandidates: bound the per-call fan-out")
     val profiles = indProfiles(left, right, pairs,
-      indUseHll(Seq(left, right), screen), screenRsd)
+      indUseHll(Seq(left, right), screen), screenRsd, minCoverage)
     val rows = pairs.zip(profiles).map {
       case ((a, b), ((na, nb, miss), exact)) =>
-        Row(a.head, b.head, na, nb, miss, exact && miss == 0L, exact)
+        Row(a.head, b.head, na, nb, miss, indCoverage(na, miss),
+          indHolds(exact, miss, na, minCoverage), exact)
     }
     left.sparkSession.createDataFrame(
       left.sparkSession.sparkContext.parallelize(rows, 1),
@@ -822,9 +1015,28 @@ object KeyDiscovery {
         StructField("n_left_distinct", LongType, nullable = false),
         StructField("n_right_distinct", LongType, nullable = false),
         StructField("n_missing", LongType, nullable = false),
+        StructField("coverage", DoubleType, nullable = false),
         StructField("holds", BooleanType, nullable = false),
         StructField("is_exact", BooleanType, nullable = false))))
   }
+
+  /** PARTIAL-IND verdict: the left distinct set is contained up to the
+    * coverage threshold — `miss ≤ (1 − θ)·n_left` on EXACT counts only
+    * (the screen is refute-only, so a screened row can never read
+    * `holds`). θ = 1 is the classic IND: `miss = 0`.
+    */
+  private def indHolds(exact: Boolean, miss: Long, nLeft: Long,
+                       theta: Double): Boolean =
+    exact && miss.toDouble <= (1.0 - theta) * nLeft
+
+  /** Containment coverage |A ∩ B| / |A| over distinct left values — the
+    * RAW double quotient of two exact Longs (bit-identical across
+    * engines, the q148 convention); an empty left set is fully covered.
+    * On screened rows the inputs are sketch estimates and the row says so
+    * via `is_exact = false`.
+    */
+  private def indCoverage(nLeft: Long, miss: Long): Double =
+    if (nLeft == 0L) 1.0 else (nLeft - miss).toDouble / nLeft
 
   /** COMPOSITE inclusion dependencies — [[inclusionDependencies]] lifted
     * to column TUPLES, completing the profiling family (keys → FDs →
@@ -855,15 +1067,21 @@ object KeyDiscovery {
     * `holds = true` is exact; refuted rows carry sketch estimates and
     * `is_exact = false` — the family-wide convention.
     *
+    * `minCoverage` relaxes `holds` to partial containment exactly as in
+    * [[inclusionDependencies]] (coverage over distinct TUPLES).
+    *
     * Output: (left_columns comma-joined, right_columns comma-joined,
-    * arity, n_left_distinct, n_right_distinct, n_missing, holds,
-    * is_exact), one row per pair in the given order.
+    * arity, n_left_distinct, n_right_distinct, n_missing, coverage,
+    * holds, is_exact), one row per pair in the given order.
     */
   def compositeInclusionDependencies(left: DataFrame, right: DataFrame,
       pairs: Seq[(Seq[String], Seq[String])],
       screen: Screen = Screen.Exact,
-      screenRsd: Double = 0.02): DataFrame = {
+      screenRsd: Double = 0.02,
+      minCoverage: Double = 1.0): DataFrame = {
     require(pairs.nonEmpty, "need at least one tuple pair")
+    require(minCoverage > 0 && minCoverage <= 1.0,
+      s"need 0 < minCoverage <= 1, got $minCoverage")
     require(pairs.size <= MaxCandidates,
       s"${pairs.size} pairs > $MaxCandidates: bound the per-call fan-out")
     pairs.foreach { case (a, b) =>
@@ -880,11 +1098,12 @@ object KeyDiscovery {
         s"column '$c' not in right frame"))
     }
     val profiles = indProfiles(left, right, pairs,
-      indUseHll(Seq(left, right), screen), screenRsd)
+      indUseHll(Seq(left, right), screen), screenRsd, minCoverage)
     val rows = pairs.zip(profiles).map {
       case ((a, b), ((na, nb, miss), exact)) =>
         Row(a.mkString(","), b.mkString(","), a.size, na, nb, miss,
-          exact && miss == 0L, exact)
+          indCoverage(na, miss), indHolds(exact, miss, na, minCoverage),
+          exact)
     }
     left.sparkSession.createDataFrame(
       left.sparkSession.sparkContext.parallelize(rows, 1),
@@ -895,6 +1114,7 @@ object KeyDiscovery {
         StructField("n_left_distinct", LongType, nullable = false),
         StructField("n_right_distinct", LongType, nullable = false),
         StructField("n_missing", LongType, nullable = false),
+        StructField("coverage", DoubleType, nullable = false),
         StructField("holds", BooleanType, nullable = false),
         StructField("is_exact", BooleanType, nullable = false))))
   }
@@ -979,18 +1199,22 @@ object KeyDiscovery {
     math.min(21, math.max(4, math.ceil(
       2 * math.log(1.04 / rsd) / math.log(2)).toInt))
 
-  /** Refute screened-out pairs from per-side sketch maps: A ⊆ B ⟺
-    * |A ∪ B| = |B| and HLL sketches union losslessly, so a pair whose
-    * driver-side union estimate exceeds (1 + 8·rsd)·(|B| estimate) is
-    * refuted without a distinct shuffle (both estimates ≈ Gaussian with
-    * σ = rsd — the FD screen's 8·rsd > 5·√2·rsd argument, mis-refute
-    * odds < 10⁻⁶). The merge is one local row per pair, no executor job
-    * over data. A null sketch is an empty side: never refute, confirm
-    * exactly. Returns refuted index → (estA, estB, estMissing).
+  /** Refute screened-out pairs from per-side sketch maps: A ⊆ᶿ B (at
+    * coverage θ) implies |A ∪ B| ≤ |B| + (1 − θ)·|A| exactly (the
+    * uncovered left values are the only ones the union can add; θ = 1 is
+    * the classic |A ∪ B| = |B|), and HLL sketches union losslessly — so
+    * a pair whose driver-side union estimate exceeds
+    * (1 + 8·rsd)·(|B| + (1 − θ)·|A| estimates) is refuted without a
+    * distinct shuffle (each estimate ≈ Gaussian with σ = rsd — the FD
+    * screen's 8·rsd > 5·√2·rsd argument, mis-refute odds < 10⁻⁶). The
+    * merge is one local row per pair, no executor job over data. A null
+    * sketch is an empty side: never refute, confirm exactly. Returns
+    * refuted index → (estA, estB, estMissing) with the miss estimate
+    * clamped to [0, estA].
     */
   private def indRefuted(spark: SparkSession,
       sketchPairs: Seq[(Int, Array[Byte], Array[Byte])],
-      rsd: Double): Map[Int, (Long, Long, Long)] = {
+      rsd: Double, theta: Double): Map[Int, (Long, Long, Long)] = {
     if (sketchPairs.isEmpty) return Map.empty
     import spark.implicits._
     sketchPairs.toDF("i", "ska", "skb")
@@ -999,10 +1223,13 @@ object KeyDiscovery {
         hll_sketch_estimate(col("skb")).as("eb"),
         hll_sketch_estimate(hll_union(col("ska"), col("skb"))).as("eu"))
       .collect()
-      .filter(r => r.getLong(3) > ((1.0 + 8 * rsd) * r.getLong(2)).toLong)
+      .filter { r =>
+        r.getLong(3) > ((1.0 + 8 * rsd) *
+          (r.getLong(2) + (1.0 - theta) * r.getLong(1))).toLong
+      }
       .map { r =>
         val (ea, eb, eu) = (r.getLong(1), r.getLong(2), r.getLong(3))
-        r.getInt(0) -> ((ea, eb, math.max(0L, eu - eb)))
+        r.getInt(0) -> ((ea, eb, math.min(ea, math.max(0L, eu - eb))))
       }.toMap
   }
 
@@ -1014,7 +1241,8 @@ object KeyDiscovery {
     */
   private def indProfiles(left: DataFrame, right: DataFrame,
       pairs: Seq[(Seq[String], Seq[String])],
-      hll: Boolean, rsd: Double): Seq[((Long, Long, Long), Boolean)] = {
+      hll: Boolean, rsd: Double,
+      theta: Double = 1.0): Seq[((Long, Long, Long), Boolean)] = {
     require(rsd > 0 && rsd < 0.2, s"need 0 < rsd < 0.2, got $rsd")
     val screenedOut: Map[Int, (Long, Long, Long)] =
       if (!hll) Map.empty
@@ -1026,7 +1254,7 @@ object KeyDiscovery {
           pairs.zipWithIndex.flatMap { case ((a, b), i) =>
             if (skL(a) == null || skR(b) == null) Nil
             else Seq((i, skL(a), skR(b)))
-          }, rsd)
+          }, rsd, theta)
       }
     val acc = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Long)]()
     val confirmIdx = pairs.indices.filterNot(screenedOut.contains)
@@ -1079,18 +1307,35 @@ object KeyDiscovery {
     * descendants is implied by the projection rule up to the screen's
     * documented < 10⁻⁶ mis-refute odds.
     *
+    * `minCoverage < 1` runs the sweep as a PARTIAL-IND sweep (the
+    * [[inclusionDependencies]] relaxation) — unary only, because the
+    * MIND projection rule does not transfer coverage fractions (see the
+    * inline counterexample).
+    *
     * Output: (left_table, left_columns comma-joined, right_table,
     * right_columns comma-joined, arity, n_left_distinct,
-    * n_right_distinct, n_missing, holds, is_exact), one row per
-    * MEASURED candidate, levels in order, each level in (left table,
+    * n_right_distinct, n_missing, coverage, holds, is_exact), one row
+    * per MEASURED candidate, levels in order, each level in (left table,
     * right table, lattice) order.
     */
   def discoverInds(tables: Seq[(String, DataFrame, Seq[String])],
                    maxArity: Int = 1,
                    screen: Screen = Screen.Exact,
-                   screenRsd: Double = 0.02): DataFrame = {
+                   screenRsd: Double = 0.02,
+                   minCoverage: Double = 1.0): DataFrame = {
     require(tables.size >= 2, "need at least two tables")
     require(maxArity >= 1, s"need maxArity >= 1, got $maxArity")
+    require(minCoverage > 0 && minCoverage <= 1.0,
+      s"need 0 < minCoverage <= 1, got $minCoverage")
+    // the MIND projection rule is UNSOUND for partial INDs over
+    // distinct-SET coverage (a frequent covered value can carry a tuple
+    // lattice past θ while a rare uncovered one sinks a unary
+    // projection: values {x uncovered, y covered} read 0.5 unary but
+    // tuples {(x,1), (y,1), (y,2), (y,3)} read 0.75), so the composite
+    // walk requires the classic θ = 1
+    require(minCoverage == 1.0 || maxArity == 1,
+      "partial INDs (minCoverage < 1) are unary-only: the arity-lattice " +
+        "projection rule does not transfer coverage fractions")
     require(tables.map(_._1).distinct.size == tables.size,
       "duplicate table name")
     require(screenRsd > 0 && screenRsd < 0.2,
@@ -1148,13 +1393,14 @@ object KeyDiscovery {
               ls.distinct.size == ls.size && rs.distinct.size == rs.size }
         }
       }
-      val profiles = measureIndLevel(tabs, level, hll, screenRsd)
+      val profiles = measureIndLevel(tabs, level, hll, screenRsd, minCoverage)
       val nextHolding = scala.collection.mutable.Map
         .empty[(Int, Int), scala.collection.mutable.ArrayBuffer[Seq[String]]]
       level.zip(profiles).foreach { case ((li, ls, ri, rs), ((na, nb, miss), exact)) =>
-        val holds = exact && miss == 0L
+        val holds = indHolds(exact, miss, na, minCoverage)
         rows += Row(tabs(li)._1, ls.mkString(","), tabs(ri)._1,
-          rs.mkString(","), a, na, nb, miss, holds, exact)
+          rs.mkString(","), a, na, nb, miss, indCoverage(na, miss),
+          holds, exact)
         // only exact-confirmed holds generate descendants (screen-sound)
         if (holds)
           nextHolding.getOrElseUpdate((li, ri),
@@ -1175,6 +1421,7 @@ object KeyDiscovery {
         StructField("n_left_distinct", LongType, nullable = false),
         StructField("n_right_distinct", LongType, nullable = false),
         StructField("n_missing", LongType, nullable = false),
+        StructField("coverage", DoubleType, nullable = false),
         StructField("holds", BooleanType, nullable = false),
         StructField("is_exact", BooleanType, nullable = false))))
   }
@@ -1187,7 +1434,8 @@ object KeyDiscovery {
     */
   private def measureIndLevel(tabs: IndexedSeq[(String, DataFrame, Seq[String])],
       cands: Seq[(Int, Seq[String], Int, Seq[String])],
-      hll: Boolean, rsd: Double): Seq[((Long, Long, Long), Boolean)] = {
+      hll: Boolean, rsd: Double,
+      theta: Double = 1.0): Seq[((Long, Long, Long), Boolean)] = {
     if (cands.isEmpty) return Nil
     val screenedOut: Map[Int, (Long, Long, Long)] =
       if (!hll) Map.empty
@@ -1203,7 +1451,7 @@ object KeyDiscovery {
           cands.zipWithIndex.flatMap { case ((li, a, ri, b), i) =>
             val (ska, skb) = (sk(li)(a), sk(ri)(b))
             if (ska == null || skb == null) Nil else Seq((i, ska, skb))
-          }, rsd)
+          }, rsd, theta)
       }
     val acc = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Long)]()
     cands.indices.filterNot(screenedOut.contains)

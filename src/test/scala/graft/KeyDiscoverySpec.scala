@@ -320,13 +320,16 @@ class KeyDiscoverySpec extends SparkSpec {
     assert(fk.getLong(2) == 3)        // distinct non-null: 1, 2, 9
     assert(fk.getLong(3) == 4)
     assert(fk.getLong(4) == 1)        // 9 has no parent
-    assert(!fk.getBoolean(5) && fk.getBoolean(6))
+    assert(fk.getDouble(5) == 2.0 / 3) // coverage = (3 - 1) / 3
+    assert(!fk.getBoolean(6) && fk.getBoolean(7))
     val tag = out(1)                  // strings vs ints: nothing matches
-    assert(tag.getLong(4) == 5 && !tag.getBoolean(5))
+    assert(tag.getLong(4) == 5 && tag.getDouble(5) == 0.0 &&
+      !tag.getBoolean(6))
     // drop the violator: the IND holds, NULL fk does not violate (SQL FK)
     val ok = KeyDiscovery.inclusionDependencies(
       child.where(col("tag") =!= "e"), Seq("fk"), parent, Seq("pk")).head()
-    assert(ok.getLong(4) == 0 && ok.getBoolean(5) && ok.getBoolean(6))
+    assert(ok.getLong(4) == 0 && ok.getDouble(5) == 1.0 &&
+      ok.getBoolean(6) && ok.getBoolean(7))
   }
 
   test("inclusionDependencies property: verdicts equal brute-force set containment") {
@@ -342,7 +345,10 @@ class KeyDiscoverySpec extends SparkSpec {
       assert(got.getLong(2) == la.size, s"trial $trial")
       assert(got.getLong(3) == rb.size, s"trial $trial")
       assert(got.getLong(4) == (la -- rb).size, s"trial $trial")
-      assert(got.getBoolean(5) == la.subsetOf(rb), s"trial $trial")
+      val cov = if (la.isEmpty) 1.0
+        else (la.size - (la -- rb).size).toDouble / la.size
+      assert(got.getDouble(5) == cov, s"trial $trial")
+      assert(got.getBoolean(6) == la.subsetOf(rb), s"trial $trial")
     }
   }
 
@@ -356,9 +362,9 @@ class KeyDiscoverySpec extends SparkSpec {
       l, Seq("wide", "narrow"), r, Seq("pk"),
       screen = KeyDiscovery.Screen.Hll).collect()
     val wide = out(0)
-    assert(!wide.getBoolean(5) && !wide.getBoolean(6)) // refuted, estimates
+    assert(!wide.getBoolean(6) && !wide.getBoolean(7)) // refuted, estimates
     val narrow = out(1)
-    assert(narrow.getBoolean(5) && narrow.getBoolean(6)) // confirmed exact
+    assert(narrow.getBoolean(6) && narrow.getBoolean(7)) // confirmed exact
     assert(narrow.getLong(2) == 10 && narrow.getLong(3) == 10 &&
       narrow.getLong(4) == 0)
     // empty left column: null sketch never refutes; exact confirm holds
@@ -366,7 +372,8 @@ class KeyDiscoverySpec extends SparkSpec {
       l.where(col("wide") < 0), Seq("wide"), r, Seq("pk"),
       screen = KeyDiscovery.Screen.Hll).head()
     assert(empty.getLong(2) == 0 && empty.getLong(4) == 0 &&
-      empty.getBoolean(5) && empty.getBoolean(6))
+      empty.getDouble(5) == 1.0 && // empty left set: fully covered
+      empty.getBoolean(6) && empty.getBoolean(7))
   }
 
   test("inclusionDependencies confirm plan: equi-join on the value, never a cartesian") {
@@ -402,18 +409,18 @@ class KeyDiscoverySpec extends SparkSpec {
     // any-null tuples (null,c) and (3,null) are ignored (MATCH SIMPLE):
     // distinct complete tuples (1,a) (2,b) (9,a) are ALL in the parent
     assert(t2.getLong(3) == 3 && t2.getLong(4) == 4 && t2.getLong(5) == 0)
-    assert(t2.getBoolean(6) && t2.getBoolean(7))
+    assert(t2.getBoolean(7) && t2.getBoolean(8))
     // arity-1 through the same tuple path: k1 = {1,2,9,3} ⊆ {1,2,3,9}
     val a1 = out(1)
-    assert(a1.getLong(3) == 4 && a1.getLong(5) == 0 && a1.getBoolean(6))
+    assert(a1.getLong(3) == 4 && a1.getLong(5) == 0 && a1.getBoolean(7))
     val a2 = out(2)
-    assert(a2.getLong(3) == 3 && a2.getLong(5) == 0 && a2.getBoolean(6))
+    assert(a2.getLong(3) == 3 && a2.getLong(5) == 0 && a2.getBoolean(7))
     // break containment positionally: (9,a) vs parent with (9,z) shows the
     // tuple is compared as a whole, not per component
     val parent2 = Seq((1, "a"), (2, "b"), (9, "z")).toDF("p1", "p2")
     val miss = KeyDiscovery.compositeInclusionDependencies(child, parent2,
       Seq(Seq("k1", "k2") -> Seq("p1", "p2"))).head()
-    assert(miss.getLong(5) == 1 && !miss.getBoolean(6)) // (9,a) unmatched
+    assert(miss.getLong(5) == 1 && !miss.getBoolean(7)) // (9,a) unmatched
   }
 
   test("compositeInclusionDependencies property: verdicts equal brute-force " +
@@ -430,7 +437,7 @@ class KeyDiscoverySpec extends SparkSpec {
       assert(got.getLong(3) == ls.size, s"trial $trial")
       assert(got.getLong(4) == rs.size, s"trial $trial")
       assert(got.getLong(5) == (ls -- rs).size, s"trial $trial")
-      assert(got.getBoolean(6) == ls.subsetOf(rs), s"trial $trial")
+      assert(got.getBoolean(7) == ls.subsetOf(rs), s"trial $trial")
     }
   }
 
@@ -445,14 +452,14 @@ class KeyDiscoverySpec extends SparkSpec {
     val held = KeyDiscovery.compositeInclusionDependencies(
       slice, full, Seq(Seq("x", "y") -> Seq("x", "y")),
       screen = KeyDiscovery.Screen.Hll).head()
-    assert(held.getBoolean(6) && held.getBoolean(7))
+    assert(held.getBoolean(7) && held.getBoolean(8))
     assert(held.getLong(3) == 300 && held.getLong(5) == 0)
     // far-from-contained: full (2000 tuples) vs slice (300) must refute
     // with sketch estimates, marked is_exact = false
     val refuted = KeyDiscovery.compositeInclusionDependencies(
       full, slice, Seq(Seq("x", "y") -> Seq("x", "y")),
       screen = KeyDiscovery.Screen.Hll).head()
-    assert(!refuted.getBoolean(6) && !refuted.getBoolean(7))
+    assert(!refuted.getBoolean(7) && !refuted.getBoolean(8))
     assert(refuted.getLong(5) > 0)
     // misuse guards
     intercept[IllegalArgumentException] {
@@ -481,7 +488,7 @@ class KeyDiscoverySpec extends SparkSpec {
         val r = KeyDiscovery.inclusionDependencies(ldf, Seq(a), rdf, Seq(b))
           .head()
         (lt, a, rt, b) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
-          r.getBoolean(5)))
+          r.getBoolean(6)))
       }).toMap
     val expect = perCall()
     val swept = KeyDiscovery.discoverInds(tabs).collect()
@@ -491,8 +498,8 @@ class KeyDiscoverySpec extends SparkSpec {
       val (na, nb, miss, holds) = expect(key)
       assert(r.getInt(4) == 1)
       assert(r.getLong(5) == na && r.getLong(6) == nb &&
-        r.getLong(7) == miss && r.getBoolean(8) == holds, s"$key")
-      assert(r.getBoolean(9)) // exact mode: every row exact
+        r.getLong(7) == miss && r.getBoolean(9) == holds, s"$key")
+      assert(r.getBoolean(10)) // exact mode: every row exact
     }
     // screened sweep: every is_exact row matches the exact truth, every
     // refuted row is truly non-holding (refute-only soundness)
@@ -501,11 +508,11 @@ class KeyDiscoverySpec extends SparkSpec {
     screened.foreach { r =>
       val key = (r.getString(0), r.getString(1), r.getString(2), r.getString(3))
       val (na, nb, miss, holds) = expect(key)
-      if (r.getBoolean(9))
+      if (r.getBoolean(10))
         assert(r.getLong(5) == na && r.getLong(6) == nb &&
-          r.getLong(7) == miss && r.getBoolean(8) == holds, s"$key")
+          r.getLong(7) == miss && r.getBoolean(9) == holds, s"$key")
       else
-        assert(!r.getBoolean(8) && !holds, s"refuted but holds: $key")
+        assert(!r.getBoolean(9) && !holds, s"refuted but holds: $key")
     }
   }
 
@@ -524,7 +531,7 @@ class KeyDiscoverySpec extends SparkSpec {
     assert(r.getString(0) == "t1" && r.getString(1) == "a,b" &&
       r.getString(3) == "c,d")
     // tuples (1,100),(2,200),(3,100) all appear in t2 → holds
-    assert(r.getLong(5) == 3 && r.getLong(7) == 0 && r.getBoolean(8))
+    assert(r.getLong(5) == 3 && r.getLong(7) == 0 && r.getBoolean(9))
     // shrink t2 to (1,100),(2,200),(3,300): both projections STILL hold,
     // so the composite is generated — but tuple (3,100) is missing, so it
     // measures failing (projections holding is necessary, not sufficient)
@@ -537,7 +544,7 @@ class KeyDiscoverySpec extends SparkSpec {
     // unary: a={1,2,3}⊆c={1,2,3} holds; b={100,200}⊆d={100,200,300} holds
     // composite (3,100) not in t2 rows → generated, 1 miss, fails
     assert(l2b.length == 1)
-    assert(l2b.head.getLong(7) == 1 && !l2b.head.getBoolean(8))
+    assert(l2b.head.getLong(7) == 1 && !l2b.head.getBoolean(9))
     // a table pair with a failing projection generates NO composite:
     // swap d so b ⊄ d
     val out3 = KeyDiscovery.discoverInds(
@@ -566,6 +573,149 @@ class KeyDiscoverySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       KeyDiscovery.compositeCandidateKeys(big.limit(100), Seq(Seq("grp")),
         scanOnce = true, screen = KeyDiscovery.Screen.Hll)
+    }
+  }
+
+  test("approximateFunctionalDependencies: g3 equals the removed-row " +
+      "fraction, null gating, holds at maxError") {
+    val d = Seq[(Int, Option[String], Option[String])](
+      (1, Some("x"), Some("a")), (2, Some("x"), Some("a")),
+      (3, Some("x"), Some("b")), (4, Some("y"), Some("c")),
+      (5, Some("y"), Some("c")), (6, None, Some("d")),
+      (7, Some("z"), None)
+    ).toDF("id", "k", "v")
+    val out = KeyDiscovery.approximateFunctionalDependencies(
+      d, Seq("id", "k"), Seq("v"), maxError = 0.3)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // k -> v gates to rows 1..5 (null k and null v both excluded):
+    // x keeps 2 of 3, y keeps 2 of 2 -> g3 = (5 - 4)/5
+    val kv = out("k")
+    assert(kv.getLong(3) == 5 && kv.getLong(4) == 4)
+    assert(kv.getDouble(5) == 1.0 / 5)
+    assert(kv.getBoolean(6) && kv.getBoolean(7)) // 0.2 <= 0.3, exact
+    // id is a key: every group keeps its single row, g3 = 0
+    val idv = out("id")
+    assert(idv.getLong(3) == 6 && idv.getLong(4) == 6)
+    assert(idv.getDouble(5) == 0.0 && idv.getBoolean(6))
+    // tighten the budget: k -> v no longer holds, g3 unchanged
+    val tight = KeyDiscovery.approximateFunctionalDependencies(
+      d, Seq("k"), Seq("v"), maxError = 0.1).head()
+    assert(tight.getDouble(5) == 1.0 / 5 && !tight.getBoolean(6))
+    // empty restriction (all dependents null): g3 = 0 by convention
+    val empty = KeyDiscovery.approximateFunctionalDependencies(
+      d.where(col("v").isNull), Seq("k"), Seq("v"), maxError = 0.1).head()
+    assert(empty.getLong(3) == 0 && empty.getDouble(5) == 0.0 &&
+      empty.getBoolean(6))
+  }
+
+  test("approximateFunctionalDependencies property: g3 equals brute force") {
+    val rnd = new scala.util.Random(77)
+    for (trial <- 1 to 6) {
+      val rows = Seq.fill(120)((rnd.nextInt(8), rnd.nextInt(4)))
+      val d = rows.toDF("k", "v")
+      val got = KeyDiscovery.approximateFunctionalDependencies(
+        d, Seq("k"), Seq("v"), maxError = 0.2).head()
+      val n = rows.size.toLong
+      val kept = rows.groupBy(_._1).values
+        .map(g => g.groupBy(_._2).values.map(_.size).max.toLong).sum
+      assert(got.getLong(3) == n && got.getLong(4) == kept, s"trial $trial")
+      assert(got.getDouble(5) == (n - kept).toDouble / n, s"trial $trial")
+      assert(got.getBoolean(6) == ((n - kept).toDouble <= 0.2 * n),
+        s"trial $trial")
+    }
+  }
+
+  test("approximateFunctionalDependencies maxArity=2: g3 monotone prune — " +
+      "holding sets generate no supersets, survivors pair Apriori-style") {
+    // k1 -> c and k2 -> c both fail at 0.1, their PAIR nails c exactly;
+    // key -> c holds at level 1, so (key, *) must never be measured
+    val d = Seq(
+      (1, "a", "p", "u"), (2, "a", "q", "v"), (3, "b", "p", "v"),
+      (4, "b", "q", "u"), (5, "a", "p", "u"), (6, "b", "q", "u")
+    ).toDF("key", "k1", "k2", "c")
+    val out = KeyDiscovery.approximateFunctionalDependencies(
+      d, Seq("key", "k1", "k2"), Seq("c"), maxError = 0.1, maxArity = 2)
+      .collect()
+    val byDet = out.map(r => r.getString(0) -> r).toMap
+    assert(byDet("key").getBoolean(6))         // key holds at level 1
+    assert(!byDet("k1").getBoolean(6) && !byDet("k2").getBoolean(6))
+    val pair = byDet("k1,k2")                  // the one level-2 candidate
+    assert(pair.getInt(1) == 2 && pair.getDouble(5) == 0.0 &&
+      pair.getBoolean(6))
+    // no superset of the holding {key} was measured
+    assert(out.forall(r => !r.getString(0).split(",").contains("key") ||
+      r.getInt(1) == 1))
+    assert(out.length == 4) // 3 unary + exactly one generated pair
+  }
+
+  test("approximateFunctionalDependencies HLL screen: every holds exact, " +
+      "gross violators refuted with estimate rows") {
+    val d = spark.range(2000).select(
+      col("id"), lit("const").as("one"), pmod(col("id"), lit(5)).as("grp"))
+    val out = KeyDiscovery.approximateFunctionalDependencies(
+      d, Seq("id", "one"), Seq("grp", "id"),
+      maxError = 0.05, screen = KeyDiscovery.Screen.Hll)
+      .collect().map(r => (r.getString(0), r.getString(2)) -> r).toMap
+    // one -> id: 2000 distinct dependents under one determinant value —
+    // violation lower bound ~1999 >> 100 + 8*rsd*dp, refuted on sketches
+    val refuted = out(("one", "id"))
+    assert(!refuted.getBoolean(6) && !refuted.getBoolean(7))
+    assert(refuted.getDouble(5) > 0.05) // estimate-derived g3 lower bound
+    // id -> grp: exact FD; the refute-only screen must confirm it exactly
+    val held = out(("id", "grp"))
+    assert(held.getBoolean(6) && held.getBoolean(7))
+    assert(held.getLong(3) == 2000 && held.getLong(4) == 2000 &&
+      held.getDouble(5) == 0.0)
+  }
+
+  test("partial INDs: coverage threshold relaxes holds; screened rows " +
+      "never hold; discoverInds sweeps unary partial INDs") {
+    val child = Seq((1, "a"), (2, "b"), (9, "c"), (7, "d"), (8, "e"))
+      .toDF("fk", "tag")
+    val parent = Seq(1, 2, 9, 3).toDF("pk")
+    // 3 of 5 distinct fk values covered: coverage 0.6
+    val p = KeyDiscovery.inclusionDependencies(
+      child, Seq("fk"), parent, Seq("pk"), minCoverage = 0.6).head()
+    assert(p.getLong(4) == 2 && p.getDouble(5) == 3.0 / 5)
+    assert(p.getBoolean(6) && p.getBoolean(7)) // holds at theta = 0.6
+    val strict = KeyDiscovery.inclusionDependencies(
+      child, Seq("fk"), parent, Seq("pk"), minCoverage = 0.7).head()
+    assert(!strict.getBoolean(6)) // 0.6 < 0.7
+    // composite path shares the verdict rule over distinct tuples
+    val comp = KeyDiscovery.compositeInclusionDependencies(
+      child, child.where(col("fk") < 8),
+      Seq(Seq("fk", "tag") -> Seq("fk", "tag")), minCoverage = 0.6).head()
+    assert(comp.getLong(5) == 2 && comp.getDouble(6) == 3.0 / 5 &&
+      comp.getBoolean(7))
+    // screen path: the theta-relaxed refute bound
+    // |A ∪ B| > (1 + 8·rsd)(|B| + (1 − θ)|A|) fires on DISJOINT sides
+    // (8000 > 1.16·5500) and a screened row can never read holds
+    val l = spark.range(5000).select(col("id").as("wide"))
+    val rt = spark.range(10000, 13000).select(col("id").as("pk"))
+    val scr = KeyDiscovery.inclusionDependencies(
+      l, Seq("wide"), rt, Seq("pk"),
+      screen = KeyDiscovery.Screen.Hll, minCoverage = 0.5).head()
+    assert(!scr.getBoolean(7)) // is_exact = false
+    assert(!scr.getBoolean(6)) // screened rows never read holds
+    // but a pair that HOLDS at theta is never refuted by the screen:
+    // 3000 of 5000 covered (0.6 >= 0.5), union 5000 < 1.16·5500
+    val rIn = spark.range(3000).select(col("id").as("pk"))
+    val held = KeyDiscovery.inclusionDependencies(
+      l, Seq("wide"), rIn, Seq("pk"),
+      screen = KeyDiscovery.Screen.Hll, minCoverage = 0.5).head()
+    assert(held.getBoolean(6) && held.getBoolean(7)) // exact confirm
+    assert(held.getDouble(5) == 3000.0 / 5000)
+    // sweep parity at theta < 1 (unary only)
+    val tabs = Seq(
+      ("child", child, Seq("fk")), ("parent", parent, Seq("pk")))
+    val swept = KeyDiscovery.discoverInds(tabs, minCoverage = 0.6)
+      .collect().map(row => (row.getString(0), row.getString(1),
+        row.getString(2), row.getString(3)) ->
+        ((row.getDouble(8), row.getBoolean(9)))).toMap
+    assert(swept(("child", "fk", "parent", "pk")) == ((3.0 / 5, true)))
+    // the arity lattice refuses partial coverage (projection rule unsound)
+    intercept[IllegalArgumentException] {
+      KeyDiscovery.discoverInds(tabs, maxArity = 2, minCoverage = 0.6)
     }
   }
 

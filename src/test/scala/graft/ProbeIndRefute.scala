@@ -38,7 +38,7 @@ object ProbeIndRefute {
     def run(s: Screen): Int = {
       val rows = inclusionDependencies(li, lcs, ord, rcs, screen = s)
         .collect()
-      rows.count(_.getBoolean(5)) // holding pairs
+      rows.count(_.getBoolean(6)) // holding pairs
     }
     // interleave the modes (E,H,E,H,...) so page-cache/JIT/session drift
     // hits both equally; report best + all runs
