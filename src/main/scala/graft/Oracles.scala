@@ -3243,6 +3243,86 @@ object Oracles {
         "\nORDER BY left_columns, right_columns, n_missing")
   }
 
+  /** q156: approximate keys — the g₃ uniqueness error recomputed exactly
+    * (n, distinct complete tuples, any-null rows per candidate), with
+    * error and holds written as the engine's own expressions and level-2
+    * rows gated on BOTH unary projections failing — the q154 Apriori
+    * convention lifted to the key lattice.
+    */
+  val q156: String = {
+    val eps = "0.15"
+    def counts(cs: Seq[String]): String = {
+      val sel = cs.mkString(", ")
+      val nn = cs.map(c => s"$c IS NOT NULL").mkString(" AND ")
+      val anyNull = cs.map(c => s"$c IS NULL").mkString(" OR ")
+      s"""(SELECT (SELECT count(*) FROM lineitem) AS n_rows,
+         |  (SELECT count(*) FROM (
+         |     SELECT DISTINCT $sel FROM lineitem WHERE $nn) d)
+         |    AS n_distinct,
+         |  (SELECT count(*) FROM lineitem WHERE $anyNull) AS n_any_null)""".stripMargin
+    }
+    def unaryNotHolding(c: String): String =
+      s"""NOT (SELECT CAST(n_rows - n_distinct AS DOUBLE) <= $eps * n_rows
+         |  FROM ${counts(Seq(c))} u)""".stripMargin
+    def m(cs: Seq[String], gate: String = ""): String =
+      s"""SELECT '${cs.mkString(",")}' AS columns, ${cs.size} AS arity,
+         |  n_rows, n_distinct, n_any_null,
+         |  CASE WHEN n_rows = 0 THEN 0.0
+         |    ELSE CAST(n_rows - n_distinct AS DOUBLE) / n_rows
+         |  END AS uniqueness_error,
+         |  CAST(n_rows - n_distinct AS DOUBLE) <= $eps * n_rows AS holds,
+         |  TRUE AS is_exact
+         |FROM ${counts(cs)} t$gate""".stripMargin
+    val cols = Seq("l_orderkey", "l_linenumber", "l_suppkey", "l_partkey")
+    val unary = cols.map(c => m(Seq(c)))
+    val level2 = cols.combinations(2).toSeq.map(pair =>
+      m(pair, gate =
+        s"""
+           |WHERE ${unaryNotHolding(pair(0))}
+           |  AND ${unaryNotHolding(pair(1))}""".stripMargin))
+    (unary ++ level2).mkString("", "\nUNION ALL\n",
+      "\nORDER BY arity, columns")
+  }
+
+  /** q157: order dependencies — group-level prefix-extrema violations
+    * recomputed with plain window functions over the per-x extrema
+    * frame; counts are exact integers, the label a CASE over them.
+    */
+  val q157: String = {
+    def pair(t: String, x: String, y: String): String =
+      s"""SELECT on_column, ordered_column, n_groups, asc_violations,
+         |  desc_violations,
+         |  CASE WHEN asc_violations = 0 AND desc_violations = 0 THEN 'both'
+         |    WHEN asc_violations = 0 THEN 'asc'
+         |    WHEN desc_violations = 0 THEN 'desc'
+         |    ELSE 'none' END AS monotone
+         |FROM (
+         |  SELECT '$x' AS on_column, '$y' AS ordered_column,
+         |    count(*) AS n_groups,
+         |    count(*) FILTER (WHERE pm > mn) AS asc_violations,
+         |    count(*) FILTER (WHERE pn < mx) AS desc_violations
+         |  FROM (
+         |    SELECT mn, mx,
+         |      max(mx) OVER (ORDER BY x
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm,
+         |      min(mn) OVER (ORDER BY x
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pn
+         |    FROM (
+         |      SELECT $x AS x, min($y) AS mn, max($y) AS mx FROM $t
+         |      WHERE $x IS NOT NULL AND $y IS NOT NULL GROUP BY $x) g
+         |  ) w
+         |) a""".stripMargin
+    Seq(
+      pair("events", "event_id", "ts"),
+      pair("events", "event_id", "value"),
+      pair("events", "user_id", "value"),
+      pair("orders", "o_orderkey", "o_orderdate"),
+      pair("orders", "o_custkey", "o_totalprice"),
+      pair("documents", "doc_id", "n_chars"))
+      .mkString("", "\nUNION ALL\n",
+        "\nORDER BY on_column, ordered_column")
+  }
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q07_mutual_info_orders" -> q07Pinned,
@@ -3351,6 +3431,8 @@ object Oracles {
       "q153_composite_sweep" -> q153,
       "q154_fd_error" -> q154,
       "q155_partial_inds" -> q155,
+      "q156_approx_keys" -> q156,
+      "q157_order_deps" -> q157,
       "q03_value_counts_orders" -> q03,
       "q04_histogram_price" -> q04,
       "q05_pearson_lineitem" -> q05,

@@ -2608,6 +2608,40 @@ object Queries {
       .orderBy("left_columns", "right_columns", "n_missing")
   }
 
+  /** Approximate candidate keys (r12): the g₃ uniqueness error — the
+    * exact fraction of rows to remove for the tuple to become a strict
+    * key — over a 4-column lineitem lattice at ε = 0.15. Every unary
+    * candidate fails (the oracle's level-2 gates re-derive the Apriori
+    * generation, the q154 convention) and the orderkey pairs hold with
+    * fractional error: the synthetic lineitem's duplicate lines are
+    * exactly what approximate keys exist to see through.
+    */
+  def q156ApproxKeys(s: SparkSession, dir: String): DataFrame =
+    stats.KeyDiscovery.approximateKeys(
+      table(s, dir, "lineitem"),
+      Seq("l_orderkey", "l_linenumber", "l_suppkey", "l_partkey"),
+      maxError = 0.15, maxArity = 2)
+      .orderBy("arity", "columns")
+
+  /** Order dependencies (r12): does sorting by x also sort y — checked
+    * at x-group granularity with both directions in one pass. events is
+    * generated time-ordered, so event_id → ts must read monotone 'asc'
+    * with ZERO violations (a real ordered pair, not a fixture); the
+    * value/price/n_chars pairs carry real two-sided violation counts
+    * the oracle recomputes with the identical window arithmetic.
+    */
+  def q157OrderDeps(s: SparkSession, dir: String): DataFrame = {
+    val k = stats.KeyDiscovery
+    k.orderDependencies(table(s, dir, "events"),
+        Seq("event_id" -> "ts", "event_id" -> "value",
+          "user_id" -> "value"))
+      .unionAll(k.orderDependencies(table(s, dir, "orders"),
+        Seq("o_orderkey" -> "o_orderdate", "o_custkey" -> "o_totalprice")))
+      .unionAll(k.orderDependencies(table(s, dir, "documents"),
+        Seq("doc_id" -> "n_chars")))
+      .orderBy("on_column", "ordered_column")
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -2799,6 +2833,8 @@ object Queries {
     "q153_composite_sweep" -> (q153CompositeSweep _),
     "q154_fd_error" -> (q154FdError _),
     "q155_partial_inds" -> (q155PartialInds _),
+    "q156_approx_keys" -> (q156ApproxKeys _),
+    "q157_order_deps" -> (q157OrderDeps _),
     "q140_multifield_linkage" -> (q140MultiFieldLinkage _)
   )
 }

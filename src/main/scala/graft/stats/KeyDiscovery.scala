@@ -934,6 +934,133 @@ object KeyDiscovery {
     (profiles, confirmIdx.size)
   }
 
+  /** APPROXIMATE candidate keys — the g₃ uniqueness error (the UCC form
+    * of Kivinen & Mannila 1995's measure, as in HyUCC / Papenbrock &
+    * Naumann 2017): the fraction of rows that must be REMOVED for the
+    * tuple to become a STRICT key under this object's key convention
+    * (unique AND non-null) —
+    *
+    *   error(X) = (n − d(X)) / n
+    *
+    * with d the count of distinct COMPLETE (no-null-member) tuples: the
+    * kept set is one row per distinct complete tuple, everything else
+    * (any-null rows, surplus duplicates) goes. error = 0 on an empty
+    * frame. One mistyped duplicate refutes [[candidateKeys]] outright
+    * but reads 1/n here — the dirty-data key profile, the exact sibling
+    * of [[approximateFunctionalDependencies]]. The reported error is the
+    * RAW double quotient of two exact Longs (bit-identical across
+    * engines, the family convention).
+    *
+    * Measures reuse the [[compositeCandidateKeys]] machinery unchanged:
+    * concurrent per-candidate narrow jobs ([[tupleProfileAgg]] — pruned
+    * scan, map-side partial distinct), [[MaxCandidates]]-chunked levels,
+    * and under `screen = Hll`/`Auto` the [[screenTupleAgg]] sketch jobs
+    * with the refute bound shifted from exact-key to ε-key: a candidate
+    * is refuted sketch-only when even the OPTIMISTIC distinct reading
+    * leaves the error over budget, n − (1 + 8·rsd)·d_est > ε·n (n and
+    * the any-null count are exact in the same screen job; 8·rsd is the
+    * [[functionalDependencies]] screen's < 10⁻⁶ band). Refuted rows
+    * report the estimate with `is_exact = false`; every `holds = true`
+    * is exact.
+    *
+    * The lattice walk prunes supersets of HOLDING tuples for
+    * MINIMALITY, not implication: unlike g₃ for FDs, key error is NOT
+    * monotone under column addition when the added column carries nulls
+    * (ids ∪ {all-null c} reads error 1 where ids read 0 — the strict
+    * convention removes any-null rows). A superset of an ε-key is never
+    * a MINIMAL ε-key, which is the object of key discovery, so the walk
+    * reports the minimal frontier exactly; non-holding survivors
+    * generate the next level Apriori-style ([[aprioriNextLevel]]).
+    *
+    * Output: (columns comma-joined, arity, n_rows, n_distinct,
+    * n_any_null, uniqueness_error, holds, is_exact) for every MEASURED
+    * candidate in lattice order.
+    */
+  def approximateKeys(df: DataFrame, cols: Seq[String],
+                      maxError: Double = 0.05,
+                      maxArity: Int = 1,
+                      screen: Screen = Screen.Exact,
+                      screenRsd: Double = 0.02): DataFrame = {
+    require(maxArity >= 1, s"need maxArity >= 1, got $maxArity")
+    require(maxError >= 0 && maxError < 1,
+      s"need 0 <= maxError < 1, got $maxError")
+    require(cols.nonEmpty, "need at least one column")
+    require(cols.distinct.size == cols.size, "duplicate column")
+    val hll = useHll(df, screen)
+    val idx = cols.zipWithIndex.toMap
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var survivors: Seq[Seq[String]] = Nil
+    for (a <- 1 to maxArity if a == 1 || survivors.nonEmpty) {
+      val level: Seq[Seq[String]] =
+        if (a == 1) cols.map(Seq(_)) else aprioriNextLevel(survivors, idx)
+      val next = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+      level.grouped(MaxCandidates).foreach { chunk =>
+        validateCandidates(df, chunk)
+        val profiles =
+          if (hll) keyErrorScreened(df, chunk, maxError, screenRsd)._1
+          else profileTuples(df, chunk).map((_, true))
+        chunk.zip(profiles).foreach { case (cs, ((n, d, z), exact)) =>
+          val err = if (n == 0L) 0.0 else (n - d).toDouble / n
+          val holds = exact && (n - d).toDouble <= maxError * n
+          rows += Row(cs.mkString(","), cs.size, n, d, z, err, holds, exact)
+          if (!holds) next += cs
+        }
+      }
+      survivors = next.toSeq
+    }
+    val spark = df.sparkSession
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1),
+      StructType(Seq(
+        StructField("columns", StringType, nullable = false),
+        StructField("arity", IntegerType, nullable = false),
+        StructField("n_rows", LongType, nullable = false),
+        StructField("n_distinct", LongType, nullable = false),
+        StructField("n_any_null", LongType, nullable = false),
+        StructField("uniqueness_error", DoubleType, nullable = false),
+        StructField("holds", BooleanType, nullable = false),
+        StructField("is_exact", BooleanType, nullable = false))))
+  }
+
+  /** Refute-only screen for ε-key measures (scaladoc at
+    * [[approximateKeys]]): one [[screenTupleAgg]] sketch job per
+    * candidate reads (n, d_est, z) with n and z EXACT; candidates whose
+    * optimistic error bound n − (1 + 8·rsd)·d_est still exceeds
+    * maxError·n are refuted with estimate rows, survivors pay the exact
+    * [[tupleProfileAgg]]. Returns ((n, d, z), isExact) per candidate
+    * plus the exact-job count.
+    */
+  private[graft] def keyErrorScreened(df: DataFrame,
+      candidates: Seq[Seq[String]],
+      maxError: Double,
+      rsd: Double): (Seq[((Long, Long, Long), Boolean)], Int) = {
+    require(rsd > 0 && rsd < 0.2, s"need 0 < rsd < 0.2, got $rsd")
+    val scr =
+      new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Long)]()
+    graft.util.Concurrency.runConcurrently(candidates.indices) { i =>
+      val r = screenTupleAgg(df, candidates(i), rsd).head()
+      scr.put(i, (r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+    val refuted = candidates.indices.map { i =>
+      val (n, dEst, _) = scr.get(i)
+      n - (1.0 + 8 * rsd) * dEst > maxError * n
+    }
+    val confirmIdx = candidates.indices.filterNot(refuted)
+    val acc =
+      new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Long)]()
+    graft.util.Concurrency.runConcurrently(confirmIdx) { i =>
+      val r = tupleProfileAgg(df, candidates(i)).head()
+      acc.put(i, (r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+    val profiles = candidates.indices.map { i =>
+      if (refuted(i)) {
+        val (n, dEst, z) = scr.get(i)
+        ((n, math.min(n, dEst), z), false)
+      } else (acc.get(i), true)
+    }
+    (profiles, confirmIdx.size)
+  }
+
   // ------------------------------------------------- inclusion dependencies
 
   /** Inclusion-dependency (foreign-key candidate) discovery — the third
@@ -1467,5 +1594,129 @@ object KeyDiscovery {
         case None      => (acc.get(i), true)
       }
     }
+  }
+
+  // --------------------------------------------------- order dependencies
+
+  /** ORDER-dependency profiling — the fourth member of the profiling
+    * family (keys → FDs → INDs → ODs; Szlichta, Godfrey & Gryz 2012):
+    * for each (x, y) pair, does sorting by x also sort y? Formally
+    * x ≺ y (ascending) holds when for any two rows s, t with
+    * s.x < t.x, s.y ≤ t.y — rows TIED on x constrain nothing (the
+    * standard OD tie rule), and rows with null x or null y are ignored
+    * (the [[functionalDependencies]] null convention). The descending
+    * form is checked in the same pass. What a profiler learns from it:
+    * a monotone pair is a zero-cost secondary sort key, a
+    * range-partition co-key, and an interchangeable filter column
+    * (WHERE y > c rewrites to an x range), none of which typing alone
+    * reveals.
+    *
+    * Violations are counted at x-GROUP granularity — group g violates
+    * ascending order when max(y over x < g.x) > min(y in g) — so the
+    * count is deterministic, order-free, and exactly what the SQL
+    * window form computes.
+    *
+    * Scale shape (NO global sort of raw rows): one groupBy(x) collapses
+    * the pair to its distinct-x frame (shuffle ≤ distinct x, map-side
+    * combined); that frame is range-partitioned by x, and the prefix
+    * extrema factor into a per-partition carry + a within-partition
+    * window: per-partition (max, min) aggregate → one window over the
+    * ≤P-row partition-stats frame computes each partition's carry-in →
+    * broadcast-joined back on partition id, where
+    * `Window.partitionBy(pid).orderBy(x)` runs P concurrent windows of
+    * ≈ distinctX/P rows each. No single task ever sees the whole
+    * grouped frame, no comparison leaves Spark's own type ordering, and
+    * the one global window runs over AT MOST `partitions` rows. Pairs
+    * run as concurrent jobs (the object doc's measured-faster
+    * geometry).
+    *
+    * Output: (on_column, ordered_column, n_groups, asc_violations,
+    * desc_violations, monotone) per pair in the given order, monotone ∈
+    * asc | desc | both | none ('both' ⟺ y constant across groups or
+    * ≤ 1 group; a strictly monotone pair reads 'asc' or 'desc').
+    */
+  def orderDependencies(df: DataFrame,
+                        pairs: Seq[(String, String)],
+                        partitions: Int = 0): DataFrame = {
+    require(pairs.nonEmpty, "need at least one (on, ordered) pair")
+    require(pairs.size <= MaxCandidates,
+      s"${pairs.size} pairs > $MaxCandidates: bound the per-call fan-out")
+    pairs.foreach { case (x, y) =>
+      require(x != y, s"on and ordered column are both '$x'")
+      Seq(x, y).foreach(c => require(df.columns.contains(c),
+        s"column '$c' not in frame"))
+    }
+    val spark = df.sparkSession
+    val p =
+      if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val acc =
+      new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Long)]()
+    graft.util.Concurrency.runConcurrently(pairs.indices) { i =>
+      val (x, y) = pairs(i)
+      val r = orderDependencyAgg(df, x, y, p).head()
+      acc.put(i, (r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+    val rows = pairs.zipWithIndex.map { case ((x, y), i) =>
+      val (n, ascV, descV) = acc.get(i)
+      val label =
+        if (ascV == 0L && descV == 0L) "both"
+        else if (ascV == 0L) "asc"
+        else if (descV == 0L) "desc"
+        else "none"
+      Row(x, y, n, ascV, descV, label)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("on_column", StringType, nullable = false),
+        StructField("ordered_column", StringType, nullable = false),
+        StructField("n_groups", LongType, nullable = false),
+        StructField("asc_violations", LongType, nullable = false),
+        StructField("desc_violations", LongType, nullable = false),
+        StructField("monotone", StringType, nullable = false))))
+  }
+
+  /** One pair's OD measure: (n_groups, asc_violations,
+    * desc_violations) — the grouped-prefix-extrema plan the
+    * [[orderDependencies]] scaladoc describes. Exposed for the plan
+    * spec: no Sort over raw rows, the only unpartitioned window runs on
+    * the ≤p-row partition-stats frame.
+    */
+  private[graft] def orderDependencyAgg(df: DataFrame, x: String,
+                                        y: String, p: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grouped = df
+      .where(col(x).isNotNull && col(y).isNotNull)
+      .groupBy(col(x)).agg(min(col(y)).as("__mn"), max(col(y)).as("__mx"))
+      .repartitionByRange(p, col(x))
+      .withColumn("__pid", spark_partition_id())
+    // carry-ins: each partition's prefix extrema over EARLIER partitions
+    // (range partition ids ascend with x); the window frame is ≤ p rows
+    val wp = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = grouped.groupBy("__pid")
+      .agg(max("__mx").as("__pmx"), min("__mn").as("__pmn"))
+      .select(col("__pid"),
+        max("__pmx").over(wp).as("__cmax"),
+        min("__pmn").over(wp).as("__cmin"))
+    // within-partition prefix extrema: P concurrent windows keyed by the
+    // materialized partition id
+    val w = Window.partitionBy("__pid").orderBy(col(x))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    grouped
+      .withColumn("__wmax", max("__mx").over(w))
+      .withColumn("__wmin", min("__mn").over(w))
+      .join(broadcast(carry), "__pid")
+      .agg(
+        count(lit(1)).as("__n"),
+        coalesce(sum(when(
+          coalesce(col("__wmax") > col("__mn"), lit(false)) ||
+            coalesce(col("__cmax") > col("__mn"), lit(false)),
+          1L)), lit(0L)).as("__asc_viol"),
+        coalesce(sum(when(
+          coalesce(col("__wmin") < col("__mx"), lit(false)) ||
+            coalesce(col("__cmin") < col("__mx"), lit(false)),
+          1L)), lit(0L)).as("__desc_viol"))
   }
 }

@@ -719,6 +719,109 @@ class KeyDiscoverySpec extends SparkSpec {
     }
   }
 
+  test("approximateKeys: uniqueness error equals rows-to-remove, " +
+      "minimality prune, level-2 Apriori generation") {
+    // k1/k2 alone fail at 0.2, their pair holds; v holds at level 1 so
+    // no pair containing v is ever measured (minimal eps-keys only)
+    val d = Seq((1, "a", 1), (1, "b", 2), (2, "a", 3), (2, "b", 4),
+      (2, "b", 4)).toDF("k1", "k2", "v")
+    val out = KeyDiscovery.approximateKeys(
+      d, Seq("k1", "k2", "v"), maxError = 0.2, maxArity = 2).collect()
+    val byCols = out.map(r => r.getString(0) -> r).toMap
+    assert(byCols("v").getLong(3) == 4 &&
+      byCols("v").getDouble(5) == 1.0 / 5 && byCols("v").getBoolean(6))
+    assert(byCols("k1").getDouble(5) == 3.0 / 5 &&
+      !byCols("k1").getBoolean(6))
+    assert(byCols("k2").getDouble(5) == 3.0 / 5 &&
+      !byCols("k2").getBoolean(6))
+    val pair = byCols("k1,k2") // distinct tuples: (1,a)(1,b)(2,a)(2,b)
+    assert(pair.getInt(1) == 2 && pair.getLong(3) == 4 &&
+      pair.getDouble(5) == 1.0 / 5 && pair.getBoolean(6))
+    assert(out.length == 4) // no pair containing the holding v
+    // nulls disqualify strictly: any-null rows count into the error
+    val dn = Seq[(Option[Int], Int)]((Some(1), 0), (Some(2), 0),
+      (None, 0), (None, 0)).toDF("k", "pad")
+    val kn = KeyDiscovery.approximateKeys(dn, Seq("k"), maxError = 0.5)
+      .head()
+    assert(kn.getLong(2) == 4 && kn.getLong(3) == 2 && kn.getLong(4) == 2)
+    assert(kn.getDouble(5) == 0.5 && kn.getBoolean(6)) // (4-2)/4 <= 0.5
+    // empty frame: error 0 by convention
+    val e = KeyDiscovery.approximateKeys(dn.where(col("pad") > 0),
+      Seq("k"), maxError = 0.0).head()
+    assert(e.getLong(2) == 0 && e.getDouble(5) == 0.0 && e.getBoolean(6))
+  }
+
+  test("approximateKeys HLL screen: gross violators refuted sketch-only, " +
+      "every holds exact") {
+    val d = spark.range(2000).select(
+      col("id"), lit(7).as("const"))
+    val out = KeyDiscovery.approximateKeys(
+      d, Seq("id", "const"), maxError = 0.05,
+      screen = KeyDiscovery.Screen.Hll)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val ref = out("const") // d_est ~ 1: error bound ~1 >> 0.05, refuted
+    assert(!ref.getBoolean(6) && !ref.getBoolean(7))
+    assert(ref.getDouble(5) > 0.05)
+    val held = out("id")   // exact confirm: 2000 distinct, error 0
+    assert(held.getBoolean(6) && held.getBoolean(7))
+    assert(held.getLong(3) == 2000 && held.getDouble(5) == 0.0)
+  }
+
+  test("orderDependencies: monotone labels, tie rule, null gating, " +
+      "group-level violation counts") {
+    val d = Seq[(Option[Int], Option[Int])](
+      (Some(1), Some(1)), (Some(2), Some(2)), (Some(3), Some(2)),
+      (Some(4), Some(3)), (None, Some(9)), (Some(5), None)
+    ).toDF("x", "y")
+    val asc = KeyDiscovery.orderDependencies(d, Seq("x" -> "y")).head()
+    assert(asc.getLong(2) == 4)        // null x / null y rows ignored
+    assert(asc.getLong(3) == 0)        // non-decreasing
+    assert(asc.getLong(4) == 3)        // every later group breaks desc
+    assert(asc.getString(5) == "asc")
+    // reversed y: desc
+    val rd = d.withColumn("y", -col("y"))
+    val desc = KeyDiscovery.orderDependencies(rd, Seq("x" -> "y")).head()
+    assert(desc.getLong(3) == 3 && desc.getLong(4) == 0 &&
+      desc.getString(5) == "desc")
+    // constant y: both directions hold
+    val cb = KeyDiscovery.orderDependencies(
+      d.withColumn("y", lit(5)), Seq("x" -> "y")).head()
+    assert(cb.getString(5) == "both")
+    // rows tied on x constrain nothing: (1,5),(1,1) then (2,6) is asc
+    val tie = Seq((1, 5), (1, 1), (2, 6)).toDF("x", "y")
+    val t = KeyDiscovery.orderDependencies(tie, Seq("x" -> "y")).head()
+    assert(t.getLong(2) == 2 && t.getLong(3) == 0 &&
+      t.getString(5) == "asc")
+    // but a group whose min undercuts an earlier max violates
+    val v = Seq((1, 5), (2, 4), (2, 9)).toDF("x", "y")
+    val vo = KeyDiscovery.orderDependencies(v, Seq("x" -> "y")).head()
+    assert(vo.getLong(3) == 1 && vo.getString(5) == "none")
+    // empty frame: zero groups, both directions hold vacuously
+    val em = KeyDiscovery.orderDependencies(
+      d.where(col("x") > 99), Seq("x" -> "y")).head()
+    assert(em.getLong(2) == 0 && em.getString(5) == "both")
+  }
+
+  test("orderDependencies property: violation counts equal brute force " +
+      "at every partition count (carry-in correctness)") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 4; p <- Seq(1, 3, 8)) {
+      val rows = Seq.fill(150)((rnd.nextInt(60), rnd.nextInt(20)))
+      val d = rows.toDF("x", "y")
+      val got = KeyDiscovery.orderDependencies(d, Seq("x" -> "y"),
+        partitions = p).head()
+      val groups = rows.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (x, g) => (g.map(_._2).min, g.map(_._2).max) }
+      val ascViol = groups.indices.count { i =>
+        i > 0 && groups.take(i).map(_._2).max > groups(i)._1 }
+      val descViol = groups.indices.count { i =>
+        i > 0 && groups.take(i).map(_._1).min < groups(i)._2 }
+      assert(got.getLong(2) == groups.size, s"trial $trial p=$p")
+      assert(got.getLong(3) == ascViol, s"trial $trial p=$p")
+      assert(got.getLong(4) == descViol, s"trial $trial p=$p")
+    }
+  }
+
   test("compositeCandidateKeys misuse guards are loud") {
     intercept[IllegalArgumentException] {
       KeyDiscovery.compositeCandidateKeys(df, Seq(Seq("id", "id")))
