@@ -1626,8 +1626,11 @@ object KeyDiscovery {
     * `Window.partitionBy(pid).orderBy(x)` runs P concurrent windows of
     * ≈ distinctX/P rows each. No single task ever sees the whole
     * grouped frame, no comparison leaves Spark's own type ordering, and
-    * the one global window runs over AT MOST `partitions` rows. Pairs
-    * run as concurrent jobs (the object doc's measured-faster
+    * the one global window runs over AT MOST `partitions` rows. The
+    * carry-in branch reads the grouped frame back through AQE's
+    * ReusedExchange (verified in the final adaptive plan — ProbeOdPlan),
+    * so raw rows are scanned and aggregated exactly once per pair.
+    * Pairs run as concurrent jobs (the object doc's measured-faster
     * geometry).
     *
     * Output: (on_column, ordered_column, n_groups, asc_violations,

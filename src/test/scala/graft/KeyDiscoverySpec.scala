@@ -802,6 +802,32 @@ class KeyDiscoverySpec extends SparkSpec {
     assert(em.getLong(2) == 0 && em.getString(5) == "both")
   }
 
+  test("orderDependencyAgg plan: rows collapse through groupBy(x) before " +
+      "ANY Sort — every Sort operates on the grouped frame") {
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    // AQE off so executedPlan is the plain EnsureRequirements output
+    // (sparkPlan predates the inserted SortExec nodes; the adaptive
+    // wrapper hides them from collect) — the PlanShapeSpec toggle
+    val conf = spark.conf
+    val prevAqe = conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val d = spark.range(10000).select(
+        pmod(col("id"), lit(500)).as("x"), col("id").as("y"))
+      val plan = KeyDiscovery.orderDependencyAgg(d, "x", "y", 8)
+        .queryExecution.executedPlan
+      val sorts = plan.collect { case s: SortExec => s }
+      assert(sorts.nonEmpty) // the window/range machinery does sort —
+      // but only AFTER the aggregation collapsed rows to distinct x
+      sorts.foreach { s =>
+        assert(s.exists { case _: BaseAggregateExec => true
+                          case _ => false },
+          s"a Sort with no Aggregate below it (raw-row sort):\n$s")
+      }
+    } finally conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("orderDependencies property: violation counts equal brute force " +
       "at every partition count (carry-in correctness)") {
     val rnd = new scala.util.Random(42)
