@@ -265,8 +265,14 @@ object KeyDiscovery {
   /** Arity-STAGED key search with TANE-style pruning (Huhtala et al.
     * 1999's lattice walk, restricted to key discovery): profile arity 1,
     * then at each higher arity measure only tuples that contain NO
-    * already-discovered key — a superset of a key is trivially a key, so
-    * measuring it spends a distinct-count to learn nothing. This is the
+    * already-discovered key — a superset of a key is never a MINIMAL
+    * key, and the minimal frontier is what key discovery reports.
+    * (Minimality, not implication, is the honest justification under
+    * this object's unique-AND-non-null convention: a key plus an added
+    * NULL-bearing column is not itself a key — the any-null rows
+    * disqualify it — so a pruned superset's own verdict is "not
+    * minimal", not "implied key". Null-free added columns restore the
+    * trivially-a-key reading.) This is the
     * operational form of the staged-batch guidance in the object doc:
     * each arity level measures in [[MaxCandidates]]-bounded chunks, so a
     * wide lattice never exceeds the per-call budget and the prune
@@ -286,8 +292,8 @@ object KeyDiscovery {
     *
     * Output: the [[compositeCandidateKeys]] schema over every MEASURED
     * candidate, in lattice order — pruned supersets are absent by
-    * construction (their is_key verdict is implied true by the contained
-    * key's row).
+    * construction (skipped as non-minimal; a contained key's row
+    * identifies why).
     */
   def discoverKeysStaged(df: DataFrame, cols: Seq[String],
                          maxArity: Int = 2,
@@ -339,6 +345,36 @@ object KeyDiscovery {
     candidates.indices.map(acc.get(_))
   }
 
+  /** The screen→refute→confirm scaffolding every HLL screen in this
+    * object shares ([[profileTuplesScreened]], [[fdTuplesScreened]],
+    * [[g3Screened]], [[keyErrorScreened]]): concurrent per-candidate
+    * SKETCH jobs, a driver-side refute predicate over the sketch
+    * readings, concurrent EXACT jobs for the survivors only, and the
+    * zip-back where refuted rows carry the sketch-derived profile with
+    * `isExact = false`. Returns the per-candidate (profile, isExact)
+    * pairs plus the number of exact confirm jobs actually paid — the
+    * spec/probe hook for "how many exact shuffles did the screen save".
+    */
+  private def screenThenConfirm[S, P](count: Int)(screenJob: Int => S)(
+      refute: S => Boolean)(refutedProfile: S => P)(
+      exactJob: Int => P): (Seq[(P, Boolean)], Int) = {
+    val scr = new java.util.concurrent.ConcurrentHashMap[Int, S]()
+    graft.util.Concurrency.runConcurrently(0 until count) { i =>
+      scr.put(i, screenJob(i))
+    }
+    val refuted = (0 until count).map(i => refute(scr.get(i)))
+    val confirmIdx = (0 until count).filterNot(refuted)
+    val acc = new java.util.concurrent.ConcurrentHashMap[Int, P]()
+    graft.util.Concurrency.runConcurrently(confirmIdx) { i =>
+      acc.put(i, exactJob(i))
+    }
+    val profiles = (0 until count).map { i =>
+      if (refuted(i)) (refutedProfile(scr.get(i)), false)
+      else (acc.get(i), true)
+    }
+    (profiles, confirmIdx.size)
+  }
+
   /** HLL screen-then-exact-confirm profile (object doc: APPROX SCREEN).
     * The screen runs as concurrent per-candidate approx jobs — the same
     * jobs-beat-batched result as the exact path (ProbeScreen measured
@@ -347,41 +383,26 @@ object KeyDiscovery {
     * in one stage lose to 30 pruned codegen scans that overlap). Either
     * shape shuffles only fixed-size sketches; the exact confirms are
     * where distinct tuples actually cross the wire, and the screen's job
-    * is to pay that for near-keys only. Returns the per-candidate
-    * (profile, isExact) pairs plus the number of exact confirm jobs
-    * actually paid — the spec/probe hook for "how many exact shuffles
-    * did the screen save".
+    * is to pay that for near-keys only. A candidate skips its exact job
+    * only when the verdict is already decided: a null row disqualifies
+    * the key exactly, and an HLL reading 5σ below n cannot belong to a
+    * unique tuple.
     */
   private[graft] def profileTuplesScreened(df: DataFrame,
       candidates: Seq[Seq[String]],
       rsd: Double): (Seq[((Long, Long, Long), Boolean)], Int) = {
     require(rsd > 0 && rsd < 0.2, s"need 0 < rsd < 0.2, got $rsd")
     val eps = 5 * rsd
-    val scr =
-      new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Long)]()
-    graft.util.Concurrency.runConcurrently(candidates.indices) { i =>
+    screenThenConfirm[(Long, Long, Long), (Long, Long, Long)](
+      candidates.size) { i =>
       val r = screenTupleAgg(df, candidates(i), rsd).head()
-      scr.put(i, (r.getLong(0), r.getLong(1), r.getLong(2)))
-    }
-    val screened = candidates.indices.map { i =>
-      val (n, approxD, z) = scr.get(i)
-      // skippable only when the verdict is already decided: a null row
-      // disqualifies the key exactly, and an HLL reading 5 sigma below n
-      // cannot belong to a unique tuple
-      val skip = z > 0L || approxD < ((1.0 - eps) * n).toLong
-      (skip, (n, approxD, z))
-    }
-    val confirmIdx = candidates.indices.filterNot(screened(_)._1)
-    val acc =
-      new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Long)]()
-    graft.util.Concurrency.runConcurrently(confirmIdx) { i =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    } { case (n, approxD, z) =>
+      z > 0L || approxD < ((1.0 - eps) * n).toLong
+    }(identity) { i =>
       val row = tupleProfileAgg(df, candidates(i)).head()
-      acc.put(i, (row.getLong(0), row.getLong(1), row.getLong(2)))
+      (row.getLong(0), row.getLong(1), row.getLong(2))
     }
-    val profiles = candidates.indices.map { i =>
-      if (screened(i)._1) (screened(i)._2, false) else (acc.get(i), true)
-    }
-    (profiles, confirmIdx.size)
   }
 
   /** One candidate's screening job: count, HLL tuple-distinct estimate,
@@ -576,27 +597,17 @@ object KeyDiscovery {
       rsd: Double): (Seq[((Long, Long), Boolean)], Int) = {
     require(rsd > 0 && rsd < 0.2, s"need 0 < rsd < 0.2, got $rsd")
     val eps = 8 * rsd
-    val scr = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]()
-    graft.util.Concurrency.runConcurrently(pairs.indices) { i =>
+    screenThenConfirm[(Long, Long), (Long, Long)](pairs.size) { i =>
       val (xs, c) = pairs(i)
       val r = screenFdAgg(df, xs, c, rsd).head()
-      scr.put(i, (r.getLong(0), r.getLong(1)))
-    }
-    val refuted = pairs.indices.map { i =>
-      val (da, dp) = scr.get(i)
+      (r.getLong(0), r.getLong(1))
+    } { case (da, dp) =>
       dp > ((1.0 + eps) * da).toLong
-    }
-    val confirmIdx = pairs.indices.filterNot(refuted)
-    val acc = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]()
-    graft.util.Concurrency.runConcurrently(confirmIdx) { i =>
+    }(identity) { i =>
       val (xs, c) = pairs(i)
       val r = tupleFdAgg(df, xs, c).head()
-      acc.put(i, (r.getLong(0), r.getLong(1)))
+      (r.getLong(0), r.getLong(1))
     }
-    val profiles = pairs.indices.map { i =>
-      if (refuted(i)) (scr.get(i), false) else (acc.get(i), true)
-    }
-    (profiles, confirmIdx.size)
   }
 
   /** One FD screen job: HLL estimates of the determinant distinct and
@@ -651,6 +662,10 @@ object KeyDiscovery {
     require(maxArity >= 1, s"need maxArity >= 1, got $maxArity")
     require(determinants.nonEmpty, "need at least one determinant column")
     require(dependents.nonEmpty, "need at least one dependent column")
+    require(determinants.distinct.size == determinants.size,
+      "duplicate determinant column")
+    require(dependents.distinct.size == dependents.size,
+      "duplicate dependent column")
     (determinants ++ dependents).foreach(c =>
       require(df.columns.contains(c), s"column '$c' not in frame"))
     val hll = useHll(df, screen)
@@ -785,11 +800,18 @@ object KeyDiscovery {
     * run as concurrent per-candidate jobs pruned to their columns (the
     * object doc's measured-faster geometry).
     *
-    * The lattice walk (`maxArity > 1`) is TANE's with the prune justified
-    * by MONOTONICITY instead of implication: adding determinant columns
-    * refines the partition, each refined group keeps a max at least as
-    * large a share, so g₃ is non-increasing in X — a holding set's
-    * supersets hold trivially and are never measured; non-holding
+    * The lattice walk (`maxArity > 1`) is TANE's with the prune
+    * justified by MINIMALITY (the [[approximateKeys]] framing, NOT
+    * implication): supersets of a holding set are skipped as non-minimal
+    * — the object of dependency discovery is the minimal frontier. On a
+    * FIXED row set g₃ is genuinely monotone (adding determinant columns
+    * refines the partition, each refined group keeps at least as large
+    * a max), but the per-candidate null gate means a superset measures a
+    * SMALLER row set, on which the fraction can exceed ε even though the
+    * subset's didn't — rows (1, null, c₁)×3 + (1, 5, c₂) + (1, 5, c₃)
+    * read g₃(a → c) = 2/5 yet g₃((a,b) → c) = 1/2. A pruned row is
+    * therefore "not minimal", never "implied to hold". Determinants that
+    * are null-free restore the strict monotone reading. Non-holding
     * survivors generate the next level Apriori-style per dependent
     * ([[aprioriNextLevel]]).
     *
@@ -808,7 +830,7 @@ object KeyDiscovery {
     * Output: (determinant comma-joined, arity, dependent, n_rows,
     * n_kept, g3, holds, is_exact) for every MEASURED candidate in
     * lattice order — supersets of holding sets are absent by
-    * construction.
+    * construction (skipped for minimality, see above).
     */
   def approximateFunctionalDependencies(df: DataFrame,
                                         determinants: Seq[String],
@@ -822,6 +844,10 @@ object KeyDiscovery {
       s"need 0 <= maxError < 1, got $maxError")
     require(determinants.nonEmpty, "need at least one determinant column")
     require(dependents.nonEmpty, "need at least one dependent column")
+    require(determinants.distinct.size == determinants.size,
+      "duplicate determinant column")
+    require(dependents.distinct.size == dependents.size,
+      "duplicate dependent column")
     (determinants ++ dependents).foreach(c =>
       require(df.columns.contains(c), s"column '$c' not in frame"))
     val hll = useHll(df, screen)
@@ -849,9 +875,7 @@ object KeyDiscovery {
             val acc =
               new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]()
             graft.util.Concurrency.runConcurrently(chunk.indices) { i =>
-              val (xs, c) = chunk(i)
-              val r = g3Agg(df, xs, c).head()
-              acc.put(i, (r.getLong(0), r.getLong(1)))
+              acc.put(i, g3Profile(df, chunk(i)._1, chunk(i)._2))
             }
             chunk.indices.map(i => (acc.get(i), true))
           }
@@ -906,32 +930,23 @@ object KeyDiscovery {
       maxError: Double,
       rsd: Double): (Seq[((Long, Long), Boolean)], Int) = {
     require(rsd > 0 && rsd < 0.2, s"need 0 < rsd < 0.2, got $rsd")
-    val scr =
-      new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Long)]()
-    graft.util.Concurrency.runConcurrently(pairs.indices) { i =>
+    screenThenConfirm[(Long, Long, Long), (Long, Long)](pairs.size) { i =>
       val (xs, c) = pairs(i)
       val r = screenFdAgg(df, xs, c, rsd).head()
-      scr.put(i, (r.getLong(0), r.getLong(1), r.getLong(2)))
-    }
-    val refuted = pairs.indices.map { i =>
-      val (da, dp, n) = scr.get(i)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    } { case (da, dp, n) =>
       (dp - da).toDouble > maxError * n + 8 * rsd * dp
-    }
-    val confirmIdx = pairs.indices.filterNot(refuted)
-    val acc = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]()
-    graft.util.Concurrency.runConcurrently(confirmIdx) { i =>
-      val (xs, c) = pairs(i)
-      val r = g3Agg(df, xs, c).head()
-      acc.put(i, (r.getLong(0), r.getLong(1)))
-    }
-    val profiles = pairs.indices.map { i =>
-      if (refuted(i)) {
-        val (da, dp, n) = scr.get(i)
-        val viol = math.min(n, math.max(0L, dp - da))
-        ((n, n - viol), false)
-      } else (acc.get(i), true)
-    }
-    (profiles, confirmIdx.size)
+    } { case (da, dp, n) =>
+      val viol = math.min(n, math.max(0L, dp - da))
+      (n, n - viol)
+    }(i => g3Profile(df, pairs(i)._1, pairs(i)._2))
+  }
+
+  /** One exact g₃ profile: (n, kept) via [[g3Agg]]. */
+  private def g3Profile(df: DataFrame, xs: Seq[String],
+                        c: String): (Long, Long) = {
+    val r = g3Agg(df, xs, c).head()
+    (r.getLong(0), r.getLong(1))
   }
 
   /** APPROXIMATE candidate keys — the g₃ uniqueness error (the UCC form
@@ -1035,30 +1050,18 @@ object KeyDiscovery {
       maxError: Double,
       rsd: Double): (Seq[((Long, Long, Long), Boolean)], Int) = {
     require(rsd > 0 && rsd < 0.2, s"need 0 < rsd < 0.2, got $rsd")
-    val scr =
-      new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Long)]()
-    graft.util.Concurrency.runConcurrently(candidates.indices) { i =>
+    screenThenConfirm[(Long, Long, Long), (Long, Long, Long)](
+      candidates.size) { i =>
       val r = screenTupleAgg(df, candidates(i), rsd).head()
-      scr.put(i, (r.getLong(0), r.getLong(1), r.getLong(2)))
-    }
-    val refuted = candidates.indices.map { i =>
-      val (n, dEst, _) = scr.get(i)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    } { case (n, dEst, _) =>
       n - (1.0 + 8 * rsd) * dEst > maxError * n
-    }
-    val confirmIdx = candidates.indices.filterNot(refuted)
-    val acc =
-      new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Long)]()
-    graft.util.Concurrency.runConcurrently(confirmIdx) { i =>
+    } { case (n, dEst, z) =>
+      (n, math.min(n, dEst), z)
+    } { i =>
       val r = tupleProfileAgg(df, candidates(i)).head()
-      acc.put(i, (r.getLong(0), r.getLong(1), r.getLong(2)))
+      (r.getLong(0), r.getLong(1), r.getLong(2))
     }
-    val profiles = candidates.indices.map { i =>
-      if (refuted(i)) {
-        val (n, dEst, z) = scr.get(i)
-        ((n, math.min(n, dEst), z), false)
-      } else (acc.get(i), true)
-    }
-    (profiles, confirmIdx.size)
   }
 
   // ------------------------------------------------- inclusion dependencies

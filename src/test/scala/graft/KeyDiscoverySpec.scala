@@ -648,6 +648,40 @@ class KeyDiscoverySpec extends SparkSpec {
     assert(out.length == 4) // 3 unary + exactly one generated pair
   }
 
+  test("approximateFunctionalDependencies prune is MINIMALITY, not " +
+      "implication: the null-gate counterexample is pinned") {
+    // g3(a -> c) = 2/5 holds at 0.4, so (a,b) is pruned — but its OWN
+    // g3 on the narrower a,b,c-non-null gate is 1/2 > 0.4. The scaladoc
+    // documents the pruned row as "not minimal", never "implied to hold".
+    val d = Seq[(Int, Option[Int], String)](
+      (1, None, "c1"), (1, None, "c1"), (1, None, "c1"),
+      (1, Some(5), "c2"), (1, Some(5), "c3")
+    ).toDF("a", "b", "c")
+    val out = KeyDiscovery.approximateFunctionalDependencies(
+      d, Seq("a", "b"), Seq("c"), maxError = 0.4, maxArity = 2).collect()
+    val byDet = out.map(r => r.getString(0) -> r).toMap
+    assert(byDet("a").getDouble(5) == 2.0 / 5 && byDet("a").getBoolean(6))
+    assert(!byDet.contains("a,b")) // pruned: non-minimal
+    // measured on its own gate (b non-null restricts to rows 4-5, where
+    // grouping by a equals grouping by (a,b) since b is constant), the
+    // superset genuinely exceeds the budget — the documented
+    // counterexample, pinned so the claim stays honest
+    val gated = KeyDiscovery.approximateFunctionalDependencies(
+      d.where(col("b").isNotNull), Seq("a"), Seq("c"),
+      maxError = 0.4).head()
+    assert(gated.getLong(3) == 2 && gated.getDouble(5) == 0.5 &&
+      !gated.getBoolean(6))
+    // duplicate columns refuse loudly (degenerate "x,x" candidates)
+    intercept[IllegalArgumentException] {
+      KeyDiscovery.approximateFunctionalDependencies(
+        d, Seq("a", "a"), Seq("c"))
+    }
+    intercept[IllegalArgumentException] {
+      KeyDiscovery.compositeFunctionalDependencies(
+        d, determinants = Seq("a", "a"), dependents = Seq("c"))
+    }
+  }
+
   test("approximateFunctionalDependencies HLL screen: every holds exact, " +
       "gross violators refuted with estimate rows") {
     val d = spark.range(2000).select(
