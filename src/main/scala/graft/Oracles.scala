@@ -3323,6 +3323,95 @@ object Oracles {
         "\nORDER BY on_column, ordered_column")
   }
 
+  /** q158: join-cardinality profile — per-key counts on each side, the
+    * inner join of the COUNT tables, contribution products, and the
+    * exact total (HUGEINT, shipped as its nearest double exactly like
+    * the engine's Decimal(38,0) path); ratios are raw double quotients.
+    */
+  val q158: String = {
+    def profile(lsrc: String, lk: String, rsrc: String, rk: String,
+                k: Int): String = {
+      val j =
+        s"""SELECT la.k AS key, ca AS left_rows, cb AS right_rows,
+           |    ca * cb AS out_rows
+           |  FROM (SELECT CAST($lk AS VARCHAR) k, count(*) ca FROM $lsrc
+           |        WHERE $lk IS NOT NULL GROUP BY 1) la
+           |  JOIN (SELECT CAST($rk AS VARCHAR) k, count(*) cb FROM $rsrc
+           |        WHERE $rk IS NOT NULL GROUP BY 1) rb USING (k)""".stripMargin
+      s"""SELECT key, left_rows, right_rows, out_rows,
+         |  CAST(out_rows AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+         |  m AS n_matching_keys, CAST(tot AS DOUBLE) AS total_out_rows
+         |FROM (SELECT * FROM ($j) j
+         |      CROSS JOIN (SELECT count(*) m,
+         |        sum(CAST(out_rows AS HUGEINT)) tot FROM ($j) jt) t
+         |      ORDER BY out_rows DESC, key LIMIT $k) p""".stripMargin
+    }
+    Seq(
+      profile("lineitem", "l_orderkey", "orders", "o_orderkey", 10),
+      profile("lineitem", "l_suppkey", "lineitem", "l_suppkey", 5))
+      .map(p => s"SELECT * FROM ($p) q")
+      .mkString("", "\nUNION ALL\n",
+        "\nORDER BY total_out_rows, out_rows DESC, key")
+  }
+
+  /** q159: ordered funnel — the nested-min definition in chained CTEs
+    * (step i = earliest event of its type strictly after step i−1's
+    * time), conversion ratios as raw double quotients of exact counts
+    * with the engine's zero-denominator → 0.0 convention.
+    */
+  val q159: String = {
+    val steps = Seq("signup", "view", "click", "purchase")
+    val ctes = steps.zipWithIndex.map { case (s, i) =>
+      if (i == 0)
+        s"""s1 AS (SELECT user_id, min(ts) t FROM events
+           |  WHERE event_type = '$s' AND user_id IS NOT NULL
+           |    AND ts IS NOT NULL GROUP BY 1)""".stripMargin
+      else
+        s"""s${i + 1} AS (SELECT e.user_id, min(e.ts) t FROM events e
+           |  JOIN s$i p ON e.user_id = p.user_id
+           |  WHERE e.event_type = '$s' AND e.ts > p.t GROUP BY 1)""".stripMargin
+    }
+    val counts = steps.indices.map(i =>
+      s"(SELECT count(*) FROM s${i + 1}) c${i + 1}").mkString(", ")
+    val rows = steps.zipWithIndex.map { case (s, i) =>
+      val n = s"c${i + 1}"
+      val prev = if (i == 0) n else s"c$i"
+      s"""SELECT ${i + 1} AS step_index, '$s' AS step, $n AS n_actors,
+         |  CASE WHEN $prev = 0 THEN 0.0
+         |    ELSE CAST($n AS DOUBLE) / $prev END AS conversion,
+         |  CASE WHEN c1 = 0 THEN 0.0
+         |    ELSE CAST($n AS DOUBLE) / c1 END AS overall
+         |FROM c""".stripMargin
+    }
+    s"""WITH ${ctes.mkString(",\n")},
+       |c AS (SELECT $counts)
+       |${rows.mkString("\nUNION ALL\n")}
+       |ORDER BY step_index""".stripMargin
+  }
+
+  /** q160: cohort retention — anchored 7-day buckets by pure day
+    * arithmetic (floor(days-since-epoch / 7)), cohort-relative offsets,
+    * distinct (cohort, offset, actor) cells, exact counts, one double
+    * division.
+    */
+  val q160: String =
+    s"""WITH b AS (SELECT user_id a, CAST(ts AS DATE) d FROM events
+       |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+       |f AS (SELECT a, min(d) fd FROM b GROUP BY 1),
+       |fc AS (SELECT a, fd, CAST(floor(
+       |    date_diff('day', DATE '1970-01-01', fd) / 7.0) AS BIGINT)
+       |    cohort FROM f),
+       |cells AS (SELECT DISTINCT cohort, CAST(floor(
+       |    date_diff('day', fd, d) / 7.0) AS BIGINT) offp, b.a
+       |  FROM b JOIN fc USING (a)),
+       |cnt AS (SELECT cohort, offp, count(*) n FROM cells GROUP BY 1, 2),
+       |sz AS (SELECT cohort, count(*) cs FROM fc GROUP BY 1)
+       |SELECT cohort AS cohort_period, offp AS period_offset,
+       |  n AS n_active, cs AS cohort_size,
+       |  CAST(n AS DOUBLE) / cs AS retention
+       |FROM cnt JOIN sz USING (cohort)
+       |ORDER BY cohort_period, period_offset""".stripMargin
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q07_mutual_info_orders" -> q07Pinned,
@@ -3433,6 +3522,9 @@ object Oracles {
       "q155_partial_inds" -> q155,
       "q156_approx_keys" -> q156,
       "q157_order_deps" -> q157,
+      "q158_join_cardinality" -> q158,
+      "q159_funnel" -> q159,
+      "q160_cohort_retention" -> q160,
       "q03_value_counts_orders" -> q03,
       "q04_histogram_price" -> q04,
       "q05_pearson_lineitem" -> q05,

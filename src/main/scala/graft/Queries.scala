@@ -2642,6 +2642,45 @@ object Queries {
       .orderBy("on_column", "ordered_column")
   }
 
+  /** Join-cardinality profile (r12): the EXACT output size and top-key
+    * contributions of two equi-joins, computed from per-key counts
+    * without materializing either join — the planning input a 100 TB
+    * salted join wants. The lineitem ⋈ orders FK join plus the
+    * self-join on l_suppkey whose per-key products (≈ 600² at sf0.01)
+    * are exactly the quadratic blow-up the profile exists to price.
+    */
+  def q158JoinCardinality(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem")
+    ops.SkewJoin.joinCardinality(li, table(s, dir, "orders"),
+        Seq("l_orderkey"), Seq("o_orderkey"), k = 10)
+      .unionAll(ops.SkewJoin.joinCardinality(li, li,
+        Seq("l_suppkey"), Seq("l_suppkey"), k = 5))
+      .orderBy(col("total_out_rows"), col("out_rows").desc, col("key"))
+  }
+
+  /** Ordered funnel (r12): signup → view → click → purchase over the
+    * events log — step i is the earliest matching event STRICTLY after
+    * step i−1's time (nested-min), computed in ONE actor-keyed shuffle
+    * via a greedy fold over each actor's time-sorted events. The oracle
+    * recomputes the nested-min form with chained CTEs; conversion
+    * ratios are raw double quotients of exact counts.
+    */
+  def q159Funnel(s: SparkSession, dir: String): DataFrame =
+    ops.EventAnalytics.funnel(table(s, dir, "events"),
+        "user_id", "ts", "event_type",
+        Seq("signup", "view", "click", "purchase"))
+      .orderBy("step_index")
+
+  /** Cohort retention (r12): users bucketed by the 7-day period of
+    * their first event (pure day arithmetic anchored at 1970-01-01 —
+    * no calendar-week convention to disagree on), cells = distinct
+    * (cohort, cohort-relative offset, user). All counts exact; the
+    * retention ratio is the raw double quotient.
+    */
+  def q160CohortRetention(s: SparkSession, dir: String): DataFrame =
+    ops.EventAnalytics.cohortRetention(table(s, dir, "events"),
+      "user_id", "ts", periodDays = 7)
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -2835,6 +2874,9 @@ object Queries {
     "q155_partial_inds" -> (q155PartialInds _),
     "q156_approx_keys" -> (q156ApproxKeys _),
     "q157_order_deps" -> (q157OrderDeps _),
+    "q158_join_cardinality" -> (q158JoinCardinality _),
+    "q159_funnel" -> (q159Funnel _),
+    "q160_cohort_retention" -> (q160CohortRetention _),
     "q140_multifield_linkage" -> (q140MultiFieldLinkage _)
   )
 }

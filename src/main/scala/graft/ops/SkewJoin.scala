@@ -195,4 +195,69 @@ object SkewJoin {
       .withColumn("share",
         round(col("cnt").cast("double") / lit(total.toDouble), 6))
   }
+
+  /** EXACT equi-join output size and per-key contribution profile WITHOUT
+    * materializing the join — the planning input [[saltedEquiJoin]] and
+    * AQE skew handling want before a 100 TB join runs: both sides collapse
+    * to per-key counts first (two map-side-combined aggregations, shuffle
+    * ≤ distinct keys per side), the counts meet in an inner equi-join of
+    * the AGGREGATED frames (distinct-key-sized, never raw rows), and each
+    * matching key's output contribution is the count PRODUCT — so a
+    * quadratic-blowup key is visible as arithmetic, not as an OOM task.
+    * Inner-join NULL semantics: any-null keys match nothing and are
+    * excluded on both sides.
+    *
+    * `total_out_rows` is the exact Σ left_rows·right_rows accumulated in
+    * Decimal(38,0) (per-key products fit a Long only up to ~3·10⁹ rows
+    * per side per key; the SUM can overflow Long at petabyte joins — the
+    * q148 exact-integer convention) and shipped as the IEEE double nearest
+    * that exact integer; `share` is the raw double quotient of the exact
+    * per-key product over the exact total (bit-identical across engines).
+    *
+    * Output: top-`k` keys by contribution (key components comma-joined on
+    * their string casts, left_rows, right_rows, out_rows, share,
+    * n_matching_keys, total_out_rows), heaviest first, key string as the
+    * tie-break; the two total columns repeat on every row so the report is
+    * self-contained. Empty intersection → empty frame (schema intact).
+    */
+  def joinCardinality(left: org.apache.spark.sql.DataFrame,
+                      right: org.apache.spark.sql.DataFrame,
+                      leftKeys: Seq[String], rightKeys: Seq[String],
+                      k: Int = 20): org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
+      s"need matching non-empty key lists, got $leftKeys vs $rightKeys")
+    leftKeys.foreach(c => require(left.columns.contains(c),
+      s"column '$c' not in left frame"))
+    rightKeys.foreach(c => require(right.columns.contains(c),
+      s"column '$c' not in right frame"))
+    def sideCounts(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
+                   cnt: String) =
+      df.where(keys.map(col(_).isNotNull).reduce(_ && _))
+        .select(keys.zipWithIndex.map { case (c, i) =>
+          col(c).cast("string").as(s"__k$i") }: _*)
+        .groupBy(keys.indices.map(i => col(s"__k$i")): _*)
+        .agg(count(lit(1)).as(cnt))
+    val keyCols = leftKeys.indices.map(i => s"__k$i")
+    val joined = sideCounts(left, leftKeys, "left_rows")
+      .join(sideCounts(right, rightKeys, "right_rows"), keyCols, "inner")
+      .select(
+        concat_ws(",", keyCols.map(col): _*).as("key"),
+        col("left_rows"), col("right_rows"),
+        (col("left_rows") * col("right_rows")).as("out_rows"))
+      .localCheckpoint()
+    val tot = joined.agg(
+      count(lit(1)).as("__m"),
+      sum(col("out_rows").cast("decimal(38,0)")).as("__t")).head()
+    val (m, total) =
+      if (tot.isNullAt(1)) (0L, java.math.BigDecimal.ZERO)
+      else (tot.getLong(0), tot.getDecimal(1))
+    joined
+      .orderBy(col("out_rows").desc, col("key").asc)
+      .limit(k)
+      .withColumn("share",
+        col("out_rows").cast("double") / lit(total.doubleValue))
+      .withColumn("n_matching_keys", lit(m))
+      .withColumn("total_out_rows", lit(total.doubleValue))
+  }
 }

@@ -1,0 +1,128 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{EventAnalytics, SkewJoin}
+
+/** Funnel / cohort-retention semantics and the join-cardinality profile. */
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("funnel: greedy-earliest equals nested-min; strict-after rule; " +
+      "off-funnel and null rows ignored") {
+    val evs = Seq[(java.lang.Long, Timestamp, String)](
+      // user 1 completes a -> b -> c (with noise between)
+      (1L, ts(10), "a"), (1L, ts(15), "x"), (1L, ts(20), "b"),
+      (1L, ts(30), "c"),
+      // user 2: b BEFORE its first a — never reaches step 2
+      (2L, ts(10), "b"), (2L, ts(20), "a"),
+      // user 3: a then b at the SAME ts — ties do not advance
+      (3L, ts(10), "a"), (3L, ts(10), "b"),
+      // user 4: a only
+      (4L, ts(5), "a"),
+      // null user ignored entirely
+      (null, ts(1), "a")
+    ).toDF("u", "t", "y")
+    val out = EventAnalytics.funnel(evs, "u", "t", "y",
+      Seq("a", "b", "c")).collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(4L, 1L, 1L))
+    assert(out(0).getDouble(3) == 1.0 && out(0).getDouble(4) == 1.0)
+    assert(out(1).getDouble(3) == 1.0 / 4 && out(1).getDouble(4) == 1.0 / 4)
+    assert(out(2).getDouble(3) == 1.0) // 1 of 1 converts b -> c
+    // greedy-earliest = nested-min: user 5 has TWO a events; matching
+    // the earliest a leaves the early b reachable
+    val tricky = Seq((5L, ts(10), "a"), (5L, ts(20), "b"),
+      (5L, ts(30), "a")).toDF("u", "t", "y")
+    val t = EventAnalytics.funnel(tricky, "u", "t", "y", Seq("a", "b"))
+      .collect()
+    assert(t(1).getLong(2) == 1L)
+    // empty frame: all steps emitted with zero counts and 0.0 ratios
+    val e = EventAnalytics.funnel(evs.where(col("u") > 99), "u", "t", "y",
+      Seq("a", "b")).collect()
+    assert(e.map(_.getLong(2)).toSeq == Seq(0L, 0L))
+    assert(e.forall(r => r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0))
+    intercept[IllegalArgumentException] {
+      EventAnalytics.funnel(evs, "u", "t", "y", Seq("a", "a"))
+    }
+  }
+
+  test("funnel property: fold verdicts equal a brute-force nested-min") {
+    val rnd = new scala.util.Random(11)
+    val steps = Seq("s1", "s2", "s3")
+    for (trial <- 1 to 4) {
+      val rows = Seq.fill(300)((rnd.nextInt(25).toLong,
+        ts(rnd.nextInt(1000)), s"s${rnd.nextInt(4) + 1}"))
+      val got = EventAnalytics.funnel(rows.toDF("u", "t", "y"),
+        "u", "t", "y", steps).collect().map(_.getLong(2)).toSeq
+      // brute force: nested min per user
+      val byUser = rows.groupBy(_._1).values
+      def reached(g: Seq[(Long, Timestamp, String)]): Int = {
+        var last: Option[Timestamp] = None
+        var r = 0
+        for (s <- steps) {
+          val cand = g.filter(e => e._3 == s &&
+            last.forall(l => e._2.after(l))).map(_._2)
+          if (r == steps.indexOf(s) && cand.nonEmpty) {
+            last = Some(cand.minBy(_.getTime))
+            r += 1
+          }
+        }
+        r
+      }
+      val exp = (1 to steps.size).map(i =>
+        byUser.count(g => reached(g.toSeq) >= i).toLong)
+      assert(got == exp, s"trial $trial")
+    }
+  }
+
+  test("cohortRetention: anchored-day buckets, cohort-relative offsets, " +
+      "exact ratios") {
+    def d(day: Int) = ts(day.toLong * 86400)
+    val evs = Seq(
+      // users 1,2 first appear day 0-1 (cohort 0); user 1 returns in
+      // week 1, user 2 does not
+      (1L, d(0)), (1L, d(8)), (2L, d(1)),
+      // user 3 first appears day 7 (cohort 1), active weeks 0 and 2
+      (3L, d(7)), (3L, d(22))
+    ).toDF("u", "t")
+    val out = EventAnalytics.cohortRetention(evs, "u", "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // epoch day 0 -> bucket 0; day 7 -> bucket 1
+    assert(out((0L, 0L)) == ((2L, 2L, 1.0)))
+    assert(out((0L, 1L)) == ((1L, 2L, 0.5)))
+    assert(out((1L, 0L)) == ((1L, 1L, 1.0)))
+    assert(out((1L, 2L)) == ((1L, 1L, 1.0)))
+    assert(out.size == 4)
+  }
+
+  test("joinCardinality: exact output size and contributions without " +
+      "running the join") {
+    val l = Seq((1, "p"), (1, "q"), (2, "r"), (3, "s"), (9, "t"))
+      .toDF("k", "pay")
+    val r = Seq((1, 10), (1, 11), (1, 12), (2, 20), (4, 40))
+      .toDF("k", "v")
+    val out = SkewJoin.joinCardinality(l, r, Seq("k"), Seq("k"), k = 10)
+      .collect()
+    // matching keys 1 (2x3=6) and 2 (1x1=1); total 7 = the REAL join size
+    assert(l.join(r, "k").count() == 7L)
+    assert(out.length == 2)
+    val top = out(0)
+    assert(top.getString(0) == "1" && top.getLong(1) == 2 &&
+      top.getLong(2) == 3 && top.getLong(3) == 6)
+    assert(top.getDouble(4) == 6.0 / 7)
+    assert(top.getLong(5) == 2 && top.getDouble(6) == 7.0)
+    // null keys match nothing (inner-join semantics)
+    val ln = Seq[(Option[Int], Int)]((None, 1), (Some(1), 2)).toDF("k", "x")
+    val n = SkewJoin.joinCardinality(ln, r, Seq("k"), Seq("k")).collect()
+    assert(n.length == 1 && n(0).getLong(3) == 3) // 1 x 3
+    // empty intersection: empty frame, schema intact
+    val e = SkewJoin.joinCardinality(
+      l.where(col("k") > 100), r, Seq("k"), Seq("k"))
+    assert(e.count() == 0 && e.columns.length == 7)
+  }
+}

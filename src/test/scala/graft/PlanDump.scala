@@ -84,7 +84,9 @@ object PlanDump {
       "q150_t_closeness_ordered" ->
         "Ordered t-closeness (EMD): ONE row-scale exchange total — the class-value aggregation's — shared by every derived statistic (the sizes branch consumes it directly; the global distribution and the (n, m) totals read it back through ReusedExchange nodes; the grid's join branch re-reads the scan once more only because join null-filter inference changes its pushed filters). The class × vocabulary grid is built from ALREADY-REDUCED frames (classes crossJoin broadcast vocabulary), the cumulative-difference window partitions by class over grid rows, and the report is one bounded aggregate — nothing row-scale moves after the first shuffle.",
       "q136_gopher_repetition" ->
-        "Gopher repetition signals: the unit table is built with PLAIN explodes (line rows + an (n × position) double explode whose rowwise slice/array_join gram build is all codegen — no interpreted HOF lambdas); the (id, n, unit) count is a partial-aggregated hash groupBy and the per-doc roll-up is a second HashAggregate on id (the top-gram max rides as ONE packed BIGINT so nothing falls back to a sort aggregate) — the value_counts melt shape, linear end to end with map-side combines on both exchanges.")
+        "Gopher repetition signals: the unit table is built with PLAIN explodes (line rows + an (n × position) double explode whose rowwise slice/array_join gram build is all codegen — no interpreted HOF lambdas); the (id, n, unit) count is a partial-aggregated hash groupBy and the per-doc roll-up is a second HashAggregate on id (the top-gram max rides as ONE packed BIGINT so nothing falls back to a sort aggregate) — the value_counts melt shape, linear end to end with map-side combines on both exchanges.",
+      "q160_cohort_retention" ->
+        "Cohort retention: the log collapses through ONE actor-keyed partial-aggregated groupBy (first events), events re-meet that actor frame in a join whose small side AQE broadcasts, the (cohort, offset, actor) distinct collapses map-side before its exchange, and cohort sizes arrive through an explicit broadcast join — after the first aggregation nothing row-scale moves, and every exchange is actor- or cell-bounded.")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence for headline operators\n\n")
     sb.append("Generated by `graft.PlanDump` (sf0.01, local[8]). Each section: why the\n")
