@@ -3333,17 +3333,18 @@ object Oracles {
                 k: Int): String = {
       val j =
         s"""SELECT la.k AS key, ca AS left_rows, cb AS right_rows,
-           |    ca * cb AS out_rows
+           |    CAST(ca AS HUGEINT) * cb AS out_rows
            |  FROM (SELECT CAST($lk AS VARCHAR) k, count(*) ca FROM $lsrc
            |        WHERE $lk IS NOT NULL GROUP BY 1) la
            |  JOIN (SELECT CAST($rk AS VARCHAR) k, count(*) cb FROM $rsrc
            |        WHERE $rk IS NOT NULL GROUP BY 1) rb USING (k)""".stripMargin
-      s"""SELECT key, left_rows, right_rows, out_rows,
+      s"""SELECT key, left_rows, right_rows,
+         |  CAST(out_rows AS DOUBLE) AS out_rows,
          |  CAST(out_rows AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
          |  m AS n_matching_keys, CAST(tot AS DOUBLE) AS total_out_rows
          |FROM (SELECT * FROM ($j) j
-         |      CROSS JOIN (SELECT count(*) m,
-         |        sum(CAST(out_rows AS HUGEINT)) tot FROM ($j) jt) t
+         |      CROSS JOIN (SELECT count(*) m, sum(out_rows) tot
+         |        FROM ($j) jt) t
          |      ORDER BY out_rows DESC, key LIMIT $k) p""".stripMargin
     }
     Seq(

@@ -56,21 +56,21 @@ object EventAnalytics {
         col(typeCol).isin(steps: _*))
       .groupBy(col(actorCol))
       .agg(sort_array(collect_list(struct(
-        col(tsCol).as("t"), col(typeCol).as("y")))).as("evs"))
+        col(tsCol).as("t"), col(typeCol).as("y")))).as("__evs"))
     val stepArr = array(steps.map(lit): _*)
     val tsType = df.schema(tsCol).dataType
     val zero: Column = struct(
       lit(0).as("r"), lit(null).cast(tsType).as("last"))
     val reached = evs.select(
-      aggregate(col("evs"), zero, (acc, e) =>
+      aggregate(col("__evs"), zero, (acc, e) =>
         when(acc("r") < k &&
             e("y") === element_at(stepArr, acc("r") + 1) &&
             (acc("r") === 0 || e("t") > acc("last")),
           struct((acc("r") + 1).as("r"), e("t").as("last")))
-          .otherwise(acc))("r").as("r"))
+          .otherwise(acc))("r").as("__r"))
     // one tiny aggregation: actors reaching AT LEAST step i, for all i
     val aggs = (1 to k).map(i =>
-      count(when(col("r") >= i, 1)).as(s"__s$i"))
+      count(when(col("__r") >= i, 1)).as(s"__s$i"))
     val row = reached.agg(aggs.head, aggs.tail: _*).head()
     val counts = (0 until k).map(row.getLong)
     val spark = df.sparkSession

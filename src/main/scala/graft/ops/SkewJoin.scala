@@ -207,18 +207,26 @@ object SkewJoin {
     * Inner-join NULL semantics: any-null keys match nothing and are
     * excluded on both sides.
     *
-    * `total_out_rows` is the exact Σ left_rows·right_rows accumulated in
-    * Decimal(38,0) (per-key products fit a Long only up to ~3·10⁹ rows
-    * per side per key; the SUM can overflow Long at petabyte joins — the
-    * q148 exact-integer convention) and shipped as the IEEE double nearest
-    * that exact integer; `share` is the raw double quotient of the exact
-    * per-key product over the exact total (bit-identical across engines).
+    * Keys group and match on their NATIVE types — the count-table join's
+    * equality coerces cross-typed pairs exactly as the real
+    * `left.join(right, keys)` would (an INT 1 matches a DECIMAL 1.00
+    * here because it matches there), so the profile prices the join that
+    * will actually run; the output `key` column is the left side's
+    * string cast, display only.
     *
-    * Output: top-`k` keys by contribution (key components comma-joined on
-    * their string casts, left_rows, right_rows, out_rows, share,
-    * n_matching_keys, total_out_rows), heaviest first, key string as the
-    * tie-break; the two total columns repeat on every row so the report is
-    * self-contained. Empty intersection → empty frame (schema intact).
+    * Per-key products and their sum accumulate in Decimal(38,0) — a
+    * Long×Long product overflows (ANSI: aborts) on exactly the ~3·10⁹×
+    * ~3·10⁹ hot key the profile exists to expose, the q148
+    * exact-integer convention — and `out_rows`/`total_out_rows` ship as
+    * the IEEE double nearest those exact integers; `share` is the raw
+    * double quotient of the two exact values (bit-identical across
+    * engines).
+    *
+    * Output: top-`k` keys by contribution (key, left_rows, right_rows,
+    * out_rows, share, n_matching_keys, total_out_rows), heaviest first,
+    * key string as the tie-break; the two total columns repeat on every
+    * row so the report is self-contained. Empty intersection → empty
+    * frame (schema intact).
     */
   def joinCardinality(left: org.apache.spark.sql.DataFrame,
                       right: org.apache.spark.sql.DataFrame,
@@ -232,32 +240,38 @@ object SkewJoin {
     rightKeys.foreach(c => require(right.columns.contains(c),
       s"column '$c' not in right frame"))
     def sideCounts(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
-                   cnt: String) =
+                   pfx: String, cnt: String) =
       df.where(keys.map(col(_).isNotNull).reduce(_ && _))
         .select(keys.zipWithIndex.map { case (c, i) =>
-          col(c).cast("string").as(s"__k$i") }: _*)
-        .groupBy(keys.indices.map(i => col(s"__k$i")): _*)
+          col(c).as(s"$pfx$i") }: _*)
+        .groupBy(keys.indices.map(i => col(s"$pfx$i")): _*)
         .agg(count(lit(1)).as(cnt))
-    val keyCols = leftKeys.indices.map(i => s"__k$i")
-    val joined = sideCounts(left, leftKeys, "left_rows")
-      .join(sideCounts(right, rightKeys, "right_rows"), keyCols, "inner")
+    val la = sideCounts(left, leftKeys, "__l", "left_rows")
+    val rb = sideCounts(right, rightKeys, "__r", "right_rows")
+    // native-type equality — the same coercion the real equi-join applies
+    val cond = leftKeys.indices
+      .map(i => la(s"__l$i") === rb(s"__r$i")).reduce(_ && _)
+    val joined = la.join(rb, cond, "inner")
       .select(
-        concat_ws(",", keyCols.map(col): _*).as("key"),
+        concat_ws(",", leftKeys.indices.map(i =>
+          col(s"__l$i").cast("string")): _*).as("key"),
         col("left_rows"), col("right_rows"),
-        (col("left_rows") * col("right_rows")).as("out_rows"))
+        (col("left_rows").cast("decimal(19,0)") *
+          col("right_rows").cast("decimal(19,0)"))
+          .cast("decimal(38,0)").as("__out"))
       .localCheckpoint()
     val tot = joined.agg(
-      count(lit(1)).as("__m"),
-      sum(col("out_rows").cast("decimal(38,0)")).as("__t")).head()
+      count(lit(1)).as("__m"), sum(col("__out")).as("__t")).head()
     val (m, total) =
       if (tot.isNullAt(1)) (0L, java.math.BigDecimal.ZERO)
       else (tot.getLong(0), tot.getDecimal(1))
     joined
-      .orderBy(col("out_rows").desc, col("key").asc)
+      .orderBy(col("__out").desc, col("key").asc)
       .limit(k)
-      .withColumn("share",
-        col("out_rows").cast("double") / lit(total.doubleValue))
-      .withColumn("n_matching_keys", lit(m))
-      .withColumn("total_out_rows", lit(total.doubleValue))
+      .select(col("key"), col("left_rows"), col("right_rows"),
+        col("__out").cast("double").as("out_rows"),
+        (col("__out").cast("double") / lit(total.doubleValue)).as("share"),
+        lit(m).as("n_matching_keys"),
+        lit(total.doubleValue).as("total_out_rows"))
   }
 }

@@ -113,16 +113,31 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out.length == 2)
     val top = out(0)
     assert(top.getString(0) == "1" && top.getLong(1) == 2 &&
-      top.getLong(2) == 3 && top.getLong(3) == 6)
+      top.getLong(2) == 3 && top.getDouble(3) == 6.0)
     assert(top.getDouble(4) == 6.0 / 7)
     assert(top.getLong(5) == 2 && top.getDouble(6) == 7.0)
     // null keys match nothing (inner-join semantics)
     val ln = Seq[(Option[Int], Int)]((None, 1), (Some(1), 2)).toDF("k", "x")
     val n = SkewJoin.joinCardinality(ln, r, Seq("k"), Seq("k")).collect()
-    assert(n.length == 1 && n(0).getLong(3) == 3) // 1 x 3
+    assert(n.length == 1 && n(0).getDouble(3) == 3.0) // 1 x 3
     // empty intersection: empty frame, schema intact
     val e = SkewJoin.joinCardinality(
       l.where(col("k") > 100), r, Seq("k"), Seq("k"))
     assert(e.count() == 0 && e.columns.length == 7)
+    // CROSS-TYPED keys match exactly as the real join would (native-type
+    // equality with Spark's own coercion, not string casts: int 1 must
+    // match double 1.0 because left.join(right) matches them)
+    val rd = Seq(1.0, 1.0, 2.5).toDF("k")
+    assert(l.join(rd, l("k") === rd("k")).count() == 4L)
+    val x = SkewJoin.joinCardinality(l, rd, Seq("k"), Seq("k")).collect()
+    assert(x.length == 1 && x(0).getDouble(3) == 4.0) // key 1: 2 x 2
+  }
+
+  test("funnel: internal aliases do not collide with user column names") {
+    val evs = Seq((1L, ts(1), "a"), (1L, ts(2), "b"))
+      .toDF("evs", "r", "last")
+    val out = EventAnalytics.funnel(evs, "evs", "r", "last",
+      Seq("a", "b")).collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(1L, 1L))
   }
 }
