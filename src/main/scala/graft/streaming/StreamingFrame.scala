@@ -390,6 +390,23 @@ object StreamingFrame {
         case v => throw new StateVersionMismatch(v)
       }
     }
+
+    /** Funnel-state payload: two integer scalars, no doubles — version 1
+      * of its own payload kind (the kind is implied by which decoder the
+      * operator calls; versions advance per kind).
+      */
+    val FunnelVersion = 1
+
+    def encodeFunnel(reached: Int, lastMicros: Long): Enveloped =
+      Enveloped(FunnelVersion,
+        s"""{"reached":$reached,"last":$lastMicros}""")
+
+    def decodeFunnel(e: Enveloped): (Int, Long) = e.version match {
+      case FunnelVersion =>
+        val m = graft.schema.SchemaMetadata.parseJsonValueMap(e.json)
+        (m("reached").toInt, m("last").toLong)
+      case v => throw new StateVersionMismatch(v)
+    }
   }
 
   def statefulProfile(stream: DataFrame, keyCol: String, valueCol: String)
@@ -479,5 +496,61 @@ object StreamingFrame {
       col("window.end").as("window_end"),
       col("__n").as("n"),
       round(terms.reduce(_ + _) + otherTerm, 6).as("psi"))
+  }
+
+  /** Per-actor funnel progress carried in custom streaming state — the
+    * streaming twin of [[graft.ops.EventAnalytics.funnel]]. Emits the
+    * actor's furthest step after every micro-batch touching it (update
+    * mode); step counts are a downstream `groupBy(reached)` away.
+    *
+    * State per actor is TWO scalars (furthest step index + its event
+    * time in µs) inside the versioned [[StateEnvelope.Enveloped]]
+    * payload — bounded regardless of event volume. Within a micro-batch
+    * the actor's rows are sorted by (ts, type) before the greedy fold —
+    * the exact batch tie rule — so replaying a log through micro-batches
+    * IN EVENT-TIME ORDER reproduces the batch funnel verdicts
+    * identically (spec-pinned, the IngestTwin convention). The honest
+    * streaming caveat: an event arriving in a LATER micro-batch than a
+    * successor step it should have preceded cannot retroactively advance
+    * the fold (state keeps only the frontier, by design) — streaming
+    * under-counts on cross-batch disorder rather than guessing.
+    */
+  final case class FunnelReach(actor: String, reached: Int)
+
+  def streamingFunnel(stream: DataFrame, actorCol: String, tsCol: String,
+                      typeCol: String, steps: Seq[String])
+      : org.apache.spark.sql.Dataset[FunnelReach] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import StateEnvelope.Enveloped
+    require(steps.nonEmpty, "need at least one funnel step")
+    require(steps.distinct.size == steps.size, "duplicate funnel step")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val k = steps.size
+    stream
+      .select(col(actorCol).cast(StringType).as("a"),
+        unix_micros(col(tsCol).cast(TimestampType)).as("t"),
+        col(typeCol).cast(StringType).as("y"))
+      .where(col("a").isNotNull && col("t").isNotNull &&
+        col("y").isin(steps: _*))
+      .as[(String, Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Enveloped, FunnelReach](
+        GroupStateTimeout.NoTimeout) {
+        case (actor, rows, state: GroupState[Enveloped]) =>
+          val (r0, t0) = state.getOption
+            .map(StateEnvelope.decodeFunnel).getOrElse((0, 0L))
+          var r = r0
+          var last = t0
+          // batch-local sort restores the batch fold's (ts, type) order
+          rows.toSeq.sortBy(e => (e._2, e._3)).foreach { case (_, t, y) =>
+            if (r < k && y == steps(r) && (r == 0 || t > last)) {
+              r += 1; last = t
+            }
+          }
+          val next = FunnelReach(actor, r)
+          state.update(StateEnvelope.encodeFunnel(r, last))
+          next
+      }
   }
 }

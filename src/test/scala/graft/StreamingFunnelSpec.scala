@@ -1,0 +1,78 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.ops.EventAnalytics
+import graft.streaming.StreamingFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming-twin equivalence for the funnel: replaying an event log
+  * through micro-batches IN EVENT-TIME ORDER must leave per-actor funnel
+  * states whose step counts equal [[EventAnalytics.funnel]] over the same
+  * log — and the documented cross-batch-disorder caveat must under-count,
+  * never over-count.
+  */
+class StreamingFunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+  private val steps = Seq("a", "b", "c")
+
+  test("streamingFunnel replayed in event-time order equals the batch " +
+      "funnel step counts") {
+    val rnd = new scala.util.Random(7)
+    val events = Seq.fill(400)((rnd.nextInt(40).toLong,
+      ts(rnd.nextInt(500)), s"${('a' + rnd.nextInt(4)).toChar}"))
+    val ordered = events.sortBy(e => (e._2.getTime, e._3))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamingFrame.streamingFunnel(
+      mem.toDF.toDF("u", "t", "y"), "u", "t", "y", steps)
+    val q = out.writeStream.format("memory").queryName("funnel_twin")
+      .outputMode("update").start()
+    // feed in event-time order across several micro-batches
+    ordered.grouped(90).foreach { batch =>
+      mem.addData(batch)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // final state per actor = last update emitted for it
+    val streamed = spark.sql(
+      "SELECT actor, reached FROM funnel_twin").collect()
+      .groupBy(_.getString(0))
+      .map { case (_, rows) => rows.map(_.getInt(1)).max }
+    val streamCounts = (1 to steps.size).map(i =>
+      streamed.count(_ >= i).toLong)
+    val batchCounts = EventAnalytics.funnel(
+      events.toDF("u", "t", "y"), "u", "t", "y", steps)
+      .collect().map(_.getLong(2)).toSeq
+    assert(streamCounts == batchCounts)
+  }
+
+  test("cross-batch disorder under-counts, never over-counts; state " +
+      "envelope round-trips and rejects unknown versions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamingFrame.streamingFunnel(
+      mem.toDF.toDF("u", "t", "y"), "u", "t", "y", Seq("a", "b"))
+    val q = out.writeStream.format("memory").queryName("funnel_late")
+      .outputMode("update").start()
+    // the successor step arrives a batch BEFORE its predecessor: the
+    // frontier state cannot retroactively use the already-seen 'b'
+    mem.addData(Seq((1L, ts(20), "b")))
+    q.processAllAvailable()
+    mem.addData(Seq((1L, ts(10), "a")))
+    q.processAllAvailable()
+    q.stop()
+    val r = spark.sql(
+      "SELECT max(reached) FROM funnel_late WHERE actor = '1'").head()
+    assert(r.getInt(0) == 1) // batch order would read 2; late data: 1
+    // envelope: exact round-trip, loud unknown version
+    val e = StreamingFrame.StateEnvelope.encodeFunnel(2, 123456789L)
+    assert(StreamingFrame.StateEnvelope.decodeFunnel(e) == ((2, 123456789L)))
+    intercept[IllegalStateException] {
+      StreamingFrame.StateEnvelope.decodeFunnel(e.copy(version = 99))
+    }
+  }
+}
