@@ -3413,6 +3413,38 @@ object Oracles {
        |FROM cnt JOIN sz USING (cohort)
        |ORDER BY cohort_period, period_offset""".stripMargin
 
+  /** q161: grid resample — epoch-anchored hourly buckets, the full grid
+    * via a lateral generate_series between the occupied bounds,
+    * left-joined onto the per-bucket aggregates; make_timestamp keeps
+    * the bucket start a plain (TZ-free) TIMESTAMP, matching Spark's
+    * timestamp_seconds under the UTC session.
+    */
+  val q161: String =
+    s"""WITH o AS (
+       |  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) b,
+       |    count(*) n, min(value) min_value, max(value) max_value,
+       |    count(value) count_value
+       |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+       |bounds AS (SELECT min(b) mn, max(b) mx FROM o),
+       |grid AS (SELECT unnest(generate_series(mn, mx)) AS b FROM bounds)
+       |SELECT make_timestamp(b * 3600 * 1000000) AS bucket_start,
+       |  coalesce(n, 0) AS n, n IS NULL AS is_gap,
+       |  min_value, max_value, count_value
+       |FROM grid LEFT JOIN o USING (b)
+       |ORDER BY bucket_start""".stripMargin
+
+  /** q162: forward fill — the identical IGNORE NULLS running window over
+    * the same deterministically-sparsified column.
+    */
+  val q162: String =
+    s"""SELECT user_id, event_id,
+       |  last_value(CASE WHEN event_type = 'view' THEN value END
+       |    IGNORE NULLS) OVER (
+       |    PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+       |FROM events
+       |ORDER BY user_id, event_id""".stripMargin
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q07_mutual_info_orders" -> q07Pinned,
@@ -3526,6 +3558,8 @@ object Oracles {
       "q158_join_cardinality" -> q158,
       "q159_funnel" -> q159,
       "q160_cohort_retention" -> q160,
+      "q161_resample_grid" -> q161,
+      "q162_forward_fill" -> q162,
       "q03_value_counts_orders" -> q03,
       "q04_histogram_price" -> q04,
       "q05_pearson_lineitem" -> q05,

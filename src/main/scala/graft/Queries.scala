@@ -2681,6 +2681,33 @@ object Queries {
     ops.EventAnalytics.cohortRetention(table(s, dir, "events"),
       "user_id", "ts", periodDays = 7)
 
+  /** Grid resample (r12): hourly buckets over the events log with the
+    * FULL [min, max] grid materialized — absent hours appear with n = 0,
+    * null aggregates and is_gap = true, the property a plain groupBy
+    * cannot provide. Buckets are epoch-anchored integer arithmetic; the
+    * aggregates are min/max/count only (order-independent, bit-exact —
+    * no float sums).
+    */
+  def q161ResampleGrid(s: SparkSession, dir: String): DataFrame =
+    ops.TimeSeries.resampleGrid(table(s, dir, "events"), "ts", 3600,
+      Seq("value" -> "min", "value" -> "max", "value" -> "count"))
+
+  /** Forward fill (r12): a deterministically-sparsified value column
+    * (only 'view' events carry it) filled per user in (ts, event_id)
+    * total order — values before a user's first view stay null (no
+    * back-fill). The oracle is the same window with IGNORE NULLS.
+    */
+  def q162ForwardFill(s: SparkSession, dir: String): DataFrame = {
+    val sparse = table(s, dir, "events")
+      .withColumn("v_sparse",
+        when(col("event_type") === "view", col("value")))
+    ops.TimeSeries.forwardFill(sparse, "user_id", "ts",
+        Seq("v_sparse"), orderCols = Seq("event_id"))
+      .select(col("user_id"), col("event_id"),
+        col("v_sparse").as("v_filled"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -2877,6 +2904,8 @@ object Queries {
     "q158_join_cardinality" -> (q158JoinCardinality _),
     "q159_funnel" -> (q159Funnel _),
     "q160_cohort_retention" -> (q160CohortRetention _),
+    "q161_resample_grid" -> (q161ResampleGrid _),
+    "q162_forward_fill" -> (q162ForwardFill _),
     "q140_multifield_linkage" -> (q140MultiFieldLinkage _)
   )
 }

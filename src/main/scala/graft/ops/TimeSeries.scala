@@ -56,4 +56,107 @@ object TimeSeries {
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
         min(col("v")).as("min_value"), max(col("v")).as("max_value"))
   }
+
+  /** Aggregations [[resampleGrid]] accepts per value column — a closed
+    * set so the SQL oracle form is always known. `avg` follows the
+    * engine's float-sum semantics; for bit-exact cross-engine ratios
+    * prefer sum + count and divide downstream (the repo's exact-quotient
+    * convention).
+    */
+  val ResampleAggs: Set[String] = Set("sum", "avg", "min", "max", "count")
+
+  /** Fixed-interval resample with GAP MATERIALIZATION — what [[resample]]
+    * (a plain groupBy) cannot provide: the output carries one row per
+    * bucket of the FULL [min, max] grid, absent buckets appearing with
+    * n = 0, null aggregates, and `is_gap = true` — the property a
+    * downstream window/ffill/chart can rely on. Rows bucket into
+    * `everySeconds`-wide intervals anchored at the epoch
+    * (`floor(unix_seconds/every)·every` — pure integer arithmetic, no
+    * calendar convention to disagree on across engines). Null timestamps
+    * are ignored.
+    *
+    * Scale shape: one map-side-combined aggregation over the rows
+    * (shuffle ≤ occupied buckets), a two-value bounds read, and the grid
+    * arrives as a `spark.range` LEAF (never a driver-side list) that
+    * left-joins the occupied buckets — grid size is (max−min)/every + 1
+    * rows regardless of input volume. Empty input → empty frame (no
+    * grid to anchor).
+    *
+    * Output: (bucket_start timestamp, n, is_gap, then one `<fn>_<col>`
+    * column per requested aggregate), ordered by bucket_start.
+    */
+  def resampleGrid(df: DataFrame, tsCol: String, everySeconds: Long,
+                   aggs: Seq[(String, String)] = Nil): DataFrame = {
+    require(everySeconds > 0, s"need everySeconds > 0, got $everySeconds")
+    require(df.columns.contains(tsCol), s"column '$tsCol' not in frame")
+    aggs.foreach { case (c, fn) =>
+      require(df.columns.contains(c), s"column '$c' not in frame")
+      require(ResampleAggs.contains(fn),
+        s"unsupported agg '$fn' (supported: ${ResampleAggs.mkString(",")})")
+    }
+    val bucket = floor(unix_seconds(col(tsCol).cast(TimestampType))
+      / everySeconds).as("__b")
+    val aggCols = count(lit(1)).as("n") +: aggs.map { case (c, fn) =>
+      val in = col(c)
+      (fn match {
+        case "sum" => sum(in); case "avg" => avg(in)
+        case "min" => min(in); case "max" => max(in)
+        case "count" => count(in)
+      }).as(s"${fn}_$c")
+    }
+    val occupied = df.where(col(tsCol).isNotNull)
+      .groupBy(bucket).agg(aggCols.head, aggCols.tail: _*)
+    val bounds = occupied.agg(min(col("__b")), max(col("__b"))).head()
+    if (bounds.isNullAt(0)) {
+      // empty input: the full output schema, zero rows
+      val base = occupied.withColumn("is_gap", lit(false))
+      return base.select(
+        timestamp_seconds(col("__b") * everySeconds).as("bucket_start") +:
+          col("n") +: col("is_gap") +:
+          aggs.map { case (c, fn) => col(s"${fn}_$c") }: _*)
+        .where(lit(false))
+    }
+    val grid = df.sparkSession.range(bounds.getLong(0), bounds.getLong(1) + 1)
+      .select(col("id").as("__b"))
+    grid.join(occupied, Seq("__b"), "left")
+      .select(
+        timestamp_seconds(col("__b") * everySeconds).as("bucket_start") +:
+          coalesce(col("n"), lit(0L)).as("n") +:
+          col("n").isNull.as("is_gap") +:
+          aggs.map { case (c, fn) => col(s"${fn}_$c") }: _*)
+      .orderBy("bucket_start")
+  }
+
+  /** Per-key forward fill: null values in `cols` take the key's most
+    * recent non-null value in `(tsCol, orderCols)` order — the
+    * time-series repair for sparse sensors/slowly-changing attributes.
+    * Values BEFORE a key's first non-null stay null (no back-fill —
+    * that would leak the future). The order must be made TOTAL by
+    * `orderCols` when timestamps can tie: fill results on tied rows are
+    * otherwise partition-order-dependent, which is why ties without a
+    * tiebreak are the caller's bug, not an engine convention.
+    *
+    * Scale shape: one window per key — shuffle by key, sort within
+    * partitions only (never a global sort); all fill columns ride ONE
+    * window frame. Keyless fills need a constant key column and the
+    * single-partition cost that implies — made explicit at the API
+    * rather than silently planning a one-task sort.
+    *
+    * Output: the input columns with `cols` replaced by their filled
+    * form (same names, same row count, no reordering guarantee beyond
+    * the window's own).
+    */
+  def forwardFill(df: DataFrame, keyCol: String, tsCol: String,
+                  cols: Seq[String],
+                  orderCols: Seq[String] = Nil): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to fill")
+    (Seq(keyCol, tsCol) ++ cols ++ orderCols).foreach(c =>
+      require(df.columns.contains(c), s"column '$c' not in frame"))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy((col(tsCol) +: orderCols.map(col)): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+  }
 }

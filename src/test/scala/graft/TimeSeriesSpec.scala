@@ -1,0 +1,70 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TimeSeries
+
+/** Resample gap materialization and forward-fill semantics. */
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("resampleGrid: epoch-anchored buckets, gap rows materialized with " +
+      "n = 0 and null aggregates") {
+    val d = Seq(
+      (ts(5), 1.0), (ts(8), 3.0),  // bucket 0 [0, 10)
+      (ts(25), 5.0),               // bucket 2 — bucket 1 is a GAP
+      (ts(31), 7.0), (ts(39), 9.0) // bucket 3
+    ).toDF("t", "v")
+    val out = TimeSeries.resampleGrid(d, "t", 10,
+      Seq("v" -> "sum", "v" -> "max")).collect()
+    assert(out.length == 4) // buckets 0..3, gap included
+    val byStart = out.map(r => r.getTimestamp(0).getTime / 1000 -> r).toMap
+    val b0 = byStart(0L)
+    assert(b0.getLong(1) == 2 && !b0.getBoolean(2))
+    assert(b0.getDouble(3) == 4.0 && b0.getDouble(4) == 3.0)
+    val gap = byStart(10L)
+    assert(gap.getLong(1) == 0 && gap.getBoolean(2))
+    assert(gap.isNullAt(3) && gap.isNullAt(4))
+    assert(byStart(20L).getLong(1) == 1)
+    assert(byStart(30L).getDouble(3) == 16.0)
+    // null timestamps ignored; empty input -> empty frame, schema intact
+    val e = TimeSeries.resampleGrid(d.where(col("v") > 99), "t", 10,
+      Seq("v" -> "sum"))
+    assert(e.count() == 0)
+    assert(e.columns.toSeq ==
+      Seq("bucket_start", "n", "is_gap", "sum_v"))
+    intercept[IllegalArgumentException] {
+      TimeSeries.resampleGrid(d, "t", 10, Seq("v" -> "median"))
+    }
+  }
+
+  test("forwardFill: last non-null per key in total order; no back-fill; " +
+      "keys isolated") {
+    val d = Seq[(Int, Timestamp, Option[Double], Option[String])](
+      (1, ts(1), Some(1.0), None),        // v filled forward, s leads null
+      (1, ts(2), None, Some("x")),
+      (1, ts(3), None, None),
+      (1, ts(4), Some(4.0), Some("y")),
+      (2, ts(1), None, Some("z")),        // key 2: v never non-null
+      (2, ts(5), None, None)
+    ).toDF("k", "t", "v", "s")
+    val out = TimeSeries.forwardFill(d, "k", "t", Seq("v", "s"))
+      .orderBy("k", "t").collect()
+    assert(out(0).getDouble(2) == 1.0 && out(0).isNullAt(3)) // no back-fill
+    assert(out(1).getDouble(2) == 1.0 && out(1).getString(3) == "x")
+    assert(out(2).getDouble(2) == 1.0 && out(2).getString(3) == "x")
+    assert(out(3).getDouble(2) == 4.0 && out(3).getString(3) == "y")
+    assert(out(4).isNullAt(2) && out(4).getString(3) == "z")
+    assert(out(5).isNullAt(2) && out(5).getString(3) == "z") // key-local
+    // tied timestamps become deterministic through orderCols
+    val tied = Seq((1, ts(1), Option(9.0), 1), (1, ts(1), None, 2))
+      .toDF("k", "t", "v", "seq")
+    val tf = TimeSeries.forwardFill(tied, "k", "t", Seq("v"),
+      orderCols = Seq("seq")).orderBy("seq").collect()
+    assert(tf(0).getDouble(2) == 9.0 && tf(1).getDouble(2) == 9.0)
+  }
+}
