@@ -3424,7 +3424,8 @@ object Oracles {
        |  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) b,
        |    count(*) n, min(value) min_value, max(value) max_value,
        |    count(value) count_value
-       |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+       |  FROM events WHERE ts IS NOT NULL AND event_type = 'purchase'
+       |  GROUP BY 1),
        |bounds AS (SELECT min(b) mn, max(b) mx FROM o),
        |grid AS (SELECT unnest(generate_series(mn, mx)) AS b FROM bounds)
        |SELECT make_timestamp(b * 3600 * 1000000) AS bucket_start,

@@ -2681,15 +2681,19 @@ object Queries {
     ops.EventAnalytics.cohortRetention(table(s, dir, "events"),
       "user_id", "ts", periodDays = 7)
 
-  /** Grid resample (r12): hourly buckets over the events log with the
-    * FULL [min, max] grid materialized — absent hours appear with n = 0,
-    * null aggregates and is_gap = true, the property a plain groupBy
-    * cannot provide. Buckets are epoch-anchored integer arithmetic; the
-    * aggregates are min/max/count only (order-independent, bit-exact —
-    * no float sums).
+  /** Grid resample (r12): hourly buckets over the PURCHASE events only
+    * (~1/5 of the log — sparse enough that dozens of hours are genuinely
+    * empty at sf0.01, so the defining behavior is exercised in the
+    * cross-engine check, not just in specs) with the FULL [min, max]
+    * grid materialized — absent hours appear with n = 0, null aggregates
+    * and is_gap = true, the property a plain groupBy cannot provide.
+    * Buckets are epoch-anchored integer arithmetic; the aggregates are
+    * min/max/count only (order-independent, bit-exact — no float sums).
     */
   def q161ResampleGrid(s: SparkSession, dir: String): DataFrame =
-    ops.TimeSeries.resampleGrid(table(s, dir, "events"), "ts", 3600,
+    ops.TimeSeries.resampleGrid(
+      table(s, dir, "events").where(col("event_type") === "purchase"),
+      "ts", 3600,
       Seq("value" -> "min", "value" -> "max", "value" -> "count"))
 
   /** Forward fill (r12): a deterministically-sparsified value column

@@ -75,12 +75,16 @@ object TimeSeries {
     * calendar convention to disagree on across engines). Null timestamps
     * are ignored.
     *
-    * Scale shape: one map-side-combined aggregation over the rows
-    * (shuffle ≤ occupied buckets), a two-value bounds read, and the grid
-    * arrives as a `spark.range` LEAF (never a driver-side list) that
-    * left-joins the occupied buckets — grid size is (max−min)/every + 1
-    * rows regardless of input volume. Empty input → empty frame (no
-    * grid to anchor).
+    * Scale shape: ONE map-side-combined aggregation over the rows
+    * (shuffle ≤ occupied buckets), whose bounded result is
+    * local-checkpointed — the bounds read and the join both consume the
+    * checkpoint, so the row-scale input is scanned exactly once AND the
+    * grid cannot go stale against a source that changes between
+    * construction and action (the [[SkewJoin.skewReport]] bounded-
+    * working-set convention). The grid arrives as a `spark.range` LEAF
+    * (never a driver-side list) that left-joins the occupied buckets —
+    * grid size is (max−min)/every + 1 rows regardless of input volume.
+    * Empty input → empty frame (no grid to anchor).
     *
     * Output: (bucket_start timestamp, n, is_gap, then one `<fn>_<col>`
     * column per requested aggregate), ordered by bucket_start.
@@ -89,6 +93,8 @@ object TimeSeries {
                    aggs: Seq[(String, String)] = Nil): DataFrame = {
     require(everySeconds > 0, s"need everySeconds > 0, got $everySeconds")
     require(df.columns.contains(tsCol), s"column '$tsCol' not in frame")
+    require(aggs.distinct.size == aggs.size,
+      "duplicate (column, agg) pair: output column names would collide")
     aggs.foreach { case (c, fn) =>
       require(df.columns.contains(c), s"column '$c' not in frame")
       require(ResampleAggs.contains(fn),
@@ -104,8 +110,12 @@ object TimeSeries {
         case "count" => count(in)
       }).as(s"${fn}_$c")
     }
+    // bounded (≤ occupied buckets) and consumed twice (bounds + join):
+    // checkpoint so the raw input is scanned ONCE and the grid cannot go
+    // stale against a mutating source
     val occupied = df.where(col(tsCol).isNotNull)
       .groupBy(bucket).agg(aggCols.head, aggCols.tail: _*)
+      .localCheckpoint()
     val bounds = occupied.agg(min(col("__b")), max(col("__b"))).head()
     if (bounds.isNullAt(0)) {
       // empty input: the full output schema, zero rows
@@ -134,7 +144,11 @@ object TimeSeries {
     * that would leak the future). The order must be made TOTAL by
     * `orderCols` when timestamps can tie: fill results on tied rows are
     * otherwise partition-order-dependent, which is why ties without a
-    * tiebreak are the caller's bug, not an engine convention.
+    * tiebreak are the caller's bug, not an engine convention. NULL
+    * timestamps order LAST (`asc_nulls_last`, matching ANSI/DuckDB's
+    * default): a timestampless observation can never seed a fill
+    * "backward in time" into the real rows — it only receives the key's
+    * latest fill itself.
     *
     * Scale shape: one window per key — shuffle by key, sort within
     * partitions only (never a global sort); all fill columns ride ONE
@@ -153,7 +167,8 @@ object TimeSeries {
     (Seq(keyCol, tsCol) ++ cols ++ orderCols).foreach(c =>
       require(df.columns.contains(c), s"column '$c' not in frame"))
     val w = Window.partitionBy(col(keyCol))
-      .orderBy((col(tsCol) +: orderCols.map(col)): _*)
+      .orderBy((col(tsCol).asc_nulls_last +:
+        orderCols.map(col(_).asc_nulls_last)): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cols.foldLeft(df) { (d, c) =>
       d.withColumn(c, last(col(c), ignoreNulls = true).over(w))

@@ -391,22 +391,37 @@ object StreamingFrame {
       }
     }
 
-    /** Funnel-state payload: two integer scalars, no doubles — version 1
-      * of its own payload kind (the kind is implied by which decoder the
-      * operator calls; versions advance per kind).
+    /** Funnel-state payload: three integer scalars, no doubles — version
+      * 1 of its own payload kind (the kind is implied by which decoder
+      * the operator calls; versions advance per kind). The payload also
+      * carries the STEP COUNT the state was written against: a `reached`
+      * index is only meaningful relative to its steps list, so a restart
+      * whose funnel has a different length must fail loudly instead of
+      * silently reinterpreting progress (the same cross-binary misread
+      * class the envelope itself exists to make loud).
       */
     val FunnelVersion = 1
 
-    def encodeFunnel(reached: Int, lastMicros: Long): Enveloped =
-      Enveloped(FunnelVersion,
-        s"""{"reached":$reached,"last":$lastMicros}""")
+    /** Checkpoint funnel state written against a different steps list. */
+    final class FunnelConfigMismatch(found: Int, expected: Int)
+        extends IllegalStateException(
+          s"streaming funnel state was written for a $found-step funnel; " +
+            s"this query declares $expected steps — reached indices are " +
+            "not transferable, restart from a fresh checkpoint")
 
-    def decodeFunnel(e: Enveloped): (Int, Long) = e.version match {
-      case FunnelVersion =>
-        val m = graft.schema.SchemaMetadata.parseJsonValueMap(e.json)
-        (m("reached").toInt, m("last").toLong)
-      case v => throw new StateVersionMismatch(v)
-    }
+    def encodeFunnel(k: Int, reached: Int, lastMicros: Long): Enveloped =
+      Enveloped(FunnelVersion,
+        s"""{"k":$k,"reached":$reached,"last":$lastMicros}""")
+
+    def decodeFunnel(e: Enveloped, expectedK: Int): (Int, Long) =
+      e.version match {
+        case FunnelVersion =>
+          val m = graft.schema.SchemaMetadata.parseJsonValueMap(e.json)
+          val k = m("k").toInt
+          if (k != expectedK) throw new FunnelConfigMismatch(k, expectedK)
+          (m("reached").toInt, m("last").toLong)
+        case v => throw new StateVersionMismatch(v)
+      }
   }
 
   def statefulProfile(stream: DataFrame, keyCol: String, valueCol: String)
@@ -539,7 +554,7 @@ object StreamingFrame {
         GroupStateTimeout.NoTimeout) {
         case (actor, rows, state: GroupState[Enveloped]) =>
           val (r0, t0) = state.getOption
-            .map(StateEnvelope.decodeFunnel).getOrElse((0, 0L))
+            .map(StateEnvelope.decodeFunnel(_, k)).getOrElse((0, 0L))
           var r = r0
           var last = t0
           // batch-local sort restores the batch fold's (ts, type) order
@@ -549,7 +564,7 @@ object StreamingFrame {
             }
           }
           val next = FunnelReach(actor, r)
-          state.update(StateEnvelope.encodeFunnel(r, last))
+          state.update(StateEnvelope.encodeFunnel(k, r, last))
           next
       }
   }

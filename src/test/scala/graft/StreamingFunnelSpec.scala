@@ -68,11 +68,16 @@ class StreamingFunnelSpec extends SparkSpec {
     val r = spark.sql(
       "SELECT max(reached) FROM funnel_late WHERE actor = '1'").head()
     assert(r.getInt(0) == 1) // batch order would read 2; late data: 1
-    // envelope: exact round-trip, loud unknown version
-    val e = StreamingFrame.StateEnvelope.encodeFunnel(2, 123456789L)
-    assert(StreamingFrame.StateEnvelope.decodeFunnel(e) == ((2, 123456789L)))
+    // envelope: exact round-trip, loud unknown version, loud STEPS
+    // mismatch — a reached index is meaningless against another funnel
+    val e = StreamingFrame.StateEnvelope.encodeFunnel(3, 2, 123456789L)
+    assert(StreamingFrame.StateEnvelope.decodeFunnel(e, 3) ==
+      ((2, 123456789L)))
     intercept[IllegalStateException] {
-      StreamingFrame.StateEnvelope.decodeFunnel(e.copy(version = 99))
+      StreamingFrame.StateEnvelope.decodeFunnel(e.copy(version = 99), 3)
+    }
+    intercept[StreamingFrame.StateEnvelope.FunnelConfigMismatch] {
+      StreamingFrame.StateEnvelope.decodeFunnel(e, 2)
     }
   }
 }
