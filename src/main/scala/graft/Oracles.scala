@@ -3446,6 +3446,77 @@ object Oracles {
        |FROM events
        |ORDER BY user_id, event_id""".stripMargin
 
+  /** q163: windowed funnel — the q159 nested-min CTE chain with each
+    * step's deadline carried as t0 (the step-1 time): step i joins step
+    * i−1 and must land strictly after it AND at or before t0 + window
+    * (inclusive). Interval arithmetic on TIMESTAMP is exact at µs
+    * precision, matching the Spark fold's Long micros comparison.
+    */
+  val q163: String = {
+    val w = 604800L
+    val steps = Seq("signup", "view", "click", "purchase")
+    val ctes = steps.zipWithIndex.map { case (st, i) =>
+      if (i == 0)
+        s"""s1 AS (SELECT user_id, min(ts) t, min(ts) t0 FROM events
+           |  WHERE event_type = '$st' AND user_id IS NOT NULL
+           |    AND ts IS NOT NULL GROUP BY 1)""".stripMargin
+      else
+        s"""s${i + 1} AS (SELECT e.user_id, min(e.ts) t, p.t0 FROM events e
+           |  JOIN s$i p ON e.user_id = p.user_id
+           |  WHERE e.event_type = '$st' AND e.ts > p.t
+           |    AND e.ts <= p.t0 + INTERVAL '$w seconds'
+           |  GROUP BY 1, 3)""".stripMargin
+    }
+    val counts = steps.indices.map(i =>
+      s"(SELECT count(*) FROM s${i + 1}) c${i + 1}").mkString(", ")
+    val rows = steps.zipWithIndex.map { case (st, i) =>
+      val n = s"c${i + 1}"
+      val prev = if (i == 0) n else s"c$i"
+      s"""SELECT ${i + 1} AS step_index, '$st' AS step, $n AS n_actors,
+         |  CASE WHEN $prev = 0 THEN 0.0
+         |    ELSE CAST($n AS DOUBLE) / $prev END AS conversion,
+         |  CASE WHEN c1 = 0 THEN 0.0
+         |    ELSE CAST($n AS DOUBLE) / c1 END AS overall
+         |FROM c""".stripMargin
+    }
+    s"""WITH ${ctes.mkString(",\n")},
+       |c AS (SELECT $counts)
+       |${rows.mkString("\nUNION ALL\n")}
+       |ORDER BY step_index""".stripMargin
+  }
+
+  /** q164: funnel inter-step timing — the q159 CTE chain's consecutive
+    * step times differenced in exact µs (epoch_us) with ONE double
+    * division by 1e6, then quantile_cont at 0.5/0.9 (the q02 exact-
+    * quantile oracle convention).
+    */
+  val q164: String = {
+    val steps = Seq("signup", "view", "click", "purchase")
+    val ctes = steps.zipWithIndex.map { case (st, i) =>
+      if (i == 0)
+        s"""s1 AS (SELECT user_id, min(ts) t FROM events
+           |  WHERE event_type = '$st' AND user_id IS NOT NULL
+           |    AND ts IS NOT NULL GROUP BY 1)""".stripMargin
+      else
+        s"""s${i + 1} AS (SELECT e.user_id, min(e.ts) t FROM events e
+           |  JOIN s$i p ON e.user_id = p.user_id
+           |  WHERE e.event_type = '$st' AND e.ts > p.t GROUP BY 1)""".stripMargin
+    }
+    val deltas = (2 to steps.size).map(i =>
+      s"""d$i AS (SELECT (epoch_us(s$i.t) - epoch_us(s${i - 1}.t))
+         |  / 1000000.0 d FROM s$i JOIN s${i - 1} USING (user_id))""".stripMargin)
+    val rows = (2 to steps.size).map(i =>
+      s"""SELECT $i AS step_index, '${steps(i - 1)}' AS step,
+         |  (SELECT count(*) FROM d$i) AS n_pairs,
+         |  (SELECT CAST(quantile_cont(d, 0.5) AS DOUBLE) FROM d$i)
+         |    AS p50_seconds,
+         |  (SELECT CAST(quantile_cont(d, 0.9) AS DOUBLE) FROM d$i)
+         |    AS p90_seconds""".stripMargin)
+    s"""WITH ${(ctes ++ deltas).mkString(",\n")}
+       |${rows.mkString("\nUNION ALL\n")}
+       |ORDER BY step_index""".stripMargin
+  }
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q07_mutual_info_orders" -> q07Pinned,
@@ -3558,6 +3629,8 @@ object Oracles {
       "q157_order_deps" -> q157,
       "q158_join_cardinality" -> q158,
       "q159_funnel" -> q159,
+      "q163_windowed_funnel" -> q163,
+      "q164_funnel_timing" -> q164,
       "q160_cohort_retention" -> q160,
       "q161_resample_grid" -> q161,
       "q162_forward_fill" -> q162,

@@ -2709,8 +2709,36 @@ object Queries {
         Seq("v_sparse"), orderCols = Seq("event_id"))
       .select(col("user_id"), col("event_id"),
         col("v_sparse").as("v_filled"))
-      .orderBy("user_id", "event_id")
+      // outer sort pinned NULLS LAST: DuckDB's outer ORDER BY defaults to
+      // NULLS LAST while Spark defaults NULLS FIRST — only the testdata's
+      // null-free keys hid the divergence (r12 ADVICE)
+      .orderBy(col("user_id").asc_nulls_last, col("event_id").asc_nulls_last)
   }
+
+  /** Windowed funnel (r13): the q159 funnel with the standard 7-day
+    * conversion window — steps 2..4 must land at or before the step-1
+    * time plus the window (inclusive), anchored at the actor's one
+    * greedy signup, no re-anchoring. Exercises the deadline-censoring
+    * arm of the segmented fold (at sf0.01 the window genuinely censors:
+    * 150 → 139 → 117 → 85 vs the unwindowed all-150s).
+    */
+  def q163WindowedFunnel(s: SparkSession, dir: String): DataFrame =
+    ops.EventAnalytics.funnel(table(s, dir, "events"),
+        "user_id", "ts", "event_type",
+        Seq("signup", "view", "click", "purchase"),
+        windowSeconds = 604800L)
+      .orderBy("step_index")
+
+  /** Funnel inter-step timing (r13): for each completed transition of
+    * the q159 funnel, the count and EXACT median/p90 of seconds between
+    * consecutive advance times — quantiles via the shared sort-free
+    * histogram walk, deltas as the exact microsecond difference divided
+    * by 1e6 once (bit-stable against DuckDB's epoch_us arithmetic).
+    */
+  def q164FunnelTiming(s: SparkSession, dir: String): DataFrame =
+    ops.EventAnalytics.funnelStepTiming(table(s, dir, "events"),
+      "user_id", "ts", "event_type",
+      Seq("signup", "view", "click", "purchase"))
 
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
@@ -2910,6 +2938,8 @@ object Queries {
     "q160_cohort_retention" -> (q160CohortRetention _),
     "q161_resample_grid" -> (q161ResampleGrid _),
     "q162_forward_fill" -> (q162ForwardFill _),
+    "q163_windowed_funnel" -> (q163WindowedFunnel _),
+    "q164_funnel_timing" -> (q164FunnelTiming _),
     "q140_multifield_linkage" -> (q140MultiFieldLinkage _)
   )
 }

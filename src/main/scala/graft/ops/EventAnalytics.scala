@@ -5,36 +5,62 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Event-sequence analytics over an (actor, timestamp, event-type) log —
-  * the product-analytics pair every training-data/event pipeline ends up
-  * re-implementing: ordered-funnel conversion and cohort retention. Both
-  * are EXACT (no sessionization sampling, no sketch), both reduce the log
-  * to actor-keyed aggregates before anything else moves, and both emit
-  * counts as exact Longs with one final double division per ratio (the
-  * repo-wide bit-exact oracle convention).
+  * the product-analytics family every training-data/event pipeline ends up
+  * re-implementing: ordered-funnel conversion (optionally with a
+  * conversion window), inter-step timing, and cohort retention. All are
+  * EXACT (no sessionization sampling, no sketch), all reduce the log to
+  * actor-keyed aggregates before anything else moves, and all emit counts
+  * as exact Longs with one final double division per ratio (the repo-wide
+  * bit-exact oracle convention).
   *
   * Reference: the funnel semantics are the standard nested-min form
   * (step i is the EARLIEST event of type iₜₕ strictly after the step
-  * i−1 time — the greedy-earliest match over the time-sorted stream,
-  * which is equivalent and is how [[funnel]] computes it in one pass).
+  * i−1 time — and, when a window is set, no later than the step-1 time
+  * plus the window). The greedy-earliest match over the time-sorted
+  * stream is equivalent and is how [[funnel]] computes it, segmented.
   */
 object EventAnalytics {
+
+  /** Widest accepted conversion window (≈100k years in seconds): keeps
+    * `step-1 micros + window micros` comfortably inside a Long for any
+    * representable timestamp, so the deadline arithmetic can't overflow.
+    */
+  val MaxWindowSeconds: Long = 3153600000000L
 
   /** Ordered funnel: how many actors complete each prefix of `steps` in
     * time order? An actor reaches step i when an event of type
     * `steps(i)` exists STRICTLY after its step-(i−1) time (step 0 = the
     * actor's earliest `steps(0)` event); ties at the same timestamp do
-    * not advance, and rows with a null actor/ts/type are ignored.
-    * Greedy-earliest over the sorted stream equals the nested-min
-    * definition: taking the earliest qualifying event at every step
-    * only ever leaves MORE room for later steps.
+    * not advance, and rows with a null actor/ts/type are ignored. With
+    * `windowSeconds > 0`, steps 2..k must additionally land AT OR BEFORE
+    * the step-1 time plus the window (the standard conversion-window
+    * rule, anchored at the actor's one greedy step-1 event — no
+    * re-anchoring). Greedy-earliest over the sorted stream equals the
+    * nested-min definition: taking the earliest qualifying event at
+    * every step only ever leaves MORE room for later steps, and the
+    * deadline is a fixed censoring both forms share.
     *
-    * Scale shape: events prune to the step types at the scan, then ONE
-    * shuffle groups (ts, type) pairs by actor — the minimum any exact
-    * funnel can move — and the per-actor fold runs as an `aggregate`
-    * higher-order function over the actor's sorted events (per-row work
-    * is |actor events| comparisons on scalars, not the q136 heavy-text
-    * HOF case). The per-step counts are one more aggregation over the
-    * actor-level frame. Driver state is step-count-sized.
+    * Scale shape — SKEW-SAFE by construction (r13): events prune to the
+    * step types at the scan, then ONE row-scale shuffle groups them by
+    * (actor, time-segment) — `segmentSeconds`-wide epoch-anchored
+    * buckets — so a hot actor (bot, service account) splits across as
+    * many tasks as it has active segments instead of materializing its
+    * whole history in one `collect_list`. Each segment folds to a
+    * TRANSITION VECTOR: for every entry progress i ∈ 0..k−1, the
+    * time-increasing sequence of advance timestamps the greedy fold
+    * would produce entering the segment at step i (≤ k·(k+1)/2 scalars
+    * total). Vectors compose exactly because segment boundaries strictly
+    * separate timestamps: the entry `last` is always an earlier
+    * segment's timestamp, hence strictly below every timestamp in the
+    * segment (the `t > last` tie rule can never cross an edge), and a
+    * conversion deadline censors a segment by PREFIX-truncating its
+    * advance sequence (advance times are increasing, and every later
+    * candidate for a censored step is later still). A second actor-keyed
+    * shuffle merges the segment-count-sized vectors in segment order —
+    * per-actor state is k timestamps, per-task memory is bounded by the
+    * busiest single segment, not the busiest actor. The per-step counts
+    * are one more aggregation over the actor-level frame; driver state
+    * is step-count-sized.
     *
     * Output: one row per step — (step_index 1-based, step, n_actors,
     * conversion = this step's actors over the PREVIOUS step's as a raw
@@ -43,35 +69,16 @@ object EventAnalytics {
     * 0.0, and every step is emitted even when empty.
     */
   def funnel(df: DataFrame, actorCol: String, tsCol: String,
-             typeCol: String, steps: Seq[String]): DataFrame = {
-    require(steps.nonEmpty, "need at least one funnel step")
-    require(steps.distinct.size == steps.size,
-      "duplicate funnel step: repeated types make the greedy match " +
-        "ambiguous with the nested-min definition")
-    Seq(actorCol, tsCol, typeCol).foreach(c =>
-      require(df.columns.contains(c), s"column '$c' not in frame"))
+             typeCol: String, steps: Seq[String],
+             windowSeconds: Long = 0L,
+             segmentSeconds: Long = 86400L): DataFrame = {
     val k = steps.size
-    val evs = df
-      .where(col(actorCol).isNotNull && col(tsCol).isNotNull &&
-        col(typeCol).isin(steps: _*))
-      .groupBy(col(actorCol))
-      .agg(sort_array(collect_list(struct(
-        col(tsCol).as("t"), col(typeCol).as("y")))).as("__evs"))
-    val stepArr = array(steps.map(lit): _*)
-    val tsType = df.schema(tsCol).dataType
-    val zero: Column = struct(
-      lit(0).as("r"), lit(null).cast(tsType).as("last"))
-    val reached = evs.select(
-      aggregate(col("__evs"), zero, (acc, e) =>
-        when(acc("r") < k &&
-            e("y") === element_at(stepArr, acc("r") + 1) &&
-            (acc("r") === 0 || e("t") > acc("last")),
-          struct((acc("r") + 1).as("r"), e("t").as("last")))
-          .otherwise(acc))("r").as("__r"))
+    val prog = actorProgress(df, actorCol, tsCol, typeCol, steps,
+      windowSeconds, segmentSeconds)
     // one tiny aggregation: actors reaching AT LEAST step i, for all i
     val aggs = (1 to k).map(i =>
       count(when(col("__r") >= i, 1)).as(s"__s$i"))
-    val row = reached.agg(aggs.head, aggs.tail: _*).head()
+    val row = prog.agg(aggs.head, aggs.tail: _*).head()
     val counts = (0 until k).map(row.getLong)
     val spark = df.sparkSession
     val rows = steps.zipWithIndex.map { case (s, i) =>
@@ -90,6 +97,156 @@ object EventAnalytics {
         StructField("n_actors", LongType, nullable = false),
         StructField("conversion", DoubleType, nullable = false),
         StructField("overall", DoubleType, nullable = false))))
+  }
+
+  /** Inter-step timing: for each COMPLETED transition i−1 → i (i ≥ 2),
+    * the count and exact median/p90 of the seconds between the two
+    * advance times — the other half of product analytics next to the
+    * conversion counts. Quantiles are EXACT via the shared sort-free
+    * histogram walk ([[graft.stats.Describe.exactQuantiles]] — no Sort
+    * node at any scale) with SQL `percentile` interpolation; deltas are
+    * the exact microsecond difference divided by 1e6 once (bit-stable
+    * across engines).
+    *
+    * Scale shape: the actor-progress frame (the [[funnel]] machinery —
+    * same skew posture) is reduced to k−1 delta columns and persisted
+    * (actor-count rows × k−1 doubles) for the walk's narrow levels;
+    * unpersisted before returning. Output (bounded, k−1 rows):
+    * (step_index, step, n_pairs, p50_seconds, p90_seconds) for steps
+    * 2..k, step_index ascending; a step no actor completed reads
+    * n_pairs = 0 with null quantiles.
+    */
+  def funnelStepTiming(df: DataFrame, actorCol: String, tsCol: String,
+                       typeCol: String, steps: Seq[String],
+                       windowSeconds: Long = 0L,
+                       segmentSeconds: Long = 86400L): DataFrame = {
+    val k = steps.size
+    require(k >= 2, "inter-step timing needs at least two funnel steps")
+    val spark = df.sparkSession
+    val prog = actorProgress(df, actorCol, tsCol, typeCol, steps,
+      windowSeconds, segmentSeconds)
+    val deltas = prog.select((2 to k).map { i =>
+      when(size(col("__adv")) >= i,
+        (element_at(col("__adv"), i) - element_at(col("__adv"), i - 1))
+          .cast(DoubleType) / 1e6).as(s"__d$i")
+    }: _*).persist()
+    try {
+      val statCols = (2 to k).flatMap(i => Seq(
+        count(col(s"__d$i")), min(col(s"__d$i")), max(col(s"__d$i"))))
+      val statRow = deltas.agg(statCols.head, statCols.tail: _*).head()
+      val stats = (2 to k).map { i =>
+        val o = (i - 2) * 3
+        s"__d$i" -> ((statRow.getLong(o),
+          if (statRow.isNullAt(o + 1)) Double.NaN else statRow.getDouble(o + 1),
+          if (statRow.isNullAt(o + 2)) Double.NaN else statRow.getDouble(o + 2)))
+      }.toMap
+      val targets = stats.collect { case (c, (n, _, _)) if n > 0 =>
+        c -> Seq(0.5 * (n - 1), 0.9 * (n - 1))
+      }
+      val qs = graft.stats.Describe.exactQuantiles(deltas, targets, stats)
+      val rows = (2 to k).map { i =>
+        val n = stats(s"__d$i")._1
+        val q = qs.get(s"__d$i")
+        Row(i, steps(i - 1), n,
+          q.map(s => java.lang.Double.valueOf(s.head)).orNull,
+          q.map(s => java.lang.Double.valueOf(s(1))).orNull)
+      }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        StructType(Seq(
+          StructField("step_index", IntegerType, nullable = false),
+          StructField("step", StringType, nullable = false),
+          StructField("n_pairs", LongType, nullable = false),
+          StructField("p50_seconds", DoubleType, nullable = true),
+          StructField("p90_seconds", DoubleType, nullable = true))))
+    } finally deltas.unpersist()
+  }
+
+  /** The funnel's actor-level core: one row per actor holding `__adv`
+    * (the advance timestamps in micros, one per reached step, increasing)
+    * and `__r` = reached step count — the segmented transition-vector
+    * fold the [[funnel]] scaladoc describes. Shared by [[funnel]] and
+    * [[funnelStepTiming]]; exposed package-private for the property
+    * specs (brute-force parity across segment widths and Zipf skew).
+    */
+  private[graft] def actorProgress(df: DataFrame, actorCol: String,
+                                   tsCol: String, typeCol: String,
+                                   steps: Seq[String], windowSeconds: Long,
+                                   segmentSeconds: Long): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    require(steps.distinct.size == steps.size,
+      "duplicate funnel step: repeated types make the greedy match " +
+        "ambiguous with the nested-min definition")
+    require(segmentSeconds > 0,
+      s"need segmentSeconds > 0, got $segmentSeconds")
+    require(windowSeconds >= 0 && windowSeconds <= MaxWindowSeconds,
+      s"need 0 <= windowSeconds <= $MaxWindowSeconds, got $windowSeconds")
+    Seq(actorCol, tsCol, typeCol).foreach(c =>
+      require(df.columns.contains(c), s"column '$c' not in frame"))
+    val k = steps.size
+    val segMicros = Math.multiplyExact(segmentSeconds, 1000000L)
+    val winMicros = windowSeconds * 1000000L // bounded by the require
+    val t = unix_micros(col(tsCol).cast(TimestampType))
+    // segment id = the segment-START micros, `t - pmod(t, width)`: exact
+    // Long arithmetic (correct for negative pre-1970 micros), no division
+    // — Spark's `/` on Longs is DOUBLE division, which misbuckets near
+    // boundaries above 2^53 µs
+    val seg = t - pmod(t, lit(segMicros))
+    // full re-projection onto internal names: user column names can never
+    // collide with the fold's aliases (the loud-misuse class, closed
+    // structurally rather than by a reserved-name require)
+    val base = df
+      .where(col(actorCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isin(steps: _*))
+      .select(col(actorCol).as("__a"), t.as("__t"),
+        col(typeCol).as("__y"), seg.as("__seg"))
+    val stepArr = array(steps.map(lit): _*)
+    val emptyAdv = array().cast(ArrayType(LongType, containsNull = false))
+    // per (actor, segment): sorted events fold to the transition vector —
+    // vec(i+1) = the advance-timestamp sequence from entry progress i.
+    // Within a segment the entry `last` never constrains the FIRST
+    // advance (it is strictly below every segment timestamp) and, for
+    // entry 0 with a window, the fold's own first advance anchors the
+    // deadline; entry ≥ 1 deadlines are applied at merge by truncation.
+    val segVec = base
+      .groupBy(col("__a"), col("__seg"))
+      .agg(sort_array(collect_list(struct(col("__t").as("t"),
+        col("__y").as("y")))).as("__evs"))
+      .select(col("__a"), col("__seg"),
+        transform(sequence(lit(0), lit(k - 1)), i =>
+          aggregate(col("__evs"), emptyAdv, (adv, e) => {
+            // index clamped to k: the left conjunct already rules the
+            // clamped case out, but ANSI element_at must never see an
+            // out-of-bounds index even under conjunct reordering
+            val advance = size(adv) < (lit(k) - i) &&
+              e("y") === element_at(stepArr,
+                least(i + size(adv) + 1, lit(k)).cast(IntegerType)) &&
+              (size(adv) === 0 || e("t") > element_at(adv, -1)) &&
+              (if (windowSeconds > 0)
+                i > 0 || size(adv) === 0 ||
+                  e("t") <= element_at(adv, 1) + winMicros
+              else lit(true))
+            when(advance, concat(adv, array(e("t")))).otherwise(adv)
+          })).as("__vec"))
+    // per actor: merge vectors in segment order; entry progress indexes
+    // the next segment's vector, a set deadline prefix-truncates it
+    segVec
+      .groupBy(col("__a"))
+      .agg(sort_array(collect_list(struct(col("__seg").as("s"),
+        col("__vec").as("v")))).as("__segs"))
+      .select(col("__a"),
+        aggregate(col("__segs"), emptyAdv, (adv, sv) => {
+          val localRaw = element_at(sv("v"),
+            least(size(adv) + 1, lit(k)).cast(IntegerType))
+          val local =
+            if (windowSeconds > 0)
+              when(size(adv) >= 1, filter(localRaw,
+                a => a <= element_at(adv, 1) + winMicros))
+                .otherwise(localRaw)
+            else localRaw
+          when(size(adv) >= k, adv).otherwise(concat(adv, local))
+        }).as("__adv"))
+      .withColumn("__r", size(col("__adv")))
   }
 
   /** Cohort retention: actors bucketed by the period of their FIRST

@@ -262,6 +262,16 @@ object SkewJoin {
       .localCheckpoint()
     val tot = joined.agg(
       count(lit(1)).as("__m"), sum(col("__out")).as("__t")).head()
+    // a null sum means EITHER empty intersection (count 0) OR Decimal(38,0)
+    // overflow in non-ANSI mode (total > 1e38). Conflating them would emit
+    // n_matching_keys=0 / share=Infinity on exactly the extreme-scale joins
+    // this profile exists to price — distinguish by the count and fail loudly
+    // on the overflow arm rather than report silent zeros.
+    if (tot.getLong(0) > 0L && tot.isNullAt(1))
+      throw new ArithmeticException(
+        s"joinCardinality: total output rows overflow Decimal(38,0) across " +
+          s"${tot.getLong(0)} matching keys — this join is catastrophically " +
+          "quadratic; inspect the per-key report with a smaller sample")
     val (m, total) =
       if (tot.isNullAt(1)) (0L, java.math.BigDecimal.ZERO)
       else (tot.getLong(0), tot.getDecimal(1))

@@ -133,6 +133,106 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(x.length == 1 && x(0).getDouble(3) == 4.0) // key 1: 2 x 2
   }
 
+  test("funnel property: segmented fold equals brute force across segment " +
+      "widths, windows, and a Zipf-hot actor") {
+    val rnd = new scala.util.Random(23)
+    val steps = Seq("s1", "s2", "s3", "s4")
+    // brute-force nested-min with an optional conversion window: step 1 =
+    // earliest s1 event; step i = earliest steps(i) event strictly after
+    // step i-1, and (windowed) at or before step-1 time + window
+    def brute(g: Seq[(Long, Timestamp, String)], w: Long): Seq[Long] = {
+      var last = Long.MinValue
+      var t0 = Long.MinValue
+      var r = 0
+      val adv = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var advanced = true
+      while (advanced && r < steps.size) {
+        val cand = g.filter(e => e._3 == steps(r) &&
+          (r == 0 || e._2.getTime * 1000 > last) &&
+          (w == 0 || r == 0 || e._2.getTime * 1000 <= t0 + w * 1000000L))
+          .map(_._2.getTime * 1000)
+        if (cand.nonEmpty) {
+          last = cand.min
+          if (r == 0) t0 = last
+          adv += last
+          r += 1
+        } else advanced = false
+      }
+      adv.toSeq
+    }
+    for ((segSec, winSec) <- Seq((1L, 0L), (7L, 0L), (1000000L, 0L),
+        (1L, 120L), (13L, 120L), (1000000L, 45L))) {
+      // Zipf-ish: actor 0 owns ~25% of all events; 30 light actors
+      val rows = Seq.fill(800) {
+        val u = if (rnd.nextInt(4) == 0) 0L else rnd.nextInt(30).toLong + 1
+        (u, ts(rnd.nextInt(600)), s"s${rnd.nextInt(5) + 1}")
+      }
+      val byUser = rows.groupBy(_._1)
+      val expAdv = byUser.map { case (u, g) => u -> brute(g, winSec) }
+      val prog = EventAnalytics.actorProgress(rows.toDF("u", "t", "y"),
+          "u", "t", "y", steps, winSec, segSec)
+        .collect().map(r => r.getLong(0) ->
+          r.getSeq[Long](1)).toMap
+      for ((u, exp) <- expAdv if exp.nonEmpty)
+        assert(prog(u) == exp, s"actor $u seg=$segSec win=$winSec")
+      for ((u, got) <- prog)
+        assert(got == expAdv(u), s"actor $u seg=$segSec win=$winSec")
+      // and the count aggregation agrees
+      val got = EventAnalytics.funnel(rows.toDF("u", "t", "y"),
+          "u", "t", "y", steps, winSec, segSec)
+        .collect().map(_.getLong(2)).toSeq
+      val expCnt = (1 to steps.size).map(i =>
+        expAdv.values.count(_.size >= i).toLong)
+      assert(got == expCnt, s"counts seg=$segSec win=$winSec")
+    }
+  }
+
+  test("funnel window: steps beyond the deadline are censored; the " +
+      "anchor never re-anchors to a later step-1 event") {
+    val evs = Seq(
+      // user 1: a@10, b@20 inside a 15s window; c@40 beyond it
+      (1L, ts(10), "a"), (1L, ts(20), "b"), (1L, ts(40), "c"),
+      // user 2: a@10 (anchor), b@100 outside; the later a@90 must NOT
+      // re-anchor even though b@100 would fit its window
+      (2L, ts(10), "a"), (2L, ts(90), "a"), (2L, ts(100), "b")
+    ).toDF("u", "t", "y")
+    val out = EventAnalytics.funnel(evs, "u", "t", "y",
+      Seq("a", "b", "c"), windowSeconds = 15L).collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(2L, 1L, 0L))
+    // the deadline is inclusive: b exactly AT t0 + w converts
+    val edge = Seq((3L, ts(0), "a"), (3L, ts(15), "b")).toDF("u", "t", "y")
+    val e = EventAnalytics.funnel(edge, "u", "t", "y", Seq("a", "b"),
+      windowSeconds = 15L).collect()
+    assert(e(1).getLong(2) == 1L)
+    intercept[IllegalArgumentException] {
+      EventAnalytics.funnel(evs, "u", "t", "y", Seq("a"),
+        windowSeconds = -1L)
+    }
+  }
+
+  test("funnelStepTiming: exact inter-step medians/p90s; empty steps " +
+      "read zero pairs with null quantiles") {
+    val evs = Seq(
+      (1L, ts(0), "a"), (1L, ts(10), "b"),   // delta a->b = 10
+      (2L, ts(0), "a"), (2L, ts(20), "b"),   // delta a->b = 20
+      (3L, ts(0), "a"), (3L, ts(40), "b"),   // delta a->b = 40
+      (4L, ts(0), "a")                        // never reaches b
+    ).toDF("u", "t", "y")
+    val out = EventAnalytics.funnelStepTiming(evs, "u", "t", "y",
+      Seq("a", "b", "c")).collect()
+    assert(out.length == 2)
+    assert(out(0).getInt(0) == 2 && out(0).getString(1) == "b" &&
+      out(0).getLong(2) == 3L)
+    assert(out(0).getDouble(3) == 20.0) // exact median of {10,20,40}
+    // p90 at pos 0.9*(3-1)=1.8: 20*(2-1.8) + 40*(1.8-1) = 36.0
+    assert(out(0).getDouble(4) == 36.0)
+    assert(out(1).getInt(0) == 3 && out(1).getLong(2) == 0L &&
+      out(1).isNullAt(3) && out(1).isNullAt(4))
+    intercept[IllegalArgumentException] {
+      EventAnalytics.funnelStepTiming(evs, "u", "t", "y", Seq("a"))
+    }
+  }
+
   test("funnel: internal aliases do not collide with user column names") {
     val evs = Seq((1L, ts(1), "a"), (1L, ts(2), "b"))
       .toDF("evs", "r", "last")
