@@ -3517,6 +3517,51 @@ object Oracles {
        |ORDER BY step_index""".stripMargin
   }
 
+  /** q165: per-key grid resample — per-key bounds CTE, the grid via
+    * unnest(generate_series(mn, mx)) PER ROW of the bounds frame (the
+    * select-list unnest expands per key — the lateral-args form
+    * generate_series itself does not support), left-joined on
+    * (key, bucket).
+    */
+  val q165: String =
+    s"""WITH o AS (
+       |  SELECT event_type, CAST(floor(epoch(ts) / 21600) AS BIGINT) b,
+       |    count(*) n, min(value) min_value, max(value) max_value
+       |  FROM events WHERE ts IS NOT NULL AND value > 250
+       |  GROUP BY 1, 2),
+       |kb AS (SELECT event_type, min(b) mn, max(b) mx FROM o GROUP BY 1),
+       |grid AS (SELECT event_type, unnest(generate_series(mn, mx)) AS b
+       |  FROM kb)
+       |SELECT grid.event_type,
+       |  make_timestamp(b * 21600 * 1000000) AS bucket_start,
+       |  coalesce(n, 0) AS n, n IS NULL AS is_gap, min_value, max_value
+       |FROM grid LEFT JOIN o USING (event_type, b)
+       |ORDER BY grid.event_type, bucket_start""".stripMargin
+
+  /** q166: grid-then-fill — the q165 grid's min_value run through the
+    * identical IGNORE NULLS running window per key.
+    */
+  val q166: String =
+    s"""WITH o AS (
+       |  SELECT event_type, CAST(floor(epoch(ts) / 21600) AS BIGINT) b,
+       |    count(*) n, min(value) min_value
+       |  FROM events WHERE ts IS NOT NULL AND value > 250
+       |  GROUP BY 1, 2),
+       |kb AS (SELECT event_type, min(b) mn, max(b) mx FROM o GROUP BY 1),
+       |grid AS (SELECT event_type, unnest(generate_series(mn, mx)) AS b
+       |  FROM kb),
+       |g AS (SELECT grid.event_type,
+       |    make_timestamp(b * 21600 * 1000000) AS bucket_start,
+       |    n IS NULL AS is_gap, min_value
+       |  FROM grid LEFT JOIN o USING (event_type, b))
+       |SELECT event_type, bucket_start, is_gap,
+       |  last_value(min_value IGNORE NULLS) OVER (
+       |    PARTITION BY event_type ORDER BY bucket_start
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS min_value_filled
+       |FROM g
+       |ORDER BY event_type, bucket_start""".stripMargin
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q07_mutual_info_orders" -> q07Pinned,
@@ -3631,6 +3676,8 @@ object Oracles {
       "q159_funnel" -> q159,
       "q163_windowed_funnel" -> q163,
       "q164_funnel_timing" -> q164,
+      "q165_resample_grid_keyed" -> q165,
+      "q166_grid_ffill" -> q166,
       "q160_cohort_retention" -> q160,
       "q161_resample_grid" -> q161,
       "q162_forward_fill" -> q162,

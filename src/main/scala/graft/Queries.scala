@@ -2740,6 +2740,36 @@ object Queries {
       "user_id", "ts", "event_type",
       Seq("signup", "view", "click", "purchase"))
 
+  /** Per-key grid resample (r13): 6-hour buckets per event_type over the
+    * value > 250 sparse tail — each key carries its OWN [min, max] span
+    * (genuinely different per key at sf0.01: 90..112 buckets), absent
+    * buckets reading n = 0 / null aggregates / is_gap = true. Aggregates
+    * are min/max only (order-independent, bit-exact).
+    */
+  def q165ResampleGridKeyed(s: SparkSession, dir: String): DataFrame =
+    ops.TimeSeries.resampleGridByKey(
+      table(s, dir, "events").where(col("value") > 250),
+      "event_type", "ts", 21600,
+      Seq("value" -> "min", "value" -> "max"))
+
+  /** Grid-then-fill composition (r13): the q165 per-key gap grid's
+    * min_value forward-filled per key in bucket order — the end-to-end
+    * sensor-pipeline shape (per-key gap materialization → per-key
+    * repair) that needed BOTH r13 halves to be expressible. The oracle
+    * is the same grid wrapped in DuckDB's IGNORE NULLS running window.
+    */
+  def q166GridFfill(s: SparkSession, dir: String): DataFrame = {
+    val grid = ops.TimeSeries.resampleGridByKey(
+      table(s, dir, "events").where(col("value") > 250),
+      "event_type", "ts", 21600, Seq("value" -> "min"))
+    ops.TimeSeries.forwardFill(grid, "event_type", "bucket_start",
+        Seq("min_value"))
+      .select(col("event_type"), col("bucket_start"), col("is_gap"),
+        col("min_value").as("min_value_filled"))
+      .orderBy(col("event_type").asc_nulls_last,
+        col("bucket_start").asc_nulls_last)
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -2940,6 +2970,8 @@ object Queries {
     "q162_forward_fill" -> (q162ForwardFill _),
     "q163_windowed_funnel" -> (q163WindowedFunnel _),
     "q164_funnel_timing" -> (q164FunnelTiming _),
+    "q165_resample_grid_keyed" -> (q165ResampleGridKeyed _),
+    "q166_grid_ffill" -> (q166GridFfill _),
     "q140_multifield_linkage" -> (q140MultiFieldLinkage _)
   )
 }

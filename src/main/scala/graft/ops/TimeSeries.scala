@@ -90,8 +90,10 @@ object TimeSeries {
     * column per requested aggregate), ordered by bucket_start.
     */
   def resampleGrid(df: DataFrame, tsCol: String, everySeconds: Long,
-                   aggs: Seq[(String, String)] = Nil): DataFrame = {
+                   aggs: Seq[(String, String)] = Nil,
+                   maxGridRows: Long = DefaultMaxGridRows): DataFrame = {
     require(everySeconds > 0, s"need everySeconds > 0, got $everySeconds")
+    require(maxGridRows > 0, s"need maxGridRows > 0, got $maxGridRows")
     require(df.columns.contains(tsCol), s"column '$tsCol' not in frame")
     require(aggs.distinct.size == aggs.size,
       "duplicate (column, agg) pair: output column names would collide")
@@ -117,6 +119,17 @@ object TimeSeries {
       .groupBy(bucket).agg(aggCols.head, aggCols.tail: _*)
       .localCheckpoint()
     val bounds = occupied.agg(min(col("__b")), max(col("__b"))).head()
+    if (!bounds.isNullAt(0)) {
+      // one stray sentinel timestamp (epoch 0, year 9999) with a small
+      // interval would silently turn the grid into billions of generated
+      // rows — fail loudly with the offending bounds instead (r12 ADVICE)
+      val span = BigInt(bounds.getLong(1)) - BigInt(bounds.getLong(0)) + 1
+      require(span <= maxGridRows,
+        s"resampleGrid: [min,max] bucket span $span exceeds maxGridRows=" +
+          s"$maxGridRows (bucket bounds ${bounds.getLong(0)}.." +
+          s"${bounds.getLong(1)} at $everySeconds s/bucket — check for " +
+          "sentinel timestamps, or raise maxGridRows)")
+    }
     if (bounds.isNullAt(0)) {
       // empty input: the full output schema, zero rows
       val base = occupied.withColumn("is_gap", lit(false))
@@ -135,6 +148,129 @@ object TimeSeries {
           col("n").isNull.as("is_gap") +:
           aggs.map { case (c, fn) => col(s"${fn}_$c") }: _*)
       .orderBy("bucket_start")
+  }
+
+  /** Default ceiling on generated grid rows — [[resampleGrid]] globally,
+    * [[resampleGridByKey]] summed over keys.
+    */
+  val DefaultMaxGridRows: Long = 100000000L
+
+  /** Grid-generation chunk width for [[resampleGridByKey]]: per-key
+    * buckets materialize through `sequence` arrays of at most this many
+    * elements (≤ ~0.5 MB each), so a wide-span key can never allocate
+    * its whole span as one in-memory array.
+    */
+  private val GridChunk: Long = 65536L
+
+  /** PER-KEY grid resampling — [[resampleGrid]]'s missing half for the
+    * natural sensor pipeline (per-key gap grid → [[forwardFill]]): every
+    * key carries one row per bucket of ITS OWN [min, max] span, absent
+    * buckets reading n = 0 / null aggregates / `is_gap = true`. Buckets
+    * are the same epoch-anchored `everySeconds` intervals; rows with a
+    * null key or timestamp are ignored (a null key has no well-defined
+    * span, and the grid join could not reach it).
+    *
+    * SIZE CONTRACT: the output is Σ per-key spans rows — bounded by the
+    * keys' ACTIVE RANGES, not by input volume, but unbounded in
+    * principle (one sentinel timestamp stretches its key's span). The
+    * call fails loudly when the sum exceeds `maxGridRows`, naming the
+    * widest key. Generation is chunked ([[GridChunk]]): a key's span
+    * explodes as (chunk, offset) pairs, never one span-length array.
+    *
+    * Scale shape: ONE map-side-combined aggregation over the rows
+    * (shuffle ≤ occupied (key, bucket) cells), local-checkpointed — the
+    * bounds/guard read and the join both consume the checkpoint, so the
+    * row-scale input is scanned exactly once and the grid cannot go
+    * stale (the [[resampleGrid]] convention). Key bounds are one more
+    * bounded aggregation; the grid left-joins the occupied cells on
+    * (key, bucket) — both sides grid-sized. Empty input → empty frame.
+    *
+    * Output: (key — original name —, bucket_start timestamp, n, is_gap,
+    * then one `<fn>_<col>` column per requested aggregate), ordered by
+    * (key, bucket_start).
+    */
+  def resampleGridByKey(df: DataFrame, keyCol: String, tsCol: String,
+                        everySeconds: Long,
+                        aggs: Seq[(String, String)] = Nil,
+                        maxGridRows: Long = DefaultMaxGridRows): DataFrame = {
+    require(everySeconds > 0, s"need everySeconds > 0, got $everySeconds")
+    require(maxGridRows > 0, s"need maxGridRows > 0, got $maxGridRows")
+    require(df.columns.contains(keyCol), s"column '$keyCol' not in frame")
+    require(df.columns.contains(tsCol), s"column '$tsCol' not in frame")
+    require(aggs.distinct.size == aggs.size,
+      "duplicate (column, agg) pair: output column names would collide")
+    val outNames = Seq("bucket_start", "n", "is_gap") ++
+      aggs.map { case (c, fn) => s"${fn}_$c" }
+    require(!outNames.contains(keyCol),
+      s"key column '$keyCol' collides with a grid output column")
+    require(maxGridRows <= (1L << 53),
+      s"maxGridRows=$maxGridRows above 2^53 breaks exact span arithmetic")
+    aggs.foreach { case (c, fn) =>
+      require(df.columns.contains(c), s"column '$c' not in frame")
+      require(c != "__k" && c != "__b",
+        s"aggregate column '$c' collides with a grid-internal alias")
+      require(ResampleAggs.contains(fn),
+        s"unsupported agg '$fn' (supported: ${ResampleAggs.mkString(",")})")
+    }
+    val bucket = floor(unix_seconds(col(tsCol).cast(TimestampType))
+      / everySeconds).as("__b")
+    val aggCols = count(lit(1)).as("n") +: aggs.map { case (c, fn) =>
+      val in = col(c)
+      (fn match {
+        case "sum" => sum(in); case "avg" => avg(in)
+        case "min" => min(in); case "max" => max(in)
+        case "count" => count(in)
+      }).as(s"${fn}_$c")
+    }
+    val occupied = df
+      .where(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("__k") +: bucket +:
+        aggs.map(_._1).distinct.map(col): _*)
+      .groupBy(col("__k"), col("__b"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .localCheckpoint()
+    val keyBounds = occupied.groupBy(col("__k"))
+      .agg(min(col("__b")).as("__mn"), max(col("__b")).as("__mx"))
+    val guard = keyBounds
+      .select(col("__k"), (col("__mx") - col("__mn") + 1).as("__span"))
+      .agg(sum(col("__span").cast("decimal(38,0)")),
+        max_by(col("__k"), col("__span")), max(col("__span")))
+      .head()
+    if (guard.isNullAt(0)) {
+      // empty input: the full output schema, zero rows
+      return occupied.withColumn("is_gap", lit(false))
+        .select(col("__k").as(keyCol) +:
+          timestamp_seconds(col("__b") * everySeconds).as("bucket_start") +:
+          col("n") +: col("is_gap") +:
+          aggs.map { case (c, fn) => col(s"${fn}_$c") }: _*)
+        .where(lit(false))
+    }
+    val total = guard.getDecimal(0) // sum over Longs widens
+    require(BigDecimal(total) <= BigDecimal(maxGridRows),
+      s"resampleGridByKey: total grid rows $total (sum of per-key bucket " +
+        s"spans) exceed maxGridRows=$maxGridRows — widest key " +
+        s"'${guard.get(1)}' alone spans ${guard.getLong(2)} buckets at " +
+        s"$everySeconds s/bucket; check for sentinel timestamps, or " +
+        "raise maxGridRows")
+    // chunked generation: (key, chunk) pairs explode first, then each
+    // chunk's ≤GridChunk buckets — span arithmetic stays exact because
+    // the guard above bounds every span below 2^53
+    val grid = keyBounds
+      .select(col("__k"), col("__mn"), col("__mx"),
+        explode(sequence(lit(0L),
+          floor((col("__mx") - col("__mn")) / GridChunk).cast(LongType)))
+          .as("__c"))
+      .select(col("__k"),
+        explode(sequence(col("__mn") + col("__c") * GridChunk,
+          least(col("__mn") + (col("__c") + 1) * GridChunk - 1,
+            col("__mx")))).as("__b"))
+    grid.join(occupied, Seq("__k", "__b"), "left")
+      .select(col("__k").as(keyCol) +:
+        timestamp_seconds(col("__b") * everySeconds).as("bucket_start") +:
+        coalesce(col("n"), lit(0L)).as("n") +:
+        col("n").isNull.as("is_gap") +:
+        aggs.map { case (c, fn) => col(s"${fn}_$c") }: _*)
+      .orderBy(col(keyCol), col("bucket_start"))
   }
 
   /** Per-key forward fill: null values in `cols` take the key's most

@@ -42,6 +42,79 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("resampleGrid: sentinel-wide spans fail loudly at maxGridRows") {
+    val d = Seq((ts(0), 1.0), (ts(100000), 2.0)).toDF("t", "v")
+    val e = intercept[IllegalArgumentException] {
+      TimeSeries.resampleGrid(d, "t", 1, Nil, maxGridRows = 1000L)
+    }
+    assert(e.getMessage.contains("maxGridRows=1000"))
+    assert(e.getMessage.contains("100001"))
+  }
+
+  test("resampleGridByKey: per-key spans, gaps marked, keys isolated") {
+    val d = Seq(
+      ("a", ts(5), 1.0), ("a", ts(25), 5.0),   // a spans buckets 0..2, 1 gap
+      ("b", ts(35), 7.0),                      // b spans only bucket 3
+      (null.asInstanceOf[String], ts(5), 9.0)  // null key ignored
+    ).toDF("k", "t", "v")
+    val out = TimeSeries.resampleGridByKey(d, "k", "t", 10,
+      Seq("v" -> "min", "v" -> "count")).collect()
+    assert(out.length == 4) // a: 0,1,2; b: 3
+    val m = out.map(r => (r.getString(0),
+      r.getTimestamp(1).getTime / 1000) -> r).toMap
+    assert(m(("a", 0L)).getLong(2) == 1 && !m(("a", 0L)).getBoolean(3) &&
+      m(("a", 0L)).getDouble(4) == 1.0 && m(("a", 0L)).getLong(5) == 1L)
+    assert(m(("a", 10L)).getLong(2) == 0 && m(("a", 10L)).getBoolean(3) &&
+      m(("a", 10L)).isNullAt(4))
+    assert(m(("a", 20L)).getDouble(4) == 5.0)
+    assert(m(("b", 30L)).getDouble(4) == 7.0)
+    assert(!m.contains(("b", 0L))) // b's grid starts at ITS min, not a's
+    // empty input -> empty frame, schema intact
+    val e = TimeSeries.resampleGridByKey(d.where(col("v") > 99), "k", "t",
+      10, Seq("v" -> "min"))
+    assert(e.count() == 0)
+    assert(e.columns.toSeq ==
+      Seq("k", "bucket_start", "n", "is_gap", "min_v"))
+    // sum-of-spans guard names the widest key
+    val wide = Seq(("w", ts(0), 1.0), ("w", ts(5000), 1.0),
+      ("n", ts(0), 1.0)).toDF("k", "t", "v")
+    val g = intercept[IllegalArgumentException] {
+      TimeSeries.resampleGridByKey(wide, "k", "t", 1, Nil,
+        maxGridRows = 100L)
+    }
+    assert(g.getMessage.contains("'w'"))
+  }
+
+  test("resampleGridByKey: chunked generation crosses chunk boundaries " +
+      "without loss") {
+    // span 70001 > the 65536 chunk width: every bucket present exactly once
+    val d = Seq(("a", ts(0), 1.0), ("a", ts(70000), 2.0)).toDF("k", "t", "v")
+    val out = TimeSeries.resampleGridByKey(d, "k", "t", 1, Nil)
+    assert(out.count() == 70001L)
+    assert(out.select(countDistinct(col("bucket_start"))).head().getLong(0)
+      == 70001L)
+    val occ = out.where(!col("is_gap")).collect()
+      .map(_.getTimestamp(1).getTime / 1000).sorted
+    assert(occ.toSeq == Seq(0L, 70000L))
+  }
+
+  test("resampleGridByKey composes with forwardFill: per-key gap grid " +
+      "then per-key fill") {
+    val d = Seq(
+      ("a", ts(5), 1.0), ("a", ts(25), 5.0),
+      ("b", ts(35), 7.0), ("b", ts(55), 9.0)
+    ).toDF("k", "t", "v")
+    val grid = TimeSeries.resampleGridByKey(d, "k", "t", 10,
+      Seq("v" -> "min"))
+    val filled = TimeSeries.forwardFill(grid, "k", "bucket_start",
+      Seq("min_v")).collect()
+    val m = filled.map(r => (r.getString(0),
+      r.getTimestamp(1).getTime / 1000) -> r).toMap
+    // a's bucket-1 gap takes a's previous value, never b's
+    assert(m(("a", 10L)).getBoolean(3) && m(("a", 10L)).getDouble(4) == 1.0)
+    assert(m(("b", 40L)).getDouble(4) == 7.0)
+  }
+
   test("forwardFill: last non-null per key in total order; no back-fill; " +
       "keys isolated") {
     val d = Seq[(Int, Timestamp, Option[Double], Option[String])](
