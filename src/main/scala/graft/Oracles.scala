@@ -3562,6 +3562,44 @@ object Oracles {
        |FROM g
        |ORDER BY event_type, bucket_start""".stripMargin
 
+  /** q167: schema-wide OD sweep — the q157 per-pair window arithmetic
+    * over every declared ordered pair of each table, tagged with its
+    * table name.
+    */
+  val q167: String = {
+    def pair(t: String, x: String, y: String): String =
+      s"""SELECT '$t' AS "table", on_column, ordered_column, n_groups,
+         |  asc_violations, desc_violations,
+         |  CASE WHEN asc_violations = 0 AND desc_violations = 0 THEN 'both'
+         |    WHEN asc_violations = 0 THEN 'asc'
+         |    WHEN desc_violations = 0 THEN 'desc'
+         |    ELSE 'none' END AS monotone
+         |FROM (
+         |  SELECT '$x' AS on_column, '$y' AS ordered_column,
+         |    count(*) AS n_groups,
+         |    count(*) FILTER (WHERE pm > mn) AS asc_violations,
+         |    count(*) FILTER (WHERE pn < mx) AS desc_violations
+         |  FROM (
+         |    SELECT mn, mx,
+         |      max(mx) OVER (ORDER BY x
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm,
+         |      min(mn) OVER (ORDER BY x
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pn
+         |    FROM (
+         |      SELECT $x AS x, min($y) AS mn, max($y) AS mx FROM $t
+         |      WHERE $x IS NOT NULL AND $y IS NOT NULL GROUP BY $x) g
+         |  ) w
+         |) a""".stripMargin
+    val decl = Seq(
+      "events" -> Seq("event_id", "ts", "value"),
+      "orders" -> Seq("o_orderkey", "o_orderdate", "o_totalprice"),
+      "documents" -> Seq("doc_id", "n_chars"))
+    decl.flatMap { case (t, cs) =>
+      for (x <- cs; y <- cs if x != y) yield pair(t, x, y)
+    }.mkString("", "\nUNION ALL\n",
+      "\nORDER BY \"table\", on_column, ordered_column")
+  }
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q07_mutual_info_orders" -> q07Pinned,
@@ -3678,6 +3716,7 @@ object Oracles {
       "q164_funnel_timing" -> q164,
       "q165_resample_grid_keyed" -> q165,
       "q166_grid_ffill" -> q166,
+      "q167_od_sweep" -> q167,
       "q160_cohort_retention" -> q160,
       "q161_resample_grid" -> q161,
       "q162_forward_fill" -> q162,

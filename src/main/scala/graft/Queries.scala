@@ -2770,6 +2770,23 @@ object Queries {
         col("bucket_start").asc_nulls_last)
   }
 
+  /** Schema-wide OD sweep (r13): every ordered pair over each table's
+    * declared orderable columns — events' (event_id, ts, value) where
+    * event_id -> ts is a REAL monotone pair (q157's convention), orders'
+    * (o_orderkey, o_orderdate, o_totalprice), documents'
+    * (doc_id, n_chars) — 14 verdicts in one staged call, per-pair
+    * results identical to per-call orderDependencies (spec-pinned).
+    */
+  def q167OdSweep(s: SparkSession, dir: String): DataFrame =
+    stats.KeyDiscovery.discoverOrderDependencies(Seq(
+        ("events", table(s, dir, "events"),
+          Seq("event_id", "ts", "value")),
+        ("orders", table(s, dir, "orders"),
+          Seq("o_orderkey", "o_orderdate", "o_totalprice")),
+        ("documents", table(s, dir, "documents"),
+          Seq("doc_id", "n_chars"))))
+      .orderBy("table", "on_column", "ordered_column")
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -2972,6 +2989,7 @@ object Queries {
     "q164_funnel_timing" -> (q164FunnelTiming _),
     "q165_resample_grid_keyed" -> (q165ResampleGridKeyed _),
     "q166_grid_ffill" -> (q166GridFfill _),
+    "q167_od_sweep" -> (q167OdSweep _),
     "q140_multifield_linkage" -> (q140MultiFieldLinkage _)
   )
 }

@@ -1673,15 +1673,59 @@ object KeyDiscovery {
       Row(x, y, n, ascV, descV, label)
     }
     spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1),
-      StructType(Seq(
-        StructField("on_column", StringType, nullable = false),
-        StructField("ordered_column", StringType, nullable = false),
-        StructField("n_groups", LongType, nullable = false),
-        StructField("asc_violations", LongType, nullable = false),
-        StructField("desc_violations", LongType, nullable = false),
-        StructField("monotone", StringType, nullable = false))))
+      spark.sparkContext.parallelize(rows, 1), orderDependencySchema)
   }
+
+  /** STAGED schema-wide OD sweep — the [[discoverInds]] treatment for
+    * the fourth family member: every ordered (on, ordered) pair over
+    * each table's DECLARED columns (the caller names the
+    * numeric/datetime/ordinal columns worth ordering by, exactly as
+    * [[discoverInds]] takes declared column lists), measured with
+    * per-pair verdicts identical to per-call [[orderDependencies]]
+    * (spec-pinned). ODs are within-table properties, so the sweep is
+    * per-table m·(m−1) pairs — [[MaxCandidates]]-chunked so a wide
+    * table is never one unbounded job fan-out, each chunk's pairs
+    * running as concurrent jobs (the per-call geometry; raw rows are
+    * aggregated once per pair either way, the grouped-extrema plan's
+    * cost shape).
+    *
+    * Output: (table, on_column, ordered_column, n_groups,
+    * asc_violations, desc_violations, monotone), tables in the given
+    * order, each table's pairs in declared-column canonical order.
+    */
+  def discoverOrderDependencies(tables: Seq[(String, DataFrame, Seq[String])],
+                                partitions: Int = 0): DataFrame = {
+    require(tables.nonEmpty, "need at least one table")
+    require(tables.map(_._1).distinct.size == tables.size,
+      "duplicate table name")
+    tables.foreach { case (t, df, cs) =>
+      require(cs.size >= 2, s"table '$t': need at least two columns")
+      require(cs.distinct.size == cs.size, s"table '$t': duplicate column")
+      cs.foreach(c => require(df.columns.contains(c),
+        s"column '$c' not in table '$t'"))
+    }
+    val spark = tables.head._2.sparkSession
+    val out = tables.flatMap { case (t, df, cs) =>
+      val pairs = for (x <- cs; y <- cs if x != y) yield (x, y)
+      pairs.grouped(MaxCandidates).flatMap { chunk =>
+        orderDependencies(df, chunk, partitions).collect().map(r =>
+          Row(t, r.getString(0), r.getString(1), r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getString(5)))
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1),
+      StructType(StructField("table", StringType, nullable = false) +:
+        orderDependencySchema.fields.toSeq))
+  }
+
+  private val orderDependencySchema = StructType(Seq(
+    StructField("on_column", StringType, nullable = false),
+    StructField("ordered_column", StringType, nullable = false),
+    StructField("n_groups", LongType, nullable = false),
+    StructField("asc_violations", LongType, nullable = false),
+    StructField("desc_violations", LongType, nullable = false),
+    StructField("monotone", StringType, nullable = false)))
 
   /** One pair's OD measure: (n_groups, asc_violations,
     * desc_violations) — the grouped-prefix-extrema plan the

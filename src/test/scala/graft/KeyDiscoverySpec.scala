@@ -1,6 +1,8 @@
 package graft
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import graft.stats.KeyDiscovery
 
 class KeyDiscoverySpec extends SparkSpec {
@@ -879,6 +881,50 @@ class KeyDiscoverySpec extends SparkSpec {
       assert(got.getLong(2) == groups.size, s"trial $trial p=$p")
       assert(got.getLong(3) == ascViol, s"trial $trial p=$p")
       assert(got.getLong(4) == descViol, s"trial $trial p=$p")
+    }
+  }
+
+  test("discoverOrderDependencies: sweep verdicts equal per-call results " +
+      "across MaxCandidates chunks; declared-pair fan-out and order") {
+    val rnd = new scala.util.Random(7)
+    // 9 columns -> 72 ordered pairs, spanning two MaxCandidates=64 chunks
+    val cols = (0 until 9).map(i => s"c$i")
+    val rows = Seq.fill(120)(Row.fromSeq(
+      Seq.fill(9)(rnd.nextInt(15): java.lang.Integer)))
+    val schema = StructType(cols.map(c =>
+      StructField(c, IntegerType, nullable = true)))
+    val d = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val sweep = KeyDiscovery.discoverOrderDependencies(
+      Seq(("t", d, cols))).collect()
+    assert(sweep.length == 72)
+    assert(sweep.forall(_.getString(0) == "t"))
+    // declared-order canonical pair order, across the chunk boundary
+    val expPairs = for (x <- cols; y <- cols if x != y) yield (x, y)
+    assert(sweep.map(r => (r.getString(1), r.getString(2))).toSeq
+      == expPairs)
+    // verdict parity with per-call orderDependencies on a sample of
+    // pairs from BOTH chunks
+    for ((x, y) <- Seq(("c0", "c1"), ("c3", "c8"), ("c8", "c0"))) {
+      val one = KeyDiscovery.orderDependencies(d, Seq(x -> y)).head()
+      val row = sweep.find(r =>
+        r.getString(1) == x && r.getString(2) == y).get
+      assert((row.getLong(3), row.getLong(4), row.getLong(5),
+        row.getString(6)) ==
+        ((one.getLong(2), one.getLong(3), one.getLong(4),
+          one.getString(5))), s"($x,$y)")
+    }
+    // multi-table: rows tagged with their table, tables in given order
+    val d2 = Seq((1, 10), (2, 20), (3, 15)).toDF("a", "b")
+    val two = KeyDiscovery.discoverOrderDependencies(
+      Seq(("u", d2, Seq("a", "b")), ("v", d2, Seq("a", "b")))).collect()
+    assert(two.map(_.getString(0)).toSeq == Seq("u", "u", "v", "v"))
+    intercept[IllegalArgumentException] {
+      KeyDiscovery.discoverOrderDependencies(Seq(("t", d2, Seq("a"))))
+    }
+    intercept[IllegalArgumentException] {
+      KeyDiscovery.discoverOrderDependencies(
+        Seq(("t", d2, Seq("a", "b")), ("t", d2, Seq("a", "b"))))
     }
   }
 
