@@ -422,6 +422,38 @@ object StreamingFrame {
           (m("reached").toInt, m("last").toLong)
         case v => throw new StateVersionMismatch(v)
       }
+
+    /** Cohort-state payload: two integer scalars (first-event epoch day +
+      * the highest period offset already emitted), carrying the PERIOD
+      * WIDTH the state was written against — offsets are only meaningful
+      * relative to their period, so a restart with a different
+      * `periodDays` must fail loudly instead of silently reinterpreting
+      * progress (the funnel-steps convention).
+      */
+    val CohortVersion = 1
+
+    /** Checkpoint cohort state written against a different period width. */
+    final class CohortConfigMismatch(found: Int, expected: Int)
+        extends IllegalStateException(
+          s"streaming cohort state was written for periodDays=$found; " +
+            s"this query declares periodDays=$expected — period offsets " +
+            "are not transferable, restart from a fresh checkpoint")
+
+    def encodeCohort(periodDays: Int, firstDay: Int,
+                     lastOffset: Long): Enveloped =
+      Enveloped(CohortVersion,
+        s"""{"p":$periodDays,"first":$firstDay,"last":$lastOffset}""")
+
+    def decodeCohort(e: Enveloped, expectedPeriod: Int): (Int, Long) =
+      e.version match {
+        case CohortVersion =>
+          val m = graft.schema.SchemaMetadata.parseJsonValueMap(e.json)
+          val p = m("p").toInt
+          if (p != expectedPeriod)
+            throw new CohortConfigMismatch(p, expectedPeriod)
+          (m("first").toInt, m("last").toLong)
+        case v => throw new StateVersionMismatch(v)
+      }
   }
 
   def statefulProfile(stream: DataFrame, keyCol: String, valueCol: String)
@@ -566,6 +598,75 @@ object StreamingFrame {
           val next = FunnelReach(actor, r)
           state.update(StateEnvelope.encodeFunnel(k, r, last))
           next
+      }
+  }
+
+  /** One newly-activated retention cell: the actor became active in its
+    * cohort's `period_offset`-th period. `groupBy(cohort_period,
+    * period_offset).count()` over all emissions reproduces the batch
+    * [[graft.ops.EventAnalytics.cohortRetention]] `n_active` cells, and
+    * the offset-0 emissions count each cohort's size.
+    */
+  final case class CohortHit(actor: String, cohort_period: Long,
+                             period_offset: Long)
+
+  /** Per-actor cohort-retention progress carried in custom streaming
+    * state — the streaming twin of
+    * [[graft.ops.EventAnalytics.cohortRetention]]. Emits one
+    * [[CohortHit]] the first time an actor is seen active in each new
+    * period offset (update mode); the batch cells are a downstream
+    * `groupBy(cohort_period, period_offset)` count away.
+    *
+    * State per actor is TWO integer scalars (first-event epoch day + the
+    * highest offset already emitted) inside the versioned
+    * [[StateEnvelope.Enveloped]] payload — bounded regardless of event
+    * volume. Within a micro-batch the actor's event days are sorted
+    * before the walk, so replaying a log through micro-batches IN
+    * EVENT-TIME ORDER reproduces the batch cells identically
+    * (spec-pinned, the IngestTwin convention). The honest streaming
+    * caveat, same as the funnel twin: an event arriving in a LATER
+    * micro-batch than a chronologically-later event cannot retroactively
+    * move the actor's first day (the cohort anchor) or re-emit an offset
+    * below the frontier — streaming under-counts on cross-batch disorder
+    * rather than guessing.
+    */
+  def streamingCohort(stream: DataFrame, actorCol: String, tsCol: String,
+                      periodDays: Int = 7)
+      : org.apache.spark.sql.Dataset[CohortHit] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+      OutputMode}
+    import StateEnvelope.Enveloped
+    require(periodDays > 0, s"need periodDays > 0, got $periodDays")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col(actorCol).cast(StringType).as("a"),
+        datediff(to_date(col(tsCol)), lit("1970-01-01").cast("date"))
+          .as("d"))
+      .where(col("a").isNotNull && col("d").isNotNull)
+      .as[(String, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Enveloped, CohortHit](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (actor, rows, state: GroupState[Enveloped]) =>
+          val days = rows.map(_._2).toArray.sorted
+          val (first, last0) = state.getOption
+            .map(StateEnvelope.decodeCohort(_, periodDays))
+            .getOrElse((days.head, -1L))
+          val cohort = Math.floorDiv(first.toLong, periodDays.toLong)
+          var last = last0
+          val out = Seq.newBuilder[CohortHit]
+          days.foreach { d =>
+            // floorDiv keeps a LATE day before the anchor negative (and
+            // therefore below the frontier) instead of wrapping to 0
+            val off = Math.floorDiv((d - first).toLong, periodDays.toLong)
+            if (off > last) {
+              out += CohortHit(actor, cohort, off)
+              last = off
+            }
+          }
+          state.update(StateEnvelope.encodeCohort(periodDays, first, last))
+          out.result().iterator
       }
   }
 }
