@@ -3527,7 +3527,8 @@ object Oracles {
     s"""WITH o AS (
        |  SELECT event_type, CAST(floor(epoch(ts) / 21600) AS BIGINT) b,
        |    count(*) n, min(value) min_value, max(value) max_value
-       |  FROM events WHERE ts IS NOT NULL AND value > 250
+       |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+       |    AND value > 250
        |  GROUP BY 1, 2),
        |kb AS (SELECT event_type, min(b) mn, max(b) mx FROM o GROUP BY 1),
        |grid AS (SELECT event_type, unnest(generate_series(mn, mx)) AS b
@@ -3545,7 +3546,8 @@ object Oracles {
     s"""WITH o AS (
        |  SELECT event_type, CAST(floor(epoch(ts) / 21600) AS BIGINT) b,
        |    count(*) n, min(value) min_value
-       |  FROM events WHERE ts IS NOT NULL AND value > 250
+       |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+       |    AND value > 250
        |  GROUP BY 1, 2),
        |kb AS (SELECT event_type, min(b) mn, max(b) mx FROM o GROUP BY 1),
        |grid AS (SELECT event_type, unnest(generate_series(mn, mx)) AS b

@@ -2658,12 +2658,13 @@ object Queries {
       .orderBy(col("total_out_rows"), col("out_rows").desc, col("key"))
   }
 
-  /** Ordered funnel (r12): signup → view → click → purchase over the
-    * events log — step i is the earliest matching event STRICTLY after
-    * step i−1's time (nested-min), computed in ONE actor-keyed shuffle
-    * via a greedy fold over each actor's time-sorted events. The oracle
-    * recomputes the nested-min form with chained CTEs; conversion
-    * ratios are raw double quotients of exact counts.
+  /** Ordered funnel (r12, reworked r13): signup → view → click →
+    * purchase over the events log — step i is the earliest matching
+    * event STRICTLY after step i−1's time (nested-min), computed by the
+    * skew-safe segmented fold: one (actor, time-segment) shuffle to
+    * bounded transition vectors, then a segment-count-sized actor-keyed
+    * merge. The oracle recomputes the nested-min form with chained
+    * CTEs; conversion ratios are raw double quotients of exact counts.
     */
   def q159Funnel(s: SparkSession, dir: String): DataFrame =
     ops.EventAnalytics.funnel(table(s, dir, "events"),

@@ -21,9 +21,11 @@ import org.apache.spark.sql.types._
   */
 object EventAnalytics {
 
-  /** Widest accepted conversion window (≈100k years in seconds): keeps
-    * `step-1 micros + window micros` comfortably inside a Long for any
-    * representable timestamp, so the deadline arithmetic can't overflow.
+  /** Widest accepted conversion window (≈100k years in seconds) — an API
+    * sanity bound. The deadline arithmetic itself is SATURATING (a
+    * far-future anchor near Long.MaxValue µs clamps the deadline to
+    * Long.MaxValue — "no deadline" — instead of wrapping negative and
+    * silently censoring every conversion, or throwing under ANSI).
     */
   val MaxWindowSeconds: Long = 3153600000000L
 
@@ -202,6 +204,13 @@ object EventAnalytics {
         col(typeCol).as("__y"), seg.as("__seg"))
     val stepArr = array(steps.map(lit): _*)
     val emptyAdv = array().cast(ArrayType(LongType, containsNull = false))
+    // saturating deadline: anchor + winMicros clamps to Long.MaxValue for
+    // a far-future anchor instead of wrapping (non-ANSI) or throwing
+    // (ANSI) — either would corrupt the censoring on exactly the
+    // sentinel-timestamp inputs the resampleGrid guard class defends
+    def deadline(anchor: Column): Column =
+      when(anchor > lit(Long.MaxValue - winMicros), lit(Long.MaxValue))
+        .otherwise(anchor + winMicros)
     // per (actor, segment): sorted events fold to the transition vector —
     // vec(i+1) = the advance-timestamp sequence from entry progress i.
     // Within a segment the entry `last` never constrains the FIRST
@@ -215,16 +224,17 @@ object EventAnalytics {
       .select(col("__a"), col("__seg"),
         transform(sequence(lit(0), lit(k - 1)), i =>
           aggregate(col("__evs"), emptyAdv, (adv, e) => {
-            // index clamped to k: the left conjunct already rules the
-            // clamped case out, but ANSI element_at must never see an
-            // out-of-bounds index even under conjunct reordering
+            // every adv/stepArr access is shielded from ANSI
+            // out-of-bounds: the index clamp and the lazy CASE branches
+            // hold even if the optimizer reorders the conjuncts
             val advance = size(adv) < (lit(k) - i) &&
               e("y") === element_at(stepArr,
                 least(i + size(adv) + 1, lit(k)).cast(IntegerType)) &&
-              (size(adv) === 0 || e("t") > element_at(adv, -1)) &&
+              when(size(adv) === 0, lit(true))
+                .otherwise(e("t") > element_at(adv, -1)) &&
               (if (windowSeconds > 0)
-                i > 0 || size(adv) === 0 ||
-                  e("t") <= element_at(adv, 1) + winMicros
+                i > 0 || when(size(adv) === 0, lit(true))
+                  .otherwise(e("t") <= deadline(element_at(adv, 1)))
               else lit(true))
             when(advance, concat(adv, array(e("t")))).otherwise(adv)
           })).as("__vec"))
@@ -241,7 +251,7 @@ object EventAnalytics {
           val local =
             if (windowSeconds > 0)
               when(size(adv) >= 1, filter(localRaw,
-                a => a <= element_at(adv, 1) + winMicros))
+                a => a <= deadline(element_at(adv, 1))))
                 .otherwise(localRaw)
             else localRaw
           when(size(adv) >= k, adv).otherwise(concat(adv, local))

@@ -65,6 +65,36 @@ object TimeSeries {
     */
   val ResampleAggs: Set[String] = Set("sum", "avg", "min", "max", "count")
 
+  /** Shared grid machinery: the epoch-anchored bucket expression, the
+    * closed aggregate-column builder, and its validation — defined once
+    * so [[resampleGrid]] and [[resampleGridByKey]] can never drift on
+    * bucket convention or supported aggregates.
+    */
+  private def gridBucket(tsCol: String, everySeconds: Long): Column =
+    floor(unix_seconds(col(tsCol).cast(TimestampType)) / everySeconds)
+      .as("__b")
+
+  private def validateGridAggs(df: DataFrame,
+                               aggs: Seq[(String, String)]): Unit = {
+    require(aggs.distinct.size == aggs.size,
+      "duplicate (column, agg) pair: output column names would collide")
+    aggs.foreach { case (c, fn) =>
+      require(df.columns.contains(c), s"column '$c' not in frame")
+      require(ResampleAggs.contains(fn),
+        s"unsupported agg '$fn' (supported: ${ResampleAggs.mkString(",")})")
+    }
+  }
+
+  private def gridAggCols(aggs: Seq[(String, String)]): Seq[Column] =
+    count(lit(1)).as("n") +: aggs.map { case (c, fn) =>
+      val in = col(c)
+      (fn match {
+        case "sum" => sum(in); case "avg" => avg(in)
+        case "min" => min(in); case "max" => max(in)
+        case "count" => count(in)
+      }).as(s"${fn}_$c")
+    }
+
   /** Fixed-interval resample with GAP MATERIALIZATION — what [[resample]]
     * (a plain groupBy) cannot provide: the output carries one row per
     * bucket of the FULL [min, max] grid, absent buckets appearing with
@@ -95,23 +125,9 @@ object TimeSeries {
     require(everySeconds > 0, s"need everySeconds > 0, got $everySeconds")
     require(maxGridRows > 0, s"need maxGridRows > 0, got $maxGridRows")
     require(df.columns.contains(tsCol), s"column '$tsCol' not in frame")
-    require(aggs.distinct.size == aggs.size,
-      "duplicate (column, agg) pair: output column names would collide")
-    aggs.foreach { case (c, fn) =>
-      require(df.columns.contains(c), s"column '$c' not in frame")
-      require(ResampleAggs.contains(fn),
-        s"unsupported agg '$fn' (supported: ${ResampleAggs.mkString(",")})")
-    }
-    val bucket = floor(unix_seconds(col(tsCol).cast(TimestampType))
-      / everySeconds).as("__b")
-    val aggCols = count(lit(1)).as("n") +: aggs.map { case (c, fn) =>
-      val in = col(c)
-      (fn match {
-        case "sum" => sum(in); case "avg" => avg(in)
-        case "min" => min(in); case "max" => max(in)
-        case "count" => count(in)
-      }).as(s"${fn}_$c")
-    }
+    validateGridAggs(df, aggs)
+    val bucket = gridBucket(tsCol, everySeconds)
+    val aggCols = gridAggCols(aggs)
     // bounded (≤ occupied buckets) and consumed twice (bounds + join):
     // checkpoint so the raw input is scanned ONCE and the grid cannot go
     // stale against a mutating source
@@ -197,31 +213,19 @@ object TimeSeries {
     require(maxGridRows > 0, s"need maxGridRows > 0, got $maxGridRows")
     require(df.columns.contains(keyCol), s"column '$keyCol' not in frame")
     require(df.columns.contains(tsCol), s"column '$tsCol' not in frame")
-    require(aggs.distinct.size == aggs.size,
-      "duplicate (column, agg) pair: output column names would collide")
     val outNames = Seq("bucket_start", "n", "is_gap") ++
       aggs.map { case (c, fn) => s"${fn}_$c" }
     require(!outNames.contains(keyCol),
       s"key column '$keyCol' collides with a grid output column")
     require(maxGridRows <= (1L << 53),
       s"maxGridRows=$maxGridRows above 2^53 breaks exact span arithmetic")
-    aggs.foreach { case (c, fn) =>
-      require(df.columns.contains(c), s"column '$c' not in frame")
+    validateGridAggs(df, aggs)
+    aggs.foreach { case (c, _) =>
       require(c != "__k" && c != "__b",
         s"aggregate column '$c' collides with a grid-internal alias")
-      require(ResampleAggs.contains(fn),
-        s"unsupported agg '$fn' (supported: ${ResampleAggs.mkString(",")})")
     }
-    val bucket = floor(unix_seconds(col(tsCol).cast(TimestampType))
-      / everySeconds).as("__b")
-    val aggCols = count(lit(1)).as("n") +: aggs.map { case (c, fn) =>
-      val in = col(c)
-      (fn match {
-        case "sum" => sum(in); case "avg" => avg(in)
-        case "min" => min(in); case "max" => max(in)
-        case "count" => count(in)
-      }).as(s"${fn}_$c")
-    }
+    val bucket = gridBucket(tsCol, everySeconds)
+    val aggCols = gridAggCols(aggs)
     val occupied = df
       .where(col(keyCol).isNotNull && col(tsCol).isNotNull)
       .select(col(keyCol).as("__k") +: bucket +:

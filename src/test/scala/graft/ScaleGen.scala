@@ -15,9 +15,14 @@ import org.apache.spark.sql.functions._
   * suffix so the corpus isn't 90% exact duplicates, which would stress
   * dedup in an unrealistic way.
   *
-  * Usage: Test/runMain graft.ScaleGen [outDir] [copies] [tables]
+  * Usage: Test/runMain graft.ScaleGen [outDir] [copies] [tables] [zipfPct]
   *        (tables = optional comma list, e.g. "embeddings" for a
-  *        vectors-only stress corpus at high copy counts)
+  *        vectors-only stress corpus at high copy counts; zipfPct > 0
+  *        remaps that percentage of EVENTS rows — deterministically by
+  *        event_id hash — onto ONE hot actor spanning every copy, the
+  *        adversarial bot/service-account skew the uniform generator
+  *        never produces, so actor-keyed operators probe their skew
+  *        posture, not just their volume scaling)
   * then:  SPARK_GRAFT_SF_DIR=<outDir> sbt "runMain graft.Bench"
   */
 object ScaleGen {
@@ -34,7 +39,10 @@ object ScaleGen {
       s"copies = $copies > 999: the name-block distance argument covers " +
         "3-digit copy indices only — extend ScaleGen before going past it")
     val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").map(_.trim).toSet) else None
+      if (args.length > 2 && args(2).nonEmpty)
+        Some(args(2).split(",").map(_.trim).toSet) else None
+    val zipfPct = if (args.length > 3) args(3).toInt else 0
+    require(zipfPct >= 0 && zipfPct <= 90, s"zipfPct $zipfPct not in 0..90")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -117,12 +125,19 @@ object ScaleGen {
       out
     }
 
+    // one hot actor far outside the shifted id space, shared by all copies
+    val HotActor = 77L * Shift
     for (t <- facts.filter(t => only.forall(_.contains(t)))) {
       val base = Queries.table(spark, srcDir, t)
-      val scaled = (0 until copies).map(i => shifted(base, i))
+      var scaled = (0 until copies).map(i => shifted(base, i))
         .reduce(_ unionAll _)
+      if (t == "events" && zipfPct > 0)
+        scaled = scaled.withColumn("user_id",
+          when(pmod(xxhash64(col("event_id")), lit(100L)) < zipfPct,
+            lit(HotActor)).otherwise(col("user_id")))
       scaled.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
-      println(s"[scalegen] $t x$copies -> $outDir")
+      println(s"[scalegen] $t x$copies -> $outDir" +
+        (if (t == "events" && zipfPct > 0) s" (zipf $zipfPct%)" else ""))
     }
     for (t <- dims.filter(t => only.forall(_.contains(t)))) {
       Queries.table(spark, srcDir, t)
