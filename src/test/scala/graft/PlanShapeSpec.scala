@@ -149,6 +149,28 @@ class PlanShapeSpec extends SparkSpec {
       s"only the two join-input exchanges:\n$plan")
   }
 
+  test("segmented funnel: two hash-aggregate exchanges — (actor, segment) " +
+      "then actor — and never a Sort over raw rows") {
+    val evs = (0L until 200L).map(i =>
+      (i % 7, new java.sql.Timestamp(i * 3600L * 1000L),
+        Seq("a", "b", "c")((i % 3).toInt))).toDF("u", "t", "y")
+    val plan = planOf(graft.ops.EventAnalytics.actorProgress(
+      evs, "u", "t", "y", Seq("a", "b", "c"), 0L, 86400L))
+    // exactly the two shuffles of the two-level fold: row-scale by
+    // (actor, segment), vector-scale by actor — a third would mean the
+    // skew-splitting segment key silently dropped out of the plan
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2,
+      s"expect exactly 2 hash exchanges:\n$plan")
+    // the fold sorts ARRAYS inside aggregate result expressions, never
+    // the relation: a Sort node (or a sort-based aggregate) means
+    // per-actor history materialized as task-local rows again
+    assert(!plan.contains("Sort ["), s"no relational Sort:\n$plan")
+    assert(!plan.contains("SortAggregate"),
+      s"hash aggregation expected:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"object-hash collect expected:\n$plan")
+  }
+
   test("gridJoin under AQE skew-join: result and plan shape are unchanged") {
     // gridJoin hand-splits hot keys BEFORE the exchange; AQE's runtime
     // skew split targets sort-merge joins post-hoc. Pin that enabling it
