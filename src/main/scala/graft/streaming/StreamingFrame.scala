@@ -391,16 +391,18 @@ object StreamingFrame {
       }
     }
 
-    /** Funnel-state payload: three integer scalars, no doubles — version
-      * 1 of its own payload kind (the kind is implied by which decoder
-      * the operator calls; versions advance per kind). The payload also
+    /** Funnel-state payload: four integer scalars, no doubles — version
+      * 2 of its own payload kind (the kind is implied by which decoder
+      * the operator calls; versions advance per kind); v2 added the
+      * conversion-window anchor, with a v1 upgrade arm for unwindowed
+      * resumes. The payload also
       * carries the STEP COUNT the state was written against: a `reached`
       * index is only meaningful relative to its steps list, so a restart
       * whose funnel has a different length must fail loudly instead of
       * silently reinterpreting progress (the same cross-binary misread
       * class the envelope itself exists to make loud).
       */
-    val FunnelVersion = 1
+    val FunnelVersion = 2
 
     /** Checkpoint funnel state written against a different steps list. */
     final class FunnelConfigMismatch(found: Int, expected: Int)
@@ -409,17 +411,38 @@ object StreamingFrame {
             s"this query declares $expected steps — reached indices are " +
             "not transferable, restart from a fresh checkpoint")
 
-    def encodeFunnel(k: Int, reached: Int, lastMicros: Long): Enveloped =
+    def encodeFunnel(k: Int, reached: Int, lastMicros: Long,
+                     anchorMicros: Long): Enveloped =
       Enveloped(FunnelVersion,
-        s"""{"k":$k,"reached":$reached,"last":$lastMicros}""")
+        s"""{"k":$k,"reached":$reached,"last":$lastMicros,""" +
+          s""""anchor":$anchorMicros}""")
 
-    def decodeFunnel(e: Enveloped, expectedK: Int): (Int, Long) =
+    /** (reached, lastMicros, anchorMicros) — `anchor` is the step-1
+      * advance time, the conversion-window deadline base (version 2; the
+      * version-1 arm reconstructs it for UNWINDOWED resumes, where the
+      * anchor is never read — a v1 checkpoint resumed into a WINDOWED
+      * funnel has never applied the deadline and must fail loudly).
+      */
+    def decodeFunnel(e: Enveloped, expectedK: Int,
+                     windowed: Boolean = false): (Int, Long, Long) =
       e.version match {
         case FunnelVersion =>
           val m = graft.schema.SchemaMetadata.parseJsonValueMap(e.json)
           val k = m("k").toInt
           if (k != expectedK) throw new FunnelConfigMismatch(k, expectedK)
-          (m("reached").toInt, m("last").toLong)
+          (m("reached").toInt, m("last").toLong, m("anchor").toLong)
+        case 1 =>
+          if (windowed)
+            throw new IllegalStateException(
+              "streaming funnel state predates conversion windows (v1): " +
+                "its progress never applied the deadline — restart the " +
+                "windowed query from a fresh checkpoint")
+          val m = graft.schema.SchemaMetadata.parseJsonValueMap(e.json)
+          val k = m("k").toInt
+          if (k != expectedK) throw new FunnelConfigMismatch(k, expectedK)
+          // unwindowed: the anchor is dead state; carry `last` (the only
+          // timestamp v1 kept) so a later inspection sees a sane value
+          (m("reached").toInt, m("last").toLong, m("last").toLong)
         case v => throw new StateVersionMismatch(v)
       }
 
@@ -550,9 +573,14 @@ object StreamingFrame {
     * actor's furthest step after every micro-batch touching it (update
     * mode); step counts are a downstream `groupBy(reached)` away.
     *
-    * State per actor is TWO scalars (furthest step index + its event
-    * time in µs) inside the versioned [[StateEnvelope.Enveloped]]
-    * payload — bounded regardless of event volume. Within a micro-batch
+    * State per actor is THREE scalars (furthest step index, its event
+    * time in µs, and the step-1 anchor time the conversion-window
+    * deadline is measured from) inside the versioned
+    * [[StateEnvelope.Enveloped]] payload — bounded regardless of event
+    * volume. `windowSeconds > 0` applies the batch funnel's standard
+    * conversion window (steps 2..k at or before anchor + window,
+    * inclusive, saturating — the
+    * [[graft.ops.EventAnalytics.funnel]] semantics). Within a micro-batch
     * the actor's rows are sorted by (ts, type) before the greedy fold —
     * the exact batch tie rule — so replaying a log through micro-batches
     * IN EVENT-TIME ORDER reproduces the batch funnel verdicts
@@ -565,15 +593,22 @@ object StreamingFrame {
   final case class FunnelReach(actor: String, reached: Int)
 
   def streamingFunnel(stream: DataFrame, actorCol: String, tsCol: String,
-                      typeCol: String, steps: Seq[String])
+                      typeCol: String, steps: Seq[String],
+                      windowSeconds: Long = 0L)
       : org.apache.spark.sql.Dataset[FunnelReach] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
     import StateEnvelope.Enveloped
     require(steps.nonEmpty, "need at least one funnel step")
     require(steps.distinct.size == steps.size, "duplicate funnel step")
+    require(windowSeconds >= 0 &&
+      windowSeconds <= graft.ops.EventAnalytics.MaxWindowSeconds,
+      s"need 0 <= windowSeconds <= " +
+        s"${graft.ops.EventAnalytics.MaxWindowSeconds}, got $windowSeconds")
     val spark = stream.sparkSession
     import spark.implicits._
     val k = steps.size
+    val winMicros = windowSeconds * 1000000L
+    val windowed = windowSeconds > 0
     stream
       .select(col(actorCol).cast(StringType).as("a"),
         unix_micros(col(tsCol).cast(TimestampType)).as("t"),
@@ -585,18 +620,27 @@ object StreamingFrame {
       .mapGroupsWithState[Enveloped, FunnelReach](
         GroupStateTimeout.NoTimeout) {
         case (actor, rows, state: GroupState[Enveloped]) =>
-          val (r0, t0) = state.getOption
-            .map(StateEnvelope.decodeFunnel(_, k)).getOrElse((0, 0L))
+          val (r0, t0, a0) = state.getOption
+            .map(StateEnvelope.decodeFunnel(_, k, windowed))
+            .getOrElse((0, 0L, 0L))
           var r = r0
           var last = t0
+          var anchor = a0
+          // saturating deadline — the batch fold's convention: a
+          // far-future anchor means "no deadline", never a wrapped one
+          def deadline: Long =
+            if (anchor > Long.MaxValue - winMicros) Long.MaxValue
+            else anchor + winMicros
           // batch-local sort restores the batch fold's (ts, type) order
           rows.toSeq.sortBy(e => (e._2, e._3)).foreach { case (_, t, y) =>
-            if (r < k && y == steps(r) && (r == 0 || t > last)) {
+            if (r < k && y == steps(r) && (r == 0 || t > last) &&
+                (!windowed || r == 0 || t <= deadline)) {
+              if (r == 0) anchor = t
               r += 1; last = t
             }
           }
           val next = FunnelReach(actor, r)
-          state.update(StateEnvelope.encodeFunnel(k, r, last))
+          state.update(StateEnvelope.encodeFunnel(k, r, last, anchor))
           next
       }
   }

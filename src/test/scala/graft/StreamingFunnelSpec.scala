@@ -70,14 +70,60 @@ class StreamingFunnelSpec extends SparkSpec {
     assert(r.getInt(0) == 1) // batch order would read 2; late data: 1
     // envelope: exact round-trip, loud unknown version, loud STEPS
     // mismatch — a reached index is meaningless against another funnel
-    val e = StreamingFrame.StateEnvelope.encodeFunnel(3, 2, 123456789L)
+    val e = StreamingFrame.StateEnvelope.encodeFunnel(3, 2, 123456789L,
+      100000L)
     assert(StreamingFrame.StateEnvelope.decodeFunnel(e, 3) ==
-      ((2, 123456789L)))
+      ((2, 123456789L, 100000L)))
     intercept[IllegalStateException] {
       StreamingFrame.StateEnvelope.decodeFunnel(e.copy(version = 99), 3)
     }
     intercept[StreamingFrame.StateEnvelope.FunnelConfigMismatch] {
       StreamingFrame.StateEnvelope.decodeFunnel(e, 2)
     }
+    // v1 upgrade arm: an unwindowed resume decodes (anchor = last, dead
+    // state); a WINDOWED resume of pre-window state must fail loudly —
+    // its progress never applied the deadline
+    val v1 = StreamingFrame.StateEnvelope.Enveloped(1,
+      """{"k":3,"reached":2,"last":123456789}""")
+    assert(StreamingFrame.StateEnvelope.decodeFunnel(v1, 3) ==
+      ((2, 123456789L, 123456789L)))
+    intercept[IllegalStateException] {
+      StreamingFrame.StateEnvelope.decodeFunnel(v1, 3, windowed = true)
+    }
+  }
+
+  test("windowed streamingFunnel replayed in event-time order equals " +
+      "the windowed batch funnel") {
+    val rnd = new scala.util.Random(31)
+    val events = Seq.fill(400)((rnd.nextInt(40).toLong,
+      ts(rnd.nextInt(500)), s"${('a' + rnd.nextInt(4)).toChar}"))
+    val ordered = events.sortBy(e => (e._2.getTime, e._3))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamingFrame.streamingFunnel(
+      mem.toDF.toDF("u", "t", "y"), "u", "t", "y", steps,
+      windowSeconds = 120L)
+    val q = out.writeStream.format("memory").queryName("funnel_win")
+      .outputMode("update").start()
+    ordered.grouped(90).foreach { batch =>
+      mem.addData(batch)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.sql(
+      "SELECT actor, reached FROM funnel_win").collect()
+      .groupBy(_.getString(0))
+      .map { case (_, rows) => rows.map(_.getInt(1)).max }
+    val streamCounts = (1 to steps.size).map(i =>
+      streamed.count(_ >= i).toLong)
+    val batchCounts = EventAnalytics.funnel(
+      events.toDF("u", "t", "y"), "u", "t", "y", steps,
+      windowSeconds = 120L).collect().map(_.getLong(2)).toSeq
+    assert(streamCounts == batchCounts)
+    // and the window genuinely censors in this fixture
+    val unwindowed = EventAnalytics.funnel(
+      events.toDF("u", "t", "y"), "u", "t", "y", steps)
+      .collect().map(_.getLong(2)).toSeq
+    assert(batchCounts != unwindowed)
   }
 }
