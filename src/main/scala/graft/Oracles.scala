@@ -3602,6 +3602,57 @@ object Oracles {
       "\nORDER BY \"table\", on_column, ordered_column")
   }
 
+  /** q168: per-actor funnel drill-down — the q163 windowed CTE chain
+    * left-joined onto the participating-actor set; reached is a CASE
+    * over which step CTEs contain the actor, step timestamps are the
+    * CTE mins themselves.
+    */
+  val q168: String = {
+    val w = 604800L
+    val steps = Seq("signup", "view", "click", "purchase")
+    val ctes = steps.zipWithIndex.map { case (st, i) =>
+      if (i == 0)
+        s"""s1 AS (SELECT user_id, min(ts) t, min(ts) t0 FROM events
+           |  WHERE event_type = '$st' AND user_id IS NOT NULL
+           |    AND ts IS NOT NULL GROUP BY 1)""".stripMargin
+      else
+        s"""s${i + 1} AS (SELECT e.user_id, min(e.ts) t, p.t0 FROM events e
+           |  JOIN s$i p ON e.user_id = p.user_id
+           |  WHERE e.event_type = '$st' AND e.ts > p.t
+           |    AND e.ts <= p.t0 + INTERVAL '$w seconds'
+           |  GROUP BY 1, 3)""".stripMargin
+    }
+    val reached = steps.indices.reverse.map(i =>
+      s"WHEN s${i + 1}.t IS NOT NULL THEN ${i + 1}").mkString(" ")
+    val joins = steps.indices.map(i =>
+      s"LEFT JOIN s${i + 1} ON a.user_id = s${i + 1}.user_id").mkString("\n  ")
+    val tsCols = steps.indices.map(i =>
+      s"s${i + 1}.t AS step${i + 1}_ts").mkString(", ")
+    s"""WITH ${ctes.mkString(",\n")},
+       |actors AS (SELECT DISTINCT user_id FROM events
+       |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+       |    AND event_type IN (${steps.map(st => s"'$st'").mkString(",")}))
+       |SELECT a.user_id, CASE $reached ELSE 0 END AS reached, $tsCols
+       |FROM actors a $joins
+       |ORDER BY a.user_id""".stripMargin
+  }
+
+  /** q169: next-event distribution — the identical lead(1) window over
+    * the (ts, type, event_id) total order, terminal rows excluded,
+    * share as the exact quotient.
+    */
+  val q169: String =
+    s"""WITH s AS (SELECT user_id, event_type,
+       |    lead(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_type, event_id) nx
+       |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+       |    AND event_type IS NOT NULL),
+       |f AS (SELECT nx FROM s WHERE event_type = 'signup'
+       |  AND nx IS NOT NULL)
+       |SELECT nx AS next_type, count(*) AS n,
+       |  CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM f) AS share
+       |FROM f GROUP BY 1 ORDER BY n DESC, next_type""".stripMargin
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q07_mutual_info_orders" -> q07Pinned,
@@ -3719,6 +3770,8 @@ object Oracles {
       "q165_resample_grid_keyed" -> q165,
       "q166_grid_ffill" -> q166,
       "q167_od_sweep" -> q167,
+      "q168_funnel_actors" -> q168,
+      "q169_next_event" -> q169,
       "q160_cohort_retention" -> q160,
       "q161_resample_grid" -> q161,
       "q162_forward_fill" -> q162,

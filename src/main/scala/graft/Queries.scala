@@ -2788,6 +2788,30 @@ object Queries {
           Seq("doc_id", "n_chars"))))
       .orderBy("table", "on_column", "ordered_column")
 
+  /** Per-actor funnel drill-down (r13): the windowed q163 funnel's "who
+    * dropped where" — one row per participating actor with its furthest
+    * reached step and each reached step's advance timestamp (the
+    * nested-min times, null beyond the prefix). The 7-day window spreads
+    * reached over 1..4 at sf0.01 (11/22/32/85).
+    */
+  def q168FunnelActors(s: SparkSession, dir: String): DataFrame =
+    ops.EventAnalytics.funnelActors(table(s, dir, "events"),
+        "user_id", "ts", "event_type",
+        Seq("signup", "view", "click", "purchase"),
+        windowSeconds = 604800L)
+      .orderBy(col("user_id").asc_nulls_last)
+
+  /** Next-event distribution (r13): what immediately follows a signup in
+    * each user's (ts, type, event_id)-ordered stream — successor-row
+    * semantics with the tie order made total by event_id, terminal
+    * occurrences excluded, share as the raw exact quotient. The oracle
+    * is the identical lead(1) window in DuckDB.
+    */
+  def q169NextEvent(s: SparkSession, dir: String): DataFrame =
+    ops.EventAnalytics.nextEventDistribution(table(s, dir, "events"),
+      "user_id", "ts", "event_type", "signup",
+      orderCols = Seq("event_id"))
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -2991,6 +3015,8 @@ object Queries {
     "q165_resample_grid_keyed" -> (q165ResampleGridKeyed _),
     "q166_grid_ffill" -> (q166GridFfill _),
     "q167_od_sweep" -> (q167OdSweep _),
+    "q168_funnel_actors" -> (q168FunnelActors _),
+    "q169_next_event" -> (q169NextEvent _),
     "q140_multifield_linkage" -> (q140MultiFieldLinkage _)
   )
 }

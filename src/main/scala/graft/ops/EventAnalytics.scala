@@ -29,6 +29,13 @@ object EventAnalytics {
     */
   val MaxWindowSeconds: Long = 3153600000000L
 
+  /** Target segment count for `segmentSeconds = 0` (AUTO): the observed
+    * [min, max] event-time span divides into this many segments (width
+    * floored at 1 µs), so per-task group size is bounded relative to
+    * the log's actual time range with no prior knowledge of it.
+    */
+  val AutoSegments: Long = 4096L
+
   /** Ordered funnel: how many actors complete each prefix of `steps` in
     * time order? An actor reaches step i when an event of type
     * `steps(i)` exists STRICTLY after its step-(i−1) time (step 0 = the
@@ -45,7 +52,9 @@ object EventAnalytics {
     * Scale shape — SKEW-SAFE by construction (r13): events prune to the
     * step types at the scan, then ONE row-scale shuffle groups them by
     * (actor, time-segment) — `segmentSeconds`-wide epoch-anchored
-    * buckets — so a hot actor (bot, service account) splits across as
+    * buckets; `segmentSeconds = 0` derives the width from the observed
+    * span (one pruned pre-scan, [[AutoSegments]] buckets) — so a hot
+    * actor (bot, service account) splits across as
     * many tasks as it has active segments instead of materializing its
     * whole history in one `collect_list`. Each segment folds to a
     * TRANSITION VECTOR: for every entry progress i ∈ 0..k−1, the
@@ -179,16 +188,33 @@ object EventAnalytics {
     require(steps.distinct.size == steps.size,
       "duplicate funnel step: repeated types make the greedy match " +
         "ambiguous with the nested-min definition")
-    require(segmentSeconds > 0,
-      s"need segmentSeconds > 0, got $segmentSeconds")
+    require(segmentSeconds >= 0,
+      s"need segmentSeconds >= 0 (0 = auto), got $segmentSeconds")
     require(windowSeconds >= 0 && windowSeconds <= MaxWindowSeconds,
       s"need 0 <= windowSeconds <= $MaxWindowSeconds, got $windowSeconds")
     Seq(actorCol, tsCol, typeCol).foreach(c =>
       require(df.columns.contains(c), s"column '$c' not in frame"))
     val k = steps.size
-    val segMicros = Math.multiplyExact(segmentSeconds, 1000000L)
     val winMicros = windowSeconds * 1000000L // bounded by the require
     val t = unix_micros(col(tsCol).cast(TimestampType))
+    val segMicros =
+      if (segmentSeconds > 0) Math.multiplyExact(segmentSeconds, 1000000L)
+      else {
+        // AUTO: one narrow (ts, type)-pruned pre-scan reads the span and
+        // divides it into [[AutoSegments]] — the right default when the
+        // log's time range is unknown a priori; the fixed-width form
+        // skips the extra scan when the caller knows the cadence. Span
+        // arithmetic in BigInt: min/max micros can straddle the epoch.
+        val b = df
+          .where(col(actorCol).isNotNull && col(tsCol).isNotNull &&
+            col(typeCol).isin(steps: _*))
+          .agg(min(t), max(t)).head()
+        if (b.isNullAt(0)) 1L
+        else {
+          val span = BigInt(b.getLong(1)) - BigInt(b.getLong(0)) + 1
+          ((span + AutoSegments - 1) / AutoSegments).max(1).toLong
+        }
+      }
     // segment id = the segment-START micros, `t - pmod(t, width)`: exact
     // Long arithmetic (correct for negative pre-1970 micros), no division
     // — Spark's `/` on Longs is DOUBLE division, which misbuckets near
@@ -257,6 +283,79 @@ object EventAnalytics {
           when(size(adv) >= k, adv).otherwise(concat(adv, local))
         }).as("__adv"))
       .withColumn("__r", size(col("__adv")))
+  }
+
+  /** Per-actor funnel drill-down: one row per actor with at least one
+    * step-typed event — the actor, its furthest `reached` step (0 when
+    * it never fired step 1), and the advance timestamp of each reached
+    * step as `step<i>_ts` columns. The "who dropped where" companion to
+    * [[funnel]]'s aggregate counts; same semantics, same segmented
+    * skew-safe machinery, actor column keeps its input name.
+    *
+    * Output: (actorCol, reached, step1_ts .. stepK_ts), null ts beyond
+    * the reached prefix.
+    */
+  def funnelActors(df: DataFrame, actorCol: String, tsCol: String,
+                   typeCol: String, steps: Seq[String],
+                   windowSeconds: Long = 0L,
+                   segmentSeconds: Long = 86400L): DataFrame = {
+    val k = steps.size
+    require(!steps.indices.map(i => s"step${i + 1}_ts").contains(actorCol)
+      && actorCol != "reached",
+      s"actor column '$actorCol' collides with a drill-down output column")
+    actorProgress(df, actorCol, tsCol, typeCol, steps,
+        windowSeconds, segmentSeconds)
+      .select(col("__a").as(actorCol) +: col("__r").as("reached") +:
+        (1 to k).map(i =>
+          timestamp_micros(when(size(col("__adv")) >= i,
+            element_at(col("__adv"), i))).as(s"step${i}_ts")): _*)
+  }
+
+  /** Next-event distribution: over each actor's (ts, type)-ordered event
+    * stream, what immediately follows an event of `fromType`? Every
+    * `fromType` occurrence contributes its successor ROW's type (the
+    * documented total order — ties made deterministic by `orderCols`,
+    * the [[TimeSeries.forwardFill]] contract); terminal occurrences
+    * (nothing after them) are excluded from the distribution. Rows with
+    * a null actor, ts, or type are ignored.
+    *
+    * Scale shape: one window per actor — shuffle by actor, sort within
+    * partitions only (never a global sort); the largest single actor's
+    * history bounds a task via external sort/spill, the same posture as
+    * [[Sessionize]] and [[TimeSeries.rollingAggregate]] (a lead(1)
+    * window cannot segment the way [[funnel]]'s fold does — every row
+    * needs its literal neighbor). The distribution itself is a bounded
+    * (≤ |type vocabulary|) aggregation with one exact-quotient share.
+    *
+    * Output: (next_type, n, share = n over all counted successors as a
+    * raw double quotient), ordered by n desc then next_type.
+    */
+  def nextEventDistribution(df: DataFrame, actorCol: String, tsCol: String,
+                            typeCol: String, fromType: String,
+                            orderCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    (Seq(actorCol, tsCol, typeCol) ++ orderCols).foreach(c =>
+      require(df.columns.contains(c), s"column '$c' not in frame"))
+    val w = Window.partitionBy(col("__a"))
+      .orderBy(col("__t").asc +: col("__y").asc +:
+        orderCols.indices.map(i => col(s"__o$i").asc): _*)
+    val nexts = df
+      .where(col(actorCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isNotNull)
+      .select(col(actorCol).as("__a") +: col(tsCol).as("__t") +:
+        col(typeCol).as("__y") +:
+        orderCols.zipWithIndex.map { case (c, i) =>
+          col(c).as(s"__o$i") }: _*)
+      .withColumn("__nx", lead(col("__y"), 1).over(w))
+      .where(col("__y") === fromType && col("__nx").isNotNull)
+      .select(col("__nx"))
+      .localCheckpoint()
+    val total = nexts.count()
+    nexts.groupBy(col("__nx").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share",
+        col("n").cast(DoubleType) / lit(total.toDouble))
+      .orderBy(col("n").desc, col("next_type").asc)
   }
 
   /** Cohort retention: actors bucketed by the period of their FIRST

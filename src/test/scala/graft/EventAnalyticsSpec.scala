@@ -187,6 +187,34 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("funnel auto segments: segmentSeconds = 0 derives the width from " +
+      "the observed span and matches brute force on a one-burst bot") {
+    val rnd = new scala.util.Random(41)
+    // everything happens inside ONE hour: the 86400 s default would put
+    // the whole log in a single segment; auto divides the real span
+    val rows = Seq.fill(500) {
+      val u = if (rnd.nextInt(3) == 0) 0L else rnd.nextInt(20).toLong + 1
+      (u, ts(rnd.nextInt(3600)), s"s${rnd.nextInt(4) + 1}")
+    }
+    val steps = Seq("s1", "s2", "s3")
+    val auto = EventAnalytics.funnel(rows.toDF("u", "t", "y"),
+      "u", "t", "y", steps, segmentSeconds = 0L)
+      .collect().map(_.getLong(2)).toSeq
+    val fixed = EventAnalytics.funnel(rows.toDF("u", "t", "y"),
+      "u", "t", "y", steps).collect().map(_.getLong(2)).toSeq
+    assert(auto == fixed)
+    // auto really segments: the hot actor spans many (actor, segment)
+    // groups under the derived sub-hour width
+    val segged = EventAnalytics.actorProgress(rows.toDF("u", "t", "y"),
+      "u", "t", "y", steps, 0L, 0L)
+    assert(segged.count() == rows.map(_._1).distinct.size)
+    // empty input under auto: no span to derive — still sane
+    val e = EventAnalytics.funnel(
+      rows.toDF("u", "t", "y").where(col("u") > 999),
+      "u", "t", "y", steps, segmentSeconds = 0L).collect()
+    assert(e.map(_.getLong(2)).toSeq == Seq(0L, 0L, 0L))
+  }
+
   test("funnel window: steps beyond the deadline are censored; the " +
       "anchor never re-anchors to a later step-1 event") {
     val evs = Seq(
@@ -231,6 +259,45 @@ class EventAnalyticsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       EventAnalytics.funnelStepTiming(evs, "u", "t", "y", Seq("a"))
     }
+  }
+
+  test("funnelActors: per-actor reached and advance timestamps; " +
+      "non-participants absent; zero-reached actors present") {
+    val evs = Seq(
+      (1L, ts(10), "a"), (1L, ts(20), "b"),
+      (2L, ts(5), "b"),              // participates (has a step type), r=0
+      (3L, ts(1), "x")               // off-funnel only: absent entirely
+    ).toDF("u", "t", "y")
+    val out = EventAnalytics.funnelActors(evs, "u", "t", "y",
+      Seq("a", "b")).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 2)
+    assert(out(1L).getInt(1) == 2 &&
+      out(1L).getTimestamp(2) == ts(10) && out(1L).getTimestamp(3) == ts(20))
+    assert(out(2L).getInt(1) == 0 &&
+      out(2L).isNullAt(2) && out(2L).isNullAt(3))
+    intercept[IllegalArgumentException] {
+      EventAnalytics.funnelActors(
+        evs.withColumnRenamed("u", "reached"), "reached", "t", "y",
+        Seq("a", "b"))
+    }
+  }
+
+  test("nextEventDistribution: successor-row semantics in the total " +
+      "order, terminal rows excluded, exact shares") {
+    val evs = Seq(
+      (1L, ts(1), "a", 1L), (1L, ts(2), "b", 2L), (1L, ts(3), "a", 3L),
+      (1L, ts(4), "c", 4L),
+      // ties at the same ts resolve by (type, event_id): a@5 then b@5
+      (2L, ts(5), "a", 5L), (2L, ts(5), "b", 6L),
+      // terminal 'a' (nothing after) contributes nothing
+      (3L, ts(9), "a", 7L)
+    ).toDF("u", "t", "y", "eid")
+    val out = EventAnalytics.nextEventDistribution(evs, "u", "t", "y",
+      "a", orderCols = Seq("eid")).collect()
+    // successors of 'a': b (u1@1), c (u1@3), b (u2 tie) -> b:2, c:1
+    assert(out.map(r => (r.getString(0), r.getLong(1),
+      r.getDouble(2))).toSeq ==
+      Seq(("b", 2L, 2.0 / 3), ("c", 1L, 1.0 / 3)))
   }
 
   test("funnel: internal aliases do not collide with user column names") {
