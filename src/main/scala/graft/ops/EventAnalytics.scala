@@ -199,22 +199,7 @@ object EventAnalytics {
     val t = unix_micros(col(tsCol).cast(TimestampType))
     val segMicros =
       if (segmentSeconds > 0) Math.multiplyExact(segmentSeconds, 1000000L)
-      else {
-        // AUTO: one narrow (ts, type)-pruned pre-scan reads the span and
-        // divides it into [[AutoSegments]] — the right default when the
-        // log's time range is unknown a priori; the fixed-width form
-        // skips the extra scan when the caller knows the cadence. Span
-        // arithmetic in BigInt: min/max micros can straddle the epoch.
-        val b = df
-          .where(col(actorCol).isNotNull && col(tsCol).isNotNull &&
-            col(typeCol).isin(steps: _*))
-          .agg(min(t), max(t)).head()
-        if (b.isNullAt(0)) 1L
-        else {
-          val span = BigInt(b.getLong(1)) - BigInt(b.getLong(0)) + 1
-          ((span + AutoSegments - 1) / AutoSegments).max(1).toLong
-        }
-      }
+      else autoSegmentMicros(df, actorCol, tsCol, typeCol, steps)
     // segment id = the segment-START micros, `t - pmod(t, width)`: exact
     // Long arithmetic (correct for negative pre-1970 micros), no division
     // — Spark's `/` on Longs is DOUBLE division, which misbuckets near
@@ -336,9 +321,12 @@ object EventAnalytics {
     import org.apache.spark.sql.expressions.Window
     (Seq(actorCol, tsCol, typeCol) ++ orderCols).foreach(c =>
       require(df.columns.contains(c), s"column '$c' not in frame"))
+    // asc_nulls_last throughout: the forwardFill tie contract, and
+    // DuckDB's default — a null order-column value must not pick a
+    // different successor across engines
     val w = Window.partitionBy(col("__a"))
-      .orderBy(col("__t").asc +: col("__y").asc +:
-        orderCols.indices.map(i => col(s"__o$i").asc): _*)
+      .orderBy(col("__t").asc_nulls_last +: col("__y").asc_nulls_last +:
+        orderCols.indices.map(i => col(s"__o$i").asc_nulls_last): _*)
     val nexts = df
       .where(col(actorCol).isNotNull && col(tsCol).isNotNull &&
         col(typeCol).isNotNull)
@@ -348,14 +336,38 @@ object EventAnalytics {
           col(c).as(s"__o$i") }: _*)
       .withColumn("__nx", lead(col("__y"), 1).over(w))
       .where(col("__y") === fromType && col("__nx").isNotNull)
-      .select(col("__nx"))
-      .localCheckpoint()
-    val total = nexts.count()
+    // fully lazy: the share denominator rides the vocabulary-bounded
+    // aggregate as an unpartitioned window sum (the Sampling/Drift
+    // pattern) — no checkpoint, no extra driver action
     nexts.groupBy(col("__nx").as("next_type"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("share",
-        col("n").cast(DoubleType) / lit(total.toDouble))
+      .withColumn("share", col("n").cast(DoubleType) /
+        sum(col("n")).over(Window.partitionBy()).cast(DoubleType))
       .orderBy(col("n").desc, col("next_type").asc)
+  }
+
+  /** The `segmentSeconds = 0` AUTO width: one narrow (ts, type)-pruned
+    * pre-scan reads the span and divides it into [[AutoSegments]] — the
+    * right default when the log's time range is unknown a priori; the
+    * fixed-width form skips the extra scan when the caller knows the
+    * cadence. Span arithmetic in BigInt: min/max micros can straddle
+    * the epoch. Package-private so the spec can pin the derived width
+    * itself (parity across widths alone would not catch a regression
+    * to one giant segment).
+    */
+  private[graft] def autoSegmentMicros(df: DataFrame, actorCol: String,
+                                       tsCol: String, typeCol: String,
+                                       steps: Seq[String]): Long = {
+    val t = unix_micros(col(tsCol).cast(TimestampType))
+    val b = df
+      .where(col(actorCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isin(steps: _*))
+      .agg(min(t), max(t)).head()
+    if (b.isNullAt(0)) 1L
+    else {
+      val span = BigInt(b.getLong(1)) - BigInt(b.getLong(0)) + 1
+      ((span + AutoSegments - 1) / AutoSegments).max(1).toLong
+    }
   }
 
   /** Cohort retention: actors bucketed by the period of their FIRST

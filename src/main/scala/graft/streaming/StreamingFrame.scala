@@ -412,39 +412,53 @@ object StreamingFrame {
             "not transferable, restart from a fresh checkpoint")
 
     def encodeFunnel(k: Int, reached: Int, lastMicros: Long,
-                     anchorMicros: Long): Enveloped =
+                     anchorMicros: Long, windowSeconds: Long): Enveloped =
       Enveloped(FunnelVersion,
         s"""{"k":$k,"reached":$reached,"last":$lastMicros,""" +
-          s""""anchor":$anchorMicros}""")
+          s""""anchor":$anchorMicros,"win":$windowSeconds}""")
+
+    /** Checkpoint funnel state written under a different conversion
+      * window: `reached` indices embody deadlines that were (or were
+      * not) applied — progress is not transferable across window
+      * configurations, the same class as a steps-list change.
+      */
+    final class FunnelWindowMismatch(found: Long, expected: Long)
+        extends IllegalStateException(
+          s"streaming funnel state was written with windowSeconds=$found; " +
+            s"this query declares windowSeconds=$expected — restart from " +
+            "a fresh checkpoint")
 
     /** (reached, lastMicros, anchorMicros) — `anchor` is the step-1
-      * advance time, the conversion-window deadline base (version 2; the
-      * version-1 arm reconstructs it for UNWINDOWED resumes, where the
-      * anchor is never read — a v1 checkpoint resumed into a WINDOWED
-      * funnel has never applied the deadline and must fail loudly).
+      * advance time, the conversion-window deadline base. Version 2
+      * carries the window the state was written under and fails loudly
+      * on a mismatch; the version-1 arm (pre-window payloads) accepts
+      * UNWINDOWED resumes only — v1 progress never applied any
+      * deadline, so resuming it into a windowed funnel must fail.
       */
     def decodeFunnel(e: Enveloped, expectedK: Int,
-                     windowed: Boolean = false): (Int, Long, Long) =
+                     windowSeconds: Long = 0L): (Int, Long, Long) = {
+      if (e.version != 1 && e.version != FunnelVersion)
+        throw new StateVersionMismatch(e.version)
+      val m = graft.schema.SchemaMetadata.parseJsonValueMap(e.json)
+      val k = m("k").toInt
+      if (k != expectedK) throw new FunnelConfigMismatch(k, expectedK)
       e.version match {
         case FunnelVersion =>
-          val m = graft.schema.SchemaMetadata.parseJsonValueMap(e.json)
-          val k = m("k").toInt
-          if (k != expectedK) throw new FunnelConfigMismatch(k, expectedK)
+          val win = m("win").toLong
+          if (win != windowSeconds)
+            throw new FunnelWindowMismatch(win, windowSeconds)
           (m("reached").toInt, m("last").toLong, m("anchor").toLong)
         case 1 =>
-          if (windowed)
+          if (windowSeconds > 0)
             throw new IllegalStateException(
               "streaming funnel state predates conversion windows (v1): " +
                 "its progress never applied the deadline — restart the " +
                 "windowed query from a fresh checkpoint")
-          val m = graft.schema.SchemaMetadata.parseJsonValueMap(e.json)
-          val k = m("k").toInt
-          if (k != expectedK) throw new FunnelConfigMismatch(k, expectedK)
           // unwindowed: the anchor is dead state; carry `last` (the only
           // timestamp v1 kept) so a later inspection sees a sane value
           (m("reached").toInt, m("last").toLong, m("last").toLong)
-        case v => throw new StateVersionMismatch(v)
       }
+    }
 
     /** Cohort-state payload: two integer scalars (first-event epoch day +
       * the highest period offset already emitted), carrying the PERIOD
@@ -585,10 +599,18 @@ object StreamingFrame {
     * the exact batch tie rule — so replaying a log through micro-batches
     * IN EVENT-TIME ORDER reproduces the batch funnel verdicts
     * identically (spec-pinned, the IngestTwin convention). The honest
-    * streaming caveat: an event arriving in a LATER micro-batch than a
+    * streaming caveats: an event arriving in a LATER micro-batch than a
     * successor step it should have preceded cannot retroactively advance
-    * the fold (state keeps only the frontier, by design) — streaming
-    * under-counts on cross-batch disorder rather than guessing.
+    * the fold (state keeps only the frontier, by design) — the
+    * UNWINDOWED twin therefore under-counts on cross-batch disorder,
+    * never over-counts. The WINDOWED twin's error is two-sided: a
+    * step-1 anchor arriving LATE (after later step-1 events already
+    * anchored the deadline) re-bases future deadlines to the
+    * batch-true earliest anchor (tightening, spec-pinned), but
+    * advances already made against the stale looser deadline stand —
+    * so windowed streaming can over-count actors whose anchor itself
+    * was disordered. Replay in event-time order is exact for both
+    * (spec-pinned).
     */
   final case class FunnelReach(actor: String, reached: Int)
 
@@ -621,7 +643,7 @@ object StreamingFrame {
         GroupStateTimeout.NoTimeout) {
         case (actor, rows, state: GroupState[Enveloped]) =>
           val (r0, t0, a0) = state.getOption
-            .map(StateEnvelope.decodeFunnel(_, k, windowed))
+            .map(StateEnvelope.decodeFunnel(_, k, windowSeconds))
             .getOrElse((0, 0L, 0L))
           var r = r0
           var last = t0
@@ -631,8 +653,21 @@ object StreamingFrame {
           def deadline: Long =
             if (anchor > Long.MaxValue - winMicros) Long.MaxValue
             else anchor + winMicros
+          val sorted = rows.toSeq.sortBy(e => (e._2, e._3))
+          // anchor TIGHTENING (windowed, r >= 1): a late-arriving step-1
+          // event EARLIER than the recorded anchor re-bases the deadline
+          // the way the batch fold (earliest step-1 overall) would —
+          // advances already made against the stale looser deadline
+          // stand (frontier state cannot retro-censor; see the
+          // over-count caveat in the scaladoc), but every future advance
+          // uses the batch-true deadline. In-order replay never
+          // triggers this (the earliest step-1 arrives first).
+          if (windowed && r > 0)
+            sorted.iterator
+              .filter(e => e._3 == steps.head && e._2 < anchor)
+              .foreach(e => anchor = e._2)
           // batch-local sort restores the batch fold's (ts, type) order
-          rows.toSeq.sortBy(e => (e._2, e._3)).foreach { case (_, t, y) =>
+          sorted.foreach { case (_, t, y) =>
             if (r < k && y == steps(r) && (r == 0 || t > last) &&
                 (!windowed || r == 0 || t <= deadline)) {
               if (r == 0) anchor = t
@@ -640,7 +675,8 @@ object StreamingFrame {
             }
           }
           val next = FunnelReach(actor, r)
-          state.update(StateEnvelope.encodeFunnel(k, r, last, anchor))
+          state.update(StateEnvelope.encodeFunnel(k, r, last, anchor,
+            windowSeconds))
           next
       }
   }

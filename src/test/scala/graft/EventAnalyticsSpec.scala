@@ -203,8 +203,20 @@ class EventAnalyticsSpec extends SparkSpec {
     val fixed = EventAnalytics.funnel(rows.toDF("u", "t", "y"),
       "u", "t", "y", steps).collect().map(_.getLong(2)).toSeq
     assert(auto == fixed)
-    // auto really segments: the hot actor spans many (actor, segment)
-    // groups under the derived sub-hour width
+    // auto really segments: the DERIVED width divides the observed
+    // one-hour span into ~AutoSegments sub-second buckets (pinning the
+    // width itself — actor-level parity alone would pass even if auto
+    // regressed to one giant segment)
+    val micros = EventAnalytics.autoSegmentMicros(rows.toDF("u", "t", "y"),
+      "u", "t", "y", steps)
+    val spanMicros = {
+      val ts = rows.map(_._2.getTime * 1000L)
+      ts.max - ts.min + 1
+    }
+    assert(micros ==
+      (spanMicros + EventAnalytics.AutoSegments - 1) /
+        EventAnalytics.AutoSegments)
+    assert(micros < 1000000L, s"sub-second width expected, got $micros")
     val segged = EventAnalytics.actorProgress(rows.toDF("u", "t", "y"),
       "u", "t", "y", steps, 0L, 0L)
     assert(segged.count() == rows.map(_._1).distinct.size)

@@ -69,16 +69,21 @@ class StreamingFunnelSpec extends SparkSpec {
       "SELECT max(reached) FROM funnel_late WHERE actor = '1'").head()
     assert(r.getInt(0) == 1) // batch order would read 2; late data: 1
     // envelope: exact round-trip, loud unknown version, loud STEPS
-    // mismatch — a reached index is meaningless against another funnel
+    // mismatch, loud WINDOW mismatch — progress embodies the deadlines
+    // it was (or was not) measured against
     val e = StreamingFrame.StateEnvelope.encodeFunnel(3, 2, 123456789L,
-      100000L)
-    assert(StreamingFrame.StateEnvelope.decodeFunnel(e, 3) ==
+      100000L, 60L)
+    assert(StreamingFrame.StateEnvelope.decodeFunnel(e, 3, 60L) ==
       ((2, 123456789L, 100000L)))
     intercept[IllegalStateException] {
-      StreamingFrame.StateEnvelope.decodeFunnel(e.copy(version = 99), 3)
+      StreamingFrame.StateEnvelope.decodeFunnel(e.copy(version = 99), 3,
+        60L)
     }
     intercept[StreamingFrame.StateEnvelope.FunnelConfigMismatch] {
-      StreamingFrame.StateEnvelope.decodeFunnel(e, 2)
+      StreamingFrame.StateEnvelope.decodeFunnel(e, 2, 60L)
+    }
+    intercept[StreamingFrame.StateEnvelope.FunnelWindowMismatch] {
+      StreamingFrame.StateEnvelope.decodeFunnel(e, 3, 0L)
     }
     // v1 upgrade arm: an unwindowed resume decodes (anchor = last, dead
     // state); a WINDOWED resume of pre-window state must fail loudly —
@@ -88,8 +93,53 @@ class StreamingFunnelSpec extends SparkSpec {
     assert(StreamingFrame.StateEnvelope.decodeFunnel(v1, 3) ==
       ((2, 123456789L, 123456789L)))
     intercept[IllegalStateException] {
-      StreamingFrame.StateEnvelope.decodeFunnel(v1, 3, windowed = true)
+      StreamingFrame.StateEnvelope.decodeFunnel(v1, 3, 604800L)
     }
+  }
+
+  test("windowed twin under anchor disorder: a late EARLIER step-1 " +
+      "event re-bases future deadlines (tightening); already-made " +
+      "advances stand (the documented over-count)") {
+    implicit val sqlCtx = spark.sqlContext
+    // tightening case: anchor a@1000 arrives, then the TRUE anchor a@10
+    // arrives late, then b@1050 — the tightened deadline (10+100=110)
+    // censors b, matching batch
+    val mem1 = MemoryStream[(Long, Timestamp, String)]
+    val out1 = StreamingFrame.streamingFunnel(
+      mem1.toDF.toDF("u", "t", "y"), "u", "t", "y", Seq("a", "b"),
+      windowSeconds = 100L)
+    val q1 = out1.writeStream.format("memory").queryName("funnel_tight")
+      .outputMode("update").start()
+    Seq(Seq((1L, ts(1000), "a")), Seq((1L, ts(10), "a")),
+      Seq((1L, ts(1050), "b"))).foreach { b =>
+      mem1.addData(b); q1.processAllAvailable()
+    }
+    q1.stop()
+    assert(spark.sql(
+      "SELECT max(reached) FROM funnel_tight WHERE actor = '1'")
+      .head().getInt(0) == 1)
+    // over-count case: the advance lands BEFORE the true anchor shows
+    // up — frontier state cannot retro-censor (documented two-sided
+    // caveat: batch reads 1 here, streaming 2)
+    val mem2 = MemoryStream[(Long, Timestamp, String)]
+    val out2 = StreamingFrame.streamingFunnel(
+      mem2.toDF.toDF("u", "t", "y"), "u", "t", "y", Seq("a", "b"),
+      windowSeconds = 100L)
+    val q2 = out2.writeStream.format("memory").queryName("funnel_over")
+      .outputMode("update").start()
+    Seq(Seq((1L, ts(1000), "a")), Seq((1L, ts(1050), "b")),
+      Seq((1L, ts(10), "a"))).foreach { b =>
+      mem2.addData(b); q2.processAllAvailable()
+    }
+    q2.stop()
+    assert(spark.sql(
+      "SELECT max(reached) FROM funnel_over WHERE actor = '1'")
+      .head().getInt(0) == 2)
+    val batch = EventAnalytics.funnel(
+      Seq((1L, ts(1000), "a"), (1L, ts(1050), "b"), (1L, ts(10), "a"))
+        .toDF("u", "t", "y"), "u", "t", "y", Seq("a", "b"),
+      windowSeconds = 100L).collect()
+    assert(batch(1).getLong(2) == 0L) // batch censors b entirely
   }
 
   test("windowed streamingFunnel replayed in event-time order equals " +
