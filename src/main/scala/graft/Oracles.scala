@@ -3653,6 +3653,23 @@ object Oracles {
        |  CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM f) AS share
        |FROM f GROUP BY 1 ORDER BY n DESC, next_type""".stripMargin
 
+  /** q170: interval overlap — the quadratic theta join over the same
+    * samples (cheap at oracle scale; the engine side is the bucketed
+    * equi-join).
+    */
+  val q170: String =
+    s"""WITH l AS (SELECT l_orderkey, l_linenumber,
+       |    l_extendedprice * (1 - l_discount) AS lo,
+       |    l_extendedprice AS hi
+       |  FROM lineitem WHERE l_partkey <= 5),
+       |r AS (SELECT o_orderkey, o_totalprice * 0.95 AS lo,
+       |    o_totalprice AS hi
+       |  FROM orders WHERE o_orderkey % 199 = 0)
+       |SELECT l.l_orderkey, l.l_linenumber, r.o_orderkey,
+       |  l.lo, l.hi, r.lo AS lo_r, r.hi AS hi_r
+       |FROM l JOIN r ON l.lo <= r.hi AND r.lo <= l.hi
+       |ORDER BY l.l_orderkey, l.l_linenumber, r.o_orderkey""".stripMargin
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q07_mutual_info_orders" -> q07Pinned,
@@ -3772,6 +3789,7 @@ object Oracles {
       "q167_od_sweep" -> q167,
       "q168_funnel_actors" -> q168,
       "q169_next_event" -> q169,
+      "q170_interval_overlap" -> q170,
       "q160_cohort_retention" -> q160,
       "q161_resample_grid" -> q161,
       "q162_forward_fill" -> q162,

@@ -2812,6 +2812,32 @@ object Queries {
       "user_id", "ts", "event_type", "signup",
       orderCols = Seq("event_id"))
 
+  /** Interval-overlap join (r13): price bands from a lineitem sample
+    * ([discounted, full] extended price) overlap-joined against order
+    * total bands ([95%, 100%]) — the bin-bucketed equi-join with the
+    * first-shared-bin dedup, never a nested loop; the oracle is the
+    * plain quadratic theta join over the same (small) samples. The
+    * result is binWidth-independent (property-pinned); 1000 here is in
+    * the typical-band-width range.
+    */
+  def q170IntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val l = table(s, dir, "lineitem").where(col("l_partkey") <= 5)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("lo"),
+        col("l_extendedprice").as("hi"))
+    val r = table(s, dir, "orders").where(col("o_orderkey") % 199 === 0)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") * 0.95).as("lo"),
+        col("o_totalprice").as("hi"))
+    ops.RangeJoin.intervalOverlap(l, "lo", "hi", r, "lo", "hi",
+        binWidth = 1000.0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("o_orderkey_r").as("o_orderkey"),
+        col("lo"), col("hi"),
+        col("lo_r"), col("hi_r"))
+      .orderBy("l_orderkey", "l_linenumber", "o_orderkey")
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -3017,6 +3043,7 @@ object Queries {
     "q167_od_sweep" -> (q167OdSweep _),
     "q168_funnel_actors" -> (q168FunnelActors _),
     "q169_next_event" -> (q169NextEvent _),
+    "q170_interval_overlap" -> (q170IntervalOverlap _),
     "q140_multifield_linkage" -> (q140MultiFieldLinkage _)
   )
 }

@@ -42,4 +42,60 @@ object RangeJoin {
         col(pointCol) <= col(hiCol + suffix))
       .drop("__bin")
   }
+
+  /** INTERVAL-OVERLAP join: every left interval matches every right
+    * interval it intersects (inclusive endpoints — touching intervals
+    * match; zero-width intervals behave as points). The naive predicate
+    * `l.lo <= r.hi AND r.lo <= l.hi` plans as a nested loop; the scale
+    * path is the same bin bucketing as [[pointInInterval]] with BOTH
+    * sides exploded to their covered bins and the match reduced to a bin
+    * equi-join (ONE shuffle on the bin id) plus the exact overlap
+    * filter. A pair intersecting across several shared bins would match
+    * once per bin — the FIRST-SHARED-BIN rule dedups without a distinct
+    * pass: the intersection of an overlapping pair starts at
+    * `max(l.lo, r.lo)`, both sides cover that bin, and the candidate is
+    * kept only where the join bin equals `bin(max(l.lo, r.lo))` — each
+    * overlapping pair survives in exactly one bin, non-overlapping
+    * candidates die on the exact filter.
+    *
+    * `binWidth` trades fan-out for precision exactly as in
+    * [[pointInInterval]] (a good default is the typical interval
+    * width); a single enormous interval explodes to span/binWidth bin
+    * rows — bounded, but priced by the caller's width choice. Temporal
+    * intervals join on their epoch numbers (`unix_micros`/
+    * `unix_seconds` cast by the caller). Null or inverted (lo > hi)
+    * intervals are ignored on both sides.
+    *
+    * Output: the left columns under their own names + every right
+    * column suffixed; one row per overlapping pair.
+    */
+  def intervalOverlap(left: DataFrame, leftLo: String, leftHi: String,
+                      right: DataFrame, rightLo: String, rightHi: String,
+                      binWidth: Double,
+                      suffix: String = "_r"): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    Seq(leftLo, leftHi).foreach(c => require(left.columns.contains(c),
+      s"column '$c' not in left frame"))
+    Seq(rightLo, rightHi).foreach(c => require(right.columns.contains(c),
+      s"column '$c' not in right frame"))
+    require(left.columns.intersect(
+      right.columns.map(_ + suffix)).isEmpty,
+      s"suffix '$suffix' does not disambiguate the right columns")
+    def bin(c: Column): Column =
+      floor(c.cast(DoubleType) / lit(binWidth)).cast(LongType)
+    def exploded(df: DataFrame, lo: String, hi: String,
+                 rename: String => String) =
+      df.where(col(lo).isNotNull && col(hi).isNotNull &&
+          col(lo) <= col(hi))
+        .withColumn("__bin", explode(sequence(bin(col(lo)), bin(col(hi)))))
+        .select(col("__bin") +:
+          df.columns.map(c => col(c).as(rename(c))): _*)
+    val l = exploded(left, leftLo, leftHi, identity)
+    val r = exploded(right, rightLo, rightHi, _ + suffix)
+    l.join(r, Seq("__bin"))
+      .where(col(leftLo) <= col(rightHi + suffix) &&
+        col(rightLo + suffix) <= col(leftHi) &&
+        col("__bin") === bin(greatest(col(leftLo), col(rightLo + suffix))))
+      .drop("__bin")
+  }
 }

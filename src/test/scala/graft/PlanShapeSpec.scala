@@ -171,6 +171,16 @@ class PlanShapeSpec extends SparkSpec {
       s"object-hash collect expected:\n$plan")
   }
 
+  test("intervalOverlap: bin equi-join, never a nested loop or cartesian") {
+    val l = (0L until 50L).map(i => (i, i * 2.0, i * 2.0 + 5)).toDF("lid", "lo", "hi")
+    val r = (0L until 60L).map(i => (i, i * 1.5, i * 1.5 + 4)).toDF("rid", "lo", "hi")
+    val plan = planOf(graft.ops.RangeJoin.intervalOverlap(
+      l, "lo", "hi", r, "lo", "hi", binWidth = 5.0))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"bin equi-join expected, got a nested loop:\n$plan")
+  }
+
   test("gridJoin under AQE skew-join: result and plan shape are unchanged") {
     // gridJoin hand-splits hot keys BEFORE the exchange; AQE's runtime
     // skew split targets sort-merge joins post-hoc. Pin that enabling it

@@ -254,6 +254,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: intervalOverlap equals the quadratic overlap join, " +
+      "each pair exactly once, at several bin widths") {
+    val caseGen = for {
+      nl <- Gen.choose(0, 40); nr <- Gen.choose(0, 40)
+      ls <- Gen.listOfN(nl, for {
+        lo <- Gen.choose(-120.0, 110.0); w <- Gen.choose(0.0, 60.0)
+      } yield (lo, lo + w))
+      rs <- Gen.listOfN(nr, for {
+        lo <- Gen.choose(-120.0, 110.0); w <- Gen.choose(0.0, 60.0)
+      } yield (lo, lo + w))
+      bw <- Gen.oneOf(1.0, 7.3, 50.0)
+    } yield (ls.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) },
+      rs.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }, bw)
+    forSamples(caseGen, 12) { case (ls, rs, bw) =>
+      val lDf = ls.toDF("lid", "lo", "hi")
+      val rDf = rs.toDF("rid", "lo", "hi")
+      val got = graft.ops.RangeJoin.intervalOverlap(lDf, "lo", "hi",
+        rDf, "lo", "hi", binWidth = bw).select("lid", "rid_r").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val expected = for {
+        (lid, llo, lhi) <- ls; (rid, rlo, rhi) <- rs
+        if llo <= rhi && rlo <= lhi
+      } yield (lid, rid)
+      assert(got.sorted == expected.sorted, s"bw=$bw")
+      assert(got.size == got.distinct.size) // first-shared-bin dedup
+    }
+  }
+
   test("property: transform is idempotent for every scalar logical type") {
     val types = Seq[LT](LT.Double, LT.IntegerNullable, LT.Integer, LT.BooleanT(),
       LT.BooleanNullable, LT.Categorical, LT.EmailAddress, LT.URL,
