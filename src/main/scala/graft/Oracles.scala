@@ -3670,6 +3670,27 @@ object Oracles {
        |FROM l JOIN r ON l.lo <= r.hi AND r.lo <= l.hi
        |ORDER BY l.l_orderkey, l.l_linenumber, r.o_orderkey""".stripMargin
 
+  /** q171: top event paths — the identical lead() window chain, gap
+    * rule in exact BIGINT micros, share over all complete paths before
+    * the top-k limit.
+    */
+  val q171: String =
+    s"""WITH s AS (SELECT user_id, event_type y, epoch_us(ts) t,
+       |    lead(event_type, 1) OVER w y1, lead(epoch_us(ts), 1) OVER w t1,
+       |    lead(event_type, 2) OVER w y2, lead(epoch_us(ts), 2) OVER w t2
+       |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+       |    AND event_type IS NOT NULL
+       |  WINDOW w AS (PARTITION BY user_id
+       |    ORDER BY ts, event_type, event_id)),
+       |p AS (SELECT y || ' > ' || y1 || ' > ' || y2 AS path FROM s
+       |  WHERE y1 IS NOT NULL AND y2 IS NOT NULL
+       |    AND t1 - t <= CAST(172800 AS BIGINT) * 1000000
+       |    AND t2 - t1 <= CAST(172800 AS BIGINT) * 1000000),
+       |c AS (SELECT path, count(*) n FROM p GROUP BY 1),
+       |tot AS (SELECT sum(n) s FROM c)
+       |SELECT path, n, CAST(n AS DOUBLE) / (SELECT s FROM tot) AS share
+       |FROM c ORDER BY n DESC, path LIMIT 10""".stripMargin
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q07_mutual_info_orders" -> q07Pinned,
@@ -3790,6 +3811,7 @@ object Oracles {
       "q168_funnel_actors" -> q168,
       "q169_next_event" -> q169,
       "q170_interval_overlap" -> q170,
+      "q171_top_paths" -> q171,
       "q160_cohort_retention" -> q160,
       "q161_resample_grid" -> q161,
       "q162_forward_fill" -> q162,

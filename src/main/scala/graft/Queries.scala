@@ -2838,6 +2838,17 @@ object Queries {
       .orderBy("l_orderkey", "l_linenumber", "o_orderkey")
   }
 
+  /** Top event paths (r13): the ten most common 3-step consecutive
+    * sequences per user, chained only across gaps of at most two days —
+    * per-actor lead() windows in the (ts, type, event_id) total order,
+    * map-side path counts, share over ALL complete paths, deterministic
+    * (n desc, path asc) top-k. The oracle is the identical window chain.
+    */
+  def q171TopPaths(s: SparkSession, dir: String): DataFrame =
+    ops.EventAnalytics.topEventPaths(table(s, dir, "events"),
+      "user_id", "ts", "event_type", length = 3, k = 10,
+      maxGapSeconds = 172800L, orderCols = Seq("event_id"))
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -3044,6 +3055,7 @@ object Queries {
     "q168_funnel_actors" -> (q168FunnelActors _),
     "q169_next_event" -> (q169NextEvent _),
     "q170_interval_overlap" -> (q170IntervalOverlap _),
+    "q171_top_paths" -> (q171TopPaths _),
     "q140_multifield_linkage" -> (q140MultiFieldLinkage _)
   )
 }

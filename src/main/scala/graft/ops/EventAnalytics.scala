@@ -370,6 +370,74 @@ object EventAnalytics {
     }
   }
 
+  /** Top-k event paths: the most frequent length-`length` sequences of
+    * CONSECUTIVE events in the per-actor (ts, type, tiebreak) total
+    * order — "what do actors actually do", the sequence companion to
+    * [[nextEventDistribution]]'s single step. A window of `length`
+    * consecutive rows forms a path when it is complete (no partition
+    * edge inside it) and, with `maxGapSeconds > 0`, every consecutive
+    * gap inside it is at most the bound (a session-style chain rule —
+    * paths never span a cold gap). Rows with a null actor, ts, or type
+    * are ignored; every qualifying window counts (overlapping windows
+    * each count — the standard n-gram convention).
+    *
+    * Scale shape: the lead() windows are per-actor — shuffle by actor,
+    * within-partition sort only, external-sort posture on a hot actor
+    * (the [[nextEventDistribution]] note) — and the path counts
+    * collapse map-side (≤ vocabulary^length distinct paths, far fewer
+    * in practice); the share denominator rides the aggregate as an
+    * unpartitioned window sum over that bounded frame, and top-k is a
+    * deterministic (n desc, path asc) limit.
+    *
+    * Output: (path — types joined with " > " —, n, share = n over ALL
+    * complete paths as a raw double quotient), top-k rows.
+    */
+  def topEventPaths(df: DataFrame, actorCol: String, tsCol: String,
+                    typeCol: String, length: Int, k: Int,
+                    maxGapSeconds: Long = 0L,
+                    orderCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(length >= 2, s"need length >= 2, got $length")
+    require(k > 0, s"need k > 0, got $k")
+    require(maxGapSeconds >= 0, s"need maxGapSeconds >= 0, got $maxGapSeconds")
+    (Seq(actorCol, tsCol, typeCol) ++ orderCols).foreach(c =>
+      require(df.columns.contains(c), s"column '$c' not in frame"))
+    val w = Window.partitionBy(col("__a"))
+      .orderBy(col("__t").asc_nulls_last +: col("__y").asc_nulls_last +:
+        orderCols.indices.map(i => col(s"__o$i").asc_nulls_last): _*)
+    val base = df
+      .where(col(actorCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isNotNull)
+      .select(col(actorCol).as("__a") +:
+        unix_micros(col(tsCol).cast(TimestampType)).as("__t") +:
+        col(typeCol).as("__y") +:
+        orderCols.zipWithIndex.map { case (c, i) =>
+          col(c).as(s"__o$i") }: _*)
+    val stepped = (1 until length).foldLeft(base) { (d, i) =>
+      d.withColumn(s"__y$i", lead(col("__y"), i).over(w))
+        .withColumn(s"__t$i", lead(col("__t"), i).over(w))
+    }
+    val complete = (1 until length)
+      .map(i => col(s"__y$i").isNotNull).reduce(_ && _)
+    val gapOk =
+      if (maxGapSeconds == 0) lit(true)
+      else (1 until length).map { i =>
+        val prev = if (i == 1) col("__t") else col(s"__t${i - 1}")
+        col(s"__t$i") - prev <= maxGapSeconds * 1000000L
+      }.reduce(_ && _)
+    stepped
+      .where(complete && gapOk)
+      .select(concat_ws(" > ",
+        col("__y") +: (1 until length).map(i => col(s"__y$i")): _*)
+        .as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share", col("n").cast(DoubleType) /
+        sum(col("n")).over(Window.partitionBy()).cast(DoubleType))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(k)
+  }
+
   /** Cohort retention: actors bucketed by the period of their FIRST
     * event, and for each (cohort, period-offset) cell the count of
     * cohort actors active in that offset period. Periods are pure

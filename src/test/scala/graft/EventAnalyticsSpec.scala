@@ -312,6 +312,38 @@ class EventAnalyticsSpec extends SparkSpec {
       Seq(("b", 2L, 2.0 / 3), ("c", 1L, 1.0 / 3)))
   }
 
+  test("topEventPaths: overlapping n-grams, gap chain rule, partition " +
+      "edges, deterministic top-k") {
+    val evs = Seq(
+      // user 1: a,b,c,b -> paths (a>b>c), (b>c>b)
+      (1L, ts(0), "a", 1L), (1L, ts(10), "b", 2L),
+      (1L, ts(20), "c", 3L), (1L, ts(30), "b", 4L),
+      // user 2: a,b then a COLD GAP before c: (a>b>c) must NOT form
+      // with maxGap=60, but (a>b) chains fine
+      (2L, ts(0), "a", 5L), (2L, ts(10), "b", 6L), (2L, ts(500), "c", 7L),
+      // user 3: only two events — no complete 3-path
+      (3L, ts(0), "a", 8L), (3L, ts(5), "b", 9L)
+    ).toDF("u", "t", "y", "eid")
+    val out = EventAnalytics.topEventPaths(evs, "u", "t", "y",
+      length = 3, k = 5, maxGapSeconds = 60L, orderCols = Seq("eid"))
+      .collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a > b > c", 1L), ("b > c > b", 1L)))
+    assert(out.forall(_.getDouble(2) == 0.5))
+    // unlimited gap: user 2's path forms too
+    val all3 = EventAnalytics.topEventPaths(evs, "u", "t", "y",
+      length = 3, k = 5, orderCols = Seq("eid")).collect()
+    assert(all3.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a > b > c", 2L), ("b > c > b", 1L)))
+    // length-2 paths count every consecutive pair
+    val l2 = EventAnalytics.topEventPaths(evs, "u", "t", "y",
+      length = 2, k = 100, orderCols = Seq("eid")).collect()
+    assert(l2.map(_.getLong(1)).sum == 6L) // 3 + 2 + 1 windows
+    intercept[IllegalArgumentException] {
+      EventAnalytics.topEventPaths(evs, "u", "t", "y", 1, 5)
+    }
+  }
+
   test("funnel: internal aliases do not collide with user column names") {
     val evs = Seq((1L, ts(1), "a"), (1L, ts(2), "b"))
       .toDF("evs", "r", "last")
