@@ -491,6 +491,45 @@ object StreamingFrame {
           (m("first").toInt, m("last").toLong)
         case v => throw new StateVersionMismatch(v)
       }
+
+    /** Paths-state payload: the trailing length−1 (ts, type) events plus
+      * the (length, gap) configuration they were buffered under — a
+      * trailing window is only meaningful against its own n and chain
+      * rule, so a restart with different parameters fails loudly (the
+      * funnel-steps convention). Event types are JSON-escaped strings,
+      * one key pair per slot.
+      */
+    val PathsVersion = 1
+
+    /** Checkpoint paths state written under different (length, gap). */
+    final class PathsConfigMismatch(foundLen: Int, foundGap: Long,
+                                    expLen: Int, expGap: Long)
+        extends IllegalStateException(
+          s"streaming paths state was written for length=$foundLen/" +
+            s"maxGapSeconds=$foundGap; this query declares length=$expLen/" +
+            s"maxGapSeconds=$expGap — trailing windows are not " +
+            "transferable, restart from a fresh checkpoint")
+
+    def encodePaths(length: Int, gapSeconds: Long,
+                    evs: Seq[(Long, String)]): Enveloped = {
+      val slots = evs.zipWithIndex.map { case ((t, y), i) =>
+        s""""t$i":$t,"y$i":"${esc(y)}"""" }.mkString(",")
+      Enveloped(PathsVersion,
+        s"""{"len":$length,"gap":$gapSeconds,"n":${evs.size}""" +
+          (if (slots.isEmpty) "}" else s",$slots}"))
+    }
+
+    def decodePaths(e: Enveloped, expectedLen: Int,
+                    expectedGap: Long): Seq[(Long, String)] =
+      e.version match {
+        case PathsVersion =>
+          val m = graft.schema.SchemaMetadata.parseJsonValueMap(e.json)
+          val (len, gap) = (m("len").toInt, m("gap").toLong)
+          if (len != expectedLen || gap != expectedGap)
+            throw new PathsConfigMismatch(len, gap, expectedLen, expectedGap)
+          (0 until m("n").toInt).map(i => (m(s"t$i").toLong, m(s"y$i")))
+        case v => throw new StateVersionMismatch(v)
+      }
   }
 
   def statefulProfile(stream: DataFrame, keyCol: String, valueCol: String)
@@ -746,6 +785,70 @@ object StreamingFrame {
             }
           }
           state.update(StateEnvelope.encodeCohort(periodDays, first, last))
+          out.result().iterator
+      }
+  }
+
+  /** One completed consecutive event path for an actor (types joined
+    * with " > ", the [[graft.ops.EventAnalytics.topEventPaths]]
+    * rendering). `groupBy(path).count()` over all emissions reproduces
+    * the batch path counts under in-event-time-order replay.
+    */
+  final case class PathHit(actor: String, path: String)
+
+  /** Trailing event-window state per actor — the streaming twin of
+    * [[graft.ops.EventAnalytics.topEventPaths]]: each arriving event
+    * completes (at most) the one length-`length` window ending at it,
+    * emitted when the window is whole and every internal gap is at most
+    * `maxGapSeconds` (0 = unbounded). State per actor is the trailing
+    * length−1 (ts, type) pairs inside the versioned
+    * [[StateEnvelope.Enveloped]] payload — bounded regardless of volume.
+    *
+    * The honest streaming caveat, the family's one-sided contract: an
+    * event arriving with a timestamp BELOW the trailing window's newest
+    * entry is DROPPED (appending it would chain paths in arrival order —
+    * fabricating sequences the batch order never contained), so
+    * cross-batch disorder under-counts paths, never invents them;
+    * in-event-time-order replay is exact (spec-pinned).
+    */
+  def streamingPaths(stream: DataFrame, actorCol: String, tsCol: String,
+                     typeCol: String, length: Int,
+                     maxGapSeconds: Long = 0L)
+      : org.apache.spark.sql.Dataset[PathHit] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+      OutputMode}
+    import StateEnvelope.Enveloped
+    require(length >= 2, s"need length >= 2, got $length")
+    require(maxGapSeconds >= 0, s"need maxGapSeconds >= 0, got $maxGapSeconds")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val gapMicros = maxGapSeconds * 1000000L
+    stream
+      .select(col(actorCol).cast(StringType).as("a"),
+        unix_micros(col(tsCol).cast(TimestampType)).as("t"),
+        col(typeCol).cast(StringType).as("y"))
+      .where(col("a").isNotNull && col("t").isNotNull &&
+        col("y").isNotNull)
+      .as[(String, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Enveloped, PathHit](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (actor, rows, state: GroupState[Enveloped]) =>
+          var buf = state.getOption
+            .map(StateEnvelope.decodePaths(_, length, maxGapSeconds))
+            .getOrElse(Nil).toVector
+          val out = Seq.newBuilder[PathHit]
+          rows.toSeq.sortBy(e => (e._2, e._3)).foreach { case (_, t, y) =>
+            if (buf.isEmpty || t >= buf.last._1) {
+              buf = (buf :+ (t -> y)).takeRight(length)
+              if (buf.size == length &&
+                  (maxGapSeconds == 0 || buf.iterator.sliding(2)
+                    .forall(p => p(1)._1 - p.head._1 <= gapMicros)))
+                out += PathHit(actor, buf.map(_._2).mkString(" > "))
+            } // else: late event below the window frontier — dropped
+          }
+          state.update(StateEnvelope.encodePaths(length, maxGapSeconds,
+            buf.takeRight(length - 1)))
           out.result().iterator
       }
   }
