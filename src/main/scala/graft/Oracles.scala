@@ -3668,7 +3668,8 @@ object Oracles {
        |SELECT l.l_orderkey, l.l_linenumber, r.o_orderkey,
        |  l.lo, l.hi, r.lo AS lo_r, r.hi AS hi_r
        |FROM l JOIN r ON l.lo <= r.hi AND r.lo <= l.hi
-       |ORDER BY l.l_orderkey, l.l_linenumber, r.o_orderkey""".stripMargin
+       |ORDER BY l.l_orderkey, l.l_linenumber, r.o_orderkey,
+       |  l.lo""".stripMargin
 
   /** q171: top event paths — the identical lead() window chain, gap
     * rule in exact BIGINT micros, share over all complete paths before

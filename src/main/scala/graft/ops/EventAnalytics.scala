@@ -315,25 +315,40 @@ object EventAnalytics {
     * Output: (next_type, n, share = n over all counted successors as a
     * raw double quotient), ordered by n desc then next_type.
     */
+  /** Shared projection + window for the successor-row operators
+    * ([[nextEventDistribution]], [[topEventPaths]]): null actor/ts/type
+    * rows dropped, internal names (collision-proof), ts as exact epoch
+    * micros, and the per-actor (ts, type, orderCols) total order with
+    * asc_nulls_last throughout — the forwardFill tie contract and
+    * DuckDB's default, defined ONCE so the cross-engine ordering can
+    * never drift between the two.
+    */
+  private def orderedEvents(df: DataFrame, actorCol: String, tsCol: String,
+                            typeCol: String, orderCols: Seq[String])
+      : (DataFrame, org.apache.spark.sql.expressions.WindowSpec) = {
+    import org.apache.spark.sql.expressions.Window
+    (Seq(actorCol, tsCol, typeCol) ++ orderCols).foreach(c =>
+      require(df.columns.contains(c), s"column '$c' not in frame"))
+    val base = df
+      .where(col(actorCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isNotNull)
+      .select(col(actorCol).as("__a") +:
+        unix_micros(col(tsCol).cast(TimestampType)).as("__t") +:
+        col(typeCol).as("__y") +:
+        orderCols.zipWithIndex.map { case (c, i) =>
+          col(c).as(s"__o$i") }: _*)
+    val w = Window.partitionBy(col("__a"))
+      .orderBy(col("__t").asc_nulls_last +: col("__y").asc_nulls_last +:
+        orderCols.indices.map(i => col(s"__o$i").asc_nulls_last): _*)
+    (base, w)
+  }
+
   def nextEventDistribution(df: DataFrame, actorCol: String, tsCol: String,
                             typeCol: String, fromType: String,
                             orderCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    (Seq(actorCol, tsCol, typeCol) ++ orderCols).foreach(c =>
-      require(df.columns.contains(c), s"column '$c' not in frame"))
-    // asc_nulls_last throughout: the forwardFill tie contract, and
-    // DuckDB's default — a null order-column value must not pick a
-    // different successor across engines
-    val w = Window.partitionBy(col("__a"))
-      .orderBy(col("__t").asc_nulls_last +: col("__y").asc_nulls_last +:
-        orderCols.indices.map(i => col(s"__o$i").asc_nulls_last): _*)
-    val nexts = df
-      .where(col(actorCol).isNotNull && col(tsCol).isNotNull &&
-        col(typeCol).isNotNull)
-      .select(col(actorCol).as("__a") +: col(tsCol).as("__t") +:
-        col(typeCol).as("__y") +:
-        orderCols.zipWithIndex.map { case (c, i) =>
-          col(c).as(s"__o$i") }: _*)
+    val (base, w) = orderedEvents(df, actorCol, tsCol, typeCol, orderCols)
+    val nexts = base
       .withColumn("__nx", lead(col("__y"), 1).over(w))
       .where(col("__y") === fromType && col("__nx").isNotNull)
     // fully lazy: the share denominator rides the vocabulary-bounded
@@ -400,19 +415,7 @@ object EventAnalytics {
     require(length >= 2, s"need length >= 2, got $length")
     require(k > 0, s"need k > 0, got $k")
     require(maxGapSeconds >= 0, s"need maxGapSeconds >= 0, got $maxGapSeconds")
-    (Seq(actorCol, tsCol, typeCol) ++ orderCols).foreach(c =>
-      require(df.columns.contains(c), s"column '$c' not in frame"))
-    val w = Window.partitionBy(col("__a"))
-      .orderBy(col("__t").asc_nulls_last +: col("__y").asc_nulls_last +:
-        orderCols.indices.map(i => col(s"__o$i").asc_nulls_last): _*)
-    val base = df
-      .where(col(actorCol).isNotNull && col(tsCol).isNotNull &&
-        col(typeCol).isNotNull)
-      .select(col(actorCol).as("__a") +:
-        unix_micros(col(tsCol).cast(TimestampType)).as("__t") +:
-        col(typeCol).as("__y") +:
-        orderCols.zipWithIndex.map { case (c, i) =>
-          col(c).as(s"__o$i") }: _*)
+    val (base, w) = orderedEvents(df, actorCol, tsCol, typeCol, orderCols)
     val stepped = (1 until length).foldLeft(base) { (d, i) =>
       d.withColumn(s"__y$i", lead(col("__y"), i).over(w))
         .withColumn(s"__t$i", lead(col("__t"), i).over(w))

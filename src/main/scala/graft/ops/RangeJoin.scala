@@ -26,6 +26,9 @@ object RangeJoin {
                       binWidth: Double,
                       suffix: String = "_iv"): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    Seq(points, intervals).foreach(df =>
+      require(!df.columns.contains("__bin"),
+        "column '__bin' collides with the bin-join internal alias"))
     def bin(c: Column): Column =
       floor(c.cast(DoubleType) / lit(binWidth)).cast(LongType)
     val p = points.where(col(pointCol).isNotNull)
@@ -81,6 +84,9 @@ object RangeJoin {
     require(left.columns.intersect(
       right.columns.map(_ + suffix)).isEmpty,
       s"suffix '$suffix' does not disambiguate the right columns")
+    Seq(left, right).foreach(df =>
+      require(!df.columns.contains("__bin"),
+        "column '__bin' collides with the bin-join internal alias"))
     def bin(c: Column): Column =
       floor(c.cast(DoubleType) / lit(binWidth)).cast(LongType)
     def exploded(df: DataFrame, lo: String, hi: String,

@@ -804,12 +804,18 @@ object StreamingFrame {
     * length−1 (ts, type) pairs inside the versioned
     * [[StateEnvelope.Enveloped]] payload — bounded regardless of volume.
     *
-    * The honest streaming caveat, the family's one-sided contract: an
-    * event arriving with a timestamp BELOW the trailing window's newest
-    * entry is DROPPED (appending it would chain paths in arrival order —
-    * fabricating sequences the batch order never contained), so
-    * cross-batch disorder under-counts paths, never invents them;
-    * in-event-time-order replay is exact (spec-pinned).
+    * The honest streaming caveat: an event arriving strictly below the
+    * trailing window's newest (ts, type) entry in the batch total order
+    * is DROPPED — appending it would chain paths in ARRIVAL order,
+    * producing orderings the batch never contained. What the drop rule
+    * guarantees is therefore "exactly the batch paths of the log MINUS
+    * the dropped late events": every emitted path is a real consecutive
+    * run of the events the twin accepted, in true time order. Note this
+    * is NOT a per-path lower bound on batch counts — dropping a middle
+    * event can make its neighbors adjacent (a>c where batch reads a>b,
+    * b>c), so disordered arrivals both lose paths and shift adjacency;
+    * in-event-time-order replay is exact (spec-pinned, as is the
+    * drop-not-reorder behavior).
     */
   def streamingPaths(stream: DataFrame, actorCol: String, tsCol: String,
                      typeCol: String, length: Int,
@@ -839,7 +845,13 @@ object StreamingFrame {
             .getOrElse(Nil).toVector
           val out = Seq.newBuilder[PathHit]
           rows.toSeq.sortBy(e => (e._2, e._3)).foreach { case (_, t, y) =>
-            if (buf.isEmpty || t >= buf.last._1) {
+            // frontier check in the BATCH total order (ts, then type):
+            // an equal-ts event whose type sorts below the newest entry
+            // is as late as an earlier timestamp — accepting it would
+            // chain a tie in arrival order (cross-batch fabrication)
+            val inOrder = buf.isEmpty || t > buf.last._1 ||
+              (t == buf.last._1 && y >= buf.last._2)
+            if (inOrder) {
               buf = (buf :+ (t -> y)).takeRight(length)
               if (buf.size == length &&
                   (maxGapSeconds == 0 || buf.iterator.sliding(2)

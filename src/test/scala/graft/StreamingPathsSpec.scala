@@ -67,6 +67,21 @@ class StreamingPathsSpec extends SparkSpec {
     val paths = spark.sql("SELECT path FROM paths_late").collect()
       .map(_.getString(0)).toSeq.sorted
     assert(paths == Seq("a > c")) // batch would read a>b, b>c; NEVER c>b
+    // cross-batch TIE below the frontier: (t=40,"a") after (t=40,"b")
+    // is as late as an earlier timestamp — chaining it would order the
+    // tie by arrival, which the batch (ts, type) order never does
+    val mem2 = MemoryStream[(Long, Timestamp, String)]
+    val out2 = StreamingFrame.streamingPaths(
+      mem2.toDF.toDF("u", "t", "y"), "u", "t", "y", length = 2)
+    val q2 = out2.writeStream.format("memory").queryName("paths_tie")
+      .outputMode("update").start()
+    mem2.addData(Seq((1L, ts(40), "b")))
+    q2.processAllAvailable()
+    mem2.addData(Seq((1L, ts(40), "a")))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(spark.sql("SELECT count(*) FROM paths_tie").head().getLong(0)
+      == 0L) // "b > a" would invert the batch tie order
     // envelope: quotes/backslashes in types survive the JSON round-trip
     val evs = Seq(5L -> """say "hi"\now""", 9L -> "plain")
     val e = StreamingFrame.StateEnvelope.encodePaths(3, 60L, evs)
