@@ -3692,6 +3692,16 @@ object Oracles {
        |SELECT path, n, CAST(n AS DOUBLE) / (SELECT s FROM tot) AS share
        |FROM c ORDER BY n DESC, path LIMIT 10""".stripMargin
 
+  /** q172: per-group exact quantiles — quantile_cont per group (the q02
+    * interpolation convention).
+    */
+  val q172: String =
+    s"""SELECT l_returnflag, count(*) AS n,
+       |  CAST(quantile_cont(l_extendedprice, 0.25) AS DOUBLE) AS p25,
+       |  CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE) AS p50,
+       |  CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE) AS p90
+       |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q07_mutual_info_orders" -> q07Pinned,
@@ -3813,6 +3823,7 @@ object Oracles {
       "q169_next_event" -> q169,
       "q170_interval_overlap" -> q170,
       "q171_top_paths" -> q171,
+      "q172_grouped_quantiles" -> q172,
       "q160_cohort_retention" -> q160,
       "q161_resample_grid" -> q161,
       "q162_forward_fill" -> q162,

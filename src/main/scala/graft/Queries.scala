@@ -2849,6 +2849,16 @@ object Queries {
       "user_id", "ts", "event_type", length = 3, k = 10,
       maxGapSeconds = 172800L, orderCols = Seq("event_id"))
 
+  /** Per-group exact quantiles (r13): p25/p50/p90 of extended price per
+    * return flag — raw rows never sort: per-(group, value) counts
+    * collapse map-side, one per-group window over the collapsed frame
+    * ranks them, and interpolation is SQL-percentile exact against
+    * DuckDB's quantile_cont.
+    */
+  def q172GroupedQuantiles(s: SparkSession, dir: String): DataFrame =
+    stats.Describe.groupedQuantiles(table(s, dir, "lineitem"),
+      Seq("l_returnflag"), "l_extendedprice", Seq(0.25, 0.5, 0.9))
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -3056,6 +3066,7 @@ object Queries {
     "q169_next_event" -> (q169NextEvent _),
     "q170_interval_overlap" -> (q170IntervalOverlap _),
     "q171_top_paths" -> (q171TopPaths _),
+    "q172_grouped_quantiles" -> (q172GroupedQuantiles _),
     "q140_multifield_linkage" -> (q140MultiFieldLinkage _)
   )
 }

@@ -274,6 +274,87 @@ object Describe {
     out.asScala.toMap
   }
 
+  /** PER-GROUP exact quantiles — "median by category" at scale: for each
+    * group of `groupCols`, the interpolated order statistics of
+    * `valueCol` at probabilities `ps` (SQL `percentile` interpolation,
+    * the [[exactQuantiles]] convention). Null and NaN values are
+    * excluded (NaN ordering is engine-specific — the one cross-engine
+    * ambiguity, removed by contract); groups with no remaining value
+    * read null quantiles but still appear (their rows counted by `n`).
+    *
+    * Scale shape — raw rows NEVER sort: one map-side-combined
+    * aggregation collapses to per-(group, value) counts (shuffle ≤
+    * distinct pairs), ONE per-group window over that collapsed frame
+    * computes cumulative ranks (partition size = the group's DISTINCT
+    * values, not its rows — the [[graft.stats.KeyDiscovery]] OD
+    * collapse-then-window philosophy), and rank selection + the final
+    * interpolation are one more group-sized aggregation and projection.
+    * Driver state is zero: unlike the iterative [[exactQuantiles]] walk
+    * (which would pay its driver rounds PER GROUP), the whole thing is
+    * one lazy plan, the right trade when groups are many and per-group
+    * distinct values are collapse-bounded.
+    *
+    * Output: (groupCols..., n — the group's TOTAL row count, null/NaN
+    * values included —, then one `p<percent>` column per probability —
+    * p50, p90, p99_9 for 0.5/0.9/0.999), one row per group, ordered by
+    * the group columns.
+    */
+  def groupedQuantiles(df: DataFrame, groupCols: Seq[String],
+                       valueCol: String, ps: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(ps.nonEmpty, "need at least one probability")
+    require(ps.forall(p => p >= 0 && p <= 1), s"probabilities in [0,1]: $ps")
+    (groupCols :+ valueCol).foreach(c =>
+      require(df.columns.contains(c), s"column '$c' not in frame"))
+    def label(p: Double): String =
+      "p" + BigDecimal(p * 100).underlying.stripTrailingZeros.toPlainString
+        .replace(".", "_").replace("-", "")
+    val labels = ps.map(label)
+    require(labels.distinct.size == labels.size,
+      s"probability labels collide: $labels")
+    require(labels.intersect(groupCols :+ "n").isEmpty,
+      "quantile label collides with a group column")
+    val v = col(valueCol).cast(DoubleType)
+    val gs = groupCols.map(col)
+    val counts = df
+      .where(v.isNotNull && !isnan(v))
+      .groupBy(gs :+ v.as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wOrd = Window.partitionBy(gs: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(gs: _*)
+    val ranked = counts
+      .withColumn("__cum", sum(col("__c")).over(wOrd))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+    // a value row covers 0-based ranks [__cum − __c, __cum); for each p
+    // the wanted ranks are floor/ceil of p·(n−1) — pick the covering
+    // value with a conditional max (exactly one row matches per rank)
+    val aggs = max(col("__n")).as("__total") +:
+      ps.zip(labels).flatMap { case (p, l) =>
+        val pos = lit(p) * (col("__n") - 1)
+        def at(r: Column): Column = max(when(
+          col("__cum") - col("__c") <= r && r < col("__cum"),
+          col("__v")))
+        Seq(at(floor(pos)).as(s"__lo_$l"), at(ceil(pos)).as(s"__hi_$l"))
+      }
+    val picked = ranked.groupBy(gs: _*).agg(aggs.head, aggs.tail: _*)
+    // groups whose every value was null/NaN still must appear: left-join
+    // the picked frame onto the full group list (bounded frames both)
+    val allGroups = df.groupBy(gs: _*).agg(count(lit(1)).as("__rows"))
+    allGroups.join(picked, groupCols, "left")
+      .select(gs ++ (col("__rows").as("n") +:
+        ps.zip(labels).map { case (p, l) =>
+          val pos = lit(p) * (col("__total") - 1)
+          val lo = col(s"__lo_$l"); val hi = col(s"__hi_$l")
+          when(col("__total").isNull, lit(null).cast(DoubleType))
+            .when(ceil(pos) === floor(pos), lo)
+            .otherwise(lo * (ceil(pos) - pos) + hi * (pos - floor(pos)))
+            .as(l)
+        }): _*)
+      .orderBy(groupCols.map(c => col(c).asc_nulls_last): _*)
+  }
+
   /** One unresolved value region of the histogram walk: the predicate chain
     * that defines membership, its observed [lo,hi] bounds, the global rank
     * of its first value (`offset`), and the wanted ranks inside it.

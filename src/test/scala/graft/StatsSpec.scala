@@ -443,4 +443,67 @@ class StatsSpec extends SparkSpec {
     assert(h.map(_.getAs[Long]("frequency")).sum == 1000)
     assert(h.length == 10)
   }
+  test("groupedQuantiles: brute-force parity, null/NaN exclusion, " +
+      "empty groups present with null quantiles") {
+    import graft.stats.Describe
+    val rnd = new scala.util.Random(61)
+    val rows = Seq.fill(400)((s"g${rnd.nextInt(5)}",
+      if (rnd.nextInt(10) == 0) Double.NaN
+      else rnd.nextInt(100).toDouble)) ++
+      Seq(("gEmpty", Double.NaN), ("gEmpty", Double.NaN))
+    val ps = Seq(0.25, 0.5, 0.9, 1.0)
+    val out = Describe.groupedQuantiles(rows.toDF("g", "v"),
+      Seq("g"), "v", ps).collect()
+      .map(r => r.getString(0) -> r).toMap
+    def brute(vs: Seq[Double], p: Double): Double = {
+      val sorted = vs.sorted
+      val pos = p * (sorted.size - 1)
+      val (lo, hi) = (math.floor(pos).toInt, math.ceil(pos).toInt)
+      if (lo == hi) sorted(lo)
+      else sorted(lo) * (hi - pos) + sorted(hi) * (pos - lo)
+    }
+    for ((g, rws) <- rows.groupBy(_._1)) {
+      val row = out(g)
+      assert(row.getLong(1) == rws.size.toLong, s"$g n")
+      val vs = rws.map(_._2).filterNot(_.isNaN)
+      ps.zipWithIndex.foreach { case (p, i) =>
+        if (vs.isEmpty) assert(row.isNullAt(2 + i), s"$g p$p")
+        else assert(row.getDouble(2 + i) == brute(vs, p), s"$g p$p")
+      }
+    }
+    assert(out.contains("gEmpty") && out("gEmpty").isNullAt(2))
+    // and the p-label arithmetic: 0.999 -> p99_9
+    val l = Describe.groupedQuantiles(rows.toDF("g", "v"),
+      Seq("g"), "v", Seq(0.999))
+    assert(l.columns.toSeq == Seq("g", "n", "p99_9"))
+    intercept[IllegalArgumentException] {
+      Describe.groupedQuantiles(rows.toDF("g", "v"), Seq("g"), "v",
+        Seq(1.5))
+    }
+  }
+
+  test("groupedQuantiles plan: rows collapse through the (group, value) " +
+      "aggregate before ANY Sort — no raw-row sort") {
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import graft.stats.Describe
+    val conf = spark.conf
+    val prevAqe = conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val d = spark.range(10000).select(
+        pmod(col("id"), lit(7)).as("g"),
+        pmod(col("id"), lit(500)).cast("double").as("v"))
+      val plan = Describe.groupedQuantiles(d, Seq("g"), "v", Seq(0.5, 0.9))
+        .queryExecution.executedPlan
+      val sorts = plan.collect { case s: SortExec => s }
+      assert(sorts.nonEmpty) // the per-group window does sort — but only
+      // the collapsed distinct-value frame
+      sorts.foreach { s =>
+        assert(s.exists { case _: BaseAggregateExec => true
+                          case _ => false },
+          s"a Sort with no Aggregate below it (raw-row sort):\n$s")
+      }
+    } finally conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }
