@@ -3702,6 +3702,33 @@ object Oracles {
        |  CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE) AS p90
        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
 
+  /** q173: per-group top-k values — the identical rank/share windows
+    * over per-(group, value) counts.
+    */
+  val q173: String =
+    s"""WITH c AS (SELECT source, CAST(lang AS VARCHAR) AS value,
+       |    count(*) n
+       |  FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2),
+       |r AS (SELECT source, value, n,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY n DESC, value) AS rank,
+       |    CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY source) AS share
+       |  FROM c)
+       |SELECT source, value, n, share, rank FROM r WHERE rank <= 3
+       |ORDER BY source, rank""".stripMargin
+
+  /** q174: probability sampling — the Sampling.Sql mirror of the
+    * identical md5 keep predicate, aggregated the same way.
+    */
+  val q174: String =
+    s"""SELECT event_type, count(*) AS n,
+       |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+       |    AS sum_cents
+       |FROM events
+       |WHERE ${graft.ops.Sampling.Sql.probabilityKeep(
+             "event_id", "value / 500.0", "r13")}
+       |GROUP BY 1 ORDER BY event_type""".stripMargin
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q07_mutual_info_orders" -> q07Pinned,
@@ -3824,6 +3851,8 @@ object Oracles {
       "q170_interval_overlap" -> q170,
       "q171_top_paths" -> q171,
       "q172_grouped_quantiles" -> q172,
+      "q173_top_values_by_group" -> q173,
+      "q174_probability_sample" -> q174,
       "q160_cohort_retention" -> q160,
       "q161_resample_grid" -> q161,
       "q162_forward_fill" -> q162,

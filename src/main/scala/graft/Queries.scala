@@ -2859,6 +2859,31 @@ object Queries {
     stats.Describe.groupedQuantiles(table(s, dir, "lineitem"),
       Seq("l_returnflag"), "l_extendedprice", Seq(0.25, 0.5, 0.9))
 
+  /** Per-group top-k values (r13): the three most common languages per
+    * document source — per-(group, value) counts collapse map-side, rank
+    * and share ride per-group windows over the collapsed frame.
+    */
+  def q173TopValuesByGroup(s: SparkSession, dir: String): DataFrame =
+    stats.ValueCounts.topValuesByGroup(table(s, dir, "documents"),
+      Seq("source"), "lang", k = 3)
+
+  /** Row-level probability sampling (r13): each event keeps with its own
+    * probability value/500 (clamped) against the deterministic id hash —
+    * the importance-sampling primitive; the kept set aggregates to
+    * per-type counts and integer-cent sums, and the oracle replays the
+    * IDENTICAL md5 predicate through the SQL mirror.
+    */
+  def q174ProbabilitySample(s: SparkSession, dir: String): DataFrame = {
+    val evs = table(s, dir, "events")
+      .withColumn("__p", col("value") / 500.0)
+    ops.Sampling.probabilitySample(evs, "event_id", "__p", salt = "r13")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).cast("double")
+          .as("sum_cents"))
+      .orderBy("event_type")
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -3067,6 +3092,8 @@ object Queries {
     "q170_interval_overlap" -> (q170IntervalOverlap _),
     "q171_top_paths" -> (q171TopPaths _),
     "q172_grouped_quantiles" -> (q172GroupedQuantiles _),
+    "q173_top_values_by_group" -> (q173TopValuesByGroup _),
+    "q174_probability_sample" -> (q174ProbabilitySample _),
     "q140_multifield_linkage" -> (q140MultiFieldLinkage _)
   )
 }

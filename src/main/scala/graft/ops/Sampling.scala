@@ -55,6 +55,25 @@ object Sampling {
     df.where(hash01(col(idCol), salt) < fraction)
   }
 
+  /** ROW-LEVEL probability sampling: each row keeps with its own
+    * probability — `probCol`, clamped into [0, 1] — against the
+    * deterministic id hash: `hash01(id, salt) < clamp(prob)`. The
+    * importance-sampling primitive ([[stratifiedSample]] rates vary by
+    * stratum; here every row carries its own rate, e.g. a quality score
+    * or a [[temperatureWeights]]-derived column), still one codegen'd
+    * filter projection, zero shuffle, stable under retries and
+    * reprocessing. Rows with a null or NaN probability are dropped
+    * (an unknown keep-rate is not a keep).
+    */
+  def probabilitySample(df: DataFrame, idCol: String, probCol: String,
+                        salt: String = ""): DataFrame = {
+    Seq(idCol, probCol).foreach(c =>
+      require(df.columns.contains(c), s"column '$c' not in frame"))
+    val p = col(probCol).cast(DoubleType)
+    df.where(p.isNotNull && !isnan(p) &&
+      hash01(col(idCol), salt) < least(greatest(p, lit(0.0)), lit(1.0)))
+  }
+
   /** Per-stratum deterministic sampling: each row keeps with the fraction
     * configured for its stratum value (`default` for unlisted strata).
     * Still a single filter projection — the per-stratum rate rides in a
@@ -137,6 +156,15 @@ object Sampling {
   object Sql {
     def hash01(idExpr: String, salt: String = ""): String =
       s"(CAST(CAST(concat('0x', substr(md5(CAST($idExpr AS VARCHAR) || ':$salt'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0)"
+
+    /** [[Sampling.probabilitySample]]'s predicate in SQL: identical
+      * hash, identical clamp.
+      */
+    def probabilityKeep(idExpr: String, probExpr: String,
+                        salt: String = ""): String =
+      s"($probExpr IS NOT NULL AND NOT isnan(CAST($probExpr AS DOUBLE)) " +
+        s"AND ${hash01(idExpr, salt)} < " +
+        s"least(greatest(CAST($probExpr AS DOUBLE), 0.0), 1.0))"
 
     def splitCase(idExpr: String, splits: Seq[(String, Double)],
                   salt: String = ""): String = {

@@ -42,6 +42,53 @@ object ValueCounts {
       .select("column_name", "value", "count", "rn")
   }
 
+  /** PER-GROUP top-k values (r13): for each group of `groupCols`, the
+    * `k` most frequent values of `valueCol` with exact counts and the
+    * share of the group's NON-NULL values — "top domains per source",
+    * the grouped companion to [[topValues]]. Null values are excluded
+    * (the [[topValues]] convention); rank order is (count desc, value
+    * asc) — deterministic, no tie ambiguity.
+    *
+    * Scale shape: one map-side-combined aggregation collapses to
+    * per-(group, value) counts (shuffle ≤ distinct pairs); the rank and
+    * the share denominator ride per-group windows over that COLLAPSED
+    * frame (partition = the group's distinct values, never its rows —
+    * the collapse-before-sort contract), and the top-k filter is a
+    * projection.
+    *
+    * Output: (groupCols..., value — string cast —, n, share, rank),
+    * rank 1..k per group, ordered by (groupCols..., rank).
+    */
+  def topValuesByGroup(df: DataFrame, groupCols: Seq[String],
+                       valueCol: String, k: Int = 10): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(k > 0, s"need k > 0, got $k")
+    (groupCols :+ valueCol).foreach(c =>
+      require(df.columns.contains(c), s"column '$c' not in frame"))
+    require(!groupCols.contains(valueCol),
+      s"value column '$valueCol' is also a group column")
+    Seq("value", "n", "share", "rank").foreach(o =>
+      require(!groupCols.contains(o),
+        s"group column '$o' collides with an output column"))
+    val gs = groupCols.map(col)
+    val counts = df
+      .where(col(valueCol).isNotNull)
+      .groupBy(gs :+ col(valueCol).cast("string").as("value"): _*)
+      .agg(count(lit(1)).as("n"))
+    val wRank = Window.partitionBy(gs: _*)
+      .orderBy(col("n").desc, col("value").asc)
+    val wAll = Window.partitionBy(gs: _*)
+    counts
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("share", col("n").cast("double") /
+        sum(col("n")).over(wAll).cast("double"))
+      .where(col("rank") <= k)
+      .select(gs ++ Seq(col("value"), col("n"), col("share"),
+        col("rank")): _*)
+      .orderBy(groupCols.map(c => col(c).asc_nulls_last) :+
+        col("rank").asc: _*)
+  }
+
   /** Top-x categorical values for one column
     * (reference: statistics_utils/_get_top_values_categorical.py:1-17).
     */

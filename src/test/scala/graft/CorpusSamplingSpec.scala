@@ -245,4 +245,35 @@ class CorpusSamplingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(out.toSeq == Seq(("a.example.com", 3L, 2L), ("b.org", 1L, 1L)))
   }
+  test("probabilitySample: per-row keep probability against the id hash; " +
+      "null/NaN probabilities drop; clamp to [0,1]") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    val d = Seq(
+      (1L, 1.0),   // always kept (hash < 1 for any hash)
+      (2L, 0.0),   // never kept
+      (3L, -5.0),  // clamps to 0: never kept
+      (4L, 7.0),   // clamps to 1: always kept
+      (5L, Double.NaN), // dropped
+      (6L, 0.5)
+    ).toDF("id", "p")
+    val kept = Sampling.probabilitySample(d, "id", "p", salt = "s")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L) && kept.contains(4L))
+    assert(!kept.contains(2L) && !kept.contains(3L) && !kept.contains(5L))
+    // row 6 keeps iff its hash is below 0.5 — exactly the shared hash01
+    val h = d.where(col("id") === 6)
+      .select(Sampling.hash01(col("id"), "s")).head().getDouble(0)
+    assert(kept.contains(6L) == (h < 0.5))
+    // determinism: same salt, same verdicts; different salt re-deals
+    val again = Sampling.probabilitySample(d, "id", "p", salt = "s")
+      .collect().map(_.getLong(0)).toSet
+    assert(again == kept)
+    // statistical sanity at scale: keep rate tracks the probability
+    val big = spark.range(20000).select(col("id"),
+      (col("id") % 10).cast("double").divide(10.0).as("p"))
+    val rate = Sampling.probabilitySample(big, "id", "p")
+      .count().toDouble / 20000
+    assert(math.abs(rate - 0.45) < 0.02, s"rate $rate")
+  }
 }

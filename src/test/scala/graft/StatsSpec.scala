@@ -506,4 +506,25 @@ class StatsSpec extends SparkSpec {
       }
     } finally conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
+  test("topValuesByGroup: per-group ranks, shares over the group's " +
+      "non-null values, deterministic tie order") {
+    import graft.stats.ValueCounts
+    val d = Seq(
+      ("g1", "a"), ("g1", "a"), ("g1", "b"), ("g1", "b"), ("g1", "c"),
+      ("g2", "x"), ("g2", null.asInstanceOf[String])
+    ).toDF("g", "v")
+    val out = ValueCounts.topValuesByGroup(d, Seq("g"), "v", k = 2)
+      .collect()
+    val g1 = out.filter(_.getString(0) == "g1")
+    // tie between a and b (2 each): value asc breaks it — a first
+    assert(g1.map(r => (r.getString(1), r.getLong(2), r.getInt(4)))
+      .toSeq == Seq(("a", 2L, 1), ("b", 2L, 2)))
+    assert(g1.forall(_.getDouble(3) == 0.4)) // share over 5 non-nulls
+    val g2 = out.filter(_.getString(0) == "g2")
+    assert(g2.map(r => (r.getString(1), r.getDouble(3))).toSeq ==
+      Seq(("x", 1.0))) // the null never counts
+    intercept[IllegalArgumentException] {
+      ValueCounts.topValuesByGroup(d, Seq("g"), "g")
+    }
+  }
 }
