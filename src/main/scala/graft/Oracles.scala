@@ -3729,6 +3729,68 @@ object Oracles {
              "event_id", "value / 500.0", "r13")}
        |GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** q175: null-group-key grouped quantiles — DuckDB GROUP BY groups the
+    * NULL key and quantile_cont returns its real quantiles; the Spark
+    * side must null-safe-join to match.
+    */
+  val q175: String =
+    s"""SELECT nullif(l_returnflag, 'N') AS flag_or_null, count(*) AS n,
+       |  CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE) AS p50,
+       |  CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE) AS p90
+       |FROM lineitem GROUP BY 1
+       |ORDER BY flag_or_null NULLS LAST""".stripMargin
+
+  /** q176: dimensional funnel — the q159 nested-min CTE chain, with the
+    * derived dimension (functionally dependent on user_id, so the
+    * per-user CTEs are unchanged) grouped into per-dim counts at the
+    * end. Dim joins are IS NOT DISTINCT FROM: the NULL dimension is a
+    * real slice on both engines.
+    */
+  val q176: String = {
+    val steps = Seq("signup", "view", "click", "purchase")
+    val ctes = steps.zipWithIndex.map { case (s, i) =>
+      if (i == 0)
+        s"""s1 AS (SELECT user_id, min(ts) t FROM base
+           |  WHERE event_type = '$s' GROUP BY 1)""".stripMargin
+      else
+        s"""s${i + 1} AS (SELECT e.user_id, min(e.ts) t FROM base e
+           |  JOIN s$i p ON e.user_id = p.user_id
+           |  WHERE e.event_type = '$s' AND e.ts > p.t GROUP BY 1)""".stripMargin
+    }
+    val cnts = steps.indices.map(i =>
+      s"""c${i + 1} AS (SELECT dm.dim, count(*) n FROM s${i + 1}
+         |  JOIN dm USING (user_id) GROUP BY 1)""".stripMargin)
+    val joins = steps.indices.map(i =>
+      s"LEFT JOIN c${i + 1} ON d.dim IS NOT DISTINCT FROM c${i + 1}.dim")
+      .mkString("\n")
+    val ns = steps.indices.map(i =>
+      s"coalesce(c${i + 1}.n, 0) AS n${i + 1}").mkString(", ")
+    val rows = steps.zipWithIndex.map { case (s, i) =>
+      val n = s"n${i + 1}"
+      val prev = if (i == 0) n else s"n$i"
+      s"""SELECT dim, ${i + 1} AS step_index, '$s' AS step,
+         |  $n AS n_actors,
+         |  CASE WHEN $prev = 0 THEN 0.0
+         |    ELSE CAST($n AS DOUBLE) / $prev END AS conversion,
+         |  CASE WHEN n1 = 0 THEN 0.0
+         |    ELSE CAST($n AS DOUBLE) / n1 END AS overall
+         |FROM w""".stripMargin
+    }
+    s"""WITH base AS (SELECT user_id, ts, event_type,
+       |    CASE WHEN user_id % 3 = 0 THEN NULL
+       |      ELSE 'seg' || CAST(user_id % 3 AS VARCHAR) END AS dim
+       |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+       |${ctes.mkString(",\n")},
+       |dm AS (SELECT user_id, any_value(dim) dim FROM base GROUP BY 1),
+       |dims AS (SELECT DISTINCT dim FROM base
+       |  WHERE event_type IN (${steps.map(s => s"'$s'").mkString(", ")})),
+       |${cnts.mkString(",\n")},
+       |w AS (SELECT d.dim, $ns FROM dims d
+       |$joins)
+       |${rows.mkString("\nUNION ALL\n")}
+       |ORDER BY dim NULLS LAST, step_index""".stripMargin
+  }
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q07_mutual_info_orders" -> q07Pinned,
@@ -3853,6 +3915,8 @@ object Oracles {
       "q172_grouped_quantiles" -> q172,
       "q173_top_values_by_group" -> q173,
       "q174_probability_sample" -> q174,
+      "q175_null_key_quantiles" -> q175,
+      "q176_funnel_by_dim" -> q176,
       "q160_cohort_retention" -> q160,
       "q161_resample_grid" -> q161,
       "q162_forward_fill" -> q162,

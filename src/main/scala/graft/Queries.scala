@@ -2884,6 +2884,36 @@ object Queries {
       .orderBy("event_type")
   }
 
+  /** Null-group-key grouped quantiles (r14): q172's family with a DERIVED
+    * NULLABLE key — `nullif(l_returnflag, 'N')` makes the biggest group's
+    * key NULL, pinning the r13 judge finding: the final group join must be
+    * null-safe (`<=>`) or the null group silently reads null quantiles
+    * while DuckDB's GROUP BY + quantile_cont returns real values.
+    */
+  def q175NullKeyQuantiles(s: SparkSession, dir: String): DataFrame =
+    stats.Describe.groupedQuantiles(
+      table(s, dir, "lineitem")
+        .withColumn("flag_or_null",
+          nullif(col("l_returnflag"), lit("N"))),
+      Seq("flag_or_null"), "l_extendedprice", Seq(0.5, 0.9))
+
+  /** Dimensional funnel (r14): the q159 funnel per derived segment —
+    * user_id mod 3 mapped to seg1/seg2/NULL, so the NULL slice is
+    * exercised end-to-end. The dimension rides the actor key through the
+    * same segmented skew-safe machinery; the oracle is the q159 chained
+    * CTEs with the per-dimension counts grouped one key deeper and a
+    * NULL-safe dim join.
+    */
+  def q176FunnelByDim(s: SparkSession, dir: String): DataFrame =
+    ops.EventAnalytics.funnelBy(
+      table(s, dir, "events").withColumn("dim",
+        when(pmod(col("user_id"), lit(3)) === 0,
+          lit(null).cast("string"))
+          .otherwise(concat(lit("seg"),
+            pmod(col("user_id"), lit(3)).cast("string")))),
+      "user_id", "ts", "event_type", "dim",
+      Seq("signup", "view", "click", "purchase"))
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -3094,6 +3124,8 @@ object Queries {
     "q172_grouped_quantiles" -> (q172GroupedQuantiles _),
     "q173_top_values_by_group" -> (q173TopValuesByGroup _),
     "q174_probability_sample" -> (q174ProbabilitySample _),
+    "q175_null_key_quantiles" -> (q175NullKeyQuantiles _),
+    "q176_funnel_by_dim" -> (q176FunnelByDim _),
     "q140_multifield_linkage" -> (q140MultiFieldLinkage _)
   )
 }

@@ -78,6 +78,11 @@ object EventAnalytics {
     * double quotient of exact Longs — 1.0 at step 1 —, overall = this
     * step's actors over the FIRST step's). A zero denominator reads
     * 0.0, and every step is emitted even when empty.
+    *
+    * EAGER at call time (the [[graft.ops.SkewJoin.joinCardinality]] /
+    * [[graft.ops.TimeSeries.resampleGrid]] contract): the step-count
+    * aggregation runs via a driver `head()` before this returns — the
+    * result frame itself is a bounded local relation.
     */
   def funnel(df: DataFrame, actorCol: String, tsCol: String,
              typeCol: String, steps: Seq[String],
@@ -110,6 +115,70 @@ object EventAnalytics {
         StructField("overall", DoubleType, nullable = false))))
   }
 
+  /** Dimensional funnel — [[funnel]] grouped by a property column
+    * ("funnel by country"): per (dimension, step), how many actors
+    * complete each prefix of `steps` within that dimension's event
+    * slice. The dimension RIDES the actor key through the identical
+    * skew-safe segmented machinery (both shuffles key on (actor,
+    * dimension, ...) instead of (actor, ...)), so an actor whose events
+    * carry several dimension values participates INDEPENDENTLY in each
+    * slice — for the common per-actor-constant dimension this is
+    * exactly the per-country funnel. A NULL dimension is a real slice
+    * (groupBy keeps it, and no join ever has to re-match it — the
+    * [[graft.stats.Describe.groupedQuantiles]] hazard class cannot
+    * arise here by construction). Every dimension with at least one
+    * step-typed event emits all k steps, zero-count steps included.
+    *
+    * Unlike [[funnel]] (EAGER: one bounded driver head()), this stays
+    * LAZY at any dimension cardinality: the per-dimension step counts
+    * are one dimension-bounded aggregate over the actor-level frame and
+    * the k rows per dimension unroll via posexplode of the count vector
+    * — no driver collect.
+    *
+    * Output: (dimCol, step_index, step, n_actors, conversion, overall)
+    * — [[funnel]]'s columns with the dimension prepended, the same
+    * zero-denominator → 0.0 / step-1 → 1.0 convention, ordered by
+    * (dimension NULLS LAST, step_index).
+    */
+  def funnelBy(df: DataFrame, actorCol: String, tsCol: String,
+               typeCol: String, dimCol: String, steps: Seq[String],
+               windowSeconds: Long = 0L,
+               segmentSeconds: Long = 86400L): DataFrame = {
+    val k = steps.size
+    require(!Seq("step_index", "step", "n_actors", "conversion", "overall")
+      .contains(dimCol),
+      s"dimension column '$dimCol' collides with a funnel output column")
+    val prog = actorProgress(df, actorCol, tsCol, typeCol, steps,
+      windowSeconds, segmentSeconds, Some(dimCol))
+    val aggs = (1 to k).map(i =>
+      count(when(col("__r") >= i, 1)).as(s"__s$i"))
+    val counts = prog.groupBy(col("__d"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("__d"),
+        array((1 to k).map(i => col(s"__s$i")): _*).as("__ns"))
+    val stepArr = array(steps.map(lit): _*)
+    // prev reads element_at(__ns, __p) 1-based = the PREVIOUS step; the
+    // __p = 0 branch never consults it and greatest() keeps the index
+    // in-range even if the optimizer reorders the CASE arms (ANSI)
+    val prev = when(col("__p") === 0, col("__n"))
+      .otherwise(element_at(col("__ns"),
+        greatest(col("__p"), lit(1))))
+    val first = element_at(col("__ns"), 1)
+    counts
+      .select(col("__d"), col("__ns"),
+        posexplode(col("__ns")).as(Seq("__p", "__n")))
+      .select(
+        col("__d").as(dimCol),
+        (col("__p") + 1).as("step_index"),
+        element_at(stepArr, col("__p") + 1).as("step"),
+        col("__n").as("n_actors"),
+        when(prev === 0, lit(0.0))
+          .otherwise(col("__n").cast(DoubleType) / prev).as("conversion"),
+        when(first === 0, lit(0.0))
+          .otherwise(col("__n").cast(DoubleType) / first).as("overall"))
+      .orderBy(col(dimCol).asc_nulls_last, col("step_index"))
+  }
+
   /** Inter-step timing: for each COMPLETED transition i−1 → i (i ≥ 2),
     * the count and exact median/p90 of the seconds between the two
     * advance times — the other half of product analytics next to the
@@ -126,6 +195,10 @@ object EventAnalytics {
     * (step_index, step, n_pairs, p50_seconds, p90_seconds) for steps
     * 2..k, step_index ascending; a step no actor completed reads
     * n_pairs = 0 with null quantiles.
+    *
+    * EAGER at call time (the [[funnel]] contract): the quantile walk's
+    * driver rounds run inside this call — a persist/unpersist cycle on
+    * the actor-progress frame, returning a bounded local relation.
     */
   def funnelStepTiming(df: DataFrame, actorCol: String, tsCol: String,
                        typeCol: String, steps: Seq[String],
@@ -183,7 +256,9 @@ object EventAnalytics {
   private[graft] def actorProgress(df: DataFrame, actorCol: String,
                                    tsCol: String, typeCol: String,
                                    steps: Seq[String], windowSeconds: Long,
-                                   segmentSeconds: Long): DataFrame = {
+                                   segmentSeconds: Long,
+                                   dimCol: Option[String] = None)
+      : DataFrame = {
     require(steps.nonEmpty, "need at least one funnel step")
     require(steps.distinct.size == steps.size,
       "duplicate funnel step: repeated types make the greedy match " +
@@ -192,7 +267,7 @@ object EventAnalytics {
       s"need segmentSeconds >= 0 (0 = auto), got $segmentSeconds")
     require(windowSeconds >= 0 && windowSeconds <= MaxWindowSeconds,
       s"need 0 <= windowSeconds <= $MaxWindowSeconds, got $windowSeconds")
-    Seq(actorCol, tsCol, typeCol).foreach(c =>
+    (Seq(actorCol, tsCol, typeCol) ++ dimCol).foreach(c =>
       require(df.columns.contains(c), s"column '$c' not in frame"))
     val k = steps.size
     val winMicros = windowSeconds * 1000000L // bounded by the require
@@ -208,11 +283,17 @@ object EventAnalytics {
     // full re-projection onto internal names: user column names can never
     // collide with the fold's aliases (the loud-misuse class, closed
     // structurally rather than by a reserved-name require)
+    // a dimension (funnelBy) simply RIDES the actor key: both shuffles
+    // group by (actor, dim, ...) instead of (actor, ...), so each
+    // (actor, dimension-slice) folds independently — same skew posture,
+    // NULL dimensions kept as a real slice (groupBy groups them)
+    val dimKeys = dimCol.map(_ => col("__d")).toSeq
     val base = df
       .where(col(actorCol).isNotNull && col(tsCol).isNotNull &&
         col(typeCol).isin(steps: _*))
-      .select(col(actorCol).as("__a"), t.as("__t"),
-        col(typeCol).as("__y"), seg.as("__seg"))
+      .select(col(actorCol).as("__a") +:
+        (dimCol.map(d => col(d).as("__d")).toSeq ++
+          Seq(t.as("__t"), col(typeCol).as("__y"), seg.as("__seg"))): _*)
     val stepArr = array(steps.map(lit): _*)
     val emptyAdv = array().cast(ArrayType(LongType, containsNull = false))
     // saturating deadline: anchor + winMicros clamps to Long.MaxValue for
@@ -229,11 +310,11 @@ object EventAnalytics {
     // entry 0 with a window, the fold's own first advance anchors the
     // deadline; entry ≥ 1 deadlines are applied at merge by truncation.
     val segVec = base
-      .groupBy(col("__a"), col("__seg"))
+      .groupBy(col("__a") +: dimKeys :+ col("__seg"): _*)
       .agg(sort_array(collect_list(struct(col("__t").as("t"),
         col("__y").as("y")))).as("__evs"))
-      .select(col("__a"), col("__seg"),
-        transform(sequence(lit(0), lit(k - 1)), i =>
+      .select((col("__a") +: dimKeys) :+ col("__seg") :+
+        (transform(sequence(lit(0), lit(k - 1)), i =>
           aggregate(col("__evs"), emptyAdv, (adv, e) => {
             // every adv/stepArr access is shielded from ANSI
             // out-of-bounds: the index clamp and the lazy CASE branches
@@ -248,14 +329,14 @@ object EventAnalytics {
                   .otherwise(e("t") <= deadline(element_at(adv, 1)))
               else lit(true))
             when(advance, concat(adv, array(e("t")))).otherwise(adv)
-          })).as("__vec"))
+          }))).as("__vec"): _*)
     // per actor: merge vectors in segment order; entry progress indexes
     // the next segment's vector, a set deadline prefix-truncates it
     segVec
-      .groupBy(col("__a"))
+      .groupBy(col("__a") +: dimKeys: _*)
       .agg(sort_array(collect_list(struct(col("__seg").as("s"),
         col("__vec").as("v")))).as("__segs"))
-      .select(col("__a"),
+      .select((col("__a") +: dimKeys) :+
         aggregate(col("__segs"), emptyAdv, (adv, sv) => {
           val localRaw = element_at(sv("v"),
             least(size(adv) + 1, lit(k)).cast(IntegerType))
@@ -266,7 +347,7 @@ object EventAnalytics {
                 .otherwise(localRaw)
             else localRaw
           when(size(adv) >= k, adv).otherwise(concat(adv, local))
-        }).as("__adv"))
+        }).as("__adv"): _*)
       .withColumn("__r", size(col("__adv")))
   }
 
@@ -414,7 +495,10 @@ object EventAnalytics {
     import org.apache.spark.sql.expressions.Window
     require(length >= 2, s"need length >= 2, got $length")
     require(k > 0, s"need k > 0, got $k")
-    require(maxGapSeconds >= 0, s"need maxGapSeconds >= 0, got $maxGapSeconds")
+    // upper bound matches windowSeconds' sanity require: unbounded, the
+    // *1000000L below wraps negative and every gap check silently fails
+    require(maxGapSeconds >= 0 && maxGapSeconds <= MaxWindowSeconds,
+      s"need 0 <= maxGapSeconds <= $MaxWindowSeconds, got $maxGapSeconds")
     val (base, w) = orderedEvents(df, actorCol, tsCol, typeCol, orderCols)
     val stepped = (1 until length).foldLeft(base) { (d, i) =>
       d.withColumn(s"__y$i", lead(col("__y"), i).over(w))

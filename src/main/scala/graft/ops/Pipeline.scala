@@ -175,9 +175,13 @@ object Pipeline {
         round(sum(col("q4")).cast(DoubleType) /
           (count(lit(1)) * lit(10000)).cast(DoubleType), 4)
           .as("avg_quality"))
-    in.join(pass, Seq("source"), "left")
-      .join(kept, Seq("source"), "left")
-      .select(col("source"), col("docs_in"),
+    // NULL-SAFE joins: a null source is a legitimate group (groupBy keeps
+    // it on every side) and plain EqualTo would never match it against
+    // its own gate_pass/kept row — the groupedQuantiles hazard class
+    val j1 = in.join(pass, in("source") <=> pass("source"), "left")
+      .select(in("source").as("source"), col("docs_in"), col("gate_pass"))
+    j1.join(kept, j1("source") <=> kept("source"), "left")
+      .select(j1("source"), col("docs_in"),
         coalesce(col("gate_pass"), lit(0L)).as("gate_pass"),
         coalesce(col("kept"), lit(0L)).as("kept"),
         coalesce(col("total_tokens"), lit(0L)).as("total_tokens"),

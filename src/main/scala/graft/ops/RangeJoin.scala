@@ -67,7 +67,14 @@ object RangeJoin {
     * rows — bounded, but priced by the caller's width choice. Temporal
     * intervals join on their epoch numbers (`unix_micros`/
     * `unix_seconds` cast by the caller). Null or inverted (lo > hi)
-    * intervals are ignored on both sides.
+    * intervals are ignored on both sides. Bin assignment divides the
+    * RAW bound values as doubles — self-consistent under rounding (the
+    * first-shared-bin rule survives double rounding because both sides
+    * round identically), but bounds above 2⁵³ lose integer precision
+    * and may misbucket BOTH sides together: epoch-micros past ~2255 CE,
+    * or raw nanosecond epochs, need a caller-side rescale first (the
+    * same 2⁵³ rationale that makes [[EventAnalytics]] bucket with
+    * `pmod` Long arithmetic instead of division).
     *
     * Output: the left columns under their own names + every right
     * column suffixed; one row per overlapping pair.

@@ -307,17 +307,27 @@ object Describe {
     require(ps.forall(p => p >= 0 && p <= 1), s"probabilities in [0,1]: $ps")
     (groupCols :+ valueCol).foreach(c =>
       require(df.columns.contains(c), s"column '$c' not in frame"))
+    // decimal-string construction, not binary: BigDecimal(0.07 * 100)
+    // would inherit double noise (p7_000000000000001)
     def label(p: Double): String =
-      "p" + BigDecimal(p * 100).underlying.stripTrailingZeros.toPlainString
+      "p" + (BigDecimal(p.toString) * 100).underlying
+        .stripTrailingZeros.toPlainString
         .replace(".", "_").replace("-", "")
     val labels = ps.map(label)
     require(labels.distinct.size == labels.size,
       s"probability labels collide: $labels")
     require(labels.intersect(groupCols :+ "n").isEmpty,
       "quantile label collides with a group column")
-    val v = col(valueCol).cast(DoubleType)
-    val gs = groupCols.map(col)
-    val counts = df
+    // full re-projection onto __-internal names (the actorProgress
+    // convention): a user group column named __cum/__v/... can never
+    // collide with the machinery below
+    val gNames = groupCols.indices.map(i => s"__g$i")
+    val gs = gNames.map(col)
+    val base = df.select(
+      groupCols.zip(gNames).map { case (c, g) => col(c).as(g) } :+
+        col(valueCol).cast(DoubleType).as("__val"): _*)
+    val v = col("__val")
+    val counts = base
       .where(v.isNotNull && !isnan(v))
       .groupBy(gs :+ v.as("__v"): _*)
       .agg(count(lit(1)).as("__c"))
@@ -340,10 +350,18 @@ object Describe {
       }
     val picked = ranked.groupBy(gs: _*).agg(aggs.head, aggs.tail: _*)
     // groups whose every value was null/NaN still must appear: left-join
-    // the picked frame onto the full group list (bounded frames both)
-    val allGroups = df.groupBy(gs: _*).agg(count(lit(1)).as("__rows"))
-    allGroups.join(picked, groupCols, "left")
-      .select(gs ++ (col("__rows").as("n") +:
+    // the picked frame onto the full group list (bounded frames both).
+    // NULL-SAFE equality is load-bearing: groupBy keeps a NULL group key,
+    // and a plain-EqualTo join would never match it against its own
+    // picked row — real quantiles would silently read null (DuckDB's
+    // GROUP BY + quantile_cont returns real values for the null group).
+    val allGroups = base.groupBy(gs: _*).agg(count(lit(1)).as("__rows"))
+    val joinCond = gNames
+      .map(g => allGroups(g) <=> picked(g)).reduce(_ && _)
+    allGroups.join(picked, joinCond, "left")
+      .select(groupCols.zip(gNames).map { case (c, g) =>
+          allGroups(g).as(c) } ++
+        (col("__rows").as("n") +:
         ps.zip(labels).map { case (p, l) =>
           val pos = lit(p) * (col("__total") - 1)
           val lo = col(s"__lo_$l"); val hi = col(s"__hi_$l")

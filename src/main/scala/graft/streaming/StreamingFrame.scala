@@ -825,7 +825,12 @@ object StreamingFrame {
       OutputMode}
     import StateEnvelope.Enveloped
     require(length >= 2, s"need length >= 2, got $length")
-    require(maxGapSeconds >= 0, s"need maxGapSeconds >= 0, got $maxGapSeconds")
+    // same sanity bound as the batch twin: unbounded, gapMicros wraps
+    // negative and every gap check silently fails (empty output)
+    require(maxGapSeconds >= 0 &&
+      maxGapSeconds <= graft.ops.EventAnalytics.MaxWindowSeconds,
+      s"need 0 <= maxGapSeconds <= " +
+        s"${graft.ops.EventAnalytics.MaxWindowSeconds}, got $maxGapSeconds")
     val spark = stream.sparkSession
     import spark.implicits._
     val gapMicros = maxGapSeconds * 1000000L

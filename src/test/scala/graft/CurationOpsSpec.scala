@@ -228,6 +228,25 @@ class CurationOpsSpec extends SparkSpec {
     assert(report.head.getAs[Long]("kept") === 2L)
   }
 
+  test("curateReport: a NULL source is a real group — its gate_pass/kept " +
+      "come back non-zero (null-safe joins, the groupedQuantiles class)") {
+    val passing = Queries.q91Passage
+    val docs = Seq(
+      (1L, Option("web"), passing),
+      (2L, Option.empty[String], passing + " extra words here"),
+      (3L, Option.empty[String], "way too short"))
+      .toDF("doc_id", "source", "text")
+    val rows = ops.Pipeline.curateReport(docs, "doc_id", "text", "source")
+      .collect().map(r =>
+        (if (r.isNullAt(0)) null else r.getString(0)) ->
+          (r.getAs[Long]("docs_in"), r.getAs[Long]("gate_pass"),
+            r.getAs[Long]("kept"))).toMap
+    assert(rows("web") === ((1L, 1L, 1L)))
+    // plain-EqualTo joins read (2, 0, 0) here: the null group never
+    // matched its own gate_pass/kept rows
+    assert(rows(null) === ((2L, 1L, 1L)))
+  }
+
   test("Bpe.train learns the classic merges; segment/pieceCount agree") {
     // Sennrich-style toy corpus: low x3, lower x2, newest x2
     val docs = Seq("low low low lower lower newest newest").toDF("text")

@@ -187,6 +187,67 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("funnelBy property: per-dimension counts equal brute force over " +
+      "each (actor, dim) slice — NULL dim is a real slice, all k steps " +
+      "emitted per dim, ratio conventions match funnel's") {
+    val rnd = new scala.util.Random(31)
+    val steps = Seq("s1", "s2", "s3")
+    def brute(g: Seq[(Timestamp, String)], w: Long): Int = {
+      var last = Long.MinValue; var t0 = Long.MinValue; var r = 0
+      var advanced = true
+      while (advanced && r < steps.size) {
+        val cand = g.filter(e => e._2 == steps(r) &&
+          (r == 0 || e._1.getTime * 1000 > last) &&
+          (w == 0 || r == 0 || e._1.getTime * 1000 <= t0 + w * 1000000L))
+          .map(_._1.getTime * 1000)
+        if (cand.nonEmpty) {
+          last = cand.min; if (r == 0) t0 = last; r += 1
+        } else advanced = false
+      }
+      r
+    }
+    for ((segSec, winSec) <- Seq((1L, 0L), (86400L, 0L), (7L, 90L))) {
+      val rows = Seq.fill(600) {
+        val u = rnd.nextInt(20).toLong
+        val d = rnd.nextInt(4) match {
+          case 0 => Option.empty[String]
+          case i => Some(s"d$i")
+        }
+        (u, ts(rnd.nextInt(500)), s"s${rnd.nextInt(4) + 1}", d)
+      }
+      // an actor's events split into per-dim slices; each slice funnels
+      // independently (the documented varies-per-actor semantics)
+      val reached = rows.groupBy(r => (r._1, r._4)).toSeq
+        .map { case ((_, d), g) =>
+          d -> brute(g.map(e => (e._2, e._3)), winSec)
+        }
+      val dims = rows.filter(r => steps.contains(r._3)).map(_._4).distinct
+      val exp = dims.flatMap { d =>
+        val slice = reached.filter(_._1 == d).map(_._2)
+        val counts = (1 to steps.size).map(i => slice.count(_ >= i).toLong)
+        (1 to steps.size).map { i =>
+          val n = counts(i - 1)
+          val prev = if (i == 1) n else counts(i - 2)
+          (d.orNull, i) -> ((n,
+            if (prev == 0L) 0.0 else n.toDouble / prev,
+            if (counts(0) == 0L) 0.0 else n.toDouble / counts(0)))
+        }
+      }.toMap
+      val got = EventAnalytics.funnelBy(rows.toDF("u", "t", "y", "dim"),
+          "u", "t", "y", "dim", steps, winSec, segSec)
+        .collect().map(r => ((if (r.isNullAt(0)) null else r.getString(0)),
+          r.getInt(1)) -> ((r.getLong(3), r.getDouble(4), r.getDouble(5))))
+        .toMap
+      assert(got == exp, s"seg=$segSec win=$winSec")
+      // the null slice really occurred and really carries counts
+      assert(got.keys.exists(_._1 == null), s"seg=$segSec win=$winSec")
+    }
+    intercept[IllegalArgumentException] {
+      EventAnalytics.funnelBy(Seq((1L, ts(1), "a", "x"))
+        .toDF("u", "t", "y", "step"), "u", "t", "y", "step", steps)
+    }
+  }
+
   test("funnel auto segments: segmentSeconds = 0 derives the width from " +
       "the observed span and matches brute force on a one-burst bot") {
     val rnd = new scala.util.Random(41)
@@ -341,6 +402,12 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(l2.map(_.getLong(1)).sum == 6L) // 3 + 2 + 1 windows
     intercept[IllegalArgumentException] {
       EventAnalytics.topEventPaths(evs, "u", "t", "y", 1, 5)
+    }
+    // an unbounded gap would wrap *1000000L negative and silently empty
+    // the output — it must fail loudly like windowSeconds does
+    intercept[IllegalArgumentException] {
+      EventAnalytics.topEventPaths(evs, "u", "t", "y", 2, 5,
+        maxGapSeconds = Long.MaxValue / 1000L)
     }
   }
 

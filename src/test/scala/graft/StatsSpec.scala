@@ -482,6 +482,32 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("groupedQuantiles: NULL group key reads REAL quantiles (null-safe " +
+      "join), __-named group columns survive, decimal label arithmetic") {
+    import graft.stats.Describe
+    val df = Seq((Option(1L), 10.0), (Option(1L), 20.0),
+      (Option.empty[Long], 1.0), (Option.empty[Long], 3.0),
+      (Option.empty[Long], 5.0)).toDF("g", "v")
+    val out = Describe.groupedQuantiles(df, Seq("g"), "v", Seq(0.5))
+      .collect()
+    val nullRow = out.find(_.isNullAt(0)).get
+    assert(nullRow.getLong(1) == 3L)
+    // the r13 finding: plain-EqualTo join read null here despite 3 values
+    assert(!nullRow.isNullAt(2) && nullRow.getDouble(2) == 3.0)
+    val oneRow = out.find(r => !r.isNullAt(0) && r.getLong(0) == 1L).get
+    assert(oneRow.getDouble(2) == 15.0)
+    // a group column NAMED like an internal alias is fully re-projected,
+    // never silently replaced by the machinery's withColumn
+    val tricky = Seq(("a", 1.0), ("a", 3.0), ("b", 7.0)).toDF("__cum", "v")
+    val t = Describe.groupedQuantiles(tricky, Seq("__cum"), "v", Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(t == Map("a" -> 2.0, "b" -> 7.0))
+    // label built from the DECIMAL string: 0.07 -> p7, not
+    // p7_000000000000001 (binary 0.07 * 100 noise)
+    assert(Describe.groupedQuantiles(df, Seq("g"), "v", Seq(0.07))
+      .columns.toSeq == Seq("g", "n", "p7"))
+  }
+
   test("groupedQuantiles plan: rows collapse through the (group, value) " +
       "aggregate before ANY Sort — no raw-row sort") {
     import org.apache.spark.sql.execution.SortExec

@@ -47,6 +47,13 @@ class StreamingPathsSpec extends SparkSpec {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(streamed == batch, s"gap=$gap")
     }
+    // same loud-failure bound as the batch twin: a wrapping gap must
+    // throw, not silently drop every path
+    intercept[IllegalArgumentException] {
+      StreamingFrame.streamingPaths(
+        events.toDF("u", "t", "y"), "u", "t", "y", length = 2,
+        maxGapSeconds = Long.MaxValue / 1000L)
+    }
   }
 
   test("late events are dropped, never chained in arrival order; " +
