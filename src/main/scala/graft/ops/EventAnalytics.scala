@@ -29,6 +29,23 @@ object EventAnalytics {
     */
   val MaxWindowSeconds: Long = 3153600000000L
 
+  /** Default per-actor event-count threshold above which the successor
+    * family ([[topEventPaths]], [[nextEventDistribution]]) routes an
+    * actor to the SEGMENTED path: light actors keep the codegen'd
+    * whole-actor window (task size bounded by this threshold), heavy
+    * ones split by (actor, segment) — the [[SkewJoin]] hand-split
+    * philosophy applied to event sequences.
+    */
+  val DefaultSegmentThreshold: Long = 100000L
+
+  /** Cap on the heavy-actor literal split: above this many heavy actors
+    * the isInCollection predicate would bloat the plan, so every actor
+    * takes the segmented path instead (correct either way — that many
+    * genuinely heavy actors means segment-grain parallelism is the
+    * right shape for the whole log anyway).
+    */
+  private[graft] val MaxHeavyActors = 10000
+
   /** Target segment count for `segmentSeconds = 0` (AUTO): the observed
     * [min, max] event-time span divides into this many segments (width
     * floored at 1 µs), so per-task group size is bounded relative to
@@ -377,6 +394,199 @@ object EventAnalytics {
             element_at(col("__adv"), i))).as(s"step${i}_ts")): _*)
   }
 
+  /** Consecutive length-`length` windows over each actor's (ts, type,
+    * orderCols-tiebroken) total order — the shared SKEW-SPLIT core of
+    * [[topEventPaths]] and [[nextEventDistribution]] (r14; both
+    * previously whole-actor lead() windows whose hot actor paid a
+    * whole-history single-task external sort — the posture [[funnel]]
+    * graduated from in r13). One output row per qualifying window,
+    * holding the window's type sequence as `__w`. The (t, y, orderCols)
+    * order is asc_nulls_last throughout (= DuckDB's default).
+    *
+    * Scale shape — the [[SkewJoin]] hand-split philosophy: an EAGER
+    * map-side-combined per-actor count (bounded output: ≤
+    * rows/threshold actors, capped by [[MaxHeavyActors]]) routes each
+    * actor to one of two paths. LIGHT actors (the overwhelming
+    * majority) keep the pre-r14 whole-actor lead() window — whole-stage
+    * codegen, task size BOUNDED BY THE THRESHOLD, none of the
+    * per-partition overhead segmenting every actor would pay (measured
+    * 4-5x suite cost on 1.2M near-empty (actor, day) partitions).
+    * HEAVY actors (bots, service accounts) split by (actor,
+    * time-segment): the same codegen'd lead() window with the partition
+    * key extended emits windows fully inside a segment (a lead past the
+    * segment edge reads null), and boundary-crossing windows come from
+    * an actor-keyed merge whose per-segment state is only (head, tail,
+    * n) — the first/last `length−1` events picked by row_number (the
+    * full segment is never collected) and the row count.
+    *
+    * Boundary correctness: segment boundaries strictly separate
+    * timestamps (bucket = `t - pmod(t, width)`, exact Long arithmetic),
+    * so concatenating segment runs in segment order IS the actor's
+    * total order. Every window is emitted EXACTLY ONCE, attributed to
+    * the segment of its LAST event: the merge carry (the trailing
+    * `length−1` events before the current segment) reconstructs exactly
+    * from tails — `lastN(carry ++ tail, length−1)` — and a window
+    * spanning an entire sparse segment survives INSIDE the carry until
+    * the segment that completes it: a start event c(i) stays in the
+    * carry precisely while its window is incomplete (take + n ≤
+    * length−1 ⟺ needed > n), so in-segment and start-in-carry emission
+    * partition the window set with no distinct pass. Both heavy
+    * branches read the SAME (actor, segment) exchange (Catalyst
+    * ReuseExchange); the merge's interpreted higher-order lambdas run
+    * over segment-count-scale state, never rows.
+    */
+  private def consecutiveWindows(df: DataFrame, actorCol: String,
+                                 tsCol: String, typeCol: String,
+                                 length: Int, maxGapSeconds: Long,
+                                 orderCols: Seq[String],
+                                 segmentSeconds: Long,
+                                 segmentThreshold: Long): DataFrame = {
+    (Seq(actorCol, tsCol, typeCol) ++ orderCols).foreach(c =>
+      require(df.columns.contains(c), s"column '$c' not in frame"))
+    require(segmentSeconds >= 0,
+      s"need segmentSeconds >= 0 (0 = auto), got $segmentSeconds")
+    require(segmentThreshold > 0,
+      s"need segmentThreshold > 0, got $segmentThreshold")
+    val m = length - 1 // carry/head/tail bound
+    val gapMicros = maxGapSeconds * 1000000L // callers bound maxGapSeconds
+    val t = unix_micros(col(tsCol).cast(TimestampType))
+    val base = df
+      .where(col(actorCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isNotNull)
+      .select(col(actorCol).as("__a") +: t.as("__t") +:
+        col(typeCol).as("__y") +:
+        orderCols.zipWithIndex.map { case (c, i) =>
+          col(c).as(s"__o$i") }: _*)
+    import org.apache.spark.sql.expressions.Window
+    // the total order both paths share: (t, y, orderCols) asc_nulls_last
+    val ord = col("__t").asc_nulls_last +: col("__y").asc_nulls_last +:
+      orderCols.indices.map(i => col(s"__o$i").asc_nulls_last)
+    // THE SKEW SPLIT (eager, the joinCardinality contract): one
+    // map-side-combined per-actor count finds the heavy actors. The
+    // result is bounded by rows/threshold; if it still exceeds
+    // MaxHeavyActors the literal split would bloat the plan, so EVERY
+    // actor takes the segmented path instead (correct either way).
+    val heavyActors = base.groupBy(col("__a"))
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") > segmentThreshold)
+      .select(col("__a")).limit(MaxHeavyActors + 1).collect()
+    val allHeavy = heavyActors.length > MaxHeavyActors
+    val heavySet = heavyActors.map(_.get(0)).toSeq
+    // the codegen'd consecutive-window enumerator, shared by both paths:
+    // lead() over `parts` — a lead past the partition edge reads null
+    // and the window is simply not emitted there
+    def leadWindows(src: DataFrame, parts: Seq[Column]): DataFrame = {
+      val w = Window.partitionBy(parts: _*).orderBy(ord: _*)
+      val stepped = (1 until length).foldLeft(src) { (d, i) =>
+        d.withColumn(s"__y$i", lead(col("__y"), i).over(w))
+          .withColumn(s"__t$i", lead(col("__t"), i).over(w))
+      }
+      val complete = (1 until length)
+        .map(i => col(s"__y$i").isNotNull).reduce(_ && _)
+      val gapOkLead =
+        if (maxGapSeconds == 0) lit(true)
+        else (1 until length).map { i =>
+          val prev = if (i == 1) col("__t") else col(s"__t${i - 1}")
+          col(s"__t$i") - prev <= lit(gapMicros)
+        }.reduce(_ && _)
+      stepped
+        .where(complete && gapOkLead)
+        .select(array(col("__y") +:
+          (1 until length).map(i => col(s"__y$i")): _*).as("__w"))
+    }
+    // LIGHT actors (≤ threshold events): the plain per-actor window —
+    // whole-stage codegen, one partition per actor, task size bounded
+    // by the threshold itself
+    val lightRows: Option[DataFrame] =
+      if (allHeavy) None
+      else Some(leadWindows(
+        if (heavySet.isEmpty) base
+        else base.where(!col("__a").isInCollection(heavySet)),
+        Seq(col("__a"))))
+    // HEAVY actors: the segmented machinery — (actor, segment) windows
+    // emit in-segment windows; boundary windows come from an actor-keyed
+    // merge over segment-count-sized (head, tail, n) state
+    val heavyOut: Option[DataFrame] =
+      if (!allHeavy && heavySet.isEmpty) None
+      else {
+        val segMicros =
+          if (segmentSeconds > 0)
+            Math.multiplyExact(segmentSeconds, 1000000L)
+          else autoSegmentMicros(df, actorCol, tsCol, typeCol, Nil)
+        val hb = (if (allHeavy) base
+          else base.where(col("__a").isInCollection(heavySet)))
+          .withColumn("__seg",
+            col("__t") - pmod(col("__t"), lit(segMicros)))
+        val w = Window.partitionBy(col("__a"), col("__seg"))
+          .orderBy(ord: _*)
+        val inRows = leadWindows(hb, Seq(col("__a"), col("__seg")))
+        // boundary state: h/tl pick the first/last m rows of the SAME
+        // order via row_number (tiny collect_lists — never the full
+        // segment); their internal (t, y) sort is sufficient because
+        // the selected SET is fixed by the row_number and rows tying on
+        // (t, y) contribute the same (t, y) either way
+        def gapOk(wn: Column): Column =
+          if (maxGapSeconds == 0) lit(true)
+          else forall(zip_with(slice(wn, 1, m), slice(wn, 2, m),
+            (a, b) => b("t") - a("t") <= lit(gapMicros)), x => x)
+        def types(wn: Column): Column = transform(wn, e => e("y"))
+        def lastN(arr: Column): Column =
+          when(size(arr) <= m, arr).otherwise(slice(arr, -m, m))
+        val evStruct = struct(col("__t").as("t"), col("__y").as("y"))
+        val segState = hb
+          .withColumn("__rn", row_number().over(w))
+          .withColumn("__cnt", count(lit(1)).over(
+            w.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)))
+          .groupBy(col("__a"), col("__seg"))
+          .agg(
+            sort_array(collect_list(when(col("__rn") <= m, evStruct)))
+              .as("h"),
+            sort_array(collect_list(when(col("__rn") > col("__cnt") - m,
+              evStruct))).as("tl"),
+            count(lit(1)).as("n"))
+        val segsSorted = sort_array(collect_list(struct(
+          col("__seg").as("s"), col("h").as("h"), col("tl").as("tl"),
+          col("n").as("n"))))
+        val boundRows = segState
+          .groupBy(col("__a"))
+          .agg(segsSorted.as("__segs"))
+          .select(explode({
+            // typed empty arrays derived from the data itself (the y
+            // type is whatever the caller's type column is)
+            val emptyEvs = slice(element_at(col("__segs"), 1)("h"), 1, 0)
+            val emptyWins = slice(array(types(emptyEvs)), 1, 0)
+            val zero = struct(emptyEvs.as("c"), emptyWins.as("o"))
+            aggregate(col("__segs"), zero, (st, sv) => {
+              val carry = st("c")
+              val cSz = size(carry)
+              val cStarts = filter(
+                sequence(lit(1), greatest(cSz, lit(1))), i => i <= cSz)
+              val newWins = filter(transform(cStarts, i => {
+                val take = cSz - i + lit(1)
+                val needed = lit(length) - take
+                // needed ∈ [1, length−1]; completable here iff the
+                // segment has that many events — otherwise the start
+                // stays in the carry and a later segment emits it
+                val wn = concat(slice(carry, i, take),
+                  slice(sv("h"), lit(1), needed))
+                when(needed <= sv("n") && gapOk(wn), types(wn))
+              }), wn => wn.isNotNull)
+              struct(lastN(concat(carry, sv("tl"))).as("c"),
+                concat(st("o"), newWins).as("o"))
+            }).getField("o")
+          }).as("__w"))
+        Some(inRows.unionAll(boundRows))
+      }
+    (lightRows, heavyOut) match {
+      case (Some(l), Some(h)) => l.unionAll(h)
+      case (Some(l), None) => l
+      case (None, Some(h)) => h
+      case (None, None) => // unreachable: allHeavy XOR not
+        throw new IllegalStateException("empty window split")
+    }
+  }
+
   /** Next-event distribution: over each actor's (ts, type)-ordered event
     * stream, what immediately follows an event of `fromType`? Every
     * `fromType` occurrence contributes its successor ROW's type (the
@@ -385,57 +595,34 @@ object EventAnalytics {
     * (nothing after them) are excluded from the distribution. Rows with
     * a null actor, ts, or type are ignored.
     *
-    * Scale shape: one window per actor — shuffle by actor, sort within
-    * partitions only (never a global sort); the largest single actor's
-    * history bounds a task via external sort/spill, the same posture as
-    * [[Sessionize]] and [[TimeSeries.rollingAggregate]] (a lead(1)
-    * window cannot segment the way [[funnel]]'s fold does — every row
-    * needs its literal neighbor). The distribution itself is a bounded
-    * (≤ |type vocabulary|) aggregation with one exact-quotient share.
+    * Scale shape (r14): successor pairs are length-2
+    * [[consecutiveWindows]] — the skew-split core: light actors keep
+    * the codegen'd per-actor window (task size ≤ `segmentThreshold`),
+    * heavy actors split by (actor, segment) with a bounded boundary
+    * merge, so a hot actor spreads across its active segments instead
+    * of sorting its whole history in one task. EAGER at call time (the
+    * [[SkewJoin.joinCardinality]] contract): the bounded heavy-actor
+    * count pre-scan runs before this returns. The distribution itself
+    * is a bounded (≤ |type vocabulary|) aggregation; the share
+    * denominator rides it as an unpartitioned window sum (the
+    * Sampling/Drift pattern).
     *
     * Output: (next_type, n, share = n over all counted successors as a
     * raw double quotient), ordered by n desc then next_type.
     */
-  /** Shared projection + window for the successor-row operators
-    * ([[nextEventDistribution]], [[topEventPaths]]): null actor/ts/type
-    * rows dropped, internal names (collision-proof), ts as exact epoch
-    * micros, and the per-actor (ts, type, orderCols) total order with
-    * asc_nulls_last throughout — the forwardFill tie contract and
-    * DuckDB's default, defined ONCE so the cross-engine ordering can
-    * never drift between the two.
-    */
-  private def orderedEvents(df: DataFrame, actorCol: String, tsCol: String,
-                            typeCol: String, orderCols: Seq[String])
-      : (DataFrame, org.apache.spark.sql.expressions.WindowSpec) = {
-    import org.apache.spark.sql.expressions.Window
-    (Seq(actorCol, tsCol, typeCol) ++ orderCols).foreach(c =>
-      require(df.columns.contains(c), s"column '$c' not in frame"))
-    val base = df
-      .where(col(actorCol).isNotNull && col(tsCol).isNotNull &&
-        col(typeCol).isNotNull)
-      .select(col(actorCol).as("__a") +:
-        unix_micros(col(tsCol).cast(TimestampType)).as("__t") +:
-        col(typeCol).as("__y") +:
-        orderCols.zipWithIndex.map { case (c, i) =>
-          col(c).as(s"__o$i") }: _*)
-    val w = Window.partitionBy(col("__a"))
-      .orderBy(col("__t").asc_nulls_last +: col("__y").asc_nulls_last +:
-        orderCols.indices.map(i => col(s"__o$i").asc_nulls_last): _*)
-    (base, w)
-  }
-
   def nextEventDistribution(df: DataFrame, actorCol: String, tsCol: String,
                             typeCol: String, fromType: String,
-                            orderCols: Seq[String] = Nil): DataFrame = {
+                            orderCols: Seq[String] = Nil,
+                            segmentSeconds: Long = 86400L,
+                            segmentThreshold: Long = DefaultSegmentThreshold)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (base, w) = orderedEvents(df, actorCol, tsCol, typeCol, orderCols)
-    val nexts = base
-      .withColumn("__nx", lead(col("__y"), 1).over(w))
-      .where(col("__y") === fromType && col("__nx").isNotNull)
-    // fully lazy: the share denominator rides the vocabulary-bounded
-    // aggregate as an unpartitioned window sum (the Sampling/Drift
-    // pattern) — no checkpoint, no extra driver action
-    nexts.groupBy(col("__nx").as("next_type"))
+    val pairs = consecutiveWindows(df, actorCol, tsCol, typeCol,
+      length = 2, maxGapSeconds = 0L, orderCols, segmentSeconds,
+      segmentThreshold)
+    pairs
+      .where(element_at(col("__w"), 1) === fromType)
+      .groupBy(element_at(col("__w"), 2).as("next_type"))
       .agg(count(lit(1)).as("n"))
       .withColumn("share", col("n").cast(DoubleType) /
         sum(col("n")).over(Window.partitionBy()).cast(DoubleType))
@@ -455,9 +642,13 @@ object EventAnalytics {
                                        tsCol: String, typeCol: String,
                                        steps: Seq[String]): Long = {
     val t = unix_micros(col(tsCol).cast(TimestampType))
+    // empty steps = every non-null type participates (the successor-row
+    // family); a step list prunes the scan to the funnel's types
+    val typePred =
+      if (steps.isEmpty) col(typeCol).isNotNull
+      else col(typeCol).isin(steps: _*)
     val b = df
-      .where(col(actorCol).isNotNull && col(tsCol).isNotNull &&
-        col(typeCol).isin(steps: _*))
+      .where(col(actorCol).isNotNull && col(tsCol).isNotNull && typePred)
       .agg(min(t), max(t)).head()
     if (b.isNullAt(0)) 1L
     else {
@@ -477,13 +668,19 @@ object EventAnalytics {
     * are ignored; every qualifying window counts (overlapping windows
     * each count — the standard n-gram convention).
     *
-    * Scale shape: the lead() windows are per-actor — shuffle by actor,
-    * within-partition sort only, external-sort posture on a hot actor
-    * (the [[nextEventDistribution]] note) — and the path counts
-    * collapse map-side (≤ vocabulary^length distinct paths, far fewer
-    * in practice); the share denominator rides the aggregate as an
-    * unpartitioned window sum over that bounded frame, and top-k is a
-    * deterministic (n desc, path asc) limit.
+    * Scale shape (r14): windows come from the skew-split
+    * [[consecutiveWindows]] core — light actors keep the codegen'd
+    * per-actor window (task size ≤ `segmentThreshold`), heavy actors
+    * take the (actor, time-segment) shuffle with segment-bounded sorts
+    * and a segment-count-sized boundary merge, the [[funnel]] skew
+    * posture — replacing the unconditional per-actor lead() windows
+    * whose hot actor paid a whole-history single-task external sort.
+    * EAGER at call time (the [[SkewJoin.joinCardinality]] contract):
+    * the bounded heavy-actor count pre-scan runs before this returns.
+    * The path counts collapse map-side (≤ vocabulary^length distinct
+    * paths, far fewer in practice); the share denominator rides the
+    * aggregate as an unpartitioned window sum over that bounded frame,
+    * and top-k is a deterministic (n desc, path asc) limit.
     *
     * Output: (path — types joined with " > " —, n, share = n over ALL
     * complete paths as a raw double quotient), top-k rows.
@@ -491,32 +688,22 @@ object EventAnalytics {
   def topEventPaths(df: DataFrame, actorCol: String, tsCol: String,
                     typeCol: String, length: Int, k: Int,
                     maxGapSeconds: Long = 0L,
-                    orderCols: Seq[String] = Nil): DataFrame = {
+                    orderCols: Seq[String] = Nil,
+                    segmentSeconds: Long = 86400L,
+                    segmentThreshold: Long = DefaultSegmentThreshold)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(length >= 2, s"need length >= 2, got $length")
     require(k > 0, s"need k > 0, got $k")
     // upper bound matches windowSeconds' sanity require: unbounded, the
-    // *1000000L below wraps negative and every gap check silently fails
+    // micros conversion wraps negative and every gap check silently fails
     require(maxGapSeconds >= 0 && maxGapSeconds <= MaxWindowSeconds,
       s"need 0 <= maxGapSeconds <= $MaxWindowSeconds, got $maxGapSeconds")
-    val (base, w) = orderedEvents(df, actorCol, tsCol, typeCol, orderCols)
-    val stepped = (1 until length).foldLeft(base) { (d, i) =>
-      d.withColumn(s"__y$i", lead(col("__y"), i).over(w))
-        .withColumn(s"__t$i", lead(col("__t"), i).over(w))
-    }
-    val complete = (1 until length)
-      .map(i => col(s"__y$i").isNotNull).reduce(_ && _)
-    val gapOk =
-      if (maxGapSeconds == 0) lit(true)
-      else (1 until length).map { i =>
-        val prev = if (i == 1) col("__t") else col(s"__t${i - 1}")
-        col(s"__t$i") - prev <= maxGapSeconds * 1000000L
-      }.reduce(_ && _)
-    stepped
-      .where(complete && gapOk)
-      .select(concat_ws(" > ",
-        col("__y") +: (1 until length).map(i => col(s"__y$i")): _*)
-        .as("path"))
+    val wins = consecutiveWindows(df, actorCol, tsCol, typeCol, length,
+      maxGapSeconds, orderCols, segmentSeconds, segmentThreshold)
+    wins
+      .select(concat_ws(" > ", (1 to length).map(i =>
+        element_at(col("__w"), i)): _*).as("path"))
       .groupBy(col("path"))
       .agg(count(lit(1)).as("n"))
       .withColumn("share", col("n").cast(DoubleType) /

@@ -411,6 +411,65 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("segmented paths property: topEventPaths/nextEventDistribution " +
+      "equal brute force across segment widths (incl auto), gap rules, " +
+      "lengths, ties, and a hot actor") {
+    val rnd = new scala.util.Random(47)
+    // thr sweeps the skew split: 1 = every actor segmented, 50 = ONLY
+    // the hot actor (~175 events) segmented while the light ones (~18
+    // each) take the plain window — the true mixed path —, 10^6 = all
+    // light (the pre-r14 shape)
+    for ((segSec, gapSec, length, thr) <- Seq(
+        (1L, 0L, 3, 1L), (7L, 5L, 3, 50L), (1000000L, 0L, 2, 1L),
+        (0L, 9L, 4, 50L), (13L, 0L, 5, 1L), (7L, 5L, 3, 1000000L),
+        (1L, 3L, 3, 50L))) {
+      // hot actor 0 owns ~25%; coarse ts grid forces same-second ties
+      // (broken by type then eid, the documented total order)
+      val rows = Seq.tabulate(700) { j =>
+        val u = if (rnd.nextInt(4) == 0) 0L else rnd.nextInt(30).toLong + 1
+        (u, ts(rnd.nextInt(120).toLong), s"e${rnd.nextInt(4)}", j.toLong)
+      }
+      // brute force: per actor sort by (t, type, eid), windows of
+      // `length` consecutive events, gap-filtered
+      val paths = rows.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+        val s = g.sortBy(e => (e._2.getTime, e._3, e._4))
+        s.sliding(length).filter(_.size == length).filter { w =>
+          gapSec == 0L || w.sliding(2).forall(p =>
+            p(1)._2.getTime - p(0)._2.getTime <= gapSec * 1000L)
+        }.map(_.map(_._3).mkString(" > "))
+      }
+      val expCounts = paths.groupBy(identity).view.mapValues(_.size.toLong)
+        .toMap
+      val total = paths.size.toDouble
+      val got = EventAnalytics.topEventPaths(
+          rows.toDF("u", "t", "y", "eid"), "u", "t", "y", length,
+          k = 1000000, maxGapSeconds = gapSec, orderCols = Seq("eid"),
+          segmentSeconds = segSec, segmentThreshold = thr)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(got.view.mapValues(_._1).toMap == expCounts,
+        s"seg=$segSec gap=$gapSec len=$length thr=$thr")
+      got.foreach { case (p, (n, share)) =>
+        assert(share == n / total, s"share $p seg=$segSec thr=$thr") }
+      // next-event: length-2 windows filtered to the from-type
+      if (length == 2 || segSec == 1L) {
+        val exp2 = rows.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+          val s = g.sortBy(e => (e._2.getTime, e._3, e._4))
+          s.sliding(2).filter(_.size == 2).filter(_(0)._3 == "e1")
+            .map(_(1)._3)
+        }
+        val expDist = exp2.groupBy(identity).view
+          .mapValues(_.size.toLong).toMap
+        val gotDist = EventAnalytics.nextEventDistribution(
+            rows.toDF("u", "t", "y", "eid"), "u", "t", "y", "e1",
+            orderCols = Seq("eid"), segmentSeconds = segSec,
+            segmentThreshold = thr)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(gotDist == expDist, s"nextEvent seg=$segSec thr=$thr")
+      }
+    }
+  }
+
   test("funnel: internal aliases do not collide with user column names") {
     val evs = Seq((1L, ts(1), "a"), (1L, ts(2), "b"))
       .toDF("evs", "r", "last")

@@ -171,6 +171,56 @@ class PlanShapeSpec extends SparkSpec {
       s"object-hash collect expected:\n$plan")
   }
 
+  test("skew-split paths: heavy actors sort by (actor, segment) over ONE " +
+      "reused exchange; the all-light default keeps the plain window") {
+    val evs = (0L until 200L).map(i =>
+      (i % 7, new java.sql.Timestamp(i * 3600L * 1000L),
+        Seq("a", "b", "c")((i % 3).toInt), i)).toDF("u", "t", "y", "eid")
+    // static planner: AQE defers exchange reuse to runtime, hiding the
+    // shape this test pins (AQE's own reuse then dedups it identically)
+    val conf = spark.conf
+    val prevAqe = conf.get("spark.sql.adaptive.enabled", "true")
+    val (heavyPlan, lightPlan) = try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      (planOf(graft.ops.EventAnalytics.topEventPaths(
+        evs, "u", "t", "y", 3, 10, maxGapSeconds = 7200L,
+        orderCols = Seq("eid"), segmentThreshold = 1L)),
+        planOf(graft.ops.EventAnalytics.topEventPaths(
+          evs, "u", "t", "y", 3, 10, maxGapSeconds = 7200L,
+          orderCols = Seq("eid"))))
+    } finally conf.set("spark.sql.adaptive.enabled", prevAqe)
+    // heavy path (threshold 1 = every actor segmented): three hash
+    // exchange NODES — row-scale (actor, segment); actor over the
+    // segment-count-sized boundary state; path over the bounded counts
+    // (a ReusedExchange line repeats the referenced node's text, so
+    // count tree nodes)
+    assert("\\+- Exchange hashpartitioning".r.findAllIn(heavyPlan)
+      .size == 3, s"expect exactly 3 hash exchange nodes:\n$heavyPlan")
+    // the in-segment and boundary branches must READ THE SAME shuffle —
+    // a missing ReusedExchange means the raw events shuffled twice
+    assert(heavyPlan.contains("ReusedExchange"),
+      s"the (actor, segment) exchange must be reused:\n$heavyPlan")
+    // every heavy-path Sort is SEGMENT-bounded: leading keys (actor,
+    // segment) — an actor-only sort would mean the hot actor's whole
+    // history in one task again (top-k is TakeOrderedAndProject)
+    val sorts = "Sort \\[[^\\]]*".r.findAllIn(heavyPlan).toSeq
+    assert(sorts.nonEmpty, s"expected segment-window sorts:\n$heavyPlan")
+    sorts.foreach(s => assert(
+      s.matches("Sort \\[__a#\\d+[^,]*, __seg#.*"),
+      s"sort must lead with (actor, segment), got: $s\n$heavyPlan"))
+    assert(!heavyPlan.contains("SortAggregate"),
+      s"hash aggregation expected:\n$heavyPlan")
+    assert(heavyPlan.contains("ObjectHashAggregate"),
+      s"object-hash collect expected:\n$heavyPlan")
+    // all-light default: NO segment machinery — one per-actor window
+    // exchange plus the path aggregate, no boundary merge, no reuse
+    assert("\\+- Exchange hashpartitioning".r.findAllIn(lightPlan)
+      .size == 2, s"light path = window + path agg exchanges:\n$lightPlan")
+    assert(!lightPlan.contains("__seg") &&
+      !lightPlan.contains("ReusedExchange"),
+      s"no segment machinery on the all-light path:\n$lightPlan")
+  }
+
   test("intervalOverlap: bin equi-join, never a nested loop or cartesian") {
     val l = (0L until 50L).map(i => (i, i * 2.0, i * 2.0 + 5)).toDF("lid", "lo", "hi")
     val r = (0L until 60L).map(i => (i, i * 1.5, i * 1.5 + 4)).toDF("rid", "lo", "hi")
