@@ -3791,6 +3791,48 @@ object Oracles {
        |ORDER BY dim NULLS LAST, step_index""".stripMargin
   }
 
+  /** q177: approximate ODs — per-pair ADJACENT lag violations over the
+    * grouped-extrema frame, error = violations / greatest(n−1, 1), the
+    * identical epsilon label arithmetic.
+    */
+  val q177: String = {
+    val eps = "0.02"
+    def pair(x: String, y: String): String =
+      s"""SELECT on_column, ordered_column, n_groups,
+         |  asc_violations, desc_violations,
+         |  CAST(asc_violations AS DOUBLE) / greatest(n_groups - 1, 1)
+         |    AS asc_error,
+         |  CAST(desc_violations AS DOUBLE) / greatest(n_groups - 1, 1)
+         |    AS desc_error,
+         |  CASE WHEN CAST(asc_violations AS DOUBLE)
+         |      / greatest(n_groups - 1, 1) <= $eps
+         |    AND CAST(desc_violations AS DOUBLE)
+         |      / greatest(n_groups - 1, 1) <= $eps THEN 'both'
+         |    WHEN CAST(asc_violations AS DOUBLE)
+         |      / greatest(n_groups - 1, 1) <= $eps THEN 'asc'
+         |    WHEN CAST(desc_violations AS DOUBLE)
+         |      / greatest(n_groups - 1, 1) <= $eps THEN 'desc'
+         |    ELSE 'none' END AS monotone
+         |FROM (
+         |  SELECT '$x' AS on_column, '$y' AS ordered_column,
+         |    count(*) AS n_groups,
+         |    count(*) FILTER (WHERE pm > mn) AS asc_violations,
+         |    count(*) FILTER (WHERE pn < mx) AS desc_violations
+         |  FROM (
+         |    SELECT mn, mx,
+         |      lag(mx) OVER (ORDER BY x) AS pm,
+         |      lag(mn) OVER (ORDER BY x) AS pn
+         |    FROM (
+         |      SELECT $x AS x, min($y) AS mn, max($y) AS mx FROM events
+         |      WHERE $x IS NOT NULL AND $y IS NOT NULL GROUP BY $x) g
+         |  ) w
+         |) a""".stripMargin
+    Seq(pair("event_id", "ts"), pair("event_id", "value"),
+      pair("user_id", "value"))
+      .mkString("", "\nUNION ALL\n",
+        "\nORDER BY on_column, ordered_column")
+  }
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q07_mutual_info_orders" -> q07Pinned,
@@ -3917,6 +3959,7 @@ object Oracles {
       "q174_probability_sample" -> q174,
       "q175_null_key_quantiles" -> q175,
       "q176_funnel_by_dim" -> q176,
+      "q177_approx_ods" -> q177,
       "q160_cohort_retention" -> q160,
       "q161_resample_grid" -> q161,
       "q162_forward_fill" -> q162,

@@ -2914,6 +2914,20 @@ object Queries {
       "user_id", "ts", "event_type", "dim",
       Seq("signup", "view", "click", "purchase"))
 
+  /** Approximate order dependencies (r14): the dirty-data OD form —
+    * fraction of ADJACENT distinct-x pairs out of order, verdict under
+    * epsilon — completing the approximate profiling matrix (keys/FDs g3,
+    * INDs coverage-theta, ODs adjacent-error). event_id -> ts is the
+    * generator's genuinely monotone pair; the value pairs read as dirty.
+    */
+  def q177ApproxOds(s: SparkSession, dir: String): DataFrame =
+    stats.KeyDiscovery.approximateOrderDependencies(
+      table(s, dir, "events"),
+      Seq("event_id" -> "ts", "event_id" -> "value",
+        "user_id" -> "value"),
+      epsilon = 0.02)
+      .orderBy("on_column", "ordered_column")
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -3126,6 +3140,7 @@ object Queries {
     "q174_probability_sample" -> (q174ProbabilitySample _),
     "q175_null_key_quantiles" -> (q175NullKeyQuantiles _),
     "q176_funnel_by_dim" -> (q176FunnelByDim _),
+    "q177_approx_ods" -> (q177ApproxOds _),
     "q140_multifield_linkage" -> (q140MultiFieldLinkage _)
   )
 }

@@ -1727,6 +1727,121 @@ object KeyDiscovery {
     StructField("desc_violations", LongType, nullable = false),
     StructField("monotone", StringType, nullable = false)))
 
+  /** APPROXIMATE order dependencies — the dirty-data form completing
+    * the profiling matrix (keys/FDs have g₃, INDs have coverage-θ; ODs
+    * now have adjacent-violation error): for each (x, y) pair, the
+    * FRACTION of adjacent distinct-x pairs out of order, and a verdict
+    * `holds ⟺ error ≤ epsilon`. Violations are ADJACENT-granularity —
+    * group g violates ascending when the PREVIOUS group's max(y)
+    * exceeds min(y in g) — not the exact form's prefix-extrema count: a
+    * single outlier row dirties ~2 adjacent pairs instead of poisoning
+    * every later group, which is what makes the error a usable
+    * dirtiness measure. At epsilon = 0 the verdicts equal
+    * [[orderDependencies]] exactly (zero adjacent violations ⟺ zero
+    * prefix violations, by the chain max(g₁) ≤ min(g₂) ≤ max(g₂) ≤ …;
+    * spec-pinned). Same null convention (null x or y rows ignored),
+    * same tie rule (rows tied on x constrain nothing), and the same
+    * minimality caveat as the rest of the approximate family: an
+    * ε-holding OD is a profile signal, not a license to rewrite
+    * queries.
+    *
+    * Scale shape: identical to the exact form — the pair collapses to
+    * its distinct-x grouped-extrema frame (shuffle ≤ distinct x),
+    * range-partitioned; the adjacent predecessor factors into a
+    * within-partition lag plus a per-partition carry (each partition's
+    * LAST group's extrema via max_by, lagged over the ≤P-row
+    * partition-stats frame and broadcast back), so no task sees the
+    * whole grouped frame and the one unpartitioned window runs over at
+    * most `partitions` rows. Pairs run as concurrent jobs.
+    *
+    * Output: (on_column, ordered_column, n_groups, asc_violations,
+    * desc_violations, asc_error, desc_error, monotone) per pair —
+    * errors are violations over max(n_groups − 1, 1) as raw double
+    * quotients, monotone ∈ asc | desc | both | none under epsilon.
+    */
+  def approximateOrderDependencies(df: DataFrame,
+                                   pairs: Seq[(String, String)],
+                                   epsilon: Double,
+                                   partitions: Int = 0): DataFrame = {
+    require(pairs.nonEmpty, "need at least one (on, ordered) pair")
+    require(pairs.size <= MaxCandidates,
+      s"${pairs.size} pairs > $MaxCandidates: bound the per-call fan-out")
+    require(epsilon >= 0 && epsilon < 1,
+      s"need 0 <= epsilon < 1, got $epsilon")
+    pairs.foreach { case (x, y) =>
+      require(x != y, s"on and ordered column are both '$x'")
+      Seq(x, y).foreach(c => require(df.columns.contains(c),
+        s"column '$c' not in frame"))
+    }
+    val spark = df.sparkSession
+    val p =
+      if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val acc =
+      new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Long)]()
+    graft.util.Concurrency.runConcurrently(pairs.indices) { i =>
+      val (x, y) = pairs(i)
+      val r = adjacentOrderViolationAgg(df, x, y, p).head()
+      acc.put(i, (r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+    val rows = pairs.zipWithIndex.map { case ((x, y), i) =>
+      val (n, ascV, descV) = acc.get(i)
+      val den = math.max(n - 1, 1L).toDouble
+      val (ascE, descE) = (ascV / den, descV / den)
+      val label =
+        if (ascE <= epsilon && descE <= epsilon) "both"
+        else if (ascE <= epsilon) "asc"
+        else if (descE <= epsilon) "desc"
+        else "none"
+      Row(x, y, n, ascV, descV, ascE, descE, label)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(orderDependencySchema.fields.patch(5, Seq(
+        StructField("asc_error", DoubleType, nullable = false),
+        StructField("desc_error", DoubleType, nullable = false)), 0)))
+  }
+
+  /** One pair's ADJACENT-granularity violation counts: (n_groups,
+    * asc_violations, desc_violations) over the grouped-extrema frame —
+    * the [[approximateOrderDependencies]] plan. Exposed for the plan
+    * spec (no Sort over raw rows; the unpartitioned window is the
+    * ≤p-row partition-stats lag).
+    */
+  private[graft] def adjacentOrderViolationAgg(df: DataFrame, x: String,
+                                               y: String, p: Int)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grouped = df
+      .where(col(x).isNotNull && col(y).isNotNull)
+      .groupBy(col(x)).agg(min(col(y)).as("__mn"), max(col(y)).as("__mx"))
+      .repartitionByRange(p, col(x))
+      .withColumn("__pid", spark_partition_id())
+    // carry: each partition's LAST group's extrema (max_by on the
+    // distinct group key — no ties), lagged over present partitions so
+    // a partition's first group sees its true adjacent predecessor
+    val wp = Window.orderBy("__pid")
+    val carry = grouped.groupBy("__pid")
+      .agg(max_by(col("__mx"), col(x)).as("__lmx"),
+        max_by(col("__mn"), col(x)).as("__lmn"))
+      .select(col("__pid"),
+        lag("__lmx", 1).over(wp).as("__cmx"),
+        lag("__lmn", 1).over(wp).as("__cmn"))
+    val w = Window.partitionBy("__pid").orderBy(col(x))
+    grouped
+      .withColumn("__pmx", lag("__mx", 1).over(w))
+      .withColumn("__pmn", lag("__mn", 1).over(w))
+      .join(broadcast(carry), "__pid")
+      .agg(
+        count(lit(1)).as("__n"),
+        coalesce(sum(when(
+          coalesce(col("__pmx"), col("__cmx")) > col("__mn"),
+          1L)), lit(0L)).as("__asc_viol"),
+        coalesce(sum(when(
+          coalesce(col("__pmn"), col("__cmn")) < col("__mx"),
+          1L)), lit(0L)).as("__desc_viol"))
+  }
+
   /** One pair's OD measure: (n_groups, asc_violations,
     * desc_violations) — the grouped-prefix-extrema plan the
     * [[orderDependencies]] scaladoc describes. Exposed for the plan

@@ -75,6 +75,24 @@ object ValueCounts {
       .where(col(valueCol).isNotNull)
       .groupBy(gs :+ col(valueCol).cast("string").as("value"): _*)
       .agg(count(lit(1)).as("n"))
+    rankValueCounts(counts, groupCols, k)
+  }
+
+  /** Rank a PRE-COLLAPSED (groupCols..., value, n) counts frame into the
+    * [[topValuesByGroup]] output — the shared final stage between the
+    * batch op and the closed-window output of
+    * [[graft.streaming.StreamingFrame.streamingTopValues]] (one rank
+    * implementation, so the replay ≡ batch pin compares like with
+    * like). Windows run over the collapsed frame only (partition = a
+    * group's distinct values), the collapse-before-sort contract.
+    */
+  def rankValueCounts(counts: DataFrame, groupCols: Seq[String],
+                      k: Int): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(k > 0, s"need k > 0, got $k")
+    (groupCols ++ Seq("value", "n")).foreach(c =>
+      require(counts.columns.contains(c), s"column '$c' not in frame"))
+    val gs = groupCols.map(col)
     val wRank = Window.partitionBy(gs: _*)
       .orderBy(col("n").desc, col("value").asc)
     val wAll = Window.partitionBy(gs: _*)

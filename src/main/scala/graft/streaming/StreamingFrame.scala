@@ -621,6 +621,54 @@ object StreamingFrame {
       round(terms.reduce(_ + _) + otherTerm, 6).as("psi"))
   }
 
+  /** Per-window per-group value counts — the streaming twin of
+    * [[graft.stats.ValueCounts.topValuesByGroup]], the live-dashboard
+    * "top domains per source, per hour" shape. Emits, for each CLOSED
+    * event-time window (append mode, watermark-driven), the collapsed
+    * per-(group, value) counts; rank/share/top-k are the pure batch
+    * projection [[graft.stats.ValueCounts.rankValueCounts]] over the
+    * emitted frame — the SAME final stage the batch op uses, so replay
+    * equals batch by construction on closed windows (spec-pinned).
+    * Ranking cannot ride the stream itself (window functions over a
+    * streaming aggregate need a second stateful operator); emitting the
+    * collapsed counts is exactly the batch op's collapse-before-sort
+    * contract shaped for streaming.
+    *
+    * State discipline (the [[streamingDrift]] convention): one counter
+    * per in-flight (window, group, value) triple — bounded by windows
+    * in flight × the value vocabulary, never by row volume — and the
+    * watermark evicts closed windows. Null values are dropped before
+    * the aggregation (the batch convention); late rows beyond the
+    * watermark are DROPPED, so a closed window can only under-count —
+    * in-event-time-order replay is exact.
+    *
+    * Output per closed window: (window_start, window_end, groupCols...,
+    * value — string cast —, n).
+    */
+  def streamingTopValues(stream: DataFrame, tsCol: String,
+                         groupCols: Seq[String], valueCol: String,
+                         windowDuration: String = "1 hour",
+                         watermark: String = "10 minutes"): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    (groupCols ++ Seq(tsCol, valueCol)).foreach(c =>
+      require(stream.columns.contains(c), s"column '$c' not in frame"))
+    require(!groupCols.contains(valueCol),
+      s"value column '$valueCol' is also a group column")
+    Seq("value", "n", "window_start", "window_end").foreach(o =>
+      require(!groupCols.contains(o),
+        s"group column '$o' collides with an output column"))
+    stream
+      .where(col(valueCol).isNotNull)
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDuration) +:
+        groupCols.map(col) :+
+        col(valueCol).cast(StringType).as("value"): _*)
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start") +:
+        col("window.end").as("window_end") +:
+        groupCols.map(col) :+ col("value") :+ col("n"): _*)
+  }
+
   /** Per-actor funnel progress carried in custom streaming state — the
     * streaming twin of [[graft.ops.EventAnalytics.funnel]]. Emits the
     * actor's furthest step after every micro-batch touching it (update

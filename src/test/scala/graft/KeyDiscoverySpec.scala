@@ -884,6 +884,53 @@ class KeyDiscoverySpec extends SparkSpec {
     }
   }
 
+  test("approximateOrderDependencies: adjacent counts equal brute force " +
+      "at every partition count; epsilon-0 verdicts equal exact; a " +
+      "dirtied near-monotone pair separates under epsilon") {
+    val rnd = new scala.util.Random(44)
+    for (trial <- 1 to 3; p <- Seq(1, 3, 8)) {
+      val rows = Seq.fill(150)((rnd.nextInt(60), rnd.nextInt(20)))
+      val d = rows.toDF("x", "y")
+      val got = KeyDiscovery.approximateOrderDependencies(d,
+        Seq("x" -> "y"), epsilon = 0.0, partitions = p).head()
+      val groups = rows.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (_, g) => (g.map(_._2).min, g.map(_._2).max) }
+      val ascViol = groups.indices.count { i =>
+        i > 0 && groups(i - 1)._2 > groups(i)._1 }
+      val descViol = groups.indices.count { i =>
+        i > 0 && groups(i - 1)._1 < groups(i)._2 }
+      val den = math.max(groups.size - 1, 1).toDouble
+      assert(got.getLong(2) == groups.size, s"trial $trial p=$p")
+      assert(got.getLong(3) == ascViol, s"trial $trial p=$p")
+      assert(got.getLong(4) == descViol, s"trial $trial p=$p")
+      assert(got.getDouble(5) == ascViol / den, s"trial $trial p=$p")
+      assert(got.getDouble(6) == descViol / den, s"trial $trial p=$p")
+      // epsilon = 0 reduces to the exact verdict (zero adjacent
+      // violations <=> zero prefix violations, the chain argument)
+      val exact = KeyDiscovery.orderDependencies(d, Seq("x" -> "y"),
+        partitions = p).head()
+      assert(got.getString(7) == exact.getString(5), s"trial $trial p=$p")
+    }
+    // a long monotone run with ONE outlier row: exact reads none, the
+    // approximate form prices the dirt at ~2 adjacent pairs
+    val dirty = ((1 to 100).map(i => (i, i)) :+ (50, 999)).toDF("x", "y")
+    val exact = KeyDiscovery.orderDependencies(dirty,
+      Seq("x" -> "y")).head()
+    assert(exact.getString(5) == "none")
+    val apx = KeyDiscovery.approximateOrderDependencies(dirty,
+      Seq("x" -> "y"), epsilon = 0.05).head()
+    assert(apx.getLong(3) == 1L)               // only 50->51 breaks asc
+    assert(apx.getDouble(5) == 1.0 / 99)
+    assert(apx.getString(7) == "asc")          // held under epsilon
+    val strict = KeyDiscovery.approximateOrderDependencies(dirty,
+      Seq("x" -> "y"), epsilon = 0.0).head()
+    assert(strict.getString(7) == "none")
+    intercept[IllegalArgumentException] {
+      KeyDiscovery.approximateOrderDependencies(dirty,
+        Seq("x" -> "y"), epsilon = 1.0)
+    }
+  }
+
   test("discoverOrderDependencies: sweep verdicts equal per-call results " +
       "across MaxCandidates chunks; declared-pair fan-out and order") {
     val rnd = new scala.util.Random(7)

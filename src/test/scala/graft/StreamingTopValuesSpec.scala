@@ -1,0 +1,92 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.stats.ValueCounts
+import graft.streaming.StreamingFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming-twin equivalence for per-group top values: each CLOSED
+  * event-time window's emitted counts, ranked through the SHARED
+  * [[ValueCounts.rankValueCounts]] stage, must equal
+  * [[ValueCounts.topValuesByGroup]] over the same window's rows — and
+  * late rows beyond the watermark drop (under-count only, never
+  * fabrication).
+  */
+class StreamingTopValuesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("streamingTopValues closed windows, ranked by the shared stage, " +
+      "equal batch topValuesByGroup per window") {
+    val rnd = new scala.util.Random(29)
+    // two 1-hour windows, 3 groups x 6 values, deliberate rank ties
+    val rows = Seq.fill(400)((s"g${rnd.nextInt(3)}", s"v${rnd.nextInt(6)}",
+      ts(rnd.nextInt(7200).toLong)))
+    val ordered = rows.sortBy(_._3.getTime)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, Timestamp)]
+    val out = StreamingFrame.streamingTopValues(
+      mem.toDF.toDF("g", "v", "t"), "t", Seq("g"), "v",
+      windowDuration = "1 hour", watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("tv_twin")
+      .outputMode("append").start()
+    ordered.grouped(100).foreach { b =>
+      mem.addData(b); q.processAllAvailable()
+    }
+    // sentinel far past both windows: advances the watermark so they
+    // close and emit (its own window never closes — never emitted)
+    mem.addData(Seq(("gx", "vx", ts(1000000L))))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql("SELECT * FROM tv_twin").collect()
+    val starts = streamed.map(_.getTimestamp(0)).distinct
+    assert(starts.length == 2)
+    assert(!streamed.exists(_.getString(2) == "gx"))
+    for (ws <- starts) {
+      val we = ws.getTime + 3600000L
+      val counts = streamed.filter(_.getTimestamp(0) == ws)
+        .map(r => (r.getString(2), r.getString(3), r.getLong(4))).toSeq
+        .toDF("g", "value", "n")
+      val ranked = ValueCounts.rankValueCounts(counts, Seq("g"), k = 3)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getDouble(3), r.getInt(4))).toSeq
+      val batchIn = rows
+        .filter(r => r._3.getTime >= ws.getTime && r._3.getTime < we)
+        .toDF("g", "v", "t")
+      val batch = ValueCounts.topValuesByGroup(batchIn, Seq("g"), "v",
+          k = 3).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getDouble(3), r.getInt(4))).toSeq
+      assert(ranked == batch, s"window $ws")
+    }
+  }
+
+  test("late rows beyond the watermark drop: a closed window only " +
+      "under-counts, never re-opens or fabricates") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, Timestamp)]
+    val out = StreamingFrame.streamingTopValues(
+      mem.toDF.toDF("g", "v", "t"), "t", Seq("g"), "v",
+      windowDuration = "1 hour", watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("tv_late")
+      .outputMode("append").start()
+    mem.addData(Seq(("gA", "v1", ts(3000)), ("gA", "v1", ts(5000))))
+    q.processAllAvailable()   // watermark 5000s - 600s > window-0 end
+    mem.addData(Seq(("gA", "v2", ts(100)))) // late into window 0: DROPPED
+    q.processAllAvailable()
+    mem.addData(Seq(("gx", "vx", ts(1000000L))))
+    q.processAllAvailable()
+    q.stop()
+    val w0 = spark.sql(
+      "SELECT value, n FROM tv_late WHERE window_start = timestamp'1970-01-01 00:00:00'")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(w0 == Map("v1" -> 1L)) // v2 never lands; no re-emission
+    intercept[IllegalArgumentException] {
+      StreamingFrame.streamingTopValues(
+        mem.toDF.toDF("value", "v", "t"), "t", Seq("value"), "v")
+    }
+  }
+}
