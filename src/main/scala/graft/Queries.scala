@@ -2906,11 +2906,14 @@ object Queries {
     */
   def q176FunnelByDim(s: SparkSession, dir: String): DataFrame =
     ops.EventAnalytics.funnelBy(
+      // % (sign-following remainder), NOT pmod: the oracle's DuckDB %
+      // follows the sign too, so the pair stays robust under negative
+      // ids (pmod(-1, 3) = 2 would silently diverge)
       table(s, dir, "events").withColumn("dim",
-        when(pmod(col("user_id"), lit(3)) === 0,
+        when(col("user_id") % 3 === 0,
           lit(null).cast("string"))
           .otherwise(concat(lit("seg"),
-            pmod(col("user_id"), lit(3)).cast("string")))),
+            (col("user_id") % 3).cast("string")))),
       "user_id", "ts", "event_type", "dim",
       Seq("signup", "view", "click", "purchase"))
 

@@ -147,10 +147,12 @@ object EventAnalytics {
     * step-typed event emits all k steps, zero-count steps included.
     *
     * Unlike [[funnel]] (EAGER: one bounded driver head()), this stays
-    * LAZY at any dimension cardinality: the per-dimension step counts
+    * LAZY at any dimension cardinality — the per-dimension step counts
     * are one dimension-bounded aggregate over the actor-level frame and
-    * the k rows per dimension unroll via posexplode of the count vector
-    * — no driver collect.
+    * the k rows per dimension unroll via posexplode of the count vector,
+    * no driver collect — EXCEPT with `segmentSeconds = 0`, where the
+    * AUTO width's span pre-scan ([[autoSegmentMicros]]) runs eagerly at
+    * call time, exactly as it does for [[funnel]].
     *
     * Output: (dimCol, step_index, step, n_actors, conversion, overall)
     * — [[funnel]]'s columns with the dimension prepended, the same

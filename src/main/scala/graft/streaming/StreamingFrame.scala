@@ -654,7 +654,10 @@ object StreamingFrame {
       require(stream.columns.contains(c), s"column '$c' not in frame"))
     require(!groupCols.contains(valueCol),
       s"value column '$valueCol' is also a group column")
-    Seq("value", "n", "window_start", "window_end").foreach(o =>
+    // "window" is the alias the time-window groupBy introduces — a
+    // group column by that name would hit an ambiguous-reference
+    // AnalysisException deep in the plan instead of this loud error
+    Seq("value", "n", "window_start", "window_end", "window").foreach(o =>
       require(!groupCols.contains(o),
         s"group column '$o' collides with an output column"))
     stream
