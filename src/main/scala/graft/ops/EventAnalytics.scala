@@ -282,8 +282,11 @@ object EventAnalytics {
     require(steps.distinct.size == steps.size,
       "duplicate funnel step: repeated types make the greedy match " +
         "ambiguous with the nested-min definition")
-    require(segmentSeconds >= 0,
-      s"need segmentSeconds >= 0 (0 = auto), got $segmentSeconds")
+    // segment upper bound keeps `t - pmod(t, width)` wrap-free (the
+    // consecutiveWindows rationale: TimestampType µs vs Long range)
+    require(segmentSeconds >= 0 && segmentSeconds <= MaxWindowSeconds,
+      s"need 0 <= segmentSeconds <= $MaxWindowSeconds (0 = auto), " +
+        s"got $segmentSeconds")
     require(windowSeconds >= 0 && windowSeconds <= MaxWindowSeconds,
       s"need 0 <= windowSeconds <= $MaxWindowSeconds, got $windowSeconds")
     (Seq(actorCol, tsCol, typeCol) ++ dimCol).foreach(c =>
@@ -445,8 +448,12 @@ object EventAnalytics {
                                  segmentThreshold: Long): DataFrame = {
     (Seq(actorCol, tsCol, typeCol) ++ orderCols).foreach(c =>
       require(df.columns.contains(c), s"column '$c' not in frame"))
-    require(segmentSeconds >= 0,
-      s"need segmentSeconds >= 0 (0 = auto), got $segmentSeconds")
+    // the upper bound keeps `t - pmod(t, width)` wrap-free: with width
+    // <= MaxWindowSeconds µs (~3.2e18) and TimestampType's µs domain
+    // (|t| < 2.6e17), the subtraction stays 4+ orders inside Long range
+    require(segmentSeconds >= 0 && segmentSeconds <= MaxWindowSeconds,
+      s"need 0 <= segmentSeconds <= $MaxWindowSeconds (0 = auto), " +
+        s"got $segmentSeconds")
     require(segmentThreshold > 0,
       s"need segmentThreshold > 0, got $segmentThreshold")
     val m = length - 1 // carry/head/tail bound

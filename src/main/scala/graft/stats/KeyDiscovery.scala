@@ -1812,11 +1812,7 @@ object KeyDiscovery {
                                                y: String, p: Int)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grouped = df
-      .where(col(x).isNotNull && col(y).isNotNull)
-      .groupBy(col(x)).agg(min(col(y)).as("__mn"), max(col(y)).as("__mx"))
-      .repartitionByRange(p, col(x))
-      .withColumn("__pid", spark_partition_id())
+    val grouped = groupedExtremaByRange(df, x, y, p)
     // carry: each partition's LAST group's extrema (max_by on the
     // distinct group key — no ties), lagged over present partitions so
     // a partition's first group sees its true adjacent predecessor
@@ -1848,14 +1844,23 @@ object KeyDiscovery {
     * spec: no Sort over raw rows, the only unpartitioned window runs on
     * the ≤p-row partition-stats frame.
     */
-  private[graft] def orderDependencyAgg(df: DataFrame, x: String,
-                                        y: String, p: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grouped = df
-      .where(col(x).isNotNull && col(y).isNotNull)
+  /** The grouped-extrema frame BOTH OD measures build on (exact prefix
+    * form and approximate adjacent form): distinct-x (min y, max y)
+    * rows, range-partitioned by x with a materialized partition id for
+    * the carry machinery — one definition so the range/pid/exchange
+    * assumptions can never diverge between the two.
+    */
+  private def groupedExtremaByRange(df: DataFrame, x: String, y: String,
+                                    p: Int): DataFrame =
+    df.where(col(x).isNotNull && col(y).isNotNull)
       .groupBy(col(x)).agg(min(col(y)).as("__mn"), max(col(y)).as("__mx"))
       .repartitionByRange(p, col(x))
       .withColumn("__pid", spark_partition_id())
+
+  private[graft] def orderDependencyAgg(df: DataFrame, x: String,
+                                        y: String, p: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grouped = groupedExtremaByRange(df, x, y, p)
     // carry-ins: each partition's prefix extrema over EARLIER partitions
     // (range partition ids ascend with x); the window frame is ≤ p rows
     val wp = Window.orderBy("__pid")

@@ -92,6 +92,12 @@ object ValueCounts {
     require(k > 0, s"need k > 0, got $k")
     (groupCols ++ Seq("value", "n")).foreach(c =>
       require(counts.columns.contains(c), s"column '$c' not in frame"))
+    // same loud-misuse guard as topValuesByGroup: a group column named
+    // rank/share would be silently REPLACED by the withColumns below
+    // (and value/n would make the input references ambiguous)
+    Seq("value", "n", "share", "rank").foreach(o =>
+      require(!groupCols.contains(o),
+        s"group column '$o' collides with an output column"))
     val gs = groupCols.map(col)
     val wRank = Window.partitionBy(gs: _*)
       .orderBy(col("n").desc, col("value").asc)

@@ -626,9 +626,13 @@ object StreamingFrame {
     * "top domains per source, per hour" shape. Emits, for each CLOSED
     * event-time window (append mode, watermark-driven), the collapsed
     * per-(group, value) counts; rank/share/top-k are the pure batch
-    * projection [[graft.stats.ValueCounts.rankValueCounts]] over the
-    * emitted frame — the SAME final stage the batch op uses, so replay
-    * equals batch by construction on closed windows (spec-pinned).
+    * projection [[graft.stats.ValueCounts.rankValueCounts]] with the
+    * window PREPENDED to the group columns —
+    * `rankValueCounts(emitted, "window_start" +: groupCols, k)` — the
+    * SAME final stage the batch op uses, scoped per closed window, so
+    * replay equals batch by construction (spec-pinned). Ranking the
+    * emitted frame WITHOUT the window key would sum counts across
+    * windows into one share denominator — always carry it.
     * Ranking cannot ride the stream itself (window functions over a
     * streaming aggregate need a second stateful operator); emitting the
     * collapsed counts is exactly the batch op's collapse-before-sort
@@ -656,8 +660,11 @@ object StreamingFrame {
       s"value column '$valueCol' is also a group column")
     // "window" is the alias the time-window groupBy introduces — a
     // group column by that name would hit an ambiguous-reference
-    // AnalysisException deep in the plan instead of this loud error
-    Seq("value", "n", "window_start", "window_end", "window").foreach(o =>
+    // AnalysisException deep in the plan instead of this loud error;
+    // share/rank are guarded so the documented rankValueCounts pairing
+    // can never silently replace a group column downstream
+    Seq("value", "n", "window_start", "window_end", "window",
+        "share", "rank").foreach(o =>
       require(!groupCols.contains(o),
         s"group column '$o' collides with an output column"))
     stream

@@ -44,6 +44,15 @@ class StreamingTopValuesSpec extends SparkSpec {
     val starts = streamed.map(_.getTimestamp(0)).distinct
     assert(starts.length == 2)
     assert(!streamed.exists(_.getString(2) == "gx"))
+    // the scaladoc's prescribed composition: window PREPENDED to the
+    // group columns scopes rank and share per closed window over the
+    // whole emitted frame in one call
+    val composed = ValueCounts.rankValueCounts(
+      spark.sql("SELECT window_start, g, value, n FROM tv_twin"),
+      Seq("window_start", "g"), k = 3).collect()
+      .groupBy(_.getTimestamp(0))
+      .map { case (ws, rs) => ws -> rs.map(r => (r.getString(1),
+        r.getString(2), r.getLong(3), r.getDouble(4), r.getInt(5))).toSet }
     for (ws <- starts) {
       val we = ws.getTime + 3600000L
       val counts = streamed.filter(_.getTimestamp(0) == ws)
@@ -61,6 +70,7 @@ class StreamingTopValuesSpec extends SparkSpec {
         .map(r => (r.getString(0), r.getString(1), r.getLong(2),
           r.getDouble(3), r.getInt(4))).toSeq
       assert(ranked == batch, s"window $ws")
+      assert(composed(ws) == batch.toSet, s"composed window $ws")
     }
   }
 
