@@ -3833,6 +3833,34 @@ object Oracles {
         "\nORDER BY on_column, ordered_column")
   }
 
+  /** q178: dimensional cohort retention — the q160 CTE chain with the
+    * dimension carried through every stage; dimension joins are IS NOT
+    * DISTINCT FROM (the NULL slice is a real slice on both engines).
+    */
+  val q178: String =
+    s"""WITH b AS (SELECT user_id a,
+       |    CASE WHEN user_id % 3 = 0 THEN NULL
+       |      ELSE 'seg' || CAST(user_id % 3 AS VARCHAR) END AS dim,
+       |    CAST(ts AS DATE) d
+       |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+       |f AS (SELECT a, dim, min(d) fd FROM b GROUP BY 1, 2),
+       |fc AS (SELECT a, dim, fd, CAST(floor(
+       |    date_diff('day', DATE '1970-01-01', fd) / 7.0) AS BIGINT)
+       |    cohort FROM f),
+       |cells AS (SELECT DISTINCT fc.dim, cohort, CAST(floor(
+       |    date_diff('day', fd, d) / 7.0) AS BIGINT) offp, b.a
+       |  FROM b JOIN fc ON b.a = fc.a
+       |    AND b.dim IS NOT DISTINCT FROM fc.dim),
+       |cnt AS (SELECT dim, cohort, offp, count(*) n
+       |  FROM cells GROUP BY 1, 2, 3),
+       |sz AS (SELECT dim, cohort, count(*) cs FROM fc GROUP BY 1, 2)
+       |SELECT cnt.dim, cnt.cohort AS cohort_period,
+       |  offp AS period_offset, n AS n_active, cs AS cohort_size,
+       |  CAST(n AS DOUBLE) / cs AS retention
+       |FROM cnt JOIN sz ON cnt.cohort = sz.cohort
+       |  AND cnt.dim IS NOT DISTINCT FROM sz.dim
+       |ORDER BY cnt.dim NULLS LAST, cohort_period, period_offset""".stripMargin
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q07_mutual_info_orders" -> q07Pinned,
@@ -3960,6 +3988,7 @@ object Oracles {
       "q175_null_key_quantiles" -> q175,
       "q176_funnel_by_dim" -> q176,
       "q177_approx_ods" -> q177,
+      "q178_retention_by_dim" -> q178,
       "q160_cohort_retention" -> q160,
       "q161_resample_grid" -> q161,
       "q162_forward_fill" -> q162,

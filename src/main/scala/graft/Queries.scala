@@ -2931,6 +2931,20 @@ object Queries {
       epsilon = 0.02)
       .orderBy("on_column", "ordered_column")
 
+  /** Dimensional cohort retention (r14): the q160 retention per derived
+    * segment — the q176 dimension (user_id mod 3 with a NULL slice), so
+    * BOTH null-safe dimension joins are exercised end-to-end against
+    * DuckDB's IS NOT DISTINCT FROM semantics.
+    */
+  def q178RetentionByDim(s: SparkSession, dir: String): DataFrame =
+    ops.EventAnalytics.cohortRetentionBy(
+      table(s, dir, "events").withColumn("dim",
+        when(col("user_id") % 3 === 0,
+          lit(null).cast("string"))
+          .otherwise(concat(lit("seg"),
+            (col("user_id") % 3).cast("string")))),
+      "user_id", "ts", "dim")
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -3144,6 +3158,7 @@ object Queries {
     "q175_null_key_quantiles" -> (q175NullKeyQuantiles _),
     "q176_funnel_by_dim" -> (q176FunnelByDim _),
     "q177_approx_ods" -> (q177ApproxOds _),
+    "q178_retention_by_dim" -> (q178RetentionByDim _),
     "q140_multifield_linkage" -> (q140MultiFieldLinkage _)
   )
 }

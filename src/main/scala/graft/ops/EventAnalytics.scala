@@ -777,4 +777,68 @@ object EventAnalytics {
           .as("retention"))
       .orderBy(col("cohort_period"), col("period_offset"))
   }
+
+  /** Dimensional cohort retention — [[cohortRetention]] grouped by a
+    * property column ("retention by country"): the dimension rides the
+    * actor key exactly as in [[funnelBy]], so each (actor, dimension)
+    * slice anchors its own cohort at the slice's first event and an
+    * actor whose events carry several dimension values participates
+    * independently in each (per-actor-constant dimensions reduce to the
+    * plain per-country read). A NULL dimension is a real slice: every
+    * join back on the dimension is NULL-SAFE (`<=>`), the
+    * [[graft.stats.Describe.groupedQuantiles]] hazard class closed by
+    * construction, not by testdata luck.
+    *
+    * Scale shape: identical to [[cohortRetention]] with the dimension
+    * widening each key — first-event shuffle ≤ (actor, dim) slices,
+    * cells collapse to distinct (dim, cohort, offset, actor) map-side,
+    * sizes stay (dim × cohort)-bounded and broadcast.
+    *
+    * Output: (dimCol, cohort_period, period_offset, n_active,
+    * cohort_size, retention), ordered by (dimension NULLS LAST,
+    * cohort_period, period_offset).
+    */
+  def cohortRetentionBy(df: DataFrame, actorCol: String, tsCol: String,
+                        dimCol: String, periodDays: Int = 7): DataFrame = {
+    require(periodDays > 0, s"need periodDays > 0, got $periodDays")
+    Seq(actorCol, tsCol, dimCol).foreach(c =>
+      require(df.columns.contains(c), s"column '$c' not in frame"))
+    require(!Seq("cohort_period", "period_offset", "n_active",
+        "cohort_size", "retention").contains(dimCol),
+      s"dimension column '$dimCol' collides with an output column")
+    val base = df
+      .where(col(actorCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(actorCol).as("__a"), col(dimCol).as("__d"),
+        to_date(col(tsCol)).as("__day"))
+    val firsts = base.groupBy(col("__a"), col("__d"))
+      .agg(min(col("__day")).as("__first"))
+      .withColumn("__cohort",
+        floor(datediff(col("__first"), lit("1970-01-01").cast("date"))
+          / periodDays))
+    val cells = base.as("b")
+      .join(firsts.as("f"),
+        col("b.__a") === col("f.__a") && col("b.__d") <=> col("f.__d"))
+      .select(col("f.__d").as("__d"), col("f.__cohort").as("__cohort"),
+        floor(datediff(col("b.__day"), col("f.__first")) / periodDays)
+          .as("period_offset"),
+        col("b.__a").as("__a"))
+      .distinct()
+      .groupBy(col("__d"), col("__cohort"), col("period_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = firsts.groupBy(col("__d").as("__sd"),
+        col("__cohort").as("__scohort"))
+      .agg(count(lit(1)).as("cohort_size"))
+    cells.join(broadcast(sizes),
+        col("__cohort") === col("__scohort") && col("__d") <=> col("__sd"))
+      .select(
+        col("__d").as(dimCol),
+        col("__cohort").as("cohort_period"),
+        col("period_offset"),
+        col("n_active"),
+        col("cohort_size"),
+        (col("n_active").cast("double") / col("cohort_size"))
+          .as("retention"))
+      .orderBy(col(dimCol).asc_nulls_last, col("cohort_period"),
+        col("period_offset"))
+  }
 }

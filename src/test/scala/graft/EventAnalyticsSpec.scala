@@ -100,6 +100,51 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out.size == 4)
   }
 
+  test("cohortRetentionBy: per-(actor, dim) slices equal brute force; " +
+      "NULL dimension is a real slice with real retention ratios") {
+    def d(day: Int) = ts(day.toLong * 86400)
+    val rnd = new scala.util.Random(53)
+    val rows = Seq.fill(400) {
+      val dim = rnd.nextInt(3) match {
+        case 0 => Option.empty[String]
+        case i => Some(s"c$i")
+      }
+      (rnd.nextInt(20).toLong, d(rnd.nextInt(35)), dim)
+    }
+    // brute force: each (actor, dim) slice anchors at its own first day
+    val slices = rows.groupBy(r => (r._1, r._3)).toSeq.map { case ((_, dm), g) =>
+      val days = g.map(_._2.getTime / 86400000L)
+      val first = days.min
+      (dm.orNull, first / 7,
+        days.map(dd => (dd - first) / 7).distinct)
+    }
+    val expSizes = slices.groupBy(s => (s._1, s._2)).view
+      .mapValues(_.size.toLong).toMap
+    val expCells = slices
+      .flatMap { case (dm, c, offs) => offs.map(o => ((dm, c, o), 1L)) }
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val got = EventAnalytics.cohortRetentionBy(
+        rows.toDF("u", "t", "dim"), "u", "t", "dim")
+      .collect().map { r =>
+        ((if (r.isNullAt(0)) null else r.getString(0)), r.getLong(1),
+          r.getLong(2)) ->
+          ((r.getLong(3), r.getLong(4), r.getDouble(5)))
+      }.toMap
+    assert(got.keySet == expCells.keySet)
+    got.foreach { case (cell @ (dm, c, _), (n, cs, ret)) =>
+      assert(n == expCells(cell), s"cell $cell")
+      assert(cs == expSizes((dm, c)), s"size $cell")
+      assert(ret == n.toDouble / cs, s"ratio $cell")
+    }
+    // the hazard pin: null-dim slices really flow through both null-safe
+    // joins (a plain-equality join would drop every one of these cells)
+    assert(got.keys.exists(_._1 == null))
+    intercept[IllegalArgumentException] {
+      EventAnalytics.cohortRetentionBy(
+        rows.toDF("u", "t", "retention"), "u", "t", "retention")
+    }
+  }
+
   test("joinCardinality: exact output size and contributions without " +
       "running the join") {
     val l = Seq((1, "p"), (1, "q"), (2, "r"), (3, "s"), (9, "t"))
