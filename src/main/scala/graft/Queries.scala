@@ -2904,16 +2904,20 @@ object Queries {
     * CTEs with the per-dimension counts grouped one key deeper and a
     * NULL-safe dim join.
     */
+  /** The derived dimension q176/q178 share: user_id mod 3 mapped to
+    * seg1/seg2/NULL. % (sign-following remainder), NOT pmod: the
+    * oracles' DuckDB % follows the sign too, so the pairs stay robust
+    * under negative ids (pmod(-1, 3) = 2 would silently diverge).
+    */
+  private def withSegDim(df: DataFrame): DataFrame =
+    df.withColumn("dim",
+      when(col("user_id") % 3 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("seg"),
+          (col("user_id") % 3).cast("string"))))
+
   def q176FunnelByDim(s: SparkSession, dir: String): DataFrame =
     ops.EventAnalytics.funnelBy(
-      // % (sign-following remainder), NOT pmod: the oracle's DuckDB %
-      // follows the sign too, so the pair stays robust under negative
-      // ids (pmod(-1, 3) = 2 would silently diverge)
-      table(s, dir, "events").withColumn("dim",
-        when(col("user_id") % 3 === 0,
-          lit(null).cast("string"))
-          .otherwise(concat(lit("seg"),
-            (col("user_id") % 3).cast("string")))),
+      withSegDim(table(s, dir, "events")),
       "user_id", "ts", "event_type", "dim",
       Seq("signup", "view", "click", "purchase"))
 
@@ -2938,12 +2942,7 @@ object Queries {
     */
   def q178RetentionByDim(s: SparkSession, dir: String): DataFrame =
     ops.EventAnalytics.cohortRetentionBy(
-      table(s, dir, "events").withColumn("dim",
-        when(col("user_id") % 3 === 0,
-          lit(null).cast("string"))
-          .otherwise(concat(lit("seg"),
-            (col("user_id") % 3).cast("string")))),
-      "user_id", "ts", "dim")
+      withSegDim(table(s, dir, "events")), "user_id", "ts", "dim")
 
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.

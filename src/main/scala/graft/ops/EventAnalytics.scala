@@ -745,37 +745,61 @@ object EventAnalytics {
     * period_offset).
     */
   def cohortRetention(df: DataFrame, actorCol: String, tsCol: String,
-                      periodDays: Int = 7): DataFrame = {
+                      periodDays: Int = 7): DataFrame =
+    cohortCore(df, actorCol, tsCol, None, periodDays)
+
+  /** The shared cohort pipeline under [[cohortRetention]] and
+    * [[cohortRetentionBy]] — one definition of the anchor arithmetic,
+    * distinct-cell collapse, broadcast sizes and retention quotient, so
+    * the two entry points can never drift (the funnelBy/actorProgress
+    * convention). A dimension, when present, widens every key, and the
+    * two joins back on it are NULL-SAFE — a NULL dimension is a real
+    * slice.
+    */
+  private def cohortCore(df: DataFrame, actorCol: String, tsCol: String,
+                         dimCol: Option[String], periodDays: Int)
+      : DataFrame = {
     require(periodDays > 0, s"need periodDays > 0, got $periodDays")
-    Seq(actorCol, tsCol).foreach(c =>
+    (Seq(actorCol, tsCol) ++ dimCol).foreach(c =>
       require(df.columns.contains(c), s"column '$c' not in frame"))
+    val dimKeys = dimCol.map(_ => col("__d")).toSeq
     val base = df
       .where(col(actorCol).isNotNull && col(tsCol).isNotNull)
-      .select(col(actorCol).as("__a"), to_date(col(tsCol)).as("__d"))
-    val firsts = base.groupBy(col("__a"))
-      .agg(min(col("__d")).as("__first"))
+      .select(col(actorCol).as("__a") +:
+        (dimCol.map(d => col(d).as("__d")).toSeq :+
+          to_date(col(tsCol)).as("__day")): _*)
+    val firsts = base.groupBy(col("__a") +: dimKeys: _*)
+      .agg(min(col("__day")).as("__first"))
       .withColumn("__cohort",
         floor(datediff(col("__first"), lit("1970-01-01").cast("date"))
           / periodDays))
-    val cells = base.join(firsts, "__a")
-      .select(col("__cohort"),
-        floor(datediff(col("__d"), col("__first")) / periodDays)
+    val backJoin = col("b.__a") === col("f.__a") &&
+      dimCol.map(_ => col("b.__d") <=> col("f.__d")).getOrElse(lit(true))
+    val cells = base.as("b").join(firsts.as("f"), backJoin)
+      .select(dimCol.map(_ => col("f.__d").as("__d")).toSeq ++ Seq(
+        col("f.__cohort").as("__cohort"),
+        floor(datediff(col("b.__day"), col("f.__first")) / periodDays)
           .as("period_offset"),
-        col("__a"))
+        col("b.__a").as("__a")): _*)
       .distinct()
-      .groupBy(col("__cohort"), col("period_offset"))
+      .groupBy(dimKeys :+ col("__cohort") :+ col("period_offset"): _*)
       .agg(count(lit(1)).as("n_active"))
-    val sizes = firsts.groupBy(col("__cohort"))
+    val sizes = firsts
+      .groupBy(dimCol.map(_ => col("__d").as("__sd")).toSeq :+
+        col("__cohort").as("__scohort"): _*)
       .agg(count(lit(1)).as("cohort_size"))
-    cells.join(broadcast(sizes), Seq("__cohort"))
-      .select(
+    val sizeJoin = col("__cohort") === col("__scohort") &&
+      dimCol.map(_ => col("__d") <=> col("__sd")).getOrElse(lit(true))
+    cells.join(broadcast(sizes), sizeJoin)
+      .select(dimCol.map(d => col("__d").as(d)).toSeq ++ Seq(
         col("__cohort").as("cohort_period"),
         col("period_offset"),
         col("n_active"),
         col("cohort_size"),
         (col("n_active").cast("double") / col("cohort_size"))
-          .as("retention"))
-      .orderBy(col("cohort_period"), col("period_offset"))
+          .as("retention")): _*)
+      .orderBy(dimCol.map(d => col(d).asc_nulls_last).toSeq ++ Seq(
+        col("cohort_period"), col("period_offset")): _*)
   }
 
   /** Dimensional cohort retention — [[cohortRetention]] grouped by a
@@ -800,45 +824,9 @@ object EventAnalytics {
     */
   def cohortRetentionBy(df: DataFrame, actorCol: String, tsCol: String,
                         dimCol: String, periodDays: Int = 7): DataFrame = {
-    require(periodDays > 0, s"need periodDays > 0, got $periodDays")
-    Seq(actorCol, tsCol, dimCol).foreach(c =>
-      require(df.columns.contains(c), s"column '$c' not in frame"))
     require(!Seq("cohort_period", "period_offset", "n_active",
         "cohort_size", "retention").contains(dimCol),
       s"dimension column '$dimCol' collides with an output column")
-    val base = df
-      .where(col(actorCol).isNotNull && col(tsCol).isNotNull)
-      .select(col(actorCol).as("__a"), col(dimCol).as("__d"),
-        to_date(col(tsCol)).as("__day"))
-    val firsts = base.groupBy(col("__a"), col("__d"))
-      .agg(min(col("__day")).as("__first"))
-      .withColumn("__cohort",
-        floor(datediff(col("__first"), lit("1970-01-01").cast("date"))
-          / periodDays))
-    val cells = base.as("b")
-      .join(firsts.as("f"),
-        col("b.__a") === col("f.__a") && col("b.__d") <=> col("f.__d"))
-      .select(col("f.__d").as("__d"), col("f.__cohort").as("__cohort"),
-        floor(datediff(col("b.__day"), col("f.__first")) / periodDays)
-          .as("period_offset"),
-        col("b.__a").as("__a"))
-      .distinct()
-      .groupBy(col("__d"), col("__cohort"), col("period_offset"))
-      .agg(count(lit(1)).as("n_active"))
-    val sizes = firsts.groupBy(col("__d").as("__sd"),
-        col("__cohort").as("__scohort"))
-      .agg(count(lit(1)).as("cohort_size"))
-    cells.join(broadcast(sizes),
-        col("__cohort") === col("__scohort") && col("__d") <=> col("__sd"))
-      .select(
-        col("__d").as(dimCol),
-        col("__cohort").as("cohort_period"),
-        col("period_offset"),
-        col("n_active"),
-        col("cohort_size"),
-        (col("n_active").cast("double") / col("cohort_size"))
-          .as("retention"))
-      .orderBy(col(dimCol).asc_nulls_last, col("cohort_period"),
-        col("period_offset"))
+    cohortCore(df, actorCol, tsCol, Some(dimCol), periodDays)
   }
 }

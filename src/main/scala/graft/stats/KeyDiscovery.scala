@@ -1838,12 +1838,6 @@ object KeyDiscovery {
           1L)), lit(0L)).as("__desc_viol"))
   }
 
-  /** One pair's OD measure: (n_groups, asc_violations,
-    * desc_violations) — the grouped-prefix-extrema plan the
-    * [[orderDependencies]] scaladoc describes. Exposed for the plan
-    * spec: no Sort over raw rows, the only unpartitioned window runs on
-    * the ≤p-row partition-stats frame.
-    */
   /** The grouped-extrema frame BOTH OD measures build on (exact prefix
     * form and approximate adjacent form): distinct-x (min y, max y)
     * rows, range-partitioned by x with a materialized partition id for
@@ -1857,6 +1851,12 @@ object KeyDiscovery {
       .repartitionByRange(p, col(x))
       .withColumn("__pid", spark_partition_id())
 
+  /** One pair's OD measure: (n_groups, asc_violations,
+    * desc_violations) — the grouped-prefix-extrema plan the
+    * [[orderDependencies]] scaladoc describes. Exposed for the plan
+    * spec: no Sort over raw rows, the only unpartitioned window runs on
+    * the ≤p-row partition-stats frame.
+    */
   private[graft] def orderDependencyAgg(df: DataFrame, x: String,
                                         y: String, p: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
