@@ -711,23 +711,77 @@ object StreamingFrame {
     */
   final case class FunnelReach(actor: String, reached: Int)
 
-  def streamingFunnel(stream: DataFrame, actorCol: String, tsCol: String,
-                      typeCol: String, steps: Seq[String],
-                      windowSeconds: Long = 0L)
-      : org.apache.spark.sql.Dataset[FunnelReach] = {
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
-    import StateEnvelope.Enveloped
+  /** One per-group micro-batch step of the streaming funnel fold —
+    * decode the enveloped frontier, tighten the anchor on late step-1
+    * arrivals (windowed), greedily advance over the batch-local (ts,
+    * type)-sorted events, re-encode. Shared by [[streamingFunnel]] and
+    * [[streamingFunnelBy]] so the two can never drift: the DIMENSION
+    * lives in the grouping key, not here — the state payload and its
+    * versioned envelope are identical for both.
+    */
+  private def foldFunnelGroup(steps: Seq[String], windowSeconds: Long,
+      events: Seq[(Long, String)],
+      state: org.apache.spark.sql.streaming.GroupState[
+        StateEnvelope.Enveloped]): Int = {
+    val k = steps.size
+    val winMicros = windowSeconds * 1000000L
+    val windowed = windowSeconds > 0
+    val (r0, t0, a0) = state.getOption
+      .map(StateEnvelope.decodeFunnel(_, k, windowSeconds))
+      .getOrElse((0, 0L, 0L))
+    var r = r0
+    var last = t0
+    var anchor = a0
+    // saturating deadline — the batch fold's convention: a far-future
+    // anchor means "no deadline", never a wrapped one
+    def deadline: Long =
+      if (anchor > Long.MaxValue - winMicros) Long.MaxValue
+      else anchor + winMicros
+    val sorted = events.sortBy(identity)
+    // anchor TIGHTENING (windowed, r >= 1): a late-arriving step-1
+    // event EARLIER than the recorded anchor re-bases the deadline the
+    // way the batch fold (earliest step-1 overall) would — advances
+    // already made against the stale looser deadline stand (frontier
+    // state cannot retro-censor; see the over-count caveat in the
+    // scaladoc), but every future advance uses the batch-true deadline.
+    // In-order replay never triggers this (the earliest step-1 arrives
+    // first).
+    if (windowed && r > 0)
+      sorted.iterator
+        .filter(e => e._2 == steps.head && e._1 < anchor)
+        .foreach(e => anchor = e._1)
+    // batch-local sort restores the batch fold's (ts, type) order
+    sorted.foreach { case (t, y) =>
+      if (r < k && y == steps(r) && (r == 0 || t > last) &&
+          (!windowed || r == 0 || t <= deadline)) {
+        if (r == 0) anchor = t
+        r += 1; last = t
+      }
+    }
+    state.update(StateEnvelope.encodeFunnel(k, r, last, anchor,
+      windowSeconds))
+    r
+  }
+
+  private def requireFunnelArgs(steps: Seq[String],
+                                windowSeconds: Long): Unit = {
     require(steps.nonEmpty, "need at least one funnel step")
     require(steps.distinct.size == steps.size, "duplicate funnel step")
     require(windowSeconds >= 0 &&
       windowSeconds <= graft.ops.EventAnalytics.MaxWindowSeconds,
       s"need 0 <= windowSeconds <= " +
         s"${graft.ops.EventAnalytics.MaxWindowSeconds}, got $windowSeconds")
+  }
+
+  def streamingFunnel(stream: DataFrame, actorCol: String, tsCol: String,
+                      typeCol: String, steps: Seq[String],
+                      windowSeconds: Long = 0L)
+      : org.apache.spark.sql.Dataset[FunnelReach] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import StateEnvelope.Enveloped
+    requireFunnelArgs(steps, windowSeconds)
     val spark = stream.sparkSession
     import spark.implicits._
-    val k = steps.size
-    val winMicros = windowSeconds * 1000000L
-    val windowed = windowSeconds > 0
     stream
       .select(col(actorCol).cast(StringType).as("a"),
         unix_micros(col(tsCol).cast(TimestampType)).as("t"),
@@ -739,42 +793,55 @@ object StreamingFrame {
       .mapGroupsWithState[Enveloped, FunnelReach](
         GroupStateTimeout.NoTimeout) {
         case (actor, rows, state: GroupState[Enveloped]) =>
-          val (r0, t0, a0) = state.getOption
-            .map(StateEnvelope.decodeFunnel(_, k, windowSeconds))
-            .getOrElse((0, 0L, 0L))
-          var r = r0
-          var last = t0
-          var anchor = a0
-          // saturating deadline — the batch fold's convention: a
-          // far-future anchor means "no deadline", never a wrapped one
-          def deadline: Long =
-            if (anchor > Long.MaxValue - winMicros) Long.MaxValue
-            else anchor + winMicros
-          val sorted = rows.toSeq.sortBy(e => (e._2, e._3))
-          // anchor TIGHTENING (windowed, r >= 1): a late-arriving step-1
-          // event EARLIER than the recorded anchor re-bases the deadline
-          // the way the batch fold (earliest step-1 overall) would —
-          // advances already made against the stale looser deadline
-          // stand (frontier state cannot retro-censor; see the
-          // over-count caveat in the scaladoc), but every future advance
-          // uses the batch-true deadline. In-order replay never
-          // triggers this (the earliest step-1 arrives first).
-          if (windowed && r > 0)
-            sorted.iterator
-              .filter(e => e._3 == steps.head && e._2 < anchor)
-              .foreach(e => anchor = e._2)
-          // batch-local sort restores the batch fold's (ts, type) order
-          sorted.foreach { case (_, t, y) =>
-            if (r < k && y == steps(r) && (r == 0 || t > last) &&
-                (!windowed || r == 0 || t <= deadline)) {
-              if (r == 0) anchor = t
-              r += 1; last = t
-            }
-          }
-          val next = FunnelReach(actor, r)
-          state.update(StateEnvelope.encodeFunnel(k, r, last, anchor,
-            windowSeconds))
-          next
+          FunnelReach(actor, foldFunnelGroup(steps, windowSeconds,
+            rows.map(e => (e._2, e._3)).toSeq, state))
+      }
+  }
+
+  /** One dimensional funnel-progress update: the (actor, dimension)
+    * slice's furthest step. `dim` is None for a NULL dimension — a real
+    * slice, exactly as in [[graft.ops.EventAnalytics.funnelBy]].
+    */
+  final case class FunnelReachBy(actor: String, dim: Option[String],
+                                 reached: Int)
+
+  /** Per-(actor, dimension) funnel progress — the streaming twin of
+    * [[graft.ops.EventAnalytics.funnelBy]], exactly as
+    * [[streamingFunnel]] twins `funnel`. The dimension RIDES THE
+    * GROUPING KEY: state payload, versioned envelope, fold, windowed
+    * anchor semantics and every late-data caveat are bit-identical to
+    * [[streamingFunnel]]'s (the shared [[foldFunnelGroup]]), and each
+    * (actor, dimension) slice keeps its own bounded three-scalar
+    * frontier. Per-dimension step counts are a downstream
+    * `groupBy(dim, reached)` away. A NULL dimension groups as a real
+    * slice (None key). Not checkpoint-compatible with
+    * [[streamingFunnel]]: the key schema differs, so resuming one
+    * query's checkpoint with the other fails loudly in Spark's state
+    * store schema check — start a fresh query, as with any key change.
+    */
+  def streamingFunnelBy(stream: DataFrame, actorCol: String,
+                        tsCol: String, typeCol: String, dimCol: String,
+                        steps: Seq[String], windowSeconds: Long = 0L)
+      : org.apache.spark.sql.Dataset[FunnelReachBy] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import StateEnvelope.Enveloped
+    requireFunnelArgs(steps, windowSeconds)
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col(actorCol).cast(StringType).as("a"),
+        col(dimCol).cast(StringType).as("d"),
+        unix_micros(col(tsCol).cast(TimestampType)).as("t"),
+        col(typeCol).cast(StringType).as("y"))
+      .where(col("a").isNotNull && col("t").isNotNull &&
+        col("y").isin(steps: _*))
+      .as[(String, Option[String], Long, String)]
+      .groupByKey(e => (e._1, e._2))
+      .mapGroupsWithState[Enveloped, FunnelReachBy](
+        GroupStateTimeout.NoTimeout) {
+        case ((actor, dim), rows, state: GroupState[Enveloped]) =>
+          FunnelReachBy(actor, dim, foldFunnelGroup(steps, windowSeconds,
+            rows.map(e => (e._3, e._4)).toSeq, state))
       }
   }
 

@@ -50,6 +50,53 @@ class StreamingFunnelSpec extends SparkSpec {
     assert(streamCounts == batchCounts)
   }
 
+  test("streamingFunnelBy replayed in event-time order equals batch " +
+      "funnelBy per-dimension counts — NULL dimension a real slice, " +
+      "shared fold, same envelope") {
+    val rnd = new scala.util.Random(13)
+    val events = Seq.fill(500) {
+      val dim = rnd.nextInt(3) match {
+        case 0 => Option.empty[String]
+        case i => Some(s"d$i")
+      }
+      (rnd.nextInt(30).toLong, ts(rnd.nextInt(400)),
+        s"${('a' + rnd.nextInt(4)).toChar}", dim)
+    }
+    val ordered = events.sortBy(e => (e._2.getTime, e._3))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Option[String])]
+    val out = StreamingFrame.streamingFunnelBy(
+      mem.toDF.toDF("u", "t", "y", "dim"), "u", "t", "y", "dim", steps)
+    val q = out.writeStream.format("memory").queryName("funnelby_twin")
+      .outputMode("update").start()
+    ordered.grouped(120).foreach { batch =>
+      mem.addData(batch)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // final per-(actor, dim) frontier -> per-(dim, step) actor counts
+    val streamed = spark.sql(
+      "SELECT actor, dim, max(reached) r FROM funnelby_twin GROUP BY 1, 2")
+      .collect()
+      .groupBy(r => if (r.isNullAt(1)) null else r.getString(1))
+      .map { case (dm, rows) =>
+        dm -> (1 to steps.size).map(i =>
+          rows.count(_.getAs[Int]("r") >= i).toLong)
+      }
+    val batch = EventAnalytics.funnelBy(
+        events.toDF("u", "t", "y", "dim"), "u", "t", "y", "dim", steps)
+      .collect()
+      .groupBy(r => if (r.isNullAt(0)) null else r.getString(0))
+      .map { case (dm, rows) =>
+        dm -> rows.sortBy(_.getInt(1)).map(_.getLong(3)).toSeq
+      }
+    assert(streamed.keySet == batch.keySet)
+    assert(streamed.keySet.contains(null)) // the null slice is live
+    batch.foreach { case (dm, counts) =>
+      assert(streamed(dm) == counts, s"dim $dm")
+    }
+  }
+
   test("cross-batch disorder under-counts, never over-counts; state " +
       "envelope round-trips and rejects unknown versions") {
     implicit val sqlCtx = spark.sqlContext
