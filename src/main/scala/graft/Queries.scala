@@ -2897,13 +2897,6 @@ object Queries {
           nullif(col("l_returnflag"), lit("N"))),
       Seq("flag_or_null"), "l_extendedprice", Seq(0.5, 0.9))
 
-  /** Dimensional funnel (r14): the q159 funnel per derived segment —
-    * user_id mod 3 mapped to seg1/seg2/NULL, so the NULL slice is
-    * exercised end-to-end. The dimension rides the actor key through the
-    * same segmented skew-safe machinery; the oracle is the q159 chained
-    * CTEs with the per-dimension counts grouped one key deeper and a
-    * NULL-safe dim join.
-    */
   /** The derived dimension q176/q178 share: user_id mod 3 mapped to
     * seg1/seg2/NULL. % (sign-following remainder), NOT pmod: the
     * oracles' DuckDB % follows the sign too, so the pairs stay robust
@@ -2915,6 +2908,13 @@ object Queries {
         .otherwise(concat(lit("seg"),
           (col("user_id") % 3).cast("string"))))
 
+  /** Dimensional funnel (r14): the q159 funnel per derived segment —
+    * user_id mod 3 mapped to seg1/seg2/NULL, so the NULL slice is
+    * exercised end-to-end. The dimension rides the actor key through the
+    * same segmented skew-safe machinery; the oracle is the q159 chained
+    * CTEs with the per-dimension counts grouped one key deeper and a
+    * NULL-safe dim join.
+    */
   def q176FunnelByDim(s: SparkSession, dir: String): DataFrame =
     ops.EventAnalytics.funnelBy(
       withSegDim(table(s, dir, "events")),
