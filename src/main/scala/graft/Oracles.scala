@@ -3861,6 +3861,23 @@ object Oracles {
        |  AND cnt.dim IS NOT DISTINCT FROM sz.dim
        |ORDER BY cnt.dim NULLS LAST, cohort_period, period_offset""".stripMargin
 
+  /** q179: event transition matrix — the q169 lead(1) window grouped by
+    * BOTH sides of the pair, shares row-normalized per from_type.
+    */
+  val q179: String =
+    s"""WITH s AS (SELECT user_id, event_type,
+       |    lead(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_type, event_id) nx
+       |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+       |    AND event_type IS NOT NULL),
+       |c AS (SELECT event_type AS from_type, nx AS next_type,
+       |    count(*) AS n
+       |  FROM s WHERE nx IS NOT NULL GROUP BY 1, 2)
+       |SELECT from_type, next_type, n,
+       |  CAST(n AS DOUBLE) /
+       |    sum(n) OVER (PARTITION BY from_type) AS share
+       |FROM c ORDER BY from_type, n DESC, next_type""".stripMargin
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q07_mutual_info_orders" -> q07Pinned,
@@ -3989,6 +4006,7 @@ object Oracles {
       "q176_funnel_by_dim" -> q176,
       "q177_approx_ods" -> q177,
       "q178_retention_by_dim" -> q178,
+      "q179_transition_matrix" -> q179,
       "q160_cohort_retention" -> q160,
       "q161_resample_grid" -> q161,
       "q162_forward_fill" -> q162,

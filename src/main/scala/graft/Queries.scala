@@ -2944,6 +2944,15 @@ object Queries {
     ops.EventAnalytics.cohortRetentionBy(
       withSegDim(table(s, dir, "events")), "user_id", "ts", "dim")
 
+  /** Event transition matrix (r14): every (from_type -> next_type)
+    * successor pair over the q169 total order at once — the Sankey /
+    * first-order-Markov table, row-normalized shares. The oracle is the
+    * identical lead(1) window grouped both ways.
+    */
+  def q179TransitionMatrix(s: SparkSession, dir: String): DataFrame =
+    ops.EventAnalytics.eventTransitionMatrix(table(s, dir, "events"),
+      "user_id", "ts", "event_type", orderCols = Seq("event_id"))
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -3158,6 +3167,7 @@ object Queries {
     "q176_funnel_by_dim" -> (q176FunnelByDim _),
     "q177_approx_ods" -> (q177ApproxOds _),
     "q178_retention_by_dim" -> (q178RetentionByDim _),
+    "q179_transition_matrix" -> (q179TransitionMatrix _),
     "q140_multifield_linkage" -> (q140MultiFieldLinkage _)
   )
 }

@@ -666,6 +666,47 @@ object EventAnalytics {
     }
   }
 
+  /** Event-type TRANSITION MATRIX: over each actor's (ts, type,
+    * tiebreak) total order, the count and share of every (from_type →
+    * next_type) successor pair — [[nextEventDistribution]] for EVERY
+    * from-type at once, the Sankey-diagram / first-order-Markov table.
+    * Terminal occurrences (nothing after them) contribute nothing, rows
+    * with a null actor/ts/type are ignored, and `share` normalizes each
+    * ROW of the matrix (n over the from-type's total counted
+    * successors), so each from_type's shares sum to 1.
+    *
+    * Scale shape: successor pairs are the same length-2 skew-split
+    * [[consecutiveWindows]] core as [[nextEventDistribution]] (light
+    * actors codegen'd whole-actor windows, heavy actors segmented;
+    * EAGER bounded pre-count at call time, the
+    * [[SkewJoin.joinCardinality]] contract); the matrix aggregation is
+    * ≤ |vocabulary|² bounded, and the row-share denominator rides it as
+    * a from-type-partitioned window sum over the bounded frame.
+    *
+    * Output: (from_type, next_type, n, share), ordered by (from_type,
+    * n desc, next_type).
+    */
+  def eventTransitionMatrix(df: DataFrame, actorCol: String,
+                            tsCol: String, typeCol: String,
+                            orderCols: Seq[String] = Nil,
+                            segmentSeconds: Long = 86400L,
+                            segmentThreshold: Long =
+                              DefaultSegmentThreshold): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = consecutiveWindows(df, actorCol, tsCol, typeCol,
+      length = 2, maxGapSeconds = 0L, orderCols, segmentSeconds,
+      segmentThreshold)
+    pairs
+      .groupBy(element_at(col("__w"), 1).as("from_type"),
+        element_at(col("__w"), 2).as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share", col("n").cast(DoubleType) /
+        sum(col("n")).over(Window.partitionBy(col("from_type")))
+          .cast(DoubleType))
+      .orderBy(col("from_type").asc, col("n").desc,
+        col("next_type").asc)
+  }
+
   /** Top-k event paths: the most frequent length-`length` sequences of
     * CONSECUTIVE events in the per-actor (ts, type, tiebreak) total
     * order — "what do actors actually do", the sequence companion to

@@ -515,6 +515,43 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("eventTransitionMatrix: brute-force parity across split regimes; " +
+      "each from-type row equals nextEventDistribution; shares " +
+      "row-normalize to 1") {
+    val rnd = new scala.util.Random(59)
+    val rows = Seq.tabulate(600) { j =>
+      val u = if (rnd.nextInt(4) == 0) 0L else rnd.nextInt(25).toLong + 1
+      (u, ts(rnd.nextInt(200).toLong), s"e${rnd.nextInt(4)}", j.toLong)
+    }
+    val exp = rows.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      g.sortBy(e => (e._2.getTime, e._3, e._4)).sliding(2)
+        .filter(_.size == 2).map(p => (p(0)._3, p(1)._3))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (thr <- Seq(1L, 30L, 1000000L)) {
+      val got = EventAnalytics.eventTransitionMatrix(
+          rows.toDF("u", "t", "y", "eid"), "u", "t", "y",
+          orderCols = Seq("eid"), segmentThreshold = thr)
+        .collect()
+      val counts = got.map(r =>
+        (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(counts == exp, s"thr=$thr")
+      // shares row-normalize: each from_type's shares sum to 1
+      got.groupBy(_.getString(0)).foreach { case (f, rs) =>
+        assert(math.abs(rs.map(_.getDouble(3)).sum - 1.0) < 1e-12,
+          s"row $f thr=$thr")
+      }
+      // the e1 row of the matrix IS nextEventDistribution("e1")
+      val row1 = got.filter(_.getString(0) == "e1")
+        .map(r => (r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val ned = EventAnalytics.nextEventDistribution(
+          rows.toDF("u", "t", "y", "eid"), "u", "t", "y", "e1",
+          orderCols = Seq("eid"), segmentThreshold = thr)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(row1 == ned, s"thr=$thr")
+    }
+  }
+
   test("funnel: internal aliases do not collide with user column names") {
     val evs = Seq((1L, ts(1), "a"), (1L, ts(2), "b"))
       .toDF("evs", "r", "last")
