@@ -3878,6 +3878,33 @@ object Oracles {
        |    sum(n) OVER (PARTITION BY from_type) AS share
        |FROM c ORDER BY from_type, n DESC, next_type""".stripMargin
 
+  /** q180: skew-split sessionization — the plain q57 lag/cumsum over the
+    * derived hot keys (NULL slice included; DuckDB PARTITION BY groups
+    * the null key, so the Spark heavy path's null-safe (key, segment)
+    * rejoin must reproduce real session indices for it).
+    */
+  val q180: String = {
+    val gapUs = 3600L * 1000000L
+    s"""WITH e AS (SELECT nullif(user_id % 7, 0) AS k, event_id,
+       |             epoch_us(ts) AS us FROM events),
+       |m AS (SELECT k, event_id, us,
+       |        CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > $gapUs
+       |             THEN 1 ELSE 0 END AS is_new
+       |      FROM e WINDOW w AS (PARTITION BY k
+       |        ORDER BY us NULLS FIRST, event_id)),
+       |s AS (SELECT k, us,
+       |        sum(is_new) OVER (PARTITION BY k
+       |          ORDER BY us NULLS FIRST, event_id
+       |          ROWS UNBOUNDED PRECEDING) - 1 AS session_index
+       |      FROM m)
+       |SELECT k, CAST(session_index AS BIGINT) AS session_index,
+       |  count(*) AS n_events,
+       |  min(us) AS start_us, max(us) AS end_us,
+       |  max(us) - min(us) AS duration_us
+       |FROM s GROUP BY k, session_index
+       |ORDER BY k NULLS LAST, session_index""".stripMargin
+  }
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q07_mutual_info_orders" -> q07Pinned,
@@ -4007,6 +4034,7 @@ object Oracles {
       "q177_approx_ods" -> q177,
       "q178_retention_by_dim" -> q178,
       "q179_transition_matrix" -> q179,
+      "q180_sessionize_split" -> q180,
       "q160_cohort_retention" -> q160,
       "q161_resample_grid" -> q161,
       "q162_forward_fill" -> q162,

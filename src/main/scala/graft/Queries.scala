@@ -2953,6 +2953,23 @@ object Queries {
     ops.EventAnalytics.eventTransitionMatrix(table(s, dir, "events"),
       "user_id", "ts", "event_type", orderCols = Seq("event_id"))
 
+  /** Skew-split sessionization (r15): q57's semantics forced down the
+    * HEAVY path — the derived key `nullif(user_id % 7, 0)` collapses the
+    * events to 7 hot keys (every one above the 100-event threshold, the
+    * NULL slice included), the 60 s width is clamped to a bounded
+    * per-key segment count, and the per-segment base/continuation merge
+    * plus the null-safe (key, segment) rejoin must reproduce the plain
+    * whole-key lag/cumsum the oracle runs.
+    */
+  def q180SessionizeSplit(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+      .withColumn("k", nullif(col("user_id") % 7, lit(0)))
+    ops.Sessionize.sessionStats(ev, "k", "ts", gapSeconds = 3600L,
+        orderCols = Seq("event_id"), segmentSeconds = 60L,
+        segmentThreshold = 100L)
+      .orderBy(col("k").asc_nulls_last, col("session_index"))
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -3168,6 +3185,7 @@ object Queries {
     "q177_approx_ods" -> (q177ApproxOds _),
     "q178_retention_by_dim" -> (q178RetentionByDim _),
     "q179_transition_matrix" -> (q179TransitionMatrix _),
+    "q180_sessionize_split" -> (q180SessionizeSplit _),
     "q140_multifield_linkage" -> (q140MultiFieldLinkage _)
   )
 }

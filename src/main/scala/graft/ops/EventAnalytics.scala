@@ -445,7 +445,8 @@ object EventAnalytics {
                                  length: Int, maxGapSeconds: Long,
                                  orderCols: Seq[String],
                                  segmentSeconds: Long,
-                                 segmentThreshold: Long): DataFrame = {
+                                 segmentThreshold: Long,
+                                 split: HeavySplit): DataFrame = {
     (Seq(actorCol, tsCol, typeCol) ++ orderCols).foreach(c =>
       require(df.columns.contains(c), s"column '$c' not in frame"))
     // the upper bound keeps `t - pmod(t, width)` wrap-free: with width
@@ -470,17 +471,17 @@ object EventAnalytics {
     // the total order both paths share: (t, y, orderCols) asc_nulls_last
     val ord = col("__t").asc_nulls_last +: col("__y").asc_nulls_last +:
       orderCols.indices.map(i => col(s"__o$i").asc_nulls_last)
-    // THE SKEW SPLIT (eager, the joinCardinality contract): one
-    // map-side-combined per-actor count finds the heavy actors. The
-    // result is bounded by rows/threshold; if it still exceeds
-    // MaxHeavyActors the literal split would bloat the plan, so EVERY
-    // actor takes the segmented path instead (correct either way).
-    val heavyActors = base.groupBy(col("__a"))
-      .agg(count(lit(1)).as("__n"))
-      .where(col("__n") > segmentThreshold)
-      .select(col("__a")).limit(MaxHeavyActors + 1).collect()
-    val allHeavy = heavyActors.length > MaxHeavyActors
-    val heavySet = heavyActors.map(_.get(0)).toSeq
+    // THE SKEW SPLIT: under the default Detect policy, one eager
+    // map-side-combined per-actor count (the joinCardinality contract)
+    // finds the heavy actors — bounded by rows/threshold; if it still
+    // exceeds MaxHeavyActors the literal split would bloat the plan, so
+    // EVERY actor takes the segmented path instead (correct either way).
+    // AssumeLight/Known skip the pre-scan (r14 ADVICE: callers composing
+    // several successor-family ops over one frame share one detect).
+    val routing = HeavySplit.resolve(split, base, col("__a"), col("__t"),
+      segmentThreshold)
+    val allHeavy = routing.allHeavy
+    val heavySet = routing.keys
     // the codegen'd consecutive-window enumerator, shared by both paths:
     // lead() over `parts` — a lead past the partition edge reads null
     // and the window is simply not emitted there
@@ -506,11 +507,11 @@ object EventAnalytics {
     // LIGHT actors (≤ threshold events): the plain per-actor window —
     // whole-stage codegen, one partition per actor, task size bounded
     // by the threshold itself
+    val heavyPred = HeavySplit.isHeavy(col("__a"), routing)
     val lightRows: Option[DataFrame] =
       if (allHeavy) None
       else Some(leadWindows(
-        if (heavySet.isEmpty) base
-        else base.where(!col("__a").isInCollection(heavySet)),
+        if (heavySet.isEmpty) base else base.where(!heavyPred),
         Seq(col("__a"))))
     // HEAVY actors: the segmented machinery — (actor, segment) windows
     // emit in-segment windows; boundary windows come from an actor-keyed
@@ -518,10 +519,17 @@ object EventAnalytics {
     val heavyOut: Option[DataFrame] =
       if (!allHeavy && heavySet.isEmpty) None
       else {
-        val segMicros =
+        // the clamp bounds the merge state (≤ AutoSegments structs per
+        // actor) when Detect read the heavy spans; AUTO width derives
+        // from the same spans — no second span scan (r14 ADVICE).
+        // Known-without-span trusts the caller's width as documented.
+        val segMicros = HeavySplit.clampSegmentMicros(
           if (segmentSeconds > 0)
             Math.multiplyExact(segmentSeconds, 1000000L)
-          else autoSegmentMicros(df, actorCol, tsCol, typeCol, Nil)
+          else if (routing.maxSpanMicros.isDefined)
+            1L // AUTO: the clamp raises this to ceil(maxSpan/AutoSegments)
+          else autoSegmentMicros(df, actorCol, tsCol, typeCol, Nil),
+          routing.maxSpanMicros)
         val hb = (if (allHeavy) base
           else base.where(col("__a").isInCollection(heavySet)))
           .withColumn("__seg",
@@ -623,12 +631,13 @@ object EventAnalytics {
                             typeCol: String, fromType: String,
                             orderCols: Seq[String] = Nil,
                             segmentSeconds: Long = 86400L,
-                            segmentThreshold: Long = DefaultSegmentThreshold)
+                            segmentThreshold: Long = DefaultSegmentThreshold,
+                            split: HeavySplit = HeavySplit.Detect)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pairs = consecutiveWindows(df, actorCol, tsCol, typeCol,
       length = 2, maxGapSeconds = 0L, orderCols, segmentSeconds,
-      segmentThreshold)
+      segmentThreshold, split)
     pairs
       .where(element_at(col("__w"), 1) === fromType)
       .groupBy(element_at(col("__w"), 2).as("next_type"))
@@ -691,11 +700,13 @@ object EventAnalytics {
                             orderCols: Seq[String] = Nil,
                             segmentSeconds: Long = 86400L,
                             segmentThreshold: Long =
-                              DefaultSegmentThreshold): DataFrame = {
+                              DefaultSegmentThreshold,
+                            split: HeavySplit = HeavySplit.Detect)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pairs = consecutiveWindows(df, actorCol, tsCol, typeCol,
       length = 2, maxGapSeconds = 0L, orderCols, segmentSeconds,
-      segmentThreshold)
+      segmentThreshold, split)
     pairs
       .groupBy(element_at(col("__w"), 1).as("from_type"),
         element_at(col("__w"), 2).as("next_type"))
@@ -740,8 +751,8 @@ object EventAnalytics {
                     maxGapSeconds: Long = 0L,
                     orderCols: Seq[String] = Nil,
                     segmentSeconds: Long = 86400L,
-                    segmentThreshold: Long = DefaultSegmentThreshold)
-      : DataFrame = {
+                    segmentThreshold: Long = DefaultSegmentThreshold,
+                    split: HeavySplit = HeavySplit.Detect): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(length >= 2, s"need length >= 2, got $length")
     require(k > 0, s"need k > 0, got $k")
@@ -750,7 +761,7 @@ object EventAnalytics {
     require(maxGapSeconds >= 0 && maxGapSeconds <= MaxWindowSeconds,
       s"need 0 <= maxGapSeconds <= $MaxWindowSeconds, got $maxGapSeconds")
     val wins = consecutiveWindows(df, actorCol, tsCol, typeCol, length,
-      maxGapSeconds, orderCols, segmentSeconds, segmentThreshold)
+      maxGapSeconds, orderCols, segmentSeconds, segmentThreshold, split)
     wins
       .select(concat_ws(" > ", (1 to length).map(i =>
         element_at(col("__w"), i)): _*).as("path"))

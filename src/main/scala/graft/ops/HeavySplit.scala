@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Heavy-key ROUTING POLICY for the skew-split event operators
+  * ([[EventAnalytics.topEventPaths]] / [[EventAnalytics.nextEventDistribution]]
+  * / [[EventAnalytics.eventTransitionMatrix]] / [[Sessionize.withSessions]]):
+  * which keys take the segmented (key, time-segment) machinery instead of
+  * the codegen'd whole-key window.
+  *
+  * Routing is a PERFORMANCE decision, never a correctness one — both paths
+  * compute identical results (spec-pinned parity), so any set of keys may
+  * be routed heavy: a stale or imprecise set only shifts work between the
+  * two shapes. That is what makes a PRECOMPUTED policy sound: one
+  * [[HeavySplit.detect]] scan can feed any number of operator calls over
+  * the same frame, even after appends.
+  *
+  *   - [[HeavySplit.Detect]] (the default) — each call runs one EAGER
+  *     map-side-combined per-key count at call time (bounded output:
+  *     ≤ rows/threshold keys, capped by [[EventAnalytics.MaxHeavyActors]]),
+  *     the [[SkewJoin.joinCardinality]] contract. The same job also reads
+  *     each heavy key's event-time SPAN, which bounds the segmented path's
+  *     merge state (see the clamp below) and derives the AUTO segment
+  *     width without a second scan.
+  *   - [[HeavySplit.AssumeLight]] — skip the pre-scan entirely; the caller
+  *     asserts no key exceeds the threshold (the common no-bot case). The
+  *     operator stays fully LAZY. A key that does exceed it still computes
+  *     correctly — it just pays the whole-key single-task sort the split
+  *     exists to avoid.
+  *   - [[HeavySplit.Known]] — a precomputed routing (usually
+  *     [[HeavySplit.detect]]'s result), letting several operator calls
+  *     over the same frame share one pre-scan (the r14 ADVICE: previously
+  *     every successor-family call re-scanned the input).
+  */
+sealed trait HeavySplit
+
+object HeavySplit {
+
+  /** Eager bounded per-key pre-count at call time (the default). */
+  case object Detect extends HeavySplit
+
+  /** Skip the pre-scan; route every key to the light path. Correct at any
+    * skew (the light window is exact) — only the single-task-sort
+    * protection is waived, so use when the caller KNOWS keys are bounded.
+    */
+  case object AssumeLight extends HeavySplit
+
+  /** Precomputed routing: `keys` go to the segmented path (`allHeavy`
+    * routes EVERY key there, the >[[EventAnalytics.MaxHeavyActors]]
+    * regime). `maxSpanMicros`, when present, is an upper bound on any
+    * heavy key's event-time span and lets the operator clamp an
+    * explicitly-narrow segment width to a bounded per-key segment count;
+    * WITHOUT it an explicit `segmentSeconds` is trusted as given, and the
+    * segmented path's per-key merge state is span/width structs — pick a
+    * width commensurate with the data's time range (the
+    * [[EventAnalytics.AutoSegments]] rationale).
+    */
+  final case class Known(keys: Seq[Any], allHeavy: Boolean = false,
+                         maxSpanMicros: Option[Long] = None)
+      extends HeavySplit
+
+  /** The shared pre-scan: per-key counts with each heavy key's event-time
+    * span, one map-side-combined aggregation (shuffle ≤ distinct keys,
+    * collected output ≤ `maxHeavy`+1 rows). NULL keys participate — a
+    * null-keyed bot flood is as real a hot key as any (callers that
+    * ignore null keys simply never route rows to it); null timestamps
+    * contribute no span. Returns a [[Known]] reusable across any number
+    * of operator calls on the same frame.
+    */
+  def detect(df: DataFrame, keyCol: String, tsCol: String, threshold: Long,
+             maxHeavy: Int = EventAnalytics.MaxHeavyActors): Known = {
+    require(df.columns.contains(keyCol), s"column '$keyCol' not in frame")
+    require(df.columns.contains(tsCol), s"column '$tsCol' not in frame")
+    detectOn(df, col(keyCol),
+      unix_micros(col(tsCol).cast(TimestampType)), threshold, maxHeavy)
+  }
+
+  /** [[detect]] over pre-built key/micros expressions — the internal form
+    * the operators call on their already-projected base frames (where the
+    * timestamp is already epoch micros; re-casting a Long would silently
+    * reinterpret it as SECONDS).
+    */
+  private[ops] def detectOn(df: DataFrame, key: Column, micros: Column,
+                            threshold: Long,
+                            maxHeavy: Int = EventAnalytics.MaxHeavyActors)
+      : Known = {
+    require(threshold > 0, s"need threshold > 0, got $threshold")
+    val rows = df
+      .groupBy(key.as("__k"))
+      .agg(count(lit(1)).as("__n"),
+        min(micros).as("__mn"), max(micros).as("__mx"))
+      .where(col("__n") > threshold)
+      .limit(maxHeavy + 1)
+      .collect()
+    val allHeavy = rows.length > maxHeavy
+    val span = rows.foldLeft(Option.empty[Long]) { (acc, r) =>
+      if (r.isNullAt(2) || r.isNullAt(3)) acc
+      else {
+        val s = r.getLong(3) - r.getLong(2) + 1 // micros bounded: no overflow
+        Some(acc.fold(s)(math.max(_, s)))
+      }
+    }
+    Known(rows.map(_.get(0)).toSeq, allHeavy, span)
+  }
+
+  /** Resolve a policy to concrete routing (runs the [[Detect]] scan when
+    * asked). `Known`'s keys pass through verbatim — see the object doc
+    * for why a stale set stays correct.
+    */
+  private[ops] def resolve(policy: HeavySplit, df: DataFrame, key: Column,
+                           micros: Column, threshold: Long): Known =
+    policy match {
+      case Detect => detectOn(df, key, micros, threshold)
+      case AssumeLight => Known(Nil)
+      case k: Known => k
+    }
+
+  /** Whether any key routes heavy under this routing. */
+  private[ops] def hasHeavy(r: Known): Boolean =
+    r.allHeavy || r.keys.nonEmpty
+
+  /** The null-safe heavy-route predicate. `isInCollection` alone would
+    * evaluate to NULL for a null key (dropping the row from BOTH paths —
+    * a silent row loss for operators that keep null keys, e.g.
+    * [[Sessionize.withSessions]]); a null key routes heavy iff the
+    * detected set contains null.
+    */
+  private[ops] def isHeavy(key: Column, r: Known): Column =
+    if (r.allHeavy) lit(true)
+    else if (r.keys.isEmpty) lit(false)
+    else {
+      val nonNull = r.keys.filterNot(_ == null)
+      val in =
+        if (nonNull.isEmpty) lit(false)
+        else coalesce(key.isInCollection(nonNull), lit(false))
+      if (r.keys.exists(_ == null)) key.isNull || in else in
+    }
+
+  /** Segment-width clamp bounding the segmented path's per-key merge
+    * state: with a known max heavy-key span, the effective width is
+    * raised so no key occupies more than [[EventAnalytics.AutoSegments]]
+    * segments — a caller-chosen tiny width (1 s segments on a key
+    * spanning years) would otherwise re-create the unbounded single-row
+    * state the split exists to avoid (r14 ADVICE). Width never shrinks
+    * (results are width-invariant, spec-pinned; only state shape
+    * changes). Span unknown → the requested width is trusted as given.
+    */
+  private[graft] def clampSegmentMicros(segMicros: Long,
+                                      maxSpanMicros: Option[Long]): Long =
+    maxSpanMicros match {
+      case Some(span) if span > 0 =>
+        val minWidth =
+          (span + EventAnalytics.AutoSegments - 1) / EventAnalytics.AutoSegments
+        math.max(segMicros, minWidth)
+      case _ => segMicros
+    }
+}

@@ -10,12 +10,30 @@ import org.apache.spark.sql.types._
   * Structured Streaming's session windows, and the standard first step of
   * clickstream / user-activity feature pipelines.
   *
-  * Scale shape: one shuffle on the key. Both window functions (the lag and
-  * the running sum) share the same (key × time-order) window spec, so they
-  * ride the SAME exchange/sort, and the per-session aggregation's grouping
-  * key starts with the key column — hash-partitioning on the key already
-  * co-locates it, so Catalyst inserts no second exchange. Per-key data is
-  * processed streamingly by the window operator; nothing is driver-side.
+  * Scale shape — SKEW-SPLIT (r15, the [[EventAnalytics]] successor-family
+  * posture): an eager bounded per-key count ([[HeavySplit]]) routes each
+  * key to one of two exact paths. LIGHT keys (the overwhelming majority)
+  * keep the one-shuffle whole-key window — the lag and the running sum
+  * share one (key × time-order) window spec, riding the SAME
+  * exchange/sort, with task size bounded by the threshold itself. HEAVY
+  * keys (a 10⁹-event bot at 100 TB would otherwise sort its entire
+  * history in ONE task) split by (key, time-segment): session starts are
+  * segment-LOCAL except each segment's first event, whose gap check needs
+  * only the previous occupied segment's LAST timestamp — one scalar — and
+  * the global session index is the segment-local running count plus a
+  * per-segment base from a prefix sum over segment-count-sized (first,
+  * last, local-start-count) state. Segment boundaries strictly separate
+  * timestamps (bucket = `t − pmod(t, width)`, exact Long arithmetic), so
+  * concatenating segments in order IS the key's time order and the merge
+  * algebra is exact at any width (spec-pinned across widths and regimes).
+  *
+  * Heavy-path shuffle budget (plan-pinned): because the output carries
+  * EVERY input column, the per-segment state cannot ride the wide window
+  * exchange (column pruning narrows its branch below reuse), so heavy
+  * rows pay one wide (key, segment) shuffle for the window plus one
+  * NARROW (key, segment, µs, tiebreak) shuffle for the state — a few
+  * percent of row volume — then bounded segment-count-scale exchanges
+  * for the merge. Light keys pay exactly the pre-r15 single shuffle.
   */
 object Sessionize {
 
@@ -23,33 +41,177 @@ object Sessionize {
     * `orderCols` break timestamp ties deterministically (session membership
     * is tie-order-independent — equal timestamps always land in the same
     * session — but a stable order keeps downstream row output reproducible).
+    *
+    * Null handling (both paths, identical): a NULL key is a real group; a
+    * NULL timestamp orders FIRST (Spark's asc default) and starts its own
+    * session — the null-vs-anything gap comparison never reads "within
+    * gap", so null-stamped rows are one-event sessions ahead of the real
+    * ones, never silently merged into them.
+    *
+    * `split` is the heavy-key routing policy — [[HeavySplit.Detect]]
+    * (default) runs the eager bounded pre-count at call time (the
+    * [[SkewJoin.joinCardinality]] contract; the same job reads heavy-key
+    * spans, so `segmentSeconds = 0` AUTO-derives the width and an
+    * explicitly tiny width is clamped to a bounded per-key segment
+    * count); [[HeavySplit.AssumeLight]] keeps the call fully lazy;
+    * [[HeavySplit.Known]] reuses one precomputed [[HeavySplit.detect]]
+    * across several calls. Routing never changes results — only which
+    * plan computes them.
     */
   def withSessions(df: DataFrame, keyCol: String, tsCol: String,
                    gapSeconds: Long,
-                   orderCols: Seq[String] = Seq.empty): DataFrame = {
-    require(gapSeconds > 0, "gapSeconds must be positive")
+                   orderCols: Seq[String] = Seq.empty,
+                   segmentSeconds: Long = 86400L,
+                   segmentThreshold: Long =
+                     EventAnalytics.DefaultSegmentThreshold,
+                   split: HeavySplit = HeavySplit.Detect): DataFrame = {
+    // the upper bound keeps gapMicros (and the merge's f − l comparison)
+    // wrap-free — the topEventPaths maxGapSeconds rationale
+    require(gapSeconds > 0 && gapSeconds <= EventAnalytics.MaxWindowSeconds,
+      s"need 0 < gapSeconds <= ${EventAnalytics.MaxWindowSeconds}, " +
+        s"got $gapSeconds")
+    require(segmentSeconds >= 0 &&
+      segmentSeconds <= EventAnalytics.MaxWindowSeconds,
+      s"need 0 <= segmentSeconds <= ${EventAnalytics.MaxWindowSeconds} " +
+        s"(0 = auto), got $segmentSeconds")
+    require(segmentThreshold > 0,
+      s"need segmentThreshold > 0, got $segmentThreshold")
+    (Seq(keyCol, tsCol) ++ orderCols).foreach(c =>
+      require(df.columns.contains(c), s"column '$c' not in frame"))
+    require(!df.columns.contains("session_index"),
+      "input already has a 'session_index' column")
     // cast first: parquet TIMESTAMP_NTZ columns (isAdjustedToUTC=false)
     // are rejected by unix_micros; the session timezone is UTC so the
     // cast is a deterministic reinterpretation
     val us = unix_micros(col(tsCol).cast(TimestampType))
+    val gapMicros = gapSeconds * 1000000L // bounded by the require
     val order = us.asc +: orderCols.map(col(_).asc)
-    val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
-    val prev = lag(us, 1).over(w)
-    val isNew = when(prev.isNull || us - prev > gapSeconds * 1000000L, 1)
-      .otherwise(0)
-    val runningTotal = sum(isNew)
-      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    df.withColumn("session_index", (runningTotal - 1).cast(LongType))
+
+    // LIGHT path — the pre-r15 one-exchange shape, task ≤ threshold rows
+    def lightSessions(src: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+      val prev = lag(us, 1).over(w)
+      val isNew = when(prev.isNull || us - prev > gapMicros, 1)
+        .otherwise(0)
+      val runningTotal = sum(isNew)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      src.withColumn("session_index", (runningTotal - 1).cast(LongType))
+    }
+
+    val routing = HeavySplit.resolve(split, df, col(keyCol), us,
+      segmentThreshold)
+    if (!HeavySplit.hasHeavy(routing)) return lightSessions(df)
+
+    val isHeavy = HeavySplit.isHeavy(col(keyCol), routing)
+    val segMicros = HeavySplit.clampSegmentMicros(
+      if (segmentSeconds > 0) Math.multiplyExact(segmentSeconds, 1000000L)
+      else 1L, // AUTO: the clamp itself derives width from the max span
+      routing.maxSpanMicros.orElse {
+        // Known routing without span info and AUTO width: one bounded
+        // span read over the heavy rows only (the detect scan would have
+        // carried it for free)
+        if (segmentSeconds > 0) None
+        else {
+          val b = df.where(isHeavy).agg(min(us), max(us)).head()
+          if (b.isNullAt(0)) Some(1L)
+          else Some(b.getLong(1) - b.getLong(0) + 1)
+        }
+      })
+
+    // HEAVY path: (key, segment) windows + a per-key prefix-sum merge
+    // over (first, last, local-start-count) segment state
+    def heavySessions(src: DataFrame): DataFrame = {
+      // fresh internal names: the output must carry EVERY input column,
+      // so the full-re-projection convention does not apply — generated
+      // names that provably miss the input columns close the collision
+      // class instead
+      val taken = scala.collection.mutable.Set(df.columns: _*) +
+        "session_index"
+      def fresh(base: String): String = {
+        val n = Iterator.iterate(base)(_ + "_").dropWhile(taken).next()
+        taken += n; n
+      }
+      val segN = fresh("__seg"); val runN = fresh("__run")
+      val segsN = fresh("__segs")
+      val kJ = fresh("__mk"); val sJ = fresh("__ms")
+      val bJ = fresh("__mb"); val cJ = fresh("__mc")
+      // segment id = segment-START micros (exact Long floor arithmetic,
+      // correct for pre-1970 micros); a NULL timestamp lands in a
+      // sentinel segment that sorts FIRST — matching the light path's
+      // nulls-first order — and Long.MinValue can never collide with a
+      // real start (|t| < 2.6e17)
+      val seg = coalesce(us - pmod(us, lit(segMicros)), lit(Long.MinValue))
+      val withSeg = src.withColumn(segN, seg)
+      val w = Window.partitionBy(col(keyCol), col(segN)).orderBy(order: _*)
+      val prev = lag(us, 1).over(w)
+      val isNewLocal = when(prev.isNull || us - prev > gapMicros, 1)
+        .otherwise(0)
+      // the local running start-count; the per-segment state aggregation
+      // below groups on the same (key, segment) keys, so both read ONE
+      // exchange (ReuseExchange, plan-pinned)
+      val rows = withSeg.withColumn(runN, sum(isNewLocal)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val segState = rows
+        .groupBy(col(keyCol), col(segN))
+        .agg(min(us).as("__f"), max(us).as("__l"), max(col(runN)).as("__c"))
+      // per-key merge in segment order: cont(j) = does segment j's first
+      // event continue the previous occupied segment's last session
+      // (f − l <= gap; null-safe false — a null-stamped segment neither
+      // continues nor is continued, the light path's null semantics);
+      // base(j) = prefix sum of true start counts (local count minus the
+      // continuation correction). State is segment-count-sized scalars.
+      val outType = ArrayType(StructType(Seq(
+        StructField("s", LongType), StructField("b", LongType),
+        StructField("cont", BooleanType))))
+      val zero = struct(lit(null).cast(LongType).as("pl"),
+        lit(0L).as("b"), array().cast(outType).as("o"))
+      val merged = segState
+        .groupBy(col(keyCol))
+        .agg(sort_array(collect_list(struct(col(segN).as("s"),
+          col("__f").as("f"), col("__l").as("l"), col("__c").as("c"))))
+          .as(segsN))
+        .select(col(keyCol).as(kJ), explode(
+          aggregate(col(segsN), zero, (st, sv) => {
+            val cont = coalesce(sv("f") - st("pl") <= lit(gapMicros),
+              lit(false))
+            struct(sv("l").as("pl"),
+              (st("b") + sv("c") - when(cont, 1L).otherwise(0L)).as("b"),
+              concat(st("o"), array(struct(sv("s").as("s"),
+                st("b").as("b"), cont.as("cont")))).as("o"))
+          }).getField("o")).as("__m"))
+        .select(col(kJ), col("__m")("s").as(sJ), col("__m")("b").as(bJ),
+          col("__m")("cont").as(cJ))
+      // rows rejoin their segment's (base, cont) on (key, segment) —
+      // key equality NULL-SAFE (a null key is a real group; plain
+      // EqualTo would never match it, the groupedQuantiles hazard class)
+      val idx = (col(runN) - when(col(cJ), 1L).otherwise(0L) +
+        col(bJ) - 1L).cast(LongType)
+      rows.join(merged, col(keyCol) <=> col(kJ) && col(segN) === col(sJ))
+        .withColumn("session_index", idx)
+        .select(df.columns.map(col) :+ col("session_index"): _*)
+    }
+
+    if (routing.allHeavy) heavySessions(df)
+    else lightSessions(df.where(!isHeavy))
+      .unionAll(heavySessions(df.where(isHeavy)))
   }
 
   /** Per-session summary: event count, first/last event time (epoch micros,
-    * exact on any engine) and duration.
+    * exact on any engine) and duration. Same skew posture and routing
+    * knobs as [[withSessions]]; the per-session aggregation's grouping
+    * key starts with the key column, so the light path's hash
+    * partitioning already co-locates it (no second exchange).
     */
   def sessionStats(df: DataFrame, keyCol: String, tsCol: String,
                    gapSeconds: Long,
-                   orderCols: Seq[String] = Seq.empty): DataFrame = {
+                   orderCols: Seq[String] = Seq.empty,
+                   segmentSeconds: Long = 86400L,
+                   segmentThreshold: Long =
+                     EventAnalytics.DefaultSegmentThreshold,
+                   split: HeavySplit = HeavySplit.Detect): DataFrame = {
     val us = unix_micros(col(tsCol).cast(TimestampType))
-    withSessions(df, keyCol, tsCol, gapSeconds, orderCols)
+    withSessions(df, keyCol, tsCol, gapSeconds, orderCols,
+        segmentSeconds, segmentThreshold, split)
       .groupBy(col(keyCol), col("session_index"))
       .agg(
         count(lit(1)).as("n_events"),
