@@ -3905,6 +3905,18 @@ object Oracles {
        |ORDER BY k NULLS LAST, session_index""".stripMargin
   }
 
+  /** q181: skew-split forward fill — the plain whole-key IGNORE NULLS
+    * running last over the q180 derived hot keys (NULL slice included).
+    */
+  val q181: String =
+    s"""SELECT nullif(user_id % 7, 0) AS k, event_id,
+       |  last_value(CASE WHEN value >= 250.0 THEN value END IGNORE NULLS)
+       |    OVER (PARTITION BY nullif(user_id % 7, 0)
+       |      ORDER BY epoch_us(ts) NULLS LAST, event_id NULLS LAST
+       |      ROWS UNBOUNDED PRECEDING) AS v
+       |FROM events
+       |ORDER BY k NULLS LAST, event_id""".stripMargin
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q07_mutual_info_orders" -> q07Pinned,
@@ -4035,6 +4047,7 @@ object Oracles {
       "q178_retention_by_dim" -> q178,
       "q179_transition_matrix" -> q179,
       "q180_sessionize_split" -> q180,
+      "q181_ffill_split" -> q181,
       "q160_cohort_retention" -> q160,
       "q161_resample_grid" -> q161,
       "q162_forward_fill" -> q162,

@@ -2970,6 +2970,24 @@ object Queries {
       .orderBy(col("k").asc_nulls_last, col("session_index"))
   }
 
+  /** Skew-split forward fill (r15): q162's semantics forced down the
+    * HEAVY path — the q180 hot keys (NULL slice included), a ~50%-null
+    * derived value column so the carry crosses segments, and the 60 s
+    * width clamped to a bounded per-key segment count. The cell-scale
+    * max_by state + prefix-fold carry + null-safe rejoin must reproduce
+    * the plain whole-key IGNORE NULLS window the oracle runs.
+    */
+  def q181FfillSplit(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+      .withColumn("k", nullif(col("user_id") % 7, lit(0)))
+      .withColumn("v", when(col("value") >= 250.0, col("value")))
+    ops.TimeSeries.forwardFill(ev, "k", "ts", Seq("v"),
+        orderCols = Seq("event_id"), segmentSeconds = 60L,
+        segmentThreshold = 100L)
+      .select(col("k"), col("event_id"), col("v"))
+      .orderBy(col("k").asc_nulls_last, col("event_id"))
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -3186,6 +3204,7 @@ object Queries {
     "q178_retention_by_dim" -> (q178RetentionByDim _),
     "q179_transition_matrix" -> (q179TransitionMatrix _),
     "q180_sessionize_split" -> (q180SessionizeSplit _),
+    "q181_ffill_split" -> (q181FfillSplit _),
     "q140_multifield_linkage" -> (q140MultiFieldLinkage _)
   )
 }

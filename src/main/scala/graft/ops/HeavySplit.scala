@@ -138,6 +138,28 @@ object HeavySplit {
       if (r.keys.exists(_ == null)) key.isNull || in else in
     }
 
+  /** Provable upper bound on the segment-state frame's row count (one
+    * row per (heavy key, occupied segment)), when the routing makes it
+    * computable: heavy keys are enumerated and the max span is known.
+    * Lets the row-scale operators BROADCAST the per-segment state side
+    * of their rejoin (killing the sort-merge path's shuffle + sort of
+    * the heavy rows) whenever the bound is provably small; `None` when
+    * no bound can be proven (allHeavy, or span unknown).
+    */
+  private[ops] def segmentStateBound(r: Known, segMicros: Long)
+      : Option[Long] =
+    (r.allHeavy, r.maxSpanMicros) match {
+      case (false, Some(span)) if r.keys.nonEmpty && segMicros > 0 =>
+        Some(r.keys.size.toLong * (span / segMicros + 2L))
+      case _ => None
+    }
+
+  /** Broadcast cutoff for [[segmentStateBound]]: states this small go
+    * out as a broadcast hash side (a few tens of MB of scalars at
+    * most); larger states fall back to the shuffled join and AQE.
+    */
+  private[ops] val StateBroadcastRows: Long = 2000000L
+
   /** Segment-width clamp bounding the segmented path's per-key merge
     * state: with a known max heavy-key span, the effective width is
     * raised so no key occupies more than [[EventAnalytics.AutoSegments]]

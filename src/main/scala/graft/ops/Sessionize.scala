@@ -64,7 +64,25 @@ object Sessionize {
                    segmentSeconds: Long = 86400L,
                    segmentThreshold: Long =
                      EventAnalytics.DefaultSegmentThreshold,
-                   split: HeavySplit = HeavySplit.Detect): DataFrame = {
+                   split: HeavySplit = HeavySplit.Detect): DataFrame =
+    branches(df, keyCol, tsCol, gapSeconds, orderCols, segmentSeconds,
+        segmentThreshold, split)
+      .map { case (b, segOpt) => segOpt.fold(b)(b.drop(_)) }
+      .reduce(_ unionAll _)
+
+  /** The split's per-routing-path frames, each carrying `session_index`
+    * — the heavy frame still holds its segment column (named in the
+    * Option) so [[sessionStats]] can aggregate per branch BELOW the
+    * union on each branch's existing partitioning (a union output has
+    * no partitioning, so aggregating above it would re-shuffle every
+    * row — the light path's one-exchange plan pin would silently
+    * regress to two).
+    */
+  private def branches(df: DataFrame, keyCol: String, tsCol: String,
+                       gapSeconds: Long, orderCols: Seq[String],
+                       segmentSeconds: Long, segmentThreshold: Long,
+                       split: HeavySplit)
+      : Seq[(DataFrame, Option[String])] = {
     // the upper bound keeps gapMicros (and the merge's f − l comparison)
     // wrap-free — the topEventPaths maxGapSeconds rationale
     require(gapSeconds > 0 && gapSeconds <= EventAnalytics.MaxWindowSeconds,
@@ -100,7 +118,8 @@ object Sessionize {
 
     val routing = HeavySplit.resolve(split, df, col(keyCol), us,
       segmentThreshold)
-    if (!HeavySplit.hasHeavy(routing)) return lightSessions(df)
+    if (!HeavySplit.hasHeavy(routing))
+      return Seq(lightSessions(df) -> None)
 
     val isHeavy = HeavySplit.isHeavy(col(keyCol), routing)
     val segMicros = HeavySplit.clampSegmentMicros(
@@ -119,8 +138,9 @@ object Sessionize {
       })
 
     // HEAVY path: (key, segment) windows + a per-key prefix-sum merge
-    // over (first, last, local-start-count) segment state
-    def heavySessions(src: DataFrame): DataFrame = {
+    // over (first, last, local-start-count) segment state; returns the
+    // frame (segment column RETAINED) and the segment column's name
+    def heavySessions(src: DataFrame): (DataFrame, String) = {
       // fresh internal names: the output must carry EVERY input column,
       // so the full-re-projection convention does not apply — generated
       // names that provably miss the input columns close the collision
@@ -186,14 +206,30 @@ object Sessionize {
       // EqualTo would never match it, the groupedQuantiles hazard class)
       val idx = (col(runN) - when(col(cJ), 1L).otherwise(0L) +
         col(bJ) - 1L).cast(LongType)
-      rows.join(merged, col(keyCol) <=> col(kJ) && col(segN) === col(sJ))
+      // when the routing proves the state side small (enumerated heavy
+      // keys × bounded segments), broadcast it: the row-scale side then
+      // needs no join shuffle/sort at all (its window order/partitioning
+      // would otherwise feed a sort-merge join re-sort)
+      val stateSide = HeavySplit.segmentStateBound(routing, segMicros) match {
+        case Some(b) if b <= HeavySplit.StateBroadcastRows =>
+          broadcast(merged)
+        case _ => merged
+      }
+      val out = rows
+        .join(stateSide, col(keyCol) <=> col(kJ) && col(segN) === col(sJ))
         .withColumn("session_index", idx)
-        .select(df.columns.map(col) :+ col("session_index"): _*)
+        .select(df.columns.map(col) :+ col("session_index") :+
+          col(segN): _*)
+      (out, segN)
     }
 
-    if (routing.allHeavy) heavySessions(df)
-    else lightSessions(df.where(!isHeavy))
-      .unionAll(heavySessions(df.where(isHeavy)))
+    if (routing.allHeavy) {
+      val (h, segN) = heavySessions(df)
+      Seq(h -> Some(segN))
+    } else {
+      val (h, segN) = heavySessions(df.where(isHeavy))
+      Seq(lightSessions(df.where(!isHeavy)) -> None, h -> Some(segN))
+    }
   }
 
   /** Per-session summary: event count, first/last event time (epoch micros,
@@ -210,13 +246,29 @@ object Sessionize {
                      EventAnalytics.DefaultSegmentThreshold,
                    split: HeavySplit = HeavySplit.Detect): DataFrame = {
     val us = unix_micros(col(tsCol).cast(TimestampType))
-    withSessions(df, keyCol, tsCol, gapSeconds, orderCols,
-        segmentSeconds, segmentThreshold, split)
-      .groupBy(col(keyCol), col("session_index"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        min(us).as("start_us"),
-        max(us).as("end_us"))
+    branches(df, keyCol, tsCol, gapSeconds, orderCols, segmentSeconds,
+        segmentThreshold, split)
+      .map {
+        case (b, None) =>
+          // rides the light window's (key) hash partitioning: grouping
+          // on (key, index) is clustered by the key alone — no exchange
+          b.groupBy(col(keyCol), col("session_index"))
+            .agg(count(lit(1)).as("n_events"), min(us).as("start_us"),
+              max(us).as("end_us"))
+        case (b, Some(segN)) =>
+          // heavy rows are (key, segment)-partitioned and sessions cross
+          // segments: collapse to (key, segment, index) cells first (no
+          // exchange, map-side), then combine the CELL-scale frame on
+          // (key, index) — the only heavy-branch exchange is cell-sized
+          b.groupBy(col(keyCol), col(segN), col("session_index"))
+            .agg(count(lit(1)).as("__pn"), min(us).as("__pmn"),
+              max(us).as("__pmx"))
+            .groupBy(col(keyCol), col("session_index"))
+            .agg(sum(col("__pn")).as("n_events"),
+              min(col("__pmn")).as("start_us"),
+              max(col("__pmx")).as("end_us"))
+      }
+      .reduce(_ unionAll _)
       .withColumn("duration_us", col("end_us") - col("start_us"))
   }
 }

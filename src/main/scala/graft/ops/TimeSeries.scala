@@ -23,20 +23,60 @@ object TimeSeries {
     * count and integer-cent sum of `valueCol` over [ts − window, ts]
     * (inclusive both ends, RANGE semantics: equal timestamps are peers).
     *
+    * Computed as the DIFFERENCE OF TWO GROW-ONLY CUMULATIVE FRAMES —
+    * `cum(≤ t) − cum(< t − window)` — never as a sliding frame: Spark
+    * re-evaluates a sliding frame's aggregate from scratch at every row
+    * (removal has no retraction path), so a sliding RANGE frame costs
+    * O(rows × rows-in-frame) per key — measured 56× on a 30× replica
+    * whose hot actor holds 20% of events (BENCH_SF1 §r15), where the
+    * two grow-only frames (incremental add-only evaluation) stay O(rows)
+    * at ANY density. Both frames ride one window spec (one exchange,
+    * one sort); integer-cent arithmetic keeps the subtraction exact.
+    *
+    * Skew posture (documented, measured): the remaining hot-key cost is
+    * the whole-key SORT (one task per key, the pre-r15 sessionize
+    * shape). The sessionize-style segment split does NOT transfer
+    * cheaply here — the subtracted frame's lower edge `t − window`
+    * lands in an ARBITRARY earlier segment, so the per-segment carry is
+    * an as-of lookup into another segment's prefix sums, not a scalar —
+    * and the measured whole-key sort penalty at 20%-one-actor zipf is
+    * the ~2× class — 1.52 s vs 0.70 s at 30× (the frame fix removed
+    * the 56×: 54.7 s → 1.52 s) — so the op keeps the whole-key window
+    * and states the bound: a key's history must fit one task's
+    * external sort.
+    *
     * Output: input columns + n_window + sum_cents_window.
     */
   def rollingAggregate(df: DataFrame, keyCol: String, tsCol: String,
                        valueCol: String, windowSeconds: Long): DataFrame = {
     require(windowSeconds > 0, s"need windowSeconds > 0, got $windowSeconds")
+    // bound keeps the micros arithmetic wrap-free (the Sessionize gap
+    // rationale)
+    require(windowSeconds <= EventAnalytics.MaxWindowSeconds,
+      s"need windowSeconds <= ${EventAnalytics.MaxWindowSeconds}, " +
+        s"got $windowSeconds")
     // epoch MICROS as the range key: sub-second timestamps align exactly
     // in any engine (integer arithmetic, no truncation ambiguity)
     // cast first: TIMESTAMP_NTZ inputs are rejected by unix_micros
     val w = Window.partitionBy(col(keyCol))
       .orderBy(unix_micros(col(tsCol).cast(TimestampType)))
-      .rangeBetween(-windowSeconds * 1000000L, 0)
+    val upTo = w.rangeBetween(Window.unboundedPreceding, 0)
+    // rows strictly BELOW t − window: upper bound −(window·10⁶ + 1) on
+    // the integer-micros order key — exact at µs granularity, so
+    // cum(≤t) − cum(<t−window) is precisely the inclusive [t−window, t]
+    val before = w.rangeBetween(Window.unboundedPreceding,
+      -windowSeconds * 1000000L - 1L)
     val cents = round(col(valueCol) * 100).cast(LongType)
-    df.withColumn("n_window", count(lit(1)).over(w))
-      .withColumn("sum_cents_window", sum(cents).over(w))
+    // a frame holding NO non-null value must read a NULL sum (the plain
+    // sliding frame's semantics) — the cum-diff alone would read 0 there
+    // whenever earlier non-nulls cancel out
+    val nonNullInFrame = count(cents).over(upTo) - count(cents).over(before)
+    df.withColumn("n_window",
+        count(lit(1)).over(upTo) - count(lit(1)).over(before))
+      .withColumn("sum_cents_window",
+        when(nonNullInFrame === 0, lit(null).cast(LongType))
+          .otherwise(coalesce(sum(cents).over(upTo), lit(0L)) -
+            coalesce(sum(cents).over(before), lit(0L))))
   }
 
   /** Fixed-interval resample: per (group, truncated timestamp) bucket,
@@ -290,11 +330,25 @@ object TimeSeries {
     * "backward in time" into the real rows — it only receives the key's
     * latest fill itself.
     *
-    * Scale shape: one window per key — shuffle by key, sort within
-    * partitions only (never a global sort); all fill columns ride ONE
-    * window frame. Keyless fills need a constant key column and the
-    * single-partition cost that implies — made explicit at the API
-    * rather than silently planning a one-task sort.
+    * Scale shape — SKEW-SPLIT (r15, the [[Sessionize.withSessions]]
+    * posture): LIGHT keys keep the one-shuffle whole-key window (all
+    * fill columns ride ONE frame; task ≤ `segmentThreshold` rows), and
+    * HEAVY keys — a hot sensor whose whole history would otherwise sort
+    * in one task — split by (key, time-segment): the fill is
+    * segment-local except values before the segment's first non-null,
+    * which need only the PREVIOUS segments' last non-null per column —
+    * one scalar each — carried by a prefix fold over segment-count
+    * state. The per-segment state is a plain `max_by` aggregate whose
+    * order key null-safely encodes the window's own total order, so it
+    * map-side-combines: the heavy path pays ONE wide (key, segment)
+    * shuffle + sort for the window, a CELL-scale state shuffle (never
+    * rows, never a second sort), bounded merge exchanges, and a
+    * broadcast rejoin when the routing proves the state side small.
+    * A null-timestamp sentinel segment sorts LAST, matching the
+    * whole-key nulls-last order. Same
+    * [[HeavySplit]] routing/clamp knobs. Keyless fills need a constant
+    * key column and the single-partition cost that implies — made
+    * explicit at the API rather than silently planning a one-task sort.
     *
     * Output: the input columns with `cols` replaced by their filled
     * form (same names, same row count, no reordering guarantee beyond
@@ -302,16 +356,131 @@ object TimeSeries {
     */
   def forwardFill(df: DataFrame, keyCol: String, tsCol: String,
                   cols: Seq[String],
-                  orderCols: Seq[String] = Nil): DataFrame = {
+                  orderCols: Seq[String] = Nil,
+                  segmentSeconds: Long = 86400L,
+                  segmentThreshold: Long =
+                    EventAnalytics.DefaultSegmentThreshold,
+                  split: HeavySplit = HeavySplit.Detect): DataFrame = {
     require(cols.nonEmpty, "need at least one column to fill")
+    require(cols.distinct.size == cols.size, "duplicate fill column")
+    require(segmentSeconds >= 0 &&
+      segmentSeconds <= EventAnalytics.MaxWindowSeconds,
+      s"need 0 <= segmentSeconds <= ${EventAnalytics.MaxWindowSeconds} " +
+        s"(0 = auto), got $segmentSeconds")
+    require(segmentThreshold > 0,
+      s"need segmentThreshold > 0, got $segmentThreshold")
     (Seq(keyCol, tsCol) ++ cols ++ orderCols).foreach(c =>
       require(df.columns.contains(c), s"column '$c' not in frame"))
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy((col(tsCol).asc_nulls_last +:
-        orderCols.map(col(_).asc_nulls_last)): _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cols.foldLeft(df) { (d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    val ord = col(tsCol).asc_nulls_last +:
+      orderCols.map(col(_).asc_nulls_last)
+
+    def lightFill(src: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cols.foldLeft(src) { (d, c) =>
+        d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+      }
     }
+
+    val us = unix_micros(col(tsCol).cast(TimestampType))
+    val routing = HeavySplit.resolve(split, df, col(keyCol), us,
+      segmentThreshold)
+    if (!HeavySplit.hasHeavy(routing)) return lightFill(df)
+
+    val isHeavy = HeavySplit.isHeavy(col(keyCol), routing)
+    val segMicros = HeavySplit.clampSegmentMicros(
+      if (segmentSeconds > 0) Math.multiplyExact(segmentSeconds, 1000000L)
+      else 1L, // AUTO: the clamp derives the width from the max span
+      routing.maxSpanMicros.orElse {
+        if (segmentSeconds > 0) None
+        else {
+          val b = df.where(isHeavy).agg(min(us), max(us)).head()
+          if (b.isNullAt(0)) Some(1L)
+          else Some(b.getLong(1) - b.getLong(0) + 1)
+        }
+      })
+
+    def heavyFill(src: DataFrame): DataFrame = {
+      val taken = scala.collection.mutable.Set(df.columns: _*)
+      def fresh(base: String): String = {
+        val n = Iterator.iterate(base)(_ + "_").dropWhile(taken).next()
+        taken += n; n
+      }
+      val segN = fresh("__seg"); val segsN = fresh("__segs")
+      val kJ = fresh("__mk"); val sJ = fresh("__ms")
+      val localN = cols.map(c => c -> fresh(s"__lf_$c")).toMap
+      val carryN = cols.map(c => c -> fresh(s"__cf_$c")).toMap
+      // null timestamps sort LAST here (asc_nulls_last), so their
+      // sentinel segment is Long.MaxValue — the mirror image of
+      // Sessionize's nulls-first MinValue
+      val seg = coalesce(us - pmod(us, lit(segMicros)), lit(Long.MaxValue))
+      val withSeg = src.withColumn(segN, seg)
+      val w = Window.partitionBy(col(keyCol), col(segN)).orderBy(ord: _*)
+      val frame = w.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val rows = cols.foldLeft(withSeg) { (d, c) =>
+        d.withColumn(localN(c),
+          last(col(c), ignoreNulls = true).over(frame))
+      }
+      // per-segment state: last non-null per column as a PLAIN max_by
+      // aggregate — map-side combinable, so the state branch shuffles
+      // CELL-scale partials, never rows, and needs no second sort. The
+      // order key encodes the window's exact (ts NULLS LAST, orderCols
+      // NULLS LAST) total order null-safely: a leading isNull boolean
+      // per component (false < true puts nulls last under max), so the
+      // aggregate and the window can never disagree on which value is
+      // "last"; rows whose fill value is null are excluded via the
+      // max_by key (a null key never wins).
+      val ordKey = struct(
+        us.isNull.as("n0") +: us.as("k0") +:
+          orderCols.zipWithIndex.flatMap { case (c, i) =>
+            Seq(col(c).isNull.as(s"n${i + 1}"), col(c).as(s"k${i + 1}"))
+          }: _*)
+      val stateAggs = cols.map(c =>
+        max_by(col(c), when(col(c).isNotNull, ordKey)).as(s"__v_$c"))
+      val segState = withSeg.groupBy(col(keyCol), col(segN))
+        .agg(stateAggs.head, stateAggs.tail: _*)
+      // per-key prefix fold over sorted segments: the carry INTO each
+      // segment is, per column, the latest preceding segment's last
+      // non-null (coalesce keeps older values when a segment saw none)
+      val valsT = StructType(cols.map(c =>
+        StructField(c, df.schema(df.schema.fieldIndex(c)).dataType)))
+      val outT = ArrayType(StructType(Seq(StructField("s", LongType),
+        StructField("v", valsT))))
+      val nullVals = struct(cols.map(c =>
+        lit(null).cast(valsT(c).dataType).as(c)): _*)
+      val zero = struct(nullVals.as("cv"), array().cast(outT).as("o"))
+      val merged = segState
+        .groupBy(col(keyCol))
+        .agg(sort_array(collect_list(struct(col(segN).as("s"),
+          struct(cols.map(c => col(s"__v_$c").as(c)): _*).as("v"))))
+          .as(segsN))
+        .select(col(keyCol).as(kJ), explode(
+          aggregate(col(segsN), zero, (st, sv) => {
+            val nextVals = struct(cols.map(c =>
+              coalesce(sv("v")(c), st("cv")(c)).as(c)): _*)
+            struct(nextVals.as("cv"),
+              concat(st("o"), array(struct(sv("s").as("s"),
+                st("cv").as("v")))).as("o"))
+          }).getField("o")).as("__m"))
+        .select(col(kJ) +: col("__m")("s").as(sJ) +:
+          cols.map(c => col("__m")("v")(c).as(carryN(c))): _*)
+      // provably-small state side broadcasts (the Sessionize rationale:
+      // no join shuffle/sort on the row-scale side)
+      val stateSide = HeavySplit.segmentStateBound(routing, segMicros) match {
+        case Some(b) if b <= HeavySplit.StateBroadcastRows =>
+          broadcast(merged)
+        case _ => merged
+      }
+      rows.join(stateSide, col(keyCol) <=> col(kJ) && col(segN) === col(sJ))
+        .select(df.columns.map { c =>
+          if (localN.contains(c))
+            coalesce(col(localN(c)), col(carryN(c))).as(c)
+          else col(c)
+        }: _*)
+    }
+
+    if (routing.allHeavy) heavyFill(df)
+    else lightFill(df.where(!isHeavy)).unionAll(heavyFill(df.where(isHeavy)))
   }
 }

@@ -140,4 +140,92 @@ class TimeSeriesSpec extends SparkSpec {
       orderCols = Seq("seq")).orderBy("seq").collect()
     assert(tf(0).getDouble(2) == 9.0 && tf(1).getDouble(2) == 9.0)
   }
+
+  test("skew-split forwardFill: brute-force parity across widths, " +
+      "thresholds and routing policies (null keys/ts/values)") {
+    val rnd = new scala.util.Random(20250815)
+    // hot keys 1/2, a real null key, ~10% null ts (sorting LAST), two
+    // fill columns (double + string) with heavy null runs so the carry
+    // actually crosses segments
+    val rows = (0L until 400L).map { eid =>
+      val k = rnd.nextInt(6) match {
+        case 0 => None
+        case n => Some((n % 3).toLong)
+      }
+      val us =
+        if (rnd.nextInt(10) == 0) None
+        else Some(rnd.nextInt(2000).toLong * 1000000L)
+      val v = if (rnd.nextInt(4) == 0) Some(rnd.nextInt(100).toDouble)
+        else None
+      val sv = if (rnd.nextInt(6) == 0) Some(s"s${rnd.nextInt(9)}")
+        else None
+      (k, us, eid, v, sv)
+    }
+    val df = rows.map { case (k, us, eid, v, sv) =>
+      (k.map(java.lang.Long.valueOf).orNull,
+        us.map(u => new Timestamp(u / 1000L)).orNull, eid,
+        v.map(java.lang.Double.valueOf).orNull, sv.orNull)
+    }.toDF("k", "t", "eid", "v", "s")
+    // reference: per key, (ts NULLS LAST, eid) order, carry last non-null
+    val expected: Map[Long, (Option[Double], Option[String])] =
+      rows.groupBy(_._1).iterator.flatMap { case (_, g) =>
+        val sorted = g.sortBy(r => (r._2.isEmpty, r._2.getOrElse(0L), r._3))
+        var cv: Option[Double] = None
+        var cs: Option[String] = None
+        sorted.map { case (_, _, eid, v, sv) =>
+          cv = v.orElse(cv); cs = sv.orElse(cs)
+          eid -> (cv, cs)
+        }
+      }.toMap
+    val detected = ops.HeavySplit.detect(df, "k", "t", 20L)
+    assert(detected.keys.nonEmpty, "fixture must produce heavy keys")
+    val configs: Seq[(Long, Long, ops.HeavySplit)] = Seq(
+      (86400L, 1000000L, ops.HeavySplit.Detect), // all light
+      (1L, 1L, ops.HeavySplit.Detect), // mixed, many segments
+      (0L, 5L, ops.HeavySplit.Detect), // AUTO width
+      (1L, 1L, ops.HeavySplit.Known(Nil, allHeavy = true)),
+      (7L, 1L, ops.HeavySplit.Known(Nil, allHeavy = true,
+        maxSpanMicros = Some(2000L * 1000000L))),
+      (86400L, 1L, ops.HeavySplit.AssumeLight),
+      (60L, 20L, detected),
+      (0L, 20L, detected))
+    configs.foreach { case (segS, thr, split) =>
+      val out = TimeSeries.forwardFill(df, "k", "t", Seq("v", "s"),
+          orderCols = Seq("eid"), segmentSeconds = segS,
+          segmentThreshold = thr, split = split)
+        .select("eid", "v", "s").collect()
+      assert(out.length == rows.size, s"row count under ($segS,$thr,$split)")
+      out.foreach { r =>
+        val eid = r.getLong(0)
+        val got = (if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+          Option(r.getString(2)))
+        assert(got == expected(eid),
+          s"eid $eid under ($segS,$thr,$split): got $got, " +
+            s"want ${expected(eid)}")
+      }
+    }
+  }
+
+  test("plan: heavy forwardFill — ONE window, every sort leads with " +
+      "(key, segment), state map-side-combines (partial_max_by)") {
+    val d = Seq((1L, ts(0), Option(1.0)), (1L, ts(50), None))
+      .toDF("k", "t", "v")
+    val plan = TimeSeries.forwardFill(d, "k", "t", Seq("v"),
+        segmentSeconds = 60L,
+        split = ops.HeavySplit.Known(Nil, allHeavy = true))
+      .queryExecution.executedPlan.toString
+    assert("Window \\[".r.findAllIn(plan).size == 1,
+      s"exactly one fill window expected:\n$plan")
+    assert(plan.contains("partial_max_by"),
+      s"the per-segment state must map-side-combine:\n$plan")
+    val sorts = "(?s)Sort \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+      .filter(_.contains("__seg"))
+    assert(sorts.nonEmpty, s"expected segment-window sorts:\n$plan")
+    sorts.foreach { s =>
+      val cs = s.split(",").map(_.trim)
+      assert(cs.head.startsWith("k#") && cs(1).startsWith("__seg"),
+        s"sort must lead with (key, segment), got: $s\n$plan")
+    }
+  }
 }
