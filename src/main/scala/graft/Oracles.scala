@@ -3917,6 +3917,49 @@ object Oracles {
        |FROM events
        |ORDER BY k NULLS LAST, event_id""".stripMargin
 
+  /** q182: dimensional funnel step timing — the q164 nested-min CTEs with
+    * deltas joined to the per-user dimension (actor-constant, so the
+    * per-user CTEs are unchanged), per-dim quantile_cont, and a NULL-safe
+    * left join onto the dim grid so zero-pair cells survive.
+    */
+  val q182: String = {
+    val steps = Seq("signup", "view", "click", "purchase")
+    val ctes = steps.zipWithIndex.map { case (st, i) =>
+      if (i == 0)
+        s"""s1 AS (SELECT user_id, min(ts) t FROM base
+           |  WHERE event_type = '$st' GROUP BY 1)""".stripMargin
+      else
+        s"""s${i + 1} AS (SELECT e.user_id, min(e.ts) t FROM base e
+           |  JOIN s$i p ON e.user_id = p.user_id
+           |  WHERE e.event_type = '$st' AND e.ts > p.t GROUP BY 1)""".stripMargin
+    }
+    val deltas = (2 to steps.size).map(i =>
+      s"""d$i AS (SELECT dm.dim, (epoch_us(s$i.t) - epoch_us(s${i - 1}.t))
+         |  / 1000000.0 d FROM s$i JOIN s${i - 1} USING (user_id)
+         |  JOIN dm USING (user_id))""".stripMargin)
+    val cells = (2 to steps.size).map(i =>
+      s"""c$i AS (SELECT dim, count(*) n,
+         |  CAST(quantile_cont(d, 0.5) AS DOUBLE) p50,
+         |  CAST(quantile_cont(d, 0.9) AS DOUBLE) p90
+         |  FROM d$i GROUP BY 1)""".stripMargin)
+    val rows = (2 to steps.size).map(i =>
+      s"""SELECT dd.dim, $i AS step_index, '${steps(i - 1)}' AS step,
+         |  coalesce(c$i.n, 0) AS n_pairs, c$i.p50 AS p50_seconds,
+         |  c$i.p90 AS p90_seconds
+         |FROM dims dd LEFT JOIN c$i ON dd.dim IS NOT DISTINCT FROM c$i.dim"""
+        .stripMargin)
+    s"""WITH base AS (SELECT user_id, ts, event_type,
+       |    CASE WHEN user_id % 3 = 0 THEN NULL
+       |      ELSE 'seg' || CAST(user_id % 3 AS VARCHAR) END AS dim
+       |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+       |dm AS (SELECT user_id, any_value(dim) dim FROM base GROUP BY 1),
+       |dims AS (SELECT DISTINCT dim FROM base
+       |  WHERE event_type IN (${steps.map(s => s"'$s'").mkString(", ")})),
+       |${(ctes ++ deltas ++ cells).mkString(",\n")}
+       |${rows.mkString("\nUNION ALL\n")}
+       |ORDER BY dim NULLS LAST, step_index""".stripMargin
+  }
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q07_mutual_info_orders" -> q07Pinned,
@@ -4048,6 +4091,7 @@ object Oracles {
       "q179_transition_matrix" -> q179,
       "q180_sessionize_split" -> q180,
       "q181_ffill_split" -> q181,
+      "q182_funnel_timing_by_dim" -> q182,
       "q160_cohort_retention" -> q160,
       "q161_resample_grid" -> q161,
       "q162_forward_fill" -> q162,

@@ -2988,6 +2988,18 @@ object Queries {
       .orderBy(col("k").asc_nulls_last, col("event_id"))
   }
 
+  /** Dimensional funnel step timing (r15): q164's inter-step p50/p90 per
+    * derived segment — the q176 dimension (user_id mod 3 with a NULL
+    * slice), quantiles via the grouped collapse-then-window walk, the
+    * NULL slice exercised through the null-safe grouped-quantile join
+    * end-to-end.
+    */
+  def q182FunnelTimingByDim(s: SparkSession, dir: String): DataFrame =
+    ops.EventAnalytics.funnelStepTimingBy(
+      withSegDim(table(s, dir, "events")),
+      "user_id", "ts", "event_type", "dim",
+      Seq("signup", "view", "click", "purchase"))
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -3205,6 +3217,7 @@ object Queries {
     "q179_transition_matrix" -> (q179TransitionMatrix _),
     "q180_sessionize_split" -> (q180SessionizeSplit _),
     "q181_ffill_split" -> (q181FfillSplit _),
+    "q182_funnel_timing_by_dim" -> (q182FunnelTimingByDim _),
     "q140_multifield_linkage" -> (q140MultiFieldLinkage _)
   )
 }

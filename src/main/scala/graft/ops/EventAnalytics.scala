@@ -265,6 +265,74 @@ object EventAnalytics {
     } finally deltas.unpersist()
   }
 
+  /** Dimensional inter-step timing — [[funnelStepTiming]] grouped by a
+    * property column ("time-to-purchase by country"): per (dimension,
+    * completed transition i−1 → i), the pair count and EXACT p50/p90 of
+    * the seconds between the two advance times. The dimension rides the
+    * actor key through the identical skew-safe segmented machinery
+    * ([[actorProgress]] with the dimension widening both shuffles — the
+    * [[funnelBy]] posture), and the quantiles are the
+    * [[graft.stats.Describe.groupedQuantiles]] collapse-then-window walk
+    * — raw deltas never sort, per-group state is the group's distinct
+    * delta values, and the final dimension join is NULL-SAFE by that
+    * operator's construction (a NULL dimension is a real slice).
+    *
+    * Unlike [[funnelStepTiming]] (EAGER: per-column driver walk rounds),
+    * this stays LAZY at any dimension cardinality — one melt of the
+    * actor-level frame to (dim, step, delta) rows, one grouped quantile
+    * plan over it, and a (dims × k−1) grid left-join so every (dimension
+    * with at least one step-typed event, step 2..k) row appears even
+    * with zero completed pairs (null quantiles, the [[funnelStepTiming]]
+    * convention) — EXCEPT with `segmentSeconds = 0`, where the AUTO
+    * width's span pre-scan runs eagerly (the [[funnelBy]] caveat).
+    *
+    * Output: (dimCol, step_index, step, n_pairs, p50_seconds,
+    * p90_seconds) for steps 2..k per dimension, ordered by (dimension
+    * NULLS LAST, step_index).
+    */
+  def funnelStepTimingBy(df: DataFrame, actorCol: String, tsCol: String,
+                         typeCol: String, dimCol: String,
+                         steps: Seq[String], windowSeconds: Long = 0L,
+                         segmentSeconds: Long = 86400L): DataFrame = {
+    val k = steps.size
+    require(k >= 2, "inter-step timing needs at least two funnel steps")
+    require(!Seq("step_index", "step", "n_pairs", "p50_seconds",
+        "p90_seconds").contains(dimCol),
+      s"dimension column '$dimCol' collides with a timing output column")
+    val prog = actorProgress(df, actorCol, tsCol, typeCol, steps,
+      windowSeconds, segmentSeconds, Some(dimCol))
+    // melt to one row per COMPLETED transition; the size guard keeps
+    // every element_at in-bounds under ANSI (lazy CASE, the
+    // funnelStepTiming pattern)
+    val deltaArr = array((2 to k).map(i => struct(
+      lit(i).as("i"),
+      when(size(col("__adv")) >= i,
+        (element_at(col("__adv"), i) - element_at(col("__adv"), i - 1))
+          .cast(DoubleType) / 1e6).as("d"))): _*)
+    val melted = prog
+      .select(col("__d"), explode(deltaArr).as("__e"))
+      .select(col("__d"), col("__e")("i").as("__step"),
+        col("__e")("d").as("__delta"))
+      .where(col("__delta").isNotNull)
+    val q = graft.stats.Describe.groupedQuantiles(melted,
+      Seq("__d", "__step"), "__delta", Seq(0.5, 0.9))
+    // (dims that fired any step) × (steps 2..k) grid: zero-pair cells
+    // survive with null quantiles; the dim match is NULL-SAFE
+    val stepArr = array(steps.map(lit): _*)
+    val stepsDf = df.sparkSession.range(2, k + 1)
+      .select(col("id").cast(IntegerType).as("step_index"),
+        element_at(stepArr, col("id").cast(IntegerType)).as("step"))
+    val grid = prog.select(col("__d").as("__gd")).distinct()
+      .crossJoin(stepsDf)
+    grid.join(q,
+        grid("__gd") <=> q("__d") && grid("step_index") === q("__step"),
+        "left")
+      .select(col("__gd").as(dimCol), col("step_index"), col("step"),
+        coalesce(col("n"), lit(0L)).as("n_pairs"),
+        col("p50").as("p50_seconds"), col("p90").as("p90_seconds"))
+      .orderBy(col(dimCol).asc_nulls_last, col("step_index"))
+  }
+
   /** The funnel's actor-level core: one row per actor holding `__adv`
     * (the advance timestamps in micros, one per reached step, increasing)
     * and `__r` = reached step count — the segmented transition-vector
@@ -707,9 +775,32 @@ object EventAnalytics {
     val pairs = consecutiveWindows(df, actorCol, tsCol, typeCol,
       length = 2, maxGapSeconds = 0L, orderCols, segmentSeconds,
       segmentThreshold, split)
+    transitionShares(pairs
+      .select(element_at(col("__w"), 1).as("from_type"),
+        element_at(col("__w"), 2).as("next_type")))
+  }
+
+  /** The transition matrix's final projection over a raw
+    * (from_type, next_type) pair frame: per-cell counts with each ROW
+    * of the matrix normalized (share = n over the from-type's total).
+    * ONE definition shared by [[eventTransitionMatrix]] and the
+    * streaming twin's closed-window read
+    * ([[graft.streaming.StreamingFrame.streamingTransitions]] emissions
+    * — `transitionShares(hits.select("from_type", "next_type"))`), the
+    * [[graft.stats.ValueCounts.rankValueCounts]] sharing pattern, so
+    * the two can never drift on the normalization. Input pairs are
+    * counted as given — pass RAW pair rows, not pre-collapsed counts.
+    *
+    * Scale shape: one map-side-combined aggregation (shuffle ≤
+    * |vocabulary|² cells); the row-share denominator rides the bounded
+    * frame as a from-type-partitioned window sum.
+    */
+  def transitionShares(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Seq("from_type", "next_type").foreach(c =>
+      require(pairs.columns.contains(c), s"column '$c' not in frame"))
     pairs
-      .groupBy(element_at(col("__w"), 1).as("from_type"),
-        element_at(col("__w"), 2).as("next_type"))
+      .groupBy(col("from_type"), col("next_type"))
       .agg(count(lit(1)).as("n"))
       .withColumn("share", col("n").cast(DoubleType) /
         sum(col("n")).over(Window.partitionBy(col("from_type")))

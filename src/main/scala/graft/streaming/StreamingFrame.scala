@@ -949,16 +949,87 @@ object StreamingFrame {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
       OutputMode}
     import StateEnvelope.Enveloped
+    requirePathsArgs(length, maxGapSeconds) // loud at DEFINITION time
+    val spark = stream.sparkSession
+    import spark.implicits._
+    trailingEvents(stream, actorCol, tsCol, typeCol)
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Enveloped, PathHit](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (actor, rows, state: GroupState[Enveloped]) =>
+          foldPathsGroup(length, maxGapSeconds, rows, state)
+            .map(w => PathHit(actor, w.map(_._2).mkString(" > ")))
+            .iterator
+      }
+  }
+
+  /** One emitted (from → next) successor pair for an actor — the
+    * streaming twin of one [[graft.ops.EventAnalytics.eventTransitionMatrix]]
+    * cell contribution.
+    */
+  final case class TransitionHit(actor: String, from_type: String,
+                                 next_type: String)
+
+  /** Streaming twin of
+    * [[graft.ops.EventAnalytics.eventTransitionMatrix]]: the
+    * [[streamingPaths]] trailing-window state at length 2 — the buffered
+    * event IS the pair's from-side — emitting one [[TransitionHit]] per
+    * completed successor pair. The closed-window matrix (n + row-share)
+    * is the BATCH op's own final projection over the emissions:
+    * `EventAnalytics.transitionShares(hits.select("from_type",
+    * "next_type"))` — one definition of the normalization, so twin and
+    * batch can never drift (the rankValueCounts sharing pattern).
+    *
+    * Same fold, same versioned state payload, same caveats as
+    * [[streamingPaths]] (shared [[foldPathsGroup]]): a late event below
+    * the frontier is DROPPED, never chained in arrival order — so
+    * disordered arrivals can both lose pairs and shift adjacency
+    * (dropping b from a,b,c makes a→c adjacent); in-event-time-order
+    * replay is exact (spec-pinned vs the batch matrix). State is
+    * checkpoint-compatible with a length-2 [[streamingPaths]] by
+    * construction (identical payload); any other (length, gap) fails
+    * loudly through the envelope's config check.
+    */
+  def streamingTransitions(stream: DataFrame, actorCol: String,
+                           tsCol: String, typeCol: String)
+      : org.apache.spark.sql.Dataset[TransitionHit] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+      OutputMode}
+    import StateEnvelope.Enveloped
+    val spark = stream.sparkSession
+    import spark.implicits._
+    trailingEvents(stream, actorCol, tsCol, typeCol)
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Enveloped, TransitionHit](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (actor, rows, state: GroupState[Enveloped]) =>
+          foldPathsGroup(length = 2, maxGapSeconds = 0L, rows, state)
+            .map(w => TransitionHit(actor, w(0)._2, w(1)._2))
+            .iterator
+      }
+  }
+
+  /** The twins' definition-time argument gate — `length >= 2` and the
+    * same sanity bound as the batch twin: unbounded, gapMicros wraps
+    * negative and every gap check silently fails (empty output).
+    */
+  private def requirePathsArgs(length: Int, maxGapSeconds: Long): Unit = {
     require(length >= 2, s"need length >= 2, got $length")
-    // same sanity bound as the batch twin: unbounded, gapMicros wraps
-    // negative and every gap check silently fails (empty output)
     require(maxGapSeconds >= 0 &&
       maxGapSeconds <= graft.ops.EventAnalytics.MaxWindowSeconds,
       s"need 0 <= maxGapSeconds <= " +
         s"${graft.ops.EventAnalytics.MaxWindowSeconds}, got $maxGapSeconds")
+  }
+
+  /** The (actor, micros, type) projection both trailing-window twins
+    * share: string-cast actor/type, null actor/ts/type dropped (the
+    * batch convention).
+    */
+  private def trailingEvents(stream: DataFrame, actorCol: String,
+                             tsCol: String, typeCol: String)
+      : org.apache.spark.sql.Dataset[(String, Long, String)] = {
     val spark = stream.sparkSession
     import spark.implicits._
-    val gapMicros = maxGapSeconds * 1000000L
     stream
       .select(col(actorCol).cast(StringType).as("a"),
         unix_micros(col(tsCol).cast(TimestampType)).as("t"),
@@ -966,32 +1037,42 @@ object StreamingFrame {
       .where(col("a").isNotNull && col("t").isNotNull &&
         col("y").isNotNull)
       .as[(String, Long, String)]
-      .groupByKey(_._1)
-      .flatMapGroupsWithState[Enveloped, PathHit](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        case (actor, rows, state: GroupState[Enveloped]) =>
-          var buf = state.getOption
-            .map(StateEnvelope.decodePaths(_, length, maxGapSeconds))
-            .getOrElse(Nil).toVector
-          val out = Seq.newBuilder[PathHit]
-          rows.toSeq.sortBy(e => (e._2, e._3)).foreach { case (_, t, y) =>
-            // frontier check in the BATCH total order (ts, then type):
-            // an equal-ts event whose type sorts below the newest entry
-            // is as late as an earlier timestamp — accepting it would
-            // chain a tie in arrival order (cross-batch fabrication)
-            val inOrder = buf.isEmpty || t > buf.last._1 ||
-              (t == buf.last._1 && y >= buf.last._2)
-            if (inOrder) {
-              buf = (buf :+ (t -> y)).takeRight(length)
-              if (buf.size == length &&
-                  (maxGapSeconds == 0 || buf.iterator.sliding(2)
-                    .forall(p => p(1)._1 - p.head._1 <= gapMicros)))
-                out += PathHit(actor, buf.map(_._2).mkString(" > "))
-            } // else: late event below the window frontier — dropped
-          }
-          state.update(StateEnvelope.encodePaths(length, maxGapSeconds,
-            buf.takeRight(length - 1)))
-          out.result().iterator
-      }
+  }
+
+  /** One per-group micro-batch step of the trailing-window fold — the
+    * shared core of [[streamingPaths]] and [[streamingTransitions]]:
+    * decode the enveloped trailing length−1 events, accept each
+    * batch-local-(ts, type)-sorted event only at or above the frontier
+    * (the drop-not-reorder rule — see [[streamingPaths]]), emit every
+    * completed gap-satisfying window, re-encode. Returns the completed
+    * windows as (ts, type) vectors.
+    */
+  private def foldPathsGroup(length: Int, maxGapSeconds: Long,
+      rows: Iterator[(String, Long, String)],
+      state: org.apache.spark.sql.streaming.GroupState[
+        StateEnvelope.Enveloped]): Seq[Vector[(Long, String)]] = {
+    val gapMicros = maxGapSeconds * 1000000L // entry points validate
+    var buf = state.getOption
+      .map(StateEnvelope.decodePaths(_, length, maxGapSeconds))
+      .getOrElse(Nil).toVector
+    val out = Seq.newBuilder[Vector[(Long, String)]]
+    rows.toSeq.sortBy(e => (e._2, e._3)).foreach { case (_, t, y) =>
+      // frontier check in the BATCH total order (ts, then type):
+      // an equal-ts event whose type sorts below the newest entry
+      // is as late as an earlier timestamp — accepting it would
+      // chain a tie in arrival order (cross-batch fabrication)
+      val inOrder = buf.isEmpty || t > buf.last._1 ||
+        (t == buf.last._1 && y >= buf.last._2)
+      if (inOrder) {
+        buf = (buf :+ (t -> y)).takeRight(length)
+        if (buf.size == length &&
+            (maxGapSeconds == 0 || buf.iterator.sliding(2)
+              .forall(p => p(1)._1 - p.head._1 <= gapMicros)))
+          out += buf
+      } // else: late event below the window frontier — dropped
+    }
+    state.update(StateEnvelope.encodePaths(length, maxGapSeconds,
+      buf.takeRight(length - 1)))
+    out.result()
   }
 }

@@ -559,4 +559,48 @@ class EventAnalyticsSpec extends SparkSpec {
       Seq("a", "b")).collect()
     assert(out.map(_.getLong(2)).toSeq == Seq(1L, 1L))
   }
+
+  test("funnelStepTimingBy: each dimension slice equals funnelStepTiming " +
+      "over that slice alone (NULL slice included, windowed arm too)") {
+    val rnd = new scala.util.Random(20250817)
+    val steps = Seq("a", "b", "c")
+    val rows = (0 until 500).map { i =>
+      val dim: Option[String] = rnd.nextInt(3) match {
+        case 0 => None
+        case n => Some(s"d$n")
+      }
+      (rnd.nextInt(40).toLong, ts(rnd.nextInt(5000).toLong),
+        s"${(97 + rnd.nextInt(4)).toChar}", dim, i)
+    }
+    val df = rows.map { case (u, t, y, d, i) => (u, t, y, d.orNull, i) }
+      .toDF("u", "t", "y", "dim", "eid")
+    for (win <- Seq(0L, 900L)) {
+      val by = EventAnalytics.funnelStepTimingBy(df, "u", "t", "y", "dim",
+          steps, windowSeconds = win)
+        .collect()
+        .map(r => (Option(r.getString(0)), r.getInt(1)) ->
+          ((r.getString(2), r.getLong(3),
+            if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+            if (r.isNullAt(5)) None else Some(r.getDouble(5))))).toMap
+      val dims = rows.map(_._4).distinct
+      val expectedRows = dims.size * (steps.size - 1)
+      assert(by.size == expectedRows, s"win=$win grid size")
+      dims.foreach { d =>
+        // the slice: an actor participates in a dimension with exactly
+        // its events carrying that dimension value (null-safe)
+        val slice = df.where(if (d.isEmpty) col("dim").isNull
+          else col("dim") === d.get)
+        val solo = EventAnalytics.funnelStepTiming(slice, "u", "t", "y",
+            steps, windowSeconds = win)
+          .collect()
+          .map(r => (d, r.getInt(0)) -> ((r.getString(1), r.getLong(2),
+            if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+            if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+        solo.foreach { case (k, v) =>
+          assert(by(k) == v, s"win=$win dim=$d step=${k._2}: " +
+            s"got ${by(k)}, want $v")
+        }
+      }
+    }
+  }
 }
