@@ -3960,6 +3960,129 @@ object Oracles {
        |ORDER BY dim NULLS LAST, step_index""".stripMargin
   }
 
+  /** q183: conditional FDs — the identical two-level per-pattern g3
+    * (counts per (p, x, c), sum/max per (p, x), support/kept per p)
+    * per candidate, unioned; the derived fixture makes the FD hold
+    * exactly inside the 'signup' pattern only.
+    */
+  val q183: String = {
+    def cand(c: String): String =
+      s"""SELECT 'event_type' AS pattern_column,
+         |  CAST(__p AS VARCHAR) AS pattern_value,
+         |  'uid_bucket' AS determinant, '$c' AS dependent,
+         |  n AS support, kept AS n_kept,
+         |  CAST(n - kept AS DOUBLE) / n AS g3,
+         |  CAST(n - kept AS DOUBLE) <= 0.02 * n AS holds
+         |FROM (
+         |  SELECT __p, sum(nx) n, sum(mx) kept FROM (
+         |    SELECT event_type AS __p, uid_bucket, sum(cnt) nx,
+         |      max(cnt) mx
+         |    FROM (
+         |      SELECT event_type, uid_bucket, $c, count(*) cnt FROM base
+         |      WHERE event_type IS NOT NULL AND uid_bucket IS NOT NULL
+         |        AND $c IS NOT NULL
+         |      GROUP BY 1, 2, 3) g
+         |    GROUP BY 1, 2) x
+         |  GROUP BY 1) p
+         |WHERE n >= 100""".stripMargin
+    s"""WITH base AS (SELECT event_type,
+       |    user_id % 25 AS uid_bucket,
+       |    CASE WHEN event_type = 'signup' THEN (user_id % 25) * 2
+       |      ELSE CAST(floor(value / 100) AS BIGINT) END AS clean_in_signup,
+       |    CAST(floor(value / 250) AS BIGINT) AS value_bucket
+       |  FROM events)
+       |${cand("clean_in_signup")}
+       |UNION ALL
+       |${cand("value_bucket")}
+       |ORDER BY pattern_column, determinant, dependent, pattern_value"""
+      .stripMargin
+  }
+
+  /** The q184/q185 event-property dimension as SQL — must match the
+    * Spark derivation bit-for-bit (double comparisons on the raw value).
+    */
+  private val valueDimSql: String =
+    """CASE WHEN value < 250.0 THEN 'lo'
+      |      WHEN value < 400.0 THEN 'hi'
+      |      ELSE NULL END""".stripMargin
+
+  /** q184: dimensional funnel over an EVENT-PROPERTY dimension — the
+    * q176 chained CTEs run per (user, dim) SLICE (nested-min joins
+    * null-safe on the dimension), so an actor participates
+    * independently in every value band its events touch.
+    */
+  val q184: String = {
+    val steps = Seq("signup", "view", "click", "purchase")
+    val ctes = steps.zipWithIndex.map { case (st, i) =>
+      if (i == 0)
+        s"""s1 AS (SELECT user_id, dim, min(ts) t FROM base
+           |  WHERE event_type = '$st' GROUP BY 1, 2)""".stripMargin
+      else
+        s"""s${i + 1} AS (SELECT e.user_id, e.dim, min(e.ts) t FROM base e
+           |  JOIN s$i p ON e.user_id = p.user_id
+           |    AND e.dim IS NOT DISTINCT FROM p.dim
+           |  WHERE e.event_type = '$st' AND e.ts > p.t
+           |  GROUP BY 1, 2)""".stripMargin
+    }
+    val cnts = steps.indices.map(i =>
+      s"""c${i + 1} AS (SELECT dim, count(*) n FROM s${i + 1}
+         |  GROUP BY 1)""".stripMargin)
+    val joins = steps.indices.map(i =>
+      s"LEFT JOIN c${i + 1} ON d.dim IS NOT DISTINCT FROM c${i + 1}.dim")
+      .mkString("\n")
+    val ns = steps.indices.map(i =>
+      s"coalesce(c${i + 1}.n, 0) AS n${i + 1}").mkString(", ")
+    val rows = steps.zipWithIndex.map { case (st, i) =>
+      val n = s"n${i + 1}"
+      val prev = if (i == 0) n else s"n$i"
+      s"""SELECT dim AS vdim, ${i + 1} AS step_index, '$st' AS step,
+         |  $n AS n_actors,
+         |  CASE WHEN $prev = 0 THEN 0.0
+         |    ELSE CAST($n AS DOUBLE) / $prev END AS conversion,
+         |  CASE WHEN n1 = 0 THEN 0.0
+         |    ELSE CAST($n AS DOUBLE) / n1 END AS overall
+         |FROM w""".stripMargin
+    }
+    s"""WITH base AS (SELECT user_id, ts, event_type,
+       |    $valueDimSql AS dim
+       |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+       |${ctes.mkString(",\n")},
+       |dims AS (SELECT DISTINCT dim FROM base
+       |  WHERE event_type IN (${steps.map(s => s"'$s'").mkString(", ")})),
+       |${cnts.mkString(",\n")},
+       |w AS (SELECT d.dim, $ns FROM dims d
+       |$joins)
+       |${rows.mkString("\nUNION ALL\n")}
+       |ORDER BY vdim NULLS LAST, step_index""".stripMargin
+  }
+
+  /** q185: dimensional retention over the same event-property dimension
+    * — q178's per-(user, dim) structure with the dim derived from the
+    * event's value band.
+    */
+  val q185: String =
+    s"""WITH b AS (SELECT user_id a,
+       |    $valueDimSql AS dim,
+       |    CAST(ts AS DATE) d
+       |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+       |f AS (SELECT a, dim, min(d) fd FROM b GROUP BY 1, 2),
+       |fc AS (SELECT a, dim, fd, CAST(floor(
+       |    date_diff('day', DATE '1970-01-01', fd) / 7.0) AS BIGINT)
+       |    cohort FROM f),
+       |cells AS (SELECT DISTINCT fc.dim, cohort, CAST(floor(
+       |    date_diff('day', fd, d) / 7.0) AS BIGINT) offp, b.a
+       |  FROM b JOIN fc ON b.a = fc.a
+       |    AND b.dim IS NOT DISTINCT FROM fc.dim),
+       |cnt AS (SELECT dim, cohort, offp, count(*) n
+       |  FROM cells GROUP BY 1, 2, 3),
+       |sz AS (SELECT dim, cohort, count(*) cs FROM fc GROUP BY 1, 2)
+       |SELECT cnt.dim AS vdim, cnt.cohort AS cohort_period,
+       |  offp AS period_offset, n AS n_active, cs AS cohort_size,
+       |  CAST(n AS DOUBLE) / cs AS retention
+       |FROM cnt JOIN sz ON cnt.cohort = sz.cohort
+       |  AND cnt.dim IS NOT DISTINCT FROM sz.dim
+       |ORDER BY cnt.dim NULLS LAST, cohort_period, period_offset""".stripMargin
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q07_mutual_info_orders" -> q07Pinned,
@@ -4092,6 +4215,9 @@ object Oracles {
       "q180_sessionize_split" -> q180,
       "q181_ffill_split" -> q181,
       "q182_funnel_timing_by_dim" -> q182,
+      "q183_cfds" -> q183,
+      "q184_funnel_by_event_dim" -> q184,
+      "q185_retention_by_event_dim" -> q185,
       "q160_cohort_retention" -> q160,
       "q161_resample_grid" -> q161,
       "q162_forward_fill" -> q162,

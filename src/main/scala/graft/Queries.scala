@@ -3000,6 +3000,55 @@ object Queries {
       "user_id", "ts", "event_type", "dim",
       Seq("signup", "view", "click", "purchase"))
 
+  /** Conditional functional dependencies (r15): per-pattern g3 over a
+    * DIRTIED fixture — `clean_in_signup` is functionally dependent on
+    * the determinant exactly inside the 'signup' pattern (holds, g3 = 0)
+    * and value-derived noise elsewhere (fails); `value_bucket` is dirty
+    * in every pattern. The verdict + error columns are SQL-oracled cell
+    * by cell.
+    */
+  def q183Cfds(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events").select(
+      col("event_type"),
+      (col("user_id") % 25).as("uid_bucket"),
+      when(col("event_type") === "signup", (col("user_id") % 25) * 2)
+        .otherwise(floor(col("value") / 100)).as("clean_in_signup"),
+      floor(col("value") / 250).as("value_bucket"))
+    stats.KeyDiscovery.conditionalFunctionalDependencies(ev,
+      Seq("event_type"), Seq("uid_bucket"),
+      Seq("clean_in_signup", "value_bucket"),
+      maxError = 0.02, minSupport = 100L)
+  }
+
+  /** The EVENT-PROPERTY dimension q184/q185 share: derived from the
+    * event's own value (NOT actor-constant — an actor's events spread
+    * across slices), with a real NULL slice. Pins the independent-slice
+    * semantics of the dimensional ops end-to-end against per-(user, dim)
+    * oracle CTEs — q176/q178 derive their dimension from user_id, so
+    * they alone cannot distinguish per-actor from per-slice folds.
+    */
+  private def withValueDim(df: DataFrame): DataFrame =
+    df.withColumn("vdim",
+      when(col("value") < 250.0, lit("lo"))
+        .when(col("value") < 400.0, lit("hi"))
+        .otherwise(lit(null).cast("string")))
+
+  /** Dimensional funnel over an event-property dimension (r15): each
+    * (actor, value-band) slice folds independently.
+    */
+  def q184FunnelByEventDim(s: SparkSession, dir: String): DataFrame =
+    ops.EventAnalytics.funnelBy(
+      withValueDim(table(s, dir, "events")),
+      "user_id", "ts", "event_type", "vdim",
+      Seq("signup", "view", "click", "purchase"))
+
+  /** Dimensional cohort retention over an event-property dimension
+    * (r15): each (actor, value-band) slice anchors its own cohort.
+    */
+  def q185RetentionByEventDim(s: SparkSession, dir: String): DataFrame =
+    ops.EventAnalytics.cohortRetentionBy(
+      withValueDim(table(s, dir, "events")), "user_id", "ts", "vdim")
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -3218,6 +3267,9 @@ object Queries {
     "q180_sessionize_split" -> (q180SessionizeSplit _),
     "q181_ffill_split" -> (q181FfillSplit _),
     "q182_funnel_timing_by_dim" -> (q182FunnelTimingByDim _),
+    "q183_cfds" -> (q183Cfds _),
+    "q184_funnel_by_event_dim" -> (q184FunnelByEventDim _),
+    "q185_retention_by_event_dim" -> (q185RetentionByEventDim _),
     "q140_multifield_linkage" -> (q140MultiFieldLinkage _)
   )
 }

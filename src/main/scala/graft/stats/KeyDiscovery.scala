@@ -949,6 +949,101 @@ object KeyDiscovery {
     (r.getLong(0), r.getLong(1))
   }
 
+  /** CONDITIONAL functional dependencies — the next rung of the
+    * profiling matrix after keys/FDs/INDs/ODs (Bohannon et al. 2007,
+    * "Conditional Functional Dependencies for Data Cleaning"; discovery
+    * as in Fan et al. 2011 / CFDMiner): an FD `x → c` that holds not
+    * globally but on the subset selected by a CONSTANT pattern over a
+    * pattern column — `zip → city` only where `country = 'US'`. For
+    * every candidate triple (pattern column p, determinant x, dependent
+    * c) and every constant value v of p, the per-pattern TANE g₃
+    * ([[approximateFunctionalDependencies]]'s measure restricted to
+    * `p = v`):
+    *
+    *   g₃(x → c | p = v) = (n_v − Σ_x max_y count(x, y)) / n_v
+    *
+    * over rows where p, x AND c are all non-null (a null is not a
+    * constant, and the FD family's null gate applies to x/c), n_v the
+    * count of such rows. Patterns below `minSupport` rows are dropped
+    * (the standard support gate — a 1-row pattern trivially "holds").
+    *
+    * Honest scope (the profiling-matrix convention): SINGLE-column
+    * constant patterns, arity-1 determinants, no wildcard tableaux and
+    * no lattice — so no minimality pruning arises; every (p, v, x, c)
+    * cell is measured and reported. Per-pattern g₃ is NOT comparable to
+    * the global measure by inequality in either direction: a globally
+    * failing FD can hold on every high-support pattern (the CFD signal)
+    * and a globally ε-holding FD can fail badly inside one small
+    * pattern. g₃ is the RAW double quotient of two exact Longs (the
+    * family's bit-exact convention); `holds` = violations ≤
+    * maxError · n_v, exact (no screen arm — the pattern grouping already
+    * collapses the first shuffle to distinct (p, x, c) triples, the
+    * shape the HLL screen exists to avoid for wide determinants).
+    *
+    * Scale shape — LAZY, unlike the lattice walks: each candidate is
+    * two map-side-combined aggregation levels emitting ALL its patterns
+    * at once — counts per (p, x, c) group (first shuffle ≤ distinct
+    * triples), (sum, max) per (p, x), then (support, kept) per pattern
+    * — and candidates union into one plan, each branch pruned to its
+    * three columns at the scan. Output cardinality is Σ per-candidate
+    * qualifying patterns, data-dependent but pattern-bounded; nothing
+    * row-scale moves after each candidate's first shuffle and no
+    * driver loop runs.
+    *
+    * Output: (pattern_column, pattern_value — string cast —,
+    * determinant, dependent, support, n_kept, g3, holds), ordered by
+    * (pattern_column, determinant, dependent, pattern_value).
+    */
+  def conditionalFunctionalDependencies(df: DataFrame,
+                                        patternCols: Seq[String],
+                                        determinants: Seq[String],
+                                        dependents: Seq[String],
+                                        maxError: Double = 0.05,
+                                        minSupport: Long = 1L): DataFrame = {
+    require(maxError >= 0 && maxError < 1,
+      s"need 0 <= maxError < 1, got $maxError")
+    require(minSupport >= 1, s"need minSupport >= 1, got $minSupport")
+    require(patternCols.nonEmpty, "need at least one pattern column")
+    require(determinants.nonEmpty, "need at least one determinant column")
+    require(dependents.nonEmpty, "need at least one dependent column")
+    Seq(patternCols, determinants, dependents).foreach(cs =>
+      require(cs.distinct.size == cs.size, "duplicate column in a role"))
+    (patternCols ++ determinants ++ dependents).distinct.foreach(c =>
+      require(df.columns.contains(c), s"column '$c' not in frame"))
+    val cands = for {
+      p <- patternCols
+      x <- determinants if x != p
+      c <- dependents if c != x && c != p
+    } yield (p, x, c)
+    require(cands.nonEmpty,
+      "no candidate (pattern, determinant, dependent) triple has three " +
+        "distinct columns")
+    cands.map { case (p, x, c) =>
+      val gate = Seq(p, x, c).map(col(_).isNotNull).reduce(_ && _)
+      df.where(gate)
+        .groupBy(col(p).as("__p"), col(x).as("__x"), col(c).as("__c"))
+        .count()
+        .groupBy(col("__p"), col("__x"))
+        .agg(sum("count").as("__nx"), max("count").as("__mx"))
+        .groupBy(col("__p"))
+        .agg(sum(col("__nx")).as("__n"), sum(col("__mx")).as("__kept"))
+        .where(col("__n") >= minSupport)
+        .select(
+          lit(p).as("pattern_column"),
+          col("__p").cast(StringType).as("pattern_value"),
+          lit(x).as("determinant"),
+          lit(c).as("dependent"),
+          col("__n").as("support"),
+          col("__kept").as("n_kept"),
+          ((col("__n") - col("__kept")).cast(DoubleType) / col("__n"))
+            .as("g3"),
+          ((col("__n") - col("__kept")).cast(DoubleType) <=
+            lit(maxError) * col("__n")).as("holds"))
+    }.reduce(_ unionAll _)
+      .orderBy(col("pattern_column"), col("determinant"),
+        col("dependent"), col("pattern_value"))
+  }
+
   /** APPROXIMATE candidate keys — the g₃ uniqueness error (the UCC form
     * of Kivinen & Mannila 1995's measure, as in HyUCC / Papenbrock &
     * Naumann 2017): the fraction of rows that must be REMOVED for the

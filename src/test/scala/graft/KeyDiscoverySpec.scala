@@ -975,6 +975,64 @@ class KeyDiscoverySpec extends SparkSpec {
     }
   }
 
+  test("conditionalFunctionalDependencies: per-pattern g3 equals brute " +
+      "force (nulls gated, support gate, conditional hold)") {
+    val rnd = new scala.util.Random(20250818)
+    // p in {P0, P1, P2, null}; inside P0 the FD x -> c holds by
+    // construction (c = 2x); elsewhere c is noisy; nulls in every role
+    val rows = (0 until 600).map { _ =>
+      val p = rnd.nextInt(8) match {
+        case 0 => None
+        case n => Some(s"P${n % 3}")
+      }
+      val x = if (rnd.nextInt(15) == 0) None else Some(rnd.nextInt(12))
+      val c = (p, x) match {
+        case (_, None) => Some(rnd.nextInt(30))
+        case (Some("P0"), Some(xv)) => Some(2 * xv)
+        case _ => if (rnd.nextInt(15) == 0) None else Some(rnd.nextInt(6))
+      }
+      (p.orNull, x.map(Integer.valueOf).orNull, c.map(Integer.valueOf).orNull)
+    }
+    val df = rows.toDF("p", "x", "c")
+    // brute force: per pattern value, n and sum of per-x max group size
+    val gated = rows.collect {
+      case (p, x, c) if p != null && x != null && c != null => (p, x, c)
+    }
+    val ref = gated.groupBy(_._1).map { case (p, g) =>
+      val kept = g.groupBy(_._2).values
+        .map(xs => xs.groupBy(_._3).values.map(_.size).max).sum
+      p -> ((g.size.toLong, kept.toLong))
+    }
+    for (minSupport <- Seq(1L, 60L)) {
+      val out = KeyDiscovery.conditionalFunctionalDependencies(df,
+          Seq("p"), Seq("x"), Seq("c"), maxError = 0.05,
+          minSupport = minSupport)
+        .collect()
+        .map(r => r.getString(1) -> ((r.getLong(4), r.getLong(5),
+          r.getDouble(6), r.getBoolean(7)))).toMap
+      val expected = ref.filter(_._2._1 >= minSupport)
+      assert(out.keySet == expected.keySet, s"minSupport=$minSupport")
+      expected.foreach { case (p, (n, kept)) =>
+        val (gn, gk, g3, holds) = out(p)
+        assert((gn, gk) == ((n, kept)), s"pattern $p")
+        assert(g3 == (n - kept).toDouble / n, s"pattern $p g3")
+        assert(holds == ((n - kept).toDouble <= 0.05 * n), s"pattern $p")
+      }
+      // the constructed conditional FD: holds exactly in P0
+      assert(out("P0")._4 && out("P0")._3 == 0.0)
+      assert(!out("P1")._4 && !out("P2")._4, "noise patterns must fail")
+    }
+    // misuse guards
+    intercept[IllegalArgumentException] {
+      KeyDiscovery.conditionalFunctionalDependencies(df, Seq("p"),
+        Seq("p"), Seq("p"))
+    }
+    intercept[IllegalArgumentException] {
+      KeyDiscovery.conditionalFunctionalDependencies(df, Seq("p"),
+        Seq("x"), Seq("c"), minSupport = 0L)
+    }
+  }
+
   test("compositeCandidateKeys misuse guards are loud") {
     intercept[IllegalArgumentException] {
       KeyDiscovery.compositeCandidateKeys(df, Seq(Seq("id", "id")))
