@@ -85,9 +85,24 @@ object ValueCounts {
     * implementation, so the replay ≡ batch pin compares like with
     * like). Windows run over the collapsed frame only (partition = a
     * group's distinct values), the collapse-before-sort contract.
+    *
+    * THE INPUT MUST BE COLLAPSED: exactly one row per (groupCols...,
+    * value). The canonical misuse is SILENT, not loud — ranking
+    * [[graft.streaming.StreamingFrame.streamingTopValues]] emissions
+    * WITHOUT `window_start` in `groupCols` leaves one row per (window,
+    * group, value) under a (group, value) key, so the same value ranks
+    * several times, counts split across duplicate ranked rows, and
+    * every share uses a summed-across-windows denominator — plausible
+    * numbers, all wrong. Always rank with the window key:
+    * `rankValueCounts(emitted, "window_start" +: groupCols, k)`.
+    * `checkCollapsed = true` adds an in-plan duplicate guard (one extra
+    * window pass over the collapsed frame) that fails loudly on the
+    * first duplicate instead — the spec/debug arm; production callers
+    * that already collapsed (a groupBy output) skip the cost.
     */
   def rankValueCounts(counts: DataFrame, groupCols: Seq[String],
-                      k: Int): DataFrame = {
+                      k: Int, checkCollapsed: Boolean = false)
+      : DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")
     require(k > 0, s"need k > 0, got $k")
     (groupCols ++ Seq("value", "n")).foreach(c =>
@@ -102,8 +117,25 @@ object ValueCounts {
     val wRank = Window.partitionBy(gs: _*)
       .orderBy(col("n").desc, col("value").asc)
     val wAll = Window.partitionBy(gs: _*)
+    // loud duplicate guard (checkCollapsed): >1 row under one (group,
+    // value) key means the input was never collapsed (see scaladoc) —
+    // fail on the offending value rather than emit plausible wrong
+    // ranks. The guard RIDES the rank expression (always +0, or throws):
+    // a standalone dropped column would be pruned out of the plan and
+    // the check would silently never run.
+    val guard =
+      if (!checkCollapsed) lit(0)
+      else {
+        val dups = count(lit(1))
+          .over(Window.partitionBy(gs :+ col("value"): _*))
+        when(dups > 1, raise_error(concat(
+          lit("rankValueCounts: duplicate rows under one (group, " +
+            "value) key — input is not pre-collapsed (ranking " +
+            "without the window key?): value="), col("value")))
+          .cast("int")).otherwise(lit(0))
+      }
     counts
-      .withColumn("rank", row_number().over(wRank))
+      .withColumn("rank", row_number().over(wRank) + guard)
       .withColumn("share", col("n").cast("double") /
         sum(col("n")).over(wAll).cast("double"))
       .where(col("rank") <= k)

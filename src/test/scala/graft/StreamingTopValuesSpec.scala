@@ -49,7 +49,7 @@ class StreamingTopValuesSpec extends SparkSpec {
     // whole emitted frame in one call
     val composed = ValueCounts.rankValueCounts(
       spark.sql("SELECT window_start, g, value, n FROM tv_twin"),
-      Seq("window_start", "g"), k = 3).collect()
+      Seq("window_start", "g"), k = 3, checkCollapsed = true).collect()
       .groupBy(_.getTimestamp(0))
       .map { case (ws, rs) => ws -> rs.map(r => (r.getString(1),
         r.getString(2), r.getLong(3), r.getDouble(4), r.getInt(5))).toSet }
@@ -98,5 +98,32 @@ class StreamingTopValuesSpec extends SparkSpec {
       StreamingFrame.streamingTopValues(
         mem.toDF.toDF("value", "v", "t"), "t", Seq("value"), "v")
     }
+  }
+  test("rankValueCounts checkCollapsed: ranking emissions WITHOUT the " +
+      "window key fails loudly instead of silently splitting counts") {
+    import graft.stats.ValueCounts
+    // two windows' emissions for the same (g, value): collapsed under
+    // (window, g) but DUPLICATE under (g) alone — the canonical misuse
+    val emitted = Seq(
+      (1L, "g1", "a", 3L), (2L, "g1", "a", 5L), (2L, "g1", "b", 1L)
+    ).toDF("window_start", "g", "value", "n")
+    // with the window key: fine (guard on)
+    val ok = ValueCounts.rankValueCounts(emitted,
+      Seq("window_start", "g"), k = 2, checkCollapsed = true).collect()
+    assert(ok.length == 3)
+    // without it: the guard throws with the diagnostic
+    val e = intercept[Exception] {
+      ValueCounts.rankValueCounts(emitted.select("g", "value", "n"),
+        Seq("g"), k = 2, checkCollapsed = true).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("not pre-collapsed")), e.toString)
+    // and without the guard the misuse is the documented silent one:
+    // duplicate ranked rows for the same value
+    val silent = ValueCounts.rankValueCounts(
+      emitted.select("g", "value", "n"), Seq("g"), k = 3).collect()
+    assert(silent.count(r => r.getString(1) == "a") == 2)
   }
 }
