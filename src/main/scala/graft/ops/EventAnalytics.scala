@@ -322,7 +322,15 @@ object EventAnalytics {
     val stepsDf = df.sparkSession.range(2, k + 1)
       .select(col("id").cast(IntegerType).as("step_index"),
         element_at(stepArr, col("id").cast(IntegerType)).as("step"))
-    val grid = prog.select(col("__d").as("__gd")).distinct()
+    // dim list from ONE narrow pruned scan of the raw frame (same gate
+    // actorProgress applies, so the set is identical) — deriving it from
+    // `prog` would re-run the whole segmented fold: the grid branch
+    // column-prunes below exchange reuse (the Sessionize state-branch
+    // lesson), doubling the op's dominant row-scale work
+    val grid = df
+      .where(col(actorCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isin(steps: _*))
+      .select(col(dimCol).as("__gd")).distinct()
       .crossJoin(stepsDf)
     grid.join(q,
         grid("__gd") <=> q("__d") && grid("step_index") === q("__step"),
@@ -599,7 +607,7 @@ object EventAnalytics {
           else autoSegmentMicros(df, actorCol, tsCol, typeCol, Nil),
           routing.maxSpanMicros)
         val hb = (if (allHeavy) base
-          else base.where(col("__a").isInCollection(heavySet)))
+          else base.where(heavyPred))
           .withColumn("__seg",
             col("__t") - pmod(col("__t"), lit(segMicros)))
         val w = Window.partitionBy(col("__a"), col("__seg"))

@@ -95,14 +95,22 @@ object HeavySplit {
       .limit(maxHeavy + 1)
       .collect()
     val allHeavy = rows.length > maxHeavy
-    val span = rows.foldLeft(Option.empty[Long]) { (acc, r) =>
-      if (r.isNullAt(2) || r.isNullAt(3)) acc
-      else {
-        val s = r.getLong(3) - r.getLong(2) + 1 // micros bounded: no overflow
-        Some(acc.fold(s)(math.max(_, s)))
+    // allHeavy: the LIMIT-capped sample can neither enumerate the heavy
+    // keys nor bound their spans — a span read off the sample would let
+    // the clamp silently under-protect keys outside it, so the routing
+    // carries NO span (operators fall back to a full span read for AUTO
+    // widths and trust explicit widths as documented)
+    if (allHeavy) Known(Nil, allHeavy = true, None)
+    else {
+      val span = rows.foldLeft(Option.empty[Long]) { (acc, r) =>
+        if (r.isNullAt(2) || r.isNullAt(3)) acc
+        else {
+          val s = r.getLong(3) - r.getLong(2) + 1 // micros bounded
+          Some(acc.fold(s)(math.max(_, s)))
+        }
       }
+      Known(rows.map(_.get(0)).toSeq, allHeavy = false, span)
     }
-    Known(rows.map(_.get(0)).toSeq, allHeavy, span)
   }
 
   /** Resolve a policy to concrete routing (runs the [[Detect]] scan when
@@ -160,6 +168,44 @@ object HeavySplit {
     */
   private[ops] val StateBroadcastRows: Long = 2000000L
 
+  /** Effective segment width for a split operator's heavy path — the
+    * shared derivation [[graft.ops.Sessionize]] and
+    * [[graft.ops.TimeSeries.forwardFill]] must agree on: an explicit
+    * width in exact micros, clamped when the routing carries a span
+    * bound; `segmentSeconds = 0` (AUTO) derives the width from the
+    * routing's span, or — when the routing has none (a caller-built
+    * [[Known]], or an allHeavy detect whose capped sample cannot bound
+    * the tail) — from one bounded min/max read over the heavy rows.
+    */
+  private[ops] def effectiveSegmentMicros(df: DataFrame, heavyPred: Column,
+                                          micros: Column,
+                                          segmentSeconds: Long,
+                                          r: Known): Long =
+    clampSegmentMicros(
+      if (segmentSeconds > 0) Math.multiplyExact(segmentSeconds, 1000000L)
+      else 1L, // AUTO: the clamp raises this to ceil(span/AutoSegments)
+      r.maxSpanMicros.orElse {
+        if (segmentSeconds > 0) None
+        else {
+          val b = df.where(heavyPred).agg(min(micros), max(micros)).head()
+          if (b.isNullAt(0)) Some(1L)
+          else Some(b.getLong(1) - b.getLong(0) + 1)
+        }
+      })
+
+  /** Broadcast the bounded per-segment state side of a heavy-path
+    * rejoin when the routing proves it small ([[segmentStateBound]] ≤
+    * [[StateBroadcastRows]]); otherwise leave the join shape to the
+    * planner/AQE. Shared by the split operators so the cutoff decision
+    * lives in one place.
+    */
+  private[ops] def maybeBroadcastState(state: DataFrame, r: Known,
+                                       segMicros: Long): DataFrame =
+    segmentStateBound(r, segMicros) match {
+      case Some(b) if b <= StateBroadcastRows => broadcast(state)
+      case _ => state
+    }
+
   /** Segment-width clamp bounding the segmented path's per-key merge
     * state: with a known max heavy-key span, the effective width is
     * raised so no key occupies more than [[EventAnalytics.AutoSegments]]
@@ -167,7 +213,9 @@ object HeavySplit {
     * spanning years) would otherwise re-create the unbounded single-row
     * state the split exists to avoid (r14 ADVICE). Width never shrinks
     * (results are width-invariant, spec-pinned; only state shape
-    * changes). Span unknown → the requested width is trusted as given.
+    * changes). Span unknown (caller-built [[Known]], or an allHeavy
+    * detect — a capped sample cannot bound the tail's span) → the
+    * requested width is trusted as given.
     */
   private[graft] def clampSegmentMicros(segMicros: Long,
                                       maxSpanMicros: Option[Long]): Long =

@@ -122,20 +122,8 @@ object Sessionize {
       return Seq(lightSessions(df) -> None)
 
     val isHeavy = HeavySplit.isHeavy(col(keyCol), routing)
-    val segMicros = HeavySplit.clampSegmentMicros(
-      if (segmentSeconds > 0) Math.multiplyExact(segmentSeconds, 1000000L)
-      else 1L, // AUTO: the clamp itself derives width from the max span
-      routing.maxSpanMicros.orElse {
-        // Known routing without span info and AUTO width: one bounded
-        // span read over the heavy rows only (the detect scan would have
-        // carried it for free)
-        if (segmentSeconds > 0) None
-        else {
-          val b = df.where(isHeavy).agg(min(us), max(us)).head()
-          if (b.isNullAt(0)) Some(1L)
-          else Some(b.getLong(1) - b.getLong(0) + 1)
-        }
-      })
+    val segMicros = HeavySplit.effectiveSegmentMicros(df, isHeavy, us,
+      segmentSeconds, routing)
 
     // HEAVY path: (key, segment) windows + a per-key prefix-sum merge
     // over (first, last, local-start-count) segment state; returns the
@@ -152,7 +140,8 @@ object Sessionize {
         taken += n; n
       }
       val segN = fresh("__seg"); val runN = fresh("__run")
-      val segsN = fresh("__segs")
+      val segsN = fresh("__segs"); val mN = fresh("__m")
+      val fN = fresh("__f"); val lN = fresh("__l"); val cN = fresh("__c")
       val kJ = fresh("__mk"); val sJ = fresh("__ms")
       val bJ = fresh("__mb"); val cJ = fresh("__mc")
       // segment id = segment-START micros (exact Long floor arithmetic,
@@ -173,7 +162,7 @@ object Sessionize {
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       val segState = rows
         .groupBy(col(keyCol), col(segN))
-        .agg(min(us).as("__f"), max(us).as("__l"), max(col(runN)).as("__c"))
+        .agg(min(us).as(fN), max(us).as(lN), max(col(runN)).as(cN))
       // per-key merge in segment order: cont(j) = does segment j's first
       // event continue the previous occupied segment's last session
       // (f − l <= gap; null-safe false — a null-stamped segment neither
@@ -188,7 +177,7 @@ object Sessionize {
       val merged = segState
         .groupBy(col(keyCol))
         .agg(sort_array(collect_list(struct(col(segN).as("s"),
-          col("__f").as("f"), col("__l").as("l"), col("__c").as("c"))))
+          col(fN).as("f"), col(lN).as("l"), col(cN).as("c"))))
           .as(segsN))
         .select(col(keyCol).as(kJ), explode(
           aggregate(col(segsN), zero, (st, sv) => {
@@ -198,9 +187,9 @@ object Sessionize {
               (st("b") + sv("c") - when(cont, 1L).otherwise(0L)).as("b"),
               concat(st("o"), array(struct(sv("s").as("s"),
                 st("b").as("b"), cont.as("cont")))).as("o"))
-          }).getField("o")).as("__m"))
-        .select(col(kJ), col("__m")("s").as(sJ), col("__m")("b").as(bJ),
-          col("__m")("cont").as(cJ))
+          }).getField("o")).as(mN))
+        .select(col(kJ), col(mN)("s").as(sJ), col(mN)("b").as(bJ),
+          col(mN)("cont").as(cJ))
       // rows rejoin their segment's (base, cont) on (key, segment) —
       // key equality NULL-SAFE (a null key is a real group; plain
       // EqualTo would never match it, the groupedQuantiles hazard class)
@@ -210,11 +199,8 @@ object Sessionize {
       // keys × bounded segments), broadcast it: the row-scale side then
       // needs no join shuffle/sort at all (its window order/partitioning
       // would otherwise feed a sort-merge join re-sort)
-      val stateSide = HeavySplit.segmentStateBound(routing, segMicros) match {
-        case Some(b) if b <= HeavySplit.StateBroadcastRows =>
-          broadcast(merged)
-        case _ => merged
-      }
+      val stateSide = HeavySplit.maybeBroadcastState(merged, routing,
+        segMicros)
       val out = rows
         .join(stateSide, col(keyCol) <=> col(kJ) && col(segN) === col(sJ))
         .withColumn("session_index", idx)
@@ -245,6 +231,9 @@ object Sessionize {
                    segmentThreshold: Long =
                      EventAnalytics.DefaultSegmentThreshold,
                    split: HeavySplit = HeavySplit.Detect): DataFrame = {
+    require(!Seq("n_events", "start_us", "end_us", "duration_us")
+      .contains(keyCol),
+      s"key column '$keyCol' collides with a session-stats output column")
     val us = unix_micros(col(tsCol).cast(TimestampType))
     branches(df, keyCol, tsCol, gapSeconds, orderCols, segmentSeconds,
         segmentThreshold, split)
@@ -259,14 +248,20 @@ object Sessionize {
           // heavy rows are (key, segment)-partitioned and sessions cross
           // segments: collapse to (key, segment, index) cells first (no
           // exchange, map-side), then combine the CELL-scale frame on
-          // (key, index) — the only heavy-branch exchange is cell-sized
+          // (key, index) — the only heavy-branch exchange is cell-sized.
+          // Partial-cell aliases can't collide: the groupBy output holds
+          // only keyCol/segN/session_index, and keyCol is require-gated
+          // against the output names, segN generated fresh.
+          val Seq(pn, pmn, pmx) = Seq("__pn", "__pmn", "__pmx")
+            .map(b0 => Iterator.iterate(b0)(_ + "_")
+              .dropWhile(n => n == keyCol || n == segN).next())
           b.groupBy(col(keyCol), col(segN), col("session_index"))
-            .agg(count(lit(1)).as("__pn"), min(us).as("__pmn"),
-              max(us).as("__pmx"))
+            .agg(count(lit(1)).as(pn), min(us).as(pmn),
+              max(us).as(pmx))
             .groupBy(col(keyCol), col("session_index"))
-            .agg(sum(col("__pn")).as("n_events"),
-              min(col("__pmn")).as("start_us"),
-              max(col("__pmx")).as("end_us"))
+            .agg(sum(col(pn)).as("n_events"),
+              min(col(pmn)).as("start_us"),
+              max(col(pmx)).as("end_us"))
       }
       .reduce(_ unionAll _)
       .withColumn("duration_us", col("end_us") - col("start_us"))

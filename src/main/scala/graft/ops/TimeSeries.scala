@@ -45,7 +45,10 @@ object TimeSeries {
     * and states the bound: a key's history must fit one task's
     * external sort.
     *
-    * Output: input columns + n_window + sum_cents_window.
+    * Output: input columns + n_window + sum_cents_window. A NULL
+    * timestamp has no trailing window: both outputs read null for that
+    * row (explicit — not the sliding frame's accidental null-peer-group
+    * aggregate).
     */
   def rollingAggregate(df: DataFrame, keyCol: String, tsCol: String,
                        valueCol: String, windowSeconds: Long): DataFrame = {
@@ -67,14 +70,22 @@ object TimeSeries {
     val before = w.rangeBetween(Window.unboundedPreceding,
       -windowSeconds * 1000000L - 1L)
     val cents = round(col(valueCol) * 100).cast(LongType)
+    val us = unix_micros(col(tsCol).cast(TimestampType))
     // a frame holding NO non-null value must read a NULL sum (the plain
     // sliding frame's semantics) — the cum-diff alone would read 0 there
     // whenever earlier non-nulls cancel out
     val nonNullInFrame = count(cents).over(upTo) - count(cents).over(before)
+    // a NULL timestamp has no trailing window — both outputs read null,
+    // EXPLICITLY: under a sliding frame null-ordered rows accidentally
+    // aggregated their null peer group, and under the cum-diff the
+    // before-frame's null bound would misread them differently; neither
+    // accident is a contract (spec-pinned)
     df.withColumn("n_window",
-        count(lit(1)).over(upTo) - count(lit(1)).over(before))
+        when(us.isNull, lit(null).cast(LongType))
+          .otherwise(count(lit(1)).over(upTo) -
+            count(lit(1)).over(before)))
       .withColumn("sum_cents_window",
-        when(nonNullInFrame === 0, lit(null).cast(LongType))
+        when(us.isNull || nonNullInFrame === 0, lit(null).cast(LongType))
           .otherwise(coalesce(sum(cents).over(upTo), lit(0L)) -
             coalesce(sum(cents).over(before), lit(0L))))
   }
@@ -371,6 +382,18 @@ object TimeSeries {
       s"need segmentThreshold > 0, got $segmentThreshold")
     (Seq(keyCol, tsCol) ++ cols ++ orderCols).foreach(c =>
       require(df.columns.contains(c), s"column '$c' not in frame"))
+    // the heavy path BUCKETS by epoch micros while both paths SORT by the
+    // raw column — identical orders only for genuine time types. A string
+    // timestamp would sort lexicographically but bucket by parse (and
+    // unparseable values would ride the null sentinel), so routing could
+    // change results — the one thing HeavySplit promises never happens.
+    // Loud, not silent:
+    df.schema(df.schema.fieldIndex(tsCol)).dataType match {
+      case TimestampType | TimestampNTZType | DateType =>
+      case other => throw new IllegalArgumentException(
+        s"forwardFill: tsCol '$tsCol' must be a timestamp/date column, " +
+          s"got ${other.simpleString} — cast it explicitly first")
+    }
     val ord = col(tsCol).asc_nulls_last +:
       orderCols.map(col(_).asc_nulls_last)
 
@@ -388,17 +411,8 @@ object TimeSeries {
     if (!HeavySplit.hasHeavy(routing)) return lightFill(df)
 
     val isHeavy = HeavySplit.isHeavy(col(keyCol), routing)
-    val segMicros = HeavySplit.clampSegmentMicros(
-      if (segmentSeconds > 0) Math.multiplyExact(segmentSeconds, 1000000L)
-      else 1L, // AUTO: the clamp derives the width from the max span
-      routing.maxSpanMicros.orElse {
-        if (segmentSeconds > 0) None
-        else {
-          val b = df.where(isHeavy).agg(min(us), max(us)).head()
-          if (b.isNullAt(0)) Some(1L)
-          else Some(b.getLong(1) - b.getLong(0) + 1)
-        }
-      })
+    val segMicros = HeavySplit.effectiveSegmentMicros(df, isHeavy, us,
+      segmentSeconds, routing)
 
     def heavyFill(src: DataFrame): DataFrame = {
       val taken = scala.collection.mutable.Set(df.columns: _*)
@@ -407,9 +421,10 @@ object TimeSeries {
         taken += n; n
       }
       val segN = fresh("__seg"); val segsN = fresh("__segs")
-      val kJ = fresh("__mk"); val sJ = fresh("__ms")
+      val kJ = fresh("__mk"); val sJ = fresh("__ms"); val mN = fresh("__m")
       val localN = cols.map(c => c -> fresh(s"__lf_$c")).toMap
       val carryN = cols.map(c => c -> fresh(s"__cf_$c")).toMap
+      val stateN = cols.map(c => c -> fresh(s"__v_$c")).toMap
       // null timestamps sort LAST here (asc_nulls_last), so their
       // sentinel segment is Long.MaxValue — the mirror image of
       // Sessionize's nulls-first MinValue
@@ -437,7 +452,7 @@ object TimeSeries {
             Seq(col(c).isNull.as(s"n${i + 1}"), col(c).as(s"k${i + 1}"))
           }: _*)
       val stateAggs = cols.map(c =>
-        max_by(col(c), when(col(c).isNotNull, ordKey)).as(s"__v_$c"))
+        max_by(col(c), when(col(c).isNotNull, ordKey)).as(stateN(c)))
       val segState = withSeg.groupBy(col(keyCol), col(segN))
         .agg(stateAggs.head, stateAggs.tail: _*)
       // per-key prefix fold over sorted segments: the carry INTO each
@@ -453,7 +468,7 @@ object TimeSeries {
       val merged = segState
         .groupBy(col(keyCol))
         .agg(sort_array(collect_list(struct(col(segN).as("s"),
-          struct(cols.map(c => col(s"__v_$c").as(c)): _*).as("v"))))
+          struct(cols.map(c => col(stateN(c)).as(c)): _*).as("v"))))
           .as(segsN))
         .select(col(keyCol).as(kJ), explode(
           aggregate(col(segsN), zero, (st, sv) => {
@@ -462,16 +477,13 @@ object TimeSeries {
             struct(nextVals.as("cv"),
               concat(st("o"), array(struct(sv("s").as("s"),
                 st("cv").as("v")))).as("o"))
-          }).getField("o")).as("__m"))
-        .select(col(kJ) +: col("__m")("s").as(sJ) +:
-          cols.map(c => col("__m")("v")(c).as(carryN(c))): _*)
+          }).getField("o")).as(mN))
+        .select(col(kJ) +: col(mN)("s").as(sJ) +:
+          cols.map(c => col(mN)("v")(c).as(carryN(c))): _*)
       // provably-small state side broadcasts (the Sessionize rationale:
       // no join shuffle/sort on the row-scale side)
-      val stateSide = HeavySplit.segmentStateBound(routing, segMicros) match {
-        case Some(b) if b <= HeavySplit.StateBroadcastRows =>
-          broadcast(merged)
-        case _ => merged
-      }
+      val stateSide = HeavySplit.maybeBroadcastState(merged, routing,
+        segMicros)
       rows.join(stateSide, col(keyCol) <=> col(kJ) && col(segN) === col(sJ))
         .select(df.columns.map { c =>
           if (localN.contains(c))

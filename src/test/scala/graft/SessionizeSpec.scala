@@ -194,6 +194,23 @@ class SessionizeSpec extends SparkSpec {
     }
   }
 
+  test("HeavySplit.detect under allHeavy: no keys, NO span — a capped " +
+      "sample cannot bound the tail (the clamp falls back honestly)") {
+    val rows = (0L until 40L).flatMap(k =>
+      (0L until 3L).map(i => (Some(k): Option[Long],
+        Some(i * 1000000L): Option[Long], k * 3 + i)))
+    val df = mkDf(rows)
+    val k = ops.HeavySplit.detect(df, "k", "ts", 1L, maxHeavy = 10)
+    assert(k.allHeavy && k.keys.isEmpty && k.maxSpanMicros.isEmpty)
+    // sessions still exact through the span-less allHeavy routing with
+    // an AUTO width (one bounded span read over the heavy = all rows)
+    val expected = refSessions(rows, gapSeconds = 2L)
+    val out = Sessionize.withSessions(df, "k", "ts", gapSeconds = 2L,
+        orderCols = Seq("eid"), segmentSeconds = 0L, split = k)
+      .select("eid", "session_index").collect()
+    out.foreach(r => assert(r.getLong(1) == expected(r.getLong(0))))
+  }
+
   test("HeavySplit.detect: spans, caps, null keys; clamp arithmetic") {
     val rows = (0L until 30L).map(i => (Some(1L): Option[Long],
       Some(i * 1000000L): Option[Long], i)) ++

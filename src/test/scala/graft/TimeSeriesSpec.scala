@@ -228,4 +228,38 @@ class TimeSeriesSpec extends SparkSpec {
         s"sort must lead with (key, segment), got: $s\n$plan")
     }
   }
+  test("rollingAggregate: a NULL timestamp has no trailing window " +
+      "(explicit null outputs), and the cum-diff equals brute force") {
+    val d = Seq(
+      (1L, Option(ts(0)), 1.0), (1L, Option(ts(30)), 2.0),
+      (1L, Option(ts(100)), 4.0), (1L, None, 8.0), (1L, None, 16.0),
+      (2L, Option(ts(5)), 3.0)
+    ).map { case (k, t, v) => (k, t.orNull, v) }.toDF("k", "t", "v")
+    val out = TimeSeries.rollingAggregate(d, "k", "t", "v",
+        windowSeconds = 60L)
+      .select("k", "v", "n_window", "sum_cents_window").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)) ->
+        ((if (r.isNullAt(2)) None else Some(r.getLong(2))),
+          (if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    // brute force over [t-60s, t]: v=1 alone; v=2 sees {1,2}; v=4 sees
+    // {2,4} (t=100 vs t=30 within 70s? 100-30=70 > 60 -> only {4}? no:
+    // 100-60=40 <= t' -> t'=30 excluded, so {4} alone)... pinned:
+    assert(out((1L, 1.0)) == ((Some(1L), Some(100L))))
+    assert(out((1L, 2.0)) == ((Some(2L), Some(300L))))
+    assert(out((1L, 4.0)) == ((Some(1L), Some(400L))))
+    assert(out((2L, 3.0)) == ((Some(1L), Some(300L))))
+    // null-ts rows: both outputs null, never the null-peer-group count
+    assert(out((1L, 8.0)) == ((None, None)))
+    assert(out((1L, 16.0)) == ((None, None)))
+  }
+
+  test("forwardFill: a non-time tsCol fails loudly (heavy buckets by " +
+      "parse, light sorts raw — routing could change results)") {
+    val d = Seq((1L, "2024-9-05", Option(1.0)), (1L, "2024-10-07", None))
+      .toDF("k", "t", "v")
+    val e = intercept[IllegalArgumentException] {
+      TimeSeries.forwardFill(d, "k", "t", Seq("v"))
+    }
+    assert(e.getMessage.contains("timestamp/date"))
+  }
 }
