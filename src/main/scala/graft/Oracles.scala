@@ -3970,7 +3970,7 @@ object Oracles {
       s"""SELECT 'event_type' AS pattern_column,
          |  CAST(__p AS VARCHAR) AS pattern_value,
          |  'uid_bucket' AS determinant, '$c' AS dependent,
-         |  n AS support, kept AS n_kept,
+         |  CAST(n AS BIGINT) AS support, CAST(kept AS BIGINT) AS n_kept,
          |  CAST(n - kept AS DOUBLE) / n AS g3,
          |  CAST(n - kept AS DOUBLE) <= 0.02 * n AS holds
          |FROM (

@@ -206,6 +206,21 @@ object HeavySplit {
       case _ => state
     }
 
+  /** Fresh internal column names for a split operator's intermediate
+    * frames — the operators carry EVERY input column (so the full
+    * re-projection convention cannot apply) and instead generate names
+    * provably absent from the avoid set. One definition shared by the
+    * split operators (previously three hand-rolled copies).
+    */
+  private[ops] def freshNames(avoid: Iterable[String])(bases: String*)
+      : Seq[String] = {
+    val taken = scala.collection.mutable.Set(avoid.toSeq: _*)
+    bases.map { b =>
+      val n = Iterator.iterate(b)(_ + "_").dropWhile(taken).next()
+      taken += n; n
+    }
+  }
+
   /** Segment-width clamp bounding the segmented path's per-key merge
     * state: with a known max heavy-key span, the effective width is
     * raised so no key occupies more than [[EventAnalytics.AutoSegments]]

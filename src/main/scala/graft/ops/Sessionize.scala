@@ -129,21 +129,14 @@ object Sessionize {
     // over (first, last, local-start-count) segment state; returns the
     // frame (segment column RETAINED) and the segment column's name
     def heavySessions(src: DataFrame): (DataFrame, String) = {
-      // fresh internal names: the output must carry EVERY input column,
-      // so the full-re-projection convention does not apply — generated
-      // names that provably miss the input columns close the collision
-      // class instead
-      val taken = scala.collection.mutable.Set(df.columns: _*) +
-        "session_index"
-      def fresh(base: String): String = {
-        val n = Iterator.iterate(base)(_ + "_").dropWhile(taken).next()
-        taken += n; n
-      }
-      val segN = fresh("__seg"); val runN = fresh("__run")
-      val segsN = fresh("__segs"); val mN = fresh("__m")
-      val fN = fresh("__f"); val lN = fresh("__l"); val cN = fresh("__c")
-      val kJ = fresh("__mk"); val sJ = fresh("__ms")
-      val bJ = fresh("__mb"); val cJ = fresh("__mc")
+      // fresh internal names ([[HeavySplit.freshNames]]): the output must
+      // carry EVERY input column, so the full-re-projection convention
+      // does not apply — generated names that provably miss the input
+      // columns close the collision class instead
+      val Seq(segN, runN, segsN, mN, fN, lN, cN, kJ, sJ, bJ, cJ) =
+        HeavySplit.freshNames(df.columns.toSeq :+ "session_index")(
+          "__seg", "__run", "__segs", "__m", "__f", "__l", "__c",
+          "__mk", "__ms", "__mb", "__mc")
       // segment id = segment-START micros (exact Long floor arithmetic,
       // correct for pre-1970 micros); a NULL timestamp lands in a
       // sentinel segment that sorts FIRST — matching the light path's
@@ -249,12 +242,11 @@ object Sessionize {
           // segments: collapse to (key, segment, index) cells first (no
           // exchange, map-side), then combine the CELL-scale frame on
           // (key, index) — the only heavy-branch exchange is cell-sized.
-          // Partial-cell aliases can't collide: the groupBy output holds
-          // only keyCol/segN/session_index, and keyCol is require-gated
-          // against the output names, segN generated fresh.
-          val Seq(pn, pmn, pmx) = Seq("__pn", "__pmn", "__pmx")
-            .map(b0 => Iterator.iterate(b0)(_ + "_")
-              .dropWhile(n => n == keyCol || n == segN).next())
+          // Partial-cell aliases dodge keyCol/segN (the groupBy output's
+          // only surviving input names; keyCol is require-gated against
+          // the output names, segN generated fresh).
+          val Seq(pn, pmn, pmx) = HeavySplit.freshNames(
+            Seq(keyCol, segN))("__pn", "__pmn", "__pmx")
           b.groupBy(col(keyCol), col(segN), col("session_index"))
             .agg(count(lit(1)).as(pn), min(us).as(pmn),
               max(us).as(pmx))

@@ -415,16 +415,15 @@ object TimeSeries {
       segmentSeconds, routing)
 
     def heavyFill(src: DataFrame): DataFrame = {
-      val taken = scala.collection.mutable.Set(df.columns: _*)
-      def fresh(base: String): String = {
-        val n = Iterator.iterate(base)(_ + "_").dropWhile(taken).next()
-        taken += n; n
-      }
-      val segN = fresh("__seg"); val segsN = fresh("__segs")
-      val kJ = fresh("__mk"); val sJ = fresh("__ms"); val mN = fresh("__m")
-      val localN = cols.map(c => c -> fresh(s"__lf_$c")).toMap
-      val carryN = cols.map(c => c -> fresh(s"__cf_$c")).toMap
-      val stateN = cols.map(c => c -> fresh(s"__v_$c")).toMap
+      val names = HeavySplit.freshNames(df.columns.toSeq)(
+        Seq("__seg", "__segs", "__mk", "__ms", "__m") ++
+          cols.map(c => s"__lf_$c") ++ cols.map(c => s"__cf_$c") ++
+          cols.map(c => s"__v_$c"): _*)
+      val Seq(segN, segsN, kJ, sJ, mN) = names.take(5)
+      val localN = cols.zip(names.slice(5, 5 + cols.size)).toMap
+      val carryN = cols.zip(
+        names.slice(5 + cols.size, 5 + 2 * cols.size)).toMap
+      val stateN = cols.zip(names.drop(5 + 2 * cols.size)).toMap
       // null timestamps sort LAST here (asc_nulls_last), so their
       // sentinel segment is Long.MaxValue — the mirror image of
       // Sessionize's nulls-first MinValue

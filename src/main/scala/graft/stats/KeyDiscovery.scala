@@ -970,7 +970,11 @@ object KeyDiscovery {
     * Honest scope (the profiling-matrix convention): SINGLE-column
     * constant patterns, arity-1 determinants, no wildcard tableaux and
     * no lattice — so no minimality pruning arises; every (p, v, x, c)
-    * cell is measured and reported. Per-pattern g₃ is NOT comparable to
+    * cell of every WELL-FORMED candidate is measured and reported. A
+    * candidate triple sharing a column across roles (x = p, c = x, or
+    * c = p) is degenerate — conditioning on the determinant, or x → x —
+    * and is SKIPPED, not errored, so overlapping role lists sweep their
+    * non-degenerate combinations; only an all-degenerate call is loud. Per-pattern g₃ is NOT comparable to
     * the global measure by inequality in either direction: a globally
     * failing FD can hold on every high-support pattern (the CFD signal)
     * and a globally ε-holding FD can fail badly inside one small
