@@ -4083,6 +4083,55 @@ object Oracles {
        |  AND cnt.dim IS NOT DISTINCT FROM sz.dim
        |ORDER BY cnt.dim NULLS LAST, cohort_period, period_offset""".stripMargin
 
+  /** q186: dimensional transition matrix — q179's lead(1) window run per
+    * (user, dim) PARTITION (window partitioning groups the NULL dim),
+    * counts and row shares one dimension deeper.
+    */
+  val q186: String =
+    s"""WITH s AS (SELECT user_id,
+       |    $valueDimSql AS dim, event_type,
+       |    lead(event_type) OVER (PARTITION BY user_id, $valueDimSql
+       |      ORDER BY ts, event_type, event_id) nx
+       |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+       |    AND event_type IS NOT NULL),
+       |c AS (SELECT dim AS vdim, event_type AS from_type, nx AS next_type,
+       |    count(*) AS n
+       |  FROM s WHERE nx IS NOT NULL GROUP BY 1, 2, 3)
+       |SELECT vdim, from_type, next_type, n,
+       |  CAST(n AS DOUBLE) /
+       |    sum(n) OVER (PARTITION BY vdim, from_type) AS share
+       |FROM c
+       |ORDER BY vdim NULLS LAST, from_type, n DESC, next_type""".stripMargin
+
+  /** q187: dimensional top paths — the q171 double-lead window per
+    * (user, dim) partition with the gap chain rule, per-dim shares and
+    * a per-dim deterministic rank.
+    */
+  val q187: String = {
+    val gapUs = 172800L * 1000000L
+    s"""WITH s AS (SELECT user_id,
+       |    $valueDimSql AS dim, event_type, epoch_us(ts) AS us,
+       |    lead(event_type) OVER w AS y1, lead(epoch_us(ts)) OVER w AS t1,
+       |    lead(event_type, 2) OVER w AS y2,
+       |    lead(epoch_us(ts), 2) OVER w AS t2
+       |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+       |    AND event_type IS NOT NULL
+       |  WINDOW w AS (PARTITION BY user_id, $valueDimSql
+       |    ORDER BY epoch_us(ts), event_type, event_id)),
+       |p AS (SELECT dim AS vdim,
+       |    event_type || ' > ' || y1 || ' > ' || y2 AS path
+       |  FROM s WHERE y1 IS NOT NULL AND y2 IS NOT NULL
+       |    AND t1 - us <= $gapUs AND t2 - t1 <= $gapUs),
+       |c AS (SELECT vdim, path, count(*) AS n FROM p GROUP BY 1, 2),
+       |r AS (SELECT vdim, path, n,
+       |    CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY vdim) AS share,
+       |    row_number() OVER (PARTITION BY vdim
+       |      ORDER BY n DESC, path) AS rank
+       |  FROM c)
+       |SELECT vdim, path, n, share, rank FROM r WHERE rank <= 5
+       |ORDER BY vdim NULLS LAST, rank""".stripMargin
+  }
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q07_mutual_info_orders" -> q07Pinned,
@@ -4218,6 +4267,8 @@ object Oracles {
       "q183_cfds" -> q183,
       "q184_funnel_by_event_dim" -> q184,
       "q185_retention_by_event_dim" -> q185,
+      "q186_transitions_by_dim" -> q186,
+      "q187_top_paths_by_dim" -> q187,
       "q160_cohort_retention" -> q160,
       "q161_resample_grid" -> q161,
       "q162_forward_fill" -> q162,

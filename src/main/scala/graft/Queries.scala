@@ -3049,6 +3049,27 @@ object Queries {
     ops.EventAnalytics.cohortRetentionBy(
       withValueDim(table(s, dir, "events")), "user_id", "ts", "vdim")
 
+  /** Dimensional transition matrix (r15): q179's successor pairs per
+    * EVENT-PROPERTY value band (the q184 dimension, NULL slice real) —
+    * an actor's pairs form within each slice's own consecutive order,
+    * which only an event-level dimension can distinguish from a
+    * per-actor grouping.
+    */
+  def q186TransitionsByDim(s: SparkSession, dir: String): DataFrame =
+    ops.EventAnalytics.eventTransitionMatrixBy(
+      withValueDim(table(s, dir, "events")),
+      "user_id", "ts", "event_type", "vdim", orderCols = Seq("event_id"))
+
+  /** Dimensional top event paths (r15): q171's length-3 gap-chained
+    * paths per event-property value band, top-5 with per-slice shares
+    * and ranks.
+    */
+  def q187TopPathsByDim(s: SparkSession, dir: String): DataFrame =
+    ops.EventAnalytics.topEventPathsBy(
+      withValueDim(table(s, dir, "events")),
+      "user_id", "ts", "event_type", "vdim", length = 3, k = 5,
+      maxGapSeconds = 172800L, orderCols = Seq("event_id"))
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -3270,6 +3291,8 @@ object Queries {
     "q183_cfds" -> (q183Cfds _),
     "q184_funnel_by_event_dim" -> (q184FunnelByEventDim _),
     "q185_retention_by_event_dim" -> (q185RetentionByEventDim _),
+    "q186_transitions_by_dim" -> (q186TransitionsByDim _),
+    "q187_top_paths_by_dim" -> (q187TopPathsByDim _),
     "q140_multifield_linkage" -> (q140MultiFieldLinkage _)
   )
 }

@@ -522,8 +522,10 @@ object EventAnalytics {
                                  orderCols: Seq[String],
                                  segmentSeconds: Long,
                                  segmentThreshold: Long,
-                                 split: HeavySplit): DataFrame = {
-    (Seq(actorCol, tsCol, typeCol) ++ orderCols).foreach(c =>
+                                 split: HeavySplit,
+                                 dimCol: Option[String] = None)
+      : DataFrame = {
+    (Seq(actorCol, tsCol, typeCol) ++ orderCols ++ dimCol).foreach(c =>
       require(df.columns.contains(c), s"column '$c' not in frame"))
     // the upper bound keeps `t - pmod(t, width)` wrap-free: with width
     // <= MaxWindowSeconds µs (~3.2e18) and TimestampType's µs domain
@@ -536,13 +538,19 @@ object EventAnalytics {
     val m = length - 1 // carry/head/tail bound
     val gapMicros = maxGapSeconds * 1000000L // callers bound maxGapSeconds
     val t = unix_micros(col(tsCol).cast(TimestampType))
+    // a dimension (the funnelBy convention) RIDES the actor key: every
+    // partition/group widens from (actor, ...) to (actor, dim, ...), so
+    // each (actor, dimension) slice has its own consecutive order and a
+    // NULL dimension is a real slice (windows/groupBys keep it)
+    val dimKeys = dimCol.map(_ => col("__d")).toSeq
     val base = df
       .where(col(actorCol).isNotNull && col(tsCol).isNotNull &&
         col(typeCol).isNotNull)
-      .select(col(actorCol).as("__a") +: t.as("__t") +:
-        col(typeCol).as("__y") +:
-        orderCols.zipWithIndex.map { case (c, i) =>
-          col(c).as(s"__o$i") }: _*)
+      .select(col(actorCol).as("__a") +:
+        (dimCol.map(d => col(d).as("__d")).toSeq ++
+          (t.as("__t") +: col(typeCol).as("__y") +:
+            orderCols.zipWithIndex.map { case (c, i) =>
+              col(c).as(s"__o$i") })): _*)
     import org.apache.spark.sql.expressions.Window
     // the total order both paths share: (t, y, orderCols) asc_nulls_last
     val ord = col("__t").asc_nulls_last +: col("__y").asc_nulls_last +:
@@ -577,8 +585,8 @@ object EventAnalytics {
         }.reduce(_ && _)
       stepped
         .where(complete && gapOkLead)
-        .select(array(col("__y") +:
-          (1 until length).map(i => col(s"__y$i")): _*).as("__w"))
+        .select(dimKeys :+ array(col("__y") +:
+          (1 until length).map(i => col(s"__y$i")): _*).as("__w"): _*)
     }
     // LIGHT actors (≤ threshold events): the plain per-actor window —
     // whole-stage codegen, one partition per actor, task size bounded
@@ -588,7 +596,7 @@ object EventAnalytics {
       if (allHeavy) None
       else Some(leadWindows(
         if (heavySet.isEmpty) base else base.where(!heavyPred),
-        Seq(col("__a"))))
+        col("__a") +: dimKeys))
     // HEAVY actors: the segmented machinery — (actor, segment) windows
     // emit in-segment windows; boundary windows come from an actor-keyed
     // merge over segment-count-sized (head, tail, n) state
@@ -610,9 +618,11 @@ object EventAnalytics {
           else base.where(heavyPred))
           .withColumn("__seg",
             col("__t") - pmod(col("__t"), lit(segMicros)))
-        val w = Window.partitionBy(col("__a"), col("__seg"))
+        val w = Window
+          .partitionBy(col("__a") +: dimKeys :+ col("__seg"): _*)
           .orderBy(ord: _*)
-        val inRows = leadWindows(hb, Seq(col("__a"), col("__seg")))
+        val inRows = leadWindows(hb,
+          col("__a") +: dimKeys :+ col("__seg"))
         // boundary state: h/tl pick the first/last m rows of the SAME
         // order via row_number (tiny collect_lists — never the full
         // segment); their internal (t, y) sort is sufficient because
@@ -631,7 +641,7 @@ object EventAnalytics {
           .withColumn("__cnt", count(lit(1)).over(
             w.rowsBetween(Window.unboundedPreceding,
               Window.unboundedFollowing)))
-          .groupBy(col("__a"), col("__seg"))
+          .groupBy(col("__a") +: dimKeys :+ col("__seg"): _*)
           .agg(
             sort_array(collect_list(when(col("__rn") <= m, evStruct)))
               .as("h"),
@@ -642,9 +652,9 @@ object EventAnalytics {
           col("__seg").as("s"), col("h").as("h"), col("tl").as("tl"),
           col("n").as("n"))))
         val boundRows = segState
-          .groupBy(col("__a"))
+          .groupBy(col("__a") +: dimKeys: _*)
           .agg(segsSorted.as("__segs"))
-          .select(explode({
+          .select(dimKeys :+ explode({
             // typed empty arrays derived from the data itself (the y
             // type is whatever the caller's type column is)
             val emptyEvs = slice(element_at(col("__segs"), 1)("h"), 1, 0)
@@ -668,7 +678,7 @@ object EventAnalytics {
               struct(lastN(concat(carry, sv("tl"))).as("c"),
                 concat(st("o"), newWins).as("o"))
             }).getField("o")
-          }).as("__w"))
+          }).as("__w"): _*)
         Some(inRows.unionAll(boundRows))
       }
     (lightRows, heavyOut) match {
@@ -803,18 +813,103 @@ object EventAnalytics {
     * |vocabulary|² cells); the row-share denominator rides the bounded
     * frame as a from-type-partitioned window sum.
     */
-  def transitionShares(pairs: DataFrame): DataFrame = {
+  def transitionShares(pairs: DataFrame,
+                       sliceCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    Seq("from_type", "next_type").foreach(c =>
+    (sliceCols ++ Seq("from_type", "next_type")).foreach(c =>
       require(pairs.columns.contains(c), s"column '$c' not in frame"))
+    require(!sliceCols.exists(Seq("from_type", "next_type", "n", "share")
+        .contains),
+      "slice column collides with a transition output column")
+    val slices = sliceCols.map(col)
     pairs
-      .groupBy(col("from_type"), col("next_type"))
+      .groupBy(slices ++ Seq(col("from_type"), col("next_type")): _*)
       .agg(count(lit(1)).as("n"))
       .withColumn("share", col("n").cast(DoubleType) /
-        sum(col("n")).over(Window.partitionBy(col("from_type")))
+        sum(col("n")).over(Window.partitionBy(
+          slices :+ col("from_type"): _*)).cast(DoubleType))
+      .orderBy(sliceCols.map(c => col(c).asc_nulls_last) ++
+        Seq(col("from_type").asc, col("n").desc,
+          col("next_type").asc): _*)
+  }
+
+  /** Dimensional transition matrix — [[eventTransitionMatrix]] grouped
+    * by a property column ("transitions by country"): the dimension
+    * rides the actor key through the same skew-split
+    * [[consecutiveWindows]] core (the [[funnelBy]] convention), so each
+    * (actor, dimension) slice has its OWN consecutive order — an actor
+    * whose events carry several dimension values contributes successor
+    * pairs within each slice independently, and a NULL dimension is a
+    * real slice. `share` row-normalizes per (dimension, from_type).
+    * Same routing knobs and eager-pre-scan contract as the plain form.
+    *
+    * Output: (dimCol, from_type, next_type, n, share), ordered by
+    * (dimension NULLS LAST, from_type, n desc, next_type).
+    */
+  def eventTransitionMatrixBy(df: DataFrame, actorCol: String,
+                              tsCol: String, typeCol: String,
+                              dimCol: String,
+                              orderCols: Seq[String] = Nil,
+                              segmentSeconds: Long = 86400L,
+                              segmentThreshold: Long =
+                                DefaultSegmentThreshold,
+                              split: HeavySplit = HeavySplit.Detect)
+      : DataFrame = {
+    require(!Seq("from_type", "next_type", "n", "share").contains(dimCol),
+      s"dimension column '$dimCol' collides with an output column")
+    val pairs = consecutiveWindows(df, actorCol, tsCol, typeCol,
+      length = 2, maxGapSeconds = 0L, orderCols, segmentSeconds,
+      segmentThreshold, split, Some(dimCol))
+    transitionShares(pairs
+      .select(col("__d").as(dimCol),
+        element_at(col("__w"), 1).as("from_type"),
+        element_at(col("__w"), 2).as("next_type")),
+      Seq(dimCol))
+  }
+
+  /** Dimensional top event paths — [[topEventPaths]] grouped by a
+    * property column: top-k most frequent length-`length` consecutive
+    * sequences PER dimension slice, with `share` normalized within the
+    * slice and a 1..k `rank` per dimension (deterministic: n desc, path
+    * asc). Same slice semantics as [[eventTransitionMatrixBy]]; same
+    * skew-split core, routing knobs, and gap chain rule as the plain
+    * form. The per-dimension top-k is a row_number over the bounded
+    * (dimension × path) count frame — never over rows.
+    *
+    * Output: (dimCol, path, n, share, rank ≤ k), ordered by (dimension
+    * NULLS LAST, rank).
+    */
+  def topEventPathsBy(df: DataFrame, actorCol: String, tsCol: String,
+                      typeCol: String, dimCol: String, length: Int,
+                      k: Int, maxGapSeconds: Long = 0L,
+                      orderCols: Seq[String] = Nil,
+                      segmentSeconds: Long = 86400L,
+                      segmentThreshold: Long = DefaultSegmentThreshold,
+                      split: HeavySplit = HeavySplit.Detect): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(length >= 2, s"need length >= 2, got $length")
+    require(k > 0, s"need k > 0, got $k")
+    require(maxGapSeconds >= 0 && maxGapSeconds <= MaxWindowSeconds,
+      s"need 0 <= maxGapSeconds <= $MaxWindowSeconds, got $maxGapSeconds")
+    require(!Seq("path", "n", "share", "rank").contains(dimCol),
+      s"dimension column '$dimCol' collides with an output column")
+    val wins = consecutiveWindows(df, actorCol, tsCol, typeCol, length,
+      maxGapSeconds, orderCols, segmentSeconds, segmentThreshold, split,
+      Some(dimCol))
+    wins
+      .select(col("__d").as(dimCol),
+        concat_ws(" > ", (1 to length).map(i =>
+          element_at(col("__w"), i)): _*).as("path"))
+      .groupBy(col(dimCol), col("path"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share", col("n").cast(DoubleType) /
+        sum(col("n")).over(Window.partitionBy(col(dimCol)))
           .cast(DoubleType))
-      .orderBy(col("from_type").asc, col("n").desc,
-        col("next_type").asc)
+      .withColumn("rank", row_number().over(Window
+        .partitionBy(col(dimCol))
+        .orderBy(col("n").desc, col("path").asc)))
+      .where(col("rank") <= k)
+      .orderBy(col(dimCol).asc_nulls_last, col("rank"))
   }
 
   /** Top-k event paths: the most frequent length-`length` sequences of

@@ -560,6 +560,65 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out.map(_.getLong(2)).toSeq == Seq(1L, 1L))
   }
 
+  test("eventTransitionMatrixBy / topEventPathsBy: each dimension slice " +
+      "equals the plain op over that slice alone, across split regimes " +
+      "(NULL slice and event-level dimensions included)") {
+    val rnd = new scala.util.Random(20250819)
+    val rows = (0 until 600).map { i =>
+      val dim: Option[String] = rnd.nextInt(3) match {
+        case 0 => None
+        case n => Some(s"d$n")
+      }
+      // a few hot actors so a tiny threshold exercises the heavy path
+      (rnd.nextInt(5).toLong, ts(rnd.nextInt(4000).toLong),
+        s"${(97 + rnd.nextInt(4)).toChar}", dim, i)
+    }
+    val df = rows.map { case (u, t, y, d, i) => (u, t, y, d.orNull, i) }
+      .toDF("u", "t", "y", "dim", "eid")
+    val dims = rows.map(_._4).distinct
+    for (thr <- Seq(1000000L, 3L)) {
+      val mat = EventAnalytics.eventTransitionMatrixBy(df, "u", "t", "y",
+          "dim", orderCols = Seq("eid"), segmentSeconds = 600L,
+          segmentThreshold = thr)
+        .collect()
+        .map(r => (Option(r.getString(0)), r.getString(1),
+          r.getString(2)) -> ((r.getLong(3), r.getDouble(4)))).toMap
+      val paths = EventAnalytics.topEventPathsBy(df, "u", "t", "y",
+          "dim", length = 3, k = 1000, maxGapSeconds = 900L,
+          orderCols = Seq("eid"), segmentSeconds = 600L,
+          segmentThreshold = thr)
+        .collect()
+        .map(r => (Option(r.getString(0)), r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3), r.getInt(4)))).toMap
+      var matCells = 0; var pathCells = 0
+      dims.foreach { d =>
+        val slice = df.where(if (d.isEmpty) col("dim").isNull
+          else col("dim") === d.get)
+        val soloM = EventAnalytics.eventTransitionMatrix(slice, "u", "t",
+            "y", orderCols = Seq("eid"), segmentSeconds = 600L,
+            segmentThreshold = thr)
+          .collect()
+          .map(r => (d, r.getString(0), r.getString(1)) ->
+            ((r.getLong(2), r.getDouble(3)))).toMap
+        soloM.foreach { case (key, v) =>
+          assert(mat(key) == v, s"thr=$thr matrix $key") }
+        matCells += soloM.size
+        val soloP = EventAnalytics.topEventPaths(slice, "u", "t", "y",
+            length = 3, k = 1000, maxGapSeconds = 900L,
+            orderCols = Seq("eid"), segmentSeconds = 600L,
+            segmentThreshold = thr)
+          .collect().zipWithIndex
+          .map { case (r, i) => (d, r.getString(0)) ->
+            ((r.getLong(1), r.getDouble(2), i + 1)) }.toMap
+        soloP.foreach { case (key, v) =>
+          assert(paths(key) == v, s"thr=$thr paths $key") }
+        pathCells += soloP.size
+      }
+      assert(mat.size == matCells, s"thr=$thr extra matrix cells")
+      assert(paths.size == pathCells, s"thr=$thr extra path cells")
+    }
+  }
+
   test("funnelStepTimingBy: each dimension slice equals funnelStepTiming " +
       "over that slice alone (NULL slice included, windowed arm too)") {
     val rnd = new scala.util.Random(20250817)
