@@ -556,14 +556,28 @@ object EventAnalytics {
     val ord = col("__t").asc_nulls_last +: col("__y").asc_nulls_last +:
       orderCols.indices.map(i => col(s"__o$i").asc_nulls_last)
     // THE SKEW SPLIT: under the default Detect policy, one eager
-    // map-side-combined per-actor count (the joinCardinality contract)
-    // finds the heavy actors — bounded by rows/threshold; if it still
+    // map-side-combined per-key count (the joinCardinality contract)
+    // finds the heavy keys — bounded by rows/threshold; if it still
     // exceeds MaxHeavyActors the literal split would bloat the plan, so
     // EVERY actor takes the segmented path instead (correct either way).
     // AssumeLight/Known skip the pre-scan (r14 ADVICE: callers composing
     // several successor-family ops over one frame share one detect).
-    val routing = HeavySplit.resolve(split, base, col("__a"), col("__t"),
-      segmentThreshold)
+    // With a DIMENSION, all work partitions per (actor, dim) SLICE, so
+    // Detect routes per slice too — via the slice's xxhash64 (an
+    // isInCollection of struct literals is unsupported; a hash collision
+    // merely routes a light slice heavy, and routing never changes
+    // results). A caller-built Known enumerates ACTOR keys by contract:
+    // it routes whole actors (conservative — every slice of a heavy
+    // actor is segmented; a 150k-event actor spread thin across many
+    // slices is better served by Detect's per-slice counts).
+    val (routeKey, routing) = split match {
+      case HeavySplit.Detect if dimCol.isDefined =>
+        val h = xxhash64(col("__a"), col("__d"))
+        (h, HeavySplit.detectOn(base, h, col("__t"), segmentThreshold))
+      case other =>
+        (col("__a"), HeavySplit.resolve(other, base, col("__a"),
+          col("__t"), segmentThreshold))
+    }
     val allHeavy = routing.allHeavy
     val heavySet = routing.keys
     // the codegen'd consecutive-window enumerator, shared by both paths:
@@ -591,7 +605,7 @@ object EventAnalytics {
     // LIGHT actors (≤ threshold events): the plain per-actor window —
     // whole-stage codegen, one partition per actor, task size bounded
     // by the threshold itself
-    val heavyPred = HeavySplit.isHeavy(col("__a"), routing)
+    val heavyPred = HeavySplit.isHeavy(routeKey, routing)
     val lightRows: Option[DataFrame] =
       if (allHeavy) None
       else Some(leadWindows(

@@ -564,19 +564,31 @@ class EventAnalyticsSpec extends SparkSpec {
       "equals the plain op over that slice alone, across split regimes " +
       "(NULL slice and event-level dimensions included)") {
     val rnd = new scala.util.Random(20250819)
+    // actor 0 is HOT (~60% of events): thr = 50 then routes actor 0's
+    // slices heavy while the other actors' slices stay light — a
+    // genuinely MIXED regime where light and heavy rows coexist in the
+    // union (thr = 1e6 all-light, thr = 3 all-heavy)
     val rows = (0 until 600).map { i =>
       val dim: Option[String] = rnd.nextInt(3) match {
         case 0 => None
         case n => Some(s"d$n")
       }
-      // a few hot actors so a tiny threshold exercises the heavy path
-      (rnd.nextInt(5).toLong, ts(rnd.nextInt(4000).toLong),
+      val actor = rnd.nextInt(10) match {
+        case n if n < 6 => 0L
+        case n => (n - 5).toLong
+      }
+      (actor, ts(rnd.nextInt(4000).toLong),
         s"${(97 + rnd.nextInt(4)).toChar}", dim, i)
     }
     val df = rows.map { case (u, t, y, d, i) => (u, t, y, d.orNull, i) }
       .toDF("u", "t", "y", "dim", "eid")
     val dims = rows.map(_._4).distinct
-    for (thr <- Seq(1000000L, 3L)) {
+    // pin the mixed regime: some (actor, dim) slices above thr=50, some
+    // below
+    val sliceCounts = rows.groupBy(r => (r._1, r._4)).map(_._2.size)
+    assert(sliceCounts.exists(_ > 50) && sliceCounts.exists(_ <= 50),
+      "fixture must produce a mixed regime at thr=50")
+    for (thr <- Seq(1000000L, 50L, 3L)) {
       val mat = EventAnalytics.eventTransitionMatrixBy(df, "u", "t", "y",
           "dim", orderCols = Seq("eid"), segmentSeconds = 600L,
           segmentThreshold = thr)
