@@ -163,8 +163,13 @@ object HeavySplit {
     }
 
   /** Broadcast cutoff for [[segmentStateBound]]: states this small go
-    * out as a broadcast hash side (a few tens of MB of scalars at
-    * most); larger states fall back to the shuffled join and AQE.
+    * out as a broadcast hash side. The cutoff counts ROWS, so callers
+    * must only apply it when each state row is scalar-ish (Sessionize's
+    * (seg, base, cont) Longs; forwardFill gates on fixed-width fill
+    * types — a variable-width carry value repeated per segment could
+    * make 2M rows arbitrarily large, where AQE's runtime sizes decide
+    * correctly). Larger or unbounded-width states fall back to the
+    * shuffled join and AQE.
     */
   private[ops] val StateBroadcastRows: Long = 2000000L
 
@@ -214,10 +219,16 @@ object HeavySplit {
     */
   private[ops] def freshNames(avoid: Iterable[String])(bases: String*)
       : Seq[String] = {
-    val taken = scala.collection.mutable.Set(avoid.toSeq: _*)
+    // CASE-INSENSITIVE avoidance: Spark resolves columns
+    // case-insensitively by default, so a user column named "__Seg"
+    // would collide with a generated "__seg" even though the strings
+    // differ
+    val taken = scala.collection.mutable.Set(
+      avoid.map(_.toLowerCase).toSeq: _*)
     bases.map { b =>
-      val n = Iterator.iterate(b)(_ + "_").dropWhile(taken).next()
-      taken += n; n
+      val n = Iterator.iterate(b)(_ + "_")
+        .dropWhile(c => taken(c.toLowerCase)).next()
+      taken += n.toLowerCase; n
     }
   }
 

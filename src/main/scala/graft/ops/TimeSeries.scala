@@ -405,6 +405,15 @@ object TimeSeries {
       }
     }
 
+    // the heavy path's merge sorts per-segment carry STRUCTS of the fill
+    // values, which analysis rejects for unorderable fill types (maps);
+    // the light window handles them fine — so such frames simply never
+    // split (routing must not change what computes, let alone whether
+    // it can)
+    val splittable = cols.forall(c =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(
+        df.schema(df.schema.fieldIndex(c)).dataType))
+    if (!splittable) return lightFill(df)
     val us = unix_micros(col(tsCol).cast(TimestampType))
     val routing = HeavySplit.resolve(split, df, col(keyCol), us,
       segmentThreshold)
@@ -480,9 +489,21 @@ object TimeSeries {
         .select(col(kJ) +: col(mN)("s").as(sJ) +:
           cols.map(c => col(mN)("v")(c).as(carryN(c))): _*)
       // provably-small state side broadcasts (the Sessionize rationale:
-      // no join shuffle/sort on the row-scale side)
-      val stateSide = HeavySplit.maybeBroadcastState(merged, routing,
-        segMicros)
+      // no join shuffle/sort on the row-scale side) — but only when
+      // every carried fill value is FIXED-WIDTH: the row-count bound
+      // says nothing about bytes for strings/arrays repeated per
+      // segment, and AQE's runtime sizes make the broadcast call
+      // correctly there
+      val fixedWidth = cols.forall(c =>
+        df.schema(df.schema.fieldIndex(c)).dataType match {
+          case _: NumericType | BooleanType | DateType | TimestampType |
+               TimestampNTZType => true
+          case _ => false
+        })
+      val stateSide =
+        if (fixedWidth) HeavySplit.maybeBroadcastState(merged, routing,
+          segMicros)
+        else merged
       rows.join(stateSide, col(keyCol) <=> col(kJ) && col(segN) === col(sJ))
         .select(df.columns.map { c =>
           if (localN.contains(c))

@@ -211,6 +211,19 @@ class SessionizeSpec extends SparkSpec {
     out.foreach(r => assert(r.getLong(1) == expected(r.getLong(0))))
   }
 
+  test("freshNames avoids input columns case-insensitively (Spark " +
+      "resolution is case-insensitive: '__Seg' would capture '__seg')") {
+    val mixed = Seq((1L, 1L, ts(0), "x"), (1L, 2L, ts(5000), "y"))
+      .toDF("user_id", "event_id", "ts", "__Seg")
+    val out = Sessionize.withSessions(mixed, "user_id", "ts",
+        gapSeconds = 100, orderCols = Seq("event_id"),
+        split = ops.HeavySplit.Known(Nil, allHeavy = true))
+      .orderBy("event_id").collect()
+    // the user's __Seg column survives untouched and sessions are right
+    assert(out.map(_.getAs[String]("__Seg")).toSeq == Seq("x", "y"))
+    assert(out.map(_.getAs[Long]("session_index")).toSeq == Seq(0L, 1L))
+  }
+
   test("HeavySplit.detect: spans, caps, null keys; clamp arithmetic") {
     val rows = (0L until 30L).map(i => (Some(1L): Option[Long],
       Some(i * 1000000L): Option[Long], i)) ++

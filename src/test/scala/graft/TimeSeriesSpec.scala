@@ -253,6 +253,19 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out((1L, 16.0)) == ((None, None)))
   }
 
+  test("forwardFill: unorderable (map) fill columns never split — the " +
+      "heavy merge can't sort their carry, and routing must not change " +
+      "what computes") {
+    val d = Seq((1L, ts(0), Map("a" -> 1)), (1L, ts(50), Map("b" -> 2)))
+      .toDF("k", "t", "m")
+    // forced-heavy routing on a map fill column still computes (light
+    // plan) and fills nothing (no nulls here) — no analysis error
+    val out = TimeSeries.forwardFill(d, "k", "t", Seq("m"),
+        split = ops.HeavySplit.Known(Nil, allHeavy = true))
+      .collect()
+    assert(out.length == 2)
+  }
+
   test("forwardFill: a non-time tsCol fails loudly (heavy buckets by " +
       "parse, light sorts raw — routing could change results)") {
     val d = Seq((1L, "2024-9-05", Option(1.0)), (1L, "2024-10-07", None))
