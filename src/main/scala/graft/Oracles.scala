@@ -4132,6 +4132,37 @@ object Oracles {
        |ORDER BY vdim NULLS LAST, rank""".stripMargin
   }
 
+  /** q188: sequential dependencies — per-pair grouped extrema, adjacent
+    * lag over distinct x, the identical two-extreme-cross-pair gap
+    * predicate and floor-1 error arithmetic.
+    */
+  val q188: String = {
+    def cand(x: String, y: String): String =
+      s"""SELECT '$x' AS on_column, '$y' AS ordered_column,
+         |  0.0 AS min_gap, 500.0 AS max_gap,
+         |  count(*) AS n_groups,
+         |  count(*) FILTER (WHERE pmx IS NOT NULL AND NOT
+         |    (mn - pmx >= 0.0 AND mx - pmn <= 500.0)) AS violations,
+         |  CAST(count(*) FILTER (WHERE pmx IS NOT NULL AND NOT
+         |    (mn - pmx >= 0.0 AND mx - pmn <= 500.0)) AS DOUBLE)
+         |    / greatest(count(*) - 1, 1) AS error,
+         |  CAST(count(*) FILTER (WHERE pmx IS NOT NULL AND NOT
+         |    (mn - pmx >= 0.0 AND mx - pmn <= 500.0)) AS DOUBLE)
+         |    / greatest(count(*) - 1, 1) <= 0.15 AS holds
+         |FROM (
+         |  SELECT mn, mx, lag(mx) OVER (ORDER BY x) pmx,
+         |    lag(mn) OVER (ORDER BY x) pmn
+         |  FROM (
+         |    SELECT $x AS x, min($y) mn, max($y) mx FROM base
+         |    WHERE $x IS NOT NULL AND $y IS NOT NULL GROUP BY 1) g) w"""
+        .stripMargin
+    s"""WITH base AS (SELECT event_id, user_id, value,
+       |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events)
+       |${cand("event_id", "ts_s")}
+       |UNION ALL
+       |${cand("user_id", "value")}""".stripMargin
+  }
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q07_mutual_info_orders" -> q07Pinned,
@@ -4269,6 +4300,7 @@ object Oracles {
       "q185_retention_by_event_dim" -> q185,
       "q186_transitions_by_dim" -> q186,
       "q187_top_paths_by_dim" -> q187,
+      "q188_sequential_deps" -> q188,
       "q160_cohort_retention" -> q160,
       "q161_resample_grid" -> q161,
       "q162_forward_fill" -> q162,

@@ -3070,6 +3070,20 @@ object Queries {
       "user_id", "ts", "event_type", "vdim", length = 3, k = 5,
       maxGapSeconds = 172800L, orderCols = Seq("event_id"))
 
+  /** Sequential dependencies (r15): the ordered-data profiling rung
+    * after ODs — gap-interval constraints over adjacent distinct-x
+    * groups (Golab et al. 2009). event_id -> epoch-second cadence reads
+    * as the near-holding sensor-cadence case; user_id -> value is the
+    * dirty control.
+    */
+  def q188SequentialDeps(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+      .withColumn("ts_s", unix_seconds(col("ts").cast("timestamp")))
+    stats.KeyDiscovery.sequentialDependencies(ev,
+      Seq("event_id" -> "ts_s", "user_id" -> "value"),
+      minGap = 0.0, maxGap = 500.0, epsilon = 0.15)
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -3293,6 +3307,7 @@ object Queries {
     "q185_retention_by_event_dim" -> (q185RetentionByEventDim _),
     "q186_transitions_by_dim" -> (q186TransitionsByDim _),
     "q187_top_paths_by_dim" -> (q187TopPathsByDim _),
+    "q188_sequential_deps" -> (q188SequentialDeps _),
     "q140_multifield_linkage" -> (q140MultiFieldLinkage _)
   )
 }

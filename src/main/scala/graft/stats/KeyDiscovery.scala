@@ -1937,6 +1937,122 @@ object KeyDiscovery {
           1L)), lit(0L)).as("__desc_viol"))
   }
 
+  /** SEQUENTIAL dependencies — the ordered-data profiling member after
+    * order dependencies (Golab, Karloff, Korn, Srivastava, VLDB 2009:
+    * "Sequential dependencies" X →_[g₁,g₂] Y — sorting by X, consecutive
+    * Y values step by a gap inside the interval; the sequence-number /
+    * sensor-cadence / billing-cycle constraint ODs cannot express). At
+    * distinct-x GROUP granularity with the OD family's extrema
+    * convention: the adjacent group pair (prev, next) SATISFIES the gap
+    * iff EVERY cross pair of their y values does —
+    * `next.min − prev.max ≥ g₁ AND next.max − prev.min ≤ g₂` (the two
+    * extreme cross pairs bound all others) — and the APPROXIMATE form
+    * reports the fraction of adjacent pairs violating, the
+    * [[approximateOrderDependencies]] adjacent-granularity convention
+    * (one outlier group dirties ~2 pairs, never the whole suffix).
+    * `holds ⟺ error ≤ epsilon`; epsilon 0 is the exact verdict. Rows
+    * with a null x or y are ignored; a pair with < 2 distinct x groups
+    * reads zero violations over the floor-1 denominator (holds). Gap
+    * arithmetic runs in DOUBLE over numeric y (require-gated): derive a
+    * numeric column first for timestamp cadences (epoch seconds — the
+    * frequency-inference adjacency turned into a constraint).
+    *
+    * Scale shape — identical to the OD family (shared
+    * [[groupedExtremaByRange]]): raw rows collapse map-side to
+    * distinct-x extrema, range-partition by x, adjacency via a lag
+    * within each partition plus a broadcast ≤p-row partition carry; NO
+    * raw-row sort anywhere. Pairs run as concurrent bounded jobs.
+    *
+    * Output: (on_column, ordered_column, min_gap, max_gap, n_groups,
+    * violations, error, holds) — one row per requested pair, input
+    * order.
+    */
+  def sequentialDependencies(df: DataFrame,
+                             pairs: Seq[(String, String)],
+                             minGap: Double, maxGap: Double,
+                             epsilon: Double = 0.0,
+                             partitions: Int = 0): DataFrame = {
+    require(pairs.nonEmpty, "need at least one (on, ordered) pair")
+    require(pairs.size <= MaxCandidates,
+      s"${pairs.size} pairs > $MaxCandidates: bound the per-call fan-out")
+    require(minGap <= maxGap, s"need minGap <= maxGap, got [$minGap, $maxGap]")
+    require(epsilon >= 0 && epsilon < 1,
+      s"need 0 <= epsilon < 1, got $epsilon")
+    pairs.foreach { case (x, y) =>
+      require(x != y, s"on and ordered column are both '$x'")
+      Seq(x, y).foreach(c => require(df.columns.contains(c),
+        s"column '$c' not in frame"))
+      require(df.schema(df.schema.fieldIndex(y)).dataType
+          .isInstanceOf[NumericType],
+        s"ordered column '$y' must be numeric for gap arithmetic — " +
+          "derive one (e.g. epoch seconds) first")
+    }
+    val spark = df.sparkSession
+    val p =
+      if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val acc = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]()
+    graft.util.Concurrency.runConcurrently(pairs.indices) { i =>
+      val (x, y) = pairs(i)
+      val r = adjacentGapViolationAgg(df, x, y, minGap, maxGap, p).head()
+      acc.put(i, (r.getLong(0), r.getLong(1)))
+    }
+    val rows = pairs.zipWithIndex.map { case ((x, y), i) =>
+      val (n, viol) = acc.get(i)
+      val error = viol / math.max(n - 1, 1L).toDouble
+      Row(x, y, minGap, maxGap, n, viol, error, error <= epsilon)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("on_column", StringType, nullable = false),
+        StructField("ordered_column", StringType, nullable = false),
+        StructField("min_gap", DoubleType, nullable = false),
+        StructField("max_gap", DoubleType, nullable = false),
+        StructField("n_groups", LongType, nullable = false),
+        StructField("violations", LongType, nullable = false),
+        StructField("error", DoubleType, nullable = false),
+        StructField("holds", BooleanType, nullable = false))))
+  }
+
+  /** One pair's adjacent-gap violation count: (n_groups, violations)
+    * over the grouped-extrema frame — the [[sequentialDependencies]]
+    * plan (the [[adjacentOrderViolationAgg]] carry shape with the gap
+    * predicate in place of the monotonicity one). Exposed for the plan
+    * spec.
+    */
+  private[graft] def adjacentGapViolationAgg(df: DataFrame, x: String,
+                                             y: String, minGap: Double,
+                                             maxGap: Double, p: Int)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grouped = groupedExtremaByRange(df, x, y, p)
+    val wp = Window.orderBy("__pid")
+    val carry = grouped.groupBy("__pid")
+      .agg(max_by(col("__mx"), col(x)).as("__lmx"),
+        max_by(col("__mn"), col(x)).as("__lmn"))
+      .select(col("__pid"),
+        lag("__lmx", 1).over(wp).as("__cmx"),
+        lag("__lmn", 1).over(wp).as("__cmn"))
+    val w = Window.partitionBy("__pid").orderBy(col(x))
+    // materialize the in-partition lags BEFORE the aggregate (window
+    // functions are illegal inside agg expressions), then fall back to
+    // the cross-partition carry; a group with a predecessor violates
+    // unless BOTH extreme cross pairs satisfy the interval, and the
+    // first group overall (both lags null) contributes nothing
+    val prevMx = coalesce(col("__pmx"), col("__cmx")).cast(DoubleType)
+    val prevMn = coalesce(col("__pmn"), col("__cmn")).cast(DoubleType)
+    val bad = prevMx.isNotNull && !(
+      col("__mn").cast(DoubleType) - prevMx >= lit(minGap) &&
+        col("__mx").cast(DoubleType) - prevMn <= lit(maxGap))
+    grouped
+      .withColumn("__pmx", lag("__mx", 1).over(w))
+      .withColumn("__pmn", lag("__mn", 1).over(w))
+      .join(broadcast(carry), "__pid")
+      .agg(count(lit(1)).as("__n"),
+        coalesce(sum(when(bad, 1L)), lit(0L)).as("__viol"))
+  }
+
   /** The grouped-extrema frame BOTH OD measures build on (exact prefix
     * form and approximate adjacent form): distinct-x (min y, max y)
     * rows, range-partitioned by x with a materialized partition id for

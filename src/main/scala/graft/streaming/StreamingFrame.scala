@@ -530,6 +530,28 @@ object StreamingFrame {
           (0 until m("n").toInt).map(i => (m(s"t$i").toLong, m(s"y$i")))
         case v => throw new StateVersionMismatch(v)
       }
+
+    /** Forward-fill state payload: the key's event-time frontier (µs)
+      * and its carry — the last non-null value at or before the
+      * frontier — double bits via the exact [[bits]]/[[undo]] encoding
+      * (no decimal round-trip noise), absent while no non-null value
+      * has arrived.
+      */
+    val FfillVersion = 1
+
+    def encodeFfill(tMicros: Long, carry: Option[Double]): Enveloped =
+      Enveloped(FfillVersion,
+        "{\"t\":" + tMicros +
+          carry.map(c => ",\"v\":\"" + bits(c) + "\"").getOrElse("") +
+          "}")
+
+    def decodeFfill(e: Enveloped): (Long, Option[Double]) =
+      e.version match {
+        case FfillVersion =>
+          val m = graft.schema.SchemaMetadata.parseJsonValueMap(e.json)
+          (m("t").toLong, m.get("v").map(undo))
+        case v => throw new StateVersionMismatch(v)
+      }
   }
 
   def statefulProfile(stream: DataFrame, keyCol: String, valueCol: String)
@@ -1074,5 +1096,72 @@ object StreamingFrame {
     state.update(StateEnvelope.encodePaths(length, maxGapSeconds,
       buf.takeRight(length - 1)))
     out.result()
+  }
+  /** One forward-filled observation: the key, its event time in micros,
+    * and the filled value (None while the key has no carry).
+    */
+  final case class FilledValue(key: String, t_micros: Long,
+                               value: Option[Double])
+
+  /** Per-key forward fill carried in custom streaming state — the
+    * streaming twin of [[graft.ops.TimeSeries.forwardFill]] for ONE
+    * numeric column (values cast to double, the [[statefulProfile]]
+    * convention). State per key is TWO scalars — the event-time
+    * frontier and the last non-null value (exact double bits) — inside
+    * the versioned [[StateEnvelope.Enveloped]] payload. Within a
+    * micro-batch the key's rows are sorted by event time before the
+    * carry walk, so replaying a log IN EVENT-TIME ORDER reproduces the
+    * batch fill exactly (spec-pinned; equal timestamps are ambiguous in
+    * both forms — the batch op requires a tiebreak by contract, and the
+    * twin has no orderCols arm; a tied-at-the-frontier arrival is
+    * treated as in-order, the [[streamingPaths]] tie rule).
+    *
+    * The honest streaming caveat (the [[streamingPaths]]
+    * drop-not-fabricate convention): a row arriving BELOW the frontier
+    * cannot be filled from bounded state — the value "before it" lives
+    * only in the batch order — so a late NULL row emits None (an
+    * UNDER-fill; the batch would fill it with an earlier value, and
+    * filling from the newer carry would fabricate a fill the batch
+    * never produces) and a late NON-NULL row emits its own value but
+    * does NOT move the frontier or carry (state cannot retroactively
+    * insert history). Null timestamps are dropped at the gate (the
+    * stream has no event-time place for them; the batch op sorts them
+    * last).
+    */
+  def streamingForwardFill(stream: DataFrame, keyCol: String,
+                           tsCol: String, valueCol: String)
+      : org.apache.spark.sql.Dataset[FilledValue] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+      OutputMode}
+    import StateEnvelope.Enveloped
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col(keyCol).cast(StringType).as("k"),
+        unix_micros(col(tsCol).cast(TimestampType)).as("t"),
+        col(valueCol).cast(DoubleType).as("v"))
+      .where(col("k").isNotNull && col("t").isNotNull)
+      .as[(String, Long, Option[Double])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Enveloped, FilledValue](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[Enveloped]) =>
+          var (frontier, carry) = state.getOption
+            .map(StateEnvelope.decodeFfill)
+            .getOrElse((Long.MinValue, Option.empty[Double]))
+          val out = Seq.newBuilder[FilledValue]
+          rows.toSeq.sortBy(_._2).foreach { case (_, t, v) =>
+            if (t >= frontier) {
+              if (v.isDefined) carry = v
+              frontier = t
+              out += FilledValue(key, t, carry)
+            } else {
+              // late: emit as-is, never fabricate a fill or move state
+              out += FilledValue(key, t, v)
+            }
+          }
+          state.update(StateEnvelope.encodeFfill(frontier, carry))
+          out.result().iterator
+      }
   }
 }

@@ -1033,6 +1033,59 @@ class KeyDiscoverySpec extends SparkSpec {
     }
   }
 
+  test("sequentialDependencies: adjacent gap verdicts equal brute force " +
+      "at multiple partition counts; guards are loud") {
+    val rnd = new scala.util.Random(20250820)
+    // mostly cadence-10 steps on distinct x, some duplicate-x groups
+    // (extrema matter), some outliers, nulls in both roles
+    val rows = (0 until 300).flatMap { i =>
+      val x: java.lang.Long =
+        if (rnd.nextInt(40) == 0) null else java.lang.Long.valueOf(i / 2)
+      val base = (i / 2) * 10.0
+      val y: java.lang.Double =
+        if (rnd.nextInt(40) == 1) null
+        else java.lang.Double.valueOf(
+          if (rnd.nextInt(10) == 0) base + rnd.nextInt(200) - 100
+          else base + rnd.nextInt(3))
+      Seq((x, y))
+    }
+    val df = rows.toDF("x", "y")
+    val (g1, g2) = (5.0, 15.0)
+    // brute force over distinct-x extrema in x order
+    val groups = rows.filter(r => r._1 != null && r._2 != null)
+      .groupBy(_._1.longValue).toSeq.sortBy(_._1)
+      .map { case (_, g) =>
+        (g.map(_._2.doubleValue).min, g.map(_._2.doubleValue).max) }
+    val viol = groups.sliding(2).count {
+      case Seq((pmn, pmx), (mn, mx)) =>
+        !(mn - pmx >= g1 && mx - pmn <= g2)
+      case _ => false
+    }
+    val expErr = viol.toDouble / math.max(groups.size - 1, 1)
+    for (p <- Seq(1, 3, 8)) {
+      val out = KeyDiscovery.sequentialDependencies(df,
+          Seq("x" -> "y"), g1, g2, epsilon = expErr + 0.001,
+          partitions = p)
+        .head()
+      assert(out.getLong(4) == groups.size.toLong, s"p=$p n_groups")
+      assert(out.getLong(5) == viol.toLong, s"p=$p violations")
+      assert(out.getDouble(6) == expErr, s"p=$p error")
+      assert(out.getBoolean(7), s"p=$p holds at epsilon just above")
+    }
+    // single-group and empty restrictions hold with zero violations
+    val tiny = Seq((1L, 5.0)).toDF("x", "y")
+    val t = KeyDiscovery.sequentialDependencies(tiny, Seq("x" -> "y"),
+      0.0, 1.0).head()
+    assert(t.getLong(4) == 1L && t.getLong(5) == 0L && t.getBoolean(7))
+    intercept[IllegalArgumentException] {
+      KeyDiscovery.sequentialDependencies(df, Seq("x" -> "y"), 5.0, 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      KeyDiscovery.sequentialDependencies(
+        df.withColumn("s", lit("a")), Seq("x" -> "s"), 0.0, 1.0)
+    }
+  }
+
   test("compositeCandidateKeys misuse guards are loud") {
     intercept[IllegalArgumentException] {
       KeyDiscovery.compositeCandidateKeys(df, Seq(Seq("id", "id")))
