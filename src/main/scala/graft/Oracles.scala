@@ -4160,7 +4160,8 @@ object Oracles {
        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events)
        |${cand("event_id", "ts_s")}
        |UNION ALL
-       |${cand("user_id", "value")}""".stripMargin
+       |${cand("user_id", "value")}
+       |ORDER BY on_column, ordered_column""".stripMargin
   }
 
   def all(q09Literal: Option[String]): Map[String, String] = {

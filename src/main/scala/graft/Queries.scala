@@ -3082,6 +3082,7 @@ object Queries {
     stats.KeyDiscovery.sequentialDependencies(ev,
       Seq("event_id" -> "ts_s", "user_id" -> "value"),
       minGap = 0.0, maxGap = 500.0, epsilon = 0.15)
+      .orderBy("on_column", "ordered_column")
   }
 
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated

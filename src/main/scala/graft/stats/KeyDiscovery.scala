@@ -1910,23 +1910,7 @@ object KeyDiscovery {
   private[graft] def adjacentOrderViolationAgg(df: DataFrame, x: String,
                                                y: String, p: Int)
       : DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grouped = groupedExtremaByRange(df, x, y, p)
-    // carry: each partition's LAST group's extrema (max_by on the
-    // distinct group key — no ties), lagged over present partitions so
-    // a partition's first group sees its true adjacent predecessor
-    val wp = Window.orderBy("__pid")
-    val carry = grouped.groupBy("__pid")
-      .agg(max_by(col("__mx"), col(x)).as("__lmx"),
-        max_by(col("__mn"), col(x)).as("__lmn"))
-      .select(col("__pid"),
-        lag("__lmx", 1).over(wp).as("__cmx"),
-        lag("__lmn", 1).over(wp).as("__cmn"))
-    val w = Window.partitionBy("__pid").orderBy(col(x))
-    grouped
-      .withColumn("__pmx", lag("__mx", 1).over(w))
-      .withColumn("__pmn", lag("__mn", 1).over(w))
-      .join(broadcast(carry), "__pid")
+    withAdjacentPredecessors(groupedExtremaByRange(df, x, y, p), x)
       .agg(
         count(lit(1)).as("__n"),
         coalesce(sum(when(
@@ -2025,8 +2009,33 @@ object KeyDiscovery {
                                              y: String, minGap: Double,
                                              maxGap: Double, p: Int)
       : DataFrame = {
+    // a group with a predecessor violates unless BOTH extreme cross
+    // pairs satisfy the interval; the first group overall (null
+    // predecessor extrema) contributes nothing
+    val prevMx = coalesce(col("__pmx"), col("__cmx")).cast(DoubleType)
+    val prevMn = coalesce(col("__pmn"), col("__cmn")).cast(DoubleType)
+    val bad = prevMx.isNotNull && !(
+      col("__mn").cast(DoubleType) - prevMx >= lit(minGap) &&
+        col("__mx").cast(DoubleType) - prevMn <= lit(maxGap))
+    withAdjacentPredecessors(groupedExtremaByRange(df, x, y, p), x)
+      .agg(count(lit(1)).as("__n"),
+        coalesce(sum(when(bad, 1L)), lit(0L)).as("__viol"))
+  }
+
+  /** The adjacent-predecessor machinery BOTH adjacent-granularity
+    * measures share ([[adjacentOrderViolationAgg]] monotonicity,
+    * [[adjacentGapViolationAgg]] gap intervals): annotate each
+    * distinct-x group with its in-partition predecessor's extrema
+    * (`__pmx`/`__pmn`, lag) and the cross-partition carry
+    * (`__cmx`/`__cmn` — the previous present partition's LAST group via
+    * max_by on the distinct key, lagged over the ≤p-row partition
+    * frame, broadcast back). One definition so a carry edge fix can
+    * never reach one measure and miss the other (the
+    * [[groupedExtremaByRange]] principle).
+    */
+  private def withAdjacentPredecessors(grouped: DataFrame, x: String)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grouped = groupedExtremaByRange(df, x, y, p)
     val wp = Window.orderBy("__pid")
     val carry = grouped.groupBy("__pid")
       .agg(max_by(col("__mx"), col(x)).as("__lmx"),
@@ -2035,22 +2044,10 @@ object KeyDiscovery {
         lag("__lmx", 1).over(wp).as("__cmx"),
         lag("__lmn", 1).over(wp).as("__cmn"))
     val w = Window.partitionBy("__pid").orderBy(col(x))
-    // materialize the in-partition lags BEFORE the aggregate (window
-    // functions are illegal inside agg expressions), then fall back to
-    // the cross-partition carry; a group with a predecessor violates
-    // unless BOTH extreme cross pairs satisfy the interval, and the
-    // first group overall (both lags null) contributes nothing
-    val prevMx = coalesce(col("__pmx"), col("__cmx")).cast(DoubleType)
-    val prevMn = coalesce(col("__pmn"), col("__cmn")).cast(DoubleType)
-    val bad = prevMx.isNotNull && !(
-      col("__mn").cast(DoubleType) - prevMx >= lit(minGap) &&
-        col("__mx").cast(DoubleType) - prevMn <= lit(maxGap))
     grouped
       .withColumn("__pmx", lag("__mx", 1).over(w))
       .withColumn("__pmn", lag("__mn", 1).over(w))
       .join(broadcast(carry), "__pid")
-      .agg(count(lit(1)).as("__n"),
-        coalesce(sum(when(bad, 1L)), lit(0L)).as("__viol"))
   }
 
   /** The grouped-extrema frame BOTH OD measures build on (exact prefix

@@ -1124,9 +1124,11 @@ object StreamingFrame {
     * filling from the newer carry would fabricate a fill the batch
     * never produces) and a late NON-NULL row emits its own value but
     * does NOT move the frontier or carry (state cannot retroactively
-    * insert history). Null timestamps are dropped at the gate (the
-    * stream has no event-time place for them; the batch op sorts them
-    * last).
+    * insert history). A NULL KEY is a real group — the batch op fills
+    * it as its own window partition, so the twin groups it too (an
+    * Option grouping key; the emitted key reads null). Null timestamps
+    * are dropped at the gate (the stream has no event-time place for
+    * them; the batch op sorts them last).
     */
   def streamingForwardFill(stream: DataFrame, keyCol: String,
                            tsCol: String, valueCol: String)
@@ -1140,12 +1142,13 @@ object StreamingFrame {
       .select(col(keyCol).cast(StringType).as("k"),
         unix_micros(col(tsCol).cast(TimestampType)).as("t"),
         col(valueCol).cast(DoubleType).as("v"))
-      .where(col("k").isNotNull && col("t").isNotNull)
-      .as[(String, Long, Option[Double])]
+      .where(col("t").isNotNull)
+      .as[(Option[String], Long, Option[Double])]
       .groupByKey(_._1)
       .flatMapGroupsWithState[Enveloped, FilledValue](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        case (key, rows, state: GroupState[Enveloped]) =>
+        case (keyOpt, rows, state: GroupState[Enveloped]) =>
+          val key = keyOpt.orNull
           var (frontier, carry) = state.getOption
             .map(StateEnvelope.decodeFfill)
             .getOrElse((Long.MinValue, Option.empty[Double]))

@@ -1086,6 +1086,30 @@ class KeyDiscoverySpec extends SparkSpec {
     }
   }
 
+  test("adjacentGapViolationAgg plan: rows collapse through groupBy(x) " +
+      "before ANY Sort (the sequential-dependency scale contract)") {
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val conf = spark.conf
+    val prevAqe = conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val d = spark.range(10000).select(
+        pmod(col("id"), lit(500)).as("x"),
+        col("id").cast("double").as("y"))
+      val plan = KeyDiscovery.adjacentGapViolationAgg(d, "x", "y",
+          0.0, 100.0, 8)
+        .queryExecution.executedPlan
+      val sorts = plan.collect { case s: SortExec => s }
+      assert(sorts.nonEmpty)
+      sorts.foreach { s =>
+        assert(s.exists { case _: BaseAggregateExec => true
+          case _ => false },
+          s"a Sort runs on raw rows (no aggregate below it):\n$plan")
+      }
+    } finally conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("compositeCandidateKeys misuse guards are loud") {
     intercept[IllegalArgumentException] {
       KeyDiscovery.compositeCandidateKeys(df, Seq(Seq("id", "id")))

@@ -19,28 +19,39 @@ class StreamingFfillSpec extends SparkSpec {
   test("streamingForwardFill replayed in event-time order equals the " +
       "batch forwardFill") {
     val rnd = new scala.util.Random(57)
-    // unique timestamps (the twin has no tiebreak arm), ~2/3 null values
+    // unique timestamps (the twin has no tiebreak arm), ~2/3 null
+    // values, and a REAL null-key group (the batch op fills it as its
+    // own partition — the twin must too)
     val times = rnd.shuffle((1 to 300).toList)
-    val events = times.map(t => (rnd.nextInt(10).toLong, ts(t.toLong),
-      if (rnd.nextInt(3) == 0) java.lang.Double.valueOf(rnd.nextInt(50))
-      else null.asInstanceOf[java.lang.Double]))
+    val events = times.map { t =>
+      val k: java.lang.Long = rnd.nextInt(10) match {
+        case 0 => null
+        case n => java.lang.Long.valueOf(n.toLong)
+      }
+      (k, ts(t.toLong),
+        if (rnd.nextInt(3) == 0) java.lang.Double.valueOf(rnd.nextInt(50))
+        else null.asInstanceOf[java.lang.Double])
+    }
+    assert(events.exists(_._1 == null))
     val ordered = events.sortBy(_._2.getTime)
     implicit val sqlCtx = spark.sqlContext
-    val mem = MemoryStream[(Long, Timestamp, Option[Double])]
+    val mem = MemoryStream[(Option[Long], Timestamp, Option[Double])]
     val out = StreamingFrame.streamingForwardFill(
       mem.toDF.toDF("k", "t", "v"), "k", "t", "v")
     val q = out.writeStream.format("memory").queryName("ffill_twin")
       .outputMode("update").start()
-    ordered.map(e => (e._1, e._2, Option(e._3).map(_.doubleValue)))
+    ordered.map(e => (Option(e._1).map(_.longValue), e._2,
+        Option(e._3).map(_.doubleValue)))
       .grouped(80).foreach { b => mem.addData(b); q.processAllAvailable() }
     q.stop()
     val streamed = spark.sql(
         "SELECT key, t_micros, value FROM ffill_twin").collect()
-      .map(r => (r.getString(0).toLong, r.getLong(1)) ->
+      .map(r => (Option(r.getString(0)).map(_.toLong), r.getLong(1)) ->
         (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
     val batch = TimeSeries.forwardFill(events.toDF("k", "t", "v"),
         "k", "t", Seq("v")).collect()
-      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000L) ->
+      .map(r => ((if (r.isNullAt(0)) None else Some(r.getLong(0))),
+        r.getTimestamp(1).getTime * 1000L) ->
         (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
     assert(streamed.size == events.size)
     assert(streamed == batch)
