@@ -4164,6 +4164,30 @@ object Oracles {
        |ORDER BY on_column, ordered_column""".stripMargin
   }
 
+  /** q189: sequential-gap inference — the identical adjacent lo/hi gap
+    * frame with quantile_cont at trim / 1−trim.
+    */
+  val q189: String = {
+    def cand(x: String, y: String): String =
+      s"""SELECT '$x' AS on_column, '$y' AS ordered_column,
+         |  count(*) AS n_adjacent,
+         |  CAST(quantile_cont(lo, 0.05) AS DOUBLE) AS gap_low,
+         |  CAST(quantile_cont(hi, 0.95) AS DOUBLE) AS gap_high
+         |FROM (
+         |  SELECT mn - lag(mx) OVER (ORDER BY x) AS lo,
+         |    mx - lag(mn) OVER (ORDER BY x) AS hi
+         |  FROM (
+         |    SELECT $x AS x, min($y) mn, max($y) mx FROM base
+         |    WHERE $x IS NOT NULL AND $y IS NOT NULL GROUP BY 1) g) w
+         |WHERE lo IS NOT NULL""".stripMargin
+    s"""WITH base AS (SELECT event_id, user_id, value,
+       |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events)
+       |${cand("event_id", "ts_s")}
+       |UNION ALL
+       |${cand("user_id", "value")}
+       |ORDER BY on_column, ordered_column""".stripMargin
+  }
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q07_mutual_info_orders" -> q07Pinned,
@@ -4302,6 +4326,7 @@ object Oracles {
       "q186_transitions_by_dim" -> q186,
       "q187_top_paths_by_dim" -> q187,
       "q188_sequential_deps" -> q188,
+      "q189_infer_seq_gaps" -> q189,
       "q160_cohort_retention" -> q160,
       "q161_resample_grid" -> q161,
       "q162_forward_fill" -> q162,

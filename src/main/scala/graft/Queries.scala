@@ -3085,6 +3085,17 @@ object Queries {
       .orderBy("on_column", "ordered_column")
   }
 
+  /** Sequential-gap inference (r15): the discovery half of q188 — the
+    * tightest trimmed interval of the adjacent-gap distribution per
+    * pair, exact quantiles via the grouped collapse-then-window walk.
+    */
+  def q189InferSeqGaps(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+      .withColumn("ts_s", unix_seconds(col("ts").cast("timestamp")))
+    stats.KeyDiscovery.inferSequentialGaps(ev,
+      Seq("event_id" -> "ts_s", "user_id" -> "value"), trim = 0.05)
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -3309,6 +3320,7 @@ object Queries {
     "q186_transitions_by_dim" -> (q186TransitionsByDim _),
     "q187_top_paths_by_dim" -> (q187TopPathsByDim _),
     "q188_sequential_deps" -> (q188SequentialDeps _),
+    "q189_infer_seq_gaps" -> (q189InferSeqGaps _),
     "q140_multifield_linkage" -> (q140MultiFieldLinkage _)
   )
 }

@@ -2022,6 +2022,96 @@ object KeyDiscovery {
         coalesce(sum(when(bad, 1L)), lit(0L)).as("__viol"))
   }
 
+  /** Gap-interval INFERENCE for sequential dependencies — the discovery
+    * half of the Golab et al. problem ([[sequentialDependencies]]
+    * checks a GIVEN interval; this finds one): per (x, y) pair, the
+    * tightest [g₁, g₂] covering the central mass of the adjacent-gap
+    * distribution — g₁ = the `trim` quantile of the LOWER gaps
+    * (`next.min − prev.max`, the tightest cross pair) and g₂ = the
+    * `1 − trim` quantile of the UPPER gaps (`next.max − prev.min`, the
+    * widest), both EXACT with SQL `percentile` interpolation via the
+    * [[graft.stats.Describe.groupedQuantiles]] collapse-then-window
+    * walk. `trim = 0` infers the exact envelope (min lower gap, max
+    * upper gap — holds by construction at ε = 0);  a small trim
+    * discards outlier cadence breaks so the inferred interval feeds
+    * [[sequentialDependencies]] as the dirty-data constraint (each
+    * trimmed side can dirty at most a `trim` fraction of adjacent
+    * pairs, so the checked error is ≤ 2·trim-ish — re-check, don't
+    * assume). Pairs with no adjacent group pair read null gaps over
+    * n_adjacent = 0.
+    *
+    * Scale shape: the shared grouped-extrema + adjacent-carry frame
+    * (distinct-x scale, no raw-row sort), melted to (lower, upper) gap
+    * rows, then the grouped quantile walk — per-pair state is the
+    * DISTINCT gap values, never the groups. Pairs run as one lazy
+    * union of bounded per-pair plans.
+    *
+    * Output: (on_column, ordered_column, n_adjacent, gap_low,
+    * gap_high), one row per requested pair, ordered by (on_column,
+    * ordered_column).
+    */
+  def inferSequentialGaps(df: DataFrame,
+                          pairs: Seq[(String, String)],
+                          trim: Double = 0.0,
+                          partitions: Int = 0): DataFrame = {
+    require(pairs.nonEmpty, "need at least one (on, ordered) pair")
+    require(pairs.size <= MaxCandidates,
+      s"${pairs.size} pairs > $MaxCandidates: bound the per-call fan-out")
+    require(trim >= 0 && trim < 0.5, s"need 0 <= trim < 0.5, got $trim")
+    pairs.foreach { case (x, y) =>
+      require(x != y, s"on and ordered column are both '$x'")
+      Seq(x, y).foreach(c => require(df.columns.contains(c),
+        s"column '$c' not in frame"))
+      require(df.schema(df.schema.fieldIndex(y)).dataType
+          .isInstanceOf[NumericType],
+        s"ordered column '$y' must be numeric for gap arithmetic — " +
+          "derive one (e.g. epoch seconds) first")
+    }
+    val spark = df.sparkSession
+    val p =
+      if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    pairs.map { case (x, y) =>
+      val adj = withAdjacentPredecessors(groupedExtremaByRange(df, x, y, p),
+          x)
+        .where(coalesce(col("__pmx"), col("__cmx")).isNotNull)
+        .select(
+          (col("__mn").cast(DoubleType) -
+            coalesce(col("__pmx"), col("__cmx")).cast(DoubleType))
+            .as("__lo"),
+          (col("__mx").cast(DoubleType) -
+            coalesce(col("__pmn"), col("__cmn")).cast(DoubleType))
+            .as("__hi"))
+        .withColumn("__one", lit(1))
+      val lows = graft.stats.Describe.groupedQuantiles(adj,
+        Seq("__one"), "__lo", Seq(trim))
+      val highs = graft.stats.Describe.groupedQuantiles(adj,
+        Seq("__one"), "__hi", Seq(1 - trim))
+      val lowCol = lows.columns.last // the single p-label column
+      val highCol = highs.columns.last
+      // both sides are ONE-row frames (the constant group); a cross
+      // join of two one-row bounded frames assembles the pair row, and
+      // an empty adjacent frame (no groups at all) still yields the
+      // row via the zero-count union arm below
+      val joined = lows.select(col("n").as("__n"),
+          col(lowCol).as("__g1"))
+        .crossJoin(highs.select(col(highCol).as("__g2")))
+      val empty = spark.range(1).select(lit(0L).as("__n"),
+        lit(null).cast(DoubleType).as("__g1"),
+        lit(null).cast(DoubleType).as("__g2"))
+      // groupedQuantiles emits no row for an EMPTY input; coalesce the
+      // two shapes with a union + limit-by-priority (the non-empty arm
+      // wins when present)
+      joined.unionAll(empty)
+        .orderBy(col("__n").desc)
+        .limit(1)
+        .select(lit(x).as("on_column"), lit(y).as("ordered_column"),
+          col("__n").as("n_adjacent"), col("__g1").as("gap_low"),
+          col("__g2").as("gap_high"))
+    }.reduce(_ unionAll _)
+      .orderBy(col("on_column"), col("ordered_column"))
+  }
+
   /** The adjacent-predecessor machinery BOTH adjacent-granularity
     * measures share ([[adjacentOrderViolationAgg]] monotonicity,
     * [[adjacentGapViolationAgg]] gap intervals): annotate each

@@ -1086,6 +1086,42 @@ class KeyDiscoverySpec extends SparkSpec {
     }
   }
 
+  test("inferSequentialGaps: exact trimmed quantiles of the adjacent " +
+      "gap distribution; the trim-0 envelope re-checks as holding") {
+    val rnd = new scala.util.Random(20250821)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, (i * 10).toDouble + rnd.nextInt(5))
+    } :+ (500L, 9999.0) // one cadence-break outlier group
+    val df = rows.toDF("x", "y")
+    // brute-force adjacent gaps over distinct-x extrema (distinct x here)
+    val sorted = rows.sortBy(_._1)
+    val lows = sorted.sliding(2).map { case Seq(a, b) => b._2 - a._2 }
+      .toSeq.sorted
+    def q(vs: Seq[Double], p: Double): Double = {
+      val pos = p * (vs.size - 1)
+      val (lo, hi) = (vs(pos.toInt), vs(math.ceil(pos).toInt))
+      if (pos == math.floor(pos)) lo
+      else lo * (math.ceil(pos) - pos) + hi * (pos - math.floor(pos))
+    }
+    val out = KeyDiscovery.inferSequentialGaps(df, Seq("x" -> "y"),
+      trim = 0.1).head()
+    assert(out.getLong(2) == lows.size.toLong)
+    assert(out.getDouble(3) == q(lows, 0.1), "gap_low")
+    assert(out.getDouble(4) == q(lows, 0.9), "gap_high")
+    // trim = 0: the exact envelope, and the CHECK composition holds at
+    // epsilon 0 by construction
+    val env = KeyDiscovery.inferSequentialGaps(df, Seq("x" -> "y")).head()
+    assert(env.getDouble(3) == lows.min && env.getDouble(4) == lows.max)
+    val check = KeyDiscovery.sequentialDependencies(df, Seq("x" -> "y"),
+      env.getDouble(3), env.getDouble(4)).head()
+    assert(check.getLong(5) == 0L && check.getBoolean(7),
+      "the inferred envelope must hold exactly")
+    // empty restriction: null gaps over zero adjacents
+    val none = KeyDiscovery.inferSequentialGaps(
+      df.where(col("x") < 0), Seq("x" -> "y")).head()
+    assert(none.getLong(2) == 0L && none.isNullAt(3) && none.isNullAt(4))
+  }
+
   test("adjacentGapViolationAgg plan: rows collapse through groupBy(x) " +
       "before ANY Sort (the sequential-dependency scale contract)") {
     import org.apache.spark.sql.execution.SortExec
