@@ -2071,43 +2071,41 @@ object KeyDiscovery {
     val p =
       if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // the complement in DECIMAL, not binary doubles: 1 - 0.07 reads
+    // 0.9299999999999999 in IEEE, which shifts an exact-rank hit into
+    // an interpolation and breaks bit parity with a 0.93-written oracle
+    val pHigh = (BigDecimal(1) - BigDecimal(trim.toString)).toDouble
     pairs.map { case (x, y) =>
+      // ONE melted walk per pair: adjacent gaps labelled by side, then
+      // the grouped quantile walk over (side, gap) — per-side distinct
+      // values collapse once; both bounds come back in the same frame
       val adj = withAdjacentPredecessors(groupedExtremaByRange(df, x, y, p),
           x)
         .where(coalesce(col("__pmx"), col("__cmx")).isNotNull)
-        .select(
-          (col("__mn").cast(DoubleType) -
-            coalesce(col("__pmx"), col("__cmx")).cast(DoubleType))
-            .as("__lo"),
-          (col("__mx").cast(DoubleType) -
-            coalesce(col("__pmn"), col("__cmn")).cast(DoubleType))
-            .as("__hi"))
-        .withColumn("__one", lit(1))
-      val lows = graft.stats.Describe.groupedQuantiles(adj,
-        Seq("__one"), "__lo", Seq(trim))
-      val highs = graft.stats.Describe.groupedQuantiles(adj,
-        Seq("__one"), "__hi", Seq(1 - trim))
-      val lowCol = lows.columns.last // the single p-label column
-      val highCol = highs.columns.last
-      // both sides are ONE-row frames (the constant group); a cross
-      // join of two one-row bounded frames assembles the pair row, and
-      // an empty adjacent frame (no groups at all) still yields the
-      // row via the zero-count union arm below
-      val joined = lows.select(col("n").as("__n"),
-          col(lowCol).as("__g1"))
-        .crossJoin(highs.select(col(highCol).as("__g2")))
-      val empty = spark.range(1).select(lit(0L).as("__n"),
-        lit(null).cast(DoubleType).as("__g1"),
-        lit(null).cast(DoubleType).as("__g2"))
-      // groupedQuantiles emits no row for an EMPTY input; coalesce the
-      // two shapes with a union + limit-by-priority (the non-empty arm
-      // wins when present)
-      joined.unionAll(empty)
-        .orderBy(col("__n").desc)
-        .limit(1)
+        .select(explode(array(
+          struct(lit("lo").as("s"),
+            (col("__mn").cast(DoubleType) -
+              coalesce(col("__pmx"), col("__cmx")).cast(DoubleType))
+              .as("g")),
+          struct(lit("hi").as("s"),
+            (col("__mx").cast(DoubleType) -
+              coalesce(col("__pmn"), col("__cmn")).cast(DoubleType))
+              .as("g")))).as("__e"))
+        .select(col("__e")("s").as("__side"), col("__e")("g").as("__gap"))
+      val q = graft.stats.Describe.groupedQuantiles(adj,
+        Seq("__side"), "__gap", Seq(trim, pHigh))
+      val Seq(pLoName, pHiName) = q.columns.drop(2).toSeq
+      // pivot the ≤2-row walk output into the pair row with ONE
+      // aggregation (a filter per side would re-derive the walk branch
+      // twice — the column-pruning exchange-reuse lesson); a global agg
+      // emits its row even over EMPTY input, so no separate empty arm
+      q.agg(
+          max(when(col("__side") === "lo", col("n"))).as("__n"),
+          max(when(col("__side") === "lo", col(pLoName))).as("__g1"),
+          max(when(col("__side") === "hi", col(pHiName))).as("__g2"))
         .select(lit(x).as("on_column"), lit(y).as("ordered_column"),
-          col("__n").as("n_adjacent"), col("__g1").as("gap_low"),
-          col("__g2").as("gap_high"))
+          coalesce(col("__n"), lit(0L)).as("n_adjacent"),
+          col("__g1").as("gap_low"), col("__g2").as("gap_high"))
     }.reduce(_ unionAll _)
       .orderBy(col("on_column"), col("ordered_column"))
   }

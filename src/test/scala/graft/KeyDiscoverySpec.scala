@@ -1089,14 +1089,22 @@ class KeyDiscoverySpec extends SparkSpec {
   test("inferSequentialGaps: exact trimmed quantiles of the adjacent " +
       "gap distribution; the trim-0 envelope re-checks as holding") {
     val rnd = new scala.util.Random(20250821)
-    val rows = (0 until 200).map { i =>
-      (i.toLong, (i * 10).toDouble + rnd.nextInt(5))
+    // DUPLICATE x values: per-group min != max, so the lower gap
+    // (next.min - prev.max) and upper gap (next.max - prev.min)
+    // genuinely diverge — a lo/hi variable swap cannot pass
+    val rows = (0 until 200).flatMap { i =>
+      val base = (i * 10).toDouble + rnd.nextInt(3)
+      Seq((i.toLong, base), (i.toLong, base + 1 + rnd.nextInt(3)))
     } :+ (500L, 9999.0) // one cadence-break outlier group
     val df = rows.toDF("x", "y")
-    // brute-force adjacent gaps over distinct-x extrema (distinct x here)
-    val sorted = rows.sortBy(_._1)
-    val lows = sorted.sliding(2).map { case Seq(a, b) => b._2 - a._2 }
-      .toSeq.sorted
+    // brute-force adjacent extrema gaps in x order
+    val groups = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, g) => (g.map(_._2).min, g.map(_._2).max) }
+    val lows = groups.sliding(2).map {
+      case Seq((_, pmx), (mn, _)) => mn - pmx }.toSeq.sorted
+    val highs = groups.sliding(2).map {
+      case Seq((pmn, _), (_, mx)) => mx - pmn }.toSeq.sorted
+    assert(lows != highs, "fixture must split the two gap definitions")
     def q(vs: Seq[Double], p: Double): Double = {
       val pos = p * (vs.size - 1)
       val (lo, hi) = (vs(pos.toInt), vs(math.ceil(pos).toInt))
@@ -1107,11 +1115,11 @@ class KeyDiscoverySpec extends SparkSpec {
       trim = 0.1).head()
     assert(out.getLong(2) == lows.size.toLong)
     assert(out.getDouble(3) == q(lows, 0.1), "gap_low")
-    assert(out.getDouble(4) == q(lows, 0.9), "gap_high")
+    assert(out.getDouble(4) == q(highs, 0.9), "gap_high")
     // trim = 0: the exact envelope, and the CHECK composition holds at
     // epsilon 0 by construction
     val env = KeyDiscovery.inferSequentialGaps(df, Seq("x" -> "y")).head()
-    assert(env.getDouble(3) == lows.min && env.getDouble(4) == lows.max)
+    assert(env.getDouble(3) == lows.min && env.getDouble(4) == highs.max)
     val check = KeyDiscovery.sequentialDependencies(df, Seq("x" -> "y"),
       env.getDouble(3), env.getDouble(4)).head()
     assert(check.getLong(5) == 0L && check.getBoolean(7),
