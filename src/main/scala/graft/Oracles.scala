@@ -4188,6 +4188,30 @@ object Oracles {
        |ORDER BY on_column, ordered_column""".stripMargin
   }
 
+  /** q190/q191: skew-split as-of join — DuckDB's NATIVE ASOF LEFT JOIN
+    * over the q180 derived hot keys (NULL slice: ASOF's equality
+    * condition never matches null keys, and LEFT keeps the probes — the
+    * same convention as the Spark side's filtered right and null-safe
+    * rejoin). Comparison on epoch MICROS like q68.
+    */
+  private def asofSplitSql(strict: Boolean, withValue: Boolean): String = {
+    val op = if (strict) ">" else ">="
+    val valSel = if (withValue) ", value" else ""
+    val valOut = if (withValue) ", r.value AS purchase_value" else ""
+    s"""SELECT l.event_id, l.k, r.event_id AS purchase_id$valOut
+       |FROM (SELECT event_id, nullif(user_id % 7, 0) AS k,
+       |        epoch_us(ts) AS us FROM events
+       |      WHERE event_type = 'click') l
+       |ASOF LEFT JOIN (SELECT event_id, nullif(user_id % 7, 0) AS k$valSel,
+       |        epoch_us(ts) AS us FROM events
+       |      WHERE event_type = 'purchase') r
+       |  ON l.k = r.k AND l.us $op r.us
+       |ORDER BY l.event_id""".stripMargin
+  }
+
+  val q190: String = asofSplitSql(strict = false, withValue = true)
+  val q191: String = asofSplitSql(strict = true, withValue = false)
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q07_mutual_info_orders" -> q07Pinned,
@@ -4327,6 +4351,8 @@ object Oracles {
       "q187_top_paths_by_dim" -> q187,
       "q188_sequential_deps" -> q188,
       "q189_infer_seq_gaps" -> q189,
+      "q190_asof_split" -> q190,
+      "q191_asof_strict_split" -> q191,
       "q160_cohort_retention" -> q160,
       "q161_resample_grid" -> q161,
       "q162_forward_fill" -> q162,

@@ -3096,6 +3096,51 @@ object Queries {
       Seq("event_id" -> "ts_s", "user_id" -> "value"), trim = 0.05)
   }
 
+  /** Skew-split as-of join (r16): q68's semantics forced down the HEAVY
+    * path — the q180 derived hot keys (`nullif(user_id % 7, 0)`, NULL
+    * slice included) collapse both sides onto 7 keys all above the
+    * 100-row threshold, the 60 s width is clamped to a bounded per-key
+    * segment count, and the segmented fill (per-segment max_by state,
+    * prefix-fold carry, null-safe rejoin) must reproduce DuckDB's native
+    * ASOF LEFT JOIN over the same derived keys.
+    */
+  def q190AsofSplit(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+      .withColumn("k", nullif(col("user_id") % 7, lit(0)))
+    val clicks = ev.where(col("event_type") === "click")
+      .select("event_id", "k", "ts")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("k"), col("ts"), col("event_id").as("purchase_id"),
+        col("value"))
+    ops.AsofJoin.asofJoin(clicks, purchases, Seq("k"), "ts", "ts",
+        Seq("purchase_id", "value"), segmentSeconds = 60L,
+        segmentThreshold = 100L)
+      .select(col("event_id"), col("k"),
+        col("purchase_id_right").as("purchase_id"),
+        col("value_right").as("purchase_value"))
+      .orderBy("event_id")
+  }
+
+  /** Strict (`>`) as-of join, forced heavy with the AUTO segment width
+    * (r16): equal timestamps must NOT match — the tie-side ordering
+    * carried through the segmented heavy path — against DuckDB's strict
+    * ASOF (`l.us > r.us`).
+    */
+  def q191AsofStrictSplit(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+      .withColumn("k", nullif(col("user_id") % 7, lit(0)))
+    val clicks = ev.where(col("event_type") === "click")
+      .select("event_id", "k", "ts")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("k"), col("ts"), col("event_id").as("purchase_id"))
+    ops.AsofJoin.asofJoin(clicks, purchases, Seq("k"), "ts", "ts",
+        Seq("purchase_id"), strict = true, segmentSeconds = 0L,
+        segmentThreshold = 100L)
+      .select(col("event_id"), col("k"),
+        col("purchase_id_right").as("purchase_id"))
+      .orderBy("event_id")
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -3321,6 +3366,8 @@ object Queries {
     "q187_top_paths_by_dim" -> (q187TopPathsByDim _),
     "q188_sequential_deps" -> (q188SequentialDeps _),
     "q189_infer_seq_gaps" -> (q189InferSeqGaps _),
+    "q190_asof_split" -> (q190AsofSplit _),
+    "q191_asof_strict_split" -> (q191AsofStrictSplit _),
     "q140_multifield_linkage" -> (q140MultiFieldLinkage _)
   )
 }

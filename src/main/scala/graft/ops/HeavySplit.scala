@@ -56,9 +56,19 @@ object HeavySplit {
     * segmented path's per-key merge state is span/width structs — pick a
     * width commensurate with the data's time range (the
     * [[EventAnalytics.AutoSegments]] rationale).
+    *
+    * `fromDetect` marks a routing produced by [[detect]]'s own scan (set
+    * only there): a caller-BUILT span is still honored for the width
+    * clamp (an understated span merely widens segments — a perf shift),
+    * but never for the broadcast decision — an understated span could
+    * otherwise "prove" a huge per-segment state side small enough to
+    * force-broadcast, turning a contract breach into a driver-memory
+    * failure (r15 ADVICE). Caller-built routings leave the rejoin shape
+    * to the planner/AQE, whose runtime sizes cannot be lied to.
     */
   final case class Known(keys: Seq[Any], allHeavy: Boolean = false,
-                         maxSpanMicros: Option[Long] = None)
+                         maxSpanMicros: Option[Long] = None,
+                         fromDetect: Boolean = false)
       extends HeavySplit
 
   /** The shared pre-scan: per-key counts with each heavy key's event-time
@@ -100,7 +110,7 @@ object HeavySplit {
     // the clamp silently under-protect keys outside it, so the routing
     // carries NO span (operators fall back to a full span read for AUTO
     // widths and trust explicit widths as documented)
-    if (allHeavy) Known(Nil, allHeavy = true, None)
+    if (allHeavy) Known(Nil, allHeavy = true, None, fromDetect = true)
     else {
       val span = rows.foldLeft(Option.empty[Long]) { (acc, r) =>
         if (r.isNullAt(2) || r.isNullAt(3)) acc
@@ -109,7 +119,8 @@ object HeavySplit {
           Some(acc.fold(s)(math.max(_, s)))
         }
       }
-      Known(rows.map(_.get(0)).toSeq, allHeavy = false, span)
+      Known(rows.map(_.get(0)).toSeq, allHeavy = false, span,
+        fromDetect = true)
     }
   }
 
@@ -152,12 +163,15 @@ object HeavySplit {
     * Lets the row-scale operators BROADCAST the per-segment state side
     * of their rejoin (killing the sort-merge path's shuffle + sort of
     * the heavy rows) whenever the bound is provably small; `None` when
-    * no bound can be proven (allHeavy, or span unknown).
+    * no bound can be proven — allHeavy, span unknown, or a CALLER-BUILT
+    * routing (only a span [[detect]] itself measured counts as proof;
+    * see [[Known.fromDetect]]).
     */
   private[ops] def segmentStateBound(r: Known, segMicros: Long)
       : Option[Long] =
     (r.allHeavy, r.maxSpanMicros) match {
-      case (false, Some(span)) if r.keys.nonEmpty && segMicros > 0 =>
+      case (false, Some(span))
+          if r.fromDetect && r.keys.nonEmpty && segMicros > 0 =>
         Some(r.keys.size.toLong * (span / segMicros + 2L))
       case _ => None
     }

@@ -394,17 +394,6 @@ object TimeSeries {
         s"forwardFill: tsCol '$tsCol' must be a timestamp/date column, " +
           s"got ${other.simpleString} — cast it explicitly first")
     }
-    val ord = col(tsCol).asc_nulls_last +:
-      orderCols.map(col(_).asc_nulls_last)
-
-    def lightFill(src: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      cols.foldLeft(src) { (d, c) =>
-        d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-      }
-    }
-
     // the heavy path's merge sorts per-segment carry STRUCTS of the fill
     // values, which analysis rejects for unorderable fill types (maps);
     // the light window handles them fine — so such frames simply never
@@ -413,32 +402,100 @@ object TimeSeries {
     val splittable = cols.forall(c =>
       org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(
         df.schema(df.schema.fieldIndex(c)).dataType))
-    if (!splittable) return lightFill(df)
+    fillSegments(df, Seq(keyCol), col(keyCol), tsCol, cols, orderCols,
+      nullsLast = true, segmentSeconds, segmentThreshold,
+      if (splittable) split else HeavySplit.AssumeLight)
+  }
+
+  /** Whether a carried per-segment state value of this type is
+    * FIXED-WIDTH, making [[HeavySplit.StateBroadcastRows]]'s row-count
+    * cutoff a sound BYTE bound for the broadcast decision: the bound says
+    * nothing about bytes for strings/arrays repeated per segment, where
+    * AQE's runtime sizes make the call correctly instead. A struct of
+    * fixed-width fields (the as-of payload) is itself fixed-width.
+    */
+  private def fixedWidth(dt: DataType): Boolean = dt match {
+    case _: NumericType | BooleanType | DateType | TimestampType |
+         TimestampNTZType => true
+    case s: StructType => s.fields.forall(f => fixedWidth(f.dataType))
+    case _ => false
+  }
+
+  /** Shared skew-split RUNNING-LAST core behind [[forwardFill]] and
+    * [[AsofJoin.asofJoin]] (r16): per-`keyCols` group, each null cell of
+    * each of `cols` takes the group's most recent non-null value in
+    * (`tsCol`, `orderCols`) ascending order (the current row's own
+    * non-null value wins, `last(_, ignoreNulls)` frame semantics).
+    *
+    * `routeKey` is the ROUTING expression fed to [[HeavySplit]] — the key
+    * column itself for a single key (exact detection), a hash of the key
+    * tuple for composite keys (the r15 dimensional-slice convention:
+    * a collision only shifts a slice between the two identical-result
+    * paths — the window/aggregation keys are always the REAL columns, so
+    * results never change). `nullsLast` picks the null-timestamp
+    * convention — and it is a semantic choice, not a detail:
+    * [[forwardFill]] orders null timestamps LAST (a timestampless row
+    * receives the group's latest fill but can never seed one "backward in
+    * time"), [[AsofJoin.asofJoin]] orders them FIRST (a timeless probe
+    * row precedes all history and matches nothing). The heavy path's
+    * null-sentinel segment (`Long.MaxValue` / `Long.MinValue`) and the
+    * max_by order-key null encoding follow the same flag, so both paths
+    * always agree.
+    *
+    * Scale shape (verified r15, BENCH_SF1 §r15.3): light keys pay one
+    * whole-key window; heavy keys pay one (key, segment) window plus a
+    * CELL-scale map-side-combinable max_by state, a per-key prefix fold
+    * over segment-count state, and a broadcast rejoin when the routing
+    * proves the state side small and the carried types are fixed-width.
+    */
+  private[ops] def fillSegments(df: DataFrame, keyCols: Seq[String],
+                                routeKey: Column, tsCol: String,
+                                cols: Seq[String], orderCols: Seq[String],
+                                nullsLast: Boolean, segmentSeconds: Long,
+                                segmentThreshold: Long,
+                                split: HeavySplit): DataFrame = {
+    def ordOf(c: Column): Column =
+      if (nullsLast) c.asc_nulls_last else c.asc_nulls_first
+    val ord = ordOf(col(tsCol)) +: orderCols.map(c => ordOf(col(c)))
+
+    def lightFill(src: DataFrame): DataFrame = {
+      val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cols.foldLeft(src) { (d, c) =>
+        d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+      }
+    }
+
     val us = unix_micros(col(tsCol).cast(TimestampType))
-    val routing = HeavySplit.resolve(split, df, col(keyCol), us,
+    val routing = HeavySplit.resolve(split, df, routeKey, us,
       segmentThreshold)
     if (!HeavySplit.hasHeavy(routing)) return lightFill(df)
 
-    val isHeavy = HeavySplit.isHeavy(col(keyCol), routing)
+    val isHeavy = HeavySplit.isHeavy(routeKey, routing)
     val segMicros = HeavySplit.effectiveSegmentMicros(df, isHeavy, us,
       segmentSeconds, routing)
 
     def heavyFill(src: DataFrame): DataFrame = {
       val names = HeavySplit.freshNames(df.columns.toSeq)(
-        Seq("__seg", "__segs", "__mk", "__ms", "__m") ++
+        Seq("__seg", "__segs", "__ms", "__m") ++
+          keyCols.map(k => s"__mk_$k") ++
           cols.map(c => s"__lf_$c") ++ cols.map(c => s"__cf_$c") ++
           cols.map(c => s"__v_$c"): _*)
-      val Seq(segN, segsN, kJ, sJ, mN) = names.take(5)
-      val localN = cols.zip(names.slice(5, 5 + cols.size)).toMap
-      val carryN = cols.zip(
-        names.slice(5 + cols.size, 5 + 2 * cols.size)).toMap
-      val stateN = cols.zip(names.drop(5 + 2 * cols.size)).toMap
-      // null timestamps sort LAST here (asc_nulls_last), so their
-      // sentinel segment is Long.MaxValue — the mirror image of
-      // Sessionize's nulls-first MinValue
-      val seg = coalesce(us - pmod(us, lit(segMicros)), lit(Long.MaxValue))
+      val Seq(segN, segsN, sJ, mN) = names.take(4)
+      val kJ = keyCols.zip(names.slice(4, 4 + keyCols.size)).toMap
+      val rest = names.drop(4 + keyCols.size)
+      val localN = cols.zip(rest.take(cols.size)).toMap
+      val carryN = cols.zip(rest.slice(cols.size, 2 * cols.size)).toMap
+      val stateN = cols.zip(rest.drop(2 * cols.size)).toMap
+      // the null-timestamp sentinel segment sorts where the null rows
+      // themselves sort: Long.MaxValue under nulls-last (forwardFill —
+      // the mirror image of Sessionize's nulls-first MinValue),
+      // Long.MinValue under nulls-first (asofJoin)
+      val sentinel = if (nullsLast) Long.MaxValue else Long.MinValue
+      val seg = coalesce(us - pmod(us, lit(segMicros)), lit(sentinel))
       val withSeg = src.withColumn(segN, seg)
-      val w = Window.partitionBy(col(keyCol), col(segN)).orderBy(ord: _*)
+      val w = Window.partitionBy((keyCols :+ segN).map(col): _*)
+        .orderBy(ord: _*)
       val frame = w.rowsBetween(Window.unboundedPreceding,
         Window.currentRow)
       val rows = cols.foldLeft(withSeg) { (d, c) =>
@@ -448,20 +505,22 @@ object TimeSeries {
       // per-segment state: last non-null per column as a PLAIN max_by
       // aggregate — map-side combinable, so the state branch shuffles
       // CELL-scale partials, never rows, and needs no second sort. The
-      // order key encodes the window's exact (ts NULLS LAST, orderCols
-      // NULLS LAST) total order null-safely: a leading isNull boolean
-      // per component (false < true puts nulls last under max), so the
-      // aggregate and the window can never disagree on which value is
-      // "last"; rows whose fill value is null are excluded via the
-      // max_by key (a null key never wins).
+      // order key encodes the window's exact (ts, orderCols) total order
+      // null-safely: a leading boolean per component (false < true) puts
+      // nulls on the same side the window sorts them, so the aggregate
+      // and the window can never disagree on which value is "last";
+      // rows whose fill value is null are excluded via the max_by key
+      // (a null key never wins).
+      def nullBit(c: Column): Column =
+        if (nullsLast) c.isNull else c.isNotNull
       val ordKey = struct(
-        us.isNull.as("n0") +: us.as("k0") +:
+        nullBit(us).as("n0") +: us.as("k0") +:
           orderCols.zipWithIndex.flatMap { case (c, i) =>
-            Seq(col(c).isNull.as(s"n${i + 1}"), col(c).as(s"k${i + 1}"))
+            Seq(nullBit(col(c)).as(s"n${i + 1}"), col(c).as(s"k${i + 1}"))
           }: _*)
       val stateAggs = cols.map(c =>
         max_by(col(c), when(col(c).isNotNull, ordKey)).as(stateN(c)))
-      val segState = withSeg.groupBy(col(keyCol), col(segN))
+      val segState = withSeg.groupBy((keyCols :+ segN).map(col): _*)
         .agg(stateAggs.head, stateAggs.tail: _*)
       // per-key prefix fold over sorted segments: the carry INTO each
       // segment is, per column, the latest preceding segment's last
@@ -474,37 +533,32 @@ object TimeSeries {
         lit(null).cast(valsT(c).dataType).as(c)): _*)
       val zero = struct(nullVals.as("cv"), array().cast(outT).as("o"))
       val merged = segState
-        .groupBy(col(keyCol))
+        .groupBy(keyCols.map(col): _*)
         .agg(sort_array(collect_list(struct(col(segN).as("s"),
           struct(cols.map(c => col(stateN(c)).as(c)): _*).as("v"))))
           .as(segsN))
-        .select(col(keyCol).as(kJ), explode(
+        .select(keyCols.map(k => col(k).as(kJ(k))) :+ explode(
           aggregate(col(segsN), zero, (st, sv) => {
             val nextVals = struct(cols.map(c =>
               coalesce(sv("v")(c), st("cv")(c)).as(c)): _*)
             struct(nextVals.as("cv"),
               concat(st("o"), array(struct(sv("s").as("s"),
                 st("cv").as("v")))).as("o"))
-          }).getField("o")).as(mN))
-        .select(col(kJ) +: col(mN)("s").as(sJ) +:
-          cols.map(c => col(mN)("v")(c).as(carryN(c))): _*)
+          }).getField("o")).as(mN): _*)
+        .select(keyCols.map(k => col(kJ(k))) ++
+          (col(mN)("s").as(sJ) +:
+            cols.map(c => col(mN)("v")(c).as(carryN(c)))): _*)
       // provably-small state side broadcasts (the Sessionize rationale:
       // no join shuffle/sort on the row-scale side) — but only when
-      // every carried fill value is FIXED-WIDTH: the row-count bound
-      // says nothing about bytes for strings/arrays repeated per
-      // segment, and AQE's runtime sizes make the broadcast call
-      // correctly there
-      val fixedWidth = cols.forall(c =>
-        df.schema(df.schema.fieldIndex(c)).dataType match {
-          case _: NumericType | BooleanType | DateType | TimestampType |
-               TimestampNTZType => true
-          case _ => false
-        })
+      // every carried fill value is FIXED-WIDTH (see [[fixedWidth]])
       val stateSide =
-        if (fixedWidth) HeavySplit.maybeBroadcastState(merged, routing,
-          segMicros)
+        if (cols.forall(c => fixedWidth(
+          df.schema(df.schema.fieldIndex(c)).dataType)))
+          HeavySplit.maybeBroadcastState(merged, routing, segMicros)
         else merged
-      rows.join(stateSide, col(keyCol) <=> col(kJ) && col(segN) === col(sJ))
+      val joinCond = keyCols.map(k => col(k) <=> col(kJ(k)))
+        .reduce(_ && _) && col(segN) === col(sJ)
+      rows.join(stateSide, joinCond)
         .select(df.columns.map { c =>
           if (localN.contains(c))
             coalesce(col(localN(c)), col(carryN(c))).as(c)

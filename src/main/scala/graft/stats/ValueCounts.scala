@@ -128,10 +128,14 @@ object ValueCounts {
       else {
         val dups = count(lit(1))
           .over(Window.partitionBy(gs :+ col("value"): _*))
+        // cast: concat would fail ANALYSIS for a non-string value
+        // column under ANSI, killing the query before the intended
+        // diagnostic could ever fire (r15 ADVICE)
         when(dups > 1, raise_error(concat(
           lit("rankValueCounts: duplicate rows under one (group, " +
             "value) key — input is not pre-collapsed (ranking " +
-            "without the window key?): value="), col("value")))
+            "without the window key?): value="),
+          col("value").cast("string")))
           .cast("int")).otherwise(lit(0))
       }
     counts

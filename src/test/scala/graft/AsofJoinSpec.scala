@@ -85,4 +85,149 @@ class AsofJoinSpec extends SparkSpec {
     assert(out.getAs[Double]("price_right") == 200.0)
     assert(out.getAs[String]("venue_right") == "v2")
   }
+
+  // ---- r16 skew-split coverage -------------------------------------
+
+  private def usTs(us: Long) = new Timestamp(us / 1000L)
+
+  /** Random two-sided fixture with a hot key, null keys, null left times,
+    * and tie timestamps; brute-force reference computed per (strict, key).
+    */
+  test("skew-split parity: every routing regime equals brute force " +
+      "(widths, AUTO, allHeavy, Known, strict, ties, null slices)") {
+    val rnd = new scala.util.Random(4242)
+    // key 1 is hot (~60% of rows); keys 0/None cold; times on a 1s grid
+    // so ties happen — but right (key, t) pairs are deduped to keep the
+    // match deterministic (the documented ambiguity carve-out)
+    def key(): Option[Long] = rnd.nextInt(10) match {
+      case 0 => None
+      case n if n <= 6 => Some(1L)
+      case n => Some(n.toLong % 3)
+    }
+    val lrows = (0L until 300L).map { id =>
+      val t = if (rnd.nextInt(12) == 0) None
+        else Some(rnd.nextInt(3000).toLong * 1000000L)
+      (id, key(), t)
+    }
+    val rrowsRaw = (0L until 250L).map { id =>
+      (id, key(), Some(rnd.nextInt(3000).toLong * 1000000L),
+        if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(999) * 1.0))
+    }
+    // dedupe right on (key, t): keep max id (deterministic match target)
+    val rrows = rrowsRaw.filter(r => r._2.isDefined)
+      .groupBy(r => (r._2, r._3)).map(_._2.maxBy(_._1)).toSeq
+    val left = lrows.map { case (id, k, t) =>
+      (id, k.map(java.lang.Long.valueOf).orNull,
+        t.map(usTs).orNull)
+    }.toDF("lid", "key", "tts")
+    val right = rrows.map { case (id, k, t, v) =>
+      (id, k.map(java.lang.Long.valueOf).orNull, t.map(usTs).orNull,
+        v.map(java.lang.Double.valueOf).orNull)
+    }.toDF("rid", "key", "qts", "price")
+    def reference(strict: Boolean): Map[Long, Option[(Long, Option[Double])]] =
+      lrows.map { case (id, k, t) =>
+        val m = (k, t) match {
+          case (Some(kk), Some(tt)) =>
+            val cand = rrows.filter(r => r._2.contains(kk) &&
+              (if (strict) r._3.get < tt else r._3.get <= tt))
+            if (cand.isEmpty) None
+            else Some(cand.maxBy(r => (r._3.get, r._1)))
+              .map(r => (r._1, r._4))
+          case _ => None
+        }
+        id -> m
+      }.toMap
+    val detected = ops.HeavySplit.detect(left.unionByName(
+      right.select(col("rid").as("lid"), col("key"),
+        col("qts").as("tts"))), "key", "tts", 50L)
+    assert(detected.keys.nonEmpty, "fixture must produce heavy keys")
+    val configs: Seq[(Long, Long, ops.HeavySplit)] = Seq(
+      (86400L, 1000000L, ops.HeavySplit.Detect), // all light
+      (1L, 1L, ops.HeavySplit.Detect), // everything heavy, many segments
+      (0L, 5L, ops.HeavySplit.Detect), // AUTO width
+      (1L, 1L, ops.HeavySplit.Known(Nil, allHeavy = true)),
+      (7L, 1L, ops.HeavySplit.Known(Nil, allHeavy = true,
+        maxSpanMicros = Some(3000L * 1000000L))),
+      (60L, 50L, detected))
+    for (strict <- Seq(false, true); (segS, thr, split) <- configs) {
+      val out = AsofJoin.asofJoin(left, right, Seq("key"), "tts", "qts",
+          Seq("rid", "price"), strict = strict, segmentSeconds = segS,
+          segmentThreshold = thr, split = split)
+        .select("lid", "rid_right", "price_right").collect()
+      assert(out.length == lrows.size,
+        s"row count under ($segS,$thr,$split,strict=$strict)")
+      val want = reference(strict)
+      out.foreach { r =>
+        val lid = r.getLong(0)
+        val got =
+          if (r.isNullAt(1)) None
+          else Some((r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+        assert(got == want(lid),
+          s"lid $lid under ($segS,$thr,$split,strict=$strict): " +
+            s"got $got, want ${want(lid)}")
+      }
+    }
+  }
+
+  test("composite keys: hash-routed heavy split equals the light path " +
+      "(window partitions on the REAL key columns)") {
+    val rnd = new scala.util.Random(7)
+    val left = (0L until 200L).map { id =>
+      (id, rnd.nextInt(2).toLong, s"v${rnd.nextInt(2)}",
+        usTs(rnd.nextInt(500).toLong * 1000000L))
+    }.toDF("lid", "k1", "k2", "tts")
+    val right = (0L until 150L).map { id =>
+      (id, rnd.nextInt(2).toLong, s"v${rnd.nextInt(2)}",
+        usTs(rnd.nextInt(500).toLong * 1000000L), rnd.nextInt(100) * 1.0)
+    }.toDF("rid", "k1", "k2", "qts", "price")
+    def run(split: ops.HeavySplit) =
+      AsofJoin.asofJoin(left, right, Seq("k1", "k2"), "tts", "qts",
+          Seq("rid"), segmentSeconds = 30L, segmentThreshold = 10L,
+          split = split)
+        .select("lid", "rid_right").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val lightRef = run(ops.HeavySplit.AssumeLight)
+    val heavy = run(ops.HeavySplit.Known(Nil, allHeavy = true))
+    val detect = run(ops.HeavySplit.Detect)
+    assert(heavy == lightRef && detect == lightRef && lightRef.size == 200)
+  }
+
+  test("non-time left time column (numeric sequence) keeps the plain " +
+      "window — no split, same results as before r16") {
+    val left = Seq((1L, 1L, 10L), (2L, 1L, 20L)).toDF("lid", "key", "seq")
+    val right = Seq((100L, 1L, 5L, 1.5), (101L, 1L, 15L, 2.5))
+      .toDF("rid", "key", "rseq", "price")
+    val out = AsofJoin.asofJoin(left, right, Seq("key"), "seq", "rseq",
+        Seq("price"), split = ops.HeavySplit.Known(Nil, allHeavy = true))
+      .select("lid", "price_right").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out == Map(1L -> 1.5, 2L -> 2.5))
+  }
+
+  test("plan: heavy asofJoin — ONE fill window, sorts lead with " +
+      "(key, segment), state map-side-combines (partial_max_by)") {
+    val left = Seq((1L, 1L, ts("2024-01-01 10:00:00")))
+      .toDF("lid", "key", "tts")
+    val right = Seq((9L, 1L, ts("2024-01-01 09:00:00"), 1.0))
+      .toDF("rid", "key", "qts", "price")
+    val plan = AsofJoin.asofJoin(left, right, Seq("key"), "tts", "qts",
+        Seq("price"), segmentSeconds = 60L,
+        split = ops.HeavySplit.Known(Nil, allHeavy = true))
+      .queryExecution.executedPlan.toString
+    assert("Window \\[".r.findAllIn(plan).size == 1,
+      s"exactly one fill window expected:\n$plan")
+    assert(plan.contains("partial_max_by"),
+      s"the per-segment state must map-side-combine:\n$plan")
+    val sorts = "(?s)Sort \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+      .filter(_.contains("__seg"))
+    assert(sorts.nonEmpty, s"expected segment-window sorts:\n$plan")
+    sorts.foreach { s =>
+      val cs = s.split(",").map(_.trim)
+      assert(cs.head.startsWith("key#") && cs(1).startsWith("__seg"),
+        s"sort must lead with (key, segment), got: $s\n$plan")
+    }
+  }
 }
