@@ -4212,6 +4212,21 @@ object Oracles {
   val q190: String = asofSplitSql(strict = false, withValue = true)
   val q191: String = asofSplitSql(strict = true, withValue = false)
 
+  /** q192: rolling 1-hour min/max — the plain sliding RANGE window in
+    * DuckDB (where it is cheap); the Spark side must reproduce it from
+    * the two-bucket grow-only decomposition exactly, including empty-
+    * window nulls and boundary inclusivity.
+    */
+  val q192: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, value
+      |           FROM events WHERE user_id < 40)
+      |SELECT event_id, user_id,
+      |  min(value) OVER w AS min_window,
+      |  max(value) OVER w AS max_window
+      |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us
+      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   def all(q09Literal: Option[String]): Map[String, String] = {
     val base = Map(
       "q07_mutual_info_orders" -> q07Pinned,
@@ -4353,6 +4368,7 @@ object Oracles {
       "q189_infer_seq_gaps" -> q189,
       "q190_asof_split" -> q190,
       "q191_asof_strict_split" -> q191,
+      "q192_rolling_extrema" -> q192,
       "q160_cohort_retention" -> q160,
       "q161_resample_grid" -> q161,
       "q162_forward_fill" -> q162,

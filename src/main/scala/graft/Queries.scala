@@ -1331,6 +1331,19 @@ object Queries {
         col("n_window"), col("sum_cents_window"))
       .orderBy("event_id")
 
+  /** Rolling 1-hour per-user min/max (r16): the non-invertible trailing
+    * aggregates via the two-bucket decomposition (shifted-copy grow-only
+    * frames — never a sliding RANGE frame), against DuckDB's plain
+    * windowed min/max over the same RANGE frame.
+    */
+  def q192RollingExtrema(s: SparkSession, dir: String): DataFrame =
+    ops.TimeSeries.rollingExtrema(
+        table(s, dir, "events").where(col("user_id") < 40), "user_id", "ts",
+        "value", windowSeconds = 3600L)
+      .select(col("event_id"), col("user_id"),
+        col("min_window"), col("max_window"))
+      .orderBy("event_id")
+
   /** Hourly resample of the event stream per event type. */
   def q95Resample(s: SparkSession, dir: String): DataFrame =
     ops.TimeSeries.resample(table(s, dir, "events"), "ts", "hour",
@@ -3368,6 +3381,7 @@ object Queries {
     "q189_infer_seq_gaps" -> (q189InferSeqGaps _),
     "q190_asof_split" -> (q190AsofSplit _),
     "q191_asof_strict_split" -> (q191AsofStrictSplit _),
+    "q192_rolling_extrema" -> (q192RollingExtrema _),
     "q140_multifield_linkage" -> (q140MultiFieldLinkage _)
   )
 }

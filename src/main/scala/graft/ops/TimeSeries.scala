@@ -90,6 +90,91 @@ object TimeSeries {
             coalesce(sum(cents).over(before), lit(0L))))
   }
 
+  /** Rolling trailing-window MIN/MAX per key — the aggregates
+    * [[rollingAggregate]] cannot emit, because min/max have no
+    * subtraction inverse so the cum-diff trick does not apply. Instead:
+    * the classic TWO-LEVEL decomposition. Time splits into window-wide
+    * buckets; a trailing window [t − W, t] (inclusive both ends, RANGE
+    * semantics) spans exactly the prefix of t's own bucket and the
+    * suffix of the previous one. The prefix is a grow-only frame over
+    * the row's (key, bucket) partition; the suffix is read through
+    * SHIFTED ROW COPIES — every row is also emitted at t + W, landing in
+    * the NEXT bucket, where "previous-bucket rows with t' ≥ t − W" is
+    * exactly the shifted rows at or above the current position — so
+    * both parts are grow-only frames (one moving bound, incremental
+    * O(rows) evaluation, never a sliding re-evaluation) riding ONE
+    * (key, bucket) exchange and ONE sort. `greatest`/`least` skip the
+    * null side, so a window whose halves are empty reads null exactly
+    * like the plain sliding frame would.
+    *
+    * Scale shape: 2× the rows through one shuffle — and, unlike
+    * [[rollingAggregate]]'s whole-key window, the partition key is
+    * (key, bucket): a hot key's history splits across its time buckets,
+    * so no task ever sorts more than ~2 windows' worth of one key's
+    * events. A NULL timestamp has no trailing window: both outputs null
+    * (the [[rollingAggregate]] convention); null-timestamp rows bucket
+    * separately and can never pollute a real window.
+    *
+    * Output: input columns + min_window + max_window.
+    */
+  def rollingExtrema(df: DataFrame, keyCol: String, tsCol: String,
+                     valueCol: String, windowSeconds: Long): DataFrame = {
+    require(windowSeconds > 0, s"need windowSeconds > 0, got $windowSeconds")
+    require(windowSeconds <= EventAnalytics.MaxWindowSeconds,
+      s"need windowSeconds <= ${EventAnalytics.MaxWindowSeconds}, " +
+        s"got $windowSeconds")
+    (Seq(keyCol, tsCol, valueCol)).foreach(c =>
+      require(df.columns.contains(c), s"column '$c' not in frame"))
+    val outNames = Seq("min_window", "max_window")
+    outNames.foreach(n => require(!df.columns.contains(n),
+      s"output column '$n' already in frame"))
+    val Seq(shN, effN) = HeavySplit.freshNames(df.columns.toSeq)(
+      "__sh", "__eff")
+    val wUs = Math.multiplyExact(windowSeconds, 1000000L)
+    val us = unix_micros(col(tsCol).cast(TimestampType))
+    val real = df.withColumn(shN, lit(false)).withColumn(effN, us)
+    // shifted copies only matter when they can contribute a value
+    val shifted = df.where(us.isNotNull && col(valueCol).isNotNull)
+      .withColumn(shN, lit(true)).withColumn(effN, us + wUs)
+    val u = real.unionAll(shifted)
+    // bucket START (a Long) as the partition value — pmod keeps floor
+    // semantics without ANSI's Long/Long double division
+    val bucket = col(effN) - pmod(col(effN), lit(wUs))
+    // BOTH halves must be (unboundedPreceding → currentRow) frames:
+    // Spark evaluates ONLY that frame shape incrementally — an
+    // (currentRow → unboundedFollowing) frame re-aggregates from the
+    // current row to the partition end at EVERY row (no retraction
+    // path), measured 65 s vs 1.9 s at 30× zipf (BENCH_SF1 §r16) — the
+    // same O(rows × rows-in-frame) trap as the sliding frame. So the
+    // suffix half rides a SECOND window ordered DESC: same exchange,
+    // one extra in-partition sort, both frames grow-only.
+    val asc = Window.partitionBy(col(keyCol), bucket)
+      .orderBy(col(effN).asc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val desc = Window.partitionBy(col(keyCol), bucket)
+      .orderBy(col(effN).desc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    // asc frame = real values with t' ≤ t (peers included); desc frame =
+    // shifted values with t' + W ≥ t (peers included — the t' = t − W
+    // boundary row is IN the window)
+    val prefix = asc
+    val suffix = desc
+    val vReal = when(!col(shN), col(valueCol))
+    val vShift = when(col(shN), col(valueCol))
+    u.withColumn("min_window",
+        when(col(effN).isNull, lit(null).cast(df.schema(
+          df.schema.fieldIndex(valueCol)).dataType))
+          .otherwise(least(min(vReal).over(prefix),
+            min(vShift).over(suffix))))
+      .withColumn("max_window",
+        when(col(effN).isNull, lit(null).cast(df.schema(
+          df.schema.fieldIndex(valueCol)).dataType))
+          .otherwise(greatest(max(vReal).over(prefix),
+            max(vShift).over(suffix))))
+      .where(!col(shN))
+      .drop(shN, effN)
+  }
+
   /** Fixed-interval resample: per (group, truncated timestamp) bucket,
     * event count, integer-cent sum, and min/max value — the downsampling
     * step before charting or model features. `unit` is a date_trunc unit

@@ -24,9 +24,18 @@ object ProbeRolling {
     val evs = Queries.table(spark, dir, "events")
     def run() = ops.TimeSeries.rollingAggregate(evs, "user_id", "ts",
       "value", windowSeconds = 86400L)
-    run().queryExecution.toRdd.count() // warm
-    val best = (1 to 3).map(_ => t(run().queryExecution.toRdd.count())).min
-    println(f"[rolling] $dir%-12s $best%6.2fs")
+    // r16: the two-bucket min/max decomposition — partitioned by
+    // (key, bucket), so the zipf hot key should NOT pay the whole-key
+    // sort rollingAggregate still does
+    def runEx() = ops.TimeSeries.rollingExtrema(evs, "user_id", "ts",
+      "value", windowSeconds = 86400L)
+    for ((name, fn) <- Seq("cum-diff" -> (() => run()),
+        "extrema" -> (() => runEx()))) {
+      fn().queryExecution.toRdd.count() // warm
+      val best = (1 to 3).map(_ =>
+        t(fn().queryExecution.toRdd.count())).min
+      println(f"[rolling] $name%-10s $dir%-18s $best%6.2fs")
+    }
     spark.stop()
   }
 }

@@ -253,6 +253,65 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out((1L, 16.0)) == ((None, None)))
   }
 
+  test("rollingExtrema: two-bucket decomposition equals brute force " +
+      "(boundary inclusive, ties, null values/timestamps/keys)") {
+    val rnd = new scala.util.Random(1616)
+    // 1s grid over ~40 windows so windows straddle bucket boundaries;
+    // ties, null keys, null timestamps, ~30% null values
+    val rows = (0L until 500L).map { id =>
+      val k = rnd.nextInt(8) match {
+        case 0 => None
+        case n => Some((n % 3).toLong)
+      }
+      val t = if (rnd.nextInt(12) == 0) None
+        else Some(rnd.nextInt(400).toLong * 1000000L)
+      val v = if (rnd.nextInt(3) == 0) None
+        else Some(rnd.nextInt(1000).toDouble)
+      (id, k, t, v)
+    }
+    val df = rows.map { case (id, k, t, v) =>
+      (id, k.map(java.lang.Long.valueOf).orNull,
+        t.map(u => new Timestamp(u / 1000L)).orNull,
+        v.map(java.lang.Double.valueOf).orNull)
+    }.toDF("id", "k", "t", "v")
+    val W = 10L // seconds
+    val wUs = W * 1000000L
+    val expected = rows.map { case (id, k, t, _) =>
+      val ex = t.map { tt =>
+        val in = rows.filter(r => r._2 == k && r._3.exists(x =>
+          x >= tt - wUs && x <= tt) && r._4.isDefined).flatMap(_._4)
+        (in.minOption, in.maxOption)
+      }.getOrElse((None, None))
+      id -> ex
+    }.toMap
+    val out = TimeSeries.rollingExtrema(df, "k", "t", "v", W)
+      .select("id", "min_window", "max_window").collect()
+    assert(out.length == rows.size)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val got = (if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+      assert(got == expected(id), s"id $id: got $got, want ${expected(id)}")
+    }
+  }
+
+  test("rollingExtrema plan: no sliding frame — every window frame is " +
+      "grow-only (one unbounded side), partitioned by (key, bucket)") {
+    val d = Seq((1L, ts(0), 1.0), (1L, ts(5), 2.0)).toDF("k", "t", "v")
+    val plan = TimeSeries.rollingExtrema(d, "k", "t", "v", 60L)
+      .queryExecution.executedPlan.toString
+    // a sliding RANGE frame would print "specifiedwindowframe(RangeFrame,
+    // -N, currentrow$())" — both moving bounds — and an
+    // unboundedFOLLOWING frame re-aggregates per row (no retraction);
+    // only unboundedPreceding frames evaluate incrementally
+    assert(!plan.contains("-60000000"),
+      s"sliding frame leaked into the plan:\n$plan")
+    assert(plan.toLowerCase.contains("unboundedpreceding"),
+      s"no grow-only frame:\n$plan")
+    assert(!plan.toLowerCase.contains("unboundedfollowing"),
+      s"per-row re-aggregating unboundedFollowing frame in plan:\n$plan")
+  }
+
   test("forwardFill: unorderable (map) fill columns never split — the " +
       "heavy merge can't sort their carry, and routing must not change " +
       "what computes") {
