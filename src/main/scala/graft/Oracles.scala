@@ -4212,6 +4212,40 @@ object Oracles {
   val q190: String = asofSplitSql(strict = false, withValue = true)
   val q191: String = asofSplitSql(strict = true, withValue = false)
 
+  /** q193: sequential-dependency sweep — the q188 per-pair CTE repeated
+    * over the generated 12-pair candidate set (every declared column ×
+    * every numeric declared column), with the table label.
+    */
+  val q193: String = {
+    def cand(x: String, y: String): String =
+      s"""SELECT 'events' AS "table", '$x' AS on_column,
+         |  '$y' AS ordered_column,
+         |  0.0 AS min_gap, 500.0 AS max_gap,
+         |  count(*) AS n_groups,
+         |  count(*) FILTER (WHERE pmx IS NOT NULL AND NOT
+         |    (mn - pmx >= 0.0 AND mx - pmn <= 500.0)) AS violations,
+         |  CAST(count(*) FILTER (WHERE pmx IS NOT NULL AND NOT
+         |    (mn - pmx >= 0.0 AND mx - pmn <= 500.0)) AS DOUBLE)
+         |    / greatest(count(*) - 1, 1) AS error,
+         |  CAST(count(*) FILTER (WHERE pmx IS NOT NULL AND NOT
+         |    (mn - pmx >= 0.0 AND mx - pmn <= 500.0)) AS DOUBLE)
+         |    / greatest(count(*) - 1, 1) <= 0.15 AS holds
+         |FROM (
+         |  SELECT mn, mx, lag(mx) OVER (ORDER BY x) pmx,
+         |    lag(mn) OVER (ORDER BY x) pmn
+         |  FROM (
+         |    SELECT $x AS x, CAST(min($y) AS DOUBLE) mn,
+         |      CAST(max($y) AS DOUBLE) mx FROM base
+         |    WHERE $x IS NOT NULL AND $y IS NOT NULL GROUP BY 1) g) w"""
+        .stripMargin
+    val cols = Seq("event_id", "ts_s", "user_id", "value")
+    val pairs = for (x <- cols; y <- cols if x != y) yield (x, y)
+    s"""WITH base AS (SELECT event_id, user_id, value,
+       |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events)
+       |${pairs.map { case (x, y) => cand(x, y) }.mkString("\nUNION ALL\n")}
+       |ORDER BY on_column, ordered_column""".stripMargin
+  }
+
   /** q192: rolling 1-hour min/max — the plain sliding RANGE window in
     * DuckDB (where it is cheap); the Spark side must reproduce it from
     * the two-bucket grow-only decomposition exactly, including empty-
@@ -4369,6 +4403,7 @@ object Oracles {
       "q190_asof_split" -> q190,
       "q191_asof_strict_split" -> q191,
       "q192_rolling_extrema" -> q192,
+      "q193_seq_dep_sweep" -> q193,
       "q160_cohort_retention" -> q160,
       "q161_resample_grid" -> q161,
       "q162_forward_fill" -> q162,

@@ -3154,6 +3154,20 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Schema-wide sequential-dependency sweep (r16): candidate pairs =
+    * every declared column against every declared numeric column over
+    * events (12 pairs), verdicts identical to per-call q188 semantics —
+    * the sweep completes the Golab et al. family's operational driver.
+    */
+  def q193SeqDepSweep(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+      .withColumn("ts_s", unix_seconds(col("ts").cast("timestamp")))
+    stats.KeyDiscovery.discoverSequentialDeps(
+      Seq(("events", ev, Seq("event_id", "ts_s", "user_id", "value"))),
+      minGap = 0.0, maxGap = 500.0, epsilon = 0.15)
+      .orderBy("table", "on_column", "ordered_column")
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -3382,6 +3396,7 @@ object Queries {
     "q190_asof_split" -> (q190AsofSplit _),
     "q191_asof_strict_split" -> (q191AsofStrictSplit _),
     "q192_rolling_extrema" -> (q192RollingExtrema _),
+    "q193_seq_dep_sweep" -> (q193SeqDepSweep _),
     "q140_multifield_linkage" -> (q140MultiFieldLinkage _)
   )
 }

@@ -1987,16 +1987,69 @@ object KeyDiscovery {
       Row(x, y, minGap, maxGap, n, viol, error, error <= epsilon)
     }
     spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1),
-      StructType(Seq(
-        StructField("on_column", StringType, nullable = false),
-        StructField("ordered_column", StringType, nullable = false),
-        StructField("min_gap", DoubleType, nullable = false),
-        StructField("max_gap", DoubleType, nullable = false),
-        StructField("n_groups", LongType, nullable = false),
-        StructField("violations", LongType, nullable = false),
-        StructField("error", DoubleType, nullable = false),
-        StructField("holds", BooleanType, nullable = false))))
+      spark.sparkContext.parallelize(rows, 1), sequentialDependencySchema)
+  }
+
+  private val sequentialDependencySchema = StructType(Seq(
+    StructField("on_column", StringType, nullable = false),
+    StructField("ordered_column", StringType, nullable = false),
+    StructField("min_gap", DoubleType, nullable = false),
+    StructField("max_gap", DoubleType, nullable = false),
+    StructField("n_groups", LongType, nullable = false),
+    StructField("violations", LongType, nullable = false),
+    StructField("error", DoubleType, nullable = false),
+    StructField("holds", BooleanType, nullable = false)))
+
+  /** Schema-wide SEQUENTIAL-DEPENDENCY sweep — the
+    * [[discoverOrderDependencies]] treatment for the Golab et al.
+    * family, completing its operational driver: per table, candidate
+    * pairs are every declared column `x` against every declared NUMERIC
+    * column `y ≠ x` (gap arithmetic is defined on numeric y only — the
+    * caller derives epoch seconds for timestamp cadences, exactly as in
+    * per-call [[sequentialDependencies]]; x needs only group identity),
+    * each checked against the same [minGap, maxGap] interval with
+    * verdicts IDENTICAL to per-call [[sequentialDependencies]]
+    * (spec-pinned). [[MaxCandidates]]-chunked per table so a wide table
+    * is never one unbounded job fan-out; within a chunk pairs run as
+    * concurrent bounded jobs over the shared grouped-extrema plan (raw
+    * rows collapse map-side per pair — no raw-row sort, no whole-table
+    * driver state).
+    *
+    * Output: (table, on_column, ordered_column, min_gap, max_gap,
+    * n_groups, violations, error, holds), tables in the given order,
+    * each table's pairs in declared-column canonical order.
+    */
+  def discoverSequentialDeps(tables: Seq[(String, DataFrame, Seq[String])],
+                             minGap: Double, maxGap: Double,
+                             epsilon: Double = 0.0,
+                             partitions: Int = 0): DataFrame = {
+    require(tables.nonEmpty, "need at least one table")
+    require(tables.map(_._1).distinct.size == tables.size,
+      "duplicate table name")
+    val tablePairs = tables.map { case (t, df, cs) =>
+      require(cs.size >= 2, s"table '$t': need at least two columns")
+      require(cs.distinct.size == cs.size, s"table '$t': duplicate column")
+      cs.foreach(c => require(df.columns.contains(c),
+        s"column '$c' not in table '$t'"))
+      val numeric = cs.filter(c => df.schema(df.schema.fieldIndex(c))
+        .dataType.isInstanceOf[NumericType])
+      val pairs = for (x <- cs; y <- numeric if x != y) yield (x, y)
+      require(pairs.nonEmpty,
+        s"table '$t': no numeric ordered-column candidate among " +
+          s"declared columns ${cs.mkString(", ")}")
+      (t, df, pairs)
+    }
+    val spark = tables.head._2.sparkSession
+    val out = tablePairs.flatMap { case (t, df, pairs) =>
+      pairs.grouped(MaxCandidates).flatMap { chunk =>
+        sequentialDependencies(df, chunk, minGap, maxGap, epsilon,
+          partitions).collect().map(r => Row.fromSeq(t +: r.toSeq))
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1),
+      StructType(StructField("table", StringType, nullable = false) +:
+        sequentialDependencySchema.fields.toSeq))
   }
 
   /** One pair's adjacent-gap violation count: (n_groups, violations)

@@ -1154,6 +1154,51 @@ class KeyDiscoverySpec extends SparkSpec {
     } finally conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("discoverSequentialDeps: generated pairs = declared × numeric " +
+      "declared, verdicts equal per-call sequentialDependencies") {
+    val rnd = new scala.util.Random(99)
+    val a = (0 until 200).map { i =>
+      (i.toLong, i * 10.0 + rnd.nextInt(3), s"s${i % 5}",
+        (i % 7).toLong)
+    }.toDF("seq", "reading", "tag", "grp")
+    val b = (0 until 100).map(i => (i.toLong, i * 2.0))
+      .toDF("id", "v")
+    val out = KeyDiscovery.discoverSequentialDeps(
+        Seq(("a", a, Seq("seq", "reading", "tag")), ("b", b, Seq("id", "v"))),
+        minGap = 0.0, maxGap = 50.0, epsilon = 0.1)
+      .collect()
+    // generation rule: x over declared, y over NUMERIC declared, x != y
+    // a: x in {seq, reading, tag}, y in {seq, reading} -> 2+2? pairs:
+    //   (seq,reading),(reading,seq),(tag,seq),(tag,reading) = 4
+    // b: (id,v),(v,id) = 2
+    assert(out.length == 6)
+    val got = out.map(r => (r.getString(0), r.getString(1),
+      r.getString(2))).toSet
+    assert(got == Set(("a", "seq", "reading"), ("a", "reading", "seq"),
+      ("a", "tag", "seq"), ("a", "tag", "reading"),
+      ("b", "id", "v"), ("b", "v", "id")))
+    // verdicts identical to per-call
+    for ((t, df, pairs) <- Seq(
+        ("a", a, Seq("seq" -> "reading", "reading" -> "seq",
+          "tag" -> "seq", "tag" -> "reading")),
+        ("b", b, Seq("id" -> "v", "v" -> "id")))) {
+      val percall = KeyDiscovery.sequentialDependencies(df, pairs,
+        0.0, 50.0, epsilon = 0.1).collect()
+        .map(r => r.toSeq).toSet
+      val swept = out.filter(_.getString(0) == t)
+        .map(r => r.toSeq.drop(1)).toSet
+      assert(swept == percall, s"table $t verdict drift")
+    }
+    // no numeric candidate -> loud
+    intercept[IllegalArgumentException] {
+      KeyDiscovery.discoverSequentialDeps(
+        Seq(("a", a, Seq("tag", "grp"))) // grp numeric — ok; use strings
+          .map { case (t, d, _) => (t, d.select(col("tag"),
+            col("tag").as("tag2")), Seq("tag", "tag2")) },
+        0.0, 1.0)
+    }
+  }
+
   test("compositeCandidateKeys misuse guards are loud") {
     intercept[IllegalArgumentException] {
       KeyDiscovery.compositeCandidateKeys(df, Seq(Seq("id", "id")))
