@@ -4246,6 +4246,47 @@ object Oracles {
        |ORDER BY on_column, ordered_column""".stripMargin
   }
 
+  /** q194: wildcard-tableau CFDs — the mask expansion written as an
+    * explicit four-branch UNION (full, each single-constant, all-
+    * wildcard), then the identical (sum, max) / (support, kept) levels
+    * and exact-Long g₃ arithmetic. NULL pattern cells = wildcards (real
+    * nulls are gated out before grouping on both sides).
+    */
+  val q194: String =
+    """WITH base AS (
+      |  SELECT event_type,
+      |    CAST(floor(value / 250) AS BIGINT) AS vband,
+      |    user_id % 25 AS uid_bucket,
+      |    CASE WHEN event_type = 'signup' AND value < 250
+      |      THEN (user_id % 25) * 3
+      |      ELSE CAST(floor(value / 100) AS BIGINT) END AS dep
+      |  FROM events),
+      |g AS (SELECT event_type, vband, uid_bucket, dep, count(*) AS cnt
+      |  FROM base WHERE event_type IS NOT NULL AND vband IS NOT NULL
+      |    AND uid_bucket IS NOT NULL AND dep IS NOT NULL
+      |  GROUP BY 1, 2, 3, 4),
+      |e AS (
+      |  SELECT nc, ep, vb, uid_bucket, dep, sum(cnt) AS cnt FROM (
+      |    SELECT 2 AS nc, event_type AS ep, vband AS vb,
+      |      uid_bucket, dep, cnt FROM g
+      |    UNION ALL SELECT 1, event_type, NULL, uid_bucket, dep, cnt FROM g
+      |    UNION ALL SELECT 1, NULL, vband, uid_bucket, dep, cnt FROM g
+      |    UNION ALL SELECT 0, NULL, NULL, uid_bucket, dep, cnt FROM g)
+      |  GROUP BY 1, 2, 3, 4, 5),
+      |l2 AS (SELECT nc, ep, vb, uid_bucket, sum(cnt) AS nx, max(cnt) AS mx
+      |  FROM e GROUP BY 1, 2, 3, 4),
+      |l3 AS (SELECT nc, ep, vb, sum(nx) AS n, sum(mx) AS kept
+      |  FROM l2 GROUP BY 1, 2, 3)
+      |SELECT 'uid_bucket' AS determinant, 'dep' AS dependent,
+      |  nc AS n_const,
+      |  CAST(ep AS VARCHAR) AS event_type, CAST(vb AS VARCHAR) AS vband,
+      |  n AS support, kept AS n_kept,
+      |  CAST(n - kept AS DOUBLE) / n AS g3,
+      |  CAST(n - kept AS DOUBLE) <= 0.02 * n AS holds
+      |FROM l3 WHERE n >= 50
+      |ORDER BY n_const, event_type NULLS FIRST, vband NULLS FIRST"""
+      .stripMargin
+
   /** q192: rolling 1-hour min/max — the plain sliding RANGE window in
     * DuckDB (where it is cheap); the Spark side must reproduce it from
     * the two-bucket grow-only decomposition exactly, including empty-
@@ -4404,6 +4445,7 @@ object Oracles {
       "q191_asof_strict_split" -> q191,
       "q192_rolling_extrema" -> q192,
       "q193_seq_dep_sweep" -> q193,
+      "q194_tableau_cfds" -> q194,
       "q160_cohort_retention" -> q160,
       "q161_resample_grid" -> q161,
       "q162_forward_fill" -> q162,

@@ -3168,6 +3168,25 @@ object Queries {
       .orderBy("table", "on_column", "ordered_column")
   }
 
+  /** Wildcard-tableau CFDs (r16): the full Bohannon et al. pattern form
+    * over a dirtied fixture — `dep` is a clean function of `uid_bucket`
+    * exactly on the (signup, band-0) pattern and noise elsewhere, so
+    * the tableau's specialization cells separate where the constant
+    * form could only condition on one column. Every subset × value
+    * cell is SQL-oracled.
+    */
+  def q194TableauCfds(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events").select(
+      col("event_type"),
+      floor(col("value") / 250).cast("long").as("vband"),
+      (col("user_id") % 25).as("uid_bucket"),
+      when(col("event_type") === "signup" && col("value") < 250,
+        (col("user_id") % 25) * 3)
+        .otherwise(floor(col("value") / 100).cast("long")).as("dep"))
+    stats.KeyDiscovery.tableauConditionalFds(ev, Seq("event_type", "vband"),
+      "uid_bucket", "dep", maxError = 0.02, minSupport = 50L)
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -3397,6 +3416,7 @@ object Queries {
     "q191_asof_strict_split" -> (q191AsofStrictSplit _),
     "q192_rolling_extrema" -> (q192RollingExtrema _),
     "q193_seq_dep_sweep" -> (q193SeqDepSweep _),
+    "q194_tableau_cfds" -> (q194TableauCfds _),
     "q140_multifield_linkage" -> (q140MultiFieldLinkage _)
   )
 }

@@ -1048,6 +1048,134 @@ object KeyDiscovery {
         col("dependent"), col("pattern_value"))
   }
 
+  /** Ceiling on [[tableauConditionalFds]] pattern arity: the tableau
+    * expands each distinct (pattern, x, c) tuple to its 2^arity masked
+    * variants, so the bound caps the expansion at 8× — and wider
+    * pattern sets explode the OUTPUT (every value combo of every
+    * subset), which stops being a profile and starts being a dump.
+    */
+  val MaxPatternArity: Int = 3
+
+  /** WILDCARD-TABLEAU conditional functional dependencies — the full
+    * Bohannon et al. 2007 pattern form
+    * ([[conditionalFunctionalDependencies]] is the constant-single-
+    * column v1): for the candidate FD `determinant → dependent`, every
+    * pattern TUPLE over `patternCols` whose components are either a
+    * constant drawn from the data or the wildcard `_` — i.e., for every
+    * subset S of the pattern columns (the constant positions; the
+    * grouping-set-style expansion CFDMiner discovery uses) and every
+    * distinct value combination on S — the per-pattern TANE g₃ of the
+    * FD restricted to the matching rows. The empty subset (all
+    * wildcards) is the plain global FD over the gated rows and anchors
+    * the tableau.
+    *
+    * Conventions (the constant form's, stated honestly):
+    *   - rows with a NULL in ANY of pattern/determinant/dependent are
+    *     excluded — a null is not a constant, it cannot be matched, and
+    *     the FD family's null gate covers x/c; consequently a NULL in an
+    *     output pattern column unambiguously means WILDCARD.
+    *   - patterns below `minSupport` matching rows are dropped.
+    *   - arity is bounded by [[MaxPatternArity]] (expansion + output
+    *     cardinality), determinants are arity-1, and there is no
+    *     minimality/implication pruning across the tableau — every
+    *     qualifying cell is reported (a holding `(v, _)` row does imply
+    *     its `(v, w)` specializations hold-ish, but their g₃ values
+    *     still differ and profiling wants them).
+    *   - this call takes ONE explicit (determinant, dependent)
+    *     candidate, so a degenerate role overlap (determinant =
+    *     dependent, or either inside the pattern set — conditioning on
+    *     the determinant) ERRORS loudly, unlike the constant SWEEP
+    *     which skips degenerate combinations of its role lists (there
+    *     is no list here to sweep past).
+    *
+    * Scale shape — LAZY, one row-scale shuffle: rows collapse map-side
+    * to distinct (pattern..., x, c) tuples FIRST; the 2^arity mask
+    * expansion runs over that bounded frame, then three more
+    * cell-scale aggregation levels ((mask, pattern, x, c) re-merge,
+    * (sum, max) per (mask, pattern, x), (support, kept) per pattern).
+    * No driver loop, nothing row-scale after the first exchange.
+    *
+    * Output: (determinant, dependent, n_const, one STRING column per
+    * pattern attribute — NULL = wildcard —, support, n_kept, g3,
+    * holds), ordered by (n_const, pattern values NULLS FIRST); g₃ and
+    * `holds` use the family's exact-Long arithmetic.
+    */
+  def tableauConditionalFds(df: DataFrame, patternCols: Seq[String],
+                            determinant: String, dependent: String,
+                            maxError: Double = 0.05,
+                            minSupport: Long = 1L): DataFrame = {
+    require(patternCols.nonEmpty, "need at least one pattern column")
+    require(patternCols.size <= MaxPatternArity,
+      s"${patternCols.size} pattern columns > $MaxPatternArity: the " +
+        "2^arity tableau expansion is bounded — profile wider pattern " +
+        "sets as separate calls")
+    require(patternCols.distinct.size == patternCols.size,
+      "duplicate pattern column")
+    require(determinant != dependent,
+      s"determinant and dependent are both '$determinant'")
+    Seq(determinant, dependent).foreach(c => require(
+      !patternCols.contains(c),
+      s"'$c' is both a pattern column and a determinant/dependent — " +
+        "conditioning on the FD's own columns is degenerate"))
+    (patternCols ++ Seq(determinant, dependent)).foreach(c =>
+      require(df.columns.contains(c), s"column '$c' not in frame"))
+    require(maxError >= 0 && maxError < 1,
+      s"need 0 <= maxError < 1, got $maxError")
+    require(minSupport >= 1, s"need minSupport >= 1, got $minSupport")
+    val reserved = Seq("determinant", "dependent", "n_const", "support",
+      "n_kept", "g3", "holds")
+    patternCols.foreach(p => require(!reserved.contains(p),
+      s"pattern column '$p' collides with an output column"))
+    val arity = patternCols.size
+    val gate = (patternCols ++ Seq(determinant, dependent))
+      .map(col(_).isNotNull).reduce(_ && _)
+    val pIn = patternCols.indices.map(i => s"__pi$i")
+    val pN = patternCols.indices.map(i => s"__pv$i")
+    // the one row-scale shuffle: distinct full tuples with counts
+    val t = df.where(gate)
+      .groupBy(patternCols.zipWithIndex.map { case (p, i) =>
+        col(p).as(pIn(i)) } ++
+        Seq(col(determinant).as("__x"), col(dependent).as("__c")): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    // mask expansion over the bounded tuple frame: bit i set = pattern
+    // position i keeps its constant; clear = wildcard (the internal
+    // NULL sentinel — safe because gated rows have no null patterns)
+    val variants = (0 until (1 << arity)).map { m =>
+      struct(lit(Integer.bitCount(m)).as("nc") +:
+        patternCols.zipWithIndex.map { case (p, i) =>
+          val dt = df.schema(df.schema.fieldIndex(p)).dataType
+          (if (((m >> i) & 1) == 1) col(pIn(i))
+           else lit(null).cast(dt)).as(s"v$i")
+        }: _*)
+    }
+    val expanded = t.select(explode(array(variants: _*)).as("__e"),
+        col("__x"), col("__c"), col("__cnt"))
+      .select(col("__e")("nc").as("__nc") +:
+        (patternCols.indices.map(i => col("__e")(s"v$i").as(pN(i))) ++
+          Seq(col("__x"), col("__c"), col("__cnt"))): _*)
+    val keyPat = col("__nc") +: pN.map(col)
+    val l3 = expanded
+      .groupBy(keyPat ++ Seq(col("__x"), col("__c")): _*)
+      .agg(sum("__cnt").as("__cnt2"))
+      .groupBy(keyPat :+ col("__x"): _*)
+      .agg(sum("__cnt2").as("__nx"), max("__cnt2").as("__mx"))
+      .groupBy(keyPat: _*)
+      .agg(sum(col("__nx")).as("__n"), sum(col("__mx")).as("__kept"))
+      .where(col("__n") >= minSupport)
+    l3.select(
+      Seq(lit(determinant).as("determinant"),
+        lit(dependent).as("dependent"), col("__nc").as("n_const")) ++
+        patternCols.zipWithIndex.map { case (p, i) =>
+          col(pN(i)).cast(StringType).as(p) } ++
+        Seq(col("__n").as("support"), col("__kept").as("n_kept"),
+          ((col("__n") - col("__kept")).cast(DoubleType) / col("__n"))
+            .as("g3"),
+          ((col("__n") - col("__kept")).cast(DoubleType) <=
+            lit(maxError) * col("__n")).as("holds")): _*)
+      .orderBy(col("n_const") +:
+        patternCols.map(p => col(p).asc_nulls_first): _*)
+  }
+
   /** APPROXIMATE candidate keys — the g₃ uniqueness error (the UCC form
     * of Kivinen & Mannila 1995's measure, as in HyUCC / Papenbrock &
     * Naumann 2017): the fraction of rows that must be REMOVED for the

@@ -1199,6 +1199,76 @@ class KeyDiscoverySpec extends SparkSpec {
     }
   }
 
+  test("tableauConditionalFds: every subset × value-combo cell equals " +
+      "brute-force g3; wildcard = NULL; guards are loud") {
+    val rnd = new scala.util.Random(777)
+    val rows = (0 until 400).map { i =>
+      val p1: java.lang.Long =
+        if (rnd.nextInt(30) == 0) null else java.lang.Long.valueOf(i % 3)
+      val p2 = if (rnd.nextInt(25) == 0) null else s"r${i % 2}"
+      val x = java.lang.Long.valueOf(i % 10)
+      // c is a function of x exactly when p1 = 0; noisy elsewhere
+      val c: java.lang.Long =
+        if (rnd.nextInt(20) == 0) null
+        else if (p1 != null && p1 == 0L) java.lang.Long.valueOf((i % 10) * 2)
+        else java.lang.Long.valueOf(rnd.nextInt(5))
+      (p1, p2, x, c)
+    }
+    val df = rows.toDF("p1", "p2", "x", "c")
+    val out = KeyDiscovery.tableauConditionalFds(df, Seq("p1", "p2"),
+        "x", "c", maxError = 0.05, minSupport = 5L).collect()
+    // brute force over gated rows
+    val gated = rows.filter(r =>
+      r._1 != null && r._2 != null && r._3 != null && r._4 != null)
+    def g3(sel: ((java.lang.Long, String, java.lang.Long, java.lang.Long))
+        => Boolean): (Long, Long) = {
+      val s = gated.filter(sel)
+      val kept = s.groupBy(_._3).map(_._2.groupBy(_._4).map(_._2.size).max)
+        .sum
+      (s.size.toLong, kept.toLong)
+    }
+    val expect = scala.collection.mutable.Map[(Int, Option[String],
+      Option[String]), (Long, Long)]()
+    for (m <- 0 until 4) {
+      val p1s = if ((m & 1) == 1) gated.map(_._1.longValue).distinct.map(Some(_))
+        else Seq(None)
+      val p2s = if ((m & 2) == 2) gated.map(_._2).distinct.map(Some(_))
+        else Seq(None)
+      for (v1 <- p1s; v2 <- p2s) {
+        val (n, kept) = g3(r =>
+          v1.forall(_ == r._1.longValue) && v2.forall(_ == r._2))
+        if (n >= 5)
+          expect((Integer.bitCount(m),
+            v1.map(_.toString), v2.map(identity))) = (n, kept)
+      }
+    }
+    assert(out.length == expect.size, s"cells: ${out.length} vs ${expect.size}")
+    out.foreach { r =>
+      val key = (r.getInt(2), Option(r.getString(3)), Option(r.getString(4)))
+      val (n, kept) = expect(key)
+      assert(r.getLong(5) == n && r.getLong(6) == kept, s"cell $key")
+      assert(r.getDouble(7) == (n - kept).toDouble / n, s"g3 $key")
+      assert(r.getBoolean(8) == ((n - kept).toDouble <= 0.05 * n),
+        s"holds $key")
+      assert(r.getString(0) == "x" && r.getString(1) == "c")
+    }
+    // the all-wildcard anchor is present and equals the global gated FD
+    assert(out.exists(r => r.getInt(2) == 0 && r.isNullAt(3) &&
+      r.isNullAt(4)))
+    // degenerate roles and arity bound are loud
+    intercept[IllegalArgumentException] {
+      KeyDiscovery.tableauConditionalFds(df, Seq("p1", "x"), "x", "c")
+    }
+    intercept[IllegalArgumentException] {
+      KeyDiscovery.tableauConditionalFds(df, Seq("p1"), "x", "x")
+    }
+    intercept[IllegalArgumentException] {
+      KeyDiscovery.tableauConditionalFds(
+        df.withColumn("p3", lit(1)).withColumn("p4", lit(1)),
+        Seq("p1", "p2", "p3", "p4"), "x", "c")
+    }
+  }
+
   test("compositeCandidateKeys misuse guards are loud") {
     intercept[IllegalArgumentException] {
       KeyDiscovery.compositeCandidateKeys(df, Seq(Seq("id", "id")))
