@@ -89,6 +89,42 @@ object StreamingFrame {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** Per-session SUMMARY over the stream — the streaming twin of
+    * [[graft.ops.Sessionize.sessionStats]] (r16): the same per-session
+    * outputs (n_events, start_us/end_us — exact epoch micros of the
+    * first/last event, not the gap-extended window bounds —,
+    * duration_us), sessions formed by the native `session_window` gap
+    * merge [[streamingSessionize]] already rides, whose state store
+    * carries exactly the min/max/count this summary needs. Replay ≡
+    * batch is spec-pinned on the same fixture and gap.
+    *
+    * Caveats (documented, not silent): (a) rows later than the
+    * watermark are dropped by the state store — a late event that
+    * would have extended or merged sessions in batch under-counts
+    * here; parity holds for replays inside the watermark. (b) the
+    * exact-gap boundary differs by convention: the batch lag/cumsum
+    * keeps a pair spaced EXACTLY `gap` apart in one session (`> gap`
+    * starts a new one), while `session_window`'s half-open
+    * [start, start + gap) merge opens a new session there — spacings
+    * exactly equal to the gap are the one divergence (a config
+    * mismatch between the twins' gaps diverges far sooner;
+    * spec-pinned).
+    */
+  def streamingSessionStats(stream: DataFrame, keyCol: String,
+                            tsCol: String,
+                            gap: String = "30 minutes",
+                            watermark: String = "10 minutes"): DataFrame = {
+    val us = unix_micros(col(tsCol).cast(TimestampType))
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), min(us).as("start_us"),
+        max(us).as("end_us"))
+      .select(col(keyCol), col("start_us"), col("end_us"),
+        col("n_events"),
+        (col("end_us") - col("start_us")).as("duration_us"))
+  }
+
   /** Streaming benchmark decontamination: drop documents sharing any word
     * n-gram with the (pre-collected) eval gram set at the ingest door —
     * before contaminated text ever lands in the corpus. Build the set once

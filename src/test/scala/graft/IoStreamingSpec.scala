@@ -538,6 +538,60 @@ class IoStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming sessionStats replayed in event-time order equals " +
+      "batch sessionStats; a gap mismatch diverges") {
+    implicit val sqlCtx = spark.sqlContext
+    val gapS = 600L
+    // deterministic fixture: 3 users, 1..999s steps with the exact-gap
+    // spacing excluded (the documented session_window boundary-
+    // convention divergence), interleaved in global event-time order
+    val rnd = new scala.util.Random(5)
+    val events = (1L to 3L).flatMap { u =>
+      var t = 3600L * u
+      (0 until 40).map { _ =>
+        val step = { val s = rnd.nextInt(999) + 1; if (s == gapS) s + 1 else s }
+        t += step * (if (rnd.nextInt(4) == 0) 3 else 1)
+        (u, t)
+      }
+    }.sortBy(_._2)
+    def run(gap: String): Set[(Long, Long, Long, Long, Long)] = {
+      val mem = MemoryStream[(java.sql.Timestamp, Long)]
+      val stream = mem.toDF().toDF("ts", "user_id")
+      val name = s"session_stats_${gap.replace(" ", "_")}"
+      val q = StreamingFrame.streamingSessionStats(stream, "user_id", "ts",
+          gap = gap, watermark = "1 minute")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      mem.addData(events.map { case (u, t) =>
+        (new java.sql.Timestamp(t * 1000L), u) }: _*)
+      q.processAllAvailable()
+      // flush: a far-future sentinel closes every session
+      mem.addData((new java.sql.Timestamp(
+        (events.map(_._2).max + 72000L) * 1000L), 99L))
+      q.processAllAvailable()
+      val out = spark.sql(
+        s"select * from $name where user_id in (1, 2, 3)").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      q.stop()
+      out
+    }
+    val batch = graft.ops.Sessionize.sessionStats(
+        events.map { case (u, t) =>
+          (u, new java.sql.Timestamp(t * 1000L)) }.toDF("user_id", "ts"),
+        "user_id", "ts", gapSeconds = gapS)
+      .select("user_id", "start_us", "end_us", "n_events", "duration_us")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val streamed = run("10 minutes")
+    assert(streamed == batch, "replay must equal batch sessionStats")
+    assert(batch.size > 10, "fixture must produce several sessions")
+    // config-mismatch arm: a different gap is a DIFFERENT sessionization
+    assert(run("5 minutes") != batch,
+      "gap mismatch must diverge — else the parity assert is vacuous")
+  }
+
   test("stateful per-key profile accumulates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Double)]
