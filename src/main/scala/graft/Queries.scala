@@ -1555,8 +1555,14 @@ object Queries {
     val emb = table(s, dir, "embeddings")
     val opq = ops.Quantize.trainOpq(emb, "embedding", dim = 64, m = 8,
       k = 16, centered = false)
+    // staged persist (the q123 convention): the rotated frame feeds
+    // trainCentroids AND both ivfSearchPq sides — without it the 64-dim
+    // projection recomputes on every consumer, which the r16 stage
+    // audit measured as the whole query's dominant cost (search 3.7 s
+    // vs 0.9 s on the checkpointed frame, BENCH_SF1 §r16; results are
+    // bit-identical either way)
     val rotated = emb.select(col("vec_id"),
-      opq.rotateExpr(col("embedding")).as("rot"))
+      opq.rotateExpr(col("embedding")).as("rot")).localCheckpoint()
     val centroids = ops.Similarity.trainCentroids(rotated, "rot", k = 8)
     ops.Similarity.ivfSearchPq(rotated.where(col("vec_id") < 10), rotated,
       "vec_id", "rot", centroids, opq.pq, nprobe = 3, threshold = 0.3)

@@ -59,6 +59,13 @@ object AsofJoin {
     require(on.nonEmpty, "asofJoin requires at least one key column")
     require(rightValues.nonEmpty,
       "asofJoin requires at least one right value column")
+    // the forwardFill contract on the identical knobs (0 = AUTO width)
+    require(segmentSeconds >= 0 &&
+      segmentSeconds <= EventAnalytics.MaxWindowSeconds,
+      s"need 0 <= segmentSeconds <= ${EventAnalytics.MaxWindowSeconds} " +
+        s"(0 = auto), got $segmentSeconds")
+    require(segmentThreshold > 0,
+      s"need segmentThreshold > 0, got $segmentThreshold")
     on.foreach { c =>
       require(left.columns.contains(c), s"key column '$c' not on left")
       require(right.columns.contains(c), s"key column '$c' not on right")

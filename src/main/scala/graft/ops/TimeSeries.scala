@@ -157,20 +157,18 @@ object TimeSeries {
     // asc frame = real values with t' ≤ t (peers included); desc frame =
     // shifted values with t' + W ≥ t (peers included — the t' = t − W
     // boundary row is IN the window)
-    val prefix = asc
-    val suffix = desc
     val vReal = when(!col(shN), col(valueCol))
     val vShift = when(col(shN), col(valueCol))
     u.withColumn("min_window",
         when(col(effN).isNull, lit(null).cast(df.schema(
           df.schema.fieldIndex(valueCol)).dataType))
-          .otherwise(least(min(vReal).over(prefix),
-            min(vShift).over(suffix))))
+          .otherwise(least(min(vReal).over(asc),
+            min(vShift).over(desc))))
       .withColumn("max_window",
         when(col(effN).isNull, lit(null).cast(df.schema(
           df.schema.fieldIndex(valueCol)).dataType))
-          .otherwise(greatest(max(vReal).over(prefix),
-            max(vShift).over(suffix))))
+          .otherwise(greatest(max(vReal).over(asc),
+            max(vShift).over(desc))))
       .where(!col(shN))
       .drop(shN, effN)
   }

@@ -2100,6 +2100,23 @@ object KeyDiscovery {
           "derive one (e.g. epoch seconds) first")
     }
     val spark = df.sparkSession
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        sequentialDependencyRows(df, pairs, minGap, maxGap, epsilon,
+          partitions), 1),
+      sequentialDependencySchema)
+  }
+
+  /** The driver-side verdict rows behind [[sequentialDependencies]] —
+    * shared with [[discoverSequentialDeps]] so the sweep never
+    * round-trips each chunk through an RDD only to collect it back.
+    */
+  private def sequentialDependencyRows(df: DataFrame,
+                                       pairs: Seq[(String, String)],
+                                       minGap: Double, maxGap: Double,
+                                       epsilon: Double,
+                                       partitions: Int): Seq[Row] = {
+    val spark = df.sparkSession
     val p =
       if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
@@ -2109,13 +2126,11 @@ object KeyDiscovery {
       val r = adjacentGapViolationAgg(df, x, y, minGap, maxGap, p).head()
       acc.put(i, (r.getLong(0), r.getLong(1)))
     }
-    val rows = pairs.zipWithIndex.map { case ((x, y), i) =>
+    pairs.zipWithIndex.map { case ((x, y), i) =>
       val (n, viol) = acc.get(i)
       val error = viol / math.max(n - 1, 1L).toDouble
       Row(x, y, minGap, maxGap, n, viol, error, error <= epsilon)
     }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), sequentialDependencySchema)
   }
 
   private val sequentialDependencySchema = StructType(Seq(
@@ -2154,6 +2169,9 @@ object KeyDiscovery {
     require(tables.nonEmpty, "need at least one table")
     require(tables.map(_._1).distinct.size == tables.size,
       "duplicate table name")
+    require(minGap <= maxGap, s"need minGap <= maxGap, got [$minGap, $maxGap]")
+    require(epsilon >= 0 && epsilon < 1,
+      s"need 0 <= epsilon < 1, got $epsilon")
     val tablePairs = tables.map { case (t, df, cs) =>
       require(cs.size >= 2, s"table '$t': need at least two columns")
       require(cs.distinct.size == cs.size, s"table '$t': duplicate column")
@@ -2170,8 +2188,8 @@ object KeyDiscovery {
     val spark = tables.head._2.sparkSession
     val out = tablePairs.flatMap { case (t, df, pairs) =>
       pairs.grouped(MaxCandidates).flatMap { chunk =>
-        sequentialDependencies(df, chunk, minGap, maxGap, epsilon,
-          partitions).collect().map(r => Row.fromSeq(t +: r.toSeq))
+        sequentialDependencyRows(df, chunk, minGap, maxGap, epsilon,
+          partitions).map(r => Row.fromSeq(t +: r.toSeq))
       }
     }
     spark.createDataFrame(

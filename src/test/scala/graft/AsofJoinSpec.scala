@@ -113,9 +113,13 @@ class AsofJoinSpec extends SparkSpec {
       (id, key(), Some(rnd.nextInt(3000).toLong * 1000000L),
         if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(999) * 1.0))
     }
-    // dedupe right on (key, t): keep max id (deterministic match target)
-    val rrows = rrowsRaw.filter(r => r._2.isDefined)
-      .groupBy(r => (r._2, r._3)).map(_._2.maxBy(_._1)).toSeq
+    // dedupe right on (key, t) for non-null keys only: keep max id
+    // (deterministic match target); NULL-KEY right rows stay in the
+    // frame — the operator must filter them on every path, and they can
+    // never match, so duplicates among them are harmless
+    val rrows = rrowsRaw.groupBy(r => (r._2, r._3))
+      .flatMap { case ((k, _), g) =>
+        if (k.isDefined) Seq(g.maxBy(_._1)) else g }.toSeq
     val left = lrows.map { case (id, k, t) =>
       (id, k.map(java.lang.Long.valueOf).orNull,
         t.map(usTs).orNull)

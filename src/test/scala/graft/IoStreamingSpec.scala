@@ -549,8 +549,10 @@ class IoStreamingSpec extends SparkSpec {
     val events = (1L to 3L).flatMap { u =>
       var t = 3600L * u
       (0 until 40).map { _ =>
-        val step = { val s = rnd.nextInt(999) + 1; if (s == gapS) s + 1 else s }
-        t += step * (if (rnd.nextInt(4) == 0) 3 else 1)
+        // exclusion applied to the FINAL spacing (after the multiplier),
+        // else 200×3 = 600 would hit the documented boundary divergence
+        val s0 = (rnd.nextInt(999) + 1) * (if (rnd.nextInt(4) == 0) 3 else 1)
+        t += (if (s0 == gapS) s0 + 1 else s0)
         (u, t)
       }
     }.sortBy(_._2)
