@@ -4212,6 +4212,39 @@ object Oracles {
   val q190: String = asofSplitSql(strict = false, withValue = true)
   val q191: String = asofSplitSql(strict = true, withValue = false)
 
+  /** q195: tolerance-bounded asof — native ASOF finds the nearest
+    * preceding purchase, then a CASE null-s the payload when the gap
+    * exceeds 2 h (no fallback: any earlier row is farther still).
+    */
+  val q195: String =
+    """SELECT l.event_id, l.k,
+      |  CASE WHEN l.us - r.us <= 7200000000 THEN r.event_id END
+      |    AS purchase_id,
+      |  CASE WHEN l.us - r.us <= 7200000000 THEN r.value END
+      |    AS purchase_value
+      |FROM (SELECT event_id, nullif(user_id % 7, 0) AS k,
+      |        epoch_us(ts) AS us FROM events
+      |      WHERE event_type = 'click') l
+      |ASOF LEFT JOIN (SELECT event_id, nullif(user_id % 7, 0) AS k, value,
+      |        epoch_us(ts) AS us FROM events
+      |      WHERE event_type = 'purchase') r
+      |  ON l.k = r.k AND l.us >= r.us
+      |ORDER BY l.event_id""".stripMargin
+
+  /** q196: forward asof — DuckDB's `l.us <= r.us` inequality matches the
+    * EARLIEST right row at or after each probe.
+    */
+  val q196: String =
+    """SELECT l.event_id, l.k, r.event_id AS purchase_id
+      |FROM (SELECT event_id, nullif(user_id % 7, 0) AS k,
+      |        epoch_us(ts) AS us FROM events
+      |      WHERE event_type = 'click') l
+      |ASOF LEFT JOIN (SELECT event_id, nullif(user_id % 7, 0) AS k,
+      |        epoch_us(ts) AS us FROM events
+      |      WHERE event_type = 'purchase') r
+      |  ON l.k = r.k AND l.us <= r.us
+      |ORDER BY l.event_id""".stripMargin
+
   /** q193: sequential-dependency sweep — the q188 per-pair CTE repeated
     * over the generated 12-pair candidate set (every declared column ×
     * every numeric declared column), with the table label.
@@ -4446,6 +4479,8 @@ object Oracles {
       "q192_rolling_extrema" -> q192,
       "q193_seq_dep_sweep" -> q193,
       "q194_tableau_cfds" -> q194,
+      "q195_asof_tolerance" -> q195,
+      "q196_asof_forward" -> q196,
       "q160_cohort_retention" -> q160,
       "q161_resample_grid" -> q161,
       "q162_forward_fill" -> q162,

@@ -3193,6 +3193,49 @@ object Queries {
       "uid_bucket", "dep", maxError = 0.02, minSupport = 50L)
   }
 
+  /** Tolerance-bounded as-of join (r16): q190's forced-heavy shape with
+    * a 2-hour match tolerance — a match farther than the tolerance
+    * null-s out with NO fallback (pandas merge_asof semantics; any
+    * earlier row is farther still). Oracle = native ASOF with the gap
+    * filter as a CASE over the matched pair.
+    */
+  def q195AsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+      .withColumn("k", nullif(col("user_id") % 7, lit(0)))
+    val clicks = ev.where(col("event_type") === "click")
+      .select("event_id", "k", "ts")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("k"), col("ts"), col("event_id").as("purchase_id"),
+        col("value"))
+    ops.AsofJoin.asofJoin(clicks, purchases, Seq("k"), "ts", "ts",
+        Seq("purchase_id", "value"), toleranceSeconds = 7200L,
+        segmentSeconds = 60L, segmentThreshold = 100L)
+      .select(col("event_id"), col("k"),
+        col("purchase_id_right").as("purchase_id"),
+        col("value_right").as("purchase_value"))
+      .orderBy("event_id")
+  }
+
+  /** Forward as-of join (r16): each click matches the user's EARLIEST
+    * purchase at or after it — the reflected-time backward join forced
+    * down the heavy path, against DuckDB's forward ASOF (`l.us <=
+    * r.us`).
+    */
+  def q196AsofForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+      .withColumn("k", nullif(col("user_id") % 7, lit(0)))
+    val clicks = ev.where(col("event_type") === "click")
+      .select("event_id", "k", "ts")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("k"), col("ts"), col("event_id").as("purchase_id"))
+    ops.AsofJoin.asofJoin(clicks, purchases, Seq("k"), "ts", "ts",
+        Seq("purchase_id"), direction = "forward",
+        segmentSeconds = 60L, segmentThreshold = 100L)
+      .select(col("event_id"), col("k"),
+        col("purchase_id_right").as("purchase_id"))
+      .orderBy("event_id")
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -3423,6 +3466,8 @@ object Queries {
     "q192_rolling_extrema" -> (q192RollingExtrema _),
     "q193_seq_dep_sweep" -> (q193SeqDepSweep _),
     "q194_tableau_cfds" -> (q194TableauCfds _),
+    "q195_asof_tolerance" -> (q195AsofTolerance _),
+    "q196_asof_forward" -> (q196AsofForward _),
     "q140_multifield_linkage" -> (q140MultiFieldLinkage _)
   )
 }

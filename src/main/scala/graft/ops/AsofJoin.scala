@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -47,11 +47,28 @@ object AsofJoin {
     * whole-key window: the heavy path buckets by timestamp micros, so only
     * genuine time types can split (the forwardFill gate rationale —
     * routing must never change results).
+    *
+    * pandas `merge_asof` parity knobs (r16):
+    *   - `direction = "forward"` matches the EARLIEST right row at or
+    *     after (strict: after) the left time — implemented as the
+    *     backward join over REFLECTED time (`timestamp_micros(−µs)`;
+    *     numeric columns negate), so both directions share one code
+    *     path, one skew posture, and one set of tie/null conventions
+    *     (a reflection is order-reversing and bijective on µs).
+    *     Requires time-typed or numeric time columns.
+    *   - `toleranceSeconds > 0` null-s out a match farther than the
+    *     tolerance from the probe (no fallback to older rows — any
+    *     earlier/later row is farther still, the pandas semantics).
+    *     The matched right time rides the payload struct internally; the
+    *     filter is a pure post-projection, identical on both routing
+    *     paths. Requires time-typed columns (seconds need a clock).
     */
   def asofJoin(left: DataFrame, right: DataFrame, on: Seq[String],
                leftTime: String, rightTime: String,
                rightValues: Seq[String], strict: Boolean = false,
                suffix: String = "_right",
+               direction: String = "backward",
+               toleranceSeconds: Long = 0L,
                segmentSeconds: Long = 86400L,
                segmentThreshold: Long =
                  EventAnalytics.DefaultSegmentThreshold,
@@ -59,6 +76,16 @@ object AsofJoin {
     require(on.nonEmpty, "asofJoin requires at least one key column")
     require(rightValues.nonEmpty,
       "asofJoin requires at least one right value column")
+    val forward = direction match {
+      case "backward" => false
+      case "forward" => true
+      case other => throw new IllegalArgumentException(
+        s"direction must be 'backward' or 'forward', got '$other'")
+    }
+    require(toleranceSeconds >= 0 &&
+      toleranceSeconds <= EventAnalytics.MaxWindowSeconds,
+      s"need 0 <= toleranceSeconds <= ${EventAnalytics.MaxWindowSeconds} " +
+        s"(0 = unbounded), got $toleranceSeconds")
     // the forwardFill contract on the identical knobs (0 = AUTO width)
     require(segmentSeconds >= 0 &&
       segmentSeconds <= EventAnalytics.MaxWindowSeconds,
@@ -76,27 +103,58 @@ object AsofJoin {
       s"time column '$rightTime' not on right")
     rightValues.foreach(c => require(right.columns.contains(c),
       s"value column '$c' not on right"))
+    def isTime(dt: DataType): Boolean = dt match {
+      case TimestampType | TimestampNTZType | DateType => true
+      case _ => false
+    }
+    val timeTyped =
+      isTime(left.schema(left.schema.fieldIndex(leftTime)).dataType) &&
+        isTime(right.schema(right.schema.fieldIndex(rightTime)).dataType)
+    val numericTimes =
+      left.schema(left.schema.fieldIndex(leftTime)).dataType
+        .isInstanceOf[NumericType] &&
+        right.schema(right.schema.fieldIndex(rightTime)).dataType
+          .isInstanceOf[NumericType]
+    require(toleranceSeconds == 0 || timeTyped,
+      "toleranceSeconds requires timestamp/date time columns")
+    require(!forward || timeTyped || numericTimes,
+      "direction='forward' requires timestamp/date or numeric time " +
+        "columns (the reflection needs arithmetic)")
+    val tolUs = Math.multiplyExact(toleranceSeconds, 1000000L)
+    // the SCAN time: reflected for forward so the backward machinery
+    // (running last in ascending scan order) serves both directions
+    def scanT(c: Column): Column =
+      if (!forward) c
+      else if (timeTyped) timestamp_micros(-unix_micros(c.cast(TimestampType)))
+      else negate(c)
     // fresh internal names: the left frame may legitimately own __t etc.
-    val Seq(tN, sN, rvN) = HeavySplit.freshNames(
-      (left.columns ++ right.columns).toSeq)("__t", "__side", "__rv")
+    val Seq(tN, sN, rvN, rtN) = HeavySplit.freshNames(
+      (left.columns ++ right.columns).toSeq ++ rightValues)(
+      "__t", "__side", "__rv", "__rt")
     // at equal times the side that sorts FIRST is the one whose value the
     // other may see: right first (inclusive ties, `>=`) unless strict
     val leftSide = if (strict) 0 else 1
     val l = left
-      .withColumn(tN, col(leftTime))
+      .withColumn(tN, scanT(col(leftTime)))
       .withColumn(sN, lit(leftSide))
+    // the matched right time (original clock, not reflected) rides the
+    // payload struct when a tolerance must be checked downstream
+    val rvFields = rightValues.map(col) ++
+      (if (tolUs > 0)
+        Seq(unix_micros(col(rightTime).cast(TimestampType)).as(rtN))
+      else Nil)
     val r = right
       .where(on.map(col(_).isNotNull).reduce(_ && _) &&
         col(rightTime).isNotNull)
-      .select(on.map(col) ++ Seq(col(rightTime).as(tN),
+      .select(on.map(col) ++ Seq(scanT(col(rightTime)).as(tN),
         lit(1 - leftSide).as(sN),
-        struct(rightValues.map(col): _*).as(rvN)): _*)
+        struct(rvFields: _*).as(rvN)): _*)
     val u = l.unionByName(r, allowMissingColumns = true)
-    val timeTyped = u.schema(u.schema.fieldIndex(tN)).dataType match {
+    val scanTimeTyped = u.schema(u.schema.fieldIndex(tN)).dataType match {
       case TimestampType | TimestampNTZType | DateType => true
       case _ => false
     }
-    val splittable = timeTyped &&
+    val splittable = scanTimeTyped &&
       org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(
         u.schema(u.schema.fieldIndex(rvN)).dataType)
     val routeKey =
@@ -105,8 +163,17 @@ object AsofJoin {
       orderCols = Seq(sN), nullsLast = false, segmentSeconds,
       segmentThreshold, if (splittable) split else HeavySplit.AssumeLight)
     val matched = filled.where(col(sN) === leftSide).drop(tN, sN)
+    val rv =
+      if (tolUs == 0L) col(rvN)
+      else {
+        val lUs = unix_micros(col(leftTime).cast(TimestampType))
+        val gap =
+          if (forward) col(rvN).getField(rtN) - lUs
+          else lUs - col(rvN).getField(rtN)
+        when(gap <= tolUs, col(rvN))
+      }
     rightValues.foldLeft(matched) { (d, c) =>
-      d.withColumn(c + suffix, col(rvN).getField(c))
+      d.withColumn(c + suffix, rv.getField(c))
     }.drop(rvN)
   }
 }

@@ -128,15 +128,27 @@ class AsofJoinSpec extends SparkSpec {
       (id, k.map(java.lang.Long.valueOf).orNull, t.map(usTs).orNull,
         v.map(java.lang.Double.valueOf).orNull)
     }.toDF("rid", "key", "qts", "price")
-    def reference(strict: Boolean): Map[Long, Option[(Long, Option[Double])]] =
+    def reference(strict: Boolean, forward: Boolean, tolS: Long)
+        : Map[Long, Option[(Long, Option[Double])]] =
       lrows.map { case (id, k, t) =>
         val m = (k, t) match {
           case (Some(kk), Some(tt)) =>
-            val cand = rrows.filter(r => r._2.contains(kk) &&
-              (if (strict) r._3.get < tt else r._3.get <= tt))
+            val cand = rrows.filter { r =>
+              r._2.contains(kk) && {
+                val rt = r._3.get
+                if (forward) { if (strict) rt > tt else rt >= tt }
+                else { if (strict) rt < tt else rt <= tt }
+              }
+            }
             if (cand.isEmpty) None
-            else Some(cand.maxBy(r => (r._3.get, r._1)))
-              .map(r => (r._1, r._4))
+            else {
+              val best =
+                if (forward) cand.minBy(r => (r._3.get, -r._1))
+                else cand.maxBy(r => (r._3.get, r._1))
+              val gap = if (forward) best._3.get - tt else tt - best._3.get
+              if (tolS > 0 && gap > tolS * 1000000L) None
+              else Some((best._1, best._4))
+            }
           case _ => None
         }
         id -> m
@@ -153,14 +165,23 @@ class AsofJoinSpec extends SparkSpec {
       (7L, 1L, ops.HeavySplit.Known(Nil, allHeavy = true,
         maxSpanMicros = Some(3000L * 1000000L))),
       (60L, 50L, detected))
-    for (strict <- Seq(false, true); (segS, thr, split) <- configs) {
+    // the full strict × direction × tolerance matrix runs on a reduced
+    // regime set; the full regime set runs on the default arm
+    val smallConfigs = Seq(configs.head, configs(3), configs.last)
+    for (strict <- Seq(false, true); forward <- Seq(false, true);
+         tolS <- Seq(0L, 300L);
+         (segS, thr, split) <-
+           (if (!strict && !forward && tolS == 0L) configs
+            else smallConfigs)) {
       val out = AsofJoin.asofJoin(left, right, Seq("key"), "tts", "qts",
-          Seq("rid", "price"), strict = strict, segmentSeconds = segS,
+          Seq("rid", "price"), strict = strict,
+          direction = if (forward) "forward" else "backward",
+          toleranceSeconds = tolS, segmentSeconds = segS,
           segmentThreshold = thr, split = split)
         .select("lid", "rid_right", "price_right").collect()
-      assert(out.length == lrows.size,
-        s"row count under ($segS,$thr,$split,strict=$strict)")
-      val want = reference(strict)
+      val tag = s"($segS,$thr,$split,strict=$strict,fwd=$forward,tol=$tolS)"
+      assert(out.length == lrows.size, s"row count under $tag")
+      val want = reference(strict, forward, tolS)
       out.foreach { r =>
         val lid = r.getLong(0)
         val got =
@@ -168,8 +189,7 @@ class AsofJoinSpec extends SparkSpec {
           else Some((r.getLong(1),
             if (r.isNullAt(2)) None else Some(r.getDouble(2))))
         assert(got == want(lid),
-          s"lid $lid under ($segS,$thr,$split,strict=$strict): " +
-            s"got $got, want ${want(lid)}")
+          s"lid $lid under $tag: got $got, want ${want(lid)}")
       }
     }
   }
@@ -208,6 +228,22 @@ class AsofJoinSpec extends SparkSpec {
       .select("lid", "price_right").collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(out == Map(1L -> 1.5, 2L -> 2.5))
+    // forward over numeric sequences: negation reflection
+    val fwd = AsofJoin.asofJoin(left, right, Seq("key"), "seq", "rseq",
+        Seq("price"), direction = "forward")
+      .select("lid", "price_right").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(fwd == Map(1L -> Some(2.5), 2L -> None))
+    // tolerance needs a clock: numeric time columns are loud
+    intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(left, right, Seq("key"), "seq", "rseq",
+        Seq("price"), toleranceSeconds = 60L)
+    }
+    intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(left, right, Seq("key"), "seq", "rseq",
+        Seq("price"), direction = "sideways")
+    }
   }
 
   test("plan: heavy asofJoin — ONE fill window, sorts lead with " +
