@@ -4481,6 +4481,9 @@ object Oracles {
       "q194_tableau_cfds" -> q194,
       "q195_asof_tolerance" -> q195,
       "q196_asof_forward" -> q196,
+      // q197 is the skew-flat twin of q94 with a contract-identical
+      // output: the SAME oracle SQL pins both implementations
+      "q197_rolling_bucketed" -> q94,
       "q160_cohort_retention" -> q160,
       "q161_resample_grid" -> q161,
       "q162_forward_fill" -> q162,

@@ -1344,6 +1344,18 @@ object Queries {
         col("min_window"), col("max_window"))
       .orderBy("event_id")
 
+  /** Skew-flat rolling count/sum (r16): q94's exact semantics through
+    * the two-bucket decomposition instead of the whole-key cum-diff —
+    * SAME oracle SQL as q94 (the outputs are contract-identical).
+    */
+  def q197RollingBucketed(s: SparkSession, dir: String): DataFrame =
+    ops.TimeSeries.rollingAggregateBucketed(
+        table(s, dir, "events").where(col("user_id") < 40), "user_id", "ts",
+        "value", windowSeconds = 3600L)
+      .select(col("event_id"), col("user_id"),
+        col("n_window"), col("sum_cents_window"))
+      .orderBy("event_id")
+
   /** Hourly resample of the event stream per event type. */
   def q95Resample(s: SparkSession, dir: String): DataFrame =
     ops.TimeSeries.resample(table(s, dir, "events"), "ts", "hour",
@@ -3468,6 +3480,7 @@ object Queries {
     "q194_tableau_cfds" -> (q194TableauCfds _),
     "q195_asof_tolerance" -> (q195AsofTolerance _),
     "q196_asof_forward" -> (q196AsofForward _),
+    "q197_rolling_bucketed" -> (q197RollingBucketed _),
     "q140_multifield_linkage" -> (q140MultiFieldLinkage _)
   )
 }

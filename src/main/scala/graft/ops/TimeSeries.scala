@@ -90,6 +90,91 @@ object TimeSeries {
             coalesce(sum(cents).over(before), lit(0L))))
   }
 
+  /** The two-bucket decomposition's shared frame machinery
+    * ([[rollingExtrema]], [[rollingAggregateBucketed]]): the union of
+    * real rows with copies shifted forward by the window width, the
+    * (key, bucket) windows in BOTH orders, and the internal column
+    * names. `shiftFilter` restricts which rows get shifted copies (an
+    * op only shifts rows that can contribute to its aggregates).
+    * Both frames are (unboundedPreceding → currentRow) — the ONLY
+    * frame shape Spark evaluates incrementally; an unboundedFollowing
+    * bound re-aggregates per row (measured 65 s vs 2.5 s at 30× zipf,
+    * BENCH_SF1 §r16.2).
+    */
+  private def twoBucketFrames(df: DataFrame, keyCol: String, tsCol: String,
+                              wUs: Long, shiftFilter: Column)
+      : (DataFrame, String, String,
+         org.apache.spark.sql.expressions.WindowSpec,
+         org.apache.spark.sql.expressions.WindowSpec) = {
+    val Seq(shN, effN) = HeavySplit.freshNames(df.columns.toSeq)(
+      "__sh", "__eff")
+    val us = unix_micros(col(tsCol).cast(TimestampType))
+    val real = df.withColumn(shN, lit(false)).withColumn(effN, us)
+    val shifted = df.where(us.isNotNull && shiftFilter)
+      .withColumn(shN, lit(true)).withColumn(effN, us + wUs)
+    val u = real.unionAll(shifted)
+    // bucket START (a Long) as the partition value — pmod keeps floor
+    // semantics without ANSI's Long/Long double division
+    val bucket = col(effN) - pmod(col(effN), lit(wUs))
+    val asc = Window.partitionBy(col(keyCol), bucket)
+      .orderBy(col(effN).asc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val desc = Window.partitionBy(col(keyCol), bucket)
+      .orderBy(col(effN).desc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    (u, shN, effN, asc, desc)
+  }
+
+  /** [[rollingAggregate]]'s SKEW-FLAT twin: the identical output
+    * contract (input columns + n_window + sum_cents_window, the same
+    * inclusive [t − W, t] RANGE semantics, null-timestamp rows read
+    * null outputs, a window with no non-null value reads a null sum —
+    * parity spec-pinned and oracled against the same SQL) computed via
+    * the [[rollingExtrema]] two-bucket decomposition instead of the
+    * whole-key cum-diff window. The trade, measured at 30×
+    * (BENCH_SF1 §r16.2 shape): ~2× the uniform cost (2× rows through
+    * two in-partition sorts) for a 1.07× zipf/uniform ratio where the
+    * whole-key cum-diff reads 1.9× — pick this form when a single key
+    * can dominate (the (key, bucket) partition bounds any task by ~2
+    * windows' worth of one key's events); [[rollingAggregate]] when
+    * keys are balanced and the lower constant matters.
+    */
+  def rollingAggregateBucketed(df: DataFrame, keyCol: String, tsCol: String,
+                               valueCol: String,
+                               windowSeconds: Long): DataFrame = {
+    require(windowSeconds > 0, s"need windowSeconds > 0, got $windowSeconds")
+    require(windowSeconds <= EventAnalytics.MaxWindowSeconds,
+      s"need windowSeconds <= ${EventAnalytics.MaxWindowSeconds}, " +
+        s"got $windowSeconds")
+    (Seq(keyCol, tsCol, valueCol)).foreach(c =>
+      require(df.columns.contains(c), s"column '$c' not in frame"))
+    Seq("n_window", "sum_cents_window").foreach(n =>
+      require(!df.columns.contains(n),
+        s"output column '$n' already in frame"))
+    val wUs = Math.multiplyExact(windowSeconds, 1000000L)
+    // every non-null-ts row shifts: the COUNT must see null-valued rows
+    val (u, shN, effN, asc, desc) =
+      twoBucketFrames(df, keyCol, tsCol, wUs, lit(true))
+    val cents = round(col(valueCol) * 100).cast(LongType)
+    val cReal = when(!col(shN), cents)
+    val cShift = when(col(shN), cents)
+    // a frame holding NO non-null value must read a NULL sum (the
+    // rollingAggregate contract)
+    val nonNullInFrame =
+      count(cReal).over(asc) + count(cShift).over(desc)
+    u.withColumn("n_window",
+        when(col(effN).isNull, lit(null).cast(LongType))
+          .otherwise(count(when(!col(shN), lit(1))).over(asc) +
+            count(when(col(shN), lit(1))).over(desc)))
+      .withColumn("sum_cents_window",
+        when(col(effN).isNull || nonNullInFrame === 0,
+          lit(null).cast(LongType))
+          .otherwise(coalesce(sum(cReal).over(asc), lit(0L)) +
+            coalesce(sum(cShift).over(desc), lit(0L))))
+      .where(!col(shN))
+      .drop(shN, effN)
+  }
+
   /** Rolling trailing-window MIN/MAX per key — the aggregates
     * [[rollingAggregate]] cannot emit, because min/max have no
     * subtraction inverse so the cum-diff trick does not apply. Instead:
@@ -128,32 +213,10 @@ object TimeSeries {
     val outNames = Seq("min_window", "max_window")
     outNames.foreach(n => require(!df.columns.contains(n),
       s"output column '$n' already in frame"))
-    val Seq(shN, effN) = HeavySplit.freshNames(df.columns.toSeq)(
-      "__sh", "__eff")
     val wUs = Math.multiplyExact(windowSeconds, 1000000L)
-    val us = unix_micros(col(tsCol).cast(TimestampType))
-    val real = df.withColumn(shN, lit(false)).withColumn(effN, us)
     // shifted copies only matter when they can contribute a value
-    val shifted = df.where(us.isNotNull && col(valueCol).isNotNull)
-      .withColumn(shN, lit(true)).withColumn(effN, us + wUs)
-    val u = real.unionAll(shifted)
-    // bucket START (a Long) as the partition value — pmod keeps floor
-    // semantics without ANSI's Long/Long double division
-    val bucket = col(effN) - pmod(col(effN), lit(wUs))
-    // BOTH halves must be (unboundedPreceding → currentRow) frames:
-    // Spark evaluates ONLY that frame shape incrementally — an
-    // (currentRow → unboundedFollowing) frame re-aggregates from the
-    // current row to the partition end at EVERY row (no retraction
-    // path), measured 65 s vs 1.9 s at 30× zipf (BENCH_SF1 §r16) — the
-    // same O(rows × rows-in-frame) trap as the sliding frame. So the
-    // suffix half rides a SECOND window ordered DESC: same exchange,
-    // one extra in-partition sort, both frames grow-only.
-    val asc = Window.partitionBy(col(keyCol), bucket)
-      .orderBy(col(effN).asc)
-      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    val desc = Window.partitionBy(col(keyCol), bucket)
-      .orderBy(col(effN).desc)
-      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val (u, shN, effN, asc, desc) =
+      twoBucketFrames(df, keyCol, tsCol, wUs, col(valueCol).isNotNull)
     // asc frame = real values with t' ≤ t (peers included); desc frame =
     // shifted values with t' + W ≥ t (peers included — the t' = t − W
     // boundary row is IN the window)

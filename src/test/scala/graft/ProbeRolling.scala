@@ -29,8 +29,11 @@ object ProbeRolling {
     // sort rollingAggregate still does
     def runEx() = ops.TimeSeries.rollingExtrema(evs, "user_id", "ts",
       "value", windowSeconds = 86400L)
+    def runB() = ops.TimeSeries.rollingAggregateBucketed(evs, "user_id",
+      "ts", "value", windowSeconds = 86400L)
     for ((name, fn) <- Seq("cum-diff" -> (() => run()),
-        "extrema" -> (() => runEx()))) {
+        "extrema" -> (() => runEx()),
+        "bucketed" -> (() => runB()))) {
       fn().queryExecution.toRdd.count() // warm
       val best = (1 to 3).map(_ =>
         t(fn().queryExecution.toRdd.count())).min

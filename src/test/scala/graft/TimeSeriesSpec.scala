@@ -295,6 +295,38 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("rollingAggregateBucketed: exact parity with rollingAggregate " +
+      "on a random fixture (null keys/timestamps/values, ties)") {
+    val rnd = new scala.util.Random(4321)
+    val rows = (0L until 400L).map { id =>
+      val k = rnd.nextInt(8) match {
+        case 0 => None
+        case n => Some((n % 3).toLong)
+      }
+      val t = if (rnd.nextInt(12) == 0) None
+        else Some(rnd.nextInt(300).toLong * 1000000L)
+      val v = if (rnd.nextInt(3) == 0) None
+        else Some(rnd.nextInt(1000) / 4.0)
+      (id, k, t, v)
+    }
+    val df = rows.map { case (id, k, t, v) =>
+      (id, k.map(java.lang.Long.valueOf).orNull,
+        t.map(u => new Timestamp(u / 1000L)).orNull,
+        v.map(java.lang.Double.valueOf).orNull)
+    }.toDF("id", "k", "t", "v")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.select("id", "n_window", "sum_cents_window").collect()
+        .map(r => r.getLong(0) ->
+          ((if (r.isNullAt(1)) None else Some(r.getLong(1))),
+            (if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    for (w <- Seq(7L, 60L, 1000L)) {
+      val a = canon(TimeSeries.rollingAggregate(df, "k", "t", "v", w))
+      val b = canon(TimeSeries.rollingAggregateBucketed(df, "k", "t", "v", w))
+      assert(a == b, s"divergence at windowSeconds=$w")
+      assert(a.size == rows.size)
+    }
+  }
+
   test("rollingExtrema plan: no sliding frame — every window frame is " +
       "grow-only (one unbounded side), partitioned by (key, bucket)") {
     val d = Seq((1L, ts(0), 1.0), (1L, ts(5), 2.0)).toDF("k", "t", "v")
