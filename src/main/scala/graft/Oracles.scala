@@ -4279,6 +4279,32 @@ object Oracles {
        |ORDER BY on_column, ordered_column""".stripMargin
   }
 
+  /** q198: sequential-gap-inference sweep — the q189 per-pair
+    * quantile_cont CTE repeated over the q193 candidate set with the
+    * table label.
+    */
+  val q198: String = {
+    def cand(x: String, y: String): String =
+      s"""SELECT 'events' AS "table", '$x' AS on_column,
+         |  '$y' AS ordered_column,
+         |  count(*) AS n_adjacent,
+         |  CAST(quantile_cont(lo, 0.05) AS DOUBLE) AS gap_low,
+         |  CAST(quantile_cont(hi, 0.95) AS DOUBLE) AS gap_high
+         |FROM (
+         |  SELECT mn - lag(mx) OVER (ORDER BY x) AS lo,
+         |    mx - lag(mn) OVER (ORDER BY x) AS hi
+         |  FROM (
+         |    SELECT $x AS x, min($y) mn, max($y) mx FROM base
+         |    WHERE $x IS NOT NULL AND $y IS NOT NULL GROUP BY 1) g) w
+         |WHERE lo IS NOT NULL""".stripMargin
+    val cols = Seq("event_id", "ts_s", "user_id", "value")
+    val pairs = for (x <- cols; y <- cols if x != y) yield (x, y)
+    s"""WITH base AS (SELECT event_id, user_id, value,
+       |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events)
+       |${pairs.map { case (x, y) => cand(x, y) }.mkString("\nUNION ALL\n")}
+       |ORDER BY on_column, ordered_column""".stripMargin
+  }
+
   /** q194: wildcard-tableau CFDs — the mask expansion written as an
     * explicit four-branch UNION (full, each single-constant, all-
     * wildcard), then the identical (sum, max) / (support, kept) levels
@@ -4484,6 +4510,7 @@ object Oracles {
       // q197 is the skew-flat twin of q94 with a contract-identical
       // output: the SAME oracle SQL pins both implementations
       "q197_rolling_bucketed" -> q94,
+      "q198_seq_gap_sweep" -> q198,
       "q160_cohort_retention" -> q160,
       "q161_resample_grid" -> q161,
       "q162_forward_fill" -> q162,

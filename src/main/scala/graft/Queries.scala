@@ -3248,6 +3248,19 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Schema-wide sequential-gap-inference sweep (r16): the q193
+    * candidate set's 12 pairs, each with its tightest trimmed adjacent-
+    * gap interval via the exact grouped quantile walk — the discovery
+    * driver composing with q193's check driver.
+    */
+  def q198SeqGapSweep(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+      .withColumn("ts_s", unix_seconds(col("ts").cast("timestamp")))
+    stats.KeyDiscovery.discoverSequentialGaps(
+      Seq(("events", ev, Seq("event_id", "ts_s", "user_id", "value"))),
+      trim = 0.05)
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -3481,6 +3494,7 @@ object Queries {
     "q195_asof_tolerance" -> (q195AsofTolerance _),
     "q196_asof_forward" -> (q196AsofForward _),
     "q197_rolling_bucketed" -> (q197RollingBucketed _),
+    "q198_seq_gap_sweep" -> (q198SeqGapSweep _),
     "q140_multifield_linkage" -> (q140MultiFieldLinkage _)
   )
 }

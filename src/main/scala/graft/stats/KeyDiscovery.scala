@@ -2309,6 +2309,51 @@ object KeyDiscovery {
       .orderBy(col("on_column"), col("ordered_column"))
   }
 
+  /** Schema-wide sequential-GAP-INFERENCE sweep — the discovery half's
+    * operational driver, completing what [[discoverSequentialDeps]]
+    * does for the check half: the same candidate generation rule
+    * (every declared column × every declared NUMERIC column per
+    * table, spec-pinned shared with the check sweep), each pair's
+    * tightest trimmed interval via [[inferSequentialGaps]]'s exact
+    * grouped quantile walk. Stays LAZY — per-table chunks are
+    * [[inferSequentialGaps]] plans unioned under a table-label column,
+    * so nothing collects until the caller acts (the inference walk has
+    * no driver-side verdict arithmetic to force, unlike the check
+    * sweep's concurrent head() jobs).
+    *
+    * Output: (table, on_column, ordered_column, n_adjacent, gap_low,
+    * gap_high), ordered by (table-declaration order is NOT preserved —
+    * rows order by table, on_column, ordered_column).
+    */
+  def discoverSequentialGaps(tables: Seq[(String, DataFrame, Seq[String])],
+                             trim: Double = 0.0,
+                             partitions: Int = 0): DataFrame = {
+    require(tables.nonEmpty, "need at least one table")
+    require(tables.map(_._1).distinct.size == tables.size,
+      "duplicate table name")
+    require(trim >= 0 && trim < 0.5, s"need 0 <= trim < 0.5, got $trim")
+    val plans = tables.map { case (t, df, cs) =>
+      require(cs.size >= 2, s"table '$t': need at least two columns")
+      require(cs.distinct.size == cs.size, s"table '$t': duplicate column")
+      cs.foreach(c => require(df.columns.contains(c),
+        s"column '$c' not in table '$t'"))
+      val numeric = cs.filter(c => df.schema(df.schema.fieldIndex(c))
+        .dataType.isInstanceOf[NumericType])
+      val pairs = for (x <- cs; y <- numeric if x != y) yield (x, y)
+      require(pairs.nonEmpty,
+        s"table '$t': no numeric ordered-column candidate among " +
+          s"declared columns ${cs.mkString(", ")}")
+      pairs.grouped(MaxCandidates).map { chunk =>
+        inferSequentialGaps(df, chunk, trim, partitions)
+          .select(lit(t).as("table"), col("on_column"),
+            col("ordered_column"), col("n_adjacent"), col("gap_low"),
+            col("gap_high"))
+      }.reduce(_ unionAll _)
+    }
+    plans.reduce(_ unionAll _)
+      .orderBy(col("table"), col("on_column"), col("ordered_column"))
+  }
+
   /** The adjacent-predecessor machinery BOTH adjacent-granularity
     * measures share ([[adjacentOrderViolationAgg]] monotonicity,
     * [[adjacentGapViolationAgg]] gap intervals): annotate each

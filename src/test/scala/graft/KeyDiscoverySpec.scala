@@ -1197,6 +1197,24 @@ class KeyDiscoverySpec extends SparkSpec {
             col("tag").as("tag2")), Seq("tag", "tag2")) },
         0.0, 1.0)
     }
+    // the GAP-INFERENCE sweep: same generation rule, values equal
+    // per-call inferSequentialGaps
+    val gaps = KeyDiscovery.discoverSequentialGaps(
+        Seq(("a", a, Seq("seq", "reading", "tag")), ("b", b, Seq("id", "v"))),
+        trim = 0.1).collect()
+    assert(gaps.length == 6)
+    assert(gaps.map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet == got)
+    for ((t, df, pairs) <- Seq(
+        ("a", a, Seq("seq" -> "reading", "reading" -> "seq",
+          "tag" -> "seq", "tag" -> "reading")),
+        ("b", b, Seq("id" -> "v", "v" -> "id")))) {
+      val percall = KeyDiscovery.inferSequentialGaps(df, pairs, trim = 0.1)
+        .collect().map(_.toSeq).toSet
+      val swept = gaps.filter(_.getString(0) == t)
+        .map(_.toSeq.drop(1)).toSet
+      assert(swept == percall, s"table $t gap-sweep drift")
+    }
   }
 
   test("tableauConditionalFds: every subset × value-combo cell equals " +
