@@ -4279,6 +4279,26 @@ object Oracles {
        |ORDER BY on_column, ordered_column""".stripMargin
   }
 
+  /** q199: nearest asof — backward and forward native ASOF passes
+    * joined on the probe, the closer (tie: backward) picked by CASE.
+    */
+  val q199: String =
+    """WITH l AS (SELECT event_id, nullif(user_id % 7, 0) AS k,
+      |        epoch_us(ts) AS us FROM events WHERE event_type = 'click'),
+      |r AS (SELECT event_id, nullif(user_id % 7, 0) AS k,
+      |        epoch_us(ts) AS us FROM events
+      |      WHERE event_type = 'purchase'),
+      |b AS (SELECT l.event_id, r.event_id AS pid, r.us AS rus
+      |      FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.us >= r.us),
+      |f AS (SELECT l.event_id, r.event_id AS pid, r.us AS rus
+      |      FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.us <= r.us)
+      |SELECT l.event_id, l.k,
+      |  CASE WHEN b.pid IS NOT NULL AND
+      |            (f.pid IS NULL OR l.us - b.rus <= f.rus - l.us)
+      |       THEN b.pid ELSE f.pid END AS purchase_id
+      |FROM l JOIN b USING (event_id) JOIN f USING (event_id)
+      |ORDER BY l.event_id""".stripMargin
+
   /** q198: sequential-gap-inference sweep — the q189 per-pair
     * quantile_cont CTE repeated over the q193 candidate set with the
     * table label.
@@ -4511,6 +4531,7 @@ object Oracles {
       // output: the SAME oracle SQL pins both implementations
       "q197_rolling_bucketed" -> q94,
       "q198_seq_gap_sweep" -> q198,
+      "q199_asof_nearest" -> q199,
       "q160_cohort_retention" -> q160,
       "q161_resample_grid" -> q161,
       "q162_forward_fill" -> q162,

@@ -3261,6 +3261,26 @@ object Queries {
       trim = 0.05)
   }
 
+  /** Nearest as-of join (r16): each click matches the purchase CLOSEST
+    * in absolute time (ties go backward — the pandas convention), both
+    * directional passes forced down the heavy path. Oracle = two
+    * native ASOF joins with the pick as a CASE over the carried clocks.
+    */
+  def q199AsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+      .withColumn("k", nullif(col("user_id") % 7, lit(0)))
+    val clicks = ev.where(col("event_type") === "click")
+      .select("event_id", "k", "ts")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("k"), col("ts"), col("event_id").as("purchase_id"))
+    ops.AsofJoin.asofJoin(clicks, purchases, Seq("k"), "ts", "ts",
+        Seq("purchase_id"), direction = "nearest",
+        segmentSeconds = 60L, segmentThreshold = 100L)
+      .select(col("event_id"), col("k"),
+        col("purchase_id_right").as("purchase_id"))
+      .orderBy("event_id")
+  }
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -3495,6 +3515,7 @@ object Queries {
     "q196_asof_forward" -> (q196AsofForward _),
     "q197_rolling_bucketed" -> (q197RollingBucketed _),
     "q198_seq_gap_sweep" -> (q198SeqGapSweep _),
+    "q199_asof_nearest" -> (q199AsofNearest _),
     "q140_multifield_linkage" -> (q140MultiFieldLinkage _)
   )
 }

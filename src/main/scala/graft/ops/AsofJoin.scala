@@ -56,6 +56,12 @@ object AsofJoin {
     *     path, one skew posture, and one set of tie/null conventions
     *     (a reflection is order-reversing and bijective on µs).
     *     Requires time-typed or numeric time columns.
+    *   - `direction = "nearest"` picks the closer of the backward and
+    *     forward matches (absolute distance; ties go BACKWARD, the
+    *     pandas convention) — two match passes (so two pre-scans under
+    *     `Detect` and ~2× the single-direction cost) with the pick as a
+    *     pure projection; the tolerance restricts the candidate set
+    *     BEFORE the pick, so "nearest within tolerance" is exact.
     *   - `toleranceSeconds > 0` null-s out a match farther than the
     *     tolerance from the probe (no fallback to older rows — any
     *     earlier/later row is farther still, the pandas semantics).
@@ -76,12 +82,9 @@ object AsofJoin {
     require(on.nonEmpty, "asofJoin requires at least one key column")
     require(rightValues.nonEmpty,
       "asofJoin requires at least one right value column")
-    val forward = direction match {
-      case "backward" => false
-      case "forward" => true
-      case other => throw new IllegalArgumentException(
-        s"direction must be 'backward' or 'forward', got '$other'")
-    }
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction must be 'backward', 'forward' or 'nearest', " +
+        s"got '$direction'")
     require(toleranceSeconds >= 0 &&
       toleranceSeconds <= EventAnalytics.MaxWindowSeconds,
       s"need 0 <= toleranceSeconds <= ${EventAnalytics.MaxWindowSeconds} " +
@@ -117,63 +120,95 @@ object AsofJoin {
           .isInstanceOf[NumericType]
     require(toleranceSeconds == 0 || timeTyped,
       "toleranceSeconds requires timestamp/date time columns")
-    require(!forward || timeTyped || numericTimes,
-      "direction='forward' requires timestamp/date or numeric time " +
-        "columns (the reflection needs arithmetic)")
+    require(direction == "backward" || timeTyped || numericTimes,
+      s"direction='$direction' requires timestamp/date or numeric time " +
+        "columns (reflection/distance need arithmetic)")
     val tolUs = Math.multiplyExact(toleranceSeconds, 1000000L)
-    // the SCAN time: reflected for forward so the backward machinery
-    // (running last in ascending scan order) serves both directions
-    def scanT(c: Column): Column =
-      if (!forward) c
-      else if (timeTyped) timestamp_micros(-unix_micros(c.cast(TimestampType)))
-      else negate(c)
-    // fresh internal names: the left frame may legitimately own __t etc.
-    val Seq(tN, sN, rvN, rtN) = HeavySplit.freshNames(
-      (left.columns ++ right.columns).toSeq ++ rightValues)(
-      "__t", "__side", "__rv", "__rt")
+    // the comparable CLOCK of a time value (micros for time types, the
+    // raw value for numeric sequences) — gap/distance arithmetic
+    def clockOf(c: Column): Column =
+      if (timeTyped) unix_micros(c.cast(TimestampType)) else c
     // at equal times the side that sorts FIRST is the one whose value the
     // other may see: right first (inclusive ties, `>=`) unless strict
     val leftSide = if (strict) 0 else 1
-    val l = left
-      .withColumn(tN, scanT(col(leftTime)))
-      .withColumn(sN, lit(leftSide))
-    // the matched right time (original clock, not reflected) rides the
-    // payload struct when a tolerance must be checked downstream
-    val rvFields = rightValues.map(col) ++
-      (if (tolUs > 0)
-        Seq(unix_micros(col(rightTime).cast(TimestampType)).as(rtN))
-      else Nil)
-    val r = right
-      .where(on.map(col(_).isNotNull).reduce(_ && _) &&
-        col(rightTime).isNotNull)
-      .select(on.map(col) ++ Seq(scanT(col(rightTime)).as(tN),
-        lit(1 - leftSide).as(sN),
-        struct(rvFields: _*).as(rvN)): _*)
-    val u = l.unionByName(r, allowMissingColumns = true)
-    val scanTimeTyped = u.schema(u.schema.fieldIndex(tN)).dataType match {
-      case TimestampType | TimestampNTZType | DateType => true
-      case _ => false
-    }
-    val splittable = scanTimeTyped &&
-      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(
-        u.schema(u.schema.fieldIndex(rvN)).dataType)
     val routeKey =
       if (on.size == 1) col(on.head) else xxhash64(on.map(col): _*)
-    val filled = TimeSeries.fillSegments(u, on, routeKey, tN, Seq(rvN),
-      orderCols = Seq(sN), nullsLast = false, segmentSeconds,
-      segmentThreshold, if (splittable) split else HeavySplit.AssumeLight)
-    val matched = filled.where(col(sN) === leftSide).drop(tN, sN)
-    val rv =
-      if (tolUs == 0L) col(rvN)
-      else {
-        val lUs = unix_micros(col(leftTime).cast(TimestampType))
-        val gap =
-          if (forward) col(rvN).getField(rtN) - lUs
-          else lUs - col(rvN).getField(rtN)
-        when(gap <= tolUs, col(rvN))
+
+    /** One directional match pass: `base` (a left-shaped frame carrying
+      * any columns) gains `rvName` — the matched right payload struct
+      * for this direction, with the matched right clock as field
+      * `rtField` when `carryRt`. Forward runs the backward machinery
+      * over REFLECTED time.
+      */
+    def matchSide(base: DataFrame, fwd: Boolean, rvName: String,
+                  rtField: String, carryRt: Boolean): DataFrame = {
+      val Seq(tN, sN) = HeavySplit.freshNames(
+        (base.columns ++ right.columns).toSeq :+ rvName)("__t", "__side")
+      def scanT(c: Column): Column =
+        if (!fwd) c
+        else if (timeTyped)
+          timestamp_micros(-unix_micros(c.cast(TimestampType)))
+        else negate(c)
+      val l = base
+        .withColumn(tN, scanT(col(leftTime)))
+        .withColumn(sN, lit(leftSide))
+      val rvFields = rightValues.map(col) ++
+        (if (carryRt) Seq(clockOf(col(rightTime)).as(rtField)) else Nil)
+      val r = right
+        .where(on.map(col(_).isNotNull).reduce(_ && _) &&
+          col(rightTime).isNotNull)
+        .select(on.map(col) ++ Seq(scanT(col(rightTime)).as(tN),
+          lit(1 - leftSide).as(sN),
+          struct(rvFields: _*).as(rvName)): _*)
+      val u = l.unionByName(r, allowMissingColumns = true)
+      val scanTimeTyped = u.schema(u.schema.fieldIndex(tN)).dataType match {
+        case TimestampType | TimestampNTZType | DateType => true
+        case _ => false
+      }
+      val splittable = scanTimeTyped &&
+        org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(
+          u.schema(u.schema.fieldIndex(rvName)).dataType)
+      val filled = TimeSeries.fillSegments(u, on, routeKey, tN,
+        Seq(rvName), orderCols = Seq(sN), nullsLast = false,
+        segmentSeconds, segmentThreshold,
+        if (splittable) split else HeavySplit.AssumeLight)
+      filled.where(col(sN) === leftSide).drop(tN, sN)
+    }
+
+    val Seq(rvN, rvFN, rtN) = HeavySplit.freshNames(
+      (left.columns ++ right.columns).toSeq ++ rightValues)(
+      "__rv", "__rvf", "__rt")
+    val lClock = clockOf(col(leftTime))
+    val (matched, rv) =
+      if (direction == "nearest") {
+        // both directional matches (each carrying its clock), then pick
+        // the closer; ties go BACKWARD (the pandas convention), and the
+        // tolerance restricts the candidate set BEFORE the pick
+        val both = matchSide(matchSide(left, fwd = false, rvN, rtN,
+          carryRt = true), fwd = true, rvFN, rtN, carryRt = true)
+        val bGap = lClock - col(rvN).getField(rtN)
+        val fGap = col(rvFN).getField(rtN) - lClock
+        val bOk = col(rvN).isNotNull &&
+          (if (tolUs == 0L) lit(true) else bGap <= tolUs)
+        val fOk = col(rvFN).isNotNull &&
+          (if (tolUs == 0L) lit(true) else fGap <= tolUs)
+        (both, when(bOk && (!fOk || bGap <= fGap), col(rvN))
+          .when(fOk, col(rvFN)))
+      } else {
+        val fwd = direction == "forward"
+        val m = matchSide(left, fwd, rvN, rtN, carryRt = tolUs > 0)
+        val rv =
+          if (tolUs == 0L) col(rvN)
+          else {
+            val gap =
+              if (fwd) col(rvN).getField(rtN) - lClock
+              else lClock - col(rvN).getField(rtN)
+            when(gap <= tolUs, col(rvN))
+          }
+        (m, rv)
       }
     rightValues.foldLeft(matched) { (d, c) =>
       d.withColumn(c + suffix, rv.getField(c))
-    }.drop(rvN)
+    }.drop(rvN, rvFN)
   }
 }

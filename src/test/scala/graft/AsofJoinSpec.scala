@@ -128,27 +128,41 @@ class AsofJoinSpec extends SparkSpec {
       (id, k.map(java.lang.Long.valueOf).orNull, t.map(usTs).orNull,
         v.map(java.lang.Double.valueOf).orNull)
     }.toDF("rid", "key", "qts", "price")
-    def reference(strict: Boolean, forward: Boolean, tolS: Long)
+    def reference(strict: Boolean, dir: String, tolS: Long)
         : Map[Long, Option[(Long, Option[Double])]] =
       lrows.map { case (id, k, t) =>
+        def pick(kk: Long, tt: Long, forward: Boolean)
+            : Option[(Long, Option[Double], Long)] = {
+          val cand = rrows.filter { r =>
+            r._2.contains(kk) && {
+              val rt = r._3.get
+              if (forward) { if (strict) rt > tt else rt >= tt }
+              else { if (strict) rt < tt else rt <= tt }
+            }
+          }
+          if (cand.isEmpty) None
+          else {
+            val best =
+              if (forward) cand.minBy(r => (r._3.get, -r._1))
+              else cand.maxBy(r => (r._3.get, r._1))
+            val gap = if (forward) best._3.get - tt else tt - best._3.get
+            if (tolS > 0 && gap > tolS * 1000000L) None
+            else Some((best._1, best._4, gap))
+          }
+        }
         val m = (k, t) match {
           case (Some(kk), Some(tt)) =>
-            val cand = rrows.filter { r =>
-              r._2.contains(kk) && {
-                val rt = r._3.get
-                if (forward) { if (strict) rt > tt else rt >= tt }
-                else { if (strict) rt < tt else rt <= tt }
-              }
-            }
-            if (cand.isEmpty) None
-            else {
-              val best =
-                if (forward) cand.minBy(r => (r._3.get, -r._1))
-                else cand.maxBy(r => (r._3.get, r._1))
-              val gap = if (forward) best._3.get - tt else tt - best._3.get
-              if (tolS > 0 && gap > tolS * 1000000L) None
-              else Some((best._1, best._4))
-            }
+            (dir match {
+              case "nearest" =>
+                (pick(kk, tt, forward = false),
+                  pick(kk, tt, forward = true)) match {
+                  case (Some(b), Some(f)) =>
+                    if (b._3 <= f._3) Some(b) else Some(f) // tie: backward
+                  case (b, f) => b.orElse(f)
+                }
+              case "forward" => pick(kk, tt, forward = true)
+              case _ => pick(kk, tt, forward = false)
+            }).map(r => (r._1, r._2))
           case _ => None
         }
         id -> m
@@ -168,20 +182,21 @@ class AsofJoinSpec extends SparkSpec {
     // the full strict × direction × tolerance matrix runs on a reduced
     // regime set; the full regime set runs on the default arm
     val smallConfigs = Seq(configs.head, configs(3), configs.last)
-    for (strict <- Seq(false, true); forward <- Seq(false, true);
+    for (strict <- Seq(false, true);
+         dir <- Seq("backward", "forward", "nearest");
          tolS <- Seq(0L, 300L);
          (segS, thr, split) <-
-           (if (!strict && !forward && tolS == 0L) configs
+           (if (!strict && dir == "backward" && tolS == 0L) configs
             else smallConfigs)) {
       val out = AsofJoin.asofJoin(left, right, Seq("key"), "tts", "qts",
           Seq("rid", "price"), strict = strict,
-          direction = if (forward) "forward" else "backward",
+          direction = dir,
           toleranceSeconds = tolS, segmentSeconds = segS,
           segmentThreshold = thr, split = split)
         .select("lid", "rid_right", "price_right").collect()
-      val tag = s"($segS,$thr,$split,strict=$strict,fwd=$forward,tol=$tolS)"
+      val tag = s"($segS,$thr,$split,strict=$strict,dir=$dir,tol=$tolS)"
       assert(out.length == lrows.size, s"row count under $tag")
-      val want = reference(strict, forward, tolS)
+      val want = reference(strict, dir, tolS)
       out.foreach { r =>
         val lid = r.getLong(0)
         val got =
