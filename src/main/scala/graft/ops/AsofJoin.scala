@@ -110,19 +110,34 @@ object AsofJoin {
       case TimestampType | TimestampNTZType | DateType => true
       case _ => false
     }
-    val timeTyped =
-      isTime(left.schema(left.schema.fieldIndex(leftTime)).dataType) &&
-        isTime(right.schema(right.schema.fieldIndex(rightTime)).dataType)
+    val ltT = left.schema(left.schema.fieldIndex(leftTime)).dataType
+    val rtT = right.schema(right.schema.fieldIndex(rightTime)).dataType
+    val timeTyped = isTime(ltT) && isTime(rtT)
     val numericTimes =
-      left.schema(left.schema.fieldIndex(leftTime)).dataType
-        .isInstanceOf[NumericType] &&
-        right.schema(right.schema.fieldIndex(rightTime)).dataType
-          .isInstanceOf[NumericType]
+      ltT.isInstanceOf[NumericType] && rtT.isInstanceOf[NumericType]
     require(toleranceSeconds == 0 || timeTyped,
       "toleranceSeconds requires timestamp/date time columns")
     require(direction == "backward" || timeTyped || numericTimes,
       s"direction='$direction' requires timestamp/date or numeric time " +
         "columns (reflection/distance need arithmetic)")
+    // TIMESTAMP_NTZ/DATE route through a session-timezone cast for the
+    // reflection and gap arithmetic; under a DST-shifting zone two
+    // naive times can collapse (spring-forward gap) or a gap can read
+    // an hour off — so the knobs that do CLOCK ARITHMETIC require a
+    // fixed-offset session timezone. The backward default sorts the
+    // raw column and is immune.
+    def zoneSensitive(dt: DataType): Boolean =
+      dt == TimestampNTZType || dt == DateType
+    if ((direction != "backward" || toleranceSeconds > 0) &&
+        (zoneSensitive(ltT) || zoneSensitive(rtT))) {
+      val tz = left.sparkSession.conf.get(
+        "spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID)
+      require(java.time.ZoneId.of(tz).getRules.isFixedOffset,
+        s"direction='$direction'/toleranceSeconds over TIMESTAMP_NTZ/" +
+          s"DATE columns require a fixed-offset session timezone, got " +
+          s"'$tz' — naive times would shift through DST in the cast; " +
+          "cast to TIMESTAMP explicitly or set a fixed-offset zone")
+    }
     val tolUs = Math.multiplyExact(toleranceSeconds, 1000000L)
     // the comparable CLOCK of a time value (micros for time types, the
     // raw value for numeric sequences) — gap/distance arithmetic
@@ -207,8 +222,12 @@ object AsofJoin {
           }
         (m, rv)
       }
-    rightValues.foldLeft(matched) { (d, c) =>
-      d.withColumn(c + suffix, rv.getField(c))
-    }.drop(rvN, rvFN)
+    // materialize the pick ONCE: the nearest/tolerance when-chain would
+    // otherwise be re-embedded per extracted column
+    val pickN = HeavySplit.freshNames(matched.columns.toSeq)("__pick").head
+    val withPick = matched.withColumn(pickN, rv)
+    rightValues.foldLeft(withPick) { (d, c) =>
+      d.withColumn(c + suffix, col(pickN).getField(c))
+    }.drop(pickN, rvN, rvFN)
   }
 }

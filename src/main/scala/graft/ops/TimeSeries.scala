@@ -132,9 +132,10 @@ object TimeSeries {
     * parity spec-pinned and oracled against the same SQL) computed via
     * the [[rollingExtrema]] two-bucket decomposition instead of the
     * whole-key cum-diff window. The trade, measured at 30×
-    * (BENCH_SF1 §r16.2 shape): ~2× the uniform cost (2× rows through
-    * two in-partition sorts) for a 1.07× zipf/uniform ratio where the
-    * whole-key cum-diff reads 1.9× — pick this form when a single key
+    * (BENCH_SF1 §r16.2): ~3× the cum-diff's uniform cost (2.89 s vs
+    * 0.99 s — 2× rows through two in-partition sorts) for a FLAT skew
+    * ratio (zipf 2.49 s, 0.86× — inverting under a hot key) where the
+    * whole-key cum-diff reads 1.8× — pick this form when a single key
     * can dominate (the (key, bucket) partition bounds any task by ~2
     * windows' worth of one key's events); [[rollingAggregate]] when
     * keys are balanced and the lower constant matters.

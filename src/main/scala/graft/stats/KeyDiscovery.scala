@@ -2173,17 +2173,7 @@ object KeyDiscovery {
     require(epsilon >= 0 && epsilon < 1,
       s"need 0 <= epsilon < 1, got $epsilon")
     val tablePairs = tables.map { case (t, df, cs) =>
-      require(cs.size >= 2, s"table '$t': need at least two columns")
-      require(cs.distinct.size == cs.size, s"table '$t': duplicate column")
-      cs.foreach(c => require(df.columns.contains(c),
-        s"column '$c' not in table '$t'"))
-      val numeric = cs.filter(c => df.schema(df.schema.fieldIndex(c))
-        .dataType.isInstanceOf[NumericType])
-      val pairs = for (x <- cs; y <- numeric if x != y) yield (x, y)
-      require(pairs.nonEmpty,
-        s"table '$t': no numeric ordered-column candidate among " +
-          s"declared columns ${cs.mkString(", ")}")
-      (t, df, pairs)
+      (t, df, seqDepCandidatePairs(t, df, cs))
     }
     val spark = tables.head._2.sparkSession
     val out = tablePairs.flatMap { case (t, df, pairs) =>
@@ -2333,16 +2323,7 @@ object KeyDiscovery {
       "duplicate table name")
     require(trim >= 0 && trim < 0.5, s"need 0 <= trim < 0.5, got $trim")
     val plans = tables.map { case (t, df, cs) =>
-      require(cs.size >= 2, s"table '$t': need at least two columns")
-      require(cs.distinct.size == cs.size, s"table '$t': duplicate column")
-      cs.foreach(c => require(df.columns.contains(c),
-        s"column '$c' not in table '$t'"))
-      val numeric = cs.filter(c => df.schema(df.schema.fieldIndex(c))
-        .dataType.isInstanceOf[NumericType])
-      val pairs = for (x <- cs; y <- numeric if x != y) yield (x, y)
-      require(pairs.nonEmpty,
-        s"table '$t': no numeric ordered-column candidate among " +
-          s"declared columns ${cs.mkString(", ")}")
+      val pairs = seqDepCandidatePairs(t, df, cs)
       pairs.grouped(MaxCandidates).map { chunk =>
         inferSequentialGaps(df, chunk, trim, partitions)
           .select(lit(t).as("table"), col("on_column"),
@@ -2352,6 +2333,27 @@ object KeyDiscovery {
     }
     plans.reduce(_ unionAll _)
       .orderBy(col("table"), col("on_column"), col("ordered_column"))
+  }
+
+  /** THE sequential-dependency sweep candidate-generation rule, shared
+    * by [[discoverSequentialDeps]] and [[discoverSequentialGaps]] so
+    * the check and discovery halves can never desynchronize on which
+    * pairs a schema generates: every declared column × every declared
+    * NUMERIC column, x ≠ y, with loud validation.
+    */
+  private def seqDepCandidatePairs(t: String, df: DataFrame,
+                                   cs: Seq[String]): Seq[(String, String)] = {
+    require(cs.size >= 2, s"table '$t': need at least two columns")
+    require(cs.distinct.size == cs.size, s"table '$t': duplicate column")
+    cs.foreach(c => require(df.columns.contains(c),
+      s"column '$c' not in table '$t'"))
+    val numeric = cs.filter(c => df.schema(df.schema.fieldIndex(c))
+      .dataType.isInstanceOf[NumericType])
+    val pairs = for (x <- cs; y <- numeric if x != y) yield (x, y)
+    require(pairs.nonEmpty,
+      s"table '$t': no numeric ordered-column candidate among " +
+        s"declared columns ${cs.mkString(", ")}")
+    pairs
   }
 
   /** The adjacent-predecessor machinery BOTH adjacent-granularity
