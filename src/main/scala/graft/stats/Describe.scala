@@ -327,41 +327,48 @@ object Describe {
       groupCols.zip(gNames).map { case (c, g) => col(c).as(g) } :+
         col(valueCol).cast(DoubleType).as("__val"): _*)
     val v = col("__val")
-    val counts = base
-      .where(v.isNotNull && !isnan(v))
+    // ONE collapse of the raw rows with null/NaN kept as their own value
+    // rows, and ONE window pass carrying both the rank machinery (gated
+    // to valid rows) and the per-group TOTAL row count (r16
+    // optimization): the former shape aggregated `base` a second time
+    // for the all-groups row counts and re-attached them with a
+    // null-safe left join — two extra stages and a join hazard, both
+    // gone. Null values sort first and NaN last under the ascending
+    // order, and every rank/pick expression is gated on validity, so
+    // their presence in the frame cannot shift a rank. Groups whose
+    // every value is null/NaN keep a null __n and read null quantiles
+    // over the real row count — including the NULL group key, which
+    // groupBy preserves (DuckDB GROUP BY + quantile_cont parity).
+    val counts0 = base
       .groupBy(gs :+ v.as("__v"): _*)
       .agg(count(lit(1)).as("__c"))
+    val valid = col("__v").isNotNull && !isnan(col("__v"))
     val wOrd = Window.partitionBy(gs: _*).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(gs: _*)
-    val ranked = counts
-      .withColumn("__cum", sum(col("__c")).over(wOrd))
-      .withColumn("__n", sum(col("__c")).over(wAll))
-    // a value row covers 0-based ranks [__cum − __c, __cum); for each p
-    // the wanted ranks are floor/ceil of p·(n−1) — pick the covering
-    // value with a conditional max (exactly one row matches per rank)
-    val aggs = max(col("__n")).as("__total") +:
+    val ranked = counts0
+      .withColumn("__cum", sum(when(valid, col("__c")).otherwise(0L))
+        .over(wOrd))
+      .withColumn("__n", sum(when(valid, col("__c"))).over(wAll))
+      .withColumn("__rows", sum(col("__c")).over(wAll))
+    // a valid value row covers 0-based ranks [__cum − __c, __cum); for
+    // each p the wanted ranks are floor/ceil of p·(n−1) — pick the
+    // covering value with a conditional max (exactly one row matches
+    // per rank)
+    val aggs = max(col("__rows")).as("__gRows") +:
+      max(col("__n")).as("__total") +:
       ps.zip(labels).flatMap { case (p, l) =>
         val pos = lit(p) * (col("__n") - 1)
         def at(r: Column): Column = max(when(
-          col("__cum") - col("__c") <= r && r < col("__cum"),
+          valid && col("__cum") - col("__c") <= r && r < col("__cum"),
           col("__v")))
         Seq(at(floor(pos)).as(s"__lo_$l"), at(ceil(pos)).as(s"__hi_$l"))
       }
+    // same partitioning as the window — no further exchange
     val picked = ranked.groupBy(gs: _*).agg(aggs.head, aggs.tail: _*)
-    // groups whose every value was null/NaN still must appear: left-join
-    // the picked frame onto the full group list (bounded frames both).
-    // NULL-SAFE equality is load-bearing: groupBy keeps a NULL group key,
-    // and a plain-EqualTo join would never match it against its own
-    // picked row — real quantiles would silently read null (DuckDB's
-    // GROUP BY + quantile_cont returns real values for the null group).
-    val allGroups = base.groupBy(gs: _*).agg(count(lit(1)).as("__rows"))
-    val joinCond = gNames
-      .map(g => allGroups(g) <=> picked(g)).reduce(_ && _)
-    allGroups.join(picked, joinCond, "left")
-      .select(groupCols.zip(gNames).map { case (c, g) =>
-          allGroups(g).as(c) } ++
-        (col("__rows").as("n") +:
+    picked
+      .select(groupCols.zip(gNames).map { case (c, g) => col(g).as(c) } ++
+        (col("__gRows").as("n") +:
         ps.zip(labels).map { case (p, l) =>
           val pos = lit(p) * (col("__total") - 1)
           val lo = col(s"__lo_$l"); val hi = col(s"__hi_$l")

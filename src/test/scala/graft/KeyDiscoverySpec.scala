@@ -1154,6 +1154,48 @@ class KeyDiscoverySpec extends SparkSpec {
     } finally conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("batched multi-pair seq-dep/gap calls equal their single-pair " +
+      "calls when one y has WHOLE GROUPS null (the per-y existence gate " +
+      "of the shared multi-y frame)") {
+    val rnd = new scala.util.Random(20260817)
+    // y1 dense; y2 null for entire x groups (every third group) so the
+    // batched frame carries groups that exist for y1 but not y2 — the
+    // ignoreNulls adjacency must skip them for y2 exactly as the
+    // per-pair frame (which never had them) does. Nulls in x too.
+    val rows = (0 until 240).map { i =>
+      val g = i / 2
+      val x: java.lang.Long =
+        if (rnd.nextInt(30) == 0) null else java.lang.Long.valueOf(g)
+      val y1 = java.lang.Double.valueOf(g * 10.0 + rnd.nextInt(4))
+      val y2: java.lang.Double =
+        if (g % 3 == 0) null
+        else java.lang.Double.valueOf(g * 7.0 + rnd.nextInt(5))
+      (x, y1, y2)
+    }
+    val df = rows.toDF("x", "y1", "y2")
+    val pairs = Seq("x" -> "y1", "x" -> "y2")
+    for (p <- Seq(1, 4)) {
+      val batched = KeyDiscovery.sequentialDependencies(df, pairs,
+        5.0, 25.0, epsilon = 0.2, partitions = p).collect()
+      val single = pairs.flatMap(pr =>
+        KeyDiscovery.sequentialDependencies(df, Seq(pr),
+          5.0, 25.0, epsilon = 0.2, partitions = p).collect())
+      assert(batched.map(_.toSeq).toSeq == single.map(_.toSeq).toSeq,
+        s"check half diverges at p=$p")
+      val gBatched = KeyDiscovery.inferSequentialGaps(df, pairs,
+        trim = 0.1, partitions = p).collect()
+      val gSingle = pairs.flatMap(pr =>
+        KeyDiscovery.inferSequentialGaps(df, Seq(pr),
+          trim = 0.1, partitions = p).collect())
+      assert(gBatched.map(_.toSeq).toSeq == gSingle.map(_.toSeq).toSeq,
+        s"inference half diverges at p=$p")
+    }
+    // sanity: the y2 pair really sees fewer groups (the gate is live)
+    val ns = KeyDiscovery.sequentialDependencies(df, pairs, 5.0, 25.0)
+      .collect().map(r => r.getString(1) -> r.getLong(4)).toMap
+    assert(ns("y2") < ns("y1"))
+  }
+
   test("discoverSequentialDeps: generated pairs = declared × numeric " +
       "declared, verdicts equal per-call sequentialDependencies") {
     val rnd = new scala.util.Random(99)
