@@ -161,28 +161,26 @@ object Sessionize {
       // (f − l <= gap; null-safe false — a null-stamped segment neither
       // continues nor is continued, the light path's null semantics);
       // base(j) = prefix sum of true start counts (local count minus the
-      // continuation correction). State is segment-count-sized scalars.
-      val outType = ArrayType(StructType(Seq(
-        StructField("s", LongType), StructField("b", LongType),
-        StructField("cont", BooleanType))))
-      val zero = struct(lit(null).cast(LongType).as("pl"),
-        lit(0L).as("b"), array().cast(outType).as("o"))
+      // continuation correction). Both are LINEAR segment-scale windows
+      // over the segState frame — lag for the previous occupied
+      // segment's last event, a grow-only prefix sum for the base —
+      // replacing the collect_list + higher-order fold whose
+      // array-concat accumulation was QUADRATIC in a key's occupied
+      // segments (r16 measurement on the asof twin of this fold: ~3 s
+      // per heavy pass at the 4096-segment clamp, window form
+      // segment-scale). The two windows share one spec, so the frame
+      // sorts once.
+      val wSeg = Window.partitionBy(col(keyCol)).orderBy(col(segN))
+      val cont = coalesce(
+        col(fN) - lag(col(lN), 1).over(wSeg) <= lit(gapMicros),
+        lit(false))
+      val wPre = wSeg.rowsBetween(Window.unboundedPreceding, -1)
       val merged = segState
-        .groupBy(col(keyCol))
-        .agg(sort_array(collect_list(struct(col(segN).as("s"),
-          col(fN).as("f"), col(lN).as("l"), col(cN).as("c"))))
-          .as(segsN))
-        .select(col(keyCol).as(kJ), explode(
-          aggregate(col(segsN), zero, (st, sv) => {
-            val cont = coalesce(sv("f") - st("pl") <= lit(gapMicros),
-              lit(false))
-            struct(sv("l").as("pl"),
-              (st("b") + sv("c") - when(cont, 1L).otherwise(0L)).as("b"),
-              concat(st("o"), array(struct(sv("s").as("s"),
-                st("b").as("b"), cont.as("cont")))).as("o"))
-          }).getField("o")).as(mN))
-        .select(col(kJ), col(mN)("s").as(sJ), col(mN)("b").as(bJ),
-          col(mN)("cont").as(cJ))
+        .withColumn(cJ, cont)
+        .select(col(keyCol).as(kJ), col(segN).as(sJ),
+          coalesce(sum(col(cN) - when(col(cJ), 1L).otherwise(0L))
+            .over(wPre), lit(0L)).as(bJ),
+          col(cJ))
       // rows rejoin their segment's (base, cont) on (key, segment) —
       // key equality NULL-SAFE (a null key is a real group; plain
       // EqualTo would never match it, the groupedQuantiles hazard class)

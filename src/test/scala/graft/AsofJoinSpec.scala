@@ -271,8 +271,12 @@ class AsofJoinSpec extends SparkSpec {
         Seq("price"), segmentSeconds = 60L,
         split = ops.HeavySplit.Known(Nil, allHeavy = true))
       .queryExecution.executedPlan.toString
-    assert("Window \\[".r.findAllIn(plan).size == 1,
-      s"exactly one fill window expected:\n$plan")
+    // exactly TWO windows: the row-scale fill window and the
+    // segment-scale carry window (r16 — the carry window replaced the
+    // quadratic collect_list fold; its input is the per-segment state
+    // frame, never rows)
+    assert("Window \\[".r.findAllIn(plan).size == 2,
+      s"exactly the fill + segment-carry windows expected:\n$plan")
     assert(plan.contains("partial_max_by"),
       s"the per-segment state must map-side-combine:\n$plan")
     val sorts = "(?s)Sort \\[([^\\]]*)\\]".r
