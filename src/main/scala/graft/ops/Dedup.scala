@@ -164,7 +164,7 @@ object Dedup {
     * per-row native `ww_minhash` when registered (zero shuffle), else the
     * bit-identical aggregation fallback.
     */
-  private def bandBuckets(df: DataFrame, idCol: String, textCol: String,
+  private[graft] def bandBuckets(df: DataFrame, idCol: String, textCol: String,
                           n: Int, numHashes: Int, bands: Int): DataFrame = {
     require(bands > 0 && bands <= numHashes && numHashes % bands == 0,
       s"bands must divide numHashes (got bands=$bands, numHashes=$numHashes) " +

@@ -662,37 +662,41 @@ object EventAnalytics {
             sort_array(collect_list(when(col("__rn") > col("__cnt") - m,
               evStruct))).as("tl"),
             count(lit(1)).as("n"))
-        val segsSorted = sort_array(collect_list(struct(
-          col("__seg").as("s"), col("h").as("h"), col("tl").as("tl"),
-          col("n").as("n"))))
-        val boundRows = segState
-          .groupBy(col("__a") +: dimKeys: _*)
-          .agg(segsSorted.as("__segs"))
-          .select(dimKeys :+ explode({
-            // typed empty arrays derived from the data itself (the y
-            // type is whatever the caller's type column is)
-            val emptyEvs = slice(element_at(col("__segs"), 1)("h"), 1, 0)
-            val emptyWins = slice(array(types(emptyEvs)), 1, 0)
-            val zero = struct(emptyEvs.as("c"), emptyWins.as("o"))
-            aggregate(col("__segs"), zero, (st, sv) => {
-              val carry = st("c")
-              val cSz = size(carry)
-              val cStarts = filter(
-                sequence(lit(1), greatest(cSz, lit(1))), i => i <= cSz)
-              val newWins = filter(transform(cStarts, i => {
-                val take = cSz - i + lit(1)
-                val needed = lit(length) - take
-                // needed ∈ [1, length−1]; completable here iff the
-                // segment has that many events — otherwise the start
-                // stays in the carry and a later segment emits it
-                val wn = concat(slice(carry, i, take),
-                  slice(sv("h"), lit(1), needed))
-                when(needed <= sv("n") && gapOk(wn), types(wn))
-              }), wn => wn.isNotNull)
-              struct(lastN(concat(carry, sv("tl"))).as("c"),
-                concat(st("o"), newWins).as("o"))
-            }).getField("o")
-          }).as("__w"): _*)
+        // the carry INTO a segment = the last m events of ALL previous
+        // occupied segments; every occupied segment holds ≥ 1 event, so
+        // those events lie within the previous m segments' tails — m
+        // lag columns over the segment-scale frame reconstruct the
+        // carry positionally, replacing the per-actor collect_list +
+        // sequential fold whose output-array concat accumulation was
+        // QUADRATIC in a key's occupied segments (the r16 fill-core
+        // lesson applied to the boundary merge; results identical, the
+        // emitted window set is position-defined either way)
+        val wSegs = Window.partitionBy(col("__a") +: dimKeys: _*)
+          .orderBy(col("__seg"))
+        // typed empty event array derived from the data itself (the y
+        // type is whatever the caller's type column is)
+        val emptyEvs = slice(col("h"), 1, 0)
+        val prevTails =
+          if (m == 1) coalesce(lag(col("tl"), 1).over(wSegs), emptyEvs)
+          else concat((m to 1 by -1).map(i =>
+            coalesce(lag(col("tl"), i).over(wSegs), emptyEvs)): _*)
+        val withCarry = segState.withColumn("__c", lastN(prevTails))
+        val carry = col("__c")
+        val cSz = size(carry)
+        val cStarts = filter(
+          sequence(lit(1), greatest(cSz, lit(1))), i => i <= cSz)
+        val newWins = filter(transform(cStarts, i => {
+          val take = cSz - i + lit(1)
+          val needed = lit(length) - take
+          // needed ∈ [1, length−1]; completable here iff the segment
+          // has that many events — otherwise the start stays in the
+          // carry and a later segment emits it
+          val wn = concat(slice(carry, i, take),
+            slice(col("h"), lit(1), needed))
+          when(needed <= col("n") && gapOk(wn), types(wn))
+        }), wn => wn.isNotNull)
+        val boundRows = withCarry
+          .select(dimKeys :+ explode(newWins).as("__w"): _*)
         Some(inRows.unionAll(boundRows))
       }
     (lightRows, heavyOut) match {

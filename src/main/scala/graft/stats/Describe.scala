@@ -106,39 +106,53 @@ object Describe {
       ).as(n)
     }
 
-    val statOf: Map[String, Row] = batchedStructAgg(df, aggExprs)
     val numCols = cols.collect { case (n, cs) if cs.isNumeric => n }
-    val nonNullOf: Map[String, Long] = cols.map { case (n, _) =>
-      n -> statOf(n).getLong(1)
-    }.toMap
     // exact nunique + mode come out of the single melt job below (one
     // (column,value) shuffle instead of a count_distinct Expand); exact
     // quartiles ride the same per-column task via the sort-free histogram
     // walk — never a percentile ObjectHashAggregate (whose final merge
     // holds every distinct value in one process — a non-starter at 100 TB)
-    // and never a Sort node
-    val quartileTargets: Map[String, Seq[Double]] =
-      if (approx) Map.empty
-      else numCols.filter(n => nonNullOf(n) > 0).map { n =>
-        n -> Seq(0.25, 0.5, 0.75).map(p => p * (nonNullOf(n) - 1))
+    // and never a Sort node.
+    // APPROX mode (r16 optimization): its three jobs — the stat agg, the
+    // melt, and the percentile_approx agg — are INDEPENDENT (unlike the
+    // exact path, whose melt needs the stat counts for rank targets), so
+    // they run as concurrent driver jobs: latency ~max instead of sum.
+    var statOf: Map[String, Row] = null
+    var melted: (Map[String, String], Map[String, Long],
+      Map[String, Seq[Double]]) = null
+    var approxQ: Map[String, Row] = null
+    if (approx) {
+      val qExprs = numCols.map(n =>
+        n -> struct(percentile_approx(col(n).cast(DoubleType),
+          lit(Array(0.25, 0.5, 0.75)), lit(10000))).as(n))
+      runConcurrently(Seq(0, 1, 2)) {
+        case 0 => statOf = batchedStructAgg(df, aggExprs)
+        case 1 => melted = meltStatsFull(df, cols.map(_._1), Map.empty,
+          numCols.toSet)
+        case 2 => approxQ =
+          if (numCols.isEmpty) Map.empty else batchedStructAgg(df, qExprs)
+        case _ => ()
+      }
+    } else {
+      statOf = batchedStructAgg(df, aggExprs)
+      val nonNullOf: Map[String, Long] = cols.map { case (n, _) =>
+        n -> statOf(n).getLong(1)
       }.toMap
-    val (modes, nuniques, exactQuartiles) =
-      meltStatsFull(df, cols.map(_._1), quartileTargets, numCols.toSet)
+      val quartileTargets: Map[String, Seq[Double]] =
+        numCols.filter(n => nonNullOf(n) > 0).map { n =>
+          n -> Seq(0.25, 0.5, 0.75).map(p => p * (nonNullOf(n) - 1))
+        }.toMap
+      melted = meltStatsFull(df, cols.map(_._1), quartileTargets,
+        numCols.toSet)
+    }
+    val (modes, nuniques, exactQuartiles) = melted
     val quartiles: Map[String, Seq[Double]] =
       if (!approx) exactQuartiles
       else if (numCols.isEmpty) Map.empty
-      else {
-        // wrapped in a struct so the batched helper applies; same Janino
-        // width hazard as the stat aggs
-        val qExprs = numCols.map(n =>
-          n -> struct(percentile_approx(col(n).cast(DoubleType),
-            lit(Array(0.25, 0.5, 0.75)), lit(10000))).as(n))
-        val qOf = batchedStructAgg(df, qExprs)
-        numCols.map { n =>
-          val s = qOf(n)
-          n -> (if (s.isNullAt(0)) null else s.getSeq[Double](0))
-        }.toMap
-      }
+      else numCols.map { n =>
+        val s = approxQ(n)
+        n -> (if (s.isNullAt(0)) null else s.getSeq[Double](0))
+      }.toMap
     val spark = df.sparkSession
     // per-column progress callbacks (reference: _get_describe_dict.py:226-230)
     val caller = new graft.config.CallbackCaller(callback, "column", cols.size.toLong)

@@ -1883,12 +1883,23 @@ object KeyDiscovery {
     val p =
       if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // pairs batched by on-column (r16 optimization): one shared
+    // collapse + prefix-extrema job per distinct x computes every one
+    // of its y verdicts at once; distinct on-columns still run as
+    // concurrent driver jobs (an m-column sweep drops from m·(m−1)
+    // grouped-extrema pipelines to m).
+    val byX: Seq[(String, Seq[(Int, String)])] =
+      pairs.zipWithIndex.map { case ((x, y), i) => (x, i, y) }
+        .groupBy(_._1).toSeq
+        .map { case (x, g) => (x, g.map(t => (t._2, t._3))) }
     val acc =
       new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Long)]()
-    graft.util.Concurrency.runConcurrently(pairs.indices) { i =>
-      val (x, y) = pairs(i)
-      val r = orderDependencyAgg(df, x, y, p).head()
-      acc.put(i, (r.getLong(0), r.getLong(1), r.getLong(2)))
+    graft.util.Concurrency.runConcurrently(byX) { case (x, iys) =>
+      val r = orderDependencyAggMulti(df, x, iys.map(_._2), p).head()
+      iys.zipWithIndex.foreach { case ((pairId, _), j) =>
+        acc.put(pairId,
+          (r.getLong(3 * j), r.getLong(3 * j + 1), r.getLong(3 * j + 2)))
+      }
     }
     val rows = pairs.zipWithIndex.map { case ((x, y), i) =>
       val (n, ascV, descV) = acc.get(i)
@@ -2004,12 +2015,20 @@ object KeyDiscovery {
     val p =
       if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // same by-x batching as the exact form: one shared adjacent-carry
+    // job per distinct on-column
+    val byX: Seq[(String, Seq[(Int, String)])] =
+      pairs.zipWithIndex.map { case ((x, y), i) => (x, i, y) }
+        .groupBy(_._1).toSeq
+        .map { case (x, g) => (x, g.map(t => (t._2, t._3))) }
     val acc =
       new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Long)]()
-    graft.util.Concurrency.runConcurrently(pairs.indices) { i =>
-      val (x, y) = pairs(i)
-      val r = adjacentOrderViolationAgg(df, x, y, p).head()
-      acc.put(i, (r.getLong(0), r.getLong(1), r.getLong(2)))
+    graft.util.Concurrency.runConcurrently(byX) { case (x, iys) =>
+      val r = adjacentOrderViolationAggMulti(df, x, iys.map(_._2), p).head()
+      iys.zipWithIndex.foreach { case ((pairId, _), j) =>
+        acc.put(pairId,
+          (r.getLong(3 * j), r.getLong(3 * j + 1), r.getLong(3 * j + 2)))
+      }
     }
     val rows = pairs.zipWithIndex.map { case ((x, y), i) =>
       val (n, ascV, descV) = acc.get(i)
@@ -2037,17 +2056,31 @@ object KeyDiscovery {
     */
   private[graft] def adjacentOrderViolationAgg(df: DataFrame, x: String,
                                                y: String, p: Int)
+      : DataFrame =
+    adjacentOrderViolationAggMulti(df, x, Seq(y), p)
+
+  /** The multi-y batched form of [[adjacentOrderViolationAgg]] — the
+    * [[adjacentGapViolationAggMulti]] shape with the monotonicity
+    * predicates; output row = (__n0, __asc0, __desc0, __n1, ...) in ys
+    * order.
+    */
+  private def adjacentOrderViolationAggMulti(df: DataFrame, x: String,
+                                             ys: Seq[String], p: Int)
       : DataFrame = {
-    withAdjacentPredecessorsMulti(groupedExtremaMulti(df, x, Seq(y), p),
-        x, 1)
-      .agg(
-        count(lit(1)).as("__n"),
-        coalesce(sum(when(
-          coalesce(col("__pmx0"), col("__cmx0")) > col("__mn0"),
-          1L)), lit(0L)).as("__asc_viol"),
-        coalesce(sum(when(
-          coalesce(col("__pmn0"), col("__cmn0")) < col("__mx0"),
-          1L)), lit(0L)).as("__desc_viol"))
+    val g = withAdjacentPredecessorsMulti(
+      groupedExtremaMulti(df, x, ys, p), x, ys.size)
+    val aggs = ys.indices.flatMap { i =>
+      val exists = col(s"__mx$i").isNotNull
+      Seq(
+        coalesce(sum(when(exists, 1L)), lit(0L)).as(s"__n$i"),
+        coalesce(sum(when(exists &&
+          coalesce(col(s"__pmx$i"), col(s"__cmx$i")) > col(s"__mn$i"),
+          1L)), lit(0L)).as(s"__asc$i"),
+        coalesce(sum(when(exists &&
+          coalesce(col(s"__pmn$i"), col(s"__cmn$i")) < col(s"__mx$i"),
+          1L)), lit(0L)).as(s"__desc$i"))
+    }
+    g.agg(aggs.head, aggs.tail: _*)
   }
 
   /** SEQUENTIAL dependencies — the ordered-data profiling member after
@@ -2496,35 +2529,57 @@ object KeyDiscovery {
     * the ≤p-row partition-stats frame.
     */
   private[graft] def orderDependencyAgg(df: DataFrame, x: String,
-                                        y: String, p: Int): DataFrame = {
+                                        y: String, p: Int): DataFrame =
+    orderDependencyAggMulti(df, x, Seq(y), p)
+
+  /** The multi-y batched form of [[orderDependencyAgg]] (r16
+    * optimization): one shared collapse + prefix-extrema pass computes
+    * (n_groups, asc_violations, desc_violations) for EVERY y of one
+    * on-column in a single job — the output row carries (__n0,
+    * __asc0, __desc0, __n1, ...) in ys order. Prefix max/min windows
+    * ignore nulls, so groups not existing for a given y (null extrema
+    * on the shared frame) neither contribute to the running extrema nor
+    * count toward n/violations — the per-pair frame's semantics
+    * exactly.
+    */
+  private def orderDependencyAggMulti(df: DataFrame, x: String,
+                                      ys: Seq[String], p: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grouped = groupedExtremaByRange(df, x, y, p)
+    val grouped = groupedExtremaMulti(df, x, ys, p)
     // carry-ins: each partition's prefix extrema over EARLIER partitions
     // (range partition ids ascend with x); the window frame is ≤ p rows
     val wp = Window.orderBy("__pid")
       .rowsBetween(Window.unboundedPreceding, -1)
+    val carryAggs = ys.indices.flatMap(i => Seq(
+      max(col(s"__mx$i")).as(s"__px$i"),
+      min(col(s"__mn$i")).as(s"__pn$i")))
     val carry = grouped.groupBy("__pid")
-      .agg(max("__mx").as("__pmx"), min("__mn").as("__pmn"))
-      .select(col("__pid"),
-        max("__pmx").over(wp).as("__cmax"),
-        min("__pmn").over(wp).as("__cmin"))
+      .agg(carryAggs.head, carryAggs.tail: _*)
+      .select(col("__pid") +: ys.indices.flatMap(i => Seq(
+        max(col(s"__px$i")).over(wp).as(s"__cmax$i"),
+        min(col(s"__pn$i")).over(wp).as(s"__cmin$i"))): _*)
     // within-partition prefix extrema: P concurrent windows keyed by the
     // materialized partition id
     val w = Window.partitionBy("__pid").orderBy(col(x))
       .rowsBetween(Window.unboundedPreceding, -1)
-    grouped
-      .withColumn("__wmax", max("__mx").over(w))
-      .withColumn("__wmin", min("__mn").over(w))
+    val ann = grouped.select(
+      (grouped.columns.map(col).toSeq) ++ ys.indices.flatMap(i => Seq(
+        max(col(s"__mx$i")).over(w).as(s"__wmax$i"),
+        min(col(s"__mn$i")).over(w).as(s"__wmin$i"))): _*)
       .join(broadcast(carry), "__pid")
-      .agg(
-        count(lit(1)).as("__n"),
-        coalesce(sum(when(
-          coalesce(col("__wmax") > col("__mn"), lit(false)) ||
-            coalesce(col("__cmax") > col("__mn"), lit(false)),
-          1L)), lit(0L)).as("__asc_viol"),
-        coalesce(sum(when(
-          coalesce(col("__wmin") < col("__mx"), lit(false)) ||
-            coalesce(col("__cmin") < col("__mx"), lit(false)),
-          1L)), lit(0L)).as("__desc_viol"))
+    val aggs = ys.indices.flatMap { i =>
+      val exists = col(s"__mx$i").isNotNull
+      Seq(
+        coalesce(sum(when(exists, 1L)), lit(0L)).as(s"__n$i"),
+        coalesce(sum(when(exists && (
+          coalesce(col(s"__wmax$i") > col(s"__mn$i"), lit(false)) ||
+            coalesce(col(s"__cmax$i") > col(s"__mn$i"), lit(false))),
+          1L)), lit(0L)).as(s"__asc$i"),
+        coalesce(sum(when(exists && (
+          coalesce(col(s"__wmin$i") < col(s"__mx$i"), lit(false)) ||
+            coalesce(col(s"__cmin$i") < col(s"__mx$i"), lit(false))),
+          1L)), lit(0L)).as(s"__desc$i"))
+    }
+    ann.agg(aggs.head, aggs.tail: _*)
   }
 }

@@ -1190,6 +1190,23 @@ class KeyDiscoverySpec extends SparkSpec {
       assert(gBatched.map(_.toSeq).toSeq == gSingle.map(_.toSeq).toSeq,
         s"inference half diverges at p=$p")
     }
+    // the OD family rides the same shared frame — same parity contract
+    for (p <- Seq(1, 4)) {
+      val oBatched = KeyDiscovery.orderDependencies(df, pairs,
+        partitions = p).collect()
+      val oSingle = pairs.flatMap(pr =>
+        KeyDiscovery.orderDependencies(df, Seq(pr),
+          partitions = p).collect())
+      assert(oBatched.map(_.toSeq).toSeq == oSingle.map(_.toSeq).toSeq,
+        s"exact OD diverges at p=$p")
+      val aBatched = KeyDiscovery.approximateOrderDependencies(df, pairs,
+        epsilon = 0.3, partitions = p).collect()
+      val aSingle = pairs.flatMap(pr =>
+        KeyDiscovery.approximateOrderDependencies(df, Seq(pr),
+          epsilon = 0.3, partitions = p).collect())
+      assert(aBatched.map(_.toSeq).toSeq == aSingle.map(_.toSeq).toSeq,
+        s"approximate OD diverges at p=$p")
+    }
     // sanity: the y2 pair really sees fewer groups (the gate is live)
     val ns = KeyDiscovery.sequentialDependencies(df, pairs, 5.0, 25.0)
       .collect().map(r => r.getString(1) -> r.getLong(4)).toMap
