@@ -1190,6 +1190,36 @@ class KeyDiscoverySpec extends SparkSpec {
       assert(gBatched.map(_.toSeq).toSeq == gSingle.map(_.toSeq).toSeq,
         s"inference half diverges at p=$p")
     }
+    // a CONTIGUOUS x-run with no y2 at all (groups 40..79) starves whole
+    // range partitions of that y at p=4: the per-partition carry must
+    // read null there (max_by over all-null keys) and the next existing
+    // group's predecessor must skip PAST those partitions via the
+    // ignoreNulls carry — the strongest form of the per-y existence gate
+    val rows2 = (0 until 240).map { i =>
+      val g = i / 2
+      val y2: java.lang.Double =
+        if (g >= 40 && g < 80) null
+        else java.lang.Double.valueOf(g * 7.0 + rnd.nextInt(5))
+      (java.lang.Long.valueOf(g),
+        java.lang.Double.valueOf(g * 10.0 + rnd.nextInt(4)), y2)
+    }
+    val df2 = rows2.toDF("x", "y1", "y2")
+    for (p <- Seq(1, 4)) {
+      val batched = KeyDiscovery.sequentialDependencies(df2, pairs,
+        5.0, 25.0, epsilon = 0.2, partitions = p).collect()
+      val single = pairs.flatMap(pr =>
+        KeyDiscovery.sequentialDependencies(df2, Seq(pr),
+          5.0, 25.0, epsilon = 0.2, partitions = p).collect())
+      assert(batched.map(_.toSeq).toSeq == single.map(_.toSeq).toSeq,
+        s"contiguous-run check half diverges at p=$p")
+      val gBatched = KeyDiscovery.inferSequentialGaps(df2, pairs,
+        trim = 0.1, partitions = p).collect()
+      val gSingle = pairs.flatMap(pr =>
+        KeyDiscovery.inferSequentialGaps(df2, Seq(pr),
+          trim = 0.1, partitions = p).collect())
+      assert(gBatched.map(_.toSeq).toSeq == gSingle.map(_.toSeq).toSeq,
+        s"contiguous-run inference half diverges at p=$p")
+    }
     // the OD family rides the same shared frame — same parity contract
     for (p <- Seq(1, 4)) {
       val oBatched = KeyDiscovery.orderDependencies(df, pairs,
