@@ -4359,7 +4359,7 @@ object Oracles {
       |SELECT 'uid_bucket' AS determinant, 'dep' AS dependent,
       |  nc AS n_const,
       |  CAST(ep AS VARCHAR) AS event_type, CAST(vb AS VARCHAR) AS vband,
-      |  n AS support, kept AS n_kept,
+      |  CAST(n AS BIGINT) AS support, CAST(kept AS BIGINT) AS n_kept,
       |  CAST(n - kept AS DOUBLE) / n AS g3,
       |  CAST(n - kept AS DOUBLE) <= 0.02 * n AS holds
       |FROM l3 WHERE n >= 50
