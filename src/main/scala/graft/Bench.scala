@@ -52,6 +52,13 @@ import java.nio.file.{Files, Paths}
   * The complete stdout line is ALSO written verbatim to `BENCH_LINE.json`
   * (override: SPARK_GRAFT_BENCH_LINE) so downstream tooling can read
   * structured fields even if the stdout tail truncates mid-JSON.
+  * AT 196 QUERIES even the qNN-keyed map is ~4 KB, so no sizing of the
+  * full line can fit the tail any more (r16 VERDICT: PERF totals have
+  * been null since r10). The bench therefore ends stdout with a SECOND,
+  * compact line — {metric, value, unit, action, n_queries, calib,
+  * total_norm, polluted, detail, sf}, ~350 chars, no per-query map — so
+  * the tail always closes on one complete JSON object; per-query seconds
+  * live in the full line (stdout + BENCH_LINE.json) and BENCH_DETAIL.json.
   *
   * CROSS-SESSION calibration (r9): within-session spread is controlled by
   * the escalation above, but r7 vs r8 showed the whole SESSION can run
@@ -320,6 +327,18 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] line write failed: ${e.getMessage}") }
     println(line)
+    // r17 measurement-contract fix: at 196 queries the full line above is
+    // ~4 KB and overflows the driver's ~2000-char stdout tail — PERF has
+    // had null totals since r10. The LAST stdout line is therefore a
+    // compact summary (~350 chars, the full per-query map stays in the
+    // line above and in BENCH_LINE.json / BENCH_DETAIL.json) so the tail
+    // always ends with one complete, parseable JSON object.
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""action":"toRdd","n_queries":${results.size},""" +
+      s""""calib":$calibJson,"total_norm":${r3(total / factor)},""" +
+      s""""polluted":$pollutedList,"detail":"$detailPath",""" +
+      s""""sf":"$sfDir"}"""
+    println(compact)
     spark.stop()
   }
 }

@@ -2671,13 +2671,21 @@ object Queries {
     */
   def q157OrderDeps(s: SparkSession, dir: String): DataFrame = {
     val k = stats.KeyDiscovery
-    k.orderDependencies(table(s, dir, "events"),
+    // the three per-table calls are EAGER (driver-side verdict rows) and
+    // independent — overlapping them end-to-end (the q149 idiom) undoes
+    // the r16 regression where each call's internal fan-out ran in its
+    // own serial phase (identical rows, same union order)
+    val parts = new Array[DataFrame](3)
+    graft.util.Concurrency.runConcurrently(0 until 3) {
+      case 0 => parts(0) = k.orderDependencies(table(s, dir, "events"),
         Seq("event_id" -> "ts", "event_id" -> "value",
           "user_id" -> "value"))
-      .unionAll(k.orderDependencies(table(s, dir, "orders"),
-        Seq("o_orderkey" -> "o_orderdate", "o_custkey" -> "o_totalprice")))
-      .unionAll(k.orderDependencies(table(s, dir, "documents"),
-        Seq("doc_id" -> "n_chars")))
+      case 1 => parts(1) = k.orderDependencies(table(s, dir, "orders"),
+        Seq("o_orderkey" -> "o_orderdate", "o_custkey" -> "o_totalprice"))
+      case _ => parts(2) = k.orderDependencies(table(s, dir, "documents"),
+        Seq("doc_id" -> "n_chars"))
+    }
+    parts.reduce(_ unionAll _)
       .orderBy("on_column", "ordered_column")
   }
 

@@ -314,7 +314,34 @@ object Describe {
     * the group columns.
     */
   def groupedQuantiles(df: DataFrame, groupCols: Seq[String],
-                       valueCol: String, ps: Seq[Double]): DataFrame = {
+                       valueCol: String, ps: Seq[Double]): DataFrame =
+    // the final global order pays a range-partitioner SAMPLING pass that
+    // re-executes everything since the last shuffle boundary — here the
+    // whole window + rank-pick stage, ~25–35% of q172/q175 (r17 probe;
+    // the r15 join shape dodged it by accident because that pipeline sat
+    // behind a once-built BroadcastExchange, which is why the r16 fusion
+    // measured SLOWER on few-group shapes despite strictly less work).
+    // A LAZY localCheckpoint of the one-row-per-group result makes the
+    // sampling pass materialize that tiny frame once and the real sort
+    // re-read it: scale-free (the stored rows ARE the output rows), not
+    // eager, and not a cross-run cache — each call builds a fresh plan.
+    // An explicit repartition boundary does NOT work here: adjacent
+    // user-then-required exchanges collapse at the physical layer
+    // (probed: the hash exchange survives the optimized logical plan and
+    // vanishes in the executed plan).
+    groupedQuantilesUnsorted(df, groupCols, valueCol, ps)
+      .localCheckpoint(eager = false)
+      .orderBy(groupCols.map(c => col(c).asc_nulls_last): _*)
+
+  /** [[groupedQuantiles]] without the final global sort — for callers
+    * that immediately re-aggregate the walk rows (the sequential-gap
+    * sweep pivots by pair), where an output order would be thrown away
+    * at the next exchange AND its range-sampling pass would re-run the
+    * window stage (r17).
+    */
+  private[graft] def groupedQuantilesUnsorted(
+      df: DataFrame, groupCols: Seq[String],
+      valueCol: String, ps: Seq[Double]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(groupCols.nonEmpty, "need at least one group column")
     require(ps.nonEmpty, "need at least one probability")
@@ -391,7 +418,6 @@ object Describe {
             .otherwise(lo * (ceil(pos) - pos) + hi * (pos - floor(pos)))
             .as(l)
         }): _*)
-      .orderBy(groupCols.map(c => col(c).asc_nulls_last): _*)
   }
 
   /** One unresolved value region of the histogram walk: the predicate chain

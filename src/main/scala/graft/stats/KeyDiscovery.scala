@@ -1922,10 +1922,12 @@ object KeyDiscovery {
     * per-pair verdicts identical to per-call [[orderDependencies]]
     * (spec-pinned). ODs are within-table properties, so the sweep is
     * per-table m·(m−1) pairs — [[MaxCandidates]]-chunked so a wide
-    * table is never one unbounded job fan-out, each chunk's pairs
-    * running as concurrent jobs (the per-call geometry; raw rows are
-    * aggregated once per pair either way, the grouped-extrema plan's
-    * cost shape).
+    * table is never one unbounded job fan-out, and every (table, chunk)
+    * unit runs as a concurrent driver job end-to-end (r17: the units
+    * are eager and independent; serializing them left the box idle
+    * between tables), each unit's per-x batches concurrent inside it
+    * (the per-call geometry; raw rows are aggregated once per x-batch,
+    * the grouped-extrema plan's cost shape).
     *
     * Output: (table, on_column, ordered_column, n_groups,
     * asc_violations, desc_violations, monotone), tables in the given
@@ -1943,14 +1945,25 @@ object KeyDiscovery {
         s"column '$c' not in table '$t'"))
     }
     val spark = tables.head._2.sparkSession
-    val out = tables.flatMap { case (t, df, cs) =>
+    // r17: the per-(table, chunk) calls are EAGER and independent —
+    // serializing them left the box idle between tables (q167 ran three
+    // orderDependencies calls back-to-back; the r16 driver bench read it
+    // 20–43% slower than the r15 per-pair-concurrent geometry). One
+    // fan-out over every (table, chunk) unit restores end-to-end overlap
+    // on top of the batched per-x plans; output order is unchanged
+    // (units land in a slot array, flattened in declaration order).
+    val units = tables.flatMap { case (t, df, cs) =>
       val pairs = for (x <- cs; y <- cs if x != y) yield (x, y)
-      pairs.grouped(MaxCandidates).flatMap { chunk =>
-        orderDependencies(df, chunk, partitions).collect().map(r =>
-          Row(t, r.getString(0), r.getString(1), r.getLong(2),
-            r.getLong(3), r.getLong(4), r.getString(5)))
-      }
+      pairs.grouped(MaxCandidates).map(chunk => (t, df, chunk)).toSeq
     }
+    val slots = new Array[Seq[Row]](units.size)
+    graft.util.Concurrency.runConcurrently(units.indices) { i =>
+      val (t, df, chunk) = units(i)
+      slots(i) = orderDependencies(df, chunk, partitions).collect()
+        .map(r => Row(t, r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getString(5))).toSeq
+    }
+    val out = slots.toSeq.flatten
     spark.createDataFrame(
       spark.sparkContext.parallelize(out, 1),
       StructType(StructField("table", StringType, nullable = false) +:
@@ -2104,7 +2117,7 @@ object KeyDiscovery {
     * frequency-inference adjacency turned into a constraint).
     *
     * Scale shape — identical to the OD family (shared
-    * [[groupedExtremaByRange]]): raw rows collapse map-side to
+    * [[groupedExtremaMulti]]): raw rows collapse map-side to
     * distinct-x extrema, range-partition by x, adjacency via a lag
     * within each partition plus a broadcast ≤p-row partition carry; NO
     * raw-row sort anywhere. Pairs run as concurrent bounded jobs.
@@ -2361,7 +2374,11 @@ object KeyDiscovery {
         .select(col("__e")("pr").as("__pair"),
           col("__e")("s").as("__side"), col("__e")("g").as("__gap"))
     }.reduce(_ unionAll _)
-    val q = graft.stats.Describe.groupedQuantiles(melted,
+    // the UNSORTED walk: the pivot below re-aggregates by pair, so the
+    // walk's global (pair, side) order would be discarded at the next
+    // exchange — and its range partitioner's sampling pass would re-run
+    // the window stage (r17; see groupedQuantilesUnsorted)
+    val q = graft.stats.Describe.groupedQuantilesUnsorted(melted,
       Seq("__pair", "__side"), "__gap", Seq(trim, pHigh))
     val Seq(pLoName, pHiName) = q.columns.drop(3).toSeq
     // pivot each pair's ≤2 walk rows into its output row; pairs whose
@@ -2508,19 +2525,6 @@ object KeyDiscovery {
       .repartitionByRange(p, col(x))
       .withColumn("__pid", spark_partition_id())
   }
-
-  /** The grouped-extrema frame BOTH OD measures build on (exact prefix
-    * form and approximate adjacent form): distinct-x (min y, max y)
-    * rows, range-partitioned by x with a materialized partition id for
-    * the carry machinery — one definition so the range/pid/exchange
-    * assumptions can never diverge between the two.
-    */
-  private def groupedExtremaByRange(df: DataFrame, x: String, y: String,
-                                    p: Int): DataFrame =
-    df.where(col(x).isNotNull && col(y).isNotNull)
-      .groupBy(col(x)).agg(min(col(y)).as("__mn"), max(col(y)).as("__mx"))
-      .repartitionByRange(p, col(x))
-      .withColumn("__pid", spark_partition_id())
 
   /** One pair's OD measure: (n_groups, asc_violations,
     * desc_violations) — the grouped-prefix-extrema plan the

@@ -14,7 +14,27 @@ object Concurrency {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(items.size, 8))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    try Await.result(Future.sequence(items.map(i => Future(work(i)))), Duration.Inf)
+    // every unit runs under one shared job group so the error path can
+    // cancel the SIBLING Spark jobs still running (r16 ADVICE:
+    // Future.sequence rethrows the first failure while the pool's
+    // graceful shutdown() would let orphaned jobs burn executors to
+    // completion). setJobGroup is thread-local, so tagging happens
+    // inside each unit, and pool threads are fresh per call — no group
+    // leaks across calls.
+    val sc = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext)
+    val group = "graft-conc-" + java.lang.Long.toHexString(System.nanoTime())
+    try Await.result(Future.sequence(items.map(i => Future {
+      sc.foreach(_.setJobGroup(group, "graft concurrent unit",
+        interruptOnCancel = true))
+      work(i)
+    })), Duration.Inf)
+    catch { case e: Throwable =>
+      sc.foreach(_.cancelJobGroup(group))
+      pool.shutdownNow()
+      throw e
+    }
     finally pool.shutdown()
   }
 }

@@ -520,8 +520,26 @@ class StatsSpec extends SparkSpec {
       val d = spark.range(10000).select(
         pmod(col("id"), lit(7)).as("g"),
         pmod(col("id"), lit(500)).cast("double").as("v"))
-      val plan = Describe.groupedQuantiles(d, Seq("g"), "v", Seq(0.5, 0.9))
-        .queryExecution.executedPlan
+      val out = Describe.groupedQuantiles(d, Seq("g"), "v", Seq(0.5, 0.9))
+      // the public form ends (checkpoint boundary) + global sort: the
+      // final SortExec's subtree is the checkpointed one-row-per-group
+      // scan, NEVER raw input rows (r17: the lazy localCheckpoint exists
+      // so the range partitioner's sampling pass cannot re-execute the
+      // window stage)
+      val finalPlan = out.queryExecution.executedPlan
+      val finalSorts = finalPlan.collect { case s: SortExec => s }
+      assert(finalSorts.nonEmpty)
+      finalSorts.foreach { s =>
+        assert(s.exists {
+          case _: BaseAggregateExec => true
+          case r: org.apache.spark.sql.execution.RDDScanExec => true
+          case _ => false },
+          s"a Sort with no Aggregate/checkpoint below it (raw-row sort):\n$s")
+      }
+      // the heavy pipeline below the checkpoint keeps the r13 contract:
+      // rows collapse through the (group, value) aggregate before ANY Sort
+      val plan = Describe.groupedQuantilesUnsorted(d, Seq("g"), "v",
+        Seq(0.5, 0.9)).queryExecution.executedPlan
       val sorts = plan.collect { case s: SortExec => s }
       assert(sorts.nonEmpty) // the per-group window does sort — but only
       // the collapsed distinct-value frame
