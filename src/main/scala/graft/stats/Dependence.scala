@@ -58,9 +58,13 @@ object Dependence {
   /** Distinct-value count below which the rank table's prefix sums run as one
     * single-task window over the (already-reduced) per-value counts — no
     * second shuffle, no driver offsets, no cache. Above it, the
-    * range-partitioned prefix-sum path takes over.
+    * range-partitioned prefix-sum path takes over. r17: lowered 1M → 64k;
+    * a near-unique 600k-value column was sorting single-threaded inside
+    * the one-partition window (~1 s of q06) while 31 cores idled — the
+    * range path runs the same prefix sums as parallel per-partition
+    * windows.
     */
-  private val SingleTaskBound = 1L * 1000 * 1000
+  private val SingleTaskBound = 64L * 1000
 
   /** Largest `nrows` sample drawn by the one-scan per-partition-heap path;
     * 1M slim prep rows (a few doubles each) ≈ 10s-of-MB heaps per task.
@@ -244,12 +248,26 @@ object Dependence {
       // categorical drop rule); numeric columns use nunique purely as a path
       // hint (single-task rank window, broadcast join, bin guard), where
       // approx_count_distinct avoids the Expand that would multiply the agg's
-      // input by (#exact-distinct columns + 1)
-      val colAggs: Seq[Column] = allCols.flatMap { n =>
+      // input by (#exact-distinct columns + 1).
+      // nunique aggregates run in their OWN job (r17): approx_count_distinct
+      // is an ImperativeAggregate, and ONE of those in an agg knocks the
+      // whole HashAggregate out of whole-stage codegen — the combined
+      // pass-1 agg measured 1.64 s where corr-only reads 0.17 s and
+      // acd-only 0.24 s (sf0.1 lineitem, cached prep). Splitting keeps
+      // the counts/corr job codegen'd; both jobs run concurrently.
+      // Columns whose nunique nothing reads (numeric columns in a
+      // pearson-only call — the hints serve the spearman/MI paths, the
+      // drop rule is categorical-only) skip the aggregate entirely.
+      val needNunique: String => Boolean = n =>
+        !numericSet(n) ||
+          calcOrder.contains("spearman") || calcOrder.contains("mutual_info")
+      val colAggs: Seq[Column] = allCols.map(n =>
+        count(col(n)).as(s"cnt__$n"))
+      val nunAggs: Seq[Column] = allCols.filter(needNunique).map { n =>
         val dc =
           if (numericSet(n)) approx_count_distinct(col(n))
           else count_distinct(col(n))
-        Seq(count(col(n)).as(s"cnt__$n"), dc.as(s"nun__$n"))
+        dc.as(s"nun__$n")
       }
       val pearsonCols = allCols.filter(validFor("pearson")).toSet
       def pairAggsFor(ps: Seq[(String, String)]): Seq[Column] =
@@ -269,22 +287,27 @@ object Dependence {
       // whole-stage codegen. Cap ~200 pairs per agg job; batches run
       // concurrently over the cached prep, so latency is ~max not sum.
       val pairBatchSize = 200
-      val r1s: Seq[Row] =
-        if (pairs.size <= pairBatchSize) {
-          val aggs = colAggs ++ pairAggsFor(pairs) ++
-            Seq(count(lit(1)).as("total__"))
-          Seq(prep.agg(aggs.head, aggs.tail: _*).head())
-        } else {
-          val groups: Seq[Seq[Column]] =
-            (colAggs ++ Seq(count(lit(1)).as("total__"))) +:
-              pairs.grouped(pairBatchSize).map(pairAggsFor).toSeq
-          val out = new Array[Row](groups.length)
-          parallelJobs(groups.indices) { i =>
-            val as = groups(i)
-            out(i) = prep.agg(as.head, as.tail: _*).head()
-          }
-          out.toIndexedSeq
+      val declGroups: Seq[Seq[Column]] =
+        if (pairs.size <= pairBatchSize)
+          Seq(colAggs ++ pairAggsFor(pairs) ++
+            Seq(count(lit(1)).as("total__")))
+        else
+          (colAggs ++ Seq(count(lit(1)).as("total__"))) +:
+            pairs.grouped(pairBatchSize).map(pairAggsFor).toSeq
+      // the imperative nunique job rides the same concurrent fan-out as
+      // the declarative groups — never the same agg (codegen, above)
+      val groups: Seq[Seq[Column]] =
+        if (nunAggs.isEmpty) declGroups else declGroups :+ nunAggs
+      val r1s: Seq[Row] = {
+        val out = new Array[Row](groups.length)
+        if (groups.size == 1)
+          out(0) = prep.agg(groups.head.head, groups.head.tail: _*).head()
+        else parallelJobs(groups.indices) { i =>
+          val as = groups(i)
+          out(i) = prep.agg(as.head, as.tail: _*).head()
         }
+        out.toIndexedSeq
+      }
       val fieldOf: Map[String, (Row, Int)] = r1s.flatMap(r =>
         r.schema.fieldNames.zipWithIndex.map { case (f, i) => f -> (r, i) })
         .toMap
@@ -295,7 +318,10 @@ object Dependence {
       }
       val total = g("total__")
       val nonNull = allCols.map(n => n -> g(s"cnt__$n")).toMap
-      val nunique = allCols.map(n => n -> g(s"nun__$n")).toMap
+      // absent key = nunique provably unused on this call path (loud
+      // failure if that invariant ever breaks)
+      val nunique: Map[String, Long] = allCols.filter(needNunique)
+        .map(n => n -> g(s"nun__$n")).toMap
 
       // large-categorical drop (reference: _get_dependence_dict.py:276-299)
       val largeCats = allCols.filter(n =>
@@ -346,11 +372,16 @@ object Dependence {
             arr.toSeq
           }
           try {
-            // join each rank table back by value; LOW-cardinality tables
-            // (known from the pass-1 nunique) broadcast, so only
-            // high-cardinality columns ever re-shuffle the base frame
+            // join each rank table back by value; tables up to ~2M rows
+            // (known from the pass-1 nunique) broadcast — a rank-table row
+            // is two 8-byte values, so 2M rows ≈ 32 MB of data, well under
+            // the guide's few-hundred-MB broadcast comfort zone — and every
+            // broadcast avoids re-shuffling the ENTIRE base frame by that
+            // column's value (r17: the former 100k bound pushed sf0.1's
+            // near-unique price column into a base-frame sort-merge join).
+            // Genuinely high-cardinality columns still shuffle.
             val ranked = rankTables.foldLeft(prep) { case (d, (n, (rt0, _))) =>
-              val rt = if (nunique(n) <= 100000) broadcast(rt0) else rt0
+              val rt = if (nunique(n) <= 2000000) broadcast(rt0) else rt0
               d.join(rt, d(n) === rt("__v"), "left")
                 .drop("__v").withColumnRenamed("__avg_rank", s"rk__$n")
             }
@@ -580,25 +611,45 @@ object Ami {
           "asymptotic (R-1)(C-1)/(2N) approximation")
       return (a.length - 1).toDouble * (b.length - 1).toDouble / (2.0 * n)
     }
+    // r17 per-task-work pass (guide §1.2 step 2): every lgamma argument in
+    // the Vinh sum is an INTEGER (+1) bounded by n+1, so for modest n a
+    // lookup table of lgamma at integer points replaces ~9 transcendental
+    // evaluations per term with array reads — bit-identical values (same
+    // lgamma, same double arguments), measured ~10x on the 10x10/150k-row
+    // fixture shape. Above the memory cap the five (i,j)-invariant calls
+    // are still hoisted out of the innermost loop (~2x).
+    val tableMax = 1L << 23 // 8M doubles = 64 MB driver ceiling
+    val lg: Long => Double =
+      if (nL + 1 <= tableMax) {
+        val tab = new Array[Double]((nL + 2).toInt)
+        var k = 0
+        while (k < tab.length) { tab(k) = lgamma(k.toDouble); k += 1 }
+        x => tab(x.toInt)
+      } else x => lgamma(x.toDouble)
+    val lgN1 = lg(nL + 1)
     var emi = 0.0
     var i = 0
     while (i < a.length) {
       val ai = a(i).toDouble
+      val logAi = math.log(ai)
+      val lgAi1 = lg(a(i) + 1)
+      val lgNai1 = lg(nL - a(i) + 1)
       var j = 0
       while (j < b.length) {
         val bj = b(j).toDouble
         val start = math.max(1L, a(i) + b(j) - nL)
         val end = math.min(a(i), b(j))
+        // (i, j)-invariant part of logTerm/logHyper, hoisted
+        val logBase = logN - logAi - math.log(bj)
+        val hyperBase = lgAi1 + lg(b(j) + 1) + lgNai1 + lg(nL - b(j) + 1) -
+          lgN1
         var nij = start
         while (nij <= end) {
           val nd = nij.toDouble
-          val logTerm = logN + math.log(nd) - math.log(ai) - math.log(bj)
-          val logHyper =
-            lgamma(ai + 1) + lgamma(bj + 1) +
-              lgamma(n - ai + 1) + lgamma(n - bj + 1) -
-              lgamma(n + 1) - lgamma(nd + 1) -
-              lgamma(ai - nd + 1) - lgamma(bj - nd + 1) -
-              lgamma(n - ai - bj + nd + 1)
+          val logTerm = logBase + math.log(nd)
+          val logHyper = hyperBase -
+            lg(nij + 1) - lg(a(i) - nij + 1) - lg(b(j) - nij + 1) -
+            lg(nL - a(i) - b(j) + nij + 1)
           emi += (nd / n) * logTerm * math.exp(logHyper)
           nij += 1
         }
