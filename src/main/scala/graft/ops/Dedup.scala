@@ -210,12 +210,25 @@ object Dedup {
 
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, numHashes: Int = 64, bands: Int = 32,
-                      threshold: Double = 0.6): DataFrame = {
+                      threshold: Double = 0.6): DataFrame =
+    minhashLshPairsFromBuckets(df,
+      bandBuckets(df, idCol, textCol, n, numHashes, bands),
+      idCol, textCol, n, threshold)
+
+  /** [[minhashLshPairs]] with an injected (id, band, sig) bucket table —
+    * for callers that already built one (r17: releaseFunnel's keep-best
+    * and decontamination stages share a single ww_minhash pass instead
+    * of tokenizing + hashing the corpus twice). `buckets` MUST be
+    * [[bandBuckets]] output over the same (df, idCol, textCol, n)
+    * or a row-subset of it.
+    */
+  private[graft] def minhashLshPairsFromBuckets(
+      df: DataFrame, buckets: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
     // signatures: per-row native expression when registered — NO shuffle at
     // all for the signature stage (the aggregation fallback shuffles every
     // (doc, shingle) pair of the corpus); both paths produce bit-identical
     // signatures (same two-hash XOR-rotate family, same xxhash64 seeds)
-    val buckets = bandBuckets(df, idCol, textCol, n, numHashes, bands)
     // skew-guarded: a band bucket full of near-identical docs grid-splits
     // instead of one quadratic task
     val cand = SkewJoin.selfPairs(buckets, Seq("band", "sig"), "id")
@@ -348,8 +361,20 @@ object Dedup {
   def crossMinhashMatches(corpus: DataFrame, bench: DataFrame,
                           idCol: String, textCol: String, n: Int = 3,
                           numHashes: Int = 64, bands: Int = 32,
-                          threshold: Double = 0.6): DataFrame = {
-    val cb = bandBuckets(corpus, idCol, textCol, n, numHashes, bands)
+                          threshold: Double = 0.6): DataFrame =
+    crossMinhashMatchesFromBuckets(corpus,
+      bandBuckets(corpus, idCol, textCol, n, numHashes, bands),
+      bench, idCol, textCol, n, numHashes, bands, threshold)
+
+  /** [[crossMinhashMatches]] with an injected CORPUS bucket table (see
+    * [[minhashLshPairsFromBuckets]]); the bench side is always rebuilt —
+    * eval sets are small.
+    */
+  private[graft] def crossMinhashMatchesFromBuckets(
+      corpus: DataFrame, corpusBuckets: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int,
+      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+    val cb = corpusBuckets
     val bb = bandBuckets(bench, idCol, textCol, n, numHashes, bands)
       .withColumnRenamed("id", "bench_id")
     val cand = cb.join(broadcast(bb), Seq("band", "sig"))
@@ -427,9 +452,17 @@ object Dedup {
     */
   def deduplicateKeepBest(df: DataFrame, idCol: String, textCol: String,
                           scoreCol: String, n: Int = 3,
-                          threshold: Double = 0.6): DataFrame = {
-    val pairs = minhashLshPairs(df, idCol, textCol, n = n,
-      threshold = threshold)
+                          threshold: Double = 0.6): DataFrame =
+    deduplicateKeepBestFromPairs(df,
+      minhashLshPairs(df, idCol, textCol, n = n, threshold = threshold),
+      idCol, scoreCol)
+
+  /** [[deduplicateKeepBest]] over an already-built pair frame (see
+    * [[minhashLshPairsFromBuckets]]).
+    */
+  private[graft] def deduplicateKeepBestFromPairs(
+      df: DataFrame, pairs: DataFrame, idCol: String, scoreCol: String)
+      : DataFrame = {
     val clusters = duplicateClusters(pairs)
       .select(col("id").as("__cid"), col("cluster_id").as("__cluster"))
     val withCl = df.join(clusters, col(idCol) === col("__cid"), "left")

@@ -106,12 +106,25 @@ object Pipeline {
       .where(col("__rn") === 1).drop("__rn")
       .withColumn("__tok", TextAnalysis.tokenCount(col("text")))
       .persist()
-    val s3 = Dedup.deduplicateKeepBest(s2t, "id", "text", "__tok",
-      threshold = nearDupThreshold)
+    // ONE ww_minhash bucket pass serves BOTH near-dup stages (r17): the
+    // keep-best LSH self-join reads it whole, and decontamination reads
+    // the survivor subset (bandBuckets is per-row, so filtering to s3's
+    // ids equals rebuilding buckets over s3) — formerly each stage
+    // re-tokenized and re-hashed the corpus
+    val buckets = Dedup.bandBuckets(s2t, "id", "text", n = 3,
+      numHashes = 64, bands = 32).persist()
+    val pairs = Dedup.minhashLshPairsFromBuckets(s2t, buckets, "id", "text",
+      n = 3, threshold = nearDupThreshold)
+    val s3 = Dedup.deduplicateKeepBestFromPairs(s2t, pairs, "id", "__tok")
     val benchStd = bench.select(col(benchIdCol).as("id"),
       col(benchTextCol).as("text"))
     val s3c = s3.persist()
-    val contaminated = contaminatedIds(s3c, benchStd, crossThreshold)
+    val s3Buckets = buckets.join(s3c.select(col("id")), Seq("id"),
+      "left_semi")
+    val contaminated = Dedup.crossMinhashMatchesFromBuckets(s3c, s3Buckets,
+        benchStd, "id", "text", n = 3, numHashes = 64, bands = 32,
+        crossThreshold)
+      .select(col("corpus_id").as("id")).distinct()
     val s4 = s3c.join(contaminated, Seq("id"), "left_anti").persist()
     val packed = Packing.packByCumsum(s4, "id", "__tok", budget,
       shardCol = Some("source"))
@@ -129,26 +142,36 @@ object Pipeline {
       (r.getLong(0), r.getLong(1))
     }
     try {
-      val packRow = {
-        val r = packed.agg(countDistinct(col("pack_id")),
-          coalesce(sum(col("__tok")), lit(0L))).head()
-        (r.getLong(0), r.getLong(1))
+      // the input stat is the one stage-independent job — overlap it with
+      // the (inherently serial: each stat materializes the next stage's
+      // cached input) chain (r17, guide §2.6)
+      var in: (Long, Long) = (0L, 0L)
+      var rest: Seq[(Int, String, (Long, Long))] = Nil
+      graft.util.Concurrency.runConcurrently(Seq(0, 1)) {
+        case 0 => in = stat(s0)
+        case _ =>
+          val g = stat(s1)
+          val e = statTok(s2t)
+          val nb = statTok(s3c)
+          val de = statTok(s4)
+          val packRow = {
+            val r = packed.agg(countDistinct(col("pack_id")),
+              coalesce(sum(col("__tok")), lit(0L))).head()
+            (r.getLong(0), r.getLong(1))
+          }
+          rest = Seq((1, "gated", g), (2, "exact_dedup", e),
+            (3, "neardup_keep_best", nb), (4, "decontaminated", de),
+            (5, "packed", packRow))
       }
-      val rows = Seq(
-        (0, "input", stat(s0)), (1, "gated", stat(s1)),
-        (2, "exact_dedup", statTok(s2t)), (3, "neardup_keep_best", statTok(s3c)),
-        (4, "decontaminated", statTok(s4)), (5, "packed", packRow))
+      val rows = (0, "input", in) +: rest
       rows.map { case (o, n, (d, t)) => (o, n, d, t) }
         .toDF("stage_order", "stage", "docs", "tokens")
         .orderBy("stage_order")
-    } finally { s4.unpersist(); s3c.unpersist(); s2t.unpersist(); s1.unpersist() }
+    } finally {
+      s4.unpersist(); s3c.unpersist(); buckets.unpersist()
+      s2t.unpersist(); s1.unpersist()
+    }
   }
-
-  private def contaminatedIds(corpus: DataFrame, bench: DataFrame,
-                              crossThreshold: Double): DataFrame =
-    Dedup.crossMinhashMatches(corpus, bench, "id", "text",
-        threshold = crossThreshold)
-      .select(col("corpus_id").as("id")).distinct()
 
   /** Per-source curation funnel: how many documents entered, passed the
     * gate, survived dedup, and what the surviving corpus looks like.
