@@ -4532,6 +4532,10 @@ object Oracles {
       "q197_rolling_bucketed" -> q94,
       "q198_seq_gap_sweep" -> q198,
       "q199_asof_nearest" -> q199,
+      // q200 forces the heavy (actor, segment) split of the q171
+      // machinery with an identical output contract: the SAME lead()
+      // chain SQL pins both paths (heavy/light parity is spec-pinned)
+      "q200_paths_heavy" -> q171,
       "q160_cohort_retention" -> q160,
       "q161_resample_grid" -> q161,
       "q162_forward_fill" -> q162,

@@ -3297,6 +3297,22 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Forced-heavy consecutive-windows witness (r17, VERDICT item 8): the
+    * q171 top-paths query with `segmentThreshold = 1`, routing EVERY
+    * actor through the heavy (actor, time-segment) split + m-lag
+    * boundary carry — the machinery r16 rewrote with no suite witness
+    * (every natural query routes light at sf0.1). The oracle is the
+    * IDENTICAL light-path lead() chain SQL: heavy/light parity is the
+    * operator's spec-pinned contract, so this query makes any future
+    * regression in the carry both correctness-visible (oracle) and
+    * perf-visible (bench).
+    */
+  def q200PathsHeavy(s: SparkSession, dir: String): DataFrame =
+    ops.EventAnalytics.topEventPaths(table(s, dir, "events"),
+      "user_id", "ts", "event_type", length = 3, k = 10,
+      maxGapSeconds = 172800L, orderCols = Seq("event_id"),
+      segmentThreshold = 1L)
+
   /** Pinned expected q09 inference output as literal oracle SQL; regenerated
     * from a verified run whenever inference behavior changes.
     */
@@ -3532,6 +3548,7 @@ object Queries {
     "q197_rolling_bucketed" -> (q197RollingBucketed _),
     "q198_seq_gap_sweep" -> (q198SeqGapSweep _),
     "q199_asof_nearest" -> (q199AsofNearest _),
+    "q200_paths_heavy" -> (q200PathsHeavy _),
     "q140_multifield_linkage" -> (q140MultiFieldLinkage _)
   )
 }
