@@ -1,12 +1,10 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Dev probe: batched fdAgg (one scan, Expand over 2k² distinct groups)
-  * vs per-pair concurrent jobs. The measurement (jobs 2.7× faster on the
-  * q129 shape) drove functionalDependencies' default to per-pair jobs,
-  * with the batched shape kept behind `scanOnce = true`.
+/** Dev probe (r17): q144/q145 TANE walk — is the per-candidate job cost
+  * scan/coercion (cacheable) or the distinct aggregation itself?
   */
 object ProbeFd {
   def main(args: Array[String]): Unit = {
@@ -14,32 +12,31 @@ object ProbeFd {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def time[A](label: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[probe] $label%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-      r
+    def t(f: => Any): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val cols = Seq("o_orderkey", "o_custkey", "o_orderpriority")
-    val pairs = for { a <- cols; b <- cols if a != b } yield (a, b)
-    val df = Queries.table(spark, dir, "orders")
-    df.count()
-    for (_ <- 1 to 3) time("fdAgg (batched)") {
-      stats.KeyDiscovery.fdAgg(df, pairs).head()
-    }
-    for (_ <- 1 to 3) time("per-pair jobs") {
-      val acc = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]()
-      graft.util.Concurrency.runConcurrently(pairs.indices) { i =>
-        val (a, b) = pairs(i)
-        val r = df.agg(
-          count_distinct(when(col(b).isNotNull, col(a))).as("__da"),
-          count_distinct(col(a), col(b)).as("__dp")).head()
-        acc.put(i, (r.getLong(0), r.getLong(1)))
-      }
-      acc.size
-    }
+    def run(df: DataFrame): Unit = { df.queryExecution.toRdd.count() }
+    def q145() = Queries.q145StagedFds3(spark, dir)
+    def q144() = Queries.q144ScreenedFds(spark, dir)
+    run(q145()); run(q144())
+    println(f"[fd] q145 ${(1 to 3).map(_ => t(run(q145()))).min}%6.2f")
+    println(f"[fd] q144 ${(1 to 3).map(_ => t(run(q144()))).min}%6.2f")
+    val o = Queries.table(spark, dir, "orders")
+    val one = t(stats.KeyDiscovery.tupleFdAgg(o,
+      Seq("o_custkey", "o_orderstatus"), "o_totalprice").head())
+    val oc = o.select("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority", "o_totalprice").cache()
+    oc.count()
+    val oneC = t(stats.KeyDiscovery.tupleFdAgg(oc,
+      Seq("o_custkey", "o_orderstatus"), "o_totalprice").head())
+    val oneC2 = t(stats.KeyDiscovery.tupleFdAgg(oc,
+      Seq("o_custkey", "o_orderpriority"), "o_totalprice").head())
+    println(f"[fd] one tupleFdAgg raw $one%6.2f  cached $oneC%6.2f / $oneC2%6.2f")
+    oc.unpersist()
     spark.stop()
   }
 }
